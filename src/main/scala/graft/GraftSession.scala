@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard tuning.
+  *
+  * Defaults are sized for the harness (`local[32]`, 128 GiB) but every
+  * knob is chosen to survive a real multi-executor cluster at ~100 TB:
+  *   - `shuffle.partitions` matches core count locally; AQE coalesces
+  *     small post-shuffle partitions and splits skewed ones, so the same
+  *     code scales when a cluster sets a higher initial value.
+  *   - Adaptive execution ON: runtime re-planning (broadcast conversion,
+  *     skew-join splitting) is the single highest-leverage setting at
+  *     scale.
+  *   - UTC session timezone: deterministic timestamp semantics across
+  *     engines (matches the DuckDB oracle).
+  */
+object GraftSession {
+  def builder(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      // testdata events.ts is parquet TIMESTAMP(NANOS), which Spark's
+      // vectorized reader rejects; read it as long nanoseconds instead.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic hashing primitives shared by dedup/similarity operators.
+  *
+  * Everything is built from `md5` + integer arithmetic so that (a) results
+  * are engine-independent (a DuckDB oracle computes bit-identical values)
+  * and (b) the expressions stay inside whole-stage codegen.
+  */
+object Hashing {
+
+  /** Modulus for MinHash permutations: 2^31 − 1 (prime). */
+  val MinHashP = 2147483647L
+
+  /** 60-bit non-negative hash of a string: first 15 hex chars of md5.
+    * `conv` is fine here because 15 hex digits < 2^60 never overflows.
+    */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic per-permutation coefficients (odd multiplier,
+    * arbitrary offset), engine-independent.
+    */
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { i =>
+      val a = (2L * i + 1L) * 2654435761L % MinHashP // Knuth multiplicative
+      val b = (i.toLong * 40503L + 2166136261L) % MinHashP
+      (if (a == 0) 1L else a, b)
+    }
+
+  /** MinHash signature (array<long> of length k) over an array<string>
+    * of shingles: sig_i = min over shingles of (a_i*(h60(s) mod p)+b_i) mod p.
+    * All ops fit in int64: a < 2^31, h mod p < 2^31 ⇒ product < 2^62.
+    */
+  def minhashSignature(shingleSet: Column, k: Int): Column = {
+    val coeffs = minhashCoeffs(k)
+    val hs = transform(shingleSet, s => pmod(h60(s), lit(MinHashP)))
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(MinHashP))))
+    }: _*)
+  }
+
+  /** LSH band keys for a MinHash signature: r rows per band, b = k/r
+    * bands; key = band index + joined row values. Any pair with Jaccard
+    * similarity high enough to agree on one full band collides.
+    */
+  def minhashBands(sig: Column, k: Int, rowsPerBand: Int): Column = {
+    require(k % rowsPerBand == 0, s"k=$k not divisible by r=$rowsPerBand")
+    val b = k / rowsPerBand
+    array((0 until b).map { band =>
+      val parts = (0 until rowsPerBand).map(r => sig.getItem(band * rowsPerBand + r))
+      concat_ws("_", (lit(band) +: parts).map(_.cast("string")): _*)
+    }: _*)
+  }
+
+  /** 60-bit SimHash over whitespace tokens, as a single expression:
+    * bit j of the result is 1 iff Σ_tokens (2·bit_j(h60(tok)) − 1) > 0.
+    *
+    * Implementation note: rather than exploding tokens×bits, fold the
+    * token array once per bit with `aggregate` — 60 small folds that stay
+    * in codegen and shuffle nothing.
+    */
+  def simhash60(tokensCol: Column): Column = {
+    val hs = transform(tokensCol, t => h60(t))
+    val bitSums = (0 until 60).map { j =>
+      aggregate(
+        hs,
+        lit(0L),
+        (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L)) * 2L - 1L
+      )
+    }
+    bitSums.zipWithIndex
+      .map { case (s, j) => when(s > 0, lit(1L << j)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+  }
+
+  /** Hamming distance between two long-encoded bit vectors. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Split a 60-bit code into `bands` equal bit-slices (pigeonhole: two
+    * codes within Hamming distance < bands share at least one slice).
+    */
+  def bitBands(code: Column, bands: Int, bits: Int = 60): Column = {
+    require(bits % bands == 0)
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    array((0 until bands).map { i =>
+      concat_ws("_", lit(i), shiftright(code, i * w).bitwiseAND(lit(mask)).cast("string"))
+    }: _*)
+  }
+}

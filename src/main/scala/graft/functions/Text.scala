@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale document pipelines, all as
+  * pure Column expressions (whole-stage-codegen friendly; no UDFs in the
+  * hot path). Used by dedup (shingles→MinHash/Jaccard), language ID,
+  * quality scoring, token counting, and fingerprinting.
+  *
+  * Counting conventions are chosen so a DuckDB oracle can reproduce them
+  * with `string_split_regex`/`len` exactly.
+  */
+object Text {
+
+  /** Whitespace normalization: lower, collapse runs of whitespace, trim. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens of the *raw* string (empty string → 0 tokens).
+    * Trims with a regex, not `trim()`: SQL trim strips only ' ' and a
+    * trailing tab/newline would otherwise produce a trailing "" token.
+    */
+  def tokens(c: Column): Column = {
+    val t = regexp_replace(c, "^\\s+|\\s+$", "")
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * non-space symbols each count as one token (a common pre-tokenizer
+    * approximation; deterministic and regex-reproducible in any engine).
+    */
+  def subwordCount(c: Column): Column =
+    size(tokens(regexp_replace(c, "([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])", " $1 ")))
+
+  /** Word n-gram shingles over whitespace tokens, joined by single
+    * spaces. Documents shorter than n shingle to the full normalized
+    * text (so every doc has ≥1 shingle).
+    */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(normalize(c))
+    val k = size(toks)
+    when(
+      k >= n,
+      transform(
+        sequence(lit(1), k - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))
+      )
+    ).otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Distinct shingle set (order-normalized so set semantics are stable). */
+  def shingleSet(c: Column, n: Int): Column =
+    array_sort(array_distinct(shingles(c, n)))
+
+  /** Content fingerprint: md5 of the normalized text — the exact-dedup
+    * key (reference analogue: content hash per file,
+    * /root/reference/src/file_indexing_system.py:100-118).
+    */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** Stopword-profile language ID. Counts hits of a tiny per-language
+    * stopword regex over the token stream and returns the argmax with a
+    * deterministic tiebreak (language code ascending). Pure heuristic —
+    * the point is the *shape* (scalable scoring + argmax), not NLP
+    * accuracy.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "nicht", "das"),
+    "en" -> Seq("the", "and", "of", "is", "to", "in"),
+    "es" -> Seq("el", "los", "las", "es", "y", "que"),
+    "fr" -> Seq("le", "les", "est", "et", "une", "dans"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在")
+  )
+
+  /** Number of tokens of `c` that are in `words` (exact token match). */
+  def stopwordHits(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(normalize(c)), t => t.isInCollection(words)))
+
+  def langId(c: Column): Column = {
+    // struct(score, negated-lang) max ⇒ argmax with asc-code tiebreak:
+    // greatest() on structs compares fields left-to-right, so equal
+    // scores fall back to comparing codes; negate by mapping code →
+    // its rank descending so the *smallest* code wins ties.
+    val scored = langProfiles.zipWithIndex.map { case ((code, words), i) =>
+      struct(
+        stopwordHits(c, words).as("score"),
+        lit(langProfiles.size - i).as("pri"),
+        lit(code).as("code")
+      )
+    }
+    greatest(scored: _*).getField("code")
+  }
+
+  /** Heuristic quality score in [0,1]: rewards mid-length docs, real
+    * word lengths, and alphabetic content. All integer/ratio arithmetic
+    * (deterministic across engines).
+    */
+  def qualityScore(c: Column): Column = {
+    val nChars = length(c).cast("double")
+    val nToks = tokenCount(c).cast("double")
+    val alpha = length(regexp_replace(c, "[^A-Za-z]", "")).cast("double")
+    val avgTokLen = when(nToks > 0, nChars / nToks).otherwise(lit(0.0))
+    val lenScore = least(nChars / lit(200.0), lit(1.0))
+    val alphaRatio = when(nChars > 0, alpha / nChars).otherwise(lit(0.0))
+    val tokScore = when(avgTokLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    // no rounding: Spark round() (BigDecimal HALF_UP) and DuckDB round()
+    // (multiply-round-divide) can differ in the last ulp; the raw ops
+    // here are bit-identical across engines.
+    lenScore * 0.4 + alphaRatio * 0.4 + tokScore * 0.2
+  }
+}

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` embedding columns as pure
+  * Column expressions (`zip_with` + `aggregate` stay in codegen; no UDF,
+  * no driver collect).
+  *
+  * All arithmetic is double-precision with a strict left-to-right fold,
+  * so results are bit-reproducible across engines and runs.
+  */
+object Vectors {
+
+  private def fold(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  def norm2(a: Column): Column =
+    sqrt(fold(transform(a, x => x.cast("double") * x.cast("double"))))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Squared L2 distance (monotone with L2 — cheaper for ranking). */
+  def l2sq(a: Column, b: Column): Column =
+    fold(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }))
+
+  /** Sign-bit LSH bucket: `bits` pseudo-random hyperplanes whose
+    * components are deterministic ±1 derived from (bit, dim) — engine
+    * independent, no stored model. Returns a long bucket id.
+    */
+  def signLsh(a: Column, bits: Int): Column = {
+    val planes = (0 until bits).map { j =>
+      // component sign for dim i: parity of a cheap integer mix of (j, i)
+      val proj = aggregate(
+        zip_with(a, sequence(lit(0), size(a) - 1), (x, i) => {
+          val mix = pmod(i.cast("long") * 2654435761L + lit(j.toLong) * 40503L, lit(65536L))
+          when(mix.bitwiseAND(lit(1L)) === 1L, x.cast("double")).otherwise(-x.cast("double"))
+        }),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    planes.reduce(_ + _)
+  }
+}

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{Hashing, Text}
+
+/** Document deduplication operators for large-scale corpus curation.
+  *
+  * All operators are pure DataFrame transforms: narrow per-row expression
+  * work (hashing, shingling) followed by equi-joins/aggregations on
+  * derived keys — the only shuffles are on those keys, so every strategy
+  * here scales horizontally (no driver collects, no cross joins except
+  * where a broadcast side is provably tiny).
+  *
+  * Reference behaviors re-expressed: exact content-hash duplicate groups
+  * (/root/reference/src/file_indexing_system.py:246-319) and
+  * bounded-distance similarity grouping
+  * (/root/reference/src/media_fingerprinting.py:278-310).
+  */
+object Dedup {
+
+  /** Exact dedup by content fingerprint: keep the lowest id per group
+    * ("keep oldest" policy, reference templates/duplicate_detection.yaml).
+    */
+  def exactKeepFirst(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), Text.fingerprint(text).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "fp")
+
+  /** Exact duplicate *groups* (the A1 GROUP BY/HAVING shape): one row per
+    * fingerprint with >1 member, with member ids collected and sorted.
+    */
+  def exactGroups(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), Text.fingerprint(text).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n"), sort_array(collect_list("doc_id")).as("members"))
+      .filter(col("n") > 1)
+
+  /** Exact n-gram Jaccard similarity pairs via an inverted-index
+    * equi-join (shingle → doc posting list) within blocking keys.
+    *
+    * This is the *exact* (no false negative / positive) path: cost is
+    * bounded by the posting-list join, not all-pairs. `blockCol` bounds
+    * the candidate space (e.g. language+source); pass a constant column
+    * to disable blocking.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      blockCol: Column,
+      n: Int,
+      minJaccard: Double): DataFrame = {
+    // Materialize the shingle sets ONCE: the posting-list self-join has
+    // two branches and Spark re-evaluates generator inputs per exploded
+    // row — without the cache the (regex-split → n-gram → distinct)
+    // expression runs ~2·Σ|shingles| times instead of |docs| times.
+    // The cached frame is (id, block, array<string>) — narrow relative
+    // to the corpus; a 100 TB pipeline would persist it to parquet
+    // between stages instead.
+    val docs = df
+      .select(id.as("doc_id"), blockCol.as("blk"), Text.shingleSet(text, n).as("sh"))
+      .cache()
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+    val ex = docs.select(col("doc_id"), col("blk"), explode(col("sh")).as("shingle"))
+    val pairs = ex.as("a")
+      .join(
+        ex.as("b"),
+        col("a.blk") === col("b.blk") && col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("n2")), "d2")
+      .withColumn("uni", col("n1") + col("n2") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("d1", "d2", "inter", "uni", "jaccard")
+  }
+
+  /** MinHash signatures via explode → hash-once → k min-aggregates.
+    *
+    * The naive single-expression form (`transform` per permutation)
+    * recomputes the md5 of every shingle k times; this shape hashes each
+    * shingle exactly once and folds the k permutations as map-side
+    * partial min-aggregates — one shuffle on the doc id, linear work.
+    */
+  def minhashSignatures(df: DataFrame, id: Column, text: Column, n: Int, k: Int): DataFrame =
+    minhashSignaturesFromSets(
+      df.select(id.as("doc_id"), Text.shingleSet(text, n).as("sh")), k)
+
+  /** As [[minhashSignatures]] but over a pre-built (doc_id, sh) frame —
+    * lets callers share one materialized shingle-set scan.
+    */
+  def minhashSignaturesFromSets(sets: DataFrame, k: Int): DataFrame = {
+    val p = Hashing.MinHashP
+    val ex = sets
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("h", pmod(Hashing.h60(col("shingle")), lit(p)))
+    val coeffs = Hashing.minhashCoeffs(k)
+    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
+    }
+    ex.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH near-duplicate pairs: shingle → k-perm MinHash
+    * signature → banded equi-join for candidates → exact-Jaccard verify.
+    *
+    * Scale path for ~100 TB: signatures are a narrow projection;
+    * the band join shuffles only (band-key, id) pairs; verification
+    * re-joins the shingle sets for candidates only.
+    */
+  def minhashPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      k: Int = 64,
+      rowsPerBand: Int = 2,
+      minJaccard: Double = 0.4): DataFrame = {
+    // Shingle sets are scanned by the signature pass AND the verify
+    // pass; signatures feed two self-join branches. Cache both narrow
+    // frames (k longs / one array per doc) — at any scale these are
+    // small next to the corpus.
+    val sets = df.select(id.as("doc_id"), Text.shingleSet(text, n).as("sh")).cache()
+    val sigs = minhashSignaturesFromSets(sets, k).cache()
+    val bands = sigs.select(
+      col("doc_id"),
+      explode(Hashing.minhashBands(col("sig"), k, rowsPerBand)).as("band"))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("uni", size(col("sh1")) + size(col("sh2")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("d1", "d2", "inter", "uni", "jaccard")
+  }
+
+  /** SimHash signatures per document (60-bit, token-frequency weighted).
+    *
+    * Shape mirrors [[minhashSignatures]]: explode tokens, md5 each token
+    * ONCE, then fold the 60 bit-sums as partial aggregates (the
+    * single-expression `Hashing.simhash60` recomputes the hash per bit —
+    * fine for ad-hoc Column use, wrong for a corpus scan). Tokenless
+    * docs keep simhash 0 via explode_outer.
+    */
+  def simhashes(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val ex = df
+      .select(id.as("doc_id"), explode_outer(Text.tokens(Text.normalize(text))).as("tok"))
+      .withColumn("h", Hashing.h60(col("tok")))
+    val bitAggs = (0 until 60).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"b$j")
+    }
+    val code = (0 until 60)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    ex.groupBy("doc_id")
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), code.as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs within Hamming distance `maxDist`,
+    * found with a bit-band equi-join. With `bands > maxDist` the
+    * pigeonhole principle guarantees ZERO false negatives — the result
+    * is exactly `{(a,b) : hamming ≤ maxDist}`, computed without the
+    * all-pairs cross join.
+    */
+  def simhashPairs(df: DataFrame, id: Column, text: Column, maxDist: Int = 3): DataFrame = {
+    val bands = maxDist + 1
+    require(60 % bands == 0, s"bands=$bands must divide 60")
+    val sh = simhashes(df, id, text).cache() // one narrow row per doc
+
+    val banded = sh.select(
+      col("doc_id"), col("simhash"),
+      explode(Hashing.bitBands(col("simhash"), bands)).as("band"))
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        Hashing.hamming(col("a.simhash"), col("b.simhash")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Keep-first dedup by any key with a deterministic tiebreak — the
+    * reference's INSERT OR REPLACE upsert semantics as a window
+    * (SURVEY §2.5).
+    */
+  def keepFirst(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Deduplication coverage over `documents`: exact, inverted-index exact
+  * Jaccard, MinHash+LSH, and SimHash band-join. The SimHash band join is
+  * *lossless* for its distance bound (pigeonhole), so its oracle is the
+  * brute-force all-pairs SQL — a strong differential test of the whole
+  * shingle→hash→band pipeline. MinHash LSH is probabilistic-recall by
+  * design → rows-only check (no oracle), with its exactness properties
+  * covered in ScalaTest instead.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
+
+  /** DuckDB h60: first 15 hex chars of md5 folded to a BIGINT — matches
+    * graft.functions.Hashing.h60 bit-for-bit.
+    */
+  private def duckH60(e: String): String =
+    s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(substr(md5($e), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a*16 + b)"
+
+  def d01ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactKeepFirst(docs(s, dir), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+
+  val d01Oracle: String =
+    """SELECT min(doc_id) AS doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin
+
+  /** Exact 3-gram Jaccard pairs within (lang, source) blocks. */
+  def d02JaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(
+      docs(s, dir), col("doc_id"), col("text"),
+      concat_ws("|", col("lang"), col("source")), n = 3, minJaccard = 0.1)
+      .orderBy("d1", "d2")
+
+  val d02Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang || '|' || source AS blk,
+      |    string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, blk,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [array_to_string(toks, ' ')] END) AS shset
+      |  FROM t
+      |), ex AS (
+      |  SELECT doc_id, blk, unnest(shset) AS shingle FROM sh
+      |), pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |  FROM ex a JOIN ex b ON a.blk = b.blk AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), sz AS (SELECT doc_id, len(shset) AS sz FROM sh)
+      |SELECT d1, d2, inter, s1.sz + s2.sz - inter AS uni,
+      |  CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+      |FROM pairs JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+      |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.1
+      |ORDER BY d1, d2""".stripMargin
+
+  /** MinHash+LSH candidates verified by exact Jaccard (rows-only check;
+    * recall is probabilistic by construction).
+    */
+  def d03MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(docs(s, dir), col("doc_id"), col("text"),
+      n = 3, k = 64, rowsPerBand = 2, minJaccard = 0.1)
+      .orderBy("d1", "d2")
+
+  /** SimHash pairs within Hamming distance 3 via 4×15-bit band join —
+    * oracle is brute-force all-pairs (identical result set by pigeonhole).
+    */
+  def d04SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir), col("doc_id"), col("text"), maxDist = 3)
+      .orderBy("d1", "d2")
+
+  val d04Oracle: String = {
+    val h = duckH60("tok")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+')) AS tok
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, $h AS h FROM toks
+       |), bits AS (
+       |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM h, generate_series(0, 59) t(j) GROUP BY doc_id, j
+       |), sh AS (
+       |  SELECT doc_id, SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2, bit_count(xor(a.simhash, b.simhash)) AS dist
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  /** SimHash signature dump — direct differential test of the 60-bit
+    * SimHash computation itself.
+    */
+  def d05Simhashes(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashes(docs(s, dir), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+
+  val d05Oracle: String = {
+    val h = duckH60("tok")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+')) AS tok
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, $h AS h FROM toks
+       |), bits AS (
+       |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM h, generate_series(0, 59) t(j) GROUP BY doc_id, j
+       |)
+       |SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> (d01ExactDedup _),
+    "d02_jaccard_pairs" -> (d02JaccardPairs _),
+    "d03_minhash_lsh" -> (d03MinhashLsh _),
+    "d04_simhash_pairs" -> (d04SimhashPairs _),
+    "d05_simhashes" -> (d05Simhashes _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" -> d01Oracle,
+    "d02_jaccard_pairs" -> d02Oracle,
+    "d04_simhash_pairs" -> d04Oracle,
+    "d05_simhashes" -> d05Oracle
+  )
+}

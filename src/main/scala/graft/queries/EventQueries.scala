@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.{Ip, Money}
+
+/** Event-stream analytics in batch form (SURVEY.md §2.9 ST1-ST4 have a
+  * streaming twin in graft.streaming). `events.ts` arrives as raw long
+  * nanoseconds (parquet TIMESTAMP(NANOS) via nanosAsLong=true); µs
+  * truncation happens only where calendar bucketing needs a timestamp.
+  */
+object EventQueries {
+
+  private def events(s: SparkSession, dir: String) = Tables.t(s, dir, "events")
+
+  /** ns → µs-precision timestamp (integer `div`: no double rounding at
+    * 1e18 magnitudes).
+    */
+  private val tsMicros = expr("timestamp_micros(ts div 1000)")
+
+  /** Tumbling-hour rollup (ST3's 30 s sampling generalized; SURVEY §2.9). */
+  def e01HourlyStats(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(
+        date_format(tsMicros, "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        Money.sumMoney(col("value")).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  val e01Oracle: String =
+    """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** Bounded retention: "last N events" (ST2 / T5 tail slices). */
+  def e02RecentEvents(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000")) // µs: DuckDB truncates parquet nanos
+      .orderBy(desc("ts_us"), desc("event_id"))
+      .limit(1000)
+      .select("event_id", "ts_us", "event_type", "value")
+
+  val e02Oracle: String =
+    """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value FROM events
+      |ORDER BY ts_us DESC, event_id DESC LIMIT 1000""".stripMargin
+
+  /** Threshold alerting with severity tiers (ST4,
+    * reference src/monitoring.py:209-253).
+    */
+  def e03Alerts(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn(
+        "severity",
+        when(col("value") >= 190, "critical")
+          .when(col("value") >= 150, "high")
+          .when(col("value") >= 120, "medium"))
+      .filter(col("severity").isNotNull)
+      .select("event_id", "event_type", "value", "severity")
+      .orderBy("event_id")
+
+  val e03Oracle: String =
+    """SELECT event_id, event_type, value,
+      |  CASE WHEN value >= 190 THEN 'critical' WHEN value >= 150 THEN 'high'
+      |       WHEN value >= 120 THEN 'medium' END AS severity
+      |FROM events WHERE value >= 120 ORDER BY event_id""".stripMargin
+
+  /** Frame-window function: per-user value deltas via lag (SURVEY §2.5).
+    * Subtraction of identical doubles is exact, so the oracle matches
+    * bit-for-bit.
+    */
+  def e04ValueJumps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("ts div 1000").asc, asc("event_id")) // µs for oracle parity
+    events(s, dir)
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .withColumn("jump", col("value") - col("prev_value"))
+      .filter(abs(col("jump")) > 150)
+      .select("event_id", "user_id", "value", "prev_value", "jump")
+      .orderBy("event_id")
+  }
+
+  val e04Oracle: String =
+    """SELECT event_id, user_id, value, prev_value, value - prev_value AS jump FROM (
+      |  SELECT event_id, user_id, value,
+      |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      |  FROM events
+      |) WHERE abs(value - prev_value) > 150 ORDER BY event_id""".stripMargin
+
+  /** IP classification (SURVEY §2.2 P7): derive a deterministic mixed
+    * internal/external address per event, classify with the engine's
+    * RFC1918 Column expression. The oracle derives expectations from the
+    * *generator* buckets — an independent check of the classifier.
+    */
+  def q15IpClassify(s: SparkSession, dir: String): DataFrame = {
+    val u = col("user_id")
+    val ip = when(u % 4 === 0, concat(lit("10."), (u % 200).cast("string"), lit(".0.1")))
+      .when(u % 4 === 1, concat(lit("172."), (lit(16) + u % 16).cast("string"), lit(".5.9")))
+      .when(u % 4 === 2, concat(lit("203.0.113."), (u % 250).cast("string")))
+      .otherwise(concat(lit("198.51.100."), (u % 250).cast("string")))
+    events(s, dir)
+      .withColumn("ip", ip)
+      .withColumn("is_external", Ip.isExternal(col("ip")))
+      .select("event_id", "ip", "is_external")
+      .orderBy("event_id")
+  }
+
+  val q15Oracle: String =
+    """SELECT event_id,
+      |  CASE WHEN user_id % 4 = 0 THEN '10.' || (user_id % 200) || '.0.1'
+      |       WHEN user_id % 4 = 1 THEN '172.' || (16 + user_id % 16) || '.5.9'
+      |       WHEN user_id % 4 = 2 THEN '203.0.113.' || (user_id % 250)
+      |       ELSE '198.51.100.' || (user_id % 250) END AS ip,
+      |  user_id % 4 IN (2, 3) AS is_external
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Semi-structured extraction from the JSON props column (SURVEY §2.8 F9)
+    * via regexp (identical semantics in both engines, no JSON-extension
+    * dependency in the oracle).
+    */
+  def q16JsonProps(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+      .filter(col("k") >= 90)
+      .select("event_id", "event_type", "k")
+      .orderBy("event_id")
+
+  val q16Oracle: String =
+    """SELECT event_id, event_type, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+      |FROM events WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) >= 90
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_hourly_stats" -> (e01HourlyStats _),
+    "e02_recent_events" -> (e02RecentEvents _),
+    "e03_alerts" -> (e03Alerts _),
+    "e04_value_jumps" -> (e04ValueJumps _),
+    "q15_ip_classify" -> (q15IpClassify _),
+    "q16_json_props" -> (q16JsonProps _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e01_hourly_stats" -> e01Oracle,
+    "e02_recent_events" -> e02Oracle,
+    "e03_alerts" -> e03Oracle,
+    "e04_value_jumps" -> e04Oracle,
+    "q15_ip_classify" -> q15Oracle,
+    "q16_json_props" -> q16Oracle
+  )
+}

@@ -1,0 +1,353 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.{Glob, Money, Ranks}
+
+/** Core relational operator coverage (SURVEY.md §2.2–§2.7) expressed over
+  * the TPC-H-ish testdata. Every query has a DuckDB oracle with identical
+  * column names and engine-independent numerics:
+  *   - money aggregates go through integer cents (see [[graft.functions.Money]])
+  *   - every LIMIT carries a full deterministic ORDER BY tiebreak
+  *   - no raw double aggregation anywhere.
+  *
+  * Scale notes (100 TB): region/nation/supplier/customer are broadcast
+  * dims; lineitem/orders joins shuffle on their keys with AQE handling
+  * skew; all filters/projections are Column expressions that push into
+  * the parquet scan.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  /** TPC-H Q1-style pricing summary: scan + filter + groupBy aggregate
+    * (SURVEY §2.4 A1-A3 shape). Map-side partial aggregation; 4-row result.
+    */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val priceC = Money.cents(col("l_extendedprice"))
+    val discP = Money.cents(col("l_discount")) // 0..100 integer "percent"
+    val taxP = Money.cents(col("l_tax"))
+    li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        (sum(priceC).cast("double") / 100.0).as("sum_base_price"),
+        (sum(priceC * (lit(100L) - discP)).cast("double") / 10000.0).as("sum_disc_price"),
+        (sum(priceC * (lit(100L) - discP) * (lit(100L) + taxP)).cast("double") / 1000000.0).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sum(priceC).cast("double") / count(lit(1)) / 100.0).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q01Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS DOUBLE)/1000000.0 AS sum_charge,
+      |  SUM(l_quantity)/COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0 AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Star-join revenue rollup: fact ⋈ orders ⋈ customer ⋈ nation ⋈ region
+    * (SURVEY §2.3 J1-J3). nation/region broadcast; lineitem⋈orders is the
+    * one genuine shuffle.
+    */
+  def q02RevenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region")
+    val revC = Money.cents(col("l_extendedprice")) * (lit(100L) - Money.cents(col("l_discount")))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        (sum(revC).cast("double") / 10000.0).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q02Oracle: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+      |  COUNT(*) AS n_lineitems
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** Top-K with deterministic tiebreak (SURVEY §2.6 T1/T3): Spark plans
+    * TakeOrderedAndProject — no global sort materialized.
+    */
+  def q03TopOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  val q03Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Anti-join — the baseline-differ "removed" shape (SURVEY §2.3 J4/U1). */
+  def q04CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val q04Oracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi-join — EXISTS shape (SURVEY §2.3). */
+  def q05OrdersWithBigLineitem(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(
+        t(s, dir, "lineitem").filter(col("l_quantity") >= 49),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  val q05Oracle: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Keep-latest window dedup (SURVEY §2.5: row_number over
+    * partitionBy/orderBy — the reference's "keep oldest" duplicate policy
+    * inverted to keep-latest per user). `ts` is raw long nanoseconds
+    * (Spark reads parquet TIMESTAMP(NANOS) via nanosAsLong).
+    */
+  def q06LatestEventPerUser(s: SparkSession, dir: String): DataFrame = {
+    // order on µs (`ts div 1000`), not raw ns: the DuckDB oracle only
+    // sees µs precision, so both engines must break ties identically.
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("ts div 1000").desc, desc("event_id"))
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  val q06Oracle: String =
+    """SELECT user_id, event_id, event_type, value FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** Per-type stats with exact money sums (SURVEY §2.4 A4-A7). */
+  def q07EventTypeStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        Money.sumMoney(col("value")).as("sum_value"),
+        min("event_id").as("min_event"),
+        max("event_id").as("max_event"))
+      .orderBy("event_type")
+
+  val q07Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value,
+      |  MIN(event_id) AS min_event, MAX(event_id) AS max_event
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Exact distinct aggregation (SURVEY §2.7 U2). At 100 TB an
+    * approx_count_distinct variant is the cheap path; the oracle gate
+    * needs the exact one.
+    */
+  def q08DistinctUsers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  val q08Oracle: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** unionByName of two filtered branches + rollup (SURVEY §2.7 U3/U4). */
+  def q09UnionSegments(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val a = cust.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_acctbal"), lit("building").as("bucket"))
+    val b = cust.filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_acctbal"), lit("rich").as("bucket"))
+    a.unionByName(b)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), Money.sumMoney(col("c_acctbal")).as("sum_bal"))
+      .orderBy("bucket")
+  }
+
+  val q09Oracle: String =
+    """SELECT bucket, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_bal
+      |FROM (
+      |  SELECT c_custkey, c_acctbal, 'building' AS bucket FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal, 'rich' AS bucket FROM customer WHERE c_acctbal > 9000
+      |) GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** Duplicate-group detection — the reference's flagship
+    * GROUP BY … HAVING count>1 (SURVEY §2.4 A1,
+    * reference src/file_indexing_system.py:246-319).
+    */
+  def q10DupPartsupp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .filter(col("n_lines") > 1)
+      .orderBy("l_partkey", "l_suppkey")
+
+  val q10Oracle: String =
+    """SELECT l_partkey, l_suppkey, COUNT(*) AS n_lines, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY l_partkey, l_suppkey HAVING COUNT(*) > 1
+      |ORDER BY l_partkey, l_suppkey""".stripMargin
+
+  /** Enum ordinal ranking via when-chains (SURVEY §2.6 T2 severity rank). */
+  def q11PriorityRank(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_orderpriority"),
+        Ranks.priorityRank(col("o_orderpriority")).as("prio_rank"))
+      .orderBy(asc("prio_rank"), asc("o_orderkey"))
+      .limit(100)
+
+  val q11Oracle: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CASE WHEN o_orderpriority LIKE '1%' THEN 0 WHEN o_orderpriority LIKE '2%' THEN 1
+      |       WHEN o_orderpriority LIKE '3%' THEN 2 WHEN o_orderpriority LIKE '4%' THEN 3
+      |       WHEN o_orderpriority LIKE '5%' THEN 4 ELSE 99 END AS prio_rank
+      |FROM orders ORDER BY prio_rank, o_orderkey LIMIT 100""".stripMargin
+
+  /** Glob include/exclude filter compiled to LIKE (SURVEY §2.2 P1, §2.8 F7). */
+  def q12PartGlob(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(Glob.globFilter(col("p_type"), Seq("*BRUSHED*", "*POLISHED*"), Seq("PROMO*")))
+      .select("p_partkey", "p_type", "p_brand")
+      .orderBy("p_partkey")
+
+  val q12Oracle: String =
+    """SELECT p_partkey, p_type, p_brand FROM part
+      |WHERE (p_type LIKE '%BRUSHED%' OR p_type LIKE '%POLISHED%') AND p_type NOT LIKE 'PROMO%'
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Calendar bucketing (SURVEY §2.8 F8 date functions). */
+  def q13MonthlyOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Money.sumMoney(col("o_totalprice")).as("sum_price"))
+      .orderBy("month")
+
+  val q13Oracle: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+
+  /** Broadcast dim rollup: customers per region (SURVEY §2.4 A11). */
+  def q14RegionCustomers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        countDistinct(col("n_name")).as("n_nations"),
+        Money.sumMoney(col("c_acctbal")).as("sum_bal"))
+      .orderBy("r_name")
+
+  val q14Oracle: String =
+    """SELECT r_name, COUNT(*) AS n_customers, COUNT(DISTINCT n_name) AS n_nations,
+      |  CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Global totals incl. exact distinct (SURVEY §2.4 A2). */
+  def q17LineitemTotals(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        Money.sumMoney(col("l_extendedprice")).as("sum_price"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+
+  val q17Oracle: String =
+    """SELECT COUNT(*) AS n_rows, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price,
+      |  COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem""".stripMargin
+
+  /** Orphan detection — anti-join in the other direction (SURVEY §2.3 J5). */
+  def q18OrdersNoLineitem(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select("o_orderkey", "o_orderstatus")
+      .orderBy("o_orderkey")
+
+  val q18Oracle: String =
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_revenue_by_nation" -> (q02RevenueByNation _),
+    "q03_top_orders" -> (q03TopOrders _),
+    "q04_customers_without_orders" -> (q04CustomersWithoutOrders _),
+    "q05_orders_with_big_lineitem" -> (q05OrdersWithBigLineitem _),
+    "q06_latest_event_per_user" -> (q06LatestEventPerUser _),
+    "q07_event_type_stats" -> (q07EventTypeStats _),
+    "q08_distinct_users" -> (q08DistinctUsers _),
+    "q09_union_segments" -> (q09UnionSegments _),
+    "q10_dup_partsupp" -> (q10DupPartsupp _),
+    "q11_priority_rank" -> (q11PriorityRank _),
+    "q12_part_glob" -> (q12PartGlob _),
+    "q13_monthly_orders" -> (q13MonthlyOrders _),
+    "q14_region_customers" -> (q14RegionCustomers _),
+    "q17_lineitem_totals" -> (q17LineitemTotals _),
+    "q18_orders_no_lineitem" -> (q18OrdersNoLineitem _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Oracle,
+    "q02_revenue_by_nation" -> q02Oracle,
+    "q03_top_orders" -> q03Oracle,
+    "q04_customers_without_orders" -> q04Oracle,
+    "q05_orders_with_big_lineitem" -> q05Oracle,
+    "q06_latest_event_per_user" -> q06Oracle,
+    "q07_event_type_stats" -> q07Oracle,
+    "q08_distinct_users" -> q08Oracle,
+    "q09_union_segments" -> q09Oracle,
+    "q10_dup_partsupp" -> q10Oracle,
+    "q11_priority_rank" -> q11Oracle,
+    "q12_part_glob" -> q12Oracle,
+    "q13_monthly_orders" -> q13Oracle,
+    "q14_region_customers" -> q14Oracle,
+    "q17_lineitem_totals" -> q17Oracle,
+    "q18_orders_no_lineitem" -> q18Oracle
+  )
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+
+/** Text-analysis coverage over the `documents` table: token counting,
+  * language ID, quality scoring, fingerprinting, shingling, and binary
+  * (multimodal-ish) metadata. DuckDB oracle fragments mirror the Column
+  * expressions op-for-op so doubles come out bit-identical.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
+
+  /** DuckDB: whitespace tokens of the raw / normalized text (regex trim
+    * mirrors graft Text.tokens — SQL trim() only strips spaces).
+    */
+  private val duckToksRaw =
+    """string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')"""
+  private val duckToksNorm =
+    """string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')"""
+
+  /** Token counting: whitespace + BPE-ish subword counts (SURVEY add-on:
+    * training-data token accounting).
+    */
+  def t01TokenCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.subwordCount(col("text")).as("n_subwords"))
+      .orderBy("doc_id")
+
+  val t01Oracle: String =
+    s"""SELECT doc_id, length(text) AS n_chars_calc,
+       |  CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0 ELSE len($duckToksRaw) END AS n_tokens,
+       |  CASE WHEN regexp_replace(regexp_replace(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', ' \\1 ', 'g'), '^\\s+|\\s+$$', '', 'g') = '' THEN 0
+       |       ELSE len(string_split_regex(regexp_replace(regexp_replace(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', ' \\1 ', 'g'), '^\\s+|\\s+$$', '', 'g'), '\\s+')) END AS n_subwords
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language ID via stopword-profile argmax (generated CASE chain keeps
+    * the oracle in lockstep with [[Text.langProfiles]]).
+    */
+  def t02LangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), Text.langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  val t02Oracle: String = {
+    val hits = Text.langProfiles.map { case (code, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      code -> s"len(list_filter($duckToksNorm, x -> list_contains([$lst], x)))"
+    }
+    val codes = hits.map(_._1)
+    // argmax with earliest-code tiebreak: code_i wins iff its hits >= all later codes'
+    val cases = codes.dropRight(1).zipWithIndex.map { case (c, i) =>
+      val ge = codes.drop(i + 1).map(o => s"h_$c >= h_$o").mkString(" AND ")
+      s"WHEN $ge THEN '$c'"
+    }
+    s"""SELECT doc_id, lang,
+       |  CASE ${cases.mkString(" ")} ELSE '${codes.last}' END AS pred_lang
+       |FROM (SELECT doc_id, lang,
+       |  ${hits.map { case (c, e) => s"$e AS h_$c" }.mkString(",\n  ")}
+       |FROM documents) ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: length/alpha/token-shape heuristics, raw doubles
+    * from identical op sequences in both engines.
+    */
+  def t03Quality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val t03Oracle: String =
+    s"""SELECT doc_id, n_chars_calc, n_tokens,
+       |  (least(CAST(n_chars_calc AS DOUBLE) / 200.0, 1.0) * 0.4
+       |   + (CASE WHEN n_chars_calc > 0 THEN n_alpha / CAST(n_chars_calc AS DOUBLE) ELSE 0.0 END) * 0.4
+       |   + (CASE WHEN CASE WHEN n_tokens > 0 THEN CAST(n_chars_calc AS DOUBLE) / n_tokens ELSE 0.0 END BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2) AS quality
+       |FROM (SELECT doc_id, length(text) AS n_chars_calc,
+       |        CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0 ELSE len($duckToksRaw) END AS n_tokens,
+       |        CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
+       |      FROM documents) ORDER BY doc_id""".stripMargin
+
+  /** Fingerprint + shingle stats (the primitives under MinHash dedup). */
+  def t04Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        Text.fingerprint(col("text")).as("fp"),
+        size(Text.shingles(col("text"), 3)).as("n_shingles"),
+        size(Text.shingleSet(col("text"), 3)).as("n_distinct_shingles"))
+      .orderBy("doc_id")
+
+  val t04Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       |    string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS toks
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, fp,
+       |    CASE WHEN len(toks) >= 3
+       |         THEN list_transform(generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |         ELSE [array_to_string(toks, ' ')] END AS shingles
+       |  FROM t
+       |)
+       |SELECT doc_id, fp, len(shingles) AS n_shingles, len(list_distinct(shingles)) AS n_distinct_shingles
+       |FROM sh ORDER BY doc_id""".stripMargin
+
+  /** Multimodal plumbing: opaque binary column + typed metadata —
+    * byte length and sha256 over the content bytes (stands in for
+    * image/audio payloads; decode itself is stubbed in
+    * graft.multimodal).
+    */
+  def m01BinaryMeta(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha256"))
+      .orderBy("doc_id")
+
+  val m01Oracle: String =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_counts" -> (t01TokenCounts _),
+    "t02_lang_id" -> (t02LangId _),
+    "t03_quality" -> (t03Quality _),
+    "t04_fingerprint" -> (t04Fingerprint _),
+    "m01_binary_meta" -> (m01BinaryMeta _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_counts" -> t01Oracle,
+    "t02_lang_id" -> t02Oracle,
+    "t03_quality" -> t03Oracle,
+    "t04_fingerprint" -> t04Oracle,
+    "m01_binary_meta" -> m01Oracle
+  )
+}

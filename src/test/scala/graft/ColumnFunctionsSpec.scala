@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.functions.{Hashing, Ip, Money, Ranks, Text, Vectors}
+
+/** Column-expression function behavior on tiny in-memory frames. */
+class ColumnFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    spark.range(1).select(c.as("v")).collect()(0).getAs[T]("v")
+
+  test("Ip.isInternal covers RFC1918 / loopback / link-local / v6") {
+    val cases = Seq(
+      "10.0.0.1" -> true, "172.16.0.1" -> true, "172.31.255.255" -> true,
+      "172.32.0.1" -> false, "192.168.1.1" -> true,
+      "127.0.0.1" -> true, "169.254.10.10" -> true, "0.0.0.0" -> true,
+      "8.8.8.8" -> false, "203.0.113.7" -> false,
+      "::1" -> true, "fe80::1" -> true, "fd00::1" -> true, "2001:db8::1" -> false)
+    val df = cases.map(_._1).toDF("ip")
+      .withColumn("internal", Ip.isInternal(col("ip")))
+    val got = df.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    for ((ip, expected) <- cases if ip != "192.168.1.1")
+      assert(got(ip) == expected, s"ip $ip")
+    assert(got("192.168.1.1")) // explicit: 192.168/16 is internal
+  }
+
+  test("Money.cents is exact for 2-decimal doubles") {
+    val df = Seq(0.01, 0.07, 185.22, 99999.99, 123.0).toDF("v")
+      .select(Money.cents(col("v")).as("c"))
+    assert(df.as[Long].collect().toSeq == Seq(1L, 7L, 18522L, 9999999L, 12300L))
+  }
+
+  test("Text.tokens handles empties and runs of whitespace") {
+    val df = Seq("", "   ", "a", " a  b\t c \n").toDF("t")
+      .select(Text.tokenCount(col("t")).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(0, 0, 1, 3))
+  }
+
+  test("Text.shingles: n-grams with short-doc fallback") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(Text.shingles(col("t"), 3).as("sh"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  test("Text.langId picks max-hit language, alphabetical on ties") {
+    val df = Seq(
+      "the cat and the dog is here",
+      "der hund und die katze ist da",
+      "xyzzy plugh").toDF("t")
+      .select(Text.langId(col("t")).as("lang"))
+    assert(df.as[String].collect().toSeq == Seq("en", "de", "de")) // zero hits → first code
+  }
+
+  test("Hashing.h60 is 60-bit non-negative and deterministic") {
+    val a = one[Long](Hashing.h60(lit("abc")))
+    assert(a == java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("abc").substring(0, 15), 16))
+    assert(a >= 0 && a < (1L << 60))
+  }
+
+  test("Hashing.hamming via bit_count xor") {
+    assert(one[Long](Hashing.hamming(lit(0L), lit(7L)).cast("long")) == 3L)
+    assert(one[Long](Hashing.hamming(lit(255L), lit(255L)).cast("long")) == 0L)
+  }
+
+  test("minhash signature: identical sets → identical sigs; sim sets → close sigs") {
+    val df = Seq(
+      ("x", "a b c d e f g h i j"),
+      ("y", "a b c d e f g h i j"),
+      ("z", "q r s t u v w x y z")).toDF("id", "t")
+      .select(col("id"), Hashing.minhashSignature(Text.shingleSet(col("t"), 2), 32).as("sig"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(m("x") == m("y"))
+    assert(m("x") != m("z"))
+    val agree = m("x").zip(m("z")).count { case (p, q) => p == q }
+    assert(agree < 8, s"disjoint sets should rarely agree, got $agree/32")
+  }
+
+  test("simhash60: identical text → distance 0, near text → small distance") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again today"),
+      ("b", "the quick brown fox jumps over the lazy dog again and again tonight"),
+      ("c", "completely unrelated words about spark catalyst optimizer internals")).toDF("id", "t")
+      .select(col("id"), Hashing.simhash60(Text.tokens(Text.normalize(col("t")))).as("h"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def d(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(d(m("a"), m("a")) == 0)
+    assert(d(m("a"), m("b")) < d(m("a"), m("c")),
+      s"near pair ${d(m("a"), m("b"))} should beat far pair ${d(m("a"), m("c"))}")
+  }
+
+  test("Vectors: cosine of identical vectors is 1.0; orthogonal is 0.0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f, 2.0f), Array(1.0f, 0.0f, 2.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f))).toDF("a", "b")
+      .select(Vectors.cosine(col("a"), col("b")).as("c"))
+    val got = df.as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) == 0.0)
+  }
+
+  test("Ranks.severityRank orders critical→info") {
+    val df = Seq("info", "critical", "HIGH", "weird", "medium", "low").toDF("s")
+      .select(Ranks.severityRank(col("s")).as("r"))
+    assert(df.as[Int].collect().toSeq == Seq(4, 0, 1, 99, 2, 3))
+  }
+}
