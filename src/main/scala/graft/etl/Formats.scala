@@ -1,0 +1,81 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+
+/** Format-dispatch readers/writers — the reference ETL engine's
+  * extension-based `_load_data`/`_save_data`
+  * (/root/reference/src/etl.py:121-176) as Spark sources/sinks.
+  *
+  * CSV "chunking" is implicit in partitioning; every reader/writer is a
+  * distributed scan/sink, never a driver-side materialization.
+  */
+object Formats {
+
+  sealed trait Fmt { def name: String }
+  case object Csv extends Fmt { val name = "csv" }
+  case object Json extends Fmt { val name = "json" }
+  case object Xml extends Fmt { val name = "xml" }
+  case object Parquet extends Fmt { val name = "parquet" }
+  case object Text extends Fmt { val name = "text" }
+  case object Excel extends Fmt { val name = "xlsx" }
+
+  /** Extension → format, mirroring the reference's suffix dispatch. */
+  def ofPath(path: String): Fmt = {
+    val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
+    ext match {
+      case "csv" | "tsv" => Csv
+      case "json" | "jsonl" | "ndjson" => Json
+      case "xml" => Xml
+      case "parquet" | "pq" => Parquet
+      case "txt" | "log" => Text
+      case "xlsx" | "xls" => Excel
+      case other => throw new IllegalArgumentException(s"Unsupported format: .$other")
+    }
+  }
+
+  /** Read with sensible defaults per format; `options` pass through like
+    * the reference's `csv_options`/`json_options`.
+    */
+  def read(
+      spark: SparkSession,
+      path: String,
+      fmt: Option[Fmt] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    def r: DataFrameReader = spark.read.options(options)
+    fmt.getOrElse(ofPath(path)) match {
+      case Csv =>
+        r.option("header", options.getOrElse("header", "true"))
+          .option("inferSchema", options.getOrElse("inferSchema", "true"))
+          .csv(path)
+      case Json => r.option("multiLine", options.getOrElse("multiLine", "true")).json(path)
+      case Xml => r.format("xml").option("rowTag", options.getOrElse("rowTag", "row")).load(path)
+      case Parquet => r.parquet(path)
+      case Text => r.text(path)
+      case Excel =>
+        // Hard gap in the zero-egress jar set (no POI/spark-excel); the
+        // reference reads XLSX via pandas. Documented: convert to CSV.
+        throw new UnsupportedOperationException(
+          "XLSX is not supported in this build (no POI jars); convert to CSV/Parquet first")
+    }
+  }
+
+  def write(
+      df: DataFrame,
+      path: String,
+      fmt: Option[Fmt] = None,
+      mode: SaveMode = SaveMode.Overwrite,
+      options: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.mode(mode).options(options)
+    fmt.getOrElse(ofPath(path)) match {
+      case Csv => w.option("header", options.getOrElse("header", "true")).csv(path)
+      case Json => w.json(path)
+      case Xml => w.format("xml").option("rootTag", options.getOrElse("rootTag", "rows"))
+        .option("rowTag", options.getOrElse("rowTag", "row")).save(path)
+      case Parquet => w.parquet(path)
+      case Text => w.text(path)
+      case Excel =>
+        throw new UnsupportedOperationException(
+          "XLSX is not supported in this build (no POI jars); write CSV/Parquet instead")
+    }
+  }
+}

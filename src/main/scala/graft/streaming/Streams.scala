@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming re-expression of the reference's operational
+  * plane (SURVEY.md §2.9): event ingest, periodic metrics windows,
+  * threshold alerts, bounded retention, and duplicate suppression.
+  *
+  * Every transform here works identically on a batch DataFrame and a
+  * streaming one — the batch twin is what the oracle gate checks
+  * (graft.queries.EventQueries); the streaming semantics (watermarks,
+  * update modes) are exercised in StreamingSpec with MemoryStream.
+  *
+  * Reference behaviors: event stream append + last-1000 retention
+  * (/root/reference/src/monitoring.py:153-158), 30 s metrics sampling
+  * (:189-207), threshold alerts (:209-253).
+  */
+object Streams {
+
+  /** Tumbling-window per-type stats — the streaming twin of the
+    * reference's fixed-interval metrics sampler. `tsCol` must be a
+    * TimestampType column; watermarking bounds state (ST7 — strictly
+    * stronger than the reference's unbounded in-memory list).
+    */
+  def windowedStats(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      valueCol: String,
+      window: String = "30 seconds",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window).as("win"),
+        col(typeCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol)).as("sum_value"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+      .select(
+        col("win.start").as("window_start"),
+        col("win.end").as("window_end"),
+        col(typeCol), col("n"), col("sum_value"), col("min_value"), col("max_value"))
+
+  /** Threshold alerting with severity tiers (warning ≥ warn, critical ≥
+    * crit) — works per-row, so identical in batch and streaming.
+    */
+  def alerts(df: DataFrame, valueCol: String, warn: Double, crit: Double): DataFrame =
+    df.withColumn(
+        "severity",
+        when(col(valueCol) >= crit, "critical")
+          .when(col(valueCol) >= warn, "warning"))
+      .filter(col("severity").isNotNull)
+
+  /** Exactly-once-per-id duplicate suppression within the watermark
+    * horizon (ST7; reference has no dedup — in-order in-memory lists).
+    */
+  def dedupEvents(df: DataFrame, tsCol: String, idCol: String, watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark).dropDuplicates(Seq(idCol))
+
+  /** Batch form of "keep the last N" retention (ST2/T5). True streaming
+    * retention is time-based ([[retentionByAge]]) — a global total-order
+    * last-N is inherently a batch/sink-side concept, which is the one
+    * documented semantic difference from the reference.
+    */
+  def lastN(df: DataFrame, n: Int, orderCols: Seq[Column]): DataFrame =
+    df.orderBy(orderCols: _*).limit(n)
+
+  /** Time-based retention: keep rows younger than `maxAge` relative to
+    * the data's own max timestamp (deterministic, no wall-clock).
+    */
+  def retentionByAge(df: DataFrame, tsCol: String, maxAge: String): DataFrame = {
+    val horizon = df.agg(max(col(tsCol)).as("mx"))
+    df.crossJoin(broadcast(horizon))
+      .filter(col(tsCol) >= col("mx") - expr(s"INTERVAL $maxAge"))
+      .drop("mx")
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Formats, Transforms}
+import graft.index.FileIndex
+
+/** ETL format round-trips, pipe transforms, and file indexing /
+  * duplicate detection on a synthetic temp tree.
+  */
+class EtlIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("csv/json/parquet round-trips preserve data") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    for (ext <- Seq("csv", "json", "parquet")) {
+      val dir = tmp(s"fmt-$ext") + s"/out.$ext"
+      Formats.write(df, dir)
+      val back = Formats.read(spark, dir)
+      assert(back.count() == 2, ext)
+      assert(back.columns.sorted.toSeq == Seq("id", "name", "v"), ext)
+      assert(back.agg(sum("id")).as[Long].head() == 3L, ext)
+    }
+  }
+
+  test("xml round-trip via Spark 4 native source") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "name")
+    val dir = tmp("fmt-xml") + "/out.xml"
+    Formats.write(df, dir)
+    val back = Formats.read(spark, dir)
+    assert(back.select("id", "name").as[(Long, String)].collect().toSet == Set((1L, "x"), (2L, "y")))
+  }
+
+  test("xlsx is a documented unsupported gap") {
+    intercept[UnsupportedOperationException] {
+      Formats.read(spark, "/tmp/x.xlsx")
+    }
+  }
+
+  test("registered native transforms apply by name") {
+    Transforms.register("double_v", df => df.withColumn("v", col("v") * 2))
+    val out = Transforms("double_v", Seq((1, 10.0)).toDF("id", "v"))
+    assert(out.select("v").as[Double].head() == 20.0)
+  }
+
+  test("pipe transform streams JSON records through an external process") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val out = Transforms.pipe(df, Seq("cat"), Map("mode" -> "identity"))
+    assert(out.count() == 2)
+    assert(out.select("name").as[String].collect().sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("file index + duplicate groups + wasted bytes + upsert") {
+    val root = tmp("fidx")
+    def put(rel: String, content: String): Unit = {
+      val p = Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    put("a/one.txt", "hello world")
+    put("a/two.txt", "hello world") // dup of one
+    put("b/three.txt", "hello world") // dup of one
+    put("b/four.log", "different contents")
+    put("b/.hidden", "hh") // Hadoop listing skips dot/underscore-prefixed files
+
+    val idx = FileIndex.indexWithHash(spark, root)
+    assert(idx.count() == 4)
+
+    val visible = idx.filter(FileIndex.fileFilter(extensions = Seq("txt", "log")))
+    assert(visible.count() == 4)
+    assert(idx.filter(FileIndex.fileFilter(extensions = Seq("log"))).count() == 1)
+    assert(idx.filter(FileIndex.fileFilter(
+      includeGlobs = Seq("*/a/*"))).count() == 2)
+
+    val groups = FileIndex.duplicateGroups(visible)
+    assert(groups.count() == 1)
+    val g = groups.head()
+    assert(g.getAs[Long]("file_count") == 3)
+
+    val report = FileIndex.duplicateReport(groups).head()
+    assert(report.getAs[Long]("duplicate_files") == 3)
+    assert(report.getAs[Long]("wasted_bytes") == 2 * "hello world".length)
+
+    // upsert: newer row for same path wins
+    val updated = idx.withColumn("modified_time",
+      col("modified_time") + expr("INTERVAL 1 HOUR"))
+      .withColumn("file_size", lit(999L))
+    val merged = FileIndex.upsert(idx, updated)
+    assert(merged.count() == 4)
+    assert(merged.filter(col("file_size") === 999L).count() == 4)
+
+    // search
+    assert(FileIndex.searchByName(visible, "three").count() == 1)
+    val h = visible.filter(col("file_name") === "one.txt").select("file_hash").as[String].head()
+    assert(FileIndex.searchByHash(visible, h).count() == 3)
+  }
+
+  test("metadata-only index prunes content and still lists files") {
+    val root = tmp("fmeta")
+    Files.writeString(Paths.get(root, "x.bin"), "abc")
+    val meta = FileIndex.indexMetadata(spark, root)
+    assert(meta.columns.toSet == Set("file_path", "file_name", "file_size", "modified_time", "extension"))
+    assert(meta.head().getAs[Long]("file_size") == 3L)
+  }
+}

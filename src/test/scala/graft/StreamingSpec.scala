@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{Sessionize, Streams}
+
+/** Structured Streaming semantics: windowed stats, alerts, dedup, and
+  * stateful sessionization via MemoryStream → memory sink.
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedStats aggregates tumbling event-time windows on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "etype", "value")
+    val q = Streams.windowedStats(df, "ts", "etype", "value", "1 minute", "10 minutes")
+      .writeStream.format("memory").queryName("winstats").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (ts("2024-01-01 00:00:10"), "cpu", 50.0),
+        (ts("2024-01-01 00:00:40"), "cpu", 70.0),
+        (ts("2024-01-01 00:01:10"), "cpu", 90.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first windows
+      in.addData((ts("2024-01-01 01:00:00"), "cpu", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("winstats")
+        .select("window_start", "n", "sum_value").orderBy("window_start")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+      assert(rows.contains(("2024-01-01 00:00:00.0", 2L, 120.0)))
+      assert(rows.contains(("2024-01-01 00:01:00.0", 1L, 90.0)))
+    } finally q.stop()
+  }
+
+  test("dedupEvents drops same-id events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "event_id", "etype")
+    val q = Streams.dedupEvents(df, "ts", "event_id")
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (ts("2024-01-01 00:00:01"), 1L, "a"),
+        (ts("2024-01-01 00:00:02"), 1L, "a-dup"),
+        (ts("2024-01-01 00:00:03"), 2L, "b"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("alerts tier severities (batch twin)") {
+    val df = Seq(("a", 50.0), ("b", 85.0), ("c", 95.0)).toDF("id", "v")
+    val got = Streams.alerts(df, "v", warn = 80, crit = 90)
+      .select("id", "severity").as[(String, String)].collect().toMap
+    assert(got == Map("b" -> "warning", "c" -> "critical"))
+  }
+
+  test("retentionByAge keeps rows near the data's max timestamp") {
+    val df = Seq(
+      (ts("2024-01-01 00:00:00"), 1L),
+      (ts("2024-01-01 11:00:00"), 2L),
+      (ts("2024-01-01 12:00:00"), 3L)).toDF("ts", "id")
+    val kept = Streams.retentionByAge(df, "ts", "2 HOURS").select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
+
+  test("sessionize splits on inactivity gaps with stateful processing") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sessionize.Ev]
+    val q = Sessionize.sessions(in.toDS(), gapMs = 60000)
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Sessionize.Ev(7, ts("2024-01-01 00:00:00"), "view", 1.0),
+        Sessionize.Ev(7, ts("2024-01-01 00:00:30"), "click", 2.0))
+      q.processAllAvailable()
+      // a later batch far past the gap closes the first session
+      in.addData(Sessionize.Ev(7, ts("2024-01-01 00:10:00"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("userId", "nEvents", "sumValue").as[(Long, Int, Double)].collect()
+      assert(rows.toSeq == Seq((7L, 2, 3.0)))
+    } finally q.stop()
+  }
+}
