@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expr.RollingHash
+
+/** Engine extensions, installed via
+  * `spark.sql.extensions=graft.GraftExtensions`: registers native
+  * Catalyst expressions into the session FunctionRegistry so they are
+  * first-class in SQL (`SELECT rolling_hash(text) FROM docs`) as well as
+  * the Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(
+        classOf[RollingHash].getName, null, "rolling_hash",
+        "rolling_hash(str) - polynomial rolling hash of str's code points (base 31, mod 2^31-1)",
+        ""),
+      (children: Seq[Expression]) => RollingHash(children.head)))
+  }
+}

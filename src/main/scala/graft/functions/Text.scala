@@ -61,6 +61,57 @@ object Text {
     */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
+  /** Native rolling hash (graft.functions.expr.RollingHash, registered
+    * by GraftExtensions — whole-stage-codegen, engine-reproducible).
+    */
+  def rollingHash(c: Column): Column = call_function("rolling_hash", c)
+
+  /** Winnowing document fingerprints (Schleimer et al., MOSS): rolling
+    * hashes of word n-gram shingles, then the min of every w-window,
+    * deduplicated — a compact, position-robust fingerprint set for
+    * near-dup detection at corpus scale. Guarantees any shared run of
+    * ≥ n+w−1 tokens yields a shared fingerprint.
+    *
+    * NOTE: single-Column convenience form — fine for ad-hoc use, but a
+    * lambda referencing an outer non-attribute array re-evaluates it per
+    * element (quadratic). Corpus scans must use
+    * [[withWinnowFingerprints]], which materializes the hash array as an
+    * attribute first.
+    */
+  def winnowFingerprints(c: Column, n: Int = 3, w: Int = 4): Column = {
+    val hs = transform(shingles(c, n), s => rollingHash(s))
+    val m = size(hs)
+    when(
+      m >= w,
+      array_sort(array_distinct(
+        transform(sequence(lit(1), m - (w - 1)), i => array_min(slice(hs, i, lit(w))))))
+    ).otherwise(array(array_min(hs)))
+  }
+
+  /** Scalable winnowing: appends `outCol` (array<long> fingerprint set)
+    * to `df`. The shingle-hash array lands in its own projection so the
+    * sliding-min lambdas reference a cheap attribute — linear work per
+    * document.
+    */
+  def withWinnowFingerprints(
+      df: org.apache.spark.sql.DataFrame,
+      text: Column,
+      outCol: String,
+      n: Int = 3,
+      w: Int = 4): org.apache.spark.sql.DataFrame = {
+    val hsCol = "__graft_winnow_hs"
+    val hs = col(hsCol)
+    df.withColumn(hsCol, transform(shingles(text, n), s => rollingHash(s)))
+      .withColumn(
+        outCol,
+        when(
+          size(hs) >= w,
+          array_sort(array_distinct(
+            transform(sequence(lit(1), size(hs) - (w - 1)), i => array_min(slice(hs, i, lit(w)))))))
+          .otherwise(array(array_min(hs))))
+      .drop(hsCol)
+  }
+
   /** Stopword-profile language ID. Counts hits of a tiny per-language
     * stopword regex over the token stream and returns the argmax with a
     * deterministic tiebreak (language code ascending). Pure heuristic —

@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Timestamped result persistence + newest-first retrieval (SURVEY §2.1
+  * S11-S12, §2.6 T4): pipeline results and baselines land as
+  * `{prefix}_{millis}` JSON directories; loading picks the newest by
+  * embedded timestamp (mtime-equivalent, but deterministic).
+  */
+object ResultStore {
+
+  def save(df: DataFrame, dir: String, prefix: String, epochMillis: Long): String = {
+    val path = s"$dir/${prefix}_$epochMillis"
+    df.write.mode(SaveMode.Overwrite).json(path)
+    path
+  }
+
+  /** Newest-first listing of saved result sets for a prefix. */
+  def list(dir: String, prefix: String): Seq[String] = {
+    val base = Paths.get(dir)
+    if (!Files.isDirectory(base)) return Nil
+    val it = Files.list(base).iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.getFileName.toString.startsWith(s"${prefix}_")) out += p
+    }
+    out.sortBy(p => -p.getFileName.toString.stripPrefix(s"${prefix}_").toLongOption.getOrElse(0L))
+      .map(_.toString).toSeq
+  }
+
+  /** Load the newest saved set (None if absent) — the baseline-differ's
+    * `load_latest_baseline`.
+    */
+  def loadLatest(spark: SparkSession, dir: String, prefix: String): Option[DataFrame] =
+    list(dir, prefix).headOption.map(spark.read.json(_))
+
+  /** Load up to `limit` newest sets, tagged with their timestamp. */
+  def loadRecent(spark: SparkSession, dir: String, prefix: String, limit: Int): Seq[(Long, DataFrame)] =
+    list(dir, prefix).take(limit).map { p =>
+      val ts = p.split('_').last.toLongOption.getOrElse(0L)
+      ts -> spark.read.json(p)
+    }
+}

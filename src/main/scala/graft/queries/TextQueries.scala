@@ -133,11 +133,61 @@ object TextQueries {
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Winnowing fingerprints over the native rolling_hash Catalyst
+    * expression (MOSS-style): whole-document rolling hash + windowed-min
+    * fingerprint stats. The oracle refolds the identical integer
+    * arithmetic in DuckDB — differential proof of the custom expression
+    * AND the winnowing pipeline.
+    */
+  def t05Winnow(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(
+      col("doc_id"), col("text"),
+      Text.rollingHash(Text.normalize(col("text"))).as("rh"))
+    Text.withWinnowFingerprints(base, col("text"), "fps", n = 3, w = 4)
+      .select(
+        col("doc_id"), col("rh"),
+        size(col("fps")).as("n_fps"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+      .orderBy("doc_id")
+  }
+
+  val t05Oracle: String = {
+    def rh(x: String): String =
+      s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split($x, ''), c -> CAST(unicode(c) AS BIGINT)), (a, b) -> (a*31 + b) % 2147483647)"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+       |    string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS toks
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, norm,
+       |    CASE WHEN len(toks) >= 3
+       |      THEN list_transform(generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |      ELSE [array_to_string(toks, ' ')] END AS shingles
+       |  FROM t
+       |), h AS (
+       |  SELECT doc_id, ${rh("norm")} AS rh,
+       |    list_transform(shingles, s -> ${rh("s")}) AS hs
+       |  FROM sh
+       |), w AS (
+       |  SELECT doc_id, rh,
+       |    CASE WHEN len(hs) >= 4
+       |      THEN list_transform(generate_series(1, len(hs)-3), i -> list_min(hs[i:i+3]))
+       |      ELSE [list_min(hs)] END AS wins
+       |  FROM h
+       |)
+       |SELECT doc_id, rh, len(list_distinct(wins)) AS n_fps,
+       |  list_min(wins) AS min_fp, list_max(wins) AS max_fp
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_counts" -> (t01TokenCounts _),
     "t02_lang_id" -> (t02LangId _),
     "t03_quality" -> (t03Quality _),
     "t04_fingerprint" -> (t04Fingerprint _),
+    "t05_winnow" -> (t05Winnow _),
     "m01_binary_meta" -> (m01BinaryMeta _)
   )
 
@@ -146,6 +196,7 @@ object TextQueries {
     "t02_lang_id" -> t02Oracle,
     "t03_quality" -> t03Oracle,
     "t04_fingerprint" -> t04Oracle,
+    "t05_winnow" -> t05Oracle,
     "m01_binary_meta" -> m01Oracle
   )
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.functions.expr.RollingHash
+import graft.pipeline.{HtmlReport, Pipeline, ResultStore}
+import graft.analyze.{Finding, Findings}
+
+/** Native Catalyst expression (rolling_hash), winnowing, and the staged
+  * pipeline runner + result store + HTML report.
+  */
+class ExpressionPipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("rolling_hash: SQL registration, value parity, null safety") {
+    // manual: ((97*31+98)*31+99) % p
+    val expected = ((97L * 31 + 98) * 31 + 99) % 2147483647L
+    assert(RollingHash.hash("abc") == expected)
+    assert(spark.sql("SELECT rolling_hash('abc') AS h").as[Long].head() == expected)
+    val viaColumn = Seq("abc").toDF("s").select(Text.rollingHash(col("s"))).as[Long].head()
+    assert(viaColumn == expected)
+    val nulls = Seq[Option[String]](Some("x"), None).toDF("s")
+      .select(Text.rollingHash(col("s")).as("h"))
+    assert(nulls.filter(col("h").isNull).count() == 1)
+  }
+
+  test("rolling_hash survives whole-stage codegen over many rows") {
+    val df = spark.range(1000).select(concat(lit("doc-"), col("id")).as("s"))
+      .select(Text.rollingHash(col("s")).as("h"))
+    val sample = df.collect().map(_.getLong(0))
+    assert(sample.distinct.length > 990) // collisions possible but rare
+    assert(sample(7) == RollingHash.hash("doc-7"))
+  }
+
+  test("winnowing: shared token runs produce shared fingerprints") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      ("a", s"unique prefix one two $shared"),
+      ("b", s"$shared totally different suffix words here"),
+      ("c", "nothing in common with the others at all ok")).toDF("id", "t")
+      .select(col("id"), Text.winnowFingerprints(col("t"), 3, 4).as("fp"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((m("a") intersect m("b")).nonEmpty, "8-token shared run must share a fingerprint")
+    assert((m("a") intersect m("c")).isEmpty)
+  }
+
+  test("pipeline: staged context flow, failure handling, stop_on_failure") {
+    val init: Pipeline.Context = Map("src" -> Seq((1, "x")).toDF("id", "v"))
+    val ok = Pipeline.run(Seq(
+      "double" -> (ctx => ctx + ("doubled" -> ctx("src").withColumn("id", col("id") * 2))),
+      "count" -> (ctx => ctx + ("n" -> ctx("doubled").agg(count(lit(1)).as("n"))))
+    ), init)
+    assert(!ok.failed && ok.context.contains("n"))
+    assert(ok.stages.map(_.status) == Seq("completed", "completed"))
+
+    val bad = Pipeline.run(Seq(
+      "boom" -> (_ => throw new RuntimeException("nope")),
+      "after" -> (ctx => ctx)
+    ), init, stopOnFailure = true)
+    assert(bad.failed)
+    assert(bad.stages.map(_.status) == Seq("failed", "skipped"))
+
+    val cont = Pipeline.run(Seq(
+      "boom" -> (_ => throw new RuntimeException("nope")),
+      "after" -> (ctx => ctx)
+    ), init, stopOnFailure = false)
+    assert(cont.stages.map(_.status) == Seq("failed", "completed"))
+  }
+
+  test("result store: timestamped save, newest-first load") {
+    val dir = java.nio.file.Files.createTempDirectory("rs").toString
+    ResultStore.save(Seq((1, "old")).toDF("id", "tag"), dir, "baseline", 1000L)
+    ResultStore.save(Seq((2, "new")).toDF("id", "tag"), dir, "baseline", 2000L)
+    ResultStore.save(Seq((9, "other")).toDF("id", "tag"), dir, "results", 1500L)
+    val latest = ResultStore.loadLatest(spark, dir, "baseline").get
+    assert(latest.select("tag").as[String].head() == "new")
+    val recent = ResultStore.loadRecent(spark, dir, "baseline", 10)
+    assert(recent.map(_._1) == Seq(2000L, 1000L))
+    assert(ResultStore.loadLatest(spark, dir, "missing").isEmpty)
+  }
+
+  test("html report renders severity cards and top findings") {
+    val fs = Findings.toDS(spark, Seq(
+      Finding("Trojan found", "", "critical", "malware", "/x/a.exe", "av", "{}"),
+      Finding("Odd listener", "", "medium", "network", "0.0.0.0:4444", "net", "{}"))).toDF()
+    val html = HtmlReport.render(fs, "Daily scan")
+    assert(html.contains("Daily scan"))
+    assert(html.contains("sev-critical") && html.contains("Trojan found"))
+    assert(html.contains("<td>network</td>"))
+  }
+}
