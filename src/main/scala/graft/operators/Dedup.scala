@@ -194,6 +194,49 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Group similarity pairs into duplicate clusters: connected
+    * components by iterative min-label propagation over the pair edges.
+    *
+    * The reference does this greedily with an in-memory `processed` set
+    * (/root/reference/src/media_fingerprinting.py:288-308) — inherently
+    * sequential. Label propagation converges in O(diameter) joins
+    * (near-dup clusters are shallow — a handful of rounds), each round
+    * a pure equi-join + min-aggregate, so it parallelizes at any scale.
+    *
+    * Input: pairs (d1, d2). Output: (doc_id, group_id) where group_id is
+    * the minimum doc id in the component — deterministic.
+    */
+  def groupPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1"), col("d2"))
+      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .cache()
+    var labels = edges.select(col("d1").as("doc_id"))
+      .distinct()
+      .withColumn("group_id", col("doc_id"))
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("doc_id", "d2"), "d2")
+        .select(col("d1").as("doc_id"), col("group_id"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("doc_id")
+        .agg(min("group_id").as("group_id"))
+        .cache()
+      // converged when no label shrank this round
+      val changed = next.join(labels.withColumnRenamed("group_id", "old"), "doc_id")
+        .filter(col("group_id") < col("old"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Keep-first dedup by any key with a deterministic tiebreak — the
     * reference's INSERT OR REPLACE upsert semantics as a window
     * (SURVEY §2.5).

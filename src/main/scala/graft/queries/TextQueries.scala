@@ -182,7 +182,25 @@ object TextQueries {
        |FROM w ORDER BY doc_id""".stripMargin
   }
 
+  /** Multimodal feature-extraction plumbing as a runnable query:
+    * documents' bytes ride the canonical media schema through the
+    * partition-parallel (stubbed) decoder. Rows-only check — the fake
+    * feature fold uses wrapping int64 arithmetic that SQL engines
+    * reject; determinism is pinned by MultimodalSpec instead.
+    */
+  def m02MediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = docs(s, dir).select(
+      col("doc_id").as("media_id"),
+      lit("binary").as("modality"),
+      lit("text/plain").as("mime"),
+      col("text").cast("binary").as("content"))
+    graft.multimodal.Media.extractFeatures(media, dim = 8)
+      .select(col("media_id"), col("n_bytes"), element_at(col("features"), 1).as("f0"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m02_media_features" -> (m02MediaFeatures _),
     "t01_token_counts" -> (t01TokenCounts _),
     "t02_lang_id" -> (t02LangId _),
     "t03_quality" -> (t03Quality _),

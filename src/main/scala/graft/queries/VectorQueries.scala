@@ -81,14 +81,43 @@ object VectorQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs within label blocks — the
+    * embedding leg of the dedup family. Label blocking bounds the pair
+    * space exactly like the (lang, source) blocks in text dedup; the
+    * oracle replays the identical fold arithmetic all-pairs.
+    */
+  def v04EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("d1"), col("b.vec_id").as("d2"), col("a.label").as("label"),
+        Vectors.cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+      .filter(col("sim") >= 0.3)
+      .orderBy("d1", "d2")
+  }
+
+  val v04Oracle: String = {
+    val sim = s"${duckDot("a_emb", "b_emb")} / (${duckNorm("a_emb")} * ${duckNorm("b_emb")})"
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+       |SELECT a.vec_id AS d1, b.vec_id AS d2, a.label AS label, $sim AS sim
+       |FROM (SELECT vec_id, label, embedding AS a_emb FROM e) a
+       |JOIN (SELECT vec_id, label, embedding AS b_emb FROM e) b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE $sim >= 0.3
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_bruteforce" -> (v01KnnBruteForce _),
     "v02_label_stats" -> (v02LabelStats _),
-    "v03_knn_lsh" -> (v03KnnLsh _)
+    "v03_knn_lsh" -> (v03KnnLsh _),
+    "v04_embedding_neardup" -> (v04EmbeddingNeardup _)
   )
 
   val oracles: Map[String, String] = Map(
     "v01_knn_bruteforce" -> v01Oracle,
-    "v02_label_stats" -> v02Oracle
+    "v02_label_stats" -> v02Oracle,
+    "v04_embedding_neardup" -> v04Oracle
   )
 }

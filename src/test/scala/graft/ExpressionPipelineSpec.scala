@@ -45,6 +45,13 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     assert((m("a") intersect m("c")).isEmpty)
   }
 
+  test("groupPairs: connected components labeled by component-min id") {
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L), (9L, 3L)).toDF("d1", "d2")
+    val got = graft.operators.Dedup.groupPairs(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("pipeline: staged context flow, failure handling, stop_on_failure") {
     val init: Pipeline.Context = Map("src" -> Seq((1, "x")).toDF("id", "v"))
     val ok = Pipeline.run(Seq(
