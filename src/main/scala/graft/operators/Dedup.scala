@@ -21,6 +21,22 @@ import graft.functions.{Hashing, Text}
   */
 object Dedup {
 
+  /** (id, [block,] sh) shingle-set frame with the token array
+    * materialized as an attribute between projections — each
+    * non-attribute occurrence of the token expression would otherwise
+    * re-run the regex tokenizer per row (see Text.shinglesOfToks).
+    */
+  private def shingleSets(
+      df: DataFrame, id: Column, text: Column, n: Int,
+      blockCol: Option[Column] = None): DataFrame = {
+    val base = df.select(
+      (Seq(id.as("doc_id")) ++ blockCol.map(_.as("blk")).toSeq :+
+        Text.tokens(Text.normalize(text)).as("__toks")): _*)
+    base
+      .withColumn("sh", array_sort(array_distinct(Text.shinglesOfToks(col("__toks"), n))))
+      .drop("__toks")
+  }
+
   /** Exact dedup by content fingerprint: keep the lowest id per group
     * ("keep oldest" policy, reference templates/duplicate_detection.yaml).
     */
@@ -55,15 +71,11 @@ object Dedup {
       n: Int,
       minJaccard: Double): DataFrame = {
     // Materialize the shingle sets ONCE: the posting-list self-join has
-    // two branches and Spark re-evaluates generator inputs per exploded
-    // row — without the cache the (regex-split → n-gram → distinct)
-    // expression runs ~2·Σ|shingles| times instead of |docs| times.
-    // The cached frame is (id, block, array<string>) — narrow relative
-    // to the corpus; a 100 TB pipeline would persist it to parquet
-    // between stages instead.
-    val docs = df
-      .select(id.as("doc_id"), blockCol.as("blk"), Text.shingleSet(text, n).as("sh"))
-      .cache()
+    // two branches — without the cache the (regex-split → n-gram →
+    // distinct) expression runs per branch. The cached frame is
+    // (id, block, array<string>) — narrow relative to the corpus; a
+    // 100 TB pipeline would persist it to parquet between stages instead.
+    val docs = shingleSets(df, id, text, n, Some(blockCol)).cache()
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
     val ex = docs.select(col("doc_id"), col("blk"), explode(col("sh")).as("shingle"))
     val pairs = ex.as("a")
@@ -90,8 +102,7 @@ object Dedup {
     * partial min-aggregates — one shuffle on the doc id, linear work.
     */
   def minhashSignatures(df: DataFrame, id: Column, text: Column, n: Int, k: Int): DataFrame =
-    minhashSignaturesFromSets(
-      df.select(id.as("doc_id"), Text.shingleSet(text, n).as("sh")), k)
+    minhashSignaturesFromSets(shingleSets(df, id, text, n), k)
 
   /** As [[minhashSignatures]] but over a pre-built (doc_id, sh) frame —
     * lets callers share one materialized shingle-set scan.
@@ -129,7 +140,7 @@ object Dedup {
     // pass; signatures feed two self-join branches. Cache both narrow
     // frames (k longs / one array per doc) — at any scale these are
     // small next to the corpus.
-    val sets = df.select(id.as("doc_id"), Text.shingleSet(text, n).as("sh")).cache()
+    val sets = shingleSets(df, id, text, n).cache()
     val sigs = minhashSignaturesFromSets(sets, k).cache()
     val bands = sigs.select(
       col("doc_id"),
@@ -185,13 +196,20 @@ object Dedup {
     val banded = sh.select(
       col("doc_id"), col("simhash"),
       explode(Hashing.bitBands(col("simhash"), bands)).as("band"))
+    // hamming predicate INSIDE the join: similar corpora cluster in
+    // simhash space, so band buckets collide heavily — filtering to
+    // true near-dups before the distinct keeps the dedup shuffle at
+    // result size instead of candidate size (bit_count on two longs is
+    // virtually free next to shuffling millions of candidate pairs).
     banded.as("a")
-      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .join(
+        banded.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id") &&
+          Hashing.hamming(col("a.simhash"), col("b.simhash")) <= maxDist)
       .select(
         col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         Hashing.hamming(col("a.simhash"), col("b.simhash")).as("dist"))
       .distinct()
-      .filter(col("dist") <= maxDist)
   }
 
   /** Group similarity pairs into duplicate clusters: connected

@@ -87,12 +87,25 @@ object VectorQueries {
     * oracle replays the identical fold arithmetic all-pairs.
     */
   def v04EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id"), col("label"), col("embedding"))
+    // hoist norms to one per row (not one per pair); the division below
+    // keeps the exact op sequence of cosine() so the oracle still
+    // matches bit-for-bit
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", Vectors.norm2(col("embedding")))
+    // join first, score after an explicit repartition: the pair stream
+    // is tiny in bytes but heavy in per-row work (a 64-dim fold each),
+    // and AQE would otherwise coalesce it onto one core
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("d1"), col("b.vec_id").as("d2"), col("a.label").as("label"),
-        Vectors.cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .repartition(32, col("d1")) // explicit count: AQE must not coalesce the compute-heavy stage
+      .select(
+        col("d1"), col("d2"), col("label"),
+        (Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= 0.3)
       .orderBy("d1", "d2")
   }
