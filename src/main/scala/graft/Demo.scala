@@ -33,6 +33,16 @@ object Demo {
     println("[demo] retention rows=" +
       streaming.Streams.retentionByAge(ev, "ts_t", "30 DAYS").count())
 
+    // 3b. migrate a small tree with structure preservation + summary
+    val migSrc = java.nio.file.Files.createTempDirectory("demo-mig").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(migSrc, "sub"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(migSrc, "sub/f.txt"), "payload")
+    val migDst = java.nio.file.Files.createTempDirectory("demo-mig-dst").toString
+    val planned = index.Migration.plan(index.FileIndex.indexMetadata(spark, migSrc), migSrc, migDst)
+    index.Migration.summary(index.Migration.execute(planned)).show(truncate = false)
+    println("[demo] migrated exists=" +
+      java.nio.file.Files.exists(java.nio.file.Paths.get(migDst, "sub/f.txt")))
+
     // 4. findings pipeline: parse an AV log → findings → rollup
     val log = Seq("/x/a.exe: Mal.Ware FOUND", "ok line", "/y/b.dll: Eicar FOUND").toDF("value")
     val findings = parse.Parsers.asFindings(

@@ -67,6 +67,22 @@ object FileIndex {
           regexp_extract(col("file_name"), "\\.([^.]+)$", 1)).otherwise("")))
   }
 
+  /** Extension → MIME type guess (F11,
+    * reference src/file_indexing_system.py:143-145): broadcast map
+    * literal lookup with octet-stream fallback.
+    */
+  val MimeByExt: Map[String, String] = Map(
+    "txt" -> "text/plain", "md" -> "text/markdown", "csv" -> "text/csv",
+    "json" -> "application/json", "xml" -> "application/xml",
+    "html" -> "text/html", "pdf" -> "application/pdf",
+    "png" -> "image/png", "jpg" -> "image/jpeg", "jpeg" -> "image/jpeg",
+    "gif" -> "image/gif", "mp3" -> "audio/mpeg", "wav" -> "audio/wav",
+    "mp4" -> "video/mp4", "zip" -> "application/zip",
+    "parquet" -> "application/vnd.apache.parquet", "log" -> "text/plain")
+
+  def mimeOf(ext: Column): Column =
+    coalesce(element_at(typedlit(MimeByExt), lower(ext)), lit("application/octet-stream"))
+
   /** The reference's conjunctive file filter (P1): size range, extension
     * IN-list, hidden prefix, glob include/exclude — one pushdown-friendly
     * Column.

@@ -99,6 +99,42 @@ class EtlIndexSpec extends SparkSpecBase {
     assert(FileIndex.searchByHash(visible, h).count() == 3)
   }
 
+  test("mime guess by extension with fallback") {
+    val df = Seq("csv", "PNG", "weird").toDF("extension")
+      .select(FileIndex.mimeOf(col("extension")).as("mime"))
+    assert(df.as[String].collect().toSeq ==
+      Seq("text/csv", "image/png", "application/octet-stream"))
+  }
+
+  test("migration: plan preserves structure, execute copies with results, summary rolls up") {
+    val root = tmp("mig-src")
+    val dest = tmp("mig-dst")
+    Files.createDirectories(Paths.get(root, "a/b"))
+    Files.writeString(Paths.get(root, "a/one.txt"), "first file")
+    Files.writeString(Paths.get(root, "a/b/two.txt"), "second")
+    val idx = FileIndex.indexMetadata(spark, root)
+    val planned = graft.index.Migration.plan(idx, root, dest)
+    val dests = planned.select("dest_path").as[String].collect().toSet
+    assert(dests == Set(s"$dest/a/one.txt", s"$dest/a/b/two.txt"))
+
+    val results = graft.index.Migration.execute(planned)
+    assert(results.filter(col("success")).count() == 2)
+    assert(Files.readString(Paths.get(dest, "a/b/two.txt")) == "second")
+
+    val s = graft.index.Migration.summary(results).head()
+    assert(s.getAs[Long]("total_files") == 2 && s.getAs[Long]("succeeded") == 2)
+    assert(s.getAs[Double]("success_rate") == 1.0)
+    assert(s.getAs[Long]("bytes_moved") == "first file".length + "second".length)
+
+    // failure path: missing source file → retries then failure row
+    val bad = planned.limit(1)
+      .withColumn("file_path", lit(s"$root/does-not-exist.txt"))
+      .withColumn("dest_path", lit(s"$dest/nope.txt"))
+    val badRes = graft.index.Migration.execute(bad, maxRetries = 1, baseBackoffMs = 1).head()
+    assert(!badRes.getAs[Boolean]("success") && badRes.getAs[Int]("attempts") == 2)
+    assert(badRes.getAs[String]("error") != null)
+  }
+
   test("metadata-only index prunes content and still lists files") {
     val root = tmp("fmeta")
     Files.writeString(Paths.get(root, "x.bin"), "abc")

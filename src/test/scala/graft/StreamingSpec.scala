@@ -72,6 +72,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(kept.toSeq == Seq(2L, 3L))
   }
 
+  test("file-source streaming ingest: drop directory → windowed stats") {
+    val dir = java.nio.file.Files.createTempDirectory("evdrop")
+    def drop(name: String, lines: String*): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name), lines.mkString("\n"))
+    drop("batch1.json",
+      """{"ts":"2024-01-01 00:00:05","etype":"view","value":1.0}""",
+      """{"ts":"2024-01-01 00:00:20","etype":"view","value":2.0}""")
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, etype STRING, value DOUBLE")
+      .json(dir.toString)
+    val q = Streams.windowedStats(stream, "ts", "etype", "value", "1 minute", "10 minutes")
+      .writeStream.format("memory").queryName("filewin").outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // second file arrives later; far-future event closes the window
+      drop("batch2.json", """{"ts":"2024-01-01 02:00:00","etype":"view","value":9.0}""")
+      q.processAllAvailable()
+      val rows = spark.table("filewin").select("n", "sum_value")
+        .as[(Long, Double)].collect().toSet
+      assert(rows.contains((2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("sessionize splits on inactivity gaps with stateful processing") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Sessionize.Ev]
