@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Per-group top-K as a typed Aggregator (SURVEY §2.10 X5 — the one
+  * aggregation shape Spark lacks natively).
+  *
+  * `row_number().over(Window.partitionBy(g).orderBy(m))` materializes
+  * and sorts EVERY row of every group; this Aggregator keeps a k-element
+  * buffer per group on the map side, so the shuffle carries at most
+  * k rows per (partition, group) — the difference between sorting 100 TB
+  * and sorting k×groups rows. Deterministic: (metric desc, id asc).
+  */
+object TopK {
+
+  case class MetricId(metric: Long, id: Long)
+
+  class TopKLongs(k: Int) extends Aggregator[MetricId, Seq[MetricId], Seq[MetricId]] {
+    private def beats(a: MetricId, b: MetricId): Boolean =
+      a.metric > b.metric || (a.metric == b.metric && a.id < b.id)
+    private def trim(s: Seq[MetricId]): Seq[MetricId] = s.sortWith(beats).take(k)
+
+    override def zero: Seq[MetricId] = Seq.empty
+    override def reduce(buf: Seq[MetricId], in: MetricId): Seq[MetricId] = trim(buf :+ in)
+    override def merge(a: Seq[MetricId], b: Seq[MetricId]): Seq[MetricId] = trim(a ++ b)
+    override def finish(buf: Seq[MetricId]): Seq[MetricId] = buf.sortWith(beats)
+    override def bufferEncoder: Encoder[Seq[MetricId]] = ExpressionEncoder[Seq[MetricId]]()
+    override def outputEncoder: Encoder[Seq[MetricId]] = ExpressionEncoder[Seq[MetricId]]()
+  }
+
+  /** Column form: `topK(3)(metricCol, idCol)` inside an agg. */
+  def topK(k: Int)(metric: Column, id: Column): Column =
+    udaf(new TopKLongs(k), ExpressionEncoder[MetricId]()).apply(metric, id)
+
+  /** Exploded convenience: top-k rows per group with 1-based rank. */
+  def perGroup(df: DataFrame, groupCols: Seq[String], metric: Column, id: Column, k: Int): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(topK(k)(metric, id).as("top"))
+      .select(
+        (groupCols.map(col) :+ posexplode(col("top")).as(Seq("pos", "entry"))): _*)
+      .select(
+        (groupCols.map(col) :+
+          (col("pos") + 1).cast("int").as("rank") :+
+          col("entry.metric").as("metric") :+
+          col("entry.id").as("id")): _*)
+}

@@ -313,7 +313,34 @@ object RelationalQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Top-3 orders per priority via the custom per-group top-K
+    * Aggregator (map-side k-row buffers — no per-group full sort). The
+    * oracle is the window-function formulation: same result, so this
+    * differentially proves the Aggregator against row_number().
+    */
+  def q19TopPerPriority(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TopK.perGroup(
+      t(s, dir, "orders"),
+      Seq("o_orderpriority"),
+      Money.cents(col("o_totalprice")),
+      col("o_orderkey"),
+      k = 3)
+      .withColumnRenamed("metric", "price_cents")
+      .withColumnRenamed("id", "o_orderkey")
+      .orderBy("o_orderpriority", "rank")
+
+  val q19Oracle: String =
+    """SELECT o_orderpriority,
+      |  CAST(row_number() OVER w AS INT) AS rank,
+      |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
+      |  o_orderkey
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC, o_orderkey)
+      |QUALIFY row_number() OVER w <= 3
+      |ORDER BY o_orderpriority, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_top_per_priority" -> (q19TopPerPriority _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_revenue_by_nation" -> (q02RevenueByNation _),
     "q03_top_orders" -> (q03TopOrders _),
@@ -333,6 +360,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q19_top_per_priority" -> q19Oracle,
     "q01_pricing_summary" -> q01Oracle,
     "q02_revenue_by_nation" -> q02Oracle,
     "q03_top_orders" -> q03Oracle,

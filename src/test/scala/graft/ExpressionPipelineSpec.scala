@@ -45,6 +45,17 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     assert((m("a") intersect m("c")).isEmpty)
   }
 
+  test("TopK aggregator: per-group top-k with deterministic tiebreaks") {
+    val df = Seq(
+      ("a", 10L, 1L), ("a", 30L, 2L), ("a", 20L, 3L), ("a", 30L, 4L),
+      ("b", 5L, 9L)).toDF("g", "m", "id")
+    val got = graft.operators.TopK.perGroup(df, Seq("g"), col("m"), col("id"), 2)
+      .select("g", "rank", "metric", "id")
+      .as[(String, Int, Long, Long)].collect().toSet
+    // ties on metric resolve to the smaller id
+    assert(got == Set(("a", 1, 30L, 2L), ("a", 2, 30L, 4L), ("b", 1, 5L, 9L)))
+  }
+
   test("groupPairs: connected components labeled by component-min id") {
     val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L), (9L, 3L)).toDF("d1", "d2")
     val got = graft.operators.Dedup.groupPairs(pairs)
