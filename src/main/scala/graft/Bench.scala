@@ -8,9 +8,13 @@ object Bench {
     // Warm EVERY query once at the smallest SF: first execution pays
     // Catalyst analysis + Janino codegen compilation (hundreds of ms to
     // seconds per query) — that cost is per-plan-shape, not per-data,
-    // and must not pollute the measured numbers.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
+    // and must not pollute the measured numbers. Fall back to the
+    // measured dir if the small SF isn't present on this machine.
+    val warmDir0 = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    val warmDir = if (new java.io.File(warmDir0).isDirectory) warmDir0 else sfDir
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, warmDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
     }
     spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

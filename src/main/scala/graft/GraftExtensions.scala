@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[RollingHash].getName, null, "rolling_hash",
         "rolling_hash(str) - polynomial rolling hash of str's code points (base 31, mod 2^31-1)",
         ""),
-      (children: Seq[Expression]) => RollingHash(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"rolling_hash expects exactly 1 argument, got ${children.size}")
+        RollingHash(children.head)
+      }))
   }
 }

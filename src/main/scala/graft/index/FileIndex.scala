@@ -134,13 +134,17 @@ object FileIndex {
       countDistinct(col("extension")).as("distinct_extensions"))
 
   /** INSERT OR REPLACE semantics (S9): union then keep the newest row
-    * per path.
+    * per path; on equal modified_time the INCOMING row wins (content can
+    * change with a preserved mtime — cp -p, coarse fs timestamps — and
+    * REPLACE semantics require the new row, deterministically).
     */
   def upsert(existing: DataFrame, incoming: DataFrame): DataFrame =
     graft.operators.Dedup.keepFirst(
-      existing.unionByName(incoming, allowMissingColumns = true),
+      existing.withColumn("__src", lit(1))
+        .unionByName(incoming.withColumn("__src", lit(0)), allowMissingColumns = true),
       Seq("file_path"),
-      Seq(col("modified_time").desc))
+      Seq(col("modified_time").desc, col("__src").asc))
+      .drop("__src")
 
   /** Search by name substring / hash / size (P2), ordered like the
     * reference's queries.

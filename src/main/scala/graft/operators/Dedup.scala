@@ -238,11 +238,20 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("doc_id", "d2"), "d2")
         .select(col("d1").as("doc_id"), col("group_id"))
-      val next = labels.unionByName(viaNeighbor)
+      val propagated = labels.unionByName(viaNeighbor)
         .groupBy("doc_id")
         .agg(min("group_id").as("group_id"))
+      // pointer jumping: follow each label to ITS label — combined with
+      // the neighbor step this roughly halves remaining depth per round,
+      // so convergence is O(log diameter), not O(diameter)
+      val next = propagated.as("l")
+        .join(
+          propagated.select(col("doc_id").as("gid"), col("group_id").as("ggid")).as("p"),
+          col("l.group_id") === col("p.gid"), "left")
+        .select(
+          col("l.doc_id").as("doc_id"),
+          least(col("l.group_id"), coalesce(col("ggid"), col("l.group_id"))).as("group_id"))
         .cache()
-      // converged when no label shrank this round
       val changed = next.join(labels.withColumnRenamed("group_id", "old"), "doc_id")
         .filter(col("group_id") < col("old"))
         .limit(1).count() > 0
@@ -252,6 +261,10 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      // never return silently-wrong components
+      throw new IllegalStateException(
+        s"groupPairs did not converge in $maxIters rounds (component diameter > 2^$maxIters?)")
     labels
   }
 

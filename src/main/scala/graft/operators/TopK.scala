@@ -21,11 +21,26 @@ object TopK {
   class TopKLongs(k: Int) extends Aggregator[MetricId, Seq[MetricId], Seq[MetricId]] {
     private def beats(a: MetricId, b: MetricId): Boolean =
       a.metric > b.metric || (a.metric == b.metric && a.id < b.id)
-    private def trim(s: Seq[MetricId]): Seq[MetricId] = s.sortWith(beats).take(k)
 
     override def zero: Seq[MetricId] = Seq.empty
-    override def reduce(buf: Seq[MetricId], in: MetricId): Seq[MetricId] = trim(buf :+ in)
-    override def merge(a: Seq[MetricId], b: Seq[MetricId]): Seq[MetricId] = trim(a ++ b)
+
+    /** Hot path — once per input row. O(1) append while under capacity;
+      * at capacity an O(k) scan for the current worst, replaced only when
+      * beaten (no per-row sort: that would be O(k log k) per row, which
+      * defeats the whole point at corpus scale).
+      */
+    override def reduce(buf: Seq[MetricId], in: MetricId): Seq[MetricId] =
+      if (buf.size < k) buf :+ in
+      else {
+        var worstIdx = 0
+        var i = 1
+        while (i < buf.size) { if (beats(buf(worstIdx), buf(i))) worstIdx = i; i += 1 }
+        if (beats(in, buf(worstIdx))) buf.updated(worstIdx, in) else buf
+      }
+
+    override def merge(a: Seq[MetricId], b: Seq[MetricId]): Seq[MetricId] =
+      (a ++ b).sortWith(beats).take(k) // rare (once per partition-group)
+
     override def finish(buf: Seq[MetricId]): Seq[MetricId] = buf.sortWith(beats)
     override def bufferEncoder: Encoder[Seq[MetricId]] = ExpressionEncoder[Seq[MetricId]]()
     override def outputEncoder: Encoder[Seq[MetricId]] = ExpressionEncoder[Seq[MetricId]]()

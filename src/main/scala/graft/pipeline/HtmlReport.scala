@@ -12,7 +12,11 @@ import graft.analyze.Findings
 object HtmlReport {
 
   private def esc(s: String): String =
-    Option(s).getOrElse("").replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    Option(s).getOrElse("")
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      // values land in attribute context too (class="sev-..."): quotes
+      // must not break out of the attribute
+      .replace("\"", "&quot;").replace("'", "&#39;")
 
   def render(findings: DataFrame, title: String, topN: Int = 100): String = {
     val sevCounts = Findings.severityCounts(findings).collect()

@@ -23,12 +23,15 @@ object ResultStore {
   def list(dir: String, prefix: String): Seq[String] = {
     val base = Paths.get(dir)
     if (!Files.isDirectory(base)) return Nil
-    val it = Files.list(base).iterator()
+    val stream = Files.list(base)
     val out = scala.collection.mutable.ArrayBuffer.empty[Path]
-    while (it.hasNext) {
-      val p = it.next()
-      if (p.getFileName.toString.startsWith(s"${prefix}_")) out += p
-    }
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith(s"${prefix}_")) out += p
+      }
+    } finally stream.close() // directory fd leaks otherwise
     out.sortBy(p => -p.getFileName.toString.stripPrefix(s"${prefix}_").toLongOption.getOrElse(0L))
       .map(_.toString).toSeq
   }

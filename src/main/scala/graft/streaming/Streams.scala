@@ -57,9 +57,12 @@ object Streams {
 
   /** Exactly-once-per-id duplicate suppression within the watermark
     * horizon (ST7; reference has no dedup — in-order in-memory lists).
+    * Uses dropDuplicatesWithinWatermark: plain dropDuplicates(id) would
+    * keep one state entry per id FOREVER (the watermark only evicts
+    * dedup state when the event-time column is part of the key).
     */
   def dedupEvents(df: DataFrame, tsCol: String, idCol: String, watermark: String = "10 minutes"): DataFrame =
-    df.withWatermark(tsCol, watermark).dropDuplicates(Seq(idCol))
+    df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(Seq(idCol))
 
   /** Batch form of "keep the last N" retention (ST2/T5). True streaming
     * retention is time-based ([[retentionByAge]]) — a global total-order

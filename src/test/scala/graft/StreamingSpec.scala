@@ -95,22 +95,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
-  test("sessionize splits on inactivity gaps with stateful processing") {
+  test("sessionize: inline close on post-gap event AND timeout close for silent users") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Sessionize.Ev]
-    val q = Sessionize.sessions(in.toDS(), gapMs = 60000)
+    val q = Sessionize.sessions(in.toDS(), gapMs = 60000, watermarkDelay = "0 seconds")
       .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append()).start()
     try {
       in.addData(
         Sessionize.Ev(7, ts("2024-01-01 00:00:00"), "view", 1.0),
         Sessionize.Ev(7, ts("2024-01-01 00:00:30"), "click", 2.0))
       q.processAllAvailable()
-      // a later batch far past the gap closes the first session
+      // user 7's next event is past the gap → closes session 1 inline
       in.addData(Sessionize.Ev(7, ts("2024-01-01 00:10:00"), "view", 5.0))
       q.processAllAvailable()
+      // user 7 then goes silent forever; user 8 advances the watermark
+      // past 7's deadline, so 7's second session must close via TIMEOUT
+      in.addData(Sessionize.Ev(8, ts("2024-01-01 03:00:00"), "view", 7.0))
+      q.processAllAvailable()
+      in.addData(Sessionize.Ev(8, ts("2024-01-01 03:00:01"), "view", 1.0))
+      q.processAllAvailable()
       val rows = spark.table("sessions")
-        .select("userId", "nEvents", "sumValue").as[(Long, Int, Double)].collect()
-      assert(rows.toSeq == Seq((7L, 2, 3.0)))
+        .select("userId", "nEvents", "sumValue").as[(Long, Int, Double)].collect().toSet
+      assert(rows.contains((7L, 2, 3.0)), s"inline-closed session missing: $rows")
+      assert(rows.contains((7L, 1, 5.0)), s"timeout-closed session missing: $rows")
     } finally q.stop()
   }
 }
