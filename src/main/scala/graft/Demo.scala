@@ -24,6 +24,9 @@ object Demo {
     val back = etl.Formats.read(spark, s"$tmp/t.csv")
     val piped = etl.Transforms.pipe(back, Seq("cat"))
     println(s"[demo] csv roundtrip rows=${back.count()} piped rows=${piped.count()}")
+    etl.Formats.write(df, s"$tmp/report.xlsx")
+    val xlsxBack = etl.Formats.read(spark, s"$tmp/report.xlsx")
+    println(s"[demo] xlsx roundtrip rows=${xlsxBack.count()} cols=${xlsxBack.columns.mkString(",")}")
 
     // 3. event analytics over testdata through the streaming module's batch twins
     val ev = Tables.t(spark, "/root/testdata/sf0.001", "events")

@@ -52,10 +52,9 @@ object Formats {
       case Parquet => r.parquet(path)
       case Text => r.text(path)
       case Excel =>
-        // Hard gap in the zero-egress jar set (no POI/spark-excel); the
-        // reference reads XLSX via pandas. Documented: convert to CSV.
-        throw new UnsupportedOperationException(
-          "XLSX is not supported in this build (no POI jars); convert to CSV/Parquet first")
+        // dependency-free StAX-based reader (see graft.etl.Xlsx) —
+        // driver-side parse of the non-splittable zip, distributed frame out
+        Xlsx.read(spark, path, header = options.getOrElse("header", "true").toBoolean)
     }
   }
 
@@ -74,8 +73,7 @@ object Formats {
       case Parquet => w.parquet(path)
       case Text => w.text(path)
       case Excel =>
-        throw new UnsupportedOperationException(
-          "XLSX is not supported in this build (no POI jars); write CSV/Parquet instead")
+        Xlsx.write(df, path, header = options.getOrElse("header", "true").toBoolean)
     }
   }
 }

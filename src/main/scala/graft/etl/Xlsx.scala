@@ -1,0 +1,204 @@
+package graft.etl
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal XLSX source/sink with zero external dependencies (SURVEY §2.1
+  * S5/S6 — the reference reads/writes Excel via pandas; the offline jar
+  * set has no POI, but XLSX is a zip of XML and the JDK ships both zip
+  * and StAX).
+  *
+  * Scope matches the reference's actual use (report-sized spreadsheets):
+  * the file format itself is a single non-splittable zip, so parse/build
+  * run driver-side; the parsed rows immediately become a distributed
+  * DataFrame. Supported: first worksheet, shared + inline strings,
+  * numbers. All columns surface as strings (cast downstream), mirroring
+  * schema-on-read CSV.
+  */
+object Xlsx {
+
+  // --------------------------------------------------------------- read
+
+  def read(spark: SparkSession, path: String, header: Boolean = true): DataFrame = {
+    val zip = new ZipFile(path.stripPrefix("file:"))
+    try {
+      val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
+        .map(e => parseSharedStrings(zip.getInputStream(e)))
+        .getOrElse(IndexedSeq.empty)
+      val sheetEntry = Option(zip.getEntry("xl/worksheets/sheet1.xml"))
+        .getOrElse(throw new IllegalArgumentException(s"$path: no xl/worksheets/sheet1.xml"))
+      val rows = parseSheet(zip.getInputStream(sheetEntry), shared)
+      val width = if (rows.isEmpty) 0 else rows.map(_.length).max
+      val padded = rows.map(r => r.padTo(width, null: String))
+      val (names, data) =
+        if (header && padded.nonEmpty)
+          (padded.head.zipWithIndex.map { case (n, i) => Option(n).getOrElse(s"_c$i") }, padded.tail)
+        else ((0 until width).map(i => s"_c$i").toArray, padded)
+      val schema = StructType(names.map(n => StructField(n, StringType, nullable = true)).toSeq)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(data.map(a => Row.fromSeq(a.toSeq)).toSeq),
+        schema)
+    } finally zip.close()
+  }
+
+  private def parseSharedStrings(in: java.io.InputStream): IndexedSeq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val r = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    var cur: StringBuilder = null
+    var inT = false
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => cur = new StringBuilder
+            case "t" => inT = true
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS if inT && cur != null =>
+          cur.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "t" => inT = false
+            case "si" => out += cur.toString; cur = null
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    out.toIndexedSeq
+  }
+
+  /** Column letters of an A1-style ref → 0-based index. */
+  private[etl] def colIndex(ref: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i) - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+
+  private def parseSheet(in: java.io.InputStream, shared: IndexedSeq[String]): ArrayBuffer[Array[String]] = {
+    val rows = ArrayBuffer.empty[Array[String]]
+    val r = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    var row: ArrayBuffer[(Int, String)] = null
+    var cellType = ""
+    var cellCol = -1
+    var inV = false
+    var buf: StringBuilder = null
+    var nextCol = 0
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" => row = ArrayBuffer.empty; nextCol = 0
+            case "c" =>
+              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+              cellCol = Option(r.getAttributeValue(null, "r")).map(colIndex).getOrElse(nextCol)
+            case "v" | "t" => inV = true; buf = new StringBuilder
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS if inV => buf.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "v" | "t" =>
+              if (inV && row != null && cellCol >= 0) {
+                val raw = buf.toString
+                val v = cellType match {
+                  case "s" => shared.lift(raw.trim.toInt).orNull
+                  case _ => raw
+                }
+                // inlineStr nests <is><t>; only record once per cell
+                if (!row.exists(_._1 == cellCol)) row += (cellCol -> v)
+              }
+              inV = false
+            case "c" => nextCol = cellCol + 1; cellCol = -1
+            case "row" =>
+              if (row.nonEmpty) {
+                val width = row.map(_._1).max + 1
+                val arr = new Array[String](width)
+                row.foreach { case (i, v) => arr(i) = v }
+                rows += arr
+              } else rows += Array.empty[String]
+              row = null
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    rows
+  }
+
+  // -------------------------------------------------------------- write
+
+  private def escXml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  /** Write a report-sized DataFrame as one .xlsx (inline strings; all
+    * values rendered with Spark's string representation). Driver-side by
+    * nature of the format — `maxRows` guards against misuse on big data.
+    */
+  def write(df: DataFrame, path: String, header: Boolean = true, maxRows: Int = 1000000): Unit = {
+    val names = df.columns
+    val collected = df.limit(maxRows + 1).collect()
+    require(collected.length <= maxRows, s"xlsx sink is for report-sized data (> $maxRows rows)")
+    val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path.stripPrefix("file:"))))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    def rowXml(idx: Int, values: Seq[String]): String =
+      s"""<row r="$idx">""" + values.map {
+        case null => "<c/>"
+        case v => s"""<c t="inlineStr"><is><t>${escXml(v)}</t></is></c>"""
+      }.mkString + "</row>"
+    try {
+      entry("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+          |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+          |<Default Extension="xml" ContentType="application/xml"/>
+          |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+          |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+          |</Types>""".stripMargin)
+      entry("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+          |</Relationships>""".stripMargin)
+      entry("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+          |</workbook>""".stripMargin)
+      entry("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin)
+      val sb = new StringBuilder
+      sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      var r = 1
+      if (header) { sb.append(rowXml(r, names.toSeq)); r += 1 }
+      collected.foreach { row =>
+        sb.append(rowXml(r, names.indices.map(i => if (row.isNullAt(i)) null else String.valueOf(row.get(i)))))
+        r += 1
+      }
+      sb.append("</sheetData></worksheet>")
+      entry("xl/worksheets/sheet1.xml", sb.toString)
+    } finally zos.close()
+  }
+}

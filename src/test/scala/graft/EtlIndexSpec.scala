@@ -35,10 +35,35 @@ class EtlIndexSpec extends SparkSpecBase {
     assert(back.select("id", "name").as[(Long, String)].collect().toSet == Set((1L, "x"), (2L, "y")))
   }
 
-  test("xlsx is a documented unsupported gap") {
-    intercept[UnsupportedOperationException] {
-      Formats.read(spark, "/tmp/x.xlsx")
-    }
+  test("xlsx round-trip via the dependency-free reader/writer") {
+    val df = Seq((1L, "alpha", 1.5), (2L, "be<ta>&\"quoted\"", 2.0)).toDF("id", "name", "v")
+    val path = tmp("xlsx") + "/report.xlsx"
+    Formats.write(df, path)
+    val back = Formats.read(spark, path)
+    assert(back.columns.toSeq == Seq("id", "name", "v"))
+    val rows = back.orderBy("id").collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(("1", "alpha", "1.5"), ("2", "be<ta>&\"quoted\"", "2.0")))
+  }
+
+  test("xlsx shared-strings and sparse numeric cells") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = tmp("xlsx-ss")
+    val path = s"$dir/fixture.xlsx"
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def e(n: String, c: String): Unit = { zos.putNextEntry(new ZipEntry(n)); zos.write(c.getBytes("UTF-8")); zos.closeEntry() }
+    e("xl/sharedStrings.xml",
+      """<sst><si><t>name</t></si><si><t>score</t></si><si><t>bob</t></si></sst>""")
+    e("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>42</v></c></row>
+        |<row r="3"><c r="B3"><v>7.5</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val back = graft.etl.Xlsx.read(spark, path)
+    assert(back.columns.toSeq == Seq("name", "score"))
+    val rows = back.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("bob", "42"), (null, "7.5")))
   }
 
   test("registered native transforms apply by name") {
