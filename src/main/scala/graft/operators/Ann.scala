@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -30,6 +32,49 @@ object Ann {
     val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("b_id"))
     scored
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "b_id", "rank", "sim")
+  }
+
+  /** IVF (inverted-file) approximate KNN: a KMeans coarse quantizer
+    * partitions the base vectors into `nlist` cells; each query probes
+    * its `nprobe` nearest cells and ranks only those candidates.
+    *
+    * This is the standard scale path for ANN over ~10^9+ vectors: the
+    * cell assignment is a narrow column, the candidate join is an
+    * equi-join on cell id (shuffle ∝ candidates, not corpus), and the
+    * centroid model is broadcast-sized. Deterministic via a fixed seed.
+    */
+  def knnIvf(
+      base: DataFrame, baseId: Column, baseVec: Column,
+      queries: DataFrame, qId: Column, qVec: Column,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    val b = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
+      .withColumn("feat", array_to_vector(col("b_emb").cast("array<double>")))
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("feat").setPredictionCol("cell")
+    val model = km.fit(b.select("feat"))
+    val assigned = model.transform(b).select(col("b_id"), col("b_emb"), col("cell"))
+
+    // nprobe nearest cells per query: centroids are tiny → literal frame
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }.toSeq
+    val spark = base.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("cell", "centroid")
+    val q = queries.select(qId.as("q_id"), qVec.as("q_emb"))
+    val wCell = Window.partitionBy("q_id").orderBy(desc("csim"), asc("cell"))
+    val probed = q.crossJoin(broadcast(centDf))
+      .withColumn("csim", Vectors.cosine(col("q_emb"), col("centroid")))
+      .withColumn("crank", row_number().over(wCell))
+      .filter(col("crank") <= nprobe)
+      .select("q_id", "q_emb", "cell")
+
+    val wTop = Window.partitionBy("q_id").orderBy(desc("sim"), asc("b_id"))
+    assigned.join(probed, "cell")
+      .withColumn("sim", Vectors.cosine(col("b_emb"), col("q_emb")))
+      .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select("q_id", "b_id", "rank", "sim")
   }

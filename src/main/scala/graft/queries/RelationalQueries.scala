@@ -339,8 +339,34 @@ object RelationalQueries {
       |QUALIFY row_number() OVER w <= 3
       |ORDER BY o_orderpriority, rank""".stripMargin
 
+  /** Status metrics with exact average duration (SURVEY §2.4 A4 — the
+    * reference's job counts-by-status + avg completed duration). Sum of
+    * integer day-diffs keeps the average deterministic (single division).
+    */
+  def q20StatusMetrics(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("days", datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lineitems"),
+        sum(col("days")).as("sum_days"),
+        (sum(col("days")).cast("double") / count(lit(1))).as("avg_days"))
+      .orderBy("o_orderstatus")
+
+  val q20Oracle: String =
+    """SELECT o_orderstatus,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders,
+      |  COUNT(*) AS n_lineitems,
+      |  CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS sum_days,
+      |  CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE) / COUNT(*) AS avg_days
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_top_per_priority" -> (q19TopPerPriority _),
+    "q20_status_metrics" -> (q20StatusMetrics _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_revenue_by_nation" -> (q02RevenueByNation _),
     "q03_top_orders" -> (q03TopOrders _),
@@ -361,6 +387,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q19_top_per_priority" -> q19Oracle,
+    "q20_status_metrics" -> q20Oracle,
     "q01_pricing_summary" -> q01Oracle,
     "q02_revenue_by_nation" -> q02Oracle,
     "q03_top_orders" -> q03Oracle,

@@ -121,11 +121,24 @@ object VectorQueries {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** IVF approximate KNN (rows-only: KMeans cells are engine-specific;
+    * recall vs brute force is measured in ScalaTest).
+    */
+  def v05KnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Ann.knnIvf(
+      e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 5, nlist = 8, nprobe = 3)
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_bruteforce" -> (v01KnnBruteForce _),
     "v02_label_stats" -> (v02LabelStats _),
     "v03_knn_lsh" -> (v03KnnLsh _),
-    "v04_embedding_neardup" -> (v04EmbeddingNeardup _)
+    "v04_embedding_neardup" -> (v04EmbeddingNeardup _),
+    "v05_knn_ivf" -> (v05KnnIvf _)
   )
 
   val oracles: Map[String, String] = Map(

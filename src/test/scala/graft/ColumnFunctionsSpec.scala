@@ -104,6 +104,37 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(got(1) == 0.0)
   }
 
+  test("IVF ANN: high recall on clustered data (where its contract applies)") {
+    // 8 tight clusters in 16-dim space; on near-uniform data cell probing
+    // cannot beat nprobe/nlist, so the property test needs real structure
+    val dim = 16
+    def vec(cluster: Int, j: Int): Array[Float] = {
+      val a = new Array[Float](dim)
+      a(cluster * 2) = 1.0f
+      a(cluster * 2 + 1) = 0.5f
+      a((cluster + j) % dim) = a((cluster + j) % dim) + 0.05f * ((j % 5) + 1)
+      a
+    }
+    val rows = for (c <- 0 until 8; j <- 0 until 25) yield (c.toLong * 100 + j, vec(c, j))
+    val df = rows.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") % 100 >= 5)
+    val qs = df.filter(col("vec_id") % 100 < 5)
+    def topSets(d: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      d.select("q_id", "b_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(graft.operators.Ann.knnBruteForce(
+      base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"), 5))
+    val ivf = topSets(graft.operators.Ann.knnIvf(
+      base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
+      k = 5, nlist = 8, nprobe = 2))
+    // .toSeq matters: mapping over the key *Set* would dedupe equal
+    // per-query recalls before summing
+    val recall = exact.keys.toSeq.map { q =>
+      (ivf.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / 5
+    }.sum / exact.size
+    assert(recall >= 0.9, s"IVF recall too low on clustered data: $recall")
+  }
+
   test("Ranks.severityRank orders critical→info") {
     val df = Seq("info", "critical", "HIGH", "weird", "medium", "low").toDF("s")
       .select(Ranks.severityRank(col("s")).as("r"))
