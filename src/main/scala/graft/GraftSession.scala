@@ -30,6 +30,7 @@ object GraftSession {
       // vectorized reader rejects; read it as long nanoseconds instead.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

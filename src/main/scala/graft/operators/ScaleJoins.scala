@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join strategies for the shapes AQE can't fix alone (SURVEY §2.3 at
+  * 100 TB; SCALE.md "Partitioning & shuffle").
+  *
+  * - Salting: a hot key floods one reducer in a shuffle join. Salting
+  *   splits each fact key into `buckets` synthetic sub-keys and
+  *   replicates the matching dim rows across all sub-keys — the hot key
+  *   spreads over `buckets` tasks at the cost of a `buckets`× dim
+  *   replication (dim side must be the small one, but too big / too
+  *   dynamic to broadcast outright).
+  * - Bucketing: pre-shuffling both tables into the same bucket layout at
+  *   write time makes every subsequent equi-join on the bucket key
+  *   exchange-free — the write-once/join-many trade.
+  */
+object ScaleJoins {
+
+  /** Skew-resistant equi-join. `saltBy` must distribute rows of the SAME
+    * key across salts (any per-row column works — an id, a timestamp);
+    * determinism matters for retries, so no rand().
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltBy: Column,
+      buckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    val salted = fact.withColumn("__salt", pmod(hash(saltBy), lit(buckets)))
+    val replicated = dim.withColumn("__salt", explode(array((0 until buckets).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Write a table bucketed+sorted by `key` — subsequent equi-joins
+    * between tables sharing this layout plan without an Exchange.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+}

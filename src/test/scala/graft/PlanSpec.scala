@@ -65,6 +65,45 @@ class PlanSpec extends SparkSpecBase {
       s"expression fell out of codegen:\n$p")
   }
 
+  test("salted join: same results as plain join, hot key spread over salts") {
+    import spark.implicits._
+    // 90%-hot fact key + a dim too awkward to broadcast (conceptually)
+    val fact = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i.toLong)).toDF("key", "row_id")
+    val dim = Seq(("hot", "H"), ("k950", "A"), ("k999", "B")).toDF("key", "payload")
+    val plain = fact.join(dim, Seq("key")).select("key", "row_id", "payload")
+    val salted = graft.operators.ScaleJoins
+      .saltedJoin(fact, dim, "key", col("row_id"), buckets = 8)
+      .select("key", "row_id", "payload")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    // the hot key's fact rows really do land in multiple salt buckets
+    val spread = fact.filter($"key" === "hot")
+      .select(pmod(hash(col("row_id")), lit(8)).as("s")).distinct().count()
+    assert(spread > 4, s"salting spread only $spread buckets")
+  }
+
+  test("bucketed tables join without an exchange") {
+    import graft.operators.ScaleJoins
+    val left = Tables.t(spark, sfDir, "orders")
+    val right = Tables.t(spark, sfDir, "customer")
+    ScaleJoins.writeBucketed(left.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "b_orders", "o_custkey", 8)
+    ScaleJoins.writeBucketed(right.select("c_custkey", "c_name"), "b_customer", "c_custkey", 8)
+    // force a sort-merge join (tiny test tables would broadcast and make
+    // the no-exchange assertion vacuous)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$p")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 }
