@@ -22,12 +22,15 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val dts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // no cross-query cache memory creep
-        dt
+        (ok, dt)
       }
-      name -> dts.min
+      // a failing query must not report its time-to-exception as a score
+      val good = dts.filter(_._1).map(_._2)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

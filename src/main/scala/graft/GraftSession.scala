@@ -30,7 +30,10 @@ object GraftSession {
       // vectorized reader rejects; read it as long nanoseconds instead.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
-      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      // per-process warehouse: concurrent runs must not clobber each
+      // other's saveAsTable data
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -58,7 +58,7 @@ object Scratch {
     exact.toSeq.sortBy(_._1).take(6).foreach { case (qid, ex) =>
       println(s"== q$qid exact=$ex ivf=${ivf.getOrElse(qid, Set.empty)}")
     }
-    val recall = exact.keys.map { q =>
+    val recall = exact.keys.toSeq.map { q =>
       (ivf.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / 5
     }.sum / exact.size
     println(s"== recall=$recall")

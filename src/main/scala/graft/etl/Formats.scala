@@ -28,7 +28,9 @@ object Formats {
       case "xml" => Xml
       case "parquet" | "pq" => Parquet
       case "txt" | "log" => Text
-      case "xlsx" | "xls" => Excel
+      case "xlsx" => Excel
+      case "xls" => throw new UnsupportedOperationException(
+        "legacy .xls (OLE2 binary) is not supported; convert to .xlsx or CSV")
       case other => throw new IllegalArgumentException(s"Unsupported format: .$other")
     }
   }
@@ -73,7 +75,17 @@ object Formats {
       case Parquet => w.parquet(path)
       case Text => w.text(path)
       case Excel =>
-        Xlsx.write(df, path, header = options.getOrElse("header", "true").toBoolean)
+        // honor SaveMode like the Spark sinks do
+        val f = new java.io.File(path.stripPrefix("file:"))
+        mode match {
+          case SaveMode.ErrorIfExists if f.exists() =>
+            throw new IllegalStateException(s"path already exists: $path")
+          case SaveMode.Ignore if f.exists() => ()
+          case SaveMode.Append =>
+            throw new UnsupportedOperationException("append is not supported for xlsx")
+          case _ =>
+            Xlsx.write(df, path, header = options.getOrElse("header", "true").toBoolean)
+        }
     }
   }
 }

@@ -32,8 +32,24 @@ object Xlsx {
       val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
         .map(e => parseSharedStrings(zip.getInputStream(e)))
         .getOrElse(IndexedSeq.empty)
-      val sheetEntry = Option(zip.getEntry("xl/worksheets/sheet1.xml"))
-        .getOrElse(throw new IllegalArgumentException(s"$path: no xl/worksheets/sheet1.xml"))
+      // sheet part names are never renumbered when sheets are deleted, so
+      // sheet1.xml may not exist in a valid workbook — take the
+      // lowest-numbered sheet part present
+      val sheetRe = "xl/worksheets/sheet(\\d+)\\.xml".r
+      val sheetNames = {
+        val en = zip.entries()
+        val found = ArrayBuffer.empty[(Int, String)]
+        while (en.hasMoreElements) {
+          val n = en.nextElement().getName
+          n match {
+            case sheetRe(num) => found += ((num.toInt, n))
+            case _ =>
+          }
+        }
+        found.sortBy(_._1).map(_._2)
+      }
+      val sheetEntry = sheetNames.headOption.map(zip.getEntry)
+        .getOrElse(throw new IllegalArgumentException(s"$path: no xl/worksheets/sheetN.xml part"))
       val rows = parseSheet(zip.getInputStream(sheetEntry), shared)
       val width = if (rows.isEmpty) 0 else rows.map(_.length).max
       val padded = rows.map(r => r.padTo(width, null: String))
@@ -117,8 +133,13 @@ object Xlsx {
                   case "s" => shared.lift(raw.trim.toInt).orNull
                   case _ => raw
                 }
-                // inlineStr nests <is><t>; only record once per cell
-                if (!row.exists(_._1 == cellCol)) row += (cellCol -> v)
+                // rich-text inline strings carry multiple <r><t> runs per
+                // cell — concatenate runs instead of keeping only the first
+                val existing = row.indexWhere(_._1 == cellCol)
+                if (existing >= 0) {
+                  val (c0, v0) = row(existing)
+                  row(existing) = (c0, Option(v0).getOrElse("") + Option(v).getOrElse(""))
+                } else row += (cellCol -> v)
               }
               inV = false
             case "c" => nextCol = cellCol + 1; cellCol = -1
@@ -141,9 +162,13 @@ object Xlsx {
 
   // -------------------------------------------------------------- write
 
-  private def escXml(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  private def escXml(s: String): String = {
+    // XML 1.0 allows only #x9 #xA #xD below 0x20 — raw control bytes
+    // would make the workbook non-well-formed
+    val clean = s.filter(c => c >= ' ' || c == '\t' || c == '\n' || c == '\r')
+    clean.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
+  }
 
   /** Write a report-sized DataFrame as one .xlsx (inline strings; all
     * values rendered with Spark's string representation). Driver-side by
@@ -153,7 +178,9 @@ object Xlsx {
     val names = df.columns
     val collected = df.limit(maxRows + 1).collect()
     require(collected.length <= maxRows, s"xlsx sink is for report-sized data (> $maxRows rows)")
-    val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path.stripPrefix("file:"))))
+    val target = new java.io.File(path.stripPrefix("file:"))
+    Option(target.getParentFile).foreach(_.mkdirs()) // match Spark sink behavior
+    val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(target)))
     def entry(name: String, content: String): Unit = {
       zos.putNextEntry(new ZipEntry(name))
       zos.write(content.getBytes("UTF-8"))

@@ -29,6 +29,12 @@ object ScaleJoins {
       saltBy: Column,
       buckets: Int,
       joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit `buckets` null-padded copies of every
+    // unmatched (replicated) dim row — semantically wrong, so refuse
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(
+      Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross").contains(jt),
+      s"saltedJoin supports inner/left/semi/anti joins, not $joinType (dim side is replicated)")
     val salted = fact.withColumn("__salt", pmod(hash(saltBy), lit(buckets)))
     val replicated = dim.withColumn("__salt", explode(array((0 until buckets).map(lit): _*)))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")

@@ -53,17 +53,18 @@ class EtlIndexSpec extends SparkSpecBase {
     def e(n: String, c: String): Unit = { zos.putNextEntry(new ZipEntry(n)); zos.write(c.getBytes("UTF-8")); zos.closeEntry() }
     e("xl/sharedStrings.xml",
       """<sst><si><t>name</t></si><si><t>score</t></si><si><t>bob</t></si></sst>""")
-    e("xl/worksheets/sheet1.xml",
+    e("xl/worksheets/sheet2.xml", // sheet1 deleted from the workbook: parts are not renumbered
       """<worksheet><sheetData>
         |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
         |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>42</v></c></row>
         |<row r="3"><c r="B3"><v>7.5</v></c></row>
+        |<row r="4"><c r="A4" t="inlineStr"><is><r><t>Hello </t></r><r><t>World</t></r></is></c></row>
         |</sheetData></worksheet>""".stripMargin)
     zos.close()
     val back = graft.etl.Xlsx.read(spark, path)
     assert(back.columns.toSeq == Seq("name", "score"))
     val rows = back.collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(rows == Set(("bob", "42"), (null, "7.5")))
+    assert(rows == Set(("bob", "42"), (null, "7.5"), ("Hello World", null)))
   }
 
   test("registered native transforms apply by name") {
