@@ -81,6 +81,23 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(agree < 8, s"disjoint sets should rarely agree, got $agree/32")
   }
 
+  test("minhash signatures estimate Jaccard: agreement fraction ≈ true similarity") {
+    // two docs sharing exactly `shared` of `total` distinct shingles:
+    // E[fraction of agreeing minhash components] = Jaccard
+    val vocabA = (0 until 60).map(i => s"w$i")
+    val vocabB = (30 until 90).map(i => s"w$i") // overlap 30, union 90 → J = 1/3
+    val df = Seq(
+      ("a", vocabA.mkString(" ")),
+      ("b", vocabB.mkString(" "))).toDF("id", "t")
+      .select(col("id"),
+        graft.functions.Hashing.minhashSignature(
+          array_distinct(graft.functions.Text.tokens(col("t"))), 128).as("sig"))
+    val m = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val agree = m("a").zip(m("b")).count { case (x, y) => x == y } / 128.0
+    assert(math.abs(agree - 1.0 / 3.0) < 0.15,
+      s"minhash agreement $agree should estimate J=0.333")
+  }
+
   test("simhash60: identical text → distance 0, near text → small distance") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog again and again today"),
