@@ -37,11 +37,16 @@ object Vectors {
     */
   def signLsh(a: Column, bits: Int): Column = {
     val planes = (0 until bits).map { j =>
-      // component sign for dim i: parity of a cheap integer mix of (j, i)
+      // component sign for dim i: a fully-mixed middle bit of an integer
+      // mix of (j, i). NOT bit 0 of the raw mix — both multipliers are
+      // odd, so bit 0 reduces to parity(i + j) and every plane collapses
+      // to one of two patterns; bit 13 of the product genuinely depends
+      // on the multiplications.
       val proj = aggregate(
         zip_with(a, sequence(lit(0), size(a) - 1), (x, i) => {
-          val mix = pmod(i.cast("long") * 2654435761L + lit(j.toLong) * 40503L, lit(65536L))
-          when(mix.bitwiseAND(lit(1L)) === 1L, x.cast("double")).otherwise(-x.cast("double"))
+          val mix = pmod(i.cast("long") * 2654435761L + lit(j.toLong) * 40503L, lit(1L << 31))
+          when(shiftright(mix, 13).bitwiseAND(lit(1L)) === 1L, x.cast("double"))
+            .otherwise(-x.cast("double"))
         }),
         lit(0.0),
         (acc, x) => acc + x

@@ -4,7 +4,7 @@ import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DataType
 
 import graft.functions.Vectors
 
@@ -15,8 +15,34 @@ import graft.functions.Vectors
   * except the final per-query top-k. The LSH variant buckets both sides
   * with deterministic sign-hyperplanes and joins on bucket, trading
   * recall for a candidate set ~2^bits smaller — the 100 TB path.
+  *
+  * Top-k selection is the [[TopK.TopKScored]] k-buffer aggregator, not
+  * `row_number().over(Window.partitionBy(q_id))`: the window form
+  * shuffles EVERY scored candidate into ≤ #queries partitions and fully
+  * sorts each — parallelism collapses to the query count, a
+  * driver-class bottleneck on a 10^9-row base. The aggregator keeps k
+  * rows per (map partition, query) so the shuffle carries ≤ k rows per
+  * partition-group regardless of corpus size.
   */
 object Ann {
+
+  /** Per-query top-k over a scored candidate frame with columns
+    * (q_id, b_id, sim). Map-side partial top-k; output keeps b_id's
+    * original type and a 1-based int rank, matching the window shape
+    * bit-for-bit.
+    */
+  private def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val idType: DataType = scored.schema("b_id").dataType
+    scored
+      .groupBy("q_id")
+      .agg(TopK.topKScored(k)(col("sim"), col("b_id").cast("long")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(
+        col("q_id"),
+        col("e.id").cast(idType).as("b_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("e.sim").as("sim"))
+  }
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` must be broadcast-sized (it is hint-broadcast).
@@ -28,12 +54,8 @@ object Ann {
     val b = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
     val q = queries.select(qId.as("q_id"), qVec.as("q_emb"))
     val scored = b.crossJoin(broadcast(q))
-      .withColumn("sim", Vectors.cosine(col("b_emb"), col("q_emb")))
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("b_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "b_id", "rank", "sim")
+      .select(col("q_id"), col("b_id"), Vectors.cosine(col("b_emb"), col("q_emb")).as("sim"))
+    topkPerQuery(scored, k)
   }
 
   /** IVF (inverted-file) approximate KNN: a KMeans coarse quantizer
@@ -64,19 +86,19 @@ object Ann {
     import spark.implicits._
     val centDf = centroids.toDF("cell", "centroid")
     val q = queries.select(qId.as("q_id"), qVec.as("q_emb"))
-    val wCell = Window.partitionBy("q_id").orderBy(desc("csim"), asc("cell"))
-    val probed = q.crossJoin(broadcast(centDf))
-      .withColumn("csim", Vectors.cosine(col("q_emb"), col("centroid")))
-      .withColumn("crank", row_number().over(wCell))
-      .filter(col("crank") <= nprobe)
-      .select("q_id", "q_emb", "cell")
+    val topCells = q.crossJoin(broadcast(centDf))
+      .select(
+        col("q_id"), col("cell"),
+        Vectors.cosine(col("q_emb"), col("centroid")).as("csim"))
+      .groupBy("q_id")
+      .agg(TopK.topKScored(nprobe)(col("csim"), col("cell").cast("long")).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("cell_l"))
+      .select(col("q_id"), col("cell_l").cast("int").as("cell"))
+    val probed = topCells.join(q, "q_id").select("q_id", "q_emb", "cell")
 
-    val wTop = Window.partitionBy("q_id").orderBy(desc("sim"), asc("b_id"))
-    assigned.join(probed, "cell")
-      .withColumn("sim", Vectors.cosine(col("b_emb"), col("q_emb")))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
-      .select("q_id", "b_id", "rank", "sim")
+    val scored = assigned.join(broadcast(probed), "cell")
+      .select(col("q_id"), col("b_id"), Vectors.cosine(col("b_emb"), col("q_emb")).as("sim"))
+    topkPerQuery(scored, k)
   }
 
   /** Approximate top-k via sign-LSH bucketing: candidates are base rows
@@ -93,11 +115,8 @@ object Ann {
       .withColumn("bucket", Vectors.signLsh(col("b_emb"), bits))
     val q = queries.select(qId.as("q_id"), qVec.as("q_emb"))
       .withColumn("bucket", Vectors.signLsh(col("q_emb"), bits))
-    val w = Window.partitionBy("q_id").orderBy(desc("sim"), asc("b_id"))
-    b.join(q, "bucket")
-      .withColumn("sim", Vectors.cosine(col("b_emb"), col("q_emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "b_id", "rank", "sim")
+    val scored = b.join(broadcast(q), "bucket")
+      .select(col("q_id"), col("b_id"), Vectors.cosine(col("b_emb"), col("q_emb")).as("sim"))
+    topkPerQuery(scored, k)
   }
 }

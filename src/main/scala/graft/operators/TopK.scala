@@ -50,6 +50,39 @@ object TopK {
   def topK(k: Int)(metric: Column, id: Column): Column =
     udaf(new TopKLongs(k), ExpressionEncoder[MetricId]()).apply(metric, id)
 
+  case class ScoredId(sim: Double, id: Long)
+
+  /** Double-metric twin of [[TopKLongs]] for similarity scores (ANN
+    * top-k). Same k-buffer shape: map-side partial top-k, shuffle ≤ k
+    * rows per (partition, group) instead of the full candidate stream.
+    */
+  class TopKScored(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+    private def beats(a: ScoredId, b: ScoredId): Boolean =
+      a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+
+    override def zero: Seq[ScoredId] = Seq.empty
+
+    override def reduce(buf: Seq[ScoredId], in: ScoredId): Seq[ScoredId] =
+      if (buf.size < k) buf :+ in
+      else {
+        var worstIdx = 0
+        var i = 1
+        while (i < buf.size) { if (beats(buf(worstIdx), buf(i))) worstIdx = i; i += 1 }
+        if (beats(in, buf(worstIdx))) buf.updated(worstIdx, in) else buf
+      }
+
+    override def merge(a: Seq[ScoredId], b: Seq[ScoredId]): Seq[ScoredId] =
+      (a ++ b).sortWith(beats).take(k)
+
+    override def finish(buf: Seq[ScoredId]): Seq[ScoredId] = buf.sortWith(beats)
+    override def bufferEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder[Seq[ScoredId]]()
+    override def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder[Seq[ScoredId]]()
+  }
+
+  /** Column form for similarity metrics: `topKScored(5)(simCol, idCol)`. */
+  def topKScored(k: Int)(sim: Column, id: Column): Column =
+    udaf(new TopKScored(k), ExpressionEncoder[ScoredId]()).apply(sim, id)
+
   /** Exploded convenience: top-k rows per group with 1-based rank. */
   def perGroup(df: DataFrame, groupCols: Seq[String], metric: Column, id: Column, k: Int): DataFrame =
     df.groupBy(groupCols.map(col): _*)

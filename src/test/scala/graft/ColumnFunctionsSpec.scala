@@ -152,6 +152,21 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"IVF recall too low on clustered data: $recall")
   }
 
+  test("signLsh: buckets are diverse, not a 2-value parity split") {
+    // regression: bit 0 of (i*odd + j*odd) is parity(i+j), which made
+    // every hyperplane one of two patterns and every bucket one of two
+    // values regardless of `bits`
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 64).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .select(Vectors.signLsh(col("embedding"), 6).as("bucket"))
+    val distinct = df.distinct().count()
+    assert(distinct > 2, s"signLsh collapsed to $distinct buckets")
+    assert(distinct >= 8, s"signLsh bucket diversity too low: $distinct of 64 possible")
+  }
+
   test("Ranks.severityRank orders critical→info") {
     val df = Seq("info", "critical", "HIGH", "weird", "medium", "low").toDF("s")
       .select(Ranks.severityRank(col("s")).as("r"))

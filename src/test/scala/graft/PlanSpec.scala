@@ -65,6 +65,22 @@ class PlanSpec extends SparkSpecBase {
       s"expression fell out of codegen:\n$p")
   }
 
+  test("knn plans contain no Window sort: top-k is the k-buffer aggregator") {
+    // A Window.partitionBy(q_id) top-k shuffles every scored candidate
+    // into ≤ #queries partitions and sorts each — parallelism collapses
+    // to the query count at corpus scale. The ANN family must plan as
+    // partial+final aggregation instead.
+    import graft.queries.{VectorQueries => V}
+    for ((name, q) <- Seq(
+        "v01" -> V.v01KnnBruteForce _,
+        "v03" -> V.v03KnnLsh _)) {
+      val p = plan(q(spark, sfDir))
+      assert(!p.contains("Window"), s"$name still plans a Window sort:\n$p")
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
+        p.contains("HashAggregate"), s"$name should aggregate for top-k:\n$p")
+    }
+  }
+
   test("salted join: same results as plain join, hot key spread over salts") {
     import spark.implicits._
     // 90%-hot fact key + a dim too awkward to broadcast (conceptually)
