@@ -34,8 +34,20 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries report -1.0 per-query but are EXCLUDED from the
+    // total (a failure must never shrink — i.e. improve — the headline
+    // number) and surfaced in an explicit count
+    val good = results.filter(_._2 >= 0.0)
+    val total = good.map(_._2).sum
+    val failed = results.size - good.size
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces for log-prefixing runners: also drop the line in a file
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -15,6 +15,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // dedup/ANN queries cache narrow intermediates for their own
+      // multi-branch plans; drop them between queries so storage blocks
+      // don't accumulate across the 41-query run
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -55,13 +55,22 @@ object Dedup {
       .agg(count(lit(1)).as("n"), sort_array(collect_list("doc_id")).as("members"))
       .filter(col("n") > 1)
 
-  /** Exact n-gram Jaccard similarity pairs via an inverted-index
-    * equi-join (shingle → doc posting list) within blocking keys.
+  /** n-gram Jaccard similarity pairs via an inverted-index equi-join
+    * (shingle → doc posting list) within blocking keys, with a
+    * document-frequency cap on the posting lists.
     *
-    * This is the *exact* (no false negative / positive) path: cost is
-    * bounded by the posting-list join, not all-pairs. `blockCol` bounds
-    * the candidate space (e.g. language+source); pass a constant column
-    * to disable blocking.
+    * A shingle shared by f documents contributes f² candidate pairs: one
+    * boilerplate line ("all rights reserved …") across a block makes the
+    * posting-list self-join quadratic in the block size. Shingles with
+    * document frequency > `dfCap` are dropped from CANDIDATE GENERATION
+    * only — reported `inter`/`uni`/`jaccard` values are still exact
+    * (computed from the full shingle sets in the verify join). The only
+    * approximation: a pair whose shared shingles are ALL hotter than
+    * `dfCap` is missed — at the default cap that requires a pair made
+    * of pure corpus-wide boilerplate, which carries ~no Jaccard signal.
+    *
+    * `blockCol` bounds the candidate space (e.g. language+source); pass
+    * a constant column to disable blocking.
     */
   def jaccardPairs(
       df: DataFrame,
@@ -69,26 +78,36 @@ object Dedup {
       text: Column,
       blockCol: Column,
       n: Int,
-      minJaccard: Double): DataFrame = {
-    // Materialize the shingle sets ONCE: the posting-list self-join has
-    // two branches — without the cache the (regex-split → n-gram →
+      minJaccard: Double,
+      dfCap: Int = 1000): DataFrame = {
+    // Materialize the shingle sets ONCE: candidate generation and verify
+    // both scan them — without the cache the (regex-split → n-gram →
     // distinct) expression runs per branch. The cached frame is
     // (id, block, array<string>) — narrow relative to the corpus; a
     // 100 TB pipeline would persist it to parquet between stages instead.
     val docs = shingleSets(df, id, text, n, Some(blockCol)).cache()
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
     val ex = docs.select(col("doc_id"), col("blk"), explode(col("sh")).as("shingle"))
-    val pairs = ex.as("a")
+    // posting-list df per (block, shingle): one narrow aggregate; keys
+    // with df > dfCap are excluded before the self-join
+    val keep = ex.groupBy("blk", "shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap && col("df") > 1)
+      .select("blk", "shingle")
+    val exKept = ex.join(keep, Seq("blk", "shingle"))
+    val cand = exKept.as("a")
       .join(
-        ex.as("b"),
+        exKept.as("b"),
         col("a.blk") === col("b.blk") && col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("n2")), "d2")
-      .withColumn("uni", col("n1") + col("n2") - col("inter"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // verify with the FULL shingle sets: inter/uni stay exact even when
+    // hot shingles were excluded from candidate generation
+    cand
+      .join(docs.select(col("doc_id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("uni", size(col("sh1")) + size(col("sh2")) - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= minJaccard)
       .select("d1", "d2", "inter", "uni", "jaccard")

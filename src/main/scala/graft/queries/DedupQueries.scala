@@ -80,17 +80,24 @@ object DedupQueries {
 
   val d04Oracle: String = {
     val h = duckH60("tok")
+    // `WHERE tok <> ''` + LEFT JOIN/COALESCE(…, 0): DuckDB's
+    // string_split_regex('') yields [''] (one empty token) where Spark's
+    // tokenizer yields no tokens — an empty/whitespace-only document
+    // must get simhash 0 in BOTH engines, not the hash of ''.
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+')) AS tok
        |  FROM documents
        |), h AS (
-       |  SELECT doc_id, $h AS h FROM toks
+       |  SELECT doc_id, $h AS h FROM toks WHERE tok <> ''
        |), bits AS (
        |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
        |  FROM h, generate_series(0, 59) t(j) GROUP BY doc_id, j
-       |), sh AS (
+       |), sh0 AS (
        |  SELECT doc_id, SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
        |  FROM bits GROUP BY doc_id
+       |), sh AS (
+       |  SELECT d.doc_id, COALESCE(sh0.simhash, 0) AS simhash
+       |  FROM documents d LEFT JOIN sh0 ON sh0.doc_id = d.doc_id
        |)
        |SELECT a.doc_id AS d1, b.doc_id AS d2, bit_count(xor(a.simhash, b.simhash)) AS dist
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -107,17 +114,22 @@ object DedupQueries {
 
   val d05Oracle: String = {
     val h = duckH60("tok")
+    // same empty-token guard as d04 (see comment there)
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+')) AS tok
        |  FROM documents
        |), h AS (
-       |  SELECT doc_id, $h AS h FROM toks
+       |  SELECT doc_id, $h AS h FROM toks WHERE tok <> ''
        |), bits AS (
        |  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
        |  FROM h, generate_series(0, 59) t(j) GROUP BY doc_id, j
+       |), sh0 AS (
+       |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id
        |)
-       |SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
-       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |SELECT d.doc_id AS doc_id, CAST(COALESCE(sh0.simhash, 0) AS BIGINT) AS simhash
+       |FROM documents d LEFT JOIN sh0 ON sh0.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -56,6 +56,31 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     assert(got == Set(("a", 1, 30L, 2L), ("a", 2, 30L, 4L), ("b", 1, 5L, 9L)))
   }
 
+  test("jaccardPairs df-cap: universal boilerplate shingle stays ~linear, stats stay exact") {
+    // 40 docs share one boilerplate sentence (df=42 > cap=10) but are
+    // otherwise unique; docs a/b genuinely overlap. With the cap, the
+    // boilerplate shingles are excluded from candidate generation — no
+    // f² pair blowup — while the reported inter/uni/jaccard for the
+    // surviving pair must equal the uncapped (exact) run.
+    val boiler = "all rights reserved by the original author"
+    val filler = (0 until 40).map(i =>
+      (i.toLong, s"$boiler unique$i token$i word$i item$i thing$i"))
+    val real = Seq(
+      (100L, "spark catalyst optimizer rewrites logical plans into physical plans"),
+      (101L, "spark catalyst optimizer rewrites logical plans into efficient physical plans"))
+    val df = (filler ++ real).toDF("doc_id", "text")
+    def run(cap: Int) = graft.operators.Dedup
+      .jaccardPairs(df, col("doc_id"), col("text"), lit("x"), n = 3, minJaccard = 0.4, dfCap = cap)
+      .select("d1", "d2", "inter", "uni", "jaccard")
+      .as[(Long, Long, Int, Int, Double)].collect().toSet
+    val capped = run(10)
+    val exact = run(1000000)
+    assert(capped.exists(p => p._1 == 100L && p._2 == 101L), s"real pair lost: $capped")
+    // boilerplate-only pairs are below minJaccard in the exact run too,
+    // so the capped result must be identical here — exactness preserved
+    assert(capped == exact, s"capped=$capped exact=$exact")
+  }
+
   test("groupPairs: connected components labeled by component-min id") {
     val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L), (9L, 3L)).toDF("d1", "d2")
     val got = graft.operators.Dedup.groupPairs(pairs)
