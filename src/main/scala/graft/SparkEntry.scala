@@ -22,7 +22,8 @@ object SparkEntry {
       (qp.EventQueries.queries, qp.EventQueries.oracles),
       (qp.TextQueries.queries, qp.TextQueries.oracles),
       (qp.DedupQueries.queries, qp.DedupQueries.oracles),
-      (qp.VectorQueries.queries, qp.VectorQueries.oracles)
+      (qp.VectorQueries.queries, qp.VectorQueries.oracles),
+      (qp.ParseQueries.queries, qp.ParseQueries.oracles)
     )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -41,8 +41,10 @@ object Parsers {
     lines
       .filter(col("value").endsWith(" FOUND"))
       .select(
-        regexp_extract(col("value"), "^(.*?): (.*) FOUND$", 1).as("resource"),
-        regexp_extract(col("value"), "^(.*?): (.*) FOUND$", 2).as("title"))
+        // GREEDY first group: Windows paths contain colons ("C:\…"), and
+        // the reference splits on the LAST colon (rsplit(":", 1))
+        regexp_extract(col("value"), "^(.*): (.*) FOUND$", 1).as("resource"),
+        regexp_extract(col("value"), "^(.*): (.*) FOUND$", 2).as("title"))
       .withColumn("severity", lit("critical"))
       .withColumn("domain", lit("malware"))
 

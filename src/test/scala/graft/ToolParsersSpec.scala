@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.parse.ToolParsers
+
+/** Golden-fixture parity tests: every expected count/severity below is
+  * pinned to the reference's own test suite over the same 13 captured
+  * tool outputs (reference tests/audit/test_scanners.py,
+  * test_result_parser.py, test_network_mapper.py, test_service_auditor
+  * .py, test_persistence_auditor.py, test_process_snapshot.py).
+  */
+class ToolParsersSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val fixtures = "src/test/resources/fixtures"
+
+  private def csv(name: String): DataFrame =
+    spark.read.option("header", "true").csv(s"$fixtures/$name")
+
+  private def jsonArr(name: String): DataFrame =
+    spark.read.option("multiLine", "true").json(s"$fixtures/$name")
+
+  private def wholeText(name: String): DataFrame =
+    spark.read.option("wholetext", "true").text(s"$fixtures/$name")
+
+  private def sevCounts(df: DataFrame): Map[String, Long] =
+    df.groupBy("severity").count().as[(String, Long)].collect().toMap
+
+  test("hayabusa: 4 findings after info filter; 1 critical, 2 high") {
+    val f = ToolParsers.hayabusa(csv("hayabusa_output.csv")).cache()
+    assert(f.count() == 4)
+    val bySev = sevCounts(f)
+    assert(bySev("critical") == 1 && bySev("high") == 2 && bySev("medium") == 1)
+    val crit = f.filter($"severity" === "critical").select("title").as[String].head()
+    assert(crit.contains("Encoded PowerShell"))
+    assert(f.select("tool_name").distinct().as[String].head() == "hayabusa")
+  }
+
+  test("chainsaw: informational dropped; 1 critical log-clearing, 1 high powershell") {
+    val f = ToolParsers.chainsaw(jsonArr("chainsaw_output.json")).cache()
+    assert(f.count() == 2)
+    val crit = f.filter($"severity" === "critical").select("title").as[String].head()
+    assert(crit.contains("Event Log Clearing"))
+    val high = f.filter($"severity" === "high").select("title").as[String].head()
+    assert(high.contains("PowerShell"))
+    assert(f.select("category").distinct().as[String].head() == "event_log_alert")
+  }
+
+  test("autorunsc: 2 unsigned high + 1 VT-hit critical; clean entries skipped") {
+    val f = ToolParsers.autorunsc(csv("autorunsc_output.csv")).cache()
+    assert(f.count() == 3)
+    val crit = f.filter($"severity" === "critical")
+    assert(crit.count() == 1)
+    assert(crit.select("title").as[String].head().contains("VT hit"))
+    assert(f.filter(lower($"title").contains("unsigned")).count() == 2)
+    // MicrosoftUpdate is verified with 0|0 VT — no finding mentions it
+    assert(f.filter($"title".contains("MicrosoftUpdate")).count() == 0)
+    assert(f.select("mitre").distinct().as[String].head() == "T1547")
+  }
+
+  test("sigcheck: 2 medium unsigned_binary with exact targets") {
+    val f = ToolParsers.sigcheck(csv("sigcheck_output.csv")).cache()
+    assert(f.count() == 2)
+    assert(f.filter($"severity" === "medium" && $"category" === "unsigned_binary").count() == 2)
+    val targets = f.select("target").as[String].collect().toSet
+    assert(targets == Set(
+      "C:\\Windows\\System32\\evil.dll",
+      "C:\\Windows\\System32\\suspicious.sys"))
+  }
+
+  test("listdlls: 3 medium unsigned_dll; 2 in explorer.exe, 1 in svchost.exe") {
+    val f = ToolParsers.listdlls(wholeText("listdlls_output.txt")).cache()
+    assert(f.count() == 3)
+    assert(f.filter($"severity" === "medium" && $"category" === "unsigned_dll").count() == 3)
+    assert(f.filter($"process" === "explorer.exe").count() == 2)
+    val svchost = f.filter($"process" === "svchost.exe")
+    assert(svchost.count() == 1)
+    assert(svchost.select("pid").as[String].head() == "1234")
+    assert(svchost.select("target").as[String].head() == "C:\\ProgramData\\unknown_service.dll")
+  }
+
+  test("clamav: 3 detections with full Windows paths; summary key/values") {
+    val f = ToolParsers.clamav(spark.read.text(s"$fixtures/clamscan_output.log")).cache()
+    assert(f.count() == 3)
+    val byTitle = f.select("title", "target").as[(String, String)].collect().toMap
+    assert(byTitle("ClamAV: Eicar-Signature") == "C:\\Users\\test\\Downloads\\eicar.txt")
+    assert(byTitle.contains("ClamAV: Win.Trojan.Generic-12345"))
+    assert(byTitle.contains("ClamAV: Win.Malware.Agent-67890"))
+    assert(f.select("severity").distinct().as[String].head() == "high")
+
+    val s = ToolParsers.clamavSummary(wholeText("clamscan_output.log"))
+      .as[(String, String)].collect().toMap
+    assert(s("Infected files") == "3")
+    assert(s("Scanned files") == "42")
+    assert(s("Engine version") == "1.4.2")
+  }
+
+  test("yara: metadata severity honored, default high; mitre carried") {
+    val f = ToolParsers.yara(jsonArr("yara_output.json"))
+      .orderBy("title").cache()
+    assert(f.count() == 2)
+    val rows = f.select("title", "severity", "mitre", "target")
+      .as[(String, String, String, String)].collect()
+    assert(rows(0) == (("YARA: APT_Backdoor_Win32", "critical", "T1059", "C:\\Users\\test\\malware.exe")))
+    assert(rows(1)._1 == "YARA: HKTL_Mimikatz" && rows(1)._2 == "high")
+    assert(rows(1)._3 == null)
+  }
+
+  test("hollows_hunter: 2 suspicious processes; 5 findings with per-anomaly severities") {
+    val procs = ToolParsers.hollowsHunterProcesses(wholeText("hollows_hunter_output.json")).cache()
+    assert(procs.count() == 2) // notepad.exe has zero anomalies
+    val byPid = procs.collect().map(r => r.getAs[String]("pid") -> r).toMap
+    assert(byPid("4567").getAs[String]("name") == "suspicious.exe")
+    assert(byPid("4567").getAs[Long]("replaced") == 2)
+    assert(byPid("4567").getAs[Long]("implanted") == 1)
+    assert(byPid("4567").getAs[Long]("total_suspicious") == 3)
+    assert(byPid("8901").getAs[Long]("total_suspicious") == 6)
+
+    val f = ToolParsers.hollowsHunter(wholeText("hollows_hunter_output.json")).cache()
+    assert(f.count() == 5)
+    val bySev = sevCounts(f)
+    assert(bySev("critical") == 2) // replaced + implanted, both PID 4567
+    assert(bySev("high") == 2) // hdr_modified + iat_hooked, PID 8901
+    assert(bySev("medium") == 1) // patched, PID 8901
+    val replaced = f.filter($"title".startsWith("HollowsHunter: replaced"))
+    assert(replaced.count() == 1)
+    assert(replaced.select("mitre").as[String].head() == "T1055.012")
+  }
+
+  test("tcp connections: state decode, external classification, counts from fixture") {
+    val c = ToolParsers.tcpConnections(
+      spark.read.schema(ToolParsers.tcpConnectionSchema)
+        .option("multiLine", "true").json(s"$fixtures/tcp_connection_output.json")).cache()
+    assert(c.count() == 11)
+    assert(c.filter($"state" === "Listen").count() == 3)
+    assert(c.filter($"state" === "Established").count() == 8)
+    // external established: 2× chrome→93.184.216.34, 1× suspect→203.0.113.50
+    assert(c.filter($"is_outbound_external" && $"state" === "Established").count() == 3)
+    // fe80 link-local and RFC1918 are internal
+    assert(c.filter($"remote_address".startsWith("fe80") && $"is_outbound_external").count() == 0)
+  }
+
+  test("network findings: 2 suspicious listeners (49152, 9999), no many-connections") {
+    val c = ToolParsers.tcpConnections(
+      spark.read.schema(ToolParsers.tcpConnectionSchema)
+        .option("multiLine", "true").json(s"$fixtures/tcp_connection_output.json"))
+    val f = ToolParsers.networkFindings(c).cache()
+    val listeners = f.filter($"category" === "suspicious_listener")
+    assert(listeners.count() == 2)
+    val ports = listeners.select("target").as[String].collect().toSet
+    assert(ports == Set("0.0.0.0:49152", ":::9999"))
+    // port 80 is a common service port — not flagged
+    assert(f.filter($"target" === "0.0.0.0:80").count() == 0)
+    assert(f.filter($"category" === "many_external_connections").count() == 0)
+    assert(f.count() == 2)
+  }
+
+  test("network findings: many_external_connections fires at threshold") {
+    val rows = (1 to 12).map(i =>
+      ("10.0.0.9", 50000L + i, "93.184.216.34", 443L, "Established", 777L, "beacon.exe", true))
+    val conns = rows.toDF(
+      "local_address", "local_port", "remote_address", "remote_port",
+      "state", "pid", "process_name", "is_outbound_external")
+    val f = ToolParsers.networkFindings(conns)
+    val many = f.filter($"category" === "many_external_connections")
+    assert(many.count() == 1)
+    assert(many.select("severity").as[String].head() == "medium")
+    assert(many.select("title").as[String].head().contains("beacon.exe"))
+  }
+
+  test("processes: 7 parsed; ram_mb and WMI dates normalized; suspicious.exe flagged") {
+    val p = ToolParsers.processes(
+      spark.read.schema(ToolParsers.win32ProcessSchema)
+        .option("multiLine", "true").json(s"$fixtures/win32_process_output.json")).cache()
+    assert(p.count() == 7)
+    val chrome = p.filter($"name" === "chrome.exe")
+    assert(chrome.select("ram_mb").as[Double].head() == 500.0)
+    assert(p.filter($"created_at".isNull).count() == 0)
+
+    val f = ToolParsers.processFindings(p).cache()
+    val nsp = f.filter($"category" === "non_standard_path")
+    assert(nsp.select("title").as[String].collect().exists(_.contains("suspicious.exe")))
+    // system pids (0, 4) and pathless rows never produce findings
+    assert(f.filter($"title".contains("System")).count() == 0)
+    // no signature info in fixture → no unsigned_process findings
+    assert(f.filter($"category" === "unsigned_process").count() == 0)
+  }
+
+  test("processFindings: unsigned process flagged medium when signature known-bad") {
+    val procs = Seq((100L, "bad.exe", "C:\\Temp\\bad.exe", false))
+      .toDF("pid", "name", "path", "is_signed")
+    val f = ToolParsers.processFindings(procs)
+    val unsigned = f.filter($"category" === "unsigned_process")
+    assert(unsigned.count() == 1)
+    assert(unsigned.select("severity").as[String].head() == "medium")
+  }
+
+  test("services: 7 parsed; 1 unquoted path (VulnSvc), 1 non-standard SYSTEM (WeirdSvc)") {
+    val s = ToolParsers.services(jsonArr("win32_service_output.json")).cache()
+    assert(s.count() == 7)
+    assert(s.filter($"unquoted_path").select("name").as[String].collect().toSeq == Seq("VulnSvc"))
+
+    val f = ToolParsers.serviceFindings(s).cache()
+    assert(f.count() == 2)
+    val unquoted = f.filter($"category" === "unquoted_service_path")
+    assert(unquoted.count() == 1)
+    assert(unquoted.select("severity").as[String].head() == "high")
+    assert(unquoted.select("mitre").as[String].head() == "T1574.009")
+    assert(unquoted.select("title").as[String].head().contains("VulnSvc"))
+    val nonStd = f.filter($"category" === "system_service_non_standard")
+    assert(nonStd.count() == 1)
+    assert(nonStd.select("title").as[String].head().contains("WeirdSvc"))
+  }
+
+  test("scheduled tasks: state/run-level decode; elevated + suspicious-path findings") {
+    val t = ToolParsers.scheduledTasks(jsonArr("scheduled_tasks_output.json")).cache()
+    assert(t.count() == 6)
+    assert(t.filter($"state" === "Ready").count() == 4)
+    assert(t.filter($"state" === "Disabled").count() == 1)
+
+    val f = ToolParsers.taskFindings(t).cache()
+    val elevated = f.filter($"category" === "elevated_scheduled_task")
+      .select("title").as[String].collect()
+    assert(elevated.exists(_.contains("WindowsUpdate")))
+    assert(elevated.exists(_.contains("MyBackup")))
+    assert(!elevated.exists(_.contains("DisabledTask"))) // disabled → skipped
+    val suspicious = f.filter($"category" === "suspicious_task_path")
+      .select("title").as[String].collect()
+    assert(suspicious.exists(_.contains("MyBackup"))) // D:\Scripts
+    assert(suspicious.exists(_.contains("SuspiciousTask"))) // AppData Temp
+    assert(f.filter($"title".contains("ChromeUpdate")).count() == 0) // Program Files
+    assert(f.filter($"title".contains("PowerShellTask") &&
+      $"category" === "suspicious_task_path").count() == 0) // powershell.exe is standard
+  }
+
+  test("run keys: 5 parsed; only non-standard drives flagged (user AppData accepted)") {
+    val k = ToolParsers.runKeys(jsonArr("run_keys_output.json")).cache()
+    assert(k.count() == 5)
+    assert(k.filter($"registry_path".startsWith("HKCU")).count() == 3)
+
+    val f = ToolParsers.runKeyFindings(k).cache()
+    val names = f.select("title").as[String].collect()
+    assert(names.exists(_.contains("RiotClient"))) // G:\
+    assert(names.exists(_.contains("Steam"))) // M:\
+    assert(!names.exists(_.contains("SecurityHealth"))) // C:\Windows
+    assert(!names.exists(_.contains("Discord"))) // C:\Users AppData
+    assert(f.count() == 2)
+    assert(f.select("severity").distinct().as[String].head() == "medium")
+    // quoted value extraction: Steam's exe comes out without quotes
+    val steam = f.filter($"title".contains("Steam")).select("target").as[String].head()
+    assert(steam == "M:\\Steam\\steam.exe")
+  }
+}
