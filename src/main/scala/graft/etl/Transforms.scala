@@ -32,16 +32,40 @@ object Transforms {
   def registered: Seq[String] = registry.keys.toSeq.sorted
 
   /** Stream rows as JSON lines through an external command, one process
-    * per partition. The command must write zero or more JSON objects
-    * (one per line) to stdout; an empty stdout yields an empty result
-    * (the reference treats "no result written" as identity — callers
-    * wanting that should check `isEmpty` and fall back).
+    * per partition.
+    *
+    * Contract parity with the reference (etl.py:178-224):
+    *   - `schema`: when given, parses child output with it directly —
+    *     no inference pass. Without it `spark.read.json` must SCAN the
+    *     piped RDD twice (infer + parse), re-running the child process
+    *     unless cached; always pass a schema in production pipelines.
+    *   - `timeoutSec` (reference kills transforms at 300 s): enforced
+    *     per partition via a watchdog that destroys the child process;
+    *     a timed-out partition fails the task rather than silently
+    *     truncating output.
+    *   - Identity-on-empty (etl.py:221-224: "no result written" ⇒
+    *     input passes through): `identityOnEmpty = true` returns the
+    *     INPUT frame when the piped output has zero rows.
     */
-  def pipe(df: DataFrame, command: Seq[String], params: Map[String, String] = Map.empty): DataFrame = {
+  def pipe(
+      df: DataFrame,
+      command: Seq[String],
+      params: Map[String, String] = Map.empty,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      timeoutSec: Int = 300,
+      identityOnEmpty: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val env = params.map { case (k, v) => s"TRANSFORM_PARAM_$k" -> v } +
       ("TRANSFORM_PARAMS" -> params.map { case (k, v) => s"$k=$v" }.mkString(","))
-    val out = df.toJSON.rdd.pipe(command, env)
-    spark.read.json(spark.createDataset(out)(org.apache.spark.sql.Encoders.STRING))
+    val cmd = Seq("/bin/sh", "-c",
+      s"timeout ${timeoutSec}s " + command.map(a => "'" + a.replace("'", "'\\''") + "'").mkString(" ") +
+        " || { [ $? -eq 124 ] && echo 'TRANSFORM TIMEOUT' >&2 && exit 124; }")
+    val out = df.toJSON.rdd.pipe(cmd, env)
+    val ds = spark.createDataset(out)(org.apache.spark.sql.Encoders.STRING)
+    val parsed = schema match {
+      case Some(s) => spark.read.schema(s).json(ds)
+      case None => spark.read.json(ds)
+    }
+    if (identityOnEmpty && parsed.isEmpty) df else parsed
   }
 }

@@ -11,14 +11,39 @@ import org.apache.spark.sql.Column
   */
 object Glob {
 
-  /** fnmatch glob → anchored Java regex. */
+  /** fnmatch glob → anchored Java regex, including `[seq]` / `[!seq]`
+    * character classes (fnmatch rules: `!` negates, a `]` first in the
+    * class is literal, an unterminated `[` is a literal bracket).
+    */
   def globToRegex(glob: String): String = {
     val sb = new StringBuilder("^")
-    glob.foreach {
-      case '*' => sb.append(".*")
-      case '?' => sb.append('.')
-      case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
-      case c => sb.append(c)
+    val n = glob.length
+    var i = 0
+    while (i < n) {
+      glob(i) match {
+        case '*' => sb.append(".*"); i += 1
+        case '?' => sb.append('.'); i += 1
+        case '[' =>
+          var j = i + 1
+          if (j < n && glob(j) == '!') j += 1
+          if (j < n && glob(j) == ']') j += 1 // leading ] is literal
+          while (j < n && glob(j) != ']') j += 1
+          if (j >= n) { sb.append("\\["); i += 1 } // unterminated → literal
+          else {
+            val inner = glob.substring(i + 1, j)
+            val (neg, body) = if (inner.startsWith("!")) (true, inner.tail) else (false, inner)
+            val esc = body.flatMap {
+              case c @ ('\\' | '^' | ']' | '[' | '&') => "\\" + c
+              case c => c.toString
+            }
+            sb.append('[')
+            if (neg) sb.append('^')
+            sb.append(esc).append(']')
+            i = j + 1
+          }
+        case c if "\\.]{}()+-^$|".indexOf(c) >= 0 => sb.append('\\').append(c); i += 1
+        case c => sb.append(c); i += 1
+      }
     }
     sb.append('$').toString
   }

@@ -86,12 +86,112 @@ object Media {
       bits
     }
 
+  /** 64-bit perceptual (DCT) hash: 32×32 grayscale → 2D DCT-II → the
+    * 8×8 low-frequency block → bit = (coefficient > median). The
+    * imagehash.phash recipe (media_fingerprinting.py:144-146) on this
+    * engine's deterministic resampler.
+    */
+  def phash64(bytes: Array[Byte]): Option[Long] =
+    decode(bytes).map { img =>
+      val n = 32
+      val g = resampleGray(img, n, n)
+      // 2D DCT-II via two 1D passes (rows then columns); only the first
+      // 8 output coefficients per axis are ever used, so compute 8×8
+      val low = 8
+      val rowPass = Array.ofDim[Double](low, n) // rowPass(u)(y) = DCT over x of row y
+      var u = 0
+      while (u < low) {
+        var y = 0
+        while (y < n) {
+          var acc = 0.0
+          var x = 0
+          while (x < n) {
+            acc += g(y * n + x) * math.cos(math.Pi * u * (2 * x + 1) / (2.0 * n))
+            x += 1
+          }
+          rowPass(u)(y) = acc
+          y += 1
+        }
+        u += 1
+      }
+      val coeffs = new Array[Double](low * low)
+      var v = 0
+      while (v < low) {
+        var u2 = 0
+        while (u2 < low) {
+          var acc = 0.0
+          var y = 0
+          while (y < n) {
+            acc += rowPass(u2)(y) * math.cos(math.Pi * v * (2 * y + 1) / (2.0 * n))
+            y += 1
+          }
+          coeffs(v * low + u2) = acc
+          u2 += 1
+        }
+        v += 1
+      }
+      val sorted = coeffs.sorted
+      val median = (sorted(31) + sorted(32)) / 2.0
+      var bits = 0L
+      var i = 0
+      while (i < 64) { if (coeffs(i) > median) bits |= (1L << i); i += 1 }
+      bits
+    }
+
+  /** 64-bit wavelet-style hash: 64×64 grayscale → 3-level 2D Haar
+    * decomposition to the 8×8 LL band → bit = (value > median). The
+    * whash idea (media_fingerprinting.py:147) without an external
+    * wavelet dependency.
+    */
+  def whash64(bytes: Array[Byte]): Option[Long] =
+    decode(bytes).map { img =>
+      var size = 64
+      var g = resampleGray(img, size, size)
+      while (size > 8) {
+        val half = size / 2
+        val next = new Array[Double](half * half)
+        var y = 0
+        while (y < half) {
+          var x = 0
+          while (x < half) {
+            next(y * half + x) = (
+              g(2 * y * size + 2 * x) + g(2 * y * size + 2 * x + 1) +
+                g((2 * y + 1) * size + 2 * x) + g((2 * y + 1) * size + 2 * x + 1)) / 4.0
+            x += 1
+          }
+          y += 1
+        }
+        g = next
+        size = half
+      }
+      val sorted = g.sorted
+      val median = (sorted(31) + sorted(32)) / 2.0
+      var bits = 0L
+      var i = 0
+      while (i < 64) { if (g(i) > median) bits |= (1L << i); i += 1 }
+      bits
+    }
+
+  /** hash_type dispatch parity (media_fingerprinting.py:137-164):
+    * dhash (reference default) | phash | ahash | whash. Unknown types
+    * throw rather than silently fall back.
+    */
+  def imageHash(bytes: Array[Byte], hashType: String): Option[Long] = hashType match {
+    case "dhash" => dhash64(bytes)
+    case "phash" => phash64(bytes)
+    case "ahash" => ahash64(bytes)
+    case "whash" => whash64(bytes)
+    case other => throw new IllegalArgumentException(s"unknown hash_type: $other")
+  }
+
   private def decode(bytes: Array[Byte]): Option[BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes)))
     catch { case _: Exception => None }
 
   val dhashUdf: UserDefinedFunction = udf((b: Array[Byte]) => if (b == null) None else dhash64(b))
   val ahashUdf: UserDefinedFunction = udf((b: Array[Byte]) => if (b == null) None else ahash64(b))
+  val phashUdf: UserDefinedFunction = udf((b: Array[Byte]) => if (b == null) None else phash64(b))
+  val whashUdf: UserDefinedFunction = udf((b: Array[Byte]) => if (b == null) None else whash64(b))
 
   /** Perceptual-hash similarity: 1 − dist/64 (media_fingerprinting.py:250-260). */
   def phashSimilarity(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =

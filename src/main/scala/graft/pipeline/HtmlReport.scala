@@ -4,12 +4,28 @@ import org.apache.spark.sql.DataFrame
 
 import graft.analyze.Findings
 
-/** Minimal HTML findings report (SURVEY §2.4 A5/A11, §2.6 T2): severity
-  * card grid + severity-ordered findings table, rendered from the
-  * rollup DataFrames (all aggregation happens in Spark; only the final
-  * small rollups are collected).
+/** HTML findings report (SURVEY §2.4 A5/A11, §2.6 T2; reference
+  * src/audit/reporting/html_report.py:100-460): executive-summary card
+  * grid, fixed-order severity cards (critical→info, zero-filled),
+  * domain cards, per-collector inventory cards, pipeline-step status
+  * table, and the severity/domain-ordered findings table. All
+  * aggregation happens in Spark; only final small rollups collect.
   */
 object HtmlReport {
+
+  /** Fixed display orders (html_report.py `_SEVERITY_ORDER` /
+    * `_DOMAIN_ORDER`): cards render every severity, zero-filled, so a
+    * clean report still shows the full grid.
+    */
+  private val severityOrder = Seq("critical", "high", "medium", "low", "info")
+  private val domainOrder =
+    Seq("process", "network", "persistence", "malware", "filesystem", "system")
+
+  /** One inventory card: (value, label, sublabel) — e.g. connection
+    * counts render as `("42", "Connections", "3L/8E")`
+    * (html_report.py:349-409).
+    */
+  final case class InventoryCard(value: String, label: String, sublabel: String = "")
 
   private def esc(s: String): String =
     Option(s).getOrElse("")
@@ -18,18 +34,66 @@ object HtmlReport {
       // must not break out of the attribute
       .replace("\"", "&quot;").replace("'", "&#39;")
 
-  def render(findings: DataFrame, title: String, topN: Int = 100): String = {
+  private def card(value: String, label: String, cls: String = ""): String =
+    s"""<div class="card $cls"><div class="n">${esc(value)}</div><div class="l">${esc(label)}</div></div>"""
+
+  def render(
+      findings: DataFrame,
+      title: String,
+      topN: Int = 100,
+      inventory: Seq[InventoryCard] = Nil,
+      steps: Seq[Pipeline.StageResult] = Nil): String = {
     val sevCounts = Findings.severityCounts(findings).collect()
-      .map(r => r.getString(0) -> r.getLong(1))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val domCounts = Findings.domainCounts(findings).collect()
-      .map(r => r.getString(0) -> r.getLong(1))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = sevCounts.values.sum
     val top = Findings.topFindings(findings, topN)
       .select("severity", "domain", "title", "resource", "source").collect()
 
-    val cards = sevCounts.map { case (s, n) =>
-      s"""<div class="card sev-${esc(s)}"><div class="n">$n</div><div class="l">${esc(s)}</div></div>"""
-    }.mkString("\n")
-    val domRows = domCounts.map { case (d, n) => s"<tr><td>${esc(d)}</td><td>$n</td></tr>" }.mkString("\n")
+    // severity cards: EVERY severity in fixed order, zero-filled
+    val sevCards = severityOrder.map(s =>
+      card(sevCounts.getOrElse(s, 0L).toString, s.toUpperCase, s"sev-$s")).mkString("\n")
+    // domain cards: known domains in reference order, then any extras
+    val extraDomains = (domCounts.keySet -- domainOrder).toSeq.sorted
+    val domCards = (domainOrder.filter(domCounts.contains) ++ extraDomains)
+      .map(d => card(domCounts(d).toString, d.toUpperCase, s"dom-$d")).mkString("\n")
+
+    val summaryCards = {
+      val status = if (steps.exists(_.status == "failed")) "FAILED" else "COMPLETED"
+      val statusCls = if (status == "COMPLETED") "pass" else "fail"
+      Seq(
+        card(status, "Pipeline Status", statusCls),
+        card(total.toString, "Total Findings"),
+        card(if (steps.isEmpty) "—" else f"${steps.map(_.durationSec).sum}%.1fs", "Duration"),
+        card(steps.size.toString, "Steps")).mkString("\n")
+    }
+
+    val inventorySection =
+      if (inventory.isEmpty) ""
+      else {
+        val cards = inventory.map { c =>
+          val sub = if (c.sublabel.isEmpty) "" else s" (${esc(c.sublabel)})"
+          s"""<div class="card"><div class="n">${esc(c.value)}</div><div class="l">${esc(c.label)}$sub</div></div>"""
+        }.mkString("\n")
+        s"""<h2>System Inventory</h2>\n<div class="cards">$cards</div>"""
+      }
+
+    val stepsSection =
+      if (steps.isEmpty) ""
+      else {
+        val rows = steps.map { s =>
+          val cls = s.status match {
+            case "completed" => "pass"; case "failed" => "fail"; case _ => "skip"
+          }
+          f"""<tr><td>${esc(s.name)}</td><td class="$cls">${esc(s.status)}</td>""" +
+            f"""<td>${s.durationSec}%.1fs</td><td>${esc(s.error.getOrElse(""))}</td></tr>"""
+        }.mkString("\n")
+        s"""<h2>Pipeline Steps</h2>
+           |<table><tr><th>step</th><th>status</th><th>duration</th><th>error</th></tr>
+           |$rows</table>""".stripMargin
+      }
+
     val rows = top.map { r =>
       val cells = (0 until 5).map(i => s"<td>${esc(r.getString(i))}</td>").mkString
       s"<tr class=\"sev-${esc(r.getString(0))}\">$cells</tr>"
@@ -39,23 +103,63 @@ object HtmlReport {
        |<html><head><meta charset="utf-8"><title>${esc(title)}</title>
        |<style>
        |body{font-family:sans-serif;margin:2em}
-       |.cards{display:flex;gap:1em}
+       |.cards{display:flex;gap:1em;flex-wrap:wrap}
        |.card{padding:1em;border-radius:8px;background:#eee;min-width:6em;text-align:center}
        |.card .n{font-size:2em;font-weight:bold}
        |.sev-critical{background:#fdd}.sev-high{background:#fed}.sev-medium{background:#ffd}
+       |.sev-low{background:#eef}.sev-info{background:#efe}
+       |.pass{color:#166534}.fail{color:#991b1b}.skip{color:#6b7280}
        |table{border-collapse:collapse;margin-top:1em}
        |td,th{border:1px solid #ccc;padding:4px 8px;text-align:left}
        |</style></head><body>
        |<h1>${esc(title)}</h1>
-       |<div class="cards">$cards</div>
-       |<h2>Findings by domain</h2>
-       |<table><tr><th>domain</th><th>count</th></tr>$domRows</table>
+       |<h2>Executive Summary</h2>
+       |<div class="cards">$summaryCards</div>
+       |<h3>Findings by Severity</h3>
+       |<div class="cards">$sevCards</div>
+       |<h3>Findings by Domain</h3>
+       |<div class="cards">$domCards</div>
+       |$inventorySection
+       |$stepsSection
        |<h2>Top findings</h2>
        |<table><tr><th>severity</th><th>domain</th><th>title</th><th>resource</th><th>source</th></tr>
        |$rows
        |</table></body></html>""".stripMargin
   }
 
-  def write(findings: DataFrame, title: String, path: String, topN: Int = 100): Unit =
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), render(findings, title, topN))
+  /** Inventory cards from collector frames, mirroring
+    * html_report.py:349-409 (counts + listen/established and
+    * task/run-key splits) — aggregation runs in Spark, one tiny
+    * collect per card.
+    */
+  def inventoryFrom(
+      processes: Option[DataFrame] = None,
+      services: Option[DataFrame] = None,
+      connections: Option[DataFrame] = None,
+      tasks: Option[DataFrame] = None,
+      runKeys: Option[DataFrame] = None): Seq[InventoryCard] = {
+    import org.apache.spark.sql.functions._
+    val proc = processes.map(p => InventoryCard(p.count().toString, "Processes"))
+    val svc = services.map(s => InventoryCard(s.count().toString, "Services"))
+    val net = connections.map { c =>
+      val agg = c.agg(
+        count(lit(1)).as("n"),
+        count_if(col("state") === "Listen").as("l"),
+        count_if(col("state") === "Established").as("e")).head()
+      InventoryCard(agg.getLong(0).toString, "Connections", s"${agg.getLong(1)}L/${agg.getLong(2)}E")
+    }
+    val persist = (tasks, runKeys) match {
+      case (None, None) => None
+      case (t, k) =>
+        val tc = t.map(_.count()).getOrElse(0L)
+        val kc = k.map(_.count()).getOrElse(0L)
+        Some(InventoryCard((tc + kc).toString, "Persistence", s"${tc}T/${kc}K"))
+    }
+    Seq(proc, svc, net, persist).flatten
+  }
+
+  def write(findings: DataFrame, title: String, path: String, topN: Int = 100,
+      inventory: Seq[InventoryCard] = Nil, steps: Seq[Pipeline.StageResult] = Nil): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path), render(findings, title, topN, inventory, steps))
 }

@@ -95,14 +95,17 @@ object VectorQueries {
       .withColumn("nrm", Vectors.norm2(col("embedding")))
     // join first, score after an explicit repartition: the pair stream
     // is tiny in bytes but heavy in per-row work (a 64-dim fold each),
-    // and AQE would otherwise coalesce it onto one core
+    // and AQE would otherwise coalesce it onto one core. Partition count
+    // follows the session's shuffle parallelism — NOT a constant — so a
+    // 1000-core cluster spreads the scoring stage over its own width.
+    val scoreParallelism = s.conf.get("spark.sql.shuffle.partitions").toInt
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("d1"), col("b.vec_id").as("d2"), col("a.label").as("label"),
         col("a.embedding").as("ea"), col("b.embedding").as("eb"),
         col("a.nrm").as("na"), col("b.nrm").as("nb"))
-      .repartition(32, col("d1")) // explicit count: AQE must not coalesce the compute-heavy stage
+      .repartition(scoreParallelism, col("d1"))
       .select(
         col("d1"), col("d2"), col("label"),
         (Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))

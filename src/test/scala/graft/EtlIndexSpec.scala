@@ -80,6 +80,31 @@ class EtlIndexSpec extends SparkSpecBase {
     assert(out.select("name").as[String].collect().sorted.toSeq == Seq("a", "b"))
   }
 
+  test("pipe with explicit schema parses without an inference pass") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+    val out = Transforms.pipe(df, Seq("cat"), schema = Some(schema))
+    assert(out.schema == schema)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("pipe kills a slow child at the timeout and fails the task") {
+    val df = Seq((1L, "a")).toDF("id", "name").coalesce(1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Transforms.pipe(df, Seq("sh", "-c", "sleep 30 && cat"), timeoutSec = 2).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("pipe identity-on-empty returns the input frame (reference contract)") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    // child writes nothing → reference treats the transform as identity
+    val out = Transforms.pipe(df, Seq("sh", "-c", "cat > /dev/null"), identityOnEmpty = true)
+    assert(out.collect().toSet == df.collect().toSet)
+  }
+
   test("file index + duplicate groups + wasted bytes + upsert") {
     val root = tmp("fidx")
     def put(rel: String, content: String): Unit = {

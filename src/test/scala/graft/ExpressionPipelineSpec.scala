@@ -131,5 +131,32 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     assert(html.contains("Daily scan"))
     assert(html.contains("sev-critical") && html.contains("Trojan found"))
     assert(html.contains("<td>network</td>"))
+    // the severity grid is fixed-order and zero-filled — LOW/INFO cards
+    // render even with no such findings
+    assert(html.contains("LOW") && html.contains("INFO"))
+    assert(html.indexOf("CRITICAL") < html.indexOf("HIGH"))
+    assert(html.indexOf("HIGH") < html.indexOf("MEDIUM"))
+  }
+
+  test("html report: inventory cards and pipeline steps sections") {
+    val fs = Findings.toDS(spark, Seq(
+      Finding("Trojan found", "", "critical", "malware", "/x/a.exe", "av", "{}"))).toDF()
+    val conns = Seq(("Listen", 1L), ("Established", 2L), ("Established", 3L))
+      .toDF("state", "pid")
+    val inv = HtmlReport.inventoryFrom(
+      processes = Some(Seq(1, 2, 3).toDF("pid")),
+      connections = Some(conns),
+      tasks = Some(Seq(1, 2).toDF("t")),
+      runKeys = Some(Seq(1).toDF("k")))
+    val steps = Seq(
+      Pipeline.StageResult("collect", "completed", None, 1.5),
+      Pipeline.StageResult("scan", "failed", Some("boom"), 0.5))
+    val html = HtmlReport.render(fs, "Audit", inventory = inv, steps = steps)
+    assert(html.contains("System Inventory"))
+    assert(html.contains("Processes") && html.contains("1L/2E"))
+    assert(html.contains("2T/1K"))
+    assert(html.contains("Pipeline Steps"))
+    assert(html.contains("boom"))
+    assert(html.contains("FAILED")) // a failed step fails the pipeline status card
   }
 }

@@ -46,6 +46,35 @@ class MultimodalSpec extends SparkSpecBase {
     assert(h1 == h2)
   }
 
+  test("phash: deterministic, robust to tiny noise, separates different images") {
+    val a = Media.phash64(png(64, 48, vertical = false)).get
+    val a1 = Media.phash64(png(64, 48, vertical = false)).get
+    val a2 = Media.phash64(png(64, 48, vertical = false, noise = 4)).get
+    val b = Media.phash64(png(64, 48, vertical = true)).get
+    def d(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(a == a1)
+    assert(d(a, a2) <= 8, s"noisy pair too far: ${d(a, a2)}")
+    assert(d(a, b) > 8, s"different pair too near: ${d(a, b)}")
+    // DCT hash must be scale-robust: the same gradient at half size
+    assert(d(a, Media.phash64(png(32, 24, vertical = false)).get) <= 8)
+  }
+
+  test("whash: deterministic and separates different images") {
+    val a = Media.whash64(png(64, 48, vertical = false)).get
+    val b = Media.whash64(png(64, 48, vertical = true)).get
+    assert(a == Media.whash64(png(64, 48, vertical = false)).get)
+    assert(java.lang.Long.bitCount(a ^ b) > 8)
+  }
+
+  test("imageHash dispatches on hash_type and rejects unknown types") {
+    val bytes = png(32, 32, vertical = false)
+    assert(Media.imageHash(bytes, "dhash") == Media.dhash64(bytes))
+    assert(Media.imageHash(bytes, "phash") == Media.phash64(bytes))
+    assert(Media.imageHash(bytes, "ahash") == Media.ahash64(bytes))
+    assert(Media.imageHash(bytes, "whash") == Media.whash64(bytes))
+    intercept[IllegalArgumentException](Media.imageHash(bytes, "xhash"))
+  }
+
   test("corrupt bytes decode to None, not an exception") {
     assert(Media.dhash64(Array[Byte](1, 2, 3)).isEmpty)
   }

@@ -22,6 +22,65 @@ class PureFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("globToRegex: fnmatch character classes [seq] and [!seq]") {
+    assert("a.txt".matches(Glob.globToRegex("[abc].txt")))
+    assert(!"d.txt".matches(Glob.globToRegex("[abc].txt")))
+    assert("d.txt".matches(Glob.globToRegex("[!abc].txt")))
+    assert(!"a.txt".matches(Glob.globToRegex("[!abc].txt")))
+    assert("file7.log".matches(Glob.globToRegex("file[0-9].log")))
+    assert(!"fileX.log".matches(Glob.globToRegex("file[0-9].log")))
+    // leading ] inside the class is literal
+    assert("]x".matches(Glob.globToRegex("[]a]x")))
+    assert("ax".matches(Glob.globToRegex("[]a]x")))
+  }
+
+  test("cron nextFire: field kinds, day semantics, rollover") {
+    import java.time.LocalDateTime
+    import graft.pipeline.Cron
+    val t = LocalDateTime.of(2026, 8, 12, 10, 30) // a Wednesday
+    // plain next-minute match
+    assert(Cron.nextFire("*/15 * * * *", t) == LocalDateTime.of(2026, 8, 12, 10, 45))
+    // fire time equal to `after` is excluded (strictly after)
+    assert(Cron.nextFire("30 10 * * *", t) == LocalDateTime.of(2026, 8, 13, 10, 30))
+    // weekday constraint: 9:00 on Mon-Fri → same day later hour is fine
+    assert(Cron.nextFire("0 9 * * 1-5", t) == LocalDateTime.of(2026, 8, 13, 9, 0))
+    // Saturday spec (6) rolls to the coming Saturday
+    assert(Cron.nextFire("5 6 * * 6", t) == LocalDateTime.of(2026, 8, 15, 6, 5))
+    // month + day-of-month pinned → next year's Feb 28
+    assert(Cron.nextFire("30 14 28 2 *", t) == LocalDateTime.of(2027, 2, 28, 14, 30))
+    // vixie OR-semantics: dom 15 OR friday — friday the 14th comes first
+    assert(Cron.nextFire("0 0 15 * 5", t) == LocalDateTime.of(2026, 8, 14, 0, 0))
+    // day 7 == day 0 == sunday
+    assert(Cron.nextFire("0 0 * * 7", t) == Cron.nextFire("0 0 * * 0", t))
+    // impossible dates throw instead of looping forever
+    intercept[IllegalArgumentException](Cron.nextFire("0 0 30 2 *", t))
+    intercept[IllegalArgumentException](Cron.nextFire("bogus", t))
+  }
+
+  test("property: cron nextFire is strictly-after and matches its spec") {
+    import java.time.LocalDateTime
+    import graft.pipeline.Cron
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val gen = for {
+      m <- Gen.choose(0, 59); h <- Gen.choose(0, 23)
+      dow <- Gen.choose(0, 6)
+      day <- Gen.choose(1, 28); month <- Gen.choose(1, 12)
+      hour <- Gen.choose(0, 23); minute <- Gen.choose(0, 59)
+    } yield (s"$m $h * * $dow", LocalDateTime.of(2026, month, day, hour, minute))
+    val prop = Prop.forAll(gen) { case (expr, after) =>
+      val fire = Cron.nextFire(expr, after)
+      val Array(m, h, _, _, dow) = expr.split(" ")
+      fire.isAfter(after) &&
+        fire.getMinute == m.toInt && fire.getHour == h.toInt &&
+        fire.getDayOfWeek.getValue % 7 == dow.toInt &&
+        // minimality: no earlier matching instant in between (same spec
+        // fires at most weekly, so the gap is bounded by 7 days)
+        java.time.Duration.between(after, fire).toDays <= 7
+    }
+    assert(check(Parameters.default.withMinSuccessfulTests(200), prop).passed)
+  }
+
   test("globToLike translates and escapes") {
     assert(Glob.globToLike("*.csv") == "%.csv")
     assert(Glob.globToLike("a?c") == "a_c")
@@ -29,7 +88,9 @@ class PureFunctionsSpec extends AnyFunSuite {
   }
 
   test("property: literal globs (no wildcards) match themselves") {
-    val gen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf("./-_+()[]{}^$|\\".toSeq)))
+    // `[` excluded: a terminated [seq] is a character class under
+    // fnmatch, so strings containing one are NOT literal globs
+    val gen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf("./-_+(){}^$|\\]".toSeq)))
       .map(_.mkString)
     val prop = Prop.forAll(gen) { s => s.matches(Glob.globToRegex(s)) }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
