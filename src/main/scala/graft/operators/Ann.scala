@@ -51,10 +51,16 @@ object Ann {
       base: DataFrame, baseId: Column, baseVec: Column,
       queries: DataFrame, qId: Column, qVec: Column,
       k: Int): DataFrame = {
+    // norms hoisted to once per ROW (not once per scored pair): the
+    // division keeps cosine's exact op sequence, so results stay
+    // bit-identical while the per-pair work drops to one dot fold
     val b = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
+      .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
     val q = queries.select(qId.as("q_id"), qVec.as("q_emb"))
+      .withColumn("q_nrm", Vectors.norm2(col("q_emb")))
     val scored = b.crossJoin(broadcast(q))
-      .select(col("q_id"), col("b_id"), Vectors.cosine(col("b_emb"), col("q_emb")).as("sim"))
+      .select(col("q_id"), col("b_id"),
+        (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
     topkPerQuery(scored, k)
   }
 
@@ -96,8 +102,11 @@ object Ann {
       .select(col("q_id"), col("cell_l").cast("int").as("cell"))
     val probed = topCells.join(q, "q_id").select("q_id", "q_emb", "cell")
 
-    val scored = assigned.join(broadcast(probed), "cell")
-      .select(col("q_id"), col("b_id"), Vectors.cosine(col("b_emb"), col("q_emb")).as("sim"))
+    val scored = assigned
+      .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+      .join(broadcast(probed.withColumn("q_nrm", Vectors.norm2(col("q_emb")))), "cell")
+      .select(col("q_id"), col("b_id"),
+        (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
     topkPerQuery(scored, k)
   }
 
@@ -113,10 +122,13 @@ object Ann {
       k: Int, bits: Int = 8): DataFrame = {
     val b = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
       .withColumn("bucket", Vectors.signLsh(col("b_emb"), bits))
+      .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
     val q = queries.select(qId.as("q_id"), qVec.as("q_emb"))
       .withColumn("bucket", Vectors.signLsh(col("q_emb"), bits))
+      .withColumn("q_nrm", Vectors.norm2(col("q_emb")))
     val scored = b.join(broadcast(q), "bucket")
-      .select(col("q_id"), col("b_id"), Vectors.cosine(col("b_emb"), col("q_emb")).as("sim"))
+      .select(col("q_id"), col("b_id"),
+        (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
     topkPerQuery(scored, k)
   }
 }
