@@ -35,8 +35,16 @@ object Vectors {
     * components are deterministic ±1 derived from (bit, dim) — engine
     * independent, no stored model. Returns a long bucket id.
     */
-  def signLsh(a: Column, bits: Int): Column = {
-    val planes = (0 until bits).map { j =>
+  def signLsh(a: Column, bits: Int): Column = signLsh(a, bits, 0)
+
+  /** As [[signLsh]] but for hash table `table` of a multi-table LSH
+    * scheme — each table draws an independent hyperplane family, so
+    * unioning candidates over L tables trades compute for recall
+    * (the standard scale knob for LSH ANN).
+    */
+  def signLsh(a: Column, bits: Int, table: Int): Column = {
+    val planes = (0 until bits).map { j0 =>
+      val j = j0 + table * 7919 // disjoint plane family per table
       // component sign for dim i: a fully-mixed middle bit of an integer
       // mix of (j, i). NOT bit 0 of the raw mix — both multipliers are
       // odd, so bit 0 reduces to parity(i + j) and every plane collapses
@@ -51,7 +59,7 @@ object Vectors {
         lit(0.0),
         (acc, x) => acc + x
       )
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+      when(proj > 0, lit(1L << j0)).otherwise(lit(0L))
     }
     planes.reduce(_ + _)
   }

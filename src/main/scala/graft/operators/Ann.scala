@@ -111,24 +111,36 @@ object Ann {
   }
 
   /** Approximate top-k via sign-LSH bucketing: candidates are base rows
-    * sharing the query's bucket; rank within candidates. Recall rises
-    * with fewer bits (bigger buckets); 100 TB deployments would hash to
-    * multiple tables — keep one here, measured against brute force in
-    * tests.
+    * sharing the query's bucket in ANY of `tables` independent hash
+    * tables; rank within the deduplicated candidate set. Recall rises
+    * with fewer bits (bigger buckets) and with more tables (the
+    * standard multi-table LSH recall knob — candidate volume scales
+    * ∝ tables, each table still an equi-join).
     */
   def knnLsh(
       base: DataFrame, baseId: Column, baseVec: Column,
       queries: DataFrame, qId: Column, qVec: Column,
-      k: Int, bits: Int = 8): DataFrame = {
-    val b = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
-      .withColumn("bucket", Vectors.signLsh(col("b_emb"), bits))
+      k: Int, bits: Int = 8, tables: Int = 1): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
-    val q = queries.select(qId.as("q_id"), qVec.as("q_emb"))
-      .withColumn("bucket", Vectors.signLsh(col("q_emb"), bits))
+    val q0 = queries.select(qId.as("q_id"), qVec.as("q_emb"))
       .withColumn("q_nrm", Vectors.norm2(col("q_emb")))
-    val scored = b.join(broadcast(q), "bucket")
+    // one (table, bucket) key per row per table: a single explode keeps
+    // one scan of each side instead of a tables-way union
+    def bucketed(df: DataFrame, vec: String) = df.withColumn(
+      "tb",
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), Vectors.signLsh(col(vec), bits, t).as("bucket"))): _*)))
+    val scored0 = bucketed(b0, "b_emb").join(
+        broadcast(bucketed(q0, "q_emb").select(col("tb"), col("q_id"), col("q_emb"), col("q_nrm"))),
+        "tb")
       .select(col("q_id"), col("b_id"),
         (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
+    // a pair colliding in several tables would occupy several top-k
+    // slots — dedup AFTER scoring so the shuffle ships the narrow
+    // (q_id, b_id, sim) projection, not embedding arrays
+    val scored = if (tables == 1) scored0 else scored0.dropDuplicates("q_id", "b_id")
     topkPerQuery(scored, k)
   }
 }

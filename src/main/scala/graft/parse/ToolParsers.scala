@@ -61,6 +61,13 @@ object ToolParsers {
   def isNonStandardPath(c: Column): Column =
     !startsWithAny(normPath(c), standardPrefixes)
 
+  /** Lenient variant for run keys: user-profile paths (C:\Users\…) also
+    * count as standard — common for legitimate auto-start apps
+    * (persistence_auditor.py:268-288).
+    */
+  def isStandardOrUserPath(c: Column): Column =
+    startsWithAny(normPath(c), standardPrefixes :+ "c:\\users\\")
+
   // ------------------------------------------------------- event-log tools
 
   /** Hayabusa CSV timeline → findings (hayabusa.py:88-124): level →
@@ -631,12 +638,9 @@ object ToolParsers {
     */
   def runKeyFindings(keys: DataFrame): DataFrame = {
     val exe = runKeyExePath(col("value"))
-    val n = normPath(exe)
     keys
       .withColumn("exe_path", exe)
-      .filter(
-        col("exe_path") =!= "" &&
-          !startsWithAny(n, standardPrefixes :+ "c:\\users\\"))
+      .filter(col("exe_path") =!= "" && !isStandardOrUserPath(col("exe_path")))
       .select(findingCols(
         tool = "persistence_auditor", category = "suspicious_run_key",
         severity = lit("medium"),

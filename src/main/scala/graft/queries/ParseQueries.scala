@@ -121,15 +121,71 @@ object ParseQueries {
        |FROM norm GROUP BY state, is_outbound_external
        |ORDER BY state, is_outbound_external""".stripMargin
 
+  /** Sigcheck unsigned-binary findings as an ordered relation —
+    * cross-engine check of the CSV parse + Windows basename extraction.
+    */
+  def p04SigcheckUnsigned(s: SparkSession, dir: String): DataFrame =
+    ToolParsers.sigcheck(
+      s.read.option("header", "true").csv(s"$fixturesDir/sigcheck_output.csv"))
+      .select("title", "severity", "category", "target")
+      .orderBy("target")
+
+  val p04Oracle: String =
+    s"""SELECT 'Sigcheck: unsigned binary ' || string_split(Path, '\\')[-1] AS title,
+       |  'medium' AS severity, 'unsigned_binary' AS category, Path AS target
+       |FROM read_csv('$fixturesDir/sigcheck_output.csv', header=true)
+       |WHERE lower(COALESCE(Verified, '')) = 'unsigned'
+       |ORDER BY target""".stripMargin
+
+  /** Run-key classification for EVERY entry (not only findings):
+    * quoted/unquoted executable extraction + the lenient
+    * standard-location rule, differentially checked cross-engine.
+    */
+  def p05RunKeys(s: SparkSession, dir: String): DataFrame = {
+    val keys = ToolParsers.runKeys(
+      s.read.option("multiLine", "true").json(s"$fixturesDir/run_keys_output.json"))
+    val exe = ToolParsers.runKeyExePath(col("value"))
+    keys.select(
+      col("name"),
+      col("registry_path"),
+      exe.as("exe_path"),
+      (!ToolParsers.isStandardOrUserPath(exe)).as("suspicious"))
+      .orderBy("name")
+  }
+
+  val p05Oracle: String =
+    s"""WITH k AS (
+       |  SELECT * FROM read_json('$fixturesDir/run_keys_output.json')
+       |), e AS (
+       |  SELECT Name AS name, RegistryPath AS registry_path,
+       |    CASE WHEN regexp_matches(trim(Value), '^"[^"]*"')
+       |         THEN regexp_extract(trim(Value), '^"([^"]*)"', 1)
+       |         ELSE split_part(trim(Value), ' ', 1) END AS exe_path
+       |  FROM k
+       |), n AS (
+       |  SELECT name, registry_path, exe_path,
+       |    replace(trim(lower(trim(exe_path)), '"'), '/', '\\') AS np
+       |  FROM e
+       |)
+       |SELECT name, registry_path, exe_path,
+       |  NOT (starts_with(np, 'c:\\windows\\') OR starts_with(np, 'c:\\program files\\')
+       |    OR starts_with(np, 'c:\\program files (x86)\\') OR starts_with(np, 'c:\\programdata\\')
+       |    OR starts_with(np, 'c:\\users\\')) AS suspicious
+       |FROM n ORDER BY name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_hayabusa_severity" -> (p01HayabusaSeverity _),
     "p02_autorunsc_findings" -> (p02AutorunscFindings _),
-    "p03_tcp_states" -> (p03TcpStates _)
+    "p03_tcp_states" -> (p03TcpStates _),
+    "p04_sigcheck_unsigned" -> (p04SigcheckUnsigned _),
+    "p05_run_keys" -> (p05RunKeys _)
   )
 
   val oracles: Map[String, String] = Map(
     "p01_hayabusa_severity" -> p01Oracle,
     "p02_autorunsc_findings" -> p02Oracle,
-    "p03_tcp_states" -> p03Oracle
+    "p03_tcp_states" -> p03Oracle,
+    "p04_sigcheck_unsigned" -> p04Oracle,
+    "p05_run_keys" -> p05Oracle
   )
 }

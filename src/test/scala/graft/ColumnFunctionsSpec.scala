@@ -152,6 +152,33 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"IVF recall too low on clustered data: $recall")
   }
 
+  test("multi-table LSH: recall dominates single-table (candidate superset)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 210).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") >= 10)
+    val qs = df.filter(col("vec_id") < 10)
+    def topSets(d: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      d.select("q_id", "b_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(graft.operators.Ann.knnBruteForce(
+      base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"), 5))
+    def recall(tables: Int): Double = {
+      val approx = topSets(graft.operators.Ann.knnLsh(
+        base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
+        k = 5, bits = 6, tables = tables))
+      exact.keys.toSeq.map { q =>
+        (approx.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / 5
+      }.sum / exact.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    // table 0 of the 4-table scheme IS the single-table scheme, so the
+    // candidate set (and recall) can only grow
+    assert(r4 >= r1, s"multi-table recall $r4 below single-table $r1")
+    assert(r4 > r1, s"4 tables should strictly improve recall on near-uniform data (r1=$r1)")
+  }
+
   test("signLsh: buckets are diverse, not a 2-value parity split") {
     // regression: bit 0 of (i*odd + j*odd) is parity(i+j), which made
     // every hyperplane one of two patterns and every bucket one of two

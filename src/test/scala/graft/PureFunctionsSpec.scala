@@ -81,6 +81,38 @@ class PureFunctionsSpec extends AnyFunSuite {
     assert(check(Parameters.default.withMinSuccessfulTests(200), prop).passed)
   }
 
+  test("scheduler model: arming, due selection, concurrency cap, one-shot disable") {
+    import java.time.LocalDateTime
+    import graft.pipeline.Scheduler
+    import graft.pipeline.Scheduler._
+    val now = LocalDateTime.of(2026, 8, 12, 10, 0)
+    val cronJob = arm(Job("c1", "nightly", CronSchedule("0 2 * * *")), now)
+    assert(cronJob.nextRun.contains(LocalDateTime.of(2026, 8, 13, 2, 0)))
+    val every5m = arm(Job("i1", "poll", IntervalSchedule(300)), now)
+    assert(every5m.nextRun.contains(now.plusSeconds(300)))
+    val once = arm(Job("o1", "migrate", OnceSchedule(now.plusMinutes(1))), now)
+
+    // nothing due yet
+    assert(Scheduler.due(Seq(cronJob, every5m, once), now).isEmpty)
+    // at +5m the interval and once jobs are both due; capacity 2 admits both
+    val t5 = now.plusMinutes(5)
+    assert(Scheduler.due(Seq(cronJob, every5m, once), t5).map(_.id).toSet == Set("i1", "o1"))
+    // longest-overdue wins the single remaining slot (once armed at +1m)
+    assert(Scheduler.due(Seq(cronJob, every5m, once), t5, running = Set("x"), maxConcurrent = 2)
+      .map(_.id) == Seq("o1"))
+    // a running job is never double-started; capacity 0 admits nothing
+    assert(Scheduler.due(Seq(every5m), t5, running = Set("i1")).isEmpty)
+    assert(Scheduler.due(Seq(every5m), t5, running = Set("a", "b")).isEmpty)
+    // disabled jobs are never armed or selected
+    assert(arm(Job("d", "off", IntervalSchedule(10), enabled = false), now).nextRun.isEmpty)
+
+    // one-shot disables itself after running; interval re-arms from now
+    val ranOnce = afterRun(once, t5)
+    assert(!ranOnce.enabled && ranOnce.nextRun.isEmpty && ranOnce.lastRun.contains(t5))
+    val ranInterval = afterRun(every5m, t5)
+    assert(ranInterval.enabled && ranInterval.nextRun.contains(t5.plusSeconds(300)))
+  }
+
   test("globToLike translates and escapes") {
     assert(Glob.globToLike("*.csv") == "%.csv")
     assert(Glob.globToLike("a?c") == "a_c")
