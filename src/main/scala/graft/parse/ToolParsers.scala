@@ -78,13 +78,13 @@ object ToolParsers {
     * timeline (columns Timestamp, Computer, Channel, EventID, Level,
     * RecordID, RuleTitle, Details, ExtraFieldInfo, RuleFile).
     */
-  def hayabusa(rows: DataFrame): DataFrame = {
+  def hayabusa(rows: DataFrame, includeInfo: Boolean = false): DataFrame = {
     val aliased = Parsers.coalesceCols(
       Parsers.coalesceCols(rows, "__level", Seq("Level", "level")),
       "__title", Seq("RuleTitle", "rule_title"))
     val sev = Parsers.levelToSeverity(col("__level"))
     aliased
-      .filter(sev =!= "info")
+      .filter(if (includeInfo) lit(true) else sev =!= "info")
       .select(findingCols(
         tool = "hayabusa", category = "event_log_alert",
         severity = sev,
@@ -118,6 +118,22 @@ object ToolParsers {
           when(ts =!= "", concat(lit("at "), ts)),
           when(src =!= "", concat(lit("in "), src))),
         target = src): _*)
+  }
+
+  /** Chainsaw wrapper-object form (chainsaw.py:98-108): some runs emit
+    * `{"detections": [...]}` (or `{"hits": [...]}`) instead of a bare
+    * array. Input: `spark.read.option("multiLine", true).json(...)` of
+    * the wrapper; detections explode to the same findings as
+    * [[chainsaw]].
+    */
+  def chainsawWrapped(doc: DataFrame): DataFrame = {
+    val arr =
+      if (doc.columns.contains("detections")) col("detections")
+      else if (doc.columns.contains("hits")) col("hits")
+      else throw new IllegalArgumentException(
+        "chainsawWrapped expects a 'detections' or 'hits' array; " +
+          "use chainsaw() for bare detection arrays")
+    chainsaw(doc.select(explode(arr).as("d")).select("d.*"))
   }
 
   // ------------------------------------------------------- sysinternals
@@ -302,6 +318,31 @@ object ToolParsers {
       .select(explode(col("scanned")).as(Seq("pid", "p")))
       .select((col("pid") +: coalesce(col("p.name"), lit("unknown")).as("name") +:
         counts.map(c => coalesce(col(s"p.$c"), lit(0L)).as(c))): _*)
+      .withColumn("total_suspicious", counts.map(col).reduce(_ + _))
+      .filter(col("total_suspicious") > 0)
+  }
+
+  /** Per-process subdirectory reports (result_parser.py:129-154):
+    * HollowsHunter also writes `<pid>/scan_report.json` per scanned
+    * process with top-level anomaly counts and `main_image_path`. The
+    * pid comes from the enclosing directory name; only suspicious
+    * processes (count sum > 0) survive, with the reference's 4-count
+    * total.
+    *
+    * Input: `spark.read.option("wholetext", true)
+    * .text("reports/&#42;/scan_report.json")`.
+    */
+  def hollowsHunterPerProcess(files: DataFrame): DataFrame = {
+    val counts = Seq("replaced", "implanted", "hdr_modified", "patched")
+    val ddl = "struct<main_image_path:string, replaced:long, implanted:long, " +
+      "hdr_modified:long, patched:long>"
+    files
+      .withColumn("pid", element_at(split(input_file_name(), "/"), -2))
+      .filter(col("pid").rlike("^[0-9]+$")) // only numeric per-pid dirs
+      .select(col("pid"), from_json(col("value"), DataType.fromDDL(ddl)).as("r"))
+      .select((col("pid") +:
+        coalesce(col("r.main_image_path"), lit("unknown")).as("name") +:
+        counts.map(c => coalesce(col(s"r.$c"), lit(0L)).as(c))): _*)
       .withColumn("total_suspicious", counts.map(col).reduce(_ + _))
       .filter(col("total_suspicious") > 0)
   }

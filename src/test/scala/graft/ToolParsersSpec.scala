@@ -129,6 +129,42 @@ class ToolParsersSpec extends SparkSpecBase {
     assert(replaced.select("mitre").as[String].head() == "T1055.012")
   }
 
+  test("hayabusa includeInfo keeps the info row the default path drops") {
+    val all = ToolParsers.hayabusa(csv("hayabusa_output.csv"), includeInfo = true)
+    assert(all.count() == 5)
+    assert(all.filter($"severity" === "info").count() == 1)
+  }
+
+  test("chainsaw wrapper-object form parses detections/hits arrays") {
+    import java.nio.file.{Files, Paths}
+    val raw = Files.readString(Paths.get(s"$fixtures/chainsaw_output.json"))
+    val dir = Files.createTempDirectory("chainsaw_wrapped")
+    Files.writeString(dir.resolve("wrapped.json"), s"""{"detections": $raw}""")
+    val f = ToolParsers.chainsawWrapped(
+      spark.read.option("multiLine", "true").json(dir.toString))
+    assert(f.count() == 2) // same result as the bare-array form
+    intercept[IllegalArgumentException](
+      ToolParsers.chainsawWrapped(Seq((1, "x")).toDF("a", "b")))
+  }
+
+  test("hollows_hunter per-process subdirectory reports parse with pid from path") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("hh_reports")
+    def put(pid: String, json: String): Unit = {
+      val d = root.resolve(pid); Files.createDirectories(d)
+      Files.writeString(d.resolve("scan_report.json"), json)
+    }
+    put("4567", """{"main_image_path": "C:\\bad\\a.exe", "replaced": 2, "implanted": 1, "hdr_modified": 0, "patched": 0}""")
+    put("1234", """{"main_image_path": "C:\\ok\\b.exe", "replaced": 0, "implanted": 0, "hdr_modified": 0, "patched": 0}""")
+    val got = ToolParsers.hollowsHunterPerProcess(
+      spark.read.option("wholetext", "true").text(s"$root/*/scan_report.json"))
+    val rows = got.collect()
+    assert(rows.length == 1) // clean process filtered out
+    assert(rows(0).getAs[String]("pid") == "4567")
+    assert(rows(0).getAs[String]("name") == "C:\\bad\\a.exe")
+    assert(rows(0).getAs[Long]("total_suspicious") == 3)
+  }
+
   test("tcp connections: state decode, external classification, counts from fixture") {
     val c = ToolParsers.tcpConnections(
       spark.read.schema(ToolParsers.tcpConnectionSchema)
