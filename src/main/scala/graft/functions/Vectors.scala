@@ -15,11 +15,16 @@ object Vectors {
   private def fold(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  def dot(a: Column, b: Column): Column =
-    fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+  /** Native codegen dot product (functions.expr.VecDot): the HOF
+    * `zip_with`+`aggregate` form is CodegenFallback — an interpreted
+    * boxed lambda per element, ruinous across millions of candidate
+    * pairs. Arithmetic is the identical strict left-to-right double
+    * fold, so results stay bit-equal to the HOF form and the DuckDB
+    * oracles.
+    */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  def norm2(a: Column): Column =
-    sqrt(fold(transform(a, x => x.cast("double") * x.cast("double"))))
+  def norm2(a: Column): Column = sqrt(call_function("vec_dot", a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))

@@ -33,6 +33,33 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     assert(sample(7) == RollingHash.hash("doc-7"))
   }
 
+  test("vec_dot: SQL registration, HOF parity, null semantics") {
+    import graft.functions.Vectors
+    // bit-exact parity with the HOF fold it replaces
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.1f, 0.2f), Array(0.3f, 0.7f))).toDF("a", "b")
+      .select(Vectors.dot(col("a"), col("b")).as("native"), hof.as("hof"))
+    df.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), s"bit mismatch: $r")
+    }
+    // SQL surface
+    assert(spark.sql("SELECT vec_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
+      .as[Double].head() == 11.0)
+    // length mismatch and null input → NULL (zip_with padding semantics)
+    val nulls = spark.sql(
+      "SELECT vec_dot(array(1.0f), array(1.0f, 2.0f)) AS m, vec_dot(CAST(NULL AS ARRAY<FLOAT>), array(1.0f)) AS n")
+    val row = nulls.head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+    // double arrays work too
+    assert(spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(2.0d, 3.0d)) AS d")
+      .as[Double].head() == 8.0)
+  }
+
   test("winnowing: shared token runs produce shared fingerprints") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
     val df = Seq(

@@ -65,6 +65,14 @@ class PlanSpec extends SparkSpecBase {
       s"expression fell out of codegen:\n$p")
   }
 
+  test("vec_dot participates in whole-stage codegen (no fallback)") {
+    val df = Tables.t(spark, sfDir, "embeddings")
+      .select(functions.Vectors.dot(col("embedding"), col("embedding")).as("d"))
+    val p = plan(df)
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("vec_dot")),
+      s"vec_dot fell out of codegen:\n$p")
+  }
+
   test("knn plans contain no Window sort: top-k is the k-buffer aggregator") {
     // A Window.partitionBy(q_id) top-k shuffles every scored candidate
     // into ≤ #queries partitions and sorts each — parallelism collapses
