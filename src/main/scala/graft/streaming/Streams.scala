@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Streams {
 
+  /** Continuous tool-report ingest (ST6 over the audit plane): watch a
+    * drop directory for new report files and run any line-based parser
+    * (e.g. `ToolParsers.clamav`, `Parsers.avLogFindings`) over each
+    * micro-batch. Identical transform in batch and streaming — the file
+    * source replaces the reference's poll-rescan loop, exactly-once per
+    * file, no driver state.
+    */
+  def reportStream(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      parser: DataFrame => DataFrame): DataFrame =
+    parser(spark.readStream.text(dir))
+
   /** Tumbling-window per-type stats — the streaming twin of the
     * reference's fixed-interval metrics sampler. `tsCol` must be a
     * TimestampType column; watermarking bounds state (ST7 — strictly

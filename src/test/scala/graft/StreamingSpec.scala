@@ -95,6 +95,27 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("tool-report streaming ingest: dropped scan logs parse per micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("avdrop")
+    def drop(name: String, lines: String*): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name), lines.mkString("\n"))
+    drop("scan1.log",
+      "C:\\Users\\a\\evil.exe: Win.Trojan.Alpha FOUND",
+      "C:\\Users\\a\\fine.txt: OK")
+    val q = Streams.reportStream(spark, dir.toString, graft.parse.ToolParsers.clamav)
+      .writeStream.format("memory").queryName("avfind")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      drop("scan2.log", "C:\\Users\\b\\worse.dll: Win.Malware.Beta FOUND")
+      q.processAllAvailable()
+      val titles = spark.table("avfind").select("title").as[String].collect().toSet
+      assert(titles == Set("ClamAV: Win.Trojan.Alpha", "ClamAV: Win.Malware.Beta"))
+      val target = spark.table("avfind").select("target").as[String].collect().toSet
+      assert(target.contains("C:\\Users\\a\\evil.exe")) // last-colon split held in streaming too
+    } finally q.stop()
+  }
+
   test("sessionize: inline close on post-gap event AND timeout close for silent users") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Sessionize.Ev]
