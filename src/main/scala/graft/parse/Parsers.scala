@@ -74,11 +74,16 @@ object Parsers {
     timestamp_millis(regexp_extract(c, "/Date\\((\\d+)\\)/", 1).cast("long"))
 
   /** Integer state-code decode with Unknown(code) fallback (F14,
-    * network_mapper.py:36-50).
+    * network_mapper.py:36-50, 106-110): non-integer inputs (already
+    * decoded strings from some collectors) pass through unchanged,
+    * matching the reference's isinstance(int) branch.
     */
   def decodeState(c: Column, mapping: Map[Int, String]): Column = {
     val m = typedlit(mapping.map { case (k, v) => k.toString -> v })
-    coalesce(element_at(m, c.cast("string")), concat(lit("Unknown("), c.cast("string"), lit(")")))
+    val s = c.cast("string")
+    when(s.rlike("^-?\\d+$"),
+      coalesce(element_at(m, s), concat(lit("Unknown("), s, lit(")"))))
+      .otherwise(s)
   }
 
   /** Stateful text parse (F17, ListDLLs shape): banner-delimited

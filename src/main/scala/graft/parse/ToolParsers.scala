@@ -202,10 +202,13 @@ object ToolParsers {
     * per report file; section state never crosses files.
     */
   def listdlls(files: DataFrame): DataFrame = {
+    // item rule mirrors the reference: line starts with 0x and has ≥ 4
+    // whitespace fields (sysinternals.py:216-219) — only the FIRST
+    // field is required to be hex
     val sections = Parsers.sectionedReport(
       files,
       headerRe = "^\\s*(\\S.* pid: .*)$",
-      itemRe = "^\\s*(0x\\S+\\s+0x\\S+\\s+\\S+\\s+.*)$")
+      itemRe = "^\\s*(0x\\S+\\s+\\S+\\s+\\S+\\s+.*)$")
     sections
       .select(
         trim(regexp_extract(col("header"), "^(.*) pid: .*$", 1)).as("process"),
@@ -611,10 +614,17 @@ object ToolParsers {
       col("Execute").as("execute"),
       col("Arguments").as("arguments"),
       col("UserId").as("user_id"),
-      coalesce(
-        element_at(typedlit(Map(0 -> "Limited", 1 -> "Highest"))
-          .cast("map<string,string>"), col("RunLevel").cast("string")),
-        lit("Limited")).as("run_level"))
+      { // int codes decode with Limited default; pre-decoded strings
+        // pass through (persistence_auditor.py:153-157)
+        val s = col("RunLevel").cast("string")
+        when(s.isNull, lit("Limited"))
+          .when(s.rlike("^-?\\d+$"),
+            coalesce(
+              element_at(typedlit(Map(0 -> "Limited", 1 -> "Highest"))
+                .cast("map<string,string>"), s),
+              lit("Limited")))
+          .otherwise(s)
+      }.as("run_level"))
 
   /** Standard prefixes for task executables — system tools and env-var
     * roots count as standard (persistence_auditor.py:250-267).

@@ -271,6 +271,23 @@ class ToolParsersSpec extends SparkSpecBase {
       $"category" === "suspicious_task_path").count() == 0) // powershell.exe is standard
   }
 
+  test("state decode: pre-decoded string states pass through, ints map, unknown codes tag") {
+    import graft.parse.Parsers
+    val df = Seq("2", "5", "77", "Listen", "Ready").toDF("s")
+      .select(Parsers.decodeState($"s", ToolParsers.tcpStateMap).as("d"))
+    assert(df.as[String].collect().toSeq ==
+      Seq("Listen", "Established", "Unknown(77)", "Listen", "Ready"))
+    // scheduled tasks with string State/RunLevel (already-decoded input)
+    val t = ToolParsers.scheduledTasks(Seq(
+      ("T1", "\\", "Ready", "C:\\x.exe", null.asInstanceOf[String], "u", "Highest"),
+      ("T2", "\\", "3", "C:\\y.exe", null.asInstanceOf[String], "u", "1"))
+      .toDF("TaskName", "TaskPath", "State", "Execute", "Arguments", "UserId", "RunLevel"))
+    val m = t.select("task_name", "state", "run_level")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(m("T1") == (("Ready", "Highest")))
+    assert(m("T2") == (("Ready", "Highest")))
+  }
+
   test("run keys: 5 parsed; only non-standard drives flagged (user AppData accepted)") {
     val k = ToolParsers.runKeys(jsonArr("run_keys_output.json")).cache()
     assert(k.count() == 5)
