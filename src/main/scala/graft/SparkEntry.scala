@@ -23,7 +23,8 @@ object SparkEntry {
       (qp.TextQueries.queries, qp.TextQueries.oracles),
       (qp.DedupQueries.queries, qp.DedupQueries.oracles),
       (qp.VectorQueries.queries, qp.VectorQueries.oracles),
-      (qp.ParseQueries.queries, qp.ParseQueries.oracles)
+      (qp.ParseQueries.queries, qp.ParseQueries.oracles),
+      (qp.CurationQueries.queries, qp.CurationQueries.oracles)
     )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+
+/** Composite corpus-curation coverage: the end-to-end shape of a
+  * training-data pipeline (quality gate → exact dedup → token-budget
+  * rollup) as single oracle-gated queries. Each stage reuses the
+  * already-proven primitives (t03 quality, d01 fingerprint dedup), so
+  * the oracle checks the COMPOSITION — filter/dedup/aggregate all in
+  * one plan, one pass over the corpus plus one narrow fp shuffle.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
+
+  private val duckToksRaw =
+    """string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')"""
+
+  /** Quality-gated, exact-deduped token budget per (lang, source):
+    * which corpus slices survive curation and how many tokens they
+    * contribute. Keep-first (min doc_id) per fingerprint, computed
+    * WITHIN the filtered set (a low-quality duplicate must not shadow
+    * a high-quality survivor).
+    */
+  def c01CorpusCuration(s: SparkSession, dir: String): DataFrame = {
+    val enriched = docs(s, dir).select(
+      col("doc_id"), col("lang"), col("source"),
+      Text.tokenCount(col("text")).as("n_tokens"),
+      Text.qualityScore(col("text")).as("quality"),
+      Text.fingerprint(col("text")).as("fp"))
+    val filtered = enriched.filter(col("quality") >= 0.6 && col("n_tokens") >= 5)
+    val keepers = filtered.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    filtered.join(keepers, Seq("fp", "doc_id"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy("lang", "source")
+  }
+
+  val c01Oracle: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, source,
+       |    CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0 ELSE len($duckToksRaw) END AS n_tokens,
+       |    length(text) AS n_chars_calc,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents
+       |), scored AS (
+       |  SELECT *,
+       |    (least(CAST(n_chars_calc AS DOUBLE) / 200.0, 1.0) * 0.4
+       |     + (CASE WHEN n_chars_calc > 0 THEN n_alpha / CAST(n_chars_calc AS DOUBLE) ELSE 0.0 END) * 0.4
+       |     + (CASE WHEN CASE WHEN n_tokens > 0 THEN CAST(n_chars_calc AS DOUBLE) / n_tokens ELSE 0.0 END BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2) AS quality
+       |  FROM q
+       |), f AS (
+       |  SELECT * FROM scored WHERE quality >= 0.6 AND n_tokens >= 5
+       |), keepers AS (
+       |  SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp
+       |)
+       |SELECT f.lang AS lang, f.source AS source,
+       |  COUNT(*) AS n_docs, CAST(SUM(f.n_tokens) AS BIGINT) AS total_tokens
+       |FROM f JOIN keepers k ON f.fp = k.fp AND f.doc_id = k.doc_id
+       |GROUP BY f.lang, f.source ORDER BY lang, source""".stripMargin
+
+  /** Duplication profile per (lang, source): how much of each slice is
+    * exact-duplicate mass — the "what would dedup save" report.
+    */
+  def c02DupProfile(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("lang"), col("source"),
+      Text.fingerprint(col("text")).as("fp"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_removable"))
+      .orderBy("lang", "source")
+
+  val c02Oracle: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+      |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_removable
+      |FROM (SELECT lang, source,
+      |        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |      FROM documents)
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c01_corpus_curation" -> (c01CorpusCuration _),
+    "c02_dup_profile" -> (c02DupProfile _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "c01_corpus_curation" -> c01Oracle,
+    "c02_dup_profile" -> c02Oracle
+  )
+}
