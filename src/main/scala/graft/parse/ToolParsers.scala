@@ -83,17 +83,22 @@ object ToolParsers {
       Parsers.coalesceCols(rows, "__level", Seq("Level", "level")),
       "__title", Seq("RuleTitle", "rule_title"))
     val sev = Parsers.levelToSeverity(col("__level"))
+    // every raw field coalesces to "" — a missing CSV cell must not
+    // null out the whole concat'd description/target (reference
+    // row.get(..., "") semantics)
+    def f(name: String): Column = coalesce(col(name), lit(""))
     aliased
       .filter(if (includeInfo) lit(true) else sev =!= "info")
       .select(findingCols(
         tool = "hayabusa", category = "event_log_alert",
         severity = sev,
-        title = concat(lit("Hayabusa: "), col("__title")),
+        title = concat(lit("Hayabusa: "), coalesce(col("__title"), lit("Unknown rule"))),
         description = concat(
-          lit("["), col("__level"), lit("] "), col("__title"),
-          lit(" on "), col("Computer"),
-          lit(" (Channel: "), col("Channel"), lit(") — "), col("Details")),
-        target = concat(col("Computer"), lit(":"), col("Channel"))): _*)
+          lit("["), f("__level"), lit("] "),
+          coalesce(col("__title"), lit("Unknown rule")),
+          lit(" on "), f("Computer"),
+          lit(" (Channel: "), f("Channel"), lit(") — "), f("Details")),
+        target = concat(f("Computer"), lit(":"), f("Channel"))): _*)
   }
 
   /** Chainsaw JSON detections → findings (chainsaw.py:110-144): sigma
@@ -103,18 +108,24 @@ object ToolParsers {
     * detection array.
     */
   def chainsaw(rows: DataFrame): DataFrame = {
-    val lvl = coalesce(col("level"), lit("medium"))
+    // reference fallbacks: name → title → "Unknown detection";
+    // level → severity → "medium" (chainsaw.py:114-115) — only
+    // reference columns that exist in this frame's schema
+    def opt(name: String): Seq[Column] =
+      if (rows.columns.contains(name)) Seq(col(name)) else Seq.empty
+    val name = coalesce((opt("name") ++ opt("title") :+ lit("Unknown detection")): _*)
+    val lvl = coalesce((opt("level") ++ opt("severity") :+ lit("medium")): _*)
     val sev = Parsers.levelToSeverity(lvl)
-    val src = coalesce(col("source"), lit(""))
-    val ts = coalesce(col("timestamp"), lit(""))
+    val src = coalesce((opt("source") :+ lit("")): _*)
+    val ts = coalesce((opt("timestamp") :+ lit("")): _*)
     rows
       .filter(sev =!= "info")
       .select(findingCols(
         tool = "chainsaw", category = "event_log_alert",
         severity = sev,
-        title = concat(lit("Chainsaw: "), col("name")),
+        title = concat(lit("Chainsaw: "), name),
         description = concat_ws(" ",
-          col("name"),
+          name,
           when(ts =!= "", concat(lit("at "), ts)),
           when(src =!= "", concat(lit("in "), src))),
         target = src): _*)
@@ -273,7 +284,15 @@ object ToolParsers {
     */
   def yara(doc: DataFrame): DataFrame = {
     val m = doc.select(explode(col("matches")).as("m")).select("m.*")
-    val declared = lower(col("metadata.severity"))
+    // metadata is optional per rule AND per file — a corpus where no
+    // match carries metadata infers no such column at all
+    def meta(field: String): Column = m.schema.find(_.name == "metadata") match {
+      case Some(f) if f.dataType.isInstanceOf[StructType] &&
+          f.dataType.asInstanceOf[StructType].fieldNames.contains(field) =>
+        col(s"metadata.$field")
+      case _ => lit(null).cast("string")
+    }
+    val declared = lower(meta("severity"))
     val sev = when(declared.isin("critical", "high", "medium", "low", "info"), declared)
       .otherwise(lit("high"))
     m.select(findingCols(
@@ -281,11 +300,11 @@ object ToolParsers {
       severity = sev,
       title = concat(lit("YARA: "), col("rule")),
       description = concat(
-        coalesce(col("metadata.description"),
+        coalesce(meta("description"),
           concat(lit("YARA rule '"), col("rule"), lit("' matched"))),
         lit(" — matched in "), coalesce(col("file"), lit("unknown"))),
       target = coalesce(col("file"), lit("unknown")),
-      mitre = col("metadata.mitre_attack")): _*)
+      mitre = meta("mitre_attack")): _*)
   }
 
   // ------------------------------------------------------ hollows hunter

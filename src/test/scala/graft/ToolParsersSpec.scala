@@ -108,6 +108,18 @@ class ToolParsersSpec extends SparkSpecBase {
     assert(rows(1)._3 == null)
   }
 
+  test("yara without any metadata: defaults to high, no schema failure") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("yara_nometa")
+    Files.writeString(dir.resolve("out.json"),
+      """{"version": "1.13.0", "matches": [{"rule": "Bare_Rule", "file": "C:\\a.bin"}]}""")
+    val f = ToolParsers.yara(spark.read.option("multiLine", "true").json(dir.toString))
+    val row = f.select("title", "severity", "mitre").collect()(0)
+    assert(row.getString(0) == "YARA: Bare_Rule")
+    assert(row.getString(1) == "high")
+    assert(row.isNullAt(2))
+  }
+
   test("hollows_hunter: 2 suspicious processes; 5 findings with per-anomaly severities") {
     val procs = ToolParsers.hollowsHunterProcesses(wholeText("hollows_hunter_output.json")).cache()
     assert(procs.count() == 2) // notepad.exe has zero anomalies
