@@ -134,7 +134,57 @@ object EventQueries {
       |FROM events WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) >= 90
       |ORDER BY event_id""".stripMargin
 
+  /** Gap-based sessionization, batch twin of
+    * `streaming.Sessionize` (ST7/W): a session breaks when the gap to
+    * the previous event exceeds 30 minutes. Pure window functions, so
+    * the DuckDB oracle replays it exactly — the cross-engine proof of
+    * the session-assignment semantics the streaming path implements
+    * with flatMapGroupsWithState.
+    */
+  def e05SessionStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(asc("ts_us"), asc("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000")) // µs for oracle parity
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("ev"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum("ev").as("n_events"),
+        max("ev").as("max_session_events"))
+      .orderBy("user_id")
+  }
+
+  val e05Oracle: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events
+      |), flagged AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM t
+      |), sess AS (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_id
+      |  FROM flagged
+      |), per_session AS (
+      |  SELECT user_id, session_id, COUNT(*) AS ev FROM sess GROUP BY user_id, session_id
+      |)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(ev) AS BIGINT) AS n_events,
+      |  CAST(MAX(ev) AS BIGINT) AS max_session_events
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e05_session_stats" -> (e05SessionStats _),
     "e01_hourly_stats" -> (e01HourlyStats _),
     "e02_recent_events" -> (e02RecentEvents _),
     "e03_alerts" -> (e03Alerts _),
@@ -144,6 +194,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e05_session_stats" -> e05Oracle,
     "e01_hourly_stats" -> e01Oracle,
     "e02_recent_events" -> e02Oracle,
     "e03_alerts" -> e03Oracle,
