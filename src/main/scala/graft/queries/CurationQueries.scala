@@ -10,8 +10,16 @@ import graft.functions.Text
   * training-data pipeline (quality gate → exact dedup → token-budget
   * rollup) as single oracle-gated queries. Each stage reuses the
   * already-proven primitives (t03 quality, d01 fingerprint dedup), so
-  * the oracle checks the COMPOSITION — filter/dedup/aggregate all in
-  * one plan, one pass over the corpus plus one narrow fp shuffle.
+  * the oracle checks the COMPOSITION.
+  *
+  * Plan shape: keep-first via groupBy(min) + semi-join-shaped equi-join
+  * — two pruned scans and narrow fp shuffles. The single-scan
+  * alternative (row_number over a Window.partitionBy(fp)) was rejected
+  * deliberately: web-scale corpora have boilerplate documents duplicated
+  * millions of times, and a window ships every copy of a hot fingerprint
+  * to one task, while groupBy's map-side partial min absorbs exactly
+  * that skew. A 100 TB deployment would persist the narrow
+  * (doc_id, fp, n_tokens, quality) projection between the two passes.
   */
 object CurationQueries {
 
