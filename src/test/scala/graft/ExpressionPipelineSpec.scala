@@ -108,6 +108,57 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     assert(capped == exact, s"capped=$capped exact=$exact")
   }
 
+  test("TopKScored: randomized differential vs sort-based reference (with ties)") {
+    val rnd = new scala.util.Random(42)
+    // sims drawn from a tiny set to force plenty of ties; ids unique
+    val rows = (0 until 500).map { i =>
+      (s"g${rnd.nextInt(7)}", rnd.nextInt(5) * 0.25, i.toLong)
+    }
+    val k = 4
+    val got = rows.toDF("g", "sim", "id")
+      .groupBy("g")
+      .agg(graft.operators.TopK.topKScored(k)(col("sim"), col("id")).as("top"))
+      .select(col("g"), col("top"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getDouble(0), e.getLong(1))))
+      .toMap
+    val expected = rows.groupBy(_._1).view.mapValues { grp =>
+      grp.map(t => (t._2, t._3)).sortBy { case (s, id) => (-s, id) }.take(k)
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    for (g <- expected.keys)
+      assert(got(g) == expected(g), s"group $g: ${got(g)} vs ${expected(g)}")
+  }
+
+  test("jaccardPairs: randomized differential vs brute-force all-pairs") {
+    val rnd = new scala.util.Random(9)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val corpus = (0 until 60).map { i =>
+      val n = 4 + rnd.nextInt(6)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def shingleSet(text: String): Set[String] = {
+      val toks = text.toLowerCase.trim.split("\\s+").toSeq
+      (if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq
+       else Seq(toks.mkString(" "))).toSet
+    }
+    val sets = corpus.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val expected = (for {
+      a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+      inter = (sets(a) intersect sets(b)).size
+      uni = (sets(a) union sets(b)).size
+      j = inter.toDouble / uni if j >= 0.2
+    } yield (a, b, inter, uni)).toSet
+    val got = graft.operators.Dedup
+      .jaccardPairs(corpus.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        lit("x"), n = 3, minJaccard = 0.2, dfCap = 1000000)
+      .select("d1", "d2", "inter", "uni")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("groupPairs: connected components labeled by component-min id") {
     val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L), (9L, 3L)).toDF("d1", "d2")
     val got = graft.operators.Dedup.groupPairs(pairs)
