@@ -37,12 +37,40 @@ object HtmlReport {
   private def card(value: String, label: String, cls: String = ""): String =
     s"""<div class="card $cls"><div class="n">${esc(value)}</div><div class="l">${esc(label)}</div></div>"""
 
+  /** One "Top <metric> Users" table: (label, rows of (name, pid,
+    * formatted value, path)) — html_report.py:209-287.
+    */
+  final case class ResourceTable(label: String, rows: Seq[(String, Long, String, String)])
+
+  /** Resource tables from a process frame via the analyzer's top-N
+    * (one tiny collect per metric; ranking runs in Spark).
+    */
+  def resourceTables(
+      procs: DataFrame,
+      metrics: Seq[(String, String)] = Seq(
+        ("ram_mb", "Top RAM Users"), ("thread_count", "Top Thread Users"),
+        ("handle_count", "Top Handle Users")),
+      n: Int = 5): Seq[ResourceTable] =
+    metrics.map { case (metric, label) =>
+      val top = graft.analyze.ResourceAnalyzer.topBy(procs, metric, n)
+        .select("name", "pid", metric, "path").collect()
+        .map { r =>
+          val v = r.get(2) match {
+            case d: java.lang.Double => f"$d%.0f MB"
+            case x => String.valueOf(x)
+          }
+          (r.getString(0), r.getLong(1), v, Option(r.getString(3)).getOrElse(""))
+        }
+      ResourceTable(label, top.toSeq)
+    }
+
   def render(
       findings: DataFrame,
       title: String,
       topN: Int = 100,
       inventory: Seq[InventoryCard] = Nil,
-      steps: Seq[Pipeline.StageResult] = Nil): String = {
+      steps: Seq[Pipeline.StageResult] = Nil,
+      resources: Seq[ResourceTable] = Nil): String = {
     val sevCounts = Findings.severityCounts(findings).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val domCounts = Findings.domainCounts(findings).collect()
@@ -77,6 +105,20 @@ object HtmlReport {
           s"""<div class="card"><div class="n">${esc(c.value)}</div><div class="l">${esc(c.label)}$sub</div></div>"""
         }.mkString("\n")
         s"""<h2>System Inventory</h2>\n<div class="cards">$cards</div>"""
+      }
+
+    val resourceSection =
+      if (resources.isEmpty) ""
+      else {
+        val tables = resources.map { t =>
+          val rows = t.rows.map { case (name, pid, v, path) =>
+            s"<tr><td>${esc(name)}</td><td>$pid</td><td>${esc(v)}</td><td>${esc(path)}</td></tr>"
+          }.mkString("\n")
+          s"""<h3>${esc(t.label)}</h3>
+             |<table><tr><th>process</th><th>pid</th><th>value</th><th>path</th></tr>
+             |$rows</table>""".stripMargin
+        }.mkString("\n")
+        s"<h2>Top Resource Users</h2>\n$tables"
       }
 
     val stepsSection =
@@ -120,6 +162,7 @@ object HtmlReport {
        |<h3>Findings by Domain</h3>
        |<div class="cards">$domCards</div>
        |$inventorySection
+       |$resourceSection
        |$stepsSection
        |<h2>Top findings</h2>
        |<table><tr><th>severity</th><th>domain</th><th>title</th><th>resource</th><th>source</th></tr>

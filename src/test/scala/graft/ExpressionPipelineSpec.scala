@@ -216,6 +216,23 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     assert(html.indexOf("HIGH") < html.indexOf("MEDIUM"))
   }
 
+  test("html report: top-resource tables from the collector process frame") {
+    val procs = graft.parse.ToolParsers.processes(
+      spark.read.schema(graft.parse.ToolParsers.win32ProcessSchema)
+        .option("multiLine", "true")
+        .json("src/test/resources/fixtures/win32_process_output.json"))
+    val tables = HtmlReport.resourceTables(procs, n = 2)
+    assert(tables.map(_.label) ==
+      Seq("Top RAM Users", "Top Thread Users", "Top Handle Users"))
+    val ram = tables.head.rows
+    assert(ram.head._1 == "bigtool.exe" && ram.head._3 == "3072 MB")
+    assert(ram(1)._1 == "chrome.exe" && ram(1)._3 == "500 MB")
+    val fs = Findings.toDS(spark, Seq(
+      Finding("x", "", "low", "process", "r", "s", "{}"))).toDF()
+    val html = HtmlReport.render(fs, "R", resources = tables)
+    assert(html.contains("Top Resource Users") && html.contains("bigtool.exe"))
+  }
+
   test("html report: inventory cards and pipeline steps sections") {
     val fs = Findings.toDS(spark, Seq(
       Finding("Trojan found", "", "critical", "malware", "/x/a.exe", "av", "{}"))).toDF()
