@@ -31,6 +31,21 @@ object Streams {
       parser: DataFrame => DataFrame): DataFrame =
     parser(spark.readStream.text(dir))
 
+  /** Streaming exact content dedup: the d01 fingerprint dedup as a
+    * stream — normalized-text md5 as the dedup key, state bounded by
+    * the watermark horizon (a duplicate arriving later than the
+    * watermark delay is passed through; exactness within the horizon,
+    * bounded state — the only tenable trade at an unbounded stream's
+    * scale).
+    */
+  def dedupByContent(
+      df: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    df.withColumn("__fp", graft.functions.Text.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Tumbling-window per-type stats — the streaming twin of the
     * reference's fixed-interval metrics sampler. `tsCol` must be a
     * TimestampType column; watermarking bounds state (ST7 — strictly

@@ -95,6 +95,28 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dedupByContent: whitespace-variant duplicates collapse on the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.dedupByContent(df, "ts", "text")
+      .writeStream.format("memory").queryName("cdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:01"), 1L, "Hello  World"),
+        (Timestamp.valueOf("2024-01-01 00:00:02"), 2L, "hello world"), // normalize-dup of 1
+        (Timestamp.valueOf("2024-01-01 00:00:03"), 3L, "something else"))
+      q.processAllAvailable()
+      in.addData(
+        (Timestamp.valueOf("2024-01-01 00:01:00"), 4L, "HELLO   world"), // still within watermark
+        (Timestamp.valueOf("2024-01-01 00:01:01"), 5L, "brand new text"))
+      q.processAllAvailable()
+      val ids = spark.table("cdedup").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("tool-report streaming ingest: dropped scan logs parse per micro-batch") {
     val dir = java.nio.file.Files.createTempDirectory("avdrop")
     def drop(name: String, lines: String*): Unit =
