@@ -68,6 +68,45 @@ object ToolParsers {
   def isStandardOrUserPath(c: Column): Column =
     startsWithAny(normPath(c), standardPrefixes :+ "c:\\users\\")
 
+  /** Tool category → the engine's Finding domain taxonomy
+    * (analyze.Finding: process | network | persistence | malware |
+    * filesystem | system).
+    */
+  val categoryDomain: Map[String, String] = Map(
+    "event_log_alert" -> "system",
+    "persistence" -> "persistence",
+    "unsigned_binary" -> "filesystem",
+    "unsigned_dll" -> "process",
+    "malware_signature" -> "malware",
+    "suspicious_pattern" -> "malware",
+    "memory_anomaly" -> "process",
+    "unsigned_process" -> "process",
+    "non_standard_path" -> "process",
+    "many_external_connections" -> "network",
+    "suspicious_listener" -> "network",
+    "unquoted_service_path" -> "system",
+    "system_service_non_standard" -> "system",
+    "elevated_scheduled_task" -> "persistence",
+    "suspicious_task_path" -> "persistence",
+    "suspicious_run_key" -> "persistence")
+
+  /** Adapt any parser's finding frame to the engine's normalized
+    * `analyze.Finding` shape, so findings from every tool combine into
+    * one report (`Findings.combine` → severity/domain rollups →
+    * `HtmlReport`).
+    */
+  def toFindings(df: DataFrame): DataFrame =
+    df.select(
+      col("title"),
+      col("description"),
+      col("severity"),
+      coalesce(
+        element_at(typedlit(categoryDomain), col("category")),
+        lit("system")).as("domain"),
+      col("target").as("resource"),
+      col("tool_name").as("source"),
+      to_json(struct(df.columns.map(col): _*)).as("rawData"))
+
   // ------------------------------------------------------- event-log tools
 
   /** Hayabusa CSV timeline → findings (hayabusa.py:88-124): level →

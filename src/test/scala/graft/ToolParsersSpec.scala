@@ -300,6 +300,55 @@ class ToolParsersSpec extends SparkSpecBase {
     assert(m("T2") == (("Ready", "Highest")))
   }
 
+  test("end-to-end audit: all 13 fixtures → one combined report") {
+    import graft.analyze.Findings
+    import graft.pipeline.HtmlReport
+    val conns = ToolParsers.tcpConnections(
+      spark.read.schema(ToolParsers.tcpConnectionSchema)
+        .option("multiLine", "true").json(s"$fixtures/tcp_connection_output.json"))
+    val procs = ToolParsers.processes(
+      spark.read.schema(ToolParsers.win32ProcessSchema)
+        .option("multiLine", "true").json(s"$fixtures/win32_process_output.json"))
+    val svcs = ToolParsers.services(jsonArr("win32_service_output.json"))
+    val tasks = ToolParsers.scheduledTasks(jsonArr("scheduled_tasks_output.json"))
+    val keys = ToolParsers.runKeys(jsonArr("run_keys_output.json"))
+
+    val all = Findings.combine(Seq(
+      ToolParsers.hayabusa(csv("hayabusa_output.csv")),
+      ToolParsers.chainsaw(jsonArr("chainsaw_output.json")),
+      ToolParsers.autorunsc(csv("autorunsc_output.csv")),
+      ToolParsers.sigcheck(csv("sigcheck_output.csv")),
+      ToolParsers.listdlls(wholeText("listdlls_output.txt")),
+      ToolParsers.clamav(spark.read.text(s"$fixtures/clamscan_output.log")),
+      ToolParsers.yara(jsonArr("yara_output.json")),
+      ToolParsers.hollowsHunter(wholeText("hollows_hunter_output.json")),
+      ToolParsers.networkFindings(conns),
+      ToolParsers.processFindings(procs),
+      ToolParsers.serviceFindings(svcs),
+      ToolParsers.taskFindings(tasks),
+      ToolParsers.runKeyFindings(keys)).map(ToolParsers.toFindings)).cache()
+
+    // scanners: 4+2+3+2+3+3+2+5 = 24; collectors: net 2 + proc 1 +
+    // svc 2 + tasks 4 + runkeys 2 = 11
+    assert(all.count() == 35)
+    val bySev = all.groupBy("severity").count().as[(String, Long)].collect().toMap
+    // criticals: hayabusa 1, chainsaw 1, autorunsc VT 1, clamav 0 (high),
+    // yara 1, hollows replaced+implanted 2 = 6
+    assert(bySev("critical") == 6, s"$bySev")
+    val domains = all.select("domain").distinct().as[String].collect().toSet
+    assert(domains.subsetOf(Set("process", "network", "persistence", "malware", "filesystem", "system")))
+
+    val html = HtmlReport.render(all, "Full audit",
+      inventory = HtmlReport.inventoryFrom(
+        processes = Some(procs), services = Some(svcs), connections = Some(conns),
+        tasks = Some(tasks), runKeys = Some(keys)),
+      resources = HtmlReport.resourceTables(procs, n = 3))
+    assert(html.contains("Full audit") && html.contains("System Inventory"))
+    assert(html.contains("11L") == false) // sanity: no bogus card text
+    assert(html.contains("3L/8E")) // 11 connections, 3 listen, 8 established
+    assert(html.contains("Top Resource Users"))
+  }
+
   test("run keys: 5 parsed; only non-standard drives flagged (user AppData accepted)") {
     val k = ToolParsers.runKeys(jsonArr("run_keys_output.json")).cache()
     assert(k.count() == 5)
