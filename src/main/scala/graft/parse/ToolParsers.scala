@@ -486,7 +486,10 @@ object ToolParsers {
       .groupBy("pid")
       .agg(
         count(lit(1)).as("conn_count"),
-        first(col("process_name"), ignoreNulls = true).as("process_name"),
+        // max, not first(): first() is partition-order dependent; pid →
+        // name is functionally dependent in real snapshots, and max
+        // keeps the output deterministic even when it is not
+        max(col("process_name")).as("process_name"),
         size(collect_set(col("remote_address"))).as("addr_count"))
       .filter(col("conn_count") >= manyThreshold)
       .select(findingCols(
