@@ -65,6 +65,19 @@ class PlanSpec extends SparkSpecBase {
       s"expression fell out of codegen:\n$p")
   }
 
+  test("dedup family plans contain no cartesian product (candidate gen is equi-join)") {
+    import graft.queries.{DedupQueries => D, VectorQueries => V, CurationQueries => C}
+    for ((name, q) <- Seq(
+        "d02" -> D.d02JaccardPairs _, "d03" -> D.d03MinhashLsh _,
+        "d04" -> D.d04SimhashPairs _, "v04" -> V.v04EmbeddingNeardup _,
+        "c01" -> C.c01CorpusCuration _)) {
+      val p = plan(q(spark, sfDir))
+      assert(!p.contains("Cartesian"), s"$name plans a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name degrades to nested-loop join:\n$p")
+    }
+  }
+
   test("vec_dot participates in whole-stage codegen (no fallback)") {
     val df = Tables.t(spark, sfDir, "embeddings")
       .select(functions.Vectors.dot(col("embedding"), col("embedding")).as("d"))
