@@ -69,15 +69,16 @@ object VectorQueries {
        |  CAST(SUM(CAST(ROUND(${duckNorm("embedding")} * 1000000) AS BIGINT)) AS BIGINT) AS sum_norm_micro
        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
-  /** Sign-LSH approximate KNN (rows-only: recall is probabilistic;
-    * measured against brute force in ScalaTest).
+  /** Sign-LSH approximate KNN, two hash tables (rows-only: recall is
+    * probabilistic; recall dominance and bucket diversity are measured
+    * against brute force in ScalaTest).
     */
   def v03KnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Ann.knnLsh(
       e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
       e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
-      k = 5, bits = 4)
+      k = 5, bits = 4, tables = 2)
       .orderBy("q_id", "rank")
   }
 
