@@ -49,7 +49,17 @@ object Formats {
         r.option("header", options.getOrElse("header", "true"))
           .option("inferSchema", options.getOrElse("inferSchema", "true"))
           .csv(path)
-      case Json => r.option("multiLine", options.getOrElse("multiLine", "true")).json(path)
+      case Json =>
+        // multiLine default by shape: a Spark-written sink (directory of
+        // part files) is JSON-LINES — multiLine=true would silently keep
+        // only the FIRST object of each part file; a standalone .json
+        // file is document-style (tool outputs, API dumps). Callers can
+        // always override via options.
+        val f = new java.io.File(path.stripPrefix("file:"))
+        val sparkSink = f.isDirectory &&
+          Option(f.listFiles()).exists(_.exists(_.getName.startsWith("part-")))
+        val defaultMulti = if (sparkSink) "false" else "true"
+        r.option("multiLine", options.getOrElse("multiLine", defaultMulti)).json(path)
       case Xml => r.format("xml").option("rowTag", options.getOrElse("rowTag", "row")).load(path)
       case Parquet => r.parquet(path)
       case Text => r.text(path)

@@ -16,7 +16,11 @@ class EtlIndexSpec extends SparkSpecBase {
   private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
 
   test("csv/json/parquet round-trips preserve data") {
-    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    // coalesce(1): multiple rows MUST share one part file — a reader
+    // that only keeps the first record per file (e.g. multiLine JSON
+    // over a JSON-lines sink) passed this test when every row had its
+    // own part
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v").coalesce(1)
     for (ext <- Seq("csv", "json", "parquet")) {
       val dir = tmp(s"fmt-$ext") + s"/out.$ext"
       Formats.write(df, dir)
@@ -103,6 +107,36 @@ class EtlIndexSpec extends SparkSpecBase {
     // child writes nothing → reference treats the transform as identity
     val out = Transforms.pipe(df, Seq("sh", "-c", "cat > /dev/null"), identityOnEmpty = true)
     assert(out.collect().toSet == df.collect().toSet)
+  }
+
+  test("ETL job surface: full_etl with registered transform; failures captured") {
+    import graft.etl.EtlJobs
+    import graft.etl.EtlJobs._
+    val dir = tmp("etljobs")
+    Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "name", "v")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$dir/src.csv")
+    Transforms.register("double_v_job", df => df.withColumn("v", col("v") * 2))
+
+    val ok = EtlJobs.execute(spark, EtlJob(
+      "j1", FullEtl, s"$dir/src.csv", Some(s"$dir/out.parquet"),
+      transform = Some("double_v_job")))
+    assert(ok.status == "completed" && ok.rowsWritten.contains(2L))
+    val out = spark.read.parquet(s"$dir/out.parquet")
+    assert(out.select(sum("v")).as[Double].head() == 60.0)
+
+    // load = format conversion without transform
+    val conv = EtlJobs.execute(spark, EtlJob(
+      "j2", Load, s"$dir/out.parquet", Some(s"$dir/out.json")))
+    assert(conv.status == "completed" && conv.rowsWritten.contains(2L))
+    // Formats.read detects the Spark-written sink and reads JSON-lines
+    assert(Formats.read(spark, s"$dir/out.json").count() == 2)
+
+    // failures are captured as status, not thrown
+    val missing = EtlJobs.execute(spark, EtlJob("j3", Extract, s"$dir/nope.csv"))
+    assert(missing.status == "failed" && missing.error.nonEmpty)
+    val noScript = EtlJobs.execute(spark, EtlJob("j4", Transform, s"$dir/src.csv"))
+    assert(noScript.status == "failed" &&
+      noScript.error.exists(_.contains("Transform script not provided")))
   }
 
   test("file index + duplicate groups + wasted bytes + upsert") {
