@@ -39,26 +39,30 @@ object EtlJobs {
     try {
       val df0 = Formats.read(spark, job.sourcePath, options = job.parameters)
       val needsTransform = job.operation == Transform || job.operation == FullEtl
+      val piped = needsTransform && job.transform.isEmpty && job.transformCommand.nonEmpty
       val df: DataFrame =
         if (!needsTransform) df0
         else (job.transform, job.transformCommand) match {
           case (Some(name), _) => Transforms(name, df0)
-          case (None, Some(cmd)) => Transforms.pipe(df0, cmd, job.parameters)
+          case (None, Some(cmd)) =>
+            // identityOnEmpty: the reference passes input through when a
+            // transform script writes nothing (etl.py:216-220)
+            Transforms.pipe(df0, cmd, job.parameters, identityOnEmpty = true)
           case (None, None) if job.operation == Transform =>
             throw new IllegalArgumentException("Transform script not provided")
           case _ => df0 // full_etl without a transform passes through
         }
-      job.destinationPath match {
+      // piped transforms re-run the external command on EVERY pass over
+      // the plan (inference, write, count) — pin the result once
+      val pinned = if (piped) df.cache() else df
+      try job.destinationPath match {
         case Some(dest) =>
-          // count once, write from the same frame — a narrow second scan
-          // beats a silent no-count; report-scale jobs won't feel it and
-          // large jobs can pass destinationPath-only operations
-          Formats.write(df, dest)
-          EtlResult(job, "completed", None, Some(df.count()))
+          Formats.write(pinned, dest)
+          EtlResult(job, "completed", None, Some(pinned.count()))
         case None =>
-          df.count() // materialize like the reference's extract-without-dest
+          pinned.count() // materialize like the reference's extract-without-dest
           EtlResult(job, "completed", None, None)
-      }
+      } finally if (piped) pinned.unpersist()
     } catch {
       case e: Exception => EtlResult(job, "failed", Option(e.getMessage), None)
     }

@@ -54,10 +54,15 @@ object Formats {
         // part files) is JSON-LINES — multiLine=true would silently keep
         // only the FIRST object of each part file; a standalone .json
         // file is document-style (tool outputs, API dumps). Callers can
-        // always override via options.
-        val f = new java.io.File(path.stripPrefix("file:"))
-        val sparkSink = f.isDirectory &&
-          Option(f.listFiles()).exists(_.exists(_.getName.startsWith("part-")))
+        // always override via options. The check goes through the Hadoop
+        // FileSystem so hdfs:// and s3a:// sinks are detected too, not
+        // just file://.
+        val sparkSink = try {
+          val hPath = new org.apache.hadoop.fs.Path(path)
+          val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+          fs.isDirectory(hPath) &&
+            fs.listStatus(hPath).exists(_.getPath.getName.startsWith("part-"))
+        } catch { case _: Exception => false }
         val defaultMulti = if (sparkSink) "false" else "true"
         r.option("multiLine", options.getOrElse("multiLine", defaultMulti)).json(path)
       case Xml => r.format("xml").option("rowTag", options.getOrElse("rowTag", "row")).load(path)

@@ -21,10 +21,19 @@ object Vectors {
     * pairs. Arithmetic is the identical strict left-to-right double
     * fold, so results stay bit-equal to the HOF form and the DuckDB
     * oracles.
+    *
+    * Built directly from the Expression (not `call_function`) so it
+    * works on ANY SparkSession — sessions without
+    * `spark.sql.extensions=graft.GraftExtensions` still get the native
+    * path; the registration only adds the SQL-text surface.
     */
-  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.expr.VecDot(
+        org.apache.spark.sql.GraftColumnShim.expression(a),
+        org.apache.spark.sql.GraftColumnShim.expression(b)))
 
-  def norm2(a: Column): Column = sqrt(call_function("vec_dot", a, a))
+  def norm2(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))

@@ -28,11 +28,16 @@ object Ann {
 
   /** Per-query top-k over a scored candidate frame with columns
     * (q_id, b_id, sim). Map-side partial top-k; output keeps b_id's
-    * original type and a 1-based int rank, matching the window shape
-    * bit-for-bit.
+    * original type and a 1-based int rank. The aggregator buffers ids
+    * as longs, so b_id must be an integral column — a string/uuid id
+    * would silently cast to NULL, hence the explicit check.
     */
   private def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val idType: DataType = scored.schema("b_id").dataType
+    require(
+      Seq("tinyint", "smallint", "int", "bigint").contains(idType.simpleString),
+      s"knn id column must be integral (got ${idType.simpleString}); " +
+        "map non-numeric ids to a surrogate long (e.g. monotonically_increasing_id) first")
     scored
       .groupBy("q_id")
       .agg(TopK.topKScored(k)(col("sim"), col("b_id").cast("long")).as("top"))

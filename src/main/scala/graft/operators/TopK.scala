@@ -57,8 +57,19 @@ object TopK {
     * rows per (partition, group) instead of the full candidate stream.
     */
   class TopKScored(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
-    private def beats(a: ScoredId, b: ScoredId): Boolean =
-      a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+    /** Total order, NaN-safe: raw `>` is not a strict weak ordering when
+      * NaN appears (a zero-norm vector's cosine) — sortWith/TimSort can
+      * throw "Comparison method violates its general contract" and
+      * NaN rows rank nondeterministically. Double.compare totally orders
+      * NaN as largest (matching Window's descending sort, which Spark
+      * treats NaN as the largest double); `+ 0.0` first collapses -0.0
+      * to 0.0 so zero-similarity ties still break by id like SQL
+      * equality would.
+      */
+    private def beats(a: ScoredId, b: ScoredId): Boolean = {
+      val c = java.lang.Double.compare(a.sim + 0.0, b.sim + 0.0)
+      c > 0 || (c == 0 && a.id < b.id)
+    }
 
     override def zero: Seq[ScoredId] = Seq.empty
 

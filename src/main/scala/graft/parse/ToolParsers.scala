@@ -263,7 +263,13 @@ object ToolParsers {
       .select(
         trim(regexp_extract(col("header"), "^(.*) pid: .*$", 1)).as("process"),
         trim(regexp_extract(col("header"), "^.* pid: (.*)$", 1)).as("pid"),
-        array_join(slice(split(trim(col("item")), "\\s+"), 4, Int.MaxValue), " ").as("dll_path"))
+        // length = size(parts), NOT Int.MaxValue: interpreted Slice
+        // computes start+length with raw int add, and 3 + MaxValue
+        // wraps negative → empty result outside codegen
+        {
+          val parts = split(trim(col("item")), "\\s+")
+          array_join(slice(parts, lit(4), size(parts)), " ").as("dll_path")
+        })
       .select((findingCols(
         tool = "listdlls", category = "unsigned_dll",
         severity = lit("medium"),
@@ -465,7 +471,10 @@ object ToolParsers {
       coalesce(col("LocalPort"), lit(0L)).as("local_port"),
       col("RemoteAddress").as("remote_address"),
       col("RemotePort").as("remote_port"),
-      Parsers.decodeState(col("State"), tcpStateMap).as("state"),
+      // missing State defaults to 0 like the reference's entry.get("State", 0)
+      // (string-typed coalesce: a pre-decoded string state must not be
+      // ANSI-cast to BIGINT)
+      Parsers.decodeState(coalesce(col("State").cast("string"), lit("0")), tcpStateMap).as("state"),
       coalesce(col("OwningProcess"), lit(0L)).as("pid"),
       col("ProcessName").as("process_name"),
       when(coalesce(col("RemoteAddress"), lit("")) === "", lit(false))
@@ -542,13 +551,17 @@ object ToolParsers {
     * WMI /Date(ms)/ creation time, DOMAIN\user when owner known.
     */
   def processes(rows: DataFrame): DataFrame = {
-    val hasOwner = rows.columns.contains("OwnerUser")
-    val user =
-      if (!hasOwner) lit(null).cast("string")
-      else when(col("OwnerUser").isNotNull,
-        when(col("OwnerDomain").isNotNull,
-          concat(col("OwnerDomain"), lit("\\"), col("OwnerUser")))
-          .otherwise(col("OwnerUser")))
+    // owner columns are optional INDEPENDENTLY: a dump can carry
+    // OwnerUser without OwnerDomain (the reference reads each per-row)
+    val ownerUser =
+      if (rows.columns.contains("OwnerUser")) col("OwnerUser")
+      else lit(null).cast("string")
+    val ownerDomain =
+      if (rows.columns.contains("OwnerDomain")) col("OwnerDomain")
+      else lit(null).cast("string")
+    val user = when(ownerUser.isNotNull,
+      when(ownerDomain.isNotNull, concat(ownerDomain, lit("\\"), ownerUser))
+        .otherwise(ownerUser))
     rows.select(
       coalesce(col("ProcessId"), lit(0L)).as("pid"),
       coalesce(col("Name"), lit("")).as("name"),
@@ -671,7 +684,10 @@ object ToolParsers {
     rows.select(
       coalesce(col("TaskName"), lit("")).as("task_name"),
       coalesce(col("TaskPath"), lit("")).as("task_path"),
-      Parsers.decodeState(col("State"), taskStateMap).as("state"),
+      // missing State → 0 → "Unknown" (persistence_auditor.py:147-149);
+      // a null state must not silently drop the task from findings, and
+      // the coalesce stays string-typed so "Ready" isn't ANSI-cast
+      Parsers.decodeState(coalesce(col("State").cast("string"), lit("0")), taskStateMap).as("state"),
       col("Execute").as("execute"),
       col("Arguments").as("arguments"),
       col("UserId").as("user_id"),

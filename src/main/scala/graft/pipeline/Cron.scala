@@ -30,11 +30,16 @@ object Cron {
         case _ => throw new IllegalArgumentException(s"bad cron $name field: $part")
       }
       require(step > 0, s"bad cron step in $name: $part")
+      val hasStep = part.contains("/")
       val (lo, hi) = body match {
         case "*" => (min, max)
         case b if b.contains("-") =>
           val Array(l, h) = b.split("-", 2); (l.trim.toInt, h.trim.toInt)
-        case b => val v = b.trim.toInt; (v, v)
+        case b =>
+          val v = b.trim.toInt
+          // vixie/croniter: a single value WITH a step means "from v to
+          // max" ("8/6" in the hour field = 8,14,20), not just {v}
+          if (hasStep) (v, max) else (v, v)
       }
       require(lo >= min && hi <= max && lo <= hi, s"cron $name out of range: $part")
       (lo to hi by step)

@@ -92,7 +92,7 @@ object ParseQueries {
        |  SELECT * FROM read_json('$fixturesDir/tcp_connection_output.json')
        |), norm AS (
        |  SELECT
-       |    CASE CAST(State AS INT)
+       |    CASE CAST(COALESCE(State, 0) AS INT)
        |      WHEN 1 THEN 'Closed' WHEN 2 THEN 'Listen' WHEN 3 THEN 'SynSent'
        |      WHEN 4 THEN 'SynReceived' WHEN 5 THEN 'Established'
        |      WHEN 6 THEN 'FinWait1' WHEN 7 THEN 'FinWait2' WHEN 8 THEN 'CloseWait'

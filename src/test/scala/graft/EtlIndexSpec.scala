@@ -131,6 +131,14 @@ class EtlIndexSpec extends SparkSpecBase {
     // Formats.read detects the Spark-written sink and reads JSON-lines
     assert(Formats.read(spark, s"$dir/out.json").count() == 2)
 
+    // piped transform writing nothing → identity passthrough (reference
+    // etl.py:216-220), not an empty destination
+    val idEmpty = EtlJobs.execute(spark, EtlJob(
+      "j5", FullEtl, s"$dir/src.csv", Some(s"$dir/out2.parquet"),
+      transformCommand = Some(Seq("sh", "-c", "cat > /dev/null"))))
+    assert(idEmpty.status == "completed" && idEmpty.rowsWritten.contains(2L))
+    assert(spark.read.parquet(s"$dir/out2.parquet").count() == 2)
+
     // failures are captured as status, not thrown
     val missing = EtlJobs.execute(spark, EtlJob("j3", Extract, s"$dir/nope.csv"))
     assert(missing.status == "failed" && missing.error.nonEmpty)

@@ -131,6 +131,28 @@ class ExpressionPipelineSpec extends SparkSpecBase {
       assert(got(g) == expected(g), s"group $g: ${got(g)} vs ${expected(g)}")
   }
 
+  test("TopKScored: NaN sims neither throw nor vanish; rank first like a desc window") {
+    val rows = Seq(
+      ("g", Double.NaN, 1L), ("g", 0.9, 2L), ("g", 0.8, 3L),
+      ("g", Double.NaN, 4L), ("g", 0.7, 5L), ("g", -0.0, 6L), ("g", 0.0, 7L))
+    val got = rows.toDF("g", "sim", "id")
+      .groupBy("g")
+      .agg(graft.operators.TopK.topKScored(4)(col("sim"), col("id")).as("top"))
+      .select(explode(col("top.id")).as("id")).as[Long].collect().toSeq
+    // NaN ranks largest (ids 1, 4), then 0.9, 0.8; -0.0 == 0.0 ties by id
+    assert(got == Seq(1L, 4L, 2L, 3L), s"got $got")
+  }
+
+  test("knn requires integral ids with a clear error (no silent null cast)") {
+    val base = Seq(("a", Array(1.0f, 0.0f)), ("b", Array(0.0f, 1.0f))).toDF("id", "emb")
+    val qs = Seq(("q", Array(1.0f, 0.0f))).toDF("id", "emb")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Ann.knnBruteForce(
+        base, col("id"), col("emb"), qs, col("id"), col("emb"), 1)
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
   test("jaccardPairs: randomized differential vs brute-force all-pairs") {
     val rnd = new scala.util.Random(9)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")

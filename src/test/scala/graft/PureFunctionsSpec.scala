@@ -55,6 +55,13 @@ class PureFunctionsSpec extends AnyFunSuite {
     // impossible dates throw instead of looping forever
     intercept[IllegalArgumentException](Cron.nextFire("0 0 30 2 *", t))
     intercept[IllegalArgumentException](Cron.nextFire("bogus", t))
+    // vixie N/step = "from N to max by step": 8/6 hours = 8, 14, 20
+    assert(Cron.nextFire("0 8/6 * * *", LocalDateTime.of(2026, 8, 12, 0, 0)) ==
+      LocalDateTime.of(2026, 8, 12, 8, 0))
+    assert(Cron.nextFire("0 8/6 * * *", LocalDateTime.of(2026, 8, 12, 8, 30)) ==
+      LocalDateTime.of(2026, 8, 12, 14, 0))
+    assert(Cron.nextFire("0 8/6 * * *", LocalDateTime.of(2026, 8, 12, 20, 30)) ==
+      LocalDateTime.of(2026, 8, 13, 8, 0))
   }
 
   test("property: cron nextFire is strictly-after and matches its spec") {
