@@ -57,6 +57,10 @@ object Glob {
       case '?' => "_"
       case '%' => "\\%"
       case '_' => "\\_"
+      // '\' is the LIKE escape character: a literal backslash (Windows
+      // paths — the reference's primary glob domain) must be doubled or
+      // the pattern is an invalid escape sequence
+      case '\\' => "\\\\"
       case c => c.toString
     }
 

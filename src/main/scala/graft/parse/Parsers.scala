@@ -17,12 +17,16 @@ object Parsers {
   /** Sigma/Hayabusa-style level → severity normalization (F12,
     * reference /root/reference/src/audit/result_parser.py:158-183).
     */
-  def levelToSeverity(level: Column): Column =
-    when(lower(level).isin("critical", "crit"), "critical")
-      .when(lower(level).isin("high"), "high")
-      .when(lower(level).isin("medium", "med"), "medium")
-      .when(lower(level).isin("low"), "low")
+  def levelToSeverity(level: Column): Column = {
+    // trim as well as lowercase — the reference strips (result_parser
+    // .py:171), and a padded CSV cell (' high') must not fall to info
+    val l = lower(trim(level))
+    when(l.isin("critical", "crit"), "critical")
+      .when(l.isin("high"), "high")
+      .when(l.isin("medium", "med"), "medium")
+      .when(l.isin("low"), "low")
       .otherwise("info")
+  }
 
   /** Column-name alias normalization (schema-on-read defense, e.g.
     * "RuleTitle" vs "rule_title" — hayabusa.py:103-107).

@@ -25,8 +25,7 @@ object CurationQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
 
-  private val duckToksRaw =
-    """string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')"""
+  private val duckToksRaw = DuckOracle.toksRaw
 
   /** Quality-gated, exact-deduped token budget per (lang, source):
     * which corpus slices survive curation and how many tokens they

@@ -160,7 +160,7 @@ object ParseQueries {
        |  SELECT Name AS name, RegistryPath AS registry_path,
        |    CASE WHEN regexp_matches(trim(Value), '^"[^"]*"')
        |         THEN regexp_extract(trim(Value), '^"([^"]*)"', 1)
-       |         ELSE split_part(trim(Value), ' ', 1) END AS exe_path
+       |         ELSE string_split_regex(trim(Value), '\\s+')[1] END AS exe_path
        |  FROM k
        |), n AS (
        |  SELECT name, registry_path, exe_path,

@@ -15,13 +15,9 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
 
-  /** DuckDB: whitespace tokens of the raw / normalized text (regex trim
-    * mirrors graft Text.tokens — SQL trim() only strips spaces).
-    */
-  private val duckToksRaw =
-    """string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')"""
-  private val duckToksNorm =
-    """string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')"""
+  /** DuckDB tokenizer twins — shared, single-owner (see DuckOracle). */
+  private val duckToksRaw = DuckOracle.toksRaw
+  private val duckToksNorm = DuckOracle.toksNorm
 
   /** Token counting: whitespace + BPE-ish subword counts (SURVEY add-on:
     * training-data token accounting).

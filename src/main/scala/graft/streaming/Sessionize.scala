@@ -60,7 +60,15 @@ object Sessionize {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1, sumValue = s.sumValue + e.value))
+                  // late-but-within-watermark events can arrive in a LATER
+                  // micro-batch with t < s.last (or even < s.start): merge
+                  // must extend bounds monotonically, never move them
+                  // backwards — a shrunken `last` would mis-split the next
+                  // gap check and emit sessionEnd < sessionStart
+                  cur = Some(s.copy(
+                    start = math.min(s.start, t),
+                    last = math.max(s.last, t),
+                    n = s.n + 1, sumValue = s.sumValue + e.value))
                 case Some(s) =>
                   out += close(userId, s)
                   cur = Some(SessionState(t, t, 1, e.value))

@@ -50,6 +50,12 @@ object Streams {
     * reference's fixed-interval metrics sampler. `tsCol` must be a
     * TimestampType column; watermarking bounds state (ST7 — strictly
     * stronger than the reference's unbounded in-memory list).
+    *
+    * `sum_value` sums raw doubles (the reference's semantics): exact up
+    * to summation order, which partial aggregation does not fix across
+    * runs. Pipelines needing bit-reproducible money totals route the
+    * value through integer cents (graft.functions.Money) first — the
+    * convention every oracle-gated batch twin follows.
     */
   def windowedStats(
       events: DataFrame,
@@ -92,16 +98,21 @@ object Streams {
   def dedupEvents(df: DataFrame, tsCol: String, idCol: String, watermark: String = "10 minutes"): DataFrame =
     df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(Seq(idCol))
 
-  /** Batch form of "keep the last N" retention (ST2/T5). True streaming
-    * retention is time-based ([[retentionByAge]]) — a global total-order
-    * last-N is inherently a batch/sink-side concept, which is the one
-    * documented semantic difference from the reference.
+  /** Batch form of "keep the last N" retention (ST2/T5) — a global
+    * total-order last-N is inherently a batch/sink-side concept, the
+    * one documented semantic difference from the reference.
     */
   def lastN(df: DataFrame, n: Int, orderCols: Seq[Column]): DataFrame =
     df.orderBy(orderCols: _*).limit(n)
 
   /** Time-based retention: keep rows younger than `maxAge` relative to
     * the data's own max timestamp (deterministic, no wall-clock).
+    *
+    * BATCH-ONLY like [[lastN]]: the global max + cross join is rejected
+    * by Spark's streaming checker. On a live stream, retention is what
+    * the WATERMARK does — windowed aggs ([[windowedStats]]) and dedup
+    * state already evict beyond the horizon; sink-side retention runs
+    * this function over the sink table between batches.
     */
   def retentionByAge(df: DataFrame, tsCol: String, maxAge: String): DataFrame = {
     val horizon = df.agg(max(col(tsCol)).as("mx"))

@@ -124,6 +124,9 @@ class PureFunctionsSpec extends AnyFunSuite {
     assert(Glob.globToLike("*.csv") == "%.csv")
     assert(Glob.globToLike("a?c") == "a_c")
     assert(Glob.globToLike("100%_done*") == "100\\%\\_done%")
+    // literal backslash (Windows paths) must be doubled: '\' is the
+    // LIKE escape character
+    assert(Glob.globToLike("C:\\Win\\*") == "C:\\\\Win\\\\%")
   }
 
   test("property: literal globs (no wildcards) match themselves") {

@@ -95,6 +95,33 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionize: late in-watermark event never shrinks session bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sessionize.Ev]
+    val out = Sessionize.sessions(in.toDS(), gapMs = 60000L, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("latesess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Sessionize.Ev(1L, Timestamp.valueOf("2024-01-01 00:00:30"), "a", 1.0))
+      out.processAllAvailable()
+      // batch 2: a LATE event 10 s earlier — must extend start, not move last back
+      in.addData(Sessionize.Ev(1L, Timestamp.valueOf("2024-01-01 00:00:20"), "a", 2.0))
+      out.processAllAvailable()
+      // far-future event from another user pushes the watermark past the deadline
+      in.addData(Sessionize.Ev(2L, Timestamp.valueOf("2024-01-01 03:00:00"), "a", 0.0))
+      out.processAllAvailable()
+      val rows = spark.table("latesess")
+        .filter($"userId" === 1L)
+        .select("sessionStart", "sessionEnd", "nEvents")
+        .as[(Timestamp, Timestamp, Int)].collect()
+      assert(rows.length == 1)
+      val (start, end, n) = rows(0)
+      assert(n == 2)
+      assert(start == Timestamp.valueOf("2024-01-01 00:00:20"))
+      assert(end == Timestamp.valueOf("2024-01-01 00:00:30"), s"late event shrank last to $end")
+    } finally out.stop()
+  }
+
   test("dedupByContent: whitespace-variant duplicates collapse on the stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]

@@ -141,6 +141,13 @@ class ToolParsersSpec extends SparkSpecBase {
     assert(replaced.select("mitre").as[String].head() == "T1055.012")
   }
 
+  test("levelToSeverity trims padded cells (reference .strip() parity)") {
+    import graft.parse.Parsers
+    val got = Seq(" high", "HIGH ", " Critical ", "low", "  ").toDF("l")
+      .select(Parsers.levelToSeverity($"l").as("s")).as[String].collect().toSeq
+    assert(got == Seq("high", "high", "critical", "low", "info"))
+  }
+
   test("hayabusa includeInfo keeps the info row the default path drops") {
     val all = ToolParsers.hayabusa(csv("hayabusa_output.csv"), includeInfo = true)
     assert(all.count() == 5)
