@@ -31,9 +31,13 @@ object BaselineDiff {
       .unionByName(removed(current, baseline, keys).withColumn("change_type", lit("removed")))
       .withColumn("category", lit(category))
 
-  /** Per-category/change counts + total (A9). */
+  /** Per-category/change counts + total (A9). Projects to the two
+    * rollup columns BEFORE the union — diff categories carry
+    * heterogeneous payload schemas (process vs listener columns), which
+    * a full-row unionByName would reject.
+    */
   def summary(diffs: Seq[DataFrame]): DataFrame =
-    diffs.reduce(_.unionByName(_))
+    diffs.map(_.select("category", "change_type")).reduce(_.unionByName(_))
       .groupBy("category", "change_type").count()
       .orderBy("category", "change_type")
 

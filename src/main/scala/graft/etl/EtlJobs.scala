@@ -39,7 +39,6 @@ object EtlJobs {
     try {
       val df0 = Formats.read(spark, job.sourcePath, options = job.parameters)
       val needsTransform = job.operation == Transform || job.operation == FullEtl
-      val piped = needsTransform && job.transform.isEmpty && job.transformCommand.nonEmpty
       val df: DataFrame =
         if (!needsTransform) df0
         else (job.transform, job.transformCommand) match {
@@ -52,9 +51,13 @@ object EtlJobs {
             throw new IllegalArgumentException("Transform script not provided")
           case _ => df0 // full_etl without a transform passes through
         }
-      // piped transforms re-run the external command on EVERY pass over
-      // the plan (inference, write, count) — pin the result once
-      val pinned = if (piped) df.cache() else df
+      // write + count are two passes over the plan: pin the frame so a
+      // transform (external command OR registered fn over an
+      // inferSchema CSV read) computes once. Reference jobs are
+      // report-sized (pandas in-memory); callers with lake-scale inputs
+      // use Formats/Transforms directly.
+      val pin = needsTransform || job.destinationPath.nonEmpty
+      val pinned = if (pin) df.cache() else df
       try job.destinationPath match {
         case Some(dest) =>
           Formats.write(pinned, dest)
@@ -62,7 +65,7 @@ object EtlJobs {
         case None =>
           pinned.count() // materialize like the reference's extract-without-dest
           EtlResult(job, "completed", None, None)
-      } finally if (piped) pinned.unpersist()
+      } finally if (pin) pinned.unpersist()
     } catch {
       case e: Exception => EtlResult(job, "failed", Option(e.getMessage), None)
     }

@@ -20,9 +20,8 @@ object Formats {
   case object Excel extends Fmt { val name = "xlsx" }
 
   /** Extension → format, mirroring the reference's suffix dispatch. */
-  def ofPath(path: String): Fmt = {
-    val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
-    ext match {
+  def ofPath(path: String): Fmt =
+    ext(path) match {
       case "csv" | "tsv" => Csv
       case "json" | "jsonl" | "ndjson" => Json
       case "xml" => Xml
@@ -33,7 +32,15 @@ object Formats {
         "legacy .xls (OLE2 binary) is not supported; convert to .xlsx or CSV")
       case other => throw new IllegalArgumentException(s"Unsupported format: .$other")
     }
-  }
+
+  private def ext(path: String): String =
+    path.reverse.takeWhile(_ != '.').reverse.toLowerCase
+
+  /** Line-delimited by NAME: .jsonl/.ndjson must never default to
+    * multiLine (which keeps only the first record per file).
+    */
+  private def isJsonLinesExt(path: String): Boolean =
+    Seq("jsonl", "ndjson").contains(ext(path))
 
   /** Read with sensible defaults per format; `options` pass through like
     * the reference's `csv_options`/`json_options`.
@@ -48,6 +55,9 @@ object Formats {
       case Csv =>
         r.option("header", options.getOrElse("header", "true"))
           .option("inferSchema", options.getOrElse("inferSchema", "true"))
+          // .tsv means tab-separated — the comma default would parse
+          // every line into one garbage column
+          .option("sep", options.getOrElse("sep", if (ext(path) == "tsv") "\t" else ","))
           .csv(path)
       case Json =>
         // multiLine default by shape: a Spark-written sink (directory of
@@ -63,7 +73,7 @@ object Formats {
           fs.isDirectory(hPath) &&
             fs.listStatus(hPath).exists(_.getPath.getName.startsWith("part-"))
         } catch { case _: Exception => false }
-        val defaultMulti = if (sparkSink) "false" else "true"
+        val defaultMulti = if (sparkSink || isJsonLinesExt(path)) "false" else "true"
         r.option("multiLine", options.getOrElse("multiLine", defaultMulti)).json(path)
       case Xml => r.format("xml").option("rowTag", options.getOrElse("rowTag", "row")).load(path)
       case Parquet => r.parquet(path)
@@ -83,7 +93,9 @@ object Formats {
       options: Map[String, String] = Map.empty): Unit = {
     val w = df.write.mode(mode).options(options)
     fmt.getOrElse(ofPath(path)) match {
-      case Csv => w.option("header", options.getOrElse("header", "true")).csv(path)
+      case Csv => w.option("header", options.getOrElse("header", "true"))
+        .option("sep", options.getOrElse("sep", if (ext(path) == "tsv") "\t" else ","))
+        .csv(path)
       case Json => w.json(path)
       case Xml => w.format("xml").option("rootTag", options.getOrElse("rootTag", "rows"))
         .option("rowTag", options.getOrElse("rowTag", "row")).save(path)

@@ -61,7 +61,15 @@ object Transforms {
       s"timeout ${timeoutSec}s " + command.map(a => "'" + a.replace("'", "'\\''") + "'").mkString(" ") +
         " || { [ $? -eq 124 ] && echo 'TRANSFORM TIMEOUT' >&2 && exit 124; }")
     val out = df.toJSON.rdd.pipe(cmd, env)
-    val ds = spark.createDataset(out)(org.apache.spark.sql.Encoders.STRING)
+    val ds0 = spark.createDataset(out)(org.apache.spark.sql.Encoders.STRING)
+    // pin the child's output whenever MORE than one pass will read it
+    // (schema inference, the isEmpty probe, the caller's action): an
+    // uncached pipe re-executes the external command per pass — wrong
+    // for side-effecting or non-deterministic scripts, and N× the cost
+    // for everything else. The cache lives until the caller's
+    // clearCache (Verify/Bench do this between pipelines).
+    val multiPass = schema.isEmpty || identityOnEmpty
+    val ds = if (multiPass) ds0.cache() else ds0
     val parsed = schema match {
       case Some(s) => spark.read.schema(s).json(ds)
       case None => spark.read.json(ds)

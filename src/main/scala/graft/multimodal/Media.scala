@@ -206,7 +206,11 @@ object Media {
     StructField("mime", StringType, nullable = true),
     StructField("content", BinaryType, nullable = true)))
 
-  /** Feature-extraction output schema (fixed-width float vector). */
+  /** Feature-extraction output schema. (The float-array width is a
+    * runtime property of the extractor, not something StructType can
+    * encode — the `dim` parameter exists only so call sites document
+    * which width they expect.)
+    */
   def featureSchema(dim: Int): StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("modality", StringType, nullable = false),
@@ -241,7 +245,6 @@ object Media {
     * `mapInPandas` would have in PySpark.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
-    val spark = media.sparkSession
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema(dim))
     media.select("media_id", "modality", "content").mapPartitions { rows =>
       rows.map { r =>

@@ -58,11 +58,16 @@ object Ann {
       k: Int): DataFrame = {
     // norms hoisted to once per ROW (not once per scored pair): the
     // division keeps cosine's exact op sequence, so results stay
-    // bit-identical while the per-pair work drops to one dot fold
+    // bit-identical while the per-pair work drops to one dot fold.
+    // Zero-norm vectors are EXCLUDED before scoring: cosine is
+    // undefined for them, and under ANSI SQL the division would throw
+    // (non-ANSI: score NaN and pollute every query's rank 1).
     val b = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+      .filter(col("b_nrm") > 0)
     val q = queries.select(qId.as("q_id"), qVec.as("q_emb"))
       .withColumn("q_nrm", Vectors.norm2(col("q_emb")))
+      .filter(col("q_nrm") > 0)
     val scored = b.crossJoin(broadcast(q))
       .select(col("q_id"), col("b_id"),
         (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
@@ -109,7 +114,9 @@ object Ann {
 
     val scored = assigned
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
-      .join(broadcast(probed.withColumn("q_nrm", Vectors.norm2(col("q_emb")))), "cell")
+      .filter(col("b_nrm") > 0) // zero-norm: see knnBruteForce
+      .join(broadcast(probed.withColumn("q_nrm", Vectors.norm2(col("q_emb")))
+        .filter(col("q_nrm") > 0)), "cell")
       .select(col("q_id"), col("b_id"),
         (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
     topkPerQuery(scored, k)
@@ -129,8 +136,10 @@ object Ann {
     require(tables >= 1, "tables must be >= 1")
     val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+      .filter(col("b_nrm") > 0) // zero-norm: see knnBruteForce
     val q0 = queries.select(qId.as("q_id"), qVec.as("q_emb"))
       .withColumn("q_nrm", Vectors.norm2(col("q_emb")))
+      .filter(col("q_nrm") > 0)
     // one (table, bucket) key per row per table: a single explode keeps
     // one scan of each side instead of a tables-way union
     def bucketed(df: DataFrame, vec: String) = df.withColumn(

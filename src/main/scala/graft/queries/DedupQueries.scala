@@ -29,8 +29,10 @@ object DedupQueries {
       .orderBy("doc_id")
 
   val d01Oracle: String =
-    """SELECT min(doc_id) AS doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-      |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin
+    """SELECT min(doc_id) AS doc_id, fp FROM (
+      |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents
+      |) WHERE fp IS NOT NULL GROUP BY fp ORDER BY doc_id""".stripMargin
 
   /** Exact 3-gram Jaccard pairs within (lang, source) blocks. */
   def d02JaccardPairs(s: SparkSession, dir: String): DataFrame =

@@ -45,6 +45,7 @@ object VectorQueries {
        |scored AS (SELECT q_id, b_id, $sim AS sim FROM b, q)
        |SELECT q_id, b_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, b_id) AS INT) AS rank, sim
        |FROM scored
+       |WHERE NOT isnan(sim)
        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, b_id) <= 5
        |ORDER BY q_id, rank""".stripMargin
   }

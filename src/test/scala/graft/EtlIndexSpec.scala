@@ -71,6 +71,24 @@ class EtlIndexSpec extends SparkSpecBase {
     assert(rows == Set(("bob", "42"), (null, "7.5"), ("Hello World", null)))
   }
 
+  test("jsonl/tsv read defaults: line-delimited JSON and tab separation") {
+    val dir = tmp("fmt-lines")
+    // .jsonl is line-delimited BY NAME — must not default to multiLine
+    Files.writeString(Paths.get(s"$dir/events.jsonl"),
+      """{"id": 1}
+        |{"id": 2}
+        |{"id": 3}""".stripMargin)
+    assert(Formats.read(spark, s"$dir/events.jsonl").count() == 3)
+    // .tsv parses on tabs, both directions
+    Files.writeString(Paths.get(s"$dir/t.tsv"), "a\tb\n1\tx\n2\ty\n")
+    val tsv = Formats.read(spark, s"$dir/t.tsv")
+    assert(tsv.columns.toSeq == Seq("a", "b"))
+    assert(tsv.count() == 2)
+    val out = s"$dir/out.tsv"
+    Formats.write(Seq((1, "x")).toDF("a", "b").coalesce(1), out)
+    assert(Formats.read(spark, out).columns.toSeq == Seq("a", "b"))
+  }
+
   test("registered native transforms apply by name") {
     Transforms.register("double_v", df => df.withColumn("v", col("v") * 2))
     val out = Transforms("double_v", Seq((1, 10.0)).toDF("id", "v"))

@@ -153,6 +153,57 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("integral"))
   }
 
+  test("exact dedup: null texts are not duplicates of each other") {
+    val df = Seq(
+      (1L, "same text"), (2L, "same text"),
+      (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.exactKeepFirst(df, col("doc_id"), col("text"))
+    assert(kept.count() == 1) // null rows neither keep nor group
+    val groups = graft.operators.Dedup.exactGroups(df, col("doc_id"), col("text"))
+    assert(groups.count() == 1)
+    assert(groups.select("n").as[Long].head() == 2) // not a bogus 2-member null group
+  }
+
+  test("jaccardPairs: null block values still pair within the null block") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon", null.asInstanceOf[String]),
+      (2L, "alpha beta gamma delta zeta", null.asInstanceOf[String]),
+      (3L, "alpha beta gamma delta epsilon", "en"))
+    .toDF("doc_id", "text", "lang")
+    val pairs = graft.operators.Dedup
+      .jaccardPairs(df, col("doc_id"), col("text"), col("lang"), n = 3, minJaccard = 0.3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"null-block docs must pair with each other: $pairs")
+  }
+
+  test("knn excludes zero-norm (NaN-sim) base vectors instead of ranking them first") {
+    val base = Seq(
+      (10L, Array(0.0f, 0.0f)), // zero-norm garbage
+      (11L, Array(1.0f, 0.0f)), (12L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((1L, Array(1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val got = graft.operators.Ann.knnBruteForce(
+      base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"), 2)
+      .select("b_id").as[Long].collect().toSet
+    assert(got == Set(11L, 12L), s"zero-norm vector leaked into top-k: $got")
+  }
+
+  test("baseline diff summary handles heterogeneous category schemas") {
+    import graft.analyze.BaselineDiff
+    val procsCur = Seq((1L, "a.exe", "C:\\a")).toDF("pid", "name", "path")
+    val procsBase = Seq((2L, "b.exe", "C:\\b")).toDF("pid", "name", "path")
+    val listenCur = Seq(("0.0.0.0", 80L, "Listen")).toDF("local_address", "local_port", "state")
+    val listenBase = Seq(("0.0.0.0", 443L, "Listen")).toDF("local_address", "local_port", "state")
+    val s = BaselineDiff.summary(Seq(
+      BaselineDiff.diff(procsCur, procsBase, Seq("pid"), "processes"),
+      BaselineDiff.diff(listenCur, listenBase, Seq("local_address", "local_port"), "listeners")))
+      .as[(String, String, Long)].collect().toSet
+    assert(s == Set(
+      ("processes", "added", 1L), ("processes", "removed", 1L),
+      ("listeners", "added", 1L), ("listeners", "removed", 1L)))
+  }
+
   test("jaccardPairs: randomized differential vs brute-force all-pairs") {
     val rnd = new scala.util.Random(9)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
