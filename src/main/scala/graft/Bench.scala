@@ -32,7 +32,16 @@ object Bench {
       val good = dts.filter(_._1).map(_._2)
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // JSON string escape (same contract as Verify's q()): a quote or
+    // backslash in a query name or the env-supplied sf dir must not
+    // corrupt the metric line the runner parses
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
     // failed queries report -1.0 per-query but are EXCLUDED from the
     // total (a failure must never shrink — i.e. improve — the headline
@@ -41,7 +50,7 @@ object Bench {
     val total = good.map(_._2).sum
     val failed = results.size - good.size
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"${esc(sfDir)}"}"""
     println(line)
     // belt-and-braces for log-prefixing runners: also drop the line in a file
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")

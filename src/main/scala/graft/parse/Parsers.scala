@@ -57,25 +57,41 @@ object Parsers {
     */
   def avLogSummary(lines: DataFrame): DataFrame =
     lines
-      .filter(col("value").rlike("^[A-Za-z ]+: [0-9.]+"))
+      // value must be a VALID double ("0.103.2" from 'Engine version'
+      // matches [0-9.]+ but would be an ANSI cast error)
+      .filter(col("value").rlike("^[A-Za-z ]+: \\d+(\\.\\d+)?([^0-9.]|$)"))
       .select(
         regexp_extract(col("value"), "^([A-Za-z ]+): ", 1).as("metric"),
-        regexp_extract(col("value"), ": ([0-9.]+)", 1).cast("double").as("value"))
+        regexp_extract(col("value"), ": (\\d+(?:\\.\\d+)?)", 1).cast("double").as("value"))
+
+  /** Numeric-guarded int parse: non-numeric → null instead of the ANSI
+    * CAST_INVALID_INPUT error (Spark 4 default).
+    */
+  private def intOrNull(c: Column): Column =
+    when(c.rlike("^\\d+$"), c.cast("int"))
 
   /** VirusTotal detection-ratio parse (F15, sigcheck shape):
     * `"5|72"` → positives/total + flag (sysinternals.py:78-100).
+    * Non-ratio values the tools actually emit ("Unknown", "n/a", "")
+    * parse to nulls/false — under ANSI a raw cast would kill the job
+    * on the first such row.
     */
   def vtDetection(df: DataFrame, vtCol: String): DataFrame =
     df.withColumn("vt_positives",
-        split(col(vtCol), "\\|").getItem(0).cast("int"))
-      .withColumn("vt_total", split(col(vtCol), "\\|").getItem(1).cast("int"))
+        intOrNull(try_element_at(split(col(vtCol), "\\|"), lit(1))))
+      .withColumn("vt_total",
+        intOrNull(try_element_at(split(col(vtCol), "\\|"), lit(2))))
       .withColumn("vt_flagged", coalesce(col("vt_positives") > 0, lit(false)))
 
   /** WMI `/Date(1700000000000)/` millis-epoch extraction (F8/F6,
-    * resource_analyzer.py:255-263).
+    * resource_analyzer.py:255-263). Non-matching values (CIM datetime
+    * strings, garbage) yield null — regexp_extract returns "" on no
+    * match and "".cast(long) is an ANSI error, so the extract is
+    * rlike-guarded.
     */
   def wmiDate(c: Column): Column =
-    timestamp_millis(regexp_extract(c, "/Date\\((\\d+)\\)/", 1).cast("long"))
+    when(c.rlike("/Date\\(\\d+\\)/"),
+      timestamp_millis(regexp_extract(c, "/Date\\((\\d+)\\)/", 1).cast("long")))
 
   /** Integer state-code decode with Unknown(code) fallback (F14,
     * network_mapper.py:36-50, 106-110): non-integer inputs (already

@@ -122,10 +122,11 @@ object ToolParsers {
       Parsers.coalesceCols(rows, "__level", Seq("Level", "level")),
       "__title", Seq("RuleTitle", "rule_title"))
     val sev = Parsers.levelToSeverity(col("__level"))
-    // every raw field coalesces to "" — a missing CSV cell must not
-    // null out the whole concat'd description/target (reference
-    // row.get(..., "") semantics)
-    def f(name: String): Column = coalesce(col(name), lit(""))
+    // every raw field coalesces to "" — a missing CSV cell OR a whole
+    // column absent from this profile's timeline must not null/fail the
+    // finding (reference row.get(..., "") semantics)
+    def f(name: String): Column =
+      if (aliased.columns.contains(name)) coalesce(col(name), lit("")) else lit("")
     aliased
       .filter(if (includeInfo) lit(true) else sev =!= "info")
       .select(findingCols(
@@ -207,11 +208,15 @@ object ToolParsers {
           lit(". Launch: "), coalesce(col("`Launch String`"), lit(""))),
         target = target,
         mitre = lit("T1547")): _*)
-    val vtPos = split(col("`VT detection`"), "\\|").getItem(0).cast("int")
+    // rlike-guarded cast: autoruns emits 'n/a'/'Unknown' in the VT
+    // column for unscanned files, and an unguarded cast is an ANSI
+    // error — Catalyst also does not guarantee And short-circuit order,
+    // so the guard must be inside the expression, not beside it
+    val vtRaw = try_element_at(split(col("`VT detection`"), "\\|"), lit(1))
+    val vtPos = when(vtRaw.rlike("^\\d+$"), vtRaw.cast("int"))
     val vtHits = rows
       .filter(
-        coalesce(col("`VT detection`"), lit("")).isNotNull &&
-          !coalesce(col("`VT detection`"), lit("")).isin("", "0|0", "Unknown") &&
+        !coalesce(col("`VT detection`"), lit("")).isin("", "0|0", "Unknown") &&
           coalesce(vtPos, lit(0)) > 0)
       .select(findingCols(
         tool = "autorunsc", category = "persistence",
@@ -231,7 +236,9 @@ object ToolParsers {
     */
   def sigcheck(rows: DataFrame): DataFrame =
     rows
-      .filter(lower(coalesce(col("Verified"), lit(""))) === "unsigned")
+      // trim: padded CSV cells (' Unsigned') must not silently drop a
+      // detection
+      .filter(lower(trim(coalesce(col("Verified"), lit("")))) === "unsigned")
       .select(findingCols(
         tool = "sigcheck", category = "unsigned_binary",
         severity = lit("medium"),
@@ -419,26 +426,31 @@ object ToolParsers {
     * non-zero count, severity/mitre per type.
     */
   def hollowsHunter(files: DataFrame): DataFrame = {
-    val procs = hollowsHunterProcesses(files)
-    val perAnomaly = hollowsAnomalies.map { case (atype, sev, mitre, desc) =>
-      procs
-        .filter(col(atype) > 0)
-        .select(findingCols(
-          tool = "hollows_hunter", category = "memory_anomaly",
-          severity = lit(sev),
-          title = concat(
-            lit(s"HollowsHunter: $atype in "), col("name"),
-            lit(" (PID "), col("pid"), lit(")")),
-          description = concat(
-            lit(s"$desc. Found "), col(atype),
-            lit(s" $atype "),
-            when(col(atype) > 1, lit("anomalies")).otherwise(lit("anomaly")),
-            lit(" in process "), col("name"),
-            lit(" (PID "), col("pid"), lit(").")),
-          target = concat(lit("PID:"), col("pid")),
-          mitre = lit(mitre).cast("string")): _*)
+    // single pass: unpivot the 7 anomaly counts via one explode of
+    // literal-tagged structs — a 7-way union of filter branches would
+    // re-read and re-parse every report file once per anomaly type
+    val anomalyStructs = hollowsAnomalies.map { case (atype, sev, mitre, desc) =>
+      struct(
+        lit(atype).as("atype"), col(atype).as("cnt"), lit(sev).as("sev"),
+        lit(mitre).cast("string").as("mitre"), lit(desc).as("adesc"))
     }
-    perAnomaly.reduce(_.unionByName(_))
+    hollowsHunterProcesses(files)
+      .select(col("pid"), col("name"), explode(array(anomalyStructs: _*)).as("a"))
+      .filter(col("a.cnt") > 0)
+      .select(findingCols(
+        tool = "hollows_hunter", category = "memory_anomaly",
+        severity = col("a.sev"),
+        title = concat(
+          lit("HollowsHunter: "), col("a.atype"), lit(" in "), col("name"),
+          lit(" (PID "), col("pid"), lit(")")),
+        description = concat(
+          col("a.adesc"), lit(". Found "), col("a.cnt"),
+          lit(" "), col("a.atype"), lit(" "),
+          when(col("a.cnt") > 1, lit("anomalies")).otherwise(lit("anomaly")),
+          lit(" in process "), col("name"),
+          lit(" (PID "), col("pid"), lit(").")),
+        target = concat(lit("PID:"), col("pid")),
+        mitre = col("a.mitre")): _*)
   }
 
   // -------------------------------------------------- collector snapshots

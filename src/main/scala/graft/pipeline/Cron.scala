@@ -77,14 +77,15 @@ object Cron {
   }
 
   /** Earliest fire time STRICTLY after `after`. Throws if no match
-    * within ~4 years (an impossible spec like Feb 30).
+    * within ~9 years (an impossible spec like Feb 30 — the horizon must
+    * exceed the 8-year Feb-29 gap across a non-leap century year).
     */
   def nextFire(expr: String, after: LocalDateTime): LocalDateTime = {
     val s = parse(expr)
     val start = after.truncatedTo(ChronoUnit.MINUTES).plusMinutes(1)
     var date = start.toLocalDate
     var i = 0
-    while (i < 1500) { // > 4 years of days
+    while (i < 3300) { // > 9 years of days (Feb 29 2096 → Feb 29 2104)
       if (dayMatches(s, date)) {
         val floor = if (date == start.toLocalDate) start.getHour * 60 + start.getMinute else 0
         val candidates = for {
@@ -100,6 +101,6 @@ object Cron {
       date = date.plusDays(1)
       i += 1
     }
-    throw new IllegalArgumentException(s"cron '$expr' never fires (within 4 years of $after)")
+    throw new IllegalArgumentException(s"cron '$expr' never fires (within 9 years of $after)")
   }
 }

@@ -202,7 +202,8 @@ object HtmlReport {
   }
 
   def write(findings: DataFrame, title: String, path: String, topN: Int = 100,
-      inventory: Seq[InventoryCard] = Nil, steps: Seq[Pipeline.StageResult] = Nil): Unit =
+      inventory: Seq[InventoryCard] = Nil, steps: Seq[Pipeline.StageResult] = Nil,
+      resources: Seq[ResourceTable] = Nil): Unit =
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path), render(findings, title, topN, inventory, steps))
+      java.nio.file.Paths.get(path), render(findings, title, topN, inventory, steps, resources))
 }

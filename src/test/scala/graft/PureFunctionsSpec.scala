@@ -55,6 +55,10 @@ class PureFunctionsSpec extends AnyFunSuite {
     // impossible dates throw instead of looping forever
     intercept[IllegalArgumentException](Cron.nextFire("0 0 30 2 *", t))
     intercept[IllegalArgumentException](Cron.nextFire("bogus", t))
+    // Feb 29 across the 2100 non-leap century boundary: 8-year gap must
+    // stay inside the search horizon
+    assert(Cron.nextFire("0 0 29 2 *", LocalDateTime.of(2096, 3, 1, 0, 0)) ==
+      LocalDateTime.of(2104, 2, 29, 0, 0))
     // vixie N/step = "from N to max by step": 8/6 hours = 8, 14, 20
     assert(Cron.nextFire("0 8/6 * * *", LocalDateTime.of(2026, 8, 12, 0, 0)) ==
       LocalDateTime.of(2026, 8, 12, 8, 0))

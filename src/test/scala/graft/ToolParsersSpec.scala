@@ -141,6 +141,39 @@ class ToolParsersSpec extends SparkSpecBase {
     assert(replaced.select("mitre").as[String].head() == "T1055.012")
   }
 
+  test("malformed tool values parse to nulls, not ANSI cast errors") {
+    import graft.parse.Parsers
+    // VT column: 'Unknown', 'n/a', '' all occur in real autoruns output
+    val vt = Parsers.vtDetection(
+      Seq("5|72", "Unknown", "n/a", "", null.asInstanceOf[String]).toDF("vt"), "vt")
+      .select("vt_positives", "vt_flagged").collect()
+    assert(vt.map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq == Seq(5, -1, -1, -1, -1))
+    assert(vt.map(_.getBoolean(1)).toSeq == Seq(true, false, false, false, false))
+    // CIM-format dates (not /Date(ms)/) yield null, not a crash
+    val d = Seq("/Date(1708200000000)/", "20231101120000.000000+000", "junk")
+      .toDF("d").select(Parsers.wmiDate($"d").as("t")).collect()
+    assert(!d(0).isNullAt(0) && d(1).isNullAt(0) && d(2).isNullAt(0))
+    // real clamscan summaries contain non-numeric values (versions)
+    val s = Parsers.avLogSummary(Seq(
+      "Engine version: 0.103.2", "Infected files: 3", "Data scanned: 256.50 MB")
+      .toDF("value")).as[(String, Double)].collect().toMap
+    assert(s("Infected files") == 3.0 && s("Data scanned") == 256.5)
+    assert(!s.contains("Engine version")) // unparseable-as-double → excluded
+    // autorunsc with an 'n/a' VT row: job survives, unsigned branch intact
+    val rows = Seq(
+      ("E1", "loc", "enabled", "Services", "", "", "C:\\x.exe", "C:\\x.exe", "", "Not Verified", "n/a"))
+      .toDF("Entry", "Entry Location", "Enabled", "Category", "Description",
+        "Publisher", "Image Path", "Launch String", "Signer", "Verified", "VT detection")
+    val f = ToolParsers.autorunsc(rows)
+    assert(f.count() == 1) // the unsigned finding; no VT hit, no crash
+    // hayabusa timelines without a Details column still parse
+    val hb = ToolParsers.hayabusa(Seq(
+      ("2025-01-01T00:00:00Z", "HOST", "Security", "4625", "high", "1", "Rule X"))
+      .toDF("Timestamp", "Computer", "Channel", "EventID", "Level", "RecordID", "RuleTitle"))
+    assert(hb.count() == 1)
+    assert(hb.select("description").as[String].head().endsWith("— "))
+  }
+
   test("levelToSeverity trims padded cells (reference .strip() parity)") {
     import graft.parse.Parsers
     val got = Seq(" high", "HIGH ", " Critical ", "low", "  ").toDF("l")
