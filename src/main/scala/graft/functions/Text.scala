@@ -95,15 +95,19 @@ object Text {
     * [[withWinnowFingerprints]], which materializes the hash array as an
     * attribute first.
     */
-  def winnowFingerprints(c: Column, n: Int = 3, w: Int = 4): Column = {
-    val hs = transform(shingles(c, n), s => rollingHash(s))
-    val m = size(hs)
+  /** Sliding-min winnow over a hash-array Column — the one shared
+    * implementation behind both winnow entry points (they must never
+    * drift in window bounds or the short-document branch).
+    */
+  private def winnowOfHashes(hs: Column, w: Int): Column =
     when(
-      m >= w,
+      size(hs) >= w,
       array_sort(array_distinct(
-        transform(sequence(lit(1), m - (w - 1)), i => array_min(slice(hs, i, lit(w))))))
+        transform(sequence(lit(1), size(hs) - (w - 1)), i => array_min(slice(hs, i, lit(w))))))
     ).otherwise(array(array_min(hs)))
-  }
+
+  def winnowFingerprints(c: Column, n: Int = 3, w: Int = 4): Column =
+    winnowOfHashes(transform(shingles(c, n), s => rollingHash(s)), w)
 
   /** Scalable winnowing: appends `outCol` (array<long> fingerprint set)
     * to `df`. The shingle-hash array lands in its own projection so the
@@ -117,15 +121,8 @@ object Text {
       n: Int = 3,
       w: Int = 4): org.apache.spark.sql.DataFrame = {
     val hsCol = "__graft_winnow_hs"
-    val hs = col(hsCol)
     df.withColumn(hsCol, transform(shingles(text, n), s => rollingHash(s)))
-      .withColumn(
-        outCol,
-        when(
-          size(hs) >= w,
-          array_sort(array_distinct(
-            transform(sequence(lit(1), size(hs) - (w - 1)), i => array_min(slice(hs, i, lit(w)))))))
-          .otherwise(array(array_min(hs))))
+      .withColumn(outCol, winnowOfHashes(col(hsCol), w))
       .drop(hsCol)
   }
 
@@ -159,7 +156,10 @@ object Text {
         lit(code).as("code")
       )
     }
-    greatest(scored: _*).getField("code")
+    // NULL text: every score is NULL, struct comparison would fall
+    // through to the pri tiebreak and confidently answer the
+    // highest-priority language — return NULL instead
+    when(c.isNotNull, greatest(scored: _*).getField("code"))
   }
 
   /** Heuristic quality score in [0,1]: rewards mid-length docs, real

@@ -39,6 +39,11 @@ object Ann {
       s"knn id column must be integral (got ${idType.simpleString}); " +
         "map non-numeric ids to a surrogate long (e.g. monotonically_increasing_id) first")
     scored
+      // a NULL sim (ragged embedding lengths make vec_dot yield NULL
+      // while the norms stay valid) or NULL id would crash the typed
+      // aggregator's non-nullable encoder deep in an executor — exclude
+      // such rows instead
+      .filter(col("sim").isNotNull && col("b_id").isNotNull)
       .groupBy("q_id")
       .agg(TopK.topKScored(k)(col("sim"), col("b_id").cast("long")).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
@@ -87,8 +92,11 @@ object Ann {
       base: DataFrame, baseId: Column, baseVec: Column,
       queries: DataFrame, qId: Column, qVec: Column,
       k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    // cache: KMeans re-reads its input once per iteration (plus the
+    // assignment pass) — uncached that is ~11 full scans of the base
     val b = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
       .withColumn("feat", array_to_vector(col("b_emb").cast("array<double>")))
+      .cache()
     val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("feat").setPredictionCol("cell")
     val model = km.fit(b.select("feat"))
@@ -100,12 +108,19 @@ object Ann {
     }.toSeq
     val spark = base.sparkSession
     import spark.implicits._
+    // same zero-norm discipline as the scoring stage: a zero-norm query
+    // (or a centroid of an all-zero cell) would divide by zero in the
+    // probe cosine — ANSI error, or a NULL sim crashing the aggregator
     val centDf = centroids.toDF("cell", "centroid")
+      .withColumn("c_nrm", Vectors.norm2(col("centroid")))
+      .filter(col("c_nrm") > 0)
     val q = queries.select(qId.as("q_id"), qVec.as("q_emb"))
+      .withColumn("qp_nrm", Vectors.norm2(col("q_emb")))
+      .filter(col("qp_nrm") > 0)
     val topCells = q.crossJoin(broadcast(centDf))
       .select(
         col("q_id"), col("cell"),
-        Vectors.cosine(col("q_emb"), col("centroid")).as("csim"))
+        (Vectors.dot(col("q_emb"), col("centroid")) / (col("qp_nrm") * col("c_nrm"))).as("csim"))
       .groupBy("q_id")
       .agg(TopK.topKScored(nprobe)(col("csim"), col("cell").cast("long")).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("cell_l"))

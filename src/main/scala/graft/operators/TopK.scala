@@ -19,6 +19,7 @@ object TopK {
   case class MetricId(metric: Long, id: Long)
 
   class TopKLongs(k: Int) extends Aggregator[MetricId, Seq[MetricId], Seq[MetricId]] {
+    require(k >= 1, s"top-k requires k >= 1, got $k") // k=0 would index an empty buffer in reduce
     private def beats(a: MetricId, b: MetricId): Boolean =
       a.metric > b.metric || (a.metric == b.metric && a.id < b.id)
 
@@ -57,6 +58,7 @@ object TopK {
     * rows per (partition, group) instead of the full candidate stream.
     */
   class TopKScored(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+    require(k >= 1, s"top-k requires k >= 1, got $k") // k=0 would index an empty buffer in reduce
     /** Total order, NaN-safe: raw `>` is not a strict weak ordering when
       * NaN appears (a zero-norm vector's cosine) — sortWith/TimSort can
       * throw "Comparison method violates its general contract" and

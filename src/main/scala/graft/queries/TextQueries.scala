@@ -58,8 +58,8 @@ object TextQueries {
       s"WHEN $ge THEN '$c'"
     }
     s"""SELECT doc_id, lang,
-       |  CASE ${cases.mkString(" ")} ELSE '${codes.last}' END AS pred_lang
-       |FROM (SELECT doc_id, lang,
+       |  CASE WHEN text IS NULL THEN NULL ${cases.mkString(" ")} ELSE '${codes.last}' END AS pred_lang
+       |FROM (SELECT doc_id, lang, text,
        |  ${hits.map { case (c, e) => s"$e AS h_$c" }.mkString(",\n  ")}
        |FROM documents) ORDER BY doc_id""".stripMargin
   }

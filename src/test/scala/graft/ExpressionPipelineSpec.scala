@@ -153,6 +153,30 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("integral"))
   }
 
+  test("null-text docs produce no similarity pairs and no language guess") {
+    val df = Seq(
+      (1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "alpha beta gamma delta"), (4L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    // jaccard: the two null docs must NOT appear as jaccard-1.0 partners
+    val jp = graft.operators.Dedup
+      .jaccardPairs(df, col("doc_id"), col("text"), lit("x"), n = 3, minJaccard = 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(jp == Set((3L, 4L)), s"null docs paired: $jp")
+    // minhash: same contract
+    val mp = graft.operators.Dedup
+      .minhashPairs(df, col("doc_id"), col("text"), n = 3, k = 16, rowsPerBand = 2, minJaccard = 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(mp == Set((3L, 4L)), s"null docs paired via minhash: $mp")
+    // langId: null in, null out (not a confident 'de')
+    val lang = Seq(null.asInstanceOf[String]).toDF("t")
+      .select(graft.functions.Text.langId(col("t")).as("l")).collect()(0)
+    assert(lang.isNullAt(0))
+    // k must be positive, failing fast at construction
+    intercept[IllegalArgumentException](new graft.operators.TopK.TopKScored(0))
+    intercept[IllegalArgumentException](new graft.operators.TopK.TopKLongs(0))
+  }
+
   test("exact dedup: null texts are not duplicates of each other") {
     val df = Seq(
       (1L, "same text"), (2L, "same text"),
