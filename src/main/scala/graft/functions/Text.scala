@@ -162,6 +162,27 @@ object Text {
     when(c.isNotNull, greatest(scored: _*).getField("code"))
   }
 
+  /** Punctuation ratio: non-alphanumeric, non-whitespace characters per
+    * character (0.0 for empty docs). High values mark markup/boilerplate.
+    */
+  def punctRatio(c: Column): Column = {
+    val nChars = length(c).cast("double")
+    val nPunct = length(regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("double")
+    when(nChars > 0, nPunct / nChars).otherwise(lit(0.0))
+  }
+
+  /** Stopword ratio: fraction of tokens that are stopwords of ANY
+    * profiled language (0.0 for tokenless docs). Natural prose sits
+    * well above machine-generated or keyword-stuffed text.
+    */
+  def stopwordRatio(c: Column): Column = {
+    val all = langProfiles.flatMap(_._2)
+    val toks = tokens(normalize(c))
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isInCollection(all))).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
   /** Heuristic quality score in [0,1]: rewards mid-length docs, real
     * word lengths, and alphabetic content. All integer/ratio arithmetic
     * (deterministic across engines).

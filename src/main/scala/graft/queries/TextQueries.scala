@@ -86,6 +86,34 @@ object TextQueries {
        |        CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
        |      FROM documents) ORDER BY doc_id""".stripMargin
 
+  /** Punctuation + stopword ratios (the remaining quality-signal pair
+    * of the text-analysis family) — division only where the denominator
+    * is proven positive, so both engines agree bit-for-bit.
+    */
+  def t06Ratios(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        Text.punctRatio(col("text")).as("punct_ratio"),
+        Text.stopwordRatio(col("text")).as("stopword_ratio"))
+      .orderBy("doc_id")
+
+  val t06Oracle: String = {
+    val allStops = Text.langProfiles.flatMap(_._2).map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CASE WHEN length(text) > 0
+       |    THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+       |    ELSE 0.0 END AS punct_ratio,
+       |  CASE WHEN n_toks > 0
+       |    THEN CAST(n_stop AS DOUBLE) / n_toks ELSE 0.0 END AS stopword_ratio
+       |FROM (
+       |  SELECT doc_id, text,
+       |    CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0 ELSE len($duckToksNorm) END AS n_toks,
+       |    len(list_filter($duckToksNorm, x -> list_contains([$allStops], x))) AS n_stop
+       |  FROM documents
+       |) ORDER BY doc_id""".stripMargin
+  }
+
   /** Fingerprint + shingle stats (the primitives under MinHash dedup). */
   def t04Fingerprint(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -202,6 +230,7 @@ object TextQueries {
     "t03_quality" -> (t03Quality _),
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_winnow" -> (t05Winnow _),
+    "t06_ratios" -> (t06Ratios _),
     "m01_binary_meta" -> (m01BinaryMeta _)
   )
 
@@ -211,6 +240,7 @@ object TextQueries {
     "t03_quality" -> t03Oracle,
     "t04_fingerprint" -> t04Oracle,
     "t05_winnow" -> t05Oracle,
+    "t06_ratios" -> t06Oracle,
     "m01_binary_meta" -> m01Oracle
   )
 }
