@@ -86,7 +86,11 @@ class EtlIndexSpec extends SparkSpecBase {
     assert(tsv.count() == 2)
     val out = s"$dir/out.tsv"
     Formats.write(Seq((1, "x")).toDF("a", "b").coalesce(1), out)
-    assert(Formats.read(spark, out).columns.toSeq == Seq("a", "b"))
+    val back = Formats.read(spark, out)
+    assert(back.columns.toSeq == Seq("a", "b"))
+    // round-trip the DATA too — a header-only (or wrong-delimiter) write
+    // would still produce the right column names
+    assert(back.select("a", "b").as[(Int, String)].collect().toSeq == Seq((1, "x")))
   }
 
   test("registered native transforms apply by name") {
@@ -117,7 +121,11 @@ class EtlIndexSpec extends SparkSpecBase {
     val ex = intercept[org.apache.spark.SparkException] {
       Transforms.pipe(df, Seq("sh", "-c", "sleep 30 && cat"), timeoutSec = 2).count()
     }
-    assert(ex.getMessage != null)
+    // exit 124 is the timeout wrapper's signature — any other failure
+    // (quoting bug, command-not-found) would pass a weaker assertion
+    // without exercising the kill path
+    assert(ex.getMessage.contains("status 124"),
+      s"expected the timeout exit code in: ${ex.getMessage.take(300)}")
   }
 
   test("pipe identity-on-empty returns the input frame (reference contract)") {

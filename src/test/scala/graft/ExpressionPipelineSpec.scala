@@ -84,7 +84,7 @@ class ExpressionPipelineSpec extends SparkSpecBase {
   }
 
   test("jaccardPairs df-cap: universal boilerplate shingle stays ~linear, stats stay exact") {
-    // 40 docs share one boilerplate sentence (df=42 > cap=10) but are
+    // 40 docs share one boilerplate sentence (df=40 > cap=10) but are
     // otherwise unique; docs a/b genuinely overlap. With the cap, the
     // boilerplate shingles are excluded from candidate generation — no
     // f² pair blowup — while the reported inter/uni/jaccard for the
@@ -172,9 +172,12 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     val lang = Seq(null.asInstanceOf[String]).toDF("t")
       .select(graft.functions.Text.langId(col("t")).as("l")).collect()(0)
     assert(lang.isNullAt(0))
-    // k must be positive, failing fast at construction
+  }
+
+  test("TopK aggregators reject k < 1 at construction") {
     intercept[IllegalArgumentException](new graft.operators.TopK.TopKScored(0))
     intercept[IllegalArgumentException](new graft.operators.TopK.TopKLongs(0))
+    intercept[IllegalArgumentException](new graft.operators.TopK.TopKScored(-3))
   }
 
   test("exact dedup: null texts are not duplicates of each other") {

@@ -35,7 +35,7 @@ class ToolParsersSpec extends SparkSpecBase {
     assert(bySev("critical") == 1 && bySev("high") == 2 && bySev("medium") == 1)
     val crit = f.filter($"severity" === "critical").select("title").as[String].head()
     assert(crit.contains("Encoded PowerShell"))
-    assert(f.select("tool_name").distinct().as[String].head() == "hayabusa")
+    assert(f.select("tool_name").distinct().as[String].collect().toSeq == Seq("hayabusa"))
   }
 
   test("chainsaw: informational dropped; 1 critical log-clearing, 1 high powershell") {
@@ -45,7 +45,7 @@ class ToolParsersSpec extends SparkSpecBase {
     assert(crit.contains("Event Log Clearing"))
     val high = f.filter($"severity" === "high").select("title").as[String].head()
     assert(high.contains("PowerShell"))
-    assert(f.select("category").distinct().as[String].head() == "event_log_alert")
+    assert(f.select("category").distinct().as[String].collect().toSeq == Seq("event_log_alert"))
   }
 
   test("autorunsc: 2 unsigned high + 1 VT-hit critical; clean entries skipped") {
@@ -57,7 +57,7 @@ class ToolParsersSpec extends SparkSpecBase {
     assert(f.filter(lower($"title").contains("unsigned")).count() == 2)
     // MicrosoftUpdate is verified with 0|0 VT — no finding mentions it
     assert(f.filter($"title".contains("MicrosoftUpdate")).count() == 0)
-    assert(f.select("mitre").distinct().as[String].head() == "T1547")
+    assert(f.select("mitre").distinct().as[String].collect().toSeq == Seq("T1547"))
   }
 
   test("sigcheck: 2 medium unsigned_binary with exact targets") {
@@ -88,7 +88,7 @@ class ToolParsersSpec extends SparkSpecBase {
     assert(byTitle("ClamAV: Eicar-Signature") == "C:\\Users\\test\\Downloads\\eicar.txt")
     assert(byTitle.contains("ClamAV: Win.Trojan.Generic-12345"))
     assert(byTitle.contains("ClamAV: Win.Malware.Agent-67890"))
-    assert(f.select("severity").distinct().as[String].head() == "high")
+    assert(f.select("severity").distinct().as[String].collect().toSeq == Seq("high"))
 
     val s = ToolParsers.clamavSummary(wholeText("clamscan_output.log"))
       .as[(String, String)].collect().toMap
@@ -401,7 +401,7 @@ class ToolParsersSpec extends SparkSpecBase {
     assert(!names.exists(_.contains("SecurityHealth"))) // C:\Windows
     assert(!names.exists(_.contains("Discord"))) // C:\Users AppData
     assert(f.count() == 2)
-    assert(f.select("severity").distinct().as[String].head() == "medium")
+    assert(f.select("severity").distinct().as[String].collect().toSeq == Seq("medium"))
     // quoted value extraction: Steam's exe comes out without quotes
     val steam = f.filter($"title".contains("Steam")).select("target").as[String].head()
     assert(steam == "M:\\Steam\\steam.exe")
