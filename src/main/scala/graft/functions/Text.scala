@@ -162,24 +162,37 @@ object Text {
     when(c.isNotNull, greatest(scored: _*).getField("code"))
   }
 
-  /** Punctuation ratio: non-alphanumeric, non-whitespace characters per
-    * character (0.0 for empty docs). High values mark markup/boilerplate.
+  /** Characters that are NOT punctuation: Unicode letters and digits
+    * (`ü`, `ß`, `的` are letters, not markup) plus an EXPLICIT
+    * whitespace class — Java `\s` includes vertical tab while RE2
+    * (DuckDB) `\s` does not, so the shared class must spell the
+    * characters out for cross-engine bit-parity.
+    */
+  val NonPunctClass: String = "[\\p{L}\\p{N}\\t\\n\\x0B\\f\\r ]"
+
+  /** Punctuation ratio: non-letter, non-digit, non-whitespace characters
+    * per character (0.0 for empty docs). High values mark
+    * markup/boilerplate — in ANY script, not just ASCII.
     */
   def punctRatio(c: Column): Column = {
     val nChars = length(c).cast("double")
-    val nPunct = length(regexp_replace(c, "[A-Za-z0-9\\s]", "")).cast("double")
+    val nPunct = length(regexp_replace(c, NonPunctClass, "")).cast("double")
     when(nChars > 0, nPunct / nChars).otherwise(lit(0.0))
   }
 
   /** Stopword ratio: fraction of tokens that are stopwords of ANY
     * profiled language (0.0 for tokenless docs). Natural prose sits
-    * well above machine-generated or keyword-stuffed text.
+    * well above machine-generated or keyword-stuffed text. (Whitespace
+    * tokenization means unsegmented CJK text scores 0 — pair with
+    * [[langId]] before gating on it.)
+    *
+    * The token subtree appears in condition/numerator/divisor; codegen's
+    * common-subexpression elimination evaluates it once per row.
     */
   def stopwordRatio(c: Column): Column = {
-    val all = langProfiles.flatMap(_._2)
     val toks = tokens(normalize(c))
     when(size(toks) > 0,
-      size(filter(toks, t => t.isInCollection(all))).cast("double") / size(toks))
+      stopwordHits(c, langProfiles.flatMap(_._2)).cast("double") / size(toks))
       .otherwise(lit(0.0))
   }
 

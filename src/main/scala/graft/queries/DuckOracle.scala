@@ -14,7 +14,24 @@ object DuckOracle {
 
   /** Whitespace tokens of the NORMALIZED (lowercased, collapsed) text —
     * mirrors Text.tokens(Text.normalize(...)).
+    *
+    * Known cross-engine caveat: Java `\s` includes vertical tab (0x0B),
+    * RE2's does not — a VT character in a document diverges the token
+    * split. Testdata contains none; fragments that must be VT-proof use
+    * the explicit class below instead.
     */
   val toksNorm: String =
     """string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')"""
+
+  /** SQL twin of Text.NonPunctClass — Unicode letters/digits plus the
+    * EXPLICIT whitespace set (identical in Java and RE2, VT included).
+    */
+  val nonPunctClass: String = """[\p{L}\p{N}\t\n\x0B\f\r ]"""
+
+  /** Quote a literal word list for an IN/list expression, doubling any
+    * embedded single quotes (a future stopword like "qu'" must not
+    * produce invalid oracle SQL).
+    */
+  def quoteList(words: Seq[String]): String =
+    words.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
 }

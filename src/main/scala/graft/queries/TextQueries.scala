@@ -48,8 +48,7 @@ object TextQueries {
 
   val t02Oracle: String = {
     val hits = Text.langProfiles.map { case (code, words) =>
-      val lst = words.map(w => s"'$w'").mkString(", ")
-      code -> s"len(list_filter($duckToksNorm, x -> list_contains([$lst], x)))"
+      code -> s"len(list_filter($duckToksNorm, x -> list_contains([${DuckOracle.quoteList(words)}], x)))"
     }
     val codes = hits.map(_._1)
     // argmax with earliest-code tiebreak: code_i wins iff its hits >= all later codes'
@@ -99,10 +98,10 @@ object TextQueries {
       .orderBy("doc_id")
 
   val t06Oracle: String = {
-    val allStops = Text.langProfiles.flatMap(_._2).map(w => s"'$w'").mkString(", ")
+    val allStops = DuckOracle.quoteList(Text.langProfiles.flatMap(_._2))
     s"""SELECT doc_id,
        |  CASE WHEN length(text) > 0
-       |    THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+       |    THEN CAST(length(regexp_replace(text, '${DuckOracle.nonPunctClass}', '', 'g')) AS DOUBLE) / length(text)
        |    ELSE 0.0 END AS punct_ratio,
        |  CASE WHEN n_toks > 0
        |    THEN CAST(n_stop AS DOUBLE) / n_toks ELSE 0.0 END AS stopword_ratio

@@ -196,6 +196,16 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(distinct >= 8, s"signLsh bucket diversity too low: $distinct of 64 possible")
   }
 
+  test("punctRatio is Unicode-aware: accented and CJK letters are not punctuation") {
+    import graft.functions.Text
+    val got = Seq("über die Straße", "的了是我", "a,b", "")
+      .toDF("t").select(Text.punctRatio(col("t")).as("r")).as[Double].collect().toSeq
+    assert(got(0) == 0.0, s"accented letters scored as punctuation: ${got(0)}")
+    assert(got(1) == 0.0, s"CJK letters scored as punctuation: ${got(1)}")
+    assert(math.abs(got(2) - 1.0 / 3.0) < 1e-12)
+    assert(got(3) == 0.0)
+  }
+
   test("Ranks.severityRank orders critical→info") {
     val df = Seq("info", "critical", "HIGH", "weird", "medium", "low").toDF("s")
       .select(Ranks.severityRank(col("s")).as("r"))
