@@ -14,13 +14,25 @@ import org.apache.spark.sql.functions._
   */
 object BaselineDiff {
 
+  /** Null-safe anti-join: `<=>` on every key — a plain equi-join never
+    * matches NULL keys, so an unchanged row with a null key column
+    * (e.g. a pathless process) would be reported as added AND removed
+    * on every run.
+    */
+  private def antiByKeys(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame = {
+    val l = left.alias("l")
+    val r = right.select(keys.map(col): _*).distinct().alias("r")
+    val cond = keys.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    l.join(r, cond, "left_anti")
+  }
+
   /** Rows of `current` whose key is absent from `baseline`. */
   def added(current: DataFrame, baseline: DataFrame, keys: Seq[String]): DataFrame =
-    current.join(baseline.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    antiByKeys(current, baseline, keys)
 
   /** Rows of `baseline` whose key is absent from `current`. */
   def removed(current: DataFrame, baseline: DataFrame, keys: Seq[String]): DataFrame =
-    baseline.join(current.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    antiByKeys(baseline, current, keys)
 
   /** Tagged union of added+removed with a category label — one frame
     * per diff category, ready for the A9 rollup.

@@ -29,8 +29,12 @@ object Findings {
   def combine(parts: Seq[DataFrame]): DataFrame =
     parts.reduce(_.unionByName(_, allowMissingColumns = true))
 
-  /** Severity floor: drop informational rows (P4). */
-  def dropInfo(df: DataFrame): DataFrame = df.filter(lower(col("severity")) =!= "info")
+  /** Severity floor: drop informational rows (P4). Null severity (a
+    * stream combined via allowMissingColumns) is KEPT — `lower(null) !=
+    * 'info'` is null-falsy and would silently discard whole streams.
+    */
+  def dropInfo(df: DataFrame): DataFrame =
+    df.filter(coalesce(lower(col("severity")), lit("")) =!= "info")
 
   /** Severity/domain-ordered top-K (T2) with deterministic tiebreaks. */
   def topFindings(df: DataFrame, limit: Int = 100): DataFrame =

@@ -14,10 +14,13 @@ import graft.functions.Ip
   */
 object NetworkAnalyzer {
 
-  /** Well-known high ports excluded from the suspicious-listener flag
-    * (network_mapper.py:240-267).
+  /** Well-known service ports excluded from the suspicious-listener
+    * flag — delegates to the single reference-faithful list
+    * (network_mapper.py:255-262, also used by ToolParsers). A second
+    * hand-maintained copy had already drifted (it whitelisted
+    * Redis/Mongo ports the reference flags).
     */
-  val CommonHighPorts: Seq[Int] = Seq(3389, 5985, 5986, 8080, 8443, 5432, 3306, 1433, 6379, 27017)
+  val CommonHighPorts: Seq[Int] = graft.parse.ToolParsers.commonListenPorts
 
   /** Established connections to external addresses (P7 via
     * graft.functions.Ip — pure Column expressions).
@@ -33,8 +36,12 @@ object NetworkAnalyzer {
     */
   def externalByProcess(conns: DataFrame, flagAt: Int = 10): DataFrame =
     externalConnections(conns)
-      .groupBy("pid", "process_name")
+      // group by pid ONLY (reference semantics): rows of one pid with
+      // mixed null/non-null names must not split below the flag
+      // threshold; max() picks the name deterministically
+      .groupBy("pid")
       .agg(
+        max(col("process_name")).as("process_name"),
         count(lit(1)).as("n_connections"),
         size(collect_set(col("remote_address"))).as("n_remotes"))
       .withColumn("flagged", col("n_connections") >= flagAt)
@@ -45,7 +52,7 @@ object NetworkAnalyzer {
   def suspiciousListeners(conns: DataFrame): DataFrame =
     conns.filter(
       col("state") === "Listen" &&
-        col("local_address").isin("0.0.0.0", "::") &&
+        col("local_address").isin("0.0.0.0", "::", "[::]") && // bracketed v6-any included (reference)
         col("local_port") >= 1024 &&
         !col("local_port").isin(CommonHighPorts: _*))
 

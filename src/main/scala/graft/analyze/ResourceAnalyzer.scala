@@ -46,6 +46,7 @@ object ResourceAnalyzer {
         col("start_age_hours") > StaleHours &&
           !lower(col("name")).isin(KnownLongRunning: _*), lit("stale")))
     procs
+      .filter(col("pid") > 4) // reference skips system pids (resource_analyzer.py:150-151)
       .withColumn("reasons", filter(reasons, r => r.isNotNull))
       .filter(size(col("reasons")) > 0)
   }
@@ -56,7 +57,11 @@ object ResourceAnalyzer {
   def orphans(procs: DataFrame): DataFrame = {
     val pids = procs.select(col("pid").as("parent_pid")).distinct()
     procs
-      .filter(col("parent_pid").isNotNull && col("parent_pid") =!= 0)
+      // reference exclusions (resource_analyzer.py:321-328): system pids,
+      // known long-running daemons, and parents 0/4 (system roots)
+      .filter(col("pid") > 4)
+      .filter(!lower(col("name")).isin(KnownLongRunning: _*))
+      .filter(col("parent_pid").isNotNull && !col("parent_pid").isin(0, 4))
       .join(pids, Seq("parent_pid"), "left_anti")
       .filter(
         col("start_age_hours") > OrphanStaleHours ||

@@ -24,6 +24,17 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Xlsx {
 
+  /** Hardened StAX factory: DTDs and external entities OFF — a crafted
+    * workbook must not be able to read local files (XXE) or detonate an
+    * entity bomb in the driver.
+    */
+  private def xmlFactory(): XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f
+  }
+
   // --------------------------------------------------------------- read
 
   def read(spark: SparkSession, path: String, header: Boolean = true): DataFrame = {
@@ -66,7 +77,7 @@ object Xlsx {
 
   private def parseSharedStrings(in: java.io.InputStream): IndexedSeq[String] = {
     val out = ArrayBuffer.empty[String]
-    val r = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    val r = xmlFactory().createXMLStreamReader(in)
     var cur: StringBuilder = null
     var inT = false
     while (r.hasNext) {
@@ -105,7 +116,7 @@ object Xlsx {
 
   private def parseSheet(in: java.io.InputStream, shared: IndexedSeq[String]): ArrayBuffer[Array[String]] = {
     val rows = ArrayBuffer.empty[Array[String]]
-    val r = XMLInputFactory.newInstance().createXMLStreamReader(in)
+    val r = xmlFactory().createXMLStreamReader(in)
     var row: ArrayBuffer[(Int, String)] = null
     var cellType = ""
     var cellCol = -1
@@ -189,7 +200,9 @@ object Xlsx {
     def rowXml(idx: Int, values: Seq[String]): String =
       s"""<row r="$idx">""" + values.map {
         case null => "<c/>"
-        case v => s"""<c t="inlineStr"><is><t>${escXml(v)}</t></is></c>"""
+        // xml:space="preserve": without it Excel/openpyxl normalize away
+        // leading/trailing whitespace on load, corrupting padded values
+        case v => s"""<c t="inlineStr"><is><t xml:space="preserve">${escXml(v)}</t></is></c>"""
       }.mkString + "</row>"
     try {
       entry("[Content_Types].xml",

@@ -133,17 +133,18 @@ object FileIndex {
       sum(col("file_size")).as("total_bytes"),
       countDistinct(col("extension")).as("distinct_extensions"))
 
-  /** INSERT OR REPLACE semantics (S9): union then keep the newest row
-    * per path; on equal modified_time the INCOMING row wins (content can
-    * change with a preserved mtime — cp -p, coarse fs timestamps — and
-    * REPLACE semantics require the new row, deterministically).
+  /** INSERT OR REPLACE semantics (S9): the INCOMING row always wins per
+    * path — REPLACE is unconditional in the reference's SQLite upsert,
+    * and a file restored from backup (older mtime, different content)
+    * must still replace the stale index row. modified_time only breaks
+    * ties WITHIN a side (duplicate paths in one batch keep the newest).
     */
   def upsert(existing: DataFrame, incoming: DataFrame): DataFrame =
     graft.operators.Dedup.keepFirst(
       existing.withColumn("__src", lit(1))
         .unionByName(incoming.withColumn("__src", lit(0)), allowMissingColumns = true),
       Seq("file_path"),
-      Seq(col("modified_time").desc, col("__src").asc))
+      Seq(col("__src").asc, col("modified_time").desc))
       .drop("__src")
 
   /** Search by name substring / hash / size (P2), ordered like the

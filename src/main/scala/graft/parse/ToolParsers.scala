@@ -493,7 +493,11 @@ object ToolParsers {
         .otherwise(Ip.isExternal(col("RemoteAddress")))
         .as("is_outbound_external"))
 
-  private val commonListenPorts = Seq(
+  /** Well-known service ports excluded from the suspicious-listener
+    * flag (network_mapper.py:255-262) — the ONE owner of this list;
+    * NetworkAnalyzer delegates here.
+    */
+  val commonListenPorts: Seq[Int] = Seq(
     80, 443, 445, 135, 139, 993, 995, 587, 25, 3389, 5985, 5986,
     1433, 3306, 5432, 8080, 8443)
 

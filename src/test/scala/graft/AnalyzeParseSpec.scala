@@ -1,3 +1,4 @@
+// (review-hardening tests appended at the bottom of this suite)
 package graft
 
 import java.nio.file.{Files, Paths}
@@ -30,17 +31,20 @@ class AnalyzeParseSpec extends SparkSpecBase {
   }
 
   test("resource thresholds tag the right reasons") {
+    // pids > 4: the analyzer skips system pids like the reference
     val df = procs(
-      (1, 0, "chrome.exe", 2048.0, 10.0, 50, 100, 1.0, true), // high_ram
-      (2, 0, "miner", 100.0, 7200.0, 300, 100, 1.0, true), // high_cpu + high_threads
-      (3, 0, "svchost.exe", 100.0, 10.0, 50, 100, 500.0, true), // stale but known-long-running
-      (4, 0, "mystery", 100.0, 10.0, 50, 100, 500.0, true)) // stale
+      (11, 0, "chrome.exe", 2048.0, 10.0, 50, 100, 1.0, true), // high_ram
+      (12, 0, "miner", 100.0, 7200.0, 300, 100, 1.0, true), // high_cpu + high_threads
+      (13, 0, "svchost.exe", 100.0, 10.0, 50, 100, 500.0, true), // stale but known-long-running
+      (14, 0, "mystery", 100.0, 10.0, 50, 100, 500.0, true), // stale
+      (4, 0, "System", 9999.0, 9999.0, 999, 99999, 999.0, true)) // system pid → skipped
     val got = ResourceAnalyzer.thresholdFindings(df)
       .select(col("pid"), col("reasons")).as[(Long, Seq[String])].collect().toMap
-    assert(got(1L) == Seq("high_ram"))
-    assert(got(2L).toSet == Set("high_cpu", "high_threads"))
-    assert(!got.contains(3L))
-    assert(got(4L) == Seq("stale"))
+    assert(got(11L) == Seq("high_ram"))
+    assert(got(12L).toSet == Set("high_cpu", "high_threads"))
+    assert(!got.contains(13L))
+    assert(got(14L) == Seq("stale"))
+    assert(!got.contains(4L)) // reference skips pid <= 4
   }
 
   test("orphan detection: missing parent + stale-or-unsigned gate") {
@@ -139,5 +143,73 @@ class AnalyzeParseSpec extends SparkSpecBase {
       ("alpha.exe", "c:\\windows\\a.dll"),
       ("alpha.exe", "c:\\windows\\b.dll"),
       ("beta.exe", "c:\\windows\\c.dll")))
+  }
+
+  test("baseline diff: null-key rows match null-safely (no phantom add/remove)") {
+    import graft.analyze.BaselineDiff
+    val cur = Seq(("svc", null.asInstanceOf[String]), ("app", "C:\\app.exe")).toDF("name", "path")
+    val base = Seq(("svc", null.asInstanceOf[String]), ("old", "C:\\old.exe")).toDF("name", "path")
+    val added = BaselineDiff.added(cur, base, Seq("name", "path"))
+      .select("name").as[String].collect().toSet
+    val removed = BaselineDiff.removed(cur, base, Seq("name", "path"))
+      .select("name").as[String].collect().toSet
+    assert(added == Set("app"), s"unchanged null-path row reported added: $added")
+    assert(removed == Set("old"), s"unchanged null-path row reported removed: $removed")
+  }
+
+  test("dropInfo keeps null-severity rows (combined streams missing the column)") {
+    import graft.analyze.Findings
+    val df = Seq(("a", "info"), ("b", "high"), ("c", null.asInstanceOf[String]))
+      .toDF("title", "severity")
+    assert(Findings.dropInfo(df).select("title").as[String].collect().toSet == Set("b", "c"))
+  }
+
+  test("suspicious listeners: redis/mongo and bracketed [::] binds ARE flagged") {
+    import graft.analyze.NetworkAnalyzer
+    val conns = Seq(
+      ("Listen", "0.0.0.0", 6379L, 1L, "redis"),
+      ("Listen", "[::]", 4444L, 2L, "thing"),
+      ("Listen", "0.0.0.0", 443L, 3L, "web"), // common port → not flagged
+      ("Listen", "127.0.0.1", 9000L, 4L, "local")) // loopback → not flagged
+      .toDF("state", "local_address", "local_port", "pid", "process_name")
+    val got = NetworkAnalyzer.suspiciousListeners(conns)
+      .select("process_name").as[String].collect().toSet
+    assert(got == Set("redis", "thing"), s"got $got")
+  }
+
+  test("upsert: incoming row replaces even when its mtime is OLDER (restore case)") {
+    import java.sql.Timestamp
+    val existing = Seq(("f", Timestamp.valueOf("2024-06-01 00:00:00"), "newhash"))
+      .toDF("file_path", "modified_time", "file_hash")
+    val incoming = Seq(("f", Timestamp.valueOf("2024-01-01 00:00:00"), "restoredhash"))
+      .toDF("file_path", "modified_time", "file_hash")
+    val merged = graft.index.FileIndex.upsert(existing, incoming)
+    assert(merged.count() == 1)
+    assert(merged.select("file_hash").as[String].head() == "restoredhash")
+  }
+
+  test("xlsx read does not resolve external entities (XXE hardening)") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = java.nio.file.Files.createTempDirectory("xxe").toString
+    val path = s"$dir/evil.xlsx"
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def e(n: String, c: String): Unit = { zos.putNextEntry(new ZipEntry(n)); zos.write(c.getBytes("UTF-8")); zos.closeEntry() }
+    e("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?>
+        |<!DOCTYPE x [<!ENTITY xxe SYSTEM "file:///etc/hostname">]>
+        |<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>&xxe;</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    // hardened parser must refuse the DTD (or at minimum never expand
+    // the entity) — either way no file content leaks into cell values
+    val leaked = try {
+      val df = graft.etl.Xlsx.read(spark, path, header = false)
+      df.collect().flatMap(_.toSeq).exists {
+        case s: String => s.nonEmpty && !s.contains("xxe")
+        case _ => false
+      }
+    } catch { case _: Exception => false } // rejecting the workbook is fine
+    assert(!leaked, "external entity content leaked into cell values")
   }
 }
