@@ -60,7 +60,9 @@ object ResourceAnalyzer {
       // reference exclusions (resource_analyzer.py:321-328): system pids,
       // known long-running daemons, and parents 0/4 (system roots)
       .filter(col("pid") > 4)
-      .filter(!lower(col("name")).isin(KnownLongRunning: _*))
+      // coalesce: a NULL name is not long-running (the reference's
+      // pydantic default is "") — lower(NULL).isin would null-drop the row
+      .filter(!coalesce(lower(col("name")), lit("")).isin(KnownLongRunning: _*))
       .filter(col("parent_pid").isNotNull && !col("parent_pid").isin(0, 4))
       .join(pids, Seq("parent_pid"), "left_anti")
       .filter(

@@ -23,10 +23,11 @@ object DuckOracle {
   val toksNorm: String =
     """string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')"""
 
-  /** SQL twin of Text.NonPunctClass — Unicode letters/digits plus the
-    * EXPLICIT whitespace set (identical in Java and RE2, VT included).
+  /** SQL twin of Text.NonPunctClass — the SAME string (valid in both
+    * Java regex and RE2), referenced rather than copied so the engines
+    * cannot drift.
     */
-  val nonPunctClass: String = """[\p{L}\p{N}\t\n\x0B\f\r ]"""
+  val nonPunctClass: String = graft.functions.Text.NonPunctClass
 
   /** Quote a literal word list for an IN/list expression, doubling any
     * embedded single quotes (a future stopword like "qu'" must not
