@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.expr.{RollingHash, VecDot}
+import graft.functions.expr.{RollingHash, SignLsh, VecDot}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions`: registers native
@@ -36,6 +37,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2,
           s"vec_dot expects exactly 2 arguments, got ${children.size}")
         VecDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sign_lsh"),
+      new ExpressionInfo(
+        classOf[SignLsh].getName, null, "sign_lsh",
+        "sign_lsh(vec, bits[, table]) - sign-hyperplane LSH bucket id (long) of a " +
+          "float/double array; bits and table must be int literals",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2 || children.size == 3,
+          s"sign_lsh expects 2 or 3 arguments, got ${children.size}")
+        def intLit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"sign_lsh $name must be an INT literal, got $other")
+        }
+        SignLsh(
+          children.head,
+          intLit(children(1), "bits"),
+          if (children.size == 3) intLit(children(2), "table") else 0)
       }))
   }
 }

@@ -55,8 +55,22 @@ object Vectors {
     * scheme — each table draws an independent hyperplane family, so
     * unioning candidates over L tables trades compute for recall
     * (the standard scale knob for LSH ANN).
+    *
+    * Native codegen Expression (functions.expr.SignLsh) — the HOF form
+    * it replaced ([[signLshHof]]) is CodegenFallback, interpreted per
+    * row per plane; the native form folds all planes in one array pass.
+    * Bit-parity between the two is asserted by a differential spec.
     */
-  def signLsh(a: Column, bits: Int, table: Int): Column = {
+  def signLsh(a: Column, bits: Int, table: Int): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.expr.SignLsh(
+        org.apache.spark.sql.GraftColumnShim.expression(a), bits, table))
+
+  /** Reference HOF implementation of [[signLsh]] — kept ONLY as the
+    * differential-test twin of the native expression (and as executable
+    * documentation of the exact arithmetic the oracle replays).
+    */
+  private[graft] def signLshHof(a: Column, bits: Int, table: Int): Column = {
     val planes = (0 until bits).map { j0 =>
       val j = j0 + table * 7919 // disjoint plane family per table
       // component sign for dim i: a fully-mixed middle bit of an integer

@@ -87,19 +87,35 @@ object Ann {
     * cell assignment is a narrow column, the candidate join is an
     * equi-join on cell id (shuffle ∝ candidates, not corpus), and the
     * centroid model is broadcast-sized. Deterministic via a fixed seed.
+    *
+    * The quantizer is fit on a bounded deterministic SAMPLE (≤ `maxFit`
+    * rows, selected by a hash filter on the id — not `rand()`, so a
+    * task retry sees the same sample): KMeans is an iterative,
+    * driver-coordinated algorithm that re-reads its input ~maxIter
+    * times, and the standard IVF recipe never feeds it the full corpus.
+    * Assignment of the full base stays one narrow pass. CACHE CONTRACT:
+    * only the sampled fit set is cached, and it is unpersisted here as
+    * soon as the fit completes — callers have nothing to clean up.
     */
   def knnIvf(
       base: DataFrame, baseId: Column, baseVec: Column,
       queries: DataFrame, qId: Column, qVec: Column,
-      k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame = {
-    // cache: KMeans re-reads its input once per iteration (plus the
-    // assignment pass) — uncached that is ~11 full scans of the base
+      k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      maxFit: Long = 100000L): DataFrame = {
     val b = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
       .withColumn("feat", array_to_vector(col("b_emb").cast("array<double>")))
-      .cache()
+    // one cheap narrow count to size the sample fraction (the id column
+    // only — pruned to a metadata/footer read where the source allows)
+    val total = b.select("b_id").count()
+    val fit = (
+      if (total > maxFit)
+        b.filter(pmod(xxhash64(col("b_id")), lit(total)) < lit(maxFit))
+      else b
+    ).select("feat").cache()
     val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("feat").setPredictionCol("cell")
-    val model = km.fit(b.select("feat"))
+    val model = km.fit(fit) // eager: iterates over the cached sample
+    fit.unpersist()
     val assigned = model.transform(b).select(col("b_id"), col("b_emb"), col("cell"))
 
     // nprobe nearest cells per query: centroids are tiny → literal frame

@@ -52,8 +52,14 @@ object HtmlReport {
         ("handle_count", "Top Handle Users")),
       n: Int = 5): Seq[ResourceTable] =
     metrics.map { case (metric, label) =>
+      import org.apache.spark.sql.functions.col
+      // defensive casts: a test-built frame may carry int pids or
+      // non-string names — positional getLong/getString would CCE
       val top = graft.analyze.ResourceAnalyzer.topBy(procs, metric, n)
-        .select("name", "pid", metric, "path").collect()
+        .select(
+          col("name").cast("string"), col("pid").cast("long"),
+          col(metric), col("path").cast("string"))
+        .collect()
         .map { r =>
           val v = r.get(2) match {
             case d: java.lang.Double => f"$d%.0f MB"

@@ -50,11 +50,15 @@ object Scheduler {
       jobs: Seq[Job], now: LocalDateTime,
       running: Set[String] = Set.empty, maxConcurrent: Int = 2): Seq[Job] = {
     val budget = maxConcurrent - running.size
+    // natural chronological ordering (LocalDateTime is Comparable) —
+    // not toString, whose ISO rendering drops trailing :00 components
+    implicit val ldtOrdering: Ordering[LocalDateTime] =
+      Ordering.comparatorToOrdering(java.util.Comparator.naturalOrder[LocalDateTime]())
     if (budget <= 0) Seq.empty
     else jobs
       .filter(j => j.enabled && !running.contains(j.id))
       .filter(_.nextRun.exists(!now.isBefore(_)))
-      .sortBy(j => (j.nextRun.get.toString, j.id))
+      .sortBy(j => (j.nextRun.get, j.id))
       .take(budget)
   }
 

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Dedup
 
-/** Deduplication coverage over `documents`: exact, inverted-index exact
-  * Jaccard, MinHash+LSH, and SimHash band-join. The SimHash band join is
+/** Deduplication coverage over `documents`: exact, inverted-index
+  * Jaccard (df-capped candidates, exact scores), MinHash+LSH, and
+  * SimHash band-join. The SimHash band join is
   * *lossless* for its distance bound (pigeonhole), so its oracle is the
   * brute-force all-pairs SQL — a strong differential test of the whole
   * shingle→hash→band pipeline. MinHash LSH is probabilistic-recall by
@@ -34,17 +35,27 @@ object DedupQueries {
       |  FROM documents
       |) WHERE fp IS NOT NULL GROUP BY fp ORDER BY doc_id""".stripMargin
 
-  /** Exact 3-gram Jaccard pairs within (lang, source) blocks. */
+  /** Candidate-generation df cap for d02 — threaded into BOTH the Spark
+    * call and the oracle SQL so the hash gate stays valid at any SF.
+    */
+  private val d02DfCap = 1000
+
+  /** 3-gram Jaccard pairs within (lang, source) blocks. Candidate
+    * generation is df-capped (shingles hotter than [[d02DfCap]] are
+    * skipped — see Dedup.jaccardPairs); reported inter/uni/jaccard are
+    * exact over the full shingle sets. The oracle replays the SAME cap.
+    */
   def d02JaccardPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(
       docs(s, dir), col("doc_id"), col("text"),
-      concat_ws("|", col("lang"), col("source")), n = 3, minJaccard = 0.1)
+      concat_ws("|", col("lang"), col("source")), n = 3, minJaccard = 0.1,
+      dfCap = d02DfCap)
       .orderBy("d1", "d2")
 
   val d02Oracle: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, lang || '|' || source AS blk,
-      |    string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS toks
+      |    string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS toks
       |  FROM documents
       |), sh AS (
       |  SELECT doc_id, blk,
@@ -54,10 +65,20 @@ object DedupQueries {
       |  FROM t
       |), ex AS (
       |  SELECT doc_id, blk, unnest(shset) AS shingle FROM sh
+      |), keep AS (
+      |  SELECT blk, shingle FROM ex GROUP BY blk, shingle
+      |  HAVING COUNT(*) > 1 AND COUNT(*) <= $d02DfCap
+      |), exk AS (
+      |  SELECT ex.doc_id, ex.blk, ex.shingle FROM ex JOIN keep USING (blk, shingle)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM exk a JOIN exk b ON a.blk = b.blk AND a.shingle = b.shingle AND a.doc_id < b.doc_id
       |), pairs AS (
-      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-      |  FROM ex a JOIN ex b ON a.blk = b.blk AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
+      |  SELECT c.d1, c.d2, COUNT(*) AS inter
+      |  FROM cand c
+      |  JOIN ex e1 ON e1.doc_id = c.d1
+      |  JOIN ex e2 ON e2.doc_id = c.d2 AND e2.shingle = e1.shingle
+      |  GROUP BY c.d1, c.d2
       |), sz AS (SELECT doc_id, len(shset) AS sz FROM sh)
       |SELECT d1, d2, inter, s1.sz + s2.sz - inter AS uni,
       |  CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard

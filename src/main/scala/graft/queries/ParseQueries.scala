@@ -14,8 +14,17 @@ import graft.parse.ToolParsers
   */
 object ParseQueries {
 
+  /** Fixture root: env override first, then the checkout-relative path
+    * (made absolute so the DuckDB oracle — which may run with a
+    * different cwd — reads the same files), then the canonical layout.
+    */
   private val fixturesDir: String =
-    sys.env.getOrElse("GRAFT_FIXTURES_DIR", "/root/repo/src/test/resources/fixtures")
+    sys.env.get("GRAFT_FIXTURES_DIR")
+      .orElse {
+        val local = new java.io.File("src/test/resources/fixtures")
+        if (local.isDirectory) Some(local.getAbsolutePath) else None
+      }
+      .getOrElse("/root/repo/src/test/resources/fixtures")
 
   /** Hayabusa timeline → per-severity finding counts (the reference's
     * daily severity rollup over hayabusa.py findings).
@@ -98,7 +107,7 @@ object ParseQueries {
        |      WHEN 6 THEN 'FinWait1' WHEN 7 THEN 'FinWait2' WHEN 8 THEN 'CloseWait'
        |      WHEN 9 THEN 'Closing' WHEN 10 THEN 'LastAck' WHEN 11 THEN 'TimeWait'
        |      WHEN 12 THEN 'DeleteTCB' WHEN 100 THEN 'Bound'
-       |      ELSE 'Unknown(' || CAST(State AS VARCHAR) || ')' END AS state,
+       |      ELSE 'Unknown(' || CAST(COALESCE(State, 0) AS VARCHAR) || ')' END AS state,
        |    CASE
        |      WHEN COALESCE(RemoteAddress, '') = '' THEN false
        |      WHEN contains(RemoteAddress, ':') THEN

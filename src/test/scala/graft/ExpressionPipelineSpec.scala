@@ -60,6 +60,46 @@ class ExpressionPipelineSpec extends SparkSpecBase {
       .as[Double].head() == 8.0)
   }
 
+  test("sign_lsh: bit-parity differential vs the HOF form it replaced") {
+    import graft.functions.Vectors
+    val rnd = new scala.util.Random(17)
+    val vecs = (0 until 200).map { i =>
+      i.toLong -> Array.fill(1 + rnd.nextInt(64))(rnd.nextFloat() * 2 - 1)
+    }
+    val df = vecs.toDF("id", "v")
+    for (bits <- Seq(1, 4, 8); table <- Seq(0, 1, 3)) {
+      val both = df.select(
+        Vectors.signLsh(col("v"), bits, table).as("native"),
+        Vectors.signLshHof(col("v"), bits, table).as("hof"))
+      both.collect().foreach { r =>
+        assert(r.getLong(0) == r.getLong(1),
+          s"bits=$bits table=$table: native=${r.getLong(0)} hof=${r.getLong(1)}")
+      }
+    }
+    // double arrays take the getDouble path
+    val d = Seq(Array(0.5, -1.5, 2.25)).toDF("v").select(
+      Vectors.signLsh(col("v"), 8, 0).as("native"),
+      Vectors.signLshHof(col("v"), 8, 0).as("hof")).head()
+    assert(d.getLong(0) == d.getLong(1))
+    // null parity: NULL array and null element both bucket to 0 in the
+    // HOF form (null folds through when/otherwise) — native must match
+    val nulls = Seq(
+      (1L, null.asInstanceOf[Array[java.lang.Float]]),
+      (2L, Array[java.lang.Float](1.0f, null, 2.0f))).toDF("id", "v")
+    val np = nulls.select(
+      Vectors.signLsh(col("v"), 4, 0).as("native"),
+      Vectors.signLshHof(col("v"), 4, 0).as("hof")).collect()
+    np.foreach { r =>
+      assert(!r.isNullAt(0) && r.getLong(0) == 0L, s"native null handling: $r")
+      assert(r.getLong(0) == r.getLong(1), s"null parity: $r")
+    }
+    // SQL registration surface
+    val viaSql = spark.sql("SELECT sign_lsh(array(1.0f, -2.0f, 0.5f), 4, 1) AS b").head().getLong(0)
+    val viaCol = Seq(Array(1.0f, -2.0f, 0.5f)).toDF("v")
+      .select(Vectors.signLsh(col("v"), 4, 1)).head().getLong(0)
+    assert(viaSql == viaCol)
+  }
+
   test("winnowing: shared token runs produce shared fingerprints") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
     val df = Seq(

@@ -86,6 +86,14 @@ class PlanSpec extends SparkSpecBase {
       s"vec_dot fell out of codegen:\n$p")
   }
 
+  test("sign_lsh participates in whole-stage codegen (no fallback)") {
+    val df = Tables.t(spark, sfDir, "embeddings")
+      .select(functions.Vectors.signLsh(col("embedding"), 8, 0).as("b"))
+    val p = plan(df)
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("sign_lsh")),
+      s"sign_lsh fell out of codegen:\n$p")
+  }
+
   test("knn plans contain no Window sort: top-k is the k-buffer aggregator") {
     // A Window.partitionBy(q_id) top-k shuffles every scored candidate
     // into ≤ #queries partitions and sorts each — parallelism collapses
