@@ -224,16 +224,24 @@ object Media {
     * real concerns — batch iteration, schema, partition parallelism,
     * null payloads — are genuinely exercised. Swap `fakeFeatures` with
     * a real decoder per modality in production.
+    *
+    * The fold is MODULAR (base-31 rolling hash mod 2^31−1, then an LCG
+    * step per dim, feature = (h mod 4096)/4096) rather than wrapping
+    * int64: every intermediate fits SQL BIGINT and n/4096 is exactly
+    * representable in float32, so a DuckDB oracle replays the values
+    * bit-for-bit (the m02 gate) — the stub's plumbing AND its numbers
+    * are cross-engine checked.
     */
   private[multimodal] def fakeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val P = 2147483647L
     val out = new Array[Float](dim)
-    var h = 1125899906842597L
+    var h = 1L
     var i = 0
-    while (i < bytes.length) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
+    while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xff)) % P; i += 1 }
     var j = 0
     while (j < dim) {
-      h = h * 6364136223846793005L + 1442695040888963407L
-      out(j) = ((h >>> 40).toInt % 1000) / 1000.0f
+      h = (h * 1103515245L + 12345L) % P
+      out(j) = (h % 4096).toFloat / 4096.0f // exact: n/2^12, n < 2^12
       j += 1
     }
     out

@@ -11,9 +11,9 @@ import graft.operators.Dedup
   * SimHash band-join. The SimHash band join is
   * *lossless* for its distance bound (pigeonhole), so its oracle is the
   * brute-force all-pairs SQL — a strong differential test of the whole
-  * shingle→hash→band pipeline. MinHash LSH is probabilistic-recall by
-  * design → rows-only check (no oracle), with its exactness properties
-  * covered in ScalaTest instead.
+  * shingle→hash→band pipeline. MinHash+LSH is deterministic given its
+  * fixed hash family, so its oracle replays the identical signature and
+  * banding arithmetic in DuckDB.
   */
 object DedupQueries {
 
@@ -86,13 +86,74 @@ object DedupQueries {
       |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.1
       |ORDER BY d1, d2""".stripMargin
 
-  /** MinHash+LSH candidates verified by exact Jaccard (rows-only check;
-    * recall is probabilistic by construction).
+  /** MinHash+LSH candidates verified by exact Jaccard. The pipeline is
+    * fully deterministic — md5-derived h60 minhash under fixed Knuth
+    * coefficients, 32×2 banding, exact-Jaccard verify — so the DuckDB
+    * oracle replays it end to end (recall is "probabilistic" only over
+    * the choice of hash family, which both engines share bit-for-bit).
     */
   def d03MinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(docs(s, dir), col("doc_id"), col("text"),
       n = 3, k = 64, rowsPerBand = 2, minJaccard = 0.1)
       .orderBy("d1", "d2")
+
+  /** DuckDB replay of the full MinHash+LSH pipeline with the SAME
+    * k=64 / r=2 / minJaccard=0.1 parameters as [[d03MinhashLsh]]:
+    * shingle → h60 mod p → 64 min-aggregates under
+    * [[graft.functions.Hashing.minhashCoeffs]] (inlined as literals) →
+    * 32 band keys → band equi-join candidates → exact-Jaccard verify
+    * over the full shingle sets.
+    */
+  val d03Oracle: String = {
+    val p = graft.functions.Hashing.MinHashP
+    val k = 64
+    val rowsPerBand = 2
+    val coeffs = graft.functions.Hashing.minhashCoeffs(k)
+    // separator has no margin bar: the outer stripMargin leaves these
+    // interpolated lines untouched
+    val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"min((hv * $a + $b) % $p) AS m$i"
+    }.mkString(",\n    ")
+    val bandItems = (0 until k / rowsPerBand).map { band =>
+      s"'${band}_' || CAST(m${2 * band} AS VARCHAR) || '_' || CAST(m${2 * band + 1} AS VARCHAR)"
+    }.mkString(", ")
+    val h = duckH60("shingle")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS toks
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(toks) >= 3
+       |      THEN list_transform(generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |      ELSE [array_to_string(toks, ' ')] END) AS shset
+       |  FROM t
+       |), ex AS (
+       |  SELECT doc_id, unnest(shset) AS shingle FROM sh
+       |), h AS (
+       |  SELECT doc_id, $h % $p AS hv FROM ex
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM h GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, unnest([$bandItems]) AS band FROM sig
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT c.d1, c.d2, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN ex e1 ON e1.doc_id = c.d1
+       |  JOIN ex e2 ON e2.doc_id = c.d2 AND e2.shingle = e1.shingle
+       |  GROUP BY c.d1, c.d2
+       |), sz AS (SELECT doc_id, len(shset) AS sz FROM sh)
+       |SELECT d1, d2, inter, s1.sz + s2.sz - inter AS uni,
+       |  CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+       |FROM pairs JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+       |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.1
+       |ORDER BY d1, d2""".stripMargin
+  }
 
   /** SimHash pairs within Hamming distance 3 via 4×15-bit band join —
     * oracle is brute-force all-pairs (identical result set by pigeonhole).
@@ -166,6 +227,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Oracle,
     "d02_jaccard_pairs" -> d02Oracle,
+    "d03_minhash_lsh" -> d03Oracle,
     "d04_simhash_pairs" -> d04Oracle,
     "d05_simhashes" -> d05Oracle
   )

@@ -207,9 +207,10 @@ object TextQueries {
 
   /** Multimodal feature-extraction plumbing as a runnable query:
     * documents' bytes ride the canonical media schema through the
-    * partition-parallel (stubbed) decoder. Rows-only check — the fake
-    * feature fold uses wrapping int64 arithmetic that SQL engines
-    * reject; determinism is pinned by MultimodalSpec instead.
+    * partition-parallel (stubbed) decoder. The stub's modular fold is
+    * replayed in DuckDB byte-for-byte (UTF-8 bytes recovered from the
+    * hex dump of the blob), so the mapPartitions plumbing AND the
+    * feature values are oracle-gated.
     */
   def m02MediaFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = docs(s, dir).select(
@@ -221,6 +222,29 @@ object TextQueries {
       .select(col("media_id"), col("n_bytes"), element_at(col("features"), 1).as("f0"))
       .orderBy("media_id")
   }
+
+  /** DuckDB replay of [[graft.multimodal.Media.fakeFeatures]]: bytes of
+    * the UTF-8 blob via hex-pair decode → base-31 rolling hash mod
+    * 2^31−1 (seed 1) → one LCG step → (h mod 4096)/4096 as REAL
+    * (n/2^12 is exactly representable in float32, so the cast is
+    * lossless in both engines).
+    */
+  val m02Oracle: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, COALESCE(encode(text), encode('')) AS blob FROM documents
+      |), hx AS (
+      |  SELECT media_id, octet_length(blob) AS n_bytes, hex(blob) AS hs FROM b
+      |), h0 AS (
+      |  SELECT media_id, n_bytes,
+      |    list_reduce([CAST(1 AS BIGINT)] || list_transform(generate_series(1, n_bytes),
+      |      i -> CAST(strpos('0123456789ABCDEF', substr(hs, 2*i-1, 1)) - 1 AS BIGINT) * 16
+      |         + CAST(strpos('0123456789ABCDEF', substr(hs, 2*i, 1)) - 1 AS BIGINT)),
+      |      (a, b) -> (a*31 + b) % 2147483647) AS h
+      |  FROM hx
+      |)
+      |SELECT media_id, CAST(n_bytes AS INT) AS n_bytes,
+      |  CAST((((h * 1103515245 + 12345) % 2147483647) % 4096) / 4096.0 AS REAL) AS f0
+      |FROM h0 ORDER BY media_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m02_media_features" -> (m02MediaFeatures _),
@@ -234,6 +258,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m02_media_features" -> m02Oracle,
     "t01_token_counts" -> t01Oracle,
     "t02_lang_id" -> t02Oracle,
     "t03_quality" -> t03Oracle,

@@ -70,9 +70,11 @@ object VectorQueries {
        |  CAST(SUM(CAST(ROUND(${duckNorm("embedding")} * 1000000) AS BIGINT)) AS BIGINT) AS sum_norm_micro
        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
-  /** Sign-LSH approximate KNN, two hash tables (rows-only: recall is
-    * probabilistic; recall dominance and bucket diversity are measured
-    * against brute force in ScalaTest).
+  /** Sign-LSH approximate KNN, two hash tables. The bucketing is pure
+    * integer/double arithmetic (sign_lsh — deterministic hyperplanes
+    * from an (i, j) bit mix) and scoring is the strict-fold cosine, so
+    * the DuckDB oracle replays the whole pipeline bit-for-bit; recall
+    * dominance vs brute force is additionally measured in ScalaTest.
     */
   def v03KnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -81,6 +83,56 @@ object VectorQueries {
       e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
       k = 5, bits = 4, tables = 2)
       .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB replay of one sign-LSH plane projection: for plane j0 of
+    * hash table `t` (j = j0 + t*7919), dim i (1-based in DuckDB lists)
+    * contributes ±x by bit 13 of `((i-1)*2654435761 + j*40503) mod
+    * 2^31` — the exact arithmetic of functions.expr.SignLsh.
+    */
+  private def duckLshProj(arr: String, t: Int, j0: Int): String = {
+    val off = (j0 + t * 7919).toLong * 40503L
+    val sign = s"((((CAST(i-1 AS BIGINT) * 2654435761 + $off) % 2147483648) >> 13) & 1) = 1"
+    duckFold(arr, s"CASE WHEN $sign THEN CAST($arr[i] AS DOUBLE) ELSE -CAST($arr[i] AS DOUBLE) END")
+  }
+
+  /** Bucket id for table `t`: Σ over planes of (proj > 0 ? 1<<j0 : 0). */
+  private def duckLshBucket(arr: String, t: Int, bits: Int): String =
+    (0 until bits).map { j0 =>
+      s"(CASE WHEN ${duckLshProj(arr, t, j0)} > 0 THEN CAST(${1L << j0} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+
+  val v03Oracle: String = {
+    val bits = 4
+    val tables = 2
+    val k = 5
+    def bucketed(arr: String) = (0 until tables).map(t =>
+      s"STRUCT_PACK(t := $t, bucket := ${duckLshBucket(arr, t, bits)})").mkString(", ")
+    val sim = s"${duckDot("b_emb", "q_emb")} / (${duckNorm("b_emb")} * ${duckNorm("q_emb")})"
+    s"""WITH b AS (
+       |  SELECT vec_id AS b_id, embedding AS b_emb FROM embeddings
+       |  WHERE vec_id >= 10 AND ${duckNorm("embedding")} > 0
+       |), q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id < 10 AND ${duckNorm("embedding")} > 0
+       |), bb AS (
+       |  SELECT b_id, unnest([${bucketed("b_emb")}]) AS tb FROM b
+       |), qb AS (
+       |  SELECT q_id, unnest([${bucketed("q_emb")}]) AS tb FROM q
+       |), cand AS (
+       |  SELECT DISTINCT q_id, b_id
+       |  FROM bb JOIN qb ON bb.tb.t = qb.tb.t AND bb.tb.bucket = qb.tb.bucket
+       |), scored AS (
+       |  SELECT c.q_id, c.b_id, $sim AS sim
+       |  FROM cand c
+       |  JOIN b ON b.b_id = c.b_id
+       |  JOIN q ON q.q_id = c.q_id
+       |)
+       |SELECT q_id, b_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, b_id) AS INT) AS rank, sim
+       |FROM scored
+       |WHERE NOT isnan(sim)
+       |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, b_id) <= $k
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   /** Embedding-cosine near-duplicate pairs within label blocks — the
@@ -149,6 +201,7 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "v01_knn_bruteforce" -> v01Oracle,
     "v02_label_stats" -> v02Oracle,
+    "v03_knn_lsh" -> v03Oracle,
     "v04_embedding_neardup" -> v04Oracle
   )
 }
