@@ -15,10 +15,12 @@ import graft.functions.{Hashing, Text}
   * where a broadcast side is provably tiny).
   *
   * CALLER CONTRACT: the pair operators cache narrow intermediates
-  * (shingle sets, signatures) that their multi-branch plans re-read;
-  * those blocks live until the caller clears them. Long-lived sessions
-  * running many pipelines should `spark.catalog.clearCache()` between
-  * them (Verify and Bench both do).
+  * (shingle sets, signatures) that their multi-branch plans re-read.
+  * Wrap pipeline runs in [[Dedup.scoped]] — materialize results inside
+  * the block and every intermediate block is unpersisted on exit, so
+  * long-lived sessions (daemon mode) cannot accumulate storage.
+  * Outside a scope the blocks live until the caller clears them
+  * (`spark.catalog.clearCache()` — Verify and Bench both do).
   *
   * Reference behaviors re-expressed: exact content-hash duplicate groups
   * (/root/reference/src/file_indexing_system.py:246-319) and
@@ -26,6 +28,36 @@ import graft.functions.{Hashing, Text}
   * (/root/reference/src/media_fingerprinting.py:278-310).
   */
 object Dedup {
+
+  /** Frames cached by operators in the current [[scoped]] extent. */
+  private val scopeTL: ThreadLocal[Option[scala.collection.mutable.ListBuffer[DataFrame]]] =
+    ThreadLocal.withInitial(() => None)
+
+  /** Cache `df`, registering it with the enclosing [[scoped]] block
+    * (if any) for unpersist-on-exit.
+    */
+  private def scopedCache(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    scopeTL.get().foreach(_ += c)
+    c
+  }
+
+  /** Run `body` and unpersist every intermediate frame the Dedup
+    * operators cached in its dynamic extent (same thread). Results must
+    * be MATERIALIZED inside the block — a lazy DataFrame escaping the
+    * scope recomputes its cached inputs from source on first action
+    * (correct, just slower).
+    */
+  def scoped[T](body: => T): T = {
+    val prev = scopeTL.get()
+    val buf = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    scopeTL.set(Some(buf))
+    try body
+    finally {
+      scopeTL.set(prev)
+      buf.foreach(_.unpersist(false)) // double-unpersist is a no-op
+    }
+  }
 
   /** (id, [block,] sh) shingle-set frame with the token array
     * materialized as an attribute between projections — each
@@ -103,7 +135,7 @@ object Dedup {
     // distinct) expression runs per branch. The cached frame is
     // (id, block, array<string>) — narrow relative to the corpus; a
     // 100 TB pipeline would persist it to parquet between stages instead.
-    val docs = shingleSets(df, id, text, n, Some(blockCol)).cache()
+    val docs = scopedCache(shingleSets(df, id, text, n, Some(blockCol)))
     val ex = docs.select(col("doc_id"), col("blk"), explode(col("sh")).as("shingle"))
     // posting-list df per (block, shingle): one narrow aggregate; keys
     // with df > dfCap are excluded before the self-join
@@ -177,8 +209,8 @@ object Dedup {
     // pass; signatures feed two self-join branches. Cache both narrow
     // frames (k longs / one array per doc) — at any scale these are
     // small next to the corpus.
-    val sets = shingleSets(df, id, text, n).cache()
-    val sigs = minhashSignaturesFromSets(sets, k).cache()
+    val sets = scopedCache(shingleSets(df, id, text, n))
+    val sigs = scopedCache(minhashSignaturesFromSets(sets, k))
     val bands = sigs.select(
       col("doc_id"),
       explode(Hashing.minhashBands(col("sig"), k, rowsPerBand)).as("band"))
@@ -228,7 +260,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: Column, text: Column, maxDist: Int = 3): DataFrame = {
     val bands = maxDist + 1
     require(60 % bands == 0, s"bands=$bands must divide 60")
-    val sh = simhashes(df, id, text).cache() // one narrow row per doc
+    val sh = scopedCache(simhashes(df, id, text)) // one narrow row per doc
 
     val banded = sh.select(
       col("doc_id"), col("simhash"),
@@ -262,13 +294,11 @@ object Dedup {
     * the minimum doc id in the component — deterministic.
     */
   def groupPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("d1"), col("d2"))
-      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .cache()
-    var labels = edges.select(col("d1").as("doc_id"))
+    val edges = scopedCache(pairs.select(col("d1"), col("d2"))
+      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2"))))
+    var labels = scopedCache(edges.select(col("d1").as("doc_id"))
       .distinct()
-      .withColumn("group_id", col("doc_id"))
-      .cache()
+      .withColumn("group_id", col("doc_id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -281,14 +311,16 @@ object Dedup {
       // pointer jumping: follow each label to ITS label — combined with
       // the neighbor step this roughly halves remaining depth per round,
       // so convergence is O(log diameter), not O(diameter)
-      val next = propagated.as("l")
+      // scopedCache (not bare cache): intermediate rounds unpersist in
+      // the loop below, but the FINAL labels frame — the return value —
+      // stays cached; registering it lets Dedup.scoped release it.
+      val next = scopedCache(propagated.as("l")
         .join(
           propagated.select(col("doc_id").as("gid"), col("group_id").as("ggid")).as("p"),
           col("l.group_id") === col("p.gid"), "left")
         .select(
           col("l.doc_id").as("doc_id"),
-          least(col("l.group_id"), coalesce(col("ggid"), col("l.group_id"))).as("group_id"))
-        .cache()
+          least(col("l.group_id"), coalesce(col("ggid"), col("l.group_id"))).as("group_id")))
       val changed = next.join(labels.withColumnRenamed("group_id", "old"), "doc_id")
         .filter(col("group_id") < col("old"))
         .limit(1).count() > 0

@@ -92,16 +92,22 @@ object EventQueries {
       |) WHERE abs(value - prev_value) > 150 ORDER BY event_id""".stripMargin
 
   /** IP classification (SURVEY §2.2 P7): derive a deterministic mixed
-    * internal/external address per event, classify with the engine's
-    * RFC1918 Column expression. The oracle derives expectations from the
-    * *generator* buckets — an independent check of the classifier.
+    * internal/external address per event — RFC1918 v4, documentation v4,
+    * loopback/link-local/ULA/global v6 — and classify with the engine's
+    * Column expression. The oracle derives expectations from the
+    * *generator* buckets — an independent check of the classifier,
+    * including the IPv6 rules (reference network_mapper.py:218-238).
     */
   def q15IpClassify(s: SparkSession, dir: String): DataFrame = {
     val u = col("user_id")
-    val ip = when(u % 4 === 0, concat(lit("10."), (u % 200).cast("string"), lit(".0.1")))
-      .when(u % 4 === 1, concat(lit("172."), (lit(16) + u % 16).cast("string"), lit(".5.9")))
-      .when(u % 4 === 2, concat(lit("203.0.113."), (u % 250).cast("string")))
-      .otherwise(concat(lit("198.51.100."), (u % 250).cast("string")))
+    val ip = when(u % 8 === 0, concat(lit("10."), (u % 200).cast("string"), lit(".0.1")))
+      .when(u % 8 === 1, concat(lit("172."), (lit(16) + u % 16).cast("string"), lit(".5.9")))
+      .when(u % 8 === 2, concat(lit("203.0.113."), (u % 250).cast("string")))
+      .when(u % 8 === 3, concat(lit("198.51.100."), (u % 250).cast("string")))
+      .when(u % 8 === 4, lit("::1"))
+      .when(u % 8 === 5, concat(lit("fe80::"), (u % 50).cast("string")))
+      .when(u % 8 === 6, concat(lit("fd12:3456::"), (u % 50).cast("string")))
+      .otherwise(concat(lit("2001:db8::"), (u % 50).cast("string")))
     events(s, dir)
       .withColumn("ip", ip)
       .withColumn("is_external", Ip.isExternal(col("ip")))
@@ -111,11 +117,15 @@ object EventQueries {
 
   val q15Oracle: String =
     """SELECT event_id,
-      |  CASE WHEN user_id % 4 = 0 THEN '10.' || (user_id % 200) || '.0.1'
-      |       WHEN user_id % 4 = 1 THEN '172.' || (16 + user_id % 16) || '.5.9'
-      |       WHEN user_id % 4 = 2 THEN '203.0.113.' || (user_id % 250)
-      |       ELSE '198.51.100.' || (user_id % 250) END AS ip,
-      |  user_id % 4 IN (2, 3) AS is_external
+      |  CASE WHEN user_id % 8 = 0 THEN '10.' || (user_id % 200) || '.0.1'
+      |       WHEN user_id % 8 = 1 THEN '172.' || (16 + user_id % 16) || '.5.9'
+      |       WHEN user_id % 8 = 2 THEN '203.0.113.' || (user_id % 250)
+      |       WHEN user_id % 8 = 3 THEN '198.51.100.' || (user_id % 250)
+      |       WHEN user_id % 8 = 4 THEN '::1'
+      |       WHEN user_id % 8 = 5 THEN 'fe80::' || (user_id % 50)
+      |       WHEN user_id % 8 = 6 THEN 'fd12:3456::' || (user_id % 50)
+      |       ELSE '2001:db8::' || (user_id % 50) END AS ip,
+      |  user_id % 8 IN (2, 3, 7) AS is_external
       |FROM events ORDER BY event_id""".stripMargin
 
   /** Semi-structured extraction from the JSON props column (SURVEY §2.8 F9)

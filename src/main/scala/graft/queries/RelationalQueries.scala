@@ -364,7 +364,38 @@ object RelationalQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Skew-resistant lookup join through ScaleJoins.saltedJoin (SURVEY
+    * §2.3 at 100 TB): `l_returnflag` has 3 distinct values, so a plain
+    * shuffle join lands each flag's millions of rows on ONE reducer —
+    * the canonical hot-key shape. The salted path splits every flag
+    * into 16 sub-keys (salt = hash of the order key, deterministic for
+    * retries) and replicates the 3-row dim across them. Salting is
+    * invisible to semantics, so the oracle is the plain join.
+    */
+  def q21SaltedFlagJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(("A", "returned"), ("N", "in_transit"), ("R", "refunded"))
+      .toDF("rf", "rf_label")
+    val fact = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("rf"), col("l_orderkey"), col("l_extendedprice"))
+    graft.operators.ScaleJoins.saltedJoin(fact, dim, "rf", col("l_orderkey"), buckets = 16)
+      .groupBy("rf", "rf_label")
+      .agg(
+        count(lit(1)).as("n"),
+        Money.sumMoney(col("l_extendedprice")).as("sum_price"))
+      .orderBy("rf")
+  }
+
+  val q21Oracle: String =
+    """SELECT rf, rf_label, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price
+      |FROM lineitem
+      |JOIN (VALUES ('A', 'returned'), ('N', 'in_transit'), ('R', 'refunded')) AS d(rf, rf_label)
+      |  ON l_returnflag = d.rf
+      |GROUP BY rf, rf_label ORDER BY rf""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_salted_flag_join" -> (q21SaltedFlagJoin _),
     "q19_top_per_priority" -> (q19TopPerPriority _),
     "q20_status_metrics" -> (q20StatusMetrics _),
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -386,6 +417,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q21_salted_flag_join" -> q21Oracle,
     "q19_top_per_priority" -> q19Oracle,
     "q20_status_metrics" -> q20Oracle,
     "q01_pricing_summary" -> q01Oracle,

@@ -299,6 +299,33 @@ class ExpressionPipelineSpec extends SparkSpecBase {
       s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("Dedup.scoped: zero persisted blocks after a full dedup pipeline") {
+    import graft.operators.Dedup
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "completely different words entirely here now"),
+      (4L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (nj, nm, ns, ng) = Dedup.scoped {
+      val j = Dedup.jaccardPairs(df, col("doc_id"), col("text"), lit("x"),
+        n = 3, minJaccard = 0.3).count()
+      val mp = Dedup.minhashPairs(df, col("doc_id"), col("text"),
+        n = 3, k = 16, rowsPerBand = 2, minJaccard = 0.3)
+      val m = mp.count()
+      val s = Dedup.simhashPairs(df, col("doc_id"), col("text")).count()
+      val g = Dedup.groupPairs(mp).count()
+      // caches ARE live inside the scope (the whole point of them)
+      assert(spark.sparkContext.getPersistentRDDs.size > before.size)
+      (j, m, s, g)
+    }
+    assert(nj > 0 && nm > 0 && ns > 0 && ng > 0)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after == before,
+      s"leaked cache blocks after scope exit: ${after -- before}")
+  }
+
   test("groupPairs: connected components labeled by component-min id") {
     val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L), (9L, 3L)).toDF("d1", "d2")
     val got = graft.operators.Dedup.groupPairs(pairs)
@@ -371,6 +398,40 @@ class ExpressionPipelineSpec extends SparkSpecBase {
       Finding("x", "", "low", "process", "r", "s", "{}"))).toDF()
     val html = HtmlReport.render(fs, "R", resources = tables)
     assert(html.contains("Top Resource Users") && html.contains("bigtool.exe"))
+  }
+
+  test("html report golden: byte-for-byte render of a fixed report") {
+    // Full-surface render pinned against a checked-in golden file: card
+    // grid order, severity/domain ordering, zero-fill, escaping, and the
+    // resource/steps tables all regress loudly here (reference layout:
+    // src/audit/reporting/html_report.py:349-495). Regenerate with
+    // GRAFT_REGEN_GOLDEN=1 after an INTENDED layout change.
+    val fs = Findings.toDS(spark, Seq(
+      Finding("Trojan found", "d1", "critical", "malware", "/x/a.exe", "av", "{}"),
+      Finding("Odd listener", "", "medium", "network", "0.0.0.0:4444", "net", "{}"),
+      Finding("Quoted <tag> & \"attr\"", "", "low", "process", "r&d", "s", "{}"))).toDF()
+    val steps = Seq(
+      Pipeline.StageResult("collect", "completed", None, 1.5),
+      Pipeline.StageResult("scan", "failed", Some("boom"), 0.5))
+    val inv = Seq(
+      HtmlReport.InventoryCard("3", "Processes"),
+      HtmlReport.InventoryCard("42", "Connections", "3L/8E"))
+    val resources = Seq(HtmlReport.ResourceTable(
+      "Top RAM Users", Seq(("big.exe", 42L, "3072 MB", "C:\\big.exe"))))
+    val html = HtmlReport.render(
+      fs, "Golden Audit", inventory = inv, steps = steps, resources = resources)
+    val golden = java.nio.file.Paths.get("src/test/resources/golden/html_report.html")
+    if (!java.nio.file.Files.exists(golden) || sys.env.contains("GRAFT_REGEN_GOLDEN")) {
+      java.nio.file.Files.createDirectories(golden.getParent)
+      java.nio.file.Files.writeString(golden, html)
+    }
+    val expected = java.nio.file.Files.readString(golden)
+    if (html != expected) {
+      val i = html.zip(expected).indexWhere { case (a, b) => a != b }
+      val at = if (i >= 0) i else math.min(html.length, expected.length)
+      fail(s"golden mismatch at char $at: " +
+        s"got …${html.slice(at - 40, at + 40)}… expected …${expected.slice(at - 40, at + 40)}…")
+    }
   }
 
   test("html report: inventory cards and pipeline steps sections") {

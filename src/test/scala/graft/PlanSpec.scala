@@ -127,6 +127,18 @@ class PlanSpec extends SparkSpecBase {
     assert(spread > 4, s"salting spread only $spread buckets")
   }
 
+  test("q21 salted join: plan joins on (key, salt) so the hot flag spreads") {
+    val df = R.q21SaltedFlagJoin(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("__salt"), s"salted join key missing from plan:\n$p")
+    // the fact side of each flag really lands in many salt buckets
+    val spread = Tables.t(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag") === "N")
+      .select(pmod(hash(col("l_orderkey")), lit(16)).as("s"))
+      .distinct().count()
+    assert(spread >= 12, s"hot flag spread over only $spread of 16 salts")
+  }
+
   test("bucketed tables join without an exchange") {
     import graft.operators.ScaleJoins
     val left = Tables.t(spark, sfDir, "orders")
