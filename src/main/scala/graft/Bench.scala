@@ -17,19 +17,27 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
     }
     spark.catalog.clearCache()
-    // best-of-2 per query: single-shot numbers on a shared machine swing
-    // 5-10x from transient contention; the min is the plan's cost
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val dts = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // no cross-query cache memory creep
-        (ok, dt)
-      }
+    // best-of-3 per query, rounds INTERLEAVED (run the whole suite,
+    // three times) rather than back-to-back repeats: single-shot numbers
+    // on a shared machine swing 5-10x from transient contention, and
+    // back-to-back repeats let one contention window poison both samples
+    // of the same query. The per-query min across spread-out rounds is
+    // the plan's cost.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (round <- 1 to 3; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED (round $round): ${e.getMessage}"); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // no cross-query cache memory creep
       // a failing query must not report its time-to-exception as a score
-      val good = dts.filter(_._1).map(_._2)
+      if (ok) samples(name) = dt :: samples(name)
+    }
+    val results = names.map { case (name, _) =>
+      val good = samples(name)
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
     // JSON string escape (same contract as Verify's q()): a quote or
