@@ -90,7 +90,12 @@ object SignLsh {
       val base = i.toLong * 2654435761L
       j0 = 0
       while (j0 < bits) {
-        val mix = (base + offs(j0)) % 2147483648L
+        // floorMod, not Java % (sign-following): the HOF twin and the
+        // DuckDB oracle use pmod, and (base + offs) goes negative when
+        // `table` is negative or table*7919 wraps Int — Java % would
+        // silently flip the sign bit source there and break parity
+        val rem = (base + offs(j0)) % 2147483648L
+        val mix = if (rem < 0) rem + 2147483648L else rem
         acc(j0) += (if (((mix >> 13) & 1L) == 1L) x else -x)
         j0 += 1
       }

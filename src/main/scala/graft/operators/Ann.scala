@@ -88,9 +88,11 @@ object Ann {
     * equi-join on cell id (shuffle ∝ candidates, not corpus), and the
     * centroid model is broadcast-sized. Deterministic via a fixed seed.
     *
-    * The quantizer is fit on a bounded deterministic SAMPLE (≤ `maxFit`
-    * rows, selected by a hash filter on the id — not `rand()`, so a
-    * task retry sees the same sample): KMeans is an iterative,
+    * The quantizer is fit on a bounded deterministic SAMPLE
+    * (approximately `maxFit` rows — the hash filter admits each row
+    * with probability maxFit/total, so the realized count has binomial
+    * spread around maxFit; selected by a hash on the id, not `rand()`,
+    * so a task retry sees the same sample): KMeans is an iterative,
     * driver-coordinated algorithm that re-reads its input ~maxIter
     * times, and the standard IVF recipe never feeds it the full corpus.
     * Assignment of the full base stays one narrow pass. CACHE CONTRACT:
@@ -112,6 +114,12 @@ object Ann {
         b.filter(pmod(xxhash64(col("b_id")), lit(total)) < lit(maxFit))
       else b
     ).select("feat").cache()
+    // a degenerate sample (< nlist points) would make KMeans collapse
+    // cells silently; the count is cheap — the sample is already cached
+    val fitCount = fit.count()
+    require(fitCount >= nlist,
+      s"IVF quantizer sample has $fitCount rows < nlist=$nlist — " +
+        "shrink nlist or raise maxFit")
     val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("feat").setPredictionCol("cell")
     val model = km.fit(fit) // eager: iterates over the cached sample

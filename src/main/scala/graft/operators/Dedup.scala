@@ -29,24 +29,38 @@ import graft.functions.{Hashing, Text}
   */
 object Dedup {
 
-  /** Frames cached by operators in the current [[scoped]] extent. */
-  private val scopeTL: ThreadLocal[Option[scala.collection.mutable.ListBuffer[DataFrame]]] =
-    ThreadLocal.withInitial(() => None)
+  /** Frames cached by operators in the current [[scoped]] extent.
+    * InheritableThreadLocal so threads SPAWNED inside a scope register
+    * into the same (synchronized) buffer; see the [[scoped]] contract
+    * for the pool caveat.
+    */
+  private val scopeTL: InheritableThreadLocal[Option[scala.collection.mutable.ListBuffer[DataFrame]]] =
+    new InheritableThreadLocal[Option[scala.collection.mutable.ListBuffer[DataFrame]]] {
+      override def initialValue(): Option[scala.collection.mutable.ListBuffer[DataFrame]] = None
+    }
 
   /** Cache `df`, registering it with the enclosing [[scoped]] block
     * (if any) for unpersist-on-exit.
     */
-  private def scopedCache(df: DataFrame): DataFrame = {
+  private[operators] def scopedCache(df: DataFrame): DataFrame = {
     val c = df.cache()
-    scopeTL.get().foreach(_ += c)
+    scopeTL.get().foreach(b => b.synchronized { b += c })
     c
   }
 
   /** Run `body` and unpersist every intermediate frame the Dedup
-    * operators cached in its dynamic extent (same thread). Results must
-    * be MATERIALIZED inside the block — a lazy DataFrame escaping the
+    * operators cached in its dynamic extent. Results must be
+    * MATERIALIZED inside the block — a lazy DataFrame escaping the
     * scope recomputes its cached inputs from source on first action
     * (correct, just slower).
+    *
+    * THREADING CONTRACT (hard requirement): operator frames must be
+    * BUILT either on the scope's thread or on threads *created inside*
+    * the scope (those inherit the registration buffer). Frames built on
+    * pre-existing pool threads — `scala.concurrent` default pool,
+    * parallel collections — do NOT see the scope and their cached
+    * intermediates escape cleanup; daemon-mode callers using per-
+    * pipeline pools must call `spark.catalog.clearCache()` themselves.
     */
   def scoped[T](body: => T): T = {
     val prev = scopeTL.get()
@@ -55,7 +69,10 @@ object Dedup {
     try body
     finally {
       scopeTL.set(prev)
-      buf.foreach(_.unpersist(false)) // double-unpersist is a no-op
+      // snapshot under the lock; a straggler thread appending after the
+      // drain is the documented out-of-contract case
+      val frames = buf.synchronized(buf.toList)
+      frames.foreach(_.unpersist(false)) // double-unpersist is a no-op
     }
   }
 

@@ -65,7 +65,10 @@ object HtmlReport {
             case d: java.lang.Double => f"$d%.0f MB"
             case x => String.valueOf(x)
           }
-          (r.getString(0), r.getLong(1), v, Option(r.getString(3)).getOrElse(""))
+          // name gets the same null guard as path: a null proc name would
+          // otherwise flow into the HTML row as the literal "null"
+          (Option(r.getString(0)).getOrElse(""), r.getLong(1), v,
+            Option(r.getString(3)).getOrElse(""))
         }
       ResourceTable(label, top.toSeq)
     }

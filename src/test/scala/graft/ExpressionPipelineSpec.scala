@@ -100,6 +100,50 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     assert(viaSql == viaCol)
   }
 
+  test("sign_lsh: property parity vs HOF over dims 0-256, nulls, ±0.0/NaN, full table range") {
+    // The example-based differential above pins table ∈ {0,1,3}; this
+    // property run drives the parity CONTRACT — any Int table (negative,
+    // and large enough that table*7919 wraps Int, where the pre-floorMod
+    // native form silently diverged from the HOF's pmod), empty arrays,
+    // null elements mid-array, signed zeros and NaN (both engines: a NaN
+    // projection is not > 0, so the plane contributes 0).
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.functions.Vectors
+    val specialF = Gen.oneOf(0.0f, -0.0f, Float.NaN, 1e30f, -1e-30f)
+    val elemF: Gen[java.lang.Float] = Gen.frequency(
+      8 -> Gen.chooseNum(-10f, 10f).map(java.lang.Float.valueOf),
+      1 -> specialF.map(java.lang.Float.valueOf),
+      1 -> Gen.const(null.asInstanceOf[java.lang.Float]))
+    val arrF = Gen.choose(0, 256).flatMap(n => Gen.listOfN(n, elemF).map(_.toArray))
+    val bitsGen = Gen.oneOf(1, 2, 5, 16, 63)
+    val tableGen = Gen.oneOf(
+      Gen.choose(-300000, 300000),
+      // 271829*7919 and the extremes wrap Int — both forms must wrap identically
+      Gen.oneOf(0, -1, 271829, Int.MaxValue, Int.MinValue))
+    val propF = Prop.forAll(arrF, bitsGen, tableGen) { (a, bits, table) =>
+      val r = Seq(Tuple1(a)).toDF("v").select(
+        Vectors.signLsh(col("v"), bits, table).as("native"),
+        Vectors.signLshHof(col("v"), bits, table).as("hof")).head()
+      r.getLong(0) == r.getLong(1)
+    }
+    val resF = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), propF)
+    assert(resF.passed, s"float-array parity: ${resF.status}")
+    // double element type takes the getDouble path in the native bucket
+    val elemD: Gen[java.lang.Double] = Gen.frequency(
+      8 -> Gen.chooseNum(-10.0, 10.0).map(java.lang.Double.valueOf),
+      1 -> Gen.oneOf(0.0, -0.0, Double.NaN).map(java.lang.Double.valueOf),
+      1 -> Gen.const(null.asInstanceOf[java.lang.Double]))
+    val arrD = Gen.choose(0, 64).flatMap(n => Gen.listOfN(n, elemD).map(_.toArray))
+    val propD = Prop.forAll(arrD, bitsGen, tableGen) { (a, bits, table) =>
+      val r = Seq(Tuple1(a)).toDF("v").select(
+        Vectors.signLsh(col("v"), bits, table).as("native"),
+        Vectors.signLshHof(col("v"), bits, table).as("hof")).head()
+      r.getLong(0) == r.getLong(1)
+    }
+    val resD = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), propD)
+    assert(resD.passed, s"double-array parity: ${resD.status}")
+  }
+
   test("winnowing: shared token runs produce shared fingerprints") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
     val df = Seq(
@@ -421,10 +465,15 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     val html = HtmlReport.render(
       fs, "Golden Audit", inventory = inv, steps = steps, resources = resources)
     val golden = java.nio.file.Paths.get("src/test/resources/golden/html_report.html")
-    if (!java.nio.file.Files.exists(golden) || sys.env.contains("GRAFT_REGEN_GOLDEN")) {
+    if (sys.env.contains("GRAFT_REGEN_GOLDEN")) {
       java.nio.file.Files.createDirectories(golden.getParent)
       java.nio.file.Files.writeString(golden, html)
     }
+    // never auto-regenerate on a missing golden: comparing a render
+    // against a file this test just wrote would pass vacuously on any
+    // checkout where the golden was deleted or the cwd resolves elsewhere
+    assert(java.nio.file.Files.exists(golden),
+      s"golden file missing at ${golden.toAbsolutePath} — run with GRAFT_REGEN_GOLDEN=1 to (re)create it")
     val expected = java.nio.file.Files.readString(golden)
     if (html != expected) {
       val i = html.zip(expected).indexWhere { case (a, b) => a != b }
