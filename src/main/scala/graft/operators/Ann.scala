@@ -161,6 +161,56 @@ object Ann {
     topkPerQuery(scored, k)
   }
 
+  /** Embedding-cosine near-duplicate pairs at corpus scale: candidate
+    * generation via multi-table sign-LSH bucket equi-join, then an exact
+    * strict-fold cosine verify over the candidates only — the vector
+    * twin of [[Dedup.minhashPairs]] (bands → candidates → exact
+    * verify), replacing any all-pairs/blocked-cross candidate join.
+    *
+    * Shuffle budget: the bucket self-join ships (table, bucket, id)
+    * rows only — `tables` narrow rows per vector; candidate pairs are
+    * deduped BEFORE embeddings are re-joined for scoring, so the wide
+    * arrays travel once per surviving pair side, not per collision.
+    * Recall is tunable the standard LSH way (fewer `bits` → bigger
+    * buckets; more `tables` → more chances to collide) and is measured
+    * against the all-pairs baseline in ScalaTest; reported similarities
+    * are exact regardless of recall.
+    *
+    * Reference contract: the bounded-distance similarity θ-join of
+    * /root/reference/src/media_fingerprinting.py:278-310, re-keyed for
+    * cosine over embeddings.
+    *
+    * CALLER CONTRACT: caches two narrow frames; wrap in [[Dedup.scoped]]
+    * (or clear the cache) exactly as with the text-dedup operators.
+    */
+  def cosineNeardupLsh(
+      df: DataFrame, id: Column, vec: Column,
+      minSim: Double, bits: Int = 8, tables: Int = 2): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    // narrow per-row prep, scanned by the bucket pass and both verify
+    // joins: id + embedding + hoisted norm (zero-norm rows excluded —
+    // cosine undefined; see knnBruteForce)
+    val e = Dedup.scopedCache(
+      df.select(id.as("vec_id"), vec.as("emb"))
+        .withColumn("nrm", Vectors.norm2(col("emb")))
+        .filter(col("nrm") > 0))
+    val buckets = Dedup.scopedCache(e.select(
+      col("vec_id"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), Vectors.signLsh(col("emb"), bits, t).as("bucket"))): _*)).as("tb")))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.tb") === col("y.tb") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("d1"), col("y.vec_id").as("d2"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("d1"), col("emb").as("ea"), col("nrm").as("na")), "d1")
+      .join(e.select(col("vec_id").as("d2"), col("emb").as("eb"), col("nrm").as("nb")), "d2")
+      .select(col("d1"), col("d2"),
+        (Vectors.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Approximate top-k via sign-LSH bucketing: candidates are base rows
     * sharing the query's bucket in ANY of `tables` independent hash
     * tables; rank within the deduplicated candidate set. Recall rises

@@ -178,6 +178,42 @@ object VectorQueries {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** Embedding near-dup, SCALE PATH: candidates from a multi-table
+    * sign-LSH bucket equi-join (no label blocking, no all-pairs), exact
+    * strict-fold cosine verify — [[v04EmbeddingNeardup]] retained as
+    * the all-pairs test-scale baseline this path's recall is measured
+    * against in ScalaTest. Every stage is deterministic integer/double
+    * arithmetic, so the oracle replays the whole pipeline (buckets →
+    * candidate join → cosine) bit-for-bit, exactly like d03.
+    */
+  def v06NeardupLsh(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ann.cosineNeardupLsh(
+      emb(s, dir), col("vec_id"), col("embedding"),
+      minSim = 0.3, bits = 4, tables = 2)
+      .orderBy("d1", "d2")
+
+  val v06Oracle: String = {
+    val bits = 4
+    val tables = 2
+    def bucketed(arr: String) = (0 until tables).map(t =>
+      s"STRUCT_PACK(t := $t, bucket := ${duckLshBucket(arr, t, bits)})").mkString(", ")
+    val sim = s"${duckDot("a_emb", "b_emb")} / (${duckNorm("a_emb")} * ${duckNorm("b_emb")})"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE ${duckNorm("embedding")} > 0
+       |), bk AS (
+       |  SELECT vec_id, unnest([${bucketed("embedding")}]) AS tb FROM e
+       |), cand AS (
+       |  SELECT DISTINCT x.vec_id AS d1, y.vec_id AS d2
+       |  FROM bk x JOIN bk y ON x.tb.t = y.tb.t AND x.tb.bucket = y.tb.bucket AND x.vec_id < y.vec_id
+       |), scored AS (
+       |  SELECT c.d1, c.d2, $sim AS sim
+       |  FROM cand c
+       |  JOIN (SELECT vec_id, embedding AS a_emb FROM e) a ON a.vec_id = c.d1
+       |  JOIN (SELECT vec_id, embedding AS b_emb FROM e) b ON b.vec_id = c.d2
+       |)
+       |SELECT d1, d2, sim FROM scored WHERE sim >= 0.3 ORDER BY d1, d2""".stripMargin
+  }
+
   /** IVF approximate KNN (rows-only: KMeans cells are engine-specific;
     * recall vs brute force is measured in ScalaTest).
     */
@@ -195,13 +231,15 @@ object VectorQueries {
     "v02_label_stats" -> (v02LabelStats _),
     "v03_knn_lsh" -> (v03KnnLsh _),
     "v04_embedding_neardup" -> (v04EmbeddingNeardup _),
-    "v05_knn_ivf" -> (v05KnnIvf _)
+    "v05_knn_ivf" -> (v05KnnIvf _),
+    "v06_neardup_lsh" -> (v06NeardupLsh _)
   )
 
   val oracles: Map[String, String] = Map(
     "v01_knn_bruteforce" -> v01Oracle,
     "v02_label_stats" -> v02Oracle,
     "v03_knn_lsh" -> v03Oracle,
-    "v04_embedding_neardup" -> v04Oracle
+    "v04_embedding_neardup" -> v04Oracle,
+    "v06_neardup_lsh" -> v06Oracle
   )
 }

@@ -182,6 +182,44 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(r4 > 0.2, s"multi-table recall implausibly low: $r4")
   }
 
+  test("cosine near-dup LSH: sims exact, pairs ⊆ all-pairs, recall grows with tables") {
+    // scale path vs the all-pairs truth it replaces: every reported pair
+    // must exist in the brute-force result WITH a bit-identical sim
+    // (the LSH stage only selects candidates — it must never touch the
+    // score), and multi-table recall dominates single-table. Data and
+    // hash family are fixed, so the measured recall is deterministic —
+    // the floor below is a regression pin, not a tolerance.
+    val e = Tables.t(spark, sfDir, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      df.select("d1", "d2", "sim").as[(Long, Long, Double)].collect()
+        .map { case (a, b, s) => (a, b) -> s }.toMap
+    // all-pairs baseline (test scale only): same arithmetic, no blocking
+    val en = e.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Vectors.norm2(col("embedding"))).filter(col("nrm") > 0)
+    val truth = pairs(en.as("a").join(en.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        (Vectors.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .filter(col("sim") >= 0.3))
+    def lsh(tables: Int): Map[(Long, Long), Double] = graft.operators.Dedup.scoped {
+      pairs(graft.operators.Ann.cosineNeardupLsh(
+        e, col("vec_id"), col("embedding"), minSim = 0.3, bits = 4, tables = tables))
+    }
+    val one = lsh(1)
+    val two = lsh(2)
+    for ((k, s) <- two) {
+      assert(truth.contains(k), s"LSH invented pair $k")
+      assert(java.lang.Double.doubleToLongBits(truth(k)) == java.lang.Double.doubleToLongBits(s),
+        s"sim drifted for $k: lsh=$s truth=${truth(k)}")
+    }
+    assert(one.keySet.subsetOf(two.keySet),
+      "table 0 of the 2-table scheme IS the 1-table scheme — candidates must only grow")
+    val recall = two.size.toDouble / truth.size
+    assert(recall >= one.size.toDouble / truth.size, "multi-table recall must dominate")
+    assert(recall > 0.1 && two.nonEmpty, s"recall implausibly low: $recall (${two.size}/${truth.size})")
+  }
+
   test("signLsh: buckets are diverse, not a 2-value parity split") {
     // regression: bit 0 of (i*odd + j*odd) is parity(i+j), which made
     // every hyperplane one of two patterns and every bucket one of two

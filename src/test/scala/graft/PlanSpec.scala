@@ -70,7 +70,7 @@ class PlanSpec extends SparkSpecBase {
     for ((name, q) <- Seq(
         "d02" -> D.d02JaccardPairs _, "d03" -> D.d03MinhashLsh _,
         "d04" -> D.d04SimhashPairs _, "v04" -> V.v04EmbeddingNeardup _,
-        "c01" -> C.c01CorpusCuration _)) {
+        "v06" -> V.v06NeardupLsh _, "c01" -> C.c01CorpusCuration _)) {
       val p = plan(q(spark, sfDir))
       assert(!p.contains("Cartesian"), s"$name plans a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -92,6 +92,19 @@ class PlanSpec extends SparkSpecBase {
     val p = plan(df)
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("sign_lsh")),
       s"sign_lsh fell out of codegen:\n$p")
+  }
+
+  test("v06 scale path: candidate join is keyed on the LSH bucket, not label all-pairs") {
+    // the r3 verdict's one `weak`: v04 generates candidates all-pairs
+    // within label blocks — O(n²/|labels|). The scale path must instead
+    // equi-join on the (table, bucket) sign-LSH key so candidate volume
+    // tracks bucket occupancy, not block size.
+    import graft.queries.{VectorQueries => V}
+    val p = plan(V.v06NeardupLsh(spark, sfDir))
+    assert(p.contains("tb#"), s"candidate join must key on the exploded (table, bucket) struct:\n$p")
+    assert(!p.contains("label"), s"scale path must not block on label:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation degraded to all-pairs:\n$p")
   }
 
   test("knn plans contain no Window sort: top-k is the k-buffer aggregator") {
