@@ -214,8 +214,11 @@ object VectorQueries {
        |SELECT d1, d2, sim FROM scored WHERE sim >= 0.3 ORDER BY d1, d2""".stripMargin
   }
 
-  /** IVF approximate KNN (rows-only: KMeans cells are engine-specific;
-    * recall vs brute force is measured in ScalaTest).
+  /** IVF approximate KNN. Candidate SELECTION is engine-specific
+    * (KMeans cells), but the output CONTRACT is still oracle-gated —
+    * see [[v05Oracle]]: every reported number is proven, only which
+    * neighbors were considered stays engine-side (recall vs brute force
+    * is measured in ScalaTest).
     */
   def v05KnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
@@ -224,6 +227,38 @@ object VectorQueries {
       e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
       k = 5, nlist = 8, nprobe = 3)
       .orderBy("q_id", "rank")
+  }
+
+  /** Partial-contract oracle for v05 (the verify-the-scores pattern of
+    * reference src/media_fingerprinting.py:250-276): reads the engine's
+    * OWN dumped result back (`__GRAFT_OUT__` is substituted with the
+    * verify out-dir by [[graft.Verify]]), and keeps each row only if
+    * (a) its `sim` equals the DuckDB strict-fold cosine of that exact
+    * (q_id, b_id) pair bit-for-bit, and (b) its rank is the
+    * descending-sim row number within its query with ranks 1..k.
+    * A row with a fabricated score, wrong pair, or inconsistent rank is
+    * filtered → row-count mismatch → the gate fails. Candidate
+    * selection (which cells were probed) remains engine-specific and is
+    * deliberately NOT constrained.
+    */
+  val v05Oracle: String = {
+    // Spark scores as dot(b_emb, q_emb) / (b_nrm * q_nrm) — replay the
+    // same operand order (dot and * are bitwise commutative in IEEE754,
+    // but keep the fold direction identical anyway)
+    val want = s"${duckDot("b_emb", "q_emb")} / (${duckNorm("b_emb")} * ${duckNorm("q_emb")})"
+    s"""WITH o AS (
+       |  SELECT q_id, b_id, "rank", sim
+       |  FROM read_parquet('__GRAFT_OUT__/v05_knn_ivf/*.parquet')
+       |), chk AS (
+       |  SELECT o.q_id, o.b_id, o."rank", o.sim, $want AS want
+       |  FROM o
+       |  JOIN (SELECT vec_id, embedding AS q_emb FROM embeddings) q ON q.vec_id = o.q_id
+       |  JOIN (SELECT vec_id, embedding AS b_emb FROM embeddings) b ON b.vec_id = o.b_id
+       |)
+       |SELECT q_id, b_id, "rank", sim FROM chk
+       |WHERE sim = want AND "rank" BETWEEN 1 AND 5
+       |QUALIFY "rank" = row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, "rank")
+       |ORDER BY q_id, "rank"""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -240,6 +275,7 @@ object VectorQueries {
     "v02_label_stats" -> v02Oracle,
     "v03_knn_lsh" -> v03Oracle,
     "v04_embedding_neardup" -> v04Oracle,
+    "v05_knn_ivf" -> v05Oracle,
     "v06_neardup_lsh" -> v06Oracle
   )
 }
