@@ -197,6 +197,171 @@ object Media {
   def phashSimilarity(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     lit(1.0) - Hashing.hamming(a, b).cast("double") / 64.0
 
+  // ----------------------------------------------------- audio (WAV/PCM)
+
+  /** Decoded 16-bit PCM audio: first channel only (fingerprinting
+    * needs one stream; the reference pipes everything through a mono
+    * downmix anyway).
+    */
+  case class WavPcm(sampleRate: Int, channels: Int, bitsPerSample: Int, samples: Array[Short])
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Dep-free RIFF/WAVE parse for uncompressed 16-bit PCM — the one
+    * audio format that needs no codec (the reference shells out to
+    * ffmpeg for the rest, media_fingerprinting.py:166-179; compressed
+    * formats here still go through the documented stub path).
+    *
+    * Honest-failure contract: anything malformed — short header, wrong
+    * magic, non-PCM format code, non-16-bit, or a declared chunk size
+    * that overruns the payload — returns None rather than a best-effort
+    * guess, mirroring [[decode]] for images.
+    */
+  def parseWav(bytes: Array[Byte]): Option[WavPcm] = {
+    if (bytes == null || bytes.length < 44) return None
+    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, sampleRate, bits)
+    var data: Option[(Int, Int)] = None // (offset, len)
+    while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(bytes, off)
+      val size = le32(bytes, off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None // truncated/overrun
+      if (id == "fmt ") {
+        if (size < 16) return None
+        val audioFormat = le16(bytes, off + 8)
+        val channels = le16(bytes, off + 10)
+        val rate = le32(bytes, off + 12)
+        val bits = le16(bytes, off + 22)
+        if (audioFormat != 1 || channels < 1 || rate <= 0) return None // PCM only
+        fmt = Some((channels, rate, bits))
+      } else if (id == "data") {
+        data = Some((off + 8, size))
+      }
+      off += 8 + size + (size & 1) // RIFF chunks pad to even
+    }
+    for {
+      (ch, rate, bits) <- fmt
+      (dOff, dLen) <- data
+      if bits == 16
+    } yield {
+      val frameBytes = 2 * ch
+      val n = dLen / frameBytes
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        out(i) = le16(bytes, dOff + i * frameBytes).toShort
+        i += 1
+      }
+      WavPcm(rate, ch, bits, out)
+    }
+  }
+
+  /** Canonical 44-byte-header WAV writer (mono-interleaved raw data
+    * bytes in, RIFF container out) — the test/builder twin of
+    * [[parseWav]]; also how the m03 query rides document bytes through
+    * the REAL parser.
+    */
+  def buildWav(sampleRate: Int, channels: Int, data: Array[Byte]): Array[Byte] = {
+    val n = data.length - (data.length % 2)
+    val out = java.nio.ByteBuffer.allocate(44 + n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n).put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(n).put(data, 0, n)
+    out.array()
+  }
+
+  /** Per-window dominant-frequency bins: rectangular-window DFT
+    * magnitude argmax over bins 1..window/2−1 (DC excluded), ties to
+    * the lower bin. StrictMath keeps the trigonometry bit-identical
+    * across JVMs. Direct DFT, not FFT — windows are tiny (256) and the
+    * per-row work stays linear in samples × window.
+    */
+  private[graft] def spectralPeaks(
+      samples: Array[Short], window: Int = 256, hop: Int = 128): Array[Int] = {
+    if (samples.length < window) return Array.empty
+    // cos/sin lookup by (k*i) mod window — exact same StrictMath values
+    // as computing each angle directly, one table instead of n² calls
+    val cosT = Array.tabulate(window)(m => StrictMath.cos(2.0 * StrictMath.PI * m / window))
+    val sinT = Array.tabulate(window)(m => StrictMath.sin(2.0 * StrictMath.PI * m / window))
+    val nWin = (samples.length - window) / hop + 1
+    val peaks = new Array[Int](nWin)
+    var w = 0
+    while (w < nWin) {
+      val base = w * hop
+      var bestK = 1
+      var bestMag = -1.0
+      var k = 1
+      while (k < window / 2) {
+        var re = 0.0
+        var im = 0.0
+        var i = 0
+        while (i < window) {
+          val m = (k * i) % window
+          val x = samples(base + i).toDouble
+          re += x * cosT(m)
+          im -= x * sinT(m)
+          i += 1
+        }
+        val mag = re * re + im * im
+        if (mag > bestMag) { bestMag = mag; bestK = k }
+        k += 1
+      }
+      peaks(w) = bestK
+      w += 1
+    }
+    peaks
+  }
+
+  /** 60-bit-ish audio fingerprint: modular rolling hash over the
+    * window peak-bin sequence (same base-31 family as the text
+    * fingerprints, so downstream hamming/equality tooling applies).
+    * None for anything [[parseWav]] rejects; a clip shorter than one
+    * window fingerprints to the seed 1.
+    */
+  def wavFingerprint(bytes: Array[Byte], window: Int = 256, hop: Int = 128): Option[Long] =
+    parseWav(bytes).map { pcm =>
+      val peaks = spectralPeaks(pcm.samples, window, hop)
+      var h = 1L
+      var i = 0
+      while (i < peaks.length) { h = (h * 31 + (peaks(i) + 1)) % 2147483647L; i += 1 }
+      h
+    }
+
+  val wavFingerprintUdf: UserDefinedFunction =
+    udf((b: Array[Byte]) => if (b == null) None else wavFingerprint(b))
+
+  /** Integer WAV features for the oracle gate (every value replayable
+    * by DuckDB from the raw byte stream): sample count, header sample
+    * rate, sign-change count, Σ|sample|, and a base-31 rolling hash of
+    * the unsigned sample stream (seed 1, mod 2^31−1).
+    */
+  private[graft] def wavIntFeatures(pcm: WavPcm): (Int, Int, Int, Long, Long) = {
+    val s = pcm.samples
+    var zc = 0
+    var absSum = 0L
+    var h = 1L
+    var i = 0
+    while (i < s.length) {
+      if (i > 0 && ((s(i - 1) >= 0) != (s(i) >= 0))) zc += 1
+      absSum += math.abs(s(i).toLong)
+      h = (h * 31 + (s(i) & 0xffff)) % 2147483647L
+      i += 1
+    }
+    (s.length, pcm.sampleRate, zc, absSum, h)
+  }
+
   // ------------------------------------------------------- generic binary
 
   /** Canonical multimodal schema: opaque payload + typed metadata. */

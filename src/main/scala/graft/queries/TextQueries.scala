@@ -246,8 +246,70 @@ object TextQueries {
       |  CAST((((h * 1103515245 + 12345) % 2147483647) % 4096) / 4096.0 AS REAL) AS f0
       |FROM h0 ORDER BY media_id""".stripMargin
 
+  /** WAV leg of the multimodal family, end to end through the REAL
+    * audio parser: document bytes ride a canonical RIFF container
+    * ([[graft.multimodal.Media.buildWav]]) and are decoded back by
+    * [[graft.multimodal.Media.parseWav]] — header fields, 16-bit LE
+    * sample extraction and the integer feature fold are all exercised,
+    * and DuckDB replays every value from the blob's hex dump (samples
+    * are just the byte pairs the container carries). The spectral
+    * fingerprint over the same parser is pinned in MultimodalSpec
+    * (trig folds aren't portably replayable in SQL).
+    */
+  def m03WavFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Media
+    val wavUdf = udf((b: Array[Byte]) => {
+      val data = if (b == null) Array.empty[Byte] else b
+      Media.parseWav(Media.buildWav(8000, 1, data)).map(Media.wavIntFeatures)
+    })
+    docs(s, dir)
+      .select(col("doc_id").as("media_id"), wavUdf(col("text").cast("binary")).as("f"))
+      .select(
+        col("media_id"),
+        col("f._1").as("n_samples"),
+        col("f._2").as("sample_rate"),
+        col("f._3").as("zero_cross"),
+        col("f._4").as("abs_sum"),
+        col("f._5").as("samp_hash"))
+      .orderBy("media_id")
+  }
+
+  /** DuckDB replay of the WAV leg: UTF-8 blob bytes via hex-pair
+    * decode → 16-bit LE samples (lo + 256·hi, sign-fold at 32768) →
+    * sample count / sign changes / Σ|s| / base-31 rolling hash of the
+    * unsigned stream (seed 1, mod 2^31−1) — integer arithmetic only,
+    * so the gate is exact at any SF.
+    */
+  val m03Oracle: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, COALESCE(encode(text), encode('')) AS blob FROM documents
+      |), hx AS (
+      |  SELECT media_id, octet_length(blob) AS nb, hex(blob) AS hs FROM b
+      |), s AS (
+      |  SELECT media_id, nb // 2 AS ns,
+      |    list_transform(generate_series(1, nb // 2), j ->
+      |      CAST(strpos('0123456789ABCDEF', substr(hs, 4*j-3, 1)) - 1 AS BIGINT)*16
+      |      + CAST(strpos('0123456789ABCDEF', substr(hs, 4*j-2, 1)) - 1 AS BIGINT)
+      |      + (CAST(strpos('0123456789ABCDEF', substr(hs, 4*j-1, 1)) - 1 AS BIGINT)*16
+      |         + CAST(strpos('0123456789ABCDEF', substr(hs, 4*j, 1)) - 1 AS BIGINT)) * 256
+      |    ) AS us
+      |  FROM hx
+      |), f AS (
+      |  SELECT media_id, ns, us,
+      |    list_transform(us, u -> CASE WHEN u < 32768 THEN u ELSE u - 65536 END) AS ss
+      |  FROM s
+      |)
+      |SELECT media_id,
+      |  CAST(ns AS INT) AS n_samples,
+      |  CAST(8000 AS INT) AS sample_rate,
+      |  CAST(len(list_filter(generate_series(2, ns), j -> (ss[j-1] >= 0) <> (ss[j] >= 0))) AS INT) AS zero_cross,
+      |  CAST(COALESCE(list_sum(list_transform(ss, x -> abs(x))), 0) AS BIGINT) AS abs_sum,
+      |  CAST(list_reduce([CAST(1 AS BIGINT)] || us, (a, b) -> (a*31 + b) % 2147483647) AS BIGINT) AS samp_hash
+      |FROM f ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m02_media_features" -> (m02MediaFeatures _),
+    "m03_wav_features" -> (m03WavFeatures _),
     "t01_token_counts" -> (t01TokenCounts _),
     "t02_lang_id" -> (t02LangId _),
     "t03_quality" -> (t03Quality _),
@@ -259,6 +321,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "m02_media_features" -> m02Oracle,
+    "m03_wav_features" -> m03Oracle,
     "t01_token_counts" -> t01Oracle,
     "t02_lang_id" -> t02Oracle,
     "t03_quality" -> t03Oracle,

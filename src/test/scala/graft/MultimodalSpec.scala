@@ -112,4 +112,65 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f1(3L)._1 == 0) // null payload → empty bytes, still a row
     assert(f1 == f2) // partitioning-independent determinism
   }
+
+  // ----------------------------------------------------- audio (WAV/PCM)
+
+  /** 16-bit mono sine WAV: amplitude 0.5 full-scale at `hz`. */
+  private def sineWav(hz: Double, rate: Int, seconds: Double, channels: Int = 1): Array[Byte] = {
+    val n = (rate * seconds).toInt
+    val buf = java.nio.ByteBuffer.allocate(n * 2 * channels)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until n; _ <- 0 until channels)
+      buf.putShort((16000 * math.sin(2 * math.Pi * hz * i / rate)).toShort)
+    Media.buildWav(rate, channels, buf.array())
+  }
+
+  test("parseWav: header round-trip, sample extraction, honest failures") {
+    val data = Array[Byte](0x10, 0x00, 0xf0.toByte, 0xff.toByte, 0x00, 0x80.toByte)
+    val wav = Media.buildWav(8000, 1, data)
+    val pcm = Media.parseWav(wav).get
+    assert(pcm.sampleRate == 8000 && pcm.channels == 1 && pcm.bitsPerSample == 16)
+    // LE pairs: 0x0010=16, 0xfff0=-16, 0x8000=-32768
+    assert(pcm.samples.toSeq == Seq[Short](16, -16, -32768))
+    // stereo: only channel 0 survives
+    val st = Media.parseWav(sineWav(440, 8000, 0.01, channels = 2)).get
+    assert(st.channels == 2 && st.samples.length == 80)
+    // failures: truncated payload, bad magic, not a WAV at all
+    assert(Media.parseWav(wav.dropRight(3)) == None, "declared size overruns payload")
+    val badMagic = wav.clone(); badMagic(9) = 'X'.toByte
+    assert(Media.parseWav(badMagic) == None)
+    assert(Media.parseWav("not audio".getBytes) == None)
+    assert(Media.parseWav(null) == None)
+    // empty data chunk parses to zero samples (44-byte minimal file)
+    assert(Media.parseWav(Media.buildWav(8000, 1, Array.empty)).get.samples.isEmpty)
+  }
+
+  test("spectralPeaks: pure tones land on their DFT bin; dominance switches") {
+    // 440 Hz at 8 kHz, window 256 → bin 440*256/8000 = 14.08 → argmax 14
+    val a = Media.parseWav(sineWav(440, 8000, 0.5)).get
+    val pa = Media.spectralPeaks(a.samples)
+    assert(pa.nonEmpty && pa.forall(_ == 14), s"440 Hz peaks: ${pa.distinct.toSeq}")
+    // 2 kHz → bin 64 exactly (no leakage at all)
+    val b = Media.parseWav(sineWav(2000, 8000, 0.5)).get
+    assert(Media.spectralPeaks(b.samples).forall(_ == 64))
+    // shorter than one window → no peaks
+    assert(Media.spectralPeaks(Array.fill[Short](100)(5)).isEmpty)
+  }
+
+  test("wavFingerprint: deterministic, discriminates tones, None on non-WAV") {
+    val f440 = Media.wavFingerprint(sineWav(440, 8000, 0.3))
+    val f2k = Media.wavFingerprint(sineWav(2000, 8000, 0.3))
+    assert(f440.isDefined && f2k.isDefined && f440 != f2k)
+    assert(Media.wavFingerprint(sineWav(440, 8000, 0.3)) == f440) // stable
+    assert(Media.wavFingerprint("mp3 garbage".getBytes) == None)
+    // sub-window clip → seed fingerprint, not a crash
+    assert(Media.wavFingerprint(sineWav(440, 8000, 0.01)) == Some(1L))
+    // UDF surface over a frame
+    import spark.implicits._
+    val df = Seq((1L, sineWav(440, 8000, 0.3)), (2L, Array[Byte](1, 2, 3)))
+      .toDF("id", "content")
+      .select(col("id"), Media.wavFingerprintUdf(col("content")).as("fp"))
+    val m = df.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(m(1L) == Some(f440.get) && m(2L) == None)
+  }
 }
