@@ -16,16 +16,34 @@ import org.apache.spark.sql.SparkSession
   *     engines (matches the DuckDB oracle).
   */
 object GraftSession {
-  def builder(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
+
+  /** Session knobs resolved through the layered config
+    * (graft.pipeline.GraftConfig): builder defaults < optional YAML at
+    * `$GRAFT_CONFIG` < `GRAFT_SESSION_*` env vars. Mirrors the
+    * reference's config precedence (/root/reference/src/config.py:14-57)
+    * for the constants that used to be hard-coded here.
+    */
+  private[graft] def knobs(
+      cores: String, env: Map[String, String] = sys.env): graft.pipeline.GraftConfig = {
+    val path = java.nio.file.Paths.get(env.getOrElse("GRAFT_CONFIG", "graft.yaml"))
+    graft.pipeline.GraftConfig.loadOrDefaults(path, defaults = Map(
+      "session.shuffle_partitions" -> cores,
+      "session.broadcast_threshold_bytes" -> (64L * 1024 * 1024).toString,
+      "session.timezone" -> "UTC"), env = env)
+  }
+
+  def builder(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder = {
+    val k = knobs(cores)
     SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions", k.getInt("session.shuffle_partitions", cores.toInt))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        k.getOrElse("session.broadcast_threshold_bytes", ""))
+      .config("spark.sql.session.timeZone", k.getOrElse("session.timezone", "UTC"))
       // testdata events.ts is parquet TIMESTAMP(NANOS), which Spark's
       // vectorized reader rejects; read it as long nanoseconds instead.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -35,6 +53,7 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
+  }
 
   def get(): SparkSession = {
     val spark = builder().getOrCreate()

@@ -170,7 +170,21 @@ class PlanSpec extends SparkSpecBase {
       assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
       assert(!p.contains("Exchange hashpartitioning"),
         s"bucketed join must not shuffle:\n$p")
-      assert(j.count() > 0)
+      // round-trip: the exchange-free join returns exactly the rows of
+      // the plain (shuffling) join over the original parquet
+      val plain = left.select("o_orderkey", "o_custkey", "o_totalprice")
+        .join(right.select("c_custkey", "c_name"), col("o_custkey") === col("c_custkey"))
+      assert(j.count() == plain.count() && j.count() > 0)
+      assert(j.except(plain).isEmpty && plain.except(j).isEmpty,
+        "bucketed round-trip changed the join result")
+      // an aggregation on the bucket key also reuses the layout: the
+      // only exchange allowed is the final single-partition gather
+      val agg = spark.table("b_orders").groupBy("o_custkey")
+        .agg(sum("o_totalprice").as("spend"))
+      val ap = agg.queryExecution.executedPlan.toString
+      assert(!ap.contains("Exchange hashpartitioning"),
+        s"groupBy on the bucket key must not shuffle:\n$ap")
+      assert(agg.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 

@@ -150,4 +150,91 @@ class PureFunctionsSpec extends AnyFunSuite {
       a > 0 && a < graft.functions.Hashing.MinHashP && b >= 0 && b < graft.functions.Hashing.MinHashP
     })
   }
+
+  // ------------------------------------------------------ config overlay
+
+  test("config yaml subset: sections, deep nesting, lists, quotes, comments") {
+    import graft.pipeline.GraftConfig
+    // shape mirrors the reference's own config.yaml
+    val m = GraftConfig.parseYaml(
+      """# engine config
+        |agent:
+        |  name: "FileSystemAgent"  # trailing comment
+        |  log_level: INFO
+        |etl:
+        |  max_workers: 4
+        |  supported_formats:
+        |    - csv
+        |    - json
+        |    - parquet
+        |audit:
+        |  tools:
+        |    sigcheck:
+        |      target_path: "C:\\Windows\\System32"
+        |top: 'it''s flat'
+        |""".stripMargin)
+    assert(m("agent.name") == "FileSystemAgent")
+    assert(m("agent.log_level") == "INFO")
+    assert(m("etl.max_workers") == "4")
+    assert(m("etl.supported_formats") == "csv,json,parquet")
+    assert(m("audit.tools.sigcheck.target_path") == "C:\\Windows\\System32")
+    assert(m("top") == "it's flat")
+    // out-of-contract inputs fail loudly, never mis-parse
+    intercept[IllegalArgumentException](GraftConfig.parseYaml("a:\n\tb: 1"))
+    intercept[IllegalArgumentException](GraftConfig.parseYaml("- orphan item"))
+  }
+
+  test("config precedence: env overrides yaml overrides defaults (reference config.py:14-57)") {
+    import graft.pipeline.GraftConfig
+    val yaml = java.nio.file.Files.createTempFile("graft-conf", ".yaml")
+    java.nio.file.Files.writeString(yaml,
+      """agent:
+        |  log_level: INFO
+        |  data_dir: ./data
+        |scheduler:
+        |  check_interval: 60
+        |""".stripMargin)
+    val defaults = Map(
+      "agent.log_level" -> "DEBUG", // yaml beats this
+      "agent.scripts_dir" -> "./scripts") // nothing overrides this
+    val env = Map(
+      "GRAFT_AGENT_LOG_LEVEL" -> "WARN", // beats yaml: section AGENT, key LOG_LEVEL
+      "GRAFT_VERBOSE" -> "true", // no underscore → top-level key
+      "HOME" -> "/root") // non-prefixed vars are ignored
+    val c = GraftConfig.load(yaml, defaults, env)
+    assert(c.getOrElse("agent.log_level", "?") == "WARN", "env must beat yaml")
+    assert(c.getOrElse("agent.data_dir", "?") == "./data", "yaml must beat defaults")
+    assert(c.getOrElse("agent.scripts_dir", "?") == "./scripts", "defaults must survive")
+    assert(c.getBoolean("verbose", false) && c.get("home").isEmpty)
+    assert(c.getInt("scheduler.check_interval", -1) == 60)
+    assert(c.section("agent") == Map(
+      "log_level" -> "WARN", "data_dir" -> "./data", "scripts_dir" -> "./scripts"))
+    // typed getters: malformed present values are errors, not defaults
+    intercept[IllegalArgumentException](c.getInt("agent.log_level", 0))
+    // missing file: load throws (reference FileNotFoundError parity),
+    // loadOrDefaults overlays env on defaults only
+    val gone = java.nio.file.Paths.get("/tmp/graft-no-such-config.yaml")
+    intercept[java.io.FileNotFoundException](GraftConfig.load(gone, defaults, env))
+    val c2 = GraftConfig.loadOrDefaults(gone, defaults, env)
+    assert(c2.getOrElse("agent.log_level", "?") == "WARN")
+    assert(c2.get("agent.data_dir").isEmpty)
+    java.nio.file.Files.delete(yaml)
+  }
+
+  test("GraftSession knobs resolve through the config overlay") {
+    // no file, no env → builder defaults survive
+    val d = graft.GraftSession.knobs("32", env = Map.empty)
+    assert(d.getInt("session.shuffle_partitions", -1) == 32)
+    assert(d.getOrElse("session.timezone", "?") == "UTC")
+    assert(d.getOrElse("session.broadcast_threshold_bytes", "?") == (64L * 1024 * 1024).toString)
+    // GRAFT_SESSION_* env overrides the default; GRAFT_CONFIG points at yaml
+    val yaml = java.nio.file.Files.createTempFile("graft-sess", ".yaml")
+    java.nio.file.Files.writeString(yaml, "session:\n  timezone: America/New_York\n")
+    val o = graft.GraftSession.knobs("32", env = Map(
+      "GRAFT_CONFIG" -> yaml.toString,
+      "GRAFT_SESSION_SHUFFLE_PARTITIONS" -> "96"))
+    assert(o.getInt("session.shuffle_partitions", -1) == 96, "env must beat builder default")
+    assert(o.getOrElse("session.timezone", "?") == "America/New_York", "yaml must beat default")
+    java.nio.file.Files.delete(yaml)
+  }
 }
