@@ -25,11 +25,24 @@ object GraftSession {
     */
   private[graft] def knobs(
       cores: String, env: Map[String, String] = sys.env): graft.pipeline.GraftConfig = {
-    val path = java.nio.file.Paths.get(env.getOrElse("GRAFT_CONFIG", "graft.yaml"))
-    graft.pipeline.GraftConfig.loadOrDefaults(path, defaults = Map(
+    val defaults = Map(
       "session.shuffle_partitions" -> cores,
       "session.broadcast_threshold_bytes" -> (64L * 1024 * 1024).toString,
-      "session.timezone" -> "UTC"), env = env)
+      "session.timezone" -> "UTC")
+    // Only GRAFT_SESSION_* vars reach the session knobs: an unrelated
+    // GRAFT_* variable (including GRAFT_CONFIG itself, which would leak
+    // in as key `config`) must not change or crash every session. The
+    // YAML layer is opt-in via an explicit GRAFT_CONFIG — a stray
+    // graft.yaml in the cwd must not silently reconfigure tests, Bench
+    // and Verify; an explicitly named file that is missing fails loudly.
+    val sessEnv = env.filter { case (k, _) => k.startsWith("GRAFT_SESSION_") }
+    env.get("GRAFT_CONFIG") match {
+      case Some(p) =>
+        graft.pipeline.GraftConfig.load(java.nio.file.Paths.get(p), defaults, sessEnv)
+      case None =>
+        graft.pipeline.GraftConfig(
+          defaults ++ graft.pipeline.GraftConfig.envOverlay(sessEnv, "GRAFT_"))
+    }
   }
 
   def builder(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder = {

@@ -331,12 +331,19 @@ object Media {
     * window fingerprints to the seed 1.
     */
   def wavFingerprint(bytes: Array[Byte], window: Int = 256, hop: Int = 128): Option[Long] =
-    parseWav(bytes).map { pcm =>
+    parseWav(bytes).flatMap { pcm =>
       val peaks = spectralPeaks(pcm.samples, window, hop)
-      var h = 1L
-      var i = 0
-      while (i < peaks.length) { h = (h * 31 + (peaks(i) + 1)) % 2147483647L; i += 1 }
-      h
+      // a clip shorter than one analysis window yields no peaks; a
+      // constant fingerprint would make every degenerate clip a mutual
+      // duplicate in any downstream equality join — report "no
+      // fingerprint" instead
+      if (peaks.isEmpty) None
+      else {
+        var h = 1L
+        var i = 0
+        while (i < peaks.length) { h = (h * 31 + (peaks(i) + 1)) % 2147483647L; i += 1 }
+        Some(h)
+      }
     }
 
   val wavFingerprintUdf: UserDefinedFunction =

@@ -115,12 +115,17 @@ object Ann {
       else b
     ).select("feat").cache()
     // a degenerate sample (< nlist points) would make KMeans collapse
-    // cells silently; the count is cheap — the sample is already cached
+    // cells silently; the count is cheap — the sample is already cached.
+    // Clamp rather than throw: a small corpus (or an unlucky binomial
+    // draw of the hash sample near the maxFit boundary) should degrade
+    // to fewer cells, not nondeterministically fail the job.
     val fitCount = fit.count()
-    require(fitCount >= nlist,
-      s"IVF quantizer sample has $fitCount rows < nlist=$nlist — " +
-        "shrink nlist or raise maxFit")
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+    require(fitCount > 0, "IVF quantizer sample is empty — no base vectors to index")
+    val effNlist = math.min(nlist.toLong, fitCount).toInt
+    if (effNlist < nlist)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"IVF quantizer sample has $fitCount rows < nlist=$nlist — clamping to $effNlist cells")
+    val km = new KMeans().setK(effNlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("feat").setPredictionCol("cell")
     val model = km.fit(fit) // eager: iterates over the cached sample
     fit.unpersist()

@@ -18,9 +18,11 @@ import java.nio.file.{Files, Path}
   * The YAML parser is a deliberate dep-free SUBSET sized to the
   * reference's own `config.yaml`: nested maps by indentation, `- item`
   * scalar lists (stored comma-joined; see [[GraftConfig.getList]]),
-  * single/double-quoted scalars, `#` comments, blank lines. Anchors,
-  * flow style, multi-line scalars and tabs are out of contract and fail
-  * loudly rather than mis-parse.
+  * single/double-quoted scalars, `#` comments, blank lines. List items
+  * may sit indented under their key or at the key's own indent (the
+  * common zero-indent style). Anchors, flow style, multi-line scalars,
+  * tabs and block sequences of mappings (`- name: a`) are out of
+  * contract and fail loudly rather than mis-parse.
   */
 final case class GraftConfig(values: Map[String, String]) {
 
@@ -116,15 +118,26 @@ object GraftConfig {
       val line = noComment.trim
       if (line.nonEmpty) {
         val indent = noComment.indexWhere(_ != ' ')
-        stack = stack.filter(_._1 < indent)
+        val isItem = line.startsWith("- ") || line == "-"
+        // a list item may sit at the SAME indent as its key (the common
+        // zero-indent style `key:\n- a`); a mapping key always closes
+        // frames at its own indent or deeper
+        stack = if (isItem) stack.filter(_._1 <= indent) else stack.filter(_._1 < indent)
         val pathOf = (k: String) => (stack.map(_._2).reverse :+ k).mkString(".")
-        if (line.startsWith("- ") || line == "-") {
-          val owner = stack.headOption.getOrElse(
+        if (isItem) {
+          stack.headOption.getOrElse(
             throw new IllegalArgumentException(s"yaml line ${ln + 1}: list item with no key"))
           val ownerPath = (stack.map(_._2).reverse).mkString(".")
-          require(owner._1 < indent, s"yaml line ${ln + 1}: list item outdents its key")
-          lists(ownerPath) = lists.getOrElse(ownerPath, Vector.empty) :+
-            unquote(line.drop(1).trim)
+          val item = line.drop(1).trim
+          // block sequences of MAPPINGS (`- name: a`) are out of
+          // contract: storing the scalar `name: a` and re-attaching the
+          // item's continuation lines to the parent would mis-parse, so
+          // fail loudly instead (quoted scalars may contain ': ')
+          val quoted = item.length >= 2 &&
+            ((item.head == '"' && item.last == '"') || (item.head == '\'' && item.last == '\''))
+          require(quoted || !(item.contains(": ") || item.endsWith(":")),
+            s"yaml line ${ln + 1}: mappings inside lists are out of contract")
+          lists(ownerPath) = lists.getOrElse(ownerPath, Vector.empty) :+ unquote(item)
         } else {
           val i = line.indexOf(':')
           require(i > 0, s"yaml line ${ln + 1}: expected 'key: value', got '$line'")

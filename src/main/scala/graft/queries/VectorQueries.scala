@@ -237,9 +237,11 @@ object VectorQueries {
     * (q_id, b_id) pair bit-for-bit, and (b) its rank is the
     * descending-sim row number within its query with ranks 1..k.
     * A row with a fabricated score, wrong pair, or inconsistent rank is
-    * filtered → row-count mismatch → the gate fails. Candidate
-    * selection (which cells were probed) remains engine-specific and is
-    * deliberately NOT constrained.
+    * filtered → row-count mismatch → the gate fails; a query id ABSENT
+    * from the dump (engine silently dropping output) yields a sentinel
+    * row on the oracle side → same failure, so an empty dump cannot
+    * pass vacuously. Candidate selection (which cells were probed)
+    * remains engine-specific and is deliberately NOT constrained.
     */
   val v05Oracle: String = {
     // Spark scores as dot(b_emb, q_emb) / (b_nrm * q_nrm) — replay the
@@ -254,10 +256,22 @@ object VectorQueries {
        |  FROM o
        |  JOIN (SELECT vec_id, embedding AS q_emb FROM embeddings) q ON q.vec_id = o.q_id
        |  JOIN (SELECT vec_id, embedding AS b_emb FROM embeddings) b ON b.vec_id = o.b_id
+       |), ok AS (
+       |  SELECT q_id, b_id, "rank", sim FROM chk
+       |  WHERE sim = want AND "rank" BETWEEN 1 AND 5
+       |  QUALIFY "rank" = row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, "rank")
+       |), missing AS (
+       |  -- minimum-coverage clause: a self-verifying oracle would pass
+       |  -- vacuously if the engine silently dropped whole queries (or
+       |  -- emitted nothing at all); every valid query id must appear in
+       |  -- the dump, else this sentinel row forces a count mismatch
+       |  SELECT e.vec_id AS q_id, CAST(NULL AS BIGINT) AS b_id,
+       |         CAST(-1 AS INT) AS "rank", CAST(NULL AS DOUBLE) AS sim
+       |  FROM embeddings e
+       |  WHERE e.vec_id < 10 AND ${duckNorm("e.embedding")} > 0
+       |    AND e.vec_id NOT IN (SELECT q_id FROM o)
        |)
-       |SELECT q_id, b_id, "rank", sim FROM chk
-       |WHERE sim = want AND "rank" BETWEEN 1 AND 5
-       |QUALIFY "rank" = row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, "rank")
+       |SELECT * FROM ok UNION ALL SELECT * FROM missing
        |ORDER BY q_id, "rank"""".stripMargin
   }
 

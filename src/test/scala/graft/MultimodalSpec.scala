@@ -163,8 +163,9 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f440.isDefined && f2k.isDefined && f440 != f2k)
     assert(Media.wavFingerprint(sineWav(440, 8000, 0.3)) == f440) // stable
     assert(Media.wavFingerprint("mp3 garbage".getBytes) == None)
-    // sub-window clip → seed fingerprint, not a crash
-    assert(Media.wavFingerprint(sineWav(440, 8000, 0.01)) == Some(1L))
+    // sub-window clip → no fingerprint (a constant would collide all
+    // degenerate clips as mutual duplicates), not a crash
+    assert(Media.wavFingerprint(sineWav(440, 8000, 0.01)) == None)
     // UDF surface over a frame
     import spark.implicits._
     val df = Seq((1L, sineWav(440, 8000, 0.3)), (2L, Array[Byte](1, 2, 3)))

@@ -179,9 +179,18 @@ class PureFunctionsSpec extends AnyFunSuite {
     assert(m("etl.supported_formats") == "csv,json,parquet")
     assert(m("audit.tools.sigcheck.target_path") == "C:\\Windows\\System32")
     assert(m("top") == "it's flat")
+    // zero-indent list style (item at the key's own indent) is in contract
+    val z = GraftConfig.parseYaml("formats:\n- csv\n- json\nnext: 1\ndeep:\n  inner:\n  - a\n  - b\n")
+    assert(z("formats") == "csv,json" && z("next") == "1" && z("deep.inner") == "a,b")
+    // quoted list scalars may contain ': '
+    assert(GraftConfig.parseYaml("xs:\n  - \"k: v\"\n")("xs") == "k: v")
     // out-of-contract inputs fail loudly, never mis-parse
     intercept[IllegalArgumentException](GraftConfig.parseYaml("a:\n\tb: 1"))
     intercept[IllegalArgumentException](GraftConfig.parseYaml("- orphan item"))
+    // block sequences of mappings would silently re-attach continuation
+    // lines to the parent — rejected loudly
+    intercept[IllegalArgumentException](GraftConfig.parseYaml("xs:\n  - name: a\n    path: b\n"))
+    intercept[IllegalArgumentException](GraftConfig.parseYaml("xs:\n  - opens:\n"))
   }
 
   test("config precedence: env overrides yaml overrides defaults (reference config.py:14-57)") {
@@ -235,6 +244,18 @@ class PureFunctionsSpec extends AnyFunSuite {
       "GRAFT_SESSION_SHUFFLE_PARTITIONS" -> "96"))
     assert(o.getInt("session.shuffle_partitions", -1) == 96, "env must beat builder default")
     assert(o.getOrElse("session.timezone", "?") == "America/New_York", "yaml must beat default")
+    // the overlay is scoped to GRAFT_SESSION_*: unrelated GRAFT_* vars
+    // (and GRAFT_CONFIG itself) must not leak into the knob map
+    val s = graft.GraftSession.knobs("32", env = Map(
+      "GRAFT_CONFIG" -> yaml.toString,
+      "GRAFT_AGENT_LOG_LEVEL" -> "WARN",
+      "GRAFT_VERBOSE" -> "true"))
+    assert(s.get("agent.log_level").isEmpty && s.get("verbose").isEmpty
+      && s.get("config").isEmpty, "non-session GRAFT_* vars must not leak into knobs")
+    // the YAML layer is opt-in: no GRAFT_CONFIG → no file read at all;
+    // an explicitly named but missing file fails loudly
     java.nio.file.Files.delete(yaml)
+    intercept[java.io.FileNotFoundException](
+      graft.GraftSession.knobs("32", env = Map("GRAFT_CONFIG" -> yaml.toString)))
   }
 }
