@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.expr.{RollingHash, SignLsh, VecDot}
+import graft.functions.expr.{MinHashSig, RollingHash, SignLsh, VecDot}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions`: registers native
@@ -57,6 +57,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children.head,
           intLit(children(1), "bits"),
           if (children.size == 3) intLit(children(2), "table") else 0)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(
+        classOf[MinHashSig].getName, null, "minhash_sig",
+        "minhash_sig(shingles, k) - k-permutation MinHash signature (array<long>) of an " +
+          "array<string> shingle set; k must be an int literal; NULL for empty/all-null sets",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"minhash_sig expects exactly 2 arguments, got ${children.size}")
+        val k = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig k must be an INT literal, got $other")
+        }
+        MinHashSig(children.head, k)
       }))
   }
 }

@@ -32,7 +32,20 @@ object Hashing {
 
   /** MinHash signature (array<long> of length k) over an array<string>
     * of shingles: sig_i = min over shingles of (a_i*(h60(s) mod p)+b_i) mod p.
-    * All ops fit in int64: a < 2^31, h mod p < 2^31 ⇒ product < 2^62.
+    * Native one-pass codegen Expression
+    * ([[graft.functions.expr.MinHashSig]]); NULL when the array is NULL
+    * or has no non-null element.
+    */
+  def minhashSig(shingleSet: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.expr.MinHashSig(
+        org.apache.spark.sql.GraftColumnShim.expression(shingleSet), k))
+
+  /** Reference HOF implementation of [[minhashSig]] — kept ONLY as the
+    * differential-test twin of the native expression (and as executable
+    * documentation of the arithmetic). Re-hashes every shingle per
+    * permutation and its lambdas are CodegenFallback — never on a hot
+    * path. All ops fit in int64: a < 2^31, h mod p < 2^31 ⇒ product < 2^62.
     */
   def minhashSignature(shingleSet: Column, k: Int): Column = {
     val coeffs = minhashCoeffs(k)

@@ -26,7 +26,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * [0, bits), with j = j0 + table*7919, the component sign for dim i
   * (0-based) is bit 13 of `(i*2654435761 + j*40503) mod 2^31`; each
   * plane projection is a strict left-to-right double sum starting at
-  * 0.0; bucket bit j0 is set iff its projection is > 0.
+  * 0.0; bucket bit j0 is set iff its projection is > 0 under Spark/
+  * DuckDB comparison semantics, where NaN is GREATER than every value —
+  * a NaN projection sets its bit (Java's `NaN > 0 == false` would
+  * silently diverge from both engines).
   *
   * Null parity with the HOF form: a NULL array OR any NULL element
   * yields bucket 0 (in the HOF form the null propagates through the
@@ -104,7 +107,11 @@ object SignLsh {
     var out = 0L
     j0 = 0
     while (j0 < bits) {
-      if (acc(j0) > 0) out |= (1L << j0)
+      // Spark SQL (and DuckDB) comparison semantics, NOT Java's: NaN is
+      // greater than every numeric value, so a NaN projection sets its
+      // bit. A NaN element poisons every plane's fold, making the
+      // bucket (1<<bits)-1 — parity with the HOF twin and the oracle.
+      if (acc(j0) > 0 || java.lang.Double.isNaN(acc(j0))) out |= (1L << j0)
       j0 += 1
     }
     out

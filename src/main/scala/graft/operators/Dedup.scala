@@ -180,20 +180,33 @@ object Dedup {
       .select("d1", "d2", "inter", "uni", "jaccard")
   }
 
-  /** MinHash signatures via explode → hash-once → k min-aggregates.
-    *
-    * The naive single-expression form (`transform` per permutation)
-    * recomputes the md5 of every shingle k times; this shape hashes each
-    * shingle exactly once and folds the k permutations as map-side
-    * partial min-aggregates — one shuffle on the doc id, linear work.
+  /** MinHash signatures as one native per-row pass
+    * ([[graft.functions.expr.MinHashSig]]): md5 each shingle once and
+    * fold all k permutations in registers inside whole-stage codegen —
+    * no explode, no aggregate, no exchange. The signature is a pure
+    * per-document fold, so it should cost exactly one narrow projection.
     */
   def minhashSignatures(df: DataFrame, id: Column, text: Column, n: Int, k: Int): DataFrame =
     minhashSignaturesFromSets(shingleSets(df, id, text, n), k)
 
   /** As [[minhashSignatures]] but over a pre-built (doc_id, sh) frame —
-    * lets callers share one materialized shingle-set scan.
+    * lets callers share one materialized shingle-set scan. Documents
+    * whose shingle set has no non-null element produce no signature row
+    * (parity with the historical explode → min-agg form, which emitted
+    * no group for them; that form survives as the differential twin
+    * [[minhashSignaturesAgg]]).
     */
-  def minhashSignaturesFromSets(sets: DataFrame, k: Int): DataFrame = {
+  def minhashSignaturesFromSets(sets: DataFrame, k: Int): DataFrame =
+    sets
+      .select(col("doc_id"), Hashing.minhashSig(col("sh"), k).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** Historical explode → hash-once → k min-aggregates form, kept ONLY
+    * as the differential-test twin of the native expression (it hashes
+    * each shingle once too, but pays the exploded row stream, a
+    * 64-column HashAggregate and a shuffle for what is a per-row fold).
+    */
+  private[graft] def minhashSignaturesAgg(sets: DataFrame, k: Int): DataFrame = {
     val p = Hashing.MinHashP
     val ex = sets
       .select(col("doc_id"), explode(col("sh")).as("shingle"))

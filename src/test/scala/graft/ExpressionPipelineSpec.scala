@@ -81,6 +81,14 @@ class ExpressionPipelineSpec extends SparkSpecBase {
       Vectors.signLsh(col("v"), 8, 0).as("native"),
       Vectors.signLshHof(col("v"), 8, 0).as("hof")).head()
     assert(d.getLong(0) == d.getLong(1))
+    // NaN pins Spark/DuckDB comparison semantics deterministically (not
+    // just when the property seed draws it): NaN ranks above every
+    // value, so a NaN element sets every plane's bit in BOTH forms
+    val nan = Seq(Array(1.0, Double.NaN, -3.0)).toDF("v").select(
+      Vectors.signLsh(col("v"), 5, 0).as("native"),
+      Vectors.signLshHof(col("v"), 5, 0).as("hof")).head()
+    assert(nan.getLong(0) == 31L && nan.getLong(1) == 31L,
+      s"NaN must set all 5 bits in both forms: native=${nan.getLong(0)} hof=${nan.getLong(1)}")
     // null parity: NULL array and null element both bucket to 0 in the
     // HOF form (null folds through when/otherwise) — native must match
     val nulls = Seq(
@@ -105,8 +113,10 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     // property run drives the parity CONTRACT — any Int table (negative,
     // and large enough that table*7919 wraps Int, where the pre-floorMod
     // native form silently diverged from the HOF's pmod), empty arrays,
-    // null elements mid-array, signed zeros and NaN (both engines: a NaN
-    // projection is not > 0, so the plane contributes 0).
+    // null elements mid-array, signed zeros and NaN. NaN is the sharp
+    // edge: Spark/DuckDB comparisons rank NaN above every value, so a
+    // NaN element sets EVERY plane's bit — the pre-fix native form used
+    // Java's NaN > 0 == false and returned bucket 0 instead.
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import graft.functions.Vectors
     val specialF = Gen.oneOf(0.0f, -0.0f, Float.NaN, 1e30f, -1e-30f)
@@ -142,6 +152,73 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     }
     val resD = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), propD)
     assert(resD.passed, s"double-array parity: ${resD.status}")
+  }
+
+  test("minhash_sig: SQL registration, null contract, agg-pipeline parity") {
+    import graft.functions.Hashing
+    // SQL and Column surfaces agree
+    val viaSql = spark.sql("SELECT minhash_sig(array('a b', 'b c'), 8) AS s")
+      .head().getSeq[Long](0)
+    val viaCol = Seq(Tuple1(Array("a b", "b c"))).toDF("sh")
+      .select(Hashing.minhashSig(col("sh"), 8)).head().getSeq[Long](0)
+    assert(viaSql == viaCol && viaSql.length == 8)
+    // null contract: NULL array → NULL; all-null / empty array → NULL
+    // (the historical agg form emits NO group for such docs — callers
+    // filter nulls to keep that semantics)
+    val edge = Seq(
+      (1L, null.asInstanceOf[Array[String]]),
+      (2L, Array.empty[String]),
+      (3L, Array[String](null, null)),
+      (4L, Array[String](null, "x", null))).toDF("doc_id", "sh")
+      .select(col("doc_id"), Hashing.minhashSig(col("sh"), 4).as("sig"))
+    val nulls = edge.collect().map(r => r.getLong(0) -> (r.get(1) == null)).toMap
+    assert(nulls == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false),
+      "null/empty/all-null shingle sets must yield NULL; null elements are skipped")
+    // and the skipped-null signature equals the signature without them
+    val noNull = Seq(Tuple1(Array("x"))).toDF("sh")
+      .select(Hashing.minhashSig(col("sh"), 4)).head().getSeq[Long](0)
+    val withNull = Seq(Tuple1(Array[String](null, "x", null))).toDF("sh")
+      .select(Hashing.minhashSig(col("sh"), 4)).head().getSeq[Long](0)
+    assert(noNull == withNull)
+  }
+
+  test("minhash_sig: property parity vs HOF and vs the explode/min-agg pipeline") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.functions.Hashing
+    // arbitrary shingle strings: unicode, empties, long runs — the md5
+    // byte-fold must match conv(substring(md5(s),1,15),16,10) everywhere
+    val shingle = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(24)),
+      Gen.oneOf("", " ", "émoji ✓ 汉字", "a b c", " nul"),
+      Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString))
+    val arr = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, shingle).map(_.toArray))
+    val kGen = Gen.oneOf(1, 2, 64)
+    val prop = Prop.forAll(arr, kGen) { (a, k) =>
+      val r = Seq(Tuple1(a)).toDF("sh").select(
+        Hashing.minhashSig(col("sh"), k).as("native"),
+        Hashing.minhashSignature(col("sh"), k).as("hof")).head()
+      r.getSeq[Long](0) == r.getSeq[Long](1)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"native/HOF parity: ${res.status}")
+    // whole-pipeline twin: per-row native signatures == explode → hash →
+    // k min-aggregates, over a real tokenized corpus (shared shingle
+    // builder, so any divergence is the signature stage itself)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different content with other words entirely"),
+      (4L, "short"),
+      (5L, "")).toDF("doc_id", "text")
+    val sets = graft.operators.Dedup.minhashSignatures(
+      docs, col("doc_id"), col("text"), n = 3, k = 32)
+    val setsDf = docs.select(col("doc_id"),
+      array_sort(array_distinct(Text.shinglesOfToks(
+        Text.tokens(Text.normalize(col("text"))), 3))).as("sh"))
+    val agg = graft.operators.Dedup.minhashSignaturesAgg(setsDf, 32)
+    val nat = sets.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val old = agg.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(nat == old, "native signature frame must equal the historical agg frame")
   }
 
   test("winnowing: shared token runs produce shared fingerprints") {
