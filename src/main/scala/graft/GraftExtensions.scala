@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.expr.{MinHashSig, RollingHash, SignLsh, VecDot}
+import graft.functions.expr.{MinHashSig, RollingHash, SignLsh, SimHash60, VecDot}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions`: registers native
@@ -74,6 +74,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_sig k must be an INT literal, got $other")
         }
         MinHashSig(children.head, k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(
+        classOf[SimHash60].getName, null, "simhash60",
+        "simhash60(tokens) - 60-bit frequency-weighted SimHash (long) of an array<string> " +
+          "token list; NULL/empty token arrays code to 0",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"simhash60 expects exactly 1 argument, got ${children.size}")
+        SimHash60(children.head)
       }))
   }
 }

@@ -68,14 +68,23 @@ object Hashing {
     }: _*)
   }
 
-  /** 60-bit SimHash over whitespace tokens, as a single expression:
-    * bit j of the result is 1 iff Σ_tokens (2·bit_j(h60(tok)) − 1) > 0.
-    *
-    * Implementation note: rather than exploding tokens×bits, fold the
-    * token array once per bit with `aggregate` — 60 small folds that stay
-    * in codegen and shuffle nothing.
+  /** 60-bit SimHash over a token array: bit j of the result is 1 iff
+    * Σ_tokens (2·bit_j(h60(tok)) − 1) > 0. Native one-pass codegen
+    * Expression ([[graft.functions.expr.SimHash60]]); NULL/empty/
+    * all-null token arrays code to 0.
     */
-  def simhash60(tokensCol: Column): Column = {
+  def simhash(tokensCol: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.expr.SimHash60(
+        org.apache.spark.sql.GraftColumnShim.expression(tokensCol)))
+
+  /** Reference HOF implementation of [[simhash]] — kept ONLY as the
+    * differential-test twin of the native expression (and as executable
+    * documentation of the arithmetic): its 60 `aggregate` folds are
+    * CodegenFallback and it re-walks the hash array per bit — never on
+    * a hot path.
+    */
+  private[graft] def simhash60(tokensCol: Column): Column = {
     val hs = transform(tokensCol, t => h60(t))
     val bitSums = (0 until 60).map { j =>
       aggregate(

@@ -258,15 +258,22 @@ object Dedup {
       .select("d1", "d2", "inter", "uni", "jaccard")
   }
 
-  /** SimHash signatures per document (60-bit, token-frequency weighted).
-    *
-    * Shape mirrors [[minhashSignatures]]: explode tokens, md5 each token
-    * ONCE, then fold the 60 bit-sums as partial aggregates (the
-    * single-expression `Hashing.simhash60` recomputes the hash per bit —
-    * fine for ad-hoc Column use, wrong for a corpus scan). Tokenless
-    * docs keep simhash 0 via explode_outer.
+  /** SimHash signatures per document (60-bit, token-frequency weighted)
+    * as one native per-row pass ([[graft.functions.expr.SimHash60]]):
+    * md5 each token once and fold all 60 bit-sums in registers inside
+    * whole-stage codegen — no explode, no 60-column HashAggregate, no
+    * exchange (same shape cure as [[minhashSignaturesFromSets]]).
+    * Tokenless docs keep simhash 0 (the expression's null contract).
     */
-  def simhashes(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def simhashes(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      Hashing.simhash(Text.tokens(Text.normalize(text))).as("simhash"))
+
+  /** Historical explode_outer → h60 → 60 sum-aggregates form, kept ONLY
+    * as the differential-test twin of the native expression.
+    */
+  private[graft] def simhashesAgg(df: DataFrame, id: Column, text: Column): DataFrame = {
     val ex = df
       .select(id.as("doc_id"), explode_outer(Text.tokens(Text.normalize(text))).as("tok"))
       .withColumn("h", Hashing.h60(col("tok")))

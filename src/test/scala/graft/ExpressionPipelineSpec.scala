@@ -221,6 +221,55 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     assert(nat == old, "native signature frame must equal the historical agg frame")
   }
 
+  test("simhash60: SQL registration, null contract, parity vs HOF and agg pipeline") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.functions.Hashing
+    // SQL and Column surfaces agree
+    val viaSql = spark.sql("SELECT simhash60(array('a', 'b', 'a')) AS h").head().getLong(0)
+    val viaCol = Seq(Tuple1(Array("a", "b", "a"))).toDF("t")
+      .select(Hashing.simhash(col("t"))).head().getLong(0)
+    assert(viaSql == viaCol)
+    // null contract: NULL array, empty array and all-null elements → 0
+    // (parity with the explode_outer agg form keeping tokenless docs at
+    // simhash 0); null elements are skipped
+    val edge = Seq(
+      (1L, null.asInstanceOf[Array[String]]),
+      (2L, Array.empty[String]),
+      (3L, Array[String](null, null)),
+      (4L, Array[String](null, "x"))).toDF("id", "t")
+      .select(col("id"), Hashing.simhash(col("t")).as("h"))
+    val m = edge.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == 0L && m(2L) == 0L && m(3L) == 0L)
+    val justX = Seq(Tuple1(Array("x"))).toDF("t")
+      .select(Hashing.simhash(col("t"))).head().getLong(0)
+    assert(m(4L) == justX, "null elements must be skipped, not poison the code")
+    // property parity vs the HOF twin — multiplicity matters
+    // (frequency-weighted), so generate LISTS with repeats
+    val tok = Gen.oneOf(Gen.alphaNumStr.map(_.take(12)),
+      Gen.oneOf("", "é✓", "the", "a"))
+    val arr = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, tok).map(_.toArray))
+    val prop = Prop.forAll(arr) { a =>
+      val r = Seq(Tuple1(a)).toDF("t").select(
+        Hashing.simhash(col("t")).as("native"),
+        Hashing.simhash60(col("t")).as("hof")).head()
+      r.getLong(0) == r.getLong(1)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"native/HOF parity: ${res.status}")
+    // whole-pipeline twin over a real corpus slice: per-row native ==
+    // explode_outer → 60 sum-aggs (incl. a null-text doc)
+    val docs = Seq(
+      (1L, "the quick brown fox the quick"),
+      (2L, "completely different words"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    val nat = graft.operators.Dedup.simhashes(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = graft.operators.Dedup.simhashesAgg(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nat == agg, "native simhash frame must equal the historical agg frame")
+  }
+
   test("winnowing: shared token runs produce shared fingerprints") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
     val df = Seq(
