@@ -94,6 +94,24 @@ class PlanSpec extends SparkSpecBase {
       s"sign_lsh fell out of codegen:\n$p")
   }
 
+  test("minhash_sig and simhash60 participate in whole-stage codegen; no exchange before signatures") {
+    import graft.operators.Dedup
+    val docs = Tables.t(spark, sfDir, "documents")
+    val sigP = plan(Dedup.minhashSignatures(docs, col("doc_id"), col("text"), n = 3, k = 64))
+    assert(sigP.linesIterator.exists(l => l.contains("*(") && l.contains("minhash_sig")),
+      s"minhash_sig fell out of codegen:\n$sigP")
+    // the signature is a pure per-row fold: its plan must be a narrow
+    // projection — no explode row stream, no aggregate, no shuffle
+    // (regression guard for the historical explode → 64-min-agg shape)
+    for (bad <- Seq("Exchange", "HashAggregate", "Generate"))
+      assert(!sigP.contains(bad), s"minhash signature plan regained a $bad:\n$sigP")
+    val shP = plan(Dedup.simhashes(docs, col("doc_id"), col("text")))
+    assert(shP.linesIterator.exists(l => l.contains("*(") && l.contains("simhash60")),
+      s"simhash60 fell out of codegen:\n$shP")
+    for (bad <- Seq("Exchange", "HashAggregate", "Generate"))
+      assert(!shP.contains(bad), s"simhash plan regained a $bad:\n$shP")
+  }
+
   test("v06 scale path: candidate join is keyed on the LSH bucket, not label all-pairs") {
     // the r3 verdict's one `weak`: v04 generates candidates all-pairs
     // within label blocks — O(n²/|labels|). The scale path must instead
