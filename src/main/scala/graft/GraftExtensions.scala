@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.expr.{MinHashSig, RollingHash, SignLsh, SimHash60, VecDot}
+import graft.functions.expr.{MinHashSig, RollingHash, SignLsh, SimHash60, VecDot, WordNgrams}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions`: registers native
@@ -86,6 +86,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1,
           s"simhash60 expects exactly 1 argument, got ${children.size}")
         SimHash60(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(
+        classOf[WordNgrams].getName, null, "word_ngrams",
+        "word_ngrams(tokens, n) - space-joined word n-grams (array<string>) of an " +
+          "array<string> token list; n must be an int literal; <n tokens fall back to " +
+          "one whole-text shingle",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"word_ngrams expects exactly 2 arguments, got ${children.size}")
+        val n = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"word_ngrams n must be an INT literal, got $other")
+        }
+        WordNgrams(children.head, n)
       }))
   }
 }

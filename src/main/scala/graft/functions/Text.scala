@@ -50,12 +50,24 @@ object Text {
     */
   def shingles(c: Column, n: Int): Column = shinglesOfToks(tokens(normalize(c)), n)
 
-  /** As [[shingles]] over an existing token-array column. Pass an
-    * attribute (materialized column) when scanning a corpus — `toks`
-    * appears several times in the built expression, and each occurrence
-    * of a non-attribute operand re-evaluates it per row.
+  /** As [[shingles]] over an existing token-array column — native
+    * one-pass codegen Expression ([[graft.functions.expr.WordNgrams]]).
+    * The historical zip_with-fold form survives as the
+    * differential-test twin [[shinglesOfToksHof]]; its n−1 chained
+    * higher-order functions were CodegenFallback, taxing every shingle
+    * consumer (Jaccard, MinHash, decontamination, fingerprints) with
+    * interpreted per-element lambdas.
     */
-  def shinglesOfToks(toks: Column, n: Int): Column = {
+  def shinglesOfToks(toks: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.expr.WordNgrams(
+        org.apache.spark.sql.GraftColumnShim.expression(toks), n))
+
+  /** Reference HOF implementation of [[shinglesOfToks]] — kept ONLY as
+    * the differential-test twin of the native expression (and as
+    * executable documentation of the exact null/short-doc semantics).
+    */
+  private[graft] def shinglesOfToksHof(toks: Column, n: Int): Column = {
     val m = size(toks)
     // n−1 shifted copies: shifted(k) = toks[k+1 ..] (1-based slice)
     val shifted = (1 until n).map(k => slice(toks, lit(k + 1), greatest(m - k, lit(0))))
@@ -213,4 +225,36 @@ object Text {
     // here are bit-identical across engines.
     lenScore * 0.4 + alphaRatio * 0.4 + tokScore * 0.2
   }
+
+  // --------------------------------------------------------------- PII
+
+  /** PII patterns — single owners shared by the Column functions and the
+    * DuckDB oracle twins so the engines cannot drift. Every pattern is
+    * chosen to mean the same thing in Java regex AND RE2 (no \b, no
+    * backrefs, no lookaround — RE2 lacks the latter two and the shared
+    * subset keeps redaction bit-identical cross-engine).
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern: String = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val IdNumberPattern: String = "\\d{3}-\\d{2}-\\d{4}" // SSN-shaped
+
+  /** Non-overlapping match counts per document (reference analogue: the
+    * finding scanners of /root/reference/src/analyzers; here as corpus
+    * hygiene for training-data pipelines).
+    */
+  def piiEmailCount(c: Column): Column = regexp_count(c, lit(EmailPattern))
+  def piiIpv4Count(c: Column): Column = regexp_count(c, lit(Ipv4Pattern))
+  def piiIdCount(c: Column): Column = regexp_count(c, lit(IdNumberPattern))
+
+  /** Redacted text: emails first (an address may contain digit runs
+    * that would otherwise half-match the narrower patterns), then IPv4,
+    * then id numbers — the SAME order as the oracle twin. Pure
+    * composition of codegen'd regexp_replace, no UDF.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "[EMAIL]"),
+        Ipv4Pattern, "[IP]"),
+      IdNumberPattern, "[ID]")
 }

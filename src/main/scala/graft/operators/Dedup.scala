@@ -180,6 +180,36 @@ object Dedup {
       .select("d1", "d2", "inter", "uni", "jaccard")
   }
 
+  /** Benchmark-decontamination join (LLM-pipeline op): corpus documents
+    * sharing at least one distinct word n-gram with any eval/benchmark
+    * document, with the shared-distinct-n-gram count per (corpus, eval)
+    * pair. The standard pre-training hygiene step: any corpus doc that
+    * appears here leaks eval content and gets dropped or flagged
+    * (decontamination is exact by contract — no df-cap, unlike
+    * [[ngramPairs]]' similarity search).
+    *
+    * 100 TB posture: the EVAL side is broadcast — benchmark suites are
+    * bounded (10^3..10^6 shingles) while the corpus is not, so the
+    * corpus streams through one explode + broadcast-hash-join +
+    * partial-count pass; the only shuffle is the final (corpus, eval)
+    * pair aggregation, which is result-sized. Pass `broadcastEval =
+    * false` only if the eval set genuinely outgrows executor memory —
+    * the join then falls back to a shuffle on the shingle key.
+    */
+  def contaminationPairs(
+      corpus: DataFrame, corpusId: Column, corpusText: Column,
+      evalSet: DataFrame, evalId: Column, evalText: Column,
+      n: Int = 5, broadcastEval: Boolean = true): DataFrame = {
+    val c = shingleSets(corpus, corpusId, corpusText, n)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val e0 = shingleSets(evalSet, evalId, evalText, n)
+      .select(col("doc_id").as("eval_id"), explode(col("sh")).as("g"))
+    val e = if (broadcastEval) broadcast(e0) else e0
+    c.join(e, "g")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** MinHash signatures as one native per-row pass
     * ([[graft.functions.expr.MinHashSig]]): md5 each shingle once and
     * fold all k permutations in registers inside whole-stage codegen —

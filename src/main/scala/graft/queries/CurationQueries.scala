@@ -26,6 +26,7 @@ object CurationQueries {
   private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
 
   private val duckToksRaw = DuckOracle.toksRaw
+  private val duckToksNorm = DuckOracle.toksNorm
 
   /** Quality-gated, exact-deduped token budget per (lang, source):
     * which corpus slices survive curation and how many tokens they
@@ -96,13 +97,85 @@ object CurationQueries {
       |      FROM documents)
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  /** Benchmark decontamination ([[graft.operators.Dedup.contaminationPairs]]):
+    * corpus docs (doc_id ≥ 20) sharing any distinct 5-gram with the
+    * "benchmark" slice (doc_id < 20), with the shared count. The eval
+    * side broadcasts; the corpus streams — see the operator's scaladoc.
+    */
+  def c03Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Dedup.contaminationPairs(
+      d.filter(col("doc_id") >= 20), col("doc_id"), col("text"),
+      d.filter(col("doc_id") < 20), col("doc_id"), col("text"),
+      n = 5)
+      .orderBy("doc_id", "eval_id")
+  }
+
+  /** DuckDB replay: same normalized tokenizer, same ≥n CASE fallback and
+    * list_distinct as the Spark shingle builder, counts over the
+    * distinct-shingle equi-join.
+    */
+  val c03Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $duckToksNorm AS toks FROM documents
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 5
+       |    THEN list_transform(generate_series(1, len(toks)-4), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
+       |    ELSE [array_to_string(toks, ' ')] END) AS shset
+       |  FROM t
+       |), ex AS (
+       |  SELECT doc_id, unnest(shset) AS g FROM sh
+       |)
+       |SELECT c.doc_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
+       |FROM ex c JOIN ex e ON c.g = e.g
+       |WHERE c.doc_id >= 20 AND e.doc_id < 20
+       |GROUP BY c.doc_id, e.doc_id
+       |ORDER BY c.doc_id, eval_id""".stripMargin
+
+  /** Deterministic stratified sample-mix rollup
+    * ([[graft.operators.Sampling.stratifiedSample]]): downsample the
+    * dominant stratum, keep the rest, report surviving docs/tokens per
+    * (lang, source) — the data-mixing recipe shape, with hash-threshold
+    * membership an oracle can replay bit-for-bit.
+    */
+  def c04SampleMix(s: SparkSession, dir: String): DataFrame = {
+    val kept = graft.operators.Sampling.stratifiedSample(
+      docs(s, dir), col("lang"), col("doc_id"),
+      rates = Map("en" -> 0.25, "zh" -> 0.5), defaultRate = 1.0, salt = "mix1")
+    kept
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(Text.tokenCount(col("text")).cast("long")).as("kept_tokens"))
+      .orderBy("lang", "source")
+  }
+
+  val c04Oracle: String = {
+    // h60(salt:id) mod M replayed with the same digit-fold used by the
+    // dedup oracles; thresholds are the same floor(rate*M) longs
+    val h = "list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a*16 + b)"
+    s"""WITH keyed AS (
+       |  SELECT *, $h % 1000000 AS skey,
+       |    CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 500000 ELSE 1000000 END AS threshold
+       |  FROM documents
+       |)
+       |SELECT lang, source, COUNT(*) AS n_kept,
+       |  CAST(SUM(CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0 ELSE len($duckToksRaw) END) AS BIGINT) AS kept_tokens
+       |FROM keyed WHERE skey < threshold
+       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_corpus_curation" -> (c01CorpusCuration _),
-    "c02_dup_profile" -> (c02DupProfile _)
+    "c02_dup_profile" -> (c02DupProfile _),
+    "c03_decontamination" -> (c03Decontamination _),
+    "c04_sample_mix" -> (c04SampleMix _)
   )
 
   val oracles: Map[String, String] = Map(
     "c01_corpus_curation" -> c01Oracle,
-    "c02_dup_profile" -> c02Oracle
+    "c02_dup_profile" -> c02Oracle,
+    "c03_decontamination" -> c03Oracle,
+    "c04_sample_mix" -> c04Oracle
   )
 }

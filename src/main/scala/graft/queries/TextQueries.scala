@@ -307,7 +307,104 @@ object TextQueries {
       |  CAST(list_reduce([CAST(1 AS BIGINT)] || us, (a, b) -> (a*31 + b) % 2147483647) AS BIGINT) AS samp_hash
       |FROM f ORDER BY media_id""".stripMargin
 
+  /** Gopher/RefinedWeb-style repetition signals per document: distinct-
+    * token ratio and top-bigram mass. Machine-generated or boilerplate
+    * text repeats itself; these are the standard cheap gates before the
+    * expensive dedup passes.
+    *
+    * Plan shape: the per-doc bigram histogram is an explode + two-level
+    * partial aggregate — explode preserves row locality, so the map-side
+    * combine finishes each document's counts locally and the shuffle
+    * carries one row per doc. The narrow stats join back on doc_id.
+    */
+  def t07Repetition(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(
+      col("doc_id"),
+      Text.tokens(Text.normalize(col("text"))).as("toks"))
+    val stats = base.select(
+      col("doc_id"),
+      size(col("toks")).as("n_tokens"),
+      size(array_distinct(col("toks"))).as("n_distinct"),
+      Text.shinglesOfToks(col("toks"), 2).as("grams"))
+    val gramStats = stats
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top2_cnt"), sum("c").as("n_grams"))
+    stats.select("doc_id", "n_tokens", "n_distinct")
+      .join(gramStats, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        when(col("n_tokens") > 0,
+          col("n_distinct").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("distinct_frac"),
+        col("top2_cnt"), col("n_grams"),
+        (col("top2_cnt").cast("double") / col("n_grams")).as("top2_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay: same tokenizer twin, same 2-gram CASE fallback as
+    * the d03 shingle oracle (docs shorter than 2 tokens contribute the
+    * whole normalized text as their one "gram", so n_grams ≥ 1 and the
+    * top2 division never hits zero).
+    */
+  val t07Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $duckToksNorm AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+       |    THEN list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])
+       |    ELSE [array_to_string(toks, ' ')] END) AS g
+       |  FROM t
+       |), gc AS (
+       |  SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g
+       |), gs AS (
+       |  SELECT doc_id, CAST(max(c) AS BIGINT) AS top2_cnt, CAST(sum(c) AS BIGINT) AS n_grams
+       |  FROM gc GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+       |  CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS distinct_frac,
+       |  gs.top2_cnt, gs.n_grams,
+       |  CAST(gs.top2_cnt AS DOUBLE) / gs.n_grams AS top2_frac
+       |FROM t JOIN gs ON gs.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  /** PII detection + redaction per document (corpus hygiene): match
+    * counts for email/IPv4/SSN-shaped patterns and the fingerprint of
+    * the redacted text. Pure codegen'd regexp over one narrow scan —
+    * the redaction pass a 100 TB pipeline would run before anything
+    * else ships downstream. Patterns are single-owner constants on
+    * [[Text]] (valid in both Java regex and RE2, so the oracle replays
+    * the same matches).
+    */
+  def t08Pii(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        Text.piiEmailCount(col("text")).as("n_emails"),
+        Text.piiIpv4Count(col("text")).as("n_ipv4"),
+        Text.piiIdCount(col("text")).as("n_ids"),
+        md5(Text.redactPii(col("text"))).as("redacted_fp"))
+      .orderBy("doc_id")
+
+  val t08Oracle: String = {
+    val em = graft.functions.Text.EmailPattern
+    val ip = graft.functions.Text.Ipv4Pattern
+    val id = graft.functions.Text.IdNumberPattern
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$em')) AS n_emails,
+       |  len(regexp_extract_all(text, '$ip')) AS n_ipv4,
+       |  len(regexp_extract_all(text, '$id')) AS n_ids,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$em', '[EMAIL]', 'g'),
+       |    '$ip', '[IP]', 'g'),
+       |    '$id', '[ID]', 'g')) AS redacted_fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t07_repetition" -> (t07Repetition _),
+    "t08_pii" -> (t08Pii _),
     "m02_media_features" -> (m02MediaFeatures _),
     "m03_wav_features" -> (m03WavFeatures _),
     "t01_token_counts" -> (t01TokenCounts _),
@@ -320,6 +417,8 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t07_repetition" -> t07Oracle,
+    "t08_pii" -> t08Oracle,
     "m02_media_features" -> m02Oracle,
     "m03_wav_features" -> m03Oracle,
     "t01_token_counts" -> t01Oracle,

@@ -249,4 +249,110 @@ class ColumnFunctionsSpec extends SparkSpecBase {
       .select(Ranks.severityRank(col("s")).as("r"))
     assert(df.as[Int].collect().toSeq == Seq(4, 0, 1, 99, 2, 3))
   }
+
+  test("PII: counts and redaction on planted and garbage inputs") {
+    val cases = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or 10.0.0.1 now", 1, 1, 0),
+      (2L, "ssn 123-45-6789 and ip 192.168.1.255 and a@b.io", 1, 1, 1),
+      (3L, "no pii here, just words and 1234 numbers", 0, 0, 0),
+      (4L, "two mails a@b.cc c@d.dd one ip 8.8.8.8", 2, 1, 0),
+      // garbage: lone @, TLD-less address, short runs must not crash;
+      // 999.999.999.999 matches the ipv4 SHAPE (scanners over-match)
+      (5L, "@@@ 999.999.999.999 1.2.3 a@b 12-34-5678 .com", 0, 1, 0))
+    val df = cases.map(t => (t._1, t._2)).toDF("id", "text").select(
+      col("id"),
+      Text.piiEmailCount(col("text")).as("e"),
+      Text.piiIpv4Count(col("text")).as("i"),
+      Text.piiIdCount(col("text")).as("s"),
+      Text.redactPii(col("text")).as("red"))
+    val got = df.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getInt(2), r.getInt(3)), r.getString(4))).toMap
+    for ((id, text, e, i, s) <- cases)
+      assert(got(id)._1 == ((e, i, s)), s"counts for '$text': got ${got(id)._1}")
+    assert(got(1L)._2 == "contact [EMAIL] or [IP] now")
+    assert(got(2L)._2 == "ssn [ID] and ip [IP] and [EMAIL]")
+    assert(got(3L)._2 == "no pii here, just words and 1234 numbers")
+    // 999.999.999.999 matches the shape pattern (classic PII scanners
+    // over-match; redaction prefers recall) but "1.2.3" does not
+    assert(got(5L)._2.contains("[IP]") && got(5L)._2.contains("1.2.3 "))
+    // null text → null counts/redaction, not a crash
+    val n = Seq((9L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(Text.piiEmailCount(col("text")).as("e"), Text.redactPii(col("text")).as("r"))
+      .collect()(0)
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
+  test("Sampling: deterministic, stratified rates honored, salt independence") {
+    import graft.operators.Sampling
+    val df = spark.range(20000).select(
+      col("id"),
+      when(pmod(col("id"), lit(2)) === 0, "a").otherwise("b").as("stratum"))
+    val rates = Map("a" -> 0.25, "b" -> 0.75)
+    val kept = Sampling.stratifiedSample(df, col("stratum"), col("id"), rates, 1.0, "s1")
+    val byStratum = kept.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // each stratum has 10k candidates; binomial 3σ ≈ 1.3%
+    assert(math.abs(byStratum("a") - 2500.0) < 400, s"a kept ${byStratum("a")}")
+    assert(math.abs(byStratum("b") - 7500.0) < 400, s"b kept ${byStratum("b")}")
+    // deterministic: the same call yields the same subset, not just size
+    val ids1 = kept.select("id").as[Long].collect().sorted.toSeq
+    val ids2 = Sampling.stratifiedSample(df, col("stratum"), col("id"), rates, 1.0, "s1")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // a different salt draws an (almost surely) different subset of equal size class
+    val ids3 = Sampling.stratifiedSample(df, col("stratum"), col("id"), rates, 1.0, "s2")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids1 != ids3)
+    // rate 0 keeps nothing; rate 1 keeps everything; invalid rates throw
+    assert(Sampling.uniformSample(df, col("id"), 0.0, "z").count() == 0)
+    assert(Sampling.uniformSample(df, col("id"), 1.0, "z").count() == 20000)
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(df, col("stratum"), col("id"), Map("a" -> 1.5), 1.0, "z"))
+  }
+
+  test("contaminationPairs: known shared n-grams found; broadcast off agrees") {
+    import graft.operators.Dedup
+    val evalSet = Seq(
+      (1L, "the capital of france is paris"),
+      (2L, "water boils at one hundred degrees")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "everyone knows the capital of france is paris obviously"), // 5-gram overlap with 1
+      (101L, "the capital of spain is madrid"),                          // only 4-gram overlap → miss
+      (102L, "water boils at one hundred degrees under standard pressure"), // overlap with 2
+      (103L, "completely unrelated content about nothing at all")).toDF("doc_id", "text")
+    def run(bc: Boolean) = Dedup.contaminationPairs(
+        corpus, col("doc_id"), col("text"), evalSet, col("doc_id"), col("text"),
+        n = 5, broadcastEval = bc)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = run(bc = true)
+    // doc 100 shares "the capital of france is" + "capital of france is paris"
+    assert(got == Map((100L, 1L) -> 2L, (102L, 2L) -> 2L), s"got $got")
+    assert(run(bc = false) == got, "shuffle-join fallback must agree")
+  }
+
+  test("t07 repetition signals: crafted bigram histograms") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // toks 6, distinct 2; grams: "a b"×3, "b a"×2 → top 3/5
+      (2L, "w x y z"),       // all distinct; every bigram unique → top 1/3
+      (3L, "solo")).toDF("doc_id", "text") // <2 tokens → fallback single gram
+    val spark2 = spark
+    val out = graft.queries.TextQueries.t07Repetition(spark2, "/root/testdata/sf0.001")
+    // shape check on real data (plan executes), exactness on the crafted frame:
+    assert(out.columns.toSeq == Seq(
+      "doc_id", "n_tokens", "n_distinct", "distinct_frac", "top2_cnt", "n_grams", "top2_frac"))
+    import org.apache.spark.sql.{functions => F}
+    val crafted = {
+      val base = docs.select(col("doc_id"),
+        Text.tokens(Text.normalize(col("text"))).as("toks"))
+      val stats = base.select(col("doc_id"),
+        F.size(col("toks")).as("n_tokens"),
+        Text.shinglesOfToks(col("toks"), 2).as("grams"))
+      stats.select(col("doc_id"), explode(col("grams")).as("g"))
+        .groupBy("doc_id", "g").agg(F.count(F.lit(1)).as("c"))
+        .groupBy("doc_id").agg(F.max("c").as("top"), F.sum("c").as("n"))
+    }.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(crafted(1L) == ((3L, 5L)), s"repeated bigram mass: ${crafted(1L)}")
+    assert(crafted(2L) == ((1L, 3L)))
+    assert(crafted(3L) == ((1L, 1L)), "sub-bigram doc falls back to one whole-text gram")
+  }
 }

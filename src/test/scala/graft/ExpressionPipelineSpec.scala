@@ -270,6 +270,44 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     assert(nat == agg, "native simhash frame must equal the historical agg frame")
   }
 
+  test("word_ngrams: SQL registration, null/short-doc contract, property parity vs HOF") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // SQL and Column surfaces agree
+    val viaSql = spark.sql("SELECT word_ngrams(array('a','b','c'), 2) AS g")
+      .head().getSeq[String](0)
+    assert(viaSql == Seq("a b", "b c"))
+    // contract edges, each mirrored against the HOF twin below by the
+    // property — pinned here deterministically:
+    //   null array → [""], short array → one concat_ws shingle,
+    //   null token inside a window → null shingle
+    val edge = Seq(
+      (1L, null.asInstanceOf[Array[String]]),
+      (2L, Array.empty[String]),
+      (3L, Array[String]("only", null)),
+      (4L, Array[String]("a", null, "b", "c"))).toDF("id", "toks")
+      .select(col("id"), Text.shinglesOfToks(col("toks"), 3).as("g"))
+    val m = edge.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L) == Seq(""))
+    assert(m(2L) == Seq(""))
+    assert(m(3L) == Seq("only"), "short-doc fallback joins NON-NULL tokens")
+    assert(m(4L) == Seq(null, null), "null token nulls every window containing it")
+    // property: any token array (nulls, empties, unicode), any n 1..6
+    val tok = Gen.frequency(
+      6 -> Gen.alphaNumStr.map(_.take(8)),
+      1 -> Gen.oneOf("", "é✓", "x y"),
+      2 -> Gen.const(null.asInstanceOf[String]))
+    val arr = Gen.choose(0, 30).flatMap(k => Gen.listOfN(k, tok).map(_.toArray))
+    val nGen = Gen.choose(1, 6)
+    val prop = Prop.forAll(arr, nGen) { (a, n) =>
+      val r = Seq(Tuple1(a)).toDF("toks").select(
+        Text.shinglesOfToks(col("toks"), n).as("native"),
+        Text.shinglesOfToksHof(col("toks"), n).as("hof")).head()
+      r.getSeq[String](0) == r.getSeq[String](1)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, s"native/HOF parity: ${res.status}")
+  }
+
   test("winnowing: shared token runs produce shared fingerprints") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
     val df = Seq(
