@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataType
@@ -79,25 +77,31 @@ object Ann {
     topkPerQuery(scored, k)
   }
 
-  /** IVF (inverted-file) approximate KNN: a KMeans coarse quantizer
+  /** IVF (inverted-file) approximate KNN: a k-means coarse quantizer
     * partitions the base vectors into `nlist` cells; each query probes
     * its `nprobe` nearest cells and ranks only those candidates.
     *
     * This is the standard scale path for ANN over ~10^9+ vectors: the
     * cell assignment is a narrow column, the candidate join is an
     * equi-join on cell id (shuffle ∝ candidates, not corpus), and the
-    * centroid model is broadcast-sized. Deterministic via a fixed seed.
+    * centroid codebook is broadcast-sized. Deterministic via a fixed
+    * seed.
     *
-    * The quantizer is fit on a bounded deterministic SAMPLE
+    * The quantizer is fit DRIVER-SIDE on a bounded deterministic sample
     * (approximately `maxFit` rows — the hash filter admits each row
     * with probability maxFit/total, so the realized count has binomial
     * spread around maxFit; selected by a hash on the id, not `rand()`,
-    * so a task retry sees the same sample): KMeans is an iterative,
-    * driver-coordinated algorithm that re-reads its input ~maxIter
-    * times, and the standard IVF recipe never feeds it the full corpus.
-    * Assignment of the full base stays one narrow pass. CACHE CONTRACT:
-    * only the sampled fit set is cached, and it is unpersisted here as
-    * soon as the fit completes — callers have nothing to clean up.
+    * so a task retry sees the same sample). This is the FAISS division
+    * of labor: `train` is an in-memory problem on a capped sample
+    * (≤ ~25 MB at maxFit=100k, dim 64 — the one deliberate, bounded
+    * driver collect in the vector family), `add`/assignment of the full
+    * base stays one distributed narrow pass through the native
+    * [[graft.functions.expr.NearestCentroid]] codegen expression. The
+    * previous MLlib fit spent 10 iterations × several scheduler
+    * round-trips on that same sample (~1.4 s of pure overhead at
+    * sf0.1); [[Quantizer.fit]] does it in milliseconds with identical
+    * determinism. CACHE CONTRACT: nothing is cached — callers have
+    * nothing to clean up.
     */
   def knnIvf(
       base: DataFrame, baseId: Column, baseVec: Column,
@@ -105,35 +109,44 @@ object Ann {
       k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
       maxFit: Long = 100000L): DataFrame = {
     val b = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
-      .withColumn("feat", array_to_vector(col("b_emb").cast("array<double>")))
     // one cheap narrow count to size the sample fraction (the id column
     // only — pruned to a metadata/footer read where the source allows)
     val total = b.select("b_id").count()
-    val fit = (
+    val fitDf =
       if (total > maxFit)
         b.filter(pmod(xxhash64(col("b_id")), lit(total)) < lit(maxFit))
       else b
-    ).select("feat").cache()
-    // a degenerate sample (< nlist points) would make KMeans collapse
-    // cells silently; the count is cheap — the sample is already cached.
+    // bounded collect (see scaladoc): ≤ ~maxFit vectors; null rows are
+    // skipped here and null-element rows fall out of assignment below
+    val sample: Array[Array[Float]] = fitDf
+      .select(col("b_emb").cast("array<float>"))
+      .collect()
+      .flatMap(r => Option(r.getSeq[Float](0)))
+      .filter(s => s.nonEmpty && !s.contains(null))
+      .map(_.toArray)
+    val fitCount = sample.length
+    require(fitCount > 0, "IVF quantizer sample is empty — no base vectors to index")
     // Clamp rather than throw: a small corpus (or an unlucky binomial
     // draw of the hash sample near the maxFit boundary) should degrade
     // to fewer cells, not nondeterministically fail the job.
-    val fitCount = fit.count()
-    require(fitCount > 0, "IVF quantizer sample is empty — no base vectors to index")
     val effNlist = math.min(nlist.toLong, fitCount).toInt
     if (effNlist < nlist)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"IVF quantizer sample has $fitCount rows < nlist=$nlist — clamping to $effNlist cells")
-    val km = new KMeans().setK(effNlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("feat").setPredictionCol("cell")
-    val model = km.fit(fit) // eager: iterates over the cached sample
-    fit.unpersist()
-    val assigned = model.transform(b).select(col("b_id"), col("b_emb"), col("cell"))
+    val codebook = Quantizer.fit(sample, effNlist, seed)
+    val dim = codebook(0).length
+    val cellCol = org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.expr.NearestCentroid(
+        org.apache.spark.sql.GraftColumnShim.expression(col("b_emb")),
+        codebook.flatten, effNlist, dim))
+    val assigned = b
+      .withColumn("cell", cellCol)
+      .filter(col("cell").isNotNull) // null vec/element: no cell, like a null join key
+      .select(col("b_id"), col("b_emb"), col("cell"))
 
     // nprobe nearest cells per query: centroids are tiny → literal frame
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat).toSeq)
+    val centroids = codebook.zipWithIndex.map { case (c, i) =>
+      (i, c.map(_.toFloat).toSeq)
     }.toSeq
     val spark = base.sparkSession
     import spark.implicits._

@@ -308,6 +308,52 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     assert(res.passed, s"native/HOF parity: ${res.status}")
   }
 
+  test("Quantizer + NearestCentroid: deterministic fit, argmin parity, null rows drop") {
+    import graft.operators.Quantizer
+    import graft.functions.expr.NearestCentroid
+    // three well-separated blobs → k-means must place one centroid each
+    val rnd = new scala.util.Random(7)
+    val blobs = Seq(Array(0f, 0f), Array(10f, 10f), Array(-10f, 10f))
+    val data: Array[Array[Float]] = Array.tabulate(300) { i =>
+      val c = blobs(i % 3)
+      Array(c(0) + rnd.nextFloat() * 0.5f, c(1) + rnd.nextFloat() * 0.5f)
+    }
+    val cb1 = Quantizer.fit(data, 3, seed = 42L)
+    val cb2 = Quantizer.fit(data, 3, seed = 42L)
+    assert(cb1.map(_.toSeq).toSeq == cb2.map(_.toSeq).toSeq, "fit must be deterministic")
+    // every blob center has a centroid within its spread
+    for (b <- blobs)
+      assert(cb1.exists(c => math.abs(c(0) - b(0)) < 1 && math.abs(c(1) - b(1)) < 1),
+        s"no centroid near blob ${b.toSeq}: ${cb1.map(_.toSeq).toSeq}")
+    // NearestCentroid == brute-force argmin on random vectors, via the
+    // SQL engine (exercises codegen), ties broken toward lower index
+    val flat = cb1.flatten
+    def brute(v: Array[Float]): Int =
+      cb1.zipWithIndex.minBy { case (c, i) =>
+        (c.zip(v).map { case (a, b) => (b - a) * (b - a) }.sum, i)
+      }._2
+    val probes = Array.tabulate(50)(_ => Array(rnd.nextFloat() * 30 - 15, rnd.nextFloat() * 30 - 15))
+    val df = probes.toSeq.map(Tuple1(_)).toDF("v").select(
+      col("v"),
+      org.apache.spark.sql.GraftColumnShim.column(
+        NearestCentroid(org.apache.spark.sql.GraftColumnShim.expression(col("v")), flat, 3, 2))
+        .as("cell"))
+    val got = df.collect().map(r => (r.getSeq[Float](0).toArray, r.getInt(1)))
+    for ((v, cell) <- got) assert(cell == brute(v), s"argmin mismatch at ${v.toSeq}")
+    // null array and null element → NULL cell
+    val nulls = Seq(
+      (1L, null.asInstanceOf[Array[java.lang.Float]]),
+      (2L, Array[java.lang.Float](1.0f, null))).toDF("id", "v")
+      .select(col("id"), org.apache.spark.sql.GraftColumnShim.column(
+        NearestCentroid(org.apache.spark.sql.GraftColumnShim.expression(col("v")), flat, 3, 2))
+        .as("cell"))
+    assert(nulls.filter(col("cell").isNull).count() == 2)
+    // degenerate sample: all-identical points with k = n must not loop/crash
+    val flatData = Array.fill(4)(Array(1f, 1f))
+    val cbFlat = Quantizer.fit(flatData, 4, seed = 1L)
+    assert(cbFlat.length == 4)
+  }
+
   test("winnowing: shared token runs produce shared fingerprints") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
     val df = Seq(
