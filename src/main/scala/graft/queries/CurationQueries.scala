@@ -12,14 +12,14 @@ import graft.functions.Text
   * already-proven primitives (t03 quality, d01 fingerprint dedup), so
   * the oracle checks the COMPOSITION.
   *
-  * Plan shape: keep-first via groupBy(min) + semi-join-shaped equi-join
-  * — two pruned scans and narrow fp shuffles. The single-scan
-  * alternative (row_number over a Window.partitionBy(fp)) was rejected
+  * Plan shape: keep-first via one `groupBy(fp).agg(min(struct(…)))`
+  * pass — a single pruned scan and narrow fp shuffle. The Window
+  * alternative (row_number over Window.partitionBy(fp)) was rejected
   * deliberately: web-scale corpora have boilerplate documents duplicated
   * millions of times, and a window ships every copy of a hot fingerprint
   * to one task, while groupBy's map-side partial min absorbs exactly
-  * that skew. A 100 TB deployment would persist the narrow
-  * (doc_id, fp, n_tokens, quality) projection between the two passes.
+  * that skew; and min-of-struct carries the survivor's payload out of
+  * the same aggregate, so no keepers join or second scan is needed.
   */
 object CurationQueries {
 
@@ -33,22 +33,29 @@ object CurationQueries {
     * contribute. Keep-first (min doc_id) per fingerprint, computed
     * WITHIN the filtered set (a low-quality duplicate must not shadow
     * a high-quality survivor).
+    *
+    * Single scan: the keep-first row AND its payload come out of one
+    * `min(struct(doc_id, …))` aggregate — struct ordering compares
+    * doc_id first (unique ⇒ deterministic), so this is exactly the
+    * min-doc_id survivor with its own columns. One pass over the
+    * corpus, map-side-combinable (absorbs hot boilerplate
+    * fingerprints), no second scan and no keepers join — the previous
+    * shape paid the full regex-enrichment scan twice.
     */
-  def c01CorpusCuration(s: SparkSession, dir: String): DataFrame = {
-    val enriched = docs(s, dir).select(
+  def c01CorpusCuration(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
       col("doc_id"), col("lang"), col("source"),
       Text.tokenCount(col("text")).as("n_tokens"),
       Text.qualityScore(col("text")).as("quality"),
       Text.fingerprint(col("text")).as("fp"))
-    val filtered = enriched.filter(col("quality") >= 0.6 && col("n_tokens") >= 5)
-    val keepers = filtered.groupBy("fp").agg(min("doc_id").as("doc_id"))
-    filtered.join(keepers, Seq("fp", "doc_id"))
-      .groupBy("lang", "source")
+      .filter(col("quality") >= 0.6 && col("n_tokens") >= 5)
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("lang"), col("source"), col("n_tokens"))).as("keep"))
+      .groupBy(col("keep.lang").as("lang"), col("keep.source").as("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"))
+        sum(col("keep.n_tokens")).as("total_tokens"))
       .orderBy("lang", "source")
-  }
 
   val c01Oracle: String =
     s"""WITH q AS (
