@@ -47,10 +47,13 @@ case class NearestCentroid(child: Expression, centroids: Array[Double], k: Int, 
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cents = ctx.addReferenceObj("centroids", centroids, "double[]")
+    // freshName: two NearestCentroid calls in one codegen method must
+    // not collide on the local holding the boxed result
+    val nc = ctx.freshName("nearestCell")
     nullSafeCodeGen(ctx, ev, c => s"""
-      Object nc = graft.functions.expr.NearestCentroid.nearest($c, $cents, $k, $dim, $elemIsFloat);
-      ${ev.isNull} = nc == null;
-      ${ev.value} = ${ev.isNull} ? -1 : ((Integer) nc).intValue();
+      Integer $nc = graft.functions.expr.NearestCentroid.nearest($c, $cents, $k, $dim, $elemIsFloat);
+      ${ev.isNull} = $nc == null;
+      ${ev.value} = ${ev.isNull} ? -1 : $nc.intValue();
     """)
   }
 

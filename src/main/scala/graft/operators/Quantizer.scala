@@ -89,7 +89,11 @@ private[graft] object Quantizer {
         }
         assign(i) = best
       }
-      moved = !java.util.Arrays.equals(assign, prev)
+      // the FIRST iteration must always update: `prev` starts all-zero,
+      // and an initial assignment that happens to be all-zero too (k=1,
+      // or every point nearest centroid 0) would otherwise return the
+      // k-means++ seed instead of the cell mean
+      moved = iter == 0 || !java.util.Arrays.equals(assign, prev)
       if (moved) {
         System.arraycopy(assign, 0, prev, 0, n)
         val sums = Array.ofDim[Double](k, dim)

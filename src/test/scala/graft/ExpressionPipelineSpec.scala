@@ -352,6 +352,13 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     val flatData = Array.fill(4)(Array(1f, 1f))
     val cbFlat = Quantizer.fit(flatData, 4, seed = 1L)
     assert(cbFlat.length == 4)
+    // k=1 must return the MEAN, not the k-means++ seed point (the
+    // initial assignment equals the all-zero prev array, which once
+    // skipped the first centroid update entirely)
+    val line = Array(Array(0f, 0f), Array(2f, 0f), Array(4f, 6f))
+    val cb1k = Quantizer.fit(line, 1, seed = 5L)
+    assert(math.abs(cb1k(0)(0) - 2.0) < 1e-9 && math.abs(cb1k(0)(1) - 2.0) < 1e-9,
+      s"k=1 centroid must be the mean, got ${cb1k(0).toSeq}")
   }
 
   test("winnowing: shared token runs produce shared fingerprints") {
