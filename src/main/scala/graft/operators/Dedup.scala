@@ -412,4 +412,56 @@ object Dedup {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Corpus-frequent-segment removal (CCNet/RefinedWeb-style boilerplate
+    * strip): drop every segment whose normalized form occurs more than
+    * `maxFreq` times across the corpus, and reassemble each document
+    * from its surviving segments in original order.
+    *
+    * `segments` is an already-segmented `array<string>` column — real
+    * corpora pass `split(text, "\n")` (line-level dedup); callers with
+    * unstructured text pass any deterministic segmentation (see
+    * `CurationQueries.c05`). Segments are matched on
+    * `h60(normalize(segment))`, so "Subscribe  NOW" and "subscribe now"
+    * are the same boilerplate.
+    *
+    * Two passes over the input, zero state: pass 1 aggregates segment
+    * frequencies (map-side combinable — the hot boilerplate keys are
+    * exactly the ones partial aggregation absorbs); pass 2 marks each
+    * occurrence via a SALTED left join against the frequent-key set.
+    * The salt matters at scale: every key in that set is hot by
+    * construction (> maxFreq occurrences — web boilerplate reaches 10^8
+    * copies), so a plain shuffle join would send all copies of each
+    * frequent segment to one reducer. Salting replicates the (small —
+    * ≤ totalSegments/maxFreq keys) frequent side `saltBuckets`× and
+    * spreads each hot key over that many tasks ([[ScaleJoins.saltedJoin]]).
+    * Docs whose every segment is boilerplate survive with n_kept = 0 and
+    * clean_text "" (left join, not anti).
+    *
+    * Returns one row per input doc: doc_id, n_segments, n_kept,
+    * clean_text (kept segments joined with '\n').
+    */
+  def stripFrequentSegments(
+      df: DataFrame,
+      id: Column,
+      segments: Column,
+      maxFreq: Long,
+      saltBuckets: Int = 16): DataFrame = {
+    require(maxFreq >= 1, s"maxFreq must be >= 1, got $maxFreq")
+    val occ = df.select(id.as("doc_id"), posexplode(segments).as(Seq("pos", "seg")))
+      .withColumn("seg_h", Hashing.h60(Text.normalize(col("seg"))))
+    val frequent = occ.groupBy("seg_h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxFreq)
+      .select(col("seg_h"), lit(true).as("__freq"))
+    ScaleJoins.saltedJoin(
+      occ, frequent, "seg_h", struct(col("doc_id"), col("pos")), saltBuckets, "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        count(when(col("__freq").isNull, 1)).as("n_kept"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(when(col("__freq").isNull, struct(col("pos"), col("seg"))))),
+            s => s("seg"))).as("clean_text"))
+  }
 }

@@ -158,9 +158,9 @@ object CurationQueries {
   }
 
   val c04Oracle: String = {
-    // h60(salt:id) mod M replayed with the same digit-fold used by the
-    // dedup oracles; thresholds are the same floor(rate*M) longs
-    val h = "list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a*16 + b)"
+    // h60(salt:id) mod M replayed with the shared digit-fold; thresholds
+    // are the same floor(rate*M) longs
+    val h = DuckOracle.h60("'mix1:' || CAST(doc_id AS VARCHAR)")
     s"""WITH keyed AS (
        |  SELECT *, $h % 1000000 AS skey,
        |    CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 500000 ELSE 1000000 END AS threshold
@@ -172,17 +172,107 @@ object CurationQueries {
        |GROUP BY lang, source ORDER BY lang, source""".stripMargin
   }
 
+  /** Segment width (tokens) for c05's synthetic segmentation. */
+  private val SegW = 5
+
+  /** Corpus-frequent-segment strip ([[graft.operators.Dedup.stripFrequentSegments]]):
+    * the CCNet/RefinedWeb boilerplate-removal shape. Real corpora
+    * segment on newlines; this corpus has none (single-line synthetic
+    * docs), so the query segments each doc into disjoint `SegW`-token
+    * windows of the normalized text — a deterministic stand-in that
+    * exercises the identical machinery (explode → corpus frequency →
+    * salted anti-flag join → in-order reassembly). Any segment seen
+    * more than twice corpus-wide is stripped; clean_fp proves the
+    * reassembled text byte-for-byte.
+    */
+  def c05BoilerplateStrip(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(Text.normalize(col("text")))
+    val d = docs(s, dir).withColumn("__toks", toks)
+    val segs = when(size(col("__toks")) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0L), floor((size(col("__toks")) - lit(1)) / lit(SegW))),
+        i => array_join(slice(col("__toks"), (i * SegW + 1).cast("int"), lit(SegW)), " ")))
+    graft.operators.Dedup.stripFrequentSegments(d, col("doc_id"), segs, maxFreq = 2)
+      .select(col("doc_id"), col("n_segments"), col("n_kept"),
+        md5(col("clean_text")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  val c05Oracle: String = {
+    val h = DuckOracle.h60("seg")
+    s"""WITH t AS (
+       |  SELECT doc_id, $duckToksNorm AS toks FROM documents
+       |), segs AS (
+       |  SELECT doc_id, CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+       |    ELSE list_transform(generate_series(0, CAST(floor((len(toks)-1)/$SegW.0) AS BIGINT)),
+       |                        i -> array_to_string(toks[i*$SegW+1:i*$SegW+$SegW], ' ')) END AS arr
+       |  FROM t
+       |), occ AS (
+       |  SELECT doc_id, unnest(arr) AS seg, unnest(generate_series(1, len(arr))) AS pos FROM segs
+       |), keyed AS (
+       |  SELECT doc_id, pos, seg, $h AS seg_h FROM occ
+       |), freq AS (
+       |  SELECT seg_h FROM keyed GROUP BY seg_h HAVING COUNT(*) > 2
+       |)
+       |SELECT k.doc_id AS doc_id,
+       |  COUNT(*) AS n_segments,
+       |  COUNT(*) FILTER (WHERE f.seg_h IS NULL) AS n_kept,
+       |  md5(coalesce(string_agg(CASE WHEN f.seg_h IS NULL THEN k.seg END, chr(10) ORDER BY k.pos), '')) AS clean_fp
+       |FROM keyed k LEFT JOIN freq f ON k.seg_h = f.seg_h
+       |GROUP BY k.doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Deterministic shuffle + token-budget shard packing rollup
+    * ([[graft.operators.Packing.packShards]]): the "write training
+    * shards" tail. Every (bucket, shard) reports its doc count and
+    * token mass — integer arithmetic end-to-end, so the window prefix
+    * sums replay exactly.
+    */
+  def c06ShardPack(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packShards(
+      docs(s, dir), col("doc_id"), Text.tokenCount(col("text")),
+      budget = 512L, nBuckets = 8, salt = "pack1")
+      .groupBy("bucket", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("shard_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("bucket", "shard")
+
+  val c06Oracle: String = {
+    val h = DuckOracle.h60("'pack1:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0 ELSE len($duckToksRaw) END AS n_tokens,
+       |    $h AS key
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, n_tokens, key % 8 AS bucket,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY key % 8 ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_tok
+       |  FROM t
+       |)
+       |SELECT bucket, CAST(floor(start_tok / 512.0) AS BIGINT) AS shard,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM p GROUP BY bucket, shard ORDER BY bucket, shard""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_corpus_curation" -> (c01CorpusCuration _),
     "c02_dup_profile" -> (c02DupProfile _),
     "c03_decontamination" -> (c03Decontamination _),
-    "c04_sample_mix" -> (c04SampleMix _)
+    "c04_sample_mix" -> (c04SampleMix _),
+    "c05_boilerplate_strip" -> (c05BoilerplateStrip _),
+    "c06_shard_pack" -> (c06ShardPack _)
   )
 
   val oracles: Map[String, String] = Map(
     "c01_corpus_curation" -> c01Oracle,
     "c02_dup_profile" -> c02Oracle,
     "c03_decontamination" -> c03Oracle,
-    "c04_sample_mix" -> c04Oracle
+    "c04_sample_mix" -> c04Oracle,
+    "c05_boilerplate_strip" -> c05Oracle,
+    "c06_shard_pack" -> c06Oracle
   )
 }

@@ -19,11 +19,7 @@ object DedupQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
 
-  /** DuckDB h60: first 15 hex chars of md5 folded to a BIGINT — matches
-    * graft.functions.Hashing.h60 bit-for-bit.
-    */
-  private def duckH60(e: String): String =
-    s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(substr(md5($e), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a*16 + b)"
+  private def duckH60(e: String): String = DuckOracle.h60(e)
 
   def d01ExactDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exactKeepFirst(docs(s, dir), col("doc_id"), col("text"))

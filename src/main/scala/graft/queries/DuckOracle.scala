@@ -35,4 +35,13 @@ object DuckOracle {
     */
   def quoteList(words: Seq[String]): String =
     words.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
+
+  /** DuckDB twin of [[graft.functions.Hashing.h60]]: first 15 hex chars
+    * of md5 folded to a BIGINT digit-by-digit — bit-identical to Spark's
+    * `conv(substring(md5(x),1,15),16,10)`. Single owner for every oracle
+    * that replays an h60-derived key (dedup postings, sampling
+    * membership, bucket/shard assignment).
+    */
+  def h60(e: String): String =
+    s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(substr(md5($e), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a*16 + b)"
 }

@@ -355,4 +355,68 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(crafted(2L) == ((1L, 3L)))
     assert(crafted(3L) == ((1L, 1L)), "sub-bigram doc falls back to one whole-text gram")
   }
+
+  test("stripFrequentSegments: boilerplate dropped, docs reassembled in order") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, Seq("intro one", "SUBSCRIBE   now", "body alpha")),
+      (2L, Seq("subscribe now", "body beta")),
+      (3L, Seq("Subscribe Now", "body gamma", "subscribe now")),
+      (4L, Seq("subscribe now")), // fully boilerplate → survives with n_kept 0
+      (5L, Seq.empty[String])     // no segments → no rows (like null-text docs)
+    ).toDF("doc_id", "segs")
+    // normalized "subscribe now" occurs 5× > maxFreq 2 → stripped everywhere
+    val out = Dedup.stripFrequentSegments(docs, col("doc_id"), col("segs"), maxFreq = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), s"got ${out.keySet}")
+    assert(out(1L) == ((3L, 2L, "intro one\nbody alpha")))
+    assert(out(2L) == ((2L, 1L, "body beta")))
+    assert(out(3L) == ((3L, 1L, "body gamma")))
+    assert(out(4L) == ((1L, 0L, "")))
+    // at a looser threshold (5 occurrences is not > 5) nothing is stripped
+    val loose = Dedup.stripFrequentSegments(docs, col("doc_id"), col("segs"), maxFreq = 5)
+    assert(loose.filter(col("n_kept") =!= col("n_segments")).count() == 0)
+    intercept[IllegalArgumentException](
+      Dedup.stripFrequentSegments(docs, col("doc_id"), col("segs"), maxFreq = 0))
+  }
+
+  test("packShards: exact prefix-sum shards vs an in-memory replay; deterministic") {
+    import graft.operators.Packing
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val df = spark.range(1, 201).select(
+      col("id").as("doc_id"), (pmod(col("id"), lit(7)) + 1).as("toks"))
+    val out = Packing.packShards(df, col("doc_id"), col("toks"),
+      budget = 10L, nBuckets = 4, salt = "p1")
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "bucket", "start_tok", "shard"))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // replay: same hash order, same running prefix, same floor(start/budget)
+    val expect = (1L to 200L).map(i => (i, i % 7 + 1, h60(s"p1:$i")))
+      .groupBy(_._3 % 4)
+      .flatMap { case (b, ds) =>
+        var acc = 0L
+        ds.sortBy(d => (d._3, d._1)).map { case (id, t, _) =>
+          val st = acc; acc += t; (id, (t, b, st, st / 10))
+        }
+      }
+    assert(rows.size == 200)
+    for ((id, e) <- expect) assert(rows(id) == e, s"doc $id: got ${rows(id)}, want $e")
+    // deterministic re-run; a different salt permutes assignments
+    val again = Packing.packShards(df, col("doc_id"), col("toks"),
+      budget = 10L, nBuckets = 4, salt = "p1").collect().map(_.toSeq).toSet
+    assert(again == out.collect().map(_.toSeq).toSet)
+    val other = Packing.packShards(df, col("doc_id"), col("toks"),
+      budget = 10L, nBuckets = 4, salt = "p2")
+      .select("doc_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(other != out.select("doc_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    intercept[IllegalArgumentException](
+      Packing.packShards(df, col("doc_id"), col("toks"), budget = 0L, nBuckets = 4, salt = "x"))
+  }
 }

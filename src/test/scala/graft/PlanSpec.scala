@@ -227,6 +227,27 @@ class PlanSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
+  test("c05: frequent-segment join is salted; corpus frequency aggregates partially") {
+    val df = graft.queries.CurationQueries.c05BoilerplateStrip(spark, sfDir)
+    val p = plan(df)
+    // the frequent side is hot by construction — the join must carry the salt
+    assert(p.contains("__salt"), s"boilerplate join key missing the salt:\n$p")
+    // segment frequency must partial-aggregate (absorbs hot boilerplate keys)
+    assert(countOccurrences(p, "HashAggregate") >= 2, s"partial+final agg expected:\n$p")
+    assert(df.count() > 0)
+  }
+
+  test("c06: window and rollup share one bucket exchange") {
+    val df = graft.queries.CurationQueries.c06ShardPack(spark, sfDir)
+    val p = plan(df)
+    // hashpartitioning(bucket) from the window also satisfies the
+    // groupBy(bucket, shard) clustering — a second exchange means the
+    // rollup stopped reusing the packing layout
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
+      s"expected exactly one hash exchange (window reused by rollup):\n$p")
+    assert(df.count() > 0)
+  }
+
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 }
