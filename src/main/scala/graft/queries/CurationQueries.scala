@@ -258,13 +258,60 @@ object CurationQueries {
        |FROM p GROUP BY bucket, shard ORDER BY bucket, shard""".stripMargin
   }
 
+  /** Length-distribution profile per source: exact token-count
+    * percentiles (ordered-set aggregate) — the "where do I cut long/short
+    * docs" report that precedes any length filter in a curation recipe.
+    *
+    * percentile_disc picks actual corpus values (no interpolation), so
+    * the result is integer-exact across engines; the oracle replays the
+    * SQL-standard definition (least value with cume_dist ≥ p) rather
+    * than trusting another engine's quantile flavor. Scale note: Spark's
+    * exact percentile buffers a value→count map per group — fine when
+    * group count (sources) and distinct token counts are bounded, which
+    * is this query's contract; unbounded-cardinality profiling belongs
+    * to approx_percentile (a sketch, deliberately not oracle-gated).
+    */
+  def c07LengthProfile(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+      .select(col("source"), Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .createOrReplaceTempView("__c07_docs")
+    s.sql("""
+      SELECT source,
+        count(*) AS n_docs,
+        CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS p25,
+        CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS p50,
+        CAST(percentile_disc(0.9)  WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS p90,
+        CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS p99,
+        max(n_tokens) AS max_tokens
+      FROM __c07_docs GROUP BY source ORDER BY source""")
+  }
+
+  val c07Oracle: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0 ELSE len($duckToksRaw) END AS n_tokens
+       |  FROM documents
+       |), d AS (
+       |  SELECT source, n_tokens,
+       |    cume_dist() OVER (PARTITION BY source ORDER BY n_tokens) AS cd
+       |  FROM t
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(MIN(n_tokens) FILTER (WHERE cd >= 0.25) AS BIGINT) AS p25,
+       |  CAST(MIN(n_tokens) FILTER (WHERE cd >= 0.5)  AS BIGINT) AS p50,
+       |  CAST(MIN(n_tokens) FILTER (WHERE cd >= 0.9)  AS BIGINT) AS p90,
+       |  CAST(MIN(n_tokens) FILTER (WHERE cd >= 0.99) AS BIGINT) AS p99,
+       |  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_corpus_curation" -> (c01CorpusCuration _),
     "c02_dup_profile" -> (c02DupProfile _),
     "c03_decontamination" -> (c03Decontamination _),
     "c04_sample_mix" -> (c04SampleMix _),
     "c05_boilerplate_strip" -> (c05BoilerplateStrip _),
-    "c06_shard_pack" -> (c06ShardPack _)
+    "c06_shard_pack" -> (c06ShardPack _),
+    "c07_length_profile" -> (c07LengthProfile _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -273,6 +320,7 @@ object CurationQueries {
     "c03_decontamination" -> c03Oracle,
     "c04_sample_mix" -> c04Oracle,
     "c05_boilerplate_strip" -> c05Oracle,
-    "c06_shard_pack" -> c06Oracle
+    "c06_shard_pack" -> c06Oracle,
+    "c07_length_profile" -> c07Oracle
   )
 }

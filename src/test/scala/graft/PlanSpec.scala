@@ -248,6 +248,44 @@ class PlanSpec extends SparkSpecBase {
     assert(df.count() > 0)
   }
 
+  test("partitioned layout: a partition-key filter prunes at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.t(spark, sfDir, "orders")
+      .write.partitionBy("o_orderstatus").mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_totalprice")
+    val f = formatted(df)
+    val pf = f.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_orderstatus"),
+      s"partition-key filter must prune directories, not scan rows:\n$f")
+    // the key filter must NOT degrade into a post-scan data filter
+    val push = f.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(!push.contains("o_orderstatus"), s"filter leaked into the data scan: $push")
+    assert(df.count() > 0)
+    // only the matching partition's files are opened
+    val filesRead = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+      .select(input_file_name()).distinct().count()
+    val filesAll = spark.read.parquet(dir)
+      .select(input_file_name()).distinct().count()
+    assert(filesRead < filesAll,
+      s"pruned read opened $filesRead of $filesAll files — no pruning happened")
+  }
+
+  test("c07: percentile_disc follows the SQL-standard cume_dist definition") {
+    // pin the boundary semantics the c07 oracle replays: least value
+    // with cume_dist >= p. On 1..10 at p=0.11 that is 2 (NOT the
+    // floor-index flavor's 1).
+    val one = spark.range(1, 11).toDF("x")
+    one.createOrReplaceTempView("__pd_probe")
+    val got = spark.sql(
+      "SELECT CAST(percentile_disc(0.11) WITHIN GROUP (ORDER BY x) AS BIGINT) FROM __pd_probe")
+      .collect()(0).getLong(0)
+    assert(got == 2L, s"percentile_disc(0.11) over 1..10 returned $got, want 2")
+    val profile = graft.queries.CurationQueries.c07LengthProfile(spark, sfDir)
+    assert(profile.count() > 0)
+  }
+
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 }
