@@ -436,7 +436,11 @@ object Dedup {
     * ≤ totalSegments/maxFreq keys) frequent side `saltBuckets`× and
     * spreads each hot key over that many tasks ([[ScaleJoins.saltedJoin]]).
     * Docs whose every segment is boilerplate survive with n_kept = 0 and
-    * clean_text "" (left join, not anti).
+    * clean_text "" (left join, not anti). Null segment ELEMENTS are
+    * dropped before counting (a null can't join the frequency table, so
+    * it would otherwise count as "kept" yet vanish from the reassembled
+    * text — an inconsistent row); docs with a null/empty segment ARRAY
+    * produce no output row, like null-text docs in the other operators.
     *
     * Returns one row per input doc: doc_id, n_segments, n_kept,
     * clean_text (kept segments joined with '\n').
@@ -449,6 +453,7 @@ object Dedup {
       saltBuckets: Int = 16): DataFrame = {
     require(maxFreq >= 1, s"maxFreq must be >= 1, got $maxFreq")
     val occ = df.select(id.as("doc_id"), posexplode(segments).as(Seq("pos", "seg")))
+      .filter(col("seg").isNotNull)
       .withColumn("seg_h", Hashing.h60(Text.normalize(col("seg"))))
     val frequent = occ.groupBy("seg_h").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxFreq)

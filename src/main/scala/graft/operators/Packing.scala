@@ -32,6 +32,11 @@ object Packing {
   /** Assign every doc a (bucket, shard, start_tok) under
     * concatenate-and-chop packing in deterministic shuffled order.
     *
+    * Null token counts propagate as null start_tok/shard for THAT row
+    * (window sum skips nulls, so later docs in the bucket are unaffected)
+    * — garbage in, visibly-null out, never a silently shifted shard
+    * boundary.
+    *
     * Returns one row per input doc: doc_id, n_tokens, bucket, shard,
     * start_tok (token offset of the doc within its bucket's stream).
     */

@@ -378,6 +378,14 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(loose.filter(col("n_kept") =!= col("n_segments")).count() == 0)
     intercept[IllegalArgumentException](
       Dedup.stripFrequentSegments(docs, col("doc_id"), col("segs"), maxFreq = 0))
+    // null ELEMENTS are dropped (not counted, not reassembled): the doc's
+    // counts and clean_text behave as if the null were absent
+    val withNull = Seq((7L, Seq("real content", null.asInstanceOf[String], "more content")))
+      .toDF("doc_id", "segs")
+    val r7 = Dedup.stripFrequentSegments(withNull, col("doc_id"), col("segs"), maxFreq = 2)
+      .collect()(0)
+    assert(r7.getLong(1) == 2L && r7.getLong(2) == 2L &&
+      r7.getString(3) == "real content\nmore content")
   }
 
   test("packShards: exact prefix-sum shards vs an in-memory replay; deterministic") {
