@@ -49,10 +49,14 @@ object Hashing {
     */
   def minhashSignature(shingleSet: Column, k: Int): Column = {
     val coeffs = minhashCoeffs(k)
-    val hs = transform(shingleSet, s => pmod(h60(s), lit(MinHashP)))
-    array(coeffs.map { case (a, b) =>
+    // null elements are skipped and a set with no non-null element
+    // yields NULL — the native expression's exact null contract
+    val nn = filter(shingleSet, s => s.isNotNull)
+    val hs = transform(nn, s => pmod(h60(s), lit(MinHashP)))
+    val sig = array(coeffs.map { case (a, b) =>
       array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(MinHashP))))
     }: _*)
+    when(size(nn) > 0, sig)
   }
 
   /** LSH band keys for a MinHash signature: r rows per band, b = k/r
@@ -85,7 +89,9 @@ object Hashing {
     * a hot path.
     */
   private[graft] def simhash60(tokensCol: Column): Column = {
-    val hs = transform(tokensCol, t => h60(t))
+    // skip null tokens like the native expression (an unfiltered fold
+    // would null-poison every bit sum and code the array to 0)
+    val hs = transform(filter(tokensCol, t => t.isNotNull), t => h60(t))
     val bitSums = (0 until 60).map { j =>
       aggregate(
         hs,

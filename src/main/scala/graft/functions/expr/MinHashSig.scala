@@ -1,6 +1,5 @@
 package graft.functions.expr
 
-import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -81,32 +80,20 @@ object MinHashSig {
       (cs.map(_._1).toArray, cs.map(_._2).toArray)
     })
 
-  // MessageDigest is stateful and not thread-safe; one per task thread
-  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
-    MessageDigest.getInstance("MD5"))
-
   /** Static hot-path entry used by both interpreted eval and codegen:
-    * one md5 + k fused multiply-mod-min updates per shingle.
+    * one md5 ([[Md5H60]]) + k fused multiply-mod-min updates per shingle.
     */
   def signature(a: ArrayData, k: Int): ArrayData = {
     val (ca, cb) = coeffs(k)
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var seen = false
-    val digest = md5.get()
     val n = a.numElements()
     var i = 0
     while (i < n) {
       if (!a.isNullAt(i)) {
         seen = true
-        digest.reset()
-        val d = digest.digest(a.getUTF8String(i).getBytes)
-        // top 60 bits of the digest = value of its first 15 hex chars
-        var v = 0L
-        var bi = 0
-        while (bi < 7) { v = (v << 8) | (d(bi) & 0xffL); bi += 1 }
-        v = (v << 4) | ((d(7) & 0xffL) >> 4)
-        val h = v % P // non-negative, so % == pmod
+        val h = Md5H60.h60(a.getUTF8String(i)) % P // non-negative, so % == pmod
         var j = 0
         while (j < k) {
           val m = (h * ca(j) + cb(j)) % P

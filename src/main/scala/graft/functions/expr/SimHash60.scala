@@ -1,6 +1,5 @@
 package graft.functions.expr
 
-import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -66,26 +65,16 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 
 object SimHash60 {
 
-  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
-    MessageDigest.getInstance("MD5"))
-
   /** Static hot-path entry used by both interpreted eval and codegen:
-    * one md5 + 60 bit-sum updates per token.
+    * one md5 ([[Md5H60]]) + 60 bit-sum updates per token.
     */
   def code(a: ArrayData): Long = {
     val sums = new Array[Int](60)
-    val digest = md5.get()
     val n = a.numElements()
     var i = 0
     while (i < n) {
       if (!a.isNullAt(i)) {
-        digest.reset()
-        val d = digest.digest(a.getUTF8String(i).getBytes)
-        // top 60 bits of the digest = value of its first 15 hex chars
-        var h = 0L
-        var bi = 0
-        while (bi < 7) { h = (h << 8) | (d(bi) & 0xffL); bi += 1 }
-        h = (h << 4) | ((d(7) & 0xffL) >> 4)
+        val h = Md5H60.h60(a.getUTF8String(i))
         var j = 0
         while (j < 60) {
           sums(j) += (((h >> j) & 1L).toInt << 1) - 1 // 2·bit − 1

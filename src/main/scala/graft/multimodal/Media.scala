@@ -327,8 +327,10 @@ object Media {
   /** 60-bit-ish audio fingerprint: modular rolling hash over the
     * window peak-bin sequence (same base-31 family as the text
     * fingerprints, so downstream hamming/equality tooling applies).
-    * None for anything [[parseWav]] rejects; a clip shorter than one
-    * window fingerprints to the seed 1.
+    * None for anything [[parseWav]] rejects AND for clips shorter than
+    * one analysis window — a degenerate clip has no spectral content to
+    * fingerprint, and a constant value would alias all of them as
+    * mutual duplicates.
     */
   def wavFingerprint(bytes: Array[Byte], window: Int = 256, hop: Int = 128): Option[Long] =
     parseWav(bytes).flatMap { pcm =>

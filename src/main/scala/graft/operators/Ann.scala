@@ -144,25 +144,40 @@ object Ann {
       .filter(col("cell").isNotNull) // null vec/element: no cell, like a null join key
       .select(col("b_id"), col("b_emb"), col("cell"))
 
+    // Probe only LIVE cells — cells holding ≥1 scoreable (norm > 0)
+    // member. The quantizer can leave dead centroids (an empty Lloyd
+    // cell keeps its previous position, possibly coincident with a
+    // twin), and a query whose every probed cell were dead would emit
+    // ZERO rows — breaking the contract that every valid query returns
+    // candidates (which v05's self-verifying oracle enforces with its
+    // coverage sentinel). Costs one extra narrow pass over the base at
+    // query time; an index-build deployment that persists `assigned`
+    // gets cell occupancy for free as write-time stats.
+    val liveCells = assigned
+      .filter(Vectors.norm2(col("b_emb")) > 0)
+      .select("cell").distinct()
     // nprobe nearest cells per query: centroids are tiny → literal frame
     val centroids = codebook.zipWithIndex.map { case (c, i) =>
       (i, c.map(_.toFloat).toSeq)
     }.toSeq
     val spark = base.sparkSession
     import spark.implicits._
-    // same zero-norm discipline as the scoring stage: a zero-norm query
-    // (or a centroid of an all-zero cell) would divide by zero in the
-    // probe cosine — ANSI error, or a NULL sim crashing the aggregator
     val centDf = centroids.toDF("cell", "centroid")
       .withColumn("c_nrm", Vectors.norm2(col("centroid")))
-      .filter(col("c_nrm") > 0)
+      .join(broadcast(liveCells), "cell")
     val q = queries.select(qId.as("q_id"), qVec.as("q_emb"))
       .withColumn("qp_nrm", Vectors.norm2(col("q_emb")))
       .filter(col("qp_nrm") > 0)
+    // rank cells by (negated squared) L2 distance, the standard IVF
+    // coarse metric: defined for EVERY centroid — a zero-norm centroid
+    // of a live cell is un-rankable by cosine, and skipping it would
+    // orphan that cell's members; with live cells + L2 every valid
+    // query probes ≥ 1 non-empty cell and therefore returns rows
     val topCells = q.crossJoin(broadcast(centDf))
       .select(
         col("q_id"), col("cell"),
-        (Vectors.dot(col("q_emb"), col("centroid")) / (col("qp_nrm") * col("c_nrm"))).as("csim"))
+        (Vectors.dot(col("q_emb"), col("centroid")) * 2.0
+          - col("qp_nrm") * col("qp_nrm") - col("c_nrm") * col("c_nrm")).as("csim"))
       .groupBy("q_id")
       .agg(TopK.topKScored(nprobe)(col("csim"), col("cell").cast("long")).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("cell_l"))

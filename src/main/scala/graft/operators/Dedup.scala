@@ -195,14 +195,24 @@ object Dedup {
     * pair aggregation, which is result-sized. Pass `broadcastEval =
     * false` only if the eval set genuinely outgrows executor memory —
     * the join then falls back to a shuffle on the shingle key.
+    *
+    * BLANK documents (zero tokens) are excluded from BOTH sides: they
+    * shingle to the degenerate [""] set, so one whitespace-only eval row
+    * against a web corpus (where blank docs are plentiful) would flag
+    * every blank corpus doc as contaminated. A blank doc cannot leak
+    * benchmark content; short-but-nonempty docs keep their whole-text
+    * fallback shingle.
     */
   def contaminationPairs(
       corpus: DataFrame, corpusId: Column, corpusText: Column,
       evalSet: DataFrame, evalId: Column, evalText: Column,
       n: Int = 5, broadcastEval: Boolean = true): DataFrame = {
+    val blank = array(lit(""))
     val c = shingleSets(corpus, corpusId, corpusText, n)
+      .filter(col("sh") =!= blank)
       .select(col("doc_id"), explode(col("sh")).as("g"))
     val e0 = shingleSets(evalSet, evalId, evalText, n)
+      .filter(col("sh") =!= blank)
       .select(col("doc_id").as("eval_id"), explode(col("sh")).as("g"))
     val e = if (broadcastEval) broadcast(e0) else e0
     c.join(e, "g")

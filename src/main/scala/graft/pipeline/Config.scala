@@ -112,6 +112,13 @@ object GraftConfig {
     val lists = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
     // (indent, name) frames of the currently open mapping path
     var stack = List.empty[(Int, String)]
+    // what the previous non-blank line contributed: the path of a frame
+    // it OPENED, or the owner path of a list ITEM it appended — a block
+    // sequence is only well-formed when each item directly follows its
+    // key or a sibling item, so anything else attaching to an ancestor
+    // frame (e.g. `a:\n  b: 1\n- x`) is a mis-indent and fails loudly
+    var lastOpened = Option.empty[String]
+    var lastItemOwner = Option.empty[String]
     for ((raw, ln) <- text.linesIterator.zipWithIndex) {
       require(!raw.contains('\t'), s"yaml line ${ln + 1}: tabs are out of contract")
       val noComment = stripComment(raw)
@@ -128,6 +135,11 @@ object GraftConfig {
           stack.headOption.getOrElse(
             throw new IllegalArgumentException(s"yaml line ${ln + 1}: list item with no key"))
           val ownerPath = (stack.map(_._2).reverse).mkString(".")
+          require(lastOpened.contains(ownerPath) || lastItemOwner.contains(ownerPath),
+            s"yaml line ${ln + 1}: list item does not directly follow its key " +
+              s"(would attach to '$ownerPath')")
+          lastOpened = None
+          lastItemOwner = Some(ownerPath)
           val item = line.drop(1).trim
           // block sequences of MAPPINGS (`- name: a`) are out of
           // contract: storing the scalar `name: a` and re-attaching the
@@ -144,8 +156,15 @@ object GraftConfig {
           val k = line.substring(0, i).trim
           val v = line.substring(i + 1).trim
           require(!k.contains(' '), s"yaml line ${ln + 1}: flow/complex keys are out of contract")
-          if (v.isEmpty) stack = (indent, k) :: stack // opens a nested map or list
-          else out(pathOf(k)) = unquote(v)
+          if (v.isEmpty) { // opens a nested map or list
+            stack = (indent, k) :: stack
+            lastOpened = Some(stack.map(_._2).reverse.mkString("."))
+            lastItemOwner = None
+          } else {
+            out(pathOf(k)) = unquote(v)
+            lastOpened = None
+            lastItemOwner = None
+          }
         }
       }
     }

@@ -131,7 +131,9 @@ object CurationQueries {
        |    ELSE [array_to_string(toks, ' ')] END) AS shset
        |  FROM t
        |), ex AS (
-       |  SELECT doc_id, unnest(shset) AS g FROM sh
+       |  -- blank docs (degenerate [''] shingle set) are excluded, like
+       |  -- the operator: a blank doc cannot leak benchmark content
+       |  SELECT doc_id, unnest(shset) AS g FROM sh WHERE shset <> ['']
        |)
        |SELECT c.doc_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
        |FROM ex c JOIN ex e ON c.g = e.g

@@ -326,13 +326,20 @@ object TextQueries {
       size(col("toks")).as("n_tokens"),
       size(array_distinct(col("toks"))).as("n_distinct"),
       Text.shinglesOfToks(col("toks"), 2).as("grams"))
+    // ONE corpus scan: the per-doc token stats ride the gram explode as
+    // constant columns (first() through both aggregates) instead of a
+    // second tokenizer pass + join — the same double-scan disease the
+    // c01 rewrite removed
     val gramStats = stats
-      .select(col("doc_id"), explode(col("grams")).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        explode(col("grams")).as("g"))
+      .groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"),
+        first("n_tokens").as("n_tokens"), first("n_distinct").as("n_distinct"))
       .groupBy("doc_id")
-      .agg(max("c").as("top2_cnt"), sum("c").as("n_grams"))
-    stats.select("doc_id", "n_tokens", "n_distinct")
-      .join(gramStats, "doc_id")
+      .agg(max("c").as("top2_cnt"), sum("c").as("n_grams"),
+        first("n_tokens").as("n_tokens"), first("n_distinct").as("n_distinct"))
+    gramStats
       .select(
         col("doc_id"), col("n_tokens"), col("n_distinct"),
         when(col("n_tokens") > 0,

@@ -264,12 +264,19 @@ object VectorQueries {
        |  -- minimum-coverage clause: a self-verifying oracle would pass
        |  -- vacuously if the engine silently dropped whole queries (or
        |  -- emitted nothing at all); every valid query id must appear in
-       |  -- the dump, else this sentinel row forces a count mismatch
+       |  -- the dump, else this sentinel row forces a count mismatch.
+       |  -- knnIvf GUARANTEES this (live-cell L2 probing: every valid
+       |  -- query probes ≥ 1 cell with a scoreable member) whenever the
+       |  -- base holds ≥ 1 scoreable vector — the EXISTS mirrors that
+       |  -- precondition so a degenerate all-zero-norm base cannot fail
+       |  -- a correct empty result
        |  SELECT e.vec_id AS q_id, CAST(NULL AS BIGINT) AS b_id,
        |         CAST(-1 AS INT) AS "rank", CAST(NULL AS DOUBLE) AS sim
        |  FROM embeddings e
        |  WHERE e.vec_id < 10 AND ${duckNorm("e.embedding")} > 0
        |    AND e.vec_id NOT IN (SELECT q_id FROM o)
+       |    AND EXISTS (SELECT 1 FROM embeddings b
+       |                WHERE b.vec_id >= 10 AND ${duckNorm("b.embedding")} > 0)
        |)
        |SELECT * FROM ok UNION ALL SELECT * FROM missing
        |ORDER BY q_id, "rank"""".stripMargin

@@ -152,6 +152,26 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"IVF recall too low on clustered data: $recall")
   }
 
+  test("IVF ANN: every valid query returns candidates, even with dead cells") {
+    // duplicate-heavy base: Lloyd empties most cells (all mass on one
+    // point), leaving dead/coincident centroids. With nprobe=1 a query
+    // probing a dead cell would return NOTHING — the live-cell L2 probe
+    // must keep every valid query answered.
+    val dim = 8
+    val dup = (0 until 400).map(i => (100L + i, Array.fill(dim)(1.0f)))
+    val rest = (0 until 5).map(i =>
+      (600L + i, Array.tabulate(dim)(j => if (j == i) 4.0f else 0.0f)))
+    val base = (dup ++ rest).toDF("vec_id", "embedding")
+    val qs = (0 until 5).map(i =>
+      (i.toLong, Array.tabulate(dim)(j => if (j == i) 3.0f else 0.1f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Ann.knnIvf(
+      base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
+      k = 3, nlist = 8, nprobe = 1)
+    assert(out.select("q_id").distinct().count() == 5,
+      "a valid query produced no candidates (dead probed cell?)")
+  }
+
   test("multi-table LSH: recall dominates single-table (candidate superset)") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 210).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
@@ -328,6 +348,13 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     // doc 100 shares "the capital of france is" + "capital of france is paris"
     assert(got == Map((100L, 1L) -> 2L, (102L, 2L) -> 2L), s"got $got")
     assert(run(bc = false) == got, "shuffle-join fallback must agree")
+    // blank docs never contaminate: a whitespace-only eval row must not
+    // pair with blank corpus docs via the degenerate [""] shingle
+    val blankEval = Seq((9L, "   ")).toDF("doc_id", "text")
+    val blankCorpus = Seq((200L, ""), (201L, " \n "), (202L, "real words here")).toDF("doc_id", "text")
+    val blankPairs = Dedup.contaminationPairs(
+      blankCorpus, col("doc_id"), col("text"), blankEval, col("doc_id"), col("text"), n = 5)
+    assert(blankPairs.count() == 0, "blank docs flagged as contaminated")
   }
 
   test("t07 repetition signals: crafted bigram histograms") {

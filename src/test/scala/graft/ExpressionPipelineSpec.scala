@@ -187,10 +187,13 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     import graft.functions.Hashing
     // arbitrary shingle strings: unicode, empties, long runs — the md5
     // byte-fold must match conv(substring(md5(s),1,15),16,10) everywhere
-    val shingle = Gen.oneOf(
-      Gen.alphaNumStr.map(_.take(24)),
-      Gen.oneOf("", " ", "émoji ✓ 汉字", "a b c", " nul"),
-      Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString))
+    val shingle = Gen.frequency(
+      4 -> Gen.alphaNumStr.map(_.take(24)),
+      3 -> Gen.oneOf("", " ", "émoji ✓ 汉字", "a b c", " nul"),
+      2 -> Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString),
+      // null elements: native skips them, a no-non-null set is NULL --
+      // the HOF twin must implement the same contract
+      1 -> Gen.const(null.asInstanceOf[String]))
     val arr = Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, shingle).map(_.toArray))
     val kGen = Gen.oneOf(1, 2, 64)
     val prop = Prop.forAll(arr, kGen) { (a, k) =>
@@ -245,8 +248,12 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     assert(m(4L) == justX, "null elements must be skipped, not poison the code")
     // property parity vs the HOF twin — multiplicity matters
     // (frequency-weighted), so generate LISTS with repeats
-    val tok = Gen.oneOf(Gen.alphaNumStr.map(_.take(12)),
-      Gen.oneOf("", "é✓", "the", "a"))
+    val tok = Gen.frequency(
+      5 -> Gen.alphaNumStr.map(_.take(12)),
+      3 -> Gen.oneOf("", "é✓", "the", "a"),
+      // null tokens are skipped by the native expression; the HOF twin
+      // must not null-poison its bit sums
+      1 -> Gen.const(null.asInstanceOf[String]))
     val arr = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, tok).map(_.toArray))
     val prop = Prop.forAll(arr) { a =>
       val r = Seq(Tuple1(a)).toDF("t").select(

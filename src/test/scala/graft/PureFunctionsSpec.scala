@@ -191,6 +191,12 @@ class PureFunctionsSpec extends AnyFunSuite {
     // lines to the parent — rejected loudly
     intercept[IllegalArgumentException](GraftConfig.parseYaml("xs:\n  - name: a\n    path: b\n"))
     intercept[IllegalArgumentException](GraftConfig.parseYaml("xs:\n  - opens:\n"))
+    // a mis-indented item must not silently attach to an ancestor key:
+    // `a` would become both a map (a.b) and a list
+    intercept[IllegalArgumentException](GraftConfig.parseYaml("a:\n  b: 1\n- x\n"))
+    intercept[IllegalArgumentException](
+      GraftConfig.parseYaml("parent:\n  child:\n    - a\n- b\n"))
+    intercept[IllegalArgumentException](GraftConfig.parseYaml("a:\n  b: 1\n  - x\n"))
   }
 
   test("config precedence: env overrides yaml overrides defaults (reference config.py:14-57)") {
