@@ -109,15 +109,50 @@ object Ann {
       k: Int, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
       maxFit: Long = 100000L): DataFrame = {
     val b = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
+    val codebook = fitCodebook(b, nlist, seed, maxFit)
+    val assigned = b
+      .withColumn("cell", cellExpr(col("b_emb"), codebook))
+      .filter(col("cell").isNotNull) // null vec/element: no cell, like a null join key
+      .select(col("b_id"), col("b_emb"), col("cell"))
+    // Probe only LIVE cells -- cells holding >= 1 scoreable (norm > 0)
+    // member. The quantizer can leave dead centroids (an empty Lloyd
+    // cell keeps its previous position, possibly coincident with a
+    // twin), and a query whose every probed cell were dead would emit
+    // ZERO rows -- breaking the contract that every valid query returns
+    // candidates (which v05's self-verifying oracle enforces with its
+    // coverage sentinel). Costs one extra narrow pass over the base at
+    // query time; [[buildIvfIndex]] gets the same liveness for free as
+    // write-time stats.
+    val liveCells = assigned
+      .filter(Vectors.norm2(col("b_emb")) > 0)
+      .select("cell").distinct()
+    val centDf = centroidFrame(base.sparkSession, codebook)
+      .join(broadcast(liveCells), "cell")
+    val probed = probeCells(queries, qId, qVec, centDf, nprobe)
+    val scored = assigned
+      .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+      .filter(col("b_nrm") > 0) // zero-norm: see knnBruteForce
+      .join(broadcast(probed.withColumnRenamed("qp_nrm", "q_nrm")), "cell")
+      .select(col("q_id"), col("b_id"),
+        (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
+    topkPerQuery(scored, k)
+  }
+
+  /** Fit the IVF coarse codebook on a bounded deterministic sample of
+    * `b` (columns b_id, b_emb) -- see [[knnIvf]]'s scaladoc for the
+    * FAISS train/add division-of-labor rationale.
+    */
+  private def fitCodebook(
+      b: DataFrame, nlist: Int, seed: Long, maxFit: Long): Array[Array[Double]] = {
     // one cheap narrow count to size the sample fraction (the id column
-    // only — pruned to a metadata/footer read where the source allows)
+    // only -- pruned to a metadata/footer read where the source allows)
     val total = b.select("b_id").count()
     val fitDf =
       if (total > maxFit)
         b.filter(pmod(xxhash64(col("b_id")), lit(total)) < lit(maxFit))
       else b
-    // bounded collect (see scaladoc): ≤ ~maxFit vectors; null rows are
-    // skipped here and null-element rows fall out of assignment below
+    // bounded collect (see knnIvf scaladoc): <= ~maxFit vectors; null
+    // rows are skipped here, null-element rows fall out of assignment
     val sample: Array[Array[Float]] = fitDf
       .select(col("b_emb").cast("array<float>"))
       .collect()
@@ -125,54 +160,51 @@ object Ann {
       .filter(s => s.nonEmpty && !s.contains(null))
       .map(_.toArray)
     val fitCount = sample.length
-    require(fitCount > 0, "IVF quantizer sample is empty — no base vectors to index")
+    require(fitCount > 0, "IVF quantizer sample is empty -- no base vectors to index")
     // Clamp rather than throw: a small corpus (or an unlucky binomial
     // draw of the hash sample near the maxFit boundary) should degrade
     // to fewer cells, not nondeterministically fail the job.
     val effNlist = math.min(nlist.toLong, fitCount).toInt
     if (effNlist < nlist)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"IVF quantizer sample has $fitCount rows < nlist=$nlist — clamping to $effNlist cells")
-    val codebook = Quantizer.fit(sample, effNlist, seed)
-    val dim = codebook(0).length
-    val cellCol = org.apache.spark.sql.GraftColumnShim.column(
-      graft.functions.expr.NearestCentroid(
-        org.apache.spark.sql.GraftColumnShim.expression(col("b_emb")),
-        codebook.flatten, effNlist, dim))
-    val assigned = b
-      .withColumn("cell", cellCol)
-      .filter(col("cell").isNotNull) // null vec/element: no cell, like a null join key
-      .select(col("b_id"), col("b_emb"), col("cell"))
+        s"IVF quantizer sample has $fitCount rows < nlist=$nlist -- clamping to $effNlist cells")
+    Quantizer.fit(sample, effNlist, seed)
+  }
 
-    // Probe only LIVE cells — cells holding ≥1 scoreable (norm > 0)
-    // member. The quantizer can leave dead centroids (an empty Lloyd
-    // cell keeps its previous position, possibly coincident with a
-    // twin), and a query whose every probed cell were dead would emit
-    // ZERO rows — breaking the contract that every valid query returns
-    // candidates (which v05's self-verifying oracle enforces with its
-    // coverage sentinel). Costs one extra narrow pass over the base at
-    // query time; an index-build deployment that persists `assigned`
-    // gets cell occupancy for free as write-time stats.
-    val liveCells = assigned
-      .filter(Vectors.norm2(col("b_emb")) > 0)
-      .select("cell").distinct()
-    // nprobe nearest cells per query: centroids are tiny → literal frame
-    val centroids = codebook.zipWithIndex.map { case (c, i) =>
-      (i, c.map(_.toFloat).toSeq)
-    }.toSeq
-    val spark = base.sparkSession
+  /** Nearest-centroid cell id for a float-array embedding column. */
+  private def cellExpr(emb: Column, codebook: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.expr.NearestCentroid(
+        org.apache.spark.sql.GraftColumnShim.expression(emb),
+        codebook.flatten, codebook.length, codebook(0).length))
+
+  /** Centroid frame (cell, centroid float array, c_nrm) for the probe
+    * side; float-cast ONCE here so the on-the-fly and persisted-index
+    * paths rank cells with bit-identical arithmetic.
+    */
+  private def centroidFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      codebook: Array[Array[Double]]): DataFrame = {
     import spark.implicits._
-    val centDf = centroids.toDF("cell", "centroid")
+    codebook.zipWithIndex.map { case (c, i) => (i, c.map(_.toFloat).toSeq) }.toSeq
+      .toDF("cell", "centroid")
       .withColumn("c_nrm", Vectors.norm2(col("centroid")))
-      .join(broadcast(liveCells), "cell")
+  }
+
+  /** `nprobe` nearest cells per valid (norm > 0) query, ranked by
+    * (negated squared) L2 distance to the centroid -- the standard IVF
+    * coarse metric: defined for EVERY centroid (a zero-norm centroid of
+    * a live cell is un-rankable by cosine, and skipping it would orphan
+    * that cell's members). `centDf` must hold only LIVE cells, so every
+    * valid query probes >= 1 non-empty cell and therefore returns rows.
+    * Returns (q_id, q_emb, qp_nrm, cell).
+    */
+  private def probeCells(
+      queries: DataFrame, qId: Column, qVec: Column,
+      centDf: DataFrame, nprobe: Int): DataFrame = {
     val q = queries.select(qId.as("q_id"), qVec.as("q_emb"))
       .withColumn("qp_nrm", Vectors.norm2(col("q_emb")))
       .filter(col("qp_nrm") > 0)
-    // rank cells by (negated squared) L2 distance, the standard IVF
-    // coarse metric: defined for EVERY centroid — a zero-norm centroid
-    // of a live cell is un-rankable by cosine, and skipping it would
-    // orphan that cell's members; with live cells + L2 every valid
-    // query probes ≥ 1 non-empty cell and therefore returns rows
     val topCells = q.crossJoin(broadcast(centDf))
       .select(
         col("q_id"), col("cell"),
@@ -182,13 +214,66 @@ object Ann {
       .agg(TopK.topKScored(nprobe)(col("csim"), col("cell").cast("long")).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("cell_l"))
       .select(col("q_id"), col("cell_l").cast("int").as("cell"))
-    val probed = topCells.join(q, "q_id").select("q_id", "q_emb", "cell")
+    topCells.join(q, "q_id").select("q_id", "q_emb", "qp_nrm", "cell")
+  }
 
-    val scored = assigned
+  /** Build and persist an IVF index at `path`: the cell-assigned base
+    * as parquet PARTITIONED BY cell -- a query probing nprobe of nlist
+    * cells then reads ONLY those directories -- plus a codebook sidecar
+    * carrying write-time occupancy stats, so the query path gets
+    * live-cell filtering for free (no extra base pass; contrast the
+    * on-the-fly [[knnIvf]]).
+    *
+    * Layout: `path/base` (b_id, b_emb, b_nrm; cell = partition key),
+    * `path/codebook` (cell, centroid float array, members).
+    */
+  def buildIvfIndex(
+      base: DataFrame, baseId: Column, baseVec: Column, path: String,
+      nlist: Int = 16, seed: Long = 42L, maxFit: Long = 100000L): Unit = {
+    val b = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
+    val codebook = fitCodebook(b, nlist, seed, maxFit)
+    b.withColumn("cell", cellExpr(col("b_emb"), codebook))
+      .filter(col("cell").isNotNull) // see knnIvf
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/base")
+    // occupancy of SCOREABLE members -- the liveness stat the query path
+    // needs; computed from the WRITTEN files so the stats can never
+    // drift from the data they describe
+    val spark = base.sparkSession
+    val occ = spark.read.parquet(s"$path/base")
+      .filter(col("b_nrm") > 0)
+      .groupBy("cell").agg(count(lit(1)).as("members"))
+    centroidFrame(spark, codebook)
+      .join(occ, Seq("cell"), "left")
+      .select(col("cell"), col("centroid"),
+        coalesce(col("members"), lit(0L)).as("members"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** KNN against a persisted [[buildIvfIndex]] index. The probe ranks
+    * come from the codebook sidecar; the union of probed cells (a
+    * bounded <= nlist driver collect) turns the base scan into a
+    * partition-pruned read of only those cell directories. Same
+    * arithmetic as [[knnIvf]] end-to-end: the same build inputs and the
+    * same (k, nprobe) produce identical rows.
+    */
+  def queryIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qId: Column, qVec: Column,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val centDf = spark.read.parquet(s"$path/codebook")
+      .filter(col("members") > 0) // live cells only: see probeCells
+      .withColumn("c_nrm", Vectors.norm2(col("centroid")))
+      .select("cell", "centroid", "c_nrm")
+    val probed = probeCells(queries, qId, qVec, centDf, nprobe)
+    // bounded collect: the union of probed cells is <= nlist ids; an
+    // .isin over the partition key is what prunes the scan
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
+    val scored = spark.read.parquet(s"$path/base")
+      .filter(col("cell").isin(cells.map(Int.box): _*))
       .filter(col("b_nrm") > 0) // zero-norm: see knnBruteForce
-      .join(broadcast(probed.withColumn("q_nrm", Vectors.norm2(col("q_emb")))
-        .filter(col("q_nrm") > 0)), "cell")
+      .join(broadcast(probed.withColumnRenamed("qp_nrm", "q_nrm")), "cell")
       .select(col("q_id"), col("b_id"),
         (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
     topkPerQuery(scored, k)

@@ -243,14 +243,20 @@ object VectorQueries {
     * pass vacuously. Candidate selection (which cells were probed)
     * remains engine-specific and is deliberately NOT constrained.
     */
-  val v05Oracle: String = {
+  val v05Oracle: String = selfVerifyingKnnOracle("v05_knn_ivf", k = 5)
+
+  /** The verify-the-scores oracle, shared by every engine-selected knn
+    * dump (v05 on-the-fly IVF, v07 persisted-index IVF) — same contract,
+    * parameterized only by the dump directory and k.
+    */
+  private def selfVerifyingKnnOracle(dump: String, k: Int): String = {
     // Spark scores as dot(b_emb, q_emb) / (b_nrm * q_nrm) — replay the
     // same operand order (dot and * are bitwise commutative in IEEE754,
     // but keep the fold direction identical anyway)
     val want = s"${duckDot("b_emb", "q_emb")} / (${duckNorm("b_emb")} * ${duckNorm("q_emb")})"
     s"""WITH o AS (
        |  SELECT q_id, b_id, "rank", sim
-       |  FROM read_parquet('__GRAFT_OUT__/v05_knn_ivf/*.parquet')
+       |  FROM read_parquet('__GRAFT_OUT__/$dump/*.parquet')
        |), chk AS (
        |  SELECT o.q_id, o.b_id, o."rank", o.sim, $want AS want
        |  FROM o
@@ -258,7 +264,7 @@ object VectorQueries {
        |  JOIN (SELECT vec_id, embedding AS b_emb FROM embeddings) b ON b.vec_id = o.b_id
        |), ok AS (
        |  SELECT q_id, b_id, "rank", sim FROM chk
-       |  WHERE sim = want AND "rank" BETWEEN 1 AND 5
+       |  WHERE sim = want AND "rank" BETWEEN 1 AND $k
        |  QUALIFY "rank" = row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, "rank")
        |), missing AS (
        |  -- minimum-coverage clause: a self-verifying oracle would pass
@@ -282,13 +288,36 @@ object VectorQueries {
        |ORDER BY q_id, "rank"""".stripMargin
   }
 
+  /** Persisted-IVF-index round trip ([[Ann.buildIvfIndex]] →
+    * [[Ann.queryIvfIndex]]): the index-build deployment of v05. The
+    * base lands as parquet partitioned by cell with occupancy stats in
+    * a codebook sidecar, and the query pass reads ONLY the probed cell
+    * directories (partition pruning — the property that makes a
+    * 100 TB index queryable without scanning it). Same oracle contract
+    * as v05: every reported score proven, rank-consistency per query,
+    * coverage sentinel.
+    */
+  def v07IvfIndex(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
+    Ann.buildIvfIndex(
+      e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"), path, nlist = 8)
+    Ann.queryIvfIndex(
+      s, path, e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 5, nprobe = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  val v07Oracle: String = selfVerifyingKnnOracle("v07_ivf_index", k = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_bruteforce" -> (v01KnnBruteForce _),
     "v02_label_stats" -> (v02LabelStats _),
     "v03_knn_lsh" -> (v03KnnLsh _),
     "v04_embedding_neardup" -> (v04EmbeddingNeardup _),
     "v05_knn_ivf" -> (v05KnnIvf _),
-    "v06_neardup_lsh" -> (v06NeardupLsh _)
+    "v06_neardup_lsh" -> (v06NeardupLsh _),
+    "v07_ivf_index" -> (v07IvfIndex _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -297,6 +326,7 @@ object VectorQueries {
     "v03_knn_lsh" -> v03Oracle,
     "v04_embedding_neardup" -> v04Oracle,
     "v05_knn_ivf" -> v05Oracle,
-    "v06_neardup_lsh" -> v06Oracle
+    "v06_neardup_lsh" -> v06Oracle,
+    "v07_ivf_index" -> v07Oracle
   )
 }

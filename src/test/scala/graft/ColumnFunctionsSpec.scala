@@ -152,6 +152,33 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"IVF recall too low on clustered data: $recall")
   }
 
+  test("IVF index: build + query equals the on-the-fly knnIvf rows exactly") {
+    val dim = 16
+    def vec(cluster: Int, j: Int): Array[Float] = {
+      val a = new Array[Float](dim)
+      a(cluster * 2) = 1.0f
+      a(cluster * 2 + 1) = 0.5f
+      a((cluster + j) % dim) = a((cluster + j) % dim) + 0.05f * ((j % 5) + 1)
+      a
+    }
+    val rows = for (c <- 0 until 8; j <- 0 until 25) yield (c.toLong * 100 + j, vec(c, j))
+    val df = rows.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") % 100 >= 5)
+    val qs = df.filter(col("vec_id") % 100 < 5)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_eq").toString
+    graft.operators.Ann.buildIvfIndex(
+      base, col("vec_id"), col("embedding"), path, nlist = 8)
+    val viaIndex = graft.operators.Ann.queryIvfIndex(
+      spark, path, qs, col("vec_id"), col("embedding"), k = 5, nprobe = 2)
+    val onTheFly = graft.operators.Ann.knnIvf(
+      base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
+      k = 5, nlist = 8, nprobe = 2)
+    val a = viaIndex.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val b = onTheFly.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(a == b, s"persisted-index knn diverged from knnIvf:\n  only index: ${a -- b}\n  only fly: ${b -- a}")
+    assert(a.nonEmpty)
+  }
+
   test("IVF ANN: every valid query returns candidates, even with dead cells") {
     // duplicate-heavy base: Lloyd empties most cells (all mass on one
     // point), leaving dead/coincident centroids. With nprobe=1 a query

@@ -272,6 +272,22 @@ class PlanSpec extends SparkSpecBase {
       s"pruned read opened $filesRead of $filesAll files — no pruning happened")
   }
 
+  test("v07: persisted-index query reads only the probed cell partitions") {
+    import graft.operators.Ann
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_plan").toString
+    Ann.buildIvfIndex(emb.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
+      path, nlist = 8)
+    val df = Ann.queryIvfIndex(spark, path,
+      emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"), k = 5, nprobe = 2)
+    val f = formatted(df)
+    val pf = f.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("cell")).getOrElse("")
+    assert(pf.contains("cell"),
+      s"index scan must prune on the cell partition key:\n$f")
+    assert(df.count() > 0)
+  }
+
   test("c07: percentile_disc follows the SQL-standard cume_dist definition") {
     // pin the boundary semantics the c07 oracle replays: least value
     // with cume_dist >= p. On 1..10 at p=0.11 that is 2 (NOT the
