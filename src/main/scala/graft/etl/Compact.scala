@@ -1,0 +1,59 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-files compaction for parquet datasets.
+  *
+  * Long-lived lakes accumulate small files (streaming micro-batches,
+  * per-task outputs, incremental upserts) until listing and footer
+  * overhead dominates scan time — at 100 TB the #1 operational decay
+  * mode. Compaction rewrites a directory into ~`targetBytes` files:
+  * read → repartition(ceil(bytes/target)) → write.
+  *
+  * Scope and guarantees:
+  *  - FLAT datasets (no partition subdirectories). A partitioned layout
+  *    compacts per partition directory — compact the leaf dirs, not the
+  *    root, or the partition column (encoded in dir names, absent from
+  *    the files) would be silently dropped in the rewrite.
+  *  - NOT transactional: the rewrite lands in a sibling temp dir and is
+  *    swapped in with two renames, so a crash in the swap window can
+  *    leave the old data at `<path>__compact_old` (never silently
+  *    lost). Concurrent readers mid-swap see a missing directory —
+  *    coordinate externally, or use an ACID table format when that
+  *    matters.
+  */
+object Compact {
+
+  /** before/after file counts and the data size that was rewritten. */
+  case class CompactStats(filesBefore: Int, bytesTotal: Long, filesAfter: Int)
+
+  def compact(
+      spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).filter(_.isFile)
+      .filterNot(f => f.getPath.getName.startsWith("_") || f.getPath.getName.startsWith("."))
+    require(parts.nonEmpty, s"no data files to compact under $path")
+    require(fs.listStatus(p).forall(_.isFile),
+      s"$path has subdirectories — compact partition leaf dirs individually")
+    val bytes = parts.map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = new Path(path + "__compact_tmp")
+    val old = new Path(path + "__compact_old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val after = fs.listStatus(tmp).count(f =>
+      f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    // two-rename swap: the original is parked, never deleted before the
+    // replacement is in place
+    require(fs.rename(p, old), s"could not park $path")
+    require(fs.rename(tmp, p), s"could not swap in compacted data for $path")
+    fs.delete(old, true)
+    CompactStats(parts.length, bytes, after)
+  }
+}

@@ -261,4 +261,29 @@ class EtlIndexSpec extends SparkSpecBase {
     assert(meta.columns.toSet == Set("file_path", "file_name", "file_size", "modified_time", "extension"))
     assert(meta.head().getAs[Long]("file_size") == 3L)
   }
+
+  test("compact: small files merge, data survives byte-for-byte, dirs rejected") {
+    import graft.etl.Compact
+    val dir = tmp("fcompact") + "/ds"
+    val src = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+    src.repartition(24).write.parquet(dir)
+    val before = spark.read.parquet(dir)
+    val beforeRows = before.count()
+    val stats = Compact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(stats.filesBefore == 24 && stats.filesAfter == 1,
+      s"expected 24 -> 1 files, got $stats")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == beforeRows)
+    assert(after.except(src).isEmpty && src.except(after).isEmpty,
+      "compaction changed the data")
+    // no leftover swap directories
+    val parent = new java.io.File(dir).getParentFile.list().toSeq
+    assert(parent == Seq("ds"), s"swap residue: $parent")
+    // a partitioned root (subdirectories) is out of contract — fail loudly
+    val partDir = tmp("fcompactp") + "/pds"
+    src.withColumn("d", substring(col("event_type"), 1, 1))
+      .write.partitionBy("d").parquet(partDir)
+    intercept[IllegalArgumentException](Compact.compact(spark, partDir))
+    intercept[IllegalArgumentException](Compact.compact(spark, dir, targetBytes = 0))
+  }
 }
