@@ -28,27 +28,37 @@ object Compact {
   /** before/after file counts and the data size that was rewritten. */
   case class CompactStats(filesBefore: Int, bytesTotal: Long, filesAfter: Int)
 
+  /** Non-metadata data file (skips _SUCCESS, .crc, …) — single owner
+    * for the before/after counts, which must agree on what "a file" is.
+    */
+  private def isData(f: org.apache.hadoop.fs.FileStatus): Boolean =
+    f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")
+
   def compact(
       spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(p).filter(_.isFile)
-      .filterNot(f => f.getPath.getName.startsWith("_") || f.getPath.getName.startsWith("."))
-    require(parts.nonEmpty, s"no data files to compact under $path")
-    require(fs.listStatus(p).forall(_.isFile),
+    val listing = fs.listStatus(p)
+    // subdir check FIRST: a partitionBy root holds only _SUCCESS plus
+    // partition dirs, and the "no data files" message would mislead
+    require(listing.forall(_.isFile),
       s"$path has subdirectories — compact partition leaf dirs individually")
+    val parts = listing.filter(isData)
+    require(parts.nonEmpty, s"no data files to compact under $path")
     val bytes = parts.map(_.getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val tmp = new Path(path + "__compact_tmp")
-    val old = new Path(path + "__compact_old")
+    // siblings of the NORMALIZED path: string concat on a trailing-slash
+    // input would nest them inside the dataset and fail the swap after
+    // the full rewrite
+    val tmp = new Path(p.getParent, p.getName + "__compact_tmp")
+    val old = new Path(p.getParent, p.getName + "__compact_old")
     fs.delete(tmp, true)
     fs.delete(old, true)
-    spark.read.parquet(path).repartition(n)
+    spark.read.parquet(p.toString).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    val after = fs.listStatus(tmp).count(f =>
-      f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    val after = fs.listStatus(tmp).count(isData)
     // two-rename swap: the original is parked, never deleted before the
     // replacement is in place
     require(fs.rename(p, old), s"could not park $path")

@@ -128,7 +128,8 @@ object Ann {
       .select("cell").distinct()
     val centDf = centroidFrame(base.sparkSession, codebook)
       .join(broadcast(liveCells), "cell")
-    val probed = probeCells(queries, qId, qVec, centDf, nprobe)
+    val q = validQueries(queries, qId, qVec)
+    val probed = topProbeCells(q, centDf, nprobe).join(q, "q_id")
     val scored = assigned
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
       .filter(col("b_nrm") > 0) // zero-norm: see knnBruteForce
@@ -191,21 +192,22 @@ object Ann {
       .withColumn("c_nrm", Vectors.norm2(col("centroid")))
   }
 
-  /** `nprobe` nearest cells per valid (norm > 0) query, ranked by
-    * (negated squared) L2 distance to the centroid -- the standard IVF
-    * coarse metric: defined for EVERY centroid (a zero-norm centroid of
-    * a live cell is un-rankable by cosine, and skipping it would orphan
-    * that cell's members). `centDf` must hold only LIVE cells, so every
-    * valid query probes >= 1 non-empty cell and therefore returns rows.
-    * Returns (q_id, q_emb, qp_nrm, cell).
-    */
-  private def probeCells(
-      queries: DataFrame, qId: Column, qVec: Column,
-      centDf: DataFrame, nprobe: Int): DataFrame = {
-    val q = queries.select(qId.as("q_id"), qVec.as("q_emb"))
+  /** Valid (norm > 0) queries as (q_id, q_emb, qp_nrm). */
+  private def validQueries(queries: DataFrame, qId: Column, qVec: Column): DataFrame =
+    queries.select(qId.as("q_id"), qVec.as("q_emb"))
       .withColumn("qp_nrm", Vectors.norm2(col("q_emb")))
       .filter(col("qp_nrm") > 0)
-    val topCells = q.crossJoin(broadcast(centDf))
+
+  /** `nprobe` nearest cells per valid query, ranked by (negated
+    * squared) L2 distance to the centroid -- the standard IVF coarse
+    * metric: defined for EVERY centroid (a zero-norm centroid of a live
+    * cell is un-rankable by cosine, and skipping it would orphan that
+    * cell's members). `centDf` must hold only LIVE cells, so every
+    * valid query probes >= 1 non-empty cell and therefore returns rows.
+    * Returns (q_id, cell).
+    */
+  private def topProbeCells(q: DataFrame, centDf: DataFrame, nprobe: Int): DataFrame =
+    q.crossJoin(broadcast(centDf))
       .select(
         col("q_id"), col("cell"),
         (Vectors.dot(col("q_emb"), col("centroid")) * 2.0
@@ -214,8 +216,6 @@ object Ann {
       .agg(TopK.topKScored(nprobe)(col("csim"), col("cell").cast("long")).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("cell_l"))
       .select(col("q_id"), col("cell_l").cast("int").as("cell"))
-    topCells.join(q, "q_id").select("q_id", "q_emb", "qp_nrm", "cell")
-  }
 
   /** Build and persist an IVF index at `path`: the cell-assigned base
     * as parquet PARTITIONED BY cell -- a query probing nprobe of nlist
@@ -263,13 +263,20 @@ object Ann {
       queries: DataFrame, qId: Column, qVec: Column,
       k: Int, nprobe: Int = 4): DataFrame = {
     val centDf = spark.read.parquet(s"$path/codebook")
-      .filter(col("members") > 0) // live cells only: see probeCells
+      .filter(col("members") > 0) // live cells only: see topProbeCells
       .withColumn("c_nrm", Vectors.norm2(col("centroid")))
       .select("cell", "centroid", "c_nrm")
-    val probed = probeCells(queries, qId, qVec, centDf, nprobe)
-    // bounded collect: the union of probed cells is <= nlist ids; an
-    // .isin over the partition key is what prunes the scan
-    val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
+    val q = validQueries(queries, qId, qVec)
+    // the probe result is needed TWICE (the pruning cell list and the
+    // scoring join), and it is bounded (<= queries x nprobe rows), so
+    // collect it ONCE and re-create the frame -- re-evaluating the plan
+    // would run the crossJoin + top-k aggregation a second time
+    val tc = topProbeCells(q, centDf, nprobe)
+    val pairRows = tc.collect()
+    val cells = pairRows.map(_.getInt(1)).distinct
+    val pairsDf = spark.createDataFrame(
+      java.util.Arrays.asList(pairRows: _*), tc.schema)
+    val probed = pairsDf.join(q, "q_id")
     val scored = spark.read.parquet(s"$path/base")
       .filter(col("cell").isin(cells.map(Int.box): _*))
       .filter(col("b_nrm") > 0) // zero-norm: see knnBruteForce

@@ -113,12 +113,14 @@ object GraftConfig {
     // (indent, name) frames of the currently open mapping path
     var stack = List.empty[(Int, String)]
     // what the previous non-blank line contributed: the path of a frame
-    // it OPENED, or the owner path of a list ITEM it appended — a block
-    // sequence is only well-formed when each item directly follows its
-    // key or a sibling item, so anything else attaching to an ancestor
-    // frame (e.g. `a:\n  b: 1\n- x`) is a mis-indent and fails loudly
+    // it OPENED, or the (owner path, indent) of a list ITEM it appended —
+    // a block sequence is only well-formed when each item directly
+    // follows its key or a sibling item AT THE SAME INDENT, so anything
+    // else attaching to an ancestor frame (`a:\n  b: 1\n- x`) or
+    // drifting indent mid-list (`- x\n    - y`, a nested sequence in
+    // real YAML) is a mis-parse and fails loudly
     var lastOpened = Option.empty[String]
-    var lastItemOwner = Option.empty[String]
+    var lastItem = Option.empty[(String, Int)]
     for ((raw, ln) <- text.linesIterator.zipWithIndex) {
       require(!raw.contains('\t'), s"yaml line ${ln + 1}: tabs are out of contract")
       val noComment = stripComment(raw)
@@ -135,11 +137,11 @@ object GraftConfig {
           stack.headOption.getOrElse(
             throw new IllegalArgumentException(s"yaml line ${ln + 1}: list item with no key"))
           val ownerPath = (stack.map(_._2).reverse).mkString(".")
-          require(lastOpened.contains(ownerPath) || lastItemOwner.contains(ownerPath),
+          require(lastOpened.contains(ownerPath) || lastItem.contains((ownerPath, indent)),
             s"yaml line ${ln + 1}: list item does not directly follow its key " +
-              s"(would attach to '$ownerPath')")
+              s"at a consistent indent (would attach to '$ownerPath')")
           lastOpened = None
-          lastItemOwner = Some(ownerPath)
+          lastItem = Some((ownerPath, indent))
           val item = line.drop(1).trim
           // block sequences of MAPPINGS (`- name: a`) are out of
           // contract: storing the scalar `name: a` and re-attaching the
@@ -159,11 +161,11 @@ object GraftConfig {
           if (v.isEmpty) { // opens a nested map or list
             stack = (indent, k) :: stack
             lastOpened = Some(stack.map(_._2).reverse.mkString("."))
-            lastItemOwner = None
+            lastItem = None
           } else {
             out(pathOf(k)) = unquote(v)
             lastOpened = None
-            lastItemOwner = None
+            lastItem = None
           }
         }
       }

@@ -299,7 +299,13 @@ object VectorQueries {
     */
   def v07IvfIndex(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val path = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
+    // deterministic per-sfDir location, wiped before each rebuild: the
+    // query IS the build+query round trip (rebuilt every call by
+    // design), but repeated calls must not accumulate index copies
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
     Ann.buildIvfIndex(
       e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"), path, nlist = 8)
     Ann.queryIvfIndex(

@@ -279,11 +279,20 @@ class EtlIndexSpec extends SparkSpecBase {
     // no leftover swap directories
     val parent = new java.io.File(dir).getParentFile.list().toSeq
     assert(parent == Seq("ds"), s"swap residue: $parent")
-    // a partitioned root (subdirectories) is out of contract — fail loudly
+    // a trailing slash must not nest the swap dirs inside the dataset
+    val dir2 = tmp("fcompact2") + "/ds2"
+    src.repartition(4).write.parquet(dir2)
+    val s2 = Compact.compact(spark, dir2 + "/", targetBytes = 1L << 30)
+    assert(s2.filesBefore == 4 && s2.filesAfter == 1)
+    assert(spark.read.parquet(dir2).count() == beforeRows)
+    assert(new java.io.File(dir2).getParentFile.list().toSeq == Seq("ds2"))
+    // a partitioned root (subdirectories) is out of contract — fail
+    // loudly WITH the subdirectory message, not "no data files"
     val partDir = tmp("fcompactp") + "/pds"
     src.withColumn("d", substring(col("event_type"), 1, 1))
       .write.partitionBy("d").parquet(partDir)
-    intercept[IllegalArgumentException](Compact.compact(spark, partDir))
+    val e = intercept[IllegalArgumentException](Compact.compact(spark, partDir))
+    assert(e.getMessage.contains("subdirectories"), e.getMessage)
     intercept[IllegalArgumentException](Compact.compact(spark, dir, targetBytes = 0))
   }
 }

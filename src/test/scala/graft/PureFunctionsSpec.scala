@@ -197,6 +197,10 @@ class PureFunctionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       GraftConfig.parseYaml("parent:\n  child:\n    - a\n- b\n"))
     intercept[IllegalArgumentException](GraftConfig.parseYaml("a:\n  b: 1\n  - x\n"))
+    // indent drift WITHIN a list is a nested sequence in real YAML —
+    // flattening it silently would mis-parse, so it fails loudly
+    intercept[IllegalArgumentException](GraftConfig.parseYaml("a:\n  - x\n      - y\n"))
+    intercept[IllegalArgumentException](GraftConfig.parseYaml("a:\n    - x\n  - y\n"))
   }
 
   test("config precedence: env overrides yaml overrides defaults (reference config.py:14-57)") {
