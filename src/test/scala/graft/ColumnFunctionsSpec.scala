@@ -481,4 +481,39 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       Packing.packShards(df, col("doc_id"), col("toks"), budget = 0L, nBuckets = 4, salt = "x"))
   }
+
+  test("packShards: property — replay parity over random budgets/buckets/salts") {
+    import graft.operators.Packing
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val cfg = for {
+      budget <- Gen.oneOf(1L, 7L, 64L, 1000000L)
+      buckets <- Gen.oneOf(1, 3, 8)
+      salt <- Gen.oneOf("a", "b", "crosscheck")
+      n <- Gen.choose(1, 60)
+    } yield (budget, buckets, salt, n)
+    val prop = Prop.forAll(cfg) { case (budget, buckets, salt, n) =>
+      val df = spark.range(1, n + 1).select(
+        col("id").as("doc_id"), pmod(col("id") * 13, lit(29)).as("toks")) // incl. zeros
+      val rows = Packing.packShards(df, col("doc_id"), col("toks"),
+        budget, buckets, salt).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      val expect = (1L to n.toLong).map(i => (i, i * 13 % 29, h60(s"$salt:$i")))
+        .groupBy(_._3 % buckets)
+        .flatMap { case (b, ds) =>
+          var acc = 0L
+          ds.sortBy(d => (d._3, d._1)).map { case (id, t, _) =>
+            val st = acc; acc += t; (id, (t, b, st, st / budget))
+          }
+        }
+      rows.size == n && expect.forall { case (id, e) => rows(id) == e }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, s"packShards replay parity: ${res.status}")
+  }
 }

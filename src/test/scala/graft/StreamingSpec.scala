@@ -190,4 +190,30 @@ class StreamingSpec extends SparkSpecBase {
       assert(rows.contains((7L, 1, 5.0)), s"timeout-closed session missing: $rows")
     } finally q.stop()
   }
+
+  test("curation filters are streamable: hash-threshold sampling on a stream") {
+    // the sampling membership is a pure narrow filter (no state, no
+    // watermark), so the SAME operator runs unchanged on a stream and
+    // selects the SAME subset a batch pass selects — the property that
+    // lets one curation recipe serve both the backfill and the live feed
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("doc_id", "lang")
+    val sampled = graft.operators.Sampling.stratifiedSample(
+      df, col("lang"), col("doc_id"), Map("en" -> 0.25), defaultRate = 1.0, salt = "s1")
+    val q = sampled.writeStream.format("memory").queryName("samp")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("samp").select("doc_id").as[Long].collect().toSet
+      val batch = graft.operators.Sampling.stratifiedSample(
+        docs.toDF("doc_id", "lang"), col("lang"), col("doc_id"),
+        Map("en" -> 0.25), defaultRate = 1.0, salt = "s1")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch, "stream and batch selected different subsets")
+      assert(docs.filter(_._2 == "de").map(_._1).toSet.subsetOf(streamed))
+    } finally q.stop()
+  }
 }
