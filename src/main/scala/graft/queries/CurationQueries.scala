@@ -306,6 +306,104 @@ object CurationQueries {
        |  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
        |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** The full training-data recipe as ONE declarative plan — quality
+    * gate → exact dedup (keep-first) → benchmark decontamination →
+    * deterministic stratified sample → token-budget shard packing →
+    * shard rollup. Every stage is an already-proven primitive (c01,
+    * c03, c04, c06); this query proves the COMPOSITION end to end, the
+    * way a real pipeline would run it: one job, no materialization
+    * between stages, every stage replayed by the oracle.
+    *
+    * Plan shape at scale: one enrichment scan + fp-shuffle dedup agg,
+    * one broadcast contamination pass (eval side bounded), the sample
+    * as a narrow filter, one bucket exchange for packing. The eval
+    * slice is the corpus' own doc_id < 20 rows, so eval docs and their
+    * near-copies inside the corpus are dropped by the decontamination
+    * stage itself.
+    */
+  def c08FullRecipe(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val gated = d.select(
+      col("doc_id"), col("lang"), col("source"), col("text"),
+      Text.tokenCount(col("text")).as("n_tokens"),
+      Text.qualityScore(col("text")).as("quality"),
+      Text.fingerprint(col("text")).as("fp"))
+      .filter(col("quality") >= 0.6 && col("n_tokens") >= 5)
+    val kept = gated.groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("lang"), col("text"), col("n_tokens"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"),
+        col("k.text").as("text"), col("k.n_tokens").as("n_tokens"))
+    val contaminated = graft.operators.Dedup.contaminationPairs(
+      kept, col("doc_id"), col("text"),
+      d.filter(col("doc_id") < 20), col("doc_id"), col("text"), n = 5)
+      .select("doc_id").distinct()
+    val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+    val sampled = graft.operators.Sampling.stratifiedSample(
+      clean, col("lang"), col("doc_id"),
+      rates = Map("en" -> 0.5), defaultRate = 1.0, salt = "recipe")
+    graft.operators.Packing.packShards(
+      sampled, col("doc_id"), col("n_tokens"), budget = 512L, nBuckets = 4, salt = "recipe")
+      .groupBy("bucket", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
+      .orderBy("bucket", "shard")
+  }
+
+  /** Stage-by-stage DuckDB replay: the c01 enrichment/gate/keep-first
+    * fragments, the c03 shingle/contamination fragments (with the blank
+    * exclusion), the c04 hash-threshold membership, and the c06 window
+    * prefix-sum — composed in one statement.
+    */
+  val c08Oracle: String = {
+    val hSamp = DuckOracle.h60("'recipe:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, source, text,
+       |    CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0 ELSE len($duckToksRaw) END AS n_tokens,
+       |    length(text) AS n_chars_calc,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents
+       |), scored AS (
+       |  SELECT *,
+       |    (least(CAST(n_chars_calc AS DOUBLE) / 200.0, 1.0) * 0.4
+       |     + (CASE WHEN n_chars_calc > 0 THEN n_alpha / CAST(n_chars_calc AS DOUBLE) ELSE 0.0 END) * 0.4
+       |     + (CASE WHEN CASE WHEN n_tokens > 0 THEN CAST(n_chars_calc AS DOUBLE) / n_tokens ELSE 0.0 END BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2) AS quality
+       |  FROM q
+       |), f AS (
+       |  SELECT * FROM scored WHERE quality >= 0.6 AND n_tokens >= 5
+       |), keepers AS (
+       |  SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp
+       |), kept AS (
+       |  SELECT f.doc_id, f.lang, f.n_tokens FROM f
+       |  JOIN keepers k ON f.fp = k.fp AND f.doc_id = k.doc_id
+       |), tok AS (
+       |  SELECT doc_id, $duckToksNorm AS toks FROM documents
+       |), shg AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 5
+       |    THEN list_transform(generate_series(1, len(toks)-4), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
+       |    ELSE [array_to_string(toks, ' ')] END) AS shset
+       |  FROM tok
+       |), evx AS (
+       |  SELECT doc_id, unnest(shset) AS g FROM shg WHERE doc_id < 20 AND shset <> ['']
+       |), kx AS (
+       |  SELECT s.doc_id, unnest(s.shset) AS g FROM shg s
+       |  JOIN kept ON s.doc_id = kept.doc_id WHERE s.shset <> ['']
+       |), clean AS (
+       |  SELECT kept.* FROM kept
+       |  WHERE doc_id NOT IN (SELECT DISTINCT kx.doc_id FROM kx JOIN evx ON kx.g = evx.g)
+       |), samp AS (
+       |  SELECT doc_id, n_tokens FROM clean
+       |  WHERE $hSamp % 1000000 <
+       |    CASE lang WHEN 'en' THEN 500000 ELSE 1000000 END
+       |), p AS (
+       |  SELECT doc_id, n_tokens, key % 4 AS bucket,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY key % 4 ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_tok
+       |  FROM (SELECT *, $hSamp AS key FROM samp)
+       |)
+       |SELECT bucket, CAST(floor(start_tok / 512.0) AS BIGINT) AS shard,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+       |FROM p GROUP BY bucket, shard ORDER BY bucket, shard""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_corpus_curation" -> (c01CorpusCuration _),
     "c02_dup_profile" -> (c02DupProfile _),
@@ -313,7 +411,8 @@ object CurationQueries {
     "c04_sample_mix" -> (c04SampleMix _),
     "c05_boilerplate_strip" -> (c05BoilerplateStrip _),
     "c06_shard_pack" -> (c06ShardPack _),
-    "c07_length_profile" -> (c07LengthProfile _)
+    "c07_length_profile" -> (c07LengthProfile _),
+    "c08_full_recipe" -> (c08FullRecipe _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -323,6 +422,7 @@ object CurationQueries {
     "c04_sample_mix" -> c04Oracle,
     "c05_boilerplate_strip" -> c05Oracle,
     "c06_shard_pack" -> c06Oracle,
-    "c07_length_profile" -> c07Oracle
+    "c07_length_profile" -> c07Oracle,
+    "c08_full_recipe" -> c08Oracle
   )
 }
