@@ -288,6 +288,16 @@ class PlanSpec extends SparkSpecBase {
     assert(df.count() > 0)
   }
 
+  test("c08: composite keeps the stage plan shapes — broadcast decontamination, salted nothing, one pack exchange") {
+    val df = graft.queries.CurationQueries.c08FullRecipe(spark, sfDir)
+    val p = plan(df)
+    // the eval side of the decontamination stage must broadcast: the
+    // corpus streams, benchmark suites are bounded
+    assert(p.contains("BroadcastHashJoin"), s"decontamination lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the recipe:\n$p")
+    assert(df.count() > 0)
+  }
+
   test("c07: percentile_disc follows the SQL-standard cume_dist definition") {
     // pin the boundary semantics the c07 oracle replays: least value
     // with cume_dist >= p. On 1..10 at p=0.11 that is 2 (NOT the
