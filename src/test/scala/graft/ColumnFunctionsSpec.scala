@@ -410,6 +410,24 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(crafted(3L) == ((1L, 1L)), "sub-bigram doc falls back to one whole-text gram")
   }
 
+  test("sketches: approx_count_distinct / approx_percentile track exact within tolerance") {
+    // the documented unbounded-cardinality path (see c07's scaladoc):
+    // sketches are engine-specific and deliberately NOT oracle-gated,
+    // so their accuracy contract is pinned here against the exact
+    // aggregates instead
+    val ev = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+    val r = ev.agg(
+      countDistinct(col("user_id")).as("exact_d"),
+      approx_count_distinct(col("user_id")).as("approx_d"), // default rsd ≈ 5%
+      expr("percentile(value, 0.9)").as("p90_exact"),
+      expr("approx_percentile(value, 0.9, 10000)").as("p90_approx")).head()
+    val (e, a) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(a - e).toDouble / e <= 0.10, s"HLL drift: exact $e, approx $a")
+    val (pe, pa) = (r.getDouble(2), r.getDouble(3))
+    assert(math.abs(pa - pe) / math.max(math.abs(pe), 1e-9) <= 0.05,
+      s"percentile sketch drift: exact $pe, approx $pa")
+  }
+
   test("stripFrequentSegments: boilerplate dropped, docs reassembled in order") {
     import graft.operators.Dedup
     val docs = Seq(
