@@ -500,6 +500,36 @@ class ColumnFunctionsSpec extends SparkSpecBase {
       Packing.packShards(df, col("doc_id"), col("toks"), budget = 0L, nBuckets = 4, salt = "x"))
   }
 
+  test("stripFrequentSegments: property — replay parity on collision-heavy corpora") {
+    import graft.operators.Dedup
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny segment alphabet → heavy cross-doc repetition, the regime
+    // the operator exists for; normalization variants collide on purpose
+    val seg = Gen.oneOf("alpha", "ALPHA", "  alpha ", "beta", "beta  two", "BETA TWO",
+      "gamma", "", " ", "delta five")
+    val doc = Gen.choose(0, 6).flatMap(k => Gen.listOfN(k, seg))
+    val corpus = Gen.choose(1, 12).flatMap(nd => Gen.listOfN(nd, doc))
+    val freqGen = Gen.choose(1L, 4L)
+    def norm(s: String) = s.toLowerCase.replaceAll("\\s+", " ").trim
+    val prop = Prop.forAll(corpus, freqGen) { (docsList, maxFreq) =>
+      val df = docsList.zipWithIndex.map { case (segs, i) => (i.toLong, segs) }
+        .toDF("doc_id", "segs")
+      val got = Dedup.stripFrequentSegments(df, col("doc_id"), col("segs"), maxFreq)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      // replay: corpus-wide normalized frequency, then per-doc filter
+      val freq = docsList.flatten.groupBy(norm).view.mapValues(_.size.toLong).toMap
+      val want = docsList.zipWithIndex.collect {
+        case (segs, i) if segs.nonEmpty =>
+          val kept = segs.filter(s => freq(norm(s)) <= maxFreq)
+          i.toLong -> ((segs.size.toLong, kept.size.toLong, kept.mkString("\n")))
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, s"stripFrequentSegments replay parity: ${res.status}")
+  }
+
   test("packShards: property — replay parity over random budgets/buckets/salts") {
     import graft.operators.Packing
     import org.scalacheck.{Gen, Prop, Test => SCTest}
