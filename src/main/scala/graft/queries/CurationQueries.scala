@@ -28,6 +28,40 @@ object CurationQueries {
   private val duckToksRaw = DuckOracle.toksRaw
   private val duckToksNorm = DuckOracle.toksNorm
 
+  /** DuckDB twin of [[gatedDocs]] as a CTE chain (q -> scored -> f):
+    * single owner for the c01 and c08 oracles.
+    */
+  private lazy val duckGatedCte: String =
+    s"""q AS (
+       |  SELECT doc_id, lang, source, text,
+       |    CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0 ELSE len($duckToksRaw) END AS n_tokens,
+       |    length(text) AS n_chars_calc,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents
+       |), scored AS (
+       |  SELECT *,
+       |    (least(CAST(n_chars_calc AS DOUBLE) / 200.0, 1.0) * 0.4
+       |     + (CASE WHEN n_chars_calc > 0 THEN n_alpha / CAST(n_chars_calc AS DOUBLE) ELSE 0.0 END) * 0.4
+       |     + (CASE WHEN CASE WHEN n_tokens > 0 THEN CAST(n_chars_calc AS DOUBLE) / n_tokens ELSE 0.0 END BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2) AS quality
+       |  FROM q
+       |), f AS (
+       |  SELECT * FROM scored WHERE quality >= 0.6 AND n_tokens >= 5
+       |)""".stripMargin
+
+  /** DuckDB twin of the 5-gram distinct shingle builder (c03/c08):
+    * tok -> shg CTEs over `documents`.
+    */
+  private lazy val duckShingleCte: String =
+    s"""tok AS (
+       |  SELECT doc_id, $duckToksNorm AS toks FROM documents
+       |), shg AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 5
+       |    THEN list_transform(generate_series(1, len(toks)-4), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
+       |    ELSE [array_to_string(toks, ' ')] END) AS shset
+       |  FROM tok
+       |)""".stripMargin
+
   /** Quality-gated, exact-deduped token budget per (lang, source):
     * which corpus slices survive curation and how many tokens they
     * contribute. Keep-first (min doc_id) per fingerprint, computed
@@ -42,13 +76,19 @@ object CurationQueries {
     * fingerprints), no second scan and no keepers join — the previous
     * shape paid the full regex-enrichment scan twice.
     */
-  def c01CorpusCuration(s: SparkSession, dir: String): DataFrame =
+  /** Enriched + quality-gated corpus: the shared first stage of c01 and
+    * c08 (single owner, like their oracle twin [[duckGatedCte]]).
+    */
+  private def gatedDocs(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
-      col("doc_id"), col("lang"), col("source"),
+      col("doc_id"), col("lang"), col("source"), col("text"),
       Text.tokenCount(col("text")).as("n_tokens"),
       Text.qualityScore(col("text")).as("quality"),
       Text.fingerprint(col("text")).as("fp"))
       .filter(col("quality") >= 0.6 && col("n_tokens") >= 5)
+
+  def c01CorpusCuration(s: SparkSession, dir: String): DataFrame =
+    gatedDocs(s, dir)
       .groupBy("fp")
       .agg(min(struct(col("doc_id"), col("lang"), col("source"), col("n_tokens"))).as("keep"))
       .groupBy(col("keep.lang").as("lang"), col("keep.source").as("source"))
@@ -58,22 +98,7 @@ object CurationQueries {
       .orderBy("lang", "source")
 
   val c01Oracle: String =
-    s"""WITH q AS (
-       |  SELECT doc_id, lang, source,
-       |    CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0 ELSE len($duckToksRaw) END AS n_tokens,
-       |    length(text) AS n_chars_calc,
-       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
-       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-       |  FROM documents
-       |), scored AS (
-       |  SELECT *,
-       |    (least(CAST(n_chars_calc AS DOUBLE) / 200.0, 1.0) * 0.4
-       |     + (CASE WHEN n_chars_calc > 0 THEN n_alpha / CAST(n_chars_calc AS DOUBLE) ELSE 0.0 END) * 0.4
-       |     + (CASE WHEN CASE WHEN n_tokens > 0 THEN CAST(n_chars_calc AS DOUBLE) / n_tokens ELSE 0.0 END BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2) AS quality
-       |  FROM q
-       |), f AS (
-       |  SELECT * FROM scored WHERE quality >= 0.6 AND n_tokens >= 5
-       |), keepers AS (
+    s"""WITH $duckGatedCte, keepers AS (
        |  SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp
        |)
        |SELECT f.lang AS lang, f.source AS source,
@@ -123,17 +148,10 @@ object CurationQueries {
     * distinct-shingle equi-join.
     */
   val c03Oracle: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, $duckToksNorm AS toks FROM documents
-       |), sh AS (
-       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 5
-       |    THEN list_transform(generate_series(1, len(toks)-4), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
-       |    ELSE [array_to_string(toks, ' ')] END) AS shset
-       |  FROM t
-       |), ex AS (
+    s"""WITH $duckShingleCte, ex AS (
        |  -- blank docs (degenerate [''] shingle set) are excluded, like
        |  -- the operator: a blank doc cannot leak benchmark content
-       |  SELECT doc_id, unnest(shset) AS g FROM sh WHERE shset <> ['']
+       |  SELECT doc_id, unnest(shset) AS g FROM shg WHERE shset <> ['']
        |)
        |SELECT c.doc_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
        |FROM ex c JOIN ex e ON c.g = e.g
@@ -323,26 +341,25 @@ object CurationQueries {
     */
   def c08FullRecipe(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val gated = d.select(
-      col("doc_id"), col("lang"), col("source"), col("text"),
-      Text.tokenCount(col("text")).as("n_tokens"),
-      Text.qualityScore(col("text")).as("quality"),
-      Text.fingerprint(col("text")).as("fp"))
-      .filter(col("quality") >= 0.6 && col("n_tokens") >= 5)
-    val kept = gated.groupBy("fp")
+    val kept = gatedDocs(s, dir).groupBy("fp")
       .agg(min(struct(col("doc_id"), col("lang"), col("text"), col("n_tokens"))).as("k"))
       .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"),
         col("k.text").as("text"), col("k.n_tokens").as("n_tokens"))
+    // no .distinct() on the contaminated side: left_anti is unaffected
+    // by right-side duplicates, and the distinct would be a pure extra
+    // exchange + aggregate
     val contaminated = graft.operators.Dedup.contaminationPairs(
       kept, col("doc_id"), col("text"),
       d.filter(col("doc_id") < 20), col("doc_id"), col("text"), n = 5)
-      .select("doc_id").distinct()
+      .select("doc_id")
     val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+    // distinct salts per stage: the sample membership hash must not
+    // double as the pack order/bucket key (coupled draws)
     val sampled = graft.operators.Sampling.stratifiedSample(
       clean, col("lang"), col("doc_id"),
-      rates = Map("en" -> 0.5), defaultRate = 1.0, salt = "recipe")
+      rates = Map("en" -> 0.5), defaultRate = 1.0, salt = "recipe-mix")
     graft.operators.Packing.packShards(
-      sampled, col("doc_id"), col("n_tokens"), budget = 512L, nBuckets = 4, salt = "recipe")
+      sampled, col("doc_id"), col("n_tokens"), budget = 512L, nBuckets = 4, salt = "recipe-pack")
       .groupBy("bucket", "shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
       .orderBy("bucket", "shard")
@@ -354,39 +371,18 @@ object CurationQueries {
     * prefix-sum — composed in one statement.
     */
   val c08Oracle: String = {
-    val hSamp = DuckOracle.h60("'recipe:' || CAST(doc_id AS VARCHAR)")
-    s"""WITH q AS (
-       |  SELECT doc_id, lang, source, text,
-       |    CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0 ELSE len($duckToksRaw) END AS n_tokens,
-       |    length(text) AS n_chars_calc,
-       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
-       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-       |  FROM documents
-       |), scored AS (
-       |  SELECT *,
-       |    (least(CAST(n_chars_calc AS DOUBLE) / 200.0, 1.0) * 0.4
-       |     + (CASE WHEN n_chars_calc > 0 THEN n_alpha / CAST(n_chars_calc AS DOUBLE) ELSE 0.0 END) * 0.4
-       |     + (CASE WHEN CASE WHEN n_tokens > 0 THEN CAST(n_chars_calc AS DOUBLE) / n_tokens ELSE 0.0 END BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2) AS quality
-       |  FROM q
-       |), f AS (
-       |  SELECT * FROM scored WHERE quality >= 0.6 AND n_tokens >= 5
-       |), keepers AS (
+    val hSamp = DuckOracle.h60("'recipe-mix:' || CAST(doc_id AS VARCHAR)")
+    val hPack = DuckOracle.h60("'recipe-pack:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH $duckGatedCte, keepers AS (
        |  SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp
        |), kept AS (
        |  SELECT f.doc_id, f.lang, f.n_tokens FROM f
        |  JOIN keepers k ON f.fp = k.fp AND f.doc_id = k.doc_id
-       |), tok AS (
-       |  SELECT doc_id, $duckToksNorm AS toks FROM documents
-       |), shg AS (
-       |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 5
-       |    THEN list_transform(generate_series(1, len(toks)-4), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
-       |    ELSE [array_to_string(toks, ' ')] END) AS shset
-       |  FROM tok
-       |), evx AS (
+       |), $duckShingleCte, evx AS (
        |  SELECT doc_id, unnest(shset) AS g FROM shg WHERE doc_id < 20 AND shset <> ['']
        |), kx AS (
-       |  SELECT s.doc_id, unnest(s.shset) AS g FROM shg s
-       |  JOIN kept ON s.doc_id = kept.doc_id WHERE s.shset <> ['']
+       |  SELECT sg.doc_id, unnest(sg.shset) AS g FROM shg sg
+       |  JOIN kept ON sg.doc_id = kept.doc_id WHERE sg.shset <> ['']
        |), clean AS (
        |  SELECT kept.* FROM kept
        |  WHERE doc_id NOT IN (SELECT DISTINCT kx.doc_id FROM kx JOIN evx ON kx.g = evx.g)
@@ -397,7 +393,7 @@ object CurationQueries {
        |), p AS (
        |  SELECT doc_id, n_tokens, key % 4 AS bucket,
        |    CAST(SUM(n_tokens) OVER (PARTITION BY key % 4 ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_tok
-       |  FROM (SELECT *, $hSamp AS key FROM samp)
+       |  FROM (SELECT *, $hPack AS key FROM samp)
        |)
        |SELECT bucket, CAST(floor(start_tok / 512.0) AS BIGINT) AS shard,
        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens

@@ -415,7 +415,7 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     // sketches are engine-specific and deliberately NOT oracle-gated,
     // so their accuracy contract is pinned here against the exact
     // aggregates instead
-    val ev = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+    val ev = graft.Tables.t(spark, sfDir, "events")
     val r = ev.agg(
       countDistinct(col("user_id")).as("exact_d"),
       approx_count_distinct(col("user_id")).as("approx_d"), // default rsd ≈ 5%

@@ -288,14 +288,20 @@ class PlanSpec extends SparkSpecBase {
     assert(df.count() > 0)
   }
 
-  test("c08: composite keeps the stage plan shapes — broadcast decontamination, salted nothing, one pack exchange") {
-    val df = graft.queries.CurationQueries.c08FullRecipe(spark, sfDir)
-    val p = plan(df)
-    // the eval side of the decontamination stage must broadcast: the
-    // corpus streams, benchmark suites are bounded
-    assert(p.contains("BroadcastHashJoin"), s"decontamination lost its broadcast:\n$p")
-    assert(!p.contains("CartesianProduct"), s"cartesian in the recipe:\n$p")
-    assert(df.count() > 0)
+  test("c08: composite keeps the decontamination broadcast; no cartesian") {
+    // auto-broadcast OFF: the only BroadcastHashJoin that can survive is
+    // the EXPLICIT broadcast(eval) hint inside contaminationPairs — with
+    // the threshold on, an incidental small-side broadcast elsewhere
+    // would mask the hint's removal
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.queries.CurationQueries.c08FullRecipe(spark, sfDir)
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), s"decontamination lost its broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in the recipe:\n$p")
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
 
   test("c07: percentile_disc follows the SQL-standard cume_dist definition") {
