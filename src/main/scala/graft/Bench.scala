@@ -49,22 +49,34 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
-      .mkString("{", ",", "}")
+    // per-query values are ROUNDED to 0.1 ms in the stdout line: the
+    // runner captures only a bounded stdout tail, and round 5's artifact
+    // (BENCH_r05.json parsed:null) proved a full-precision 62-query line
+    // can outgrow that window and get truncated mid-JSON. Rounding keeps
+    // the line comfortably under ~2 KB; full precision lives in the file.
+    def qmap(round: Boolean) = results.map { case (k, v) =>
+      val value = if (round && v >= 0.0) math.rint(v * 1000) / 1000 else v
+      "\"" + esc(k) + "\":" + value
+    }.mkString("{", ",", "}")
     // failed queries report -1.0 per-query but are EXCLUDED from the
     // total (a failure must never shrink — i.e. improve — the headline
     // number) and surfaced in an explicit count
     val good = results.filter(_._2 >= 0.0)
-    val total = good.map(_._2).sum
+    val total = math.rint(good.map(_._2).sum * 10000) / 10000
     val failed = results.size - good.size
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"${esc(sfDir)}"}"""
-    println(line)
-    // belt-and-braces for log-prefixing runners: also drop the line in a file
+    def metricLine(round: Boolean) =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":${qmap(round)},"sf":"${esc(sfDir)}"}"""
+    // belt-and-braces for log-prefixing runners: also drop the (full
+    // precision) line in a file before stopping the session
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes("UTF-8"))
+      (metricLine(round = false) + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }
     spark.stop()
+    // the metric line is the LAST thing on stdout — printed after
+    // spark.stop() so no shutdown logging can push it out of a bounded
+    // tail capture — and explicitly flushed
+    println(metricLine(round = true))
+    System.out.flush()
   }
 }
