@@ -198,20 +198,25 @@ object Ann {
       .withColumn("qp_nrm", Vectors.norm2(col("q_emb")))
       .filter(col("qp_nrm") > 0)
 
-  /** `nprobe` nearest cells per valid query, ranked by (negated
-    * squared) L2 distance to the centroid -- the standard IVF coarse
-    * metric: defined for EVERY centroid (a zero-norm centroid of a live
-    * cell is un-rankable by cosine, and skipping it would orphan that
-    * cell's members). `centDf` must hold only LIVE cells, so every
-    * valid query probes >= 1 non-empty cell and therefore returns rows.
-    * Returns (q_id, cell).
+  /** `nprobe` nearest cells per valid query, ranked by COSINE to the
+    * centroid -- the same metric the fine scoring stage uses (FAISS
+    * pairs the quantizer metric with the search metric; an L2 probe
+    * over unnormalized embeddings routes queries to magnitude-similar
+    * rather than direction-similar centroids and costs recall). A
+    * zero-norm centroid of a LIVE cell is un-rankable by cosine;
+    * skipping it would orphan that cell's members, so it ranks at -2
+    * (below cosine's [-1, 1] floor): probed last, never dropped.
+    * `centDf` must hold only LIVE cells, so every valid query probes
+    * >= 1 non-empty cell and therefore returns rows. Returns
+    * (q_id, cell).
     */
   private def topProbeCells(q: DataFrame, centDf: DataFrame, nprobe: Int): DataFrame =
     q.crossJoin(broadcast(centDf))
       .select(
         col("q_id"), col("cell"),
-        (Vectors.dot(col("q_emb"), col("centroid")) * 2.0
-          - col("qp_nrm") * col("qp_nrm") - col("c_nrm") * col("c_nrm")).as("csim"))
+        when(col("c_nrm") > 0,
+          Vectors.dot(col("q_emb"), col("centroid")) / (col("qp_nrm") * col("c_nrm")))
+          .otherwise(lit(-2.0)).as("csim"))
       .groupBy("q_id")
       .agg(TopK.topKScored(nprobe)(col("csim"), col("cell").cast("long")).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("cell_l"))
@@ -225,30 +230,103 @@ object Ann {
     * on-the-fly [[knnIvf]]).
     *
     * Layout: `path/base` (b_id, b_emb, b_nrm; cell = partition key),
-    * `path/codebook` (cell, centroid float array, members).
+    * `path/codebook` (cell, centroid float array, centroid_d double
+    * array, members). The DOUBLE centroids are persisted so
+    * [[addToIvfIndex]] can assign later rows with arithmetic identical
+    * to this build (the float copy exists for the probe ranking, which
+    * must match [[knnIvf]] bit-for-bit).
+    *
+    * `fitOn` optionally trains the quantizer on a different frame (same
+    * id/vec columns) than the indexed base -- the FAISS train/add
+    * split made explicit: a growing index should be trained once on a
+    * representative sample and extended with [[addToIvfIndex]], never
+    * re-fit per increment.
     */
   def buildIvfIndex(
       base: DataFrame, baseId: Column, baseVec: Column, path: String,
-      nlist: Int = 16, seed: Long = 42L, maxFit: Long = 100000L): Unit = {
+      nlist: Int = 16, seed: Long = 42L, maxFit: Long = 100000L,
+      fitOn: Option[DataFrame] = None): Unit = {
     val b = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
-    val codebook = fitCodebook(b, nlist, seed, maxFit)
+    val fitB = fitOn.map(_.select(baseId.as("b_id"), baseVec.as("b_emb"))).getOrElse(b)
+    val codebook = fitCodebook(fitB, nlist, seed, maxFit)
     b.withColumn("cell", cellExpr(col("b_emb"), codebook))
       .filter(col("cell").isNotNull) // see knnIvf
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/base")
+    writeCodebookSidecar(base.sparkSession, path, codebook, atomicSwap = false)
+  }
+
+  /** Incrementally extend a persisted [[buildIvfIndex]] index: assign
+    * `rows` with the index's PERSISTED double codebook (no re-fit --
+    * the codebook is immutable for the index's lifetime, so build+add
+    * and build-all-with-the-same-codebook produce identical cells),
+    * append them to the cell partition directories, and refresh the
+    * occupancy sidecar via a two-rename swap (the [[graft.etl.Compact]]
+    * pattern: the old sidecar is parked, never deleted before the new
+    * one is in place). This is the 1%/day growth path for a 10^9-vector
+    * corpus, where a daily re-fit + full rewrite is not an option.
+    *
+    * Not transactional: a reader racing the sidecar swap can see a
+    * missing codebook directory for an instant -- coordinate externally
+    * (same caveat as Compact).
+    */
+  def addToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      rows: DataFrame, id: Column, vec: Column): Unit = {
+    // bounded collect: <= nlist codebook rows
+    val cbRows = spark.read.parquet(s"$path/codebook")
+      .select("cell", "centroid_d").collect()
+    require(cbRows.nonEmpty, s"$path/codebook is empty -- not an IVF index")
+    val byCell = cbRows.sortBy(_.getInt(0))
+    require(
+      byCell.map(_.getInt(0)).sameElements(byCell.indices),
+      s"$path/codebook cells are not dense 0..${byCell.length - 1} -- corrupt index")
+    val codebook: Array[Array[Double]] =
+      byCell.map(_.getSeq[Double](1).toArray)
+    rows.select(id.as("b_id"), vec.as("b_emb"))
+      .withColumn("cell", cellExpr(col("b_emb"), codebook))
+      .filter(col("cell").isNotNull) // see knnIvf
+      .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+      .write.partitionBy("cell").mode("append").parquet(s"$path/base")
+    writeCodebookSidecar(spark, path, codebook, atomicSwap = true)
+  }
+
+  /** Write the codebook sidecar with occupancy recomputed from the
+    * WRITTEN base files (stats can never drift from the data they
+    * describe). With `atomicSwap` the new sidecar lands in a sibling
+    * temp dir and replaces the old one with two renames.
+    */
+  private def writeCodebookSidecar(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      codebook: Array[Array[Double]], atomicSwap: Boolean): Unit = {
+    import spark.implicits._
     // occupancy of SCOREABLE members -- the liveness stat the query path
-    // needs; computed from the WRITTEN files so the stats can never
-    // drift from the data they describe
-    val spark = base.sparkSession
+    // needs
     val occ = spark.read.parquet(s"$path/base")
       .filter(col("b_nrm") > 0)
       .groupBy("cell").agg(count(lit(1)).as("members"))
-    centroidFrame(spark, codebook)
+    val cb = codebook.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat).toSeq, c.toSeq) }.toSeq
+      .toDF("cell", "centroid", "centroid_d")
       .join(occ, Seq("cell"), "left")
-      .select(col("cell"), col("centroid"),
+      .select(col("cell"), col("centroid"), col("centroid_d"),
         coalesce(col("members"), lit(0L)).as("members"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/codebook")
+    val target = s"$path/codebook"
+    if (!atomicSwap) {
+      cb.write.mode("overwrite").parquet(target)
+    } else {
+      val p = new org.apache.hadoop.fs.Path(target)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__tmp")
+      val old = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__old")
+      fs.delete(tmp, true)
+      fs.delete(old, true)
+      cb.write.mode("overwrite").parquet(tmp.toString)
+      require(fs.rename(p, old), s"could not park $target")
+      require(fs.rename(tmp, p), s"could not swap in refreshed codebook for $target")
+      fs.delete(old, true)
+    }
   }
 
   /** KNN against a persisted [[buildIvfIndex]] index. The probe ranks
@@ -257,6 +335,10 @@ object Ann {
     * partition-pruned read of only those cell directories. Same
     * arithmetic as [[knnIvf]] end-to-end: the same build inputs and the
     * same (k, nprobe) produce identical rows.
+    *
+    * CALLER CONTRACT: caches the (q_id, cell) probe frame (it feeds
+    * both the pruning list and the scoring join) -- wrap in
+    * [[Dedup.scoped]] or clear the cache, as with the dedup operators.
     */
   def queryIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -268,15 +350,16 @@ object Ann {
       .select("cell", "centroid", "c_nrm")
     val q = validQueries(queries, qId, qVec)
     // the probe result is needed TWICE (the pruning cell list and the
-    // scoring join), and it is bounded (<= queries x nprobe rows), so
-    // collect it ONCE and re-create the frame -- re-evaluating the plan
-    // would run the crossJoin + top-k aggregation a second time
-    val tc = topProbeCells(q, centDf, nprobe)
-    val pairRows = tc.collect()
-    val cells = pairRows.map(_.getInt(1)).distinct
-    val pairsDf = spark.createDataFrame(
-      java.util.Arrays.asList(pairRows: _*), tc.schema)
-    val probed = pairsDf.join(q, "q_id")
+    // scoring join). It is queries x nprobe rows -- NOT driver-bounded
+    // when the query set is a big batch (the normal case for a corpus-
+    // vs-corpus ANN pass) -- so it is CACHED, not collected: the only
+    // driver materialization is the distinct cell list, which is
+    // <= nlist rows by construction. scopedCache: Verify/Bench clear
+    // the cache between queries; long-lived callers wrap in
+    // [[Dedup.scoped]] like the other multi-branch operators.
+    val tc = Dedup.scopedCache(topProbeCells(q, centDf, nprobe))
+    val cells = tc.select("cell").distinct().collect().map(_.getInt(0))
+    val probed = tc.join(q, "q_id")
     val scored = spark.read.parquet(s"$path/base")
       .filter(col("cell").isin(cells.map(Int.box): _*))
       .filter(col("b_nrm") > 0) // zero-norm: see knnBruteForce

@@ -297,15 +297,25 @@ object VectorQueries {
     * as v05: every reported score proven, rank-consistency per query,
     * coverage sentinel.
     */
-  def v07IvfIndex(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    // deterministic per-sfDir location, wiped before each rebuild: the
-    // query IS the build+query round trip (rebuilt every call by
-    // design), but repeated calls must not accumulate index copies
+  /** Scratch index location: keyed by query name + sfDir AND the
+    * session's applicationId — two concurrent sessions on one machine
+    * (parallel test/bench runs) must not delete and rebuild under each
+    * other mid-query. Wiped before each rebuild: the query IS the
+    * build+query round trip (rebuilt every call by design), but
+    * repeated calls in one session must not accumulate index copies.
+    */
+  private def scratchIndexPath(s: SparkSession, name: String, dir: String): String = {
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+      s"graft_${name}_" + s.sparkContext.applicationId + "_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
     val hp = new org.apache.hadoop.fs.Path(path)
     hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    path
+  }
+
+  def v07IvfIndex(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = scratchIndexPath(s, "ivf_index", dir)
     Ann.buildIvfIndex(
       e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"), path, nlist = 8)
     Ann.queryIvfIndex(
@@ -316,6 +326,34 @@ object VectorQueries {
 
   val v07Oracle: String = selfVerifyingKnnOracle("v07_ivf_index", k = 5)
 
+  /** Incremental-maintenance round trip ([[Ann.buildIvfIndex]] →
+    * [[Ann.addToIvfIndex]] → [[Ann.queryIvfIndex]]): the index is built
+    * from the even-id half of the base, the odd-id half is APPENDED
+    * with the persisted codebook (no re-fit), and the query runs
+    * against the extended index — the grows-1%-a-day deployment of
+    * v07. Same oracle contract: every reported score proven bit-exact,
+    * rank consistency per query, coverage sentinel over ALL of
+    * vec_id < 10 (so a query that can only be answered by appended
+    * rows still must appear).
+    */
+  def v08IvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = scratchIndexPath(s, "ivf_append", dir)
+    Ann.buildIvfIndex(
+      e.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), path, nlist = 8)
+    Ann.addToIvfIndex(
+      s, path,
+      e.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"))
+    Ann.queryIvfIndex(
+      s, path, e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 5, nprobe = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  val v08Oracle: String = selfVerifyingKnnOracle("v08_ivf_append", k = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_bruteforce" -> (v01KnnBruteForce _),
     "v02_label_stats" -> (v02LabelStats _),
@@ -323,7 +361,8 @@ object VectorQueries {
     "v04_embedding_neardup" -> (v04EmbeddingNeardup _),
     "v05_knn_ivf" -> (v05KnnIvf _),
     "v06_neardup_lsh" -> (v06NeardupLsh _),
-    "v07_ivf_index" -> (v07IvfIndex _)
+    "v07_ivf_index" -> (v07IvfIndex _),
+    "v08_ivf_append" -> (v08IvfAppend _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -333,6 +372,7 @@ object VectorQueries {
     "v04_embedding_neardup" -> v04Oracle,
     "v05_knn_ivf" -> v05Oracle,
     "v06_neardup_lsh" -> v06Oracle,
-    "v07_ivf_index" -> v07Oracle
+    "v07_ivf_index" -> v07Oracle,
+    "v08_ivf_append" -> v08Oracle
   )
 }
