@@ -56,8 +56,21 @@ object Compact {
     val old = new Path(p.getParent, p.getName + "__compact_old")
     fs.delete(tmp, true)
     fs.delete(old, true)
-    spark.read.parquet(p.toString).repartition(n)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val src = spark.read.parquet(p.toString)
+    val nSrc = src.count()
+    src.repartition(n).write.mode("overwrite").parquet(tmp.toString)
+    // row-count gate BEFORE the swap: a silently lossy rewrite (e.g.
+    // ignoreCorruptFiles=true eating a bad file, or a reader quirk)
+    // must abort with the original untouched — compaction is the one
+    // operator here that deletes data, so it must prove the replacement
+    // first. Both counts are parquet metadata-weight, cheap next to the
+    // rewrite itself.
+    val nTmp = spark.read.parquet(tmp.toString).count()
+    if (nTmp != nSrc) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compaction of $path would lose rows ($nSrc read, $nTmp rewritten) — aborted, original untouched")
+    }
     val after = fs.listStatus(tmp).count(isData)
     // two-rename swap: the original is parked, never deleted before the
     // replacement is in place
@@ -65,5 +78,45 @@ object Compact {
     require(fs.rename(tmp, p), s"could not swap in compacted data for $path")
     fs.delete(old, true)
     CompactStats(parts.length, bytes, after)
+  }
+
+  /** Compact every LEAF directory of a partitioned parquet lake — the
+    * operational common case ([[compact]] handles one flat dir). Walks
+    * `root` recursively: a directory holding data files and no
+    * subdirectories is a leaf and is compacted in place, so the
+    * partition columns (encoded in the `k=v` directory names, absent
+    * from the files) survive untouched. Leaves are processed
+    * sequentially — each leaf's rewrite is already a full-width
+    * distributed job, so leaf-level parallelism would just contend.
+    *
+    * Returns (leafPath, stats) per compacted leaf; empty-leaf or
+    * mixed-content dirs (files AND subdirs — not a partitioned layout)
+    * fail loudly rather than guessing.
+    */
+  def compactPartitioned(
+      spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024): Seq[(String, CompactStats)] = {
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.getFileStatus(rp).isDirectory, s"$root is not a directory")
+    def leaves(dir: Path): Seq[Path] = {
+      val listing = fs.listStatus(dir)
+      val subdirs = listing.filter(_.isDirectory)
+        // a parked dir from a previous crashed swap is not a partition
+        .filterNot(d => d.getPath.getName.endsWith("__compact_tmp") ||
+          d.getPath.getName.endsWith("__compact_old"))
+      val data = listing.filter(isData)
+      if (subdirs.isEmpty) {
+        if (data.nonEmpty) Seq(dir) else Seq.empty // metadata-only dir: skip
+      } else {
+        require(data.isEmpty,
+          s"$dir holds both data files and subdirectories — not a partitioned layout; " +
+            "compact it explicitly with compact()")
+        subdirs.toSeq.flatMap(d => leaves(d.getPath))
+      }
+    }
+    val targets = leaves(rp)
+    require(targets.nonEmpty, s"no data leaves to compact under $root")
+    targets.map(l => l.toString -> compact(spark, l.toString, targetBytes))
   }
 }

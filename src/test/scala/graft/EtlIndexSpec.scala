@@ -295,4 +295,38 @@ class EtlIndexSpec extends SparkSpecBase {
     assert(e.getMessage.contains("subdirectories"), e.getMessage)
     intercept[IllegalArgumentException](Compact.compact(spark, dir, targetBytes = 0))
   }
+
+  test("compactPartitioned: leaf dirs merge, partition columns survive") {
+    import graft.etl.Compact
+    val root = tmp("fcompactpart") + "/lake"
+    val src = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("d", substring(col("event_type"), 1, 1))
+    // two-level partitioning, several small files per leaf
+    src.withColumn("u", (col("user_id") % 2).cast("int"))
+      .repartition(6)
+      .write.partitionBy("d", "u").parquet(root)
+    // EAGER content fingerprint: a lazy `before` frame would re-list the
+    // (deleted) old files after the swap and fail the read
+    def fp() = {
+      val df = spark.read.parquet(root)
+      // bit_xor, not sum: order-independent AND overflow-free under ANSI
+      df.select(xxhash64(struct(df.columns.sorted.map(col): _*)).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).head()
+    }
+    val beforeFp = fp()
+    val beforeParts = spark.read.parquet(root).select("d", "u").distinct().count()
+    val stats = Compact.compactPartitioned(spark, root, targetBytes = 1L << 30)
+    assert(stats.nonEmpty, "no leaves compacted")
+    assert(stats.forall(_._2.filesAfter == 1), s"leaves not fully merged: $stats")
+    assert(stats.exists(_._2.filesBefore > 1), s"fixture had no small files: $stats")
+    // every leaf path is a k=v partition directory two levels down
+    assert(stats.forall(_._1.matches(".*\\bd=[^/]+/u=[^/]+$")), s"unexpected leaves: $stats")
+    assert(fp() == beforeFp, "partitioned compaction changed the data")
+    assert(spark.read.parquet(root).select("d", "u").distinct().count() == beforeParts,
+      "partition column values did not survive")
+    // root itself still has no stray files, only partition dirs
+    val rootFiles = new java.io.File(root).listFiles().filter(_.isFile).map(_.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    assert(rootFiles.isEmpty, s"stray files at root: ${rootFiles.toSeq}")
+  }
 }
