@@ -438,13 +438,22 @@ object Dedup {
     * Two passes over the input, zero state: pass 1 aggregates segment
     * frequencies (map-side combinable — the hot boilerplate keys are
     * exactly the ones partial aggregation absorbs); pass 2 marks each
-    * occurrence via a SALTED left join against the frequent-key set.
-    * The salt matters at scale: every key in that set is hot by
-    * construction (> maxFreq occurrences — web boilerplate reaches 10^8
-    * copies), so a plain shuffle join would send all copies of each
-    * frequent segment to one reducer. Salting replicates the (small —
-    * ≤ totalSegments/maxFreq keys) frequent side `saltBuckets`× and
-    * spreads each hot key over that many tasks ([[ScaleJoins.saltedJoin]]).
+    * occurrence via a left join against the frequent-key set. Every key
+    * in that set is hot by construction (> maxFreq occurrences — web
+    * boilerplate reaches 10^8 copies), so a plain shuffle join would
+    * send all copies of each frequent segment to one reducer; the join
+    * is therefore SALTED by default ([[ScaleJoins.saltedJoin]]), which
+    * replicates the frequent side `saltBuckets`×. NOTE the frequent
+    * side's size bound, ≤ totalSegments/maxFreq keys, is only tight for
+    * LARGE maxFreq: at maxFreq=2 it can approach half of all distinct
+    * segments, and the saltBuckets× replication of that set is a real
+    * shuffle cost — the deliberate price of spreading the hot keys.
+    * When the frequent set is KNOWN small (a ratio threshold bounds it
+    * by construction — see [[stripFrequentSegmentsByRatio]] — or a
+    * profile run measured it), pass `broadcastFrequent = true`: the
+    * mark join becomes a broadcast-hash join with no replication and no
+    * shuffle at all.
+    *
     * Docs whose every segment is boilerplate survive with n_kept = 0 and
     * clean_text "" (left join, not anti). Null segment ELEMENTS are
     * dropped before counting (a null can't join the frequency table, so
@@ -460,16 +469,72 @@ object Dedup {
       id: Column,
       segments: Column,
       maxFreq: Long,
-      saltBuckets: Int = 16): DataFrame = {
+      saltBuckets: Int = 16,
+      broadcastFrequent: Boolean = false): DataFrame = {
     require(maxFreq >= 1, s"maxFreq must be >= 1, got $maxFreq")
-    val occ = df.select(id.as("doc_id"), posexplode(segments).as(Seq("pos", "seg")))
-      .filter(col("seg").isNotNull)
-      .withColumn("seg_h", Hashing.h60(Text.normalize(col("seg"))))
+    val occ = segmentOccurrences(df, id, segments)
     val frequent = occ.groupBy("seg_h").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxFreq)
       .select(col("seg_h"), lit(true).as("__freq"))
-    ScaleJoins.saltedJoin(
-      occ, frequent, "seg_h", struct(col("doc_id"), col("pos")), saltBuckets, "left")
+    reassembleUnmarked(occ, frequent, saltBuckets, broadcastFrequent)
+  }
+
+  /** [[stripFrequentSegments]] with the threshold as a DOCUMENT-
+    * FREQUENCY RATIO — the CCNet-style definition: a segment is
+    * boilerplate when it appears in more than `maxDocFreqRatio` of all
+    * documents (distinct-doc count, so a segment repeated inside ONE
+    * doc is not corpus boilerplate). An absolute count means different
+    * things at sf0.01 and at 100 TB; the ratio form is scale-invariant,
+    * which is why it is the primary knob and the absolute form is the
+    * low-level one.
+    *
+    * The frequent set is bounded BY CONSTRUCTION: segments in more than
+    * r·N of N docs number fewer than avgSegmentsPerDoc / r — at any
+    * corpus size, a broadcastable set for real-world ratios (r ≥ 10⁻⁴
+    * with ~10³ segments/doc → ≤ 10⁷ keys of 8 bytes) — so the mark join
+    * BROADCASTS by default; pass `broadcastFrequent = false` to fall
+    * back to the salted shuffle join for adversarially small ratios.
+    */
+  def stripFrequentSegmentsByRatio(
+      df: DataFrame,
+      id: Column,
+      segments: Column,
+      maxDocFreqRatio: Double,
+      saltBuckets: Int = 16,
+      broadcastFrequent: Boolean = true): DataFrame = {
+    require(maxDocFreqRatio > 0.0 && maxDocFreqRatio < 1.0,
+      s"maxDocFreqRatio must be in (0, 1), got $maxDocFreqRatio")
+    val occ = segmentOccurrences(df, id, segments)
+    // total = docs with >= 1 non-null segment (the occ universe, same
+    // denominator the oracle replays); a 1-row broadcast, not a collect
+    val total = occ.select(countDistinct(col("doc_id")).as("__total"))
+    val frequent = occ.groupBy("seg_h").agg(countDistinct(col("doc_id")).as("__nd"))
+      .crossJoin(broadcast(total))
+      .filter(col("__nd") > col("__total") * maxDocFreqRatio)
+      .select(col("seg_h"), lit(true).as("__freq"))
+    reassembleUnmarked(occ, frequent, saltBuckets, broadcastFrequent)
+  }
+
+  /** (doc_id, pos, seg, seg_h) occurrence stream shared by the strip
+    * variants — one owner for the null-element and normalization rules.
+    */
+  private def segmentOccurrences(df: DataFrame, id: Column, segments: Column): DataFrame =
+    df.select(id.as("doc_id"), posexplode(segments).as(Seq("pos", "seg")))
+      .filter(col("seg").isNotNull)
+      .withColumn("seg_h", Hashing.h60(Text.normalize(col("seg"))))
+
+  /** Mark occurrences against the frequent-key set (salted or broadcast
+    * left join) and reassemble each doc from its unmarked segments in
+    * original order.
+    */
+  private def reassembleUnmarked(
+      occ: DataFrame, frequent: DataFrame,
+      saltBuckets: Int, broadcastFrequent: Boolean): DataFrame = {
+    val marked =
+      if (broadcastFrequent) occ.join(broadcast(frequent), Seq("seg_h"), "left")
+      else ScaleJoins.saltedJoin(
+        occ, frequent, "seg_h", struct(col("doc_id"), col("pos")), saltBuckets, "left")
+    marked
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_segments"),

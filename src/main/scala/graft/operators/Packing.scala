@@ -40,6 +40,20 @@ object Packing {
     * Returns one row per input doc: doc_id, n_tokens, bucket, shard,
     * start_tok (token offset of the doc within its bucket's stream).
     */
+  /** The "size nBuckets to the cluster" contract, enforced as a
+    * warning: the pack window runs ONE task per bucket, so nBuckets far
+    * below the session's shuffle width leaves most of the cluster idle
+    * through the heaviest stage. Pure so the spec can pin the boundary.
+    */
+  private[graft] def bucketSizingWarning(
+      nBuckets: Int, shufflePartitions: Int): Option[String] =
+    if (nBuckets < shufflePartitions / 4)
+      Some(s"packShards nBuckets=$nBuckets is far below the session's shuffle " +
+        s"parallelism ($shufflePartitions): the pack stage runs one task per bucket, " +
+        "so most of the cluster idles — size nBuckets to the cluster " +
+        "(thousands at 100 TB), not to the shard count")
+    else None
+
   def packShards(
       df: DataFrame,
       id: Column,
@@ -49,6 +63,9 @@ object Packing {
       salt: String): DataFrame = {
     require(budget > 0, s"shard token budget must be positive, got $budget")
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    bucketSizingWarning(
+      nBuckets, df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .foreach(org.slf4j.LoggerFactory.getLogger(getClass).warn(_))
     val key = Hashing.h60(concat(lit(salt + ":"), id.cast("string")))
     // doc_id tiebreak: h60 collisions must not make the order ambiguous
     val w = Window.partitionBy("bucket").orderBy(col("__key"), col("doc_id"))
@@ -59,5 +76,60 @@ object Packing {
       .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("shard", floor(col("start_tok") / budget))
       .drop("__key")
+  }
+
+  /** Write the packed corpus as ONE artifact per (bucket, shard) — the
+    * actual tail of a training-data pipeline ([[packShards]] only
+    * assigns; this materializes). The reference's export walks docs to
+    * files in a caller-chosen order
+    * (/root/reference/src/file_indexing_system.py:436-489, write
+    * dispatch /root/reference/src/etl.py:157-176); here the layout is
+    * `path/bucket=B/shard=S/` with exactly one file per leaf and the
+    * docs INSIDE each file in pack order (start_tok) — intra-shard
+    * order is part of the training recipe, and Spark guarantees no
+    * write order without an explicit sort contract, so this sink owns
+    * it:
+    *
+    *  - `repartition(bucket, shard)` puts every (bucket, shard) group
+    *    wholly inside one task → one output file per leaf directory;
+    *  - `sortWithinPartitions(bucket, shard, start_tok, doc_id)` fixes
+    *    the row order inside each file. Its (bucket, shard) prefix is
+    *    exactly the ordering the dynamic-partition writer would sort by
+    *    anyway, so no second sort sneaks in to disturb it.
+    *
+    * Both the placement hash and the order key are deterministic
+    * functions of (salt, doc_id), so two runs over the same input
+    * produce identical files — retry/rerun-stable like [[packShards]].
+    *
+    * `payload` columns (doc text, metadata) are joined back by doc id
+    * AFTER the narrow pack pass: the wide rows shuffle once into
+    * placement instead of dragging through the pack window's sort.
+    * Docs with null token counts have no shard (see [[packShards]]) and
+    * land in the writer's null partition (`shard=__HIVE_DEFAULT...`) —
+    * visible quarantine, never a silently shifted boundary.
+    *
+    * `format`: "parquet" (default) or "json" (one JSON doc per line —
+    * the jsonl shape).
+    */
+  def writeShards(
+      df: DataFrame,
+      id: Column,
+      tokens: Column,
+      budget: Long,
+      nBuckets: Int,
+      salt: String,
+      path: String,
+      payload: Seq[Column] = Nil,
+      format: String = "parquet"): Unit = {
+    require(Set("parquet", "json").contains(format),
+      s"writeShards supports parquet/json, got $format")
+    val assigned = packShards(df, id, tokens, budget, nBuckets, salt)
+    val full =
+      if (payload.isEmpty) assigned
+      else assigned.join(df.select((id.as("doc_id") +: payload): _*), "doc_id")
+    full
+      .repartition(col("bucket"), col("shard"))
+      .sortWithinPartitions(col("bucket"), col("shard"), col("start_tok"), col("doc_id"))
+      .write.partitionBy("bucket", "shard").mode("overwrite").format(format).save(path)
   }
 }

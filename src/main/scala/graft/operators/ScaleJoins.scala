@@ -40,6 +40,33 @@ object ScaleJoins {
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Propose a [[saltedJoin]] bucket count from the OBSERVED hot-key
+    * share of the fact side, instead of a caller guess — the same
+    * sizing logic AQE applies to skew splits: a key carrying share `p`
+    * of the rows floods one reducer unless split ~`p × parallelism`
+    * ways, at which point its splits shrink to the average partition.
+    *
+    * The histogram comes from a BOUNDED prefix sample (`limit`, default
+    * 100k rows — one narrow scan that early-exits); heavy hitters at
+    * the salting-relevant scale (percents of the corpus) are visible in
+    * any such sample, and the estimate only steers a knob, not
+    * correctness. Returns a value in [1, shuffle parallelism]; 1 means
+    * "no salting needed" (uniform keys).
+    */
+  def suggestSaltBuckets(
+      fact: DataFrame, key: String, sampleRows: Int = 100000): Int = {
+    val par = fact.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val r = fact.select(col(key)).limit(sampleRows)
+      .groupBy(key).agg(count(lit(1)).as("__n"))
+      .agg(max("__n").as("hot"), sum("__n").as("total"))
+      .head()
+    if (r.isNullAt(1) || r.getLong(1) == 0L) 1
+    else {
+      val share = r.getLong(0).toDouble / r.getLong(1)
+      math.max(1, math.min(par, math.ceil(share * par).toInt))
+    }
+  }
+
   /** Write a table bucketed+sorted by `key` — subsequent equi-joins
     * between tables sharing this layout plan without an Exchange.
     */

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -205,20 +205,50 @@ object CurationQueries {
     * more than twice corpus-wide is stripped; clean_fp proves the
     * reassembled text byte-for-byte.
     */
-  def c05BoilerplateStrip(s: SparkSession, dir: String): DataFrame = {
+  /** The disjoint `SegW`-token-window segmentation shared by c05/c05b
+    * (single owner, like its oracle twin in [[c05OracleWith]]).
+    */
+  private def segmented(s: SparkSession, dir: String): (DataFrame, Column) = {
     val toks = Text.tokens(Text.normalize(col("text")))
     val d = docs(s, dir).withColumn("__toks", toks)
     val segs = when(size(col("__toks")) === 0, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0L), floor((size(col("__toks")) - lit(1)) / lit(SegW))),
         i => array_join(slice(col("__toks"), (i * SegW + 1).cast("int"), lit(SegW)), " ")))
+    (d, segs)
+  }
+
+  def c05BoilerplateStrip(s: SparkSession, dir: String): DataFrame = {
+    val (d, segs) = segmented(s, dir)
     graft.operators.Dedup.stripFrequentSegments(d, col("doc_id"), segs, maxFreq = 2)
       .select(col("doc_id"), col("n_segments"), col("n_kept"),
         md5(col("clean_text")).as("clean_fp"))
       .orderBy("doc_id")
   }
 
-  val c05Oracle: String = {
+  /** The ratio-thresholded strip
+    * ([[graft.operators.Dedup.stripFrequentSegmentsByRatio]]): a segment
+    * is boilerplate when it appears in more than 0.4% of all documents —
+    * the scale-invariant CCNet-style knob (an absolute count means
+    * something different at sf0.01 and at 100 TB). Distinct-DOC
+    * frequency, not occurrence count, and the mark join BROADCASTS (the
+    * ratio bounds the frequent set by construction). Same byte-proving
+    * clean_fp contract as c05.
+    */
+  def c05bBoilerplateRatio(s: SparkSession, dir: String): DataFrame = {
+    val (d, segs) = segmented(s, dir)
+    graft.operators.Dedup.stripFrequentSegmentsByRatio(
+      d, col("doc_id"), segs, maxDocFreqRatio = 0.004)
+      .select(col("doc_id"), col("n_segments"), col("n_kept"),
+        md5(col("clean_text")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of the strip pipeline, parameterized by the
+    * frequent-set HAVING clause — single owner for the c05 (absolute
+    * occurrence count) and c05b (distinct-doc ratio) oracles.
+    */
+  private def c05OracleWith(freqHaving: String): String = {
     val h = DuckOracle.h60("seg")
     s"""WITH t AS (
        |  SELECT doc_id, $duckToksNorm AS toks FROM documents
@@ -232,7 +262,7 @@ object CurationQueries {
        |), keyed AS (
        |  SELECT doc_id, pos, seg, $h AS seg_h FROM occ
        |), freq AS (
-       |  SELECT seg_h FROM keyed GROUP BY seg_h HAVING COUNT(*) > 2
+       |  SELECT seg_h FROM keyed GROUP BY seg_h HAVING $freqHaving
        |)
        |SELECT k.doc_id AS doc_id,
        |  COUNT(*) AS n_segments,
@@ -241,6 +271,15 @@ object CurationQueries {
        |FROM keyed k LEFT JOIN freq f ON k.seg_h = f.seg_h
        |GROUP BY k.doc_id ORDER BY doc_id""".stripMargin
   }
+
+  val c05Oracle: String = c05OracleWith("COUNT(*) > 2")
+
+  /** Same ratio arithmetic as the operator: distinct-doc count compared
+    * against total-docs × ratio in double — identical products in both
+    * engines, so the gate stays bit-exact.
+    */
+  val c05bOracle: String = c05OracleWith(
+    "COUNT(DISTINCT doc_id) > (SELECT COUNT(DISTINCT doc_id) FROM keyed) * 0.004")
 
   /** Deterministic shuffle + token-budget shard packing rollup
     * ([[graft.operators.Packing.packShards]]): the "write training
@@ -260,23 +299,73 @@ object CurationQueries {
         max("doc_id").as("last_doc"))
       .orderBy("bucket", "shard")
 
-  val c06Oracle: String = {
-    val h = DuckOracle.h60("'pack1:' || CAST(doc_id AS VARCHAR)")
-    s"""WITH t AS (
+  /** DuckDB twin of the [[graft.operators.Packing.packShards]]
+    * assignment (t → p CTEs over `documents`): single owner for the
+    * c06 rollup and c09 shard-file oracles.
+    */
+  private def duckPackCte(salt: String, nBuckets: Int): String = {
+    val h = DuckOracle.h60(s"'$salt:' || CAST(doc_id AS VARCHAR)")
+    s"""t AS (
        |  SELECT doc_id,
        |    CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0 ELSE len($duckToksRaw) END AS n_tokens,
        |    $h AS key
        |  FROM documents
        |), p AS (
-       |  SELECT doc_id, n_tokens, key % 8 AS bucket,
-       |    CAST(SUM(n_tokens) OVER (PARTITION BY key % 8 ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_tok
+       |  SELECT doc_id, n_tokens, key % $nBuckets AS bucket,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY key % $nBuckets ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_tok
        |  FROM t
-       |)
+       |)""".stripMargin
+  }
+
+  val c06Oracle: String =
+    s"""WITH ${duckPackCte("pack1", 8)}
        |SELECT bucket, CAST(floor(start_tok / 512.0) AS BIGINT) AS shard,
        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM p GROUP BY bucket, shard ORDER BY bucket, shard""".stripMargin
+
+  /** The shard-writer sink round trip
+    * ([[graft.operators.Packing.writeShards]]): pack, WRITE one file
+    * per (bucket, shard), then report each shard from the FILES — doc
+    * count, token mass, file count (the one-artifact contract: oracle
+    * pins it to literal 1), and a fingerprint of the doc ids in pack
+    * order. The oracle replays the pack assignment and aggregates the
+    * same fingerprint, so a shard file with a missing, foreign, or
+    * misplaced doc hash-mismatches.
+    */
+  def c09ShardWrite(s: SparkSession, dir: String): DataFrame = {
+    // per-session scratch (applicationId): concurrent runs must not
+    // overwrite each other's shards mid-read; wiped per call because
+    // the query IS the write+read round trip
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_shards_" + s.sparkContext.applicationId + "_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val hp = new org.apache.hadoop.fs.Path(out)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    graft.operators.Packing.writeShards(
+      docs(s, dir), col("doc_id"), Text.tokenCount(col("text")),
+      budget = 512L, nBuckets = 8, salt = "pack1", path = out,
+      payload = Seq(col("lang"), col("text")))
+    s.read.parquet(out)
+      .groupBy(col("bucket").cast("long").as("bucket"), col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("shard_tokens"),
+        countDistinct(col("_metadata.file_path")).as("n_files"),
+        md5(concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("start_tok"), col("doc_id")))),
+            x => x("doc_id").cast("string")))).as("order_fp"))
+      .orderBy("bucket", "shard")
   }
+
+  val c09Oracle: String =
+    s"""WITH ${duckPackCte("pack1", 8)}
+       |SELECT bucket, CAST(floor(start_tok / 512.0) AS BIGINT) AS shard,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       |  CAST(1 AS BIGINT) AS n_files,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY start_tok, doc_id)) AS order_fp
+       |FROM p GROUP BY bucket, shard ORDER BY bucket, shard""".stripMargin
 
   /** Length-distribution profile per source: exact token-count
     * percentiles (ordered-set aggregate) — the "where do I cut long/short
@@ -406,9 +495,11 @@ object CurationQueries {
     "c03_decontamination" -> (c03Decontamination _),
     "c04_sample_mix" -> (c04SampleMix _),
     "c05_boilerplate_strip" -> (c05BoilerplateStrip _),
+    "c05b_boilerplate_ratio" -> (c05bBoilerplateRatio _),
     "c06_shard_pack" -> (c06ShardPack _),
     "c07_length_profile" -> (c07LengthProfile _),
-    "c08_full_recipe" -> (c08FullRecipe _)
+    "c08_full_recipe" -> (c08FullRecipe _),
+    "c09_shard_write" -> (c09ShardWrite _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -417,8 +508,10 @@ object CurationQueries {
     "c03_decontamination" -> c03Oracle,
     "c04_sample_mix" -> c04Oracle,
     "c05_boilerplate_strip" -> c05Oracle,
+    "c05b_boilerplate_ratio" -> c05bOracle,
     "c06_shard_pack" -> c06Oracle,
     "c07_length_profile" -> c07Oracle,
-    "c08_full_recipe" -> c08Oracle
+    "c08_full_recipe" -> c08Oracle,
+    "c09_shard_write" -> c09Oracle
   )
 }

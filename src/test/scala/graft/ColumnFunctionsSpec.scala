@@ -179,6 +179,47 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(a.nonEmpty)
   }
 
+  test("IVF index: incremental add equals build-all under the same codebook") {
+    // build(even) + add(odd) must equal build(all, fitOn=even): the add
+    // path assigns with the PERSISTED double codebook, so with the
+    // quantizer trained on the same rows the two indexes hold identical
+    // cells and answer queries identically — the no-re-fit contract.
+    val dim = 16
+    def vec(cluster: Int, j: Int): Array[Float] = {
+      val a = new Array[Float](dim)
+      a(cluster * 2) = 1.0f
+      a(cluster * 2 + 1) = 0.5f
+      a((cluster + j) % dim) = a((cluster + j) % dim) + 0.05f * ((j % 5) + 1)
+      a
+    }
+    val rows = for (c <- 0 until 8; j <- 0 until 25) yield (c.toLong * 100 + j, vec(c, j))
+    val df = rows.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") % 100 >= 5)
+    val qs = df.filter(col("vec_id") % 100 < 5)
+    val even = base.filter(col("vec_id") % 2 === 0)
+    val odd = base.filter(col("vec_id") % 2 === 1)
+    val pInc = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    val pAll = java.nio.file.Files.createTempDirectory("graft_ivf_all").toString
+    graft.operators.Ann.buildIvfIndex(even, col("vec_id"), col("embedding"), pInc, nlist = 8)
+    graft.operators.Ann.addToIvfIndex(spark, pInc, odd, col("vec_id"), col("embedding"))
+    graft.operators.Ann.buildIvfIndex(
+      base, col("vec_id"), col("embedding"), pAll, nlist = 8, fitOn = Some(even))
+    def res(p: String) = graft.operators.Ann.queryIvfIndex(
+      spark, p, qs, col("vec_id"), col("embedding"), k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val inc = res(pInc)
+    val all = res(pAll)
+    assert(inc == all,
+      s"incremental index diverged from build-all:\n  only inc: ${inc -- all}\n  only all: ${all -- inc}")
+    assert(inc.exists(_._2 % 2 == 1), "no appended (odd-id) row is reachable via the query path")
+    // occupancy sidecar refreshed by the add: members must equal the
+    // scoreable row count of the EXTENDED base, not the initial build
+    val members = spark.read.parquet(s"$pInc/codebook")
+      .agg(org.apache.spark.sql.functions.sum("members")).head.getLong(0)
+    assert(members == base.count(),
+      s"occupancy sidecar stale after add: $members members vs ${base.count()} base rows")
+  }
+
   test("IVF ANN: every valid query returns candidates, even with dead cells") {
     // duplicate-heavy base: Lloyd empties most cells (all mass on one
     // point), leaving dead/coincident centroids. With nprobe=1 a query
@@ -460,6 +501,41 @@ class ColumnFunctionsSpec extends SparkSpecBase {
       r7.getString(3) == "real content\nmore content")
   }
 
+  test("stripFrequentSegmentsByRatio: distinct-doc threshold, broadcast/salted parity") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, Seq("intro one", "SUBSCRIBE   now", "body alpha")),
+      (2L, Seq("subscribe now", "body beta")),
+      (3L, Seq("body gamma", "subscribe  NOW", "subscribe now")),
+      (4L, Seq("subscribe now"))
+    ).toDF("doc_id", "segs")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // "subscribe now" is in 4 of 4 docs (doc 3 twice — still ONE doc)
+    // → stripped at any ratio < 1; every other segment is in 1 of 4
+    val got = collect(Dedup.stripFrequentSegmentsByRatio(
+      docs, col("doc_id"), col("segs"), maxDocFreqRatio = 0.9))
+    assert(got(1L) == ((3L, 2L, "intro one\nbody alpha")))
+    assert(got(3L) == ((3L, 1L, "body gamma")))
+    assert(got(4L) == ((1L, 0L, "")))
+    // distinct-doc semantics: a segment repeated INSIDE one doc is not
+    // corpus boilerplate — 1 of 2 docs = 0.5, not > 0.6 → kept, where
+    // the absolute form (3 occurrences > 2) would strip it
+    val oneDoc = Seq((1L, Seq("x y", "x y", "x y")), (2L, Seq("z"))).toDF("doc_id", "segs")
+    val byRatio = collect(Dedup.stripFrequentSegmentsByRatio(
+      oneDoc, col("doc_id"), col("segs"), maxDocFreqRatio = 0.6))
+    assert(byRatio(1L) == ((3L, 3L, "x y\nx y\nx y")), s"got ${byRatio(1L)}")
+    val byCount = collect(Dedup.stripFrequentSegments(
+      oneDoc, col("doc_id"), col("segs"), maxFreq = 2))
+    assert(byCount(1L) == ((3L, 0L, "")), s"got ${byCount(1L)}")
+    // the broadcast and salted mark joins are the same operator
+    val salted = collect(Dedup.stripFrequentSegmentsByRatio(
+      docs, col("doc_id"), col("segs"), maxDocFreqRatio = 0.9, broadcastFrequent = false))
+    assert(salted == got, "broadcast and salted paths diverged")
+    intercept[IllegalArgumentException](Dedup.stripFrequentSegmentsByRatio(
+      docs, col("doc_id"), col("segs"), maxDocFreqRatio = 1.0))
+  }
+
   test("packShards: exact prefix-sum shards vs an in-memory replay; deterministic") {
     import graft.operators.Packing
     def h60(s: String): Long = {
@@ -528,6 +604,90 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
     assert(res.passed, s"stripFrequentSegments replay parity: ${res.status}")
+  }
+
+  test("packShards bucket warning boundary; saltedJoin buckets sized from observed skew") {
+    import graft.operators.{Packing, ScaleJoins}
+    // warning fires strictly below parallelism/4 — the documented
+    // "size nBuckets to the cluster" contract, enforced
+    assert(Packing.bucketSizingWarning(2, 32).isDefined)
+    assert(Packing.bucketSizingWarning(7, 32).isDefined)
+    assert(Packing.bucketSizingWarning(8, 32).isEmpty)
+    assert(Packing.bucketSizingWarning(4000, 32).isEmpty)
+    val par = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // one key carries 90% of the fact side → its share of the shuffle
+    // width, ~0.9*par buckets, is needed to spread it to average size
+    val skewed = spark.range(0, 1000).select(
+      when(col("id") < 900, lit("hot"))
+        .otherwise(concat(lit("k"), col("id"))).as("key"))
+    val s = ScaleJoins.suggestSaltBuckets(skewed, "key")
+    assert(s >= math.ceil(0.9 * par).toInt && s <= par,
+      s"skewed fixture suggested $s buckets (parallelism $par)")
+    // uniform keys need no salting
+    val uniform = spark.range(0, 1000).select(concat(lit("k"), col("id")).as("key"))
+    assert(ScaleJoins.suggestSaltBuckets(uniform, "key") == 1)
+    // empty fact: degenerate, no salting
+    assert(ScaleJoins.suggestSaltBuckets(uniform.filter(lit(false)), "key") == 1)
+  }
+
+  test("writeShards: one file per shard, pack order inside, byte-identical re-runs") {
+    import graft.operators.Packing
+    val df = spark.range(1, 301).select(
+      col("id").as("doc_id"),
+      (pmod(col("id"), lit(7)) + 1).as("toks"),
+      concat(lit("text-"), col("id")).as("body"))
+    def leafFiles(root: String): Map[String, java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new java.io.File(root))
+        .map(f => f.getParentFile.toString.stripPrefix(root) -> f).toMap
+    }
+    def md5(f: java.io.File): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(java.nio.file.Files.readAllBytes(f.toPath))
+        .map("%02x".format(_)).mkString
+    def run(): String = {
+      val out = java.nio.file.Files.createTempDirectory("graft_wshards").toString
+      Packing.writeShards(df, col("doc_id"), col("toks"),
+        budget = 40L, nBuckets = 4, salt = "w1", path = out,
+        payload = Seq(col("body")))
+      out
+    }
+    val out1 = run()
+    val files1 = leafFiles(out1)
+    assert(files1.nonEmpty && files1.size > 4, s"suspiciously few shards: ${files1.keys}")
+    // every (bucket, shard) leaf holds EXACTLY one data file (the map
+    // above would keep only the last per dir — recount directly)
+    for ((leaf, f) <- files1) {
+      val n = f.getParentFile.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"$leaf holds $n files, want 1")
+    }
+    // rows inside each file are in pack order, and payload survived
+    for ((leaf, f) <- files1) {
+      val rows = spark.read.parquet(f.toString)
+        .select("start_tok", "doc_id", "body").collect()
+      val toks = rows.map(_.getLong(0)).toSeq
+      assert(toks == toks.sorted, s"$leaf not in pack order: $toks")
+      assert(rows.forall(r => r.getString(2) == s"text-${r.getLong(1)}"), s"$leaf payload mangled")
+    }
+    // deterministic placement AND bytes: a re-run writes the same
+    // shards with the same contents (task-retry/rerun stability)
+    val out2 = run()
+    val files2 = leafFiles(out2)
+    assert(files1.keySet == files2.keySet, "shard layout changed across runs")
+    for (leaf <- files1.keySet)
+      assert(md5(files1(leaf)) == md5(files2(leaf)), s"$leaf bytes differ across runs")
+    // jsonl flavor: same layout, one .json file per leaf
+    val outJ = java.nio.file.Files.createTempDirectory("graft_wshards_j").toString
+    Packing.writeShards(df, col("doc_id"), col("toks"),
+      budget = 40L, nBuckets = 4, salt = "w1", path = outJ, format = "json")
+    val jLeaves = new java.io.File(outJ).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.isDirectory)
+    assert(jLeaves.nonEmpty &&
+      jLeaves.forall(_.listFiles().count(_.getName.endsWith(".json")) == 1))
+    intercept[IllegalArgumentException](Packing.writeShards(
+      df, col("doc_id"), col("toks"), 40L, 4, "w1", outJ, format = "csv"))
   }
 
   test("packShards: property — replay parity over random budgets/buckets/salts") {
