@@ -50,7 +50,7 @@ object Packing {
     if (nBuckets < shufflePartitions / 4)
       Some(s"packShards nBuckets=$nBuckets is far below the session's shuffle " +
         s"parallelism ($shufflePartitions): the pack stage runs one task per bucket, " +
-        "so most of the cluster idles — size nBuckets to the cluster " +
+        "so most of the cluster idles -- size nBuckets to the cluster " +
         "(thousands at 100 TB), not to the shard count")
     else None
 

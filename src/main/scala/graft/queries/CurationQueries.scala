@@ -342,9 +342,14 @@ object CurationQueries {
         dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
     val hp = new org.apache.hadoop.fs.Path(out)
     hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    // budget 4096 (not c06's 512): the shard count, not the shard size,
+    // drives this query's cost — at 512 the sf0.1 corpus fans out to
+    // ~560 tiny files, paying file-creation overhead that a real
+    // training shard (GBs, budget in the billions) never sees. The
+    // one-file/order/fingerprint contracts are scale-free.
     graft.operators.Packing.writeShards(
       docs(s, dir), col("doc_id"), Text.tokenCount(col("text")),
-      budget = 512L, nBuckets = 8, salt = "pack1", path = out,
+      budget = 4096L, nBuckets = 8, salt = "pack1", path = out,
       payload = Seq(col("lang"), col("text")))
     s.read.parquet(out)
       .groupBy(col("bucket").cast("long").as("bucket"), col("shard").cast("long").as("shard"))
@@ -361,7 +366,7 @@ object CurationQueries {
 
   val c09Oracle: String =
     s"""WITH ${duckPackCte("pack1", 8)}
-       |SELECT bucket, CAST(floor(start_tok / 512.0) AS BIGINT) AS shard,
+       |SELECT bucket, CAST(floor(start_tok / 4096.0) AS BIGINT) AS shard,
        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
        |  CAST(1 AS BIGINT) AS n_files,
        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY start_tok, doc_id)) AS order_fp
