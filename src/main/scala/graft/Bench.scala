@@ -49,7 +49,7 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    // per-query values are ROUNDED to 0.1 ms in the stdout line: the
+    // per-query values are ROUNDED to 1 ms in the stdout line: the
     // runner captures only a bounded stdout tail, and round 5's artifact
     // (BENCH_r05.json parsed:null) proved a full-precision 62-query line
     // can outgrow that window and get truncated mid-JSON. Rounding keeps
@@ -62,7 +62,7 @@ object Bench {
     // total (a failure must never shrink — i.e. improve — the headline
     // number) and surfaced in an explicit count
     val good = results.filter(_._2 >= 0.0)
-    val total = math.rint(good.map(_._2).sum * 10000) / 10000
+    val total = math.rint(good.map(_._2).sum * 1000) / 1000 // same 1 ms quantum
     val failed = results.size - good.size
     def metricLine(round: Boolean) =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":${qmap(round)},"sf":"${esc(sfDir)}"}"""

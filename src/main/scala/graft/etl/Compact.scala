@@ -37,23 +37,36 @@ object Compact {
   def compact(
       spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): CompactStats = {
-    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val p = new Path(path)
+    // siblings of the NORMALIZED path: string concat on a trailing-slash
+    // input would nest them inside the dataset and fail the swap after
+    // the full rewrite
+    compactDir(spark, p, targetBytes,
+      tmp = new Path(p.getParent, p.getName + "__compact_tmp"),
+      old = new Path(p.getParent, p.getName + "__compact_old"))
+  }
+
+  /** Rewrite `p` into `tmp`, gate, then swap via `old`. The swap dirs
+    * are CALLER-PLACED: flat [[compact]] puts them next to the dataset;
+    * [[compactPartitioned]] puts them OUTSIDE the lake root — a work
+    * dir next to a leaf would itself read as a partition directory
+    * (duplicated rows mid-rewrite, and a crash-parked `k=v__compact_old`
+    * would poison the inferred partition values forever).
+    */
+  private def compactDir(
+      spark: SparkSession, p: Path, targetBytes: Long,
+      tmp: Path, old: Path): CompactStats = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val listing = fs.listStatus(p)
     // subdir check FIRST: a partitionBy root holds only _SUCCESS plus
     // partition dirs, and the "no data files" message would mislead
     require(listing.forall(_.isFile),
-      s"$path has subdirectories — compact partition leaf dirs individually")
+      s"$p has subdirectories — compact partition leaf dirs individually")
     val parts = listing.filter(isData)
-    require(parts.nonEmpty, s"no data files to compact under $path")
+    require(parts.nonEmpty, s"no data files to compact under $p")
     val bytes = parts.map(_.getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    // siblings of the NORMALIZED path: string concat on a trailing-slash
-    // input would nest them inside the dataset and fail the swap after
-    // the full rewrite
-    val tmp = new Path(p.getParent, p.getName + "__compact_tmp")
-    val old = new Path(p.getParent, p.getName + "__compact_old")
     fs.delete(tmp, true)
     fs.delete(old, true)
     val src = spark.read.parquet(p.toString)
@@ -69,13 +82,15 @@ object Compact {
     if (nTmp != nSrc) {
       fs.delete(tmp, true)
       throw new IllegalStateException(
-        s"compaction of $path would lose rows ($nSrc read, $nTmp rewritten) — aborted, original untouched")
+        s"compaction of $p would lose rows ($nSrc read, $nTmp rewritten) — aborted, original untouched")
     }
     val after = fs.listStatus(tmp).count(isData)
     // two-rename swap: the original is parked, never deleted before the
     // replacement is in place
-    require(fs.rename(p, old), s"could not park $path")
-    require(fs.rename(tmp, p), s"could not swap in compacted data for $path")
+    val oldParent = old.getParent
+    if (oldParent != null) fs.mkdirs(oldParent)
+    require(fs.rename(p, old), s"could not park $p")
+    require(fs.rename(tmp, p), s"could not swap in compacted data for $p")
     fs.delete(old, true)
     CompactStats(parts.length, bytes, after)
   }
@@ -89,6 +104,15 @@ object Compact {
     * sequentially — each leaf's rewrite is already a full-width
     * distributed job, so leaf-level parallelism would just contend.
     *
+    * Swap/work directories live OUTSIDE the lake, as siblings of the
+    * ROOT (`<root>__compact_tmp/<relative-leaf>`, same for `_old`):
+    * inside the lake they would read as partition directories —
+    * duplicating the leaf mid-rewrite and, after a crash between the
+    * two swap renames, corrupting the partition values of the only
+    * surviving copy. A crash instead parks the leaf at
+    * `<root>__compact_old/<relative-leaf>` where no root read sees it;
+    * recover by renaming it back.
+    *
     * Returns (leafPath, stats) per compacted leaf; empty-leaf or
     * mixed-content dirs (files AND subdirs — not a partitioned layout)
     * fail loudly rather than guessing.
@@ -99,12 +123,14 @@ object Compact {
     val rp = new Path(root)
     val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.getFileStatus(rp).isDirectory, s"$root is not a directory")
+    val tmpRoot = new Path(rp.getParent, rp.getName + "__compact_tmp")
+    val oldRoot = new Path(rp.getParent, rp.getName + "__compact_old")
+    require(!fs.exists(oldRoot),
+      s"$oldRoot exists — a previous partitioned compaction crashed mid-swap; " +
+        "recover or remove its parked leaves first")
     def leaves(dir: Path): Seq[Path] = {
       val listing = fs.listStatus(dir)
       val subdirs = listing.filter(_.isDirectory)
-        // a parked dir from a previous crashed swap is not a partition
-        .filterNot(d => d.getPath.getName.endsWith("__compact_tmp") ||
-          d.getPath.getName.endsWith("__compact_old"))
       val data = listing.filter(isData)
       if (subdirs.isEmpty) {
         if (data.nonEmpty) Seq(dir) else Seq.empty // metadata-only dir: skip
@@ -117,6 +143,21 @@ object Compact {
     }
     val targets = leaves(rp)
     require(targets.nonEmpty, s"no data leaves to compact under $root")
-    targets.map(l => l.toString -> compact(spark, l.toString, targetBytes))
+    fs.delete(tmpRoot, true)
+    val rootUri = rp.toUri.getPath
+    val res =
+      try targets.map { l =>
+        val rel = l.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        l.toString -> compactDir(spark, l, targetBytes,
+          tmp = new Path(tmpRoot, rel), old = new Path(oldRoot, rel))
+      }
+      // tmp never holds the only copy — safe to clear on ANY failure.
+      // oldRoot is NOT touched here: if the swap-in rename failed it
+      // holds the parked original (the recovery copy).
+      finally fs.delete(tmpRoot, true)
+    // full success: every leaf swapped and its parked copy deleted by
+    // compactDir — oldRoot holds only empty parent dirs now
+    fs.delete(oldRoot, true)
+    res
   }
 }

@@ -179,18 +179,29 @@ object Ann {
         org.apache.spark.sql.GraftColumnShim.expression(emb),
         codebook.flatten, codebook.length, codebook(0).length))
 
-  /** Centroid frame (cell, centroid float array, c_nrm) for the probe
-    * side; float-cast ONCE here so the on-the-fly and persisted-index
-    * paths rank cells with bit-identical arithmetic.
+  /** (cell, centroid float array, centroid_d double array) — the ONE
+    * owner of the double→float centroid cast: probe ranking must be
+    * bit-identical between the on-the-fly and persisted-index paths,
+    * and assignment must be bit-identical between build and
+    * incremental add, so both precisions derive from the same codebook
+    * here and nowhere else.
     */
-  private def centroidFrame(
+  private def codebookFrame(
       spark: org.apache.spark.sql.SparkSession,
       codebook: Array[Array[Double]]): DataFrame = {
     import spark.implicits._
-    codebook.zipWithIndex.map { case (c, i) => (i, c.map(_.toFloat).toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .withColumn("c_nrm", Vectors.norm2(col("centroid")))
+    codebook.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat).toSeq, c.toSeq) }.toSeq
+      .toDF("cell", "centroid", "centroid_d")
   }
+
+  /** Probe-side view of [[codebookFrame]]: (cell, centroid, c_nrm). */
+  private def centroidFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      codebook: Array[Array[Double]]): DataFrame =
+    codebookFrame(spark, codebook)
+      .withColumn("c_nrm", Vectors.norm2(col("centroid")))
+      .select("cell", "centroid", "c_nrm")
 
   /** Valid (norm > 0) queries as (q_id, q_emb, qp_nrm). */
   private def validQueries(queries: DataFrame, qId: Column, qVec: Column): DataFrame =
@@ -253,7 +264,15 @@ object Ann {
       .filter(col("cell").isNotNull) // see knnIvf
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/base")
-    writeCodebookSidecar(base.sparkSession, path, codebook, atomicSwap = false)
+    // occupancy of SCOREABLE members from the WRITTEN files — at build
+    // time this re-read costs what the write just cost, and the stats
+    // provably describe the data on disk
+    val spark = base.sparkSession
+    val members = spark.read.parquet(s"$path/base")
+      .filter(col("b_nrm") > 0)
+      .groupBy("cell").agg(count(lit(1)).as("__m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // <= nlist rows
+    writeCodebookSidecar(spark, path, codebook, members, atomicSwap = false)
   }
 
   /** Incrementally extend a persisted [[buildIvfIndex]] index: assign
@@ -273,9 +292,10 @@ object Ann {
   def addToIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       rows: DataFrame, id: Column, vec: Column): Unit = {
-    // bounded collect: <= nlist codebook rows
+    // bounded collect: <= nlist codebook rows (double centroids for
+    // assignment parity AND the previous occupancy counts)
     val cbRows = spark.read.parquet(s"$path/codebook")
-      .select("cell", "centroid_d").collect()
+      .select("cell", "centroid_d", "members").collect()
     require(cbRows.nonEmpty, s"$path/codebook is empty -- not an IVF index")
     val byCell = cbRows.sortBy(_.getInt(0))
     require(
@@ -283,34 +303,42 @@ object Ann {
       s"$path/codebook cells are not dense 0..${byCell.length - 1} -- corrupt index")
     val codebook: Array[Array[Double]] =
       byCell.map(_.getSeq[Double](1).toArray)
-    rows.select(id.as("b_id"), vec.as("b_emb"))
+    val prevMembers = byCell.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val assigned = rows.select(id.as("b_id"), vec.as("b_emb"))
       .withColumn("cell", cellExpr(col("b_emb"), codebook))
       .filter(col("cell").isNotNull) // see knnIvf
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
-      .write.partitionBy("cell").mode("append").parquet(s"$path/base")
-    writeCodebookSidecar(spark, path, codebook, atomicSwap = true)
+    assigned.write.partitionBy("cell").mode("append").parquet(s"$path/base")
+    // occupancy delta from the INCREMENT only (one extra pass over the
+    // appended rows, <= nlist result rows) -- re-counting the whole
+    // base per add would cost a full-corpus scan per 1% increment,
+    // exactly what the growth path must avoid. No drift: the previous
+    // counts came from written files at build, and the write above is
+    // all-or-nothing (a failed job throws before the sidecar updates).
+    val delta = assigned
+      .filter(col("b_nrm") > 0)
+      .groupBy("cell").agg(count(lit(1)).as("__m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val members = codebook.indices
+      .map(c => c -> (prevMembers.getOrElse(c, 0L) + delta.getOrElse(c, 0L))).toMap
+    writeCodebookSidecar(spark, path, codebook, members, atomicSwap = true)
   }
 
-  /** Write the codebook sidecar with occupancy recomputed from the
-    * WRITTEN base files (stats can never drift from the data they
-    * describe). With `atomicSwap` the new sidecar lands in a sibling
-    * temp dir and replaces the old one with two renames.
+  /** Write the codebook sidecar (centroids in both precisions +
+    * occupancy, via [[codebookFrame]] — the single owner of the float
+    * cast). With `atomicSwap` the new sidecar lands in a sibling temp
+    * dir and replaces the old one with two renames.
     */
   private def writeCodebookSidecar(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      codebook: Array[Array[Double]], atomicSwap: Boolean): Unit = {
+      codebook: Array[Array[Double]], members: Map[Int, Long],
+      atomicSwap: Boolean): Unit = {
     import spark.implicits._
-    // occupancy of SCOREABLE members -- the liveness stat the query path
-    // needs
-    val occ = spark.read.parquet(s"$path/base")
-      .filter(col("b_nrm") > 0)
-      .groupBy("cell").agg(count(lit(1)).as("members"))
-    val cb = codebook.zipWithIndex
-      .map { case (c, i) => (i, c.map(_.toFloat).toSeq, c.toSeq) }.toSeq
-      .toDF("cell", "centroid", "centroid_d")
-      .join(occ, Seq("cell"), "left")
+    val mdf = members.toSeq.toDF("__cell", "__m")
+    val cb = codebookFrame(spark, codebook)
+      .join(mdf, col("cell") === col("__cell"), "left")
       .select(col("cell"), col("centroid"), col("centroid_d"),
-        coalesce(col("members"), lit(0L)).as("members"))
+        coalesce(col("__m"), lit(0L)).as("members"))
       .coalesce(1)
     val target = s"$path/codebook"
     if (!atomicSwap) {

@@ -46,18 +46,27 @@ object ScaleJoins {
     * of the rows floods one reducer unless split ~`p × parallelism`
     * ways, at which point its splits shrink to the average partition.
     *
-    * The histogram comes from a BOUNDED prefix sample (`limit`, default
-    * 100k rows — one narrow scan that early-exits); heavy hitters at
-    * the salting-relevant scale (percents of the corpus) are visible in
-    * any such sample, and the estimate only steers a knob, not
-    * correctness. Returns a value in [1, shuffle parallelism]; 1 means
-    * "no salting needed" (uniform keys).
+    * The histogram comes from a bounded PER-SPLIT prefix sample: the
+    * head of EVERY input partition (~sampleRows total across them), not
+    * one global `limit` — a global prefix reads a single split, and on
+    * key-clustered input (sorted/bucketed lakes, the common case) that
+    * split can hold only cold keys, hiding exactly the hot key this
+    * helper exists to find. A hot key at salting-relevant scale spans
+    * many splits by definition (one split is bounded by
+    * maxPartitionBytes), so every split's head sees it. The estimate
+    * steers a knob, not correctness. Returns a value in [1, shuffle
+    * parallelism]; 1 means "no salting needed" (uniform keys).
     */
   def suggestSaltBuckets(
       fact: DataFrame, key: String, sampleRows: Int = 100000): Int = {
-    val par = fact.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val r = fact.select(col(key)).limit(sampleRows)
-      .groupBy(key).agg(count(lit(1)).as("__n"))
+    val spark = fact.sparkSession
+    import spark.implicits._
+    val par = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keys = fact.select(col(key).cast("string")).as[String]
+    val nParts = math.max(1, keys.rdd.getNumPartitions)
+    val perPart = math.max(1, sampleRows / nParts)
+    val r = keys.mapPartitions(_.take(perPart))
+      .groupBy("value").agg(count(lit(1)).as("__n"))
       .agg(max("__n").as("hot"), sum("__n").as("total"))
       .head()
     if (r.isNullAt(1) || r.getLong(1) == 0L) 1

@@ -334,14 +334,7 @@ object CurationQueries {
     * misplaced doc hash-mismatches.
     */
   def c09ShardWrite(s: SparkSession, dir: String): DataFrame = {
-    // per-session scratch (applicationId): concurrent runs must not
-    // overwrite each other's shards mid-read; wiped per call because
-    // the query IS the write+read round trip
-    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_shards_" + s.sparkContext.applicationId + "_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
-    val hp = new org.apache.hadoop.fs.Path(out)
-    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    val out = Scratch.wiped(s, "shards", dir) // per-session scratch: see [[Scratch]]
     // budget 4096 (not c06's 512): the shard count, not the shard size,
     // drives this query's cost — at 512 the sf0.1 corpus fans out to
     // ~560 tiny files, paying file-creation overhead that a real

@@ -297,25 +297,9 @@ object VectorQueries {
     * as v05: every reported score proven, rank-consistency per query,
     * coverage sentinel.
     */
-  /** Scratch index location: keyed by query name + sfDir AND the
-    * session's applicationId — two concurrent sessions on one machine
-    * (parallel test/bench runs) must not delete and rebuild under each
-    * other mid-query. Wiped before each rebuild: the query IS the
-    * build+query round trip (rebuilt every call by design), but
-    * repeated calls in one session must not accumulate index copies.
-    */
-  private def scratchIndexPath(s: SparkSession, name: String, dir: String): String = {
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_${name}_" + s.sparkContext.applicationId + "_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
-    val hp = new org.apache.hadoop.fs.Path(path)
-    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
-    path
-  }
-
   def v07IvfIndex(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val path = scratchIndexPath(s, "ivf_index", dir)
+    val path = Scratch.wiped(s, "ivf_index", dir) // see [[Scratch]]
     Ann.buildIvfIndex(
       e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"), path, nlist = 8)
     Ann.queryIvfIndex(
@@ -338,7 +322,7 @@ object VectorQueries {
     */
   def v08IvfAppend(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val path = scratchIndexPath(s, "ivf_append", dir)
+    val path = Scratch.wiped(s, "ivf_append", dir)
     Ann.buildIvfIndex(
       e.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 0),
       col("vec_id"), col("embedding"), path, nlist = 8)

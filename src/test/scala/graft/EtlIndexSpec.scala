@@ -328,5 +328,14 @@ class EtlIndexSpec extends SparkSpecBase {
     val rootFiles = new java.io.File(root).listFiles().filter(_.isFile).map(_.getName)
       .filterNot(n => n.startsWith("_") || n.startsWith("."))
     assert(rootFiles.isEmpty, s"stray files at root: ${rootFiles.toSeq}")
+    // work dirs live OUTSIDE the lake (a sibling inside would read as a
+    // partition directory) and a clean pass leaves no residue
+    val siblings = new java.io.File(root).getParentFile.list().toSeq
+    assert(siblings == Seq("lake"), s"work-dir residue next to the lake: $siblings")
+    // a parked __compact_old from a crashed swap blocks a new pass
+    // (it may hold the only copy of a leaf — recover first)
+    assert(new java.io.File(root + "__compact_old").mkdirs())
+    val crash = intercept[IllegalArgumentException](Compact.compactPartitioned(spark, root))
+    assert(crash.getMessage.contains("crashed"), crash.getMessage)
   }
 }
