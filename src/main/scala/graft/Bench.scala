@@ -62,10 +62,14 @@ object Bench {
     // total (a failure must never shrink — i.e. improve — the headline
     // number) and surfaced in an explicit count
     val good = results.filter(_._2 >= 0.0)
-    val total = math.rint(good.map(_._2).sum * 1000) / 1000 // same 1 ms quantum
+    val totalFull = good.map(_._2).sum
     val failed = results.size - good.size
-    def metricLine(round: Boolean) =
+    // total follows its line's quantum: full precision in the file
+    // (value == sum of the file's own per-query values), 1 ms on stdout
+    def metricLine(round: Boolean) = {
+      val total = if (round) math.rint(totalFull * 1000) / 1000 else totalFull
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":${qmap(round)},"sf":"${esc(sfDir)}"}"""
+    }
     // belt-and-braces for log-prefixing runners: also drop the (full
     // precision) line in a file before stopping the session
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")

@@ -85,14 +85,31 @@ object Compact {
         s"compaction of $p would lose rows ($nSrc read, $nTmp rewritten) — aborted, original untouched")
     }
     val after = fs.listStatus(tmp).count(isData)
-    // two-rename swap: the original is parked, never deleted before the
-    // replacement is in place
+    swapInto(fs, tmp, p, old)
+    CompactStats(parts.length, bytes, after)
+  }
+
+  /** Two-rename swap — the single owner of the replace-a-directory
+    * sequence (also used by the IVF sidecar refresh): the target is
+    * PARKED at `old`, never deleted before the replacement at `tmp` is
+    * in place; `old` is removed only after the swap lands. A crash
+    * inside the window leaves the original recoverable at `old`.
+    */
+  private[graft] def swapInto(
+      fs: org.apache.hadoop.fs.FileSystem, tmp: Path, target: Path, old: Path): Unit = {
     val oldParent = old.getParent
     if (oldParent != null) fs.mkdirs(oldParent)
-    require(fs.rename(p, old), s"could not park $p")
-    require(fs.rename(tmp, p), s"could not swap in compacted data for $p")
+    require(fs.rename(target, old), s"could not park $target")
+    require(fs.rename(tmp, target), s"could not swap in $tmp for $target")
     fs.delete(old, true)
-    CompactStats(parts.length, bytes, after)
+  }
+
+  /** True if any FILE exists under `p` (directories alone don't count —
+    * a parked tree of empty partition parents is residue, not data).
+    */
+  private def containsFiles(fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean = {
+    val it = fs.listFiles(p, true)
+    it.hasNext
   }
 
   /** Compact every LEAF directory of a partitioned parquet lake — the
@@ -125,9 +142,17 @@ object Compact {
     require(fs.getFileStatus(rp).isDirectory, s"$root is not a directory")
     val tmpRoot = new Path(rp.getParent, rp.getName + "__compact_tmp")
     val oldRoot = new Path(rp.getParent, rp.getName + "__compact_old")
-    require(!fs.exists(oldRoot),
-      s"$oldRoot exists — a previous partitioned compaction crashed mid-swap; " +
-        "recover or remove its parked leaves first")
+    // a parked tree with FILES is a crashed swap (it may hold the only
+    // copy of a leaf — block until recovered); one with only empty
+    // parent dirs is residue of an earlier aborted pass (e.g. a later
+    // leaf failed its row-count gate after earlier leaves swapped
+    // cleanly) and must not wedge the operator forever
+    if (fs.exists(oldRoot)) {
+      require(!containsFiles(fs, oldRoot),
+        s"$oldRoot holds parked data — a previous partitioned compaction crashed " +
+          "mid-swap; recover or remove its parked leaves first")
+      fs.delete(oldRoot, true)
+    }
     def leaves(dir: Path): Seq[Path] = {
       val listing = fs.listStatus(dir)
       val subdirs = listing.filter(_.isDirectory)
@@ -143,6 +168,8 @@ object Compact {
     }
     val targets = leaves(rp)
     require(targets.nonEmpty, s"no data leaves to compact under $root")
+    require(targets != Seq(rp),
+      s"$root is a flat (unpartitioned) dataset — use compact() directly")
     fs.delete(tmpRoot, true)
     val rootUri = rp.toUri.getPath
     val res =

@@ -228,6 +228,10 @@ object Ann {
         when(col("c_nrm") > 0,
           Vectors.dot(col("q_emb"), col("centroid")) / (col("qp_nrm") * col("c_nrm")))
           .otherwise(lit(-2.0)).as("csim"))
+      // a ragged query (array length != codebook dim) folds to NULL
+      // csim, which would crash the typed aggregator's non-nullable
+      // encoder (see topkPerQuery) — exclude the pair, like a null sim
+      .filter(col("csim").isNotNull)
       .groupBy("q_id")
       .agg(TopK.topKScored(nprobe)(col("csim"), col("cell").cast("long")).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("cell_l"))
@@ -304,24 +308,47 @@ object Ann {
     val codebook: Array[Array[Double]] =
       byCell.map(_.getSeq[Double](1).toArray)
     val prevMembers = byCell.map(r => r.getInt(0) -> r.getLong(2)).toMap
-    val assigned = rows.select(id.as("b_id"), vec.as("b_emb"))
+    val basePath = s"$path/base"
+    // snapshot the file listing around the append so the occupancy
+    // delta is counted from exactly the FILES THIS ADD WROTE -- not
+    // from re-evaluating the (lazy, uncached) assignment plan, which a
+    // non-deterministic input would make disagree with what landed on
+    // disk (an undercounted cell whose only members are appended rows
+    // would read members=0 and be unreachable forever). Listing is
+    // metadata-weight; the data read is increment-sized. Re-counting
+    // the WHOLE base instead would cost a full-corpus scan per 1%
+    // increment -- what the growth path exists to avoid.
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = listDataFiles(fs, basePath)
+    rows.select(id.as("b_id"), vec.as("b_emb"))
       .withColumn("cell", cellExpr(col("b_emb"), codebook))
       .filter(col("cell").isNotNull) // see knnIvf
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
-    assigned.write.partitionBy("cell").mode("append").parquet(s"$path/base")
-    // occupancy delta from the INCREMENT only (one extra pass over the
-    // appended rows, <= nlist result rows) -- re-counting the whole
-    // base per add would cost a full-corpus scan per 1% increment,
-    // exactly what the growth path must avoid. No drift: the previous
-    // counts came from written files at build, and the write above is
-    // all-or-nothing (a failed job throws before the sidecar updates).
-    val delta = assigned
-      .filter(col("b_nrm") > 0)
-      .groupBy("cell").agg(count(lit(1)).as("__m"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .write.partitionBy("cell").mode("append").parquet(basePath)
+    val newFiles = (listDataFiles(fs, basePath) -- before).toSeq
+    val delta =
+      if (newFiles.isEmpty) Map.empty[Int, Long]
+      else spark.read.option("basePath", basePath).parquet(newFiles: _*)
+        .filter(col("b_nrm") > 0)
+        .groupBy("cell").agg(count(lit(1)).as("__m"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val members = codebook.indices
       .map(c => c -> (prevMembers.getOrElse(c, 0L) + delta.getOrElse(c, 0L))).toMap
     writeCodebookSidecar(spark, path, codebook, members, atomicSwap = true)
+  }
+
+  /** All data-file paths under `dir`, recursive (skips _SUCCESS/.crc). */
+  private def listDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Set[String] = {
+    val out = scala.collection.mutable.Set.empty[String]
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) out += f.getPath.toString
+    }
+    out.toSet
   }
 
   /** Write the codebook sidecar (centroids in both precisions +
@@ -351,9 +378,7 @@ object Ann {
       fs.delete(tmp, true)
       fs.delete(old, true)
       cb.write.mode("overwrite").parquet(tmp.toString)
-      require(fs.rename(p, old), s"could not park $target")
-      require(fs.rename(tmp, p), s"could not swap in refreshed codebook for $target")
-      fs.delete(old, true)
+      graft.etl.Compact.swapInto(fs, tmp, p, old) // single owner of the 2-rename swap
     }
   }
 

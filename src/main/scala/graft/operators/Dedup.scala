@@ -505,9 +505,17 @@ object Dedup {
     require(maxDocFreqRatio > 0.0 && maxDocFreqRatio < 1.0,
       s"maxDocFreqRatio must be in (0, 1), got $maxDocFreqRatio")
     val occ = segmentOccurrences(df, id, segments)
-    // total = docs with >= 1 non-null segment (the occ universe, same
-    // denominator the oracle replays); a 1-row broadcast, not a collect
-    val total = occ.select(countDistinct(col("doc_id")).as("__total"))
+    // total = docs with >= 1 non-null segment — EXACTLY the occ
+    // universe (posexplode skips null/empty arrays; the occ filter
+    // drops null elements), but counted with a narrow no-explode pass:
+    // deriving it from occ would run the posexplode+normalize+h60
+    // pipeline a third time over the whole corpus. A 1-row broadcast,
+    // not a collect.
+    val total = df
+      .select(id.as("doc_id"), segments.as("__segs"))
+      .filter(col("__segs").isNotNull &&
+        size(filter(col("__segs"), x => x.isNotNull)) > 0)
+      .select(countDistinct(col("doc_id")).as("__total"))
     val frequent = occ.groupBy("seg_h").agg(countDistinct(col("doc_id")).as("__nd"))
       .crossJoin(broadcast(total))
       .filter(col("__nd") > col("__total") * maxDocFreqRatio)

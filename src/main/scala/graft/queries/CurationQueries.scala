@@ -275,11 +275,14 @@ object CurationQueries {
   val c05Oracle: String = c05OracleWith("COUNT(*) > 2")
 
   /** Same ratio arithmetic as the operator: distinct-doc count compared
-    * against total-docs × ratio in double — identical products in both
-    * engines, so the gate stays bit-exact.
+    * against total-docs × ratio with the ratio CAST TO DOUBLE — a bare
+    * DuckDB literal is exact DECIMAL, which disagrees with Spark's
+    * binary double at integer boundaries for some ratios (0.3 × 10 docs:
+    * DECIMAL keeps a 3-doc segment, double strips it). The cast makes
+    * the cross-engine parity structural, not ratio-dependent.
     */
   val c05bOracle: String = c05OracleWith(
-    "COUNT(DISTINCT doc_id) > (SELECT COUNT(DISTINCT doc_id) FROM keyed) * 0.004")
+    "COUNT(DISTINCT doc_id) > (SELECT COUNT(DISTINCT doc_id) FROM keyed) * CAST(0.004 AS DOUBLE)")
 
   /** Deterministic shuffle + token-budget shard packing rollup
     * ([[graft.operators.Packing.packShards]]): the "write training

@@ -332,10 +332,21 @@ class EtlIndexSpec extends SparkSpecBase {
     // partition directory) and a clean pass leaves no residue
     val siblings = new java.io.File(root).getParentFile.list().toSeq
     assert(siblings == Seq("lake"), s"work-dir residue next to the lake: $siblings")
-    // a parked __compact_old from a crashed swap blocks a new pass
-    // (it may hold the only copy of a leaf — recover first)
-    assert(new java.io.File(root + "__compact_old").mkdirs())
+    // an EMPTY parked tree (residue of an aborted pass) is cleared, not
+    // a permanent blocker...
+    assert(new java.io.File(root + "__compact_old/d=a").mkdirs())
+    Compact.compactPartitioned(spark, root, targetBytes = 1L << 30)
+    assert(!new java.io.File(root + "__compact_old").exists(), "empty residue not cleared")
+    // ...but parked DATA blocks the pass (it may be a leaf's only copy)
+    assert(new java.io.File(root + "__compact_old/d=a").mkdirs())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root + "__compact_old/d=a/part-0.parquet"), "x")
     val crash = intercept[IllegalArgumentException](Compact.compactPartitioned(spark, root))
     assert(crash.getMessage.contains("crashed"), crash.getMessage)
+    // a flat dataset fed to the partitioned API is redirected loudly
+    val flat = tmp("fcompactflat") + "/ds"
+    graft.Tables.t(spark, "/root/testdata/sf0.001", "region").write.parquet(flat)
+    val e3 = intercept[IllegalArgumentException](Compact.compactPartitioned(spark, flat))
+    assert(e3.getMessage.contains("flat"), e3.getMessage)
   }
 }
