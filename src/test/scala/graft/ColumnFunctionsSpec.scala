@@ -218,6 +218,19 @@ class ColumnFunctionsSpec extends SparkSpecBase {
       .agg(org.apache.spark.sql.functions.sum("members")).head.getLong(0)
     assert(members == base.count(),
       s"occupancy sidecar stale after add: $members members vs ${base.count()} base rows")
+    // adds COMPOSE: splitting the increment into two sequential adds
+    // lands the identical index (same codebook ⇒ same cells; occupancy
+    // sums) — the daily-growth deployment is add-after-add, not one-shot
+    val pTwo = java.nio.file.Files.createTempDirectory("graft_ivf_two").toString
+    graft.operators.Ann.buildIvfIndex(even, col("vec_id"), col("embedding"), pTwo, nlist = 8)
+    graft.operators.Ann.addToIvfIndex(
+      spark, pTwo, odd.filter(col("vec_id") < 400), col("vec_id"), col("embedding"))
+    graft.operators.Ann.addToIvfIndex(
+      spark, pTwo, odd.filter(col("vec_id") >= 400), col("vec_id"), col("embedding"))
+    assert(res(pTwo) == inc, "two sequential adds diverged from one add")
+    val members2 = spark.read.parquet(s"$pTwo/codebook")
+      .agg(org.apache.spark.sql.functions.sum("members")).head.getLong(0)
+    assert(members2 == base.count(), s"occupancy drifted across sequential adds: $members2")
   }
 
   test("IVF ANN: every valid query returns candidates, even with dead cells") {

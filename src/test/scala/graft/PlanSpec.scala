@@ -288,6 +288,21 @@ class PlanSpec extends SparkSpecBase {
     assert(df.count() > 0)
   }
 
+  test("c05b: the ratio strip's mark join is a broadcast, not a shuffle") {
+    // the ratio bounds the frequent set by construction, so the mark
+    // join must plan as BroadcastHashJoin even with auto-broadcast OFF
+    // (only the operator's explicit hint can produce one)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.queries.CurationQueries.c05bBoilerplateRatio(spark, sfDir)
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"),
+        s"ratio strip lost its broadcast mark join:\n$p")
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("c08: composite keeps the decontamination broadcast; no cartesian") {
     // auto-broadcast OFF: the only BroadcastHashJoin that can survive is
     // the EXPLICIT broadcast(eval) hint inside contaminationPairs — with
