@@ -28,11 +28,18 @@ object Compact {
   /** before/after file counts and the data size that was rewritten. */
   case class CompactStats(filesBefore: Int, bytesTotal: Long, filesAfter: Int)
 
-  /** Non-metadata data file (skips _SUCCESS, .crc, …) — single owner
-    * for the before/after counts, which must agree on what "a file" is.
+  /** Hidden-by-convention name (_SUCCESS, _temporary, .crc, …) — the
+    * single owner of the rule, shared with the IVF index's file
+    * listing so "what counts as a data file" cannot drift.
+    */
+  private[graft] def isHiddenName(n: String): Boolean =
+    n.startsWith("_") || n.startsWith(".")
+
+  /** Non-metadata data file — single owner for the before/after
+    * counts, which must agree on what "a file" is.
     */
   private def isData(f: org.apache.hadoop.fs.FileStatus): Boolean =
-    f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")
+    f.isFile && !isHiddenName(f.getPath.getName)
 
   def compact(
       spark: SparkSession, path: String,
@@ -155,6 +162,16 @@ object Compact {
     }
     def leaves(dir: Path): Seq[Path] = {
       val listing = fs.listStatus(dir)
+      // a work dir INSIDE the lake means a previous FLAT compact() of a
+      // leaf crashed mid-swap (the partitioned path parks outside the
+      // root) — it may hold a leaf's only copy AND it poisons partition
+      // inference for every root reader, so refuse loudly rather than
+      // walk it as a partition or (worse) silently skip parked data
+      listing.filter(_.isDirectory).map(_.getPath.getName)
+        .find(n => n.endsWith("__compact_tmp") || n.endsWith("__compact_old"))
+        .foreach(n => throw new IllegalArgumentException(
+          s"$dir/$n is a crashed compact() swap inside the lake — recover or " +
+            "remove it before compacting the root"))
       val subdirs = listing.filter(_.isDirectory)
       val data = listing.filter(isData)
       if (subdirs.isEmpty) {

@@ -129,6 +129,7 @@ object Ann {
     val centDf = centroidFrame(base.sparkSession, codebook)
       .join(broadcast(liveCells), "cell")
     val q = validQueries(queries, qId, qVec)
+    requireQueryDim(q, codebook(0).length)
     val probed = topProbeCells(q, centDf, nprobe).join(q, "q_id")
     val scored = assigned
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
@@ -208,6 +209,23 @@ object Ann {
     queries.select(qId.as("q_id"), qVec.as("q_emb"))
       .withColumn("qp_nrm", Vectors.norm2(col("q_emb")))
       .filter(col("qp_nrm") > 0)
+
+  /** Fail LOUDLY if any query embedding's length differs from the index
+    * dimension: a ragged query folds to NULL against every centroid and
+    * would otherwise read as "no neighbors" — a silent drop is the worst
+    * failure mode for a correctness-first ANN path (base-side ragged
+    * rows keep their documented null-cell drop). One cheap narrow job
+    * (reads only array lengths, stops at the first offender).
+    */
+  private def requireQueryDim(q: DataFrame, dim: Int): Unit = {
+    val bad = q.filter(size(col("q_emb")) =!= dim)
+      .select(col("q_id"), size(col("q_emb")).as("d"))
+      .limit(1).collect()
+    require(bad.isEmpty, {
+      val r = bad.head
+      s"query ${r.get(0)} has embedding dim ${r.getInt(1)} but the index dim is $dim"
+    })
+  }
 
   /** `nprobe` nearest cells per valid query, ranked by COSINE to the
     * centroid -- the same metric the fine scoring stage uses (FAISS
@@ -338,15 +356,28 @@ object Ann {
     writeCodebookSidecar(spark, path, codebook, members, atomicSwap = true)
   }
 
-  /** All data-file paths under `dir`, recursive (skips _SUCCESS/.crc). */
+  /** All data-file paths under `dir`, recursive. Hidden-name rule
+    * shared with [[graft.etl.Compact.isHiddenName]], applied to EVERY
+    * path segment below `dir` — a crashed write's
+    * `_temporary/.../part-x.parquet` must not count as data (readers
+    * don't see it, so neither may the occupancy diff).
+    */
   private def listDataFiles(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Set[String] = {
+    val base = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    def hiddenAnywhere(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != base) {
+        if (graft.etl.Compact.isHiddenName(cur.getName)) return true
+        cur = cur.getParent
+      }
+      false
+    }
     val out = scala.collection.mutable.Set.empty[String]
-    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    val it = fs.listFiles(base, true)
     while (it.hasNext) {
       val f = it.next()
-      val n = f.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) out += f.getPath.toString
+      if (!hiddenAnywhere(f.getPath)) out += f.getPath.toString
     }
     out.toSet
   }
@@ -402,6 +433,10 @@ object Ann {
       .withColumn("c_nrm", Vectors.norm2(col("centroid")))
       .select("cell", "centroid", "c_nrm")
     val q = validQueries(queries, qId, qVec)
+    // take(1): an index whose every cell is dead has an empty live
+    // codebook — no rows can come back, so there is no dim to enforce
+    centDf.select(size(col("centroid"))).take(1)
+      .foreach(r => requireQueryDim(q, r.getInt(0)))
     // the probe result is needed TWICE (the pruning cell list and the
     // scoring join). It is queries x nprobe rows -- NOT driver-bounded
     // when the query set is a big batch (the normal case for a corpus-

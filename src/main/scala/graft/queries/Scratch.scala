@@ -33,13 +33,18 @@ private[queries] object Scratch {
       }))
 
   def wiped(s: SparkSession, name: String, dir: String): String = {
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+    val local = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_${name}_" + s.sparkContext.applicationId + "_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+        dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    // explicit file: scheme — the scratch lives in the LOCAL tmpdir by
+    // construction, and a bare path would resolve against fs.defaultFS
+    // (HDFS on a real cluster), splitting the writes from the
+    // java.io.File shutdown cleanup
+    val path = "file:" + local.getAbsolutePath
     val hp = new org.apache.hadoop.fs.Path(path)
     hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
     hookInstalled
-    created.synchronized(created += path)
+    created.synchronized(created += local.getAbsolutePath)
     path
   }
 }
