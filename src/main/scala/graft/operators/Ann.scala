@@ -30,7 +30,7 @@ object Ann {
     * as longs, so b_id must be an integral column — a string/uuid id
     * would silently cast to NULL, hence the explicit check.
     */
-  private def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val idType: DataType = scored.schema("b_id").dataType
     require(
       Seq("tinyint", "smallint", "int", "bigint").contains(idType.simpleString),
@@ -144,8 +144,13 @@ object Ann {
     * `b` (columns b_id, b_emb) -- see [[knnIvf]]'s scaladoc for the
     * FAISS train/add division-of-labor rationale.
     */
-  private def fitCodebook(
-      b: DataFrame, nlist: Int, seed: Long, maxFit: Long): Array[Array[Double]] = {
+  /** Bounded deterministic vector sample of a (b_id, b_emb) frame — the
+    * shared quantizer-training input (IVF coarse codebook, PQ subspace
+    * codebooks): hash-selected on the id (not `rand()`, so task retries
+    * see the same sample), ~`maxFit` rows collected to the driver.
+    */
+  private[operators] def sampleVectors(
+      b: DataFrame, maxFit: Long): Array[Array[Float]] = {
     // one cheap narrow count to size the sample fraction (the id column
     // only -- pruned to a metadata/footer read where the source allows)
     val total = b.select("b_id").count()
@@ -155,12 +160,17 @@ object Ann {
       else b
     // bounded collect (see knnIvf scaladoc): <= ~maxFit vectors; null
     // rows are skipped here, null-element rows fall out of assignment
-    val sample: Array[Array[Float]] = fitDf
+    fitDf
       .select(col("b_emb").cast("array<float>"))
       .collect()
       .flatMap(r => Option(r.getSeq[Float](0)))
       .filter(s => s.nonEmpty && !s.contains(null))
       .map(_.toArray)
+  }
+
+  private def fitCodebook(
+      b: DataFrame, nlist: Int, seed: Long, maxFit: Long): Array[Array[Double]] = {
+    val sample = sampleVectors(b, maxFit)
     val fitCount = sample.length
     require(fitCount > 0, "IVF quantizer sample is empty -- no base vectors to index")
     // Clamp rather than throw: a small corpus (or an unlucky binomial
@@ -174,7 +184,7 @@ object Ann {
   }
 
   /** Nearest-centroid cell id for a float-array embedding column. */
-  private def cellExpr(emb: Column, codebook: Array[Array[Double]]): Column =
+  private[operators] def cellExpr(emb: Column, codebook: Array[Array[Double]]): Column =
     org.apache.spark.sql.GraftColumnShim.column(
       graft.functions.expr.NearestCentroid(
         org.apache.spark.sql.GraftColumnShim.expression(emb),
@@ -205,7 +215,7 @@ object Ann {
       .select("cell", "centroid", "c_nrm")
 
   /** Valid (norm > 0) queries as (q_id, q_emb, qp_nrm). */
-  private def validQueries(queries: DataFrame, qId: Column, qVec: Column): DataFrame =
+  private[operators] def validQueries(queries: DataFrame, qId: Column, qVec: Column): DataFrame =
     queries.select(qId.as("q_id"), qVec.as("q_emb"))
       .withColumn("qp_nrm", Vectors.norm2(col("q_emb")))
       .filter(col("qp_nrm") > 0)
@@ -217,7 +227,7 @@ object Ann {
     * rows keep their documented null-cell drop). One cheap narrow job
     * (reads only array lengths, stops at the first offender).
     */
-  private def requireQueryDim(q: DataFrame, dim: Int): Unit = {
+  private[operators] def requireQueryDim(q: DataFrame, dim: Int): Unit = {
     val bad = q.filter(size(col("q_emb")) =!= dim)
       .select(col("q_id"), size(col("q_emb")).as("d"))
       .limit(1).collect()

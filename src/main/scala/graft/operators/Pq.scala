@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Product quantization (PQ) for embedding columns — the FAISS-style
+  * memory/IO compression path for 10^9+-vector corpora: each D-dim
+  * float vector (4·D bytes) is stored as `m` small centroid codes
+  * (m bytes at kSub=256), a 32× reduction at D=64/m=8. The vector is
+  * approximated as the concatenation of one centroid per subspace, so
+  * approximate scoring reads only the code column from disk and
+  * reconstructs in registers — the scan cost drops with the storage.
+  *
+  * Division of labor mirrors [[Ann.knnIvf]] (the FAISS train/add
+  * split): codebooks are fit DRIVER-SIDE per subspace on the shared
+  * bounded deterministic sample ([[Ann.sampleVectors]]); encoding of
+  * the full base is one distributed narrow pass of `m` native
+  * [[graft.functions.expr.NearestCentroid]] expressions over vector
+  * slices — no new execution machinery, pure composition of the
+  * already-proven pieces (slice + NearestCentroid for encode,
+  * zip_with + element_at over a literal codebook + flatten for decode,
+  * vec_dot for scoring).
+  *
+  * [[knnPq]] is shortlist-then-rerank, the standard production PQ
+  * deployment: the compressed domain RANKS a shortlist (approximate,
+  * engine-side — like IVF's cell selection), then the shortlist pairs
+  * are re-scored EXACTLY on the original vectors, so every reported
+  * similarity is a true cosine. That makes the v05/v07/v08
+  * self-verifying oracle contract apply unchanged, and recall is the
+  * only approximate property (measured in ScalaTest vs brute force).
+  */
+object Pq {
+
+  /** Per-subspace centroid tables: `tables(j)` is (kSub × sub) for
+    * subspace j; a vector's code j indexes into it.
+    */
+  case class Codebooks(m: Int, sub: Int, tables: Array[Array[Array[Double]]])
+
+  /** Fit `m` subspace codebooks of `kSub` centroids each on a bounded
+    * deterministic sample. `kSub` clamps to the sample size (like
+    * [[Ann.knnIvf]]'s nlist clamp — a small corpus degrades to fewer
+    * centroids, never fails nondeterministically). Distinct seeds per
+    * subspace: coupled draws would correlate the subspace quantizers.
+    */
+  def fit(
+      base: DataFrame, id: Column, vec: Column, m: Int,
+      kSub: Int = 256, seed: Long = 42L, maxFit: Long = 100000L): Codebooks = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val b = base.select(id.as("b_id"), vec.as("b_emb"))
+    val sample = Ann.sampleVectors(b, maxFit)
+    require(sample.nonEmpty, "PQ fit sample is empty -- no base vectors")
+    val d = sample(0).length
+    require(d % m == 0, s"embedding dim $d is not divisible by m=$m subspaces")
+    val sub = d / m
+    val eff = math.min(kSub.toLong, sample.length.toLong).toInt
+    if (eff < kSub)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"PQ fit sample has ${sample.length} rows < kSub=$kSub -- clamping to $eff centroids")
+    val tables = Array.tabulate(m)(j =>
+      Quantizer.fit(sample.map(_.slice(j * sub, (j + 1) * sub)), eff, seed + j))
+    Codebooks(m, sub, tables)
+  }
+
+  /** `array<int>` of `m` codes for a float-array embedding column: one
+    * native NearestCentroid per subspace slice (all inside one narrow
+    * projection — whole-stage codegen, no shuffle). A ragged/null
+    * vector yields null code elements (the NearestCentroid null
+    * contract); callers filter those rows like a null join key.
+    */
+  def encodeExpr(vec: Column, cb: Codebooks): Column =
+    array((0 until cb.m).map { j =>
+      Ann.cellExpr(slice(vec, j * cb.sub + 1, cb.sub), cb.tables(j))
+    }: _*)
+
+  /** Reconstructed `array<float>` from a codes column: per subspace,
+    * look the code up in the literal codebook and concatenate. Float
+    * centroids so the reconstruction scores through the same
+    * strict-fold arithmetic as any other embedding.
+    */
+  def decodeExpr(codes: Column, cb: Codebooks): Column = {
+    val litCb = typedLit(
+      cb.tables.map(_.map(_.map(_.toFloat).toSeq).toSeq).toSeq)
+    flatten(zip_with(codes, litCb, (c, tbl) => element_at(tbl, c + 1)))
+  }
+
+  /** Encode the base: (b_id, codes) — the compressed representation a
+    * 100 TB pipeline would persist instead of the raw vectors. Rows
+    * whose vector cannot be coded (null/ragged) are dropped, like null
+    * join keys everywhere else in the engine.
+    */
+  def encode(base: DataFrame, id: Column, vec: Column, cb: Codebooks): DataFrame =
+    base.select(id.as("b_id"), encodeExpr(vec, cb).as("codes"))
+      .filter(forall(col("codes"), c => c.isNotNull))
+
+  /** Approximate top-k cosine via PQ shortlist + EXACT rerank:
+    *
+    *  1. encode the base (narrow; at scale this pass is the write-side
+    *     of a persisted code table and the scan below reads m bytes
+    *     per row instead of 4·D);
+    *  2. score queries against the RECONSTRUCTED vectors (broadcast
+    *     queries, map-side — same shape as [[Ann.knnBruteForce]] but
+    *     over the compressed domain) and keep a per-query shortlist of
+    *     `shortlist` candidates (default 4·k);
+    *  3. re-join the shortlist pairs to the ORIGINAL vectors and
+    *     re-score exactly; report the top k.
+    *
+    * Every reported `sim` is the exact cosine of the original vectors
+    * — only WHICH candidates were considered is approximate (the same
+    * contract as IVF's cell probing), so the self-verifying knn oracle
+    * applies unchanged. Zero-norm reconstructions are excluded from
+    * the shortlist like zero-norm vectors everywhere else (cosine
+    * undefined); with real data k-means centroids of non-degenerate
+    * samples are never all-zero.
+    */
+  def knnPq(
+      base: DataFrame, baseId: Column, baseVec: Column,
+      queries: DataFrame, qId: Column, qVec: Column,
+      k: Int, m: Int = 8, kSub: Int = 256, shortlist: Int = 0,
+      seed: Long = 42L, maxFit: Long = 100000L): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    require(sl >= k, s"shortlist $sl must be >= k=$k")
+    val cb = fit(base, baseId, baseVec, m, kSub, seed, maxFit)
+    val b = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
+      .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+      .filter(col("b_nrm") > 0) // zero-norm: see knnBruteForce
+    val q = Ann.validQueries(queries, qId, qVec)
+    Ann.requireQueryDim(q, cb.m * cb.sub)
+    val dec = encode(b, col("b_id"), col("b_emb"), cb)
+      .withColumn("dec", decodeExpr(col("codes"), cb))
+      .withColumn("d_nrm", Vectors.norm2(col("dec")))
+      .filter(col("d_nrm") > 0)
+      .select("b_id", "dec", "d_nrm")
+    val approx = dec.crossJoin(broadcast(q))
+      .select(col("q_id"), col("b_id"),
+        (Vectors.dot(col("dec"), col("q_emb")) / (col("d_nrm") * col("qp_nrm"))).as("sim"))
+    val short = Ann.topkPerQuery(approx, sl).select("q_id", "b_id")
+    // exact rerank: shortlist pairs only (<= queries × shortlist rows),
+    // originals re-joined by id — the wide vectors travel once per
+    // surviving pair, not per compressed-domain comparison
+    val scored = short
+      .join(b, "b_id")
+      .join(broadcast(q.withColumnRenamed("qp_nrm", "q_nrm")), "q_id")
+      .select(col("q_id"), col("b_id"),
+        (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
+    Ann.topkPerQuery(scored, k)
+  }
+}

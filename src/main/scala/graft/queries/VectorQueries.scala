@@ -338,6 +338,26 @@ object VectorQueries {
 
   val v08Oracle: String = selfVerifyingKnnOracle("v08_ivf_append", k = 5)
 
+  /** Product-quantization knn ([[graft.operators.Pq.knnPq]]): the
+    * compressed-domain ANN path — 8 subspace codes per vector rank a
+    * shortlist, the shortlist re-scores EXACTLY on the originals, so
+    * every reported sim is a true cosine and the same self-verifying
+    * oracle contract applies (candidate selection stays engine-side,
+    * like v05's cells; recall vs brute force is ScalaTest-measured).
+    * kSub=16 because the oracle-scale corpus is 490 vectors — the
+    * 100 TB setting is 256 (one byte per code).
+    */
+  def v09KnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.operators.Pq.knnPq(
+      e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 5, m = 8, kSub = 16, shortlist = 20)
+      .orderBy("q_id", "rank")
+  }
+
+  val v09Oracle: String = selfVerifyingKnnOracle("v09_knn_pq", k = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_bruteforce" -> (v01KnnBruteForce _),
     "v02_label_stats" -> (v02LabelStats _),
@@ -346,7 +366,8 @@ object VectorQueries {
     "v05_knn_ivf" -> (v05KnnIvf _),
     "v06_neardup_lsh" -> (v06NeardupLsh _),
     "v07_ivf_index" -> (v07IvfIndex _),
-    "v08_ivf_append" -> (v08IvfAppend _)
+    "v08_ivf_append" -> (v08IvfAppend _),
+    "v09_knn_pq" -> (v09KnnPq _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -357,6 +378,7 @@ object VectorQueries {
     "v05_knn_ivf" -> v05Oracle,
     "v06_neardup_lsh" -> v06Oracle,
     "v07_ivf_index" -> v07Oracle,
-    "v08_ivf_append" -> v08Oracle
+    "v08_ivf_append" -> v08Oracle,
+    "v09_knn_pq" -> v09Oracle
   )
 }

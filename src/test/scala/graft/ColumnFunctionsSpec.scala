@@ -233,6 +233,59 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(members2 == base.count(), s"occupancy drifted across sequential adds: $members2")
   }
 
+  test("PQ: codes reconstruct near the original; knnPq recalls ≥0.9 and scores exactly") {
+    import graft.operators.Pq
+    val dim = 16
+    def vec(cluster: Int, j: Int): Array[Float] = {
+      val a = new Array[Float](dim)
+      a(cluster * 2) = 1.0f
+      a(cluster * 2 + 1) = 0.5f
+      a((cluster + j) % dim) = a((cluster + j) % dim) + 0.05f * ((j % 5) + 1)
+      a
+    }
+    val rows = for (c <- 0 until 8; j <- 0 until 25) yield (c.toLong * 100 + j, vec(c, j))
+    val df = rows.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") % 100 >= 5)
+    val qs = df.filter(col("vec_id") % 100 < 5)
+    // encode/decode round trip: reconstruction error well under the
+    // signal norm (clustered data quantizes tightly)
+    val cb = Pq.fit(base, col("vec_id"), col("embedding"), m = 4, kSub = 32)
+    assert(cb.m == 4 && cb.sub == 4)
+    val rt = Pq.encode(base, col("vec_id"), col("embedding"), cb)
+      .withColumn("dec", Pq.decodeExpr(col("codes"), cb))
+      .join(base.withColumnRenamed("vec_id", "b_id"), "b_id")
+      .select(
+        sqrt(graft.functions.Vectors.l2sq(col("embedding"), col("dec"))).as("err"),
+        graft.functions.Vectors.norm2(col("embedding")).as("nrm"))
+      .agg(avg(col("err") / col("nrm"))).head.getDouble(0)
+    assert(rt < 0.3, s"PQ reconstruction error too high: $rt")
+    // recall vs brute force on the clustered fixture
+    def topSets(d: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      d.select("q_id", "b_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exactKnn = graft.operators.Ann.knnBruteForce(
+      base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"), 5)
+    val exact = topSets(exactKnn)
+    val pq = graft.operators.Pq.knnPq(
+      base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
+      k = 5, m = 4, kSub = 32, shortlist = 20)
+    val got = topSets(pq)
+    val recall = exact.keys.toSeq.map { q =>
+      (got.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / 5
+    }.sum / exact.size
+    assert(recall >= 0.9, s"PQ recall too low on clustered data: $recall")
+    // rerank exactness: every reported sim is the TRUE cosine — it must
+    // bit-match the brute-force sim for the same (q, b) pair
+    val truth = exactKnn.select("q_id", "b_id", "sim").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val mismatched = pq.select("q_id", "b_id", "sim").as[(Long, Long, Double)]
+      .collect().filter { case (q, b, s) => truth.get((q, b)).exists(_ != s) }
+    assert(mismatched.isEmpty, s"PQ rerank sims diverged from exact: ${mismatched.take(3).toSeq}")
+    // dim not divisible by m fails loudly
+    intercept[IllegalArgumentException](
+      Pq.fit(base, col("vec_id"), col("embedding"), m = 5))
+  }
+
   test("IVF ANN: every valid query returns candidates, even with dead cells") {
     // duplicate-heavy base: Lloyd empties most cells (all mass on one
     // point), leaving dead/coincident centroids. With nprobe=1 a query
