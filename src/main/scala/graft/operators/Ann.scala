@@ -168,7 +168,7 @@ object Ann {
       .map(_.toArray)
   }
 
-  private def fitCodebook(
+  private[operators] def fitCodebook(
       b: DataFrame, nlist: Int, seed: Long, maxFit: Long): Array[Array[Double]] = {
     val sample = sampleVectors(b, maxFit)
     val fitCount = sample.length
@@ -207,7 +207,7 @@ object Ann {
   }
 
   /** Probe-side view of [[codebookFrame]]: (cell, centroid, c_nrm). */
-  private def centroidFrame(
+  private[operators] def centroidFrame(
       spark: org.apache.spark.sql.SparkSession,
       codebook: Array[Array[Double]]): DataFrame =
     codebookFrame(spark, codebook)
@@ -249,7 +249,7 @@ object Ann {
     * >= 1 non-empty cell and therefore returns rows. Returns
     * (q_id, cell).
     */
-  private def topProbeCells(q: DataFrame, centDf: DataFrame, nprobe: Int): DataFrame =
+  private[operators] def topProbeCells(q: DataFrame, centDf: DataFrame, nprobe: Int): DataFrame =
     q.crossJoin(broadcast(centDf))
       .select(
         col("q_id"), col("cell"),

@@ -146,4 +146,61 @@ object Pq {
         (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
     Ann.topkPerQuery(scored, k)
   }
+
+  /** IVF+PQ (the FAISS IVFADC composition): the coarse quantizer prunes
+    * WHICH rows are scanned (candidates = probed cells only, shuffle ∝
+    * candidates) while PQ compresses WHAT the scan reads (m bytes per
+    * candidate) — multiplicative savings, the standard 10^9+-vector
+    * serving shape. Pure composition of the proven pieces: cell
+    * assignment and cosine cell probing from [[Ann.knnIvf]] (including
+    * the live-cell guarantee, here defined on PQ-SCOREABLE members so
+    * every valid query still returns rows), compressed-domain shortlist
+    * + exact rerank from [[knnPq]]. Reported sims are true cosines —
+    * the self-verifying oracle contract applies unchanged.
+    */
+  def knnIvfPq(
+      base: DataFrame, baseId: Column, baseVec: Column,
+      queries: DataFrame, qId: Column, qVec: Column,
+      k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, kSub: Int = 256, shortlist: Int = 0,
+      seed: Long = 42L, maxFit: Long = 100000L): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    require(sl >= k, s"shortlist $sl must be >= k=$k")
+    val b = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
+    val coarse = Ann.fitCodebook(b, nlist, seed, maxFit)
+    val cb = fit(base, baseId, baseVec, m, kSub, seed, maxFit)
+    val q = Ann.validQueries(queries, qId, qVec)
+    Ann.requireQueryDim(q, cb.m * cb.sub)
+    // one narrow enrichment pass: cell + codes + decode, keeping only
+    // PQ-scoreable rows (valid codes, nonzero original AND decoded
+    // norms) — the liveness universe for the probe below
+    val enc = b
+      .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+      .filter(col("b_nrm") > 0)
+      .withColumn("cell", Ann.cellExpr(col("b_emb"), coarse))
+      .filter(col("cell").isNotNull)
+      .withColumn("codes", encodeExpr(col("b_emb"), cb))
+      .filter(forall(col("codes"), c => c.isNotNull))
+      .withColumn("dec", decodeExpr(col("codes"), cb))
+      .withColumn("d_nrm", Vectors.norm2(col("dec")))
+      .filter(col("d_nrm") > 0)
+      .select("b_id", "cell", "dec", "d_nrm")
+    val liveCells = enc.select("cell").distinct()
+    val centDf = Ann.centroidFrame(base.sparkSession, coarse)
+      .join(broadcast(liveCells), "cell")
+    val probed = Ann.topProbeCells(q, centDf, nprobe).join(q, "q_id")
+    val approx = enc
+      .join(broadcast(probed), "cell")
+      .select(col("q_id"), col("b_id"),
+        (Vectors.dot(col("dec"), col("q_emb")) / (col("d_nrm") * col("qp_nrm"))).as("sim"))
+    val short = Ann.topkPerQuery(approx, sl).select("q_id", "b_id")
+    val originals = b.withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+      .filter(col("b_nrm") > 0)
+    val scored = short
+      .join(originals, "b_id")
+      .join(broadcast(q.withColumnRenamed("qp_nrm", "q_nrm")), "q_id")
+      .select(col("q_id"), col("b_id"),
+        (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
+    Ann.topkPerQuery(scored, k)
+  }
 }

@@ -358,6 +358,22 @@ object VectorQueries {
 
   val v09Oracle: String = selfVerifyingKnnOracle("v09_knn_pq", k = 5)
 
+  /** IVF+PQ composition ([[graft.operators.Pq.knnIvfPq]], FAISS
+    * IVFADC): cells prune WHICH rows are scanned, codes compress WHAT
+    * the scan reads — with the same exact-rerank tail, so the oracle
+    * contract is again unchanged.
+    */
+  def v10KnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.operators.Pq.knnIvfPq(
+      e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 5, nlist = 8, nprobe = 3, m = 8, kSub = 16, shortlist = 20)
+      .orderBy("q_id", "rank")
+  }
+
+  val v10Oracle: String = selfVerifyingKnnOracle("v10_knn_ivfpq", k = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_bruteforce" -> (v01KnnBruteForce _),
     "v02_label_stats" -> (v02LabelStats _),
@@ -367,7 +383,8 @@ object VectorQueries {
     "v06_neardup_lsh" -> (v06NeardupLsh _),
     "v07_ivf_index" -> (v07IvfIndex _),
     "v08_ivf_append" -> (v08IvfAppend _),
-    "v09_knn_pq" -> (v09KnnPq _)
+    "v09_knn_pq" -> (v09KnnPq _),
+    "v10_knn_ivfpq" -> (v10KnnIvfPq _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -379,6 +396,7 @@ object VectorQueries {
     "v06_neardup_lsh" -> v06Oracle,
     "v07_ivf_index" -> v07Oracle,
     "v08_ivf_append" -> v08Oracle,
-    "v09_knn_pq" -> v09Oracle
+    "v09_knn_pq" -> v09Oracle,
+    "v10_knn_ivfpq" -> v10Oracle
   )
 }

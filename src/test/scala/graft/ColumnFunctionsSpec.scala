@@ -284,6 +284,16 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     // dim not divisible by m fails loudly
     intercept[IllegalArgumentException](
       Pq.fit(base, col("vec_id"), col("embedding"), m = 5))
+    // IVF+PQ composition: both prunings stacked still recall the
+    // clustered structure, every valid query answered
+    val ivfpq = topSets(graft.operators.Pq.knnIvfPq(
+      base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
+      k = 5, nlist = 8, nprobe = 2, m = 4, kSub = 32, shortlist = 20))
+    assert(ivfpq.keySet == exact.keySet, "IVF+PQ dropped a valid query")
+    val r2 = exact.keys.toSeq.map { q =>
+      (ivfpq.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / 5
+    }.sum / exact.size
+    assert(r2 >= 0.85, s"IVF+PQ recall too low on clustered data: $r2")
   }
 
   test("IVF ANN: every valid query returns candidates, even with dead cells") {
