@@ -140,10 +140,6 @@ object Ann {
     topkPerQuery(scored, k)
   }
 
-  /** Fit the IVF coarse codebook on a bounded deterministic sample of
-    * `b` (columns b_id, b_emb) -- see [[knnIvf]]'s scaladoc for the
-    * FAISS train/add division-of-labor rationale.
-    */
   /** Bounded deterministic vector sample of a (b_id, b_emb) frame — the
     * shared quantizer-training input (IVF coarse codebook, PQ subspace
     * codebooks): hash-selected on the id (not `rand()`, so task retries
@@ -168,9 +164,20 @@ object Ann {
       .map(_.toArray)
   }
 
+  /** Fit the IVF coarse codebook on a bounded deterministic sample of
+    * `b` (columns b_id, b_emb) -- see [[knnIvf]]'s scaladoc for the
+    * FAISS train/add division-of-labor rationale.
+    */
   private[operators] def fitCodebook(
-      b: DataFrame, nlist: Int, seed: Long, maxFit: Long): Array[Array[Double]] = {
-    val sample = sampleVectors(b, maxFit)
+      b: DataFrame, nlist: Int, seed: Long, maxFit: Long): Array[Array[Double]] =
+    fitCodebookFromSample(sampleVectors(b, maxFit), nlist, seed)
+
+  /** [[fitCodebook]] over an already-collected sample — lets composed
+    * operators ([[Pq.knnIvfPq]]) pay the sample scan once for both the
+    * coarse and the PQ quantizers.
+    */
+  private[operators] def fitCodebookFromSample(
+      sample: Array[Array[Float]], nlist: Int, seed: Long): Array[Array[Double]] = {
     val fitCount = sample.length
     require(fitCount > 0, "IVF quantizer sample is empty -- no base vectors to index")
     // Clamp rather than throw: a small corpus (or an unlucky binomial

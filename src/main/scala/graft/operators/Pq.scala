@@ -46,10 +46,18 @@ object Pq {
     */
   def fit(
       base: DataFrame, id: Column, vec: Column, m: Int,
-      kSub: Int = 256, seed: Long = 42L, maxFit: Long = 100000L): Codebooks = {
+      kSub: Int = 256, seed: Long = 42L, maxFit: Long = 100000L): Codebooks =
+    fitFromSample(
+      Ann.sampleVectors(base.select(id.as("b_id"), vec.as("b_emb")), maxFit),
+      m, kSub, seed)
+
+  /** [[fit]] over an already-collected sample — composed operators
+    * ([[knnIvfPq]]) share one sample scan between the coarse and PQ
+    * quantizers.
+    */
+  def fitFromSample(
+      sample: Array[Array[Float]], m: Int, kSub: Int, seed: Long): Codebooks = {
     require(m >= 1, s"m must be >= 1, got $m")
-    val b = base.select(id.as("b_id"), vec.as("b_emb"))
-    val sample = Ann.sampleVectors(b, maxFit)
     require(sample.nonEmpty, "PQ fit sample is empty -- no base vectors")
     val d = sample(0).length
     require(d % m == 0, s"embedding dim $d is not divisible by m=$m subspaces")
@@ -65,9 +73,11 @@ object Pq {
 
   /** `array<int>` of `m` codes for a float-array embedding column: one
     * native NearestCentroid per subspace slice (all inside one narrow
-    * projection — whole-stage codegen, no shuffle). A ragged/null
-    * vector yields null code elements (the NearestCentroid null
-    * contract); callers filter those rows like a null join key.
+    * projection — whole-stage codegen, no shuffle). NULL vectors/
+    * elements yield null code elements (the NearestCentroid null
+    * contract), but a RAGGED vector does NOT (NearestCentroid scores
+    * the overlapping prefix), so callers must ALSO gate on the exact
+    * dimension — [[encode]] owns both filters.
     */
   def encodeExpr(vec: Column, cb: Codebooks): Column =
     array((0 until cb.m).map { j =>
@@ -87,11 +97,17 @@ object Pq {
 
   /** Encode the base: (b_id, codes) — the compressed representation a
     * 100 TB pipeline would persist instead of the raw vectors. Rows
-    * whose vector cannot be coded (null/ragged) are dropped, like null
-    * join keys everywhere else in the engine.
+    * whose vector cannot be coded are dropped like null join keys:
+    * null vectors/elements via the null-code filter, and RAGGED
+    * vectors via an explicit dimension gate — NearestCentroid would
+    * happily code a wrong-length vector from its overlapping prefix,
+    * and such a row could then fill a compressed-domain shortlist only
+    * to null out at exact rerank, silently shrinking (or emptying) a
+    * query's results.
     */
   def encode(base: DataFrame, id: Column, vec: Column, cb: Codebooks): DataFrame =
-    base.select(id.as("b_id"), encodeExpr(vec, cb).as("codes"))
+    base.filter(size(vec) === cb.m * cb.sub)
+      .select(id.as("b_id"), encodeExpr(vec, cb).as("codes"))
       .filter(forall(col("codes"), c => c.isNotNull))
 
   /** Approximate top-k cosine via PQ shortlist + EXACT rerank:
@@ -119,8 +135,7 @@ object Pq {
       queries: DataFrame, qId: Column, qVec: Column,
       k: Int, m: Int = 8, kSub: Int = 256, shortlist: Int = 0,
       seed: Long = 42L, maxFit: Long = 100000L): DataFrame = {
-    val sl = if (shortlist > 0) shortlist else 4 * k
-    require(sl >= k, s"shortlist $sl must be >= k=$k")
+    val sl = shortlistSize(shortlist, k)
     val cb = fit(base, baseId, baseVec, m, kSub, seed, maxFit)
     val b = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
@@ -135,11 +150,26 @@ object Pq {
     val approx = dec.crossJoin(broadcast(q))
       .select(col("q_id"), col("b_id"),
         (Vectors.dot(col("dec"), col("q_emb")) / (col("d_nrm") * col("qp_nrm"))).as("sim"))
-    val short = Ann.topkPerQuery(approx, sl).select("q_id", "b_id")
-    // exact rerank: shortlist pairs only (<= queries × shortlist rows),
-    // originals re-joined by id — the wide vectors travel once per
-    // surviving pair, not per compressed-domain comparison
-    val scored = short
+    rerankExact(Ann.topkPerQuery(approx, sl), b, q, k)
+  }
+
+  private def shortlistSize(shortlist: Int, k: Int): Int = {
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    require(sl >= k, s"shortlist $sl must be >= k=$k")
+    sl
+  }
+
+  /** Exact rerank of a compressed-domain shortlist — the SINGLE owner
+    * of the tail both [[knnPq]] and [[knnIvfPq]] end with, because the
+    * self-verifying oracle contract depends on this arithmetic staying
+    * bit-identical to [[Ann.knnBruteForce]]'s. Shortlist pairs only
+    * (<= queries × shortlist rows): the wide original vectors travel
+    * once per surviving pair, not per compressed-domain comparison.
+    * `b` = (b_id, b_emb, b_nrm > 0); `q` = [[Ann.validQueries]] shape.
+    */
+  private def rerankExact(
+      short: DataFrame, b: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val scored = short.select("q_id", "b_id")
       .join(b, "b_id")
       .join(broadcast(q.withColumnRenamed("qp_nrm", "q_nrm")), "q_id")
       .select(col("q_id"), col("b_id"),
@@ -164,19 +194,26 @@ object Pq {
       k: Int, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, kSub: Int = 256, shortlist: Int = 0,
       seed: Long = 42L, maxFit: Long = 100000L): DataFrame = {
-    val sl = if (shortlist > 0) shortlist else 4 * k
-    require(sl >= k, s"shortlist $sl must be >= k=$k")
-    val b = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
-    val coarse = Ann.fitCodebook(b, nlist, seed, maxFit)
-    val cb = fit(base, baseId, baseVec, m, kSub, seed, maxFit)
+    val sl = shortlistSize(shortlist, k)
+    val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
+    // ONE sample scan feeds both quantizers; the PQ seed family is
+    // offset from the coarse seed — Quantizer.fit draws its k-means++
+    // init from the seed over the same sample, so seed == seed+0 would
+    // correlate the coarse codebook with subspace 0 (the coupled-draws
+    // trap [[fit]]'s scaladoc warns about, here across quantizers)
+    val sample = Ann.sampleVectors(b0, maxFit)
+    val coarse = Ann.fitCodebookFromSample(sample, nlist, seed)
+    val cb = fitFromSample(sample, m, kSub, seed + 1000003L)
     val q = Ann.validQueries(queries, qId, qVec)
     Ann.requireQueryDim(q, cb.m * cb.sub)
-    // one narrow enrichment pass: cell + codes + decode, keeping only
-    // PQ-scoreable rows (valid codes, nonzero original AND decoded
-    // norms) — the liveness universe for the probe below
-    val enc = b
+    val b = b0
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
-      .filter(col("b_nrm") > 0)
+      .filter(col("b_nrm") > 0) // zero-norm: see knnBruteForce
+    // one narrow enrichment pass: cell + codes + decode, keeping only
+    // PQ-scoreable rows (exact dim, valid codes, nonzero original AND
+    // decoded norms) — the liveness universe for the probe below
+    val enc = b
+      .filter(size(col("b_emb")) === cb.m * cb.sub) // ragged: see encode
       .withColumn("cell", Ann.cellExpr(col("b_emb"), coarse))
       .filter(col("cell").isNotNull)
       .withColumn("codes", encodeExpr(col("b_emb"), cb))
@@ -193,14 +230,6 @@ object Pq {
       .join(broadcast(probed), "cell")
       .select(col("q_id"), col("b_id"),
         (Vectors.dot(col("dec"), col("q_emb")) / (col("d_nrm") * col("qp_nrm"))).as("sim"))
-    val short = Ann.topkPerQuery(approx, sl).select("q_id", "b_id")
-    val originals = b.withColumn("b_nrm", Vectors.norm2(col("b_emb")))
-      .filter(col("b_nrm") > 0)
-    val scored = short
-      .join(originals, "b_id")
-      .join(broadcast(q.withColumnRenamed("qp_nrm", "q_nrm")), "q_id")
-      .select(col("q_id"), col("b_id"),
-        (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
-    Ann.topkPerQuery(scored, k)
+    rerankExact(Ann.topkPerQuery(approx, sl), b, q, k)
   }
 }
