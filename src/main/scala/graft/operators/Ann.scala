@@ -404,7 +404,7 @@ object Ann {
     * cast). With `atomicSwap` the new sidecar lands in a sibling temp
     * dir and replaces the old one with two renames.
     */
-  private def writeCodebookSidecar(
+  private[operators] def writeCodebookSidecar(
       spark: org.apache.spark.sql.SparkSession, path: String,
       codebook: Array[Array[Double]], members: Map[Int, Long],
       atomicSwap: Boolean): Unit = {

@@ -177,6 +177,99 @@ object Pq {
     Ann.topkPerQuery(scored, k)
   }
 
+  /** Build a PERSISTED IVF-PQ index at `path` — the compressed
+    * build-once/query-many serving shape for 10^9+ vectors: the base
+    * stores ONLY (b_id, codes, d_nrm) partitioned by coarse cell, so a
+    * query's probed-cell scan reads ~m bytes per candidate instead of
+    * 4·D (the full vectors stay in the SOURCE table and are joined
+    * back only for the exact-rerank shortlist). Layout:
+    * `path/base` (b_id, codes, d_nrm; cell = partition key),
+    * `path/codebook` (the coarse sidecar, occupancy = PQ-scoreable
+    * members), `path/pq` (one row per (subspace, code): the PQ tables).
+    */
+  def buildIvfPqIndex(
+      base: DataFrame, baseId: Column, baseVec: Column, path: String,
+      nlist: Int = 16, m: Int = 8, kSub: Int = 256,
+      seed: Long = 42L, maxFit: Long = 100000L): Unit = {
+    val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
+    val sample = Ann.sampleVectors(b0, maxFit)
+    val coarse = Ann.fitCodebookFromSample(sample, nlist, seed)
+    val cb = fitFromSample(sample, m, kSub, seed + 1000003L) // see knnIvfPq
+    val spark = base.sparkSession
+    b0.filter(Vectors.norm2(col("b_emb")) > 0)
+      .filter(size(col("b_emb")) === cb.m * cb.sub) // ragged: see encode
+      .withColumn("cell", Ann.cellExpr(col("b_emb"), coarse))
+      .filter(col("cell").isNotNull)
+      .withColumn("codes", encodeExpr(col("b_emb"), cb))
+      .filter(forall(col("codes"), c => c.isNotNull))
+      .withColumn("d_nrm", Vectors.norm2(decodeExpr(col("codes"), cb)))
+      .filter(col("d_nrm") > 0)
+      .select("b_id", "codes", "d_nrm", "cell")
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/base")
+    // occupancy of PQ-SCOREABLE members from the WRITTEN files (every
+    // written row is scoreable by construction of the filters above)
+    val members = spark.read.parquet(s"$path/base")
+      .groupBy("cell").agg(count(lit(1)).as("__m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Ann.writeCodebookSidecar(spark, path, coarse, members, atomicSwap = false)
+    import spark.implicits._
+    (for (j <- 0 until cb.m; c <- cb.tables(j).indices)
+      yield (j, c, cb.tables(j)(c).toSeq))
+      .toDF("subspace", "code", "centroid_d")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/pq")
+  }
+
+  /** KNN against a persisted [[buildIvfPqIndex]] index: probe ranks
+    * from the codebook sidecar, a partition-pruned CODES scan of only
+    * the probed cell directories (the <= nlist cell list is the one
+    * driver collect, as in [[Ann.queryIvfIndex]]), compressed-domain
+    * shortlist, then exact rerank against `source` — the table holding
+    * the ORIGINAL vectors, joined by id for shortlist pairs only.
+    * `source` must contain every indexed id (it is the corpus the
+    * index was built from); reported sims are true cosines, same
+    * oracle contract as the whole knn family.
+    *
+    * CALLER CONTRACT: caches the probe frame — wrap in [[Dedup.scoped]]
+    * or clear the cache, as with [[Ann.queryIvfIndex]].
+    */
+  def queryIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      source: DataFrame, srcId: Column, srcVec: Column,
+      queries: DataFrame, qId: Column, qVec: Column,
+      k: Int, nprobe: Int = 4, shortlist: Int = 0): DataFrame = {
+    val sl = shortlistSize(shortlist, k)
+    val centDf = spark.read.parquet(s"$path/codebook")
+      .filter(col("members") > 0) // live cells only
+      .withColumn("c_nrm", Vectors.norm2(col("centroid")))
+      .select("cell", "centroid", "c_nrm")
+    // bounded collect: m × kSub PQ table rows
+    val pqRows = spark.read.parquet(s"$path/pq")
+      .select("subspace", "code", "centroid_d").collect()
+    require(pqRows.nonEmpty, s"$path/pq is empty -- not an IVF-PQ index")
+    val m = pqRows.map(_.getInt(0)).max + 1
+    val tables = Array.tabulate(m) { j =>
+      pqRows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray)
+    }
+    val cb = Codebooks(m, tables(0)(0).length, tables)
+    val q = Ann.validQueries(queries, qId, qVec)
+    Ann.requireQueryDim(q, cb.m * cb.sub)
+    val tc = Dedup.scopedCache(Ann.topProbeCells(q, centDf, nprobe))
+    val cells = tc.select("cell").distinct().collect().map(_.getInt(0))
+    val probed = tc.join(q, "q_id")
+    val approx = spark.read.parquet(s"$path/base")
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+      .withColumn("dec", decodeExpr(col("codes"), cb))
+      .join(broadcast(probed), "cell")
+      .select(col("q_id"), col("b_id"),
+        (Vectors.dot(col("dec"), col("q_emb")) / (col("d_nrm") * col("qp_nrm"))).as("sim"))
+    val src = source.select(srcId.as("b_id"), srcVec.as("b_emb"))
+      .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+      .filter(col("b_nrm") > 0)
+    rerankExact(Ann.topkPerQuery(approx, sl), src, q, k)
+  }
+
   /** IVF+PQ (the FAISS IVFADC composition): the coarse quantizer prunes
     * WHICH rows are scanned (candidates = probed cells only, shuffle ∝
     * candidates) while PQ compresses WHAT the scan reads (m bytes per

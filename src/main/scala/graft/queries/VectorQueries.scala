@@ -374,6 +374,31 @@ object VectorQueries {
 
   val v10Oracle: String = selfVerifyingKnnOracle("v10_knn_ivfpq", k = 5)
 
+  /** Persisted IVF-PQ index round trip
+    * ([[graft.operators.Pq.buildIvfPqIndex]] →
+    * [[graft.operators.Pq.queryIvfPqIndex]]): the compressed
+    * build-once/query-many serving shape — the index stores only
+    * (id, codes, d_nrm) partitioned by cell, the probed-cell scan
+    * reads m bytes per candidate, and the exact rerank joins the
+    * ORIGINAL vectors back from the source table for shortlist pairs
+    * only. Same oracle contract as the rest of the knn family.
+    */
+  def v11IvfPqIndex(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = Scratch.wiped(s, "ivfpq_index", dir)
+    graft.operators.Pq.buildIvfPqIndex(
+      e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"), path,
+      nlist = 8, m = 8, kSub = 16)
+    graft.operators.Pq.queryIvfPqIndex(
+      s, path,
+      e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 5, nprobe = 3, shortlist = 20)
+      .orderBy("q_id", "rank")
+  }
+
+  val v11Oracle: String = selfVerifyingKnnOracle("v11_ivfpq_index", k = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_bruteforce" -> (v01KnnBruteForce _),
     "v02_label_stats" -> (v02LabelStats _),
@@ -384,7 +409,8 @@ object VectorQueries {
     "v07_ivf_index" -> (v07IvfIndex _),
     "v08_ivf_append" -> (v08IvfAppend _),
     "v09_knn_pq" -> (v09KnnPq _),
-    "v10_knn_ivfpq" -> (v10KnnIvfPq _)
+    "v10_knn_ivfpq" -> (v10KnnIvfPq _),
+    "v11_ivfpq_index" -> (v11IvfPqIndex _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -397,6 +423,7 @@ object VectorQueries {
     "v07_ivf_index" -> v07Oracle,
     "v08_ivf_append" -> v08Oracle,
     "v09_knn_pq" -> v09Oracle,
-    "v10_knn_ivfpq" -> v10Oracle
+    "v10_knn_ivfpq" -> v10Oracle,
+    "v11_ivfpq_index" -> v11Oracle
   )
 }

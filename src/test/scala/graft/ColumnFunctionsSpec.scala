@@ -294,6 +294,22 @@ class ColumnFunctionsSpec extends SparkSpecBase {
       (ivfpq.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / 5
     }.sum / exact.size
     assert(r2 >= 0.85, s"IVF+PQ recall too low on clustered data: $r2")
+    // the persisted IVF-PQ index answers identically to the on-the-fly
+    // composition: same sample, same seeds, same probe and shortlist
+    // arithmetic — build+query is a pure factoring of knnIvfPq
+    val pPath = java.nio.file.Files.createTempDirectory("graft_ivfpq_eq").toString
+    graft.operators.Pq.buildIvfPqIndex(
+      base, col("vec_id"), col("embedding"), pPath, nlist = 8, m = 4, kSub = 32)
+    val viaIndex = graft.operators.Pq.queryIvfPqIndex(
+      spark, pPath, base, col("vec_id"), col("embedding"),
+      qs, col("vec_id"), col("embedding"), k = 5, nprobe = 2, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val onTheFly = graft.operators.Pq.knnIvfPq(
+      base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
+      k = 5, nlist = 8, nprobe = 2, m = 4, kSub = 32, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(viaIndex == onTheFly,
+      s"persisted IVF-PQ diverged from knnIvfPq:\n  only index: ${viaIndex -- onTheFly}\n  only fly: ${onTheFly -- viaIndex}")
   }
 
   test("IVF ANN: every valid query returns candidates, even with dead cells") {

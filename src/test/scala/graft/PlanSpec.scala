@@ -288,6 +288,30 @@ class PlanSpec extends SparkSpecBase {
     assert(df.count() > 0)
   }
 
+  test("v11: persisted IVF-PQ query prunes to probed cells and reads only codes") {
+    import graft.operators.Pq
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_plan").toString
+    Pq.buildIvfPqIndex(emb.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
+      path, nlist = 8, m = 8, kSub = 16)
+    val df = Pq.queryIvfPqIndex(spark, path,
+      emb.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 5, nprobe = 2, shortlist = 20)
+    val f = formatted(df)
+    val pf = f.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("cell")).getOrElse("")
+    assert(pf.contains("cell"),
+      s"IVF-PQ index scan must prune on the cell partition key:\n$f")
+    // the pruned scan reads the CODES table, never the original vectors:
+    // its ReadSchema must carry codes/d_nrm and no embedding column
+    val baseScan = f.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("codes")).getOrElse("")
+    assert(baseScan.nonEmpty && !baseScan.contains("embedding"),
+      s"compressed scan leaked the original vectors:\n$f")
+    assert(df.count() > 0)
+  }
+
   test("c05b: the ratio strip's mark join is a broadcast, not a shuffle") {
     // the ratio bounds the frequent set by construction, so the mark
     // join must plan as BroadcastHashJoin even with auto-broadcast OFF
