@@ -331,6 +331,15 @@ object Ann {
   def addToIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       rows: DataFrame, id: Column, vec: Column): Unit = {
+    // an IVF-PQ index shares this codebook layout but its base holds
+    // CODES, not vectors — appending vector rows would corrupt it
+    // silently (mixed parquet schemas + occupancy counting rows the
+    // compressed scan can't read), so refuse by the pq-sidecar marker
+    val pqMarker = new org.apache.hadoop.fs.Path(s"$path/pq")
+    require(
+      !pqMarker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pqMarker),
+      s"$path is an IVF-PQ index (has a pq sidecar) -- addToIvfIndex supports plain IVF " +
+        "indexes only; rebuild the PQ index to extend it")
     // bounded collect: <= nlist codebook rows (double centroids for
     // assignment parity AND the previous occupancy counts)
     val cbRows = spark.read.parquet(s"$path/codebook")
@@ -445,26 +454,13 @@ object Ann {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qId: Column, qVec: Column,
       k: Int, nprobe: Int = 4): DataFrame = {
-    val centDf = spark.read.parquet(s"$path/codebook")
-      .filter(col("members") > 0) // live cells only: see topProbeCells
-      .withColumn("c_nrm", Vectors.norm2(col("centroid")))
-      .select("cell", "centroid", "c_nrm")
+    val centDf = readLiveCentroids(spark, path)
     val q = validQueries(queries, qId, qVec)
     // take(1): an index whose every cell is dead has an empty live
     // codebook — no rows can come back, so there is no dim to enforce
     centDf.select(size(col("centroid"))).take(1)
       .foreach(r => requireQueryDim(q, r.getInt(0)))
-    // the probe result is needed TWICE (the pruning cell list and the
-    // scoring join). It is queries x nprobe rows -- NOT driver-bounded
-    // when the query set is a big batch (the normal case for a corpus-
-    // vs-corpus ANN pass) -- so it is CACHED, not collected: the only
-    // driver materialization is the distinct cell list, which is
-    // <= nlist rows by construction. scopedCache: Verify/Bench clear
-    // the cache between queries; long-lived callers wrap in
-    // [[Dedup.scoped]] like the other multi-branch operators.
-    val tc = Dedup.scopedCache(topProbeCells(q, centDf, nprobe))
-    val cells = tc.select("cell").distinct().collect().map(_.getInt(0))
-    val probed = tc.join(q, "q_id")
+    val (cells, probed) = probePruned(q, centDf, nprobe)
     val scored = spark.read.parquet(s"$path/base")
       .filter(col("cell").isin(cells.map(Int.box): _*))
       .filter(col("b_nrm") > 0) // zero-norm: see knnBruteForce
@@ -472,6 +468,36 @@ object Ann {
       .select(col("q_id"), col("b_id"),
         (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
     topkPerQuery(scored, k)
+  }
+
+  /** LIVE (members > 0) centroids from a persisted index's codebook
+    * sidecar — single owner of the probe-side read shared by the IVF
+    * and IVF-PQ query paths (probe ranking must stay bit-identical
+    * across the index family).
+    */
+  private[operators] def readLiveCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/codebook")
+      .filter(col("members") > 0) // live cells only: see topProbeCells
+      .withColumn("c_nrm", Vectors.norm2(col("centroid")))
+      .select("cell", "centroid", "c_nrm")
+
+  /** Probe + prune for a persisted index: the probe result is needed
+    * TWICE (the pruning cell list and the scoring join). It is
+    * queries x nprobe rows -- NOT driver-bounded when the query set is
+    * a big batch (the normal case for a corpus-vs-corpus ANN pass) --
+    * so it is CACHED, not collected: the only driver materialization
+    * is the distinct cell list, which is <= nlist rows by construction.
+    * scopedCache: Verify/Bench clear the cache between queries;
+    * long-lived callers wrap in [[Dedup.scoped]] like the other
+    * multi-branch operators. Returns (pruning cells, probe frame
+    * joined back to the query columns).
+    */
+  private[operators] def probePruned(
+      q: DataFrame, centDf: DataFrame, nprobe: Int): (Array[Int], DataFrame) = {
+    val tc = Dedup.scopedCache(topProbeCells(q, centDf, nprobe))
+    val cells = tc.select("cell").distinct().collect().map(_.getInt(0))
+    (cells, tc.join(q, "q_id"))
   }
 
   /** Embedding-cosine near-duplicate pairs at corpus scale: candidate

@@ -187,6 +187,34 @@ object Pq {
     * `path/codebook` (the coarse sidecar, occupancy = PQ-scoreable
     * members), `path/pq` (one row per (subspace, code): the PQ tables).
     */
+  /** The PQ-scoreable enrichment of a (b_id, b_emb) frame — the SINGLE
+    * owner of the filter chain (nonzero norm, exact dim, valid cell,
+    * valid codes, nonzero decoded norm) that [[buildIvfPqIndex]]
+    * persists and [[knnIvfPq]] computes on the fly: the persisted ≡
+    * on-the-fly row-for-row contract depends on both paths drawing the
+    * SAME row universe. Returns (b_id, cell, codes, dec, d_nrm).
+    */
+  private def pqScoreable(
+      b0: DataFrame, coarse: Array[Array[Double]], cb: Codebooks): DataFrame =
+    b0.filter(Vectors.norm2(col("b_emb")) > 0) // zero-norm: see knnBruteForce
+      .filter(size(col("b_emb")) === cb.m * cb.sub) // ragged: see encode
+      .withColumn("cell", Ann.cellExpr(col("b_emb"), coarse))
+      .filter(col("cell").isNotNull)
+      .withColumn("codes", encodeExpr(col("b_emb"), cb))
+      .filter(forall(col("codes"), c => c.isNotNull))
+      .withColumn("dec", decodeExpr(col("codes"), cb))
+      .withColumn("d_nrm", Vectors.norm2(col("dec")))
+      .filter(col("d_nrm") > 0)
+      .select("b_id", "cell", "codes", "dec", "d_nrm")
+
+  /** The PQ seed family offset from the coarse seed — identical seeds
+    * over the identical sample would correlate the coarse codebook
+    * with subspace 0's (Quantizer.fit draws its k-means++ init from
+    * the seed). Single owner: build and on-the-fly must fit IDENTICAL
+    * codebooks for the persisted ≡ on-the-fly contract.
+    */
+  private def pqSeed(seed: Long): Long = seed + 1000003L
+
   def buildIvfPqIndex(
       base: DataFrame, baseId: Column, baseVec: Column, path: String,
       nlist: Int = 16, m: Int = 8, kSub: Int = 256,
@@ -194,16 +222,9 @@ object Pq {
     val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
     val sample = Ann.sampleVectors(b0, maxFit)
     val coarse = Ann.fitCodebookFromSample(sample, nlist, seed)
-    val cb = fitFromSample(sample, m, kSub, seed + 1000003L) // see knnIvfPq
+    val cb = fitFromSample(sample, m, kSub, pqSeed(seed))
     val spark = base.sparkSession
-    b0.filter(Vectors.norm2(col("b_emb")) > 0)
-      .filter(size(col("b_emb")) === cb.m * cb.sub) // ragged: see encode
-      .withColumn("cell", Ann.cellExpr(col("b_emb"), coarse))
-      .filter(col("cell").isNotNull)
-      .withColumn("codes", encodeExpr(col("b_emb"), cb))
-      .filter(forall(col("codes"), c => c.isNotNull))
-      .withColumn("d_nrm", Vectors.norm2(decodeExpr(col("codes"), cb)))
-      .filter(col("d_nrm") > 0)
+    pqScoreable(b0, coarse, cb)
       .select("b_id", "codes", "d_nrm", "cell")
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/base")
     // occupancy of PQ-SCOREABLE members from the WRITTEN files (every
@@ -239,15 +260,19 @@ object Pq {
       queries: DataFrame, qId: Column, qVec: Column,
       k: Int, nprobe: Int = 4, shortlist: Int = 0): DataFrame = {
     val sl = shortlistSize(shortlist, k)
-    val centDf = spark.read.parquet(s"$path/codebook")
-      .filter(col("members") > 0) // live cells only
-      .withColumn("c_nrm", Vectors.norm2(col("centroid")))
-      .select("cell", "centroid", "c_nrm")
-    // bounded collect: m × kSub PQ table rows
+    val centDf = Ann.readLiveCentroids(spark, path)
+    // bounded collect: m × kSub PQ table rows — validated DENSE before
+    // use, because a partial/corrupt pq dir would otherwise compact
+    // codes onto the WRONG centroids and silently degrade every result
+    // (same fail-loud posture as addToIvfIndex's dense-cells check)
     val pqRows = spark.read.parquet(s"$path/pq")
       .select("subspace", "code", "centroid_d").collect()
     require(pqRows.nonEmpty, s"$path/pq is empty -- not an IVF-PQ index")
     val m = pqRows.map(_.getInt(0)).max + 1
+    val kSub = pqRows.map(_.getInt(1)).max + 1
+    require(pqRows.length == m * kSub &&
+      pqRows.map(r => (r.getInt(0), r.getInt(1))).distinct.length == m * kSub,
+      s"$path/pq is not a dense ${m}x$kSub code table -- corrupt index")
     val tables = Array.tabulate(m) { j =>
       pqRows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
         .map(_.getSeq[Double](2).toArray)
@@ -255,19 +280,29 @@ object Pq {
     val cb = Codebooks(m, tables(0)(0).length, tables)
     val q = Ann.validQueries(queries, qId, qVec)
     Ann.requireQueryDim(q, cb.m * cb.sub)
-    val tc = Dedup.scopedCache(Ann.topProbeCells(q, centDf, nprobe))
-    val cells = tc.select("cell").distinct().collect().map(_.getInt(0))
-    val probed = tc.join(q, "q_id")
+    val (cells, probed) = Ann.probePruned(q, centDf, nprobe)
     val approx = spark.read.parquet(s"$path/base")
       .filter(col("cell").isin(cells.map(Int.box): _*))
       .withColumn("dec", decodeExpr(col("codes"), cb))
       .join(broadcast(probed), "cell")
       .select(col("q_id"), col("b_id"),
         (Vectors.dot(col("dec"), col("q_emb")) / (col("d_nrm") * col("qp_nrm"))).as("sim"))
+    val short = Ann.topkPerQuery(approx, sl)
     val src = source.select(srcId.as("b_id"), srcVec.as("b_emb"))
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
       .filter(col("b_nrm") > 0)
-    rerankExact(Ann.topkPerQuery(approx, sl), src, q, k)
+    // the 'source holds every indexed id' contract, ENFORCED: a source
+    // that drifted since build (retention delete, different filter)
+    // would silently shrink or empty a query's results at the rerank
+    // inner join — the engine's worst failure mode. Bounded check:
+    // shortlist-sized anti-join, stops at the first offender.
+    val missing = short.select("b_id").distinct()
+      .join(src.select("b_id"), Seq("b_id"), "left_anti")
+      .limit(1).collect()
+    require(missing.isEmpty,
+      s"source is missing indexed id ${if (missing.nonEmpty) missing.head.get(0) else ""} " +
+        "(or its vector became zero-norm) -- the source table drifted since the index was built")
+    rerankExact(short, src, q, k)
   }
 
   /** IVF+PQ (the FAISS IVFADC composition): the coarse quantizer prunes
@@ -289,32 +324,21 @@ object Pq {
       seed: Long = 42L, maxFit: Long = 100000L): DataFrame = {
     val sl = shortlistSize(shortlist, k)
     val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
-    // ONE sample scan feeds both quantizers; the PQ seed family is
-    // offset from the coarse seed — Quantizer.fit draws its k-means++
-    // init from the seed over the same sample, so seed == seed+0 would
-    // correlate the coarse codebook with subspace 0 (the coupled-draws
-    // trap [[fit]]'s scaladoc warns about, here across quantizers)
+    // ONE sample scan feeds both quantizers; PQ seed family offset —
+    // see [[pqSeed]]
     val sample = Ann.sampleVectors(b0, maxFit)
     val coarse = Ann.fitCodebookFromSample(sample, nlist, seed)
-    val cb = fitFromSample(sample, m, kSub, seed + 1000003L)
+    val cb = fitFromSample(sample, m, kSub, pqSeed(seed))
     val q = Ann.validQueries(queries, qId, qVec)
     Ann.requireQueryDim(q, cb.m * cb.sub)
     val b = b0
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
       .filter(col("b_nrm") > 0) // zero-norm: see knnBruteForce
-    // one narrow enrichment pass: cell + codes + decode, keeping only
-    // PQ-scoreable rows (exact dim, valid codes, nonzero original AND
-    // decoded norms) — the liveness universe for the probe below
-    val enc = b
-      .filter(size(col("b_emb")) === cb.m * cb.sub) // ragged: see encode
-      .withColumn("cell", Ann.cellExpr(col("b_emb"), coarse))
-      .filter(col("cell").isNotNull)
-      .withColumn("codes", encodeExpr(col("b_emb"), cb))
-      .filter(forall(col("codes"), c => c.isNotNull))
-      .withColumn("dec", decodeExpr(col("codes"), cb))
-      .withColumn("d_nrm", Vectors.norm2(col("dec")))
-      .filter(col("d_nrm") > 0)
-      .select("b_id", "cell", "dec", "d_nrm")
+    // one narrow enrichment pass ([[pqScoreable]] — the shared row
+    // universe with the persisted build): cell + codes + decode,
+    // keeping only PQ-scoreable rows — the liveness universe for the
+    // probe below
+    val enc = pqScoreable(b0, coarse, cb).select("b_id", "cell", "dec", "d_nrm")
     val liveCells = enc.select("cell").distinct()
     val centDf = Ann.centroidFrame(base.sparkSession, coarse)
       .join(broadcast(liveCells), "cell")
