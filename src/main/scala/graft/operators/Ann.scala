@@ -338,8 +338,7 @@ object Ann {
     val pqMarker = new org.apache.hadoop.fs.Path(s"$path/pq")
     require(
       !pqMarker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pqMarker),
-      s"$path is an IVF-PQ index (has a pq sidecar) -- addToIvfIndex supports plain IVF " +
-        "indexes only; rebuild the PQ index to extend it")
+      s"$path is an IVF-PQ index (has a pq sidecar) -- use Pq.addToIvfPqIndex")
     // bounded collect: <= nlist codebook rows (double centroids for
     // assignment parity AND the previous occupancy counts)
     val cbRows = spark.read.parquet(s"$path/codebook")
@@ -388,7 +387,7 @@ object Ann {
     * `_temporary/.../part-x.parquet` must not count as data (readers
     * don't see it, so neither may the occupancy diff).
     */
-  private def listDataFiles(
+  private[operators] def listDataFiles(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Set[String] = {
     val base = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
     def hiddenAnywhere(p: org.apache.hadoop.fs.Path): Boolean = {

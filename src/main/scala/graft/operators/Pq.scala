@@ -218,9 +218,14 @@ object Pq {
   def buildIvfPqIndex(
       base: DataFrame, baseId: Column, baseVec: Column, path: String,
       nlist: Int = 16, m: Int = 8, kSub: Int = 256,
-      seed: Long = 42L, maxFit: Long = 100000L): Unit = {
+      seed: Long = 42L, maxFit: Long = 100000L,
+      fitOn: Option[DataFrame] = None): Unit = {
     val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
-    val sample = Ann.sampleVectors(b0, maxFit)
+    // fitOn: the train/add split, as in Ann.buildIvfIndex — a growing
+    // index trains once on a representative sample and is extended
+    // with addToIvfPqIndex, never re-fit per increment
+    val fitB = fitOn.map(_.select(baseId.as("b_id"), baseVec.as("b_emb"))).getOrElse(b0)
+    val sample = Ann.sampleVectors(fitB, maxFit)
     val coarse = Ann.fitCodebookFromSample(sample, nlist, seed)
     val cb = fitFromSample(sample, m, kSub, pqSeed(seed))
     val spark = base.sparkSession
@@ -261,23 +266,7 @@ object Pq {
       k: Int, nprobe: Int = 4, shortlist: Int = 0): DataFrame = {
     val sl = shortlistSize(shortlist, k)
     val centDf = Ann.readLiveCentroids(spark, path)
-    // bounded collect: m × kSub PQ table rows — validated DENSE before
-    // use, because a partial/corrupt pq dir would otherwise compact
-    // codes onto the WRONG centroids and silently degrade every result
-    // (same fail-loud posture as addToIvfIndex's dense-cells check)
-    val pqRows = spark.read.parquet(s"$path/pq")
-      .select("subspace", "code", "centroid_d").collect()
-    require(pqRows.nonEmpty, s"$path/pq is empty -- not an IVF-PQ index")
-    val m = pqRows.map(_.getInt(0)).max + 1
-    val kSub = pqRows.map(_.getInt(1)).max + 1
-    require(pqRows.length == m * kSub &&
-      pqRows.map(r => (r.getInt(0), r.getInt(1))).distinct.length == m * kSub,
-      s"$path/pq is not a dense ${m}x$kSub code table -- corrupt index")
-    val tables = Array.tabulate(m) { j =>
-      pqRows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
-        .map(_.getSeq[Double](2).toArray)
-    }
-    val cb = Codebooks(m, tables(0)(0).length, tables)
+    val cb = loadPqTables(spark, path)
     val q = Ann.validQueries(queries, qId, qVec)
     Ann.requireQueryDim(q, cb.m * cb.sub)
     val (cells, probed) = Ann.probePruned(q, centDf, nprobe)
@@ -303,6 +292,72 @@ object Pq {
       s"source is missing indexed id ${if (missing.nonEmpty) missing.head.get(0) else ""} " +
         "(or its vector became zero-norm) -- the source table drifted since the index was built")
     rerankExact(short, src, q, k)
+  }
+
+  /** The persisted PQ tables of an IVF-PQ index — bounded collect of
+    * m × kSub rows, validated DENSE before use: a partial/corrupt pq
+    * dir would otherwise compact codes onto the WRONG centroids and
+    * silently degrade every result (same fail-loud posture as
+    * addToIvfIndex's dense-cells check).
+    */
+  private def loadPqTables(
+      spark: org.apache.spark.sql.SparkSession, path: String): Codebooks = {
+    val pqRows = spark.read.parquet(s"$path/pq")
+      .select("subspace", "code", "centroid_d").collect()
+    require(pqRows.nonEmpty, s"$path/pq is empty -- not an IVF-PQ index")
+    val m = pqRows.map(_.getInt(0)).max + 1
+    val kSub = pqRows.map(_.getInt(1)).max + 1
+    require(pqRows.length == m * kSub &&
+      pqRows.map(r => (r.getInt(0), r.getInt(1))).distinct.length == m * kSub,
+      s"$path/pq is not a dense ${m}x$kSub code table -- corrupt index")
+    val tables = Array.tabulate(m) { j =>
+      pqRows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray)
+    }
+    Codebooks(m, tables(0)(0).length, tables)
+  }
+
+  /** Incrementally extend a persisted [[buildIvfPqIndex]] index: new
+    * rows are assigned AND encoded with the PERSISTED codebooks (no
+    * re-fit of either quantizer — build+add equals
+    * build-all-with-the-same-codebooks), appended to the cell
+    * partitions as codes, and the occupancy sidecar refreshed from the
+    * files this add wrote, exactly like [[Ann.addToIvfIndex]] (same
+    * listing-diff delta, same two-rename sidecar swap, same
+    * not-transactional caveat).
+    */
+  def addToIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      rows: DataFrame, id: Column, vec: Column): Unit = {
+    // bounded collects: <= nlist coarse rows + m × kSub PQ rows
+    val cbRows = spark.read.parquet(s"$path/codebook")
+      .select("cell", "centroid_d", "members").collect()
+    require(cbRows.nonEmpty, s"$path/codebook is empty -- not an index")
+    val byCell = cbRows.sortBy(_.getInt(0))
+    require(
+      byCell.map(_.getInt(0)).sameElements(byCell.indices),
+      s"$path/codebook cells are not dense 0..${byCell.length - 1} -- corrupt index")
+    val coarse: Array[Array[Double]] = byCell.map(_.getSeq[Double](1).toArray)
+    val prevMembers = byCell.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val cb = loadPqTables(spark, path)
+    val basePath = s"$path/base"
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // listing-diff occupancy: count exactly the files this add wrote
+    // (see addToIvfIndex — a lazy-plan recount could drift from disk)
+    val before = Ann.listDataFiles(fs, basePath)
+    pqScoreable(rows.select(id.as("b_id"), vec.as("b_emb")), coarse, cb)
+      .select("b_id", "codes", "d_nrm", "cell")
+      .write.partitionBy("cell").mode("append").parquet(basePath)
+    val newFiles = (Ann.listDataFiles(fs, basePath) -- before).toSeq
+    val delta =
+      if (newFiles.isEmpty) Map.empty[Int, Long]
+      else spark.read.option("basePath", basePath).parquet(newFiles: _*)
+        .groupBy("cell").agg(count(lit(1)).as("__m"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val members = coarse.indices
+      .map(c => c -> (prevMembers.getOrElse(c, 0L) + delta.getOrElse(c, 0L))).toMap
+    Ann.writeCodebookSidecar(spark, path, coarse, members, atomicSwap = true)
   }
 
   /** IVF+PQ (the FAISS IVFADC composition): the coarse quantizer prunes

@@ -399,6 +399,33 @@ object VectorQueries {
 
   val v11Oracle: String = selfVerifyingKnnOracle("v11_ivfpq_index", k = 5)
 
+  /** Incremental maintenance of the persisted IVF-PQ index
+    * ([[graft.operators.Pq.addToIvfPqIndex]]): built from the even-id
+    * half, the odd-id half appended with the PERSISTED coarse + PQ
+    * codebooks (no re-fit of either quantizer), queried through the
+    * same oracle contract — v08's growth story on the compressed
+    * index.
+    */
+  def v12IvfPqAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = Scratch.wiped(s, "ivfpq_append", dir)
+    graft.operators.Pq.buildIvfPqIndex(
+      e.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), path, nlist = 8, m = 8, kSub = 16)
+    graft.operators.Pq.addToIvfPqIndex(
+      s, path,
+      e.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"))
+    graft.operators.Pq.queryIvfPqIndex(
+      s, path,
+      e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 5, nprobe = 3, shortlist = 20)
+      .orderBy("q_id", "rank")
+  }
+
+  val v12Oracle: String = selfVerifyingKnnOracle("v12_ivfpq_append", k = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_bruteforce" -> (v01KnnBruteForce _),
     "v02_label_stats" -> (v02LabelStats _),
@@ -410,7 +437,8 @@ object VectorQueries {
     "v08_ivf_append" -> (v08IvfAppend _),
     "v09_knn_pq" -> (v09KnnPq _),
     "v10_knn_ivfpq" -> (v10KnnIvfPq _),
-    "v11_ivfpq_index" -> (v11IvfPqIndex _)
+    "v11_ivfpq_index" -> (v11IvfPqIndex _),
+    "v12_ivfpq_append" -> (v12IvfPqAppend _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -424,6 +452,7 @@ object VectorQueries {
     "v08_ivf_append" -> v08Oracle,
     "v09_knn_pq" -> v09Oracle,
     "v10_knn_ivfpq" -> v10Oracle,
-    "v11_ivfpq_index" -> v11Oracle
+    "v11_ivfpq_index" -> v11Oracle,
+    "v12_ivfpq_append" -> v12Oracle
   )
 }

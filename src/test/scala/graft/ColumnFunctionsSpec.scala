@@ -310,6 +310,28 @@ class ColumnFunctionsSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
     assert(viaIndex == onTheFly,
       s"persisted IVF-PQ diverged from knnIvfPq:\n  only index: ${viaIndex -- onTheFly}\n  only fly: ${onTheFly -- viaIndex}")
+    // incremental add: build(even)+add(odd) ≡ build(all, fitOn=even) —
+    // the add path assigns AND encodes with the persisted codebooks
+    val even = base.filter(col("vec_id") % 2 === 0)
+    val odd = base.filter(col("vec_id") % 2 === 1)
+    val pInc = java.nio.file.Files.createTempDirectory("graft_ivfpq_inc").toString
+    val pAll = java.nio.file.Files.createTempDirectory("graft_ivfpq_all").toString
+    graft.operators.Pq.buildIvfPqIndex(
+      even, col("vec_id"), col("embedding"), pInc, nlist = 8, m = 4, kSub = 32)
+    graft.operators.Pq.addToIvfPqIndex(spark, pInc, odd, col("vec_id"), col("embedding"))
+    graft.operators.Pq.buildIvfPqIndex(
+      base, col("vec_id"), col("embedding"), pAll, nlist = 8, m = 4, kSub = 32,
+      fitOn = Some(even))
+    def qres(p: String) = graft.operators.Pq.queryIvfPqIndex(
+      spark, p, base, col("vec_id"), col("embedding"),
+      qs, col("vec_id"), col("embedding"), k = 5, nprobe = 2, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val incR = qres(pInc)
+    assert(incR == qres(pAll), "incremental IVF-PQ diverged from build-all")
+    assert(incR.exists(_._2 % 2 == 1), "no appended (odd-id) row reachable via IVF-PQ query")
+    val membersPq = spark.read.parquet(s"$pInc/codebook")
+      .agg(org.apache.spark.sql.functions.sum("members")).head.getLong(0)
+    assert(membersPq == base.count(), s"IVF-PQ occupancy stale after add: $membersPq")
   }
 
   test("IVF ANN: every valid query returns candidates, even with dead cells") {
