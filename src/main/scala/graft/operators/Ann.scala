@@ -339,18 +339,7 @@ object Ann {
     require(
       !pqMarker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pqMarker),
       s"$path is an IVF-PQ index (has a pq sidecar) -- use Pq.addToIvfPqIndex")
-    // bounded collect: <= nlist codebook rows (double centroids for
-    // assignment parity AND the previous occupancy counts)
-    val cbRows = spark.read.parquet(s"$path/codebook")
-      .select("cell", "centroid_d", "members").collect()
-    require(cbRows.nonEmpty, s"$path/codebook is empty -- not an IVF index")
-    val byCell = cbRows.sortBy(_.getInt(0))
-    require(
-      byCell.map(_.getInt(0)).sameElements(byCell.indices),
-      s"$path/codebook cells are not dense 0..${byCell.length - 1} -- corrupt index")
-    val codebook: Array[Array[Double]] =
-      byCell.map(_.getSeq[Double](1).toArray)
-    val prevMembers = byCell.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val (codebook, prevMembers) = readCodebookSidecar(spark, path)
     val basePath = s"$path/base"
     // snapshot the file listing around the append so the occupancy
     // delta is counted from exactly the FILES THIS ADD WROTE -- not
@@ -405,6 +394,26 @@ object Ann {
       if (!hiddenAnywhere(f.getPath)) out += f.getPath.toString
     }
     out.toSet
+  }
+
+  /** The persisted coarse codebook (double centroids, for assignment
+    * parity with the original build) plus the previous occupancy
+    * counts — the single owner of the sidecar read + dense-cells
+    * validation shared by [[addToIvfIndex]] and
+    * [[Pq.addToIvfPqIndex]]. Bounded collect: <= nlist rows.
+    */
+  private[operators] def readCodebookSidecar(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Array[Double]], Map[Int, Long]) = {
+    val cbRows = spark.read.parquet(s"$path/codebook")
+      .select("cell", "centroid_d", "members").collect()
+    require(cbRows.nonEmpty, s"$path/codebook is empty -- not an index")
+    val byCell = cbRows.sortBy(_.getInt(0))
+    require(
+      byCell.map(_.getInt(0)).sameElements(byCell.indices),
+      s"$path/codebook cells are not dense 0..${byCell.length - 1} -- corrupt index")
+    (byCell.map(_.getSeq[Double](1).toArray),
+      byCell.map(r => r.getInt(0) -> r.getLong(2)).toMap)
   }
 
   /** Write the codebook sidecar (centroids in both precisions +

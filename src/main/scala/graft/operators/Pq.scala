@@ -237,6 +237,12 @@ object Pq {
     val members = spark.read.parquet(s"$path/base")
       .groupBy("cell").agg(count(lit(1)).as("__m"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // a base whose EVERY row fell to the PQ-scoreable gates (classic
+    // cause: fitOn frame with a different embedding dimension than the
+    // base) must not persist as a silently empty index
+    require(members.nonEmpty,
+      s"no base row was PQ-scoreable for $path -- does the base embedding " +
+        s"dimension match the fitted codebooks (dim ${cb.m * cb.sub})?")
     Ann.writeCodebookSidecar(spark, path, coarse, members, atomicSwap = false)
     import spark.implicits._
     (for (j <- 0 until cb.m; c <- cb.tables(j).indices)
@@ -329,16 +335,13 @@ object Pq {
   def addToIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       rows: DataFrame, id: Column, vec: Column): Unit = {
-    // bounded collects: <= nlist coarse rows + m × kSub PQ rows
-    val cbRows = spark.read.parquet(s"$path/codebook")
-      .select("cell", "centroid_d", "members").collect()
-    require(cbRows.nonEmpty, s"$path/codebook is empty -- not an index")
-    val byCell = cbRows.sortBy(_.getInt(0))
+    // directed misuse guard, symmetric with Ann.addToIvfIndex's: a
+    // PLAIN IVF index shares the codebook layout but has no pq sidecar
+    val pqMarker = new org.apache.hadoop.fs.Path(s"$path/pq")
     require(
-      byCell.map(_.getInt(0)).sameElements(byCell.indices),
-      s"$path/codebook cells are not dense 0..${byCell.length - 1} -- corrupt index")
-    val coarse: Array[Array[Double]] = byCell.map(_.getSeq[Double](1).toArray)
-    val prevMembers = byCell.map(r => r.getInt(0) -> r.getLong(2)).toMap
+      pqMarker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pqMarker),
+      s"$path has no pq sidecar -- it is a plain IVF index; use Ann.addToIvfIndex")
+    val (coarse, prevMembers) = Ann.readCodebookSidecar(spark, path)
     val cb = loadPqTables(spark, path)
     val basePath = s"$path/base"
     val fs = new org.apache.hadoop.fs.Path(basePath)
@@ -355,6 +358,14 @@ object Pq {
       else spark.read.option("basePath", basePath).parquet(newFiles: _*)
         .groupBy("cell").agg(count(lit(1)).as("__m"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // fail-loud on a silently vanished increment: a non-empty input
+    // whose EVERY row fell to the PQ-scoreable gates (wrong embedding
+    // dimension is the classic cause) must not report success — the
+    // ANN family's worst failure mode is the silent drop
+    if (delta.isEmpty)
+      require(rows.limit(1).collect().isEmpty,
+        s"no row of a non-empty increment was PQ-scoreable for $path -- wrong " +
+          s"embedding dimension (index dim ${cb.m * cb.sub})? nothing was added")
     val members = coarse.indices
       .map(c => c -> (prevMembers.getOrElse(c, 0L) + delta.getOrElse(c, 0L))).toMap
     Ann.writeCodebookSidecar(spark, path, coarse, members, atomicSwap = true)
