@@ -156,12 +156,28 @@ object Ann {
       else b
     // bounded collect (see knnIvf scaladoc): <= ~maxFit vectors; null
     // rows are skipped here, null-element rows fall out of assignment
-    fitDf
+    val raw = fitDf
       .select(col("b_emb").cast("array<float>"))
       .collect()
       .flatMap(r => Option(r.getSeq[Float](0)))
       .filter(s => s.nonEmpty && !s.contains(null))
       .map(_.toArray)
+    if (raw.isEmpty) raw
+    else {
+      // RAGGED rows are dropped from the training sample (majority
+      // dimension wins; ties break toward the smaller dim for
+      // determinism): base-side encode/assignment gates on the exact
+      // dim, but a ragged TRAINING row would silently skew every
+      // codebook from an overlapping-prefix distance — same logged
+      // degradation posture as the nlist/kSub clamps
+      val dim = raw.groupBy(_.length).maxBy { case (d, v) => (v.length, -d) }._1
+      val kept = raw.filter(_.length == dim)
+      if (kept.length < raw.length)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"quantizer sample dropped ${raw.length - kept.length} ragged vectors " +
+            s"(length != majority dim $dim)")
+      kept
+    }
   }
 
   /** Fit the IVF coarse codebook on a bounded deterministic sample of
@@ -341,6 +357,11 @@ object Ann {
       s"$path is an IVF-PQ index (has a pq sidecar) -- use Pq.addToIvfPqIndex")
     val (codebook, prevMembers) = readCodebookSidecar(spark, path)
     val basePath = s"$path/base"
+    // belt-and-braces with the marker check above: the schema read is
+    // footer-weight, and appending vector rows into a codes-only base
+    // would be silent mixed-schema corruption (the worst failure mode)
+    require(spark.read.parquet(basePath).schema.fieldNames.contains("b_emb"),
+      s"$basePath does not hold vector rows (no b_emb column) -- not a plain IVF index")
     // snapshot the file listing around the append so the occupancy
     // delta is counted from exactly the FILES THIS ADD WROTE -- not
     // from re-evaluating the (lazy, uncached) assignment plan, which a
@@ -370,13 +391,138 @@ object Ann {
     writeCodebookSidecar(spark, path, codebook, members, atomicSwap = true)
   }
 
+  /** Delete ids from a persisted [[buildIvfIndex]] index — the
+    * RETENTION verb, closing the index lifecycle (build → add → remove):
+    * without it, a retention delete on the source corpus leaves the
+    * index serving ghost rows (plain IVF) or hard-failing every query
+    * at the drift guard (IVF-PQ) until a full rebuild. Reference anchor:
+    * the re-index semantics of
+    * /root/reference/src/file_indexing_system.py:200-244, here as a
+    * surgical partition rewrite instead of a rebuild.
+    *
+    * Only the cell partitions CONTAINING victims are rewritten (an
+    * anti-join per affected cell, all cells in one distributed job);
+    * untouched cells keep their files byte-for-byte. Each rewritten
+    * leaf swaps in via the [[graft.etl.Compact]] park-then-swap with a
+    * per-cell row-count gate proven BEFORE any swap (kept = source −
+    * victims, for every affected cell), so a lossy rewrite aborts with
+    * the index untouched. The occupancy sidecar is refreshed for the
+    * rewritten cells from the files that were written; the codebook
+    * stays immutable (cells never move — remove(build+add) ≡
+    * build-without-the-victims, spec-pinned).
+    *
+    * Locating victims costs ONE (b_id, cell)-pruned scan of the base —
+    * victims carry no cell, so one narrow lookup pass is unavoidable;
+    * the rewrite reads only the affected cell directories. Removing
+    * every last row leaves an empty index (all-zero occupancy); like a
+    * crashed swap, queries against it fail loudly rather than answer
+    * from nothing. Not transactional (same caveat as [[addToIvfIndex]]).
+    */
+  def removeFromIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      victims: DataFrame, vicId: Column): Unit = {
+    val pqMarker = new org.apache.hadoop.fs.Path(s"$path/pq")
+    require(
+      !pqMarker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pqMarker),
+      s"$path is an IVF-PQ index (has a pq sidecar) -- use Pq.removeFromIvfPqIndex")
+    // occupancy counts SCOREABLE members (norm > 0), matching the build
+    removeFromIndexBase(spark, path, victims, vicId, scoreable = col("b_nrm") > 0)
+  }
+
+  /** Shared removal core for the IVF and IVF-PQ index layouts (they
+    * differ only in what the base rows hold and which rows count toward
+    * occupancy — `scoreable`). See [[removeFromIvfIndex]] for the
+    * contract; [[Pq.removeFromIvfPqIndex]] passes `lit(true)` (every
+    * persisted codes row is scoreable by construction).
+    */
+  private[operators] def removeFromIndexBase(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      victims: DataFrame, vicId: Column, scoreable: Column): Unit = {
+    val (codebook, prevMembers) = readCodebookSidecar(spark, path)
+    val basePath = s"$path/base"
+    val bp = new org.apache.hadoop.fs.Path(basePath)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpRoot = new org.apache.hadoop.fs.Path(bp.getParent, bp.getName + "__remove_tmp")
+    val oldRoot = new org.apache.hadoop.fs.Path(bp.getParent, bp.getName + "__remove_old")
+    // a parked tree with FILES is a crashed removal swap — it may hold
+    // a cell's only copy, so block until recovered (the Compact rule);
+    // file-less residue dirs are cleared
+    if (fs.exists(oldRoot)) {
+      require(!fs.listFiles(oldRoot, true).hasNext,
+        s"$oldRoot holds parked data -- a previous removal crashed mid-swap; " +
+          "recover or remove its parked cells first")
+      fs.delete(oldRoot, true)
+    }
+    fs.delete(tmpRoot, true)
+    val vic = victims.select(vicId.as("b_id")).distinct()
+    val base = spark.read.parquet(basePath)
+    // ≤ nlist driver rows: which cells hold at least one victim
+    val affected = base.select("b_id", "cell").join(vic, "b_id")
+      .select("cell").distinct().collect().map(_.getInt(0)).sorted
+    if (affected.isEmpty) return // no victim is indexed — nothing to do
+    val pruned = base.filter(col("cell").isin(affected.map(Int.box): _*))
+    // one distributed rewrite job for ALL affected cells; the write
+    // lands OUTSIDE the index (a work dir inside path/base would read
+    // as a partition directory — the Compact lesson)
+    pruned.join(vic, Seq("b_id"), "left_anti")
+      .write.partitionBy("cell").mode("overwrite").parquet(tmpRoot.toString)
+    // row-count gate per cell BEFORE any swap: kept-on-disk must equal
+    // source − victims for every affected cell. One pass of the pruned
+    // source (id + victim marker), one of the rewrite; both narrow.
+    val srcCnt = pruned.select(col("b_id"), col("cell"))
+      .join(vic.withColumn("__v", lit(1)), Seq("b_id"), "left")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), count(col("__v")).as("nv"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val tmpFiles = listDataFiles(fs, tmpRoot.toString)
+    // (rows, scoreable rows) per rewritten cell — the same read feeds
+    // the gate and the occupancy refresh. An all-victims rewrite
+    // produces no files at all: guard the schema-less read.
+    val tmpCnt: Map[Int, (Long, Long)] =
+      if (tmpFiles.isEmpty) Map.empty
+      else spark.read.parquet(tmpRoot.toString)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), count(when(scoreable, lit(1))).as("ns"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    affected.foreach { c =>
+      val (n, nv) = srcCnt(c)
+      val kept = tmpCnt.get(c).map(_._1).getOrElse(0L)
+      if (kept != n - nv) {
+        fs.delete(tmpRoot, true)
+        throw new IllegalStateException(
+          s"removal rewrite of $basePath cell=$c would lose rows " +
+            s"($n read, $nv victims, $kept rewritten) -- aborted, index untouched")
+      }
+    }
+    // per-cell two-rename swaps (metadata ops); a fully-emptied cell is
+    // parked then dropped — its occupancy row goes to 0 (dead cell)
+    affected.foreach { c =>
+      val leaf = new org.apache.hadoop.fs.Path(bp, s"cell=$c")
+      val tmpLeaf = new org.apache.hadoop.fs.Path(tmpRoot, s"cell=$c")
+      val oldLeaf = new org.apache.hadoop.fs.Path(oldRoot, s"cell=$c")
+      if (fs.exists(tmpLeaf)) graft.etl.Compact.swapInto(fs, tmpLeaf, leaf, oldLeaf)
+      else {
+        fs.mkdirs(oldLeaf.getParent)
+        require(fs.rename(leaf, oldLeaf), s"could not park emptied $leaf")
+        fs.delete(oldLeaf, true)
+      }
+    }
+    fs.delete(tmpRoot, true)
+    fs.delete(oldRoot, true)
+    val members = codebook.indices.map { c =>
+      c -> (if (affected.contains(c)) tmpCnt.get(c).map(_._2).getOrElse(0L)
+            else prevMembers.getOrElse(c, 0L))
+    }.toMap
+    writeCodebookSidecar(spark, path, codebook, members, atomicSwap = true)
+  }
+
   /** All data-file paths under `dir`, recursive. Hidden-name rule
     * shared with [[graft.etl.Compact.isHiddenName]], applied to EVERY
     * path segment below `dir` — a crashed write's
     * `_temporary/.../part-x.parquet` must not count as data (readers
     * don't see it, so neither may the occupancy diff).
     */
-  private[operators] def listDataFiles(
+  private[graft] def listDataFiles(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Set[String] = {
     val base = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
     def hiddenAnywhere(p: org.apache.hadoop.fs.Path): Boolean = {
@@ -446,6 +592,25 @@ object Ann {
       graft.etl.Compact.swapInto(fs, tmp, p, old) // single owner of the 2-rename swap
     }
   }
+
+  /** Compact a persisted index's base lake (`path/base`) — the second
+    * half of the growth lifecycle: every [[addToIvfIndex]] /
+    * [[Pq.addToIvfPqIndex]] increment appends one file per touched
+    * cell, so a daily-add index decays after a year into ~365 small
+    * files per cell — exactly the listing/footer pathology
+    * [[graft.etl.Compact]] exists to fix, here composed with the index
+    * layout. Delegates to [[graft.etl.Compact.compactPartitioned]]
+    * (work dirs OUTSIDE the lake, per-leaf row-count gate,
+    * park-then-swap), so the cell partition names survive untouched;
+    * the codebook/pq sidecars are never touched, and query results are
+    * bit-identical before/after (spec-pinned — compaction moves bytes,
+    * never rows). Works on both the IVF and IVF-PQ layouts (it only
+    * sees the partitioned base).
+    */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Seq[(String, graft.etl.Compact.CompactStats)] =
+    graft.etl.Compact.compactPartitioned(spark, s"$path/base", targetBytes)
 
   /** KNN against a persisted [[buildIvfIndex]] index. The probe ranks
     * come from the codebook sidecar; the union of probed cells (a

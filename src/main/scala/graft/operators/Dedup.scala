@@ -42,7 +42,7 @@ object Dedup {
   /** Cache `df`, registering it with the enclosing [[scoped]] block
     * (if any) for unpersist-on-exit.
     */
-  private[operators] def scopedCache(df: DataFrame): DataFrame = {
+  private[graft] def scopedCache(df: DataFrame): DataFrame = {
     val c = df.cache()
     scopeTL.get().foreach(b => b.synchronized { b += c })
     c

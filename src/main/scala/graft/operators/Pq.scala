@@ -166,11 +166,37 @@ object Pq {
     * (<= queries × shortlist rows): the wide original vectors travel
     * once per surviving pair, not per compressed-domain comparison.
     * `b` = (b_id, b_emb, b_nrm > 0); `q` = [[Ann.validQueries]] shape.
+    *
+    * `requireFullCoverage` (the persisted-index paths): the rerank join
+    * runs as a LEFT join and a shortlist id with no source row FAILS
+    * LOUDLY — the "source holds every indexed id" drift guard folded
+    * INTO the join the query already pays, replacing the previous
+    * anti-join whose build side was the whole source table (one extra
+    * corpus pass per query batch at 100 TB). The joined frame is
+    * cached ([[Dedup.scopedCache]], the documented caller contract) so
+    * the compressed-domain shortlist, the probed-cell scan, and the
+    * source rerank scan each execute exactly once per query call.
     */
   private def rerankExact(
-      short: DataFrame, b: DataFrame, q: DataFrame, k: Int): DataFrame = {
-    val scored = short.select("q_id", "b_id")
-      .join(b, "b_id")
+      short: DataFrame, b: DataFrame, q: DataFrame, k: Int,
+      requireFullCoverage: Boolean = false): DataFrame = {
+    val pairs = short.select("q_id", "b_id")
+    val withVec =
+      if (!requireFullCoverage) pairs.join(b, "b_id")
+      else {
+        val j = Dedup.scopedCache(pairs.join(b, Seq("b_id"), "left"))
+        // bounded probe of the CACHED join: stops at the first
+        // uncovered shortlist id (retention delete / drifted filter on
+        // the source), which would otherwise silently shrink or empty
+        // a query's results — the engine's worst failure mode
+        val miss = j.filter(col("b_emb").isNull).select("b_id").limit(1).collect()
+        require(miss.isEmpty,
+          s"source is missing indexed id ${miss.headOption.map(_.get(0)).getOrElse("")} " +
+            "(or its vector became zero-norm) -- the source table drifted since the " +
+            "index was built; rebuild the index or remove the ids from it")
+        j
+      }
+    val scored = withVec
       .join(broadcast(q.withColumnRenamed("qp_nrm", "q_nrm")), "q_id")
       .select(col("q_id"), col("b_id"),
         (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
@@ -243,13 +269,20 @@ object Pq {
     require(members.nonEmpty,
       s"no base row was PQ-scoreable for $path -- does the base embedding " +
         s"dimension match the fitted codebooks (dim ${cb.m * cb.sub})?")
-    Ann.writeCodebookSidecar(spark, path, coarse, members, atomicSwap = false)
+    // WRITE ORDER: base → pq → codebook sidecar. The pq dir doubles as
+    // the index-type marker Ann.addToIvfIndex refuses on, and the
+    // sidecar is what every reader/appender loads first — so the
+    // sidecar must land LAST (the index-complete marker). A crash
+    // before it leaves an index every entry point rejects loudly
+    // (readCodebookSidecar: no codebook dir), never a half-index that
+    // passes the plain-IVF guard and accepts vector-row appends.
     import spark.implicits._
     (for (j <- 0 until cb.m; c <- cb.tables(j).indices)
       yield (j, c, cb.tables(j)(c).toSeq))
       .toDF("subspace", "code", "centroid_d")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/pq")
+    Ann.writeCodebookSidecar(spark, path, coarse, members, atomicSwap = false)
   }
 
   /** KNN against a persisted [[buildIvfPqIndex]] index: probe ranks
@@ -286,18 +319,9 @@ object Pq {
     val src = source.select(srcId.as("b_id"), srcVec.as("b_emb"))
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
       .filter(col("b_nrm") > 0)
-    // the 'source holds every indexed id' contract, ENFORCED: a source
-    // that drifted since build (retention delete, different filter)
-    // would silently shrink or empty a query's results at the rerank
-    // inner join — the engine's worst failure mode. Bounded check:
-    // shortlist-sized anti-join, stops at the first offender.
-    val missing = short.select("b_id").distinct()
-      .join(src.select("b_id"), Seq("b_id"), "left_anti")
-      .limit(1).collect()
-    require(missing.isEmpty,
-      s"source is missing indexed id ${if (missing.nonEmpty) missing.head.get(0) else ""} " +
-        "(or its vector became zero-norm) -- the source table drifted since the index was built")
-    rerankExact(short, src, q, k)
+    // the 'source holds every indexed id' contract is enforced INSIDE
+    // the rerank join (requireFullCoverage) — zero extra source passes
+    rerankExact(short, src, q, k, requireFullCoverage = true)
   }
 
   /** The persisted PQ tables of an IVF-PQ index — bounded collect of
@@ -369,6 +393,27 @@ object Pq {
     val members = coarse.indices
       .map(c => c -> (prevMembers.getOrElse(c, 0L) + delta.getOrElse(c, 0L))).toMap
     Ann.writeCodebookSidecar(spark, path, coarse, members, atomicSwap = true)
+  }
+
+  /** Delete ids from a persisted [[buildIvfPqIndex]] index — the
+    * retention verb for the compressed index, sharing
+    * [[Ann.removeFromIndexBase]] (surgical per-cell anti-join rewrite,
+    * park-then-swap, pre-swap row-count gate, occupancy decrement,
+    * immutable codebooks — see [[Ann.removeFromIvfIndex]]). After a
+    * retention delete is applied to BOTH the source table and the index
+    * (this call), [[queryIvfPqIndex]]'s drift guard is satisfied again —
+    * previously the only options were serving with a hard-failing guard
+    * or a full rebuild. Every persisted codes row is PQ-scoreable by
+    * construction, so occupancy counts plain rows.
+    */
+  def removeFromIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      victims: DataFrame, vicId: Column): Unit = {
+    val pqMarker = new org.apache.hadoop.fs.Path(s"$path/pq")
+    require(
+      pqMarker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pqMarker),
+      s"$path has no pq sidecar -- it is a plain IVF index; use Ann.removeFromIvfIndex")
+    Ann.removeFromIndexBase(spark, path, victims, vicId, scoreable = lit(true))
   }
 
   /** IVF+PQ (the FAISS IVFADC composition): the coarse quantizer prunes

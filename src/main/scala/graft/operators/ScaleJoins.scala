@@ -60,12 +60,24 @@ object ScaleJoins {
   def suggestSaltBuckets(
       fact: DataFrame, key: String, sampleRows: Int = 100000): Int = {
     val spark = fact.sparkSession
-    import spark.implicits._
     val par = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val keys = fact.select(col(key).cast("string")).as[String]
-    val nParts = math.max(1, keys.rdd.getNumPartitions)
-    val perPart = math.max(1, sampleRows / nParts)
-    val r = keys.mapPartitions(_.take(perPart))
+    // split-count estimate WITHOUT dropping to the RDD API (which would
+    // de-vectorize the sampled read): file count for file-backed frames
+    // (metadata only), the session's parallelism otherwise — it only
+    // sizes the per-split prefix, so approximation is fine
+    val nParts = math.max(1,
+      if (fact.inputFiles.nonEmpty) fact.inputFiles.length
+      else spark.sparkContext.defaultParallelism)
+    val perPart = math.max(1L, (sampleRows / nParts).toLong)
+    // per-split prefix as a PURE NARROW FILTER: monotonically_increasing_id
+    // is (splitId << 33) | offset-in-split, so masking the low 33 bits
+    // yields each row's offset within ITS split — the same every-split
+    // head sample as a mapPartitions take, but staying inside
+    // whole-stage codegen over the vectorized reader
+    val r = fact.select(col(key).cast("string").as("value"))
+      .withColumn("__off",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .filter(col("__off") < perPart)
       .groupBy("value").agg(count(lit(1)).as("__n"))
       .agg(max("__n").as("hot"), sum("__n").as("total"))
       .head()

@@ -247,13 +247,19 @@ object VectorQueries {
 
   /** The verify-the-scores oracle, shared by every engine-selected knn
     * dump (v05 on-the-fly IVF, v07 persisted-index IVF) — same contract,
-    * parameterized only by the dump directory and k.
+    * parameterized only by the dump directory and k. `ghostBWhere`
+    * (v13): a predicate over `b_id` naming ids RETENTION-DELETED from
+    * the index — a dump row serving such a ghost id is filtered from
+    * `ok`, forcing a row-count mismatch (its sim would still verify as
+    * a true cosine, so the base contract alone cannot catch it).
     */
-  private def selfVerifyingKnnOracle(dump: String, k: Int): String = {
+  private def selfVerifyingKnnOracle(
+      dump: String, k: Int, ghostBWhere: Option[String] = None): String = {
     // Spark scores as dot(b_emb, q_emb) / (b_nrm * q_nrm) — replay the
     // same operand order (dot and * are bitwise commutative in IEEE754,
     // but keep the fold direction identical anyway)
     val want = s"${duckDot("b_emb", "q_emb")} / (${duckNorm("b_emb")} * ${duckNorm("q_emb")})"
+    val ghost = ghostBWhere.map(w => s" AND NOT ($w)").getOrElse("")
     s"""WITH o AS (
        |  SELECT q_id, b_id, "rank", sim
        |  FROM read_parquet('__GRAFT_OUT__/$dump/*.parquet')
@@ -264,7 +270,7 @@ object VectorQueries {
        |  JOIN (SELECT vec_id, embedding AS b_emb FROM embeddings) b ON b.vec_id = o.b_id
        |), ok AS (
        |  SELECT q_id, b_id, "rank", sim FROM chk
-       |  WHERE sim = want AND "rank" BETWEEN 1 AND $k
+       |  WHERE sim = want AND "rank" BETWEEN 1 AND $k$ghost
        |  QUALIFY "rank" = row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, "rank")
        |), missing AS (
        |  -- minimum-coverage clause: a self-verifying oracle would pass
@@ -426,6 +432,43 @@ object VectorQueries {
 
   val v12Oracle: String = selfVerifyingKnnOracle("v12_ivfpq_append", k = 5)
 
+  /** Retention round trip on the persisted IVF-PQ index
+    * ([[graft.operators.Pq.removeFromIvfPqIndex]]): build from the even
+    * ids, append the odd ids, then retention-delete every third id from
+    * BOTH the source view and the index — the full lifecycle
+    * (build → add → remove → query). Before the remove verb existed,
+    * this exact state hard-failed every query at the drift guard until
+    * a full rebuild. Oracle: the shared self-verifying contract PLUS a
+    * ghost-id exclusion — a removed id served back would carry a
+    * perfectly valid cosine, so the contract is extended to fail any
+    * dump row whose b_id is in the deleted set.
+    */
+  def v13IvfPqRemove(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = Scratch.wiped(s, "ivfpq_remove", dir)
+    graft.operators.Pq.buildIvfPqIndex(
+      e.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), path, nlist = 8, m = 8, kSub = 16)
+    graft.operators.Pq.addToIvfPqIndex(
+      s, path,
+      e.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"))
+    graft.operators.Pq.removeFromIvfPqIndex(
+      s, path,
+      e.filter(col("vec_id") >= 10 && col("vec_id") % 3 === 0), col("vec_id"))
+    graft.operators.Pq.queryIvfPqIndex(
+      s, path,
+      e.filter(col("vec_id") >= 10 && col("vec_id") % 3 =!= 0),
+      col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 5, nprobe = 3, shortlist = 20)
+      .orderBy("q_id", "rank")
+  }
+
+  val v13Oracle: String = selfVerifyingKnnOracle(
+    "v13_ivfpq_remove", k = 5,
+    ghostBWhere = Some("b_id >= 10 AND b_id % 3 = 0"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_bruteforce" -> (v01KnnBruteForce _),
     "v02_label_stats" -> (v02LabelStats _),
@@ -438,7 +481,8 @@ object VectorQueries {
     "v09_knn_pq" -> (v09KnnPq _),
     "v10_knn_ivfpq" -> (v10KnnIvfPq _),
     "v11_ivfpq_index" -> (v11IvfPqIndex _),
-    "v12_ivfpq_append" -> (v12IvfPqAppend _)
+    "v12_ivfpq_append" -> (v12IvfPqAppend _),
+    "v13_ivfpq_remove" -> (v13IvfPqRemove _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -453,6 +497,7 @@ object VectorQueries {
     "v09_knn_pq" -> v09Oracle,
     "v10_knn_ivfpq" -> v10Oracle,
     "v11_ivfpq_index" -> v11Oracle,
-    "v12_ivfpq_append" -> v12Oracle
+    "v12_ivfpq_append" -> v12Oracle,
+    "v13_ivfpq_remove" -> v13Oracle
   )
 }

@@ -334,6 +334,127 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(membersPq == base.count(), s"IVF-PQ occupancy stale after add: $membersPq")
   }
 
+  test("IVF index retention: remove(build+add) ≡ build-without; occupancy decremented") {
+    val dim = 16
+    def vec(cluster: Int, j: Int): Array[Float] = {
+      val a = new Array[Float](dim)
+      a(cluster * 2) = 1.0f
+      a(cluster * 2 + 1) = 0.5f
+      a((cluster + j) % dim) = a((cluster + j) % dim) + 0.05f * ((j % 5) + 1)
+      a
+    }
+    val rows = for (c <- 0 until 8; j <- 0 until 25) yield (c.toLong * 100 + j, vec(c, j))
+    val df = rows.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") % 100 >= 5)
+    val qs = df.filter(col("vec_id") % 100 < 5)
+    val even = base.filter(col("vec_id") % 2 === 0)
+    val victims = base.filter(col("vec_id") % 3 === 0)
+    val retained = base.filter(col("vec_id") % 3 =!= 0)
+    val pRem = java.nio.file.Files.createTempDirectory("graft_ivf_rem").toString
+    val pWo = java.nio.file.Files.createTempDirectory("graft_ivf_wo").toString
+    // build(even) + add(odd) + remove(every third) ...
+    graft.operators.Ann.buildIvfIndex(even, col("vec_id"), col("embedding"), pRem, nlist = 8)
+    graft.operators.Ann.addToIvfIndex(
+      spark, pRem, base.filter(col("vec_id") % 2 === 1), col("vec_id"), col("embedding"))
+    graft.operators.Ann.removeFromIvfIndex(spark, pRem, victims, col("vec_id"))
+    // ... must answer exactly like build(retained) under the SAME codebook
+    graft.operators.Ann.buildIvfIndex(
+      retained, col("vec_id"), col("embedding"), pWo, nlist = 8, fitOn = Some(even))
+    def res(p: String) = graft.operators.Ann.queryIvfIndex(
+      spark, p, qs, col("vec_id"), col("embedding"), k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val rem = res(pRem)
+    val wo = res(pWo)
+    assert(rem == wo,
+      s"remove diverged from build-without:\n  only rem: ${rem -- wo}\n  only wo: ${wo -- rem}")
+    assert(rem.nonEmpty && !rem.exists(_._2 % 3 == 0), s"ghost (removed) id served: $rem")
+    // occupancy decremented to exactly the retained scoreable rows
+    val members = spark.read.parquet(s"$pRem/codebook")
+      .agg(org.apache.spark.sql.functions.sum("members")).head.getLong(0)
+    assert(members == retained.count(), s"occupancy stale after remove: $members")
+    // removing ids that are NOT indexed is a no-op: files and sidecar
+    // byte-identical (no rewrite, no sidecar churn)
+    def snapshot(p: String) = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.operators.Ann.listDataFiles(fs, p).toSeq.sorted.map { f =>
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+        (f, st.getLen, st.getModificationTime)
+      }
+    }
+    val before = snapshot(pRem)
+    graft.operators.Ann.removeFromIvfIndex(
+      spark, pRem, Seq(999999L).toDF("vec_id"), col("vec_id"))
+    assert(snapshot(pRem) == before, "no-op remove touched the index")
+    // type guards: a plain IVF index refuses the PQ remove verb
+    val exPq = intercept[IllegalArgumentException](
+      graft.operators.Pq.removeFromIvfPqIndex(spark, pRem, victims, col("vec_id")))
+    assert(exPq.getMessage.contains("plain IVF"))
+  }
+
+  test("IVF-PQ retention: remove clears the drift guard; ≡ build-without; compactIndex preserves results") {
+    val dim = 16
+    def vec(cluster: Int, j: Int): Array[Float] = {
+      val a = new Array[Float](dim)
+      a(cluster * 2) = 1.0f
+      a(cluster * 2 + 1) = 0.5f
+      a((cluster + j) % dim) = a((cluster + j) % dim) + 0.05f * ((j % 5) + 1)
+      a
+    }
+    val rows = for (c <- 0 until 8; j <- 0 until 25) yield (c.toLong * 100 + j, vec(c, j))
+    val df = rows.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") % 100 >= 5)
+    val qs = df.filter(col("vec_id") % 100 < 5)
+    val even = base.filter(col("vec_id") % 2 === 0)
+    val victims = base.filter(col("vec_id") % 3 === 0)
+    val retained = base.filter(col("vec_id") % 3 =!= 0)
+    val pRem = java.nio.file.Files.createTempDirectory("graft_ivfpq_rem").toString
+    val pWo = java.nio.file.Files.createTempDirectory("graft_ivfpq_wo").toString
+    graft.operators.Pq.buildIvfPqIndex(
+      even, col("vec_id"), col("embedding"), pRem, nlist = 8, m = 4, kSub = 32)
+    graft.operators.Pq.addToIvfPqIndex(
+      spark, pRem, base.filter(col("vec_id") % 2 === 1), col("vec_id"), col("embedding"))
+    def qres(p: String, source: org.apache.spark.sql.DataFrame) =
+      graft.operators.Pq.queryIvfPqIndex(
+        spark, p, source, col("vec_id"), col("embedding"),
+        qs, col("vec_id"), col("embedding"), k = 5, nprobe = 3, shortlist = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    // the retention scenario BEFORE the remove verb: source had deletes
+    // applied, index did not → the drift guard hard-fails the query
+    val drifted = intercept[IllegalArgumentException](qres(pRem, retained))
+    assert(drifted.getMessage.contains("drifted"), drifted.getMessage)
+    // applying the delete to the index clears the guard...
+    graft.operators.Pq.removeFromIvfPqIndex(spark, pRem, victims, col("vec_id"))
+    val rem = qres(pRem, retained)
+    assert(rem.nonEmpty && !rem.exists(_._2 % 3 == 0), s"ghost (removed) id served: $rem")
+    // ...and answers exactly like an index built without the victims
+    graft.operators.Pq.buildIvfPqIndex(
+      retained, col("vec_id"), col("embedding"), pWo, nlist = 8, m = 4, kSub = 32,
+      fitOn = Some(even))
+    val wo = qres(pWo, retained)
+    assert(rem == wo,
+      s"PQ remove diverged from build-without:\n  only rem: ${rem -- wo}\n  only wo: ${wo -- rem}")
+    // compactIndex: the add left ≥ 2 files in some cell; compaction
+    // merges every leaf to one file, never touches the sidecars, and
+    // the query result is bit-identical
+    val fs = new org.apache.hadoop.fs.Path(pRem)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leafFiles(p: String) = graft.operators.Ann.listDataFiles(fs, s"$p/base")
+      .groupBy(f => f.split("/").takeWhile(!_.startsWith("part-")).last)
+      .view.mapValues(_.size).toMap
+    assert(leafFiles(pRem).values.exists(_ > 1), "fixture never fragmented — compaction test is vacuous")
+    def sidecarBytes(p: String) =
+      (spark.read.parquet(s"$p/codebook").collect().map(_.toString).sorted.toSeq,
+        spark.read.parquet(s"$p/pq").collect().map(_.toString).sorted.toSeq)
+    val sidecarBefore = sidecarBytes(pRem)
+    val stats = graft.operators.Ann.compactIndex(spark, pRem, targetBytes = 1L << 30)
+    assert(stats.nonEmpty)
+    assert(leafFiles(pRem).values.forall(_ == 1),
+      s"compaction left fragmented cells: ${leafFiles(pRem)}")
+    assert(sidecarBytes(pRem) == sidecarBefore, "compaction touched a sidecar")
+    assert(qres(pRem, retained) == rem, "compaction changed query results")
+  }
+
   test("IVF ANN: every valid query returns candidates, even with dead cells") {
     // duplicate-heavy base: Lloyd empties most cells (all mass on one
     // point), leaving dead/coincident centroids. With nprobe=1 a query
