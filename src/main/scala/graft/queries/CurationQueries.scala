@@ -429,7 +429,11 @@ object CurationQueries {
     * near-copies inside the corpus are dropped by the decontamination
     * stage itself.
     */
-  def c08FullRecipe(s: SparkSession, dir: String): DataFrame = {
+  /** The curated-survivor frame (gate → keep-first dedup →
+    * decontaminate → sample): the shared front of c08 (pack rollup) and
+    * c10 (shard FILES) — single owner, like their oracle twin CTEs.
+    */
+  private def curatedDocs(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val kept = gatedDocs(s, dir).groupBy("fp")
       .agg(min(struct(col("doc_id"), col("lang"), col("text"), col("n_tokens"))).as("k"))
@@ -445,25 +449,34 @@ object CurationQueries {
     val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
     // distinct salts per stage: the sample membership hash must not
     // double as the pack order/bucket key (coupled draws)
-    val sampled = graft.operators.Sampling.stratifiedSample(
+    graft.operators.Sampling.stratifiedSample(
       clean, col("lang"), col("doc_id"),
       rates = Map("en" -> 0.5), defaultRate = 1.0, salt = "recipe-mix")
+  }
+
+  def c08FullRecipe(s: SparkSession, dir: String): DataFrame =
     graft.operators.Packing.packShards(
-      sampled, col("doc_id"), col("n_tokens"), budget = 512L, nBuckets = 4, salt = "recipe-pack")
+      curatedDocs(s, dir), col("doc_id"), col("n_tokens"),
+      budget = 512L, nBuckets = 4, salt = "recipe-pack")
       .groupBy("bucket", "shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
       .orderBy("bucket", "shard")
-  }
 
   /** Stage-by-stage DuckDB replay: the c01 enrichment/gate/keep-first
     * fragments, the c03 shingle/contamination fragments (with the blank
     * exclusion), the c04 hash-threshold membership, and the c06 window
     * prefix-sum — composed in one statement.
     */
-  val c08Oracle: String = {
+  /** The shared curated-survivor CTE chain (gate → keep-first →
+    * decontaminate → sample → pack assignment `p`) — the oracle twin of
+    * [[curatedDocs]] + packShards, shared by c08 and c10 (their final
+    * SELECTs differ only in budget and reported columns; `start_tok`
+    * is budget-independent).
+    */
+  private lazy val duckRecipeCte: String = {
     val hSamp = DuckOracle.h60("'recipe-mix:' || CAST(doc_id AS VARCHAR)")
     val hPack = DuckOracle.h60("'recipe-pack:' || CAST(doc_id AS VARCHAR)")
-    s"""WITH $duckGatedCte, keepers AS (
+    s"""$duckGatedCte, keepers AS (
        |  SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp
        |), kept AS (
        |  SELECT f.doc_id, f.lang, f.n_tokens FROM f
@@ -484,11 +497,57 @@ object CurationQueries {
        |  SELECT doc_id, n_tokens, key % 4 AS bucket,
        |    CAST(SUM(n_tokens) OVER (PARTITION BY key % 4 ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_tok
        |  FROM (SELECT *, $hPack AS key FROM samp)
-       |)
+       |)""".stripMargin
+  }
+
+  val c08Oracle: String =
+    s"""WITH $duckRecipeCte
        |SELECT bucket, CAST(floor(start_tok / 512.0) AS BIGINT) AS shard,
        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
        |FROM p GROUP BY bucket, shard ORDER BY bucket, shard""".stripMargin
+
+  /** The full recipe ended at the SINK (VERDICT r6 task 6): one
+    * statement goes corpus → curated shard FILES — [[curatedDocs]]
+    * chained into [[graft.operators.Packing.writeShards]] — then
+    * reports each shard from the files with the c09 contract: doc
+    * count, token mass, n_files pinned to literal 1, and the in-file
+    * doc-order fingerprint over the CURATED survivors. Previously a
+    * user hand-wired c08's assignment into writeShards; this is the
+    * actual deliverable of a training-data pipeline, oracle-pinned end
+    * to end. Budget 4096 for the same reason as c09 (shard COUNT, not
+    * size, drives test-scale cost; the contracts are scale-free).
+    */
+  def c10RecipeShards(s: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.wiped(s, "recipe_shards", dir)
+    // cached: writeShards consumes the curated frame twice (pack
+    // assignment + payload join-back) — one enrichment scan, not two.
+    // scopedCache: Verify/Bench clear the cache between queries; a
+    // long-lived caller wraps in Dedup.scoped like the dedup operators.
+    val curated = graft.operators.Dedup.scopedCache(curatedDocs(s, dir))
+    graft.operators.Packing.writeShards(
+      curated, col("doc_id"), col("n_tokens"),
+      budget = 4096L, nBuckets = 4, salt = "recipe-pack", path = out,
+      payload = Seq(col("lang"), col("text")))
+    s.read.parquet(out)
+      .groupBy(col("bucket").cast("long").as("bucket"), col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("shard_tokens"),
+        countDistinct(col("_metadata.file_path")).as("n_files"),
+        md5(concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("start_tok"), col("doc_id")))),
+            x => x("doc_id").cast("string")))).as("order_fp"))
+      .orderBy("bucket", "shard")
   }
+
+  val c10Oracle: String =
+    s"""WITH $duckRecipeCte
+       |SELECT bucket, CAST(floor(start_tok / 4096.0) AS BIGINT) AS shard,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       |  CAST(1 AS BIGINT) AS n_files,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY start_tok, doc_id)) AS order_fp
+       |FROM p GROUP BY bucket, shard ORDER BY bucket, shard""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_corpus_curation" -> (c01CorpusCuration _),
@@ -500,7 +559,8 @@ object CurationQueries {
     "c06_shard_pack" -> (c06ShardPack _),
     "c07_length_profile" -> (c07LengthProfile _),
     "c08_full_recipe" -> (c08FullRecipe _),
-    "c09_shard_write" -> (c09ShardWrite _)
+    "c09_shard_write" -> (c09ShardWrite _),
+    "c10_recipe_shards" -> (c10RecipeShards _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -513,6 +573,7 @@ object CurationQueries {
     "c06_shard_pack" -> c06Oracle,
     "c07_length_profile" -> c07Oracle,
     "c08_full_recipe" -> c08Oracle,
-    "c09_shard_write" -> c09Oracle
+    "c09_shard_write" -> c09Oracle,
+    "c10_recipe_shards" -> c10Oracle
   )
 }

@@ -98,6 +98,30 @@ object Streams {
   def dedupEvents(df: DataFrame, tsCol: String, idCol: String, watermark: String = "10 minutes"): DataFrame =
     df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(Seq(idCol))
 
+  /** Streaming twin of the curation gate — the front half of the
+    * training-data recipe (the t03 quality gate + token floor + the c04
+    * deterministic sample-mix) as ONE operator that runs unchanged on a
+    * batch frame or a stream: every stage is a pure narrow per-row
+    * transform (no state, no watermark — membership is the
+    * hash-threshold draw of [[graft.operators.Sampling]], not rand()),
+    * so incremental corpus ingestion and the backfill run the SAME
+    * recipe and select the SAME rows — the batch ≡ stream property
+    * StreamingSpec pins on a MemoryStream. The stateful tails (exact
+    * dedup, windowed rollups) have their own streaming forms
+    * ([[dedupByContent]], [[windowedStats]]); this gate composes in
+    * front of either.
+    */
+  def curationGate(
+      docs: DataFrame, textCol: String, langCol: String, idCol: String,
+      minQuality: Double = 0.6, minTokens: Int = 5,
+      rates: Map[String, Double] = Map.empty, defaultRate: Double = 1.0,
+      salt: String = "stream-mix"): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+      docs.filter(
+        graft.functions.Text.qualityScore(col(textCol)) >= minQuality &&
+          graft.functions.Text.tokenCount(col(textCol)) >= minTokens),
+      col(langCol), col(idCol), rates, defaultRate, salt)
+
   /** Batch form of "keep the last N" retention (ST2/T5) — a global
     * total-order last-N is inherently a batch/sink-side concept, the
     * one documented semantic difference from the reference.

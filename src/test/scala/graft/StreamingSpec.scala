@@ -191,6 +191,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("curationGate: quality gate + sample-mix selects identical rows on stream and batch") {
+    // the full curation FRONT (quality gate + token floor + stratified
+    // sample) on a document stream: every stage is narrow and
+    // deterministic, so the stream must select exactly the batch subset
+    // — and the gate must actually gate (some docs fail quality)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val df = in.toDF().toDF("doc_id", "lang", "text")
+    val q = Streams.curationGate(df, "text", "lang", "doc_id",
+      rates = Map("en" -> 0.5), salt = "cg1")
+      .writeStream.format("memory").queryName("curgate")
+      .outputMode(OutputMode.Append()).start()
+    val good = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val docs = (1L to 200L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      val text = if (i % 5 == 0) "x!!" else s"$good item $i"
+      (i, lang, text)
+    }
+    try {
+      in.addData(docs.take(120): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(120): _*) // second micro-batch: same filter, no state
+      q.processAllAvailable()
+      val streamed = spark.table("curgate").select("doc_id").as[Long].collect().toSet
+      val batch = Streams.curationGate(
+        docs.toDF("doc_id", "lang", "text"), "text", "lang", "doc_id",
+        rates = Map("en" -> 0.5), salt = "cg1")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch, "stream and batch curated different subsets")
+      assert(docs.filter(_._1 % 5 == 0).map(_._1).toSet.intersect(streamed).isEmpty,
+        "low-quality docs leaked through the gate")
+      assert(streamed.nonEmpty && streamed.size < docs.size,
+        s"gate is vacuous: ${streamed.size} of ${docs.size} kept")
+    } finally q.stop()
+  }
+
   test("curation filters are streamable: hash-threshold sampling on a stream") {
     // the sampling membership is a pure narrow filter (no state, no
     // watermark), so the SAME operator runs unchanged on a stream and
