@@ -213,12 +213,68 @@ object Pq {
     * `path/codebook` (the coarse sidecar, occupancy = PQ-scoreable
     * members), `path/pq` (one row per (subspace, code): the PQ tables).
     */
+  /** The coarse centroids as a FLOAT array-of-arrays literal — the
+    * IVF-PQ paths' single owner of the residual arithmetic's centroid
+    * operand. The float cast must match [[Ann]]'s `codebookFrame`
+    * (`_.toFloat` per element) so every consumer of "the centroid of
+    * cell c" sees identical bits.
+    */
+  private def centroidLitF(coarse: Array[Array[Double]]): Column =
+    typedLit(coarse.map(_.map(_.toFloat).toSeq).toSeq)
+
+  /** `x − centroid(cell)` / `centroid(cell) + r` as Columns — the two
+    * halves of RESIDUAL encoding (FAISS's actual ADC formulation):
+    * residuals have a much smaller dynamic range than raw vectors (the
+    * coarse quantizer has already explained the cluster mean), so the
+    * same m/kSub code budget buys measurably finer codebooks and better
+    * shortlist recall (measured: see SCALE.md round 7 / RECALL_r07).
+    * Float arithmetic end-to-end, shared by build, add and query — the
+    * persisted ≡ on-the-fly contract needs all three bit-identical.
+    */
+  private def residExpr(vec: Column, cell: Column, coarse: Array[Array[Double]]): Column =
+    zip_with(vec, element_at(centroidLitF(coarse), cell + 1), (x, c) => x - c)
+
+  private def unresidExpr(dec: Column, cell: Column, coarse: Array[Array[Double]]): Column =
+    zip_with(element_at(centroidLitF(coarse), cell + 1), dec, (c, r) => c + r)
+
+  /** Driver-side twin of [[residExpr]] over the training sample: assign
+    * each sample vector to its nearest coarse centroid (same
+    * lowest-index tie-break as the native NearestCentroid) and subtract
+    * in float. Training-side assignment needs no bit-parity with the
+    * engine's (it only shapes codebook quality); the SUBTRACTION
+    * mirrors the float arithmetic so the codebooks are fit on exactly
+    * the value distribution they will encode.
+    */
+  private[operators] def residualSample(
+      sample: Array[Array[Float]], coarse: Array[Array[Double]]): Array[Array[Float]] =
+    sample.map { x =>
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        val cc = coarse(c)
+        var d = 0.0
+        var i = 0
+        while (i < cc.length && i < x.length) {
+          val t = x(i) - cc(i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val cf = coarse(best)
+      Array.tabulate(x.length)(i => x(i) - cf(i).toFloat)
+    }
+
   /** The PQ-scoreable enrichment of a (b_id, b_emb) frame — the SINGLE
     * owner of the filter chain (nonzero norm, exact dim, valid cell,
     * valid codes, nonzero decoded norm) that [[buildIvfPqIndex]]
     * persists and [[knnIvfPq]] computes on the fly: the persisted ≡
     * on-the-fly row-for-row contract depends on both paths drawing the
-    * SAME row universe. Returns (b_id, cell, codes, dec, d_nrm).
+    * SAME row universe. Codes are RESIDUAL ([[residExpr]]): encode
+    * `x − centroid(cell)`, decode as `centroid(cell) + lookup(codes)`.
+    * Returns (b_id, cell, codes, dec, d_nrm).
     */
   private def pqScoreable(
       b0: DataFrame, coarse: Array[Array[Double]], cb: Codebooks): DataFrame =
@@ -226,9 +282,9 @@ object Pq {
       .filter(size(col("b_emb")) === cb.m * cb.sub) // ragged: see encode
       .withColumn("cell", Ann.cellExpr(col("b_emb"), coarse))
       .filter(col("cell").isNotNull)
-      .withColumn("codes", encodeExpr(col("b_emb"), cb))
+      .withColumn("codes", encodeExpr(residExpr(col("b_emb"), col("cell"), coarse), cb))
       .filter(forall(col("codes"), c => c.isNotNull))
-      .withColumn("dec", decodeExpr(col("codes"), cb))
+      .withColumn("dec", unresidExpr(decodeExpr(col("codes"), cb), col("cell"), coarse))
       .withColumn("d_nrm", Vectors.norm2(col("dec")))
       .filter(col("d_nrm") > 0)
       .select("b_id", "cell", "codes", "dec", "d_nrm")
@@ -253,7 +309,9 @@ object Pq {
     val fitB = fitOn.map(_.select(baseId.as("b_id"), baseVec.as("b_emb"))).getOrElse(b0)
     val sample = Ann.sampleVectors(fitB, maxFit)
     val coarse = Ann.fitCodebookFromSample(sample, nlist, seed)
-    val cb = fitFromSample(sample, m, kSub, pqSeed(seed))
+    // PQ codebooks are fit on RESIDUALS (see residExpr) — one shared
+    // sample scan still feeds both quantizers
+    val cb = fitFromSample(residualSample(sample, coarse), m, kSub, pqSeed(seed))
     val spark = base.sparkSession
     pqScoreable(b0, coarse, cb)
       .select("b_id", "codes", "d_nrm", "cell")
@@ -277,9 +335,13 @@ object Pq {
     // (readCodebookSidecar: no codebook dir), never a half-index that
     // passes the plain-IVF guard and accepts vector-row appends.
     import spark.implicits._
+    // `residual = true` is a LAYOUT VERSION marker: an index whose pq
+    // rows lack it was built with raw (pre-residual) encoding, and
+    // decoding its codes with the residual arithmetic would silently
+    // corrupt every score — loadPqTables refuses such indexes
     (for (j <- 0 until cb.m; c <- cb.tables(j).indices)
-      yield (j, c, cb.tables(j)(c).toSeq))
-      .toDF("subspace", "code", "centroid_d")
+      yield (j, c, cb.tables(j)(c).toSeq, true))
+      .toDF("subspace", "code", "centroid_d", "residual")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/pq")
     Ann.writeCodebookSidecar(spark, path, coarse, members, atomicSwap = false)
@@ -306,12 +368,16 @@ object Pq {
     val sl = shortlistSize(shortlist, k)
     val centDf = Ann.readLiveCentroids(spark, path)
     val cb = loadPqTables(spark, path)
+    // residual decode needs the coarse centroid of each scanned cell —
+    // the sidecar's DOUBLE codebook through the same float cast as the
+    // build (bounded <= nlist collect, same dir the probe read touches)
+    val (coarse, _) = Ann.readCodebookSidecar(spark, path)
     val q = Ann.validQueries(queries, qId, qVec)
     Ann.requireQueryDim(q, cb.m * cb.sub)
     val (cells, probed) = Ann.probePruned(q, centDf, nprobe)
     val approx = spark.read.parquet(s"$path/base")
       .filter(col("cell").isin(cells.map(Int.box): _*))
-      .withColumn("dec", decodeExpr(col("codes"), cb))
+      .withColumn("dec", unresidExpr(decodeExpr(col("codes"), cb), col("cell"), coarse))
       .join(broadcast(probed), "cell")
       .select(col("q_id"), col("b_id"),
         (Vectors.dot(col("dec"), col("q_emb")) / (col("d_nrm") * col("qp_nrm"))).as("sim"))
@@ -332,8 +398,12 @@ object Pq {
     */
   private def loadPqTables(
       spark: org.apache.spark.sql.SparkSession, path: String): Codebooks = {
-    val pqRows = spark.read.parquet(s"$path/pq")
-      .select("subspace", "code", "centroid_d").collect()
+    val pqDf = spark.read.parquet(s"$path/pq")
+    // layout-version gate: see the `residual` marker in buildIvfPqIndex
+    require(pqDf.schema.fieldNames.contains("residual"),
+      s"$path/pq was built with the pre-residual layout -- its codes index raw " +
+        "vectors, not residuals; rebuild the index with buildIvfPqIndex")
+    val pqRows = pqDf.select("subspace", "code", "centroid_d").collect()
     require(pqRows.nonEmpty, s"$path/pq is empty -- not an IVF-PQ index")
     val m = pqRows.map(_.getInt(0)).max + 1
     val kSub = pqRows.map(_.getInt(1)).max + 1
@@ -435,11 +505,11 @@ object Pq {
       seed: Long = 42L, maxFit: Long = 100000L): DataFrame = {
     val sl = shortlistSize(shortlist, k)
     val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
-    // ONE sample scan feeds both quantizers; PQ seed family offset —
-    // see [[pqSeed]]
+    // ONE sample scan feeds both quantizers; PQ codebooks fit on
+    // RESIDUALS (see residExpr); PQ seed family offset — see [[pqSeed]]
     val sample = Ann.sampleVectors(b0, maxFit)
     val coarse = Ann.fitCodebookFromSample(sample, nlist, seed)
-    val cb = fitFromSample(sample, m, kSub, pqSeed(seed))
+    val cb = fitFromSample(residualSample(sample, coarse), m, kSub, pqSeed(seed))
     val q = Ann.validQueries(queries, qId, qVec)
     Ann.requireQueryDim(q, cb.m * cb.sub)
     val b = b0

@@ -455,6 +455,24 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(qres(pRem, retained) == rem, "compaction changed query results")
   }
 
+  test("recall scoreboard: pinned-config recall floors vs brute force (regression pin)") {
+    // the hash oracles prove every reported score but deliberately not
+    // candidate quality — this floor makes a probe/encode regression
+    // fail the build. Data, seeds and params are fixed, so the measured
+    // recalls are deterministic; floors sit just under the measured
+    // values (sf0.001: lsh .46, ivf .68, pq .38, ivfpq .38 — synthetic
+    // near-random embeddings bound intrinsic recall at these aggressive
+    // compression params; the clustered-fixture tests above assert the
+    // ≥0.85 contract where vector structure exists). The per-round
+    // artifact twin is RECALL_r{N}.json via graft.RecallBoard at sf0.01.
+    val r = graft.RecallBoard.recalls(spark, sfDir)
+    val floors = Map(
+      "v03_knn_lsh" -> 0.40, "v05_knn_ivf" -> 0.60,
+      "v09_knn_pq" -> 0.30, "v10_knn_ivfpq" -> 0.30)
+    for ((name, floor) <- floors)
+      assert(r(name) >= floor, s"$name recall@5 ${r(name)} fell below pinned floor $floor")
+  }
+
   test("IVF ANN: every valid query returns candidates, even with dead cells") {
     // duplicate-heavy base: Lloyd empties most cells (all mass on one
     // point), leaving dead/coincident centroids. With nprobe=1 a query
