@@ -438,7 +438,6 @@ object Ann {
   private[operators] def removeFromIndexBase(
       spark: org.apache.spark.sql.SparkSession, path: String,
       victims: DataFrame, vicId: Column, scoreable: Column): Unit = {
-    val (codebook, prevMembers) = readCodebookSidecar(spark, path)
     val basePath = s"$path/base"
     val bp = new org.apache.hadoop.fs.Path(basePath)
     val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -454,7 +453,32 @@ object Ann {
       fs.delete(oldRoot, true)
     }
     fs.delete(tmpRoot, true)
-    val vic = victims.select(vicId.as("b_id")).distinct()
+    // victims are MATERIALIZED once and read back for every use below:
+    // the affected-cell scan, the anti-join rewrite and the row-count
+    // gate would otherwise each re-evaluate the caller's victims plan,
+    // and a nondeterministic one (sample, limit, first-wins agg — the
+    // hazard class addToIvfIndex's listing snapshot defends against)
+    // could agree with itself at the gate while leaving "removed" rows
+    // on disk. One narrow id column, increment-sized.
+    val vicDir = new org.apache.hadoop.fs.Path(bp.getParent, bp.getName + "__remove_vic")
+    fs.delete(vicDir, true)
+    try {
+      victims.select(vicId.as("b_id")).distinct()
+        .write.mode("overwrite").parquet(vicDir.toString)
+      removeWithVictims(spark, path, basePath, bp, fs, tmpRoot, oldRoot,
+        spark.read.parquet(vicDir.toString), scoreable)
+    } finally fs.delete(vicDir, true)
+  }
+
+  /** [[removeFromIndexBase]] after victim materialization: locate,
+    * rewrite, gate, swap, decrement.
+    */
+  private def removeWithVictims(
+      spark: org.apache.spark.sql.SparkSession, path: String, basePath: String,
+      bp: org.apache.hadoop.fs.Path, fs: org.apache.hadoop.fs.FileSystem,
+      tmpRoot: org.apache.hadoop.fs.Path, oldRoot: org.apache.hadoop.fs.Path,
+      vic: DataFrame, scoreable: Column): Unit = {
+    val (codebook, prevMembers) = readCodebookSidecar(spark, path)
     val base = spark.read.parquet(basePath)
     // ≤ nlist driver rows: which cells hold at least one victim
     val affected = base.select("b_id", "cell").join(vic, "b_id")

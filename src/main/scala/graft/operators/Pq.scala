@@ -222,20 +222,28 @@ object Pq {
   private def centroidLitF(coarse: Array[Array[Double]]): Column =
     typedLit(coarse.map(_.map(_.toFloat).toSeq).toSeq)
 
-  /** `x − centroid(cell)` / `centroid(cell) + r` as Columns — the two
-    * halves of RESIDUAL encoding (FAISS's actual ADC formulation):
-    * residuals have a much smaller dynamic range than raw vectors (the
-    * coarse quantizer has already explained the cluster mean), so the
-    * same m/kSub code budget buys measurably finer codebooks and better
+  /** `x − centroid` / `centroid + r` as Columns — the two halves of
+    * RESIDUAL encoding (FAISS's actual ADC formulation): residuals have
+    * a much smaller dynamic range than raw vectors (the coarse
+    * quantizer has already explained the cluster mean), so the same
+    * m/kSub code budget buys measurably finer codebooks and better
     * shortlist recall (measured: see SCALE.md round 7 / RECALL_r07).
     * Float arithmetic end-to-end, shared by build, add and query — the
     * persisted ≡ on-the-fly contract needs all three bit-identical.
+    * `cent` is the row's own centroid column ([[centCol]]) — computed
+    * ONCE per plan so the nlist × D centroid literal is embedded once,
+    * not once per use (at nlist=4096, D=768 each copy is ~12 MB of
+    * every task binary).
     */
-  private def residExpr(vec: Column, cell: Column, coarse: Array[Array[Double]]): Column =
-    zip_with(vec, element_at(centroidLitF(coarse), cell + 1), (x, c) => x - c)
+  private def residExpr(vec: Column, cent: Column): Column =
+    zip_with(vec, cent, (x, c) => x - c)
 
-  private def unresidExpr(dec: Column, cell: Column, coarse: Array[Array[Double]]): Column =
-    zip_with(element_at(centroidLitF(coarse), cell + 1), dec, (c, r) => c + r)
+  private def unresidExpr(cent: Column, dec: Column): Column =
+    zip_with(cent, dec, (c, r) => c + r)
+
+  /** The row's coarse centroid (float) by its cell id. */
+  private def centCol(cell: Column, coarse: Array[Array[Double]]): Column =
+    element_at(centroidLitF(coarse), cell + 1)
 
   /** Driver-side twin of [[residExpr]] over the training sample: assign
     * each sample vector to its nearest coarse centroid (same
@@ -282,9 +290,13 @@ object Pq {
       .filter(size(col("b_emb")) === cb.m * cb.sub) // ragged: see encode
       .withColumn("cell", Ann.cellExpr(col("b_emb"), coarse))
       .filter(col("cell").isNotNull)
-      .withColumn("codes", encodeExpr(residExpr(col("b_emb"), col("cell"), coarse), cb))
+      // __cent as its own projected column: both the encode and the
+      // decode reference the ATTRIBUTE, so the centroid literal lands
+      // in the plan once (see residExpr's scaladoc)
+      .withColumn("__cent", centCol(col("cell"), coarse))
+      .withColumn("codes", encodeExpr(residExpr(col("b_emb"), col("__cent")), cb))
       .filter(forall(col("codes"), c => c.isNotNull))
-      .withColumn("dec", unresidExpr(decodeExpr(col("codes"), cb), col("cell"), coarse))
+      .withColumn("dec", unresidExpr(col("__cent"), decodeExpr(col("codes"), cb)))
       .withColumn("d_nrm", Vectors.norm2(col("dec")))
       .filter(col("d_nrm") > 0)
       .select("b_id", "cell", "codes", "dec", "d_nrm")
@@ -357,8 +369,12 @@ object Pq {
     * index was built from); reported sims are true cosines, same
     * oracle contract as the whole knn family.
     *
-    * CALLER CONTRACT: caches the probe frame — wrap in [[Dedup.scoped]]
-    * or clear the cache, as with [[Ann.queryIvfIndex]].
+    * CALLER CONTRACT: caches TWO frames — the (q_id, cell) probe frame
+    * and the shortlist × source rerank join (which carries the original
+    * vectors of shortlist pairs) — so each scan in the plan executes
+    * once per call. Wrap in [[Dedup.scoped]] or clear the cache, as
+    * with [[Ann.queryIvfIndex]]; a long-lived caller that skips the
+    * scope accumulates BOTH per call.
     */
   def queryIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -366,18 +382,25 @@ object Pq {
       queries: DataFrame, qId: Column, qVec: Column,
       k: Int, nprobe: Int = 4, shortlist: Int = 0): DataFrame = {
     val sl = shortlistSize(shortlist, k)
-    val centDf = Ann.readLiveCentroids(spark, path)
     val cb = loadPqTables(spark, path)
-    // residual decode needs the coarse centroid of each scanned cell —
-    // the sidecar's DOUBLE codebook through the same float cast as the
-    // build (bounded <= nlist collect, same dir the probe read touches)
-    val (coarse, _) = Ann.readCodebookSidecar(spark, path)
+    // ONE sidecar read serves both the probe frame and the residual
+    // decode: the live probe centroids are re-derived from the
+    // collected DOUBLE codebook through the same float cast the
+    // sidecar's own float column was written with (codebookFrame is
+    // the single owner), so probe ranking stays bit-identical to
+    // Ann.readLiveCentroids — without a second parquet job per call
+    val (coarse, members) = Ann.readCodebookSidecar(spark, path)
+    val live = members.collect { case (c, m) if m > 0 => c }.toSeq
+    val centDf = Ann.centroidFrame(spark, coarse)
+      .filter(col("cell").isin(live.map(Int.box): _*)) // live cells: see topProbeCells
+      .withColumn("c_nrm", Vectors.norm2(col("centroid")))
+      .select("cell", "centroid", "c_nrm")
     val q = Ann.validQueries(queries, qId, qVec)
     Ann.requireQueryDim(q, cb.m * cb.sub)
     val (cells, probed) = Ann.probePruned(q, centDf, nprobe)
     val approx = spark.read.parquet(s"$path/base")
       .filter(col("cell").isin(cells.map(Int.box): _*))
-      .withColumn("dec", unresidExpr(decodeExpr(col("codes"), cb), col("cell"), coarse))
+      .withColumn("dec", unresidExpr(centCol(col("cell"), coarse), decodeExpr(col("codes"), cb)))
       .join(broadcast(probed), "cell")
       .select(col("q_id"), col("b_id"),
         (Vectors.dot(col("dec"), col("q_emb")) / (col("d_nrm") * col("qp_nrm"))).as("sim"))

@@ -61,20 +61,23 @@ object ScaleJoins {
       fact: DataFrame, key: String, sampleRows: Int = 100000): Int = {
     val spark = fact.sparkSession
     val par = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // split-count estimate WITHOUT dropping to the RDD API (which would
-    // de-vectorize the sampled read): file count for file-backed frames
-    // (metadata only), the session's parallelism otherwise — it only
-    // sizes the per-split prefix, so approximation is fine
-    val nParts = math.max(1,
-      if (fact.inputFiles.nonEmpty) fact.inputFiles.length
-      else spark.sparkContext.defaultParallelism)
+    val keyed = fact.select(col(key).cast("string").as("value"))
+    // the REAL scan-partition count, from the physical plan's partition
+    // metadata (no job runs, no row decodes — only the file listing the
+    // query needs anyway). monotonically_increasing_id offsets are per
+    // scan PARTITION, so sizing the prefix by anything else (file
+    // count, default parallelism) mis-sizes the sample whenever
+    // files != splits — thousands of small files coalesced into few
+    // splits would sample almost nothing, one giant file split wide
+    // would sample almost everything.
+    val nParts = math.max(1, keyed.queryExecution.toRdd.getNumPartitions)
     val perPart = math.max(1L, (sampleRows / nParts).toLong)
     // per-split prefix as a PURE NARROW FILTER: monotonically_increasing_id
     // is (splitId << 33) | offset-in-split, so masking the low 33 bits
     // yields each row's offset within ITS split — the same every-split
     // head sample as a mapPartitions take, but staying inside
     // whole-stage codegen over the vectorized reader
-    val r = fact.select(col(key).cast("string").as("value"))
+    val r = keyed
       .withColumn("__off",
         monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
       .filter(col("__off") < perPart)
