@@ -351,10 +351,7 @@ object Ann {
     // CODES, not vectors — appending vector rows would corrupt it
     // silently (mixed parquet schemas + occupancy counting rows the
     // compressed scan can't read), so refuse by the pq-sidecar marker
-    val pqMarker = new org.apache.hadoop.fs.Path(s"$path/pq")
-    require(
-      !pqMarker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pqMarker),
-      s"$path is an IVF-PQ index (has a pq sidecar) -- use Pq.addToIvfPqIndex")
+    requirePqMarker(spark, path, expectPq = false, otherVerb = "Pq.addToIvfPqIndex")
     val (codebook, prevMembers) = readCodebookSidecar(spark, path)
     val basePath = s"$path/base"
     // belt-and-braces with the marker check above: the schema read is
@@ -421,12 +418,29 @@ object Ann {
   def removeFromIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       victims: DataFrame, vicId: Column): Unit = {
-    val pqMarker = new org.apache.hadoop.fs.Path(s"$path/pq")
-    require(
-      !pqMarker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pqMarker),
-      s"$path is an IVF-PQ index (has a pq sidecar) -- use Pq.removeFromIvfPqIndex")
+    requirePqMarker(spark, path, expectPq = false, otherVerb = "Pq.removeFromIvfPqIndex")
     // occupancy counts SCOREABLE members (norm > 0), matching the build
     removeFromIndexBase(spark, path, victims, vicId, scoreable = col("b_nrm") > 0)
+  }
+
+  /** The pq sidecar directory IS the index-type marker: present ⇒ IVF-PQ
+    * (codes-only base), absent ⇒ plain IVF (vector base). Every lifecycle
+    * verb checks it in the direction it needs before touching the base —
+    * this is the single owner of that rule; `otherVerb` names the verb
+    * the caller should have used on the other index type.
+    */
+  private[operators] def requirePqMarker(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      expectPq: Boolean, otherVerb: String): Unit = {
+    val pqMarker = new org.apache.hadoop.fs.Path(s"$path/pq")
+    val hasPq =
+      pqMarker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pqMarker)
+    if (expectPq)
+      require(hasPq,
+        s"$path has no pq sidecar -- it is a plain IVF index; use $otherVerb")
+    else
+      require(!hasPq,
+        s"$path is an IVF-PQ index (has a pq sidecar) -- use $otherVerb")
   }
 
   /** Shared removal core for the IVF and IVF-PQ index layouts (they
@@ -487,8 +501,13 @@ object Ann {
     val pruned = base.filter(col("cell").isin(affected.map(Int.box): _*))
     // one distributed rewrite job for ALL affected cells; the write
     // lands OUTSIDE the index (a work dir inside path/base would read
-    // as a partition directory — the Compact lesson)
+    // as a partition directory — the Compact lesson). Clustered by cell
+    // first (the writeShards pattern) so each rewritten cell lands as
+    // ONE file — a bare partitionBy would let every task fragment every
+    // cell it holds rows for, undoing compactIndex on each retention
+    // delete.
     pruned.join(vic, Seq("b_id"), "left_anti")
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(tmpRoot.toString)
     // row-count gate per cell BEFORE any swap: kept-on-disk must equal
     // source − victims for every affected cell. One pass of the pruned
@@ -518,8 +537,24 @@ object Ann {
             s"($n read, $nv victims, $kept rewritten) -- aborted, index untouched")
       }
     }
+    // the DECREMENTED sidecar is written BEFORE the swaps: occupancy
+    // must never overcount a swapped-out cell (members > 0 with no
+    // cell dir is a GHOST cell — probed, silently empty, and a re-run
+    // of the removal finds no victims so it can never heal). With the
+    // sidecar first, every crash window is retry-safe instead: an
+    // emptied cell goes members=0 while its victim rows are still on
+    // disk (liveCentroids skips it — unreachable victims ARE removed),
+    // and a partially-emptied cell stays live with its victims still
+    // present, so re-running the same removal finds them and completes
+    // the rewrite. Transiently-visible victims until the retry beat
+    // permanently-invisible survivors.
+    val members = codebook.indices.map { c =>
+      c -> (if (affected.contains(c)) tmpCnt.get(c).map(_._2).getOrElse(0L)
+            else prevMembers.getOrElse(c, 0L))
+    }.toMap
+    writeCodebookSidecar(spark, path, codebook, members, atomicSwap = true)
     // per-cell two-rename swaps (metadata ops); a fully-emptied cell is
-    // parked then dropped — its occupancy row goes to 0 (dead cell)
+    // parked then dropped — its occupancy row is already 0 (dead cell)
     affected.foreach { c =>
       val leaf = new org.apache.hadoop.fs.Path(bp, s"cell=$c")
       val tmpLeaf = new org.apache.hadoop.fs.Path(tmpRoot, s"cell=$c")
@@ -533,11 +568,6 @@ object Ann {
     }
     fs.delete(tmpRoot, true)
     fs.delete(oldRoot, true)
-    val members = codebook.indices.map { c =>
-      c -> (if (affected.contains(c)) tmpCnt.get(c).map(_._2).getOrElse(0L)
-            else prevMembers.getOrElse(c, 0L))
-    }.toMap
-    writeCodebookSidecar(spark, path, codebook, members, atomicSwap = true)
   }
 
   /** All data-file paths under `dir`, recursive. Hidden-name rule

@@ -391,10 +391,8 @@ object Pq {
     // Ann.readLiveCentroids — without a second parquet job per call
     val (coarse, members) = Ann.readCodebookSidecar(spark, path)
     val live = members.collect { case (c, m) if m > 0 => c }.toSeq
-    val centDf = Ann.centroidFrame(spark, coarse)
+    val centDf = Ann.centroidFrame(spark, coarse) // (cell, centroid, c_nrm)
       .filter(col("cell").isin(live.map(Int.box): _*)) // live cells: see topProbeCells
-      .withColumn("c_nrm", Vectors.norm2(col("centroid")))
-      .select("cell", "centroid", "c_nrm")
     val q = Ann.validQueries(queries, qId, qVec)
     Ann.requireQueryDim(q, cb.m * cb.sub)
     val (cells, probed) = Ann.probePruned(q, centDf, nprobe)
@@ -454,10 +452,7 @@ object Pq {
       rows: DataFrame, id: Column, vec: Column): Unit = {
     // directed misuse guard, symmetric with Ann.addToIvfIndex's: a
     // PLAIN IVF index shares the codebook layout but has no pq sidecar
-    val pqMarker = new org.apache.hadoop.fs.Path(s"$path/pq")
-    require(
-      pqMarker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pqMarker),
-      s"$path has no pq sidecar -- it is a plain IVF index; use Ann.addToIvfIndex")
+    Ann.requirePqMarker(spark, path, expectPq = true, otherVerb = "Ann.addToIvfIndex")
     val (coarse, prevMembers) = Ann.readCodebookSidecar(spark, path)
     val cb = loadPqTables(spark, path)
     val basePath = s"$path/base"
@@ -502,10 +497,7 @@ object Pq {
   def removeFromIvfPqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       victims: DataFrame, vicId: Column): Unit = {
-    val pqMarker = new org.apache.hadoop.fs.Path(s"$path/pq")
-    require(
-      pqMarker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pqMarker),
-      s"$path has no pq sidecar -- it is a plain IVF index; use Ann.removeFromIvfIndex")
+    Ann.requirePqMarker(spark, path, expectPq = true, otherVerb = "Ann.removeFromIvfIndex")
     Ann.removeFromIndexBase(spark, path, victims, vicId, scoreable = lit(true))
   }
 

@@ -64,23 +64,24 @@ object ScaleJoins {
     val keyed = fact.select(col(key).cast("string").as("value"))
     // the REAL scan-partition count, from the physical plan's partition
     // metadata (no job runs, no row decodes — only the file listing the
-    // query needs anyway). monotonically_increasing_id offsets are per
-    // scan PARTITION, so sizing the prefix by anything else (file
-    // count, default parallelism) mis-sizes the sample whenever
-    // files != splits — thousands of small files coalesced into few
-    // splits would sample almost nothing, one giant file split wide
-    // would sample almost everything.
+    // query needs anyway). The prefix is taken PER SPLIT, so sizing it
+    // by anything else (file count, default parallelism) mis-sizes the
+    // sample whenever files != splits — thousands of small files
+    // coalesced into few splits would sample almost nothing, one giant
+    // file split wide would sample almost everything.
     val nParts = math.max(1, keyed.queryExecution.toRdd.getNumPartitions)
-    val perPart = math.max(1L, (sampleRows / nParts).toLong)
-    // per-split prefix as a PURE NARROW FILTER: monotonically_increasing_id
-    // is (splitId << 33) | offset-in-split, so masking the low 33 bits
-    // yields each row's offset within ITS split — the same every-split
-    // head sample as a mapPartitions take, but staying inside
-    // whole-stage codegen over the vectorized reader
-    val r = keyed
-      .withColumn("__off",
-        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-      .filter(col("__off") < perPart)
+    val perPart = math.max(1, sampleRows / nParts)
+    // per-split prefix via a typed mapPartitions take: the row iterator
+    // is LAZY over the vectorized reader's batches, so each split
+    // decodes ~perPart rows (about one columnar batch) and STOPS —
+    // ~sampleRows rows read in total. A filter on
+    // monotonically_increasing_id offsets cannot do this: a
+    // nondeterministic-expression filter never short-circuits the scan,
+    // so every row of every split would be decoded just to be
+    // discarded — a full key-column pass on the 10^9-row table this
+    // helper exists to protect.
+    import keyed.sparkSession.implicits._
+    val r = keyed.as[String].mapPartitions(_.take(perPart)).toDF("value")
       .groupBy("value").agg(count(lit(1)).as("__n"))
       .agg(max("__n").as("hot"), sum("__n").as("total"))
       .head()

@@ -406,8 +406,13 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     val base = df.filter(col("vec_id") % 100 >= 5)
     val qs = df.filter(col("vec_id") % 100 < 5)
     val even = base.filter(col("vec_id") % 2 === 0)
-    val victims = base.filter(col("vec_id") % 3 === 0)
-    val retained = base.filter(col("vec_id") % 3 =!= 0)
+    // cluster 7 (vec_id >= 700) is victim-free: the removal rewrite
+    // lands ONE file per AFFECTED cell, so an untouched cell must keep
+    // the build+add two-file fragmentation the compaction half of this
+    // test exercises
+    val isVictim = col("vec_id") % 3 === 0 && col("vec_id") < 700
+    val victims = base.filter(isVictim)
+    val retained = base.filter(!isVictim)
     val pRem = java.nio.file.Files.createTempDirectory("graft_ivfpq_rem").toString
     val pWo = java.nio.file.Files.createTempDirectory("graft_ivfpq_wo").toString
     graft.operators.Pq.buildIvfPqIndex(
@@ -426,7 +431,8 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     // applying the delete to the index clears the guard...
     graft.operators.Pq.removeFromIvfPqIndex(spark, pRem, victims, col("vec_id"))
     val rem = qres(pRem, retained)
-    assert(rem.nonEmpty && !rem.exists(_._2 % 3 == 0), s"ghost (removed) id served: $rem")
+    assert(rem.nonEmpty && !rem.exists(t => t._2 % 3 == 0 && t._2 < 700),
+      s"ghost (removed) id served: $rem")
     // ...and answers exactly like an index built without the victims
     graft.operators.Pq.buildIvfPqIndex(
       retained, col("vec_id"), col("embedding"), pWo, nlist = 8, m = 4, kSub = 32,
