@@ -115,9 +115,10 @@ object Pq {
     *  1. encode the base (narrow; at scale this pass is the write-side
     *     of a persisted code table and the scan below reads m bytes
     *     per row instead of 4·D);
-    *  2. score queries against the RECONSTRUCTED vectors (broadcast
-    *     queries, map-side — same shape as [[Ann.knnBruteForce]] but
-    *     over the compressed domain) and keep a per-query shortlist of
+    *  2. score queries in the COMPRESSED domain (broadcast queries,
+    *     map-side — same shape as [[Ann.knnBruteForce]]) via ADC
+    *     lookup tables ([[lutExpr]]/[[adcExpr]]: m table lookups per
+    *     pair, no reconstruction) and keep a per-query shortlist of
     *     `shortlist` candidates (default 4·k);
     *  3. re-join the shortlist pairs to the ORIGINAL vectors and
     *     re-score exactly; report the top k.
@@ -142,14 +143,18 @@ object Pq {
       .filter(col("b_nrm") > 0) // zero-norm: see knnBruteForce
     val q = Ann.validQueries(queries, qId, qVec)
     Ann.requireQueryDim(q, cb.m * cb.sub)
-    val dec = encode(b, col("b_id"), col("b_emb"), cb)
-      .withColumn("dec", decodeExpr(col("codes"), cb))
-      .withColumn("d_nrm", Vectors.norm2(col("dec")))
+    // raw (non-residual) layout: zero centroid in the norm, no
+    // q·centroid term in the score — the same ADC owners serve both
+    val enc = encode(b, col("b_id"), col("b_emb"), cb)
+      .withColumn("d_nrm", reconNormExpr(col("codes"), zeroCent(cb), cb))
       .filter(col("d_nrm") > 0)
-      .select("b_id", "dec", "d_nrm")
-    val approx = dec.crossJoin(broadcast(q))
+      .select("b_id", "codes", "d_nrm")
+    // the per-query ADC lookup table rides the broadcast: the scan side
+    // pays m lookups per pair, not a D-float decode + D-term dot
+    val qLut = q.withColumn("lut", lutExpr(col("q_emb"), cb))
+    val approx = enc.crossJoin(broadcast(qLut))
       .select(col("q_id"), col("b_id"),
-        (Vectors.dot(col("dec"), col("q_emb")) / (col("d_nrm") * col("qp_nrm"))).as("sim"))
+        (adcExpr(col("codes"), col("lut"), cb) / (col("d_nrm") * col("qp_nrm"))).as("sim"))
     rerankExact(Ann.topkPerQuery(approx, sl), b, q, k)
   }
 
@@ -222,24 +227,82 @@ object Pq {
   private def centroidLitF(coarse: Array[Array[Double]]): Column =
     typedLit(coarse.map(_.map(_.toFloat).toSeq).toSeq)
 
-  /** `x − centroid` / `centroid + r` as Columns — the two halves of
-    * RESIDUAL encoding (FAISS's actual ADC formulation): residuals have
-    * a much smaller dynamic range than raw vectors (the coarse
-    * quantizer has already explained the cluster mean), so the same
-    * m/kSub code budget buys measurably finer codebooks and better
-    * shortlist recall (measured: see SCALE.md round 7 / RECALL_r07).
-    * Float arithmetic end-to-end, shared by build, add and query — the
-    * persisted ≡ on-the-fly contract needs all three bit-identical.
+  /** `x − centroid` as a Column — the encode half of RESIDUAL encoding
+    * (FAISS's actual ADC formulation): residuals have a much smaller
+    * dynamic range than raw vectors (the coarse quantizer has already
+    * explained the cluster mean), so the same m/kSub code budget buys
+    * measurably finer codebooks and better shortlist recall (measured:
+    * see SCALE.md round 7 / RECALL_r07). Float arithmetic end-to-end,
+    * shared by build, add and query — the persisted ≡ on-the-fly
+    * contract needs all three bit-identical. Native codegen
+    * ([[graft.functions.expr.VecSub]]); [[residExprHof]] is the
+    * interpreted twin the differential spec pins the bits against.
     * `cent` is the row's own centroid column ([[centCol]]) — computed
     * ONCE per plan so the nlist × D centroid literal is embedded once,
     * not once per use (at nlist=4096, D=768 each copy is ~12 MB of
     * every task binary).
     */
   private def residExpr(vec: Column, cent: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.expr.VecSub(
+        org.apache.spark.sql.GraftColumnShim.expression(vec),
+        org.apache.spark.sql.GraftColumnShim.expression(cent)))
+
+  private[graft] def residExprHof(vec: Column, cent: Column): Column =
     zip_with(vec, cent, (x, c) => x - c)
 
-  private def unresidExpr(cent: Column, dec: Column): Column =
+  /** `centroid + r` — the decode half, retained as the differential
+    * twin ([[PqReconNorm]] fuses it with the norm in the hot path) and
+    * for callers that want the full reconstructed vector (specs).
+    */
+  private[graft] def unresidExpr(cent: Column, dec: Column): Column =
     zip_with(cent, dec, (c, r) => c + r)
+
+  /** Effective per-subspace code count — [[fitFromSample]] clamps kSub
+    * to the sample size, so every codes/LUT consumer must index by the
+    * FITTED table length, not the requested parameter.
+    */
+  private def kEff(cb: Codebooks): Int = cb.tables(0).length
+
+  /** The per-QUERY ADC lookup table: `lut[j·kEff + t] = q_subⱼ ·
+    * codeword(j, t)` as an `array<double>` Column. Computed on the
+    * query/probe frame ONLY (bounded rows, interpreted HOF lambdas are
+    * fine there) and shipped through the broadcast join, so the
+    * per-candidate scan pays [[adcExpr]]'s m lookups instead of a
+    * D-float reconstruction + D-term dot.
+    */
+  private[graft] def lutExpr(qVec: Column, cb: Codebooks): Column = {
+    val nested = typedLit(cb.tables.map(_.map(_.map(_.toFloat).toSeq).toSeq).toSeq)
+    flatten(transform(nested, (tbl, j) =>
+      transform(tbl, cw =>
+        Vectors.dot(slice(qVec, j * lit(cb.sub) + lit(1), lit(cb.sub)), cw))))
+  }
+
+  /** `Σⱼ lut[j·kEff + codes[j]]` — the compressed-domain inner product
+    * (native codegen, [[graft.functions.expr.PqAdc]]); on residual
+    * layouts the caller adds the `q·centroid(cell)` term.
+    */
+  private[graft] def adcExpr(codes: Column, lut: Column, cb: Codebooks): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.expr.PqAdc(
+        org.apache.spark.sql.GraftColumnShim.expression(codes),
+        org.apache.spark.sql.GraftColumnShim.expression(lut), kEff(cb)))
+
+  /** `|cent + decode(codes)|` fused into one native expression
+    * ([[graft.functions.expr.PqReconNorm]]) — bit-identical to
+    * `norm2(unresidExpr(cent, decodeExpr(codes)))` (spec-pinned), so
+    * persisted `d_nrm` values are unchanged. Raw layouts pass a zero
+    * centroid ([[zeroCent]]).
+    */
+  private[graft] def reconNormExpr(codes: Column, cent: Column, cb: Codebooks): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.expr.PqReconNorm(
+        org.apache.spark.sql.GraftColumnShim.expression(codes),
+        org.apache.spark.sql.GraftColumnShim.expression(cent),
+        cb.tables.flatten.flatten, cb.m, cb.sub, kEff(cb)))
+
+  private def zeroCent(cb: Codebooks): Column =
+    typedLit(Seq.fill(cb.m * cb.sub)(0.0f))
 
   /** The row's coarse centroid (float) by its cell id. */
   private def centCol(cell: Column, coarse: Array[Array[Double]]): Column =
@@ -281,8 +344,10 @@ object Pq {
     * persists and [[knnIvfPq]] computes on the fly: the persisted ≡
     * on-the-fly row-for-row contract depends on both paths drawing the
     * SAME row universe. Codes are RESIDUAL ([[residExpr]]): encode
-    * `x − centroid(cell)`, decode as `centroid(cell) + lookup(codes)`.
-    * Returns (b_id, cell, codes, dec, d_nrm).
+    * `x − centroid(cell)`; `d_nrm` is the reconstruction's norm,
+    * computed WITHOUT materializing the decoded vector
+    * ([[reconNormExpr]] — bit-identical to the decode form).
+    * Returns (b_id, cell, codes, d_nrm).
     */
   private def pqScoreable(
       b0: DataFrame, coarse: Array[Array[Double]], cb: Codebooks): DataFrame =
@@ -291,15 +356,14 @@ object Pq {
       .withColumn("cell", Ann.cellExpr(col("b_emb"), coarse))
       .filter(col("cell").isNotNull)
       // __cent as its own projected column: both the encode and the
-      // decode reference the ATTRIBUTE, so the centroid literal lands
+      // norm reference the ATTRIBUTE, so the centroid literal lands
       // in the plan once (see residExpr's scaladoc)
       .withColumn("__cent", centCol(col("cell"), coarse))
       .withColumn("codes", encodeExpr(residExpr(col("b_emb"), col("__cent")), cb))
       .filter(forall(col("codes"), c => c.isNotNull))
-      .withColumn("dec", unresidExpr(col("__cent"), decodeExpr(col("codes"), cb)))
-      .withColumn("d_nrm", Vectors.norm2(col("dec")))
+      .withColumn("d_nrm", reconNormExpr(col("codes"), col("__cent"), cb))
       .filter(col("d_nrm") > 0)
-      .select("b_id", "cell", "codes", "dec", "d_nrm")
+      .select("b_id", "cell", "codes", "d_nrm")
 
   /** The PQ seed family offset from the coarse seed — identical seeds
     * over the identical sample would correlate the coarse codebook
@@ -396,12 +460,20 @@ object Pq {
     val q = Ann.validQueries(queries, qId, qVec)
     Ann.requireQueryDim(q, cb.m * cb.sub)
     val (cells, probed) = Ann.probePruned(q, centDf, nprobe)
+    // ADC scoring: qc = q·centroid(cell) and the per-query LUT are
+    // computed on the BOUNDED probe frame (≤ queries × nprobe rows) and
+    // broadcast; the probed-cell scan then reads (b_id, codes, d_nrm)
+    // and pays m lookups per candidate — no reconstruction, and the
+    // nlist × D centroid literal stays OUT of the scan-side task binary
+    val probedQ = probed
+      .withColumn("qc", Vectors.dot(col("q_emb"), centCol(col("cell"), coarse)))
+      .withColumn("lut", lutExpr(col("q_emb"), cb))
     val approx = spark.read.parquet(s"$path/base")
       .filter(col("cell").isin(cells.map(Int.box): _*))
-      .withColumn("dec", unresidExpr(centCol(col("cell"), coarse), decodeExpr(col("codes"), cb)))
-      .join(broadcast(probed), "cell")
+      .join(broadcast(probedQ), "cell")
       .select(col("q_id"), col("b_id"),
-        (Vectors.dot(col("dec"), col("q_emb")) / (col("d_nrm") * col("qp_nrm"))).as("sim"))
+        ((col("qc") + adcExpr(col("codes"), col("lut"), cb)) /
+          (col("d_nrm") * col("qp_nrm"))).as("sim"))
     val short = Ann.topkPerQuery(approx, sl)
     val src = source.select(srcId.as("b_id"), srcVec.as("b_emb"))
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
@@ -534,15 +606,21 @@ object Pq {
     // universe with the persisted build): cell + codes + decode,
     // keeping only PQ-scoreable rows — the liveness universe for the
     // probe below
-    val enc = pqScoreable(b0, coarse, cb).select("b_id", "cell", "dec", "d_nrm")
+    val enc = pqScoreable(b0, coarse, cb)
     val liveCells = enc.select("cell").distinct()
     val centDf = Ann.centroidFrame(base.sparkSession, coarse)
       .join(broadcast(liveCells), "cell")
+    // qc + LUT on the bounded probe frame, ADC on the scan — same
+    // arithmetic owners as queryIvfPqIndex (the persisted ≡ on-the-fly
+    // contract)
     val probed = Ann.topProbeCells(q, centDf, nprobe).join(q, "q_id")
+      .withColumn("qc", Vectors.dot(col("q_emb"), centCol(col("cell"), coarse)))
+      .withColumn("lut", lutExpr(col("q_emb"), cb))
     val approx = enc
       .join(broadcast(probed), "cell")
       .select(col("q_id"), col("b_id"),
-        (Vectors.dot(col("dec"), col("q_emb")) / (col("d_nrm") * col("qp_nrm"))).as("sim"))
+        ((col("qc") + adcExpr(col("codes"), col("lut"), cb)) /
+          (col("d_nrm") * col("qp_nrm"))).as("sim"))
     rerankExact(Ann.topkPerQuery(approx, sl), b, q, k)
   }
 }

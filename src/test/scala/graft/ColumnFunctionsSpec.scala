@@ -334,6 +334,70 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(membersPq == base.count(), s"IVF-PQ occupancy stale after add: $membersPq")
   }
 
+  test("PQ native kernels: vec_sub/pq_recon_norm/pq_adc bit-match their HOF twins") {
+    import org.apache.spark.sql.{GraftColumnShim => Shim}
+    import graft.operators.Pq
+    def vecSub(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      Shim.column(graft.functions.expr.VecSub(Shim.expression(a), Shim.expression(b)))
+    // vec_sub ≡ zip_with float subtraction, incl. a null ELEMENT
+    val arrs = spark.sql(
+      """SELECT array(float(1.5), float(-2.25), float(null), float(7.0)) AS a,
+        |       array(float(0.5), float(3.75), float(1.0), float(-0.125)) AS b""".stripMargin)
+    val subRow = arrs.select(
+      vecSub(col("a"), col("b")).as("n"),
+      zip_with(col("a"), col("b"), (x, c) => x - c).as("h")).head
+    assert(subRow.getSeq[Any](0) == subRow.getSeq[Any](1),
+      s"vec_sub diverged from zip_with: $subRow")
+    // length mismatch → NULL array (documented divergence from
+    // zip_with's null padding; call sites gate dims first)
+    assert(arrs.select(vecSub(col("a"), slice(col("b"), 1, 2))).head.isNullAt(0))
+
+    // fixture + fitted codebooks for the recon-norm / adc twins
+    val emb = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (((i * 7 + d * 3) % 11) - 5) / 4.0f)))
+    val df = emb.toDF("vec_id", "embedding")
+    val cb = Pq.fit(df, col("vec_id"), col("embedding"), m = 4, kSub = 8)
+    val kEff = cb.tables(0).length
+    val cent = typedLit(Seq.tabulate(8)(d => (d - 3) / 8.0f))
+    val enc = Pq.encode(df, col("vec_id"), col("embedding"), cb)
+
+    // pq_recon_norm ≡ norm2(cent + decode(codes)), BIT-identical (the
+    // persisted d_nrm contract), for a real and a zero centroid
+    val zero = typedLit(Seq.fill(8)(0.0f))
+    val nrmRows = enc.select(
+      Pq.reconNormExpr(col("codes"), cent, cb).as("n"),
+      Vectors.norm2(Pq.unresidExpr(cent, Pq.decodeExpr(col("codes"), cb))).as("h"),
+      Pq.reconNormExpr(col("codes"), zero, cb).as("n0"),
+      Vectors.norm2(Pq.decodeExpr(col("codes"), cb)).as("h0")).collect()
+    nrmRows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"recon-norm bits diverged: $r")
+      assert(r.getDouble(2) == r.getDouble(3), s"raw-layout recon-norm bits diverged: $r")
+    }
+
+    // pq_adc ≡ the HOF lookup-sum over the same LUT (exact: same adds
+    // in the same order), and ≈ dot(q, decode(codes)) (reassociated)
+    val qv = typedLit(Seq.tabulate(8)(d => (d * 2 - 7) / 10.0f))
+    val adcRows = enc
+      .withColumn("lut", Pq.lutExpr(qv, cb))
+      .select(
+        Pq.adcExpr(col("codes"), col("lut"), cb).as("n"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(cb.m - 1)), (c, j) =>
+            element_at(col("lut"), j * kEff + c + 1)),
+          lit(0.0), (acc, x) => acc + x).as("h"),
+        Vectors.dot(qv, Pq.decodeExpr(col("codes"), cb)).as("full")).collect()
+    adcRows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"pq_adc diverged from HOF twin: $r")
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) < 1e-6,
+        s"pq_adc far from decode-then-dot: $r")
+    }
+    // out-of-range code (codes/LUT shape drift) → NULL, not a wrong sum
+    val bad = enc.limit(1)
+      .withColumn("lut", Pq.lutExpr(qv, cb))
+      .select(Pq.adcExpr(array(lit(0), lit(99), lit(0), lit(0)), col("lut"), cb))
+    assert(bad.head.isNullAt(0), "out-of-range code must yield NULL")
+  }
+
   test("IVF index retention: remove(build+add) ≡ build-without; occupancy decremented") {
     val dim = 16
     def vec(cluster: Int, j: Int): Array[Float] = {

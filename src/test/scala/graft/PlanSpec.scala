@@ -94,6 +94,29 @@ class PlanSpec extends SparkSpecBase {
       s"sign_lsh fell out of codegen:\n$p")
   }
 
+  test("PQ scan kernels (vec_sub, pq_recon_norm, pq_adc) stay in whole-stage codegen") {
+    import graft.operators.Pq
+    import org.apache.spark.sql.{GraftColumnShim => Shim}
+    val embT = Tables.t(spark, sfDir, "embeddings")
+    val cb = Pq.fit(embT, col("vec_id"), col("embedding"), m = 4, kSub = 16)
+    val cent = typedLit(Seq.fill(64)(0.0f))
+    // the scan-side shape: codes come off the row, the LUT off a
+    // (broadcastable) column — here both in-plan, which is the WORST
+    // case for codegen participation
+    val df = embT
+      .withColumn("r", Shim.column(graft.functions.expr.VecSub(
+        Shim.expression(col("embedding")), Shim.expression(cent))))
+      .withColumn("codes", Pq.encodeExpr(col("r"), cb))
+      .withColumn("lut", Pq.lutExpr(col("embedding"), cb))
+      .select(
+        Pq.reconNormExpr(col("codes"), cent, cb).as("n"),
+        Pq.adcExpr(col("codes"), col("lut"), cb).as("s"))
+    val p = plan(df)
+    for (fn <- Seq("vec_sub", "pq_recon_norm", "pq_adc"))
+      assert(p.linesIterator.exists(l => l.contains("*(") && l.contains(fn)),
+        s"$fn fell out of codegen:\n$p")
+  }
+
   test("minhash_sig and simhash60 participate in whole-stage codegen; no exchange before signatures") {
     import graft.operators.Dedup
     val docs = Tables.t(spark, sfDir, "documents")
