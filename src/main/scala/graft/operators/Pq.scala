@@ -242,7 +242,7 @@ object Pq {
     * not once per use (at nlist=4096, D=768 each copy is ~12 MB of
     * every task binary).
     */
-  private def residExpr(vec: Column, cent: Column): Column =
+  private[graft] def residExpr(vec: Column, cent: Column): Column =
     org.apache.spark.sql.GraftColumnShim.column(
       graft.functions.expr.VecSub(
         org.apache.spark.sql.GraftColumnShim.expression(vec),

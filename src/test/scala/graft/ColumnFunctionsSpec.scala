@@ -335,22 +335,20 @@ class ColumnFunctionsSpec extends SparkSpecBase {
   }
 
   test("PQ native kernels: vec_sub/pq_recon_norm/pq_adc bit-match their HOF twins") {
-    import org.apache.spark.sql.{GraftColumnShim => Shim}
     import graft.operators.Pq
-    def vecSub(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      Shim.column(graft.functions.expr.VecSub(Shim.expression(a), Shim.expression(b)))
-    // vec_sub ≡ zip_with float subtraction, incl. a null ELEMENT
+    // vec_sub (residExpr) ≡ the zip_with twin (residExprHof), incl. a
+    // null ELEMENT — the production expression vs its interpreted twin
     val arrs = spark.sql(
       """SELECT array(float(1.5), float(-2.25), float(null), float(7.0)) AS a,
         |       array(float(0.5), float(3.75), float(1.0), float(-0.125)) AS b""".stripMargin)
     val subRow = arrs.select(
-      vecSub(col("a"), col("b")).as("n"),
-      zip_with(col("a"), col("b"), (x, c) => x - c).as("h")).head
+      Pq.residExpr(col("a"), col("b")).as("n"),
+      Pq.residExprHof(col("a"), col("b")).as("h")).head
     assert(subRow.getSeq[Any](0) == subRow.getSeq[Any](1),
       s"vec_sub diverged from zip_with: $subRow")
     // length mismatch → NULL array (documented divergence from
     // zip_with's null padding; call sites gate dims first)
-    assert(arrs.select(vecSub(col("a"), slice(col("b"), 1, 2))).head.isNullAt(0))
+    assert(arrs.select(Pq.residExpr(col("a"), slice(col("b"), 1, 2))).head.isNullAt(0))
 
     // fixture + fitted codebooks for the recon-norm / adc twins
     val emb = (0 until 60).map(i =>

@@ -96,7 +96,6 @@ class PlanSpec extends SparkSpecBase {
 
   test("PQ scan kernels (vec_sub, pq_recon_norm, pq_adc) stay in whole-stage codegen") {
     import graft.operators.Pq
-    import org.apache.spark.sql.{GraftColumnShim => Shim}
     val embT = Tables.t(spark, sfDir, "embeddings")
     val cb = Pq.fit(embT, col("vec_id"), col("embedding"), m = 4, kSub = 16)
     val cent = typedLit(Seq.fill(64)(0.0f))
@@ -104,8 +103,7 @@ class PlanSpec extends SparkSpecBase {
     // (broadcastable) column — here both in-plan, which is the WORST
     // case for codegen participation
     val df = embT
-      .withColumn("r", Shim.column(graft.functions.expr.VecSub(
-        Shim.expression(col("embedding")), Shim.expression(cent))))
+      .withColumn("r", Pq.residExpr(col("embedding"), cent))
       .withColumn("codes", Pq.encodeExpr(col("r"), cb))
       .withColumn("lut", Pq.lutExpr(col("embedding"), cb))
       .select(
