@@ -24,6 +24,7 @@ object SparkEntry {
       (qp.DedupQueries.queries, qp.DedupQueries.oracles),
       (qp.VectorQueries.queries, qp.VectorQueries.oracles),
       (qp.ParseQueries.queries, qp.ParseQueries.oracles),
+      (qp.SearchQueries.queries, qp.SearchQueries.oracles),
       (qp.CurationQueries.queries, qp.CurationQueries.oracles)
     )
 

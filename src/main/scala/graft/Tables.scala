@@ -17,4 +17,30 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** `events.ts` as epoch MICROSECONDS, robust to both generations of
+    * the driver testdata: parquet TIMESTAMP(NANOS) arrives as long
+    * nanoseconds (GraftSession sets `nanosAsLong`; `div 1000`
+    * truncates exactly like DuckDB's µs read of the same file), while
+    * TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ (cast is
+    * tz-independent under the session's pinned UTC). Single owner —
+    * every µs-based event query and its oracle's `epoch_us(ts)` lean
+    * on this equivalence.
+    */
+  def tsUs(df: DataFrame): Column = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+    case _ => unix_micros(col("ts").cast("timestamp"))
+  }
+
+  /** `events.ts` as a calendar-bucketable timestamp (same two-schema
+    * tolerance as [[tsUs]]; integer `div`, no double rounding at 1e18
+    * magnitudes).
+    */
+  def tsTimestamp(df: DataFrame): Column = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+    case _ => df("ts")
+  }
 }

@@ -673,6 +673,21 @@ object Ann {
     * arithmetic as [[knnIvf]] end-to-end: the same build inputs and the
     * same (k, nprobe) produce identical rows.
     *
+    * `eligible` — FILTERED search (the serving-side metadata predicate:
+    * "nearest neighbors WHERE license = permissive"): a frame + id
+    * column naming the base ids allowed to score. PRE-filtering, not
+    * post-filtering — ineligible candidates are semi-joined out of the
+    * probed-cell scan BEFORE scoring, so the top-k ranks over eligible
+    * candidates only (a post-filter of an unfiltered top-k would
+    * return < k rows and silently lose eligible neighbors ranked k+1+).
+    * The index stores vectors only; eligibility arrives as an id set
+    * precisely so any metadata predicate — computed on any table — can
+    * drive it. Spark picks broadcast vs shuffle for the semi-join from
+    * the eligible frame's size (AQE); a selective predicate also
+    * shrinks the scoring work ∝ selectivity. Queries whose probed
+    * cells hold no eligible candidate return no rows (same contract as
+    * an empty match set).
+    *
     * CALLER CONTRACT: caches the (q_id, cell) probe frame (it feeds
     * both the pruning list and the scoring join) -- wrap in
     * [[Dedup.scoped]] or clear the cache, as with the dedup operators.
@@ -680,7 +695,8 @@ object Ann {
   def queryIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qId: Column, qVec: Column,
-      k: Int, nprobe: Int = 4): DataFrame = {
+      k: Int, nprobe: Int = 4,
+      eligible: Option[(DataFrame, Column)] = None): DataFrame = {
     val centDf = readLiveCentroids(spark, path)
     val q = validQueries(queries, qId, qVec)
     // take(1): an index whose every cell is dead has an empty live
@@ -688,9 +704,15 @@ object Ann {
     centDf.select(size(col("centroid"))).take(1)
       .foreach(r => requireQueryDim(q, r.getInt(0)))
     val (cells, probed) = probePruned(q, centDf, nprobe)
-    val scored = spark.read.parquet(s"$path/base")
+    val base = spark.read.parquet(s"$path/base")
       .filter(col("cell").isin(cells.map(Int.box): _*))
       .filter(col("b_nrm") > 0) // zero-norm: see knnBruteForce
+    val filtered = eligible match {
+      case Some((el, elId)) =>
+        base.join(el.select(elId.as("b_id")), Seq("b_id"), "left_semi")
+      case None => base
+    }
+    val scored = filtered
       .join(broadcast(probed.withColumnRenamed("qp_nrm", "q_nrm")), "cell")
       .select(col("q_id"), col("b_id"),
         (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))

@@ -444,7 +444,8 @@ object Pq {
       spark: org.apache.spark.sql.SparkSession, path: String,
       source: DataFrame, srcId: Column, srcVec: Column,
       queries: DataFrame, qId: Column, qVec: Column,
-      k: Int, nprobe: Int = 4, shortlist: Int = 0): DataFrame = {
+      k: Int, nprobe: Int = 4, shortlist: Int = 0,
+      eligible: Option[(DataFrame, Column)] = None): DataFrame = {
     val sl = shortlistSize(shortlist, k)
     val cb = loadPqTables(spark, path)
     // ONE sidecar read serves both the probe frame and the residual
@@ -468,8 +469,18 @@ object Pq {
     val probedQ = probed
       .withColumn("qc", Vectors.dot(col("q_emb"), centCol(col("cell"), coarse)))
       .withColumn("lut", lutExpr(col("q_emb"), cb))
-    val approx = spark.read.parquet(s"$path/base")
+    val pruned = spark.read.parquet(s"$path/base")
       .filter(col("cell").isin(cells.map(Int.box): _*))
+    // filtered search (see Ann.queryIvfIndex's `eligible` scaladoc):
+    // the semi-join lands on the COMPRESSED scan, before the shortlist
+    // — so shortlist slots are never wasted on ineligible candidates
+    // (a post-filter would starve the rerank of eligible neighbors)
+    val filtered = eligible match {
+      case Some((el, elId)) =>
+        pruned.join(el.select(elId.as("b_id")), Seq("b_id"), "left_semi")
+      case None => pruned
+    }
+    val approx = filtered
       .join(broadcast(probedQ), "cell")
       .select(col("q_id"), col("b_id"),
         ((col("qc") + adcExpr(col("codes"), col("lut"), cb)) /

@@ -36,6 +36,23 @@ object DuckOracle {
   def quoteList(words: Seq[String]): String =
     words.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
 
+  /** DuckDB strict left fold of `body(i)` over the elements of list
+    * column `arr` (1-based `i`), starting at 0.0 — matches Spark's
+    * `aggregate(..., lit(0.0), _+_)` exactly. Single owner of the
+    * vector-arithmetic replay shared by the v-queries and the hybrid
+    * retrieval oracle.
+    */
+  def duckFold(arr: String, body: String): String =
+    s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(generate_series(1, len($arr)), i -> $body), (a, b) -> a + b)"
+
+  /** Strict-fold dot product — Spark `Vectors.dot` twin. */
+  def duckDot(a: String, b: String): String =
+    duckFold(a, s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)")
+
+  /** Strict-fold L2 norm — Spark `Vectors.norm2` twin. */
+  def duckNorm(a: String): String =
+    s"sqrt(${duckFold(a, s"CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)")})"
+
   /** DuckDB twin of [[graft.functions.Hashing.h60]]: first 15 hex chars
     * of md5 folded to a BIGINT digit-by-digit — bit-identical to Spark's
     * `conv(substring(md5(x),1,15),16,10)`. Single owner for every oracle

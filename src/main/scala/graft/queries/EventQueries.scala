@@ -8,29 +8,27 @@ import graft.Tables
 import graft.functions.{Ip, Money}
 
 /** Event-stream analytics in batch form (SURVEY.md §2.9 ST1-ST4 have a
-  * streaming twin in graft.streaming). `events.ts` arrives as raw long
-  * nanoseconds (parquet TIMESTAMP(NANOS) via nanosAsLong=true); µs
-  * truncation happens only where calendar bucketing needs a timestamp.
+  * streaming twin in graft.streaming). `events.ts` is normalized
+  * through [[Tables.tsUs]]/[[Tables.tsTimestamp]] — schema-adaptive
+  * (long-nanos vs TIMESTAMP µs testdata generations), µs either way so
+  * the `epoch_us(ts)` oracles compare exactly.
   */
 object EventQueries {
 
   private def events(s: SparkSession, dir: String) = Tables.t(s, dir, "events")
 
-  /** ns → µs-precision timestamp (integer `div`: no double rounding at
-    * 1e18 magnitudes).
-    */
-  private val tsMicros = expr("timestamp_micros(ts div 1000)")
-
   /** Tumbling-hour rollup (ST3's 30 s sampling generalized; SURVEY §2.9). */
-  def e01HourlyStats(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+  def e01HourlyStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    ev
       .groupBy(
-        date_format(tsMicros, "yyyy-MM-dd HH").as("hour"),
+        date_format(Tables.tsTimestamp(ev), "yyyy-MM-dd HH").as("hour"),
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
         Money.sumMoney(col("value")).as("sum_value"))
       .orderBy("hour", "event_type")
+  }
 
   val e01Oracle: String =
     """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, COUNT(*) AS n,
@@ -38,12 +36,14 @@ object EventQueries {
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
   /** Bounded retention: "last N events" (ST2 / T5 tail slices). */
-  def e02RecentEvents(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
-      .withColumn("ts_us", expr("ts div 1000")) // µs: DuckDB truncates parquet nanos
+  def e02RecentEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    ev
+      .withColumn("ts_us", Tables.tsUs(ev)) // µs for oracle parity
       .orderBy(desc("ts_us"), desc("event_id"))
       .limit(1000)
       .select("event_id", "ts_us", "event_type", "value")
+  }
 
   val e02Oracle: String =
     """SELECT event_id, epoch_us(ts) AS ts_us, event_type, value FROM events
@@ -74,9 +74,10 @@ object EventQueries {
     * bit-for-bit.
     */
   def e04ValueJumps(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
     val w = Window.partitionBy("user_id")
-      .orderBy(expr("ts div 1000").asc, asc("event_id")) // µs for oracle parity
-    events(s, dir)
+      .orderBy(Tables.tsUs(ev).asc, asc("event_id")) // µs for oracle parity
+    ev
       .withColumn("prev_value", lag("value", 1).over(w))
       .withColumn("jump", col("value") - col("prev_value"))
       .filter(abs(col("jump")) > 150)
@@ -152,11 +153,12 @@ object EventQueries {
     * with flatMapGroupsWithState.
     */
   def e05SessionStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
     val w = Window.partitionBy("user_id")
       .orderBy(asc("ts_us"), asc("event_id"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(s, dir)
-      .withColumn("ts_us", expr("ts div 1000")) // µs for oracle parity
+    ev
+      .withColumn("ts_us", Tables.tsUs(ev)) // µs for oracle parity
       .withColumn("prev_us", lag("ts_us", 1).over(w))
       .withColumn("new_session",
         when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1L)

@@ -131,15 +131,17 @@ object RelationalQueries {
 
   /** Keep-latest window dedup (SURVEY §2.5: row_number over
     * partitionBy/orderBy — the reference's "keep oldest" duplicate policy
-    * inverted to keep-latest per user). `ts` is raw long nanoseconds
-    * (Spark reads parquet TIMESTAMP(NANOS) via nanosAsLong).
+    * inverted to keep-latest per user). `ts` normalizes through
+    * [[graft.Tables.tsUs]] (schema-adaptive across testdata
+    * generations).
     */
   def q06LatestEventPerUser(s: SparkSession, dir: String): DataFrame = {
-    // order on µs (`ts div 1000`), not raw ns: the DuckDB oracle only
-    // sees µs precision, so both engines must break ties identically.
+    // order on µs, not raw ns: the DuckDB oracle only sees µs
+    // precision, so both engines must break ties identically.
+    val ev = t(s, dir, "events")
     val w = Window.partitionBy("user_id")
-      .orderBy(expr("ts div 1000").desc, desc("event_id"))
-    t(s, dir, "events")
+      .orderBy(graft.Tables.tsUs(ev).desc, desc("event_id"))
+    ev
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("user_id", "event_id", "event_type", "value")

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Ann, Bm25, Fusion}
+
+/** Ranked-retrieval coverage over `documents` (+ `embeddings` for the
+  * hybrid leg): BM25 lexical top-k ([[Bm25]]) and reciprocal-rank
+  * fusion of a lexical and a dense leg ([[Fusion]]) — the retrieval
+  * surface of a training-data pipeline (decontamination probes,
+  * more-like-this expansion, hybrid search). Every score is integer
+  * micro-units (per-term/per-leg rounding BEFORE grouped sums), so the
+  * DuckDB oracles replay the full pipelines exactly — same posture as
+  * the t/d-queries.
+  */
+object SearchQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.t(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.t(s, dir, "embeddings")
+
+  /** Fixed query batch: one rare-term probe (`dup`, df≈5% of the
+    * corpus) plus two common-vocabulary queries — exercises the idf
+    * spread of the synthetic corpus.
+    */
+  private val r01Batch: Seq[(Long, String)] = Seq(
+    (0L, "dup merge table"),
+    (1L, "spark window agg stream"),
+    (2L, "vector scan filter hash"))
+
+  /** BM25 top-10 for a 3-query batch over the full corpus. */
+  def r01Bm25Search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qdf = r01Batch.toDF("q_id", "qtext")
+    Bm25.searchTopK(
+      docs(s, dir), col("doc_id"), col("text"),
+      qdf, col("q_id"), col("qtext"), k = 10)
+      .orderBy("q_id", "rank")
+  }
+
+  /** The BM25 CTE chain (tokenize → stats → query-vocab postings → df
+    * → per-term micro contributions → per-doc score), mirroring
+    * [[Bm25.searchTopK]]'s expression tree token-for-token: every
+    * constant that is not exactly binary-representable is written as
+    * the same CAST the Scala `lit` produces, every association is
+    * parenthesized to the Scala parse, and contributions round to
+    * BIGINT micro-units before the order-independent SUM. Ends at
+    * `bmscore(q_id, doc_id, score_micro)`.
+    */
+  private def bm25Ctes(corpusWhere: String, qtSelect: String): String =
+    s"""d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents$corpusWhere),
+       |dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS total_tokens FROM dd),
+       |qt AS ($qtSelect),
+       |post AS (
+       |  SELECT term, doc_id, dl, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dd) x
+       |  WHERE term IN (SELECT term FROM qt)
+       |  GROUP BY term, doc_id, dl),
+       |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
+       |contrib AS (
+       |  SELECT qt.q_id, post.doc_id,
+       |    CAST(ROUND((ln(CAST(1 AS DOUBLE) + ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |      * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
+       |         / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)) + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+       |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS c_micro
+       |  FROM post JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN stats),
+       |bmscore AS (SELECT q_id, doc_id, CAST(SUM(c_micro) AS BIGINT) AS score_micro FROM contrib GROUP BY q_id, doc_id)""".stripMargin
+
+  val r01Oracle: String = {
+    val qv = r01Batch
+      .map { case (i, t) => s"(CAST($i AS BIGINT), '${t.replace("'", "''")}')" }
+      .mkString(", ")
+    s"""WITH qv(q_id, qtext) AS (VALUES $qv),
+       |${bm25Ctes("",
+      "SELECT DISTINCT q_id, unnest(regexp_extract_all(lower(qtext), '[a-z0-9]+')) AS term FROM qv")}
+       |SELECT q_id, doc_id,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
+       |  score_micro
+       |FROM bmscore
+       |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Hybrid retrieval, more-like-this form: for each query document
+    * (doc_id < 10), a BM25 leg (its distinct terms against the
+    * doc_id >= 10 corpus, top-20) and a dense leg (exact cosine top-20
+    * over the row-aligned `embeddings` table) are fused by
+    * reciprocal rank — [[Fusion.rrf]]. Both legs are themselves
+    * exactly replayable, so the oracle replays lexical leg, dense leg,
+    * and fusion end-to-end.
+    */
+  def r02HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val e = emb(s, dir)
+    val bm = Bm25.searchTopK(
+      d.filter(col("doc_id") >= 10), col("doc_id"), col("text"),
+      d.filter(col("doc_id") < 10), col("doc_id"), col("text"), k = 20)
+      .select("q_id", "doc_id", "rank")
+    val vec = Ann.knnBruteForce(
+      e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"), k = 20)
+      .select(col("q_id"), col("b_id").as("doc_id"), col("rank"))
+    Fusion.rrf(Seq(bm, vec), k = 10)
+      .orderBy("q_id", "rank")
+  }
+
+  val r02Oracle: String = {
+    import DuckOracle.{duckDot, duckNorm}
+    val sim = s"${duckDot("q_emb", "b_emb")} / (${duckNorm("b_emb")} * ${duckNorm("q_emb")})"
+    // ROUND(1e6 / (c + rank)) — Fusion.rrf's exact contribution tree
+    def rrfC(src: String) =
+      s"SELECT q_id, doc_id, CAST(ROUND(CAST(1000000 AS DOUBLE) / CAST((60 + rank) AS DOUBLE)) AS BIGINT) AS c_micro FROM $src"
+    s"""WITH ${bm25Ctes(" WHERE doc_id >= 10",
+      "SELECT DISTINCT doc_id AS q_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents WHERE doc_id < 10")},
+       |bm AS (
+       |  SELECT q_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+       |  FROM bmscore
+       |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) <= 20),
+       |vq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |vb AS (SELECT vec_id AS b_id, embedding AS b_emb FROM embeddings WHERE vec_id >= 10),
+       |vscored AS (SELECT q_id, b_id AS doc_id, $sim AS sim FROM vb, vq),
+       |vec AS (
+       |  SELECT q_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS INT) AS rank
+       |  FROM vscored
+       |  WHERE NOT isnan(sim)
+       |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) <= 20),
+       |legs AS (${rrfC("bm")} UNION ALL ${rrfC("vec")}),
+       |fused AS (SELECT q_id, doc_id, CAST(SUM(c_micro) AS BIGINT) AS rrf_micro FROM legs GROUP BY q_id, doc_id)
+       |SELECT q_id, doc_id,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank,
+       |  rrf_micro
+       |FROM fused
+       |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r01_bm25_search" -> (r01Bm25Search _),
+    "r02_hybrid_rrf" -> (r02HybridRrf _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "r01_bm25_search" -> r01Oracle,
+    "r02_hybrid_rrf" -> r02Oracle
+  )
+}

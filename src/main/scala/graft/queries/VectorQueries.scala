@@ -16,17 +16,11 @@ object VectorQueries {
 
   private def emb(s: SparkSession, dir: String) = Tables.t(s, dir, "embeddings")
 
-  /** DuckDB strict left fold of `expr(i)` over dims, starting at 0.0 —
-    * matches Spark's `aggregate(..., lit(0.0), _+_)` exactly.
-    */
-  private def duckFold(arr: String, body: String): String =
-    s"list_reduce([CAST(0 AS DOUBLE)] || list_transform(generate_series(1, len($arr)), i -> $body), (a, b) -> a + b)"
-
-  private def duckDot(a: String, b: String): String =
-    duckFold(a, s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)")
-
-  private def duckNorm(a: String): String =
-    s"sqrt(${duckFold(a, s"CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)")})"
+  // strict-fold SQL twins — single owner [[DuckOracle]] (shared with
+  // the hybrid retrieval oracle in SearchQueries)
+  private def duckFold(arr: String, body: String): String = DuckOracle.duckFold(arr, body)
+  private def duckDot(a: String, b: String): String = DuckOracle.duckDot(a, b)
+  private def duckNorm(a: String): String = DuckOracle.duckNorm(a)
 
   /** Brute-force exact top-5 cosine neighbors for the first 10 vectors. */
   def v01KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
@@ -252,25 +246,35 @@ object VectorQueries {
     * the index — a dump row serving such a ghost id is filtered from
     * `ok`, forcing a row-count mismatch (its sim would still verify as
     * a true cosine, so the base contract alone cannot catch it).
+    * `eligibleBWhere` (v14, filtered search): a predicate over
+    * b_label/b_id that every served row must SATISFY — the dual of the
+    * ghost clause (an ineligible neighbor served back carries a valid
+    * cosine, so only this clause can catch a filter the engine dropped);
+    * `eligibleExistsWhere` narrows the coverage sentinel's base-side
+    * EXISTS to the same eligible universe (predicate over alias `b`).
     */
   private def selfVerifyingKnnOracle(
-      dump: String, k: Int, ghostBWhere: Option[String] = None): String = {
+      dump: String, k: Int, ghostBWhere: Option[String] = None,
+      eligibleBWhere: Option[String] = None,
+      eligibleExistsWhere: Option[String] = None): String = {
     // Spark scores as dot(b_emb, q_emb) / (b_nrm * q_nrm) — replay the
     // same operand order (dot and * are bitwise commutative in IEEE754,
     // but keep the fold direction identical anyway)
     val want = s"${duckDot("b_emb", "q_emb")} / (${duckNorm("b_emb")} * ${duckNorm("q_emb")})"
     val ghost = ghostBWhere.map(w => s" AND NOT ($w)").getOrElse("")
+    val elig = eligibleBWhere.map(w => s" AND ($w)").getOrElse("")
+    val eligExists = eligibleExistsWhere.map(w => s" AND ($w)").getOrElse("")
     s"""WITH o AS (
        |  SELECT q_id, b_id, "rank", sim
        |  FROM read_parquet('__GRAFT_OUT__/$dump/*.parquet')
        |), chk AS (
-       |  SELECT o.q_id, o.b_id, o."rank", o.sim, $want AS want
+       |  SELECT o.q_id, o.b_id, o."rank", o.sim, b.b_label, $want AS want
        |  FROM o
        |  JOIN (SELECT vec_id, embedding AS q_emb FROM embeddings) q ON q.vec_id = o.q_id
-       |  JOIN (SELECT vec_id, embedding AS b_emb FROM embeddings) b ON b.vec_id = o.b_id
+       |  JOIN (SELECT vec_id, embedding AS b_emb, label AS b_label FROM embeddings) b ON b.vec_id = o.b_id
        |), ok AS (
        |  SELECT q_id, b_id, "rank", sim FROM chk
-       |  WHERE sim = want AND "rank" BETWEEN 1 AND $k$ghost
+       |  WHERE sim = want AND "rank" BETWEEN 1 AND $k$ghost$elig
        |  QUALIFY "rank" = row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, "rank")
        |), missing AS (
        |  -- minimum-coverage clause: a self-verifying oracle would pass
@@ -288,7 +292,7 @@ object VectorQueries {
        |  WHERE e.vec_id < 10 AND ${duckNorm("e.embedding")} > 0
        |    AND e.vec_id NOT IN (SELECT q_id FROM o)
        |    AND EXISTS (SELECT 1 FROM embeddings b
-       |                WHERE b.vec_id >= 10 AND ${duckNorm("b.embedding")} > 0)
+       |                WHERE b.vec_id >= 10 AND ${duckNorm("b.embedding")} > 0$eligExists)
        |)
        |SELECT * FROM ok UNION ALL SELECT * FROM missing
        |ORDER BY q_id, "rank"""".stripMargin
@@ -469,6 +473,35 @@ object VectorQueries {
     "v13_ivfpq_remove", k = 5,
     ghostBWhere = Some("b_id >= 10 AND b_id % 3 = 0"))
 
+  /** FILTERED search through the persisted IVF index
+    * ([[Ann.queryIvfIndex]]'s `eligible` parameter): top-k over only
+    * the base ids passing a metadata predicate (here `label % 2 = 0`),
+    * with the predicate semi-joined into the probed-cell scan BEFORE
+    * scoring — pre-filtering, so eligible neighbors ranked below k in
+    * the unfiltered order are still found (a post-filter would lose
+    * them). Oracle: the shared self-verifying contract PLUS the
+    * eligibility clause — a served ineligible id carries a perfectly
+    * valid cosine, so the contract is extended to fail any dump row
+    * whose label violates the predicate; the coverage sentinel's
+    * EXISTS narrows to the eligible universe for the same reason.
+    */
+  def v14IvfFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = Scratch.wiped(s, "ivf_filtered", dir)
+    Ann.buildIvfIndex(
+      e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"), path, nlist = 8)
+    Ann.queryIvfIndex(
+      s, path, e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 5, nprobe = 3,
+      eligible = Some((e.filter(col("label") % 2 === 0), col("vec_id"))))
+      .orderBy("q_id", "rank")
+  }
+
+  val v14Oracle: String = selfVerifyingKnnOracle(
+    "v14_ivf_filtered", k = 5,
+    eligibleBWhere = Some("b_label % 2 = 0"),
+    eligibleExistsWhere = Some("b.label % 2 = 0"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_bruteforce" -> (v01KnnBruteForce _),
     "v02_label_stats" -> (v02LabelStats _),
@@ -482,7 +515,8 @@ object VectorQueries {
     "v10_knn_ivfpq" -> (v10KnnIvfPq _),
     "v11_ivfpq_index" -> (v11IvfPqIndex _),
     "v12_ivfpq_append" -> (v12IvfPqAppend _),
-    "v13_ivfpq_remove" -> (v13IvfPqRemove _)
+    "v13_ivfpq_remove" -> (v13IvfPqRemove _),
+    "v14_ivf_filtered" -> (v14IvfFiltered _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -498,6 +532,7 @@ object VectorQueries {
     "v10_knn_ivfpq" -> v10Oracle,
     "v11_ivfpq_index" -> v11Oracle,
     "v12_ivfpq_append" -> v12Oracle,
-    "v13_ivfpq_remove" -> v13Oracle
+    "v13_ivfpq_remove" -> v13Oracle,
+    "v14_ivf_filtered" -> v14Oracle
   )
 }

@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval: BM25 ([[graft.operators.Bm25]]), reciprocal-rank
+  * fusion ([[graft.operators.Fusion]]), and filtered ANN (the
+  * `eligible` parameter of the persisted-index query paths). The BM25
+  * and RRF fixtures are hand-replayed in plain Scala with the exact
+  * expression trees, so the asserts are `==` on longs — the same
+  * bit-exactness contract the DuckDB oracles (r01/r02) enforce at
+  * sf0.01.
+  */
+class SearchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Plain-Scala replay of [[graft.operators.Bm25.searchTopK]]'s
+    * scoring (StrictMath.log — Spark's Log expression uses StrictMath,
+    * so `==` holds): doc -> score_micro for one query string.
+    */
+  private def bm25Expected(
+      docs: Seq[(Long, String)], query: String,
+      k1: Double = 1.2, b: Double = 0.75): Map[Long, Long] = {
+    def toks(t: String) = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector
+    val dls = docs.map { case (id, t) => id -> toks(t).length.toLong }.toMap
+    val n = docs.size
+    val total = dls.values.sum
+    val avgdl = total.toDouble / n.toDouble
+    val qterms = toks(query).distinct
+    val postings = for {
+      (id, t) <- docs
+      (term, tf) <- toks(t).groupBy(identity).map { case (w, v) => (w, v.size) }
+      if qterms.contains(term)
+    } yield (term, id, tf)
+    val dfm = postings.groupBy(_._1).map { case (t, v) => t -> v.size }
+    postings.groupBy(_._2).map { case (id, ps) =>
+      id -> ps.map { case (term, _, tf) =>
+        val df = dfm(term)
+        val idf = StrictMath.log(1.0 + ((n.toDouble - df.toDouble) + 0.5) / (df.toDouble + 0.5))
+        val tfn = tf.toDouble * (k1 + 1.0) /
+          (tf.toDouble + k1 * (1.0 - b + b * dls(id).toDouble / avgdl))
+        math.round(idf * tfn * 1000000.0)
+      }.sum
+    }
+  }
+
+  test("BM25: scores bit-match a plain-Scala replay; ranking and truncation behave") {
+    val docs = Seq(
+      (1L, "red apple pie"),
+      (2L, "red red banana"),
+      (3L, "blue sky"),
+      (4L, ""),
+      (5L, "banana banana banana split"))
+    val got = graft.operators.Bm25.searchTopK(
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+      Seq((0L, "red banana"), (1L, "nosuchterm")).toDF("q_id", "qtext"),
+      col("q_id"), col("qtext"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // query 1 shares no term with any doc → zero rows for it
+    assert(got.forall(_._1 == 0L), s"unmatched query produced rows: ${got.filter(_._1 == 1L).toSeq}")
+    val expected = bm25Expected(docs, "red banana")
+    val gotScores = got.map(r => r._2 -> r._4).toMap
+    assert(gotScores == expected,
+      s"score_micro mismatch:\n  got      $gotScores\n  expected $expected")
+    // ranks follow (score desc, doc_id asc), dense from 1
+    val byRank = got.sortBy(_._3)
+    assert(byRank.map(_._3).toSeq == (1 to got.length),
+      s"ranks not dense: ${byRank.map(_._3).toSeq}")
+    assert(byRank.sliding(2).forall {
+      case Array(a, b) => a._4 > b._4 || (a._4 == b._4 && a._2 < b._2)
+      case _ => true
+    }, s"rank order violates (score desc, doc_id asc): ${byRank.toSeq}")
+    // doc 3 ("blue sky") and the empty doc share no query term → absent
+    assert(!got.exists(r => r._2 == 3L || r._2 == 4L))
+    // k truncation
+    val top1 = graft.operators.Bm25.searchTopK(
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+      Seq((0L, "red banana")).toDF("q_id", "qtext"),
+      col("q_id"), col("qtext"), k = 1)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(top1.toSeq == Seq((expected.maxBy { case (id, s) => (s, -id) }._1, 1)))
+  }
+
+  test("BM25 plan shape: broadcast semi-join vocab gate, no Window in the top-k tail") {
+    val docs = Seq((1L, "red apple pie"), (2L, "red red banana")).toDF("doc_id", "text")
+    val plan = graft.operators.Bm25.searchTopK(
+      docs, col("doc_id"), col("text"),
+      Seq((0L, "red banana")).toDF("q_id", "qtext"), col("q_id"), col("qtext"), k = 5)
+      .queryExecution.executedPlan.toString
+    // the postings gate must be a broadcast semi-join (the corpus-side
+    // explode never shuffles unmatched tokens)...
+    assert(plan.contains("LeftSemi"), s"no semi-join vocab gate in plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side join shuffled instead of broadcasting:\n$plan")
+    // ...and the ranking tail is the k-buffer aggregator, not a Window
+    // sort of the full candidate stream
+    assert(!plan.contains("Window"), s"Window leaked into the BM25 tail:\n$plan")
+  }
+
+  test("RRF: hand fixture — micro contributions, cross-leg sum, top-k order") {
+    val leg1 = Seq((0L, 100L, 1), (0L, 200L, 2)).toDF("q_id", "doc_id", "rank")
+    val leg2 = Seq((0L, 200L, 1), (0L, 300L, 2)).toDF("q_id", "doc_id", "rank")
+    val got = graft.operators.Fusion.rrf(Seq(leg1, leg2), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val c61 = math.round(1000000.0 / 61.0) // rank 1
+    val c62 = math.round(1000000.0 / 62.0) // rank 2
+    // doc 200 appears rank2 in leg1 + rank1 in leg2 → sums; k=2 drops doc 300
+    assert(got.toSeq == Seq((0L, 200L, 1, c62 + c61), (0L, 100L, 2, c61)),
+      s"rrf mismatch: ${got.toSeq}")
+  }
+
+  private def clusteredRows: Seq[(Long, Array[Float])] = {
+    val dim = 16
+    def vec(cluster: Int, j: Int): Array[Float] = {
+      val a = new Array[Float](dim)
+      a(cluster * 2) = 1.0f
+      a(cluster * 2 + 1) = 0.5f
+      a((cluster + j) % dim) = a((cluster + j) % dim) + 0.05f * ((j % 5) + 1)
+      a
+    }
+    for (c <- 0 until 8; j <- 0 until 25) yield (c.toLong * 100 + j, vec(c, j))
+  }
+
+  /** Strict left-fold cosine over float arrays — the Vectors.dot/norm2
+    * arithmetic (double accumulator, elements widened one at a time).
+    */
+  private def cosExact(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(nb) * math.sqrt(na))
+  }
+
+  test("filtered IVF query: full eligible set ≡ unfiltered; predicate enforced; sims exact") {
+    val df = clusteredRows.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") % 100 >= 5)
+    val qs = df.filter(col("vec_id") % 100 < 5)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_filt").toString
+    graft.operators.Ann.buildIvfIndex(
+      base, col("vec_id"), col("embedding"), path, nlist = 8)
+    def run(el: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column)]) =
+      graft.operators.Ann.queryIvfIndex(
+        spark, path, qs, col("vec_id"), col("embedding"), k = 5, nprobe = 2, eligible = el)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // an all-inclusive filter must not change a single bit
+    val unf = run(None).toSet
+    assert(run(Some((base, col("vec_id")))).toSet == unf)
+    assert(unf.nonEmpty)
+    // even-id filter: predicate enforced, ranks dense, sims true cosines
+    val even = run(Some((base.filter(col("vec_id") % 2 === 0), col("vec_id"))))
+    assert(even.nonEmpty)
+    assert(even.forall(_._2 % 2 == 0), s"ineligible id served: ${even.filter(_._2 % 2 != 0).toSeq}")
+    val embs = clusteredRows.toMap
+    assert(even.forall { case (q, b, _, sim) => sim == cosExact(embs(b), embs(q)) },
+      "filtered sim is not the exact strict-fold cosine")
+    even.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"ranks not dense for q=$q")
+    }
+    // PRE-filter, not post-filter: scoring restricted to eligible ids
+    // must surface eligible neighbors that the unfiltered top-5 missed
+    val unfEven = unf.filter(_._2 % 2 == 0).map(t => (t._1, t._2))
+    val evenPairs = even.map(t => (t._1, t._2)).toSet
+    assert((evenPairs -- unfEven).nonEmpty,
+      "filtered search returned only the even survivors of the unfiltered top-k " +
+        "(post-filter behavior) — expected deeper eligible neighbors")
+  }
+
+  test("filtered IVF-PQ query: predicate enforced on the compressed scan; rerank sims exact") {
+    val df = clusteredRows.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") % 100 >= 5)
+    val qs = df.filter(col("vec_id") % 100 < 5)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_filt").toString
+    graft.operators.Pq.buildIvfPqIndex(
+      base, col("vec_id"), col("embedding"), path, nlist = 8, m = 8, kSub = 16)
+    val got = graft.operators.Pq.queryIvfPqIndex(
+      spark, path,
+      base.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"),
+      qs, col("vec_id"), col("embedding"),
+      k = 5, nprobe = 2, shortlist = 20,
+      eligible = Some((base.filter(col("vec_id") % 2 === 0), col("vec_id"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._2 % 2 == 0), s"ineligible id served: ${got.filter(_._2 % 2 != 0).toSeq}")
+    val embs = clusteredRows.toMap
+    assert(got.forall { case (q, b, _, sim) => sim == cosExact(embs(b), embs(q)) },
+      "rerank sim is not the exact strict-fold cosine")
+  }
+}
