@@ -77,7 +77,11 @@ object Bm25 {
     *
     * The query batch is assumed bounded (it rides broadcast joins —
     * the same contract as the ANN probe frames); the corpus side is
-    * unbounded.
+    * unbounded. Plan note: the corpus is tokenized TWICE (the stats agg
+    * and the postings pass) — both are narrow single-column scans, and
+    * the serving deployment avoids both per-query via
+    * [[buildLexIndex]]/[[queryLexIndex]] (postings materialized once,
+    * stats in a sidecar).
     */
   def searchTopK(
       docs: DataFrame, docId: Column, text: Column,
@@ -92,17 +96,34 @@ object Bm25 {
     val stats = toks.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
-    val qt = queries.select(
-      qId.as("q_id"), explode(array_distinct(analyze(qText))).as("term"))
-    val vocab = qt.select("term").distinct()
     // inverted-index postings, restricted to the query vocabulary AT
     // THE SCAN: the broadcast semi-join fires before the groupBy, so
     // only matched (term, doc) pairs ever shuffle
+    val qt = queryTerms(queries, qId, qText)
     val post = toks
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .join(broadcast(vocab), Seq("term"), "left_semi")
+      .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"))
+    scoreAndRank(post, qt, stats, k, k1, b)
+  }
+
+  /** (q_id, term) pairs of an analyzed query batch — distinct terms per
+    * query (single owner with the index query path).
+    */
+  private def queryTerms(queries: DataFrame, qId: Column, qText: Column): DataFrame =
+    queries.select(
+      qId.as("q_id"), explode(array_distinct(analyze(qText))).as("term"))
+
+  /** Shared scoring tail: postings (term, doc_id, dl, tf) × query
+    * terms × 1-row stats → BM25 micro contributions → per-doc sums →
+    * k-buffer top-k. df is derived FROM the postings (count per term),
+    * which is what lets the persisted index skip storing it — a
+    * term's whole posting list is always co-resident with the term.
+    */
+  private def scoreAndRank(
+      post: DataFrame, qt: DataFrame, stats: DataFrame,
+      k: Int, k1: Double, b: Double): DataFrame = {
     val dft = post.groupBy("term").agg(count(lit(1)).as("df"))
     val scores = post
       .join(broadcast(dft), "term")
@@ -116,5 +137,190 @@ object Bm25 {
     TopK.perGroup(scores, Seq("q_id"), col("score_micro"), col("doc_id"), k)
       .select(col("q_id"), col("id").as("doc_id"), col("rank"),
         col("metric").as("score_micro"))
+  }
+
+  /** Term → posting-bucket assignment (pmod of the 64-bit term hash):
+    * the partition key of the persisted index. Deterministic, so the
+    * query path prunes to exactly the buckets its vocabulary hashes
+    * into.
+    */
+  private def bucketOf(term: Column, nBuckets: Int): Column =
+    pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
+
+  /** Build a persisted lexical (BM25) index at `path`: the serving
+    * shape for repeated search over a corpus that one-shot
+    * [[searchTopK]] would re-scan per query batch.
+    *
+    * Layout:
+    *  - `path/postings` — (term, doc_id, dl, tf) parquet, PARTITIONED
+    *    by `bucket` = hash(term) mod nBuckets: a query reads only the
+    *    bucket directories its vocabulary hashes into (partition
+    *    pruning — the same property that makes the IVF index queryable
+    *    without scanning it). df is NOT stored: a term's full posting
+    *    list lives in its bucket, so the query derives df by counting —
+    *    which is also what makes [[addToLexIndex]] append-only.
+    *  - `path/stats` — 1-row (n_docs, total_tokens) sidecar, the
+    *    BM25 corpus scalars (the codebook-sidecar pattern).
+    *
+    * ONE corpus scan builds everything: postings groupBy + a stats agg
+    * over the same tokenized frame. `nBuckets` sizes partitions to the
+    * cluster (default 64; a 100 TB corpus with ~10^7-term vocabulary
+    * wants enough buckets that one bucket's postings fit an executor
+    * comfortably — same sizing contract as packShards' nBuckets).
+    */
+  def buildLexIndex(
+      docs: DataFrame, docId: Column, text: Column, path: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = docs.sparkSession
+    val toks = docs
+      .select(docId.as("doc_id"), analyze(text).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val post = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+    // postings first, stats sidecar LAST: the sidecar is the
+    // index-complete marker (same crash-ordering contract as the ANN
+    // codebook sidecar — queryLexIndex fails loudly on a missing stats
+    // dir, never serves a half-written index silently)
+    post.write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings")
+    writeStatsSidecar(spark, path,
+      toks.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
+        .head(), nBuckets)
+  }
+
+  /** Append new documents to a persisted [[buildLexIndex]] index:
+    * because df is derived at query time and postings are keyed by the
+    * deterministic term-hash bucket, an add is a pure APPEND of the
+    * increment's postings plus a stats-sidecar refresh — no rewrite,
+    * no re-fit, build(even)+add(odd) ≡ build(all) (spec-pinned).
+    * Caller contract: increment doc_ids must be NEW (a re-added id
+    * would double its postings — same caller contract as
+    * [[Ann.addToIvfIndex]]). Not transactional (same caveat as the ANN
+    * adds): a crash between the posting append and the sidecar refresh
+    * leaves stats slightly stale — scores skew conservatively (larger
+    * effective corpus), and re-running the add after fixing doc
+    * membership restores exactness.
+    */
+  def addToLexIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      docs: DataFrame, docId: Column, text: Column): Unit = {
+    val (nDocs, totalTokens, nBuckets) = readStatsSidecar(spark, path)
+    val toks = docs
+      .select(docId.as("doc_id"), analyze(text).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .write.partitionBy("bucket").mode("append").parquet(s"$path/postings")
+    val inc = toks.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("total_tokens")).head()
+    writeStatsSidecar(spark, path,
+      org.apache.spark.sql.Row(nDocs + inc.getLong(0), totalTokens + inc.getLong(1)),
+      nBuckets)
+  }
+
+  /** Retention-delete documents from a persisted [[buildLexIndex]]
+    * index. Unlike the ANN remove (victims live in known cells), a
+    * document's postings are scattered across every bucket its terms
+    * hash to — so the rewrite anti-joins the WHOLE postings lake
+    * (one distributed job, partitioned write swapped in with the
+    * two-rename pattern) and the stats sidecar is decremented by the
+    * victims' own (count, Σdl), recomputed from the victim TEXT
+    * (postings cannot reconstruct an empty document's membership in
+    * `n_docs`, so the remove verb takes the same (docs, id, text)
+    * shape as [[addToLexIndex]]). Victims must currently be indexed —
+    * same caller contract as the ANN remove. Sidecar refresh lands
+    * LAST: a crash between the postings swap and the sidecar leaves
+    * scores computed with a slightly-large N (conservative idf), never
+    * ghost postings.
+    */
+  def removeFromLexIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      docs: DataFrame, docId: Column, text: Column): Unit = {
+    val (nDocs, totalTokens, nBuckets) = readStatsSidecar(spark, path)
+    val toks = docs
+      .select(docId.as("doc_id"), analyze(text).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val victims = toks.select("doc_id")
+    val target = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(target.toString)
+      .join(victims, Seq("doc_id"), "left_anti")
+      .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
+    graft.etl.Compact.swapInto(fs, tmp, target, old)
+    val dec = toks.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("total_tokens")).head()
+    writeStatsSidecar(spark, path,
+      org.apache.spark.sql.Row(nDocs - dec.getLong(0), totalTokens - dec.getLong(1)),
+      nBuckets)
+  }
+
+  /** Top-k BM25 against a persisted [[buildLexIndex]] index —
+    * bit-identical results to [[searchTopK]] over the same corpus
+    * (same arithmetic owners), but the per-batch cost is a
+    * partition-pruned read of only the query vocabulary's bucket
+    * directories instead of a corpus scan. The bucket list is derived
+    * driver-side from the analyzed query batch (bounded: ≤ distinct
+    * query terms, the same boundedness contract as the ANN probe cell
+    * list).
+    */
+  def queryLexIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qId: Column, qText: Column,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"top-k requires k >= 1, got $k")
+    val (nDocs, totalTokens, nBuckets) = readStatsSidecar(spark, path)
+    val qt = Dedup.scopedCache(queryTerms(queries, qId, qText))
+    // bounded driver collect (≤ distinct query terms): the pruning list
+    val buckets = qt
+      .select(bucketOf(col("term"), nBuckets).as("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
+      // a bucket holds OTHER terms' postings too — the vocab semi-join
+      // is still the row gate, the bucket filter only prunes IO
+      .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
+    import spark.implicits._
+    val stats = Seq((nDocs, totalTokens)).toDF("n_docs", "total_tokens")
+    scoreAndRank(post, qt, stats, k, k1, b)
+  }
+
+  private def writeStatsSidecar(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      row: org.apache.spark.sql.Row, nBuckets: Int): Unit = {
+    import spark.implicits._
+    val target = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    Seq((row.getLong(0), row.getLong(1), nBuckets))
+      .toDF("n_docs", "total_tokens", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) graft.etl.Compact.swapInto(fs, tmp, target, old)
+    else require(fs.rename(tmp, target), s"could not place stats sidecar at $target")
+  }
+
+  /** (n_docs, total_tokens, n_buckets) — bounded 1-row read; fails
+    * loudly on a missing/corrupt sidecar (the index-complete marker).
+    */
+  private def readStatsSidecar(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Long, Long, Int) = {
+    val rows = spark.read.parquet(s"$path/stats")
+      .select("n_docs", "total_tokens", "n_buckets").collect()
+    require(rows.length == 1, s"$path/stats is not a 1-row sidecar -- not a lex index")
+    (rows(0).getLong(0), rows(0).getLong(1), rows(0).getInt(2))
   }
 }

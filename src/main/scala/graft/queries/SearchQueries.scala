@@ -83,6 +83,31 @@ object SearchQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Persisted-lexical-index round trip ([[Bm25.buildLexIndex]] →
+    * [[Bm25.addToLexIndex]] → [[Bm25.queryLexIndex]]): the index is
+    * built from the even-id half of the corpus, the odd-id half is
+    * APPENDED (pure posting append + stats refresh — df derives from
+    * the posting lists at query time, so an add rewrites nothing), and
+    * the query reads ONLY the bucket directories the query vocabulary
+    * hashes into (partition pruning — the serving shape that answers a
+    * 3-term query without scanning a 100 TB corpus). Same scoring
+    * arithmetic as [[r01Bm25Search]] over the same corpus and batch,
+    * so the r01 oracle applies VERBATIM — the strongest statement of
+    * build+add ≡ one-shot equivalence the gate can make.
+    */
+  def r03LexIndexSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val path = Scratch.wiped(s, "lex_index", dir)
+    graft.operators.Bm25.buildLexIndex(
+      d.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), path, nBuckets = 8)
+    graft.operators.Bm25.addToLexIndex(
+      s, path, d.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+    graft.operators.Bm25.queryLexIndex(
+      s, path, r01Batch.toDF("q_id", "qtext"), col("q_id"), col("qtext"), k = 10)
+      .orderBy("q_id", "rank")
+  }
+
   /** Hybrid retrieval, more-like-this form: for each query document
     * (doc_id < 10), a BM25 leg (its distinct terms against the
     * doc_id >= 10 corpus, top-20) and a dense leg (exact cosine top-20
@@ -140,11 +165,15 @@ object SearchQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_bm25_search" -> (r01Bm25Search _),
-    "r02_hybrid_rrf" -> (r02HybridRrf _)
+    "r02_hybrid_rrf" -> (r02HybridRrf _),
+    "r03_lex_index" -> (r03LexIndexSearch _)
   )
 
   val oracles: Map[String, String] = Map(
     "r01_bm25_search" -> r01Oracle,
-    "r02_hybrid_rrf" -> r02Oracle
+    "r02_hybrid_rrf" -> r02Oracle,
+    // build(even)+add(odd) must serve the SAME answer as one-shot BM25
+    // over the whole corpus — the r01 replay IS the oracle
+    "r03_lex_index" -> r01Oracle
   )
 }

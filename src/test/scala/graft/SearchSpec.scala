@@ -108,6 +108,79 @@ class SearchSpec extends SparkSpecBase {
       s"rrf mismatch: ${got.toSeq}")
   }
 
+  test("lex index: build+add ≡ one-shot searchTopK bit-exact; pruned read; fail-loud sidecar") {
+    val docs = Seq(
+      (1L, "red apple pie"), (2L, "red red banana"), (3L, "blue sky"),
+      (4L, ""), (5L, "banana banana banana split"), (6L, "apple sky red"),
+      (7L, "pie crust"), (8L, "banana pie sky"))
+    val ddf = docs.toDF("doc_id", "text")
+    val qdf = Seq((0L, "red banana"), (1L, "sky pie")).toDF("q_id", "qtext")
+    val oneShot = graft.operators.Bm25.searchTopK(
+      ddf, col("doc_id"), col("text"), qdf, col("q_id"), col("qtext"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val path = java.nio.file.Files.createTempDirectory("graft_lex").toString + "/ix"
+    graft.operators.Bm25.buildLexIndex(
+      ddf.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), path, nBuckets = 4)
+    graft.operators.Bm25.addToLexIndex(
+      spark, path, ddf.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+    val viaIndex = graft.operators.Bm25.queryLexIndex(
+      spark, path, qdf, col("q_id"), col("qtext"), k = 5)
+    val got = viaIndex
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == oneShot,
+      s"index search diverged from one-shot:\n  only index: ${got -- oneShot}\n  only one-shot: ${oneShot -- got}")
+    assert(got.nonEmpty)
+    // the posting read is partition-pruned to the query vocab's buckets
+    val f = viaIndex.queryExecution.executedPlan.toString
+    val pf = f.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("bucket")).getOrElse("")
+    assert(pf.contains("bucket#") || pf.contains("bucket IN") || pf.contains("isnotnull(bucket"),
+      s"postings scan is not partition-pruned on bucket:\n$f")
+    // stats sidecar reflects the FULL corpus after the add (N and Σdl
+    // drive idf/avgdl — a stale sidecar would skew every score)
+    val st = spark.read.parquet(s"$path/stats").head()
+    assert(st.getLong(0) == docs.size, s"n_docs ${st.getLong(0)} != ${docs.size}")
+    val totalToks = docs.map(d => "[a-z0-9]+".r.findAllIn(d._2.toLowerCase).length.toLong).sum
+    assert(st.getLong(1) == totalToks, s"total_tokens ${st.getLong(1)} != $totalToks")
+    // a directory without the stats sidecar is not an index — loud refusal
+    val bogus = java.nio.file.Files.createTempDirectory("graft_lex_bogus").toString
+    intercept[Exception](graft.operators.Bm25.queryLexIndex(
+      spark, bogus, qdf, col("q_id"), col("qtext"), k = 5))
+  }
+
+  test("lex index retention: remove(build+add) ≡ build-without; stats decremented") {
+    val docs = Seq(
+      (1L, "red apple pie"), (2L, "red red banana"), (3L, "blue sky"),
+      (4L, ""), (5L, "banana banana banana split"), (6L, "apple sky red"),
+      (7L, "pie crust"), (8L, "banana pie sky"))
+    val ddf = docs.toDF("doc_id", "text")
+    val qdf = Seq((0L, "red banana"), (1L, "sky pie")).toDF("q_id", "qtext")
+    val victims = ddf.filter(col("doc_id") % 3 === 0) // 3, 6 — and the EMPTY doc stays
+    val pRem = java.nio.file.Files.createTempDirectory("graft_lex_rem").toString + "/ix"
+    graft.operators.Bm25.buildLexIndex(
+      ddf.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), pRem, nBuckets = 4)
+    graft.operators.Bm25.addToLexIndex(
+      spark, pRem, ddf.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+    graft.operators.Bm25.removeFromLexIndex(
+      spark, pRem, victims, col("doc_id"), col("text"))
+    val pRef = java.nio.file.Files.createTempDirectory("graft_lex_ref").toString + "/ix"
+    graft.operators.Bm25.buildLexIndex(
+      ddf.filter(col("doc_id") % 3 =!= 0), col("doc_id"), col("text"), pRef, nBuckets = 4)
+    def res(p: String) = graft.operators.Bm25.queryLexIndex(
+      spark, p, qdf, col("q_id"), col("qtext"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val rem = res(pRem)
+    val ref = res(pRef)
+    assert(rem == ref,
+      s"remove diverged from build-without:\n  only rem: ${rem -- ref}\n  only ref: ${ref -- rem}")
+    assert(rem.nonEmpty)
+    assert(!rem.exists(r => r._2 == 3L || r._2 == 6L), "ghost victim served")
+    // the EMPTY surviving doc (id 4) still counts in N — postings alone
+    // could not have known; the text-shaped remove contract preserves it
+    val st = spark.read.parquet(s"$pRem/stats").head()
+    assert(st.getLong(0) == 6, s"n_docs ${st.getLong(0)} != 6 (victims 3,6 removed, empty doc kept)")
+  }
+
   private def clusteredRows: Seq[(Long, Array[Float])] = {
     val dim = 16
     def vec(cluster: Int, j: Int): Array[Float] = {
