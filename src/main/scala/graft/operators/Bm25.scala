@@ -297,6 +297,20 @@ object Bm25 {
     scoreAndRank(post, qt, stats, k, k1, b)
   }
 
+  /** Compact a persisted lex index's postings lake — each
+    * [[addToLexIndex]] appends one file per touched bucket, so a
+    * daily-add index decays into many small files per bucket over
+    * time; same fix as [[Ann.compactIndex]], delegating to
+    * [[graft.etl.Compact.compactPartitioned]] (work dirs OUTSIDE the
+    * lake, per-leaf row-count gate, park-then-swap). The stats
+    * sidecar is untouched and query results are bit-identical
+    * before/after (spec-pinned).
+    */
+  def compactLexIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Seq[(String, graft.etl.Compact.CompactStats)] =
+    graft.etl.Compact.compactPartitioned(spark, s"$path/postings", targetBytes)
+
   private def writeStatsSidecar(
       spark: org.apache.spark.sql.SparkSession, path: String,
       row: org.apache.spark.sql.Row, nBuckets: Int): Unit = {

@@ -146,6 +146,18 @@ class SearchSpec extends SparkSpecBase {
     val bogus = java.nio.file.Files.createTempDirectory("graft_lex_bogus").toString
     intercept[Exception](graft.operators.Bm25.queryLexIndex(
       spark, bogus, qdf, col("q_id"), col("qtext"), k = 5))
+    // compaction heals the add's small files without changing one bit
+    // of any answer or the sidecar
+    val statsBefore = spark.read.parquet(s"$path/stats").collect().toSeq
+    val cstats = graft.operators.Bm25.compactLexIndex(spark, path)
+    assert(cstats.nonEmpty && cstats.exists { case (_, s) => s.filesBefore > s.filesAfter },
+      s"compaction merged nothing: $cstats")
+    val afterCompact = graft.operators.Bm25.queryLexIndex(
+      spark, path, qdf, col("q_id"), col("qtext"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(afterCompact == oneShot, "compaction changed query results")
+    assert(spark.read.parquet(s"$path/stats").collect().toSeq == statsBefore,
+      "compaction touched the stats sidecar")
   }
 
   test("lex index retention: remove(build+add) ≡ build-without; stats decremented") {
