@@ -162,11 +162,14 @@ object Bm25 {
     *  - `path/stats` — 1-row (n_docs, total_tokens) sidecar, the
     *    BM25 corpus scalars (the codebook-sidecar pattern).
     *
-    * ONE corpus scan builds everything: postings groupBy + a stats agg
-    * over the same tokenized frame. `nBuckets` sizes partitions to the
-    * cluster (default 64; a 100 TB corpus with ~10^7-term vocabulary
-    * wants enough buckets that one bucket's postings fit an executor
-    * comfortably — same sizing contract as packShards' nBuckets).
+    * Build cost: TWO narrow tokenize passes over the corpus (the
+    * postings write and the stats agg are separate jobs; caching the
+    * tokenized frame is wrong at 100 TB) — a one-time cost the
+    * partition-pruned query path then amortizes forever. `nBuckets`
+    * sizes partitions to the cluster (default 64; a 100 TB corpus with
+    * ~10^7-term vocabulary wants enough buckets that one bucket's
+    * postings fit an executor comfortably — same sizing contract as
+    * packShards' nBuckets).
     */
   def buildLexIndex(
       docs: DataFrame, docId: Column, text: Column, path: String,
@@ -202,9 +205,11 @@ object Bm25 {
     * would double its postings — same caller contract as
     * [[Ann.addToIvfIndex]]). Not transactional (same caveat as the ANN
     * adds): a crash between the posting append and the sidecar refresh
-    * leaves stats slightly stale — scores skew conservatively (larger
-    * effective corpus), and re-running the add after fixing doc
-    * membership restores exactness.
+    * leaves stats UNDERSTATED relative to postings — a term appearing
+    * in more increment docs than the stale N can reach df > N, whose
+    * idf goes negative and SUBTRACTS from scores. Repair with
+    * [[rebuildLexStats]] over the full corpus (do NOT re-run the add:
+    * the appended postings are already on disk and would double).
     */
   def addToLexIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -228,43 +233,155 @@ object Bm25 {
   }
 
   /** Retention-delete documents from a persisted [[buildLexIndex]]
-    * index. Unlike the ANN remove (victims live in known cells), a
-    * document's postings are scattered across every bucket its terms
-    * hash to — so the rewrite anti-joins the WHOLE postings lake
-    * (one distributed job, partitioned write swapped in with the
-    * two-rename pattern) and the stats sidecar is decremented by the
-    * victims' own (count, Σdl), recomputed from the victim TEXT
-    * (postings cannot reconstruct an empty document's membership in
-    * `n_docs`, so the remove verb takes the same (docs, id, text)
-    * shape as [[addToLexIndex]]). Victims must currently be indexed —
-    * same caller contract as the ANN remove. Sidecar refresh lands
-    * LAST: a crash between the postings swap and the sidecar leaves
-    * scores computed with a slightly-large N (conservative idf), never
-    * ghost postings.
+    * index — the lex twin of [[Ann.removeFromIvfIndex]], sharing its
+    * hazard discipline:
+    *
+    *  - victims are MATERIALIZED once ((doc_id, dl, toks) — one
+    *    increment-sized parquet) and every downstream job reads the
+    *    copy: a nondeterministic caller plan (sample/limit/first-wins)
+    *    could otherwise remove one victim set and decrement stats by
+    *    another, silently diverging postings from the sidecar forever;
+    *  - the rewrite is BUCKET-CONFINED: a victim's postings live only
+    *    in the buckets its OWN terms hash to, and the remove verb
+    *    holds the victim text precisely to compute that list (bounded
+    *    ≤ nBuckets driver rows) — removing a handful of documents
+    *    rewrites a handful of bucket dirs, not the whole lake;
+    *  - clustered `repartition(bucket)` before the partitioned write:
+    *    one file per rewritten bucket, not one per task per bucket;
+    *  - a per-bucket row-count gate (kept == read − victims) runs
+    *    BEFORE any swap — a lossy rewrite aborts with the lake
+    *    untouched;
+    *  - a parked `__remove_old` tree with files is a crashed swap and
+    *    blocks until recovered (the Compact rule) — never deleted
+    *    blindly.
+    *
+    * ORDERING (deliberately opposite the ANN remove): bucket swaps
+    * land FIRST, the decremented stats sidecar LAST. The ANN sidecar
+    * holds ABSOLUTE per-cell occupancy recomputed from the rewrite, so
+    * sidecar-first is retry-idempotent there; the lex stats are
+    * RELATIVE decrements, so sidecar-first would double-decrement on
+    * retry. With swaps first, a crash before the sidecar leaves N and
+    * Σdl overstated (idf/avgdl conservatively damped, never the
+    * df > N negative-idf corruption), and re-running the same remove
+    * heals exactly: the anti-join finds nothing left to rewrite and
+    * the single pending decrement lands. [[rebuildLexStats]] is the
+    * universal repair for any remaining doubt.
+    *
+    * Victims must currently be indexed (same caller contract as
+    * [[Ann.removeFromIvfIndex]]); the empty document is the reason
+    * the verb takes TEXT — its `n_docs` membership is invisible to
+    * postings (spec-pinned).
     */
   def removeFromLexIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       docs: DataFrame, docId: Column, text: Column): Unit = {
     val (nDocs, totalTokens, nBuckets) = readStatsSidecar(spark, path)
-    val toks = docs
-      .select(docId.as("doc_id"), analyze(text).as("toks"))
-      .withColumn("dl", size(col("toks")).cast("long"))
-    val victims = toks.select("doc_id")
     val target = new org.apache.hadoop.fs.Path(s"$path/postings")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__tmp")
-    val old = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__old")
-    fs.delete(tmp, true); fs.delete(old, true)
-    spark.read.parquet(target.toString)
-      .join(victims, Seq("doc_id"), "left_anti")
-      .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
-    graft.etl.Compact.swapInto(fs, tmp, target, old)
-    val dec = toks.agg(
+    val tmpRoot = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__remove_tmp")
+    val oldRoot = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__remove_old")
+    if (fs.exists(oldRoot)) {
+      require(!fs.listFiles(oldRoot, true).hasNext,
+        s"$oldRoot holds parked data -- a previous removal crashed mid-swap; " +
+          "recover or remove its parked buckets first")
+      fs.delete(oldRoot, true)
+    }
+    fs.delete(tmpRoot, true)
+    val vicDir = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__remove_vic")
+    fs.delete(vicDir, true)
+    try {
+      docs.select(docId.as("doc_id"), analyze(text).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("long"))
+        .dropDuplicates("doc_id")
+        .write.mode("overwrite").parquet(vicDir.toString)
+      removeWithVictims(spark, path, target, fs, tmpRoot, oldRoot,
+        spark.read.parquet(vicDir.toString), nDocs, totalTokens, nBuckets)
+    } finally fs.delete(vicDir, true)
+  }
+
+  /** [[removeFromLexIndex]] after victim materialization: locate
+    * affected buckets, rewrite, gate, swap, decrement.
+    */
+  private def removeWithVictims(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      target: org.apache.hadoop.fs.Path, fs: org.apache.hadoop.fs.FileSystem,
+      tmpRoot: org.apache.hadoop.fs.Path, oldRoot: org.apache.hadoop.fs.Path,
+      vic: DataFrame, nDocs: Long, totalTokens: Long, nBuckets: Int): Unit = {
+    // ≤ nBuckets driver rows: the buckets any victim term hashes to
+    val affected = vic
+      .select(explode(col("toks")).as("term"))
+      .select(bucketOf(col("term"), nBuckets).as("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val vicIds = vic.select("doc_id")
+    if (affected.nonEmpty) {
+      val pruned = spark.read.parquet(target.toString)
+        .filter(col("bucket").isin(affected.map(Int.box): _*))
+      pruned.join(vicIds, Seq("doc_id"), "left_anti")
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(tmpRoot.toString)
+      // per-bucket gate BEFORE any swap: kept must equal read − victims
+      val srcCnt = pruned.select(col("doc_id"), col("bucket"))
+        .join(vicIds.withColumn("__v", lit(1)), Seq("doc_id"), "left")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), count(col("__v")).as("nv"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val tmpFiles = Ann.listDataFiles(fs, tmpRoot.toString)
+      val tmpCnt: Map[Int, Long] =
+        if (tmpFiles.isEmpty) Map.empty
+        else spark.read.parquet(tmpRoot.toString)
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      srcCnt.foreach { case (b, (n, nv)) =>
+        val kept = tmpCnt.getOrElse(b, 0L)
+        if (kept != n - nv) {
+          fs.delete(tmpRoot, true)
+          throw new IllegalStateException(
+            s"removal rewrite of $target bucket=$b would lose rows " +
+              s"($n read, $nv victims, $kept rewritten) -- aborted, index untouched")
+        }
+      }
+      // per-bucket two-rename swaps; an emptied bucket is parked then
+      // dropped (its dir simply disappears — queries prune by bucket
+      // value, a missing dir reads as zero postings)
+      affected.foreach { b =>
+        val leaf = new org.apache.hadoop.fs.Path(target, s"bucket=$b")
+        val tmpLeaf = new org.apache.hadoop.fs.Path(tmpRoot, s"bucket=$b")
+        val oldLeaf = new org.apache.hadoop.fs.Path(oldRoot, s"bucket=$b")
+        if (fs.exists(tmpLeaf)) graft.etl.Compact.swapInto(fs, tmpLeaf, leaf, oldLeaf)
+        else if (fs.exists(leaf)) {
+          fs.mkdirs(oldLeaf.getParent)
+          require(fs.rename(leaf, oldLeaf), s"could not park emptied $leaf")
+          fs.delete(oldLeaf, true)
+        }
+      }
+      fs.delete(tmpRoot, true)
+      fs.delete(oldRoot, true)
+    }
+    // stats decrement LAST — see the ORDERING note in the scaladoc
+    val dec = vic.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("total_tokens")).head()
     writeStatsSidecar(spark, path,
       org.apache.spark.sql.Row(nDocs - dec.getLong(0), totalTokens - dec.getLong(1)),
       nBuckets)
+  }
+
+  /** Rebuild the stats sidecar from the CURRENT full corpus — the
+    * universal repair for any crash window that left postings and
+    * stats inconsistent ([[addToLexIndex]]'s append-then-refresh,
+    * [[removeFromLexIndex]]'s swap-then-decrement). One narrow
+    * tokenize pass; postings untouched.
+    */
+  def rebuildLexStats(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      docs: DataFrame, docId: Column, text: Column): Unit = {
+    val (_, _, nBuckets) = readStatsSidecar(spark, path)
+    val row = docs
+      .select(docId.as("doc_id"), analyze(text).as("toks"))
+      .select(size(col("toks")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_tokens")).head()
+    writeStatsSidecar(spark, path, row, nBuckets)
   }
 
   /** Top-k BM25 against a persisted [[buildLexIndex]] index —

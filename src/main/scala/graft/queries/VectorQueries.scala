@@ -497,6 +497,16 @@ object VectorQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Residual sentinel assumption (documented deliberately): the
+    * engine's filtered-search contract is "no rows when the probed
+    * cells hold no eligible candidate", but the coverage sentinel can
+    * only see the eligible UNIVERSE, not which cells were probed — so
+    * v14 relies on the filter being dense (label parity ≈ 50% of every
+    * cell; 490 base vectors over 8 cells ⇒ ~30 eligible per cell) to
+    * keep "every query finds eligible candidates in its 3 probed
+    * cells" true on the fixed testdata. A future sparse-filter query
+    * must either guarantee per-cell eligibility or drop the sentinel.
+    */
   val v14Oracle: String = selfVerifyingKnnOracle(
     "v14_ivf_filtered", k = 5,
     eligibleBWhere = Some("b_label % 2 = 0"),

@@ -191,6 +191,33 @@ class SearchSpec extends SparkSpecBase {
     // could not have known; the text-shaped remove contract preserves it
     val st = spark.read.parquet(s"$pRem/stats").head()
     assert(st.getLong(0) == 6, s"n_docs ${st.getLong(0)} != 6 (victims 3,6 removed, empty doc kept)")
+    // the rewrite is bucket-confined and clustered: at most one file
+    // per surviving bucket dir (a bare partitionBy would fragment)
+    val leafs = new java.io.File(s"$pRem/postings").listFiles().filter(_.getName.startsWith("bucket="))
+    leafs.foreach { leaf =>
+      val n = leaf.listFiles().count(f => f.getName.endsWith(".parquet"))
+      assert(n <= 2, s"bucket ${leaf.getName} fragmented into $n files") // build+add files where untouched
+    }
+    // a parked __remove_old tree with files is a crashed swap — the
+    // next remove must refuse, not destroy the only remaining copy
+    val parked = new java.io.File(s"$pRem/postings__remove_old/bucket=0")
+    parked.mkdirs()
+    java.nio.file.Files.writeString(parked.toPath.resolve("part-stranded.parquet"), "x")
+    val e = intercept[IllegalArgumentException](graft.operators.Bm25.removeFromLexIndex(
+      spark, pRem, ddf.filter(col("doc_id") === 7), col("doc_id"), col("text")))
+    assert(e.getMessage.contains("crashed mid-swap"), e.getMessage)
+    // file-less residue is cleared and the remove proceeds
+    java.nio.file.Files.delete(parked.toPath.resolve("part-stranded.parquet"))
+    graft.operators.Bm25.removeFromLexIndex(
+      spark, pRem, ddf.filter(col("doc_id") === 7), col("doc_id"), col("text"))
+    assert(!res(pRem).exists(_._2 == 7L), "victim 7 still served after recovery remove")
+    // rebuildLexStats is the universal stats repair: recompute from the
+    // surviving corpus text and compare exactly
+    graft.operators.Bm25.rebuildLexStats(
+      spark, pRem, ddf.filter(col("doc_id") % 3 =!= 0 && col("doc_id") =!= 7),
+      col("doc_id"), col("text"))
+    val st2 = spark.read.parquet(s"$pRem/stats").head()
+    assert(st2.getLong(0) == 5, s"rebuilt n_docs ${st2.getLong(0)} != 5")
   }
 
   private def clusteredRows: Seq[(Long, Array[Float])] = {
