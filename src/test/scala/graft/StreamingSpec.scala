@@ -252,4 +252,57 @@ class StreamingSpec extends SparkSpecBase {
       assert(docs.filter(_._2 == "de").map(_._1).toSet.subsetOf(streamed))
     } finally q.stop()
   }
+
+  test("indexIngest: streamed micro-batch adds ≡ build-all on the persisted IVF index") {
+    // clustered fixture (the ANN spec family's shape: structure makes
+    // cell probing meaningful)
+    val dim = 16
+    def vec(cluster: Int, j: Int): Array[Float] = {
+      val a = new Array[Float](dim)
+      a(cluster * 2) = 1.0f
+      a(cluster * 2 + 1) = 0.5f
+      a((cluster + j) % dim) = a((cluster + j) % dim) + 0.05f * ((j % 5) + 1)
+      a
+    }
+    val rows = for (c <- 0 until 8; j <- 0 until 25) yield (c.toLong * 100 + j, vec(c, j))
+    val df = rows.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") % 100 >= 5)
+    val qs = df.filter(col("vec_id") % 100 < 5)
+    val even = base.filter(col("vec_id") % 2 === 0)
+    val oddRows = rows.filter(r => r._1 % 100 >= 5 && r._1 % 2 == 1)
+    val pStream = java.nio.file.Files.createTempDirectory("graft_ingest").toString + "/ix"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ck").toString
+    graft.operators.Ann.buildIvfIndex(even, col("vec_id"), col("embedding"), pStream, nlist = 8)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Streams.indexIngest(
+      in.toDF().toDF("vec_id", "embedding"), ckpt,
+      batch => graft.operators.Ann.addToIvfIndex(
+        spark, pStream, batch, col("vec_id"), col("embedding")))
+    try {
+      // two micro-batches: the daily-add cadence compressed
+      val (h1, h2) = oddRows.splitAt(oddRows.size / 2)
+      in.addData(h1: _*)
+      q.processAllAvailable()
+      in.addData(h2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // equivalence target: one-shot build over the SAME rows with the
+    // quantizer fit on the same half (the batch add's proven contract)
+    val pAll = java.nio.file.Files.createTempDirectory("graft_ingest_all").toString + "/ix"
+    graft.operators.Ann.buildIvfIndex(
+      base, col("vec_id"), col("embedding"), pAll, nlist = 8, fitOn = Some(even))
+    def res(p: String) = graft.operators.Ann.queryIvfIndex(
+      spark, p, qs, col("vec_id"), col("embedding"), k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val streamed = res(pStream)
+    val all = res(pAll)
+    assert(streamed == all,
+      s"stream-ingested index diverged from build-all:\n  only stream: ${streamed -- all}\n  only all: ${all -- streamed}")
+    assert(streamed.exists(_._2 % 2 == 1), "no streamed (odd-id) row reachable via the query path")
+    // occupancy reflects every streamed batch
+    val members = spark.read.parquet(s"$pStream/codebook")
+      .agg(sum("members")).head.getLong(0)
+    assert(members == base.count(), s"occupancy $members != ${base.count()} after streamed adds")
+  }
 }
