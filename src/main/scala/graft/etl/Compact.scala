@@ -119,6 +119,56 @@ object Compact {
     it.hasNext
   }
 
+  /** Refuse a parked removal/compaction tree that still holds FILES —
+    * it may be some partition's only copy after a crashed two-rename
+    * swap, so the caller must recover it, never delete it blindly.
+    * File-less residue dirs are cleared. Single owner of the parked
+    * rule shared by the index removal verbs (Ann, Bm25) and the
+    * query-side serving guards.
+    */
+  private[graft] def clearOrRefuseParked(
+      fs: org.apache.hadoop.fs.FileSystem, parked: Path, verb: String): Unit =
+    if (fs.exists(parked)) {
+      require(!containsFiles(fs, parked),
+        s"$parked holds parked data -- a previous $verb crashed mid-swap; " +
+          "recover or remove its parked partitions first")
+      fs.delete(parked, true)
+    }
+
+  /** True if `parked` holds files — the read-side twin of
+    * [[clearOrRefuseParked]] for serving paths that must fail loudly
+    * instead of silently answering from a lake with a swapped-out
+    * partition.
+    */
+  private[graft] def hasParkedData(
+      fs: org.apache.hadoop.fs.FileSystem, parked: Path): Boolean =
+    fs.exists(parked) && containsFiles(fs, parked)
+
+  /** Per-leaf two-rename swap of a rewritten partition set: for each
+    * leaf name, the rewritten `tmpRoot/name` replaces `base/name` via
+    * [[swapInto]]; a leaf with NO rewritten counterpart was emptied by
+    * the rewrite and is parked then dropped. Cleans both work roots at
+    * the end. Single owner of the swap loop shared by the index
+    * removal verbs.
+    */
+  private[graft] def swapRewrittenLeaves(
+      fs: org.apache.hadoop.fs.FileSystem, base: Path,
+      tmpRoot: Path, oldRoot: Path, leaves: Seq[String]): Unit = {
+    leaves.foreach { name =>
+      val leaf = new Path(base, name)
+      val tmpLeaf = new Path(tmpRoot, name)
+      val oldLeaf = new Path(oldRoot, name)
+      if (fs.exists(tmpLeaf)) swapInto(fs, tmpLeaf, leaf, oldLeaf)
+      else if (fs.exists(leaf)) {
+        fs.mkdirs(oldLeaf.getParent)
+        require(fs.rename(leaf, oldLeaf), s"could not park emptied $leaf")
+        fs.delete(oldLeaf, true)
+      }
+    }
+    fs.delete(tmpRoot, true)
+    fs.delete(oldRoot, true)
+  }
+
   /** Compact every LEAF directory of a partitioned parquet lake — the
     * operational common case ([[compact]] handles one flat dir). Walks
     * `root` recursively: a directory holding data files and no

@@ -458,14 +458,9 @@ object Ann {
     val tmpRoot = new org.apache.hadoop.fs.Path(bp.getParent, bp.getName + "__remove_tmp")
     val oldRoot = new org.apache.hadoop.fs.Path(bp.getParent, bp.getName + "__remove_old")
     // a parked tree with FILES is a crashed removal swap — it may hold
-    // a cell's only copy, so block until recovered (the Compact rule);
-    // file-less residue dirs are cleared
-    if (fs.exists(oldRoot)) {
-      require(!fs.listFiles(oldRoot, true).hasNext,
-        s"$oldRoot holds parked data -- a previous removal crashed mid-swap; " +
-          "recover or remove its parked cells first")
-      fs.delete(oldRoot, true)
-    }
+    // a cell's only copy, so block until recovered (single owner:
+    // Compact.clearOrRefuseParked); file-less residue dirs are cleared
+    graft.etl.Compact.clearOrRefuseParked(fs, oldRoot, "removal")
     fs.delete(tmpRoot, true)
     // victims are MATERIALIZED once and read back for every use below:
     // the affected-cell scan, the anti-join rewrite and the row-count
@@ -555,19 +550,8 @@ object Ann {
     writeCodebookSidecar(spark, path, codebook, members, atomicSwap = true)
     // per-cell two-rename swaps (metadata ops); a fully-emptied cell is
     // parked then dropped — its occupancy row is already 0 (dead cell)
-    affected.foreach { c =>
-      val leaf = new org.apache.hadoop.fs.Path(bp, s"cell=$c")
-      val tmpLeaf = new org.apache.hadoop.fs.Path(tmpRoot, s"cell=$c")
-      val oldLeaf = new org.apache.hadoop.fs.Path(oldRoot, s"cell=$c")
-      if (fs.exists(tmpLeaf)) graft.etl.Compact.swapInto(fs, tmpLeaf, leaf, oldLeaf)
-      else {
-        fs.mkdirs(oldLeaf.getParent)
-        require(fs.rename(leaf, oldLeaf), s"could not park emptied $leaf")
-        fs.delete(oldLeaf, true)
-      }
-    }
-    fs.delete(tmpRoot, true)
-    fs.delete(oldRoot, true)
+    graft.etl.Compact.swapRewrittenLeaves(
+      fs, bp, tmpRoot, oldRoot, affected.map(c => s"cell=$c").toSeq)
   }
 
   /** All data-file paths under `dir`, recursive. Hidden-name rule

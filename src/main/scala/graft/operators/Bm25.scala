@@ -236,15 +236,18 @@ object Bm25 {
     * index — the lex twin of [[Ann.removeFromIvfIndex]], sharing its
     * hazard discipline:
     *
-    *  - victims are MATERIALIZED once ((doc_id, dl, toks) — one
+    *  - victims are MATERIALIZED once ((doc_id, dl) — one
     *    increment-sized parquet) and every downstream job reads the
     *    copy: a nondeterministic caller plan (sample/limit/first-wins)
     *    could otherwise remove one victim set and decrement stats by
     *    another, silently diverging postings from the sidecar forever;
-    *  - the rewrite is BUCKET-CONFINED: a victim's postings live only
-    *    in the buckets its OWN terms hash to, and the remove verb
-    *    holds the victim text precisely to compute that list (bounded
-    *    ≤ nBuckets driver rows) — removing a handful of documents
+    *  - the rewrite is BUCKET-CONFINED, with the affected-bucket list
+    *    derived from the INDEX ITSELF (a narrow (doc_id, bucket) scan
+    *    joined to the victim ids, ≤ nBuckets driver rows) — NOT from
+    *    the supplied victim text: text that drifted from what was
+    *    indexed (edited source row, re-normalization) would miss
+    *    buckets and leave ghost postings serving a retention-deleted
+    *    document forever. Removing a handful of documents still
     *    rewrites a handful of bucket dirs, not the whole lake;
     *  - clustered `repartition(bucket)` before the partitioned write:
     *    one file per rewritten bucket, not one per task per bucket;
@@ -261,16 +264,23 @@ object Bm25 {
     * sidecar-first is retry-idempotent there; the lex stats are
     * RELATIVE decrements, so sidecar-first would double-decrement on
     * retry. With swaps first, a crash before the sidecar leaves N and
-    * Σdl overstated (idf/avgdl conservatively damped, never the
-    * df > N negative-idf corruption), and re-running the same remove
-    * heals exactly: the anti-join finds nothing left to rewrite and
-    * the single pending decrement lands. [[rebuildLexStats]] is the
-    * universal repair for any remaining doubt.
+    * Σdl overstated — idf INFLATES with N (ln is increasing in it) and
+    * avgdl drifts, so scores are skewed but never hit the df > N
+    * negative-idf corruption — and re-running the same remove heals
+    * exactly: the rewrite finds nothing left and the single pending
+    * decrement lands (the presence gate below keeps the re-run from
+    * double-decrementing non-empty victims). [[rebuildLexStats]] is
+    * the universal repair for any remaining doubt.
     *
-    * Victims must currently be indexed (same caller contract as
-    * [[Ann.removeFromIvfIndex]]); the empty document is the reason
-    * the verb takes TEXT — its `n_docs` membership is invisible to
-    * postings (spec-pinned).
+    * STATS are decremented only for victims PROVEN present: a
+    * non-empty victim counts only if the index actually holds its
+    * postings (so removing a never-indexed id, or re-running a
+    * completed remove, is a stats no-op instead of a silent
+    * corruption). The one unverifiable case is the EMPTY document —
+    * its `n_docs` membership is invisible to postings, which is why
+    * the verb takes TEXT: empty-text victims are trusted by contract
+    * (do not re-run a remove whose victims include empty docs after
+    * its sidecar landed; spec-pinned).
     */
   def removeFromLexIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -280,18 +290,13 @@ object Bm25 {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmpRoot = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__remove_tmp")
     val oldRoot = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__remove_old")
-    if (fs.exists(oldRoot)) {
-      require(!fs.listFiles(oldRoot, true).hasNext,
-        s"$oldRoot holds parked data -- a previous removal crashed mid-swap; " +
-          "recover or remove its parked buckets first")
-      fs.delete(oldRoot, true)
-    }
+    graft.etl.Compact.clearOrRefuseParked(fs, oldRoot, "removal")
     fs.delete(tmpRoot, true)
     val vicDir = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__remove_vic")
     fs.delete(vicDir, true)
     try {
       docs.select(docId.as("doc_id"), analyze(text).as("toks"))
-        .withColumn("dl", size(col("toks")).cast("long"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
         .dropDuplicates("doc_id")
         .write.mode("overwrite").parquet(vicDir.toString)
       removeWithVictims(spark, path, target, fs, tmpRoot, oldRoot,
@@ -300,19 +305,34 @@ object Bm25 {
   }
 
   /** [[removeFromLexIndex]] after victim materialization: locate
-    * affected buckets, rewrite, gate, swap, decrement.
+    * affected buckets from the index, rewrite, gate, swap, decrement
+    * (present victims + trusted empty docs only).
     */
   private def removeWithVictims(
       spark: org.apache.spark.sql.SparkSession, path: String,
       target: org.apache.hadoop.fs.Path, fs: org.apache.hadoop.fs.FileSystem,
       tmpRoot: org.apache.hadoop.fs.Path, oldRoot: org.apache.hadoop.fs.Path,
       vic: DataFrame, nDocs: Long, totalTokens: Long, nBuckets: Int): Unit = {
-    // ≤ nBuckets driver rows: the buckets any victim term hashes to
-    val affected = vic
-      .select(explode(col("toks")).as("term"))
-      .select(bucketOf(col("term"), nBuckets).as("bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted
     val vicIds = vic.select("doc_id")
+    // the victims' postings AS INDEXED — one narrow (doc_id, bucket)
+    // scan; feeds both the affected-bucket list (≤ nBuckets driver
+    // rows) and the presence gate for the stats decrement
+    val vicPost = spark.read.parquet(target.toString)
+      .select("doc_id", "bucket")
+      .join(vicIds, "doc_id")
+    val affected = vicPost.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    // the decrement is COMPUTED before any swap (vicPost is lazy — after
+    // the swaps it would re-read the rewritten lake and see every
+    // present victim as absent) but WRITTEN last (see ORDERING):
+    // present non-empty victims + empty-text victims trusted by
+    // contract (their membership is invisible to postings)
+    val countable = vic.filter(col("dl") === 0)
+      .unionByName(vic.filter(col("dl") > 0)
+        .join(vicPost.select("doc_id").distinct(), Seq("doc_id"), "left_semi"))
+    val dec = countable.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("total_tokens")).head()
     if (affected.nonEmpty) {
       val pruned = spark.read.parquet(target.toString)
         .filter(col("bucket").isin(affected.map(Int.box): _*))
@@ -340,30 +360,19 @@ object Bm25 {
               s"($n read, $nv victims, $kept rewritten) -- aborted, index untouched")
         }
       }
-      // per-bucket two-rename swaps; an emptied bucket is parked then
-      // dropped (its dir simply disappears — queries prune by bucket
-      // value, a missing dir reads as zero postings)
-      affected.foreach { b =>
-        val leaf = new org.apache.hadoop.fs.Path(target, s"bucket=$b")
-        val tmpLeaf = new org.apache.hadoop.fs.Path(tmpRoot, s"bucket=$b")
-        val oldLeaf = new org.apache.hadoop.fs.Path(oldRoot, s"bucket=$b")
-        if (fs.exists(tmpLeaf)) graft.etl.Compact.swapInto(fs, tmpLeaf, leaf, oldLeaf)
-        else if (fs.exists(leaf)) {
-          fs.mkdirs(oldLeaf.getParent)
-          require(fs.rename(leaf, oldLeaf), s"could not park emptied $leaf")
-          fs.delete(oldLeaf, true)
-        }
-      }
-      fs.delete(tmpRoot, true)
-      fs.delete(oldRoot, true)
+      // per-bucket two-rename swaps (single owner: Compact); an emptied
+      // bucket's dir disappears — queries prune by bucket value, a
+      // missing dir reads as zero postings
+      graft.etl.Compact.swapRewrittenLeaves(
+        fs, target, tmpRoot, oldRoot, affected.map(b => s"bucket=$b").toSeq)
     }
-    // stats decrement LAST — see the ORDERING note in the scaladoc
-    val dec = vic.agg(
-      count(lit(1)).as("n_docs"),
-      coalesce(sum(col("dl")), lit(0L)).as("total_tokens")).head()
-    writeStatsSidecar(spark, path,
-      org.apache.spark.sql.Row(nDocs - dec.getLong(0), totalTokens - dec.getLong(1)),
-      nBuckets)
+    // stats sidecar LAST (see ORDERING); a decrement of zero (nothing
+    // was indexed) is a pure no-op — same graceful degradation as the
+    // ANN remove's affected.isEmpty early return
+    if (dec.getLong(0) > 0)
+      writeStatsSidecar(spark, path,
+        org.apache.spark.sql.Row(nDocs - dec.getLong(0), totalTokens - dec.getLong(1)),
+        nBuckets)
   }
 
   /** Rebuild the stats sidecar from the CURRENT full corpus — the
@@ -378,6 +387,10 @@ object Bm25 {
     val (_, _, nBuckets) = readStatsSidecar(spark, path)
     val row = docs
       .select(docId.as("doc_id"), analyze(text).as("toks"))
+      // a repair verb must not import the caller's dirt: a corpus frame
+      // with duplicated doc rows (join fan-out) would inflate the very
+      // stats it exists to fix
+      .dropDuplicates("doc_id")
       .select(size(col("toks")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("total_tokens")).head()
@@ -398,6 +411,17 @@ object Bm25 {
       queries: DataFrame, qId: Column, qText: Column,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"top-k requires k >= 1, got $k")
+    // serving-side crash guard: a parked removal tree with files means
+    // some bucket's only copy sits OUTSIDE the lake (a swap crashed
+    // between its two renames) — serving would silently answer with
+    // that bucket's terms missing, for every query, indefinitely. Fail
+    // loudly instead; the stats sidecar alone cannot mark this (it
+    // predates the crash).
+    val target = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val rmOld = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__remove_old")
+    require(!graft.etl.Compact.hasParkedData(
+      target.getFileSystem(spark.sparkContext.hadoopConfiguration), rmOld),
+      s"$rmOld holds parked data -- a removal crashed mid-swap; recover it before serving")
     val (nDocs, totalTokens, nBuckets) = readStatsSidecar(spark, path)
     val qt = Dedup.scopedCache(queryTerms(queries, qId, qText))
     // bounded driver collect (≤ distinct query terms): the pruning list

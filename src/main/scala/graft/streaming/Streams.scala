@@ -148,8 +148,9 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // an empty micro-batch must not reach the add verbs: several
-        // fail loudly on empty non-empty-looking increments by design
+        // efficiency skip, not a correctness guard: an empty add is a
+        // no-op for every verb, but it still pays a sidecar read +
+        // two-rename rewrite per idle trigger — skip the churn
         if (!batch.isEmpty) add(batch)
       }
       .start()

@@ -220,6 +220,42 @@ class SearchSpec extends SparkSpecBase {
     assert(st2.getLong(0) == 5, s"rebuilt n_docs ${st2.getLong(0)} != 5")
   }
 
+  test("lex remove robustness: drifted victim text, unindexed victims, serving guard") {
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha delta"), (3L, "gamma gamma"))
+    val ddf = docs.toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("graft_lex_rob").toString + "/ix"
+    graft.operators.Bm25.buildLexIndex(ddf, col("doc_id"), col("text"), p, nBuckets = 4)
+    def hits(term: String) = graft.operators.Bm25.queryLexIndex(
+      spark, p, Seq((0L, term)).toDF("q_id", "qtext"), col("q_id"), col("qtext"), k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits("beta") == Set(1L))
+    // victim text DRIFTED from what was indexed ('beta' edited away):
+    // affected buckets come from the INDEX, so the beta posting still
+    // dies — the ghost-postings hazard of a text-derived bucket list
+    graft.operators.Bm25.removeFromLexIndex(
+      spark, p, Seq((1L, "alpha gamma")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+    assert(hits("beta").isEmpty, "drifted victim text left a ghost posting")
+    assert(hits("alpha") == Set(2L))
+    // removing a never-indexed id is a complete no-op: postings AND
+    // stats (an unconditional decrement would corrupt N forever)
+    val stBefore = spark.read.parquet(s"$p/stats").collect().toSeq
+    graft.operators.Bm25.removeFromLexIndex(
+      spark, p, Seq((99L, "alpha zeta")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+    assert(spark.read.parquet(s"$p/stats").collect().toSeq == stBefore,
+      "unindexed victim decremented stats")
+    assert(hits("alpha") == Set(2L))
+    // a parked crashed-swap tree blocks SERVING too, not just the next
+    // remove — a missing bucket dir would otherwise silently answer
+    // with its terms absent
+    val parked = new java.io.File(s"$p/postings__remove_old/bucket=1")
+    parked.mkdirs()
+    java.nio.file.Files.writeString(parked.toPath.resolve("part-stranded.parquet"), "x")
+    val e = intercept[IllegalArgumentException](hits("alpha"))
+    assert(e.getMessage.contains("recover it before serving"), e.getMessage)
+    java.nio.file.Files.delete(parked.toPath.resolve("part-stranded.parquet"))
+    assert(hits("alpha") == Set(2L), "file-less residue must not block serving")
+  }
+
   private def clusteredRows: Seq[(Long, Array[Float])] = {
     val dim = 16
     def vec(cluster: Int, j: Int): Array[Float] = {
