@@ -139,6 +139,52 @@ object Bm25 {
         col("metric").as("score_micro"))
   }
 
+  /** Exact-PHRASE top-k: documents containing the query phrase as
+    * CONSECUTIVE analyzer tokens, ranked by occurrence count (desc,
+    * doc_id asc). The classic positional-intersection, shaped as ONE
+    * join + one groupBy instead of L−1 self-joins: phrase slot i
+    * matching a document token at position pos implies the phrase
+    * would START at `anchor = pos − i`, so grouping matches by
+    * (query, doc, anchor) and demanding full slot cover
+    * (`count == phrase_len`) finds every occurrence — including
+    * overlapping ones and phrases with repeated terms — in time ∝
+    * matched postings.
+    *
+    * Scale shape mirrors [[searchTopK]]: the positional explode is
+    * semi-joined against the broadcast phrase vocabulary AT THE SCAN,
+    * so only tokens some phrase mentions ever shuffle; the anchor
+    * groupBy is ∝ those matches, never ∝ corpus tokens; k-buffer
+    * top-k tail. (A positional variant of the persisted index —
+    * storing `pos` in the postings — is the serving path when phrase
+    * queries become hot; the query algebra below is unchanged by it.)
+    */
+  def phraseTopK(
+      docs: DataFrame, docId: Column, text: Column,
+      queries: DataFrame, qId: Column, qPhrase: Column, k: Int): DataFrame = {
+    require(k >= 1, s"top-k requires k >= 1, got $k")
+    // (q_id, i, term): 0-based slot index, duplicates kept (a phrase
+    // may repeat a term — each slot must be covered independently)
+    val qt = queries.select(
+      qId.as("q_id"), posexplode(analyze(qPhrase)).as(Seq("i", "term")))
+    val qlen = qt.groupBy("q_id").agg(count(lit(1)).as("phrase_len"))
+    val posToks = docs
+      .select(docId.as("doc_id"), posexplode(analyze(text)).as(Seq("pos", "term")))
+      .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
+    // rows are unique per (q_id, doc_id, anchor, i) by construction
+    // ((doc, pos) holds ONE term; (q, i) is one slot), so the cover
+    // count is the number of matched slots at that anchor
+    val occurrences = posToks.join(broadcast(qt), "term")
+      .select(col("q_id"), col("doc_id"), (col("pos") - col("i")).as("anchor"))
+      .groupBy("q_id", "doc_id", "anchor")
+      .agg(count(lit(1)).as("cover"))
+      .join(broadcast(qlen), "q_id")
+      .filter(col("cover") === col("phrase_len") && col("anchor") >= 0)
+    val counts = occurrences.groupBy("q_id", "doc_id").agg(count(lit(1)).as("n_occ"))
+    TopK.perGroup(counts, Seq("q_id"), col("n_occ"), col("doc_id"), k)
+      .select(col("q_id"), col("id").as("doc_id"), col("rank"),
+        col("metric").as("n_occ"))
+  }
+
   /** Term → posting-bucket assignment (pmod of the 64-bit term hash):
     * the partition key of the persisted index. Deterministic, so the
     * query path prunes to exactly the buckets its vocabulary hashes

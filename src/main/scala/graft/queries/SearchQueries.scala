@@ -108,6 +108,58 @@ object SearchQueries {
       .orderBy("q_id", "rank")
   }
 
+  private val r04Phrases: Seq[(Long, String)] = Seq(
+    (0L, "key agg"), (1L, "table table"), (2L, "slow fast"))
+
+  /** Exact-phrase search ([[graft.operators.Bm25.phraseTopK]]): the
+    * positional-intersection algebra (slot i at token position pos ⇒
+    * anchor pos−i; full slot cover at an anchor = one occurrence),
+    * ranked by occurrence count. Pure integer relational algebra, so
+    * the oracle replays it completely — including the repeated-term
+    * phrase ("table table") and overlapping occurrences, which a
+    * naive LIKE or split-window replay would miscount.
+    */
+  def r04PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Bm25.phraseTopK(
+      docs(s, dir), col("doc_id"), col("text"),
+      r04Phrases.toDF("q_id", "qtext"), col("q_id"), col("qtext"), k = 10)
+      .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB positional replay: 1-based positions/slots make
+    * `pos − i` a shifted-but-consistent anchor key (Spark's 0-based
+    * twin groups on the same differences), so covers and occurrence
+    * counts agree exactly.
+    */
+  val r04Oracle: String = {
+    val qv = r04Phrases
+      .map { case (i, t) => s"(CAST($i AS BIGINT), '${t.replace("'", "''")}')" }
+      .mkString(", ")
+    s"""WITH qv(q_id, phrase) AS (VALUES $qv),
+       |qa AS (SELECT q_id, regexp_extract_all(lower(phrase), '[a-z0-9]+') AS ptoks FROM qv),
+       |qt0 AS (SELECT q_id, unnest(list_transform(generate_series(1, len(ptoks)), j -> STRUCT_PACK(i := j, term := ptoks[j]))) AS pt FROM qa),
+       |qt AS (SELECT q_id, pt.i AS i, pt.term AS term FROM qt0),
+       |qlen AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS phrase_len FROM qt GROUP BY q_id),
+       |dtoks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+       |ptk0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)), j -> STRUCT_PACK(pos := j, term := toks[j]))) AS pt FROM dtoks),
+       |ptk AS (SELECT doc_id, pt.pos AS pos, pt.term AS term FROM ptk0 WHERE pt.term IN (SELECT term FROM qt)),
+       |anch AS (SELECT qt.q_id, ptk.doc_id, ptk.pos - qt.i AS anchor FROM ptk JOIN qt USING (term)),
+       |occ AS (
+       |  SELECT q_id, doc_id, anchor, CAST(COUNT(*) AS BIGINT) AS cover
+       |  FROM anch GROUP BY q_id, doc_id, anchor),
+       |full_occ AS (
+       |  SELECT occ.q_id, occ.doc_id FROM occ JOIN qlen USING (q_id)
+       |  WHERE cover = phrase_len AND anchor >= 0),
+       |counts AS (SELECT q_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ FROM full_occ GROUP BY q_id, doc_id)
+       |SELECT q_id, doc_id,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY n_occ DESC, doc_id) AS INT) AS rank,
+       |  n_occ
+       |FROM counts
+       |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY n_occ DESC, doc_id) <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Hybrid retrieval, more-like-this form: for each query document
     * (doc_id < 10), a BM25 leg (its distinct terms against the
     * doc_id >= 10 corpus, top-20) and a dense leg (exact cosine top-20
@@ -166,7 +218,8 @@ object SearchQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_bm25_search" -> (r01Bm25Search _),
     "r02_hybrid_rrf" -> (r02HybridRrf _),
-    "r03_lex_index" -> (r03LexIndexSearch _)
+    "r03_lex_index" -> (r03LexIndexSearch _),
+    "r04_phrase_search" -> (r04PhraseSearch _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -174,6 +227,7 @@ object SearchQueries {
     "r02_hybrid_rrf" -> r02Oracle,
     // build(even)+add(odd) must serve the SAME answer as one-shot BM25
     // over the whole corpus — the r01 replay IS the oracle
-    "r03_lex_index" -> r01Oracle
+    "r03_lex_index" -> r01Oracle,
+    "r04_phrase_search" -> r04Oracle
   )
 }

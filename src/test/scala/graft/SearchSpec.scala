@@ -96,6 +96,25 @@ class SearchSpec extends SparkSpecBase {
     assert(!plan.contains("Window"), s"Window leaked into the BM25 tail:\n$plan")
   }
 
+  test("phrase search: consecutive-token semantics, overlaps, repeated terms, ranking") {
+    val docs = Seq(
+      (1L, "red banana pie"),          // "red banana" x1
+      (2L, "red, banana! red banana"), // x2 (punctuation falls out of the analyzer)
+      (3L, "banana red"),              // reversed — no match
+      (4L, "red and banana"),          // not consecutive — no match
+      (5L, "gamma gamma gamma"),       // "gamma gamma" x2 (OVERLAPPING anchors)
+      (6L, "gamma delta gamma"))       // no consecutive gamma pair
+    val got = graft.operators.Bm25.phraseTopK(
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+      Seq((0L, "red banana"), (1L, "gamma gamma"), (2L, "absent phrase"))
+        .toDF("q_id", "qtext"), col("q_id"), col("qtext"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (0L, 2L, 1, 2L), (0L, 1L, 2, 1L), // q0: doc2 (2 occurrences) beats doc1
+      (1L, 5L, 1, 2L)),                 // q1: overlapping occurrences both count
+      s"phrase results wrong: $got")
+  }
+
   test("RRF: hand fixture — micro contributions, cross-leg sum, top-k order") {
     val leg1 = Seq((0L, 100L, 1), (0L, 200L, 2)).toDF("q_id", "doc_id", "rank")
     val leg2 = Seq((0L, 200L, 1), (0L, 300L, 2)).toDF("q_id", "doc_id", "rank")
