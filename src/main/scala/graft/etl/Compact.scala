@@ -135,14 +135,34 @@ object Compact {
       fs.delete(parked, true)
     }
 
-  /** True if `parked` holds files — the read-side twin of
-    * [[clearOrRefuseParked]] for serving paths that must fail loudly
-    * instead of silently answering from a lake with a swapped-out
-    * partition.
+  /** The first parked sibling tree of `lake` (`<name>__*_old` — the
+    * naming every swap verb here uses: `__compact_old`,
+    * `__remove_old`) that still holds FILES, if any. A crashed swap of
+    * ANY verb parks a partition's only copy in such a tree, so both
+    * the serving paths and the next mutation must check ALL of them,
+    * not just their own verb's.
     */
-  private[graft] def hasParkedData(
-      fs: org.apache.hadoop.fs.FileSystem, parked: Path): Boolean =
-    fs.exists(parked) && containsFiles(fs, parked)
+  private[graft] def anyParkedSibling(
+      fs: org.apache.hadoop.fs.FileSystem, lake: Path): Option[Path] = {
+    val parent = lake.getParent
+    if (parent == null || !fs.exists(parent)) None
+    else fs.listStatus(parent).map(_.getPath)
+      .filter(p =>
+        p.getName.startsWith(lake.getName + "__") && p.getName.endsWith("_old"))
+      .find(p => containsFiles(fs, p))
+  }
+
+  /** Serving-side crash guard: refuse to answer from a lake while any
+    * swap verb's parked tree still holds a partition's only copy — a
+    * missing partition dir otherwise reads as silently-empty, for
+    * every query, indefinitely. Shared by the lex and ANN index query
+    * paths.
+    */
+  private[graft] def requireServable(
+      fs: org.apache.hadoop.fs.FileSystem, lake: Path): Unit =
+    anyParkedSibling(fs, lake).foreach(p =>
+      throw new IllegalArgumentException(
+        s"$p holds parked data -- a swap crashed mid-rename; recover it before serving"))
 
   /** Per-leaf two-rename swap of a rewritten partition set: for each
     * leaf name, the rewritten `tmpRoot/name` replaces `base/name` via
@@ -203,13 +223,9 @@ object Compact {
     // copy of a leaf — block until recovered); one with only empty
     // parent dirs is residue of an earlier aborted pass (e.g. a later
     // leaf failed its row-count gate after earlier leaves swapped
-    // cleanly) and must not wedge the operator forever
-    if (fs.exists(oldRoot)) {
-      require(!containsFiles(fs, oldRoot),
-        s"$oldRoot holds parked data — a previous partitioned compaction crashed " +
-          "mid-swap; recover or remove its parked leaves first")
-      fs.delete(oldRoot, true)
-    }
+    // cleanly) and must not wedge the operator forever. Single owner:
+    // clearOrRefuseParked.
+    clearOrRefuseParked(fs, oldRoot, "partitioned compaction")
     def leaves(dir: Path): Seq[Path] = {
       val listing = fs.listStatus(dir)
       // a work dir INSIDE the lake means a previous FLAT compact() of a

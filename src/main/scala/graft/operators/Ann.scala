@@ -681,6 +681,7 @@ object Ann {
       queries: DataFrame, qId: Column, qVec: Column,
       k: Int, nprobe: Int = 4,
       eligible: Option[(DataFrame, Column)] = None): DataFrame = {
+    requireBaseServable(spark, path)
     val centDf = readLiveCentroids(spark, path)
     val q = validQueries(queries, qId, qVec)
     // take(1): an index whose every cell is dead has an empty live
@@ -701,6 +702,21 @@ object Ann {
       .select(col("q_id"), col("b_id"),
         (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
     topkPerQuery(scored, k)
+  }
+
+  /** Serving-side crash guard for the persisted index family: a
+    * crashed removal (`base__remove_old`) or compaction
+    * (`base__compact_old`) swap leaves some cell's only copy parked
+    * OUTSIDE the lake, and a query would silently answer with that
+    * cell missing — dead wrong for a cell the probe ranks highly.
+    * Shared by [[queryIvfIndex]] and [[Pq.queryIvfPqIndex]]; single
+    * owner of the rule: [[graft.etl.Compact.requireServable]].
+    */
+  private[operators] def requireBaseServable(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val bp = new org.apache.hadoop.fs.Path(s"$path/base")
+    graft.etl.Compact.requireServable(
+      bp.getFileSystem(spark.sparkContext.hadoopConfiguration), bp)
   }
 
   /** LIVE (members > 0) centroids from a persisted index's codebook

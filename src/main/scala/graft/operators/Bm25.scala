@@ -312,21 +312,20 @@ object Bm25 {
     * retry. With swaps first, a crash before the sidecar leaves N and
     * Σdl overstated — idf INFLATES with N (ln is increasing in it) and
     * avgdl drifts, so scores are skewed but never hit the df > N
-    * negative-idf corruption — and re-running the same remove heals
-    * exactly: the rewrite finds nothing left and the single pending
-    * decrement lands (the presence gate below keeps the re-run from
-    * double-decrementing non-empty victims). [[rebuildLexStats]] is
-    * the universal repair for any remaining doubt.
+    * negative-idf corruption. Re-running the same remove after that
+    * crash completes the POSTINGS state and is a stats no-op (the
+    * presence gate sees the victims already gone — deliberately: the
+    * alternative, an unconditional decrement, double-decrements on
+    * every OTHER retry); the sidecar for that one window is repaired
+    * by [[rebuildLexStats]].
     *
-    * STATS are decremented only for victims PROVEN present: a
-    * non-empty victim counts only if the index actually holds its
-    * postings (so removing a never-indexed id, or re-running a
-    * completed remove, is a stats no-op instead of a silent
-    * corruption). The one unverifiable case is the EMPTY document —
-    * its `n_docs` membership is invisible to postings, which is why
-    * the verb takes TEXT: empty-text victims are trusted by contract
-    * (do not re-run a remove whose victims include empty docs after
-    * its sidecar landed; spec-pinned).
+    * STATS are decremented only for victims PROVEN present — with
+    * their INDEXED dl from the postings, so drifted victim text can
+    * mis-size nothing — plus empty-TEXT victims trusted by contract
+    * (an indexed-empty doc's `n_docs` membership is invisible to
+    * postings; that is why the verb takes text). Removing a
+    * never-indexed id is thus a complete no-op, not a silent N
+    * corruption (spec-pinned).
     */
   def removeFromLexIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -337,6 +336,11 @@ object Bm25 {
     val tmpRoot = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__remove_tmp")
     val oldRoot = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__remove_old")
     graft.etl.Compact.clearOrRefuseParked(fs, oldRoot, "removal")
+    // ANY other verb's parked tree (a crashed compactLexIndex swap
+    // lives at postings__compact_old) also blocks: the lake is missing
+    // a bucket's only copy, and an anti-join rewrite against it would
+    // cement the loss
+    graft.etl.Compact.requireServable(fs, target)
     fs.delete(tmpRoot, true)
     val vicDir = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__remove_vic")
     fs.delete(vicDir, true)
@@ -360,22 +364,33 @@ object Bm25 {
       tmpRoot: org.apache.hadoop.fs.Path, oldRoot: org.apache.hadoop.fs.Path,
       vic: DataFrame, nDocs: Long, totalTokens: Long, nBuckets: Int): Unit = {
     val vicIds = vic.select("doc_id")
-    // the victims' postings AS INDEXED — one narrow (doc_id, bucket)
-    // scan; feeds both the affected-bucket list (≤ nBuckets driver
-    // rows) and the presence gate for the stats decrement
+    // the victims' postings AS INDEXED — one narrow (doc_id, bucket,
+    // dl) scan; feeds the affected-bucket list (≤ nBuckets driver
+    // rows), the presence gate, AND the token decrement (the INDEXED
+    // dl, not the supplied text's: drifted victim text already cannot
+    // mislocate buckets, and it must not mis-size Σdl either)
     val vicPost = spark.read.parquet(target.toString)
-      .select("doc_id", "bucket")
+      .select("doc_id", "bucket", "dl")
       .join(vicIds, "doc_id")
     val affected = vicPost.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     // the decrement is COMPUTED before any swap (vicPost is lazy — after
     // the swaps it would re-read the rewritten lake and see every
     // present victim as absent) but WRITTEN last (see ORDERING):
-    // present non-empty victims + empty-text victims trusted by
-    // contract (their membership is invisible to postings)
-    val countable = vic.filter(col("dl") === 0)
-      .unionByName(vic.filter(col("dl") > 0)
-        .join(vicPost.select("doc_id").distinct(), Seq("doc_id"), "left_semi"))
+    //  - victims PRESENT in the postings count with their indexed dl
+    //    (every posting row of a doc carries the same dl — max is it);
+    //  - victims ABSENT from the postings count only if the caller
+    //    supplied EMPTY text (the indexed-empty doc, trusted by
+    //    contract). The residual blind spot is a doc indexed EMPTY
+    //    whose source text later gained tokens: postings cannot see it
+    //    and the caller's dl > 0 routes it past the trusted branch, so
+    //    its n_docs slot survives — rebuildLexStats is the repair, as
+    //    for every stats-drift window.
+    val present = vicPost.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+    val countable = present.unionByName(
+      vic.filter(col("dl") === 0)
+        .join(present.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("dl")))
     val dec = countable.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("total_tokens")).head()
@@ -457,17 +472,16 @@ object Bm25 {
       queries: DataFrame, qId: Column, qText: Column,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"top-k requires k >= 1, got $k")
-    // serving-side crash guard: a parked removal tree with files means
-    // some bucket's only copy sits OUTSIDE the lake (a swap crashed
-    // between its two renames) — serving would silently answer with
-    // that bucket's terms missing, for every query, indefinitely. Fail
-    // loudly instead; the stats sidecar alone cannot mark this (it
-    // predates the crash).
+    // serving-side crash guard: a parked tree with files — from a
+    // crashed REMOVAL (__remove_old) or COMPACTION (__compact_old)
+    // swap alike — means some bucket's only copy sits OUTSIDE the
+    // lake; serving would silently answer with that bucket's terms
+    // missing, for every query, indefinitely. Fail loudly instead;
+    // the stats sidecar alone cannot mark this (it predates the
+    // crash). Single owner: Compact.requireServable.
     val target = new org.apache.hadoop.fs.Path(s"$path/postings")
-    val rmOld = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__remove_old")
-    require(!graft.etl.Compact.hasParkedData(
-      target.getFileSystem(spark.sparkContext.hadoopConfiguration), rmOld),
-      s"$rmOld holds parked data -- a removal crashed mid-swap; recover it before serving")
+    graft.etl.Compact.requireServable(
+      target.getFileSystem(spark.sparkContext.hadoopConfiguration), target)
     val (nDocs, totalTokens, nBuckets) = readStatsSidecar(spark, path)
     val qt = Dedup.scopedCache(queryTerms(queries, qId, qText))
     // bounded driver collect (≤ distinct query terms): the pruning list

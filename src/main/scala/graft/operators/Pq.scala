@@ -446,6 +446,7 @@ object Pq {
       queries: DataFrame, qId: Column, qVec: Column,
       k: Int, nprobe: Int = 4, shortlist: Int = 0,
       eligible: Option[(DataFrame, Column)] = None): DataFrame = {
+    Ann.requireBaseServable(spark, path) // crashed-swap guard: see Ann
     val sl = shortlistSize(shortlist, k)
     val cb = loadPqTables(spark, path)
     // ONE sidecar read serves both the probe frame and the residual

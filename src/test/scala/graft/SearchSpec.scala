@@ -240,7 +240,7 @@ class SearchSpec extends SparkSpecBase {
   }
 
   test("lex remove robustness: drifted victim text, unindexed victims, serving guard") {
-    val docs = Seq((1L, "alpha beta"), (2L, "alpha delta"), (3L, "gamma gamma"))
+    val docs = Seq((1L, "alpha beta beta beta"), (2L, "alpha delta"), (3L, "gamma gamma"))
     val ddf = docs.toDF("doc_id", "text")
     val p = java.nio.file.Files.createTempDirectory("graft_lex_rob").toString + "/ix"
     graft.operators.Bm25.buildLexIndex(ddf, col("doc_id"), col("text"), p, nBuckets = 4)
@@ -248,13 +248,18 @@ class SearchSpec extends SparkSpecBase {
       spark, p, Seq((0L, term)).toDF("q_id", "qtext"), col("q_id"), col("qtext"), k = 10)
       .select("doc_id").as[Long].collect().toSet
     assert(hits("beta") == Set(1L))
-    // victim text DRIFTED from what was indexed ('beta' edited away):
-    // affected buckets come from the INDEX, so the beta posting still
-    // dies — the ghost-postings hazard of a text-derived bucket list
+    // victim text DRIFTED from what was indexed (doc 1 was indexed with
+    // 4 tokens, the caller supplies 2 different ones): affected buckets
+    // come from the INDEX, so the beta postings still die — and the
+    // stats decrement uses the INDEXED dl (4), not the supplied text's
     graft.operators.Bm25.removeFromLexIndex(
       spark, p, Seq((1L, "alpha gamma")).toDF("doc_id", "text"), col("doc_id"), col("text"))
     assert(hits("beta").isEmpty, "drifted victim text left a ghost posting")
     assert(hits("alpha") == Set(2L))
+    val stDrift = spark.read.parquet(s"$p/stats").head()
+    assert(stDrift.getLong(0) == 2, s"n_docs ${stDrift.getLong(0)} != 2")
+    assert(stDrift.getLong(1) == 4, // 8 indexed tokens - doc1's INDEXED 4
+      s"total_tokens ${stDrift.getLong(1)} != 4 -- decrement used the drifted text's dl")
     // removing a never-indexed id is a complete no-op: postings AND
     // stats (an unconditional decrement would corrupt N forever)
     val stBefore = spark.read.parquet(s"$p/stats").collect().toSeq
@@ -265,14 +270,39 @@ class SearchSpec extends SparkSpecBase {
     assert(hits("alpha") == Set(2L))
     // a parked crashed-swap tree blocks SERVING too, not just the next
     // remove — a missing bucket dir would otherwise silently answer
-    // with its terms absent
-    val parked = new java.io.File(s"$p/postings__remove_old/bucket=1")
+    // with its terms absent. BOTH verbs' trees count: a crashed
+    // COMPACTION parks at __compact_old, and the guard must see it
+    for (tree <- Seq("postings__remove_old", "postings__compact_old")) {
+      val parked = new java.io.File(s"$p/$tree/bucket=1")
+      parked.mkdirs()
+      java.nio.file.Files.writeString(parked.toPath.resolve("part-stranded.parquet"), "x")
+      val e = intercept[IllegalArgumentException](hits("alpha"))
+      assert(e.getMessage.contains("recover it before serving"), e.getMessage)
+      // the next remove refuses the same tree instead of cementing loss
+      val e2 = intercept[Exception](graft.operators.Bm25.removeFromLexIndex(
+        spark, p, Seq((2L, "alpha delta")).toDF("doc_id", "text"), col("doc_id"), col("text")))
+      assert(e2.getMessage.contains("recover"), e2.getMessage)
+      java.nio.file.Files.delete(parked.toPath.resolve("part-stranded.parquet"))
+    }
+    assert(hits("alpha") == Set(2L), "file-less residue must not block serving")
+  }
+
+  test("ANN index serving guard: a crashed-swap parked tree blocks queries loudly") {
+    val df = clusteredRows.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") % 100 >= 5)
+    val qs = df.filter(col("vec_id") % 100 < 5)
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_guard").toString + "/ix"
+    graft.operators.Ann.buildIvfIndex(base, col("vec_id"), col("embedding"), p, nlist = 8)
+    def q() = graft.operators.Ann.queryIvfIndex(
+      spark, p, qs, col("vec_id"), col("embedding"), k = 5, nprobe = 2).collect()
+    assert(q().nonEmpty)
+    val parked = new java.io.File(s"$p/base__remove_old/cell=0")
     parked.mkdirs()
     java.nio.file.Files.writeString(parked.toPath.resolve("part-stranded.parquet"), "x")
-    val e = intercept[IllegalArgumentException](hits("alpha"))
+    val e = intercept[IllegalArgumentException](q())
     assert(e.getMessage.contains("recover it before serving"), e.getMessage)
     java.nio.file.Files.delete(parked.toPath.resolve("part-stranded.parquet"))
-    assert(hits("alpha") == Set(2L), "file-less residue must not block serving")
+    assert(q().nonEmpty, "file-less residue must not block serving")
   }
 
   private def clusteredRows: Seq[(Long, Array[Float])] = {
