@@ -152,17 +152,20 @@ object Compact {
       .find(p => containsFiles(fs, p))
   }
 
-  /** Serving-side crash guard: refuse to answer from a lake while any
-    * swap verb's parked tree still holds a partition's only copy — a
-    * missing partition dir otherwise reads as silently-empty, for
-    * every query, indefinitely. Shared by the lex and ANN index query
-    * paths.
+  /** Crash guard shared across verbs: refuse to act on a lake while
+    * ANY swap verb's parked tree still holds a partition's only copy —
+    * a missing partition dir otherwise reads as silently-empty for
+    * every query, and a mutation against it cements the loss. Used by
+    * the lex and ANN index query paths (`action = "serving"`) and by
+    * the mutating verbs after clearing their OWN tree (removal checks
+    * for a crashed compaction and vice versa).
     */
   private[graft] def requireServable(
-      fs: org.apache.hadoop.fs.FileSystem, lake: Path): Unit =
+      fs: org.apache.hadoop.fs.FileSystem, lake: Path,
+      action: String = "serving"): Unit =
     anyParkedSibling(fs, lake).foreach(p =>
       throw new IllegalArgumentException(
-        s"$p holds parked data -- a swap crashed mid-rename; recover it before serving"))
+        s"$p holds parked data -- a swap crashed mid-rename; recover it before $action"))
 
   /** Per-leaf two-rename swap of a rewritten partition set: for each
     * leaf name, the rewritten `tmpRoot/name` replaces `base/name` via
@@ -224,8 +227,12 @@ object Compact {
     // parent dirs is residue of an earlier aborted pass (e.g. a later
     // leaf failed its row-count gate after earlier leaves swapped
     // cleanly) and must not wedge the operator forever. Single owner:
-    // clearOrRefuseParked.
+    // clearOrRefuseParked. After clearing our OWN tree, any OTHER
+    // verb's parked sibling (a crashed index removal) also blocks —
+    // compacting a lake with a swapped-out partition would bless the
+    // loss as the new normal.
     clearOrRefuseParked(fs, oldRoot, "partitioned compaction")
+    requireServable(fs, rp, action = "compacting")
     def leaves(dir: Path): Seq[Path] = {
       val listing = fs.listStatus(dir)
       // a work dir INSIDE the lake means a previous FLAT compact() of a

@@ -459,8 +459,11 @@ object Ann {
     val oldRoot = new org.apache.hadoop.fs.Path(bp.getParent, bp.getName + "__remove_old")
     // a parked tree with FILES is a crashed removal swap — it may hold
     // a cell's only copy, so block until recovered (single owner:
-    // Compact.clearOrRefuseParked); file-less residue dirs are cleared
+    // Compact.clearOrRefuseParked); file-less residue dirs are
+    // cleared. A crashed COMPACTION's parked tree blocks equally: an
+    // anti-join rewrite against a cell-less lake cements the loss.
     graft.etl.Compact.clearOrRefuseParked(fs, oldRoot, "removal")
+    graft.etl.Compact.requireServable(fs, bp, action = "removal")
     fs.delete(tmpRoot, true)
     // victims are MATERIALIZED once and read back for every use below:
     // the affected-cell scan, the anti-join rewrite and the row-count

@@ -340,7 +340,7 @@ object Bm25 {
     // lives at postings__compact_old) also blocks: the lake is missing
     // a bucket's only copy, and an anti-join rewrite against it would
     // cement the loss
-    graft.etl.Compact.requireServable(fs, target)
+    graft.etl.Compact.requireServable(fs, target, action = "removal")
     fs.delete(tmpRoot, true)
     val vicDir = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__remove_vic")
     fs.delete(vicDir, true)
