@@ -49,14 +49,8 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    // per-query values are ROUNDED to 1 ms in the stdout line: the
-    // runner captures only a bounded stdout tail, and round 5's artifact
-    // (BENCH_r05.json parsed:null) proved a full-precision 62-query line
-    // can outgrow that window and get truncated mid-JSON. Rounding keeps
-    // the line comfortably under ~2 KB; full precision lives in the file.
-    def qmap(round: Boolean) = results.map { case (k, v) =>
-      val value = if (round && v >= 0.0) math.rint(v * 1000) / 1000 else v
-      "\"" + esc(k) + "\":" + value
+    val qmap = results.map { case (k, v) =>
+      "\"" + esc(k) + "\":" + v
     }.mkString("{", ",", "}")
     // failed queries report -1.0 per-query but are EXCLUDED from the
     // total (a failure must never shrink — i.e. improve — the headline
@@ -64,23 +58,36 @@ object Bench {
     val good = results.filter(_._2 >= 0.0)
     val totalFull = good.map(_._2).sum
     val failed = results.size - good.size
-    // total follows its line's quantum: full precision in the file
-    // (value == sum of the file's own per-query values), 1 ms on stdout
-    def metricLine(round: Boolean) = {
-      val total = if (round) math.rint(totalFull * 1000) / 1000 else totalFull
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":${qmap(round)},"sf":"${esc(sfDir)}"}"""
+    // STRUCTURAL split, after rounds 5 and 7 both lost the per-query
+    // artifact to the runner's bounded stdout-tail capture (a growing
+    // suite outgrew the window twice; byte-shaving is not a fix):
+    //  - stdout carries ONLY a tiny fixed-size total line — it cannot
+    //    outgrow any tail window again, ever;
+    //  - the full-precision per-query map goes to FILES: the env
+    //    sidecar (SPARK_GRAFT_BENCH_OUT) and BENCH_OUT.json in the
+    //    repo working tree, which is COMMITTED each round so the
+    //    artifact survives even a runner that reads nothing but git.
+    // tools/bench_gate.py fails the round if the committed sidecar is
+    // missing, stale-shaped, or inconsistent with its own total.
+    val fullLine =
+      s"""{"metric":"total","value":$totalFull,"unit":"sec","failed":$failed,"n":${results.size},"queries":$qmap,"sf":"${esc(sfDir)}"}"""
+    val shortLine = {
+      val total = math.rint(totalFull * 1000) / 1000
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n":${results.size},"sf":"${esc(sfDir)}","perQuery":"BENCH_OUT.json"}"""
     }
-    // belt-and-braces for log-prefixing runners: also drop the (full
-    // precision) line in a file before stopping the session
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (metricLine(round = false) + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }
+    val outFiles = Seq(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
+      new java.io.File(System.getProperty("user.dir"), "BENCH_OUT.json").getPath)
+    outFiles.foreach { outFile =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (fullLine + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }
+    }
     spark.stop()
     // the metric line is the LAST thing on stdout — printed after
     // spark.stop() so no shutdown logging can push it out of a bounded
     // tail capture — and explicitly flushed
-    println(metricLine(round = true))
+    println(shortLine)
     System.out.flush()
   }
 }

@@ -52,6 +52,18 @@ object Bm25 {
     * SQL (IEEE ops are exactly rounded, so an identical tree is an
     * identical double; `ln` is the one libm call — boundary-safe after
     * the 1e6 rounding, verified empirically by the exact-compare gate).
+    *
+    * The `greatest(…, 0.5)` clamp on the idf numerator is the
+    * SERVING-SIDE degradation guard for the documented
+    * [[addToLexIndex]] crash window (stats understated → a term can
+    * reach df > N): without it the idf goes NEGATIVE and a matching
+    * term SUBTRACTS from scores — rankings invert until
+    * [[rebuildLexStats]] runs. With it, df > N degrades to the
+    * smallest positive idf (the df = N boundary value), so a stale
+    * sidecar skews scores but never inverts them. On CONSISTENT stats
+    * df ≤ N always, the numerator is ≥ 0.5 by construction, and the
+    * clamp is the identity — oracle-neutral (the DuckDB CTE mirrors
+    * the same GREATEST; both are exact IEEE max ops).
     */
   private def contribMicro(
       tf: Column, df: Column, dl: Column,
@@ -61,7 +73,7 @@ object Bm25 {
     val dlD = dl.cast("double")
     val nD = nDocs.cast("double")
     val avgdl = totalTokens.cast("double") / nD
-    val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val idf = log(lit(1.0) + greatest(nD - dfD + lit(0.5), lit(0.5)) / (dfD + lit(0.5)))
     val tfn = tfD * (lit(k1) + lit(1.0)) /
       (tfD + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dlD / avgdl))
     round(idf * tfn * lit(1000000.0)).cast("long")
@@ -154,25 +166,42 @@ object Bm25 {
     * semi-joined against the broadcast phrase vocabulary AT THE SCAN,
     * so only tokens some phrase mentions ever shuffle; the anchor
     * groupBy is ∝ those matches, never ∝ corpus tokens; k-buffer
-    * top-k tail. (A positional variant of the persisted index —
-    * storing `pos` in the postings — is the serving path when phrase
-    * queries become hot; the query algebra below is unchanged by it.)
+    * top-k tail. The persisted serving path is [[queryPhraseIndex]]
+    * (the positional postings of [[buildLexIndex]]) — same algebra,
+    * shared verbatim via [[phraseRank]].
     */
   def phraseTopK(
       docs: DataFrame, docId: Column, text: Column,
       queries: DataFrame, qId: Column, qPhrase: Column, k: Int): DataFrame = {
     require(k >= 1, s"top-k requires k >= 1, got $k")
-    // (q_id, i, term): 0-based slot index, duplicates kept (a phrase
-    // may repeat a term — each slot must be covered independently)
-    val qt = queries.select(
-      qId.as("q_id"), posexplode(analyze(qPhrase)).as(Seq("i", "term")))
-    val qlen = qt.groupBy("q_id").agg(count(lit(1)).as("phrase_len"))
+    val qt = phraseSlots(queries, qId, qPhrase)
     val posToks = docs
       .select(docId.as("doc_id"), posexplode(analyze(text)).as(Seq("pos", "term")))
       .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
-    // rows are unique per (q_id, doc_id, anchor, i) by construction
-    // ((doc, pos) holds ONE term; (q, i) is one slot), so the cover
-    // count is the number of matched slots at that anchor
+    phraseRank(posToks, qt, k)
+  }
+
+  /** (q_id, i, term) phrase slots: 0-based slot index, duplicates kept
+    * (a phrase may repeat a term — each slot must be covered
+    * independently). Single owner with [[queryPhraseIndex]].
+    */
+  private def phraseSlots(queries: DataFrame, qId: Column, qPhrase: Column): DataFrame =
+    queries.select(
+      qId.as("q_id"), posexplode(analyze(qPhrase)).as(Seq("i", "term")))
+
+  /** Shared anchor-intersection tail: positional tokens
+    * (term, doc_id, pos) × phrase slots (q_id, i, term) → anchors →
+    * full-cover occurrences → per-doc counts → k-buffer top-k. Rows
+    * are unique per (q_id, doc_id, anchor, i) by construction ((doc,
+    * pos) holds ONE term; (q, i) is one slot), so the cover count is
+    * the number of matched slots at that anchor — the arithmetic is
+    * IDENTICAL whether posToks came from a live corpus tokenize
+    * ([[phraseTopK]]) or an exploded positional postings read
+    * ([[queryPhraseIndex]]), which is what makes index ≡ one-shot
+    * bit-exact (spec-pinned, r05 oracle).
+    */
+  private def phraseRank(posToks: DataFrame, qt: DataFrame, k: Int): DataFrame = {
+    val qlen = qt.groupBy("q_id").agg(count(lit(1)).as("phrase_len"))
     val occurrences = posToks.join(broadcast(qt), "term")
       .select(col("q_id"), col("doc_id"), (col("pos") - col("i")).as("anchor"))
       .groupBy("q_id", "doc_id", "anchor")
@@ -185,6 +214,47 @@ object Bm25 {
         col("metric").as("n_occ"))
   }
 
+  /** Exact-phrase top-k SERVED FROM the persisted positional index —
+    * bit-identical to [[phraseTopK]] over the same corpus (the anchor
+    * algebra is [[phraseRank]] in both; only the provenance of the
+    * (term, doc_id, pos) stream differs), but the per-batch cost is a
+    * partition-pruned read of the phrase vocabulary's bucket
+    * directories instead of a corpus re-tokenize — the serving path
+    * the round-7 plan audit flagged as the one retrieval verb without
+    * an index. The positions column is exploded only AFTER the bucket
+    * prune and vocabulary semi-join, so the explode is ∝ matched
+    * postings' occurrence counts, never ∝ the lake.
+    *
+    * Requires a positional index (built by this round's
+    * [[buildLexIndex]]); a pre-positional postings lake fails loudly
+    * with a rebuild instruction rather than serving wrong anchors.
+    */
+  def queryPhraseIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qId: Column, qPhrase: Column, k: Int): DataFrame = {
+    require(k >= 1, s"top-k requires k >= 1, got $k")
+    val target = new org.apache.hadoop.fs.Path(s"$path/postings")
+    // same serving-side crash guard as queryLexIndex: a parked tree
+    // with files means a bucket's only copy sits outside the lake
+    graft.etl.Compact.requireServable(
+      target.getFileSystem(spark.sparkContext.hadoopConfiguration), target)
+    val (_, _, nBuckets) = readStatsSidecar(spark, path)
+    val qt = Dedup.scopedCache(phraseSlots(queries, qId, qPhrase))
+    // bounded driver collect (≤ distinct phrase terms): the pruning list
+    val buckets = qt
+      .select(bucketOf(col("term"), nBuckets).as("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    val post = spark.read.parquet(s"$path/postings")
+    require(post.columns.contains("positions"),
+      s"$path/postings has no positions column (pre-positional index) -- " +
+        "rebuild with buildLexIndex to serve phrase queries")
+    val posToks = post
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
+      .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
+      .select(col("term"), col("doc_id"), explode(col("positions")).as("pos"))
+    phraseRank(posToks, qt, k)
+  }
+
   /** Term → posting-bucket assignment (pmod of the 64-bit term hash):
     * the partition key of the persisted index. Deterministic, so the
     * query path prunes to exactly the buckets its vocabulary hashes
@@ -193,20 +263,33 @@ object Bm25 {
   private def bucketOf(term: Column, nBuckets: Int): Column =
     pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
 
-  /** Build a persisted lexical (BM25) index at `path`: the serving
-    * shape for repeated search over a corpus that one-shot
-    * [[searchTopK]] would re-scan per query batch.
+  /** Build a persisted lexical (BM25 + exact-phrase) index at `path`:
+    * the serving shape for repeated search over a corpus that one-shot
+    * [[searchTopK]]/[[phraseTopK]] would re-scan per query batch.
     *
     * Layout:
-    *  - `path/postings` — (term, doc_id, dl, tf) parquet, PARTITIONED
-    *    by `bucket` = hash(term) mod nBuckets: a query reads only the
-    *    bucket directories its vocabulary hashes into (partition
-    *    pruning — the same property that makes the IVF index queryable
-    *    without scanning it). df is NOT stored: a term's full posting
-    *    list lives in its bucket, so the query derives df by counting —
-    *    which is also what makes [[addToLexIndex]] append-only.
+    *  - `path/postings` — (term, doc_id, dl, tf, positions) parquet,
+    *    PARTITIONED by `bucket` = hash(term) mod nBuckets: a query
+    *    reads only the bucket directories its vocabulary hashes into
+    *    (partition pruning — the same property that makes the IVF
+    *    index queryable without scanning it). df is NOT stored: a
+    *    term's full posting list lives in its bucket, so the query
+    *    derives df by counting — which is also what makes
+    *    [[addToLexIndex]] append-only. `positions` is the sorted
+    *    0-based token-position array of the term in the doc — the
+    *    POSITIONAL payload that lets [[queryPhraseIndex]] serve
+    *    exact-phrase queries from the index (parquet is columnar, so
+    *    BM25 serving never reads the positions column — Catalyst
+    *    prunes it from the scan).
     *  - `path/stats` — 1-row (n_docs, total_tokens) sidecar, the
     *    BM25 corpus scalars (the codebook-sidecar pattern).
+    *  - `path/empty` — (doc_id) membership record of ZERO-TOKEN docs:
+    *    an indexed-empty doc contributes to n_docs but leaves no
+    *    postings, so without this record [[removeFromLexIndex]] could
+    *    not distinguish "indexed empty" from "never indexed" and had
+    *    to trust caller-supplied empty text (the round-7 ADVICE
+    *    hazard: a never-indexed empty-text victim decremented N).
+    *    With it, every stats decrement is PROVEN against the index.
     *
     * Build cost: TWO narrow tokenize passes over the corpus (the
     * postings write and the stats agg are separate jobs; caching the
@@ -225,22 +308,33 @@ object Bm25 {
     val toks = docs
       .select(docId.as("doc_id"), analyze(text).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
-    val post = toks
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", bucketOf(col("term"), nBuckets))
     // postings first, stats sidecar LAST: the sidecar is the
     // index-complete marker (same crash-ordering contract as the ANN
     // codebook sidecar — queryLexIndex fails loudly on a missing stats
     // dir, never serves a half-written index silently)
-    post.write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings")
+    positionalPostings(toks, nBuckets)
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings")
+    writeEmptyMembers(spark, path,
+      toks.filter(col("dl") === 0).select("doc_id"), overwrite = true)
     writeStatsSidecar(spark, path,
       toks.agg(
         count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
         .head(), nBuckets)
   }
+
+  /** (term, doc_id, dl, tf, positions, bucket) postings of a tokenized
+    * frame — single owner of the posting shape for build and add.
+    * Positions are sorted per (term, doc) so the lake is deterministic
+    * under any shuffle order.
+    */
+  private def positionalPostings(toks: DataFrame, nBuckets: Int): DataFrame =
+    toks
+      .select(col("doc_id"), col("dl"), posexplode(col("toks")).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
 
   /** Append new documents to a persisted [[buildLexIndex]] index:
     * because df is derived at query time and postings are keyed by the
@@ -264,12 +358,10 @@ object Bm25 {
     val toks = docs
       .select(docId.as("doc_id"), analyze(text).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
-    toks
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+    positionalPostings(toks, nBuckets)
       .write.partitionBy("bucket").mode("append").parquet(s"$path/postings")
+    writeEmptyMembers(spark, path,
+      toks.filter(col("dl") === 0).select("doc_id"), overwrite = false)
     val inc = toks.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("total_tokens")).head()
@@ -319,13 +411,20 @@ object Bm25 {
     * every OTHER retry); the sidecar for that one window is repaired
     * by [[rebuildLexStats]].
     *
-    * STATS are decremented only for victims PROVEN present — with
-    * their INDEXED dl from the postings, so drifted victim text can
-    * mis-size nothing — plus empty-TEXT victims trusted by contract
-    * (an indexed-empty doc's `n_docs` membership is invisible to
-    * postings; that is why the verb takes text). Removing a
-    * never-indexed id is thus a complete no-op, not a silent N
-    * corruption (spec-pinned).
+    * STATS are decremented only for victims PROVEN against the index:
+    * victims with postings count with their INDEXED dl (so drifted
+    * victim text can mis-size nothing), and zero-token victims count
+    * only if the `path/empty` membership record lists them (written by
+    * build/add precisely because an indexed-empty doc's n_docs
+    * membership is invisible to postings). Removing a never-indexed id
+    * — empty text included — is thus a complete no-op, not a silent N
+    * corruption (spec-pinned); the membership record is rewritten
+    * minus the removed ids BEFORE the sidecar, so retrying a remove
+    * after a crash-before-sidecar never double-decrements empty
+    * victims either. Fallback for a pre-membership index (no
+    * `path/empty` dir): the legacy trusted-empty-text behavior, with
+    * its documented caveat that a never-indexed empty-text victim
+    * skews stats until [[rebuildLexStats]].
     */
   def removeFromLexIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -379,18 +478,27 @@ object Bm25 {
     // present victim as absent) but WRITTEN last (see ORDERING):
     //  - victims PRESENT in the postings count with their indexed dl
     //    (every posting row of a doc carries the same dl — max is it);
-    //  - victims ABSENT from the postings count only if the caller
-    //    supplied EMPTY text (the indexed-empty doc, trusted by
-    //    contract). The residual blind spot is a doc indexed EMPTY
-    //    whose source text later gained tokens: postings cannot see it
-    //    and the caller's dl > 0 routes it past the trusted branch, so
-    //    its n_docs slot survives — rebuildLexStats is the repair, as
-    //    for every stats-drift window.
+    //  - victims ABSENT from the postings count only if the index's
+    //    OWN empty-membership record lists them (indexed zero-token
+    //    docs — see buildLexIndex's `path/empty`); on a pre-membership
+    //    index the legacy fallback trusts caller-supplied empty text.
+    //    The residual blind spot (either branch) is a doc indexed
+    //    EMPTY whose source text later gained tokens: the caller's
+    //    text is not consulted for membership, but the membership
+    //    record IS — so with the record this case now counts
+    //    correctly; only the legacy fallback retains the old
+    //    rebuildLexStats-repairable skew.
     val present = vicPost.groupBy("doc_id").agg(max(col("dl")).as("dl"))
+    val emptyMembers = readEmptyMembers(spark, path)
+    val emptyVictims = emptyMembers match {
+      case Some(members) =>
+        members.join(vicIds, "doc_id").select(col("doc_id"), lit(0L).as("dl"))
+      case None => // legacy index: no membership record to consult
+        vic.filter(col("dl") === 0).select(col("doc_id"), col("dl"))
+    }
     val countable = present.unionByName(
-      vic.filter(col("dl") === 0)
-        .join(present.select("doc_id"), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("dl")))
+      emptyVictims
+        .join(present.select("doc_id"), Seq("doc_id"), "left_anti"))
     val dec = countable.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("total_tokens")).head()
@@ -427,6 +535,13 @@ object Bm25 {
       graft.etl.Compact.swapRewrittenLeaves(
         fs, target, tmpRoot, oldRoot, affected.map(b => s"bucket=$b").toSeq)
     }
+    // membership record rewritten BEFORE the sidecar (see ORDERING):
+    // a retry after a crash between the two sees the empty victims
+    // already gone from the record and decrements nothing — the
+    // double-decrement path the trusted-empty-text contract had is
+    // structurally closed
+    if (emptyMembers.isDefined && !emptyVictims.isEmpty)
+      rewriteEmptyMembersMinus(spark, path, vicIds)
     // stats sidecar LAST (see ORDERING); a decrement of zero (nothing
     // was indexed) is a pure no-op — same graceful degradation as the
     // ANN remove's affected.isEmpty early return
@@ -436,25 +551,104 @@ object Bm25 {
         nBuckets)
   }
 
-  /** Rebuild the stats sidecar from the CURRENT full corpus — the
-    * universal repair for any crash window that left postings and
-    * stats inconsistent ([[addToLexIndex]]'s append-then-refresh,
-    * [[removeFromLexIndex]]'s swap-then-decrement). One narrow
-    * tokenize pass; postings untouched.
+  /** The `path/empty` membership record, or None for a pre-membership
+    * (legacy) index. A record DIRECTORY with no data files reads as
+    * zero members — existence of the record, not of rows, is what
+    * upgrades remove-accounting from trusted to proven.
+    */
+  private def readEmptyMembers(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/empty")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else if (Ann.listDataFiles(fs, p.toString).isEmpty)
+      Some(spark.range(0).select(col("id").as("doc_id")))
+    else Some(spark.read.parquet(p.toString).select("doc_id"))
+  }
+
+  /** Write (build/rebuild: overwrite via park-and-swap) or extend
+    * (add: append) the empty-doc membership record. An APPEND to a
+    * legacy index that has no record is deliberately skipped: creating
+    * a partial record would "prove" the pre-record empty docs were
+    * never indexed, which is worse than staying legacy (trusted-text
+    * fallback) until [[rebuildLexStats]] migrates the index.
+    */
+  private def writeEmptyMembers(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, overwrite: Boolean): Unit = {
+    val target = new org.apache.hadoop.fs.Path(s"$path/empty")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!overwrite) {
+      if (fs.exists(target)) ids.write.mode("append").parquet(target.toString)
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__tmp")
+      val old = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__old")
+      fs.delete(tmp, true); fs.delete(old, true)
+      ids.write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(target)) graft.etl.Compact.swapInto(fs, tmp, target, old)
+      else require(fs.rename(tmp, target),
+        s"could not place empty-doc membership record at $target")
+    }
+  }
+
+  /** Rewrite the membership record minus the removed ids (tmp + swap —
+    * the new record derives from reading the old one, so an in-place
+    * overwrite would truncate its own input).
+    */
+  private def rewriteEmptyMembersMinus(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      vicIds: DataFrame): Unit = {
+    val target = new org.apache.hadoop.fs.Path(s"$path/empty")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    val kept = readEmptyMembers(spark, path)
+      .getOrElse(sys.error(s"$target vanished mid-remove"))
+      .join(vicIds, Seq("doc_id"), "left_anti")
+    kept.write.mode("overwrite").parquet(tmp.toString)
+    graft.etl.Compact.swapInto(fs, tmp, target, old)
+  }
+
+  /** Every doc_id the index currently serves: postings members plus
+    * the indexed-empty docs. The id surface for exactly-once stream
+    * ingest ([[graft.streaming.Streams.indexIngest]]'s dedup leg) —
+    * a NARROW id-only column scan of the postings lake, nothing else
+    * read.
+    */
+  def lexIndexIds(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val posted = spark.read.parquet(s"$path/postings").select("doc_id")
+    readEmptyMembers(spark, path)
+      .map(m => posted.unionByName(m)).getOrElse(posted)
+      .distinct()
+  }
+
+  /** Rebuild the stats sidecar — and the empty-doc membership record —
+    * from the CURRENT full corpus: the universal repair for any crash
+    * window that left postings and stats inconsistent
+    * ([[addToLexIndex]]'s append-then-refresh,
+    * [[removeFromLexIndex]]'s swap-then-decrement), and the MIGRATION
+    * verb for a legacy pre-membership index (the rebuilt record
+    * upgrades its remove-accounting from trusted to proven). One
+    * narrow tokenize pass; postings untouched.
     */
   def rebuildLexStats(
       spark: org.apache.spark.sql.SparkSession, path: String,
       docs: DataFrame, docId: Column, text: Column): Unit = {
     val (_, _, nBuckets) = readStatsSidecar(spark, path)
-    val row = docs
+    val toks = docs
       .select(docId.as("doc_id"), analyze(text).as("toks"))
       // a repair verb must not import the caller's dirt: a corpus frame
       // with duplicated doc rows (join fan-out) would inflate the very
       // stats it exists to fix
       .dropDuplicates("doc_id")
-      .select(size(col("toks")).cast("long").as("dl"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val row = toks
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("total_tokens")).head()
+    writeEmptyMembers(spark, path,
+      toks.filter(col("dl") === 0).select("doc_id"), overwrite = true)
     writeStatsSidecar(spark, path, row, nBuckets)
   }
 

@@ -61,7 +61,7 @@ object SearchQueries {
        |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
        |contrib AS (
        |  SELECT qt.q_id, post.doc_id,
-       |    CAST(ROUND((ln(CAST(1 AS DOUBLE) + ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |    CAST(ROUND((ln(CAST(1 AS DOUBLE) + GREATEST((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5, 0.5) / (CAST(df AS DOUBLE) + 0.5))
        |      * ((CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE)))
        |         / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)) + (CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE)) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
        |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS c_micro
@@ -160,6 +160,30 @@ object SearchQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Exact-phrase search SERVED FROM the persisted positional index
+    * ([[graft.operators.Bm25.buildLexIndex]] →
+    * [[graft.operators.Bm25.addToLexIndex]] →
+    * [[graft.operators.Bm25.queryPhraseIndex]]): the index is built
+    * from the even-id half, the odd-id half appended, and the phrase
+    * batch answered from the bucket-pruned positional postings — the
+    * serving deployment of [[r04PhraseSearch]], which re-tokenizes the
+    * corpus per batch. Same anchor algebra over the same corpus and
+    * phrases, so the r04 oracle applies VERBATIM — build+add+index ≡
+    * one-shot, the strongest equivalence statement the gate can make.
+    */
+  def r05PhraseIndexSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val path = Scratch.wiped(s, "phrase_index", dir)
+    graft.operators.Bm25.buildLexIndex(
+      d.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), path, nBuckets = 8)
+    graft.operators.Bm25.addToLexIndex(
+      s, path, d.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+    graft.operators.Bm25.queryPhraseIndex(
+      s, path, r04Phrases.toDF("q_id", "qtext"), col("q_id"), col("qtext"), k = 10)
+      .orderBy("q_id", "rank")
+  }
+
   /** Hybrid retrieval, more-like-this form: for each query document
     * (doc_id < 10), a BM25 leg (its distinct terms against the
     * doc_id >= 10 corpus, top-20) and a dense leg (exact cosine top-20
@@ -219,7 +243,8 @@ object SearchQueries {
     "r01_bm25_search" -> (r01Bm25Search _),
     "r02_hybrid_rrf" -> (r02HybridRrf _),
     "r03_lex_index" -> (r03LexIndexSearch _),
-    "r04_phrase_search" -> (r04PhraseSearch _)
+    "r04_phrase_search" -> (r04PhraseSearch _),
+    "r05_phrase_index" -> (r05PhraseIndexSearch _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -228,6 +253,10 @@ object SearchQueries {
     // build(even)+add(odd) must serve the SAME answer as one-shot BM25
     // over the whole corpus — the r01 replay IS the oracle
     "r03_lex_index" -> r01Oracle,
-    "r04_phrase_search" -> r04Oracle
+    "r04_phrase_search" -> r04Oracle,
+    // build(even)+add(odd)+positional-index serving must answer the
+    // SAME phrase results as one-shot phraseTopK over the whole
+    // corpus — the r04 replay IS the oracle
+    "r05_phrase_index" -> r04Oracle
   )
 }

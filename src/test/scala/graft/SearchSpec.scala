@@ -35,7 +35,7 @@ class SearchSpec extends SparkSpecBase {
     postings.groupBy(_._2).map { case (id, ps) =>
       id -> ps.map { case (term, _, tf) =>
         val df = dfm(term)
-        val idf = StrictMath.log(1.0 + ((n.toDouble - df.toDouble) + 0.5) / (df.toDouble + 0.5))
+        val idf = StrictMath.log(1.0 + math.max((n.toDouble - df.toDouble) + 0.5, 0.5) / (df.toDouble + 0.5))
         val tfn = tf.toDouble * (k1 + 1.0) /
           (tf.toDouble + k1 * (1.0 - b + b * dls(id).toDouble / avgdl))
         math.round(idf * tfn * 1000000.0)
@@ -285,6 +285,143 @@ class SearchSpec extends SparkSpecBase {
       java.nio.file.Files.delete(parked.toPath.resolve("part-stranded.parquet"))
     }
     assert(hits("alpha") == Set(2L), "file-less residue must not block serving")
+  }
+
+  test("positional index: queryPhraseIndex ≡ one-shot phraseTopK bit-exact; pruned; legacy refuses") {
+    val docs = Seq(
+      (1L, "red banana pie"),
+      (2L, "red, banana! red banana"),
+      (3L, "banana red"),
+      (4L, "red and banana"),
+      (5L, "gamma gamma gamma"),
+      (6L, "gamma delta gamma"),
+      (7L, ""))
+    val ddf = docs.toDF("doc_id", "text")
+    val qdf = Seq((0L, "red banana"), (1L, "gamma gamma"), (2L, "absent phrase"))
+      .toDF("q_id", "qtext")
+    val oneShot = graft.operators.Bm25.phraseTopK(
+      ddf, col("doc_id"), col("text"), qdf, col("q_id"), col("qtext"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val path = java.nio.file.Files.createTempDirectory("graft_pos").toString + "/ix"
+    // build(even) + add(odd) — the full lifecycle must serve the same
+    // answer as one-shot over the whole corpus (the r05 oracle's claim)
+    graft.operators.Bm25.buildLexIndex(
+      ddf.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), path, nBuckets = 4)
+    graft.operators.Bm25.addToLexIndex(
+      spark, path, ddf.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+    val viaIndex = graft.operators.Bm25.queryPhraseIndex(
+      spark, path, qdf, col("q_id"), col("qtext"), k = 10)
+    val got = viaIndex
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == oneShot,
+      s"index phrase search diverged:\n  only index: ${got -- oneShot}\n  only one-shot: ${oneShot -- got}")
+    assert(got.nonEmpty)
+    // the postings read is partition-pruned to the phrase vocab's buckets
+    val f = viaIndex.queryExecution.executedPlan.toString
+    val pf = f.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("bucket")).getOrElse("")
+    assert(pf.contains("bucket#") || pf.contains("bucket IN") || pf.contains("isnotnull(bucket"),
+      s"phrase postings scan is not partition-pruned on bucket:\n$f")
+    // BM25 serving from the SAME index must not pay for the positional
+    // payload: the positions column is pruned out of its scan
+    val bmPlan = graft.operators.Bm25.queryLexIndex(
+      spark, path, Seq((0L, "red banana")).toDF("q_id", "qtext"),
+      col("q_id"), col("qtext"), k = 5)
+      .queryExecution.executedPlan.toString
+    val rs = bmPlan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.nonEmpty && !rs.contains("positions"),
+      s"BM25 serving reads the positions column:\n$rs")
+    // removal discipline carries over to the positional payload: the
+    // victim's occurrences disappear from phrase serving too
+    graft.operators.Bm25.removeFromLexIndex(
+      spark, path, ddf.filter(col("doc_id") === 2), col("doc_id"), col("text"))
+    val afterRemove = graft.operators.Bm25.queryPhraseIndex(
+      spark, path, qdf, col("q_id"), col("qtext"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!afterRemove.contains((0L, 2L)), "removed doc still served by phrase index")
+    assert(afterRemove.contains((0L, 1L)) && afterRemove.contains((1L, 5L)))
+    // a pre-positional (legacy) postings lake refuses phrase serving
+    // loudly — wrong anchors must not be silently computable
+    val legacy = java.nio.file.Files.createTempDirectory("graft_pos_legacy").toString + "/ix"
+    spark.read.parquet(s"$path/postings").drop("positions")
+      .write.partitionBy("bucket").parquet(s"$legacy/postings")
+    spark.read.parquet(s"$path/stats").coalesce(1).write.parquet(s"$legacy/stats")
+    val e = intercept[IllegalArgumentException](graft.operators.Bm25.queryPhraseIndex(
+      spark, legacy, qdf, col("q_id"), col("qtext"), k = 10))
+    assert(e.getMessage.contains("pre-positional"), e.getMessage)
+    // ...while BM25 serving on the same legacy lake still works
+    assert(graft.operators.Bm25.queryLexIndex(
+      spark, legacy, Seq((0L, "red banana")).toDF("q_id", "qtext"),
+      col("q_id"), col("qtext"), k = 5).collect().nonEmpty)
+  }
+
+  test("idf clamp: understated stats (df > N crash window) degrade scores, never invert them") {
+    val docs = Seq(
+      (1L, "zzz alpha"), (2L, "zzz beta"), (3L, "zzz gamma"),
+      (4L, "zzz delta"), (5L, "zzz epsilon"))
+    val ddf = docs.toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("graft_lex_stale").toString + "/ix"
+    graft.operators.Bm25.buildLexIndex(ddf, col("doc_id"), col("text"), p, nBuckets = 4)
+    // simulate addToLexIndex's documented crash window: postings all
+    // landed, stats refresh did NOT — understate N to 2 (df(zzz)=5 > N)
+    val stale = Seq((2L, 4L, 4)).toDF("n_docs", "total_tokens", "n_buckets")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lex_stale_s").toString
+    stale.coalesce(1).write.mode("overwrite").parquet(s"$tmp/stats")
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$p/stats"), true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/stats"), new org.apache.hadoop.fs.Path(s"$p/stats")))
+    val got = graft.operators.Bm25.queryLexIndex(
+      spark, p, Seq((0L, "zzz")).toDF("q_id", "qtext"), col("q_id"), col("qtext"), k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    // pre-clamp: idf = ln(1 + (2-5+0.5)/5.5) < 0 — every score negative
+    // and rankings inverted. With the clamp: smallest positive idf.
+    assert(got.nonEmpty)
+    assert(got.forall(_._2 > 0L),
+      s"stale stats produced non-positive scores (negative-idf inversion): ${got.toSeq}")
+    // and on CONSISTENT stats the clamp is the identity — rebuild and
+    // compare against the one-shot search (which never had stale stats)
+    graft.operators.Bm25.rebuildLexStats(spark, p, ddf, col("doc_id"), col("text"))
+    val viaIndex = graft.operators.Bm25.queryLexIndex(
+      spark, p, Seq((0L, "zzz")).toDF("q_id", "qtext"), col("q_id"), col("qtext"), k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    val oneShot = graft.operators.Bm25.searchTopK(
+      ddf, col("doc_id"), col("text"),
+      Seq((0L, "zzz")).toDF("q_id", "qtext"), col("q_id"), col("qtext"), k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    assert(viaIndex == oneShot, "clamp changed scores on consistent stats")
+  }
+
+  test("empty-doc membership: never-indexed empty victim is a no-op; removal decrements exactly once") {
+    val docs = Seq((1L, "alpha beta"), (2L, ""), (3L, "gamma"))
+    val ddf = docs.toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("graft_lex_mem").toString + "/ix"
+    graft.operators.Bm25.buildLexIndex(ddf, col("doc_id"), col("text"), p, nBuckets = 4)
+    def stats() = spark.read.parquet(s"$p/stats").select("n_docs", "total_tokens")
+      .head() match { case r => (r.getLong(0), r.getLong(1)) }
+    assert(stats() == ((3L, 3L)))
+    // the round-7 ADVICE hazard: a NEVER-indexed id with empty text
+    // used to pass the trusted-empty branch and decrement N. The
+    // membership record proves it was never indexed → complete no-op.
+    graft.operators.Bm25.removeFromLexIndex(
+      spark, p, Seq((99L, "")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+    assert(stats() == ((3L, 3L)), "never-indexed empty-text victim decremented stats")
+    // an indexed-empty doc whose caller text DRIFTED to non-empty is
+    // still counted (membership is consulted, not the caller's text) —
+    // the residual blind spot of the trusted-text contract, closed
+    graft.operators.Bm25.removeFromLexIndex(
+      spark, p, Seq((2L, "gained tokens later")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    assert(stats() == ((2L, 3L)), "indexed-empty victim with drifted text not decremented")
+    // retrying the SAME remove decrements nothing: the membership
+    // record was rewritten minus the victim before the sidecar
+    graft.operators.Bm25.removeFromLexIndex(
+      spark, p, Seq((2L, "")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+    assert(stats() == ((2L, 3L)), "re-removing an empty victim double-decremented")
+    // lexIndexIds: the id surface unions postings and empty membership
+    val idsAll = java.nio.file.Files.createTempDirectory("graft_lex_ids").toString + "/ix"
+    graft.operators.Bm25.buildLexIndex(ddf, col("doc_id"), col("text"), idsAll, nBuckets = 4)
+    assert(graft.operators.Bm25.lexIndexIds(spark, idsAll)
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
   test("ANN index serving guard: a crashed-swap parked tree blocks queries loudly") {
