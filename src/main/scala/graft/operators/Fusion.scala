@@ -23,6 +23,49 @@ import org.apache.spark.sql.functions._
   */
 object Fusion {
 
+  /** The hybrid SERVING verb: one call answers a (text, embedding)
+    * query batch from TWO persisted indexes — the bucket-pruned
+    * lexical index ([[Bm25.queryLexIndex]]) and the cell-pruned ANN
+    * index ([[Ann.queryIvfIndex]]) — and fuses the legs by reciprocal
+    * rank. This is the deployment shape of hybrid search at 100 TB:
+    * neither leg scans its corpus (both reads are partition-pruned to
+    * the batch's vocabulary buckets / probed cells), the fusion cost
+    * is ∝ the legs' top-`kPerLeg` output, and the whole pipeline is
+    * one lazy plan per leg plus the [[rrf]] tail.
+    *
+    * `queries` carries BOTH modalities per query id (qText for the
+    * lexical leg, qVec for the dense leg); a query with a zero-norm
+    * vector still gets lexical contributions and vice versa — absence
+    * from a leg simply contributes nothing, the standard RRF
+    * convention. With `nprobe` ≥ the index's nlist the dense leg is
+    * EXHAUSTIVE over live cells and bit-equal to
+    * [[Ann.knnBruteForce]], which is what lets the r06 oracle replay
+    * the persisted composition against the one-shot r02 pipeline
+    * verbatim; production serving dials nprobe back down for the
+    * recall/cost trade. `eligible` pre-filters the dense leg (the v14
+    * contract) for metadata-gated retrieval.
+    */
+  def hybridTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      lexPath: String, annPath: String,
+      queries: DataFrame,
+      qId: org.apache.spark.sql.Column,
+      qText: org.apache.spark.sql.Column,
+      qVec: org.apache.spark.sql.Column,
+      k: Int, kPerLeg: Int = 20, nprobe: Int = 4, c: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75,
+      eligible: Option[(DataFrame, org.apache.spark.sql.Column)] = None): DataFrame = {
+    require(kPerLeg >= 1, s"per-leg top-k requires kPerLeg >= 1, got $kPerLeg")
+    val q = queries.select(qId.as("q_id"), qText.as("qtext"), qVec.as("qvec"))
+    val lex = Bm25.queryLexIndex(
+      spark, lexPath, q, col("q_id"), col("qtext"), kPerLeg, k1, b)
+      .select("q_id", "doc_id", "rank")
+    val dense = Ann.queryIvfIndex(
+      spark, annPath, q, col("q_id"), col("qvec"), kPerLeg, nprobe, eligible)
+      .select(col("q_id"), col("b_id").as("doc_id"), col("rank"))
+    rrf(Seq(lex, dense), k, c)
+  }
+
   /** Fuse ranked runs, each a frame with columns
     * `(q_id, doc_id, rank)` (1-based ranks; extra columns are
     * dropped). Returns `(q_id, doc_id, rank, rrf_micro)`, the top `k`

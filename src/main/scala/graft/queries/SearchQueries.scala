@@ -239,12 +239,45 @@ object SearchQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Hybrid retrieval SERVED FROM two persisted indexes
+    * ([[graft.operators.Fusion.hybridTopK]]): the lexical leg reads
+    * the bucket-pruned lex index (built even + added odd — the
+    * lifecycle flavor), the dense leg reads the cell-pruned IVF index
+    * with nprobe = nlist (exhaustive over live cells, so bit-equal to
+    * the brute-force leg), and reciprocal rank fuses them — the
+    * one-call serving deployment of [[r02HybridRrf]], whose oracle
+    * therefore applies VERBATIM: persisted composition ≡ one-shot
+    * pipeline, end to end.
+    */
+  def r06HybridIndexSearch(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val e = emb(s, dir)
+    val lexPath = Scratch.wiped(s, "hybrid_lex", dir)
+    graft.operators.Bm25.buildLexIndex(
+      d.filter(col("doc_id") >= 10 && col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"), lexPath, nBuckets = 8)
+    graft.operators.Bm25.addToLexIndex(
+      s, lexPath, d.filter(col("doc_id") >= 10 && col("doc_id") % 2 === 1),
+      col("doc_id"), col("text"))
+    val annPath = Scratch.wiped(s, "hybrid_ann", dir)
+    Ann.buildIvfIndex(
+      e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"), annPath, nlist = 8)
+    val q = d.filter(col("doc_id") < 10).select(col("doc_id"), col("text"))
+      .join(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+    Fusion.hybridTopK(
+      s, lexPath, annPath, q, col("doc_id"), col("text"), col("embedding"),
+      k = 10, kPerLeg = 20, nprobe = 8)
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_bm25_search" -> (r01Bm25Search _),
     "r02_hybrid_rrf" -> (r02HybridRrf _),
     "r03_lex_index" -> (r03LexIndexSearch _),
     "r04_phrase_search" -> (r04PhraseSearch _),
-    "r05_phrase_index" -> (r05PhraseIndexSearch _)
+    "r05_phrase_index" -> (r05PhraseIndexSearch _),
+    "r06_hybrid_index" -> (r06HybridIndexSearch _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -257,6 +290,10 @@ object SearchQueries {
     // build(even)+add(odd)+positional-index serving must answer the
     // SAME phrase results as one-shot phraseTopK over the whole
     // corpus — the r04 replay IS the oracle
-    "r05_phrase_index" -> r04Oracle
+    "r05_phrase_index" -> r04Oracle,
+    // persisted lex index + exhaustive-probe persisted IVF index +
+    // RRF must answer the SAME fused ranking as the one-shot r02
+    // pipeline — the r02 replay IS the oracle
+    "r06_hybrid_index" -> r02Oracle
   )
 }

@@ -287,6 +287,48 @@ class SearchSpec extends SparkSpecBase {
     assert(hits("alpha") == Set(2L), "file-less residue must not block serving")
   }
 
+  test("hybridTopK: two persisted indexes ≡ one-shot BM25 + brute-force + RRF bit-exact") {
+    val vecs = clusteredRows
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val texts = vecs.map { case (id, _) =>
+      val c = (id / 100).toInt
+      (id, s"${words(c)} ${words((c + 1) % 8)} doc")
+    }
+    val ddf = texts.toDF("doc_id", "text")
+    val edf = vecs.toDF("vec_id", "embedding")
+    val baseD = ddf.filter(col("doc_id") % 100 >= 5)
+    val qD = ddf.filter(col("doc_id") % 100 < 5)
+    val baseE = edf.filter(col("vec_id") % 100 >= 5)
+    val qE = edf.filter(col("vec_id") % 100 < 5)
+    // one-shot composition — the r02 pipeline shape
+    val bm = graft.operators.Bm25.searchTopK(
+      baseD, col("doc_id"), col("text"), qD, col("doc_id"), col("text"), k = 10)
+      .select("q_id", "doc_id", "rank")
+    val vec = graft.operators.Ann.knnBruteForce(
+      baseE, col("vec_id"), col("embedding"), qE, col("vec_id"), col("embedding"), k = 10)
+      .select(col("q_id"), col("b_id").as("doc_id"), col("rank"))
+    val oneShot = graft.operators.Fusion.rrf(Seq(bm, vec), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    // persisted composition: lex index (build+add lifecycle) + IVF
+    // index queried exhaustively (nprobe = nlist) + the same fusion
+    val lexPath = java.nio.file.Files.createTempDirectory("graft_hyb_lex").toString + "/ix"
+    graft.operators.Bm25.buildLexIndex(
+      baseD.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), lexPath, nBuckets = 4)
+    graft.operators.Bm25.addToLexIndex(
+      spark, lexPath, baseD.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+    val annPath = java.nio.file.Files.createTempDirectory("graft_hyb_ann").toString + "/ix"
+    graft.operators.Ann.buildIvfIndex(
+      baseE, col("vec_id"), col("embedding"), annPath, nlist = 8)
+    val q = qD.join(qE.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+    val got = graft.operators.Fusion.hybridTopK(
+      spark, lexPath, annPath, q, col("doc_id"), col("text"), col("embedding"),
+      k = 5, kPerLeg = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == oneShot,
+      s"hybrid serving diverged from one-shot:\n  only served: ${got -- oneShot}\n  only one-shot: ${oneShot -- got}")
+    assert(got.nonEmpty)
+  }
+
   test("positional index: queryPhraseIndex ≡ one-shot phraseTopK bit-exact; pruned; legacy refuses") {
     val docs = Seq(
       (1L, "red banana pie"),
