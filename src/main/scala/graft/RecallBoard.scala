@@ -57,16 +57,16 @@ object RecallBoard {
     val paths: Seq[(String, DataFrame)] = Seq(
       "v03_knn_lsh" -> Ann.knnLsh(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, bits = 4, tables = 2),
+        k, bits = 4, tables = 6),
       "v05_knn_ivf" -> Ann.knnIvf(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, nlist = 8, nprobe = 3),
+        k, nlist = 8, nprobe = 4),
       "v09_knn_pq" -> Pq.knnPq(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, m = 8, kSub = 16, shortlist = 20),
+        k, m = 8, kSub = 32, shortlist = 100),
       "v10_knn_ivfpq" -> Pq.knnIvfPq(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, nlist = 8, nprobe = 3, m = 8, kSub = 16, shortlist = 20))
+        k, nlist = 8, nprobe = 5, m = 8, kSub = 32, shortlist = 100))
     paths.map { case (name, df) => name -> recallAtK(exact, df, k) }.toMap
   }
 

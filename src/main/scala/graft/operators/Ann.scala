@@ -707,6 +707,18 @@ object Ann {
     topkPerQuery(scored, k)
   }
 
+  /** Every b_id the persisted index currently serves — a NARROW
+    * id-only column scan of the base lake (parquet column pruning:
+    * nothing else is read). Works for both the IVF and the IVF-PQ
+    * layout (both store base rows keyed by `b_id`). The id surface
+    * for exactly-once stream ingest
+    * ([[graft.streaming.Streams.indexIngest]]'s dedupe leg); the lex
+    * twin is [[Bm25.lexIndexIds]].
+    */
+  def indexIds(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/base").select("b_id")
+
   /** Serving-side crash guard for the persisted index family: a
     * crashed removal (`base__remove_old`) or compaction
     * (`base__compact_old`) swap leaves some cell's only copy parked

@@ -64,7 +64,7 @@ object VectorQueries {
        |  CAST(SUM(CAST(ROUND(${duckNorm("embedding")} * 1000000) AS BIGINT)) AS BIGINT) AS sum_norm_micro
        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
-  /** Sign-LSH approximate KNN, two hash tables. The bucketing is pure
+  /** Sign-LSH approximate KNN, six hash tables. The bucketing is pure
     * integer/double arithmetic (sign_lsh — deterministic hyperplanes
     * from an (i, j) bit mix) and scoring is the strict-fold cosine, so
     * the DuckDB oracle replays the whole pipeline bit-for-bit; recall
@@ -75,7 +75,7 @@ object VectorQueries {
     Ann.knnLsh(
       e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
       e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
-      k = 5, bits = 4, tables = 2)
+      k = 5, bits = 4, tables = 6)
       .orderBy("q_id", "rank")
   }
 
@@ -98,7 +98,7 @@ object VectorQueries {
 
   val v03Oracle: String = {
     val bits = 4
-    val tables = 2
+    val tables = 6
     val k = 5
     def bucketed(arr: String) = (0 until tables).map(t =>
       s"STRUCT_PACK(t := $t, bucket := ${duckLshBucket(arr, t, bits)})").mkString(", ")
@@ -219,7 +219,7 @@ object VectorQueries {
     Ann.knnIvf(
       e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
       e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
-      k = 5, nlist = 8, nprobe = 3)
+      k = 5, nlist = 8, nprobe = 4)
       .orderBy("q_id", "rank")
   }
 
@@ -362,7 +362,7 @@ object VectorQueries {
     graft.operators.Pq.knnPq(
       e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
       e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
-      k = 5, m = 8, kSub = 16, shortlist = 20)
+      k = 5, m = 8, kSub = 32, shortlist = 100)
       .orderBy("q_id", "rank")
   }
 
@@ -378,7 +378,7 @@ object VectorQueries {
     graft.operators.Pq.knnIvfPq(
       e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
       e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
-      k = 5, nlist = 8, nprobe = 3, m = 8, kSub = 16, shortlist = 20)
+      k = 5, nlist = 8, nprobe = 5, m = 8, kSub = 32, shortlist = 100)
       .orderBy("q_id", "rank")
   }
 

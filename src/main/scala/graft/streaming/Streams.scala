@@ -132,26 +132,41 @@ object Streams {
     * micro-batch" are the SAME code path, and batch-add ≡ build-all
     * equivalence (spec-pinned per verb) carries over to the stream.
     *
-    * Delivery caveat, stated honestly: foreachBatch is AT-LEAST-ONCE
-    * on failure recovery — a replayed micro-batch would re-add its
-    * rows, and every add verb's contract requires NEW ids. The
-    * checkpoint makes replays rare (only the in-flight batch at a
-    * crash); an exactly-once deployment either dedups the increment
-    * against the index's current ids before calling this (an anti-join
-    * the caller owns, since only the caller knows the id column), or
-    * repairs with the index's remove verb. This is the standard
-    * Structured Streaming sink contract, not a graft-specific gap.
+    * Delivery: foreachBatch is AT-LEAST-ONCE on failure recovery — a
+    * replayed micro-batch would re-add its rows, and every add verb's
+    * contract requires NEW ids. Pass `dedupe = Some((idCol,
+    * currentIds))` and the ENGINE owns the exactly-once upgrade: each
+    * micro-batch is anti-joined against the index's current ids
+    * (re-read per batch, so earlier batches' adds are visible) before
+    * the add verb — a replayed batch dedupes to empty and the index is
+    * byte-identical (spec-pinned). `currentIds` is the index's id
+    * surface, a NARROW id-only scan: [[graft.operators.Ann.indexIds]]
+    * for the IVF/IVF-PQ lakes, [[graft.operators.Bm25.lexIndexIds]]
+    * for the lexical index — cost ∝ one column of the index, paid per
+    * micro-batch, the standard price of idempotence without a
+    * transactional sink. Without `dedupe` the caveat stands as before:
+    * replays are rare (only the in-flight batch at a crash) and the
+    * remove verb is the repair.
     */
   def indexIngest(
       stream: DataFrame, checkpoint: String,
-      add: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      add: DataFrame => Unit,
+      dedupe: Option[(String, () => DataFrame)] = None): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // efficiency skip, not a correctness guard: an empty add is a
-        // no-op for every verb, but it still pays a sidecar read +
-        // two-rename rewrite per idle trigger — skip the churn
-        if (!batch.isEmpty) add(batch)
+        val fresh = dedupe match {
+          case Some((idCol, currentIds)) =>
+            // the id surface is a ONE-column frame under the index's
+            // own name (b_id, doc_id, …) — align it to the stream's
+            // id column so callers never hand-rename
+            batch.join(currentIds().toDF(idCol), Seq(idCol), "left_anti")
+          case None => batch.toDF()
+        }
+        // efficiency skip AND the replay guard's no-op path: an empty
+        // add would still pay a sidecar read + two-rename rewrite per
+        // idle trigger (or per fully-deduped replay) — skip the churn
+        if (!fresh.isEmpty) add(fresh)
       }
       .start()
 

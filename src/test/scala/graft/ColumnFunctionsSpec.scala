@@ -528,15 +528,17 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     // candidate quality — this floor makes a probe/encode regression
     // fail the build. Data, seeds and params are fixed, so the measured
     // recalls are deterministic; floors sit just under the measured
-    // values (sf0.001: lsh .46, ivf .68, pq .38, ivfpq .38 — synthetic
-    // near-random embeddings bound intrinsic recall at these aggressive
-    // compression params; the clustered-fixture tests above assert the
-    // ≥0.85 contract where vector structure exists). The per-round
-    // artifact twin is RECALL_r{N}.json via graft.RecallBoard at sf0.01.
+    // values (sf0.001 at the round-8 tuned params — lsh 6 tables .72,
+    // ivf nprobe 4 .76, pq kSub 32/shortlist 100 .94, ivfpq nprobe 5
+    // .82; synthetic near-random embeddings bound intrinsic recall, and
+    // the clustered-fixture tests above assert the ≥0.85 contract where
+    // vector structure exists). The per-round artifact twin is
+    // RECALL_r{N}.json via graft.RecallBoard at sf0.01 (round 8: .74 /
+    // .76 / .92 / .86 — the ≥0.7-everywhere serving bar).
     val r = graft.RecallBoard.recalls(spark, sfDir)
     val floors = Map(
-      "v03_knn_lsh" -> 0.40, "v05_knn_ivf" -> 0.60,
-      "v09_knn_pq" -> 0.30, "v10_knn_ivfpq" -> 0.30)
+      "v03_knn_lsh" -> 0.65, "v05_knn_ivf" -> 0.70,
+      "v09_knn_pq" -> 0.85, "v10_knn_ivfpq" -> 0.75)
     for ((name, floor) <- floors)
       assert(r(name) >= floor, s"$name recall@5 ${r(name)} fell below pinned floor $floor")
   }

@@ -305,4 +305,63 @@ class StreamingSpec extends SparkSpecBase {
       .agg(sum("members")).head.getLong(0)
     assert(members == base.count(), s"occupancy $members != ${base.count()} after streamed adds")
   }
+
+  test("indexIngest dedupe: replaying a micro-batch leaves the index byte-identical") {
+    val dim = 16
+    def vec(cluster: Int, j: Int): Array[Float] = {
+      val a = new Array[Float](dim)
+      a(cluster * 2) = 1.0f
+      a(cluster * 2 + 1) = 0.5f
+      a((cluster + j) % dim) = a((cluster + j) % dim) + 0.05f * ((j % 5) + 1)
+      a
+    }
+    val rows = for (c <- 0 until 8; j <- 0 until 25) yield (c.toLong * 100 + j, vec(c, j))
+    val even = rows.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+    val odd = rows.filter(_._1 % 2 == 1)
+    val p = java.nio.file.Files.createTempDirectory("graft_ingest_idem").toString + "/ix"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_idem_ck").toString
+    graft.operators.Ann.buildIvfIndex(even, col("vec_id"), col("embedding"), p, nlist = 8)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Streams.indexIngest(
+      in.toDF().toDF("vec_id", "embedding"), ckpt,
+      batch => graft.operators.Ann.addToIvfIndex(
+        spark, p, batch, col("vec_id"), col("embedding")),
+      dedupe = Some(("vec_id", () => graft.operators.Ann.indexIds(spark, p))))
+    // full content + file-layout snapshot: the dedupe contract is
+    // "byte-identical index", not just "same query answers"
+    def snapshot(): (Set[(String, Long)], Long, Seq[org.apache.spark.sql.Row]) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val root = new java.io.File(p)
+      val files = walk(root)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath.stripPrefix(root.getAbsolutePath), f.length()))
+        .toSet
+      val members = spark.read.parquet(s"$p/codebook").agg(sum("members")).head.getLong(0)
+      val ids = spark.read.parquet(s"$p/base").select("b_id").orderBy("b_id").collect().toSeq
+      (files, members, ids)
+    }
+    try {
+      in.addData(odd: _*)
+      q.processAllAvailable()
+      val afterFirst = snapshot()
+      // the at-least-once hazard, simulated: the SAME rows arrive again
+      // (a replayed micro-batch after failure recovery). The anti-join
+      // against the index's current ids must skip the add entirely.
+      in.addData(odd: _*)
+      q.processAllAvailable()
+      assert(snapshot() == afterFirst,
+        "replayed micro-batch mutated the index (dedupe failed to make ingest idempotent)")
+      // a MIXED batch (replayed ids + genuinely new ids) adds ONLY the
+      // new ids — partial replays must not block fresh data
+      val extra = Seq((9000L, vec(3, 7)), (9001L, vec(5, 11)))
+      in.addData(odd.take(5) ++ extra: _*)
+      q.processAllAvailable()
+      val (_, members2, ids2) = snapshot()
+      assert(members2 == afterFirst._2 + 2, s"occupancy $members2 != ${afterFirst._2} + 2")
+      assert(ids2.map(_.getLong(0)).toSet ==
+        afterFirst._3.map(_.getLong(0)).toSet ++ Set(9000L, 9001L))
+    } finally q.stop()
+  }
 }
