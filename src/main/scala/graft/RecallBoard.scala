@@ -63,10 +63,10 @@ object RecallBoard {
         k, nlist = 8, nprobe = 4),
       "v09_knn_pq" -> Pq.knnPq(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, m = 8, kSub = 32, shortlist = 100),
+        k, m = 8, kSub = 24, shortlist = 100, maxFit = 20000L),
       "v10_knn_ivfpq" -> Pq.knnIvfPq(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, nlist = 8, nprobe = 5, m = 8, kSub = 32, shortlist = 100))
+        k, nlist = 8, nprobe = 5, m = 8, kSub = 32, shortlist = 100, maxFit = 20000L))
     paths.map { case (name, df) => name -> recallAtK(exact, df, k) }.toMap
   }
 

@@ -610,6 +610,14 @@ object Bm25 {
     graft.etl.Compact.swapInto(fs, tmp, target, old)
   }
 
+  /** Indexed-empty membership count, or None on a legacy
+    * pre-membership index — the observability surface for
+    * [[graft.pipeline.HtmlReport.indexInventory]]'s lex cards.
+    */
+  def lexEmptyDocCount(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[Long] =
+    readEmptyMembers(spark, path).map(_.count())
+
   /** Every doc_id the index currently serves: postings members plus
     * the indexed-empty docs. The id surface for exactly-once stream
     * ingest ([[graft.streaming.Streams.indexIngest]]'s dedup leg) —

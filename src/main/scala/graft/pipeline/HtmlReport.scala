@@ -210,6 +210,39 @@ object HtmlReport {
     Seq(proc, svc, net, persist).flatten
   }
 
+  /** Inventory cards for the persisted-index lifecycle — occupancy and
+    * live-cell split from an ANN index's codebook sidecar, corpus
+    * scalars and bucket count from a lex index's stats sidecar (plus
+    * the indexed-empty membership count when the record exists). The
+    * build/add/remove/compact verbs become OBSERVABLE on the same
+    * report surface as the collector inventory. All reads are bounded
+    * (codebook ≤ nlist rows, stats 1 row, membership an id-only
+    * frame); the postings/base lakes are never scanned.
+    */
+  def indexInventory(
+      spark: org.apache.spark.sql.SparkSession,
+      annIndexes: Seq[(String, String)] = Nil,
+      lexIndexes: Seq[(String, String)] = Nil): Seq[InventoryCard] = {
+    import org.apache.spark.sql.functions._
+    val ann = annIndexes.map { case (label, path) =>
+      val agg = spark.read.parquet(s"$path/codebook").agg(
+        coalesce(sum(col("members")), lit(0L)).as("occ"),
+        count(lit(1)).as("cells"),
+        count_if(col("members") > 0).as("live")).head()
+      InventoryCard(agg.getLong(0).toString, label,
+        s"${agg.getLong(2)}/${agg.getLong(1)} cells live")
+    }
+    val lex = lexIndexes.map { case (label, path) =>
+      val st = spark.read.parquet(s"$path/stats")
+        .select("n_docs", "total_tokens", "n_buckets").head()
+      val emptySub = graft.operators.Bm25.lexEmptyDocCount(spark, path)
+        .map(n => s" · $n empty").getOrElse("")
+      InventoryCard(st.getLong(0).toString, label,
+        s"${st.getLong(1)} tokens · ${st.getInt(2)} buckets$emptySub")
+    }
+    ann ++ lex
+  }
+
   def write(findings: DataFrame, title: String, path: String, topN: Int = 100,
       inventory: Seq[InventoryCard] = Nil, steps: Seq[Pipeline.StageResult] = Nil,
       resources: Seq[ResourceTable] = Nil): Unit =

@@ -354,15 +354,17 @@ object VectorQueries {
     * every reported sim is a true cosine and the same self-verifying
     * oracle contract applies (candidate selection stays engine-side,
     * like v05's cells; recall vs brute force is ScalaTest-measured).
-    * kSub=16 because the oracle-scale corpus is 490 vectors — the
-    * 100 TB setting is 256 (one byte per code).
+    * kSub=24 (with a 20k fit-sample cap) because the
+    * oracle-scale corpus is 490 vectors and the on-the-fly form
+    * re-encodes the base per call — the 100 TB setting is 256 on the
+    * PERSISTED index, which pays encode once at build (one byte per code).
     */
   def v09KnnPq(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     graft.operators.Pq.knnPq(
       e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
       e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
-      k = 5, m = 8, kSub = 32, shortlist = 100)
+      k = 5, m = 8, kSub = 24, shortlist = 100, maxFit = 20000L)
       .orderBy("q_id", "rank")
   }
 
@@ -378,7 +380,7 @@ object VectorQueries {
     graft.operators.Pq.knnIvfPq(
       e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
       e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
-      k = 5, nlist = 8, nprobe = 5, m = 8, kSub = 32, shortlist = 100)
+      k = 5, nlist = 8, nprobe = 5, m = 8, kSub = 32, shortlist = 100, maxFit = 20000L)
       .orderBy("q_id", "rank")
   }
 

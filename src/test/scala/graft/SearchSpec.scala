@@ -466,6 +466,35 @@ class SearchSpec extends SparkSpecBase {
       .as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("indexInventory: lifecycle observability cards from sidecars; rendered through the report") {
+    val ddf = Seq((1L, "alpha beta"), (2L, ""), (3L, "gamma")).toDF("doc_id", "text")
+    val lexP = java.nio.file.Files.createTempDirectory("graft_inv_lex").toString + "/ix"
+    graft.operators.Bm25.buildLexIndex(ddf, col("doc_id"), col("text"), lexP, nBuckets = 4)
+    val annP = java.nio.file.Files.createTempDirectory("graft_inv_ann").toString + "/ix"
+    graft.operators.Ann.buildIvfIndex(
+      clusteredRows.toDF("vec_id", "embedding"), col("vec_id"), col("embedding"),
+      annP, nlist = 8)
+    val cards = graft.pipeline.HtmlReport.indexInventory(
+      spark,
+      annIndexes = Seq(("Vector Index", annP)),
+      lexIndexes = Seq(("Lex Index", lexP)))
+    assert(cards.size == 2, s"$cards")
+    val ann = cards.find(_.label == "Vector Index").get
+    assert(ann.value == "200", s"ANN occupancy card: $ann") // 8 clusters × 25
+    assert(ann.sublabel.endsWith("/8 cells live"), s"$ann")
+    val lex = cards.find(_.label == "Lex Index").get
+    assert(lex.value == "3", s"lex n_docs card: $lex")
+    assert(lex.sublabel == "3 tokens · 4 buckets · 1 empty", s"$lex")
+    // the cards ride the standard report surface (golden fragment)
+    val findings = Seq(("high", "process", "t", "r", "s"))
+      .toDF("severity", "domain", "title", "resource", "source")
+    val html = graft.pipeline.HtmlReport.render(
+      findings, "Index report", inventory = cards)
+    assert(html.contains("System Inventory"))
+    assert(html.contains("Vector Index") &&
+      html.contains("3 tokens · 4 buckets · 1 empty"), html.substring(0, 200))
+  }
+
   test("ANN index serving guard: a crashed-swap parked tree blocks queries loudly") {
     val df = clusteredRows.toDF("vec_id", "embedding")
     val base = df.filter(col("vec_id") % 100 >= 5)
