@@ -1,0 +1,387 @@
+package graft.serve
+
+import java.io.{BufferedReader, InputStream, InputStreamReader, OutputStream, PrintWriter}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.TimeUnit
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** S15 — the reference's MCP tool surface
+  * (/root/reference/src/mcp_server.py:17-326), rebuilt as a
+  * dependency-free JSON-RPC 2.0 stdio server (the public MCP wire
+  * protocol: newline-delimited JSON-RPC, `initialize` / `tools/list` /
+  * `tools/call`).
+  *
+  * Semantics mirrored from the reference:
+  *   - seven tools: read_file, write_file, list_directory,
+  *     execute_command, create_directory, delete_file, get_file_info
+  *     (mcp_server.py:43-281);
+  *   - path allowlist with strict/permissive modes — permissive allows
+  *     everything, strict with an EMPTY allowlist also allows everything
+  *     (mcp_server.py:283-299), otherwise the resolved path must sit
+  *     under an allowed root;
+  *   - command allowlist with the reference's default set
+  *     (mcp_server.py:33-35), 30 s timeout (mcp_server.py:158-163);
+  *   - max_file_size cap on reads (mcp_server.py:55-56, default 100 MB);
+  *   - every successful tool call appends a FileSystemEvent
+  *     (mcp_server.py:301-310).
+  *
+  * Errors return an MCP tool result with `isError: true` and an
+  * `Error: …` text body — NOT a JSON-RPC error — matching the
+  * reference's CallToolResult(isError=True) convention. JSON-RPC errors
+  * are reserved for protocol failures (parse error, unknown method).
+  *
+  * This is a driver-side serving shim by design: the filesystem verbs
+  * are inherently single-node, and the DATA-plane twin of the
+  * reference's indexing/query surface lives in the Spark operators
+  * ([[graft.index.FileIndex]], [[graft.operators.Bm25]], …). The HTTP
+  * analytics surface ([[graft.serve.HttpApi]]) is where serving meets
+  * the engine.
+  */
+object Mcp {
+
+  /** mcp_server.py:19-25 */
+  final case class McpConfig(
+      enabled: Boolean = true,
+      allowedPaths: Seq[String] = Nil,
+      maxFileSize: Long = 100L * 1024 * 1024,
+      allowedCommands: Set[String] = DefaultCommands,
+      securityMode: String = "strict" // strict | permissive
+  )
+
+  /** mcp_server.py:33-35 */
+  val DefaultCommands: Set[String] =
+    Set("python", "pip", "git", "curl", "wget", "ls", "cat", "grep", "find")
+
+  /** Reference FileSystemEvent (src/models.py via mcp_server.py:301-310). */
+  final case class FsEvent(
+      seq: Long,
+      eventType: String,
+      path: String,
+      metadata: Map[String, String]
+  )
+
+  /** Reference CallToolResult: text content + isError flag. */
+  final case class ToolResult(text: String, isError: Boolean)
+
+  /** Tool metadata served by `tools/list` (name, description, and the
+    * JSON-schema property names with their required subset).
+    */
+  final case class ToolSpec(
+      name: String,
+      description: String,
+      params: Seq[(String, String)], // (name, json type)
+      required: Seq[String]
+  )
+
+  val ToolSpecs: Seq[ToolSpec] = Seq(
+    ToolSpec("read_file", "Read a file from the filesystem",
+      Seq("path" -> "string", "encoding" -> "string"), Seq("path")),
+    ToolSpec("write_file", "Write content to a file",
+      Seq("path" -> "string", "content" -> "string", "encoding" -> "string"),
+      Seq("path", "content")),
+    ToolSpec("list_directory", "List contents of a directory",
+      Seq("path" -> "string"), Seq("path")),
+    ToolSpec("execute_command", "Execute a system command",
+      Seq("command" -> "string", "args" -> "array", "cwd" -> "string"),
+      Seq("command")),
+    ToolSpec("create_directory", "Create a directory",
+      Seq("path" -> "string", "parents" -> "boolean"), Seq("path")),
+    ToolSpec("delete_file", "Delete a file or directory",
+      Seq("path" -> "string"), Seq("path")),
+    ToolSpec("get_file_info", "Get file information",
+      Seq("path" -> "string"), Seq("path"))
+  )
+
+  /** The seven reference tools plus the security guards and event log.
+    * Pure of any transport — [[McpServer]] adds the JSON-RPC framing,
+    * [[graft.serve.HttpApi]] reuses the event log for `/events`.
+    */
+  final class Tools(val config: McpConfig) {
+    private val resolvedRoots: Seq[Path] =
+      config.allowedPaths.map(p => Paths.get(p).toAbsolutePath.normalize)
+    private val seq = new AtomicLong(0L)
+    private val eventBuf = ArrayBuffer.empty[FsEvent]
+
+    /** mcp_server.py:283-299 — permissive ⇒ all; empty allowlist ⇒ all;
+      * else resolved-prefix containment.
+      */
+    def pathAllowed(path: String): Boolean = {
+      if (config.securityMode == "permissive") true
+      else if (resolvedRoots.isEmpty) true
+      else
+        try {
+          val p = Paths.get(path).toAbsolutePath.normalize
+          resolvedRoots.exists(root => p.startsWith(root))
+        } catch { case NonFatal(_) => false }
+    }
+
+    /** mcp_server.py:312-318 */
+    def commandAllowed(command: String): Boolean =
+      config.securityMode == "permissive" || config.allowedCommands.contains(command)
+
+    def logEvent(eventType: String, path: String, metadata: Map[String, String]): Unit =
+      eventBuf.synchronized {
+        eventBuf += FsEvent(seq.incrementAndGet(), eventType, path, metadata)
+      }
+
+    def events: Seq[FsEvent] = eventBuf.synchronized(eventBuf.toVector)
+
+    private def err(e: Throwable): ToolResult =
+      ToolResult(s"Error: ${e.getMessage}", isError = true)
+
+    private def guarded(body: => ToolResult): ToolResult =
+      try body catch { case NonFatal(e) => err(e) }
+
+    def readFile(path: String, encoding: String = "utf-8"): ToolResult = guarded {
+      if (!pathAllowed(path)) throw new SecurityException(s"Access denied to path: $path")
+      val p = Paths.get(path).toAbsolutePath.normalize
+      if (!Files.exists(p)) throw new java.io.FileNotFoundException(s"File not found: $path")
+      val size = Files.size(p)
+      if (size > config.maxFileSize) throw new IllegalArgumentException(s"File too large: $size bytes")
+      val content = new String(Files.readAllBytes(p), encoding)
+      logEvent("read_file", p.toString, Map("size" -> content.length.toString))
+      ToolResult(content, isError = false)
+    }
+
+    def writeFile(path: String, content: String, encoding: String = "utf-8"): ToolResult = guarded {
+      if (!pathAllowed(path)) throw new SecurityException(s"Access denied to path: $path")
+      val p = Paths.get(path).toAbsolutePath.normalize
+      Option(p.getParent).foreach(Files.createDirectories(_))
+      Files.write(p, content.getBytes(encoding))
+      logEvent("write_file", p.toString, Map("size" -> content.length.toString))
+      ToolResult(s"Successfully wrote ${content.length} characters to $path", isError = false)
+    }
+
+    def listDirectory(path: String): ToolResult = guarded {
+      if (!pathAllowed(path)) throw new SecurityException(s"Access denied to path: $path")
+      val p = Paths.get(path).toAbsolutePath.normalize
+      if (!Files.exists(p)) throw new java.io.FileNotFoundException(s"Directory not found: $path")
+      if (!Files.isDirectory(p)) throw new IllegalArgumentException(s"Not a directory: $path")
+      val items = Files.list(p).iterator.asScala.toVector.sortBy(_.getFileName.toString).map { item =>
+        JObject(
+          "name" -> JString(item.getFileName.toString),
+          "path" -> JString(item.toString),
+          "type" -> JString(if (Files.isDirectory(item)) "directory" else "file"),
+          "size" -> JLong(Files.size(item)),
+          "modified" -> JLong(Files.getLastModifiedTime(item).toMillis)
+        )
+      }
+      logEvent("list_directory", p.toString, Map("count" -> items.size.toString))
+      ToolResult(JsonMethods.pretty(JsonMethods.render(JArray(items.toList))), isError = false)
+    }
+
+    /** mcp_server.py:144-186 — allowlisted command, optional args/cwd,
+      * 30 s timeout, JSON {returncode, stdout, stderr}; nonzero exit ⇒
+      * isError (matching the reference's `isError=result.returncode != 0`).
+      */
+    def executeCommand(command: String, args: Seq[String] = Nil, cwd: Option[String] = None): ToolResult = guarded {
+      if (!commandAllowed(command)) throw new SecurityException(s"Command not allowed: $command")
+      cwd.foreach { d =>
+        if (!pathAllowed(d)) throw new SecurityException(s"Access denied to working directory: $d")
+      }
+      val pb = new ProcessBuilder((command +: args).asJava)
+      cwd.foreach(d => pb.directory(new java.io.File(d)))
+      val proc = pb.start()
+      proc.getOutputStream.close()
+      val stdout = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      val stderr = new String(proc.getErrorStream.readAllBytes(), StandardCharsets.UTF_8)
+      if (!proc.waitFor(30, TimeUnit.SECONDS)) {
+        proc.destroyForcibly()
+        throw new RuntimeException(s"Command timed out: $command")
+      }
+      val rc = proc.exitValue()
+      logEvent("execute_command", (command +: args).mkString(" "),
+        Map("returncode" -> rc.toString) ++ cwd.map("cwd" -> _))
+      val out = JObject(
+        "returncode" -> JInt(rc),
+        "stdout" -> JString(stdout),
+        "stderr" -> JString(stderr))
+      ToolResult(JsonMethods.pretty(JsonMethods.render(out)), isError = rc != 0)
+    }
+
+    def createDirectory(path: String, parents: Boolean = true): ToolResult = guarded {
+      if (!pathAllowed(path)) throw new SecurityException(s"Access denied to path: $path")
+      val p = Paths.get(path).toAbsolutePath.normalize
+      if (parents) Files.createDirectories(p)
+      else if (!Files.exists(p)) Files.createDirectory(p)
+      logEvent("create_directory", p.toString, Map("parents" -> parents.toString))
+      ToolResult(s"Successfully created directory: $path", isError = false)
+    }
+
+    def deleteFile(path: String): ToolResult = guarded {
+      if (!pathAllowed(path)) throw new SecurityException(s"Access denied to path: $path")
+      val p = Paths.get(path).toAbsolutePath.normalize
+      if (!Files.exists(p)) throw new java.io.FileNotFoundException(s"Path not found: $path")
+      val op =
+        if (Files.isDirectory(p)) {
+          // rmtree: delete children depth-first (mcp_server.py:225-228)
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+            .iterator.asScala.foreach(Files.delete(_))
+          "delete_directory"
+        } else {
+          Files.delete(p)
+          "delete_file"
+        }
+      logEvent(op, p.toString, Map.empty)
+      ToolResult(s"Successfully deleted: $path", isError = false)
+    }
+
+    def getFileInfo(path: String): ToolResult = guarded {
+      if (!pathAllowed(path)) throw new SecurityException(s"Access denied to path: $path")
+      val p = Paths.get(path).toAbsolutePath.normalize
+      if (!Files.exists(p)) throw new java.io.FileNotFoundException(s"Path not found: $path")
+      val isDir = Files.isDirectory(p)
+      val info = JObject(
+        "path" -> JString(p.toString),
+        "name" -> JString(p.getFileName.toString),
+        "type" -> JString(if (isDir) "directory" else "file"),
+        "size" -> JLong(Files.size(p)),
+        "modified" -> JLong(Files.getLastModifiedTime(p).toMillis))
+      logEvent("get_file_info", p.toString,
+        Map("type" -> (if (isDir) "directory" else "file"), "size" -> Files.size(p).toString))
+      ToolResult(JsonMethods.pretty(JsonMethods.render(info)), isError = false)
+    }
+
+    /** Dispatch by tool name with json4s argument extraction — the
+      * `tools/call` target. Unknown tool ⇒ isError result (MCP keeps
+      * protocol-level errors for protocol failures only).
+      */
+    def call(name: String, args: JValue): ToolResult = {
+      def str(k: String): Option[String] = args \ k match {
+        case JString(s) => Some(s)
+        case _          => None
+      }
+      def strReq(k: String): String =
+        str(k).getOrElse(throw new IllegalArgumentException(s"missing required argument: $k"))
+      def bool(k: String, dflt: Boolean): Boolean = args \ k match {
+        case JBool(b) => b
+        case _        => dflt
+      }
+      def strs(k: String): Seq[String] = args \ k match {
+        case JArray(xs) => xs.collect { case JString(s) => s }
+        case _          => Nil
+      }
+      try name match {
+        case "read_file"        => readFile(strReq("path"), str("encoding").getOrElse("utf-8"))
+        case "write_file"       => writeFile(strReq("path"), strReq("content"), str("encoding").getOrElse("utf-8"))
+        case "list_directory"   => listDirectory(strReq("path"))
+        case "execute_command"  => executeCommand(strReq("command"), strs("args"), str("cwd"))
+        case "create_directory" => createDirectory(strReq("path"), bool("parents", dflt = true))
+        case "delete_file"      => deleteFile(strReq("path"))
+        case "get_file_info"    => getFileInfo(strReq("path"))
+        case other              => ToolResult(s"Error: unknown tool: $other", isError = true)
+      } catch { case NonFatal(e) => ToolResult(s"Error: ${e.getMessage}", isError = true) }
+    }
+  }
+
+  // ---------------------------------------------------------------- protocol
+
+  /** JSON-RPC 2.0 framing for the MCP stdio transport: one JSON object
+    * per line. Handles `initialize`, `tools/list`, `tools/call`,
+    * `ping`; notifications (no id) get no response per JSON-RPC 2.0.
+    */
+  final class McpServer(val tools: Tools, serverName: String = "graft-filesystem") {
+
+    private def result(id: JValue, r: JValue): JValue =
+      JObject("jsonrpc" -> JString("2.0"), "id" -> id, "result" -> r)
+
+    private def rpcError(id: JValue, code: Int, message: String): JValue =
+      JObject("jsonrpc" -> JString("2.0"), "id" -> id,
+        "error" -> JObject("code" -> JInt(code), "message" -> JString(message)))
+
+    private def toolListJson: JValue = JObject(
+      "tools" -> JArray(ToolSpecs.map { t =>
+        JObject(
+          "name" -> JString(t.name),
+          "description" -> JString(t.description),
+          "inputSchema" -> JObject(
+            "type" -> JString("object"),
+            "properties" -> JObject(t.params.map { case (n, ty) =>
+              n -> (JObject("type" -> JString(ty)): JValue)
+            }.toList),
+            "required" -> JArray(t.required.map(JString(_)).toList)))
+      }.toList))
+
+    /** One request → Some(response) | None (notification). */
+    def handle(req: JValue): Option[JValue] = {
+      val id = req \ "id"
+      val isNotification = id == JNothing
+      def respond(r: JValue): Option[JValue] = if (isNotification) None else Some(r)
+      (req \ "method") match {
+        case JString("initialize") =>
+          respond(result(id, JObject(
+            "protocolVersion" -> JString("2024-11-05"),
+            "capabilities" -> JObject("tools" -> JObject()),
+            "serverInfo" -> JObject(
+              "name" -> JString(serverName),
+              "version" -> JString("1.0")))))
+        case JString("ping") =>
+          respond(result(id, JObject()))
+        case JString("tools/list") =>
+          respond(result(id, toolListJson))
+        case JString("tools/call") =>
+          val name = (req \ "params" \ "name") match {
+            case JString(s) => s
+            case _          => ""
+          }
+          val args = (req \ "params" \ "arguments") match {
+            case JNothing => JObject()
+            case v        => v
+          }
+          val r = tools.call(name, args)
+          respond(result(id, JObject(
+            "content" -> JArray(List(JObject(
+              "type" -> JString("text"), "text" -> JString(r.text)))),
+            "isError" -> JBool(r.isError))))
+        case JString(m) if m.startsWith("notifications/") =>
+          None
+        case JString(other) =>
+          respond(rpcError(id, -32601, s"Method not found: $other"))
+        case _ =>
+          respond(rpcError(id, -32600, "Invalid request: missing method"))
+      }
+    }
+
+    /** Newline-delimited serve loop; parse errors answer -32700 as
+      * JSON-RPC requires. Blocks until EOF on `in`.
+      */
+    def serve(in: InputStream, out: OutputStream): Unit = {
+      val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+      val writer = new PrintWriter(new java.io.OutputStreamWriter(out, StandardCharsets.UTF_8), true)
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.trim.nonEmpty) {
+          val response: Option[JValue] =
+            try handle(JsonMethods.parse(line))
+            catch {
+              case NonFatal(_) =>
+                Some(JObject("jsonrpc" -> JString("2.0"), "id" -> JNull,
+                  "error" -> JObject("code" -> JInt(-32700), "message" -> JString("Parse error"))))
+            }
+          response.foreach(r => writer.println(JsonMethods.compact(JsonMethods.render(r))))
+        }
+        line = reader.readLine()
+      }
+    }
+  }
+
+  /** Entry point: `graft.serve.Mcp` serves stdio with paths/commands
+    * from GRAFT_MCP_ALLOWED_PATHS (pathsep-joined) /
+    * GRAFT_MCP_SECURITY_MODE.
+    */
+  def main(args: Array[String]): Unit = {
+    val roots = sys.env.get("GRAFT_MCP_ALLOWED_PATHS")
+      .map(_.split(java.io.File.pathSeparator).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val mode = sys.env.getOrElse("GRAFT_MCP_SECURITY_MODE", "strict")
+    val cfg = McpConfig(allowedPaths = roots, securityMode = mode)
+    new McpServer(new Tools(cfg)).serve(System.in, System.out)
+  }
+}
