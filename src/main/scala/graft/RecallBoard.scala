@@ -57,16 +57,16 @@ object RecallBoard {
     val paths: Seq[(String, DataFrame)] = Seq(
       "v03_knn_lsh" -> Ann.knnLsh(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, bits = 4, tables = 6),
+        k, bits = 4, tables = 4, multiprobe = true),
       "v05_knn_ivf" -> Ann.knnIvf(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, nlist = 8, nprobe = 4),
+        k, nlist = 8, nprobe = 6),
       "v09_knn_pq" -> Pq.knnPq(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
         k, m = 8, kSub = 24, shortlist = 100, maxFit = 20000L),
       "v10_knn_ivfpq" -> Pq.knnIvfPq(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, nlist = 8, nprobe = 5, m = 8, kSub = 32, shortlist = 100, maxFit = 20000L))
+        k, nlist = 8, nprobe = 6, m = 8, kSub = 32, shortlist = 150, maxFit = 20000L))
     paths.map { case (name, df) => name -> recallAtK(exact, df, k) }.toMap
   }
 

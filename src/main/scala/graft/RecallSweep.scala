@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Ann, Pq}
+
+/** Parameter sweep behind the shipped ANN configs: prints recall@5 and
+  * wall time for a grid of LSH / IVF settings against brute force on
+  * `embeddings`. This is the measurement loop [[RecallBoard]] pins the
+  * winners of — run it when retuning, read the (recall, seconds) pairs,
+  * move the chosen params into the oracle queries + RecallBoard + the
+  * spec floors. Not part of any gate.
+  */
+object RecallSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val spark = GraftSession.builder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val base = e.filter(col("vec_id") >= 10)
+    val qs = e.filter(col("vec_id") < 10)
+    val k = 5
+    val exact = Ann.knnBruteForce(
+      base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"), k)
+    exact.cache().count()
+
+    def timeRecall(name: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val r = RecallBoard.recallAtK(exact, df, k)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[sweep] $name%-46s recall@5=$r%.3f  ${sec}%.2fs")
+    }
+
+    for {
+      bits <- Seq(4, 5)
+      tables <- Seq(3, 4, 6)
+      mp <- Seq(false, true)
+    } timeRecall(s"lsh bits=$bits tables=$tables multiprobe=$mp",
+      Ann.knnLsh(base, col("vec_id"), col("embedding"),
+        qs, col("vec_id"), col("embedding"), k, bits, tables, mp))
+
+    for (nprobe <- Seq(4, 5, 6))
+      timeRecall(s"ivf nlist=8 nprobe=$nprobe",
+        Ann.knnIvf(base, col("vec_id"), col("embedding"),
+          qs, col("vec_id"), col("embedding"), k, nlist = 8, nprobe = nprobe))
+
+    for { nprobe <- Seq(5, 6); shortlist <- Seq(100, 150) }
+      timeRecall(s"ivfpq nlist=8 nprobe=$nprobe m=8 kSub=32 shortlist=$shortlist",
+        Pq.knnIvfPq(base, col("vec_id"), col("embedding"),
+          qs, col("vec_id"), col("embedding"), k,
+          nlist = 8, nprobe = nprobe, m = 8, kSub = 32,
+          shortlist = shortlist, maxFit = 20000L))
+
+    spark.stop()
+  }
+}

@@ -817,14 +817,25 @@ object Ann {
   /** Approximate top-k via sign-LSH bucketing: candidates are base rows
     * sharing the query's bucket in ANY of `tables` independent hash
     * tables; rank within the deduplicated candidate set. Recall rises
-    * with fewer bits (bigger buckets) and with more tables (the
-    * standard multi-table LSH recall knob — candidate volume scales
-    * ∝ tables, each table still an equi-join).
+    * with fewer bits (bigger buckets), with more tables (the standard
+    * multi-table LSH recall knob — candidate volume scales ∝ tables,
+    * each table still an equi-join), and with `multiprobe`.
+    *
+    * `multiprobe` additionally probes every Hamming-1 neighbor of the
+    * query's bucket in each table (bucket ⊕ 2^j for each plane j) —
+    * a near-miss on a single hyperplane no longer loses the
+    * candidate. The expansion is QUERY-side only: the base keeps
+    * exactly `tables` bucket entries per row, so at scale the
+    * shuffled/broadcast index footprint is unchanged and only the tiny
+    * query side fans out ×(bits+1). That makes multiprobe the cheap
+    * recall knob (more tables grow the base-side footprint linearly;
+    * probing grows nothing but the probe list).
     */
   def knnLsh(
       base: DataFrame, baseId: Column, baseVec: Column,
       queries: DataFrame, qId: Column, qVec: Column,
-      k: Int, bits: Int = 8, tables: Int = 1): DataFrame = {
+      k: Int, bits: Int = 8, tables: Int = 1,
+      multiprobe: Boolean = false): DataFrame = {
     require(tables >= 1, "tables must be >= 1")
     val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
@@ -838,14 +849,26 @@ object Ann {
       "tb",
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), Vectors.signLsh(col(vec), bits, t).as("bucket"))): _*)))
+    // query-side probe expansion: the exact bucket plus (multiprobe)
+    // each 1-bit flip. Within one table the probe buckets are pairwise
+    // distinct, so no within-table duplicate candidates arise
+    val qBucketed0 = bucketed(q0, "q_emb")
+    val qBucketed =
+      if (!multiprobe) qBucketed0
+      else qBucketed0.withColumn("tb", explode(array(
+        (lit(0L) +: (0 until bits).map(j => lit(1L << j))).map(m =>
+          struct(col("tb.t").as("t"),
+            col("tb.bucket").bitwiseXOR(m).as("bucket"))): _*)))
     val scored0 = bucketed(b0, "b_emb").join(
-        broadcast(bucketed(q0, "q_emb").select(col("tb"), col("q_id"), col("q_emb"), col("q_nrm"))),
+        broadcast(qBucketed.select(col("tb"), col("q_id"), col("q_emb"), col("q_nrm"))),
         "tb")
       .select(col("q_id"), col("b_id"),
         (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
     // a pair colliding in several tables would occupy several top-k
     // slots — dedup AFTER scoring so the shuffle ships the narrow
-    // (q_id, b_id, sim) projection, not embedding arrays
+    // (q_id, b_id, sim) projection, not embedding arrays. Within ONE
+    // table no dup is possible even under multiprobe: the probe
+    // buckets are pairwise distinct and a base row holds one bucket
     val scored = if (tables == 1) scored0 else scored0.dropDuplicates("q_id", "b_id")
     topkPerQuery(scored, k)
   }
