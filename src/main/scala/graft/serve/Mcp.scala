@@ -47,13 +47,17 @@ import org.json4s.jackson.JsonMethods
   */
 object Mcp {
 
-  /** mcp_server.py:19-25 */
+  /** mcp_server.py:19-25; commandTimeoutSeconds is the reference's
+    * hardcoded 30 s subprocess timeout (mcp_server.py:162), made
+    * configurable so the timeout path is spec-testable.
+    */
   final case class McpConfig(
       enabled: Boolean = true,
       allowedPaths: Seq[String] = Nil,
       maxFileSize: Long = 100L * 1024 * 1024,
       allowedCommands: Set[String] = DefaultCommands,
-      securityMode: String = "strict" // strict | permissive
+      securityMode: String = "strict", // strict | permissive
+      commandTimeoutSeconds: Long = 30L
   )
 
   /** mcp_server.py:33-35 */
@@ -165,7 +169,9 @@ object Mcp {
       val p = Paths.get(path).toAbsolutePath.normalize
       if (!Files.exists(p)) throw new java.io.FileNotFoundException(s"Directory not found: $path")
       if (!Files.isDirectory(p)) throw new IllegalArgumentException(s"Not a directory: $path")
-      val items = Files.list(p).iterator.asScala.toVector.sortBy(_.getFileName.toString).map { item =>
+      val stream = Files.list(p)
+      val children = try stream.iterator.asScala.toVector finally stream.close() // fd leak otherwise
+      val items = children.sortBy(_.getFileName.toString).map { item =>
         JObject(
           "name" -> JString(item.getFileName.toString),
           "path" -> JString(item.toString),
@@ -179,8 +185,13 @@ object Mcp {
     }
 
     /** mcp_server.py:144-186 — allowlisted command, optional args/cwd,
-      * 30 s timeout, JSON {returncode, stdout, stderr}; nonzero exit ⇒
-      * isError (matching the reference's `isError=result.returncode != 0`).
+      * bounded timeout, JSON {returncode, stdout, stderr}; nonzero exit
+      * ⇒ isError (matching the reference's
+      * `isError=result.returncode != 0`). Output is drained on
+      * background threads so the timeout governs a HUNG command too —
+      * reading to EOF on the caller thread would block past any
+      * deadline until the child exits, and waiting first instead would
+      * deadlock a child that fills the pipe buffer.
       */
     def executeCommand(command: String, args: Seq[String] = Nil, cwd: Option[String] = None): ToolResult = guarded {
       if (!commandAllowed(command)) throw new SecurityException(s"Command not allowed: $command")
@@ -191,12 +202,22 @@ object Mcp {
       cwd.foreach(d => pb.directory(new java.io.File(d)))
       val proc = pb.start()
       proc.getOutputStream.close()
-      val stdout = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
-      val stderr = new String(proc.getErrorStream.readAllBytes(), StandardCharsets.UTF_8)
-      if (!proc.waitFor(30, TimeUnit.SECONDS)) {
+      val outBuf = new java.io.ByteArrayOutputStream()
+      val errBuf = new java.io.ByteArrayOutputStream()
+      def drain(in: InputStream, to: java.io.ByteArrayOutputStream): Thread = {
+        val t = new Thread(() => try { in.transferTo(to): Unit } catch { case NonFatal(_) => () })
+        t.setDaemon(true); t.start(); t
+      }
+      val tOut = drain(proc.getInputStream, outBuf)
+      val tErr = drain(proc.getErrorStream, errBuf)
+      if (!proc.waitFor(config.commandTimeoutSeconds, TimeUnit.SECONDS)) {
         proc.destroyForcibly()
+        proc.waitFor()
         throw new RuntimeException(s"Command timed out: $command")
       }
+      tOut.join(5000); tErr.join(5000)
+      val stdout = new String(outBuf.toByteArray, StandardCharsets.UTF_8)
+      val stderr = new String(errBuf.toByteArray, StandardCharsets.UTF_8)
       val rc = proc.exitValue()
       logEvent("execute_command", (command +: args).mkString(" "),
         Map("returncode" -> rc.toString) ++ cwd.map("cwd" -> _))
@@ -223,8 +244,11 @@ object Mcp {
       val op =
         if (Files.isDirectory(p)) {
           // rmtree: delete children depth-first (mcp_server.py:225-228)
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-            .iterator.asScala.foreach(Files.delete(_))
+          val walk = Files.walk(p)
+          val victims =
+            try walk.sorted(java.util.Comparator.reverseOrder[Path]()).iterator.asScala.toVector
+            finally walk.close() // fd leak otherwise
+          victims.foreach(Files.delete(_))
           "delete_directory"
         } else {
           Files.delete(p)

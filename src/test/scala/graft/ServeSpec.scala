@@ -111,6 +111,18 @@ class ServeSpec extends SparkSpecBase {
     assert((JsonMethods.parse(fail.text) \ "returncode") != JInt(0))
   }
 
+  test("mcp: a hung command hits the timeout, not a forever-block") {
+    val root = tmpDir("mcp")
+    val t = new Mcp.Tools(Mcp.McpConfig(
+      allowedPaths = Seq(root), allowedCommands = Set("sleep"),
+      commandTimeoutSeconds = 1L))
+    val t0 = System.nanoTime()
+    val r = t.executeCommand("sleep", Seq("30"))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(r.isError && r.text.contains("timed out"), r.text)
+    assert(sec < 10.0, s"timeout took ${sec}s — output drain is blocking the deadline")
+  }
+
   test("mcp: event log records successful operations in order") {
     val root = tmpDir("mcp")
     val t = toolsIn(root)
