@@ -140,6 +140,7 @@ final class HttpApi(
   private val scanHistory = ArrayBuffer.empty[ScanRecord]
   private val metricsHistory = ArrayBuffer.empty[JValue]
   private var server: Option[HttpServer] = None
+  private var executor: Option[java.util.concurrent.ExecutorService] = None
 
   def registerJob(j: JobRecord): Unit = jobHistory.synchronized { jobHistory += j }
   def registerScheduled(j: ScheduledJobRecord): Unit = scheduled.synchronized { scheduled += j }
@@ -386,7 +387,9 @@ final class HttpApi(
   /** Bind and start; port 0 picks an ephemeral port. Returns the bound port. */
   def start(port: Int = 8080): Int = {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    s.setExecutor(Executors.newFixedThreadPool(4))
+    val pool = Executors.newFixedThreadPool(4)
+    s.setExecutor(pool)
+    executor = Some(pool)
     s.createContext("/health", handler { _ =>
       (200, JObject("status" -> JString("healthy"), "timestamp" -> JString(Instant.now.toString)))
     })
@@ -449,5 +452,7 @@ final class HttpApi(
   def stop(): Unit = {
     server.foreach(_.stop(0))
     server = None
+    executor.foreach(_.shutdown()) // HttpServer.stop does not stop its executor
+    executor = None
   }
 }

@@ -157,10 +157,16 @@ object Streams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val fresh = dedupe match {
           case Some((idCol, currentIds)) =>
-            // the id surface is a ONE-column frame under the index's
-            // own name (b_id, doc_id, …) — align it to the stream's
-            // id column so callers never hand-rename
-            batch.join(currentIds().toDF(idCol), Seq(idCol), "left_anti")
+            // two dup sources, two guards: dropDuplicates kills an id
+            // delivered twice WITHIN one micro-batch (an id-keyed
+            // stream means any instance is the same doc — the add
+            // verbs' NEW-ids contract would reject the batch
+            // otherwise); the anti-join against the index's id
+            // surface (a ONE-column frame under the index's own name
+            // — b_id, doc_id, … — aligned so callers never
+            // hand-rename) kills the cross-batch replay
+            batch.dropDuplicates(idCol)
+              .join(currentIds().toDF(idCol), Seq(idCol), "left_anti")
           case None => batch.toDF()
         }
         // efficiency skip AND the replay guard's no-op path: an empty

@@ -362,6 +362,16 @@ class StreamingSpec extends SparkSpecBase {
       assert(members2 == afterFirst._2 + 2, s"occupancy $members2 != ${afterFirst._2} + 2")
       assert(ids2.map(_.getLong(0)).toSet ==
         afterFirst._3.map(_.getLong(0)).toSet ++ Set(9000L, 9001L))
+      // INTRA-batch duplicate: the same new id delivered twice within
+      // one micro-batch must be added once — the anti-join alone can't
+      // catch it (the index doesn't hold the id yet), the per-batch
+      // dropDuplicates must
+      in.addData(Seq((9002L, vec(1, 3)), (9002L, vec(1, 3))): _*)
+      q.processAllAvailable()
+      val (_, members3, ids3) = snapshot()
+      assert(members3 == members2 + 1,
+        s"intra-batch duplicate id added twice (occupancy $members3 != ${members2} + 1)")
+      assert(ids3.map(_.getLong(0)).count(_ == 9002L) == 1)
     } finally q.stop()
   }
 }
