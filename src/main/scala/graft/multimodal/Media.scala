@@ -373,6 +373,74 @@ object Media {
 
   // ------------------------------------------------------- generic binary
 
+  // ---------------------------------------------------------------- video
+
+  /** Temporal perceptual hash of a video payload — the F4 pipeline
+    * shape of the reference's VideoHash (frame-sample → per-frame
+    * perceptual hash → temporal combine; the `videohash` library
+    * extracts frames with ffmpeg, tiles a collage and wavelet-hashes
+    * it, media_fingerprinting.py:166-179; the reference consumes the
+    * result only as opaque equality/similarity).
+    *
+    * Stage 1 — FRAME SAMPLING — is the codec-dependent step and is a
+    * clearly-marked deterministic STUB: "frame" w of `nFrames` is the
+    * byte window [w·len/n, (w+1)·len/n), standing in for an ffmpeg
+    * frame grab at even timestamps. Swap this stage for a real decoder
+    * in production; everything downstream is the real pipeline.
+    *
+    * Stage 2 — per-frame average-hash: the window is resampled to 64
+    * "pixels" by even stride (pixel j = byte at start + j·wlen/64),
+    * and bit j is set iff pixel j exceeds the integer mean of the 64
+    * pixels — the exact aHash shape [[ahash64]] applies to decoded
+    * images, over the stubbed frame.
+    *
+    * Stage 3 — temporal combine: majority vote per bit across frames
+    * (bit set iff > nFrames/2 frames set it) — the robustness property
+    * the collage wavelet buys, as portable integer arithmetic.
+    *
+    * 60 bits, not 64 — the [[graft.functions.Hashing.simhash60]]
+    * convention: the value stays positive in any SQL BIGINT, so the
+    * m04 DuckDB oracle replays every bit from the blob's hex dump and
+    * hamming distance works unsigned everywhere. Empty/null payloads
+    * hash to 0.
+    */
+  def videoHash60(bytes: Array[Byte], nFrames: Int = 8): Long = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    if (bytes == null || bytes.isEmpty) return 0L
+    val n = bytes.length
+    val votes = new Array[Int](60)
+    var w = 0
+    while (w < nFrames) {
+      val s = (w.toLong * n / nFrames).toInt
+      val e = ((w + 1).toLong * n / nFrames).toInt
+      val wlen = e - s
+      if (wlen > 0) {
+        val px = new Array[Int](64)
+        var j = 0
+        var sum = 0L
+        while (j < 64) {
+          px(j) = bytes(s + (j.toLong * wlen / 64).toInt) & 0xff
+          sum += px(j)
+          j = 1 + j
+        }
+        val mean = sum / 64 // integer floor, SQL-replayable
+        j = 0
+        while (j < 60) {
+          if (px(j) > mean) votes(j) += 1
+          j += 1
+        }
+      }
+      w += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) * 2 > nFrames) h |= 1L << j
+      j += 1
+    }
+    h
+  }
+
   /** Canonical multimodal schema: opaque payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

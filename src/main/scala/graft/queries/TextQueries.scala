@@ -409,11 +409,68 @@ object TextQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Video temporal hash (F4) over the documents' bytes as the
+    * stand-in payload — [[graft.multimodal.Media.videoHash60]]: the
+    * stubbed frame sampling, per-frame average-hash and majority-vote
+    * combine are ALL integer arithmetic, so the oracle replays every
+    * bit from the blob's hex dump (same gate strength as m02/m03 —
+    * the plumbing AND the numbers are cross-engine checked, only the
+    * frame-grab stage itself is a documented stub).
+    */
+  def m04VideoHash(s: SparkSession, dir: String): DataFrame = {
+    val vh = udf((b: Array[Byte]) => graft.multimodal.Media.videoHash60(b, 8))
+    docs(s, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        octet_length(col("text")).as("n_bytes"),
+        vh(col("text").cast("binary")).as("vhash60"))
+      .orderBy("media_id")
+  }
+
+  /** DuckDB replay of [[graft.multimodal.Media.videoHash60]] (8
+    * frames): window w of n bytes is [w·n/8, (w+1)·n/8); pixel j of a
+    * non-empty window is the byte at start + j·wlen/64 (hex-pair
+    * decode); a frame sets bit j<60 iff pixel j > Σpixels//64; the
+    * hash sets bit j iff more than 4 of the 8 frames set it. Empty
+    * payloads and all-zero-vote docs come back 0 via the left join.
+    */
+  val m04Oracle: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, COALESCE(encode(text), encode('')) AS blob FROM documents
+      |), hx AS (
+      |  SELECT media_id, octet_length(blob) AS n, hex(blob) AS hs FROM b
+      |), wj AS (
+      |  SELECT media_id, gw.w AS w, gj.j AS j, hs,
+      |    (gw.w*n)//8 + (gj.j * (((gw.w+1)*n)//8 - (gw.w*n)//8))//64 AS idx
+      |  FROM hx, generate_series(0, 7) AS gw(w), generate_series(0, 63) AS gj(j)
+      |  WHERE ((gw.w+1)*n)//8 - (gw.w*n)//8 > 0
+      |), pv AS (
+      |  SELECT media_id, w, j,
+      |    CAST(strpos('0123456789ABCDEF', substr(hs, CAST(2*idx+1 AS INT), 1)) - 1 AS BIGINT)*16
+      |    + CAST(strpos('0123456789ABCDEF', substr(hs, CAST(2*idx+2 AS INT), 1)) - 1 AS BIGINT) AS v
+      |  FROM wj
+      |), fm AS (
+      |  SELECT media_id, w, SUM(v)//64 AS mean FROM pv GROUP BY media_id, w
+      |), votes AS (
+      |  SELECT pv.media_id, pv.j, COUNT(*) AS c
+      |  FROM pv JOIN fm ON pv.media_id = fm.media_id AND pv.w = fm.w
+      |  WHERE pv.j < 60 AND pv.v > fm.mean
+      |  GROUP BY pv.media_id, pv.j
+      |), h AS (
+      |  SELECT media_id,
+      |    CAST(SUM(CASE WHEN c*2 > 8 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS vhash60
+      |  FROM votes GROUP BY media_id
+      |)
+      |SELECT hx.media_id, CAST(hx.n AS INT) AS n_bytes,
+      |  COALESCE(h.vhash60, 0) AS vhash60
+      |FROM hx LEFT JOIN h USING (media_id) ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t07_repetition" -> (t07Repetition _),
     "t08_pii" -> (t08Pii _),
     "m02_media_features" -> (m02MediaFeatures _),
     "m03_wav_features" -> (m03WavFeatures _),
+    "m04_video_hash" -> (m04VideoHash _),
     "t01_token_counts" -> (t01TokenCounts _),
     "t02_lang_id" -> (t02LangId _),
     "t03_quality" -> (t03Quality _),
@@ -428,6 +485,7 @@ object TextQueries {
     "t08_pii" -> t08Oracle,
     "m02_media_features" -> m02Oracle,
     "m03_wav_features" -> m03Oracle,
+    "m04_video_hash" -> m04Oracle,
     "t01_token_counts" -> t01Oracle,
     "t02_lang_id" -> t02Oracle,
     "t03_quality" -> t03Oracle,

@@ -174,4 +174,45 @@ class MultimodalSpec extends SparkSpecBase {
     val m = df.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(m(1L) == Some(f440.get) && m(2L) == None)
   }
+
+  test("videoHash60: deterministic, 60-bit positive, empty/null → 0") {
+    val rnd = new scala.util.Random(7)
+    val payload = Array.fill(4096)(rnd.nextInt(256).toByte)
+    val h = Media.videoHash60(payload)
+    assert(h == Media.videoHash60(payload.clone()), "not deterministic")
+    assert(h >= 0L && h < (1L << 60), s"hash $h outside the 60-bit positive range")
+    assert(Media.videoHash60(Array.empty[Byte]) == 0L)
+    assert(Media.videoHash60(null) == 0L)
+  }
+
+  test("videoHash60: majority vote across frames survives one corrupted frame") {
+    // 8 identical "frames" (byte windows): every frame votes the same
+    // bits, so the temporal hash IS the per-frame hash. Corrupting ONE
+    // frame leaves a 7-of-8 majority — the hash must not move. That is
+    // the robustness property the reference's collage hash buys
+    // (a few bad frames don't change the video's identity).
+    val rnd = new scala.util.Random(13)
+    val frame = Array.fill(512)(rnd.nextInt(256).toByte)
+    val clean = Array.fill(8)(frame).flatten
+    val corrupted = clean.clone()
+    val noise = new scala.util.Random(99)
+    // stomp frame 3 entirely
+    for (i <- (3 * 512) until (4 * 512)) corrupted(i) = noise.nextInt(256).toByte
+    val hClean = Media.videoHash60(clean)
+    assert(hClean == Media.videoHash60(corrupted),
+      "one corrupted frame out of eight changed the temporal hash — majority vote broken")
+    // sanity: unrelated content separates (not a constant function)
+    val other = Array.fill(4096)(noise.nextInt(256).toByte)
+    assert(hClean != Media.videoHash60(other), "hash failed to separate unrelated payloads")
+  }
+
+  test("videoHash60: nFrames=1 degenerates to the single-frame average-hash") {
+    val rnd = new scala.util.Random(21)
+    val payload = Array.fill(777)(rnd.nextInt(256).toByte)
+    // with one frame the majority threshold is >1/2 of 1 vote: the
+    // temporal combine is the identity on the per-frame bits
+    val h1 = Media.videoHash60(payload, nFrames = 1)
+    assert(h1 >= 0L && h1 < (1L << 60))
+    assert(h1 == Media.videoHash60(payload, nFrames = 1))
+  }
 }
