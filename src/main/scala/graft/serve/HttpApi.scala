@@ -41,6 +41,7 @@ import graft.pipeline.{HtmlReport, Pipeline, ResultStore}
   *   GET  /search/phrase?q=&k=            — exact phrase from the positional postings
   *   GET  /search/ann?vec=&k=&nprobe=     — IVF ANN from the vector index
   *   GET  /search/hybrid?q=&vec=&k=       — RRF fusion of both indexes
+  *   GET  /index/stats                    — index lifecycle state from the sidecars
   *
   * Serving discipline at scale: every endpoint that touches DATA goes
   * through a Spark plan with the limit/filter PUSHED INTO the plan
@@ -382,6 +383,46 @@ final class HttpApi(
     }
   }
 
+  /** Structured JSON twin of
+    * [[graft.pipeline.HtmlReport.indexInventory]]: the persisted
+    * indexes' lifecycle state from the sidecars alone — ANN occupancy /
+    * live-cell split from the ≤nlist-row codebook, lex corpus scalars
+    * from the 1-row stats sidecar plus the indexed-empty membership
+    * count. Bounded reads only; the base/postings lakes are never
+    * scanned, so this endpoint is safe to poll.
+    */
+  private def indexStatsRoute(ex: HttpExchange): (Int, JValue) = {
+    import org.apache.spark.sql.functions.{coalesce => fcoalesce, col, count, count_if, lit, sum}
+    val ann = annIndexPath.map { p =>
+      val agg = spark.read.parquet(s"$p/codebook").agg(
+        fcoalesce(sum(col("members")), lit(0L)).as("occ"),
+        count(lit(1)).as("cells"),
+        count_if(col("members") > 0).as("live")).head()
+      JObject(
+        "path" -> JString(p),
+        "occupancy" -> JLong(agg.getLong(0)),
+        "cells" -> JLong(agg.getLong(1)),
+        "live_cells" -> JLong(agg.getLong(2)))
+    }
+    val lex = lexIndexPath.map { p =>
+      val st = spark.read.parquet(s"$p/stats")
+        .select("n_docs", "total_tokens", "n_buckets").head()
+      JObject(
+        "path" -> JString(p),
+        "n_docs" -> JLong(st.getLong(0)),
+        "total_tokens" -> JLong(st.getLong(1)),
+        "n_buckets" -> JInt(st.getInt(2)),
+        "indexed_empty" -> graft.operators.Bm25.lexEmptyDocCount(spark, p)
+          .map(n => JLong(n): JValue).getOrElse(JNull))
+    }
+    if (ann.isEmpty && lex.isEmpty)
+      (503, JObject("error" -> JString("no indexes configured")))
+    else
+      (200, JObject(
+        "ann" -> ann.getOrElse(JNull),
+        "lex" -> lex.getOrElse(JNull)))
+  }
+
   // ------------------------------------------------------------- server
 
   /** Bind and start; port 0 picks an ephemeral port. Returns the bound port. */
@@ -434,6 +475,7 @@ final class HttpApi(
         "installed_count" -> JInt(auditTools.count(_.installed)),
         "total_count" -> JInt(auditTools.size)))
     })
+    s.createContext("/index/stats", handler(indexStatsRoute))
     s.createContext("/search/lexical", handler(searchRoute("lexical")))
     s.createContext("/search/phrase", handler(searchRoute("phrase")))
     s.createContext("/search/ann", handler(searchRoute("ann")))

@@ -323,6 +323,14 @@ class ServeSpec extends SparkSpecBase {
       assert(mc == 400 && (mj \ "error") != JNothing)
       val (vc, _) = get(client, port, "/search/ann?vec=not,floats")
       assert(vc == 400)
+
+      // bounded sidecar observability: 6 docs indexed in both lakes
+      val (ic, ij) = get(client, port, "/index/stats")
+      assert(ic == 200)
+      assert((ij \ "ann" \ "occupancy") == JInt(6))
+      assert((ij \ "ann" \ "cells") == JInt(2))
+      assert((ij \ "lex" \ "n_docs") == JInt(6))
+      assert((ij \ "lex" \ "indexed_empty") == JInt(0))
     }
 
     // an api without indexes refuses serving, not answers garbage
@@ -330,6 +338,8 @@ class ServeSpec extends SparkSpecBase {
     withApi(bare) { (port, client) =>
       val (c, j) = get(client, port, "/search/lexical?q=x")
       assert(c == 503 && (j \ "error") != JNothing)
+      val (sc, _) = get(client, port, "/index/stats")
+      assert(sc == 503)
     }
   }
 
