@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.expr.{MinHashSig, RollingHash, SignLsh, SimHash60, VecDot, WordNgrams}
+import graft.functions.expr.{MinHashSig, RollingHash, SignLsh, SimHash60, VecDot, VideoHash60, WordNgrams}
 
 /** Engine extensions, installed via
   * `spark.sql.extensions=graft.GraftExtensions`: registers native
@@ -86,6 +86,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1,
           s"simhash60 expects exactly 1 argument, got ${children.size}")
         SimHash60(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("video_hash60"),
+      new ExpressionInfo(
+        classOf[VideoHash60].getName, null, "video_hash60",
+        "video_hash60(content[, nFrames]) - 60-bit temporal perceptual hash of a BINARY " +
+          "payload (frame-sample, per-frame average-hash, per-bit majority vote); nFrames " +
+          "must be an int literal (default 8); NULL/empty payloads hash to 0",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          s"video_hash60 expects 1 or 2 arguments, got ${children.size}")
+        val n = if (children.size == 2) children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"video_hash60 nFrames must be an INT literal, got $other")
+        } else 8
+        VideoHash60(children.head, n)
       }))
     ext.injectFunction((
       new FunctionIdentifier("word_ngrams"),

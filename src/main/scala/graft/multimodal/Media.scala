@@ -441,6 +441,17 @@ object Media {
     h
   }
 
+  /** Column form of [[videoHash60]] — the native codegen Expression
+    * ([[graft.functions.expr.VideoHash60]]; also `video_hash60` in
+    * SQL), so the temporal hash runs inside whole-stage codegen instead
+    * of through UDF serialization. Bit-parity with the Scala form is
+    * property-spec pinned.
+    */
+  def videoHash60Col(content: org.apache.spark.sql.Column, nFrames: Int = 8): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.expr.VideoHash60(
+        org.apache.spark.sql.GraftColumnShim.expression(content), nFrames))
+
   /** Canonical multimodal schema: opaque payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

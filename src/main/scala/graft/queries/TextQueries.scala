@@ -417,15 +417,13 @@ object TextQueries {
     * the plumbing AND the numbers are cross-engine checked, only the
     * frame-grab stage itself is a documented stub).
     */
-  def m04VideoHash(s: SparkSession, dir: String): DataFrame = {
-    val vh = udf((b: Array[Byte]) => graft.multimodal.Media.videoHash60(b, 8))
+  def m04VideoHash(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(
         col("doc_id").as("media_id"),
         octet_length(col("text")).as("n_bytes"),
-        vh(col("text").cast("binary")).as("vhash60"))
+        graft.multimodal.Media.videoHash60Col(col("text").cast("binary")).as("vhash60"))
       .orderBy("media_id")
-  }
 
   /** DuckDB replay of [[graft.multimodal.Media.videoHash60]] (8
     * frames): window w of n bytes is [w·n/8, (w+1)·n/8); pixel j of a

@@ -277,6 +277,41 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     assert(nat == agg, "native simhash frame must equal the historical agg frame")
   }
 
+  test("video_hash60: SQL registration, null contract, property parity vs the Scala form") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.multimodal.Media
+    // SQL and Column surfaces agree (nFrames literal form included)
+    val viaSql = spark.sql(
+      "SELECT video_hash60(cast('hello video world' AS BINARY)) AS h").head().getLong(0)
+    val viaCol = Seq(Tuple1("hello video world")).toDF("t")
+      .select(Media.videoHash60Col(col("t").cast("binary"))).head().getLong(0)
+    assert(viaSql == viaCol)
+    val sql4 = spark.sql(
+      "SELECT video_hash60(cast('hello video world' AS BINARY), 4) AS h").head().getLong(0)
+    assert(sql4 == Media.videoHash60("hello video world".getBytes("UTF-8"), 4))
+    // null contract: NULL and empty payloads → 0, non-nullable column
+    val edge = Seq(
+      (1L, null.asInstanceOf[Array[Byte]]),
+      (2L, Array.empty[Byte]),
+      (3L, "x".getBytes("UTF-8"))).toDF("id", "b")
+      .select(col("id"), Media.videoHash60Col(col("b")).as("h"))
+    assert(!edge.schema("h").nullable)
+    val m = edge.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == 0L && m(2L) == 0L)
+    assert(m(3L) == Media.videoHash60("x".getBytes("UTF-8")))
+    // property parity: native expression vs the plain Scala function
+    // over arbitrary payloads (incl. shorter than 64 bytes / 8 frames)
+    val payload = Gen.choose(0, 2000).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 255).map(_.toByte)).map(_.toArray))
+    val prop = Prop.forAll(payload) { b =>
+      val native = Seq(Tuple1(b)).toDF("b")
+        .select(Media.videoHash60Col(col("b"))).head().getLong(0)
+      native == Media.videoHash60(b)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"native/Scala parity: ${res.status}")
+  }
+
   test("word_ngrams: SQL registration, null/short-doc contract, property parity vs HOF") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // SQL and Column surfaces agree
