@@ -336,7 +336,17 @@ final class HttpApi(
     * comma-separated float vector (`vec=`); embedding text server-side
     * is a model concern outside this engine.
     */
-  private def searchRoute(kind: String)(ex: HttpExchange): (Int, JValue) = {
+  private def searchRoute(kind: String)(ex: HttpExchange): (Int, JValue) =
+    // scoped: the retrieval verbs cache small intermediates
+    // (query-term/slot frames) via Dedup.scopedCache — in a
+    // long-running server each request would otherwise leak one tiny
+    // cached frame into the block manager forever. The scope
+    // unpersists them after the bounded collect below; requests are
+    // single-threaded within a handler call, satisfying the scope's
+    // threading contract.
+    graft.operators.Dedup.scoped { searchRouteImpl(kind, ex) }
+
+  private def searchRouteImpl(kind: String, ex: HttpExchange): (Int, JValue) = {
     import org.apache.spark.sql.functions.col
     val sp = spark
     import sp.implicits._

@@ -289,6 +289,7 @@ class ServeSpec extends SparkSpecBase {
 
     val api = new HttpApi(spark, () => Findings.toDS(spark, fixtureFindings).toDF,
       lexIndexPath = Some(s"$root/lex"), annIndexPath = Some(s"$root/ann"))
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     withApi(api) { (port, client) =>
       val (lc, lj) = get(client, port, "/search/lexical?q=quick%20fox&k=3")
       assert(lc == 200)
@@ -331,6 +332,13 @@ class ServeSpec extends SparkSpecBase {
       assert((ij \ "ann" \ "cells") == JInt(2))
       assert((ij \ "lex" \ "n_docs") == JInt(6))
       assert((ij \ "lex" \ "indexed_empty") == JInt(0))
+
+      // served requests must not accumulate cached frames — the route
+      // runs under Dedup.scoped, so the verbs' scopedCache
+      // intermediates are unpersisted per request (a long-running
+      // server would otherwise leak one tiny frame per call)
+      assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore,
+        "search serving leaked cached frames into the block manager")
     }
 
     // an api without indexes refuses serving, not answers garbage
