@@ -41,6 +41,8 @@ import graft.pipeline.{HtmlReport, Pipeline, ResultStore}
   *   GET  /search/phrase?q=&k=            — exact phrase from the positional postings
   *   GET  /search/ann?vec=&k=&nprobe=     — IVF ANN from the vector index
   *   GET  /search/hybrid?q=&vec=&k=       — RRF fusion of both indexes
+  *   POST /search/<kind>                  — same verbs over a query BATCH
+  *        ({"queries":[{"id","q","vec"},…]}, ≤500) through ONE Spark plan
   *   GET  /index/stats                    — index lifecycle state from the sidecars
   *
   * Serving discipline at scale: every endpoint that touches DATA goes
@@ -346,48 +348,131 @@ final class HttpApi(
     // threading contract.
     graft.operators.Dedup.scoped { searchRouteImpl(kind, ex) }
 
+  private final case class SearchQ(id: Long, text: Option[String], vec: Option[Array[Float]])
+
+  private def parseVecStr(s: String): Either[String, Array[Float]] = {
+    val parts = s.split(',').map(_.trim.toFloatOption)
+    if (parts.nonEmpty && parts.forall(_.isDefined)) Right(parts.map(_.get))
+    else Left("vec must be comma-separated floats")
+  }
+
+  /** POST body `{"queries":[{"id":1,"q":"...","vec":[...]}, ...]}` —
+    * the batch form. `id` defaults to the array index; ids must be
+    * distinct (the verbs key results by q_id). Capped at 500 queries
+    * per batch so one request cannot build an unbounded broadcast.
+    */
+  private def parseBatchBody(ex: HttpExchange): Either[String, Seq[SearchQ]] = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val parsed =
+      try Right(JsonMethods.parse(body))
+      catch { case NonFatal(_) => Left("invalid JSON body") }
+    parsed.flatMap { j =>
+      j \ "queries" match {
+        case JArray(qs) if qs.isEmpty => Left("queries must be non-empty")
+        case JArray(qs) if qs.size > 500 => Left("at most 500 queries per batch")
+        case JArray(qs) =>
+          val out = qs.zipWithIndex.map { case (q, i) =>
+            val id = q \ "id" match {
+              case JInt(n) => n.toLong
+              case JLong(n) => n
+              case _ => i.toLong
+            }
+            val text = q \ "q" match {
+              case JString(s) if s.nonEmpty => Some(s)
+              case _ => None
+            }
+            val vec: Either[String, Option[Array[Float]]] = q \ "vec" match {
+              case JArray(xs) =>
+                val fs = xs.map {
+                  case JDouble(d) => Some(d.toFloat)
+                  case JInt(n) => Some(n.toFloat)
+                  case JLong(n) => Some(n.toFloat)
+                  case JDecimal(d) => Some(d.toFloat)
+                  case _ => None
+                }
+                if (fs.forall(_.isDefined)) Right(Some(fs.flatten.toArray))
+                else Left(s"query $id vec must be an array of numbers")
+              case JNothing => Right(None)
+              case _ => Left(s"query $id vec must be an array of numbers")
+            }
+            vec.map(v => SearchQ(id, text, v))
+          }
+          out.collectFirst { case Left(e) => e }
+            .toLeft(out.collect { case Right(q) => q })
+            .flatMap { reqs =>
+              if (reqs.map(_.id).distinct.size != reqs.size)
+                Left("duplicate query ids in batch")
+              else Right(reqs)
+            }
+        case _ => Left("""POST body must be {"queries": [...]}""")
+      }
+    }
+  }
+
+  /** One implementation for both shapes: GET serves a single query
+    * from the URL params; POST serves a BATCH through the same ONE
+    * Spark plan — the engine's native shape, amortizing per-job
+    * overhead across the batch instead of paying it per query.
+    */
   private def searchRouteImpl(kind: String, ex: HttpExchange): (Int, JValue) = {
     import org.apache.spark.sql.functions.col
     val sp = spark
     import sp.implicits._
     val params = query(ex)
-    val k = math.min(math.max(params.get("k").flatMap(_.toIntOption).getOrElse(10), 1), 100)
+    val isBatch = ex.getRequestMethod == "POST"
+    def intP(name: String, dflt: Int, lo: Int, hi: Int): Int =
+      math.min(math.max(params.get(name).flatMap(_.toIntOption).getOrElse(dflt), lo), hi)
+    val k = intP("k", 10, 1, 100)
+    val nprobe = intP("nprobe", 4, 1, 1 << 20)
+    val kPerLeg = intP("k_per_leg", math.max(k * 2, 20), 1, 500)
     def needLex = lexIndexPath.toRight("no lexical index configured")
     def needAnn = annIndexPath.toRight("no ann index configured")
-    def needText = params.get("q").filter(_.nonEmpty).toRight("missing query text ?q=")
-    def needVec: Either[String, Array[Float]] =
-      params.get("vec").filter(_.nonEmpty).toRight("missing query vector ?vec=")
-        .flatMap { s =>
-          val parts = s.split(',').map(_.trim.toFloatOption)
-          if (parts.forall(_.isDefined)) Right(parts.map(_.get))
-          else Left("vec must be comma-separated floats")
-        }
-    val out: Either[String, DataFrame] = kind match {
-      case "lexical" => for { p <- needLex; t <- needText } yield
-        graft.operators.Bm25.queryLexIndex(
-          sp, p, Seq((0L, t)).toDF("q_id", "qtext"), col("q_id"), col("qtext"), k)
-      case "phrase" => for { p <- needLex; t <- needText } yield
-        graft.operators.Bm25.queryPhraseIndex(
-          sp, p, Seq((0L, t)).toDF("q_id", "qphrase"), col("q_id"), col("qphrase"), k)
-      case "ann" =>
-        val nprobe = math.max(params.get("nprobe").flatMap(_.toIntOption).getOrElse(4), 1)
-        for { p <- needAnn; v <- needVec } yield
+
+    val reqsE: Either[String, Seq[SearchQ]] =
+      if (isBatch) parseBatchBody(ex)
+      else params.get("vec").filter(_.nonEmpty) match {
+        case Some(s) => parseVecStr(s).map(v =>
+          Seq(SearchQ(0L, params.get("q").filter(_.nonEmpty), Some(v))))
+        case None => Right(Seq(SearchQ(0L, params.get("q").filter(_.nonEmpty), None)))
+      }
+
+    // every query in the batch must carry what the verb consumes — a
+    // silent partial answer would read as "no matches" for the rest
+    def needAll[A](reqs: Seq[SearchQ], f: SearchQ => Option[A], what: String): Either[String, Seq[(Long, A)]] = {
+      val pairs = reqs.map(q => (q.id, f(q)))
+      pairs.collectFirst { case (id, None) => s"query $id missing $what" }
+        .toLeft(pairs.collect { case (id, Some(v)) => (id, v) })
+    }
+    def needBoth(reqs: Seq[SearchQ]): Either[String, Seq[(Long, String, Array[Float])]] =
+      for {
+        ts <- needAll(reqs, _.text, "query text q")
+        vs <- needAll(reqs, _.vec, "query vector vec")
+      } yield ts.zip(vs).map { case ((id, t), (_, v)) => (id, t, v) }
+
+    val out: Either[String, DataFrame] = reqsE.flatMap { reqs =>
+      kind match {
+        case "lexical" => for { p <- needLex; rs <- needAll(reqs, _.text, "query text q") } yield
+          graft.operators.Bm25.queryLexIndex(
+            sp, p, rs.toDF("q_id", "qtext"), col("q_id"), col("qtext"), k)
+        case "phrase" => for { p <- needLex; rs <- needAll(reqs, _.text, "query text q") } yield
+          graft.operators.Bm25.queryPhraseIndex(
+            sp, p, rs.toDF("q_id", "qphrase"), col("q_id"), col("qphrase"), k)
+        case "ann" => for { p <- needAnn; rs <- needAll(reqs, _.vec, "query vector vec") } yield
           graft.operators.Ann.queryIvfIndex(
-            sp, p, Seq((0L, v)).toDF("q_id", "qvec"), col("q_id"), col("qvec"), k, nprobe)
-      case _ => // hybrid
-        val nprobe = math.max(params.get("nprobe").flatMap(_.toIntOption).getOrElse(4), 1)
-        val kPerLeg = math.min(math.max(
-          params.get("k_per_leg").flatMap(_.toIntOption).getOrElse(math.max(k * 2, 20)), 1), 500)
-        for { lp <- needLex; ap <- needAnn; t <- needText; v <- needVec } yield
+            sp, p, rs.toDF("q_id", "qvec"), col("q_id"), col("qvec"), k, nprobe)
+        case _ => for { lp <- needLex; ap <- needAnn; rs <- needBoth(reqs) } yield
           graft.operators.Fusion.hybridTopK(
-            sp, lp, ap, Seq((0L, t, v)).toDF("q_id", "qtext", "qvec"),
+            sp, lp, ap, rs.toDF("q_id", "qtext", "qvec"),
             col("q_id"), col("qtext"), col("qvec"), k, kPerLeg = kPerLeg, nprobe = nprobe)
+      }
     }
     out match {
       case Left(msg) => (if (msg.startsWith("no ")) 503 else 400,
         JObject("error" -> JString(msg)))
       case Right(df) =>
-        val rows = rowsJson(df.drop("q_id"))
+        // GET keeps the single-query shape (no q_id); POST responses
+        // carry q_id so the caller can demultiplex the batch
+        val rows = rowsJson(if (isBatch) df else df.drop("q_id"))
         (200, JObject("results" -> rows,
           "count" -> JInt(rows.asInstanceOf[JArray].arr.size)))
     }

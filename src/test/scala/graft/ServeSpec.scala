@@ -209,6 +209,15 @@ class ServeSpec extends SparkSpecBase {
     (r.statusCode, JsonMethods.parse(r.body))
   }
 
+  private def postJson(client: HttpClient, port: Int, path: String, body: String): (Int, JValue) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode, JsonMethods.parse(r.body))
+  }
+
   test("http: health, status, metrics, jobs, 404") {
     val api = new HttpApi(spark, () => Findings.toDS(spark, fixtureFindings).toDF)
     api.registerJob(HttpApi.JobRecord("j1", "extract", "completed", 1000L, Some(3000L)))
@@ -332,6 +341,48 @@ class ServeSpec extends SparkSpecBase {
       assert((ij \ "ann" \ "cells") == JInt(2))
       assert((ij \ "lex" \ "n_docs") == JInt(6))
       assert((ij \ "lex" \ "indexed_empty") == JInt(0))
+
+      // batch POST: three lexical queries through ONE plan must equal
+      // three single GETs, demultiplexed by q_id
+      val batch = """{"queries":[
+        {"id":11,"q":"quick fox"},
+        {"id":12,"q":"lazy dogs"},
+        {"id":13,"q":"honey"}]}"""
+      val (bc, bj) = postJson(client, port, "/search/lexical?k=3", batch)
+      assert(bc == 200)
+      val byQuery = (bj \ "results").asInstanceOf[JArray].arr
+        .groupBy(r => (r \ "q_id").asInstanceOf[JInt].num.toLong)
+        .view.mapValues(_.sortBy(r => (r \ "rank").asInstanceOf[JInt].num)
+          .map(r => (r \ "doc_id").asInstanceOf[JInt].num.toLong)).toMap
+      for ((id, q) <- Seq(11L -> "quick fox", 12L -> "lazy dogs", 13L -> "honey")) {
+        val (sc2, sj2) = get(client, port, s"/search/lexical?q=${q.replace(" ", "%20")}&k=3")
+        assert(sc2 == 200)
+        val single = (sj2 \ "results").asInstanceOf[JArray].arr
+          .sortBy(r => (r \ "rank").asInstanceOf[JInt].num)
+          .map(r => (r \ "doc_id").asInstanceOf[JInt].num.toLong)
+        assert(byQuery.getOrElse(id, Nil) == single,
+          s"batch result for query $id diverged from the single-query GET")
+      }
+
+      // batch hybrid: both modalities per query, one plan
+      val hb = """{"queries":[
+        {"id":1,"q":"quick fox","vec":[1,0,0,0]},
+        {"id":2,"q":"honey","vec":[0,0,1,0]}]}"""
+      val (hbc, hbj) = postJson(client, port, "/search/hybrid?k=2&nprobe=2", hb)
+      assert(hbc == 200)
+      val hybridByQ = (hbj \ "results").asInstanceOf[JArray].arr
+        .groupBy(r => (r \ "q_id").asInstanceOf[JInt].num.toLong)
+      assert(hybridByQ.keySet == Set(1L, 2L))
+
+      // batch guards: duplicate ids, empty batch, missing field
+      val (dc, dj) = postJson(client, port, "/search/lexical",
+        """{"queries":[{"id":1,"q":"a"},{"id":1,"q":"b"}]}""")
+      assert(dc == 400 && (dj \ "error") != JNothing)
+      val (ec2, _) = postJson(client, port, "/search/lexical", """{"queries":[]}""")
+      assert(ec2 == 400)
+      val (fc, fj) = postJson(client, port, "/search/ann",
+        """{"queries":[{"id":1,"q":"text but no vec"}]}""")
+      assert(fc == 400 && (fj \ "error").asInstanceOf[JString].s.contains("missing query vector"))
 
       // served requests must not accumulate cached frames — the route
       // runs under Dedup.scoped, so the verbs' scopedCache
