@@ -33,10 +33,15 @@ object ServeBench {
     graft.operators.Ann.buildIvfIndex(embs, col("vec_id"), col("embedding"), s"$work/ann")
 
     // query workload drawn from the corpus itself: first 3 words of the
-    // first n docs, and the first n embeddings
-    val texts = docs.orderBy("doc_id").limit(n)
+    // first n NON-BLANK docs (the corpus legitimately contains empty
+    // docs — lexEmptyDocCount models them — and a blank query would
+    // 400 the bench, not measure it), and the first n embeddings
+    val texts = docs.orderBy("doc_id").limit(n * 4)
       .select(col("text")).collect()
-      .map(_.getString(0).split("\\s+").take(3).mkString(" "))
+      .map(r => Option(r.getString(0)).getOrElse("").split("\\s+").filter(_.nonEmpty).take(3).mkString(" "))
+      .filter(_.nonEmpty)
+      .take(n)
+    require(texts.length == n, s"corpus too sparse for $n non-blank queries")
     val vecs = embs.orderBy("vec_id").limit(n)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
@@ -65,9 +70,18 @@ object ServeBench {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
+    // proper JSON string escaping — corpus text may carry quotes,
+    // backslashes or control characters, and a broken body would abort
+    // the bench instead of measuring it
+    def jsonEsc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val lexBatch =
       s"""{"queries":[${texts.zipWithIndex.map { case (t, i) =>
-        s"""{"id":$i,"q":"${t.replace("\"", "")}"}""" }.mkString(",")}]}"""
+        s"""{"id":$i,"q":"${jsonEsc(t)}"}""" }.mkString(",")}]}"""
     val annBatch =
       s"""{"queries":[${vecs.zipWithIndex.map { case (v, i) =>
         s"""{"id":$i,"vec":[${v.mkString(",")}]}""" }.mkString(",")}]}"""

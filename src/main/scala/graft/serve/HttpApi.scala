@@ -356,13 +356,26 @@ final class HttpApi(
     else Left("vec must be comma-separated floats")
   }
 
+  /** Max accepted POST body — the size guard must run BEFORE the JSON
+    * parse (the 500-query cap alone would let one multi-GB body
+    * exhaust the driver heap during readAllBytes/AST build, taking
+    * down the long-running server the per-request cleanup protects).
+    * 16 MB covers 500 queries with multi-thousand-dim vectors.
+    */
+  private val MaxBatchBodyBytes: Int = 16 * 1024 * 1024
+
   /** POST body `{"queries":[{"id":1,"q":"...","vec":[...]}, ...]}` —
-    * the batch form. `id` defaults to the array index; ids must be
-    * distinct (the verbs key results by q_id). Capped at 500 queries
-    * per batch so one request cannot build an unbounded broadcast.
+    * the batch form. `id` defaults to the array index when ABSENT; a
+    * present-but-non-integral id (float, string) is a 400, not a
+    * silent renumber — the caller demultiplexes by id, so renumbering
+    * would read as "no matches" for every misparsed query. Ids must be
+    * distinct (the verbs key results by q_id); ≤500 queries per batch.
     */
   private def parseBatchBody(ex: HttpExchange): Either[String, Seq[SearchQ]] = {
-    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val raw = ex.getRequestBody.readNBytes(MaxBatchBodyBytes + 1)
+    if (raw.length > MaxBatchBodyBytes)
+      return Left(s"body exceeds $MaxBatchBodyBytes bytes")
+    val body = new String(raw, StandardCharsets.UTF_8)
     val parsed =
       try Right(JsonMethods.parse(body))
       catch { case NonFatal(_) => Left("invalid JSON body") }
@@ -372,30 +385,35 @@ final class HttpApi(
         case JArray(qs) if qs.size > 500 => Left("at most 500 queries per batch")
         case JArray(qs) =>
           val out = qs.zipWithIndex.map { case (q, i) =>
-            val id = q \ "id" match {
-              case JInt(n) => n.toLong
-              case JLong(n) => n
-              case _ => i.toLong
+            val idE: Either[String, Long] = q \ "id" match {
+              case JInt(n) => Right(n.toLong)
+              case JLong(n) => Right(n)
+              case JNothing => Right(i.toLong)
+              case other => Left(s"query at index $i has a non-integral id: ${JsonMethods.compact(JsonMethods.render(other))}")
             }
             val text = q \ "q" match {
               case JString(s) if s.nonEmpty => Some(s)
               case _ => None
             }
-            val vec: Either[String, Option[Array[Float]]] = q \ "vec" match {
-              case JArray(xs) =>
-                val fs = xs.map {
-                  case JDouble(d) => Some(d.toFloat)
-                  case JInt(n) => Some(n.toFloat)
-                  case JLong(n) => Some(n.toFloat)
-                  case JDecimal(d) => Some(d.toFloat)
-                  case _ => None
-                }
-                if (fs.forall(_.isDefined)) Right(Some(fs.flatten.toArray))
-                else Left(s"query $id vec must be an array of numbers")
-              case JNothing => Right(None)
-              case _ => Left(s"query $id vec must be an array of numbers")
+            idE.flatMap { id =>
+              val vec: Either[String, Option[Array[Float]]] = q \ "vec" match {
+                case JArray(xs) if xs.isEmpty =>
+                  Left(s"query $id vec must be a non-empty array of numbers")
+                case JArray(xs) =>
+                  val fs = xs.map {
+                    case JDouble(d) => Some(d.toFloat)
+                    case JInt(n) => Some(n.toFloat)
+                    case JLong(n) => Some(n.toFloat)
+                    case JDecimal(d) => Some(d.toFloat)
+                    case _ => None
+                  }
+                  if (fs.forall(_.isDefined)) Right(Some(fs.flatten.toArray))
+                  else Left(s"query $id vec must be an array of numbers")
+                case JNothing => Right(None)
+                case _ => Left(s"query $id vec must be an array of numbers")
+              }
+              vec.map(v => SearchQ(id, text, v))
             }
-            vec.map(v => SearchQ(id, text, v))
           }
           out.collectFirst { case Left(e) => e }
             .toLeft(out.collect { case Right(q) => q })
@@ -428,9 +446,13 @@ final class HttpApi(
     def needLex = lexIndexPath.toRight("no lexical index configured")
     def needAnn = annIndexPath.toRight("no ann index configured")
 
+    // GET parses ?vec= only for the kinds that consume it — a stray or
+    // malformed vec param on /search/lexical must not fail a request
+    // the verb would answer fine
+    val wantsVec = kind == "ann" || kind == "hybrid"
     val reqsE: Either[String, Seq[SearchQ]] =
       if (isBatch) parseBatchBody(ex)
-      else params.get("vec").filter(_.nonEmpty) match {
+      else params.get("vec").filter(_ => wantsVec).filter(_.nonEmpty) match {
         case Some(s) => parseVecStr(s).map(v =>
           Seq(SearchQ(0L, params.get("q").filter(_.nonEmpty), Some(v))))
         case None => Right(Seq(SearchQ(0L, params.get("q").filter(_.nonEmpty), None)))

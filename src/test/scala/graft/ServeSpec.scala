@@ -383,6 +383,21 @@ class ServeSpec extends SparkSpecBase {
       val (fc, fj) = postJson(client, port, "/search/ann",
         """{"queries":[{"id":1,"q":"text but no vec"}]}""")
       assert(fc == 400 && (fj \ "error").asInstanceOf[JString].s.contains("missing query vector"))
+      // non-integral id is a 400, NOT a silent renumber (the caller
+      // demultiplexes by id — renumbering reads as "no matches")
+      val (nc, nj) = postJson(client, port, "/search/lexical",
+        """{"queries":[{"id":7.5,"q":"quick"}]}""")
+      assert(nc == 400 && (nj \ "error").asInstanceOf[JString].s.contains("non-integral id"))
+      val (nsc, _) = postJson(client, port, "/search/lexical",
+        """{"queries":[{"id":"7","q":"quick"}]}""")
+      assert(nsc == 400)
+      // empty vec [] is a 400 like the GET form, not a 500 from dim checks
+      val (evc, evj) = postJson(client, port, "/search/ann",
+        """{"queries":[{"id":1,"vec":[]}]}""")
+      assert(evc == 400 && (evj \ "error").asInstanceOf[JString].s.contains("non-empty"))
+      // a stray/malformed vec param on a lexical GET is ignored, not a 400
+      val (strayC, strayJ) = get(client, port, "/search/lexical?q=quick%20fox&k=3&vec=abc")
+      assert(strayC == 200 && (strayJ \ "count") == JInt(3))
 
       // served requests must not accumulate cached frames — the route
       // runs under Dedup.scoped, so the verbs' scopedCache
