@@ -1,8 +1,7 @@
 package graft.functions.expr
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
@@ -26,16 +25,18 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * from the blob hex dump.
   *
   * Null contract: NULL payload → 0 (the Media form's empty contract),
-  * hence `nullable = false`.
+  * hence `nullable = false`. ImplicitCastInputTypes (not a bare
+  * BinaryType check) so an UNTYPED SQL NULL — `video_hash60(NULL)` —
+  * analyzes to the documented 0 instead of failing type check, and
+  * string payloads coerce through the standard string→binary cast.
   */
-case class VideoHash60(child: Expression, nFrames: Int = 8) extends UnaryExpression {
+case class VideoHash60(child: Expression, nFrames: Int = 8)
+    extends UnaryExpression with ImplicitCastInputTypes {
   require(nFrames >= 1, s"video_hash60 nFrames must be >= 1, got $nFrames")
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"video_hash60 requires a BINARY input, got ${other.catalogString}")
-  }
+  // return type inferred: AbstractDataType is private[sql], but the
+  // inferred Seq[BinaryType.type] conforms to the parent signature
+  override def inputTypes = Seq(BinaryType)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false

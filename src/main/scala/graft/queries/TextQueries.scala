@@ -421,7 +421,10 @@ object TextQueries {
     docs(s, dir)
       .select(
         col("doc_id").as("media_id"),
-        octet_length(col("text")).as("n_bytes"),
+        // coalesce mirrors the oracle's COALESCE(encode(text), encode('')):
+        // a NULL-text doc must count 0 bytes on BOTH sides, not NULL here
+        // and 0 there (latent gate divergence — review finding)
+        octet_length(coalesce(col("text"), lit(""))).as("n_bytes"),
         graft.multimodal.Media.videoHash60Col(col("text").cast("binary")).as("vhash60"))
       .orderBy("media_id")
 

@@ -529,7 +529,7 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     // fail the build. Data, seeds and params are fixed, so the measured
     // recalls are deterministic; floors sit just under the measured
     // values (sf0.001 at the round-8 tuned params — lsh 4 tables +
-    // Hamming-1 multiprobe .86, ivf nprobe 6 .90, pq kSub 32/shortlist
+    // Hamming-1 multiprobe .86, ivf nprobe 6 .90, pq kSub 24/shortlist
     // 100 .94, ivfpq nprobe 6/shortlist 150 .90; synthetic near-random
     // embeddings bound intrinsic recall, and the clustered-fixture
     // tests above assert the ≥0.85 contract where vector structure
@@ -596,18 +596,32 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     // Hamming-1 multiprobe: the probe list contains the exact bucket,
     // so the candidate set is a superset of the no-probe run — same
     // dominance invariant, from the query side instead of more tables.
-    // And a candidate reached ONLY via a flipped bucket must carry the
-    // same exact cosine as brute force (probing selects, never scores).
-    def cands(mp: Boolean): Map[Long, Set[Long]] = topSets(graft.operators.Ann.knnLsh(
-      base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-      k = 210, bits = 6, tables = 1, multiprobe = mp))
-    val c0 = cands(mp = false)
-    val c1 = cands(mp = true)
+    // And EVERY multiprobe candidate (incl. those reached only via a
+    // flipped bucket) must carry the same exact cosine as brute force:
+    // probing selects, never scores — asserted on sims below, not just
+    // candidate ids.
+    def candSims(mp: Boolean): Map[(Long, Long), Double] =
+      graft.operators.Ann.knnLsh(
+        base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
+        k = 210, bits = 6, tables = 1, multiprobe = mp)
+        .select("q_id", "b_id", "sim").as[(Long, Long, Double)].collect()
+        .map { case (q, b, s) => (q, b) -> s }.toMap
+    val c0s = candSims(mp = false)
+    val c1s = candSims(mp = true)
+    val c0 = c0s.keys.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val c1 = c1s.keys.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     for (q <- c0.keys)
       assert(c0(q).subsetOf(c1.getOrElse(q, Set.empty)),
         s"multiprobe lost candidates for q=$q")
-    assert(c1.map(_._2.size).sum > c0.map(_._2.size).sum,
+    assert(c1s.size > c0s.size,
       "multiprobe added no candidates anywhere — expansion is vacuous on this fixture")
+    val truthSims = graft.operators.Ann.knnBruteForce(
+      base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"), 210)
+      .select("q_id", "b_id", "sim").as[(Long, Long, Double)].collect()
+      .map { case (q, b, s) => (q, b) -> s }.toMap
+    for ((pair, sim) <- c1s)
+      assert(truthSims.get(pair).contains(sim),
+        s"multiprobe candidate $pair scored $sim != brute force ${truthSims.get(pair)}")
     def recallMp(mp: Boolean): Double = {
       val approx = topSets(graft.operators.Ann.knnLsh(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),

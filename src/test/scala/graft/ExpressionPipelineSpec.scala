@@ -289,6 +289,10 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     val sql4 = spark.sql(
       "SELECT video_hash60(cast('hello video world' AS BINARY), 4) AS h").head().getLong(0)
     assert(sql4 == Media.videoHash60("hello video world".getBytes("UTF-8"), 4))
+    // untyped SQL NULL analyzes (ImplicitCastInputTypes) and honors the
+    // documented NULL → 0 contract; bare strings coerce to binary
+    assert(spark.sql("SELECT video_hash60(NULL) AS h").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT video_hash60('hello video world') AS h").head().getLong(0) == viaSql)
     // null contract: NULL and empty payloads → 0, non-nullable column
     val edge = Seq(
       (1L, null.asInstanceOf[Array[Byte]]),
