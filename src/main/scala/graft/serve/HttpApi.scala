@@ -145,9 +145,21 @@ final class HttpApi(
   private var server: Option[HttpServer] = None
   private var executor: Option[java.util.concurrent.ExecutorService] = None
 
-  def registerJob(j: JobRecord): Unit = jobHistory.synchronized { jobHistory += j }
+  // registries are CAPPED (newest kept) — the reference keeps
+  // unbounded Python lists (monitoring.py:36-40), a slow heap leak in
+  // a long-running server; /jobs and /audit/scans serve tails anyway
+  private val MaxJobHistory = 1000
+  private val MaxScanHistory = 200
+
+  def registerJob(j: JobRecord): Unit = jobHistory.synchronized {
+    jobHistory += j
+    if (jobHistory.size > MaxJobHistory) jobHistory.remove(0, jobHistory.size - MaxJobHistory)
+  }
   def registerScheduled(j: ScheduledJobRecord): Unit = scheduled.synchronized { scheduled += j }
-  def registerScan(s: ScanRecord): Unit = scanHistory.synchronized { scanHistory += s }
+  def registerScan(s: ScanRecord): Unit = scanHistory.synchronized {
+    scanHistory += s
+    if (scanHistory.size > MaxScanHistory) scanHistory.remove(0, scanHistory.size - MaxScanHistory)
+  }
 
   // ------------------------------------------------------------- metrics
 
@@ -178,7 +190,10 @@ final class HttpApi(
     })
     val m = JObject(
       "timestamp" -> JString(Instant.now.toString),
-      "cpu_percent" -> JDouble(if (cpu.isNaN) 0.0 else cpu),
+      // getCpuLoad/getSystemLoadAverage signal "unavailable" with -1
+      // (first sample, cgroup-restricted container) — clamp, never emit
+      // a negative percentage to dashboards expecting 0-100
+      "cpu_percent" -> JDouble(if (cpu.isNaN || cpu < 0) 0.0 else cpu),
       "memory_percent" -> JDouble(memPct),
       "disk_usage" -> disks)
     metricsHistory.synchronized {
@@ -192,9 +207,11 @@ final class HttpApi(
   private def jobMetrics(): JValue = {
     val jobs = jobHistory.synchronized(jobHistory.toVector)
     val done = jobs.filter(_.status == "completed")
-    val avg =
-      if (done.isEmpty) 0.0
-      else done.flatMap(j => j.completedAtMillis.map(c => (c - j.startedAtMillis) / 1000.0)).sum / done.size
+    // average over jobs that actually HAVE a duration (reference
+    // monitoring.py:118-124 divides by len(completed_job_durations)) —
+    // a completed job missing its end timestamp must not drag the mean
+    val durations = done.flatMap(j => j.completedAtMillis.map(c => (c - j.startedAtMillis) / 1000.0))
+    val avg = if (durations.isEmpty) 0.0 else durations.sum / durations.size
     JObject(
       "total_jobs" -> JInt(jobs.size),
       "running_jobs" -> JInt(jobs.count(_.status == "running")),
@@ -248,10 +265,19 @@ final class HttpApi(
     try os.write(bytes) finally os.close()
   }
 
-  private def handler(route: HttpExchange => (Int, JValue)): com.sun.net.httpserver.HttpHandler =
+  /** com.sun HttpServer contexts match by PREFIX — without an exact
+    * check, GET /healthzzz answers healthy and a typo'd POST
+    * /audit/process-scan-test launches a real scan. Every route except
+    * the "/" catch-all therefore verifies the path matches exactly.
+    */
+  private def handler(exactPath: String)(route: HttpExchange => (Int, JValue)): com.sun.net.httpserver.HttpHandler =
     (ex: HttpExchange) =>
       try {
-        val (code, body) = route(ex)
+        val path = ex.getRequestURI.getPath
+        val (code, body) =
+          if (exactPath != "/" && path != exactPath)
+            (404, JObject("error" -> JString(s"not found: $path")))
+          else route(ex)
         send(ex, code, body)
       } catch {
         case NonFatal(e) =>
@@ -548,24 +574,24 @@ final class HttpApi(
     val pool = Executors.newFixedThreadPool(4)
     s.setExecutor(pool)
     executor = Some(pool)
-    s.createContext("/health", handler { _ =>
+    s.createContext("/health", handler("/health") { _ =>
       (200, JObject("status" -> JString("healthy"), "timestamp" -> JString(Instant.now.toString)))
     })
-    s.createContext("/metrics", handler { _ =>
+    s.createContext("/metrics", handler("/metrics") { _ =>
       val sys = systemMetrics()
       (200, JObject(
         "system" -> sys,
         "jobs" -> jobMetrics(),
         "history" -> JArray(metricsHistory.synchronized(metricsHistory.toList))))
     })
-    s.createContext("/jobs", handler { _ =>
+    s.createContext("/jobs", handler("/jobs") { _ =>
       (200, JObject(
         "etl_jobs" -> JArray(jobHistory.synchronized(jobHistory.toVector).takeRight(50).toList.map(jobJson)),
         "scheduled_jobs" -> JArray(scheduled.synchronized(scheduled.toVector).toList.map(j =>
           JObject("name" -> JString(j.name), "schedule" -> JString(j.schedule),
             "enabled" -> JBool(j.enabled))))))
     })
-    s.createContext("/events", handler { _ =>
+    s.createContext("/events", handler("/events") { _ =>
       val evs = mcpTools.map(_.events.takeRight(100)).getOrElse(Nil)
       (200, JArray(evs.toList.map(e => JObject(
         "seq" -> JLong(e.seq),
@@ -573,14 +599,14 @@ final class HttpApi(
         "file_path" -> JString(e.path),
         "metadata" -> JObject(e.metadata.map { case (k, v) => k -> (JString(v): JValue) }.toList)))))
     })
-    s.createContext("/status", handler { _ =>
+    s.createContext("/status", handler("/status") { _ =>
       (200, JObject(
         "agent_status" -> JString("running"),
         "system_metrics" -> systemMetrics(),
         "job_metrics" -> jobMetrics(),
         "uptime" -> JDouble((System.currentTimeMillis() - startMillis) / 1000.0)))
     })
-    s.createContext("/audit/tools", handler { _ =>
+    s.createContext("/audit/tools", handler("/audit/tools") { _ =>
       (200, JObject(
         "tools" -> JObject(auditTools.toList.map(t => t.name -> (JObject(
           "display_name" -> JString(t.displayName),
@@ -592,15 +618,15 @@ final class HttpApi(
         "installed_count" -> JInt(auditTools.count(_.installed)),
         "total_count" -> JInt(auditTools.size)))
     })
-    s.createContext("/index/stats", handler(indexStatsRoute))
-    s.createContext("/search/lexical", handler(searchRoute("lexical")))
-    s.createContext("/search/phrase", handler(searchRoute("phrase")))
-    s.createContext("/search/ann", handler(searchRoute("ann")))
-    s.createContext("/search/hybrid", handler(searchRoute("hybrid")))
-    s.createContext("/audit/scans", handler(scansRoute))
-    s.createContext("/audit/findings", handler(findingsRoute))
-    s.createContext("/audit/process-scan", handler(processScanRoute))
-    s.createContext("/", handler { ex =>
+    s.createContext("/index/stats", handler("/index/stats")(indexStatsRoute))
+    s.createContext("/search/lexical", handler("/search/lexical")(searchRoute("lexical")))
+    s.createContext("/search/phrase", handler("/search/phrase")(searchRoute("phrase")))
+    s.createContext("/search/ann", handler("/search/ann")(searchRoute("ann")))
+    s.createContext("/search/hybrid", handler("/search/hybrid")(searchRoute("hybrid")))
+    s.createContext("/audit/scans", handler("/audit/scans")(scansRoute))
+    s.createContext("/audit/findings", handler("/audit/findings")(findingsRoute))
+    s.createContext("/audit/process-scan", handler("/audit/process-scan")(processScanRoute))
+    s.createContext("/", handler("/") { ex =>
       (404, JObject("error" -> JString(s"not found: ${ex.getRequestURI.getPath}")))
     })
     s.start()

@@ -108,21 +108,50 @@ object Mcp {
     * Pure of any transport — [[McpServer]] adds the JSON-RPC framing,
     * [[graft.serve.HttpApi]] reuses the event log for `/events`.
     */
+  /** Symlink-resolving realpath, defined for not-yet-existing targets:
+    * the deepest EXISTING ancestor is resolved through symlinks and the
+    * non-existing remainder appended — the semantics of Python's
+    * `Path.resolve()` (strict=False), which the reference's allowlist
+    * check uses (mcp_server.py:283-299). Pure textual normalization is
+    * NOT enough for the sandbox: a symlink inside an allowed root
+    * (`/sandbox/ln -> /etc`) would pass a startsWith check while
+    * reading/writing outside it.
+    */
+  private[serve] def resolveReal(path: String): Path = {
+    val abs = Paths.get(path).toAbsolutePath.normalize
+    var existing: Path = abs
+    var rest = List.empty[String]
+    while (existing != null && !Files.exists(existing)) {
+      rest = existing.getFileName.toString :: rest
+      existing = existing.getParent
+    }
+    val base =
+      if (existing == null) abs.getRoot
+      else
+        try existing.toRealPath()
+        catch { case NonFatal(_) => existing } // dangling symlink tail
+    rest.foldLeft(base)(_.resolve(_))
+  }
+
   final class Tools(val config: McpConfig) {
     private val resolvedRoots: Seq[Path] =
-      config.allowedPaths.map(p => Paths.get(p).toAbsolutePath.normalize)
+      config.allowedPaths.map(resolveReal)
     private val seq = new AtomicLong(0L)
     private val eventBuf = ArrayBuffer.empty[FsEvent]
+    // events are capped (newest kept): the reference appends forever
+    // (mcp_server.py:308), which in a long-running server is a slow
+    // heap leak — one FsEvent per tool call, unbounded
+    private val MaxEvents = 10000
 
     /** mcp_server.py:283-299 — permissive ⇒ all; empty allowlist ⇒ all;
-      * else resolved-prefix containment.
+      * else SYMLINK-RESOLVED prefix containment (see [[resolveReal]]).
       */
     def pathAllowed(path: String): Boolean = {
       if (config.securityMode == "permissive") true
       else if (resolvedRoots.isEmpty) true
       else
         try {
-          val p = Paths.get(path).toAbsolutePath.normalize
+          val p = resolveReal(path)
           resolvedRoots.exists(root => p.startsWith(root))
         } catch { case NonFatal(_) => false }
     }
@@ -134,6 +163,7 @@ object Mcp {
     def logEvent(eventType: String, path: String, metadata: Map[String, String]): Unit =
       eventBuf.synchronized {
         eventBuf += FsEvent(seq.incrementAndGet(), eventType, path, metadata)
+        if (eventBuf.size > MaxEvents) eventBuf.remove(0, eventBuf.size - MaxEvents)
       }
 
     def events: Seq[FsEvent] = eventBuf.synchronized(eventBuf.toVector)
@@ -146,7 +176,7 @@ object Mcp {
 
     def readFile(path: String, encoding: String = "utf-8"): ToolResult = guarded {
       if (!pathAllowed(path)) throw new SecurityException(s"Access denied to path: $path")
-      val p = Paths.get(path).toAbsolutePath.normalize
+      val p = resolveReal(path) // operate on the SAME path the guard checked
       if (!Files.exists(p)) throw new java.io.FileNotFoundException(s"File not found: $path")
       val size = Files.size(p)
       if (size > config.maxFileSize) throw new IllegalArgumentException(s"File too large: $size bytes")
@@ -157,7 +187,7 @@ object Mcp {
 
     def writeFile(path: String, content: String, encoding: String = "utf-8"): ToolResult = guarded {
       if (!pathAllowed(path)) throw new SecurityException(s"Access denied to path: $path")
-      val p = Paths.get(path).toAbsolutePath.normalize
+      val p = resolveReal(path) // operate on the SAME path the guard checked
       Option(p.getParent).foreach(Files.createDirectories(_))
       Files.write(p, content.getBytes(encoding))
       logEvent("write_file", p.toString, Map("size" -> content.length.toString))
@@ -166,7 +196,7 @@ object Mcp {
 
     def listDirectory(path: String): ToolResult = guarded {
       if (!pathAllowed(path)) throw new SecurityException(s"Access denied to path: $path")
-      val p = Paths.get(path).toAbsolutePath.normalize
+      val p = resolveReal(path) // operate on the SAME path the guard checked
       if (!Files.exists(p)) throw new java.io.FileNotFoundException(s"Directory not found: $path")
       if (!Files.isDirectory(p)) throw new IllegalArgumentException(s"Not a directory: $path")
       val stream = Files.list(p)
@@ -202,35 +232,62 @@ object Mcp {
       cwd.foreach(d => pb.directory(new java.io.File(d)))
       val proc = pb.start()
       proc.getOutputStream.close()
-      val outBuf = new java.io.ByteArrayOutputStream()
-      val errBuf = new java.io.ByteArrayOutputStream()
-      def drain(in: InputStream, to: java.io.ByteArrayOutputStream): Thread = {
-        val t = new Thread(() => try { in.transferTo(to): Unit } catch { case NonFatal(_) => () })
-        t.setDaemon(true); t.start(); t
+      // bounded capture: keep at most maxFileSize bytes per stream and
+      // DISCARD the rest while still reading (the child must never
+      // block on a full pipe). An unbounded buffer would let one
+      // `cat /dev/zero` OOM the server and bypass the read_file cap.
+      final class BoundedDrain(in: InputStream) {
+        val buf = new java.io.ByteArrayOutputStream()
+        @volatile var truncated = false
+        val thread: Thread = {
+          val t = new Thread(() => try {
+            val chunk = new Array[Byte](8192)
+            var n = in.read(chunk)
+            while (n >= 0) {
+              val room = config.maxFileSize - buf.size
+              if (room > 0) buf.write(chunk, 0, math.min(n.toLong, room).toInt)
+              if (n > room) truncated = true
+              n = in.read(chunk)
+            }
+          } catch { case NonFatal(_) => () })
+          t.setDaemon(true); t.start(); t
+        }
       }
-      val tOut = drain(proc.getInputStream, outBuf)
-      val tErr = drain(proc.getErrorStream, errBuf)
+      val outD = new BoundedDrain(proc.getInputStream)
+      val errD = new BoundedDrain(proc.getErrorStream)
       if (!proc.waitFor(config.commandTimeoutSeconds, TimeUnit.SECONDS)) {
         proc.destroyForcibly()
-        proc.waitFor()
+        // BOUNDED post-kill wait: an uninterruptible child (D-state on
+        // NFS) must not wedge the serve loop — report the timeout and
+        // let the daemon drains die with the process
+        proc.waitFor(5, TimeUnit.SECONDS): Unit
         throw new RuntimeException(s"Command timed out: $command")
       }
-      tOut.join(5000); tErr.join(5000)
-      val stdout = new String(outBuf.toByteArray, StandardCharsets.UTF_8)
-      val stderr = new String(errBuf.toByteArray, StandardCharsets.UTF_8)
+      val drainsDone = {
+        outD.thread.join(5000); errD.thread.join(5000)
+        !outD.thread.isAlive && !errD.thread.isAlive
+      }
+      val stdout = new String(outD.buf.toByteArray, StandardCharsets.UTF_8)
+      val stderr = new String(errD.buf.toByteArray, StandardCharsets.UTF_8)
       val rc = proc.exitValue()
       logEvent("execute_command", (command +: args).mkString(" "),
         Map("returncode" -> rc.toString) ++ cwd.map("cwd" -> _))
-      val out = JObject(
-        "returncode" -> JInt(rc),
-        "stdout" -> JString(stdout),
-        "stderr" -> JString(stderr))
-      ToolResult(JsonMethods.pretty(JsonMethods.render(out)), isError = rc != 0)
+      // truncated/incomplete output is SAID, not silently returned as a
+      // clean rc=0 result (a grandchild holding the pipe open past the
+      // join deadline would otherwise read as full output)
+      val base = List(
+        "returncode" -> (JInt(rc): JValue),
+        "stdout" -> (JString(stdout): JValue),
+        "stderr" -> (JString(stderr): JValue))
+      val flags =
+        (if (outD.truncated || errD.truncated) List("output_truncated" -> (JBool(true): JValue)) else Nil) ++
+          (if (!drainsDone) List("output_incomplete" -> (JBool(true): JValue)) else Nil)
+      ToolResult(JsonMethods.pretty(JsonMethods.render(JObject(base ++ flags))), isError = rc != 0)
     }
 
     def createDirectory(path: String, parents: Boolean = true): ToolResult = guarded {
       if (!pathAllowed(path)) throw new SecurityException(s"Access denied to path: $path")
-      val p = Paths.get(path).toAbsolutePath.normalize
+      val p = resolveReal(path) // operate on the SAME path the guard checked
       if (parents) Files.createDirectories(p)
       else if (!Files.exists(p)) Files.createDirectory(p)
       logEvent("create_directory", p.toString, Map("parents" -> parents.toString))
@@ -239,7 +296,7 @@ object Mcp {
 
     def deleteFile(path: String): ToolResult = guarded {
       if (!pathAllowed(path)) throw new SecurityException(s"Access denied to path: $path")
-      val p = Paths.get(path).toAbsolutePath.normalize
+      val p = resolveReal(path) // operate on the SAME path the guard checked
       if (!Files.exists(p)) throw new java.io.FileNotFoundException(s"Path not found: $path")
       val op =
         if (Files.isDirectory(p)) {
@@ -260,7 +317,7 @@ object Mcp {
 
     def getFileInfo(path: String): ToolResult = guarded {
       if (!pathAllowed(path)) throw new SecurityException(s"Access denied to path: $path")
-      val p = Paths.get(path).toAbsolutePath.normalize
+      val p = resolveReal(path) // operate on the SAME path the guard checked
       if (!Files.exists(p)) throw new java.io.FileNotFoundException(s"Path not found: $path")
       val isDir = Files.isDirectory(p)
       val info = JObject(
@@ -281,7 +338,9 @@ object Mcp {
     def call(name: String, args: JValue): ToolResult = {
       def str(k: String): Option[String] = args \ k match {
         case JString(s) => Some(s)
-        case _          => None
+        case JNothing   => None
+        case other => throw new IllegalArgumentException(
+          s"$k must be a string, got ${JsonMethods.compact(JsonMethods.render(other))}")
       }
       def strReq(k: String): String =
         str(k).getOrElse(throw new IllegalArgumentException(s"missing required argument: $k"))
@@ -289,9 +348,19 @@ object Mcp {
         case JBool(b) => b
         case _        => dflt
       }
+      // strict: a non-string element must ERROR, not be silently
+      // dropped — `args: ["checkout", 123, "file"]` running
+      // `checkout file` is a materially different command
       def strs(k: String): Seq[String] = args \ k match {
-        case JArray(xs) => xs.collect { case JString(s) => s }
-        case _          => Nil
+        case JArray(xs) =>
+          xs.map {
+            case JString(s) => s
+            case other => throw new IllegalArgumentException(
+              s"$k must contain only strings, got ${JsonMethods.compact(JsonMethods.render(other))}")
+          }
+        case JNothing => Nil
+        case other => throw new IllegalArgumentException(
+          s"$k must be an array of strings, got ${JsonMethods.compact(JsonMethods.render(other))}")
       }
       try name match {
         case "read_file"        => readFile(strReq("path"), str("encoding").getOrElse("utf-8"))

@@ -111,6 +111,42 @@ class ServeSpec extends SparkSpecBase {
     assert((JsonMethods.parse(fail.text) \ "returncode") != JInt(0))
   }
 
+  test("mcp: symlinks cannot escape the strict-mode allowlist") {
+    val root = tmpDir("mcp")
+    val outside = tmpDir("mcp-outside")
+    Files.write(Paths.get(outside, "secret.txt"), "s3cret".getBytes(StandardCharsets.UTF_8))
+    Files.createSymbolicLink(Paths.get(root, "ln"), Paths.get(outside))
+    val t = toolsIn(root)
+    // textual normalization would pass startsWith(root); the resolved
+    // real path lands outside and must be denied (reference
+    // Path.resolve() semantics)
+    val r = t.readFile(s"$root/ln/secret.txt")
+    assert(r.isError && r.text.contains("Access denied"), r.text)
+    val w = t.writeFile(s"$root/ln/evil.txt", "x")
+    assert(w.isError && w.text.contains("Access denied"))
+    assert(!Files.exists(Paths.get(outside, "evil.txt")))
+  }
+
+  test("mcp: execute_command caps captured output and says so") {
+    val root = tmpDir("mcp")
+    Files.write(Paths.get(root, "big.txt"), ("y" * 4096).getBytes(StandardCharsets.UTF_8))
+    val t = new Mcp.Tools(Mcp.McpConfig(
+      allowedPaths = Seq(root), allowedCommands = Set("cat"), maxFileSize = 128))
+    val r = t.executeCommand("cat", Seq(s"$root/big.txt"))
+    assert(!r.isError) // rc == 0; truncation is flagged, not an error
+    val j = JsonMethods.parse(r.text)
+    assert((j \ "output_truncated") == JBool(true), r.text.take(300))
+    assert((j \ "stdout").asInstanceOf[JString].s.length == 128)
+  }
+
+  test("mcp: non-string args error instead of silently dropping elements") {
+    val root = tmpDir("mcp")
+    val t = toolsIn(root)
+    val r = t.call("execute_command", JsonMethods.parse(
+      s"""{"command":"ls","args":["$root",123]}"""))
+    assert(r.isError && r.text.contains("only strings"), r.text)
+  }
+
   test("mcp: a hung command hits the timeout, not a forever-block") {
     val root = tmpDir("mcp")
     val t = new Mcp.Tools(Mcp.McpConfig(
@@ -251,6 +287,14 @@ class ServeSpec extends SparkSpecBase {
 
       val (nc, nj) = get(client, port, "/nope")
       assert(nc == 404 && (nj \ "error") != JNothing)
+
+      // contexts match by prefix in com.sun HttpServer — routes must
+      // still 404 a prefix-extended path, not answer it (a typo'd
+      // POST /audit/process-scan-x would otherwise launch a real scan)
+      val (pxc, _) = get(client, port, "/healthzzz")
+      assert(pxc == 404, "/healthzzz answered as /health (prefix-match leak)")
+      val (pxj, _) = get(client, port, "/jobs-foo")
+      assert(pxj == 404)
     }
   }
 
