@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as built-ins, composed from what Catalyst
+  * CAN plan well — no cross joins, no broadcast-nested-loop fallbacks.
+  *
+  * Reference anchor: the reference correlates events to the most recent
+  * prior state snapshot when diffing scans over time
+  * (src/audit/pipeline.py baseline-vs-current flow) — the relational
+  * form of that correlation is the AS-OF join; its window/interval
+  * variant is the range join. Both are first-class operators in every
+  * time-series store (kdb, QuestDB, DuckDB `ASOF JOIN`) and absent from
+  * Spark, where the naive spelling (`t2.ts <= t1.ts` as a join
+  * predicate) degenerates to a broadcast-nested-loop or sort-merge over
+  * the FULL inequality range — quadratic per key at 100 TB.
+  *
+  * == asofJoinBackward: union + window, ONE shuffle ==
+  * Tag both sides, union, sort each key partition once by (ts, side,
+  * tiebreak), and carry the latest right payload forward with
+  * `last(ignoreNulls)` over the running frame. Cost is the sort-merge
+  * as-of: one hash exchange on the key + one per-partition sort —
+  * O(n log n) per key group, independent of how far back matches lie
+  * (the inequality-join spelling pays O(left × right) per key). Skewed
+  * keys hit the same limits as any window — the fix (pre-bucketing by
+  * coarse time) composes: run the join per (key, day-bucket) with the
+  * previous bucket's tail unioned in.
+  *
+  * == rangeJoinPoints: bucketed equi-join ==
+  * Intervals explode to the fixed-width buckets they overlap (bounded
+  * by `maxIntervalBuckets` — a loud contract, not a silent truncation);
+  * points land in exactly ONE bucket, so each qualifying
+  * (interval, point) pair meets at exactly one equi-key and needs no
+  * post-join dedup. The exact containment predicate filters AFTER the
+  * equi-join, so Catalyst plans a plain shuffled/broadcast hash join
+  * keyed on (key, bucket) — the bin-based range join of Databricks'
+  * range-join hints and postgres' temporal GiST bucketing, expressed in
+  * vanilla Spark.
+  */
+object Temporal {
+
+  /** Backward as-of join: for each left row, attach the LATEST right
+    * row with `right.tsCol <= left.tsCol` on the same `on` keys and
+    * within `tolerance` time units (inclusive both ends). Left rows
+    * with no qualifying right row keep null payloads (left-outer
+    * semantics). Timestamps must be a numeric column (epoch µs by
+    * convention here) — callers normalize calendar types first
+    * (`Tables.tsUs`), keeping tolerance arithmetic exact.
+    *
+    * Ties: right rows sharing (key, ts) resolve to the largest
+    * `rightTiebreak`; left ordering among equal (key, ts) is
+    * irrelevant (every such left row sees the same right prefix).
+    * Right rows with a null timestamp are dropped (they order before
+    * every real timestamp and would otherwise "match" as a phantom
+    * earliest state); left rows with a null timestamp match nothing
+    * but are preserved.
+    *
+    * @param rightPayload right columns to carry (prefixed with
+    *        `rightPrefix` in the output, alongside `<prefix><tsCol>`
+    *        and the tiebreak)
+    */
+  def asofJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      tsCol: String,
+      rightTiebreak: String,
+      rightPayload: Seq[String],
+      tolerance: Option[Long] = None,
+      rightPrefix: String = "r_"): DataFrame = {
+    require(on.nonEmpty, "asofJoinBackward needs ≥1 equi-key")
+    val payloadCols = (Seq(tsCol, rightTiebreak) ++ rightPayload).distinct
+
+    val rhs = right
+      .filter(col(tsCol).isNotNull)
+      .select(
+        on.map(col) ++ Seq(
+          col(tsCol).as("__ts"),
+          lit(0).as("__side"),
+          col(rightTiebreak).as("__tie"),
+          struct(payloadCols.map(col): _*).as("__r")): _*)
+
+    val lhs = left.select(
+      on.map(col) ++ Seq(
+        col(tsCol).as("__ts"),
+        lit(1).as("__side"),
+        lit(null).cast(rhs.schema("__tie").dataType).as("__tie")) ++
+        left.columns.map(c => col(c).as(s"__l_$c")): _*)
+
+    // One exchange on the keys, one sort per partition. Rights sort
+    // BEFORE lefts at equal ts (side 0 < 1) => inclusive rt <= t;
+    // rights at equal ts order by tiebreak, so last() is deterministic.
+    val w = Window
+      .partitionBy(on.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = lhs
+      .unionByName(rhs, allowMissingColumns = true)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val gated = tolerance match {
+      case Some(tol) =>
+        matched.withColumn(
+          "__m",
+          when(col("__ts") - col("__m").getField(tsCol) <= tol, col("__m")))
+      case None => matched
+    }
+
+    gated.select(
+      left.columns.map(c => col(s"__l_$c").as(c)) ++
+        payloadCols.map(p => col("__m").getField(p).as(s"$rightPrefix$p")): _*)
+  }
+
+  /** Interval × point range join: pairs every interval row
+    * `[startCol, endCol]` (inclusive) with the point rows whose
+    * `pointTsCol` falls inside it, equi-keyed on `on`. Inner-join
+    * semantics — intervals with no points vanish (wrap with a
+    * left-outer re-join on the interval key for outer semantics).
+    *
+    * Buckets of `bucketWidth` time units block the join: an interval
+    * covers `(end/w - start/w) + 1` buckets, a point exactly one, so
+    * each qualifying pair meets at exactly one equi-key (no dedup
+    * pass). `maxIntervalBuckets` bounds the explode — an interval
+    * longer than `bucketWidth × maxIntervalBuckets` fails loudly
+    * rather than silently fanning out (pick a wider bucket for long
+    * intervals; the classic two-tier refinement composes by unioning
+    * two bucket widths).
+    *
+    * Invalid intervals (null bounds or end < start) and null-ts points
+    * are dropped.
+    */
+  def rangeJoinPoints(
+      intervals: DataFrame,
+      points: DataFrame,
+      on: Seq[String],
+      startCol: String,
+      endCol: String,
+      pointTsCol: String,
+      bucketWidth: Long,
+      maxIntervalBuckets: Int = 1024,
+      pointPrefix: String = "p_"): DataFrame = {
+    require(on.nonEmpty, "rangeJoinPoints needs ≥1 equi-key")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+
+    val iv = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(endCol) >= col(startCol))
+      .withColumn("__b0", floor(col(startCol) / bucketWidth))
+      .withColumn("__b1", floor(col(endCol) / bucketWidth))
+    // loud fan-out contract, folded INTO the consumed bucket bound so
+    // column pruning cannot optimize the check away: assert_true throws
+    // (failing the job) on any interval spanning too many buckets,
+    // instead of silently exploding or truncating coverage
+    val b1Checked = when(
+      assert_true(
+        col("__b1") - col("__b0") < maxIntervalBuckets,
+        concat(
+          lit(s"rangeJoinPoints: interval spans >= $maxIntervalBuckets buckets of $bucketWidth - widen bucketWidth ("),
+          col(startCol).cast("string"), lit(".."), col(endCol).cast("string"), lit(")"))).isNull,
+      col("__b1"))
+    val expl = iv
+      .withColumn("__bucket", explode(sequence(col("__b0"), b1Checked)))
+      .drop("__b0", "__b1")
+
+    val pts = points
+      .filter(col(pointTsCol).isNotNull)
+      .select(
+        on.map(col) ++ Seq(floor(col(pointTsCol) / bucketWidth).as("__bucket")) ++
+          points.columns.map(c => col(c).as(s"__p_$c")): _*)
+
+    expl
+      .join(pts, on :+ "__bucket")
+      .filter(
+        col(s"__p_$pointTsCol") >= col(startCol) &&
+          col(s"__p_$pointTsCol") <= col(endCol))
+      .select(
+        intervals.columns.map(col) ++
+          points.columns.filterNot(on.contains)
+            .map(c => col(s"__p_$c").as(s"$pointPrefix$c")): _*)
+  }
+}

@@ -195,7 +195,80 @@ object EventQueries {
       |  CAST(MAX(ev) AS BIGINT) AS max_session_events
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Backward AS-OF join ([[graft.operators.Temporal.asofJoinBackward]]):
+    * every click attached to the user's most recent purchase within 6
+    * hours (left-outer — unmatched clicks keep null payloads). The
+    * union+window plan costs ONE key shuffle regardless of lookback
+    * depth; the oracle replays the same semantics as the naive
+    * inequality join + row_number — the spelling that is correct but
+    * quadratic per key, i.e. exactly what the operator exists to avoid.
+    * Tie discipline (latest ts, then largest event_id) is pinned by
+    * both sides.
+    */
+  def e06AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val base = ev.withColumn("ts_us", Tables.tsUs(ev))
+    val clicks = base.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_us", "value")
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us", "value")
+    graft.operators.Temporal.asofJoinBackward(
+      clicks, purchases, on = Seq("user_id"), tsCol = "ts_us",
+      rightTiebreak = "event_id", rightPayload = Seq("value"),
+      tolerance = Some(6L * 3600 * 1000000), rightPrefix = "p_")
+      .orderBy("event_id")
+  }
+
+  val e06Oracle: String =
+    """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events WHERE event_type = 'purchase')
+      |SELECT event_id, user_id, ts_us, value, p_ts_us, p_event_id, p_value FROM (
+      |  SELECT c.event_id, c.user_id, c.ts_us, c.value,
+      |    p.ts_us AS p_ts_us, p.event_id AS p_event_id, p.value AS p_value,
+      |    row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts_us DESC, p.event_id DESC) AS rn
+      |  FROM c LEFT JOIN p
+      |    ON p.user_id = c.user_id AND p.ts_us <= c.ts_us AND c.ts_us - p.ts_us <= 21600000000
+      |) WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  /** Interval × point range join
+    * ([[graft.operators.Temporal.rangeJoinPoints]]): each purchase
+    * opens a 4-hour attribution window; every click by the same user
+    * inside it pairs up. The engine blocks the join on 1-hour time
+    * buckets (a purchase interval explodes to ≤5 bucket keys, a click
+    * to exactly one) so Catalyst plans a hash equi-join — the oracle is
+    * the plain BETWEEN join, proving the bucketing is a pure plan
+    * optimization with zero semantic footprint.
+    */
+  def e07RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val base = ev.withColumn("ts_us", Tables.tsUs(ev))
+    val intervals = base.filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("p_id"), col("user_id"),
+        col("ts_us").as("start_us"),
+        (col("ts_us") + 4L * 3600 * 1000000).as("end_us"))
+    val points = base.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_us", "value")
+    graft.operators.Temporal.rangeJoinPoints(
+      intervals, points, on = Seq("user_id"),
+      startCol = "start_us", endCol = "end_us", pointTsCol = "ts_us",
+      bucketWidth = 3600000000L, pointPrefix = "c_")
+      .orderBy("p_id", "c_event_id")
+  }
+
+  val e07Oracle: String =
+    """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS start_us,
+      |                  epoch_us(ts) + 14400000000 AS end_us
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events WHERE event_type = 'click')
+      |SELECT p.p_id, p.user_id, p.start_us, p.end_us,
+      |  c.event_id AS c_event_id, c.ts_us AS c_ts_us, c.value AS c_value
+      |FROM p JOIN c ON c.user_id = p.user_id AND c.ts_us BETWEEN p.start_us AND p.end_us
+      |ORDER BY p_id, c_event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e06_asof_join" -> (e06AsofJoin _),
+    "e07_range_join" -> (e07RangeJoin _),
     "e05_session_stats" -> (e05SessionStats _),
     "e01_hourly_stats" -> (e01HourlyStats _),
     "e02_recent_events" -> (e02RecentEvents _),
@@ -206,6 +279,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e06_asof_join" -> e06Oracle,
+    "e07_range_join" -> e07Oracle,
     "e05_session_stats" -> e05Oracle,
     "e01_hourly_stats" -> e01Oracle,
     "e02_recent_events" -> e02Oracle,

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.Temporal
+
+/** [[graft.operators.Temporal]] — AS-OF and range joins. Semantics are
+  * pinned on crafted fixtures (ties, tolerance edges, null timestamps,
+  * left-outer preservation); plan shape is pinned against the failure
+  * mode the operators exist to avoid (inequality-predicate joins
+  * degenerating to nested-loop/cartesian plans); the e06/e07 oracles
+  * add the cross-engine replay at sf0.01.
+  */
+class TemporalSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def asof(
+      left: Seq[(Long, Long, Long)], // (id, key, ts)
+      right: Seq[(Long, Long, Long, Double)], // (id, key, ts, v)
+      tol: Option[Long] = None) = {
+    val l = left.toDF("event_id", "k", "ts_us")
+    val r = right.toDF("event_id", "k", "ts_us", "v")
+    Temporal.asofJoinBackward(
+      l, r, on = Seq("k"), tsCol = "ts_us",
+      rightTiebreak = "event_id", rightPayload = Seq("v"), tolerance = tol)
+  }
+
+  test("asof: latest right at or before each left ts, left-outer") {
+    val out = asof(
+      left = Seq((1L, 7L, 100L), (2L, 7L, 250L), (3L, 7L, 50L)),
+      right = Seq((10L, 7L, 100L, 1.0), (11L, 7L, 200L, 2.0)))
+      .select("event_id", "r_event_id", "r_v")
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+
+    assert(out(1L) === ((Some(10L), Some(1.0)))) // inclusive: rt == t matches
+    assert(out(2L) === ((Some(11L), Some(2.0)))) // latest, not first
+    assert(out(3L) === ((None, None))) // nothing at-or-before -> kept, null payload
+  }
+
+  test("asof: equal-ts rights resolve to the largest tiebreak") {
+    val out = asof(
+      left = Seq((1L, 7L, 100L)),
+      right = Seq((10L, 7L, 100L, 1.0), (12L, 7L, 100L, 3.0), (11L, 7L, 100L, 2.0)))
+      .select("r_event_id", "r_v").head()
+    assert(out === Row(12L, 3.0))
+  }
+
+  test("asof: tolerance gates inclusively and nulls the whole payload") {
+    val mk = (tol: Long) => asof(
+      left = Seq((1L, 7L, 300L)),
+      right = Seq((10L, 7L, 200L, 1.0)), tol = Some(tol))
+      .select("r_event_id", "r_ts_us", "r_v").head()
+    assert(mk(100L) === Row(10L, 200L, 1.0)) // exactly at tolerance: kept
+    assert(mk(99L) === Row(null, null, null)) // just past: all payload null
+  }
+
+  test("asof: null-ts rights never match; null-ts lefts survive unmatched") {
+    val l = Seq((1L, Some(7L), Some(100L)), (2L, Some(7L), None))
+      .toDF("event_id", "k", "ts_us")
+    val r = Seq((10L, 7L, Some(50L), 1.0), (11L, 7L, Option.empty[Long], 9.0))
+      .toDF("event_id", "k", "ts_us", "v")
+    val out = Temporal.asofJoinBackward(
+      l, r, Seq("k"), "ts_us", "event_id", Seq("v"))
+      .select("event_id", "r_event_id")
+      .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    assert(out(1L) === Some(10L)) // real row matches, null-ts phantom ignored
+    assert(out(2L) === None) // null-ts left: kept, no match
+    assert(out.size === 2)
+  }
+
+  test("asof: keys never cross") {
+    val out = asof(
+      left = Seq((1L, 7L, 100L)),
+      right = Seq((10L, 8L, 50L, 1.0)))
+      .select("r_event_id").head()
+    assert(out === Row(null))
+  }
+
+  test("asof plan: one exchange on the key, no nested-loop join") {
+    val df = queries.EventQueries.e06AsofJoin(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoopJoin"),
+      s"asof degenerated to a product plan:\n$p")
+    assert(p.contains("Window"), "asof should plan as a window, not a join")
+  }
+
+  private val H = 3600000000L
+
+  test("range: bucketed join equals the naive BETWEEN join, no dup pairs") {
+    // intervals crossing bucket boundaries + points on exact edges
+    val iv = Seq((1L, 7L, 10L * H, 14L * H), (2L, 7L, 11L * H, 11L * H),
+      (3L, 8L, 10L * H, 14L * H))
+      .toDF("iv_id", "k", "start_us", "end_us")
+    val pt = Seq((20L, 7L, 10L * H), (21L, 7L, 14L * H), (22L, 7L, 14L * H + 1),
+      (23L, 7L, 11L * H), (24L, 8L, 12L * H), (25L, 9L, 12L * H))
+      .toDF("event_id", "k", "ts_us")
+    val got = Temporal.rangeJoinPoints(
+      iv, pt, Seq("k"), "start_us", "end_us", "ts_us", bucketWidth = H)
+      .select("iv_id", "p_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = (for {
+      (ivId, ik, s, e) <- Seq((1L, 7L, 10 * H, 14 * H), (2L, 7L, 11 * H, 11 * H), (3L, 8L, 10 * H, 14 * H))
+      (pId, pk, t) <- Seq((20L, 7L, 10 * H), (21L, 7L, 14 * H), (22L, 7L, 14 * H + 1),
+        (23L, 7L, 11 * H), (24L, 8L, 12 * H), (25L, 9L, 12 * H))
+      if ik == pk && t >= s && t <= e
+    } yield (ivId, pId)).sorted
+    assert(got === want)
+    assert(got.distinct === got, "bucketing produced duplicate pairs")
+  }
+
+  test("range: invalid intervals and null-ts points drop; overlong interval fails loudly") {
+    val iv = Seq((1L, 7L, Some(10L * H), Some(5L * H)), // end < start
+      (2L, 7L, Option.empty[Long], Some(12L * H))) // null bound
+      .toDF("iv_id", "k", "start_us", "end_us")
+    val pt = Seq((20L, 7L, Option.empty[Long])).toDF("event_id", "k", "ts_us")
+    assert(Temporal.rangeJoinPoints(
+      iv, pt, Seq("k"), "start_us", "end_us", "ts_us", H).count() === 0)
+
+    val big = Seq((1L, 7L, 0L, 10L * H)).toDF("iv_id", "k", "start_us", "end_us")
+    val p2 = Seq((20L, 7L, 1L * H)).toDF("event_id", "k", "ts_us")
+    val e = intercept[Exception] {
+      Temporal.rangeJoinPoints(
+        big, p2, Seq("k"), "start_us", "end_us", "ts_us", H,
+        maxIntervalBuckets = 4).count()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("range plan: hash equi-join on (key, bucket), no nested loop") {
+    val df = queries.EventQueries.e07RangeJoin(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a product plan:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join:\n$p")
+  }
+}
