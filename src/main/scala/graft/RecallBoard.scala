@@ -66,7 +66,10 @@ object RecallBoard {
         k, m = 8, kSub = 24, shortlist = 100, maxFit = 20000L),
       "v10_knn_ivfpq" -> Pq.knnIvfPq(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, nlist = 8, nprobe = 6, m = 8, kSub = 32, shortlist = 150, maxFit = 20000L))
+        k, nlist = 8, nprobe = 6, m = 8, kSub = 32, shortlist = 150, maxFit = 20000L),
+      "v15_knn_sq8" -> graft.operators.Sq.knnSq8(
+        base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
+        k, shortlist = 20))
     paths.map { case (name, df) => name -> recallAtK(exact, df, k) }.toMap
   }
 

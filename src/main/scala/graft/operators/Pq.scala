@@ -158,7 +158,7 @@ object Pq {
     rerankExact(Ann.topkPerQuery(approx, sl), b, q, k)
   }
 
-  private def shortlistSize(shortlist: Int, k: Int): Int = {
+  private[operators] def shortlistSize(shortlist: Int, k: Int): Int = {
     val sl = if (shortlist > 0) shortlist else 4 * k
     require(sl >= k, s"shortlist $sl must be >= k=$k")
     sl

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Scalar quantization (SQ8) for embedding columns — FAISS's
+  * `ScalarQuantizer(QT_8bit)` family: each dimension is linearly
+  * mapped to one byte using per-dimension [min, max] ranges fit from
+  * the corpus, a 4× compression at float32 (vs PQ's 32× — SQ8 is the
+  * milder compression tier that keeps per-dimension resolution, the
+  * standard first step down from raw floats on ~10^8-vector corpora).
+  *
+  * Unlike PQ (k-means codebooks → engine-specific centroids), the SQ8
+  * transform is CLOSED-FORM: min/max per dimension are
+  * order-independent aggregates and encode/decode is pure arithmetic
+  * (`round`, clamp, linear rescale). Every stage — stats, codes,
+  * reconstruction, ADC scoring, shortlist selection, exact rerank — is
+  * therefore bit-replayable by the DuckDB oracle end to end: the ONLY
+  * compressed ANN path with a FULL pipeline-replay gate rather than
+  * the (weaker) self-verifying score contract v05/v09 use.
+  *
+  * Scale shape mirrors [[Pq.knnPq]]: stats are ONE order-independent
+  * aggregate (map-side combine, a 2·D-value driver row — no sample,
+  * no iteration, unlike k-means); encode is a narrow projection; ADC
+  * scoring broadcasts the queries; shortlist + exact-rerank tail is
+  * the shared [[Ann.topkPerQuery]] k-buffer (no Window). At 100 TB
+  * the codes column (D bytes/row) is what a persisted lake would
+  * store — the same build/add/query split as the PQ index applies,
+  * with byte-codes streaming through the scan instead of floats.
+  */
+object Sq {
+
+  /** Per-dimension [min, max] over the scoreable base — the entire
+    * "model" of SQ8 (compare [[Pq.Codebooks]]). Exact and
+    * deterministic regardless of partitioning: min/max are
+    * order-independent, so there is no fold-order caveat anywhere in
+    * the fit.
+    */
+  case class Sq8Stats(mins: Array[Double], maxs: Array[Double]) {
+    def dim: Int = mins.length
+  }
+
+  /** Fit stats in ONE distributed aggregate (2·D agg expressions, all
+    * map-side partial). `frame` must already be gated to the fixed
+    * dimension and scoreable rows — [[knnSq8]] owns those filters so
+    * the oracle can mirror them.
+    */
+  def fitStats(frame: DataFrame, vec: Column, dim: Int): Sq8Stats = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val aggs = (1 to dim).flatMap(i => Seq(
+      min(element_at(vec, i).cast("double")).as(s"mn$i"),
+      max(element_at(vec, i).cast("double")).as(s"mx$i")))
+    val row = frame.agg(aggs.head, aggs.tail: _*).head()
+    require(!row.isNullAt(0), "SQ8 fit frame is empty -- no base vectors")
+    Sq8Stats(
+      Array.tabulate(dim)(i => row.getDouble(2 * i)),
+      Array.tabulate(dim)(i => row.getDouble(2 * i + 1)))
+  }
+
+  /** `array<int>` byte codes: per dimension,
+    * `clamp(round(((x - min) / (max - min)) * 255), 0, 255)`; a
+    * degenerate dimension (max == min) codes to 0. Null elements yield
+    * null codes (callers filter, like [[Pq.encode]]). The arithmetic
+    * (including `round`'s half-away-from-zero on the non-negative
+    * operand) is replayed token-for-token by the v15 oracle.
+    */
+  def encodeExpr(vec: Column, st: Sq8Stats): Column = {
+    val mnl = typedLit(st.mins.toSeq)
+    val mxl = typedLit(st.maxs.toSeq)
+    transform(vec, (x, i) => {
+      val mn = element_at(mnl, i + 1)
+      val mx = element_at(mxl, i + 1)
+      when(x.isNull, lit(null).cast("int"))
+        .when(mx === mn, lit(0))
+        .otherwise(
+          least(greatest(round(((x.cast("double") - mn) / (mx - mn)) * 255), lit(0.0)), lit(255.0))
+            .cast("int"))
+    })
+  }
+
+  /** Reconstructed `array<double>`:
+    * `min + ((code / 255) * (max - min))` per dimension — double
+    * precision all the way so the ADC fold is exactly the oracle's.
+    */
+  def decodeExpr(codes: Column, st: Sq8Stats): Column = {
+    val mnl = typedLit(st.mins.toSeq)
+    val mxl = typedLit(st.maxs.toSeq)
+    transform(codes, (c, i) => {
+      val mn = element_at(mnl, i + 1)
+      val mx = element_at(mxl, i + 1)
+      when(mx === mn, mn)
+        .otherwise(mn + ((c.cast("double") / lit(255.0)) * (mx - mn)))
+    })
+  }
+
+  /** Approximate top-k cosine via SQ8 shortlist + EXACT rerank (the
+    * [[Pq.knnPq]] deployment with the closed-form quantizer):
+    *
+    *  1. gate base and queries to scoreable fixed-dim vectors;
+    *  2. fit per-dimension [min, max] (one aggregate);
+    *  3. encode + reconstruct the base (narrow projection), score all
+    *     (base × broadcast queries) pairs on the RECONSTRUCTION
+    *     (asymmetric distance — the query stays full-precision), and
+    *     keep a deterministic per-query shortlist (ADC score desc,
+    *     id asc — the k-buffer tail, no Window);
+    *  4. re-score shortlist pairs exactly on the originals; report
+    *     top k true cosines.
+    *
+    * Every stage is deterministic arithmetic, so the v15 oracle
+    * replays the WHOLE pipeline — shortlist membership included, which
+    * the PQ paths cannot offer (their codebooks are engine-side).
+    */
+  def knnSq8(
+      base: DataFrame, baseId: Column, baseVec: Column,
+      queries: DataFrame, qId: Column, qVec: Column,
+      k: Int, shortlist: Int = 0): DataFrame = {
+    val sl = Pq.shortlistSize(shortlist, k)
+
+    val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
+      .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+      .filter(col("b_nrm") > 0)
+    val dRow = b0.select(size(col("b_emb")).as("d")).filter(col("d") > 0).head(1)
+    require(dRow.nonEmpty, "SQ8: no scoreable base vectors")
+    val d = dRow(0).getInt(0)
+    val b = b0.filter(size(col("b_emb")) === d)
+
+    val st = fitStats(b, col("b_emb"), d)
+
+    val enc = b
+      .withColumn("codes", encodeExpr(col("b_emb"), st))
+      .filter(forall(col("codes"), c => c.isNotNull))
+      .withColumn("recon", decodeExpr(col("codes"), st))
+      .withColumn("r_nrm", Vectors.norm2(col("recon")))
+      .filter(col("r_nrm") > 0)
+
+    val q = queries.select(qId.as("q_id"), qVec.as("q_emb"))
+      .withColumn("q_nrm", Vectors.norm2(col("q_emb")))
+      .filter(col("q_nrm") > 0 && size(col("q_emb")) === d)
+
+    val adcScored = enc.crossJoin(broadcast(q))
+      .select(col("q_id"), col("b_id"),
+        (Vectors.dot(col("recon"), col("q_emb")) / (col("r_nrm") * col("q_nrm"))).as("sim"))
+    val short = Ann.topkPerQuery(adcScored, sl).select("q_id", "b_id")
+
+    val exact = short
+      .join(b.select(col("b_id"), col("b_emb"), col("b_nrm")), "b_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("b_id"),
+        (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
+    Ann.topkPerQuery(exact, k)
+  }
+}

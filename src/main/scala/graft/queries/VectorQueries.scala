@@ -524,7 +524,73 @@ object VectorQueries {
     eligibleBWhere = Some("b_label % 2 = 0"),
     eligibleExistsWhere = Some("b.label % 2 = 0"))
 
+  /** SQ8 scalar-quantized knn ([[graft.operators.Sq.knnSq8]]): the
+    * closed-form compression tier. Because the quantizer is pure
+    * arithmetic (per-dim min/max + linear byte rescale — no k-means),
+    * the oracle replays the ENTIRE pipeline bit-for-bit: stats fit,
+    * encode, reconstruction, ADC scoring, shortlist membership, exact
+    * rerank — a strictly stronger gate than the self-verifying
+    * contract the PQ/IVF paths get (their candidate sets are
+    * engine-side). Recall floor vs brute force is additionally
+    * spec-pinned in SearchSpec.
+    */
+  def v15KnnSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.operators.Sq.knnSq8(
+      e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 5, shortlist = 20)
+      .orderBy("q_id", "rank")
+  }
+
+  val v15Oracle: String = {
+    val dim = 64
+    val k = 5
+    val sl = 20
+    // token-for-token replay of Sq.encodeExpr∘decodeExpr: clamped
+    // half-away round to a byte, linear rescale back — all double
+    val recon = s"""list_transform(generate_series(1, $dim), i ->
+       |      CASE WHEN mxs[i] = mns[i] THEN mns[i]
+       |           ELSE mns[i] + ((LEAST(GREATEST(ROUND(((CAST(b_emb[i] AS DOUBLE) - mns[i]) / (mxs[i] - mns[i])) * 255), 0), 255) / 255) * (mxs[i] - mns[i])) END)""".stripMargin
+    val adcSim = s"${duckDot("recon", "q_emb")} / (r_nrm * ${duckNorm("q_emb")})"
+    val sim = s"${duckDot("b_emb", "q_emb")} / (${duckNorm("b_emb")} * ${duckNorm("q_emb")})"
+    s"""WITH b AS (
+       |  SELECT vec_id AS b_id, embedding AS b_emb FROM embeddings
+       |  WHERE vec_id >= 10 AND ${duckNorm("embedding")} > 0 AND len(embedding) = $dim
+       |), q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id < 10 AND ${duckNorm("embedding")} > 0 AND len(embedding) = $dim
+       |), st AS (
+       |  SELECT i, MIN(CAST(b_emb[i] AS DOUBLE)) AS mn, MAX(CAST(b_emb[i] AS DOUBLE)) AS mx
+       |  FROM b, (SELECT unnest(generate_series(1, $dim)) AS i) dims
+       |  GROUP BY i
+       |), stats AS (
+       |  SELECT LIST(mn ORDER BY i) AS mns, LIST(mx ORDER BY i) AS mxs FROM st
+       |), rec AS (
+       |  SELECT b_id, $recon AS recon FROM b, stats
+       |), recn AS (
+       |  SELECT b_id, recon, ${duckNorm("recon")} AS r_nrm FROM rec
+       |), adc AS (
+       |  SELECT q_id, b_id, $adcSim AS adc
+       |  FROM recn, q
+       |  WHERE r_nrm > 0
+       |), short AS (
+       |  SELECT q_id, b_id FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, b_id) <= $sl
+       |), scored AS (
+       |  SELECT s.q_id, s.b_id, $sim AS sim
+       |  FROM short s
+       |  JOIN b ON b.b_id = s.b_id
+       |  JOIN q ON q.q_id = s.q_id
+       |)
+       |SELECT q_id, b_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, b_id) AS INT) AS rank, sim
+       |FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, b_id) <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v15_knn_sq8" -> (v15KnnSq8 _),
     "v01_knn_bruteforce" -> (v01KnnBruteForce _),
     "v02_label_stats" -> (v02LabelStats _),
     "v03_knn_lsh" -> (v03KnnLsh _),
@@ -542,6 +608,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "v15_knn_sq8" -> v15Oracle,
     "v01_knn_bruteforce" -> v01Oracle,
     "v02_label_stats" -> v02Oracle,
     "v03_knn_lsh" -> v03Oracle,

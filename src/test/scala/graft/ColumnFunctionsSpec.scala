@@ -539,7 +539,11 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     val r = graft.RecallBoard.recalls(spark, sfDir)
     val floors = Map(
       "v03_knn_lsh" -> 0.80, "v05_knn_ivf" -> 0.85,
-      "v09_knn_pq" -> 0.85, "v10_knn_ivfpq" -> 0.85)
+      "v09_knn_pq" -> 0.85, "v10_knn_ivfpq" -> 0.85,
+      // SQ8 keeps per-dimension resolution (measured 1.0 at sf0.001,
+      // shortlist 20) — the mild-compression tier should never dip
+      // below the harsher quantizers
+      "v15_knn_sq8" -> 0.95)
     for ((name, floor) <- floors)
       assert(r(name) >= floor, s"$name recall@5 ${r(name)} fell below pinned floor $floor")
   }
