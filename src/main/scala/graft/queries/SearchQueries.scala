@@ -271,7 +271,87 @@ object SearchQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** MMR diversification ([[graft.operators.Mmr.diversify]]) of a
+    * dense top-20 retrieval: the serving-side re-rank that spends a
+    * little relevance for neighborhood coverage. Candidates are the
+    * exact brute-force cosine top-20 per query (replayable), so the
+    * DuckDB oracle replays the WHOLE pipeline: candidate set, pairwise
+    * candidate cosines, and all five greedy selection steps as chained
+    * CTEs — selection order, tie-breaks, and marginal scores included.
+    * λ is written as `CAST(0.7 AS DOUBLE)` and its complement as
+    * `(1 - CAST(0.7 AS DOUBLE))` so both engines compute the identical
+    * double complement (a literal 0.3 would be DuckDB DECIMAL
+    * arithmetic, not the engine's `1.0 - 0.7` double).
+    */
+  def r07MmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cands = Ann.knnBruteForce(
+      e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 20)
+      .join(
+        e.select(col("vec_id").as("b_id"), col("embedding").as("emb")), "b_id")
+      .select(col("q_id"), col("b_id"), col("sim").as("rel"), col("emb"))
+    graft.operators.Mmr.diversify(cands, k = 5, lambda = 0.7)
+      .orderBy("q_id", "rank")
+  }
+
+  val r07Oracle: String = {
+    val k = 5
+    val topn = 20
+    val lam = "CAST(0.7 AS DOUBLE)"
+    import DuckOracle.{duckDot, duckNorm}
+    val relSim = s"${duckDot("b_emb", "q_emb")} / (${duckNorm("b_emb")} * ${duckNorm("q_emb")})"
+    val pairSim = s"${duckDot("x.a_emb", "y.a_emb")} / (${duckNorm("x.a_emb")} * ${duckNorm("y.a_emb")})"
+    // greedy step r: score remaining candidates against sel{r-1}, pick
+    // the (score desc, id) winner — the exact marginal the engine's
+    // in-memory greedy computes
+    def step(r: Int): String =
+      s"""s$r AS (
+         |  SELECT q_id, b_id, score, $r AS rank FROM (
+         |    SELECT c.q_id, c.b_id,
+         |      ($lam * c.rel) - ((1 - $lam) * m.mx) AS score
+         |    FROM cand c
+         |    JOIN (
+         |      SELECT p.q_id, p.a_id, MAX(p.sim) AS mx
+         |      FROM psim p JOIN sel${r - 1} s ON p.q_id = s.q_id AND p.s_id = s.b_id
+         |      GROUP BY p.q_id, p.a_id) m
+         |      ON m.q_id = c.q_id AND m.a_id = c.b_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s WHERE s.q_id = c.q_id AND s.b_id = c.b_id)
+         |  ) QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, b_id) = 1
+         |),
+         |sel$r AS (SELECT q_id, b_id FROM sel${r - 1} UNION ALL SELECT q_id, b_id FROM s$r)""".stripMargin
+    val steps = (2 to k).map(step).mkString(",\n")
+    val unions = (1 to k).map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")
+    s"""WITH b AS (
+       |  SELECT vec_id AS b_id, embedding AS b_emb FROM embeddings WHERE vec_id >= 10
+       |), q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10
+       |), scored AS (
+       |  SELECT q_id, b_id, $relSim AS rel FROM b, q
+       |), cand AS (
+       |  SELECT q_id, b_id, rel FROM scored WHERE NOT isnan(rel)
+       |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, b_id) <= $topn
+       |), cemb AS (
+       |  SELECT c.q_id, c.b_id, c.rel, b.b_emb AS emb FROM cand c JOIN b ON b.b_id = c.b_id
+       |), psim AS (
+       |  SELECT x.q_id, x.a_id, y.a_id AS s_id, $pairSim AS sim
+       |  FROM (SELECT q_id, b_id AS a_id, emb AS a_emb FROM cemb) x
+       |  JOIN (SELECT q_id, b_id AS a_id, emb AS a_emb FROM cemb) y
+       |    ON x.q_id = y.q_id AND x.a_id <> y.a_id
+       |), s1 AS (
+       |  SELECT q_id, b_id, score, 1 AS rank FROM (
+       |    SELECT q_id, b_id, ($lam * rel) - ((1 - $lam) * CAST(0 AS DOUBLE)) AS score FROM cand
+       |  ) QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score DESC, b_id) = 1
+       |),
+       |sel1 AS (SELECT q_id, b_id FROM s1),
+       |$steps
+       |SELECT q_id, b_id, CAST(rank AS INT) AS rank, score FROM ($unions)
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r07_mmr_diversify" -> (r07MmrDiversify _),
     "r01_bm25_search" -> (r01Bm25Search _),
     "r02_hybrid_rrf" -> (r02HybridRrf _),
     "r03_lex_index" -> (r03LexIndexSearch _),
@@ -281,6 +361,7 @@ object SearchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "r07_mmr_diversify" -> r07Oracle,
     "r01_bm25_search" -> r01Oracle,
     "r02_hybrid_rrf" -> r02Oracle,
     // build(even)+add(odd) must serve the SAME answer as one-shot BM25
