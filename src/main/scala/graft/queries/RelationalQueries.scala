@@ -396,7 +396,38 @@ object RelationalQueries {
       |  ON l_returnflag = d.rf
       |GROUP BY rf, rf_label ORDER BY rf""".stripMargin
 
+  /** KMV distinct-count sketch ([[graft.operators.Sketches]]): per
+    * return flag, estimate the distinct order count from the 64
+    * smallest h60 hashes. Unlike `approx_count_distinct` (HLL++,
+    * engine-internal registers), the bottom-k hash set is a pure
+    * function of the value set — the oracle replays sketch AND
+    * estimate bit-for-bit, so the approximation itself is
+    * correctness-gated. The estimator error contract (≈1/√(k−2)) is
+    * spec-pinned separately in SketchesSpec.
+    */
+  def q22KmvDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.kmvDistinctByKey(
+      t(s, dir, "lineitem"), col("l_returnflag"), col("l_orderkey"), k = 64)
+      .orderBy("key")
+
+  val q22Oracle: String = {
+    val h = DuckOracle.h60("CAST(l_orderkey AS VARCHAR)")
+    """WITH h AS (
+      |  SELECT DISTINCT l_returnflag AS key, HEXPR AS h
+      |  FROM lineitem WHERE l_orderkey IS NOT NULL
+      |), bk AS (
+      |  SELECT key, h FROM h QUALIFY row_number() OVER (PARTITION BY key ORDER BY h) <= 64
+      |), agg AS (
+      |  SELECT key, CAST(COUNT(*) AS INT) AS n_kept, MAX(h) AS kth_hash FROM bk GROUP BY key
+      |)
+      |SELECT key, n_kept, kth_hash,
+      |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+      |       ELSE (CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)) / CAST(kth_hash AS DOUBLE) END AS est_distinct
+      |FROM agg ORDER BY key""".stripMargin.replace("HEXPR", h)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_kmv_distinct" -> (q22KmvDistinct _),
     "q21_salted_flag_join" -> (q21SaltedFlagJoin _),
     "q19_top_per_priority" -> (q19TopPerPriority _),
     "q20_status_metrics" -> (q20StatusMetrics _),
@@ -419,6 +450,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q22_kmv_distinct" -> q22Oracle,
     "q21_salted_flag_join" -> q21Oracle,
     "q19_top_per_priority" -> q19Oracle,
     "q20_status_metrics" -> q20Oracle,
