@@ -683,7 +683,8 @@ object Ann {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qId: Column, qVec: Column,
       k: Int, nprobe: Int = 4,
-      eligible: Option[(DataFrame, Column)] = None): DataFrame = {
+      eligible: Option[(DataFrame, Column)] = None,
+      withVec: Boolean = false): DataFrame = {
     requireBaseServable(spark, path)
     val centDf = readLiveCentroids(spark, path)
     val q = validQueries(queries, qId, qVec)
@@ -704,7 +705,17 @@ object Ann {
       .join(broadcast(probed.withColumnRenamed("qp_nrm", "q_nrm")), "cell")
       .select(col("q_id"), col("b_id"),
         (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
-    topkPerQuery(scored, k)
+    val top = topkPerQuery(scored, k)
+    if (!withVec) top
+    else
+      // `withVec`: carry each served neighbor's embedding for
+      // downstream re-ranks ([[Mmr.diversify]] at the serving layer).
+      // The join re-reads ONLY the probed cell partitions (same
+      // partition-pruned scan as the scoring pass) for ≤ queries × k
+      // ids — never the whole lake; results are identical to the
+      // plain form plus one column.
+      top.join(filtered.select(col("b_id"), col("b_emb")), "b_id")
+        .select(col("q_id"), col("b_id"), col("rank"), col("sim"), col("b_emb"))
   }
 
   /** Every b_id the persisted index currently serves — a NARROW

@@ -469,6 +469,14 @@ final class HttpApi(
     val k = intP("k", 10, 1, 100)
     val nprobe = intP("nprobe", 4, 1, 1 << 20)
     val kPerLeg = intP("k_per_leg", math.max(k * 2, 20), 1, 500)
+    // /search/ann?diversify=<m>&lambda=<l>: MMR re-rank of the k
+    // candidates down to m diverse results (Mmr.diversify; k becomes
+    // the candidate depth). lambda clamps to [0,1], default 0.7.
+    val diversify: Option[(Int, Double)] = params.get("diversify")
+      .flatMap(_.toIntOption).map { m =>
+        val lam = params.get("lambda").flatMap(_.toDoubleOption).getOrElse(0.7)
+        (math.min(math.max(m, 1), k), math.min(math.max(lam, 0.0), 1.0))
+      }
     def needLex = lexIndexPath.toRight("no lexical index configured")
     def needAnn = annIndexPath.toRight("no ann index configured")
 
@@ -505,9 +513,17 @@ final class HttpApi(
         case "phrase" => for { p <- needLex; rs <- needAll(reqs, _.text, "query text q") } yield
           graft.operators.Bm25.queryPhraseIndex(
             sp, p, rs.toDF("q_id", "qphrase"), col("q_id"), col("qphrase"), k)
-        case "ann" => for { p <- needAnn; rs <- needAll(reqs, _.vec, "query vector vec") } yield
-          graft.operators.Ann.queryIvfIndex(
-            sp, p, rs.toDF("q_id", "qvec"), col("q_id"), col("qvec"), k, nprobe)
+        case "ann" => for { p <- needAnn; rs <- needAll(reqs, _.vec, "query vector vec") } yield {
+          val top = graft.operators.Ann.queryIvfIndex(
+            sp, p, rs.toDF("q_id", "qvec"), col("q_id"), col("qvec"), k, nprobe,
+            withVec = diversify.isDefined)
+          diversify match {
+            case Some((m, lam)) => graft.operators.Mmr.diversify(
+              top.select(col("q_id"), col("b_id"), col("sim").as("rel"), col("b_emb").as("emb")),
+              m, lam)
+            case None => top
+          }
+        }
         case _ => for { lp <- needLex; ap <- needAnn; rs <- needBoth(reqs) } yield
           graft.operators.Fusion.hybridTopK(
             sp, lp, ap, rs.toDF("q_id", "qtext", "qvec"),

@@ -495,6 +495,37 @@ class SearchSpec extends SparkSpecBase {
       html.contains("3 tokens · 4 buckets · 1 empty"), html.substring(0, 200))
   }
 
+  test("queryIvfIndex withVec: identical results plus the embedding, pruned scans only") {
+    val df = clusteredRows.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") % 100 >= 5)
+    val qs = df.filter(col("vec_id") % 100 < 5)
+    val p = java.nio.file.Files.createTempDirectory("graft_ivf_wv").toString + "/ix"
+    graft.operators.Ann.buildIvfIndex(base, col("vec_id"), col("embedding"), p, nlist = 8)
+    val plain = graft.operators.Ann.queryIvfIndex(
+      spark, p, qs, col("vec_id"), col("embedding"), k = 5, nprobe = 2)
+    val withVec = graft.operators.Ann.queryIvfIndex(
+      spark, p, qs, col("vec_id"), col("embedding"), k = 5, nprobe = 2, withVec = true)
+    assert(withVec.columns.toSeq === Seq("q_id", "b_id", "rank", "sim", "b_emb"))
+    val a = plain.orderBy("q_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val b = withVec.orderBy("q_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(a === b, "withVec changed the served ranking")
+    // carried embeddings are the INDEXED vectors for those ids
+    val embById = base.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    withVec.collect().foreach { r =>
+      assert(r.getSeq[Float](4) === embById(r.getLong(1)))
+    }
+    // EVERY base scan stays partition-pruned (the withVec join must
+    // not degrade its re-read into a full-lake scan)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { withVec.explain("formatted") }
+    val pfLines = out.toString("UTF-8").linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(pfLines.count(_.contains("cell")) >= 2,
+      s"expected two cell-pruned base scans:\n${pfLines.mkString("\n")}")
+  }
+
   test("ANN index serving guard: a crashed-swap parked tree blocks queries loudly") {
     val df = clusteredRows.toDF("vec_id", "embedding")
     val base = df.filter(col("vec_id") % 100 >= 5)

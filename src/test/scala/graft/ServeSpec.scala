@@ -373,6 +373,19 @@ class ServeSpec extends SparkSpecBase {
       // doc 1 wins both legs => wins the fusion
       assert(hybridTop.head == 1L)
 
+      // MMR diversification: with vec=1,0,0,0 the plain top-2 is
+      // doc 1 + its near-duplicate doc 3; diversify=2 at λ=0.5 keeps
+      // doc 1 and displaces the near-dup with an orthogonal doc (the
+      // near-dups' penalty ≈ their relevance, ties resolve to the
+      // smallest id among the orthogonal remainder: doc 2)
+      val (dvc, dvj) = get(client, port,
+        "/search/ann?vec=1,0,0,0&k=4&nprobe=2&diversify=2&lambda=0.5")
+      assert(dvc == 200)
+      val divTop = (dvj \ "results").asInstanceOf[JArray].arr
+        .sortBy(r => (r \ "rank").asInstanceOf[JInt].num)
+        .map(r => (r \ "b_id").asInstanceOf[JInt].num.toLong)
+      assert(divTop == List(1L, 2L), s"diversified ranking was $divTop")
+
       val (mc, mj) = get(client, port, "/search/lexical?k=3")
       assert(mc == 400 && (mj \ "error") != JNothing)
       val (vc, _) = get(client, port, "/search/ann?vec=not,floats")
