@@ -466,7 +466,57 @@ object TextQueries {
       |  COALESCE(h.vhash60, 0) AS vhash60
       |FROM hx LEFT JOIN h USING (media_id) ORDER BY media_id""".stripMargin
 
+  /** Corpus-fit bigram LM scoring ([[graft.operators.LangModel]]) —
+    * the CCNet-style perplexity quality signal. The oracle replays the
+    * ENTIRE model: tokenization, bigram/prefix counts, the
+    * distinct-vocabulary size, add-one smoothing, and each bigram's ln
+    * term in micro-units before the order-independent per-doc sum
+    * (the r01 BM25 discipline applied to an LM).
+    */
+  def t09BigramLl(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LangModel.bigramScore(docs(s, dir), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+
+  val t09Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL THEN NULL
+       |         WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = '' THEN []
+       |         ELSE $duckToksNorm END AS toks
+       |  FROM documents
+       |), dd AS (
+       |  SELECT doc_id, toks FROM d WHERE toks IS NOT NULL AND len(toks) >= 2
+       |), bg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM dd, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+       |), c2 AS (
+       |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+       |), c1 AS (
+       |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+       |), v AS (
+       |  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+       |  FROM (SELECT unnest(toks) AS w FROM d WHERE toks IS NOT NULL)
+       |), terms AS (
+       |  SELECT b.doc_id,
+       |    CAST(ROUND(ln((CAST(c2.c2 AS DOUBLE) + 1.0) / (CAST(c1.c1 AS DOUBLE) + CAST(v.v AS DOUBLE))) * 1000000.0) AS BIGINT) AS t_micro
+       |  FROM bg b
+       |  JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+       |  JOIN c1 ON c1.w1 = b.w1
+       |  CROSS JOIN v
+       |), per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |         CAST(SUM(t_micro) AS BIGINT) AS ll_micro
+       |  FROM terms GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(per.ll_micro, 0) AS ll_micro,
+       |  CASE WHEN per.n_bigrams IS NOT NULL
+       |       THEN CAST(per.ll_micro AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE) END AS mean_ll
+       |FROM d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_bigram_ll" -> (t09BigramLl _),
     "t07_repetition" -> (t07Repetition _),
     "t08_pii" -> (t08Pii _),
     "m02_media_features" -> (m02MediaFeatures _),
@@ -482,6 +532,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t09_bigram_ll" -> t09Oracle,
     "t07_repetition" -> t07Oracle,
     "t08_pii" -> t08Oracle,
     "m02_media_features" -> m02Oracle,

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LangModel
+
+/** [[graft.operators.LangModel]] — corpus-fit bigram LM scoring. The
+  * t09 oracle replays the model cross-engine; these specs verify the
+  * arithmetic against hand-computed counts and pin the signal
+  * direction (typical text over gibberish) the score exists for.
+  */
+class LangModelSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def micro(x: Double): Long = math.round(math.log(x) * 1000000.0)
+
+  test("hand-computed counts, smoothing, and micro-rounded sums") {
+    val df = Seq(
+      (1L, "a b a b"), (2L, "A  b\tc"), (3L, "z"), (4L, "   "), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // normalized toks: d1=[a,b,a,b] d2=[a,b,c] d3=[z]; bigrams:
+    // c2(a,b)=3 c2(b,a)=1 c2(b,c)=1; c1(a)=3 c1(b)=2; V={a,b,c,z}=4
+    val out = LangModel.bigramScore(df, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+
+    val ab = micro((3.0 + 1.0) / (3.0 + 4.0)) // ln(4/7) micro
+    val ba = micro((1.0 + 1.0) / (2.0 + 4.0)) // ln(2/6)
+    val bc = micro((1.0 + 1.0) / (2.0 + 4.0))
+    val d1 = 2 * ab + ba
+    val d2 = ab + bc
+    assert(out(1L) === ((3L, d1, Some(d1.toDouble / 3.0))))
+    assert(out(2L) === ((2L, d2, Some(d2.toDouble / 2.0))))
+    assert(out(3L) === ((0L, 0L, None))) // single token: no bigrams
+    assert(out(4L) === ((0L, 0L, None))) // whitespace-only
+    assert(out(5L) === ((0L, 0L, None))) // null text
+  }
+
+  test("typical corpus text outscores token-salad gibberish") {
+    val typical = (1 to 40).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val rnd = new scala.util.Random(11)
+    val gibberish = (41 to 44).map(i =>
+      (i.toLong, Seq.fill(9)(s"tok${rnd.nextInt(100000)}").mkString(" ")))
+    val out = LangModel.bigramScore(
+      (typical ++ gibberish).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val typMean = typical.map(t => out(t._1)).sum / typical.size
+    val gibMean = gibberish.map(t => out(t._1)).sum / gibberish.size
+    assert(typMean > gibMean + 1.0,
+      s"LM failed to separate typical ($typMean) from gibberish ($gibMean)")
+  }
+}
