@@ -1,0 +1,85 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) file clustering — multi-dimensional data
+  * skipping without partition explosion. Sorting a lake by one column
+  * clusters that column's predicates only: a filter on any OTHER
+  * column still touches every file. Interleaving the bits of several
+  * quantized columns into one sort key gives every participating
+  * column LOCALITY in the file layout, so parquet min/max stats skip
+  * most files for predicates on ANY of them (the layout behind
+  * Databricks OPTIMIZE ZORDER BY and Iceberg's sort-order z-curves) —
+  * at 100 TB this is the difference between a point-lookup reading a
+  * few files and scanning the lake, for columns too high-cardinality
+  * to partition by.
+  *
+  * Quantization reuses the SQ8 posture ([[graft.operators.Sq]]): one
+  * order-independent min/max aggregate per column (no sort, no
+  * sample), then a linear map to a 16-bit lane. The z-value is a pure
+  * Column expression (shift/mask terms — whole-stage codegen), the
+  * clustered write is `repartitionByRange` + `sortWithinPartitions`
+  * on it: one exchange, one local sort, stats-friendly files.
+  *
+  * The z column is layout metadata and is DROPPED before writing —
+  * the written content is bit-identical to the input rows (spec-pinned
+  * by fingerprint), only their file placement changes.
+  */
+object Zorder {
+
+  private val Bits = 16
+
+  /** 16-bit lane for one column given its corpus [min, max]: linear
+    * rescale, floor, clamp; a degenerate column (max == min, or a null
+    * value) lands in lane 0 — it contributes no discrimination, which
+    * is also what its file stats would say.
+    */
+  private def lane(c: Column, mn: Double, mx: Double): Column =
+    if (mx == mn) lit(0L)
+    else coalesce(
+      least(greatest(
+        floor(((c.cast("double") - lit(mn)) / lit(mx - mn)) * lit((1 << Bits) - 1).cast("double")).cast("long"),
+        lit(0L)), lit(((1L << Bits) - 1))),
+      lit(0L))
+
+  /** Morton interleave of the columns' 16-bit lanes: output bit
+    * `i * n + j` is bit `i` of column `j`'s lane. 2..4 columns — at 4
+    * the key is 64 bits wide, and beyond that z-order locality decays
+    * anyway (curse of dimensionality; cluster by the 2-3 columns
+    * queries actually filter on).
+    */
+  def zvalue(cols: Seq[Column], mins: Seq[Double], maxs: Seq[Double]): Column = {
+    require(cols.size >= 2 && cols.size <= 4,
+      s"z-order needs 2..4 columns, got ${cols.size}")
+    require(mins.size == cols.size && maxs.size == cols.size, "stats arity mismatch")
+    val n = cols.size
+    val lanes = cols.indices.map(j => lane(cols(j), mins(j), maxs(j)))
+    val terms = for {
+      i <- 0 until Bits
+      j <- 0 until n
+    } yield shiftleft(shiftright(lanes(j), i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Rewrite `df` at `path` as `nFiles` z-clustered parquet files over
+    * the given numeric columns. Content is row-identical to the input;
+    * only file placement (and therefore per-file min/max stats)
+    * changes.
+    */
+  def writeClustered(
+      df: DataFrame, path: String, cols: Seq[String], nFiles: Int): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"mn_$c"),
+      max(col(c).cast("double")).as(s"mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val mins = cols.indices.map(i => if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i))
+    val maxs = cols.indices.map(i => if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1))
+    df.withColumn("__z", zvalue(cols.map(col), mins, maxs))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Zorder
+
+/** [[graft.etl.Zorder]] — Morton-curve file clustering. Pins the two
+  * properties the layout exists for: written content is row-identical
+  * to the input, and BOTH clustered dimensions confine their
+  * predicates to a subset of files (where a 1-D sort only serves its
+  * own column).
+  */
+class ZorderSpec extends SparkSpecBase {
+
+  private def filesMatching(dir: String, pred: org.apache.spark.sql.Column): Long =
+    spark.read.parquet(dir).filter(pred)
+      .select(input_file_name()).distinct().count()
+
+  test("content identical; both z dimensions skip files where 1-D sort can't") {
+    val orders = Tables.t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val nFiles = 16
+
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Zorder.writeClustered(orders, zDir, Seq("o_custkey", "o_totalprice"), nFiles)
+
+    // 1-D control: same file count, clustered on custkey alone
+    val oneDir = java.nio.file.Files.createTempDirectory("graft_zorder_1d").toString
+    orders.repartitionByRange(nFiles, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(oneDir)
+
+    // row-identical content (layout only)
+    val back = spark.read.parquet(zDir)
+    assert(back.count() === orders.count())
+    assert(back.exceptAll(orders).count() === 0 && orders.exceptAll(back).count() === 0)
+
+    // ~10%-of-domain predicates on each dimension
+    val ck = orders.agg(min("o_custkey"), max("o_custkey")).head()
+    val (ckLo, ckHi) = (ck.getLong(0), ck.getLong(1))
+    val ckMid = ckLo + (ckHi - ckLo) / 2
+    val ckW = math.max((ckHi - ckLo) / 20, 1L)
+    val custPred = col("o_custkey").between(ckMid - ckW, ckMid + ckW)
+
+    val tp = orders.agg(min("o_totalprice"), max("o_totalprice")).head()
+    val (tpLo, tpHi) = (tp.getDouble(0), tp.getDouble(1))
+    val tpMid = tpLo + (tpHi - tpLo) / 2
+    val tpW = (tpHi - tpLo) / 20
+    val pricePred = col("o_totalprice").between(tpMid - tpW, tpMid + tpW)
+
+    val allZ = filesMatching(zDir, lit(true))
+    val zCust = filesMatching(zDir, custPred)
+    val zPrice = filesMatching(zDir, pricePred)
+    val oneCust = filesMatching(oneDir, custPred)
+    val onePrice = filesMatching(oneDir, pricePred)
+
+    // sanity: predicates select rows, and the 1-D layout serves its
+    // own column well
+    assert(spark.read.parquet(zDir).filter(custPred).count() > 0)
+    assert(spark.read.parquet(zDir).filter(pricePred).count() > 0)
+    assert(oneCust < allZ)
+
+    // the z layout confines BOTH dimensions...
+    assert(zCust < allZ, s"custkey matches spread over all $allZ z files")
+    assert(zPrice < allZ, s"totalprice matches spread over all $allZ z files")
+    // ...while the 1-D layout cannot confine the column it's not
+    // sorted by: z must strictly beat it there
+    assert(zPrice < onePrice,
+      s"z-order read $zPrice files for the price box; 1-D custkey layout read $onePrice")
+  }
+
+  test("degenerate and null lanes: constant column contributes nothing, rows survive") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0, 1.0), (2L, 5.0, 2.0), (3L, 5.0, 3.0))
+      .toDF("id", "const_col", "x")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_deg").toString
+    Zorder.writeClustered(df, dir, Seq("const_col", "x"), 2)
+    assert(spark.read.parquet(dir).count() === 3)
+
+    val dfn = Seq((1L, Some(1.0), 1.0), (2L, None, 2.0), (3L, Some(3.0), 3.0))
+      .toDF("id", "maybe", "x")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_zorder_null").toString
+    Zorder.writeClustered(dfn, dir2, Seq("maybe", "x"), 2)
+    assert(spark.read.parquet(dir2).count() === 3)
+  }
+}
