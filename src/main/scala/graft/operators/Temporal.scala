@@ -69,8 +69,40 @@ object Temporal {
       rightTiebreak: String,
       rightPayload: Seq[String],
       tolerance: Option[Long] = None,
-      rightPrefix: String = "r_"): DataFrame = {
-    require(on.nonEmpty, "asofJoinBackward needs ≥1 equi-key")
+      rightPrefix: String = "r_"): DataFrame =
+    asofImpl(left, right, on, tsCol, rightTiebreak, rightPayload,
+      tolerance, rightPrefix, forward = false)
+
+  /** Forward as-of join: the EARLIEST right row with
+    * `right.tsCol >= left.tsCol` within `tolerance` — the "next event
+    * after" correlation (first purchase after a signup, first scan
+    * after a change). Ties on (key, ts) resolve to the SMALLEST
+    * `rightTiebreak` (the mirror of backward's largest); everything
+    * else matches [[asofJoinBackward]].
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      tsCol: String,
+      rightTiebreak: String,
+      rightPayload: Seq[String],
+      tolerance: Option[Long] = None,
+      rightPrefix: String = "r_"): DataFrame =
+    asofImpl(left, right, on, tsCol, rightTiebreak, rightPayload,
+      tolerance, rightPrefix, forward = true)
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      tsCol: String,
+      rightTiebreak: String,
+      rightPayload: Seq[String],
+      tolerance: Option[Long],
+      rightPrefix: String,
+      forward: Boolean): DataFrame = {
+    require(on.nonEmpty, "asof join needs ≥1 equi-key")
     val payloadCols = (Seq(tsCol, rightTiebreak) ++ rightPayload).distinct
 
     val rhs = right
@@ -89,12 +121,21 @@ object Temporal {
         lit(null).cast(rhs.schema("__tie").dataType).as("__tie")) ++
         left.columns.map(c => col(c).as(s"__l_$c")): _*)
 
-    // One exchange on the keys, one sort per partition. Rights sort
-    // BEFORE lefts at equal ts (side 0 < 1) => inclusive rt <= t;
-    // rights at equal ts order by tiebreak, so last() is deterministic.
+    // One exchange on the keys, one sort per partition. Backward scans
+    // ts ascending: rights sort BEFORE lefts at equal ts (side 0 < 1)
+    // => inclusive rt <= t, equal-ts rights by tiebreak asc so last()
+    // is the LARGEST tiebreak. Forward scans ts DESCENDING (so the
+    // carried right is the earliest rt >= t), equal-ts rights by
+    // tiebreak desc so last() is the SMALLEST.
     val w = Window
       .partitionBy(on.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+      .orderBy(
+        // null-ts lefts must sort before every right in BOTH scan
+        // directions (they match nothing): asc puts nulls first by
+        // default, desc needs it forced
+        (if (forward) col("__ts").desc_nulls_first else col("__ts").asc) +:
+          col("__side").asc +:
+          Seq(if (forward) col("__tie").desc else col("__tie").asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = lhs
@@ -104,9 +145,10 @@ object Temporal {
 
     val gated = tolerance match {
       case Some(tol) =>
-        matched.withColumn(
-          "__m",
-          when(col("__ts") - col("__m").getField(tsCol) <= tol, col("__m")))
+        val gap =
+          if (forward) col("__m").getField(tsCol) - col("__ts")
+          else col("__ts") - col("__m").getField(tsCol)
+        matched.withColumn("__m", when(gap <= tol, col("__m")))
       case None => matched
     }
 
@@ -133,6 +175,72 @@ object Temporal {
     * Invalid intervals (null bounds or end < start) and null-ts points
     * are dropped.
     */
+  /** Valid intervals exploded to their covered buckets as `__bucket`,
+    * with the fan-out contract folded INTO the consumed bucket bound
+    * so column pruning cannot optimize the check away: assert_true
+    * throws (failing the job) on any interval spanning ≥
+    * `maxBuckets` buckets, instead of silently exploding or
+    * truncating coverage. Invalid intervals (null bounds, end < start)
+    * are dropped like null join keys.
+    */
+  private def explodeBuckets(
+      iv: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long, maxBuckets: Int): DataFrame = {
+    val valid = iv
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(endCol) >= col(startCol))
+      .withColumn("__b0", floor(col(startCol) / bucketWidth))
+      .withColumn("__b1", floor(col(endCol) / bucketWidth))
+    val b1Checked = when(
+      assert_true(
+        col("__b1") - col("__b0") < maxBuckets,
+        concat(
+          lit(s"range join: interval spans >= $maxBuckets buckets of $bucketWidth - widen bucketWidth ("),
+          col(startCol).cast("string"), lit(".."), col(endCol).cast("string"), lit(")"))).isNull,
+      col("__b1"))
+    valid
+      .withColumn("__bucket", explode(sequence(col("__b0"), b1Checked)))
+      .drop("__b0", "__b1")
+  }
+
+  /** Interval × interval overlap join: pairs every left interval
+    * `[leftStart, leftEnd]` with the right intervals it overlaps
+    * (inclusive on both ends: `lS <= rE && rS <= lE`), equi-keyed on
+    * `on`. Same bucket blocking as [[rangeJoinPoints]], on BOTH sides;
+    * a pair sharing several buckets is kept only at the FIRST bucket
+    * both cover (`floor(max(lS, rS) / w)`), so no dedup pass is needed
+    * — the standard handshake convention of bin-based overlap joins.
+    * Right columns surface under `rightPrefix`.
+    */
+  def rangeJoinIntervals(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      bucketWidth: Long,
+      maxIntervalBuckets: Int = 1024,
+      rightPrefix: String = "r_"): DataFrame = {
+    require(on.nonEmpty, "rangeJoinIntervals needs ≥1 equi-key")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val l = explodeBuckets(left, leftStart, leftEnd, bucketWidth, maxIntervalBuckets)
+    val rRenamed = right.select(
+      on.map(col) ++ right.columns.filterNot(on.contains)
+        .map(c => col(c).as(s"__ri_$c")): _*)
+    val r = explodeBuckets(
+      rRenamed, s"__ri_$rightStart", s"__ri_$rightEnd", bucketWidth, maxIntervalBuckets)
+    l.join(r, on :+ "__bucket")
+      .filter(
+        col(leftStart) <= col(s"__ri_$rightEnd") &&
+          col(s"__ri_$rightStart") <= col(leftEnd))
+      .filter(col("__bucket") ===
+        floor(greatest(col(leftStart), col(s"__ri_$rightStart")) / bucketWidth))
+      .select(
+        left.columns.map(col) ++
+          right.columns.filterNot(on.contains)
+            .map(c => col(s"__ri_$c").as(s"$rightPrefix$c")): _*)
+  }
+
   def rangeJoinPoints(
       intervals: DataFrame,
       points: DataFrame,
@@ -146,25 +254,7 @@ object Temporal {
     require(on.nonEmpty, "rangeJoinPoints needs ≥1 equi-key")
     require(bucketWidth > 0, "bucketWidth must be positive")
 
-    val iv = intervals
-      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
-        col(endCol) >= col(startCol))
-      .withColumn("__b0", floor(col(startCol) / bucketWidth))
-      .withColumn("__b1", floor(col(endCol) / bucketWidth))
-    // loud fan-out contract, folded INTO the consumed bucket bound so
-    // column pruning cannot optimize the check away: assert_true throws
-    // (failing the job) on any interval spanning too many buckets,
-    // instead of silently exploding or truncating coverage
-    val b1Checked = when(
-      assert_true(
-        col("__b1") - col("__b0") < maxIntervalBuckets,
-        concat(
-          lit(s"rangeJoinPoints: interval spans >= $maxIntervalBuckets buckets of $bucketWidth - widen bucketWidth ("),
-          col(startCol).cast("string"), lit(".."), col(endCol).cast("string"), lit(")"))).isNull,
-      col("__b1"))
-    val expl = iv
-      .withColumn("__bucket", explode(sequence(col("__b0"), b1Checked)))
-      .drop("__b0", "__b1")
+    val expl = explodeBuckets(intervals, startCol, endCol, bucketWidth, maxIntervalBuckets)
 
     val pts = points
       .filter(col(pointTsCol).isNotNull)

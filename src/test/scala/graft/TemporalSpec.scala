@@ -86,6 +86,42 @@ class TemporalSpec extends SparkSpecBase {
     assert(p.contains("Window"), "asof should plan as a window, not a join")
   }
 
+  private def asofFwd(
+      left: Seq[(Long, Long, Long)],
+      right: Seq[(Long, Long, Long, Double)],
+      tol: Option[Long] = None) = {
+    val l = left.toDF("event_id", "k", "ts_us")
+    val r = right.toDF("event_id", "k", "ts_us", "v")
+    Temporal.asofJoinForward(
+      l, r, on = Seq("k"), tsCol = "ts_us",
+      rightTiebreak = "event_id", rightPayload = Seq("v"), tolerance = tol)
+  }
+
+  test("forward asof: earliest right at or after; ties take the SMALLEST tiebreak") {
+    val out = asofFwd(
+      left = Seq((1L, 7L, 100L), (2L, 7L, 250L), (3L, 7L, 50L)),
+      right = Seq((12L, 7L, 100L, 9.0), (10L, 7L, 100L, 1.0), (11L, 7L, 200L, 2.0)))
+      .select("event_id", "r_event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(out(1L) === Some(10L)) // inclusive + smallest-id tie at rt == t
+    assert(out(2L) === None) // nothing at-or-after 250
+    assert(out(3L) === Some(10L)) // earliest of the future rights
+  }
+
+  test("forward asof: tolerance gates rt - t; null-ts lefts survive unmatched") {
+    val out = asofFwd(
+      left = Seq((1L, 7L, 100L)),
+      right = Seq((10L, 7L, 200L, 1.0)), tol = Some(99L))
+      .select("r_event_id").head()
+    assert(out === Row(null)) // 100 past the 99 tolerance
+
+    val l = Seq((1L, 7L, Option.empty[Long])).toDF("event_id", "k", "ts_us")
+    val r = Seq((10L, 7L, Option(50L), 1.0)).toDF("event_id", "k", "ts_us", "v")
+    val o2 = Temporal.asofJoinForward(l, r, Seq("k"), "ts_us", "event_id", Seq("v"))
+      .select("event_id", "r_event_id").collect()
+    assert(o2.length === 1 && o2(0).get(1) == null)
+  }
+
   private val H = 3600000000L
 
   test("range: bucketed join equals the naive BETWEEN join, no dup pairs") {
@@ -126,6 +162,29 @@ class TemporalSpec extends SparkSpecBase {
         maxIntervalBuckets = 4).count()
     }
     assert(e.getMessage != null)
+  }
+
+  test("interval overlap join equals the naive predicate join, no dup pairs") {
+    // spans crossing bucket boundaries, touching endpoints, nested,
+    // disjoint, and cross-key
+    val lIv = Seq((1L, 7L, 10 * H, 14 * H), (2L, 7L, 15 * H, 15 * H),
+      (3L, 8L, 0L, 2 * H))
+      .toDF("l_id", "k", "s_us", "e_us")
+    val rIv = Seq((20L, 7L, 13 * H, 16 * H), (21L, 7L, 14 * H, 14 * H),
+      (22L, 7L, 16 * H + 1, 20 * H), (23L, 8L, 2 * H, 3 * H), (24L, 9L, 0L, 99 * H))
+      .toDF("rid", "k", "s_us", "e_us")
+    val got = Temporal.rangeJoinIntervals(
+      lIv, rIv, Seq("k"), "s_us", "e_us", "s_us", "e_us", bucketWidth = H)
+      .select("l_id", "r_rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = (for {
+      (li, lk, ls, le) <- Seq((1L, 7L, 10 * H, 14 * H), (2L, 7L, 15 * H, 15 * H), (3L, 8L, 0L, 2 * H))
+      (ri, rk, rs, re) <- Seq((20L, 7L, 13 * H, 16 * H), (21L, 7L, 14 * H, 14 * H),
+        (22L, 7L, 16 * H + 1, 20 * H), (23L, 8L, 2 * H, 3 * H), (24L, 9L, 0L, 99 * H))
+      if lk == rk && ls <= re && rs <= le
+    } yield (li, ri)).sorted
+    assert(got === want)
+    assert(got.distinct === got, "multi-bucket overlap produced duplicate pairs")
   }
 
   test("range plan: hash equi-join on (key, bucket), no nested loop") {
