@@ -157,24 +157,6 @@ object Temporal {
         payloadCols.map(p => col("__m").getField(p).as(s"$rightPrefix$p")): _*)
   }
 
-  /** Interval × point range join: pairs every interval row
-    * `[startCol, endCol]` (inclusive) with the point rows whose
-    * `pointTsCol` falls inside it, equi-keyed on `on`. Inner-join
-    * semantics — intervals with no points vanish (wrap with a
-    * left-outer re-join on the interval key for outer semantics).
-    *
-    * Buckets of `bucketWidth` time units block the join: an interval
-    * covers `(end/w - start/w) + 1` buckets, a point exactly one, so
-    * each qualifying pair meets at exactly one equi-key (no dedup
-    * pass). `maxIntervalBuckets` bounds the explode — an interval
-    * longer than `bucketWidth × maxIntervalBuckets` fails loudly
-    * rather than silently fanning out (pick a wider bucket for long
-    * intervals; the classic two-tier refinement composes by unioning
-    * two bucket widths).
-    *
-    * Invalid intervals (null bounds or end < start) and null-ts points
-    * are dropped.
-    */
   /** Valid intervals exploded to their covered buckets as `__bucket`,
     * with the fan-out contract folded INTO the consumed bucket bound
     * so column pruning cannot optimize the check away: assert_true
@@ -182,6 +164,12 @@ object Temporal {
     * `maxBuckets` buckets, instead of silently exploding or
     * truncating coverage. Invalid intervals (null bounds, end < start)
     * are dropped like null join keys.
+    *
+    * Bucket ids come from `floor(ts / w)` — double division, exact
+    * (and negative-safe, unlike integer `div`'s truncation toward
+    * zero) while |ts| < 2^53. Epoch MICROseconds sit at ~1.4e15,
+    * comfortably inside; epoch nanos would not be — normalize to µs
+    * first ([[graft.Tables.tsUs]]).
     */
   private def explodeBuckets(
       iv: DataFrame, startCol: String, endCol: String,
@@ -241,6 +229,24 @@ object Temporal {
             .map(c => col(s"__ri_$c").as(s"$rightPrefix$c")): _*)
   }
 
+  /** Interval × point range join: pairs every interval row
+    * `[startCol, endCol]` (inclusive) with the point rows whose
+    * `pointTsCol` falls inside it, equi-keyed on `on`. Inner-join
+    * semantics — intervals with no points vanish (wrap with a
+    * left-outer re-join on the interval key for outer semantics).
+    *
+    * Buckets of `bucketWidth` time units block the join: an interval
+    * covers `(end/w - start/w) + 1` buckets, a point exactly one, so
+    * each qualifying pair meets at exactly one equi-key (no dedup
+    * pass). `maxIntervalBuckets` bounds the explode — an interval
+    * longer than `bucketWidth × maxIntervalBuckets` fails loudly
+    * rather than silently fanning out (pick a wider bucket for long
+    * intervals; the classic two-tier refinement composes by unioning
+    * two bucket widths).
+    *
+    * Invalid intervals (null bounds or end < start) and null-ts points
+    * are dropped.
+    */
   def rangeJoinPoints(
       intervals: DataFrame,
       points: DataFrame,

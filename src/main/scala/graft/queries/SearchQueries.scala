@@ -253,15 +253,30 @@ object SearchQueries {
     val d = docs(s, dir)
     val e = emb(s, dir)
     val lexPath = Scratch.wiped(s, "hybrid_lex", dir)
-    graft.operators.Bm25.buildLexIndex(
-      d.filter(col("doc_id") >= 10 && col("doc_id") % 2 === 0),
-      col("doc_id"), col("text"), lexPath, nBuckets = 8)
-    graft.operators.Bm25.addToLexIndex(
-      s, lexPath, d.filter(col("doc_id") >= 10 && col("doc_id") % 2 === 1),
-      col("doc_id"), col("text"))
     val annPath = Scratch.wiped(s, "hybrid_ann", dir)
-    Ann.buildIvfIndex(
-      e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"), annPath, nlist = 8)
+    // the two index builds are INDEPENDENT (different source tables,
+    // different output trees) — submit them from two threads so their
+    // jobs overlap on the cluster, the production shape for building
+    // sibling indexes (Spark schedulers are thread-safe; each build's
+    // small stages leave cores idle the other fills). The lex chain
+    // (build → add) stays sequential within its thread by contract.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val lexF = Future {
+      graft.operators.Bm25.buildLexIndex(
+        d.filter(col("doc_id") >= 10 && col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), lexPath, nBuckets = 8)
+      graft.operators.Bm25.addToLexIndex(
+        s, lexPath, d.filter(col("doc_id") >= 10 && col("doc_id") % 2 === 1),
+        col("doc_id"), col("text"))
+    }
+    val annF = Future {
+      Ann.buildIvfIndex(
+        e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"), annPath, nlist = 8)
+    }
+    Await.result(lexF, Duration.Inf)
+    Await.result(annF, Duration.Inf)
     val q = d.filter(col("doc_id") < 10).select(col("doc_id"), col("text"))
       .join(e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
