@@ -220,6 +220,45 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[contaminationPairs]] behind a Bloom pre-filter — the shape for
+    * an eval set too large to broadcast as raw shingle strings: the
+    * eval shingles compress to an `mBits`-bit Bloom filter
+    * ([[Sketches.bloomBuild]], 2^20 bits = 128 KiB vs tens of MB of
+    * strings), corpus documents whose every shingle misses it are
+    * dropped BEFORE the join (in expectation all uncontaminated docs —
+    * the corpus-side explode and shuffle then carry only candidate
+    * docs), and the surviving candidates verify EXACTLY against the
+    * real eval shingles. Bloom filters have no false negatives, so the
+    * output is IDENTICAL to [[contaminationPairs]] — the c11 oracle is
+    * c03's verbatim — while false positives cost only wasted verify
+    * work, never wrong rows.
+    */
+  def contaminationPairsBloom(
+      corpus: DataFrame, corpusId: Column, corpusText: Column,
+      evalSet: DataFrame, evalId: Column, evalText: Column,
+      n: Int = 5, mBits: Int = 1 << 20, kHash: Int = 5,
+      broadcastEval: Boolean = true): DataFrame = {
+    val blank = array(lit(""))
+    val eSets = shingleSets(evalSet, evalId, evalText, n)
+      .filter(col("sh") =!= blank)
+    val bloom = Sketches.bloomBuild(
+      eSets.select(explode(col("sh")).as("g")), col("g"), mBits, kHash)
+    val cand = shingleSets(corpus, corpusId, corpusText, n)
+      .filter(col("sh") =!= blank)
+      // hash once per shingle (transform binds it to an attribute),
+      // then test the k probe positions on the bound hash — see
+      // Sketches.bloomContainsHash
+      .filter(exists(
+        transform(col("sh"), g => graft.functions.Hashing.h60(g)),
+        h => Sketches.bloomContainsHash(bloom, h)))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val e0 = eSets.select(col("doc_id").as("eval_id"), explode(col("sh")).as("g"))
+    val e = if (broadcastEval) broadcast(e0) else e0
+    cand.join(e, "g")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** MinHash signatures as one native per-row pass
     * ([[graft.functions.expr.MinHashSig]]): md5 each shingle once and
     * fold all k permutations in registers inside whole-stage codegen —

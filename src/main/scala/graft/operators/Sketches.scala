@@ -31,6 +31,86 @@ import graft.functions.Hashing
   */
 object Sketches {
 
+  /** A built Bloom filter: `mBits` bits in `words` (64 per entry),
+    * `kHash` probe positions per value. Driver-held and broadcast as a
+    * literal into membership expressions — mBits = 2^20 is 128 KiB, the
+    * same order as a quantizer codebook. No false negatives, tunable
+    * false-positive rate ≈ (1 − e^(−k·n/m))^k.
+    */
+  case class BloomFilter(mBits: Int, kHash: Int, words: Array[Long])
+
+  /** The `kHash` probe positions for a 60-bit hash, Kirsch–Mitzenmacher
+    * double hashing: `h1 = h & (m−1)`, `h2 = ((h >> log2 m) & (m−1)) | 1`
+    * (odd, so the probe sequence walks the whole table),
+    * `pos_i = (h1 + i·h2) & (m−1)`. Pure bit arithmetic — an oracle
+    * replays it with `&`/`>>` on the same h60.
+    */
+  private def probes(h: Column, mBits: Int, kHash: Int): Seq[Column] = {
+    val mask = lit((mBits - 1).toLong)
+    val log2m = java.lang.Integer.numberOfTrailingZeros(mBits)
+    val h1 = h.bitwiseAND(mask)
+    val h2 = shiftright(h, log2m).bitwiseAND(mask).bitwiseOR(lit(1L))
+    (0 until kHash).map(i => (h1 + lit(i.toLong) * h2).bitwiseAND(mask))
+  }
+
+  /** Catalyst ShiftRight with a COLUMN shift amount (the functions API
+    * only takes a literal Int).
+    */
+  private def shrCol(a: Column, bits: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftRight(
+        org.apache.spark.sql.GraftColumnShim.expression(a),
+        org.apache.spark.sql.GraftColumnShim.expression(bits)))
+
+  /** Build a Bloom filter over a value column in one distributed pass:
+    * hash → probe positions → per-word `bit_or` aggregate → ≤ mBits/64
+    * driver rows. Null values are skipped (membership of null is
+    * false, like `IN`).
+    */
+  def bloomBuild(df: DataFrame, value: Column, mBits: Int, kHash: Int): BloomFilter = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 64, got $mBits")
+    require(kHash >= 1 && kHash <= 16, s"kHash must be in 1..16, got $kHash")
+    val wordRows = df
+      .filter(value.isNotNull)
+      .select(Hashing.h60(value.cast("string")).as("h"))
+      .select(explode(array(probes(col("h"), mBits, kHash): _*)).as("pos"))
+      .select(
+        shiftright(col("pos"), 6).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT))").as("bit"))
+      .groupBy("w").agg(expr("bit_or(bit)").as("word"))
+      .collect()
+    val words = new Array[Long](mBits / 64)
+    wordRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    BloomFilter(mBits, kHash, words)
+  }
+
+  /** Membership test as a pure Column expression over the broadcast
+    * literal bitmap: every probe position's bit must be set. False ⇒
+    * definitely absent (the no-false-negative guarantee downstream
+    * pre-filters lean on); true ⇒ present with probability
+    * 1 − fp-rate. Null values test false.
+    */
+  def bloomContains(b: BloomFilter, value: Column): Column =
+    when(value.isNull, lit(false))
+      .otherwise(bloomContainsHash(b, Hashing.h60(value.cast("string"))))
+
+  /** [[bloomContains]] over an ALREADY-COMPUTED h60 hash — callers in
+    * higher-order lambdas bind the hash to an attribute first
+    * (`transform(xs, x -> h60(x))` then `exists(hs, h -> …)`) so the
+    * md5 runs once per value instead of once per probe term (HOF
+    * lambdas are interpreted — no common-subexpression elimination
+    * rescues a repeated hash there).
+    */
+  def bloomContainsHash(b: BloomFilter, h: Column): Column = {
+    val wordsLit = typedLit(b.words.toSeq)
+    val checks = probes(h, b.mBits, b.kHash).map { pos =>
+      val word = element_at(wordsLit, shiftright(pos, 6).cast("int") + 1)
+      shrCol(word, pos.bitwiseAND(lit(63L)).cast("int")).bitwiseAND(lit(1L)) === 1L
+    }
+    checks.reduce(_ && _)
+  }
+
   /** Per-group distinct-count estimates: one row per key with
     * `n_kept` (≤ k distinct hashes seen), `kth_hash` (the largest kept
     * hash), and `est_distinct`. A group holding fewer than k distinct

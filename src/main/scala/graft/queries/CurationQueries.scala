@@ -159,6 +159,22 @@ object CurationQueries {
        |GROUP BY c.doc_id, e.doc_id
        |ORDER BY c.doc_id, eval_id""".stripMargin
 
+  /** Bloom-prefiltered decontamination
+    * ([[graft.operators.Dedup.contaminationPairsBloom]]): identical
+    * semantics to [[c03Decontamination]] — the eval shingles compress
+    * to a 2^18-bit Bloom filter, uncontaminated corpus docs drop
+    * before the verify join, and the no-false-negative guarantee makes
+    * c03's exact replay the oracle verbatim.
+    */
+  def c11BloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Dedup.contaminationPairsBloom(
+      d.filter(col("doc_id") >= 20), col("doc_id"), col("text"),
+      d.filter(col("doc_id") < 20), col("doc_id"), col("text"),
+      n = 5, mBits = 1 << 18, kHash = 5)
+      .orderBy("doc_id", "eval_id")
+  }
+
   /** Deterministic stratified sample-mix rollup
     * ([[graft.operators.Sampling.stratifiedSample]]): downsample the
     * dominant stratum, keep the rest, report surviving docs/tokens per
@@ -553,6 +569,7 @@ object CurationQueries {
     "c01_corpus_curation" -> (c01CorpusCuration _),
     "c02_dup_profile" -> (c02DupProfile _),
     "c03_decontamination" -> (c03Decontamination _),
+    "c11_bloom_decontam" -> (c11BloomDecontam _),
     "c04_sample_mix" -> (c04SampleMix _),
     "c05_boilerplate_strip" -> (c05BoilerplateStrip _),
     "c05b_boilerplate_ratio" -> (c05bBoilerplateRatio _),
@@ -567,6 +584,9 @@ object CurationQueries {
     "c01_corpus_curation" -> c01Oracle,
     "c02_dup_profile" -> c02Oracle,
     "c03_decontamination" -> c03Oracle,
+    // Bloom pre-filtering must have ZERO semantic footprint (no false
+    // negatives) — the exact-decontamination replay IS the oracle
+    "c11_bloom_decontam" -> c03Oracle,
     "c04_sample_mix" -> c04Oracle,
     "c05_boilerplate_strip" -> c05Oracle,
     "c05b_boilerplate_ratio" -> c05bOracle,

@@ -58,6 +58,53 @@ class SketchesSpec extends SparkSpecBase {
     assert(out === 2)
   }
 
+  test("bloom: zero false negatives; false-positive rate inside the theoretical envelope") {
+    val vals = (1 to 1000).map(i => ("g", s"present_$i"))
+    val df = vals.toDF("key", "v")
+    val b = Sketches.bloomBuild(df, col("v"), mBits = 1 << 14, kHash = 5)
+
+    val membership = df.select(col("v"), Sketches.bloomContains(b, col("v")).as("m"))
+      .collect()
+    assert(membership.forall(_.getBoolean(1)), "Bloom produced a false negative")
+
+    val absent = (1 to 10000).map(i => s"absent_$i").toDF("v")
+    val fp = absent.select(Sketches.bloomContains(b, col("v")).as("m"))
+      .filter(col("m")).count()
+    // theory at n=1000, m=16384, k=5: (1 - e^(-kn/m))^5 ≈ 0.13% — allow 2%
+    assert(fp < 200, s"false-positive count $fp out of 10000 is far above theory")
+
+    val withNull = Seq(Option("present_1"), None).toDF("v")
+    val nm = withNull.select(Sketches.bloomContains(b, col("v")).as("m"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(nm === Seq(true, false))
+  }
+
+  test("bloom-prefiltered decontamination equals the exact operator") {
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // leaks eval doc 1
+      (101L, "totally unrelated text with other words entirely"),
+      (102L, "the quick brown fox jumps over dogs"),
+      (103L, "beta gamma delta epsilon zeta eta theta")) // leaks too
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "beta gamma delta epsilon zeta eta"),
+      (2L, "nothing in common here at all right"))
+      .toDF("doc_id", "text")
+    val exact = graft.operators.Dedup.contaminationPairs(
+      corpus, col("doc_id"), col("text"), eval, col("doc_id"), col("text"), n = 5)
+      .orderBy("doc_id", "eval_id").collect().toSeq
+    val bloomed = graft.operators.Dedup.contaminationPairsBloom(
+      corpus, col("doc_id"), col("text"), eval, col("doc_id"), col("text"),
+      n = 5, mBits = 1 << 10, kHash = 5)
+      .orderBy("doc_id", "eval_id").collect().toSeq
+    assert(exact.nonEmpty, "fixture produced no contamination pairs — test is vacuous")
+    assert(bloomed === exact)
+    // and the sf fixture query agrees with its exact twin end-to-end
+    val q = graft.queries.CurationQueries.c11BloomDecontam(spark, sfDir).collect().toSeq
+    val qExact = graft.queries.CurationQueries.c03Decontamination(spark, sfDir).collect().toSeq
+    assert(q === qExact)
+  }
+
   test("k below 3 is rejected") {
     val df = Seq(("a", 1)).toDF("key", "v")
     intercept[IllegalArgumentException] {
