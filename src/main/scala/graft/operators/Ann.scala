@@ -653,6 +653,24 @@ object Ann {
       targetBytes: Long = 128L * 1024 * 1024): Seq[(String, graft.etl.Compact.CompactStats)] =
     graft.etl.Compact.compactPartitioned(spark, s"$path/base", targetBytes)
 
+  /** Bounded observability read of a persisted index's codebook
+    * sidecar: total occupancy, cell count, live-cell count. SINGLE
+    * owner of the aggregate shared by the HTML inventory cards and the
+    * HTTP `/index/stats` endpoint — ≤ nlist rows read, the base lake
+    * never scanned. Works for both the plain-IVF and IVF-PQ layouts
+    * (same codebook schema).
+    */
+  case class IndexOccupancy(occupancy: Long, cells: Long, liveCells: Long)
+
+  def indexOccupancy(
+      spark: org.apache.spark.sql.SparkSession, path: String): IndexOccupancy = {
+    val agg = spark.read.parquet(s"$path/codebook").agg(
+      coalesce(sum(col("members")), lit(0L)).as("occ"),
+      count(lit(1)).as("cells"),
+      count_if(col("members") > 0).as("live")).head()
+    IndexOccupancy(agg.getLong(0), agg.getLong(1), agg.getLong(2))
+  }
+
   /** KNN against a persisted [[buildIvfIndex]] index. The probe ranks
     * come from the codebook sidecar; the union of probed cells (a
     * bounded <= nlist driver collect) turns the base scan into a

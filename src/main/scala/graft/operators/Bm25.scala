@@ -618,6 +618,23 @@ object Bm25 {
       spark: org.apache.spark.sql.SparkSession, path: String): Option[Long] =
     readEmptyMembers(spark, path).map(_.count())
 
+  /** Bounded observability read of a lex index: corpus scalars from
+    * the 1-row stats sidecar plus the indexed-empty membership count
+    * (None on a pre-record lake). SINGLE owner of the read shared by
+    * the HTML inventory cards and the HTTP `/index/stats` endpoint —
+    * the postings lake is never scanned.
+    */
+  case class LexIndexStats(
+      nDocs: Long, totalTokens: Long, nBuckets: Int, indexedEmpty: Option[Long])
+
+  def lexIndexStats(
+      spark: org.apache.spark.sql.SparkSession, path: String): LexIndexStats = {
+    val st = spark.read.parquet(s"$path/stats")
+      .select("n_docs", "total_tokens", "n_buckets").head()
+    LexIndexStats(st.getLong(0), st.getLong(1), st.getInt(2),
+      lexEmptyDocCount(spark, path))
+  }
+
   /** Every doc_id the index currently serves: postings members plus
     * the indexed-empty docs. The id surface for exactly-once stream
     * ingest ([[graft.streaming.Streams.indexIngest]]'s dedup leg) —

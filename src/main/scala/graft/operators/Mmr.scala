@@ -53,7 +53,13 @@ object Mmr {
       col("b_id").cast("long").as("b_id"),
       col("rel").cast("double").as("rel"),
       col("emb"))
-      .filter(col("rel").isNotNull && col("emb").isNotNull && col("b_id").isNotNull)
+      // NaN rel would poison every score comparison (best stays -1 →
+      // AIOOBE in the greedy) — exclude it like the r07 oracle's
+      // NOT isnan(rel); a null ELEMENT inside emb would NPE the
+      // in-memory copy, so require fully-populated vectors too
+      .filter(col("rel").isNotNull && !isnan(col("rel")) &&
+        col("b_id").isNotNull &&
+        col("emb").isNotNull && forall(col("emb"), x => x.isNotNull))
 
     val outSchema = StructType(Seq(
       StructField("q_id", LongType, nullable = false),

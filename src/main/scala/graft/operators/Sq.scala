@@ -137,7 +137,10 @@ object Sq {
 
     val q = queries.select(qId.as("q_id"), qVec.as("q_emb"))
       .withColumn("q_nrm", Vectors.norm2(col("q_emb")))
-      .filter(col("q_nrm") > 0 && size(col("q_emb")) === d)
+      .filter(col("q_nrm") > 0)
+    // a wrong-dim query must fail LOUDLY, not read as "no neighbors" —
+    // the same contract every other ANN path enforces
+    Ann.requireQueryDim(q, d)
 
     val adcScored = enc.crossJoin(broadcast(q))
       .select(col("q_id"), col("b_id"),

@@ -105,8 +105,13 @@ object Temporal {
     require(on.nonEmpty, "asof join needs ≥1 equi-key")
     val payloadCols = (Seq(tsCol, rightTiebreak) ++ rightPayload).distinct
 
+    // SQL equi-join semantics for the keys: NULL never matches NULL.
+    // Window.partitionBy would happily group null keys together, so
+    // null-keyed RIGHTS are dropped here — null-keyed lefts then sit
+    // in partitions containing no rights and surface unmatched (null
+    // payload), exactly like a LEFT JOIN.
     val rhs = right
-      .filter(col(tsCol).isNotNull)
+      .filter(col(tsCol).isNotNull && on.map(col(_).isNotNull).reduce(_ && _))
       .select(
         on.map(col) ++ Seq(
           col(tsCol).as("__ts"),

@@ -223,22 +223,16 @@ object HtmlReport {
       spark: org.apache.spark.sql.SparkSession,
       annIndexes: Seq[(String, String)] = Nil,
       lexIndexes: Seq[(String, String)] = Nil): Seq[InventoryCard] = {
-    import org.apache.spark.sql.functions._
     val ann = annIndexes.map { case (label, path) =>
-      val agg = spark.read.parquet(s"$path/codebook").agg(
-        coalesce(sum(col("members")), lit(0L)).as("occ"),
-        count(lit(1)).as("cells"),
-        count_if(col("members") > 0).as("live")).head()
-      InventoryCard(agg.getLong(0).toString, label,
-        s"${agg.getLong(2)}/${agg.getLong(1)} cells live")
+      val o = graft.operators.Ann.indexOccupancy(spark, path)
+      InventoryCard(o.occupancy.toString, label,
+        s"${o.liveCells}/${o.cells} cells live")
     }
     val lex = lexIndexes.map { case (label, path) =>
-      val st = spark.read.parquet(s"$path/stats")
-        .select("n_docs", "total_tokens", "n_buckets").head()
-      val emptySub = graft.operators.Bm25.lexEmptyDocCount(spark, path)
-        .map(n => s" · $n empty").getOrElse("")
-      InventoryCard(st.getLong(0).toString, label,
-        s"${st.getLong(1)} tokens · ${st.getInt(2)} buckets$emptySub")
+      val st = graft.operators.Bm25.lexIndexStats(spark, path)
+      val emptySub = st.indexedEmpty.map(n => s" · $n empty").getOrElse("")
+      InventoryCard(st.nDocs.toString, label,
+        s"${st.totalTokens} tokens · ${st.nBuckets} buckets$emptySub")
     }
     ann ++ lex
   }

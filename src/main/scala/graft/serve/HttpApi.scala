@@ -551,27 +551,22 @@ final class HttpApi(
     * scanned, so this endpoint is safe to poll.
     */
   private def indexStatsRoute(ex: HttpExchange): (Int, JValue) = {
-    import org.apache.spark.sql.functions.{coalesce => fcoalesce, col, count, count_if, lit, sum}
     val ann = annIndexPath.map { p =>
-      val agg = spark.read.parquet(s"$p/codebook").agg(
-        fcoalesce(sum(col("members")), lit(0L)).as("occ"),
-        count(lit(1)).as("cells"),
-        count_if(col("members") > 0).as("live")).head()
+      val o = graft.operators.Ann.indexOccupancy(spark, p)
       JObject(
         "path" -> JString(p),
-        "occupancy" -> JLong(agg.getLong(0)),
-        "cells" -> JLong(agg.getLong(1)),
-        "live_cells" -> JLong(agg.getLong(2)))
+        "occupancy" -> JLong(o.occupancy),
+        "cells" -> JLong(o.cells),
+        "live_cells" -> JLong(o.liveCells))
     }
     val lex = lexIndexPath.map { p =>
-      val st = spark.read.parquet(s"$p/stats")
-        .select("n_docs", "total_tokens", "n_buckets").head()
+      val st = graft.operators.Bm25.lexIndexStats(spark, p)
       JObject(
         "path" -> JString(p),
-        "n_docs" -> JLong(st.getLong(0)),
-        "total_tokens" -> JLong(st.getLong(1)),
-        "n_buckets" -> JInt(st.getInt(2)),
-        "indexed_empty" -> graft.operators.Bm25.lexEmptyDocCount(spark, p)
+        "n_docs" -> JLong(st.nDocs),
+        "total_tokens" -> JLong(st.totalTokens),
+        "n_buckets" -> JInt(st.nBuckets),
+        "indexed_empty" -> st.indexedEmpty
           .map(n => JLong(n): JValue).getOrElse(JNull))
     }
     if (ann.isEmpty && lex.isEmpty)

@@ -155,7 +155,7 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val fresh = dedupe match {
+        dedupe match {
           case Some((idCol, currentIds)) =>
             // two dup sources, two guards: dropDuplicates kills an id
             // delivered twice WITHIN one micro-batch (an id-keyed
@@ -164,15 +164,26 @@ object Streams {
             // otherwise); the anti-join against the index's id
             // surface (a ONE-column frame under the index's own name
             // — b_id, doc_id, … — aligned so callers never
-            // hand-rename) kills the cross-batch replay
-            batch.dropDuplicates(idCol)
+            // hand-rename) kills the cross-batch replay.
+            // The anti-join SCANS THE INDEX id surface — persist the
+            // result so the emptiness probe and the add verb's
+            // (multiple) actions evaluate that scan once per batch,
+            // not once per action
+            val fresh = batch.dropDuplicates(idCol)
               .join(currentIds().toDF(idCol), Seq(idCol), "left_anti")
-          case None => batch.toDF()
+              .persist()
+            try {
+              // efficiency skip AND the replay guard's no-op path: an
+              // empty add would still pay a sidecar read + two-rename
+              // rewrite per fully-deduped replay — skip the churn
+              if (!fresh.isEmpty) add(fresh)
+            } finally fresh.unpersist()
+          case None =>
+            val b = batch.toDF()
+            // same skip for idle triggers; the local micro-batch probe
+            // is cheap (no index scan involved)
+            if (!b.isEmpty) add(b)
         }
-        // efficiency skip AND the replay guard's no-op path: an empty
-        // add would still pay a sidecar read + two-rename rewrite per
-        // idle trigger (or per fully-deduped replay) — skip the churn
-        if (!fresh.isEmpty) add(fresh)
       }
       .start()
 

@@ -56,6 +56,19 @@ class MmrSpec extends SparkSpecBase {
     assert(out === 0.7 * 0.1 - (1.0 - 0.7) * -1.0)
   }
 
+  test("NaN relevance and null-element embeddings are excluded, not crashed on") {
+    val df = Seq(
+      (7L, 1L, 0.9, Seq[Option[Float]](Some(1.0f), Some(0.0f))),
+      (7L, 2L, Double.NaN, Seq[Option[Float]](Some(0.0f), Some(1.0f))),
+      (7L, 3L, 0.5, Seq[Option[Float]](Some(0.5f), None)))
+      .toDF("q_id", "b_id", "rel", "emb")
+    // k exceeds the valid candidates: without the NaN/null-element
+    // gates the greedy would index -1 / NPE mid-task
+    val out = Mmr.diversify(df, k = 3, lambda = 0.7)
+      .orderBy("rank").select("b_id").as[Long].collect().toSeq
+    assert(out === Seq(1L))
+  }
+
   test("groups smaller than k return what they have; per-query isolation") {
     val df = cands(
       (1L, 10L, 0.9, a1),

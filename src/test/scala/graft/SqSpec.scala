@@ -100,6 +100,17 @@ class SqSpec extends SparkSpecBase {
       assert(s == ex((q, b)), s"sq8 sim for ($q,$b) not the exact cosine")
   }
 
+  test("a wrong-dimension query fails loudly instead of reading as no-neighbors") {
+    val base = Seq((10L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (11L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val badQ = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Sq.knnSq8(base, col("vec_id"), col("embedding"),
+        badQ, col("vec_id"), col("embedding"), k = 1)
+    }
+    assert(e.getMessage.contains("dim"), e.getMessage)
+  }
+
   test("fit on an empty frame fails loudly") {
     val df = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {

@@ -70,6 +70,19 @@ class TemporalSpec extends SparkSpecBase {
     assert(out.size === 2)
   }
 
+  test("asof: NULL keys never match (SQL equi-join semantics), null-key lefts survive") {
+    val l = Seq((1L, Option(7L), 100L), (2L, Option.empty[Long], 100L))
+      .toDF("event_id", "k", "ts_us")
+    val r = Seq((10L, Option(7L), 50L, 1.0), (11L, Option.empty[Long], 50L, 9.0))
+      .toDF("event_id", "k", "ts_us", "v")
+    val out = Temporal.asofJoinBackward(l, r, Seq("k"), "ts_us", "event_id", Seq("v"))
+      .select("event_id", "r_event_id")
+      .collect().map(x => (x.getLong(0), Option(x.get(1)))).toMap
+    assert(out(1L) === Some(10L)) // real key matches normally
+    assert(out(2L) === None) // null key: left kept, NO null-null match
+    assert(out.size === 2)
+  }
+
   test("asof: keys never cross") {
     val out = asof(
       left = Seq((1L, 7L, 100L)),
