@@ -28,35 +28,43 @@ import org.apache.spark.sql.functions._
   */
 object Zorder {
 
-  private val Bits = 16
+  /** Lane width: 16 bits for 2-3 columns (≤ 48-bit keys); 15 at 4
+    * columns so the 60-bit key stays clear of the long SIGN bit — a
+    * 64-bit interleave would put column 3's top lane bit at position
+    * 63, making the curve's high corner sort NEGATIVE (before
+    * everything), a locality break exactly where the hottest values
+    * often live.
+    */
+  private def laneBits(n: Int): Int = if (n == 4) 15 else 16
 
-  /** 16-bit lane for one column given its corpus [min, max]: linear
+  /** Quantized lane for one column given its corpus [min, max]: linear
     * rescale, floor, clamp; a degenerate column (max == min, or a null
     * value) lands in lane 0 — it contributes no discrimination, which
     * is also what its file stats would say.
     */
-  private def lane(c: Column, mn: Double, mx: Double): Column =
+  private def lane(c: Column, mn: Double, mx: Double, bits: Int): Column =
     if (mx == mn) lit(0L)
     else coalesce(
       least(greatest(
-        floor(((c.cast("double") - lit(mn)) / lit(mx - mn)) * lit((1 << Bits) - 1).cast("double")).cast("long"),
-        lit(0L)), lit(((1L << Bits) - 1))),
+        floor(((c.cast("double") - lit(mn)) / lit(mx - mn)) * lit((1 << bits) - 1).cast("double")).cast("long"),
+        lit(0L)), lit(((1L << bits) - 1))),
       lit(0L))
 
-  /** Morton interleave of the columns' 16-bit lanes: output bit
-    * `i * n + j` is bit `i` of column `j`'s lane. 2..4 columns — at 4
-    * the key is 64 bits wide, and beyond that z-order locality decays
-    * anyway (curse of dimensionality; cluster by the 2-3 columns
-    * queries actually filter on).
+  /** Morton interleave of the columns' quantized lanes: output bit
+    * `i * n + j` is bit `i` of column `j`'s lane. 2..4 columns —
+    * beyond that z-order locality decays anyway (curse of
+    * dimensionality; cluster by the 2-3 columns queries actually
+    * filter on).
     */
   def zvalue(cols: Seq[Column], mins: Seq[Double], maxs: Seq[Double]): Column = {
     require(cols.size >= 2 && cols.size <= 4,
       s"z-order needs 2..4 columns, got ${cols.size}")
     require(mins.size == cols.size && maxs.size == cols.size, "stats arity mismatch")
     val n = cols.size
-    val lanes = cols.indices.map(j => lane(cols(j), mins(j), maxs(j)))
+    val bits = laneBits(n)
+    val lanes = cols.indices.map(j => lane(cols(j), mins(j), maxs(j), bits))
     val terms = for {
-      i <- 0 until Bits
+      i <- 0 until bits
       j <- 0 until n
     } yield shiftleft(shiftright(lanes(j), i).bitwiseAND(lit(1L)), i * n + j)
     terms.reduce((a, b) => a.bitwiseOR(b))

@@ -200,6 +200,91 @@ class TemporalSpec extends SparkSpecBase {
     assert(got.distinct === got, "multi-bucket overlap produced duplicate pairs")
   }
 
+  test("property: both asof directions match the quadratic reference on random inputs") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val rowGen = for {
+      key <- Gen.choose(0L, 2L)
+      ts <- Gen.choose(0L, 40L)
+    } yield (key, ts)
+    val gen = for {
+      ls <- Gen.listOfN(12, rowGen)
+      rs <- Gen.listOfN(12, rowGen)
+      tol <- Gen.option(Gen.choose(0L, 15L))
+      fwd <- Gen.oneOf(true, false)
+    } yield (ls, rs, tol, fwd)
+    val prop = Prop.forAll(gen) { case (ls, rs, tol, fwd) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (100L + i, k, t, i.toDouble) }
+      val out = (if (fwd)
+        Temporal.asofJoinForward(
+          left.toDF("event_id", "k", "ts_us"), right.toDF("event_id", "k", "ts_us", "v"),
+          Seq("k"), "ts_us", "event_id", Seq("v"), tol)
+      else
+        Temporal.asofJoinBackward(
+          left.toDF("event_id", "k", "ts_us"), right.toDF("event_id", "k", "ts_us", "v"),
+          Seq("k"), "ts_us", "event_id", Seq("v"), tol))
+        .select("event_id", "r_event_id")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      val want = left.map { case (id, k, t) =>
+        val cands = right.filter { case (_, rk, rt, _) =>
+          rk == k &&
+            (if (fwd) rt >= t && tol.forall(rt - t <= _)
+             else rt <= t && tol.forall(t - rt <= _))
+        }
+        val pick =
+          if (cands.isEmpty) None
+          else if (fwd) Some(cands.minBy { case (rid, _, rt, _) => (rt, rid) }._1)
+          else Some(cands.maxBy { case (rid, _, rt, _) => (rt, rid) }._1)
+        id -> pick
+      }.toMap
+      out == want
+    }
+    assert(check(Parameters.default.withMinSuccessfulTests(25), prop).passed)
+  }
+
+  test("property: range joins match the naive predicate joins on random inputs") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val ivGen = for {
+      key <- Gen.choose(0L, 2L)
+      s <- Gen.choose(0L, 40L)
+      len <- Gen.choose(0L, 12L)
+    } yield (key, s, s + len)
+    val gen = for {
+      ivs <- Gen.listOfN(8, ivGen)
+      rivs <- Gen.listOfN(8, ivGen)
+      pts <- Gen.listOfN(10, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 55L)))
+      w <- Gen.choose(1L, 9L)
+    } yield (ivs, rivs, pts, w)
+    val prop = Prop.forAll(gen) { case (ivs, rivs, pts, w) =>
+      val l = ivs.zipWithIndex.map { case ((k, s, e), i) => (i.toLong, k, s, e) }
+      val r = rivs.zipWithIndex.map { case ((k, s, e), i) => (100L + i, k, s, e) }
+      val p = pts.zipWithIndex.map { case ((k, t), i) => (200L + i, k, t) }
+
+      val gotPts = Temporal.rangeJoinPoints(
+        l.toDF("iv_id", "k", "s_us", "e_us"), p.toDF("pid", "k", "ts_us"),
+        Seq("k"), "s_us", "e_us", "ts_us", bucketWidth = w, maxIntervalBuckets = 64)
+        .select("iv_id", "p_pid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val wantPts = (for {
+        (li, lk, ls, le) <- l; (pi, pk, t) <- p
+        if lk == pk && t >= ls && t <= le
+      } yield (li, pi)).sorted
+
+      val gotIv = Temporal.rangeJoinIntervals(
+        l.toDF("iv_id", "k", "s_us", "e_us"), r.toDF("rid", "k", "s_us", "e_us"),
+        Seq("k"), "s_us", "e_us", "s_us", "e_us", bucketWidth = w, maxIntervalBuckets = 64)
+        .select("iv_id", "r_rid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val wantIv = (for {
+        (li, lk, ls, le) <- l; (ri, rk, rs, re) <- r
+        if lk == rk && ls <= re && rs <= le
+      } yield (li, ri)).sorted
+
+      gotPts == wantPts && gotIv == wantIv
+    }
+    assert(check(Parameters.default.withMinSuccessfulTests(20), prop).passed)
+  }
+
   test("range plan: hash equi-join on (key, bucket), no nested loop") {
     val df = queries.EventQueries.e07RangeJoin(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

@@ -69,6 +69,19 @@ class ZorderSpec extends SparkSpecBase {
       s"z-order read $zPrice files for the price box; 1-D custkey layout read $onePrice")
   }
 
+  test("4-column keys stay clear of the sign bit (top corner sorts last, not first)") {
+    import spark.implicits._
+    val df = Seq((1.0, 1.0, 1.0, 1.0), (0.0, 0.0, 0.0, 0.0))
+      .toDF("a", "b", "c", "d")
+    val z = df.select(Zorder.zvalue(
+      Seq(col("a"), col("b"), col("c"), col("d")),
+      Seq(0.0, 0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0, 1.0)).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(z(0) === (1L << 60) - 1) // all 60 lane bits set, positive
+    assert(z(1) === 0L)
+    assert(z.forall(_ >= 0L), "a 64-bit interleave would flip the sign here")
+  }
+
   test("degenerate and null lanes: constant column contributes nothing, rows survive") {
     import spark.implicits._
     val df = Seq((1L, 5.0, 1.0), (2L, 5.0, 2.0), (3L, 5.0, 3.0))
