@@ -187,6 +187,68 @@ object Streams {
       }
       .start()
 
+  /** Streaming exact dedup against a PERSISTED fingerprint ledger —
+    * the unbounded-history complement of [[dedupByContent]] (whose
+    * watermark bounds state: duplicates farther apart than the horizon
+    * survive it). Here every micro-batch (1) keeps the lowest-id row
+    * per content fingerprint within the batch, (2) anti-joins the
+    * survivors against the ledger at `ledgerPath` (every fingerprint
+    * ever emitted), (3) hands genuinely-new rows to `emit`, and (4)
+    * appends their fingerprints to the ledger — so a document seen
+    * LAST MONTH still suppresses today's copy, the cross-day dedup a
+    * training pipeline actually needs. Ledger cost ∝ one 32-char
+    * column of distinct content, read per batch (same posture as
+    * [[indexIngest]]'s id surface).
+    *
+    * Delivery: emit-THEN-append, so recovery is AT-LEAST-ONCE on the
+    * emit side (a crash between the two replays the batch and re-emits
+    * — fingerprints land in the ledger exactly once either way;
+    * append-then-emit would instead LOSE the batch on replay).
+    * Downstream exactly-once composes the same way as everywhere else:
+    * an id-keyed sink dedups the re-emit
+    * ([[indexIngest]]'s `dedupe`). Null-text rows carry no
+    * fingerprint and pass through untouched (not duplicates of each
+    * other — the [[graft.operators.Dedup.exactKeepFirst]] convention).
+    */
+  def dedupGate(
+      stream: DataFrame, checkpoint: String, ledgerPath: String,
+      idCol: String, textCol: String,
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val withFp = batch.toDF()
+          .withColumn("__fp", graft.functions.Text.fingerprint(col(textCol)))
+        val nullText = withFp.filter(col("__fp").isNull).drop("__fp")
+        // keep-first within the batch: groupBy-min + join back (the
+        // repo's no-Window dedup shape), deterministic on the id
+        val firsts = withFp.filter(col("__fp").isNotNull)
+          .groupBy("__fp").agg(min(col(idCol)).as(idCol))
+        val inBatch = withFp.join(firsts, Seq("__fp", idCol), "left_semi")
+        val ledgerExists = new org.apache.hadoop.fs.Path(ledgerPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(ledgerPath))
+        val fresh0 =
+          if (ledgerExists)
+            inBatch.join(
+              spark.read.parquet(ledgerPath).select(col("fp").as("__fp")),
+              Seq("__fp"), "left_anti")
+          else inBatch
+        // one evaluation of the ledger anti-join for the emptiness
+        // probe, the emit, and the ledger append (same discipline as
+        // indexIngest's dedupe leg)
+        val fresh = fresh0.persist()
+        try {
+          val emitted = fresh.drop("__fp").unionByName(nullText)
+          if (!emitted.isEmpty) emit(emitted)
+          if (!fresh.isEmpty)
+            fresh.select(col("__fp").as("fp"))
+              .write.mode("append").parquet(ledgerPath)
+        } finally fresh.unpersist()
+      }
+      .start()
+
   /** Batch form of "keep the last N" retention (ST2/T5) — a global
     * total-order last-N is inherently a batch/sink-side concept, the
     * one documented semantic difference from the reference.

@@ -253,6 +253,33 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dedupGate: ledger suppresses cross-batch content dups; in-batch keeps lowest id") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("graft_dedupgate").toString
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.dedupGate(
+      in.toDF().toDF("id", "text"), s"$work/ckpt", s"$work/ledger",
+      "id", "text",
+      batch => emitted.synchronized {
+        emitted ++= batch.collect().map(r => (r.getLong(0), r.getString(1)))
+      })
+    try {
+      // batch 1: "a" duplicated in-batch (ids 1 and 3 -> keep 1)
+      in.addData((1L, "a"), (2L, "b"), (3L, "a"))
+      q.processAllAvailable()
+      // batch 2: "b" already in the LEDGER (suppressed), "c" fresh,
+      // null text passes through
+      in.addData((4L, "b"), (5L, "c"), (6L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(emitted.map(_._1).sorted.toSeq === Seq(1L, 2L, 5L, 6L),
+      s"emitted ${emitted.toSeq}")
+    // the ledger holds each fingerprint exactly once
+    val fps = spark.read.parquet(s"$work/ledger").collect().map(_.getString(0)).toSeq
+    assert(fps.length === fps.distinct.length && fps.length === 3)
+  }
+
   test("indexIngest: streamed micro-batch adds ≡ build-all on the persisted IVF index") {
     // clustered fixture (the ANN spec family's shape: structure makes
     // cell probing meaningful)
