@@ -69,7 +69,10 @@ object RecallBoard {
         k, nlist = 8, nprobe = 6, m = 8, kSub = 32, shortlist = 150, maxFit = 20000L),
       "v15_knn_sq8" -> graft.operators.Sq.knnSq8(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, shortlist = 20))
+        k, shortlist = 20),
+      "v16_knn_ivfsq8" -> graft.operators.Sq.knnIvfSq8(
+        base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
+        k, nlist = 8, nprobe = 6, shortlist = 50))
     paths.map { case (name, df) => name -> recallAtK(exact, df, k) }.toMap
   }
 

@@ -154,4 +154,64 @@ object Sq {
         (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
     Ann.topkPerQuery(exact, k)
   }
+
+  /** IVF × SQ8 composition (FAISS `IndexIVFScalarQuantizer`, global
+    * non-residual variant): the coarse k-means cells prune WHICH rows
+    * are scanned ([[Ann.knnIvf]]'s probing, live-cell guarantee
+    * included), the byte codes compress WHAT the scan reads — the
+    * middle tier of the quantizer ladder (raw → SQ8 → IVF-SQ8 →
+    * IVF-PQ), trading IVF-PQ's 32× for 4× with near-exact recall.
+    * Shortlist + exact rerank as everywhere, so every reported sim is
+    * a true cosine and the self-verifying oracle contract applies
+    * (v16); with `nprobe >= nlist` the scan is exhaustive over live
+    * cells and the output is bit-equal to [[knnSq8]] (spec-pinned).
+    */
+  def knnIvfSq8(
+      base: DataFrame, baseId: Column, baseVec: Column,
+      queries: DataFrame, qId: Column, qVec: Column,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, shortlist: Int = 0,
+      seed: Long = 42L, maxFit: Long = 100000L): DataFrame = {
+    val sl = Pq.shortlistSize(shortlist, k)
+
+    val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
+    val codebook = Ann.fitCodebook(b0, nlist, seed, maxFit)
+    val assigned = b0
+      .withColumn("cell", Ann.cellExpr(col("b_emb"), codebook))
+      .filter(col("cell").isNotNull)
+      .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+      .filter(col("b_nrm") > 0)
+    val dRow = assigned.select(size(col("b_emb")).as("d")).filter(col("d") > 0).head(1)
+    require(dRow.nonEmpty, "IVF-SQ8: no scoreable base vectors")
+    val d = dRow(0).getInt(0)
+    val b = assigned.filter(size(col("b_emb")) === d)
+
+    val st = fitStats(b, col("b_emb"), d)
+    val enc = b
+      .withColumn("codes", encodeExpr(col("b_emb"), st))
+      .filter(forall(col("codes"), c => c.isNotNull))
+      .withColumn("recon", decodeExpr(col("codes"), st))
+      .withColumn("r_nrm", Vectors.norm2(col("recon")))
+      .filter(col("r_nrm") > 0)
+
+    // live-cell probing + loud dim gate, exactly the knnIvf discipline
+    val liveCells = b.select("cell").distinct()
+    val centDf = Ann.centroidFrame(base.sparkSession, codebook)
+      .join(broadcast(liveCells), "cell")
+    val q = Ann.validQueries(queries, qId, qVec)
+    Ann.requireQueryDim(q, codebook(0).length)
+    val probed = Ann.topProbeCells(q, centDf, nprobe).join(q, "q_id")
+
+    val adc = enc
+      .join(broadcast(probed.withColumnRenamed("qp_nrm", "q_nrm")), "cell")
+      .select(col("q_id"), col("b_id"),
+        (Vectors.dot(col("recon"), col("q_emb")) / (col("r_nrm") * col("q_nrm"))).as("sim"))
+    val short = Ann.topkPerQuery(adc, sl).select("q_id", "b_id")
+
+    val exact = short
+      .join(b.select(col("b_id"), col("b_emb"), col("b_nrm")), "b_id")
+      .join(broadcast(q.withColumnRenamed("qp_nrm", "q_nrm")), "q_id")
+      .select(col("q_id"), col("b_id"),
+        (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
+    Ann.topkPerQuery(exact, k)
+  }
 }

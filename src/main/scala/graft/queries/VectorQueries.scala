@@ -589,7 +589,26 @@ object VectorQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** IVF × SQ8 composition ([[graft.operators.Sq.knnIvfSq8]]): the
+    * middle quantizer tier — cells prune the scan, byte codes compress
+    * it, exact rerank on the shortlist. Candidate selection is
+    * engine-side (k-means cells), so the contract gate is the shared
+    * self-verifying oracle, like v05/v10; recall rides the scoreboard
+    * with its own spec floor.
+    */
+  def v16KnnIvfSq8(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.operators.Sq.knnIvfSq8(
+      e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 5, nlist = 8, nprobe = 6, shortlist = 50)
+      .orderBy("q_id", "rank")
+  }
+
+  val v16Oracle: String = selfVerifyingKnnOracle("v16_knn_ivfsq8", k = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v16_knn_ivfsq8" -> (v16KnnIvfSq8 _),
     "v15_knn_sq8" -> (v15KnnSq8 _),
     "v01_knn_bruteforce" -> (v01KnnBruteForce _),
     "v02_label_stats" -> (v02LabelStats _),
@@ -608,6 +627,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "v16_knn_ivfsq8" -> v16Oracle,
     "v15_knn_sq8" -> v15Oracle,
     "v01_knn_bruteforce" -> v01Oracle,
     "v02_label_stats" -> v02Oracle,

@@ -543,7 +543,10 @@ class ColumnFunctionsSpec extends SparkSpecBase {
       // SQ8 keeps per-dimension resolution (measured 1.0 at sf0.001,
       // shortlist 20) — the mild-compression tier should never dip
       // below the harsher quantizers
-      "v15_knn_sq8" -> 0.95)
+      "v15_knn_sq8" -> 0.95,
+      // IVF-SQ8 is bounded by the cell probing, not the codes
+      // (measured 0.90 = v05's, byte compression costing nothing)
+      "v16_knn_ivfsq8" -> 0.85)
     for ((name, floor) <- floors)
       assert(r(name) >= floor, s"$name recall@5 ${r(name)} fell below pinned floor $floor")
   }

@@ -100,6 +100,26 @@ class SqSpec extends SparkSpecBase {
       assert(s == ex((q, b)), s"sq8 sim for ($q,$b) not the exact cosine")
   }
 
+  test("knnIvfSq8 with nprobe >= nlist is bit-equal to knnSq8 (exhaustive cells)") {
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 200).map(i =>
+      (100L + i, Array.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
+      .toDF("vec_id", "embedding")
+    val qs = (0 until 6).map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val flat = graft.operators.Sq.knnSq8(
+      base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
+      k = 5, shortlist = 20)
+    val ivf = graft.operators.Sq.knnIvfSq8(
+      base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
+      k = 5, nlist = 4, nprobe = 4, shortlist = 20)
+    assert(rows(ivf) === rows(flat))
+  }
+
   test("a wrong-dimension query fails loudly instead of reading as no-neighbors") {
     val base = Seq((10L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (11L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
