@@ -431,6 +431,24 @@ class ServeSpec extends SparkSpecBase {
         .groupBy(r => (r \ "q_id").asInstanceOf[JInt].num.toLong)
       assert(hybridByQ.keySet == Set(1L, 2L))
 
+      // batch + MMR: the diversify params apply per query of the batch
+      val db = """{"queries":[
+        {"id":1,"vec":[1,0,0,0]},
+        {"id":2,"vec":[0,0,1,0]}]}"""
+      val (dbc, dbj) = postJson(client, port,
+        "/search/ann?k=4&nprobe=2&diversify=2&lambda=0.5", db)
+      assert(dbc == 200)
+      val divByQ = (dbj \ "results").asInstanceOf[JArray].arr
+        .groupBy(r => (r \ "q_id").asInstanceOf[JInt].num.toLong)
+        .view.mapValues(_.sortBy(r => (r \ "rank").asInstanceOf[JInt].num)
+          .map(r => (r \ "b_id").asInstanceOf[JInt].num.toLong)).toMap
+      // query 1 mirrors the GET diversify case; query 2's near-dup
+      // (doc 5, cos≈.994 to doc 4's exact match) is displaced the
+      // same way
+      assert(divByQ(1L) == List(1L, 2L), s"batch diversify q1: ${divByQ(1L)}")
+      assert(divByQ(2L).head == 4L && divByQ(2L).size == 2)
+      assert(divByQ(2L)(1) != 5L, "near-dup should be displaced for q2")
+
       // batch guards: duplicate ids, empty batch, missing field
       val (dc, dj) = postJson(client, port, "/search/lexical",
         """{"queries":[{"id":1,"q":"a"},{"id":1,"q":"b"}]}""")
