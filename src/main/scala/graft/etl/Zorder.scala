@@ -44,11 +44,10 @@ object Zorder {
     */
   private def lane(c: Column, mn: Double, mx: Double, bits: Int): Column =
     if (mx == mn) lit(0L)
-    else coalesce(
+    else when(c.isNull, lit(0L)).otherwise(
       least(greatest(
         floor(((c.cast("double") - lit(mn)) / lit(mx - mn)) * lit((1 << bits) - 1).cast("double")).cast("long"),
-        lit(0L)), lit(((1L << bits) - 1))),
-      lit(0L))
+        lit(0L)), lit(((1L << bits) - 1))))
 
   /** Morton interleave of the columns' quantized lanes: output bit
     * `i * n + j` is bit `i` of column `j`'s lane. 2..4 columns —

@@ -232,12 +232,19 @@ object Dedup {
     * output is IDENTICAL to [[contaminationPairs]] — the c11 oracle is
     * c03's verbatim — while false positives cost only wasted verify
     * work, never wrong rows.
+    *
+    * `broadcastEval` defaults FALSE here (the opposite of
+    * [[contaminationPairs]]): this operator's reason to exist is the
+    * eval set too large to broadcast as raw strings, so the verify
+    * join defaults to a shuffle keyed on the (pre-filtered, small)
+    * candidate shingles — flip it on only when the eval side is known
+    * broadcast-sized anyway.
     */
   def contaminationPairsBloom(
       corpus: DataFrame, corpusId: Column, corpusText: Column,
       evalSet: DataFrame, evalId: Column, evalText: Column,
       n: Int = 5, mBits: Int = 1 << 20, kHash: Int = 5,
-      broadcastEval: Boolean = true): DataFrame = {
+      broadcastEval: Boolean = false): DataFrame = {
     val blank = array(lit(""))
     val eSets = shingleSets(evalSet, evalId, evalText, n)
       .filter(col("sh") =!= blank)

@@ -79,8 +79,11 @@ object LangModel {
         col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("ll_micro"), lit(0L)).as("ll_micro"),
+        // back to NATS for the consumer-facing mean (the micro scale
+        // exists only to make the sum order-independent) — a CCNet
+        // perplexity cutoff applies to this column directly
         when(col("n_bigrams").isNotNull,
-          col("ll_micro").cast("double") / col("n_bigrams").cast("double"))
+          (col("ll_micro").cast("double") / lit(1000000.0)) / col("n_bigrams").cast("double"))
           .as("mean_ll"))
   }
 }

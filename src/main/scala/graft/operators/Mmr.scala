@@ -56,10 +56,15 @@ object Mmr {
       // NaN rel would poison every score comparison (best stays -1 →
       // AIOOBE in the greedy) — exclude it like the r07 oracle's
       // NOT isnan(rel); a null ELEMENT inside emb would NPE the
-      // in-memory copy, so require fully-populated vectors too
+      // in-memory copy, and a NaN element makes every pairwise csim
+      // NaN — maxSim then never updates off -Infinity, giving the
+      // garbage vector a +Infinity marginal (or, at λ=1, re-creating
+      // the best=-1 crash via 0·(-∞)=NaN) — so require fully-populated
+      // finite vectors
       .filter(col("rel").isNotNull && !isnan(col("rel")) &&
         col("b_id").isNotNull &&
-        col("emb").isNotNull && forall(col("emb"), x => x.isNotNull))
+        col("emb").isNotNull &&
+        forall(col("emb"), x => x.isNotNull && !isnan(x)))
 
     val outSchema = StructType(Seq(
       StructField("q_id", LongType, nullable = false),

@@ -512,7 +512,7 @@ object TextQueries {
        |  COALESCE(per.n_bigrams, 0) AS n_bigrams,
        |  COALESCE(per.ll_micro, 0) AS ll_micro,
        |  CASE WHEN per.n_bigrams IS NOT NULL
-       |       THEN CAST(per.ll_micro AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE) END AS mean_ll
+       |       THEN (CAST(per.ll_micro AS DOUBLE) / 1000000.0) / CAST(per.n_bigrams AS DOUBLE) END AS mean_ll
        |FROM d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

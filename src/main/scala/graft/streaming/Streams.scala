@@ -208,7 +208,11 @@ object Streams {
     * an id-keyed sink dedups the re-emit
     * ([[indexIngest]]'s `dedupe`). Null-text rows carry no
     * fingerprint and pass through untouched (not duplicates of each
-    * other — the [[graft.operators.Dedup.exactKeepFirst]] convention).
+    * other — the [[graft.operators.Dedup.exactKeepFirst]] convention);
+    * null-ID rows pass through too (the keep-first policy is id-based
+    * and cannot arbitrate them — passing beats silently losing unique
+    * content). Exact (id, text) row copies within one micro-batch
+    * collapse to a single row before any of this.
     */
   def dedupGate(
       stream: DataFrame, checkpoint: String, ledgerPath: String,
@@ -219,28 +223,42 @@ object Streams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val withFp = batch.toDF()
+          // exact row copies (a source redelivery landing twice in ONE
+          // micro-batch) collapse here, before the keep-first — both
+          // copies of the winning (fp, min-id) row would otherwise
+          // survive the semi-join and double-emit/double-ledger
+          .dropDuplicates(Seq(textCol, idCol))
           .withColumn("__fp", graft.functions.Text.fingerprint(col(textCol)))
-        val nullText = withFp.filter(col("__fp").isNull).drop("__fp")
+        // rows the id-based keep-first cannot arbitrate pass THROUGH
+        // (never deduped, never ledgered, like the null-text rows): the
+        // keep-first contract is id-based, and silently dropping a
+        // null-id row would lose unique content
+        val passThrough = withFp
+          .filter(col("__fp").isNull || col(idCol).isNull).drop("__fp")
         // keep-first within the batch: groupBy-min + join back (the
         // repo's no-Window dedup shape), deterministic on the id
-        val firsts = withFp.filter(col("__fp").isNotNull)
-          .groupBy("__fp").agg(min(col(idCol)).as(idCol))
-        val inBatch = withFp.join(firsts, Seq("__fp", idCol), "left_semi")
-        val ledgerExists = new org.apache.hadoop.fs.Path(ledgerPath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(new org.apache.hadoop.fs.Path(ledgerPath))
-        val fresh0 =
-          if (ledgerExists)
-            inBatch.join(
-              spark.read.parquet(ledgerPath).select(col("fp").as("__fp")),
-              Seq("__fp"), "left_anti")
-          else inBatch
+        val dedupable = withFp.filter(col("__fp").isNotNull && col(idCol).isNotNull)
+        val firsts = dedupable.groupBy("__fp").agg(min(col(idCol)).as(idCol))
+        val inBatch = dedupable.join(firsts, Seq("__fp", idCol), "left_semi")
+        // a crash during a previous append can leave the ledger path
+        // existing with ZERO committed files (only _temporary residue)
+        // — spark.read would throw schema-inference forever and wedge
+        // the stream; an uncommitted ledger IS empty, so read it as
+        // such. Half-written data files cannot surface this way
+        // (uncommitted files stay under _temporary).
+        val ledger =
+          try Some(spark.read.parquet(ledgerPath).select(col("fp").as("__fp")))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val fresh0 = ledger match {
+          case Some(l) => inBatch.join(l, Seq("__fp"), "left_anti")
+          case None => inBatch
+        }
         // one evaluation of the ledger anti-join for the emptiness
         // probe, the emit, and the ledger append (same discipline as
         // indexIngest's dedupe leg)
         val fresh = fresh0.persist()
         try {
-          val emitted = fresh.drop("__fp").unionByName(nullText)
+          val emitted = fresh.drop("__fp").unionByName(passThrough)
           if (!emitted.isEmpty) emit(emitted)
           if (!fresh.isEmpty)
             fresh.select(col("__fp").as("fp"))

@@ -30,8 +30,8 @@ class LangModelSpec extends SparkSpecBase {
     val bc = micro((1.0 + 1.0) / (2.0 + 4.0))
     val d1 = 2 * ab + ba
     val d2 = ab + bc
-    assert(out(1L) === ((3L, d1, Some(d1.toDouble / 3.0))))
-    assert(out(2L) === ((2L, d2, Some(d2.toDouble / 2.0))))
+    assert(out(1L) === ((3L, d1, Some((d1.toDouble / 1000000.0) / 3.0))))
+    assert(out(2L) === ((2L, d2, Some((d2.toDouble / 1000000.0) / 2.0))))
     assert(out(3L) === ((0L, 0L, None))) // single token: no bigrams
     assert(out(4L) === ((0L, 0L, None))) // whitespace-only
     assert(out(5L) === ((0L, 0L, None))) // null text
@@ -47,6 +47,8 @@ class LangModelSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     val typMean = typical.map(t => out(t._1)).sum / typical.size
     val gibMean = gibberish.map(t => out(t._1)).sum / gibberish.size
+    // mean_ll is in NATS now — a 1-nat margin is a real e-fold
+    // perplexity separation, not a vacuous micro-unit epsilon
     assert(typMean > gibMean + 1.0,
       s"LM failed to separate typical ($typMean) from gibberish ($gibMean)")
   }

@@ -56,17 +56,24 @@ class MmrSpec extends SparkSpecBase {
     assert(out === 0.7 * 0.1 - (1.0 - 0.7) * -1.0)
   }
 
-  test("NaN relevance and null-element embeddings are excluded, not crashed on") {
+  test("NaN relevance and null/NaN-element embeddings are excluded, not crashed on") {
     val df = Seq(
       (7L, 1L, 0.9, Seq[Option[Float]](Some(1.0f), Some(0.0f))),
       (7L, 2L, Double.NaN, Seq[Option[Float]](Some(0.0f), Some(1.0f))),
-      (7L, 3L, 0.5, Seq[Option[Float]](Some(0.5f), None)))
+      (7L, 3L, 0.5, Seq[Option[Float]](Some(0.5f), None)),
+      // a NaN ELEMENT poisons every pairwise csim: its maxSim never
+      // leaves -Infinity, which would hand it a +Infinity marginal at
+      // rank 2 (or the best=-1 crash at λ=1)
+      (7L, 4L, 0.4, Seq[Option[Float]](Some(Float.NaN), Some(1.0f))))
       .toDF("q_id", "b_id", "rel", "emb")
-    // k exceeds the valid candidates: without the NaN/null-element
-    // gates the greedy would index -1 / NPE mid-task
+    // k exceeds the valid candidates: without the gates the greedy
+    // would select garbage, index -1, or NPE mid-task
     val out = Mmr.diversify(df, k = 3, lambda = 0.7)
       .orderBy("rank").select("b_id").as[Long].collect().toSeq
     assert(out === Seq(1L))
+    val out1 = Mmr.diversify(df, k = 2, lambda = 1.0)
+      .orderBy("rank").select("b_id").as[Long].collect().toSeq
+    assert(out1 === Seq(1L)) // λ=1 with a NaN-element candidate: no crash
   }
 
   test("groups smaller than k return what they have; per-query isolation") {

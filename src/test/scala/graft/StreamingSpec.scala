@@ -269,8 +269,9 @@ class StreamingSpec extends SparkSpecBase {
       in.addData((1L, "a"), (2L, "b"), (3L, "a"))
       q.processAllAvailable()
       // batch 2: "b" already in the LEDGER (suppressed), "c" fresh,
-      // null text passes through
-      in.addData((4L, "b"), (5L, "c"), (6L, null.asInstanceOf[String]))
+      // null text passes through; an exact (id, text) row copy inside
+      // the batch collapses to ONE emitted row and one ledger entry
+      in.addData((4L, "b"), (5L, "c"), (5L, "c"), (6L, null.asInstanceOf[String]))
       q.processAllAvailable()
     } finally q.stop()
     assert(emitted.map(_._1).sorted.toSeq === Seq(1L, 2L, 5L, 6L),
@@ -278,6 +279,27 @@ class StreamingSpec extends SparkSpecBase {
     // the ledger holds each fingerprint exactly once
     val fps = spark.read.parquet(s"$work/ledger").collect().map(_.getString(0)).toSeq
     assert(fps.length === fps.distinct.length && fps.length === 3)
+  }
+
+  test("dedupGate: null-id rows pass through instead of silently vanishing") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("graft_dedupgate_nid").toString
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Option[Long]]
+    val in = MemoryStream[(Option[Long], String)]
+    val q = Streams.dedupGate(
+      in.toDF().toDF("id", "text"), s"$work/ckpt", s"$work/ledger",
+      "id", "text",
+      batch => emitted.synchronized {
+        emitted ++= batch.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      })
+    try {
+      in.addData((Some(1L), "a"), (None, "unique content"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(emitted.sortBy(_.getOrElse(-1L)).toSeq === Seq(None, Some(1L)),
+      s"emitted $emitted")
+    // only the id-arbitratable row reached the ledger
+    assert(spark.read.parquet(s"$work/ledger").count() === 1)
   }
 
   test("indexIngest: streamed micro-batch adds ≡ build-all on the persisted IVF index") {
