@@ -52,4 +52,53 @@ object Sampling {
   /** Uniform deterministic sample at `rate`. */
   def uniformSample(df: DataFrame, id: Column, rate: Double, salt: String): DataFrame =
     stratifiedSample(df, lit(null).cast("string"), id, Map.empty, rate, salt)
+
+  /** Temperature-weighted source mixing — the `p_s ∝ n_s^α` rule LLM
+    * data recipes use to keep a dominant stratum from drowning the
+    * rest (α = 1 reproduces the natural distribution, α → 0
+    * equalizes; multilingual pipelines run α ≈ 0.3–0.7). The expected
+    * kept count per stratum is `T · n_s^α / Σ_t n_t^α`, i.e. the
+    * per-row keep rate `min(1, T · n_s^(α−1) / Σ_t n_t^α)` — computed
+    * here from the OBSERVED stratum counts (one aggregate, ≤ #strata
+    * driver rows) and applied through [[stratifiedSample]]'s
+    * hash-threshold membership, so the draw stays deterministic,
+    * retry-stable, and oracle-replayable.
+    *
+    * Determinism of the rates themselves: `Σ n_t^α` is a strict fold
+    * in stratum-key order (nulls last — the DuckDB `LIST(… ORDER BY)`
+    * convention the c12 oracle mirrors). At the default α = 0.5 every
+    * operation is IEEE-exact (sqrt, ·, /, min), so the oracle
+    * reproduces each rate BIT-identically; other α go through
+    * `math.pow`, which is not correctly-rounded — cross-engine replay
+    * then rides the 1e-6 threshold quantization (same posture as the
+    * r01 `ln` terms), fine in practice but only α = 0.5 is
+    * hash-gated.
+    *
+    * A null stratum participates like any other (its rate rides the
+    * `defaultRate` slot of [[stratifiedSample]]).
+    */
+  def temperatureMix(
+      df: DataFrame, stratum: Column, id: Column,
+      targetDocs: Long, alpha: Double = 0.5, salt: String): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(targetDocs >= 0, s"targetDocs must be >= 0, got $targetDocs")
+    val counts = df.groupBy(stratum.as("__s")).count()
+      .collect().map(r => (Option(r.get(0)).map(_.toString), r.getLong(1)))
+      // strict fold order: stratum key ascending, null LAST (DuckDB's
+      // LIST(... ORDER BY) default, so the oracle folds identically)
+      .sortBy { case (k, _) => (k.isEmpty, k.getOrElse("")) }
+    val powN: Long => Double =
+      if (alpha == 0.5) n => math.sqrt(n.toDouble)
+      else n => math.pow(n.toDouble, alpha)
+    val s = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + powN(n) }
+    def rate(n: Long): Double = {
+      val r =
+        if (alpha == 0.5) targetDocs.toDouble / (math.sqrt(n.toDouble) * s)
+        else targetDocs.toDouble * math.pow(n.toDouble, alpha - 1.0) / s
+      math.min(r, 1.0)
+    }
+    val named = counts.collect { case (Some(k), n) => k -> rate(n) }.toMap
+    val dflt = counts.collectFirst { case (None, n) => rate(n) }.getOrElse(1.0)
+    stratifiedSample(df, stratum, id, named, dflt, salt)
+  }
 }

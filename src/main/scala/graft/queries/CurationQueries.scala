@@ -175,6 +175,53 @@ object CurationQueries {
       .orderBy("doc_id", "eval_id")
   }
 
+  /** Temperature-based language mixing
+    * ([[graft.operators.Sampling.temperatureMix]], α = 0.5): keep
+    * rates derived FROM the observed stratum counts — `en` (218 docs)
+    * is held back at ~0.21 while the small languages keep ~0.36–0.39,
+    * the `p_s ∝ √n_s` rebalance multilingual recipes run. At α = 0.5
+    * every rate op is IEEE-exact (sqrt, ·, /, min, the ordered
+    * count fold), so the oracle reproduces counts → rates → 1e-6
+    * thresholds → h60 membership BIT-for-bit — the approximation-free
+    * gate c04's fixed rates get, extended to computed rates.
+    */
+  def c12TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val kept = graft.operators.Sampling.temperatureMix(
+      docs(s, dir), col("lang"), col("doc_id"),
+      targetDocs = 150, alpha = 0.5, salt = "temp1")
+    kept
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(Text.tokenCount(col("text")).cast("long")).as("kept_tokens"))
+      .orderBy("lang")
+  }
+
+  val c12Oracle: String = {
+    val h = DuckOracle.h60("'temp1:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH cnt AS (
+       |  SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+       |), tot AS (
+       |  -- strict fold of sqrt(n) in stratum-key order (nulls last),
+       |  -- exactly Sampling.temperatureMix's count fold
+       |  SELECT list_reduce(
+       |    [CAST(0 AS DOUBLE)] || LIST(sqrt(CAST(n AS DOUBLE)) ORDER BY s),
+       |    (a, b) -> a + b) AS sm
+       |  FROM cnt
+       |), th AS (
+       |  SELECT s,
+       |    CAST(FLOOR(LEAST(CAST(150 AS DOUBLE) / (sqrt(CAST(n AS DOUBLE)) * sm), CAST(1 AS DOUBLE)) * 1000000) AS BIGINT) AS thr
+       |  FROM cnt, tot
+       |), keyed AS (
+       |  SELECT d.lang, d.text, $h % 1000000 AS skey, th.thr
+       |  FROM documents d JOIN th ON th.s = d.lang
+       |)
+       |SELECT lang, COUNT(*) AS n_kept,
+       |  CAST(SUM(CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0 ELSE len($duckToksRaw) END) AS BIGINT) AS kept_tokens
+       |FROM keyed WHERE skey < thr
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Deterministic stratified sample-mix rollup
     * ([[graft.operators.Sampling.stratifiedSample]]): downsample the
     * dominant stratum, keep the rest, report surviving docs/tokens per
@@ -570,6 +617,7 @@ object CurationQueries {
     "c02_dup_profile" -> (c02DupProfile _),
     "c03_decontamination" -> (c03Decontamination _),
     "c11_bloom_decontam" -> (c11BloomDecontam _),
+    "c12_temperature_mix" -> (c12TemperatureMix _),
     "c04_sample_mix" -> (c04SampleMix _),
     "c05_boilerplate_strip" -> (c05BoilerplateStrip _),
     "c05b_boilerplate_ratio" -> (c05bBoilerplateRatio _),
@@ -587,6 +635,7 @@ object CurationQueries {
     // Bloom pre-filtering must have ZERO semantic footprint (no false
     // negatives) — the exact-decontamination replay IS the oracle
     "c11_bloom_decontam" -> c03Oracle,
+    "c12_temperature_mix" -> c12Oracle,
     "c04_sample_mix" -> c04Oracle,
     "c05_boilerplate_strip" -> c05Oracle,
     "c05b_boilerplate_ratio" -> c05bOracle,

@@ -769,6 +769,35 @@ class ColumnFunctionsSpec extends SparkSpecBase {
       Sampling.stratifiedSample(df, col("stratum"), col("id"), Map("a" -> 1.5), 1.0, "z"))
   }
 
+  test("Sampling.temperatureMix: dominant stratum downweighted, expected totals hit") {
+    import graft.operators.Sampling
+    // 16k "web" rows vs 1k each of "books"/"code": α=0.5 keeps web at
+    // rate T/(√16000·S) and the small strata at 4× that rate
+    val df = spark.range(18000).select(
+      col("id"),
+      when(col("id") < 16000, "web")
+        .when(col("id") < 17000, "books").otherwise("code").as("src"))
+    val t = 6000L
+    val kept = Sampling.temperatureMix(df, col("src"), col("id"), t, 0.5, "tm1")
+    val by = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s = math.sqrt(16000.0) + math.sqrt(1000.0) + math.sqrt(1000.0)
+    // expected kept_s = n_s · rate_s = T·√n_s / S
+    def want(n: Double) = t * math.sqrt(n) / s
+    assert(math.abs(by("web") - want(16000)) < 250, s"web ${by("web")} vs ${want(16000)}")
+    assert(math.abs(by("books") - want(1000)) < 120, s"books ${by("books")} vs ${want(1000)}")
+    assert(math.abs(by("code") - want(1000)) < 120, s"code ${by("code")} vs ${want(1000)}")
+    // the dominant stratum's keep RATE is strictly below the small ones'
+    assert(by("web").toDouble / 16000 < by("books").toDouble / 1000)
+    // α=1 reproduces the natural distribution: every rate is T/N
+    val nat = Sampling.temperatureMix(df, col("src"), col("id"), t, 1.0, "tm1")
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(nat("web") - 16000.0 * t / 18000) < 300)
+    // deterministic re-run
+    assert(Sampling.temperatureMix(df, col("src"), col("id"), t, 0.5, "tm1")
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap == by)
+  }
+
   test("contaminationPairs: known shared n-grams found; broadcast off agrees") {
     import graft.operators.Dedup
     val evalSet = Seq(
