@@ -71,14 +71,31 @@ object Fusion {
     * dropped). Returns `(q_id, doc_id, rank, rrf_micro)`, the top `k`
     * per query by (rrf desc, doc_id asc).
     */
-  def rrf(runs: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+  def rrf(runs: Seq[DataFrame], k: Int, c: Int = 60): DataFrame =
+    rrfWeighted(runs.map(r => (r, 1L)), k, c)
+
+  /** [[rrf]] with a per-run INTEGER weight — the production hybrid
+    * knob ("trust the dense leg 2× the lexical leg while the BM25
+    * params are retuned"). Each run's micro contribution is
+    * `w · round(1e6 / (c + rank))`: the weight multiplies AFTER the
+    * rounding, so weighted fusion stays order-independent and exactly
+    * replayable, and `w = 1` for every run is bit-identical to the
+    * unweighted form (the r02/r06 oracles gate that path). Integer
+    * weights rather than doubles for the same reason scores are
+    * micro-units: no float summation anywhere in the fusion. Relative
+    * precision beyond integers is a non-goal — RRF's c-constant
+    * already dominates fine-grained weight tuning (per the original
+    * paper, results are remarkably insensitive to these knobs).
+    */
+  def rrfWeighted(runs: Seq[(DataFrame, Long)], k: Int, c: Int = 60): DataFrame = {
     require(runs.nonEmpty, "rrf requires at least one run")
     require(k >= 1, s"top-k requires k >= 1, got $k")
     require(c >= 0, s"rrf constant must be >= 0, got $c")
+    require(runs.forall(_._2 >= 1), "run weights must be >= 1")
     val contribs = runs
-      .map(_.select(col("q_id"), col("doc_id"),
-        round(lit(1000000.0) / (lit(c) + col("rank")).cast("double"))
-          .cast("long").as("c_micro")))
+      .map { case (r, w) => r.select(col("q_id"), col("doc_id"),
+        (lit(w) * round(lit(1000000.0) / (lit(c) + col("rank")).cast("double")).cast("long"))
+          .as("c_micro")) }
       .reduce(_ union _)
     val fused = contribs
       .groupBy("q_id", "doc_id")

@@ -125,6 +125,21 @@ class SearchSpec extends SparkSpecBase {
     // doc 200 appears rank2 in leg1 + rank1 in leg2 → sums; k=2 drops doc 300
     assert(got.toSeq == Seq((0L, 200L, 1, c62 + c61), (0L, 100L, 2, c61)),
       s"rrf mismatch: ${got.toSeq}")
+
+    // weighted form: w=1 everywhere is BIT-identical to the plain rrf
+    // (the path the r02/r06 oracles gate)...
+    val w1 = graft.operators.Fusion.rrfWeighted(Seq((leg1, 1L), (leg2, 1L)), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(w1.toSeq == got.toSeq)
+    // ...and a decisive leg1 weight flips the winner: doc 100 needs
+    // w·(c61 − c62) > c61, i.e. w ≳ 62, before its single leg1-rank-1
+    // hit beats doc 200's leg1-rank-2 + leg2-rank-1 pair
+    val wBig = graft.operators.Fusion.rrfWeighted(Seq((leg1, 100L), (leg2, 1L)), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(wBig.toSeq == Seq(
+      (0L, 100L, 1, 100 * c61),
+      (0L, 200L, 2, 100 * c62 + c61)),
+      s"weighted rrf: ${wBig.toSeq}")
   }
 
   test("lex index: build+add ≡ one-shot searchTopK bit-exact; pruned read; fail-loud sidecar") {
