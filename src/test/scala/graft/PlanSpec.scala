@@ -65,6 +65,21 @@ class PlanSpec extends SparkSpecBase {
       s"expression fell out of codegen:\n$p")
   }
 
+  test("round-8 query plans: sketch/LM/mix/bloom stay equi-join + partial-agg shaped") {
+    import graft.queries.{RelationalQueries => R, TextQueries => T, CurationQueries => C}
+    for ((name, q) <- Seq(
+        "q22" -> R.q22KmvDistinct _, "t09" -> T.t09BigramLl _,
+        "c11" -> C.c11BloomDecontam _, "c12" -> C.c12TemperatureMix _)) {
+      val p = plan(q(spark, sfDir))
+      assert(!p.contains("Cartesian"), s"$name plans a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name degrades to nested-loop join:\n$p")
+      // none of these should pay a global sort before their aggregate
+      // (the sketch rides the k-buffer, the LM/mix are groupBy families)
+      assert(!p.contains("Window"), s"$name fell back to a Window plan:\n$p")
+    }
+  }
+
   test("dedup family plans contain no cartesian product (candidate gen is equi-join)") {
     import graft.queries.{DedupQueries => D, VectorQueries => V, CurationQueries => C}
     for ((name, q) <- Seq(
