@@ -472,6 +472,12 @@ final class HttpApi(
     // /search/ann?diversify=<m>&lambda=<l>: MMR re-rank of the k
     // candidates down to m diverse results (Mmr.diversify; k becomes
     // the candidate depth). lambda clamps to [0,1], default 0.7.
+    // ANN-only by design: hybrid results can include lexical-only
+    // docs that have NO embedding in the ANN index, and MMR's
+    // diversity penalty is undefined for them — a served re-rank must
+    // not silently zero the penalty for half the candidates. Callers
+    // wanting diversified hybrid run the ANN leg diversified and fuse
+    // client-side, or index embeddings for the full corpus.
     val diversify: Option[(Int, Double)] = params.get("diversify")
       .flatMap(_.toIntOption).map { m =>
         val lam = params.get("lambda").flatMap(_.toDoubleOption).getOrElse(0.7)
