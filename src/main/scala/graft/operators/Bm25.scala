@@ -133,6 +133,34 @@ object Bm25 {
     * which is what lets the persisted index skip storing it — a
     * term's whole posting list is always co-resident with the term.
     */
+  /** The postings lake as a frame — with the empty-lake degenerate
+    * case handled: a full retention purge (every bucket dir swapped
+    * away) or a build over an all-empty-text corpus leaves the lake
+    * with ZERO data files, and `spark.read.parquet` would throw at
+    * schema inference rather than return empty — wedging serving AND
+    * the stream-ingest dedupe leg ([[lexIndexIds]]) on a legitimately
+    * empty index. An empty lake reads as an empty positional-postings
+    * frame (doc_id long — the practical id type; a non-long-id corpus
+    * cannot produce an EMPTY lake read that matters, since any real
+    * row fixes the schema).
+    */
+  private def readPostingsLake(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    try spark.read.parquet(s"$path/postings")
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("dl", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("tf", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("positions",
+              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)),
+            org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType))))
+    }
+
   private def scoreAndRank(
       post: DataFrame, qt: DataFrame, stats: DataFrame,
       k: Int, k1: Double, b: Double): DataFrame = {
@@ -146,9 +174,28 @@ object Bm25 {
           col("n_docs"), col("total_tokens"), k1, b).as("c_micro"))
       .groupBy("q_id", "doc_id")
       .agg(sum(col("c_micro")).as("score_micro"))
-    TopK.perGroup(scores, Seq("q_id"), col("score_micro"), col("doc_id"), k)
+    rankTail(scores, "score_micro", k)
+  }
+
+  /** Per-query ranked-tail shared by the BM25 and phrase paths — the
+    * [[Ann.topkPerQuery]] id discipline applied to
+    * (q_id, doc_id, metric): the typed k-buffer aggregator buffers ids
+    * as NON-NULLABLE longs, so a null doc_id (a null-id corpus row
+    * whose term matched a query) must be excluded here rather than
+    * crash an executor encoder, and a string/uuid id column must be
+    * rejected loudly rather than silently cast. doc_id surfaces as
+    * long (the buffer type), like every knn output.
+    */
+  private def rankTail(scored: DataFrame, metric: String, k: Int): DataFrame = {
+    val idType = scored.schema("doc_id").dataType.simpleString
+    require(Seq("tinyint", "smallint", "int", "bigint").contains(idType),
+      s"lex ranking doc_id must be integral (got $idType); " +
+        "map non-numeric ids to a surrogate long first")
+    TopK.perGroup(
+      scored.filter(col("doc_id").isNotNull && col(metric).isNotNull),
+      Seq("q_id"), col(metric), col("doc_id"), k)
       .select(col("q_id"), col("id").as("doc_id"), col("rank"),
-        col("metric").as("score_micro"))
+        col("metric").as(metric))
   }
 
   /** Exact-PHRASE top-k: documents containing the query phrase as
@@ -209,9 +256,7 @@ object Bm25 {
       .join(broadcast(qlen), "q_id")
       .filter(col("cover") === col("phrase_len") && col("anchor") >= 0)
     val counts = occurrences.groupBy("q_id", "doc_id").agg(count(lit(1)).as("n_occ"))
-    TopK.perGroup(counts, Seq("q_id"), col("n_occ"), col("doc_id"), k)
-      .select(col("q_id"), col("id").as("doc_id"), col("rank"),
-        col("metric").as("n_occ"))
+    rankTail(counts, "n_occ", k)
   }
 
   /** Exact-phrase top-k SERVED FROM the persisted positional index —
@@ -244,7 +289,7 @@ object Bm25 {
     val buckets = qt
       .select(bucketOf(col("term"), nBuckets).as("bucket")).distinct()
       .collect().map(_.getInt(0))
-    val post = spark.read.parquet(s"$path/postings")
+    val post = readPostingsLake(spark, path)
     require(post.columns.contains("positions"),
       s"$path/postings has no positions column (pre-positional index) -- " +
         "rebuild with buildLexIndex to serve phrase queries")
@@ -311,7 +356,15 @@ object Bm25 {
     // postings first, stats sidecar LAST: the sidecar is the
     // index-complete marker (same crash-ordering contract as the ANN
     // codebook sidecar — queryLexIndex fails loudly on a missing stats
-    // dir, never serves a half-written index silently)
+    // dir, never serves a half-written index silently). For an
+    // IN-PLACE REBUILD the OLD sidecar must stop being a valid marker
+    // FIRST: a crash after the postings overwrite would otherwise
+    // serve the new postings with stale stats (or a stale nBuckets,
+    // pruning the wrong bucket dirs entirely) — delete it before
+    // touching the lake so every crash window refuses loudly.
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
+    statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(statsPath, true)
     positionalPostings(toks, nBuckets)
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings")
     writeEmptyMembers(spark, path,
@@ -354,6 +407,15 @@ object Bm25 {
   def addToLexIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       docs: DataFrame, docId: Column, text: Column): Unit = {
+    // a parked crashed-swap tree may hold a bucket's ONLY copy;
+    // appending over the recreated dir would make the documented
+    // rename-back recovery collide with freshly-added rows (and the
+    // sidecar would already count them) — the same guard every other
+    // mutation and both query verbs apply
+    val addTarget = new org.apache.hadoop.fs.Path(s"$path/postings")
+    graft.etl.Compact.requireServable(
+      addTarget.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      addTarget, action = "adding to")
     val (nDocs, totalTokens, nBuckets) = readStatsSidecar(spark, path)
     val toks = docs
       .select(docId.as("doc_id"), analyze(text).as("toks"))
@@ -629,10 +691,12 @@ object Bm25 {
 
   def lexIndexStats(
       spark: org.apache.spark.sql.SparkSession, path: String): LexIndexStats = {
-    val st = spark.read.parquet(s"$path/stats")
-      .select("n_docs", "total_tokens", "n_buckets").head()
-    LexIndexStats(st.getLong(0), st.getLong(1), st.getInt(2),
-      lexEmptyDocCount(spark, path))
+    // through readStatsSidecar, not an inline head(): the sidecar
+    // reader owns the exactly-1-row validation (a corrupted/duplicated
+    // sidecar must fail loudly on the observability surface too, not
+    // report whichever row head() happens to return)
+    val (nDocs, totalTokens, nBuckets) = readStatsSidecar(spark, path)
+    LexIndexStats(nDocs, totalTokens, nBuckets, lexEmptyDocCount(spark, path))
   }
 
   /** Every doc_id the index currently serves: postings members plus
@@ -643,7 +707,7 @@ object Bm25 {
     */
   def lexIndexIds(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val posted = spark.read.parquet(s"$path/postings").select("doc_id")
+    val posted = readPostingsLake(spark, path).select("doc_id")
     readEmptyMembers(spark, path)
       .map(m => posted.unionByName(m)).getOrElse(posted)
       .distinct()
@@ -707,7 +771,7 @@ object Bm25 {
     val buckets = qt
       .select(bucketOf(col("term"), nBuckets).as("bucket")).distinct()
       .collect().map(_.getInt(0))
-    val post = spark.read.parquet(s"$path/postings")
+    val post = readPostingsLake(spark, path)
       .filter(col("bucket").isin(buckets.map(Int.box): _*))
       // a bucket holds OTHER terms' postings too — the vocab semi-join
       // is still the row gate, the bucket filter only prunes IO

@@ -22,12 +22,13 @@ import graft.functions.Hashing
   * that picked hash-threshold sampling over `rand()` in
   * [[Sampling]].
   *
-  * Scale shape: the bottom-k per group is exactly the [[TopK]]
-  * k-buffer with the metric negated — map-side partial bottom-k, so
-  * the shuffle carries ≤ k hashes per (partition, group) no matter the
-  * corpus; the sketch is MERGEABLE by construction (union the hash
-  * sets, re-take the bottom k — min-k is order-independent), which is
-  * what makes it a sketch and not just a sample.
+  * Scale shape: a dedup-aware bottom-k buffer (the [[TopK]] k-buffer
+  * discipline with an in-buffer distinct check) — map-side partial
+  * bottom-k, so the shuffle carries ≤ k hashes per (partition, group)
+  * no matter the corpus or its duplication; the sketch is MERGEABLE
+  * by construction (union the hash sets, re-take the bottom k — min-k
+  * is order-independent), which is what makes it a sketch and not
+  * just a sample.
   */
 object Sketches {
 
@@ -119,33 +120,65 @@ object Sketches {
     * `kth_hash / 2^60` is the normalized k-th minimum). Null values
     * are excluded (COUNT DISTINCT semantics).
     */
+  /** Dedup-aware bottom-k buffer: keeps the k SMALLEST DISTINCT longs
+    * per group. This is what makes the documented shuffle bound true —
+    * a plain TopK buffer keeps duplicates (forcing a corpus-wide
+    * `.distinct()` exchange first), while this one's O(k) contains
+    * check dedups inside the map-side partial, so the exchange carries
+    * ≤ k hashes per (partition, group) no matter how many duplicate
+    * values the corpus holds.
+    */
+  private class BottomKDistinct(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Seq[Long], Seq[Long]] {
+    override def zero: Seq[Long] = Seq.empty
+    override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
+      if (buf.contains(h)) buf
+      else if (buf.size < k) buf :+ h
+      else {
+        var worstIdx = 0
+        var i = 1
+        while (i < buf.size) { if (buf(i) > buf(worstIdx)) worstIdx = i; i += 1 }
+        if (h < buf(worstIdx)) buf.updated(worstIdx, h) else buf
+      }
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      (a ++ b).distinct.sorted.take(k)
+    override def finish(buf: Seq[Long]): Seq[Long] = buf.sorted
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   def kmvDistinctByKey(
       df: DataFrame, key: Column, value: Column, k: Int): DataFrame = {
     require(k >= 3, s"KMV needs k >= 3 for a finite-variance estimate, got $k")
-    // distinct (key, hash) first: duplicate values must not occupy
-    // bottom-k slots — partial aggregation dedups map-side, so the
-    // exchange carries distinct hashes only
     val hashed = df
       .filter(value.isNotNull)
       .select(key.as("key"), Hashing.h60(value.cast("string")).as("h"))
-      .distinct()
-    // bottom-k = TopK on the negated hash; h < 2^60 so -h never
-    // overflows. The aggregator id slot carries the hash itself.
+    // bottom-k distinct in ONE aggregate — no corpus-wide distinct()
+    // exchange; the buffer dedups map-side (see [[BottomKDistinct]])
     val bottom = hashed
       .groupBy("key")
-      .agg(TopK.topK(k)(-col("h"), col("h")).as("mins"))
+      .agg(udaf(new BottomKDistinct(k),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+        .apply(col("h")).as("mins"))
       .select(
         col("key"),
         size(col("mins")).as("n_kept"),
-        // mins is (metric desc) = (-h desc) = h asc; last entry = k-th min
-        element_at(col("mins"), size(col("mins"))).getField("id").as("kth_hash"))
+        // mins sorted ascending; last entry = the k-th smallest
+        element_at(col("mins"), size(col("mins"))).as("kth_hash"))
     bottom.select(
       col("key"),
       col("n_kept"),
       col("kth_hash"),
       when(col("n_kept") < k, col("n_kept").cast("double"))
         .otherwise(
-          (lit((k - 1).toDouble) * lit(1152921504606846976.0)) / col("kth_hash").cast("double"))
+          // greatest(…, 1): h60 CAN be exactly 0 (15 leading md5 hex
+          // zeros, p = 2^-60) and ANSI division by zero would kill the
+          // job; the clamp trades one pathological estimate for
+          // liveness and the oracle mirrors it
+          (lit((k - 1).toDouble) * lit(1152921504606846976.0)) /
+            greatest(col("kth_hash"), lit(1L)).cast("double"))
         .as("est_distinct"))
   }
 }

@@ -112,28 +112,51 @@ object Sq {
     * replays the WHOLE pipeline — shortlist membership included, which
     * the PQ paths cannot offer (their codebooks are engine-side).
     */
-  def knnSq8(
-      base: DataFrame, baseId: Column, baseVec: Column,
-      queries: DataFrame, qId: Column, qVec: Column,
-      k: Int, shortlist: Int = 0): DataFrame = {
-    val sl = Pq.shortlistSize(shortlist, k)
-
+  /** Shared gate + fit + encode stanza of [[knnSq8]] and
+    * [[knnIvfSq8]] — SINGLE owner because the v15 oracle replays this
+    * arithmetic token-for-token and the two paths' bit-equality spec
+    * depends on them never diverging. Returns the scoreable base
+    * (`b`), its encoded form (`enc`), and the fitted dimension.
+    *
+    * Gates, in order: (1) NaN elements are excluded BEFORE the stats
+    * fit — one NaN in one vector would poison that dimension's
+    * min/max (Spark's NaN orders above every numeric AND passes
+    * `b_nrm > 0`), turning every reconstruction NaN and silently
+    * collapsing every shortlist to the lowest-id docs; (2) zero-norm
+    * rows (cosine undefined); (3) the fixed dimension — the SMALLEST
+    * vector length present, a deterministic choice under any
+    * partitioning (`head(1)` on an unordered frame is not); mixed-dim
+    * corpora are out of contract, this just pins which subset a
+    * violation degrades to.
+    */
+  private def encodedBase(
+      base: DataFrame, baseId: Column, baseVec: Column): (DataFrame, DataFrame, Int) = {
     val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
+      .filter(col("b_emb").isNotNull &&
+        forall(col("b_emb"), x => x.isNotNull && !isnan(x)))
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
       .filter(col("b_nrm") > 0)
-    val dRow = b0.select(size(col("b_emb")).as("d")).filter(col("d") > 0).head(1)
-    require(dRow.nonEmpty, "SQ8: no scoreable base vectors")
-    val d = dRow(0).getInt(0)
+    val dRow = b0.select(min(size(col("b_emb"))).as("d")).head()
+    require(!dRow.isNullAt(0), "SQ8: no scoreable base vectors")
+    val d = dRow.getInt(0)
     val b = b0.filter(size(col("b_emb")) === d)
 
     val st = fitStats(b, col("b_emb"), d)
-
     val enc = b
       .withColumn("codes", encodeExpr(col("b_emb"), st))
       .filter(forall(col("codes"), c => c.isNotNull))
       .withColumn("recon", decodeExpr(col("codes"), st))
       .withColumn("r_nrm", Vectors.norm2(col("recon")))
       .filter(col("r_nrm") > 0)
+    (b, enc, d)
+  }
+
+  def knnSq8(
+      base: DataFrame, baseId: Column, baseVec: Column,
+      queries: DataFrame, qId: Column, qVec: Column,
+      k: Int, shortlist: Int = 0): DataFrame = {
+    val sl = Pq.shortlistSize(shortlist, k)
+    val (b, enc, d) = encodedBase(base, baseId, baseVec)
 
     val q = queries.select(qId.as("q_id"), qVec.as("q_emb"))
       .withColumn("q_nrm", Vectors.norm2(col("q_emb")))
@@ -173,25 +196,19 @@ object Sq {
       seed: Long = 42L, maxFit: Long = 100000L): DataFrame = {
     val sl = Pq.shortlistSize(shortlist, k)
 
-    val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
-    val codebook = Ann.fitCodebook(b0, nlist, seed, maxFit)
-    val assigned = b0
+    // shared stanza with knnSq8 (single owner — see [[encodedBase]]);
+    // the coarse quantizer fits on the SAME gated rows it will assign,
+    // and the cell assignment is a narrow per-row pass over both the
+    // raw and encoded frames
+    val (b0, enc0, _) = encodedBase(base, baseId, baseVec)
+    val codebook = Ann.fitCodebook(
+      b0.select(col("b_id"), col("b_emb")), nlist, seed, maxFit)
+    val b = b0
       .withColumn("cell", Ann.cellExpr(col("b_emb"), codebook))
       .filter(col("cell").isNotNull)
-      .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
-      .filter(col("b_nrm") > 0)
-    val dRow = assigned.select(size(col("b_emb")).as("d")).filter(col("d") > 0).head(1)
-    require(dRow.nonEmpty, "IVF-SQ8: no scoreable base vectors")
-    val d = dRow(0).getInt(0)
-    val b = assigned.filter(size(col("b_emb")) === d)
-
-    val st = fitStats(b, col("b_emb"), d)
-    val enc = b
-      .withColumn("codes", encodeExpr(col("b_emb"), st))
-      .filter(forall(col("codes"), c => c.isNotNull))
-      .withColumn("recon", decodeExpr(col("codes"), st))
-      .withColumn("r_nrm", Vectors.norm2(col("recon")))
-      .filter(col("r_nrm") > 0)
+    val enc = enc0
+      .withColumn("cell", Ann.cellExpr(col("b_emb"), codebook))
+      .filter(col("cell").isNotNull)
 
     // live-cell probing + loud dim gate, exactly the knnIvf discipline
     val liveCells = b.select("cell").distinct()

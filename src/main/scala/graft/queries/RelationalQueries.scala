@@ -422,7 +422,7 @@ object RelationalQueries {
       |)
       |SELECT key, n_kept, kth_hash,
       |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
-      |       ELSE (CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)) / CAST(kth_hash AS DOUBLE) END AS est_distinct
+      |       ELSE (CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)) / CAST(GREATEST(kth_hash, 1) AS DOUBLE) END AS est_distinct
       |FROM agg ORDER BY key""".stripMargin.replace("HEXPR", h)
   }
 
