@@ -541,6 +541,49 @@ class SearchSpec extends SparkSpecBase {
       s"expected two cell-pruned base scans:\n${pfLines.mkString("\n")}")
   }
 
+  test("lex index: empty lake serves empty, rebuild is atomic-enough, add refuses parked trees") {
+    import org.apache.spark.sql.functions.lit
+    // (1) a postings lake with ZERO data files (all-empty-text corpus)
+    // must serve empty results and an empty id surface, not crash on
+    // parquet schema inference
+    val emptyDocs = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val p1 = java.nio.file.Files.createTempDirectory("graft_lex_empty").toString + "/ix"
+    graft.operators.Bm25.buildLexIndex(emptyDocs, col("doc_id"), col("text"), p1, nBuckets = 4)
+    val qdf = Seq((0L, "anything")).toDF("q_id", "qtext")
+    assert(graft.operators.Bm25.queryLexIndex(
+      spark, p1, qdf, col("q_id"), col("qtext"), 5).count() === 0)
+    // the two empty-text docs ARE indexed (membership record) — the id
+    // surface must report them without touching the fileless lake
+    assert(graft.operators.Bm25.lexIndexIds(spark, p1)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+
+    // (2) an in-place REBUILD with different nBuckets serves correctly
+    // (the old sidecar is invalidated before the lake is touched, so
+    // no crash window can pair new postings with a stale prune)
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val p2 = java.nio.file.Files.createTempDirectory("graft_lex_rebuild").toString + "/ix"
+    graft.operators.Bm25.buildLexIndex(docs, col("doc_id"), col("text"), p2, nBuckets = 4)
+    graft.operators.Bm25.buildLexIndex(docs, col("doc_id"), col("text"), p2, nBuckets = 16)
+    val hits = graft.operators.Bm25.queryLexIndex(
+      spark, p2, Seq((0L, "gamma")).toDF("q_id", "qtext"), col("q_id"), col("qtext"), 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hits === Set(2L, 3L), s"rebuilt index served $hits")
+
+    // (3) a parked crashed-swap tree blocks the ADD verb like every
+    // other mutation (an append over the recreated dir would collide
+    // with the documented rename-back recovery)
+    val parked = new java.io.File(s"$p2/postings__compact_old/bucket=1")
+    parked.mkdirs()
+    java.nio.file.Files.writeString(parked.toPath.resolve("part-stranded.parquet"), "x")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Bm25.addToLexIndex(
+        spark, p2, Seq((9L, "epsilon zeta")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+    }
+    assert(e.getMessage.contains("recover"), e.getMessage)
+  }
+
   test("ANN index serving guard: a crashed-swap parked tree blocks queries loudly") {
     val df = clusteredRows.toDF("vec_id", "embedding")
     val base = df.filter(col("vec_id") % 100 >= 5)
