@@ -44,7 +44,7 @@ object Zorder {
     */
   private def lane(c: Column, mn: Double, mx: Double, bits: Int): Column =
     if (mx == mn) lit(0L)
-    else when(c.isNull, lit(0L)).otherwise(
+    else when(c.isNull || isnan(c.cast("double")), lit(0L)).otherwise(
       least(greatest(
         floor(((c.cast("double") - lit(mn)) / lit(mx - mn)) * lit((1 << bits) - 1).cast("double")).cast("long"),
         lit(0L)), lit(((1L << bits) - 1))))
@@ -77,9 +77,18 @@ object Zorder {
   def writeClustered(
       df: DataFrame, path: String, cols: Seq[String], nFiles: Int): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    // arity-check BEFORE the corpus-wide stats job (zvalue re-checks,
+    // but failing after a 100 TB aggregate is a wasted scan)
+    require(cols.size >= 2 && cols.size <= 4,
+      s"z-order needs 2..4 columns, got ${cols.size}")
+    // min/max over NaN-excluded values: Spark's max treats NaN as the
+    // largest double, so ONE NaN row would otherwise set mx=NaN and
+    // the rescale would send EVERY row of that column to lane 0 —
+    // silently destroying the clustering. (NaN rows themselves land in
+    // lane 0 at encode time, like nulls.)
     val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"mn_$c"),
-      max(col(c).cast("double")).as(s"mx_$c")))
+      min(when(!isnan(col(c).cast("double")), col(c).cast("double"))).as(s"mn_$c"),
+      max(when(!isnan(col(c).cast("double")), col(c).cast("double"))).as(s"mx_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val mins = cols.indices.map(i => if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i))
     val maxs = cols.indices.map(i => if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1))

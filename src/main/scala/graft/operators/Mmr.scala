@@ -52,19 +52,22 @@ object Mmr {
       col("q_id").cast("long").as("q_id"),
       col("b_id").cast("long").as("b_id"),
       col("rel").cast("double").as("rel"),
-      col("emb"))
-      // NaN rel would poison every score comparison (best stays -1 →
-      // AIOOBE in the greedy) — exclude it like the r07 oracle's
-      // NOT isnan(rel); a null ELEMENT inside emb would NPE the
-      // in-memory copy, and a NaN element makes every pairwise csim
-      // NaN — maxSim then never updates off -Infinity, giving the
-      // garbage vector a +Infinity marginal (or, at λ=1, re-creating
-      // the best=-1 crash via 0·(-∞)=NaN) — so require fully-populated
-      // finite vectors
-      .filter(col("rel").isNotNull && !isnan(col("rel")) &&
-        col("b_id").isNotNull &&
+      // cast like every other contract column: an array<double>
+      // embedding would otherwise pass analysis and CCE at getSeq[Float]
+      col("emb").cast("array<float>").as("emb"))
+      // non-FINITE rel (NaN or ±Inf) would poison every score
+      // comparison (best stays -1 → AIOOBE in the greedy, or an
+      // Inf-norm vector makes every pairwise csim NaN with the same
+      // crash at λ=1) — exclude like the r07 oracle's NOT isnan(rel);
+      // a null ELEMENT inside emb would NPE the in-memory copy, and a
+      // null q_id would NPE the group key — so require a present key
+      // and fully-populated FINITE vectors
+      .filter(col("q_id").isNotNull && col("b_id").isNotNull &&
+        col("rel").isNotNull && !isnan(col("rel")) &&
+        abs(col("rel")) < lit(Double.PositiveInfinity) &&
         col("emb").isNotNull &&
-        forall(col("emb"), x => x.isNotNull && !isnan(x)))
+        forall(col("emb"), x =>
+          x.isNotNull && !isnan(x) && abs(x) < lit(Float.PositiveInfinity)))
 
     val outSchema = StructType(Seq(
       StructField("q_id", LongType, nullable = false),

@@ -165,7 +165,7 @@ object Temporal {
   /** Valid intervals exploded to their covered buckets as `__bucket`,
     * with the fan-out contract folded INTO the consumed bucket bound
     * so column pruning cannot optimize the check away: assert_true
-    * throws (failing the job) on any interval spanning ≥
+    * throws (failing the job) on any interval spanning MORE than
     * `maxBuckets` buckets, instead of silently exploding or
     * truncating coverage. Invalid intervals (null bounds, end < start)
     * are dropped like null join keys.
@@ -188,7 +188,7 @@ object Temporal {
       assert_true(
         col("__b1") - col("__b0") < maxBuckets,
         concat(
-          lit(s"range join: interval spans >= $maxBuckets buckets of $bucketWidth - widen bucketWidth ("),
+          lit(s"range join: interval spans more than $maxBuckets buckets of $bucketWidth - widen bucketWidth ("),
           col(startCol).cast("string"), lit(".."), col(endCol).cast("string"), lit(")"))).isNull,
       col("__b1"))
     valid

@@ -40,11 +40,20 @@ object Streams {
     */
   def dedupByContent(
       df: DataFrame, tsCol: String, textCol: String,
-      watermark: String = "10 minutes"): DataFrame =
-    df.withColumn("__fp", graft.functions.Text.fingerprint(col(textCol)))
+      watermark: String = "10 minutes"): DataFrame = {
+    val withFp = df
+      .withColumn("__fp", graft.functions.Text.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
+    // null-text rows PASS THROUGH: dropDuplicatesWithinWatermark keys
+    // state on the null fingerprint as an equal value, which would
+    // collapse every null-text row per horizon into one — but null
+    // texts are NOT duplicates of each other (the exactKeepFirst /
+    // dedupGate convention)
+    withFp.filter(col("__fp").isNotNull)
       .dropDuplicatesWithinWatermark("__fp")
+      .unionByName(withFp.filter(col("__fp").isNull))
       .drop("__fp")
+  }
 
   /** Tumbling-window per-type stats — the streaming twin of the
     * reference's fixed-interval metrics sampler. `tsCol` must be a
@@ -95,8 +104,16 @@ object Streams {
     * keep one state entry per id FOREVER (the watermark only evicts
     * dedup state when the event-time column is part of the key).
     */
-  def dedupEvents(df: DataFrame, tsCol: String, idCol: String, watermark: String = "10 minutes"): DataFrame =
-    df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(Seq(idCol))
+  def dedupEvents(df: DataFrame, tsCol: String, idCol: String, watermark: String = "10 minutes"): DataFrame = {
+    val marked = df.withWatermark(tsCol, watermark)
+    // null-id rows pass through: the dedup state would otherwise key
+    // them all on one equal null value and keep a single survivor per
+    // horizon — silently losing unique events an id-based policy
+    // cannot arbitrate (the dedupGate convention)
+    marked.filter(col(idCol).isNotNull)
+      .dropDuplicatesWithinWatermark(Seq(idCol))
+      .unionByName(marked.filter(col(idCol).isNull))
+  }
 
   /** Streaming twin of the curation gate — the front half of the
     * training-data recipe (the t03 quality gate + token floor + the c04
@@ -223,12 +240,14 @@ object Streams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val withFp = batch.toDF()
-          // exact row copies (a source redelivery landing twice in ONE
-          // micro-batch) collapse here, before the keep-first — both
-          // copies of the winning (fp, min-id) row would otherwise
-          // survive the semi-join and double-emit/double-ledger
-          .dropDuplicates(Seq(textCol, idCol))
           .withColumn("__fp", graft.functions.Text.fingerprint(col(textCol)))
+          // copies of the same (fingerprint, id) pair collapse here,
+          // before the keep-first — a source redelivery in ONE batch,
+          // or two raw texts normalizing to the same fingerprint under
+          // one id, would otherwise BOTH survive the (fp, min-id)
+          // semi-join and double-emit/double-ledger. Keyed on the
+          // FINGERPRINT, not the raw text, because the keep-first is.
+          .dropDuplicates(Seq("__fp", idCol))
         // rows the id-based keep-first cannot arbitrate pass THROUGH
         // (never deduped, never ledgered, like the null-text rows): the
         // keep-first contract is id-based, and silently dropping a
@@ -248,7 +267,18 @@ object Streams {
         // (uncommitted files stay under _temporary).
         val ledger =
           try Some(spark.read.parquet(ledgerPath).select(col("fp").as("__fp")))
-          catch { case _: org.apache.spark.sql.AnalysisException => None }
+          catch {
+            // ONLY the two shapes an uncommitted/absent ledger takes —
+            // any other analysis failure (fp column renamed, foreign
+            // files, corrupt footers) must THROW, not silently discard
+            // the whole dedup history and mass-re-emit
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+                  e.getMessage.contains("infer schema") ||
+                  e.getMessage.contains("PATH_NOT_FOUND") ||
+                  e.getMessage.contains("Path does not exist") =>
+              None
+          }
         val fresh0 = ledger match {
           case Some(l) => inBatch.join(l, Seq("__fp"), "left_anti")
           case None => inBatch
