@@ -370,8 +370,13 @@ object Bm25 {
     // pruning the wrong bucket dirs entirely) — delete it before
     // touching the lake so every crash window refuses loudly.
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
-    statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(statsPath, true)
+    val buildFs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    buildFs.delete(statsPath, true)
+    // an in-place rebuild supersedes any crashed remove: its intent
+    // belongs to the OLD index generation — replaying it against the
+    // new postings would remove docs the caller just (re)indexed
+    buildFs.delete(new org.apache.hadoop.fs.Path(s"$path/remove_intent"), true)
+    buildFs.delete(new org.apache.hadoop.fs.Path(s"$path/remove_intent__tmp"), true)
     positionalPostings(toks, nBuckets)
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings")
     writeEmptyMembers(spark, path,
@@ -414,6 +419,9 @@ object Bm25 {
   def addToLexIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       docs: DataFrame, docId: Column, text: Column): Unit = {
+    // a crashed remove's pending intent is completed FIRST — the add's
+    // relative stats refresh must start from converged numbers
+    resumePendingRemove(spark, path)
     // a parked crashed-swap tree may hold a bucket's ONLY copy;
     // appending over the recreated dir would make the documented
     // rename-back recovery collide with freshly-added rows (and the
@@ -470,15 +478,22 @@ object Bm25 {
     * holds ABSOLUTE per-cell occupancy recomputed from the rewrite, so
     * sidecar-first is retry-idempotent there; the lex stats are
     * RELATIVE decrements, so sidecar-first would double-decrement on
-    * retry. With swaps first, a crash before the sidecar leaves N and
-    * Σdl overstated — idf INFLATES with N (ln is increasing in it) and
-    * avgdl drifts, so scores are skewed but never hit the df > N
-    * negative-idf corruption. Re-running the same remove after that
-    * crash completes the POSTINGS state and is a stats no-op (the
-    * presence gate sees the victims already gone — deliberately: the
-    * alternative, an unconditional decrement, double-decrements on
-    * every OTHER retry); the sidecar for that one window is repaired
-    * by [[rebuildLexStats]].
+    * retry. The decrement itself is made crash-durable by a
+    * WRITE-AHEAD INTENT (`path/remove_intent`, placed atomically via
+    * tmp+rename BEFORE any mutation): the intent records the victim
+    * ids and the ABSOLUTE post-remove stats, and is deleted only after
+    * the sidecar lands. Every mutating verb (remove, add, rebuild,
+    * compact) RESUMES a pending intent before doing its own work —
+    * the resume replays the bucket rewrite (an anti-join over
+    * already-clean buckets is a content no-op), the membership minus
+    * (idempotent), and writes the intent's absolute stats (idempotent)
+    * — so remove → crash in ANY window → retry converges to exactly
+    * the one-remove state (spec-pinned), with no double-decrement and
+    * no lost decrement. Queries do NOT resume (reads never mutate):
+    * between the crash and the next mutating verb they serve with N
+    * and Σdl overstated — idf INFLATES with N (ln is increasing in it)
+    * and avgdl drifts, so scores are skewed but never hit the df > N
+    * negative-idf corruption.
     *
     * STATS are decremented only for victims PROVEN against the index:
     * victims with postings count with their INDEXED dl (so drifted
@@ -497,7 +512,21 @@ object Bm25 {
     */
   def removeFromLexIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      docs: DataFrame, docId: Column, text: Column): Unit = {
+      docs: DataFrame, docId: Column, text: Column): Unit =
+    removeFromLexIndex(spark, path, docs, docId, text,
+      crashBeforeStatsSidecar = false)
+
+  /** Fault-injection overload for the crash-window specs: when
+    * `crashBeforeStatsSidecar` is set the remove performs the bucket
+    * swaps and the membership rewrite, then throws INSTEAD of writing
+    * the stats sidecar — the exact window the write-ahead intent
+    * exists to close. Production callers use the public overload.
+    */
+  private[graft] def removeFromLexIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      docs: DataFrame, docId: Column, text: Column,
+      crashBeforeStatsSidecar: Boolean): Unit = {
+    resumePendingRemove(spark, path)
     val (nDocs, totalTokens, nBuckets) = readStatsSidecar(spark, path)
     val target = new org.apache.hadoop.fs.Path(s"$path/postings")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -518,7 +547,8 @@ object Bm25 {
         .dropDuplicates("doc_id")
         .write.mode("overwrite").parquet(vicDir.toString)
       removeWithVictims(spark, path, target, fs, tmpRoot, oldRoot,
-        spark.read.parquet(vicDir.toString), nDocs, totalTokens, nBuckets)
+        spark.read.parquet(vicDir.toString), nDocs, totalTokens, nBuckets,
+        crashBeforeStatsSidecar)
     } finally fs.delete(vicDir, true)
   }
 
@@ -530,7 +560,8 @@ object Bm25 {
       spark: org.apache.spark.sql.SparkSession, path: String,
       target: org.apache.hadoop.fs.Path, fs: org.apache.hadoop.fs.FileSystem,
       tmpRoot: org.apache.hadoop.fs.Path, oldRoot: org.apache.hadoop.fs.Path,
-      vic: DataFrame, nDocs: Long, totalTokens: Long, nBuckets: Int): Unit = {
+      vic: DataFrame, nDocs: Long, totalTokens: Long, nBuckets: Int,
+      crashBeforeStatsSidecar: Boolean): Unit = {
     val vicIds = vic.select("doc_id")
     // the victims' postings AS INDEXED — one narrow (doc_id, bucket,
     // dl) scan; feeds the affected-bucket list (≤ nBuckets driver
@@ -571,6 +602,34 @@ object Bm25 {
     val dec = countable.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("total_tokens")).head()
+    // nothing indexed anywhere → complete no-op: no intent, no writes
+    // (same graceful degradation as the ANN remove's early return)
+    if (dec.getLong(0) == 0 && affected.isEmpty) return
+    // WRITE-AHEAD INTENT before any mutation (see ORDERING): victim
+    // ids + the ABSOLUTE post-remove stats, so any crash window below
+    // is resumable to exactly the one-remove state
+    writeRemoveIntent(spark, path, fs, vicIds,
+      nDocs - dec.getLong(0), totalTokens - dec.getLong(1))
+    executeRemove(spark, path, target, fs, tmpRoot, oldRoot, vicIds,
+      affected, nDocs - dec.getLong(0), totalTokens - dec.getLong(1),
+      nBuckets, crashBeforeStatsSidecar)
+  }
+
+  /** The mutation tail shared by a live remove and an intent resume:
+    * bucket-confined anti-join rewrite + gate + swap, membership
+    * minus, ABSOLUTE stats sidecar, intent cleanup. Every step is
+    * idempotent (an anti-join over already-clean buckets keeps every
+    * row and passes the gate with nv = 0; the membership minus and the
+    * absolute sidecar write converge), which is what makes the intent
+    * replayable from any crash window.
+    */
+  private def executeRemove(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      target: org.apache.hadoop.fs.Path, fs: org.apache.hadoop.fs.FileSystem,
+      tmpRoot: org.apache.hadoop.fs.Path, oldRoot: org.apache.hadoop.fs.Path,
+      vicIds: DataFrame, affected: Array[Int],
+      newNDocs: Long, newTotalTokens: Long, nBuckets: Int,
+      crashBeforeStatsSidecar: Boolean): Unit = {
     if (affected.nonEmpty) {
       val pruned = spark.read.parquet(target.toString)
         .filter(col("bucket").isin(affected.map(Int.box): _*))
@@ -604,20 +663,78 @@ object Bm25 {
       graft.etl.Compact.swapRewrittenLeaves(
         fs, target, tmpRoot, oldRoot, affected.map(b => s"bucket=$b").toSeq)
     }
-    // membership record rewritten BEFORE the sidecar (see ORDERING):
-    // a retry after a crash between the two sees the empty victims
-    // already gone from the record and decrements nothing — the
-    // double-decrement path the trusted-empty-text contract had is
-    // structurally closed
-    if (emptyMembers.isDefined && !emptyVictims.isEmpty)
-      rewriteEmptyMembersMinus(spark, path, vicIds)
-    // stats sidecar LAST (see ORDERING); a decrement of zero (nothing
-    // was indexed) is a pure no-op — same graceful degradation as the
-    // ANN remove's affected.isEmpty early return
-    if (dec.getLong(0) > 0)
-      writeStatsSidecar(spark, path,
-        org.apache.spark.sql.Row(nDocs - dec.getLong(0), totalTokens - dec.getLong(1)),
-        nBuckets)
+    // membership record rewritten BEFORE the sidecar (see ORDERING);
+    // re-derived here (not threaded in) so a resume replays it too —
+    // minus of already-absent ids is skipped by the emptiness probe
+    readEmptyMembers(spark, path).foreach { members =>
+      if (!members.join(vicIds, "doc_id").isEmpty)
+        rewriteEmptyMembersMinus(spark, path, vicIds)
+    }
+    if (crashBeforeStatsSidecar)
+      throw new IllegalStateException(
+        "injected crash before stats sidecar (test hook)")
+    // stats sidecar LAST (see ORDERING) — ABSOLUTE values from the
+    // intent, so replaying this write converges instead of compounding
+    writeStatsSidecar(spark, path,
+      org.apache.spark.sql.Row(newNDocs, newTotalTokens), nBuckets)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/remove_intent"), true)
+  }
+
+  /** Atomically place the remove intent (`path/remove_intent`):
+    * victim ids + absolute post-remove stats, written to a tmp dir and
+    * renamed into place so the intent either fully exists or not at
+    * all. A pre-existing intent cannot be present here — every
+    * mutating verb resumes it first.
+    */
+  private def writeRemoveIntent(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      fs: org.apache.hadoop.fs.FileSystem, vicIds: DataFrame,
+      newNDocs: Long, newTotalTokens: Long): Unit = {
+    import spark.implicits._
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/remove_intent__tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$path/remove_intent")
+    fs.delete(tmp, true); fs.delete(dst, true)
+    vicIds.write.parquet(s"$tmp/victims")
+    Seq((newNDocs, newTotalTokens)).toDF("n_docs", "total_tokens")
+      .coalesce(1).write.parquet(s"$tmp/stats")
+    require(fs.rename(tmp, dst), s"could not place remove intent at $dst")
+  }
+
+  /** Complete a crashed remove from its write-ahead intent — called by
+    * every MUTATING verb (remove/add/rebuild/compact) before its own
+    * work; queries never resume (reads must not mutate, they serve the
+    * documented overstated-stats window instead). A half-written
+    * `remove_intent__tmp` (crash mid-intent-write) is dropped: nothing
+    * was mutated yet, the caller's retry recomputes from scratch.
+    */
+  private[graft] def resumePendingRemove(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(s"$path/remove_intent")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/remove_intent__tmp"), true)
+    if (!fs.exists(dst)) return
+    val st = spark.read.parquet(s"$dst/stats").head()
+    val vicIds = spark.read.parquet(s"$dst/victims").select("doc_id")
+    val (_, _, nBuckets) = readStatsSidecar(spark, path)
+    val target = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val tmpRoot = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__remove_tmp")
+    val oldRoot = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__remove_old")
+    // a crash MID-SWAP parks buckets at __remove_old — that still
+    // blocks loudly (the Compact rule): the intent cannot replay a
+    // rewrite over a lake missing a bucket's only copy
+    graft.etl.Compact.clearOrRefuseParked(fs, oldRoot, "removal resume")
+    graft.etl.Compact.requireServable(fs, target, action = "resuming removal on")
+    fs.delete(tmpRoot, true)
+    // the crashed remove may have emptied the lake entirely (last
+    // posted docs removed) — a file-less lake has nothing to replay
+    val affected =
+      if (Ann.listDataFiles(fs, target.toString).isEmpty) Array.empty[Int]
+      else spark.read.parquet(target.toString)
+        .select("doc_id", "bucket").join(vicIds, "doc_id")
+        .select("bucket").distinct().collect().map(_.getInt(0)).sorted
+    executeRemove(spark, path, target, fs, tmpRoot, oldRoot, vicIds,
+      affected, st.getLong(0), st.getLong(1), nBuckets,
+      crashBeforeStatsSidecar = false)
   }
 
   /** The `path/empty` membership record, or None for a pre-membership
@@ -732,6 +849,10 @@ object Bm25 {
   def rebuildLexStats(
       spark: org.apache.spark.sql.SparkSession, path: String,
       docs: DataFrame, docId: Column, text: Column): Unit = {
+    // finish a crashed remove first: rebuilding over un-replayed
+    // victim postings would bless the pre-remove state while the
+    // pending intent still promises their removal
+    resumePendingRemove(spark, path)
     val (_, _, nBuckets) = readStatsSidecar(spark, path)
     val toks = docs
       .select(docId.as("doc_id"), analyze(text).as("toks"))
@@ -799,8 +920,10 @@ object Bm25 {
     */
   def compactLexIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      targetBytes: Long = 128L * 1024 * 1024): Seq[(String, graft.etl.Compact.CompactStats)] =
+      targetBytes: Long = 128L * 1024 * 1024): Seq[(String, graft.etl.Compact.CompactStats)] = {
+    resumePendingRemove(spark, path)
     graft.etl.Compact.compactPartitioned(spark, s"$path/postings", targetBytes)
+  }
 
   private def writeStatsSidecar(
       spark: org.apache.spark.sql.SparkSession, path: String,

@@ -481,6 +481,50 @@ class SearchSpec extends SparkSpecBase {
       .as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("remove write-ahead intent: crash before the sidecar, retry converges to the one-remove state") {
+    val ddf = Seq((1L, "alpha beta"), (2L, ""), (3L, "gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("graft_lex_wal").toString + "/ix"
+    graft.operators.Bm25.buildLexIndex(ddf, col("doc_id"), col("text"), p, nBuckets = 4)
+    def stats() = spark.read.parquet(s"$p/stats").select("n_docs", "total_tokens")
+      .head() match { case r => (r.getLong(0), r.getLong(1)) }
+    def hits(term: String) = graft.operators.Bm25.queryLexIndex(
+      spark, p, Seq((0L, term)).toDF("q_id", "qtext"), col("q_id"), col("qtext"), k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(stats() == ((3L, 5L)))
+    // remove a PRESENT victim (3) and an INDEXED-EMPTY victim (2),
+    // crashing in the worst window: postings swapped, membership
+    // rewritten, stats sidecar NOT written
+    val vic = Seq((3L, "gamma delta epsilon"), (2L, "")).toDF("doc_id", "text")
+    intercept[IllegalStateException](graft.operators.Bm25.removeFromLexIndex(
+      spark, p, vic, col("doc_id"), col("text"), crashBeforeStatsSidecar = true))
+    assert(new java.io.File(s"$p/remove_intent").exists, "intent missing after crash")
+    assert(stats() == ((3L, 5L)), "sidecar should be stale in the crash window")
+    assert(hits("gamma").isEmpty, "victim postings survived the pre-crash swap")
+    // retrying the SAME remove resumes the intent first, then finds
+    // nothing left to remove: stats converge to exactly ONE remove
+    graft.operators.Bm25.removeFromLexIndex(
+      spark, p, vic, col("doc_id"), col("text"))
+    assert(stats() == ((1L, 2L)),
+      "retry after crash-before-sidecar did not converge to the one-remove stats")
+    assert(!new java.io.File(s"$p/remove_intent").exists, "intent not cleaned up")
+    assert(hits("alpha") == Set(1L))
+    // a THIRD run is a complete no-op (converged fixed point)
+    graft.operators.Bm25.removeFromLexIndex(
+      spark, p, vic, col("doc_id"), col("text"))
+    assert(stats() == ((1L, 2L)), "converged remove re-decremented")
+    // other mutating verbs also resume a pending intent: crash a
+    // remove of doc 1, then let an ADD complete it before its own work
+    intercept[IllegalStateException](graft.operators.Bm25.removeFromLexIndex(
+      spark, p, Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), crashBeforeStatsSidecar = true))
+    graft.operators.Bm25.addToLexIndex(
+      spark, p, Seq((4L, "zeta eta")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+    assert(stats() == ((1L, 2L)),
+      "add did not resume the pending remove before its own stats refresh")
+    assert(hits("zeta") == Set(4L) && hits("alpha").isEmpty)
+  }
+
   test("indexInventory: lifecycle observability cards from sidecars; rendered through the report") {
     val ddf = Seq((1L, "alpha beta"), (2L, ""), (3L, "gamma")).toDF("doc_id", "text")
     val lexP = java.nio.file.Files.createTempDirectory("graft_inv_lex").toString + "/ix"
