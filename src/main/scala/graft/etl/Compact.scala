@@ -35,6 +35,19 @@ object Compact {
   private[graft] def isHiddenName(n: String): Boolean =
     n.startsWith("_") || n.startsWith(".")
 
+  /** True iff the AnalysisException is one of the two conditions an
+    * ABSENT or zero-data-file parquet path raises — matched on the
+    * stable error condition (SparkThrowable.getCondition), not the
+    * version-dependent message text, so a Spark upgrade cannot
+    * re-wedge callers that legitimately read an empty lake as empty.
+    * Any OTHER analysis failure (corrupt footer, schema drift, foreign
+    * files) stays unmatched and must throw at the call site.
+    */
+  private[graft] def emptyLakeRead(
+      e: org.apache.spark.sql.AnalysisException): Boolean =
+    e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+      e.getCondition == "PATH_NOT_FOUND"
+
   /** Non-metadata data file — single owner for the before/after
     * counts, which must agree on what "a file" is.
     */

@@ -45,9 +45,15 @@ object Zorder {
   private def lane(c: Column, mn: Double, mx: Double, bits: Int): Column =
     if (mx == mn) lit(0L)
     else when(c.isNull || isnan(c.cast("double")), lit(0L)).otherwise(
-      least(greatest(
-        floor(((c.cast("double") - lit(mn)) / lit(mx - mn)) * lit((1 << bits) - 1).cast("double")).cast("long"),
-        lit(0L)), lit(((1L << bits) - 1))))
+      // non-finite VALUES get explicit lanes (the clamp would handle
+      // +Inf/−Inf arithmetic, but (Inf−mn)/(mx−mn) with an infinite mn
+      // or mx is NaN — cast to long that is 0, a silent misplacement):
+      // +Inf above everything, −Inf below, matching their sort order
+      when(c.cast("double") === lit(Double.PositiveInfinity), lit((1L << bits) - 1))
+        .when(c.cast("double") === lit(Double.NegativeInfinity), lit(0L))
+        .otherwise(least(greatest(
+          floor(((c.cast("double") - lit(mn)) / lit(mx - mn)) * lit((1 << bits) - 1).cast("double")).cast("long"),
+          lit(0L)), lit(((1L << bits) - 1)))))
 
   /** Morton interleave of the columns' quantized lanes: output bit
     * `i * n + j` is bit `i` of column `j`'s lane. 2..4 columns —
@@ -81,14 +87,18 @@ object Zorder {
     // but failing after a 100 TB aggregate is a wasted scan)
     require(cols.size >= 2 && cols.size <= 4,
       s"z-order needs 2..4 columns, got ${cols.size}")
-    // min/max over NaN-excluded values: Spark's max treats NaN as the
-    // largest double, so ONE NaN row would otherwise set mx=NaN and
-    // the rescale would send EVERY row of that column to lane 0 —
-    // silently destroying the clustering. (NaN rows themselves land in
-    // lane 0 at encode time, like nulls.)
+    // min/max over FINITE values only: Spark's max treats NaN as the
+    // largest double, so ONE NaN row would otherwise set mx=NaN, and
+    // one ±Inf row would set mx=Inf — either way the rescale sends
+    // EVERY finite row of that column to lane 0, silently destroying
+    // the clustering (content stays correct; only data-skipping is
+    // lost). Non-finite rows themselves get explicit lanes at encode
+    // time: NaN/null → 0, −Inf → 0, +Inf → top lane.
+    def finite(c: Column) =
+      when(!isnan(c) && abs(c) < lit(Double.PositiveInfinity), c)
     val aggs = cols.flatMap(c => Seq(
-      min(when(!isnan(col(c).cast("double")), col(c).cast("double"))).as(s"mn_$c"),
-      max(when(!isnan(col(c).cast("double")), col(c).cast("double"))).as(s"mx_$c")))
+      min(finite(col(c).cast("double"))).as(s"mn_$c"),
+      max(finite(col(c).cast("double"))).as(s"mx_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val mins = cols.indices.map(i => if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i))
     val maxs = cols.indices.map(i => if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1))

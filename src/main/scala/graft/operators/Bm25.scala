@@ -148,14 +148,12 @@ object Bm25 {
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     try spark.read.parquet(s"$path/postings")
     catch {
-      // narrow to the zero-data-file shapes — a DIFFERENT analysis
+      // narrow to the zero-data-file conditions — a DIFFERENT analysis
       // failure (corrupt footer, foreign files) must throw, not read
-      // as an empty index
+      // as an empty index. Matched on the stable error condition, not
+      // message text (single owner: Compact.emptyLakeRead).
       case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
-            e.getMessage.contains("infer schema") ||
-            e.getMessage.contains("PATH_NOT_FOUND") ||
-            e.getMessage.contains("Path does not exist") =>
+          if graft.etl.Compact.emptyLakeRead(e) =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(

@@ -26,6 +26,13 @@ object Sampling {
   /** Per-stratum keep rates with a default; rates are exact to 1/M
     * (1e-6). The row is kept iff
     * `h60(salt:id) mod M < floor(rate(stratum)·M)`.
+    *
+    * Rate-map keys match against `stratum.cast("string")` — ONE
+    * canonical representation shared with [[temperatureMix]]'s
+    * grouping, so a non-string stratum column (decimal, timestamp,
+    * double) cannot silently fall through to the default rate because
+    * a `===`-with-string implicit cast disagreed with the map key's
+    * toString.
     */
   def stratifiedSample(
       df: DataFrame,
@@ -36,8 +43,9 @@ object Sampling {
       salt: String): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
       "sampling rates must be in [0, 1]")
+    val sNorm = stratum.cast("string")
     val threshold = rates.foldLeft(lit((defaultRate * Modulus).toLong)) {
-      case (acc, (k, r)) => when(stratum === lit(k), lit((r * Modulus).toLong)).otherwise(acc)
+      case (acc, (k, r)) => when(sNorm === lit(k), lit((r * Modulus).toLong)).otherwise(acc)
     }
     df.filter(sampleKey(id, salt) < threshold)
   }
@@ -82,8 +90,12 @@ object Sampling {
       targetDocs: Long, alpha: Double = 0.5, salt: String): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     require(targetDocs >= 0, s"targetDocs must be >= 0, got $targetDocs")
-    val counts = df.groupBy(stratum.as("__s")).count()
-      .collect().map(r => (Option(r.get(0)).map(_.toString), r.getLong(1)))
+    // group on the SAME cast("string") canonicalization the rate map
+    // is matched with — the grouped value IS the Spark cast result, so
+    // map keys and filter predicate agree by construction for any
+    // stratum type
+    val counts = df.groupBy(stratum.cast("string").as("__s")).count()
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
       // strict fold order: stratum key ascending, null LAST (DuckDB's
       // LIST(... ORDER BY) default, so the oracle folds identically)
       .sortBy { case (k, _) => (k.isEmpty, k.getOrElse("")) }

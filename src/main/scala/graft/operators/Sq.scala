@@ -118,11 +118,14 @@ object Sq {
     * depends on them never diverging. Returns the scoreable base
     * (`b`), its encoded form (`enc`), and the fitted dimension.
     *
-    * Gates, in order: (1) NaN elements are excluded BEFORE the stats
-    * fit — one NaN in one vector would poison that dimension's
-    * min/max (Spark's NaN orders above every numeric AND passes
-    * `b_nrm > 0`), turning every reconstruction NaN and silently
-    * collapsing every shortlist to the lowest-id docs; (2) zero-norm
+    * Gates, in order: (1) non-FINITE elements (NaN and ±Inf) are
+    * excluded BEFORE the stats fit — one NaN in one vector would
+    * poison that dimension's min/max (Spark's NaN orders above every
+    * numeric AND passes `b_nrm > 0`), and one ±Inf makes that
+    * dimension's fitted max infinite, so decodeExpr computes
+    * mn + 0·Inf = NaN for EVERY row's reconstruction in that
+    * dimension — either way silently collapsing every shortlist to
+    * the lowest-id docs; (2) zero-norm
     * rows (cosine undefined); (3) the fixed dimension — the SMALLEST
     * vector length present, a deterministic choice under any
     * partitioning (`head(1)` on an unordered frame is not); mixed-dim
@@ -133,7 +136,8 @@ object Sq {
       base: DataFrame, baseId: Column, baseVec: Column): (DataFrame, DataFrame, Int) = {
     val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
       .filter(col("b_emb").isNotNull &&
-        forall(col("b_emb"), x => x.isNotNull && !isnan(x)))
+        forall(col("b_emb"), x =>
+          x.isNotNull && !isnan(x) && abs(x) < lit(Float.PositiveInfinity)))
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
       .filter(col("b_nrm") > 0)
     val dRow = b0.select(min(size(col("b_emb"))).as("d")).head()

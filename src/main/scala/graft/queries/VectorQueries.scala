@@ -555,12 +555,15 @@ object VectorQueries {
     val adcSim = s"${duckDot("recon", "q_emb")} / (r_nrm * ${duckNorm("q_emb")})"
     val sim = s"${duckDot("b_emb", "q_emb")} / (${duckNorm("b_emb")} * ${duckNorm("q_emb")})"
     s"""WITH b AS (
-       |  -- the engine gates NaN/null ELEMENTS out before the stats fit
-       |  -- (one NaN would poison a dimension's min/max); the clause is
-       |  -- a no-op on this data but mirrors the filter order
+       |  -- the engine gates non-FINITE (NaN/±Inf) and null ELEMENTS
+       |  -- out before the stats fit (one NaN poisons a dimension's
+       |  -- min/max; one Inf makes its fitted max infinite and every
+       |  -- reconstruction NaN); the clause is a no-op on this data
+       |  -- but mirrors the filter order
        |  SELECT vec_id AS b_id, embedding AS b_emb FROM embeddings
        |  WHERE vec_id >= 10
-       |    AND len(list_filter(embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) = 0
+       |    AND len(list_filter(embedding, x -> x IS NULL
+       |          OR isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) = 0
        |    AND ${duckNorm("embedding")} > 0 AND len(embedding) = $dim
        |), q AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings

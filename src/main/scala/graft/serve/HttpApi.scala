@@ -483,6 +483,13 @@ final class HttpApi(
         val lam = params.get("lambda").flatMap(_.toDoubleOption).getOrElse(0.7)
         (math.min(math.max(m, 1), k), math.min(math.max(lam, 0.0), 1.0))
       }
+    // supplying ?diversify= to a kind that cannot honor it is a 400,
+    // not a silent ignore: results that LOOK diversified but aren't
+    // contradict the fail-loud contract the rest of the API keeps
+    if (diversify.isDefined && kind != "ann")
+      return (400, JObject("error" -> JString(
+        s"diversify is only supported on /search/ann (got kind=$kind); " +
+          "run the ANN leg diversified and fuse client-side")))
     def needLex = lexIndexPath.toRight("no lexical index configured")
     def needAnn = annIndexPath.toRight("no ann index configured")
 

@@ -268,15 +268,14 @@ object Streams {
         val ledger =
           try Some(spark.read.parquet(ledgerPath).select(col("fp").as("__fp")))
           catch {
-            // ONLY the two shapes an uncommitted/absent ledger takes —
-            // any other analysis failure (fp column renamed, foreign
-            // files, corrupt footers) must THROW, not silently discard
-            // the whole dedup history and mass-re-emit
+            // ONLY the two conditions an uncommitted/absent ledger
+            // raises — any other analysis failure (fp column renamed,
+            // foreign files, corrupt footers) must THROW, not silently
+            // discard the whole dedup history and mass-re-emit.
+            // Matched on the stable error condition, not message text
+            // (single owner: Compact.emptyLakeRead).
             case e: org.apache.spark.sql.AnalysisException
-                if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
-                  e.getMessage.contains("infer schema") ||
-                  e.getMessage.contains("PATH_NOT_FOUND") ||
-                  e.getMessage.contains("Path does not exist") =>
+                if graft.etl.Compact.emptyLakeRead(e) =>
               None
           }
         val fresh0 = ledger match {

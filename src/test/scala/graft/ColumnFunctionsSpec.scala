@@ -798,6 +798,27 @@ class ColumnFunctionsSpec extends SparkSpecBase {
       .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap == by)
   }
 
+  test("Sampling: non-string strata route through one canonical representation, not the default rate") {
+    import graft.operators.Sampling
+    // integer stratum column: the rate map is keyed by the Spark
+    // cast("string") form, so per-stratum rates must ACTUALLY apply —
+    // the old ===-with-string comparison could silently send every
+    // non-string stratum to the default rate
+    val df = spark.range(20000).select(
+      col("id"), pmod(col("id"), lit(2)).as("stratum")) // bigint strata 0/1
+    val kept = Sampling.stratifiedSample(
+      df, col("stratum"), col("id"), Map("0" -> 0.1, "1" -> 0.9),
+      defaultRate = 0.5, salt = "ns1")
+    val by = kept.groupBy("stratum").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(math.abs(by(0L) - 1000.0) < 250, s"stratum 0 kept ${by(0L)} (default rate leaked?)")
+    assert(math.abs(by(1L) - 9000.0) < 250, s"stratum 1 kept ${by(1L)} (default rate leaked?)")
+    // temperatureMix over the same non-string strata: rates derive from
+    // observed counts keyed the same way — totals must hit T, not 0.5·N
+    val mixed = Sampling.temperatureMix(df, col("stratum"), col("id"), 5000L, 0.5, "ns2")
+    assert(math.abs(mixed.count() - 5000.0) < 300, s"temperatureMix kept ${mixed.count()}")
+  }
+
   test("contaminationPairs: known shared n-grams found; broadcast off agrees") {
     import graft.operators.Dedup
     val evalSet = Seq(

@@ -391,6 +391,16 @@ class ServeSpec extends SparkSpecBase {
       val (vc, _) = get(client, port, "/search/ann?vec=not,floats")
       assert(vc == 400)
 
+      // ?diversify= on a non-ann kind is a LOUD 400, not a silent
+      // ignore — undiversified results that look diversified would
+      // contradict the fail-loud contract
+      for (kind <- Seq("lexical?q=quick%20fox", "phrase?q=quick%20fox",
+          "hybrid?q=quick%20fox&vec=1,0,0,0")) {
+        val (dc, dj) = get(client, port, s"/search/$kind&k=3&diversify=2")
+        assert(dc == 400, s"diversify on $kind answered $dc, not 400")
+        assert((dj \ "error").asInstanceOf[JString].s.contains("only supported on /search/ann"))
+      }
+
       // bounded sidecar observability: 6 docs indexed in both lakes
       val (ic, ij) = get(client, port, "/index/stats")
       assert(ic == 200)

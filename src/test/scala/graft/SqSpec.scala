@@ -66,6 +66,30 @@ class SqSpec extends SparkSpecBase {
     assert(c(0) != null && c(1) == null)
   }
 
+  test("a ±Inf element is gated out before the fit: stats not poisoned, results unaffected") {
+    // one +Inf element would make that dimension's fitted max infinite,
+    // so every reconstruction computes mn + 0*Inf = NaN in that dim —
+    // the gate must drop the vector BEFORE the stats aggregate
+    val rnd = new scala.util.Random(11)
+    val clean = (0 until 60).map(i =>
+      (100L + i, Array.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
+    val dirty = clean :+ (999L,
+      Array(1.0f, Float.PositiveInfinity, 0.5f, 0f, 0f, 0f, 0f, 0f))
+    val qs = (0 until 3).map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextFloat() - 0.5f) * 2))).toDF("vec_id", "embedding")
+    val onClean = Sq.knnSq8(
+      clean.toDF("vec_id", "embedding"), col("vec_id"), col("embedding"),
+      qs, col("vec_id"), col("embedding"), k = 5, shortlist = 20)
+      .select("q_id", "b_id", "rank", "sim").collect().toSeq
+    val onDirty = Sq.knnSq8(
+      dirty.toDF("vec_id", "embedding"), col("vec_id"), col("embedding"),
+      qs, col("vec_id"), col("embedding"), k = 5, shortlist = 20)
+      .select("q_id", "b_id", "rank", "sim").collect().toSeq
+    assert(onDirty.toSet == onClean.toSet,
+      "an Inf vector changed results for the finite corpus (poisoned fit)")
+    assert(!onDirty.exists(_.getLong(1) == 999L), "the Inf vector was served")
+  }
+
   test("knnSq8 on clustered vectors: exact top-k survives quantization") {
     // 5 well-separated clusters; queries sit near cluster centers, so
     // the true neighbor sets are unambiguous and SQ8's ~1/255-range

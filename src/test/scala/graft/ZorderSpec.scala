@@ -96,4 +96,34 @@ class ZorderSpec extends SparkSpecBase {
     Zorder.writeClustered(dfn, dir2, Seq("maybe", "x"), 2)
     assert(spark.read.parquet(dir2).count() === 3)
   }
+
+  test("a ±Inf row does not poison the stats: finite rows keep distinct lanes") {
+    import spark.implicits._
+    // one +Inf row used to set mx=Inf, sending every FINITE row of the
+    // column to lane 0 and silently destroying its clustering; with
+    // finite-only stats the z-keys of the finite rows are unchanged
+    val finiteRows = (0 until 64).map(i => (i.toLong, i.toDouble, (63 - i).toDouble))
+    val clean = finiteRows.toDF("id", "a", "b")
+    val dirty = (finiteRows :+ ((999L, Double.PositiveInfinity, 1.0)) :+
+      ((998L, Double.NegativeInfinity, 2.0))).toDF("id", "a", "b")
+    def zkeys(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val aggs = Seq("a", "b").flatMap(c => Seq(
+        min(when(!isnan(col(c)) && abs(col(c)) < lit(Double.PositiveInfinity), col(c))).as(s"mn_$c"),
+        max(when(!isnan(col(c)) && abs(col(c)) < lit(Double.PositiveInfinity), col(c))).as(s"mx_$c")))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      df.select(col("id"), Zorder.zvalue(Seq(col("a"), col("b")),
+        Seq(r.getDouble(0), r.getDouble(2)), Seq(r.getDouble(1), r.getDouble(3))).as("z"))
+        .as[(Long, Long)].collect().toMap
+    }
+    val zClean = zkeys(clean)
+    val zDirty = zkeys(dirty)
+    for ((id, z) <- zClean)
+      assert(zDirty(id) == z, s"finite row $id moved lanes because of an Inf row")
+    assert(zClean.values.toSet.size > 32, "finite rows collapsed into few lanes")
+    // ±Inf rows survive the write and sort to their range's ends
+    assert(zDirty(999L) > zDirty(998L), "+Inf should lane above −Inf")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_inf").toString
+    Zorder.writeClustered(dirty.toDF(), dir, Seq("a", "b"), 2)
+    assert(spark.read.parquet(dir).count() === 66)
+  }
 }
