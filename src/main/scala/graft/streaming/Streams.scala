@@ -213,9 +213,12 @@ object Streams {
     * ever emitted), (3) hands genuinely-new rows to `emit`, and (4)
     * appends their fingerprints to the ledger — so a document seen
     * LAST MONTH still suppresses today's copy, the cross-day dedup a
-    * training pipeline actually needs. Ledger cost ∝ one 32-char
-    * column of distinct content, read per batch (same posture as
-    * [[indexIngest]]'s id surface).
+    * training pipeline actually needs. The ledger is bucketed by
+    * fingerprint prefix ([[ledgerScan]]), so a batch reads only the
+    * bucket dirs its own fingerprints touch — per-batch ledger IO is
+    * proportional to the BATCH's fingerprint spread, not to all of
+    * history (the O(corpus)-per-batch read was the one genuine 100 TB
+    * soft spot in this gate).
     *
     * Delivery: emit-THEN-append, so recovery is AT-LEAST-ONCE on the
     * emit side (a crash between the two replays the batch and re-emits
@@ -259,25 +262,19 @@ object Streams {
         val dedupable = withFp.filter(col("__fp").isNotNull && col(idCol).isNotNull)
         val firsts = dedupable.groupBy("__fp").agg(min(col(idCol)).as(idCol))
         val inBatch = dedupable.join(firsts, Seq("__fp", idCol), "left_semi")
-        // a crash during a previous append can leave the ledger path
-        // existing with ZERO committed files (only _temporary residue)
-        // — spark.read would throw schema-inference forever and wedge
-        // the stream; an uncommitted ledger IS empty, so read it as
-        // such. Half-written data files cannot surface this way
-        // (uncommitted files stay under _temporary).
-        val ledger =
-          try Some(spark.read.parquet(ledgerPath).select(col("fp").as("__fp")))
-          catch {
-            // ONLY the two conditions an uncommitted/absent ledger
-            // raises — any other analysis failure (fp column renamed,
-            // foreign files, corrupt footers) must THROW, not silently
-            // discard the whole dedup history and mass-re-emit.
-            // Matched on the stable error condition, not message text
-            // (single owner: Compact.emptyLakeRead).
-            case e: org.apache.spark.sql.AnalysisException
-                if graft.etl.Compact.emptyLakeRead(e) =>
-              None
-          }
+        // the ledger is BUCKETED by fingerprint prefix (bucket =
+        // first two hex chars, 256 fixed buckets — derived from the
+        // fp itself, so the layout can never drift on a config
+        // change): each batch reads ONLY the bucket dirs its own
+        // fingerprints touch, so per-batch ledger IO is
+        // |touched buckets|/256 of history instead of ALL of it —
+        // the difference between O(batch) and O(corpus) reads per
+        // batch at 100 TB. The touched-prefix list is bounded
+        // driver-side (≤ min(batch distinct fps, 256) — the same
+        // boundedness contract as the lex query's bucket list).
+        val touched = dedupable.select(substring(col("__fp"), 1, 2).as("b"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        val ledger = ledgerScan(spark, ledgerPath, touched)
         val fresh0 = ledger match {
           case Some(l) => inBatch.join(l, Seq("__fp"), "left_anti")
           case None => inBatch
@@ -291,10 +288,102 @@ object Streams {
           if (!emitted.isEmpty) emit(emitted)
           if (!fresh.isEmpty)
             fresh.select(col("__fp").as("fp"))
-              .write.mode("append").parquet(ledgerPath)
+              .withColumn("bucket", substring(col("fp"), 1, 2))
+              .write.partitionBy("bucket").mode("append").parquet(ledgerPath)
         } finally fresh.unpersist()
       }
       .start()
+
+  /** The dedup ledger's pruned read: only the `bucket=<prefix>` dirs
+    * in `touched` that EXIST are opened (explicit-subdir read — the
+    * pruning is structural, not an optimizer promise), so batch cost
+    * scales with the batch's fingerprint spread, never with ledger
+    * history. Returns None when nothing relevant is on disk (absent
+    * ledger, uncommitted `_temporary` residue from a crashed append,
+    * or no touched bucket materialized yet — all legitimately "no
+    * prior fingerprints").
+    *
+    * LEGACY interop: a pre-bucketing ledger has its fp files directly
+    * at the root. Those flat files can hold ANY prefix, so they are
+    * always read (exactly the old full-scan behavior — their cost is
+    * frozen at migration-time size since appends are always bucketed);
+    * bucketed dirs still prune. [[bucketLedger]] migrates a legacy
+    * ledger to fully-bucketed in one rewrite and restores pure
+    * touched-bucket reads.
+    */
+  private[graft] def ledgerScan(
+      spark: org.apache.spark.sql.SparkSession, ledgerPath: String,
+      touched: Seq[String]): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val legacyFiles = fs.listStatus(root).filter(s =>
+      s.isFile && !graft.etl.Compact.isHiddenName(s.getPath.getName))
+    val bucketDirs = touched.map(b => s"$ledgerPath/bucket=$b")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    // two reads, not one: mixing root-level files and bucket= dirs in
+    // a single basePath read would make partition inference conflict
+    def tryRead(mk: => DataFrame): Option[DataFrame] =
+      try Some(mk)
+      catch {
+        // ONLY the zero-committed-file conditions a crashed append
+        // leaves behind (bucket dir with `_temporary` residue only) —
+        // any other analysis failure (fp column renamed, corrupt
+        // footers) must THROW, not silently discard the dedup history
+        // and mass-re-emit. Matched on the stable error condition
+        // (single owner: Compact.emptyLakeRead).
+        case e: org.apache.spark.sql.AnalysisException
+            if graft.etl.Compact.emptyLakeRead(e) =>
+          None
+      }
+    val legacy =
+      if (legacyFiles.isEmpty) None
+      else tryRead(spark.read.parquet(legacyFiles.map(_.getPath.toString).toSeq: _*)
+        .select(col("fp").as("__fp")))
+    val bucketed =
+      if (bucketDirs.isEmpty) None
+      else tryRead(spark.read.option("basePath", ledgerPath).parquet(bucketDirs: _*)
+        .select(col("fp").as("__fp")))
+    (legacy, bucketed) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+  }
+
+  /** Migrate a legacy FLAT dedup ledger (pre-bucketing: fp files at
+    * the root) to the bucketed layout in one rewrite — park-and-swap
+    * via a tmp dir so a crash leaves either the old or the new layout,
+    * never a half-migrated one. A no-op when no flat files exist. Run
+    * while the stream is STOPPED (the ledger has a single writer — the
+    * gate itself).
+    */
+  def bucketLedger(
+      spark: org.apache.spark.sql.SparkSession, ledgerPath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val flat = fs.listStatus(root).filter(s =>
+      s.isFile && !graft.etl.Compact.isHiddenName(s.getPath.getName))
+    if (flat.isEmpty) return
+    val tmp = new org.apache.hadoop.fs.Path(ledgerPath + "__bucket_tmp")
+    val old = new org.apache.hadoop.fs.Path(ledgerPath + "__bucket_old")
+    graft.etl.Compact.clearOrRefuseParked(fs, old, "ledger migration")
+    fs.delete(tmp, true)
+    // a MIXED lake (flat files + bucket= dirs from post-migration-era
+    // appends) defeats a naive root read — Spark's partition discovery
+    // sees the root files and ignores the partition dirs. ledgerScan
+    // already owns the two-layout read; feed it every present bucket.
+    val present = fs.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map(_.getPath.getName.stripPrefix("bucket=")).toSeq
+    val all = ledgerScan(spark, ledgerPath, present)
+      .getOrElse(sys.error(s"$ledgerPath has flat files but none are readable"))
+    all.select(col("__fp").as("fp")).distinct()
+      .withColumn("bucket", substring(col("fp"), 1, 2))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(tmp.toString)
+    graft.etl.Compact.swapInto(fs, tmp, root, old)
+  }
 
   /** Batch form of "keep the last N" retention (ST2/T5) — a global
     * total-order last-N is inherently a batch/sink-side concept, the

@@ -281,6 +281,84 @@ class StreamingSpec extends SparkSpecBase {
     assert(fps.length === fps.distinct.length && fps.length === 3)
   }
 
+  test("dedupGate ledger is bucketed: a batch reads only its touched bucket dirs") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("graft_dedupgate_bkt").toString
+    val ledger = s"$work/ledger"
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.dedupGate(
+      in.toDF().toDF("id", "text"), s"$work/ckpt", ledger, "id", "text",
+      batch => emitted.synchronized { emitted ++= batch.collect().map(_.getLong(0)) })
+    try {
+      // 40 distinct texts spread fingerprints over many prefix buckets
+      in.addData((0 until 40).map(i => (i.toLong, s"document number $i")): _*)
+      q.processAllAvailable()
+      // cross-batch dedup still works over the bucketed layout
+      in.addData((100L, "document number 7"), (101L, "brand new text"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(emitted.toSet == (0 until 40).map(_.toLong).toSet + 101L,
+      "bucketed ledger changed dedup semantics")
+    // layout: every committed file lives under a bucket=<2-hex> dir
+    val buckets = new java.io.File(ledger).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).map(_.getName)
+    assert(buckets.length > 5, s"expected many prefix buckets, got ${buckets.toSeq}")
+    // THE scale assertion: a batch touching one fingerprint reads only
+    // that fingerprint's bucket dir, not the 40-doc history
+    val fp = spark.sql("SELECT 1").select(
+      graft.functions.Text.fingerprint(org.apache.spark.sql.functions.lit("document number 7")))
+      .head.getString(0)
+    val touched = Seq(fp.substring(0, 2))
+    val scan = Streams.ledgerScan(spark, ledger, touched).get
+    val files = scan.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(s"bucket=${touched.head}")),
+      s"pruned scan read outside its bucket: ${files.toSeq}")
+    val allFiles = Streams.ledgerScan(spark, ledger, buckets.map(_.stripPrefix("bucket=")).toSeq)
+      .get.inputFiles
+    assert(files.length < allFiles.length,
+      "touched-bucket scan read as many files as the full ledger")
+    // an untouched (non-existent) bucket reads as no-history
+    assert(Streams.ledgerScan(spark, ledger, Seq("zz")).isEmpty)
+  }
+
+  test("dedupGate legacy flat ledger: still honored, bucketLedger migrates it") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("graft_dedupgate_leg").toString
+    val ledger = s"$work/ledger"
+    // fabricate a PRE-BUCKETING ledger: flat fp files at the root
+    val oldFps = Seq("old text one", "old text two").toDF("t")
+      .select(graft.functions.Text.fingerprint(col("t")).as("fp"))
+    oldFps.coalesce(1).write.parquet(ledger)
+    assert(new java.io.File(ledger).listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")), "fixture should be flat")
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.dedupGate(
+      in.toDF().toDF("id", "text"), s"$work/ckpt", ledger, "id", "text",
+      batch => emitted.synchronized { emitted ++= batch.collect().map(_.getLong(0)) })
+    try {
+      // a legacy fingerprint suppresses; a new one emits and appends
+      // BUCKETED (mixed lake)
+      in.addData((1L, "old text one"), (2L, "fresh text"))
+      q.processAllAvailable()
+      // the mixed lake still suppresses both generations
+      in.addData((3L, "old text two"), (4L, "fresh text"), (5L, "newest"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(emitted.toSeq.sorted == Seq(2L, 5L), s"mixed-lake dedup broke: $emitted")
+    // migrate: all-flat → all-bucketed, same fingerprint set
+    Streams.bucketLedger(spark, ledger)
+    val post = new java.io.File(ledger).listFiles()
+    assert(!post.exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "flat files survived migration")
+    // 4 fingerprints spread over SOME prefix dirs (collisions on
+    // 2-hex prefixes are chance; the invariant is bucketed-not-flat)
+    assert(post.count(f => f.isDirectory && f.getName.startsWith("bucket=")) >= 2)
+    val fps = spark.read.parquet(ledger).select("fp").as[String].collect().toSet
+    assert(fps.size == 4, s"migration lost/duplicated fingerprints: $fps")
+  }
+
   test("dedupGate: null-id rows pass through instead of silently vanishing") {
     implicit val sqlCtx = spark.sqlContext
     val work = java.nio.file.Files.createTempDirectory("graft_dedupgate_nid").toString
