@@ -57,22 +57,22 @@ object RecallBoard {
     val paths: Seq[(String, DataFrame)] = Seq(
       "v03_knn_lsh" -> Ann.knnLsh(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, bits = 4, tables = 4, multiprobe = true),
+        k, bits = 4, tables = 6, multiprobe = true, probeRadius = 2),
       "v05_knn_ivf" -> Ann.knnIvf(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, nlist = 8, nprobe = 6),
+        k, nlist = 8, nprobe = 7),
       "v09_knn_pq" -> Pq.knnPq(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, m = 8, kSub = 24, shortlist = 100, maxFit = 20000L),
+        k, m = 8, kSub = 32, shortlist = 150, maxFit = 20000L),
       "v10_knn_ivfpq" -> Pq.knnIvfPq(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, nlist = 8, nprobe = 6, m = 8, kSub = 32, shortlist = 150, maxFit = 20000L),
+        k, nlist = 8, nprobe = 7, m = 8, kSub = 32, shortlist = 150, maxFit = 20000L),
       "v15_knn_sq8" -> graft.operators.Sq.knnSq8(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
         k, shortlist = 20),
       "v16_knn_ivfsq8" -> graft.operators.Sq.knnIvfSq8(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, nlist = 8, nprobe = 6, shortlist = 50))
+        k, nlist = 8, nprobe = 7, shortlist = 50))
     paths.map { case (name, df) => name -> recallAtK(exact, df, k) }.toMap
   }
 

@@ -35,23 +35,36 @@ object RecallSweep {
 
     for {
       bits <- Seq(4, 5)
-      tables <- Seq(3, 4, 6)
-      mp <- Seq(false, true)
-    } timeRecall(s"lsh bits=$bits tables=$tables multiprobe=$mp",
+      tables <- Seq(4, 6)
+      radius <- Seq(1, 2)
+    } timeRecall(s"lsh bits=$bits tables=$tables radius=$radius",
       Ann.knnLsh(base, col("vec_id"), col("embedding"),
-        qs, col("vec_id"), col("embedding"), k, bits, tables, mp))
+        qs, col("vec_id"), col("embedding"), k, bits, tables,
+        multiprobe = true, probeRadius = radius))
 
-    for (nprobe <- Seq(4, 5, 6))
+    for (nprobe <- Seq(6, 7))
       timeRecall(s"ivf nlist=8 nprobe=$nprobe",
         Ann.knnIvf(base, col("vec_id"), col("embedding"),
           qs, col("vec_id"), col("embedding"), k, nlist = 8, nprobe = nprobe))
 
-    for { nprobe <- Seq(5, 6); shortlist <- Seq(100, 150) }
+    for { kSub <- Seq(24, 32); shortlist <- Seq(100, 150, 200) }
+      timeRecall(s"pq m=8 kSub=$kSub shortlist=$shortlist",
+        Pq.knnPq(base, col("vec_id"), col("embedding"),
+          qs, col("vec_id"), col("embedding"), k,
+          m = 8, kSub = kSub, shortlist = shortlist, maxFit = 20000L))
+
+    for { nprobe <- Seq(6, 7); shortlist <- Seq(150, 200) }
       timeRecall(s"ivfpq nlist=8 nprobe=$nprobe m=8 kSub=32 shortlist=$shortlist",
         Pq.knnIvfPq(base, col("vec_id"), col("embedding"),
           qs, col("vec_id"), col("embedding"), k,
           nlist = 8, nprobe = nprobe, m = 8, kSub = 32,
           shortlist = shortlist, maxFit = 20000L))
+
+    for { nprobe <- Seq(6, 7); shortlist <- Seq(50, 100) }
+      timeRecall(s"ivfsq8 nlist=8 nprobe=$nprobe shortlist=$shortlist",
+        graft.operators.Sq.knnIvfSq8(base, col("vec_id"), col("embedding"),
+          qs, col("vec_id"), col("embedding"), k,
+          nlist = 8, nprobe = nprobe, shortlist = shortlist))
 
     spark.stop()
   }

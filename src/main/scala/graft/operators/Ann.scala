@@ -850,22 +850,26 @@ object Ann {
     * multi-table LSH recall knob — candidate volume scales ∝ tables,
     * each table still an equi-join), and with `multiprobe`.
     *
-    * `multiprobe` additionally probes every Hamming-1 neighbor of the
-    * query's bucket in each table (bucket ⊕ 2^j for each plane j) —
-    * a near-miss on a single hyperplane no longer loses the
-    * candidate. The expansion is QUERY-side only: the base keeps
-    * exactly `tables` bucket entries per row, so at scale the
-    * shuffled/broadcast index footprint is unchanged and only the tiny
-    * query side fans out ×(bits+1). That makes multiprobe the cheap
-    * recall knob (more tables grow the base-side footprint linearly;
-    * probing grows nothing but the probe list).
+    * `multiprobe` additionally probes every Hamming-neighbor of the
+    * query's bucket within `probeRadius` bit flips in each table
+    * (radius 1: bucket ⊕ 2^j per plane — a near-miss on a single
+    * hyperplane no longer loses the candidate; radius 2 adds every
+    * two-plane flip, the standard multi-probe LSH ladder). The
+    * expansion is QUERY-side only: the base keeps exactly `tables`
+    * bucket entries per row, so at scale the shuffled/broadcast index
+    * footprint is unchanged and only the tiny query side fans out
+    * ×(1 + bits + C(bits,2)) at radius 2. That makes multiprobe the
+    * cheap recall knob (more tables grow the base-side footprint
+    * linearly; probing grows nothing but the probe list).
     */
   def knnLsh(
       base: DataFrame, baseId: Column, baseVec: Column,
       queries: DataFrame, qId: Column, qVec: Column,
       k: Int, bits: Int = 8, tables: Int = 1,
-      multiprobe: Boolean = false): DataFrame = {
+      multiprobe: Boolean = false, probeRadius: Int = 1): DataFrame = {
     require(tables >= 1, "tables must be >= 1")
+    require(probeRadius >= 1 && probeRadius <= 2,
+      s"probeRadius must be 1 or 2, got $probeRadius")
     val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
       .filter(col("b_nrm") > 0) // zero-norm: see knnBruteForce
@@ -879,15 +883,23 @@ object Ann {
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), Vectors.signLsh(col(vec), bits, t).as("bucket"))): _*)))
     // query-side probe expansion: the exact bucket plus (multiprobe)
-    // each 1-bit flip. Within one table the probe buckets are pairwise
-    // distinct, so no within-table duplicate candidates arise
+    // every ≤ probeRadius-bit flip. The masks are pairwise distinct,
+    // so within one table no duplicate candidates arise
     val qBucketed0 = bucketed(q0, "q_emb")
+    val probeMasks: Seq[Long] = {
+      val singles = (0 until bits).map(j => 1L << j)
+      val pairs =
+        if (probeRadius < 2) Seq.empty
+        else for { i <- 0 until bits; j <- (i + 1) until bits }
+          yield (1L << i) | (1L << j)
+      0L +: (singles ++ pairs)
+    }
     val qBucketed =
       if (!multiprobe) qBucketed0
       else qBucketed0.withColumn("tb", explode(array(
-        (lit(0L) +: (0 until bits).map(j => lit(1L << j))).map(m =>
+        probeMasks.map(m =>
           struct(col("tb.t").as("t"),
-            col("tb.bucket").bitwiseXOR(m).as("bucket"))): _*)))
+            col("tb.bucket").bitwiseXOR(lit(m)).as("bucket"))): _*)))
     val scored0 = bucketed(b0, "b_emb").join(
         broadcast(qBucketed.select(col("tb"), col("q_id"), col("q_emb"), col("q_nrm"))),
         "tb")

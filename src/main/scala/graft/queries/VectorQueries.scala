@@ -64,21 +64,23 @@ object VectorQueries {
        |  CAST(SUM(CAST(ROUND(${duckNorm("embedding")} * 1000000) AS BIGINT)) AS BIGINT) AS sum_norm_micro
        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
-  /** Sign-LSH approximate KNN, four hash tables with Hamming-1
-    * multiprobe (recall@5 0.92 vs 0.74 for the round-7 six-table
-    * no-probe config, at lower base-side footprint — see RecallSweep).
-    * The bucketing is pure integer/double arithmetic (sign_lsh —
-    * deterministic hyperplanes from an (i, j) bit mix) and scoring is
-    * the strict-fold cosine, so the DuckDB oracle replays the whole
-    * pipeline bit-for-bit, probe expansion included; recall dominance
-    * vs brute force is additionally measured in ScalaTest.
+  /** Sign-LSH approximate KNN, six hash tables with Hamming-2
+    * multiprobe (recall@5 1.00 vs 0.92 for the round-8 radius-1
+    * config — see RecallSweep; the probe ladder expands only the tiny
+    * broadcast query side, so the base index footprint rides `tables`
+    * alone). The bucketing is pure integer/double arithmetic
+    * (sign_lsh — deterministic hyperplanes from an (i, j) bit mix)
+    * and scoring is the strict-fold cosine, so the DuckDB oracle
+    * replays the whole pipeline bit-for-bit, probe expansion
+    * included; recall dominance vs brute force is additionally
+    * measured in ScalaTest.
     */
   def v03KnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     Ann.knnLsh(
       e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
       e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
-      k = 5, bits = 4, tables = 4, multiprobe = true)
+      k = 5, bits = 4, tables = 6, multiprobe = true, probeRadius = 2)
       .orderBy("q_id", "rank")
   }
 
@@ -101,14 +103,17 @@ object VectorQueries {
 
   val v03Oracle: String = {
     val bits = 4
-    val tables = 4
+    val tables = 6
     val k = 5
     def bucketed(arr: String) = (0 until tables).map(t =>
       s"STRUCT_PACK(t := $t, bucket := ${duckLshBucket(arr, t, bits)})").mkString(", ")
-    // Hamming-1 multiprobe replay: each query bucket expands to itself
-    // plus every 1-bit flip (bucket XOR 2^j), exactly Ann.knnLsh's
-    // query-side probe list
-    val probeMasks = (0L +: (0 until bits).map(j => 1L << j)).mkString(", ")
+    // Hamming-2 multiprobe replay: each query bucket expands to itself
+    // plus every 1-bit and 2-bit flip — exactly Ann.knnLsh's
+    // query-side probe list at probeRadius = 2
+    val probeMasks = (0L +:
+      ((0 until bits).map(j => 1L << j) ++
+        (for { i <- 0 until bits; j <- (i + 1) until bits }
+          yield (1L << i) | (1L << j)))).mkString(", ")
     val sim = s"${duckDot("b_emb", "q_emb")} / (${duckNorm("b_emb")} * ${duckNorm("q_emb")})"
     s"""WITH b AS (
        |  SELECT vec_id AS b_id, embedding AS b_emb FROM embeddings
@@ -229,7 +234,7 @@ object VectorQueries {
     Ann.knnIvf(
       e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
       e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
-      k = 5, nlist = 8, nprobe = 6)
+      k = 5, nlist = 8, nprobe = 7)
       .orderBy("q_id", "rank")
   }
 
@@ -364,17 +369,19 @@ object VectorQueries {
     * every reported sim is a true cosine and the same self-verifying
     * oracle contract applies (candidate selection stays engine-side,
     * like v05's cells; recall vs brute force is ScalaTest-measured).
-    * kSub=24 (with a 20k fit-sample cap) because the
-    * oracle-scale corpus is 490 vectors and the on-the-fly form
-    * re-encodes the base per call — the 100 TB setting is 256 on the
-    * PERSISTED index, which pays encode once at build (one byte per code).
+    * kSub=32 / shortlist=150 (with a 20k fit-sample cap): the sweep's
+    * knee — recall@5 0.98 at sf0.01, and CHEAPER than the kSub=24/
+    * shortlist=100 round-8 config (shortlist is the free recall knob:
+    * the rerank is exact, more candidates only widen a bounded
+    * k-buffer). The 100 TB setting is kSub=256 on the PERSISTED
+    * index, which pays encode once at build (one byte per code).
     */
   def v09KnnPq(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     graft.operators.Pq.knnPq(
       e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
       e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
-      k = 5, m = 8, kSub = 24, shortlist = 100, maxFit = 20000L)
+      k = 5, m = 8, kSub = 32, shortlist = 150, maxFit = 20000L)
       .orderBy("q_id", "rank")
   }
 
@@ -390,7 +397,7 @@ object VectorQueries {
     graft.operators.Pq.knnIvfPq(
       e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
       e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
-      k = 5, nlist = 8, nprobe = 6, m = 8, kSub = 32, shortlist = 150, maxFit = 20000L)
+      k = 5, nlist = 8, nprobe = 7, m = 8, kSub = 32, shortlist = 150, maxFit = 20000L)
       .orderBy("q_id", "rank")
   }
 
@@ -609,7 +616,7 @@ object VectorQueries {
     graft.operators.Sq.knnIvfSq8(
       e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
       e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
-      k = 5, nlist = 8, nprobe = 6, shortlist = 50)
+      k = 5, nlist = 8, nprobe = 7, shortlist = 50)
       .orderBy("q_id", "rank")
   }
 

@@ -198,6 +198,26 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("v09/v10 PQ plan shape: no Window, no cartesian, bounded exchanges (fattening guard)") {
+    // the round-8 Sq refactor shared tails with Ann/Pq; this guard pins
+    // the PQ plans' shape so a future refactor cannot silently fatten
+    // them: top-k stays the k-buffer aggregate (no Window), the ADC
+    // pairing stays a broadcast of the bounded query side (no
+    // CartesianProduct), and the shuffle count stays bounded
+    import graft.queries.{VectorQueries => V}
+    for ((name, q, maxEx) <- Seq(
+        ("v09", V.v09KnnPq _, 8),
+        ("v10", V.v10KnnIvfPq _, 10))) {
+      val p = plan(q(spark, sfDir))
+      assert(!p.contains("Window"), s"$name plans a Window sort:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+      assert(p.contains("BroadcastExchange"),
+        s"$name lost the broadcast query side:\n$p")
+      val nEx = "Exchange".r.findAllIn(p).size
+      assert(nEx <= maxEx, s"$name plan fattened to $nEx exchanges (max $maxEx):\n$p")
+    }
+  }
+
   test("salted join: same results as plain join, hot key spread over salts") {
     import spark.implicits._
     // 90%-hot fact key + a dim too awkward to broadcast (conceptually)
