@@ -612,7 +612,40 @@ object CurationQueries {
        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY start_tok, doc_id)) AS order_fp
        |FROM p GROUP BY bucket, shard ORDER BY bucket, shard""".stripMargin
 
+  /** Z-order clustering round trip ([[graft.etl.Zorder.writeClustered]]):
+    * lineitem is rewritten z-clustered on (l_orderkey, l_partkey), then
+    * a two-column point-box predicate reads it back. The oracle pins
+    * CONTENT (the layout rewrite must lose/duplicate nothing under the
+    * predicate — same rows as the original table); the data-SKIPPING
+    * the layout exists for is metrics-asserted in ZorderSpec (the
+    * clustered scan's parquet reader skips the row groups whose
+    * min/max exclude the box, a random layout's cannot skip any).
+    * Build-inside-the-query shape like v07/c09: a real deployment
+    * clusters once and queries many times.
+    */
+  def z01ZorderSkip(s: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.wiped(s, "zorder_lineitem", dir)
+    val li = graft.Tables.t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    graft.etl.Zorder.writeClustered(li, out, Seq("l_orderkey", "l_partkey"), nFiles = 16)
+    s.read.parquet(out)
+      .filter(col("l_orderkey").between(1000, 3000) && col("l_partkey").between(100, 400))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        graft.functions.Money.cents(col("l_extendedprice")).as("price_cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .orderBy("l_orderkey", "l_partkey", "l_linenumber")
+  }
+
+  val z01Oracle: String =
+    s"""SELECT l_orderkey, l_partkey, l_linenumber,
+       |  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+       |  CAST(l_quantity AS BIGINT) AS qty
+       |FROM lineitem
+       |WHERE l_orderkey BETWEEN 1000 AND 3000 AND l_partkey BETWEEN 100 AND 400
+       |ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "z01_zorder_skip" -> (z01ZorderSkip _),
     "c01_corpus_curation" -> (c01CorpusCuration _),
     "c02_dup_profile" -> (c02DupProfile _),
     "c03_decontamination" -> (c03Decontamination _),
@@ -629,6 +662,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "z01_zorder_skip" -> z01Oracle,
     "c01_corpus_curation" -> c01Oracle,
     "c02_dup_profile" -> c02Oracle,
     "c03_decontamination" -> c03Oracle,

@@ -97,6 +97,47 @@ class ZorderSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir2).count() === 3)
   }
 
+  test("z01: scan METRICS prove skipping — clustered scan decodes fewer rows than the lake holds") {
+    // the oracle pins z01's CONTENT; this pins the point of the
+    // layout: the parquet reader's row-group min/max pruning actually
+    // fires on the clustered lake (scan outputs ≪ table rows), and
+    // CANNOT fire on a round-robin control of the same file count
+    def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def unwrap(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          unwrap(a.executedPlan).sum
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }
+      unwrap(df.queryExecution.executedPlan).sum
+    }
+    val li = Tables.t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_linenumber")
+    val total = li.count()
+    val pred = col("l_orderkey").between(1000, 3000) && col("l_partkey").between(100, 400)
+
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z01_z").toString
+    Zorder.writeClustered(li, zDir, Seq("l_orderkey", "l_partkey"), 16)
+    val zRead = scanOutputRows(spark.read.parquet(zDir).filter(pred))
+
+    val rrDir = java.nio.file.Files.createTempDirectory("graft_z01_rr").toString
+    li.repartition(16).write.mode("overwrite").parquet(rrDir)
+    val rrRead = scanOutputRows(spark.read.parquet(rrDir).filter(pred))
+
+    val matches = spark.read.parquet(zDir).filter(pred).count()
+    assert(matches > 0, "predicate selects nothing — test is vacuous")
+    assert(zRead < total,
+      s"z-clustered scan decoded all $total rows — no row group was skipped")
+    assert(rrRead == total,
+      s"round-robin control skipped rows ($rrRead < $total) — control invalid")
+    assert(zRead * 2 < total,
+      s"z scan decoded $zRead of $total — skipping too weak to matter")
+    // and z01's own served result is exactly the predicate's rows
+    val z01 = graft.queries.CurationQueries.z01ZorderSkip(spark, sfDir)
+    assert(z01.count() == graft.Tables.t(spark, sfDir, "lineitem").filter(pred).count())
+  }
+
   test("a ±Inf row does not poison the stats: finite rows keep distinct lanes") {
     import spark.implicits._
     // one +Inf row used to set mx=Inf, sending every FINITE row of the
