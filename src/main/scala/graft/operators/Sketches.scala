@@ -150,6 +150,20 @@ object Sketches {
   }
 
   def kmvDistinctByKey(
+      df: DataFrame, key: Column, value: Column, k: Int): DataFrame =
+    kmvEstimate(kmvSketchByKey(df, key, value, k), k)
+
+  /** The KMV sketch itself: one row per key with `mins` = the k
+    * smallest DISTINCT h60 hashes of the key's values, sorted
+    * ascending. This is the PERSISTABLE form of the bottom-k family —
+    * write it as parquet per increment (per day, per source), then
+    * [[kmvMergeSketches]] unions increments WITHOUT re-scanning their
+    * corpora: bottom-k-distinct is a semilattice, so
+    * merge(sketch(A), sketch(B)) is BIT-IDENTICAL to sketch(A ∪ B)
+    * (q23's oracle replays exactly that equivalence). Each sketch row
+    * is ≤ k longs — increments ship kilobytes, not corpora.
+    */
+  def kmvSketchByKey(
       df: DataFrame, key: Column, value: Column, k: Int): DataFrame = {
     require(k >= 3, s"KMV needs k >= 3 for a finite-variance estimate, got $k")
     val hashed = df
@@ -157,28 +171,49 @@ object Sketches {
       .select(key.as("key"), Hashing.h60(value.cast("string")).as("h"))
     // bottom-k distinct in ONE aggregate — no corpus-wide distinct()
     // exchange; the buffer dedups map-side (see [[BottomKDistinct]])
-    val bottom = hashed
+    hashed
       .groupBy("key")
       .agg(udaf(new BottomKDistinct(k),
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
         .apply(col("h")).as("mins"))
+  }
+
+  /** Merge per-increment sketches down to one sketch per `key`:
+    * bottom-k distinct of the union of the `mins` arrays, as pure
+    * column algebra (each input row is ≤ k longs, so the collect_list
+    * is bounded by increments × k per key — never corpus-sized).
+    */
+  def kmvMergeSketches(
+      sketches: DataFrame, key: Column, mins: Column, k: Int): DataFrame = {
+    require(k >= 3, s"KMV needs k >= 3 for a finite-variance estimate, got $k")
+    sketches.groupBy(key.as("key"))
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(mins)))), 1, k)
+        .as("mins"))
+  }
+
+  /** Estimator tail shared by the one-shot and the merged forms —
+    * single owner of the estimate arithmetic so the q22/q23 oracles
+    * replay one formula: exact under k, `(k−1)·2^60 / kth_hash` at
+    * capacity.
+    */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.select(
+      col("key"),
+      size(col("mins")).as("n_kept"),
+      // mins sorted ascending; last entry = the k-th smallest
+      element_at(col("mins"), size(col("mins"))).as("kth_hash"),
+      col("mins"))
       .select(
         col("key"),
-        size(col("mins")).as("n_kept"),
-        // mins sorted ascending; last entry = the k-th smallest
-        element_at(col("mins"), size(col("mins"))).as("kth_hash"))
-    bottom.select(
-      col("key"),
-      col("n_kept"),
-      col("kth_hash"),
-      when(col("n_kept") < k, col("n_kept").cast("double"))
-        .otherwise(
-          // greatest(…, 1): h60 CAN be exactly 0 (15 leading md5 hex
-          // zeros, p = 2^-60) and ANSI division by zero would kill the
-          // job; the clamp trades one pathological estimate for
-          // liveness and the oracle mirrors it
-          (lit((k - 1).toDouble) * lit(1152921504606846976.0)) /
-            greatest(col("kth_hash"), lit(1L)).cast("double"))
-        .as("est_distinct"))
-  }
+        col("n_kept"),
+        col("kth_hash"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(
+            // greatest(…, 1): h60 CAN be exactly 0 (15 leading md5 hex
+            // zeros, p = 2^-60) and ANSI division by zero would kill the
+            // job; the clamp trades one pathological estimate for
+            // liveness and the oracle mirrors it
+            (lit((k - 1).toDouble) * lit(1152921504606846976.0)) /
+              greatest(col("kth_hash"), lit(1L)).cast("double"))
+          .as("est_distinct"))
 }

@@ -426,7 +426,60 @@ object RelationalQueries {
       |FROM agg ORDER BY key""".stripMargin.replace("HEXPR", h)
   }
 
+  /** Incremental distinct counts via PERSISTED, MERGED KMV sketches
+    * ([[graft.operators.Sketches.kmvSketchByKey]] →
+    * parquet → [[graft.operators.Sketches.kmvMergeSketches]] →
+    * [[graft.operators.Sketches.kmvEstimate]]): per-ship-year partial
+    * sketches (the per-day increment shape of a training pipeline)
+    * are written to a sketch lake, read back, and merged per return
+    * flag — the corpus is scanned once per increment, never re-scanned
+    * at estimate time. Bottom-k-distinct is a semilattice, so the
+    * merged sketch is BIT-IDENTICAL to the one-shot sketch over the
+    * union — which is exactly what the oracle computes (one-shot
+    * bottom-k in SQL over all of lineitem), with `sketch_fp` pinning
+    * every element of the merged sketch, not just its estimate.
+    */
+  def q23KmvMerge(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.queries.Scratch.wiped(s, "kmv_sketches", dir)
+    val li = t(s, dir, "lineitem")
+    // one sketch per (flag, ship-year) increment → the sketch lake
+    graft.operators.Sketches.kmvSketchByKey(
+      li,
+      struct(col("l_returnflag").as("flag"), year(col("l_shipdate")).as("yr")),
+      col("l_orderkey"), k = 64)
+      .write.mode("overwrite").parquet(out)
+    // merge increments per flag; estimate without touching lineitem
+    val merged = graft.operators.Sketches.kmvMergeSketches(
+      s.read.parquet(out), col("key.flag"), col("mins"), k = 64)
+    graft.operators.Sketches.kmvEstimate(merged, k = 64)
+      .join(merged.select(col("key"),
+        md5(concat_ws(",", transform(col("mins"), m => m.cast("string"))))
+          .as("sketch_fp")), "key")
+      .select("key", "n_kept", "kth_hash", "est_distinct", "sketch_fp")
+      .orderBy("key")
+  }
+
+  val q23Oracle: String = {
+    val h = DuckOracle.h60("CAST(l_orderkey AS VARCHAR)")
+    """WITH h AS (
+      |  SELECT DISTINCT l_returnflag AS key, HEXPR AS h
+      |  FROM lineitem WHERE l_orderkey IS NOT NULL
+      |), bk AS (
+      |  SELECT key, h FROM h QUALIFY row_number() OVER (PARTITION BY key ORDER BY h) <= 64
+      |), agg AS (
+      |  SELECT key, CAST(COUNT(*) AS INT) AS n_kept, MAX(h) AS kth_hash,
+      |    md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)) AS sketch_fp
+      |  FROM bk GROUP BY key
+      |)
+      |SELECT key, n_kept, kth_hash,
+      |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+      |       ELSE (CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)) / CAST(GREATEST(kth_hash, 1) AS DOUBLE) END AS est_distinct,
+      |  sketch_fp
+      |FROM agg ORDER BY key""".stripMargin.replace("HEXPR", h)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_kmv_merge" -> (q23KmvMerge _),
     "q22_kmv_distinct" -> (q22KmvDistinct _),
     "q21_salted_flag_join" -> (q21SaltedFlagJoin _),
     "q19_top_per_priority" -> (q19TopPerPriority _),
@@ -450,6 +503,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q23_kmv_merge" -> q23Oracle,
     "q22_kmv_distinct" -> q22Oracle,
     "q21_salted_flag_join" -> q21Oracle,
     "q19_top_per_priority" -> q19Oracle,

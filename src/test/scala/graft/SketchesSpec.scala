@@ -50,6 +50,31 @@ class SketchesSpec extends SparkSpecBase {
     assert(merged === whole)
   }
 
+  test("persisted sketch merge: save overlapping increments, merge ≡ one-shot bit-for-bit") {
+    // the incremental-pipeline shape: sketch each increment, persist,
+    // merge WITHOUT re-scanning any corpus — bottom-k-distinct is a
+    // semilattice, so the merged sketch (not just its estimate) must
+    // equal the one-shot sketch over the union
+    val all = (1 to 5000).map(i => ("g", s"val_$i"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_lake").toString
+    Sketches.kmvSketchByKey(
+      all.take(3000).toDF("key", "v"), col("key"), col("v"), k = 128)
+      .write.mode("append").parquet(dir)
+    Sketches.kmvSketchByKey(
+      all.drop(2000).toDF("key", "v"), col("key"), col("v"), k = 128) // overlaps 2001-3000
+      .write.mode("append").parquet(dir)
+    val merged = Sketches.kmvMergeSketches(
+      spark.read.parquet(dir), col("key"), col("mins"), k = 128)
+    val oneShot = Sketches.kmvSketchByKey(
+      all.toDF("key", "v"), col("key"), col("v"), k = 128)
+    assert(merged.select("mins").head.getSeq[Long](0) ==
+      oneShot.select("mins").head.getSeq[Long](0),
+      "merged sketch diverged from the one-shot sketch")
+    val estM = Sketches.kmvEstimate(merged, 128).select("est_distinct").head.getDouble(0)
+    val est1 = Sketches.kmvEstimate(oneShot, 128).select("est_distinct").head.getDouble(0)
+    assert(estM == est1)
+  }
+
   test("nulls are excluded like COUNT(DISTINCT)") {
     val df = Seq(("a", Some(1)), ("a", None), ("a", Some(2)))
       .toDF("key", "v")
