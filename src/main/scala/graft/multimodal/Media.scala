@@ -382,17 +382,27 @@ object Media {
     * it, media_fingerprinting.py:166-179; the reference consumes the
     * result only as opaque equality/similarity).
     *
-    * Stage 1 — FRAME SAMPLING — is the codec-dependent step and is a
-    * clearly-marked deterministic STUB: "frame" w of `nFrames` is the
-    * byte window [w·len/n, (w+1)·len/n), standing in for an ffmpeg
-    * frame grab at even timestamps. Swap this stage for a real decoder
-    * in production; everything downstream is the real pipeline.
+    * Stage 1 — FRAME SAMPLING — dispatches on the container:
     *
-    * Stage 2 — per-frame average-hash: the window is resampled to 64
-    * "pixels" by even stride (pixel j = byte at start + j·wlen/64),
-    * and bit j is set iff pixel j exceeds the integer mean of the 64
-    * pixels — the exact aHash shape [[ahash64]] applies to decoded
-    * images, over the stubbed frame.
+    *  - **Y4M (YUV4MPEG2)** payloads are REALLY decoded: the framed
+    *    container is parsed ([[parseY4m]] — header geometry, per-frame
+    *    `FRAME` markers, planar YUV layout), `nFrames` frames are
+    *    sampled at even temporal stride (frame w·F/n), and each
+    *    sampled frame's LUMA plane is the genuine grayscale image the
+    *    per-frame hash runs on (an 8×8 even-stride spatial resample —
+    *    the exact [[ahash64]] geometry). No codec library needed:
+    *    Y4M is raw planar video, the interchange format ffmpeg itself
+    *    emits (`-f yuv4mpegpipe`).
+    *  - any OTHER payload (compressed codecs this container cannot
+    *    decode) falls back to the documented deterministic stand-in:
+    *    "frame" w is the byte window [w·len/n, (w+1)·len/n), resampled
+    *    to 64 "pixels" by even stride. A structurally invalid Y4M
+    *    (truncated frame, bad geometry) also takes this path — a
+    *    content hash beats a killed 100 TB job, and the reference
+    *    consumes the value as opaque equality only.
+    *
+    * Stage 2 — per-frame average-hash: bit j is set iff pixel j
+    * exceeds the integer mean of the 64 pixels.
     *
     * Stage 3 — temporal combine: majority vote per bit across frames
     * (bit set iff > nFrames/2 frames set it) — the robustness property
@@ -400,13 +410,109 @@ object Media {
     *
     * 60 bits, not 64 — the [[graft.functions.Hashing.simhash60]]
     * convention: the value stays positive in any SQL BIGINT, so the
-    * m04 DuckDB oracle replays every bit from the blob's hex dump and
-    * hamming distance works unsigned everywhere. Empty/null payloads
-    * hash to 0.
+    * m04/m05 DuckDB oracles replay every bit (m04 from the blob's hex
+    * dump, m05 from the fixture's pixel formula) and hamming distance
+    * works unsigned everywhere. Empty/null payloads hash to 0.
     */
   def videoHash60(bytes: Array[Byte], nFrames: Int = 8): Long = {
     require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
     if (bytes == null || bytes.isEmpty) return 0L
+    parseY4m(bytes) match {
+      case Some(y4m) => y4mHash60(bytes, y4m, nFrames)
+      case None => byteWindowHash60(bytes, nFrames)
+    }
+  }
+
+  /** Parsed Y4M geometry: luma width/height and the byte offset of
+    * each frame's luma plane.
+    */
+  private[graft] final case class Y4m(
+      width: Int, height: Int, lumaOffsets: Array[Int])
+
+  /** Structural Y4M parse — `None` for non-Y4M payloads AND for
+    * malformed ones (truncation, bad geometry, unknown colorspace):
+    * the caller's fallback is the content-hash path, so parse failure
+    * degrades deterministically instead of throwing mid-scan.
+    */
+  private[graft] def parseY4m(bytes: Array[Byte]): Option[Y4m] = {
+    val magic = "YUV4MPEG2".getBytes("US-ASCII")
+    if (bytes.length < magic.length + 1) return None
+    var i = 0
+    while (i < magic.length) { if (bytes(i) != magic(i)) return None; i += 1 }
+    val headerEnd = bytes.indexOf('\n'.toByte)
+    if (headerEnd < 0) return None
+    val header = new String(bytes, 0, headerEnd, "US-ASCII")
+    var w = 0; var h = 0; var cs = "420"
+    for (tok <- header.split(' ').drop(1); if tok.nonEmpty) tok.charAt(0) match {
+      case 'W' => w = tok.drop(1).toIntOption.getOrElse(0)
+      case 'H' => h = tok.drop(1).toIntOption.getOrElse(0)
+      case 'C' => cs = tok.drop(1)
+      case _ => () // F (rate), I (interlace), A (aspect), X (comment): irrelevant to geometry
+    }
+    if (w <= 0 || h <= 0) return None
+    val luma = w * h
+    val chroma =
+      if (cs.startsWith("420")) { if (w % 2 != 0 || h % 2 != 0) return None else (w / 2) * (h / 2) * 2 }
+      else if (cs.startsWith("422")) { if (w % 2 != 0) return None else (w / 2) * h * 2 }
+      else if (cs.startsWith("444")) luma * 2
+      else if (cs.startsWith("mono")) 0
+      else return None
+    val frameMagic = "FRAME".getBytes("US-ASCII")
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var pos = headerEnd + 1
+    while (pos < bytes.length) {
+      if (pos + frameMagic.length > bytes.length) return None
+      var j = 0
+      while (j < frameMagic.length) {
+        if (bytes(pos + j) != frameMagic(j)) return None
+        j += 1
+      }
+      var nl = pos + frameMagic.length
+      while (nl < bytes.length && bytes(nl) != '\n'.toByte) nl += 1
+      if (nl >= bytes.length) return None
+      val lumaOff = nl + 1
+      if (lumaOff.toLong + luma + chroma > bytes.length) return None
+      offs += lumaOff
+      pos = lumaOff + luma + chroma
+    }
+    if (offs.isEmpty) None else Some(Y4m(w, h, offs.toArray))
+  }
+
+  /** Stages 2-3 over REAL Y4M frames: sample nFrames at even temporal
+    * stride, 8×8 even-stride spatial resample of each sampled frame's
+    * luma plane, per-frame mean threshold, majority vote.
+    */
+  private def y4mHash60(bytes: Array[Byte], y4m: Y4m, nFrames: Int): Long = {
+    val nF = y4m.lumaOffsets.length
+    val votes = new Array[Int](60)
+    var w = 0
+    while (w < nFrames) {
+      val off = y4m.lumaOffsets((w.toLong * nF / nFrames).toInt)
+      val px = new Array[Int](64)
+      var j = 0
+      var sum = 0L
+      while (j < 64) {
+        val row = (j / 8) * y4m.height / 8
+        val colIdx = (j % 8) * y4m.width / 8
+        px(j) = bytes(off + row * y4m.width + colIdx) & 0xff
+        sum += px(j)
+        j += 1
+      }
+      val mean = sum / 64 // integer floor, SQL-replayable
+      j = 0
+      while (j < 60) {
+        if (px(j) > mean) votes(j) += 1
+        j += 1
+      }
+      w += 1
+    }
+    majority60(votes, nFrames)
+  }
+
+  /** The non-Y4M fallback: stages 2-3 over even byte windows (the
+    * documented codec stand-in — see [[videoHash60]]).
+    */
+  private def byteWindowHash60(bytes: Array[Byte], nFrames: Int): Long = {
     val n = bytes.length
     val votes = new Array[Int](60)
     var w = 0
@@ -432,6 +538,10 @@ object Media {
       }
       w += 1
     }
+    majority60(votes, nFrames)
+  }
+
+  private def majority60(votes: Array[Int], nFrames: Int): Long = {
     var h = 0L
     var j = 0
     while (j < 60) {

@@ -466,6 +466,84 @@ object TextQueries {
       |  COALESCE(h.vhash60, 0) AS vhash60
       |FROM hx LEFT JOIN h USING (media_id) ORDER BY media_id""".stripMargin
 
+  /** Deterministic Y4M (YUV4MPEG2) fixture: 32×24 C420, 10 frames,
+    * luma(vid, frame, row, col) = (vid·37 + frame·11 + row·5 + col·3)
+    * mod 256, chroma planes pinned to 128 (the hash must ignore them —
+    * a wrong plane offset in the parser would read chroma bytes and
+    * the oracle replay below would catch every bit). Built driver-side
+    * (~11 KB per video); the PIXEL FORMULA is the replayable ground
+    * truth, so the oracle needs no blob hex-dump.
+    */
+  private def y4mFixture(vid: Int): Array[Byte] = {
+    val (w, h, f) = (32, 24, 10)
+    val out = new java.io.ByteArrayOutputStream(64 + f * (6 + w * h * 3 / 2))
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420\n".getBytes("US-ASCII"))
+    var fi = 0
+    while (fi < f) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) { out.write((vid * 37 + fi * 11 + r * 5 + c * 3) % 256); c += 1 }
+        r += 1
+      }
+      var k = 0
+      while (k < (w / 2) * (h / 2) * 2) { out.write(128); k += 1 }
+      fi += 1
+    }
+    out.toByteArray
+  }
+
+  /** REAL video-container temporal hash (the round-8 F3 stub closed):
+    * [[graft.multimodal.Media.videoHash60]] detects the Y4M container,
+    * parses its frame structure, and hashes genuine luma planes — 8
+    * frames sampled at even temporal stride from the 10 on disk, 8×8
+    * even-stride spatial resample, per-frame mean threshold, majority
+    * vote. The oracle replays EVERY bit from the fixture's pixel
+    * formula (frame selection, spatial sampling, means, votes), so the
+    * whole decode-and-hash pipeline is cross-engine gated — only
+    * compressed codecs remain out of scope (they fall back to the
+    * documented content-hash path, gated by m04).
+    */
+  def m05Y4mVideoHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    (0 until 12).map(v => (v.toLong, y4mFixture(v))).toDF("media_id", "payload")
+      .select(col("media_id"),
+        graft.multimodal.Media.videoHash60Col(col("payload")).as("vhash60"))
+      .orderBy("media_id")
+  }
+
+  /** DuckDB replay of the Y4M path: sampled frame fi = (w·10)//8 for
+    * window w < 8; pixel j reads luma row (j//8)·(24//8), col
+    * (j%8)·(32//8) of frame fi via the fixture formula; bit j < 60 set
+    * per frame iff pixel > Σpx//64; hash bit set iff > 4 of 8 windows
+    * vote it.
+    */
+  val m05Oracle: String =
+    """WITH vids AS (
+      |  SELECT CAST(v AS BIGINT) AS media_id FROM generate_series(0, 11) AS g(v)
+      |), win AS (
+      |  SELECT media_id, gw.w AS w, (gw.w*10)//8 AS fi
+      |  FROM vids, generate_series(0, 7) AS gw(w)
+      |), pix AS (
+      |  SELECT media_id, w, gj.j AS j,
+      |    (media_id*37 + fi*11 + ((gj.j//8)*3)*5 + ((gj.j%8)*4)*3) % 256 AS v
+      |  FROM win, generate_series(0, 63) AS gj(j)
+      |), fm AS (
+      |  SELECT media_id, w, SUM(v)//64 AS mean FROM pix GROUP BY media_id, w
+      |), votes AS (
+      |  SELECT pix.media_id, pix.j, COUNT(*) AS c
+      |  FROM pix JOIN fm ON pix.media_id = fm.media_id AND pix.w = fm.w
+      |  WHERE pix.j < 60 AND pix.v > fm.mean
+      |  GROUP BY pix.media_id, pix.j
+      |), h AS (
+      |  SELECT media_id,
+      |    CAST(SUM(CASE WHEN c*2 > 8 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS vhash60
+      |  FROM votes GROUP BY media_id
+      |)
+      |SELECT vids.media_id, COALESCE(h.vhash60, 0) AS vhash60
+      |FROM vids LEFT JOIN h USING (media_id) ORDER BY media_id""".stripMargin
+
   /** Corpus-fit bigram LM scoring ([[graft.operators.LangModel]]) —
     * the CCNet-style perplexity quality signal. The oracle replays the
     * ENTIRE model: tokenization, bigram/prefix counts, the
@@ -522,6 +600,7 @@ object TextQueries {
     "m02_media_features" -> (m02MediaFeatures _),
     "m03_wav_features" -> (m03WavFeatures _),
     "m04_video_hash" -> (m04VideoHash _),
+    "m05_y4m_video_hash" -> (m05Y4mVideoHash _),
     "t01_token_counts" -> (t01TokenCounts _),
     "t02_lang_id" -> (t02LangId _),
     "t03_quality" -> (t03Quality _),
@@ -538,6 +617,7 @@ object TextQueries {
     "m02_media_features" -> m02Oracle,
     "m03_wav_features" -> m03Oracle,
     "m04_video_hash" -> m04Oracle,
+    "m05_y4m_video_hash" -> m05Oracle,
     "t01_token_counts" -> t01Oracle,
     "t02_lang_id" -> t02Oracle,
     "t03_quality" -> t03Oracle,

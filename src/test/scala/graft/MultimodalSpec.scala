@@ -215,4 +215,94 @@ class MultimodalSpec extends SparkSpecBase {
     assert(h1 >= 0L && h1 < (1L << 60))
     assert(h1 == Media.videoHash60(payload, nFrames = 1))
   }
+
+  // ---- real Y4M container path --------------------------------------
+
+  /** 2-frame-pattern Y4M builder: frame f's luma is lumaOf(f); chroma
+    * planes carry `chromaFill`. Plain or param-decorated FRAME markers.
+    */
+  private def y4m(
+      w: Int, h: Int, frames: Seq[Array[Byte]],
+      chromaFill: Int = 128, frameParams: String = ""): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F30:1 C420\n".getBytes("US-ASCII"))
+    for (f <- frames) {
+      require(f.length == w * h)
+      out.write(s"FRAME$frameParams\n".getBytes("US-ASCII"))
+      out.write(f)
+      var k = 0
+      while (k < (w / 2) * (h / 2) * 2) { out.write(chromaFill); k += 1 }
+    }
+    out.toByteArray
+  }
+
+  test("Y4M: real frames are decoded — chroma is ignored, luma drives the hash") {
+    val rnd = new scala.util.Random(31)
+    val frames = (0 until 10).map(_ => Array.fill(32 * 24)(rnd.nextInt(256).toByte))
+    val a = Media.videoHash60(y4m(32, 24, frames, chromaFill = 128))
+    // identical luma, completely different chroma → identical hash
+    // (the byte-window stub could NOT do this: it reads chroma bytes)
+    val b = Media.videoHash60(y4m(32, 24, frames, chromaFill = 7))
+    assert(a == b, "chroma bytes leaked into the luma hash — plane offsets wrong")
+    // inverting the luma flips the hash
+    val inv = frames.map(_.map(v => (255 - (v & 0xff)).toByte))
+    assert(a != Media.videoHash60(y4m(32, 24, inv)), "luma inversion did not move the hash")
+    // FRAME parameter decorations parse like plain markers
+    val c = Media.videoHash60(y4m(32, 24, frames, frameParams = " Xsome_param"))
+    assert(a == c, "FRAME params changed the hash — marker line not consumed to newline")
+    // deterministic
+    assert(a == Media.videoHash60(y4m(32, 24, frames)))
+  }
+
+  test("Y4M: majority vote across real frames survives corrupted frames") {
+    val rnd = new scala.util.Random(41)
+    val frame = Array.fill(32 * 24)(rnd.nextInt(256).toByte)
+    val clean = (0 until 8).map(_ => frame)
+    val noisy = new scala.util.Random(43)
+    val oneBad = clean.updated(3, Array.fill(32 * 24)(noisy.nextInt(256).toByte))
+    assert(Media.videoHash60(y4m(32, 24, clean)) == Media.videoHash60(y4m(32, 24, oneBad)),
+      "one corrupted frame of eight changed the temporal hash")
+  }
+
+  test("Y4M: malformed containers degrade to the deterministic content hash, never throw") {
+    val rnd = new scala.util.Random(53)
+    val frames = (0 until 4).map(_ => Array.fill(16 * 16)(rnd.nextInt(256).toByte))
+    val good = y4m(16, 16, frames)
+    // truncate mid-frame: structurally invalid → byte-window fallback
+    val truncated = good.take(good.length - 100)
+    val ht = Media.videoHash60(truncated)
+    assert(ht == Media.videoHash60(truncated.clone()), "fallback not deterministic")
+    assert(ht >= 0 && ht < (1L << 60))
+    // a Y4M header with garbage geometry → fallback, no exception
+    val badGeom = "YUV4MPEG2 W0 H16 C420\nFRAME\n".getBytes("US-ASCII") ++ Array.fill(999)(1.toByte)
+    assert(Media.videoHash60(badGeom) >= 0)
+    // odd dimensions are invalid for C420 → fallback
+    val badDim = "YUV4MPEG2 W15 H15 C420\nFRAME\n".getBytes("US-ASCII") ++ Array.fill(400)(1.toByte)
+    assert(Media.videoHash60(badDim) >= 0)
+    // and the parser itself reports None for each
+    assert(Media.parseY4m(truncated).isEmpty)
+    assert(Media.parseY4m(badGeom).isEmpty)
+    assert(Media.parseY4m(badDim).isEmpty)
+    assert(Media.parseY4m(good).exists(_.lumaOffsets.length == 4))
+  }
+
+  test("Y4M: mono and 444 colorspaces parse with their plane sizes") {
+    val rnd = new scala.util.Random(61)
+    def frame = Array.fill(16 * 8)(rnd.nextInt(256).toByte)
+    def build(cs: String, chromaPerFrame: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W16 H8 $cs\n".getBytes("US-ASCII"))
+      for (_ <- 0 until 3) {
+        out.write("FRAME\n".getBytes("US-ASCII"))
+        out.write(frame)
+        var k = 0
+        while (k < chromaPerFrame) { out.write(200); k += 1 }
+      }
+      out.toByteArray
+    }
+    assert(Media.parseY4m(build("Cmono", 0)).exists(_.lumaOffsets.length == 3))
+    assert(Media.parseY4m(build("C444", 16 * 8 * 2)).exists(_.lumaOffsets.length == 3))
+    // wrong chroma size for the declared colorspace → malformed
+    assert(Media.parseY4m(build("C444", 10)).isEmpty)
+  }
 }
