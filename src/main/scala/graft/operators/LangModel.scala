@@ -24,15 +24,26 @@ import graft.functions.Text
   *
   * Scale shape: one explode pass builds the bigram stream (shuffle ∝
   * corpus tokens — the same cost envelope as the d02 posting lists);
-  * counts aggregate map-side; scoring joins the (already aggregated,
-  * comparatively small) count tables back to the bigram stream on
-  * token keys — hot-bigram skew is AQE's skew-join case, and at the
+  * counts aggregate map-side (a hot bigram collapses to ONE partial
+  * row per partition — the aggregate is the skew absorber); scoring
+  * then joins the count tables back as BROADCASTS. The counts ARE the
+  * model — one aggregated row per distinct bigram, vocabulary-bounded
+  * — so broadcasting them means the corpus-side bigram stream NEVER
+  * repartitions by token key and hot-bigram join skew cannot exist at
+  * any corpus size (PlanSpec pins this shape). This matters doubly
+  * because the shuffle-join alternative is NOT rescued by AQE: its
+  * count side plans as aggregate-over-reused-partitioning, and an
+  * aggregate between the shuffle stage and the SMJ makes
+  * OptimizeSkewedJoin's pattern structurally inapplicable (verified
+  * empirically — the earlier "AQE handles it" claim was wrong). A
+  * corpus whose OBSERVED bigram vocabulary outgrows broadcast capacity
+  * needs a pruned persisted model first (the CCNet setting; the
+  * fit/transform split every quantizer in this repo uses). At the
   * 100 TB deployment the count tables are the MODEL one fit job
-  * persists while daily scoring jobs only pay the join (the
-  * fit/transform split every quantizer in this repo uses). The
-  * document scan feeds both the count and scoring branches
-  * (recomputed, not cached — caching a corpus-sized frame is exactly
-  * what [[graft.operators.Dedup.scoped]] exists to avoid at scale).
+  * persists while daily scoring jobs only pay the join. The document
+  * scan feeds both the count and scoring branches (recomputed, not
+  * cached — caching a corpus-sized frame is exactly what
+  * [[graft.operators.Dedup.scoped]] exists to avoid at scale).
   */
 object LangModel {
 
@@ -61,10 +72,12 @@ object LangModel {
       .agg(count_distinct(col("w"))).head().getLong(0)
 
     // every scored bigram came from this corpus, so the count joins
-    // always match (inner joins cannot drop rows)
+    // always match (inner joins cannot drop rows). Counts broadcast:
+    // the corpus-side stream keeps its partitioning — no token-keyed
+    // shuffle, no hot-bigram join skew (see the scale-shape scaladoc)
     val terms = pairs
-      .join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+      .join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
       .select(col("doc_id"),
         round(log(
           (col("c2").cast("double") + lit(1.0)) /

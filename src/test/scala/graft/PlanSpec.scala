@@ -198,6 +198,80 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("skew posture: AQE skew-join FIRES on a hot-key join — runtime-asserted, not narrated") {
+    // The 100 TB skew story (SCALE.md, LangModel scaladoc) leans on
+    // AQE's OptimizeSkewedJoin splitting a hot shuffle partition. That
+    // claim is runtime behavior, so this test tightens the thresholds
+    // to test scale, executes a 95%-hot join, and asserts the final
+    // adaptive plan actually carries a skew-handled SMJ — and that the
+    // tiny sibling partitions were coalesced (the other AQE half).
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    import spark.implicits._
+    try {
+      // force the SMJ scale uses: both the planner's broadcast AND
+      // AQE's runtime broadcast conversion (which would otherwise
+      // rewrite the tiny-dim join to BHJ before skew handling applies)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // thresholds sized to TEST data: shuffle partition sizes are
+      // COMPRESSED bytes, so the payload below is per-row sha2 output
+      // (incompressible) — a constant pad would lz4 away to nothing
+      // and the hot partition would never cross the threshold
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8kb")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4kb")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+      // generic hot-key shape: one key owns 95% of a padded fact
+      val fact = spark.range(60000).select(
+        when(col("id") < 57000, lit("hot")).otherwise(concat(lit("k"), col("id"))).as("key"),
+        col("id"),
+        sha2(concat(lit("pad"), col("id").cast("string")), 256).as("pad"))
+      val dim = spark.range(4000)
+        .select(concat(lit("k"), col("id")).as("key"), col("id").as("dim_id"))
+        .unionByName(Seq(("hot", -1L)).toDF("key", "dim_id"))
+      val joined = fact.join(dim, "key").select(sum(length(col("pad"))).as("s"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), "AQE did not finalize the plan")
+      assert(p.contains("skew=true"),
+        s"hot-key SMJ was not skew-split by AQE — the skew posture is prose, not behavior:\n$p")
+      assert(p.contains("coalesced"),
+        s"tiny shuffle partitions were not coalesced by AQE:\n$p")
+
+      // the ACTUAL operator the prose named: LangModel's count-join.
+      // Investigating under these same thresholds showed the
+      // shuffle-join form is NOT rescued by AQE — the count side plans
+      // as aggregate-over-reused-partitioning, and an aggregate
+      // between the shuffle stage and the SMJ makes
+      // OptimizeSkewedJoin's pattern structurally inapplicable. The
+      // operator therefore broadcasts its count tables (they ARE the
+      // vocabulary-bounded model), so the corpus-side bigram stream
+      // never repartitions by token key at all: skew-immune by
+      // construction, which this pins at the plan level. The
+      // broadcast() hint must survive even with every broadcast
+      // THRESHOLD disabled (as here) — model size is a documented
+      // contract, not a planner estimate.
+      val docs = (0 until 2000).map(i =>
+        (i.toLong, s"the cat u$i")).toDF("doc_id", "text")
+      val scored = graft.operators.LangModel.bigramScore(docs, col("doc_id"), col("text"))
+      scored.collect()
+      val lp = scored.queryExecution.executedPlan.toString
+      assert(lp.contains("BroadcastHashJoin"),
+        s"LangModel count tables are not broadcast:\n$lp")
+      assert(!lp.contains("SortMergeJoin [w1"),
+        s"LangModel still shuffle-joins the corpus stream on token keys:\n$lp")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("v09/v10 PQ plan shape: no Window, no cartesian, bounded exchanges (fattening guard)") {
     // the round-8 Sq refactor shared tails with Ann/Pq; this guard pins
     // the PQ plans' shape so a future refactor cannot silently fatten
