@@ -1,0 +1,129 @@
+package graft
+
+import org.json4s._
+
+import graft.serve.{Mcp, McpAgent, McpClient}
+
+/** MCP CLIENT + agent loop (the reference's mcp_client.py /
+  * agent_mcp.py surface): wire-level round trips against the real
+  * [[Mcp.McpServer]] over the loopback transport, the reference's
+  * error conventions, and the agent's MCP-routed extract bridge.
+  */
+class McpClientSpec extends SparkSpecBase {
+
+  private def sandboxAgent(): (java.nio.file.Path, McpAgent.Agent) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_mcp_cli")
+    (root, McpAgent(Mcp.McpConfig(allowedPaths = Seq(root.toString))))
+  }
+
+  test("handshake + tools/list through the client: the full seven-tool surface") {
+    val (_, agent) = sandboxAgent()
+    try {
+      assert(agent.serverInfo.name == "graft-filesystem")
+      assert(agent.serverInfo.protocolVersion == "2024-11-05")
+      val tools = agent.client.listTools()
+      assert(tools.map(_.name).toSet == Set(
+        "read_file", "write_file", "list_directory", "execute_command",
+        "create_directory", "delete_file", "get_file_info"))
+      assert(tools.find(_.name == "write_file").get.required.toSet == Set("path", "content"))
+    } finally agent.stop()
+  }
+
+  test("typed wrappers: full filesystem round trip with reference error conventions") {
+    val (root, agent) = sandboxAgent()
+    val c = agent.client
+    try {
+      val dir = s"$root/work"
+      assert(c.createDirectory(dir))
+      assert(c.isDirectory(dir) && !c.isDirectory(s"$dir/ghost"))
+      assert(c.writeFile(s"$dir/a.txt", "alpha beta"))
+      assert(c.readFile(s"$dir/a.txt") == "alpha beta")
+      val info = c.getFileInfo(s"$dir/a.txt")
+      assert((info \ "type") == JString("file"))
+      assert((info \ "size") == JInt(10))
+      assert(c.fileExists(s"$dir/a.txt") && !c.fileExists(s"$dir/b.txt"))
+      val listed = c.listDirectory(dir)
+      assert(listed.map(i => (i \ "name")).contains(JString("a.txt")))
+      assert(c.deleteFile(s"$dir/a.txt"))
+      assert(!c.fileExists(s"$dir/a.txt"))
+      // tool-level error RAISES on typed wrappers (mcp_client.py:23-26)
+      val e = intercept[McpClient.McpToolException](c.readFile("/etc/passwd"))
+      assert(e.getMessage.contains("read_file error"), e.getMessage)
+      // ...while the raw call exposes (text, isError) without raising
+      val raw = c.callTool("read_file", JObject("path" -> JString("/etc/passwd")))
+      assert(raw.isError && raw.text.startsWith("Error:"))
+      // unknown tool: isError result, not a protocol failure (MCP rule)
+      assert(c.callTool("no_such_tool", JObject()).isError)
+      // executeCommand: allowed command returns the JSON payload
+      val r = c.executeCommand("ls", Seq(root.toString))
+      assert((r \ "returncode") == JInt(0) || (r \ "exit_code") == JInt(0), s"$r")
+    } finally agent.stop()
+  }
+
+  test("not-connected guard and protocol errors") {
+    // a session that never initialized refuses verbs loudly
+    // (mcp_client.py:168-170's RuntimeError)
+    val (_, agent) = sandboxAgent()
+    try {
+      val raw = McpClient.loopback(new Mcp.McpServer(agent.tools))
+      intercept[IllegalStateException](raw.listTools())
+      intercept[IllegalStateException](raw.callTool("read_file", JObject()))
+      raw.initialize()
+      raw.ping() // now fine
+      raw.close()
+    } finally agent.stop()
+  }
+
+  test("agent: MCP-routed extract bridge feeds the engine; status mirrors the reference") {
+    val (root, agent) = sandboxAgent()
+    try {
+      val dir = s"$root/docs"
+      agent.client.createDirectory(dir)
+      agent.client.writeFile(s"$dir/one.txt", "the quick brown fox")
+      agent.client.writeFile(s"$dir/two.txt", "lazy dogs sleep")
+      val df = agent.ingestDirectory(spark, dir)
+      assert(df.count() == 2)
+      val byName = df.collect().map(r => r.getString(1) -> r.getString(3)).toMap
+      assert(byName("one.txt") == "the quick brown fox")
+      assert(byName("two.txt") == "lazy dogs sleep")
+      // the frame composes with the engine's text operators
+      import org.apache.spark.sql.functions._
+      val toks = df.select(graft.functions.Text.tokens(
+        graft.functions.Text.normalize(col("content"))).as("t"))
+        .selectExpr("size(t)").collect().map(_.getInt(0)).sorted
+      assert(toks.toSeq == Seq(3, 4))
+      // every MCP-routed touch landed in the event log; status reflects it
+      val st = agent.status
+      assert(st("enabled") == "true" && st("server_running") == "true")
+      assert(st("security_mode") == "strict")
+      assert(st("events_count").toInt >= 4, st("events_count")) // 2 writes + dir + reads
+      // the bounded-bridge contract is loud, not silent truncation
+      val e = intercept[IllegalArgumentException](
+        agent.ingestDirectory(spark, dir, maxFiles = 1))
+      assert(e.getMessage.contains("FileIndex"), e.getMessage)
+    } finally agent.stop()
+  }
+
+  test("connectProcess: a real subprocess server over stdio answers the same protocol") {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val root = java.nio.file.Files.createTempDirectory("graft_mcp_proc")
+    val (session, proc) = McpClient.connectProcess(
+      Seq(javaBin, "-cp", cp, "graft.serve.Mcp"),
+      env = Map(
+        "GRAFT_MCP_ALLOWED_PATHS" -> root.toString,
+        "GRAFT_MCP_SECURITY_MODE" -> "strict"))
+    try {
+      val info = session.initialize()
+      assert(info.name == "graft-filesystem")
+      assert(session.listTools().size == 7)
+      session.callTool("write_file", JObject(
+        "path" -> JString(s"$root/x.txt"), "content" -> JString("hi")))
+      assert(session.readFile(s"$root/x.txt") == "hi")
+    } finally {
+      session.close()
+      proc.destroy()
+      if (!proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)) proc.destroyForcibly()
+    }
+  }
+}
