@@ -449,7 +449,11 @@ object Media {
       case 'C' => cs = tok.drop(1)
       case _ => () // F (rate), I (interlace), A (aspect), X (comment): irrelevant to geometry
     }
-    if (w <= 0 || h <= 0) return None
+    // geometry bound BEFORE any plane-size arithmetic: a corrupt
+    // header like W65536 H65536 would overflow w*h in Int (2^32 → 0),
+    // letting `pos` step backward and loop forever. 64 Mpx ≫ any real
+    // frame; larger claims are treated as malformed (fallback path).
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
     val luma = w * h
     val chroma =
       if (cs.startsWith("420")) { if (w % 2 != 0 || h % 2 != 0) return None else (w / 2) * (h / 2) * 2 }

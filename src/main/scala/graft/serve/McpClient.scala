@@ -221,7 +221,11 @@ object McpClient {
       command: Seq[String], env: Map[String, String] = Map.empty): (Session, Process) = {
     val pb = new ProcessBuilder(command: _*)
     env.foreach { case (k, v) => pb.environment().put(k, v) }
+    // stderr must not share stdout (it would corrupt the JSON-RPC
+    // stream) NOR stay an undrained pipe (a chatty server would fill
+    // the OS buffer and deadlock mid-call) — discard it
     pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
     val proc = pb.start()
     (new Session(proc.getInputStream, proc.getOutputStream), proc)
   }

@@ -279,6 +279,12 @@ class MultimodalSpec extends SparkSpecBase {
     // odd dimensions are invalid for C420 → fallback
     val badDim = "YUV4MPEG2 W15 H15 C420\nFRAME\n".getBytes("US-ASCII") ++ Array.fill(400)(1.toByte)
     assert(Media.videoHash60(badDim) >= 0)
+    // w*h Int-overflow header (65536² = 2^32 → 0) must be rejected,
+    // not loop forever on a backward-stepping frame walk
+    val overflow = "YUV4MPEG2 W65536 H65536 C420\nFRAME\n".getBytes("US-ASCII") ++
+      Array.fill(4096)(2.toByte)
+    assert(Media.videoHash60(overflow) >= 0)
+    assert(Media.parseY4m(overflow).isEmpty)
     // and the parser itself reports None for each
     assert(Media.parseY4m(truncated).isEmpty)
     assert(Media.parseY4m(badGeom).isEmpty)
