@@ -350,6 +350,21 @@ object Streams {
     }
   }
 
+  /** Compact the dedup ledger's bucket dirs: every micro-batch appends
+    * one file per touched bucket, so a long-lived stream decays each
+    * `bucket=` dir into thousands of tiny files — the same decay (and
+    * the same cure) as [[graft.operators.Bm25.compactLexIndex]],
+    * delegating to [[graft.etl.Compact.compactPartitioned]] (work dirs
+    * outside the lake, per-leaf row-count gate, park-then-swap). Run
+    * while the stream is STOPPED (the gate is the ledger's only
+    * writer). Fingerprint content — and therefore dedup semantics —
+    * is untouched.
+    */
+  def compactLedger(
+      spark: org.apache.spark.sql.SparkSession, ledgerPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): Seq[(String, graft.etl.Compact.CompactStats)] =
+    graft.etl.Compact.compactPartitioned(spark, ledgerPath, targetBytes)
+
   /** Migrate a legacy FLAT dedup ledger (pre-bucketing: fp files at
     * the root) to the bucketed layout in one rewrite — park-and-swap
     * via a tmp dir so a crash leaves either the old or the new layout,

@@ -266,6 +266,16 @@ class PlanSpec extends SparkSpecBase {
         s"LangModel count tables are not broadcast:\n$lp")
       assert(!lp.contains("SortMergeJoin [w1"),
         s"LangModel still shuffle-joins the corpus stream on token keys:\n$lp")
+
+      // RRF's group-by (the other operator the prose named): a hot
+      // document's fused contributions must PARTIAL-aggregate before
+      // the exchange — map-side combine is the aggregate family's skew
+      // absorber (one partial row per partition per key, no matter how
+      // hot the key)
+      val rrf = graft.queries.SearchQueries.r02HybridRrf(spark, sfDir)
+      val rp = plan(rrf)
+      assert("HashAggregate".r.findAllIn(rp).size >= 2,
+        s"RRF fusion lost its partial+final aggregate split:\n$rp")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

@@ -322,6 +322,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(Streams.ledgerScan(spark, ledger, Seq("zz")).isEmpty)
   }
 
+  test("dedupGate ledger compaction: per-batch file decay cured, fingerprints and semantics intact") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("graft_dedupgate_cmp").toString
+    val ledger = s"$work/ledger"
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.dedupGate(
+      in.toDF().toDF("id", "text"), s"$work/ckpt", ledger, "id", "text",
+      batch => emitted.synchronized { emitted ++= batch.collect().map(_.getLong(0)) })
+    try {
+      // several batches share prefixes → multiple files per bucket dir
+      for (b <- 0 until 4) {
+        in.addData((0 until 12).map(i => ((b * 100 + i).toLong, s"text number $i extra $b")): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val before = spark.read.parquet(ledger).select("fp").as[String].collect().toSet
+    Streams.compactLedger(spark, ledger)
+    val after = spark.read.parquet(ledger).select("fp").as[String].collect().toSet
+    assert(after == before, "compaction changed the fingerprint set")
+    new java.io.File(ledger).listFiles().filter(_.getName.startsWith("bucket=")).foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n <= 1, s"${d.getName} still fragmented into $n files after compaction")
+    }
+    // the compacted ledger still suppresses history
+    val emitted2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Streams.dedupGate(
+      in2.toDF().toDF("id", "text"), s"$work/ckpt2", ledger, "id", "text",
+      batch => emitted2.synchronized { emitted2 ++= batch.collect().map(_.getLong(0)) })
+    try {
+      in2.addData((900L, "text number 3 extra 1"), (901L, "never seen before"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(emitted2.toSeq == Seq(901L), s"post-compaction dedup broke: $emitted2")
+  }
+
   test("dedupGate legacy flat ledger: still honored, bucketLedger migrates it") {
     implicit val sqlCtx = spark.sqlContext
     val work = java.nio.file.Files.createTempDirectory("graft_dedupgate_leg").toString
