@@ -1,5 +1,18 @@
 package graft
 object Bench {
+
+  /** Execute a query's FULL plan: the noop sink materializes every
+    * output column. `.count()` (used through round 8) let Catalyst
+    * PRUNE un-consumed columns — for aggregate-tailed queries that
+    * silently measured a plan without its aggregate payload (q22's
+    * KMV sketch never ran under count: 0.2 s measured vs 8.5 s real).
+    * Numbers from round 9 on are therefore NOT comparable to earlier
+    * rounds for agg-tailed queries — the methodology got stronger,
+    * not the engine slower (see SCALE.md round-9 notes).
+    */
+  private def exec(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -13,7 +26,7 @@ object Bench {
     val warmDir0 = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val warmDir = if (new java.io.File(warmDir0).isDirectory) warmDir0 else sfDir
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, warmDir).count()
+      try exec(fn(spark, warmDir))
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
     }
     spark.catalog.clearCache()
@@ -28,7 +41,7 @@ object Bench {
       .withDefaultValue(Nil)
     for (round <- 1 to 3; (name, fn) <- names) {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { exec(fn(spark, sfDir)); true }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED (round $round): ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
