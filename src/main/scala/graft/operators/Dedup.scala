@@ -518,7 +518,12 @@ object Dedup {
       saltBuckets: Int = 16,
       broadcastFrequent: Boolean = false): DataFrame = {
     require(maxFreq >= 1, s"maxFreq must be >= 1, got $maxFreq")
-    val occ = segmentOccurrences(df, id, segments)
+    // cached: the frequency aggregate AND the mark join both consume
+    // the exploded+normalized+hashed occurrence stream — without the
+    // cache that pipeline runs twice over the corpus (scopedCache:
+    // Verify/Bench clear between queries, long-lived callers wrap in
+    // Dedup.scoped)
+    val occ = scopedCache(segmentOccurrences(df, id, segments))
     val frequent = occ.groupBy("seg_h").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxFreq)
       .select(col("seg_h"), lit(true).as("__freq"))
@@ -550,18 +555,18 @@ object Dedup {
       broadcastFrequent: Boolean = true): DataFrame = {
     require(maxDocFreqRatio > 0.0 && maxDocFreqRatio < 1.0,
       s"maxDocFreqRatio must be in (0, 1), got $maxDocFreqRatio")
-    val occ = segmentOccurrences(df, id, segments)
+    // cached for the same two-consumer reason as stripFrequentSegments —
+    // and the cache makes `total` below nearly free
+    val occ = scopedCache(segmentOccurrences(df, id, segments))
     // total = docs with >= 1 non-null segment — EXACTLY the occ
     // universe (posexplode skips null/empty arrays; the occ filter
-    // drops null elements), but counted with a narrow no-explode pass:
-    // deriving it from occ would run the posexplode+normalize+h60
-    // pipeline a third time over the whole corpus. A 1-row broadcast,
-    // not a collect.
-    val total = df
-      .select(id.as("doc_id"), segments.as("__segs"))
-      .filter(col("__segs").isNotNull &&
-        size(filter(col("__segs"), x => x.isNotNull)) > 0)
-      .select(countDistinct(col("doc_id")).as("__total"))
+    // drops null elements). Derived FROM the cached occ: the previous
+    // narrow no-explode pass re-evaluated the caller's `segments`
+    // expression over the whole corpus, and segment expressions are
+    // typically HOF pipelines (tokenize → transform/slice/array_join —
+    // interpreted lambdas), so that "cheap" pass was c05b's single
+    // biggest cost. A 1-row broadcast, not a collect.
+    val total = occ.select(countDistinct(col("doc_id")).as("__total"))
     val frequent = occ.groupBy("seg_h").agg(countDistinct(col("doc_id")).as("__nd"))
       .crossJoin(broadcast(total))
       .filter(col("__nd") > col("__total") * maxDocFreqRatio)
