@@ -156,14 +156,24 @@ object Text {
   def stopwordHits(c: Column, words: Seq[String]): Column =
     size(filter(tokens(normalize(c)), t => t.isInCollection(words)))
 
-  def langId(c: Column): Column = {
+  /** Language id from an ALREADY-tokenized column — the per-row
+    * tokenize pipeline runs once no matter how many language profiles
+    * score it. [[langId]]'s text form inlines `tokens(normalize(c))`
+    * into every profile's hit count, and the `filter` HOF is
+    * interpreted (no codegen, no common-subexpression elimination), so
+    * the regex pipeline re-runs per profile — hoist the token array
+    * through a projection boundary (CollapseProject keeps a non-cheap
+    * multiply-referenced alias) and score with this form instead
+    * (measured ~N_profiles× on the scoring stage).
+    */
+  def langIdFromToks(toksCol: Column, textNotNull: Column): Column = {
     // struct(score, negated-lang) max ⇒ argmax with asc-code tiebreak:
     // greatest() on structs compares fields left-to-right, so equal
     // scores fall back to comparing codes; negate by mapping code →
     // its rank descending so the *smallest* code wins ties.
     val scored = langProfiles.zipWithIndex.map { case ((code, words), i) =>
       struct(
-        stopwordHits(c, words).as("score"),
+        size(filter(toksCol, t => t.isInCollection(words))).as("score"),
         lit(langProfiles.size - i).as("pri"),
         lit(code).as("code")
       )
@@ -171,8 +181,11 @@ object Text {
     // NULL text: every score is NULL, struct comparison would fall
     // through to the pri tiebreak and confidently answer the
     // highest-priority language — return NULL instead
-    when(c.isNotNull, greatest(scored: _*).getField("code"))
+    when(textNotNull, greatest(scored: _*).getField("code"))
   }
+
+  def langId(c: Column): Column =
+    langIdFromToks(tokens(normalize(c)), c.isNotNull)
 
   /** Characters that are NOT punctuation: Unicode letters and digits
     * (`ü`, `ß`, `的` are letters, not markup) plus an EXPLICIT

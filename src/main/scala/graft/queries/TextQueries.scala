@@ -43,7 +43,13 @@ object TextQueries {
     */
   def t02LangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), col("lang"), Text.langId(col("text")).as("pred_lang"))
+      // token array hoisted through a projection boundary so the
+      // tokenize pipeline runs ONCE per row, not once per language
+      // profile (see Text.langIdFromToks)
+      .select(col("doc_id"), col("lang"), col("text"),
+        Text.tokens(Text.normalize(col("text"))).as("__toks"))
+      .select(col("doc_id"), col("lang"),
+        Text.langIdFromToks(col("__toks"), col("text").isNotNull).as("pred_lang"))
       .orderBy("doc_id")
 
   val t02Oracle: String = {
