@@ -56,17 +56,7 @@ object LangModel {
     * n_bigrams = 0, ll_micro = 0, mean_ll = null.
     */
   def bigramScore(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val base = Dedup.scopedCache(
-      docs.select(id.as("doc_id"), Text.tokens(Text.normalize(text)).as("toks")))
-
-    val pairs = Dedup.scopedCache(base
-      .filter(col("toks").isNotNull && size(col("toks")) >= 2)
-      .select(col("doc_id"),
-        explode(zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+    val (base, pairs) = bigramStream(docs, id, text)
 
     val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
@@ -100,6 +90,100 @@ object LangModel {
         // back to NATS for the consumer-facing mean (the micro scale
         // exists only to make the sum order-independent) — a CCNet
         // perplexity cutoff applies to this column directly
+        when(col("n_bigrams").isNotNull,
+          (col("ll_micro").cast("double") / lit(1000000.0)) / col("n_bigrams").cast("double"))
+          .as("mean_ll"))
+  }
+
+  /** The tokenized and bigram streams shared by fit and score —
+    * single owner so the persisted-model path cannot drift from
+    * [[bigramScore]]'s arithmetic.
+    */
+  private def bigramStream(docs: DataFrame, id: Column, text: Column): (DataFrame, DataFrame) = {
+    val base = Dedup.scopedCache(
+      docs.select(id.as("doc_id"), Text.tokens(Text.normalize(text)).as("toks")))
+    val pairs = Dedup.scopedCache(base
+      .filter(col("toks").isNotNull && size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+    (base, pairs)
+  }
+
+  /** FIT the LM once and PERSIST it — the fit/transform split the
+    * 100 TB deployment actually runs (one fit job over the reference
+    * corpus; daily scoring jobs read the model and only pay the
+    * broadcast joins, never a second corpus aggregation):
+    *
+    *   `path/bigrams`  (w1, w2, c2)
+    *   `path/unigrams` (w1, c1)
+    *   `path/stats`    1-row (vocab_v) sidecar — written LAST, the
+    *                   index-complete marker (the Ann/Bm25 crash
+    *                   ordering: [[scoreWith]] fails loudly on a
+    *                   missing sidecar, never serves a half-written
+    *                   model silently).
+    */
+  def fit(
+      docs: DataFrame, id: Column, text: Column, path: String): Unit = {
+    val spark = docs.sparkSession
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // in-place refit: the OLD sidecar must stop being a valid marker
+    // before the lakes are touched (see Bm25.buildLexIndex)
+    fs.delete(statsPath, true)
+    val (base, pairs) = bigramStream(docs, id, text)
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    c2.write.mode("overwrite").parquet(s"$path/bigrams")
+    // c1 derives from the WRITTEN bigrams, not the live stream: the
+    // persisted pair must be mutually consistent even if the caller's
+    // frame is nondeterministic (sample/limit)
+    spark.read.parquet(s"$path/bigrams")
+      .groupBy("w1").agg(sum("c2").as("c1"))
+      .write.mode("overwrite").parquet(s"$path/unigrams")
+    val v = base.filter(col("toks").isNotNull)
+      .select(explode(col("toks")).as("w"))
+      .agg(count_distinct(col("w"))).head().getLong(0)
+    import spark.implicits._
+    Seq(v).toDF("vocab_v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Score docs against a PERSISTED [[fit]] model. Arithmetic is
+    * [[bigramScore]]'s exactly — on the fit corpus itself the outputs
+    * are bit-identical (spec-pinned; the t10 oracle is t09's verbatim)
+    * — but the count joins are LEFT with zero-coalesce: add-one
+    * smoothing defines unseen bigrams/unigrams naturally as
+    * (0+1)/(c1+V) and (0+1)/(0+V), which is what makes the model
+    * usable on NEW text (the actual CCNet deployment: fit on clean
+    * reference text, score the crawl).
+    */
+  def scoreWith(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val vRows = spark.read.parquet(s"$path/stats").select("vocab_v").collect()
+    require(vRows.length == 1, s"$path/stats is not a 1-row LM sidecar -- not a fitted model")
+    val v = vRows(0).getLong(0)
+    val c2 = spark.read.parquet(s"$path/bigrams")
+    val c1 = spark.read.parquet(s"$path/unigrams")
+    val (base, pairs) = bigramStream(docs, id, text)
+    val terms = pairs
+      .join(broadcast(c2), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .select(col("doc_id"),
+        round(log(
+          (coalesce(col("c2"), lit(0L)).cast("double") + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)).cast("double") + lit(v.toDouble))) * lit(1000000.0))
+          .cast("long").as("t_micro"))
+    val perDoc = terms.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"), sum("t_micro").as("ll_micro"))
+    base.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("ll_micro"), lit(0L)).as("ll_micro"),
         when(col("n_bigrams").isNotNull,
           (col("ll_micro").cast("double") / lit(1000000.0)) / col("n_bigrams").cast("double"))
           .as("mean_ll"))

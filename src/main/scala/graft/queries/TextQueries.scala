@@ -561,6 +561,22 @@ object TextQueries {
     graft.operators.LangModel.bigramScore(docs(s, dir), col("doc_id"), col("text"))
       .orderBy("doc_id")
 
+  /** Persisted-model twin of t09 ([[graft.operators.LangModel.fit]] →
+    * parquet model → [[graft.operators.LangModel.scoreWith]]) — the
+    * fit/transform split the 100 TB deployment runs (fit once on the
+    * reference corpus; scoring jobs read the model). On the fit corpus
+    * itself the left-join-with-zero-coalesce scoring is arithmetically
+    * identical to the one-shot form, so the oracle is t09's VERBATIM —
+    * the r01/r03 persisted-twin pattern applied to the LM.
+    */
+  def t10BigramLlModel(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.queries.Scratch.wiped(s, "lm_model", dir)
+    val d = docs(s, dir)
+    graft.operators.LangModel.fit(d, col("doc_id"), col("text"), path)
+    graft.operators.LangModel.scoreWith(s, path, d, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
   val t09Oracle: String =
     s"""WITH d AS (
        |  SELECT doc_id,
@@ -601,6 +617,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t09_bigram_ll" -> (t09BigramLl _),
+    "t10_bigram_ll_model" -> (t10BigramLlModel _),
     "t07_repetition" -> (t07Repetition _),
     "t08_pii" -> (t08Pii _),
     "m02_media_features" -> (m02MediaFeatures _),
@@ -618,6 +635,10 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "t09_bigram_ll" -> t09Oracle,
+    // the persisted-model twin scores the SAME corpus it was fit on:
+    // left-join + zero-coalesce ≡ the one-shot inner join there, so
+    // t09's full-model replay gates the whole fit→persist→score path
+    "t10_bigram_ll_model" -> t09Oracle,
     "t07_repetition" -> t07Oracle,
     "t08_pii" -> t08Oracle,
     "m02_media_features" -> m02Oracle,

@@ -52,4 +52,36 @@ class LangModelSpec extends SparkSpecBase {
     assert(typMean > gibMean + 1.0,
       s"LM failed to separate typical ($typMean) from gibberish ($gibMean)")
   }
+
+  test("fit/scoreWith: persisted model ≡ one-shot on the fit corpus; smoothing handles unseen text") {
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_lm_model").toString + "/m"
+    LangModel.fit(corpus, col("doc_id"), col("text"), path)
+    // the persisted lakes hold exactly the hand-computed model
+    val c2 = spark.read.parquet(s"$path/bigrams").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(c2 == Map(("a", "b") -> 3L, ("b", "a") -> 1L, ("b", "c") -> 1L), s"$c2")
+    assert(spark.read.parquet(s"$path/stats").head.getLong(0) == 4L) // V = {a,b,c,z}
+    // scoring the FIT corpus through the model is bit-identical to the
+    // one-shot form (this is also what lets t10 reuse t09's oracle)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(LangModel.scoreWith(spark, path, corpus, col("doc_id"), col("text"))) ==
+      rows(LangModel.bigramScore(corpus, col("doc_id"), col("text"))))
+    // NEW text with an unseen bigram: add-one smoothing defines it as
+    // (0+1)/(c1+V); an unseen FIRST word as (0+1)/(0+V)
+    val fresh = Seq((10L, "a z"), (11L, "q q")).toDF("doc_id", "text")
+    val out = LangModel.scoreWith(spark, path, fresh, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def micro2(x: Double): Long = math.round(math.log(x) * 1000000.0)
+    assert(out(10L) == micro2(1.0 / (3.0 + 4.0)), s"unseen bigram (a,z): ${out(10L)}")
+    assert(out(11L) == micro2(1.0 / (0.0 + 4.0)), s"unseen unigram (q): ${out(11L)}")
+    // crash ordering: a model dir without its stats sidecar refuses
+    // loudly instead of serving a half-written model
+    val half = java.nio.file.Files.createTempDirectory("graft_lm_half").toString + "/m"
+    spark.read.parquet(s"$path/bigrams").write.parquet(s"$half/bigrams")
+    spark.read.parquet(s"$path/unigrams").write.parquet(s"$half/unigrams")
+    intercept[Exception](
+      LangModel.scoreWith(spark, half, fresh, col("doc_id"), col("text")).collect())
+  }
 }
