@@ -429,19 +429,36 @@ object Ann {
     * this is the single owner of that rule; `otherVerb` names the verb
     * the caller should have used on the other index type.
     */
+  /** Directed-misuse guard across the three index layouts sharing the
+    * codebook/base shape: a plain-IVF verb must refuse a PQ or SQ8
+    * index (its base holds codes, not vectors) and vice versa.
+    * `expect` is the quantizer sidecar dir this verb's layout carries —
+    * "pq", "sq", or "" for plain IVF.
+    */
+  private[operators] def requireQuantizerMarker(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      expect: String, otherVerb: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def has(m: String) = fs.exists(new org.apache.hadoop.fs.Path(s"$path/$m"))
+    val present = Seq("pq", "sq").filter(has)
+    expect match {
+      case "" =>
+        require(present.isEmpty,
+          s"$path is an IVF-${present.headOption.getOrElse("?").toUpperCase} index " +
+            s"(has a ${present.headOption.getOrElse("?")} sidecar) -- use $otherVerb")
+      case m =>
+        require(has(m),
+          s"$path has no $m sidecar -- not this verb's index layout; use $otherVerb")
+        require(present == Seq(m),
+          s"$path carries conflicting quantizer sidecars ($present) -- corrupt index")
+    }
+  }
+
   private[operators] def requirePqMarker(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      expectPq: Boolean, otherVerb: String): Unit = {
-    val pqMarker = new org.apache.hadoop.fs.Path(s"$path/pq")
-    val hasPq =
-      pqMarker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(pqMarker)
-    if (expectPq)
-      require(hasPq,
-        s"$path has no pq sidecar -- it is a plain IVF index; use $otherVerb")
-    else
-      require(!hasPq,
-        s"$path is an IVF-PQ index (has a pq sidecar) -- use $otherVerb")
-  }
+      expectPq: Boolean, otherVerb: String): Unit =
+    requireQuantizerMarker(spark, path, if (expectPq) "pq" else "", otherVerb)
 
   /** Shared removal core for the IVF and IVF-PQ index layouts (they
     * differ only in what the base rows hold and which rows count toward

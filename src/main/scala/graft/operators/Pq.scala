@@ -182,7 +182,7 @@ object Pq {
     * the compressed-domain shortlist, the probed-cell scan, and the
     * source rerank scan each execute exactly once per query call.
     */
-  private def rerankExact(
+  private[operators] def rerankExact(
       short: DataFrame, b: DataFrame, q: DataFrame, k: Int,
       requireFullCoverage: Boolean = false): DataFrame = {
     val pairs = short.select("q_id", "b_id")

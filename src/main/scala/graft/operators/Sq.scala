@@ -133,7 +133,7 @@ object Sq {
     * violation degrades to.
     */
   private def encodedBase(
-      base: DataFrame, baseId: Column, baseVec: Column): (DataFrame, DataFrame, Int) = {
+      base: DataFrame, baseId: Column, baseVec: Column): (DataFrame, DataFrame, Int, Sq8Stats) = {
     val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
       .filter(col("b_emb").isNotNull &&
         forall(col("b_emb"), x =>
@@ -152,7 +152,7 @@ object Sq {
       .withColumn("recon", decodeExpr(col("codes"), st))
       .withColumn("r_nrm", Vectors.norm2(col("recon")))
       .filter(col("r_nrm") > 0)
-    (b, enc, d)
+    (b, enc, d, st)
   }
 
   def knnSq8(
@@ -160,7 +160,7 @@ object Sq {
       queries: DataFrame, qId: Column, qVec: Column,
       k: Int, shortlist: Int = 0): DataFrame = {
     val sl = Pq.shortlistSize(shortlist, k)
-    val (b, enc, d) = encodedBase(base, baseId, baseVec)
+    val (b, enc, d, _) = encodedBase(base, baseId, baseVec)
 
     val q = queries.select(qId.as("q_id"), qVec.as("q_emb"))
       .withColumn("q_nrm", Vectors.norm2(col("q_emb")))
@@ -204,7 +204,7 @@ object Sq {
     // the coarse quantizer fits on the SAME gated rows it will assign,
     // and the cell assignment is a narrow per-row pass over both the
     // raw and encoded frames
-    val (b0, enc0, _) = encodedBase(base, baseId, baseVec)
+    val (b0, enc0, _, _) = encodedBase(base, baseId, baseVec)
     val codebook = Ann.fitCodebook(
       b0.select(col("b_id"), col("b_emb")), nlist, seed, maxFit)
     val b = b0
@@ -234,5 +234,175 @@ object Sq {
       .select(col("q_id"), col("b_id"),
         (Vectors.dot(col("b_emb"), col("q_emb")) / (col("b_nrm") * col("q_nrm"))).as("sim"))
     Ann.topkPerQuery(exact, k)
+  }
+
+  // ------------------------------------------------ persisted index
+
+  /** Build a PERSISTED IVF-SQ8 index — the byte-code serving tier that
+    * completes the quantizer-ladder lifecycle (plain IVF: `Ann.*Index`,
+    * IVF-PQ: `Pq.*IvfPqIndex`, and now IVF-SQ8): the base stores ONLY
+    * (b_id, codes, r_nrm) partitioned by coarse cell (D bytes of codes
+    * per row vs 4·D of floats — FAISS `IndexIVFScalarQuantizer`'s
+    * layout), originals stay in the source table and are joined back
+    * for the exact-rerank shortlist only. Layout:
+    * `path/base` (b_id, codes, r_nrm; cell = partition key),
+    * `path/sq` (one row per dimension: mn, mx — the closed-form
+    * quantizer, also this layout's type marker for the cross-verb
+    * guards), `path/codebook` (coarse sidecar + occupancy, written
+    * LAST — the index-complete marker, the family's crash ordering).
+    *
+    * The SQ8 stats and the coarse codebook are fit on the SAME gated
+    * base [[knnIvfSq8]] fits on (single owner: the encodedBase gates),
+    * so build+query at nprobe/shortlist equals the on-the-fly
+    * composition bit-for-bit (spec-pinned).
+    */
+  def buildIvfSq8Index(
+      base: DataFrame, baseId: Column, baseVec: Column, path: String,
+      nlist: Int = 16, seed: Long = 42L, maxFit: Long = 100000L): Unit = {
+    val spark = base.sparkSession
+    val (b, enc, d, st) = encodedBase(base, baseId, baseVec)
+    val codebook = Ann.fitCodebook(
+      b.select(col("b_id"), col("b_emb")), nlist, seed, maxFit)
+    enc
+      .withColumn("cell", Ann.cellExpr(col("b_emb"), codebook))
+      .filter(col("cell").isNotNull)
+      .select("b_id", "codes", "r_nrm", "cell")
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/base")
+    val members = spark.read.parquet(s"$path/base")
+      .groupBy("cell").agg(count(lit(1)).as("__m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(members.nonEmpty,
+      s"no base row was SQ8-scoreable for $path -- empty or non-finite corpus?")
+    import spark.implicits._
+    // sq sidecar BEFORE the codebook (the index-complete marker lands
+    // last): a crash between the two leaves an index every entry point
+    // rejects loudly (readCodebookSidecar: no codebook dir)
+    (0 until d).map(i => (i, st.mins(i), st.maxs(i)))
+      .toDF("dim_idx", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/sq")
+    Ann.writeCodebookSidecar(spark, path, codebook, members, atomicSwap = false)
+  }
+
+  /** The persisted quantizer of an IVF-SQ8 index — bounded collect of
+    * D rows, validated dense (a gap would decode every code of that
+    * dimension wrongly; fail loudly like Pq.loadPqTables).
+    */
+  private def loadSqStats(
+      spark: org.apache.spark.sql.SparkSession, path: String): Sq8Stats = {
+    val rows = spark.read.parquet(s"$path/sq")
+      .select("dim_idx", "mn", "mx").collect()
+    require(rows.nonEmpty, s"$path/sq is empty -- not an IVF-SQ8 index")
+    val d = rows.map(_.getInt(0)).max + 1
+    require(rows.length == d && rows.map(_.getInt(0)).distinct.length == d,
+      s"$path/sq is not a dense $d-dimension stats table -- corrupt index")
+    val sorted = rows.sortBy(_.getInt(0))
+    Sq8Stats(sorted.map(_.getDouble(1)), sorted.map(_.getDouble(2)))
+  }
+
+  /** KNN against a persisted [[buildIvfSq8Index]] index: probe ranks
+    * from the codebook sidecar, a partition-pruned CODES scan of only
+    * the probed cells, ADC on the decoded reconstruction, exact rerank
+    * against `source` (the corpus table holding the original vectors —
+    * the `requireFullCoverage` drift guard of the PQ path applies).
+    * Same caller cache contract as [[Ann.queryIvfIndex]].
+    */
+  def queryIvfSq8Index(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      source: DataFrame, srcId: Column, srcVec: Column,
+      queries: DataFrame, qId: Column, qVec: Column,
+      k: Int, nprobe: Int = 4, shortlist: Int = 0,
+      eligible: Option[(DataFrame, Column)] = None): DataFrame = {
+    Ann.requireBaseServable(spark, path)
+    Ann.requireQuantizerMarker(spark, path, "sq",
+      "Ann.queryIvfIndex / Pq.queryIvfPqIndex")
+    val sl = Pq.shortlistSize(shortlist, k)
+    val st = loadSqStats(spark, path)
+    val (coarse, members) = Ann.readCodebookSidecar(spark, path)
+    val live = members.collect { case (c, m) if m > 0 => c }.toSeq
+    val centDf = Ann.centroidFrame(spark, coarse)
+      .filter(col("cell").isin(live.map(Int.box): _*))
+    val q = Ann.validQueries(queries, qId, qVec)
+    Ann.requireQueryDim(q, st.dim)
+    val (cells, probed) = Ann.probePruned(q, centDf, nprobe)
+    val pruned = spark.read.parquet(s"$path/base")
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+    val filtered = eligible match {
+      case Some((el, elId)) =>
+        pruned.join(el.select(elId.as("b_id")), Seq("b_id"), "left_semi")
+      case None => pruned
+    }
+    val approx = filtered
+      .join(broadcast(probed), "cell")
+      .withColumn("recon", decodeExpr(col("codes"), st))
+      .select(col("q_id"), col("b_id"),
+        (Vectors.dot(col("recon"), col("q_emb")) / (col("r_nrm") * col("qp_nrm"))).as("sim"))
+    val short = Ann.topkPerQuery(approx, sl)
+    val src = source.select(srcId.as("b_id"), srcVec.as("b_emb"))
+      .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+      .filter(col("b_nrm") > 0)
+    Pq.rerankExact(short, src, q, k, requireFullCoverage = true)
+  }
+
+  /** Incrementally extend a persisted [[buildIvfSq8Index]] index: new
+    * rows are gated by the SAME scoreable filters, encoded with the
+    * PERSISTED stats and assigned with the PERSISTED coarse codebook
+    * (no re-fit — build+add equals build-all-with-the-same-model),
+    * appended to the cell partitions, occupancy refreshed from the
+    * files this add wrote ([[Ann.addToIvfIndex]]'s listing-diff
+    * discipline and not-transactional caveat).
+    */
+  def addToIvfSq8Index(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      rows: DataFrame, id: Column, vec: Column): Unit = {
+    Ann.requireQuantizerMarker(spark, path, "sq",
+      "Ann.addToIvfIndex / Pq.addToIvfPqIndex")
+    val st = loadSqStats(spark, path)
+    val (coarse, prevMembers) = Ann.readCodebookSidecar(spark, path)
+    val basePath = s"$path/base"
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = Ann.listDataFiles(fs, basePath)
+    rows.select(id.as("b_id"), vec.as("b_emb"))
+      .filter(col("b_emb").isNotNull &&
+        forall(col("b_emb"), x =>
+          x.isNotNull && !isnan(x) && abs(x) < lit(Float.PositiveInfinity)))
+      .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+      .filter(col("b_nrm") > 0)
+      .filter(size(col("b_emb")) === st.dim)
+      .withColumn("codes", encodeExpr(col("b_emb"), st))
+      .filter(forall(col("codes"), c => c.isNotNull))
+      .withColumn("recon", decodeExpr(col("codes"), st))
+      .withColumn("r_nrm", Vectors.norm2(col("recon")))
+      .filter(col("r_nrm") > 0)
+      .withColumn("cell", Ann.cellExpr(col("b_emb"), coarse))
+      .filter(col("cell").isNotNull)
+      .select("b_id", "codes", "r_nrm", "cell")
+      .write.partitionBy("cell").mode("append").parquet(basePath)
+    val newFiles = (Ann.listDataFiles(fs, basePath) -- before).toSeq
+    val delta =
+      if (newFiles.isEmpty) Map.empty[Int, Long]
+      else spark.read.option("basePath", basePath).parquet(newFiles: _*)
+        .groupBy("cell").agg(count(lit(1)).as("__m"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(delta.nonEmpty || rows.isEmpty,
+      s"no increment row was SQ8-scoreable for $path -- does the increment's " +
+        s"embedding dimension match the fitted stats (dim ${st.dim})?")
+    val merged = (prevMembers.keySet ++ delta.keySet).map(c =>
+      c -> (prevMembers.getOrElse(c, 0L) + delta.getOrElse(c, 0L))).toMap
+    Ann.writeCodebookSidecar(spark, path, coarse, merged, atomicSwap = true)
+  }
+
+  /** Retention-delete from a persisted IVF-SQ8 index — delegates to the
+    * family's shared removal core (materialized victims, cell-confined
+    * anti-join rewrite, row-count gate, park-and-swap, absolute
+    * occupancy): every persisted codes row is scoreable by
+    * construction, like the PQ twin.
+    */
+  def removeFromIvfSq8Index(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      victims: DataFrame, vicId: Column): Unit = {
+    Ann.requireQuantizerMarker(spark, path, "sq",
+      "Ann.removeFromIvfIndex / Pq.removeFromIvfPqIndex")
+    Ann.removeFromIndexBase(spark, path, victims, vicId, lit(true))
   }
 }

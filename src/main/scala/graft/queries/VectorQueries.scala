@@ -622,8 +622,45 @@ object VectorQueries {
 
   val v16Oracle: String = selfVerifyingKnnOracle("v16_knn_ivfsq8", k = 5)
 
+  /** FULL lifecycle of the persisted IVF-SQ8 index
+    * ([[graft.operators.Sq.buildIvfSq8Index]] → add → remove → query):
+    * the byte-code serving tier that completes the quantizer ladder's
+    * persisted forms (IVF v07/v08/v13, IVF-PQ v11-v13, now IVF-SQ8).
+    * Build from the even ids, append the odd ids with the PERSISTED
+    * stats+codebook (no re-fit), retention-delete every third id from
+    * both views, query through the codes-only probed-cell scan with
+    * exact rerank against the source. Oracle: the shared
+    * self-verifying contract plus the v13 ghost-id exclusion.
+    */
+  def v17IvfSq8Lifecycle(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = Scratch.wiped(s, "ivfsq8_index", dir)
+    graft.operators.Sq.buildIvfSq8Index(
+      e.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), path, nlist = 8)
+    graft.operators.Sq.addToIvfSq8Index(
+      s, path,
+      e.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"))
+    graft.operators.Sq.removeFromIvfSq8Index(
+      s, path,
+      e.filter(col("vec_id") >= 10 && col("vec_id") % 3 === 0), col("vec_id"))
+    graft.operators.Sq.queryIvfSq8Index(
+      s, path,
+      e.filter(col("vec_id") >= 10 && col("vec_id") % 3 =!= 0),
+      col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 5, nprobe = 7, shortlist = 50)
+      .orderBy("q_id", "rank")
+  }
+
+  val v17Oracle: String = selfVerifyingKnnOracle(
+    "v17_ivfsq8_index", k = 5,
+    ghostBWhere = Some("b_id >= 10 AND b_id % 3 = 0"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v16_knn_ivfsq8" -> (v16KnnIvfSq8 _),
+    "v17_ivfsq8_index" -> (v17IvfSq8Lifecycle _),
     "v15_knn_sq8" -> (v15KnnSq8 _),
     "v01_knn_bruteforce" -> (v01KnnBruteForce _),
     "v02_label_stats" -> (v02LabelStats _),
@@ -643,6 +680,7 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "v16_knn_ivfsq8" -> v16Oracle,
+    "v17_ivfsq8_index" -> v17Oracle,
     "v15_knn_sq8" -> v15Oracle,
     "v01_knn_bruteforce" -> v01Oracle,
     "v02_label_stats" -> v02Oracle,

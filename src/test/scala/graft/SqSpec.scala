@@ -144,6 +144,71 @@ class SqSpec extends SparkSpecBase {
     assert(rows(ivf) === rows(flat))
   }
 
+  test("persisted IVF-SQ8: build+query ≡ on-the-fly composition bit-for-bit") {
+    val rnd = new scala.util.Random(17)
+    val base = (0 until 200).map(i =>
+      (100L + i, Array.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
+      .toDF("vec_id", "embedding")
+    val qs = (0 until 6).map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextFloat() - 0.5f) * 2)))
+      .toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfsq8").toString + "/ix"
+    Sq.buildIvfSq8Index(base, col("vec_id"), col("embedding"), p, nlist = 8)
+    val served = Sq.queryIvfSq8Index(
+      spark, p, base, col("vec_id"), col("embedding"),
+      qs, col("vec_id"), col("embedding"), k = 5, nprobe = 4, shortlist = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val fly = Sq.knnIvfSq8(
+      base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
+      k = 5, nlist = 8, nprobe = 4, shortlist = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(served == fly, "persisted IVF-SQ8 diverged from the on-the-fly composition")
+    // the base lake stores codes + r_nrm only (the compression story)
+    val cols = spark.read.parquet(s"$p/base").columns.toSet
+    assert(cols == Set("b_id", "codes", "r_nrm", "cell"), s"$cols")
+  }
+
+  test("persisted IVF-SQ8 lifecycle: add serves new ids, remove never serves victims, guards fire") {
+    val rnd = new scala.util.Random(23)
+    def vecs(ids: Range) = ids.map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextFloat() - 0.5f) * 2))).toDF("vec_id", "embedding")
+    // ONE materialized frame, split by parity (vecs regenerates random
+    // data per call — reusing it would diverge the halves)
+    val all = vecs(100 until 200).cache(); all.count()
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfsq8_lc").toString + "/ix"
+    Sq.buildIvfSq8Index(all.filter(col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), p, nlist = 4)
+    Sq.addToIvfSq8Index(spark, p, all.filter(col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"))
+    val qs = all.limit(6).select(col("vec_id"), col("embedding"))
+    def servedIds() = Sq.queryIvfSq8Index(
+      spark, p, all, col("vec_id"), col("embedding"),
+      qs, col("vec_id"), col("embedding"), k = 5, nprobe = 4, shortlist = 60)
+      .select("b_id").as[Long].collect().toSet
+    // querying each vector with itself in the index: odd ids reachable
+    assert(servedIds().exists(_ % 2 == 1), "added odd ids never served")
+    // remove all odd ids; they must never be served again
+    Sq.removeFromIvfSq8Index(spark, p,
+      all.filter(col("vec_id") % 2 === 1), col("vec_id"))
+    val after = Sq.queryIvfSq8Index(
+      spark, p, all.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"),
+      qs, col("vec_id"), col("embedding"), k = 5, nprobe = 4, shortlist = 60)
+      .select("b_id").as[Long].collect().toSet
+    assert(after.nonEmpty && after.forall(_ % 2 == 0), s"removed ids served: $after")
+    // directed-misuse guards: plain-IVF verbs refuse the sq layout...
+    intercept[IllegalArgumentException](graft.operators.Ann.addToIvfIndex(
+      spark, p, all.limit(2), col("vec_id"), col("embedding")))
+    // ...and the sq verbs refuse a plain IVF index
+    val plain = java.nio.file.Files.createTempDirectory("graft_plain_ivf").toString + "/ix"
+    graft.operators.Ann.buildIvfIndex(all, col("vec_id"), col("embedding"), plain, nlist = 4)
+    intercept[IllegalArgumentException](Sq.addToIvfSq8Index(
+      spark, plain, all.limit(2), col("vec_id"), col("embedding")))
+    intercept[IllegalArgumentException](Sq.queryIvfSq8Index(
+      spark, plain, all, col("vec_id"), col("embedding"),
+      qs, col("vec_id"), col("embedding"), k = 2))
+    all.unpersist()
+  }
+
   test("a wrong-dimension query fails loudly instead of reading as no-neighbors") {
     val base = Seq((10L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (11L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
