@@ -449,7 +449,10 @@ object Ann {
             s"(has a ${present.headOption.getOrElse("?")} sidecar) -- use $otherVerb")
       case m =>
         require(has(m),
-          s"$path has no $m sidecar -- not this verb's index layout; use $otherVerb")
+          if (present.isEmpty)
+            s"$path has no $m sidecar -- it is a plain IVF index; use $otherVerb"
+          else
+            s"$path carries a ${present.head} sidecar, not $m -- use $otherVerb")
         require(present == Seq(m),
           s"$path carries conflicting quantizer sidecars ($present) -- corrupt index")
     }
