@@ -863,6 +863,71 @@ object Ann {
       .filter(col("sim") >= minSim)
   }
 
+  /** SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup:
+    * data-efficient learning at web-scale through semantic
+    * deduplication"): embedding-CLUSTER the corpus with the coarse
+    * k-means quantizer, then find cosine-τ near-duplicate pairs
+    * WITHIN each cluster — candidate generation is cluster-bounded
+    * (Σ|cell|² pairwise work, never corpus-quadratic), which is what
+    * makes semantic dedup tractable at web scale. A τ-pair split
+    * across a cluster boundary is missed: the paper's deliberate
+    * recall trade, measured here in ScalaTest (the clustered-fixture
+    * spec pins within-cluster recall at 1.0) — candidate selection is
+    * engine-side like [[knnIvf]]'s cells, so the d06 oracle verifies
+    * every REPORTED pair's cosine bit-for-bit plus a non-vacuous
+    * floor, and deliberately does not constrain which pairs were
+    * considered.
+    *
+    * SIZE nlist TO THE CORPUS (the paper runs tens of thousands of
+    * clusters): mean cell size = N/nlist drives the per-cell pairwise
+    * cost, and a hot cell is AQE's skew case on the self-join.
+    * Reported sims are exact strict-fold cosines over the ORIGINAL
+    * vectors (the [[cosineNeardupLsh]] arithmetic — hoisted norms,
+    * same operand order).
+    */
+  def semDedupPairs(
+      df: DataFrame, id: Column, vec: Column, tau: Double,
+      nlist: Int = 16, seed: Long = 42L, maxFit: Long = 100000L): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val e = Dedup.scopedCache(
+      df.select(id.as("vec_id"), vec.as("emb"))
+        .withColumn("nrm", Vectors.norm2(col("emb")))
+        .filter(col("nrm") > 0))
+    val codebook = fitCodebook(
+      e.select(col("vec_id").as("b_id"), col("emb").as("b_emb")), nlist, seed, maxFit)
+    val cells = Dedup.scopedCache(
+      e.withColumn("cell", cellExpr(col("emb"), codebook))
+        .filter(col("cell").isNotNull))
+    cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        (Vectors.dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+
+  /** SemDeDup keep/drop decisions: [[semDedupPairs]] →
+    * [[Dedup.groupPairs]] connected components → keep the smallest id
+    * per component (the repo's deterministic keep-first convention; the
+    * paper keeps by centroid distance — a policy choice, not a
+    * correctness one). One row per scoreable input:
+    * (doc_id, group_id, keep).
+    */
+  def semDedup(
+      df: DataFrame, id: Column, vec: Column, tau: Double,
+      nlist: Int = 16, seed: Long = 42L, maxFit: Long = 100000L): DataFrame = {
+    val pairs = semDedupPairs(df, id, vec, tau, nlist, seed, maxFit)
+    val groups = Dedup.groupPairs(pairs)
+    df.select(id.as("doc_id"), vec.as("__v"))
+      .filter(Vectors.norm2(col("__v")) > 0)
+      .select("doc_id")
+      .join(groups, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"),
+        (coalesce(col("group_id"), col("doc_id")) === col("doc_id")).as("keep"))
+  }
+
   /** Approximate top-k via sign-LSH bucketing: candidates are base rows
     * sharing the query's bucket in ANY of `tables` independent hash
     * tables; rank within the deduplicated candidate set. Recall rises

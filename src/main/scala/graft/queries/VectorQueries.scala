@@ -658,9 +658,60 @@ object VectorQueries {
     "v17_ivfsq8_index", k = 5,
     ghostBWhere = Some("b_id >= 10 AND b_id % 3 = 0"))
 
+  /** SemDeDup candidate pairs ([[graft.operators.Ann.semDedupPairs]]):
+    * embedding-cluster the corpus (k-means cells), τ-near pairs found
+    * WITHIN clusters only — the Abbas et al. 2023 recipe that keeps
+    * semantic dedup near-linear at web scale. Cluster assignment is
+    * engine-side (like v05's cells), so the oracle is the
+    * verify-the-scores pattern: every reported pair's sim must equal
+    * the DuckDB strict-fold cosine bit-for-bit and clear τ, pairs must
+    * be ordered/distinct, and a NON-VACUOUS floor fails an empty dump
+    * whenever the corpus holds ANY global τ-pair (clusters splitting
+    * every single one of ~10³ co-directional pairs is not a plausible
+    * correct outcome; per-pair coverage stays deliberately
+    * unconstrained, measured in ScalaTest instead).
+    */
+  def d06SemdedupPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ann.semDedupPairs(
+      emb(s, dir), col("vec_id"), col("embedding"), tau = 0.3, nlist = 8)
+      .orderBy("d1", "d2")
+
+  val d06Oracle: String = {
+    val want = s"${duckDot("a_emb", "b_emb")} / (${duckNorm("a_emb")} * ${duckNorm("b_emb")})"
+    s"""WITH o AS (
+       |  SELECT d1, d2, sim FROM read_parquet('__GRAFT_OUT__/d06_semdedup_pairs/*.parquet')
+       |), chk AS (
+       |  SELECT o.d1, o.d2, o.sim, $want AS want
+       |  FROM o
+       |  JOIN (SELECT vec_id, embedding AS a_emb FROM embeddings) a ON a.vec_id = o.d1
+       |  JOIN (SELECT vec_id, embedding AS b_emb FROM embeddings) b ON b.vec_id = o.d2
+       |), ok AS (
+       |  SELECT DISTINCT d1, d2, sim FROM chk
+       |  WHERE sim = want AND sim >= 0.3 AND d1 < d2
+       |), globalpairs AS (
+       |  SELECT count(*) AS n FROM (
+       |    SELECT 1
+       |    FROM (SELECT vec_id, embedding AS a_emb FROM embeddings) a
+       |    JOIN (SELECT vec_id, embedding AS b_emb FROM embeddings) b
+       |      ON a.vec_id < b.vec_id
+       |    WHERE $want >= 0.3)
+       |), missing AS (
+       |  -- non-vacuous floor: an EMPTY dump while τ-pairs exist
+       |  -- corpus-wide forces a count mismatch
+       |  SELECT CAST(NULL AS BIGINT) AS d1, CAST(NULL AS BIGINT) AS d2,
+       |         CAST(NULL AS DOUBLE) AS sim
+       |  FROM globalpairs
+       |  WHERE n > 0 AND NOT EXISTS (SELECT 1 FROM o)
+       |)
+       |SELECT d1, d2, sim FROM ok
+       |UNION ALL SELECT d1, d2, sim FROM missing
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v16_knn_ivfsq8" -> (v16KnnIvfSq8 _),
     "v17_ivfsq8_index" -> (v17IvfSq8Lifecycle _),
+    "d06_semdedup_pairs" -> (d06SemdedupPairs _),
     "v15_knn_sq8" -> (v15KnnSq8 _),
     "v01_knn_bruteforce" -> (v01KnnBruteForce _),
     "v02_label_stats" -> (v02LabelStats _),
@@ -681,6 +732,7 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "v16_knn_ivfsq8" -> v16Oracle,
     "v17_ivfsq8_index" -> v17Oracle,
+    "d06_semdedup_pairs" -> d06Oracle,
     "v15_knn_sq8" -> v15Oracle,
     "v01_knn_bruteforce" -> v01Oracle,
     "v02_label_stats" -> v02Oracle,

@@ -819,6 +819,49 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(math.abs(mixed.count() - 5000.0) < 300, s"temperatureMix kept ${mixed.count()}")
   }
 
+  test("semDedup: within-cluster pairs exact on separable data; keep-one-per-component decisions") {
+    import graft.operators.{Ann, Dedup}
+    // 5 well-separated direction clusters: every τ-pair is
+    // within-cluster by construction, so k-means candidate generation
+    // loses NOTHING here and the pair set must equal brute force
+    val dim = 16
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 100).map { i =>
+      val c = i % 5
+      (100L + i, Array.tabulate(dim)(j =>
+        (if (j == c) 10.0 else 0.0).toFloat + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val brute = Ann.knnBruteForce( // reuse exact cosine machinery for ground truth
+      df, col("vec_id"), col("embedding"), df, col("vec_id"), col("embedding"), k = 100)
+      .filter(col("q_id") < col("b_id") && col("sim") >= 0.9)
+      .select(col("q_id").as("d1"), col("b_id").as("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Dedup.scoped {
+      Ann.semDedupPairs(df, col("vec_id"), col("embedding"), tau = 0.9, nlist = 5)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(brute.nonEmpty, "fixture produced no τ-pairs — vacuous")
+    assert(found == brute,
+      s"semDedup pairs diverged from brute force on separable clusters " +
+        s"(missing ${(brute -- found).size}, extra ${(found -- brute).size})")
+    // decisions: same-direction docs collapse to one kept per
+    // component; the kept doc is the component's min id
+    val dec = Dedup.scoped {
+      Ann.semDedup(df, col("vec_id"), col("embedding"), tau = 0.9, nlist = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    }
+    assert(dec.length == 100, "decisions must cover every scoreable row")
+    for ((id, gid, keep) <- dec) {
+      assert(gid <= id, s"group root $gid above member $id")
+      assert(keep == (gid == id), s"keep flag inconsistent for $id")
+    }
+    val keptPerGroup = dec.groupBy(_._2).view.mapValues(_.count(_._3)).toMap
+    assert(keptPerGroup.values.forall(_ == 1), "a component kept != 1 doc")
+    // the 5 tight clusters collapse to exactly 5 kept docs
+    assert(dec.count(_._3) == 5, s"expected 5 survivors, got ${dec.count(_._3)}")
+  }
+
   test("contaminationPairs: known shared n-grams found; broadcast off agrees") {
     import graft.operators.Dedup
     val evalSet = Seq(
