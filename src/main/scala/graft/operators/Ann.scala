@@ -315,6 +315,7 @@ object Ann {
     val b = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
     val fitB = fitOn.map(_.select(baseId.as("b_id"), baseVec.as("b_emb"))).getOrElse(b)
     val codebook = fitCodebook(fitB, nlist, seed, maxFit)
+    invalidateIndexMarker(base.sparkSession, path) // in-place rebuild: see scaladoc
     b.withColumn("cell", cellExpr(col("b_emb"), codebook))
       .filter(col("cell").isNotNull) // see knnIvf
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
@@ -621,6 +622,22 @@ object Ann {
       s"$path/codebook cells are not dense 0..${byCell.length - 1} -- corrupt index")
     (byCell.map(_.getSeq[Double](1).toArray),
       byCell.map(r => r.getInt(0) -> r.getLong(2)).toMap)
+  }
+
+  /** Invalidate the index-complete marker (`path/codebook`) BEFORE an
+    * in-place REBUILD touches the lakes: a crash after the base
+    * overwrite would otherwise pair the NEW base with the STALE
+    * codebook (probe ranking disagreeing with the new cell
+    * assignment — and for the quantizer tiers, stale stats/tables
+    * decoding new codes) and serve silently wrong results. With the
+    * marker gone every crash window refuses loudly at
+    * [[readCodebookSidecar]] instead (the [[graft.operators.Bm25]]
+    * build discipline applied to the ANN family).
+    */
+  private[operators] def invalidateIndexMarker(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/codebook")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit
   }
 
   /** Write the codebook sidecar (centroids in both precisions +

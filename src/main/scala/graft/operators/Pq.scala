@@ -389,6 +389,7 @@ object Pq {
     // sample scan still feeds both quantizers
     val cb = fitFromSample(residualSample(sample, coarse), m, kSub, pqSeed(seed))
     val spark = base.sparkSession
+    Ann.invalidateIndexMarker(spark, path) // in-place rebuild: see its scaladoc
     pqScoreable(b0, coarse, cb)
       .select("b_id", "codes", "d_nrm", "cell")
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/base")

@@ -32,7 +32,12 @@ object Sampling {
     * grouping, so a non-string stratum column (decimal, timestamp,
     * double) cannot silently fall through to the default rate because
     * a `===`-with-string implicit cast disagreed with the map key's
-    * toString.
+    * toString. CALLER CONTRACT for non-string strata: spell map keys
+    * in Spark's cast-string canonical form (a DOUBLE 2 is `"2.0"`,
+    * not `"2"`; a timestamp is its session-zone ISO form) — the
+    * previous `===` numeric coercion accepted loose spellings for
+    * SOME types while silently defaulting others, which is exactly
+    * the ambiguity the single canonical form removes.
     */
   def stratifiedSample(
       df: DataFrame,

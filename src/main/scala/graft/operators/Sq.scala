@@ -263,6 +263,11 @@ object Sq {
     val (b, enc, d, st) = encodedBase(base, baseId, baseVec)
     val codebook = Ann.fitCodebook(
       b.select(col("b_id"), col("b_emb")), nlist, seed, maxFit)
+    // in-place REBUILD: the old index-complete marker must stop being
+    // valid BEFORE the lakes change — a crash after the base overwrite
+    // would otherwise pair new codes with STALE sq stats + codebook
+    // and serve silently wrong results (Ann.invalidateIndexMarker)
+    Ann.invalidateIndexMarker(spark, path)
     enc
       .withColumn("cell", Ann.cellExpr(col("b_emb"), codebook))
       .filter(col("cell").isNotNull)

@@ -55,9 +55,6 @@ object TopK {
   private def beatsL(am: Long, ai: Long, bm: Long, bi: Long): Boolean =
     am > bm || (am == bm && ai < bi)
 
-  private def metric(b: Buf, i: Int): Double =
-    if (b.dbls ne null) b.dbls(i) else b.longs(i).toDouble
-
   private def beats(b: Buf, i: Int, j: Int): Boolean =
     if (b.dbls ne null) beatsD(b.dbls(i), b.ids(i), b.dbls(j), b.ids(j))
     else beatsL(b.longs(i), b.ids(i), b.longs(j), b.ids(j))

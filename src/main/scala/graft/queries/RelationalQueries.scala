@@ -448,9 +448,14 @@ object RelationalQueries {
       struct(col("l_returnflag").as("flag"), year(col("l_shipdate")).as("yr")),
       col("l_orderkey"), k = 64)
       .write.mode("overwrite").parquet(out)
-    // merge increments per flag; estimate without touching lineitem
-    val merged = graft.operators.Sketches.kmvMergeSketches(
-      s.read.parquet(out), col("key.flag"), col("mins"), k = 64)
+    // merge increments per flag; estimate without touching lineitem.
+    // scopedCache: the merged frame feeds BOTH the estimate and the
+    // sketch_fp join — without it the sketch-lake scan + merge
+    // aggregate would run twice (Verify/Bench clear the cache between
+    // queries; long-lived callers wrap in Dedup.scoped)
+    val merged = graft.operators.Dedup.scopedCache(
+      graft.operators.Sketches.kmvMergeSketches(
+        s.read.parquet(out), col("key.flag"), col("mins"), k = 64))
     graft.operators.Sketches.kmvEstimate(merged, k = 64)
       .join(merged.select(col("key"),
         md5(concat_ws(",", transform(col("mins"), m => m.cast("string"))))

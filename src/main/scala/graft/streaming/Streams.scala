@@ -316,6 +316,13 @@ object Streams {
       touched: Seq[String]): Option[DataFrame] = {
     val root = new org.apache.hadoop.fs.Path(ledgerPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a parked __bucket_old tree WITH FILES is a crashed bucketLedger
+    // swap — it may hold the ENTIRE dedup history while the root is
+    // absent or half-formed; reading the root as "no prior
+    // fingerprints" would mass-re-emit months of suppressed documents.
+    // Refuse loudly until recovered (the Compact rule applied to the
+    // ledger's own migration verb).
+    requireNoParkedLedger(fs, ledgerPath)
     if (!fs.exists(root)) return None
     val legacyFiles = fs.listStatus(root).filter(s =>
       s.isFile && !graft.etl.Compact.isHiddenName(s.getPath.getName))
@@ -350,39 +357,73 @@ object Streams {
     }
   }
 
+  /** Fail loudly when `<ledger>__bucket_old` holds data files: that is
+    * a crashed [[bucketLedger]] swap and may be the dedup history's
+    * ONLY copy. File-less residue is cleared. Single rule owner for
+    * the read ([[ledgerScan]]) and maintenance
+    * ([[bucketLedger]]/[[compactLedger]]) paths.
+    */
+  private def requireNoParkedLedger(
+      fs: org.apache.hadoop.fs.FileSystem, ledgerPath: String): Unit =
+    graft.etl.Compact.clearOrRefuseParked(
+      fs, new org.apache.hadoop.fs.Path(ledgerPath + "__bucket_old"),
+      "ledger migration")
+
   /** Compact the dedup ledger's bucket dirs: every micro-batch appends
     * one file per touched bucket, so a long-lived stream decays each
     * `bucket=` dir into thousands of tiny files — the same decay (and
     * the same cure) as [[graft.operators.Bm25.compactLexIndex]],
     * delegating to [[graft.etl.Compact.compactPartitioned]] (work dirs
-    * outside the lake, per-leaf row-count gate, park-then-swap). Run
-    * while the stream is STOPPED (the gate is the ledger's only
+    * outside the lake, per-leaf row-count gate, park-then-swap). A
+    * ledger still carrying LEGACY flat files (pure or mixed layout) is
+    * refused with the correct remedy — run [[bucketLedger]] first —
+    * instead of compactPartitioned's misleading not-partitioned error.
+    * Run while the stream is STOPPED (the gate is the ledger's only
     * writer). Fingerprint content — and therefore dedup semantics —
     * is untouched.
     */
   def compactLedger(
       spark: org.apache.spark.sql.SparkSession, ledgerPath: String,
-      targetBytes: Long = 128L * 1024 * 1024): Seq[(String, graft.etl.Compact.CompactStats)] =
+      targetBytes: Long = 128L * 1024 * 1024): Seq[(String, graft.etl.Compact.CompactStats)] = {
+    val root = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoParkedLedger(fs, ledgerPath)
+    if (fs.exists(root)) {
+      val flat = fs.listStatus(root).exists(s =>
+        s.isFile && !graft.etl.Compact.isHiddenName(s.getPath.getName))
+      require(!flat,
+        s"$ledgerPath still holds legacy flat fingerprint files -- run " +
+          "Streams.bucketLedger first, then compactLedger")
+    }
     graft.etl.Compact.compactPartitioned(spark, ledgerPath, targetBytes)
+  }
 
   /** Migrate a legacy FLAT dedup ledger (pre-bucketing: fp files at
     * the root) to the bucketed layout in one rewrite — park-and-swap
-    * via a tmp dir so a crash leaves either the old or the new layout,
-    * never a half-migrated one. A no-op when no flat files exist. Run
-    * while the stream is STOPPED (the ledger has a single writer — the
-    * gate itself).
+    * via a tmp dir. A crash leaves the old layout, the new layout, or
+    * (between the swap's two renames) the history PARKED at
+    * `<ledger>__bucket_old` — that last window is detected by every
+    * ledger entry point ([[ledgerScan]], this verb, [[compactLedger]])
+    * and refused LOUDLY until an operator renames the parked tree
+    * back; it can never silently read as an empty ledger. A no-op when
+    * no flat files exist. Run while the stream is STOPPED (the ledger
+    * has a single writer — the gate itself).
     */
   def bucketLedger(
       spark: org.apache.spark.sql.SparkSession, ledgerPath: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(ledgerPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // parked-swap check BEFORE the missing-root early return: a crash
+    // between swapInto's two renames leaves the root ABSENT with all
+    // history parked — a re-run must refuse loudly (recovery: rename
+    // the parked tree back), never no-op over a destroyed ledger
+    requireNoParkedLedger(fs, ledgerPath)
     if (!fs.exists(root)) return
     val flat = fs.listStatus(root).filter(s =>
       s.isFile && !graft.etl.Compact.isHiddenName(s.getPath.getName))
     if (flat.isEmpty) return
     val tmp = new org.apache.hadoop.fs.Path(ledgerPath + "__bucket_tmp")
     val old = new org.apache.hadoop.fs.Path(ledgerPath + "__bucket_old")
-    graft.etl.Compact.clearOrRefuseParked(fs, old, "ledger migration")
     fs.delete(tmp, true)
     // a MIXED lake (flat files + bucket= dirs from post-migration-era
     // appends) defeats a naive root read — Spark's partition discovery

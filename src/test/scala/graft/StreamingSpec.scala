@@ -396,6 +396,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(fps.size == 4, s"migration lost/duplicated fingerprints: $fps")
   }
 
+  test("ledger crashed-swap park: every entry point refuses loudly, never reads empty") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("graft_ledger_park").toString
+    val ledger = s"$work/ledger"
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.dedupGate(
+      in.toDF().toDF("id", "text"), s"$work/ckpt", ledger, "id", "text",
+      batch => emitted.synchronized { emitted ++= batch.collect().map(_.getLong(0)) })
+    try {
+      in.addData((1L, "history one"), (2L, "history two"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // simulate bucketLedger dying between swapInto's two renames: the
+    // ENTIRE history parked, the root gone
+    assert(new java.io.File(ledger).renameTo(new java.io.File(ledger + "__bucket_old")))
+    // the scan must REFUSE (reading "no prior fingerprints" would
+    // mass-re-emit months of suppressed documents)
+    val e = intercept[IllegalArgumentException](
+      Streams.ledgerScan(spark, ledger, Seq("00")))
+    assert(e.getMessage.contains("crashed mid-swap"), e.getMessage)
+    // the maintenance verbs refuse too — a bucketLedger re-run must
+    // not no-op over a destroyed ledger, compaction must not bless it
+    intercept[IllegalArgumentException](Streams.bucketLedger(spark, ledger))
+    intercept[IllegalArgumentException](Streams.compactLedger(spark, ledger))
+    // operator recovery (rename back) restores service and history
+    assert(new java.io.File(ledger + "__bucket_old").renameTo(new java.io.File(ledger)))
+    assert(Streams.ledgerScan(spark, ledger,
+      (0 until 256).map(b => f"$b%02x")).get.count() == 2)
+    // a MIXED lake (legacy flat files + bucketed dirs) is refused by
+    // compactLedger with the right remedy named (bucketLedger), not
+    // compactPartitioned's misleading not-partitioned error
+    Seq("legacy one").toDF("t")
+      .select(graft.functions.Text.fingerprint(col("t")).as("fp"))
+      .coalesce(1).write.mode("append").parquet(s"$work/flat_stage")
+    val flatFile = new java.io.File(s"$work/flat_stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(flatFile.toPath,
+      java.nio.file.Paths.get(s"$ledger/legacy-part.parquet"))
+    val e2 = intercept[IllegalArgumentException](Streams.compactLedger(spark, ledger))
+    assert(e2.getMessage.contains("bucketLedger"), e2.getMessage)
+  }
+
   test("dedupGate: null-id rows pass through instead of silently vanishing") {
     implicit val sqlCtx = spark.sqlContext
     val work = java.nio.file.Files.createTempDirectory("graft_dedupgate_nid").toString
