@@ -352,7 +352,8 @@ object Ann {
     // CODES, not vectors — appending vector rows would corrupt it
     // silently (mixed parquet schemas + occupancy counting rows the
     // compressed scan can't read), so refuse by the pq-sidecar marker
-    requirePqMarker(spark, path, expectPq = false, otherVerb = "Pq.addToIvfPqIndex")
+    requirePqMarker(spark, path, expectPq = false,
+      otherVerb = "Pq.addToIvfPqIndex", sqOtherVerb = "Sq.addToIvfSq8Index")
     val (codebook, prevMembers) = readCodebookSidecar(spark, path)
     val basePath = s"$path/base"
     // belt-and-braces with the marker check above: the schema read is
@@ -419,7 +420,9 @@ object Ann {
   def removeFromIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       victims: DataFrame, vicId: Column): Unit = {
-    requirePqMarker(spark, path, expectPq = false, otherVerb = "Pq.removeFromIvfPqIndex")
+    requirePqMarker(spark, path, expectPq = false,
+      otherVerb = "Pq.removeFromIvfPqIndex",
+      sqOtherVerb = "Sq.removeFromIvfSq8Index")
     // occupancy counts SCOREABLE members (norm > 0), matching the build
     removeFromIndexBase(spark, path, victims, vicId, scoreable = col("b_nrm") > 0)
   }
@@ -438,16 +441,23 @@ object Ann {
     */
   private[operators] def requireQuantizerMarker(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      expect: String, otherVerb: String): Unit = {
+      expect: String, otherVerb: String, sqOtherVerb: String = ""): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def has(m: String) = fs.exists(new org.apache.hadoop.fs.Path(s"$path/$m"))
     val present = Seq("pq", "sq").filter(has)
     expect match {
       case "" =>
+        // the remedy names the verb for the layout actually FOUND:
+        // a pq sidecar points at the Pq.* verb, an sq sidecar at the
+        // Sq.* verb — never a Pq remedy for an SQ index
+        val remedy = present.headOption match {
+          case Some("sq") if sqOtherVerb.nonEmpty => sqOtherVerb
+          case _ => otherVerb
+        }
         require(present.isEmpty,
           s"$path is an IVF-${present.headOption.getOrElse("?").toUpperCase} index " +
-            s"(has a ${present.headOption.getOrElse("?")} sidecar) -- use $otherVerb")
+            s"(has a ${present.headOption.getOrElse("?")} sidecar) -- use $remedy")
       case m =>
         require(has(m),
           if (present.isEmpty)
@@ -461,8 +471,9 @@ object Ann {
 
   private[operators] def requirePqMarker(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      expectPq: Boolean, otherVerb: String): Unit =
-    requireQuantizerMarker(spark, path, if (expectPq) "pq" else "", otherVerb)
+      expectPq: Boolean, otherVerb: String, sqOtherVerb: String = ""): Unit =
+    requireQuantizerMarker(spark, path, if (expectPq) "pq" else "", otherVerb,
+      sqOtherVerb)
 
   /** Shared removal core for the IVF and IVF-PQ index layouts (they
     * differ only in what the base rows hold and which rows count toward

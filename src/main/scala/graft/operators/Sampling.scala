@@ -37,7 +37,16 @@ object Sampling {
     * not `"2"`; a timestamp is its session-zone ISO form) — the
     * previous `===` numeric coercion accepted loose spellings for
     * SOME types while silently defaulting others, which is exactly
-    * the ambiguity the single canonical form removes.
+    * the ambiguity the single canonical form removes. Keys that
+    * CANNOT be canonical for the stratum's resolved type (a key `"2"`
+    * against a DOUBLE stratum, whose canonical form is `"2.0"`) are
+    * rejected loudly at call time — a driver-only round-trip through
+    * Spark's own cast, no corpus scan — so a loose-spelling caller
+    * discovers the contract instead of silently sampling every row of
+    * that stratum at `defaultRate`. A key that is well-formed but
+    * matches no observed stratum (a typo'd category string) is NOT
+    * detectable without an extra full-corpus pass and stays the
+    * caller's responsibility.
     */
   def stratifiedSample(
       df: DataFrame,
@@ -48,11 +57,46 @@ object Sampling {
       salt: String): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
       "sampling rates must be in [0, 1]")
+    requireCanonicalRateKeys(df, stratum, rates.keys.toSeq)
     val sNorm = stratum.cast("string")
     val threshold = rates.foldLeft(lit((defaultRate * Modulus).toLong)) {
       case (acc, (k, r)) => when(sNorm === lit(k), lit((r * Modulus).toLong)).otherwise(acc)
     }
     df.filter(sampleKey(id, salt) < threshold)
+  }
+
+  /** Loud canonical-form gate for [[stratifiedSample]]'s rate-map
+    * keys: each key must survive a round-trip through Spark's own
+    * cast into the stratum's RESOLVED type and back to string
+    * unchanged (`"2"` against a DOUBLE stratum comes back `"2.0"` —
+    * refused; an uncastable key comes back null — refused). The
+    * round-trip is evaluated over `range(1)` — a driver-local one-row
+    * job, never a corpus scan — so the check is free at any scale. A
+    * string stratum is skipped: every key is trivially canonical
+    * there, and catching a typo'd-but-well-formed key would need a
+    * full observed-strata pass.
+    */
+  private def requireCanonicalRateKeys(
+      df: DataFrame, stratum: Column, keys: Seq[String]): Unit = {
+    if (keys.isEmpty) return
+    val dt = df.select(stratum).schema.head.dataType
+    if (dt == org.apache.spark.sql.types.StringType) return
+    val spark = df.sparkSession
+    val roundTripped = spark.range(1)
+      // try_cast, not cast: under ANSI mode a malformed key would
+      // THROW with a bare CAST_INVALID_INPUT instead of reaching the
+      // contract-naming message below
+      .select(keys.map(k => lit(k).try_cast(dt).cast("string")): _*)
+      .head().toSeq.map(Option(_).map(_.toString))
+    val bad = keys.zip(roundTripped).collect {
+      case (k, rt) if !rt.contains(k) =>
+        s""""$k" (canonical: ${rt.fold("uncastable")(c => s""""$c"""")})"""
+    }
+    require(bad.isEmpty,
+      s"stratifiedSample rate keys ${bad.mkString(", ")} are not in the " +
+        s"stratum's ($dt) cast-string canonical form and would silently " +
+        "sample at defaultRate -- spell keys exactly as " +
+        "stratum.cast(\"string\") renders them (a DOUBLE 2 is \"2.0\")")
   }
 
   /** The sampling key: `h60(salt || ':' || id) mod M`. Exposed so

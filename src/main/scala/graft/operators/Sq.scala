@@ -390,8 +390,11 @@ object Sq {
         .groupBy("cell").agg(count(lit(1)).as("__m"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     require(delta.nonEmpty || rows.isEmpty,
-      s"no increment row was SQ8-scoreable for $path -- does the increment's " +
-        s"embedding dimension match the fitted stats (dim ${st.dim})?")
+      s"no increment row was SQ8-scoreable for $path -- every row was gated " +
+        "out by one of: null embedding, non-finite element (NaN/Inf/null " +
+        s"cell), zero norm, dimension != fitted dim ${st.dim}, or " +
+        "zero-norm reconstruction; inspect the increment against these " +
+        "gates (the empty append already ran and changed nothing)")
     val merged = (prevMembers.keySet ++ delta.keySet).map(c =>
       c -> (prevMembers.getOrElse(c, 0L) + delta.getOrElse(c, 0L))).toMap
     Ann.writeCodebookSidecar(spark, path, coarse, merged, atomicSwap = true)

@@ -357,17 +357,28 @@ object Streams {
     }
   }
 
-  /** Fail loudly when `<ledger>__bucket_old` holds data files: that is
-    * a crashed [[bucketLedger]] swap and may be the dedup history's
-    * ONLY copy. File-less residue is cleared. Single rule owner for
-    * the read ([[ledgerScan]]) and maintenance
-    * ([[bucketLedger]]/[[compactLedger]]) paths.
+  /** Fail loudly when ANY `<ledger>__*_old` sibling holds data files:
+    * `__bucket_old` is a crashed [[bucketLedger]] swap, and
+    * `__compact_old/bucket=xx` is a crashed [[compactLedger]] leaf
+    * swap (via [[graft.etl.Compact.compactPartitioned]]) — either may
+    * be a bucket's ONLY copy, and reading the half-formed root as "no
+    * prior fingerprints" would silently re-emit suppressed documents
+    * while the next append cements the loss by recreating the bucket
+    * dir. File-less `__bucket_old` residue is cleared. Single rule
+    * owner for the read ([[ledgerScan]]) and maintenance
+    * ([[bucketLedger]]/[[compactLedger]]) paths — the same
+    * all-siblings posture the lex/ANN serving paths take via
+    * [[graft.etl.Compact.requireServable]].
     */
   private def requireNoParkedLedger(
-      fs: org.apache.hadoop.fs.FileSystem, ledgerPath: String): Unit =
+      fs: org.apache.hadoop.fs.FileSystem, ledgerPath: String): Unit = {
     graft.etl.Compact.clearOrRefuseParked(
       fs, new org.apache.hadoop.fs.Path(ledgerPath + "__bucket_old"),
       "ledger migration")
+    graft.etl.Compact.requireServable(
+      fs, new org.apache.hadoop.fs.Path(ledgerPath),
+      action = "reading or mutating the dedup ledger")
+  }
 
   /** Compact the dedup ledger's bucket dirs: every micro-batch appends
     * one file per touched bucket, so a long-lived stream decays each

@@ -819,6 +819,34 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(math.abs(mixed.count() - 5000.0) < 300, s"temperatureMix kept ${mixed.count()}")
   }
 
+  test("Sampling: non-canonical rate keys against a non-string stratum are refused loudly") {
+    import graft.operators.Sampling
+    // a DOUBLE stratum renders as "2.0" under cast("string"); the key
+    // "2" can never match and previously fell through SILENTLY to
+    // defaultRate — it must now throw at call time, naming the
+    // canonical form, without scanning the corpus
+    val df = spark.range(100).select(
+      col("id"), (pmod(col("id"), lit(2)) + lit(0.0)).as("stratum"))
+    val e = intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(
+        df, col("stratum"), col("id"), Map("2" -> 0.1), 0.5, "ck1"))
+    assert(e.getMessage.contains("canonical"), e.getMessage)
+    assert(e.getMessage.contains("2.0"), e.getMessage)
+    // an uncastable key is refused too
+    val e2 = intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(
+        df, col("stratum"), col("id"), Map("oops" -> 0.1), 0.5, "ck1"))
+    assert(e2.getMessage.contains("uncastable"), e2.getMessage)
+    // canonically-spelled keys for the same stratum pass and apply
+    val kept = Sampling.stratifiedSample(
+      df, col("stratum"), col("id"), Map("0.0" -> 0.0, "1.0" -> 1.0), 0.5, "ck1")
+    assert(kept.count() == 50, s"canonical keys must apply, kept ${kept.count()}")
+    // string strata keep accepting any spelling (nothing to canonicalize)
+    val sdf = spark.range(10).select(col("id"), lit("a").as("s"))
+    assert(Sampling.stratifiedSample(
+      sdf, col("s"), col("id"), Map("zz" -> 0.5), 1.0, "ck2").count() == 10)
+  }
+
   test("semDedup: within-cluster pairs exact on separable data; keep-one-per-component decisions") {
     import graft.operators.{Ann, Dedup}
     // 5 well-separated direction clusters: every τ-pair is

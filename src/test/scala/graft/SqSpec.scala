@@ -195,9 +195,13 @@ class SqSpec extends SparkSpecBase {
       qs, col("vec_id"), col("embedding"), k = 5, nprobe = 4, shortlist = 60)
       .select("b_id").as[Long].collect().toSet
     assert(after.nonEmpty && after.forall(_ % 2 == 0), s"removed ids served: $after")
-    // directed-misuse guards: plain-IVF verbs refuse the sq layout...
-    intercept[IllegalArgumentException](graft.operators.Ann.addToIvfIndex(
+    // directed-misuse guards: plain-IVF verbs refuse the sq layout —
+    // and the remedy names the SQ verb (not the PQ one: an operator
+    // sent to Pq.addToIvfPqIndex for an SQ index would be misled twice)
+    val eMis = intercept[IllegalArgumentException](graft.operators.Ann.addToIvfIndex(
       spark, p, all.limit(2), col("vec_id"), col("embedding")))
+    assert(eMis.getMessage.contains("Sq.addToIvfSq8Index"), eMis.getMessage)
+    assert(!eMis.getMessage.contains("Pq."), eMis.getMessage)
     // ...and the sq verbs refuse a plain IVF index
     val plain = java.nio.file.Files.createTempDirectory("graft_plain_ivf").toString + "/ix"
     graft.operators.Ann.buildIvfIndex(all, col("vec_id"), col("embedding"), plain, nlist = 4)
@@ -217,6 +221,23 @@ class SqSpec extends SparkSpecBase {
       Sq.knnSq8(base, col("vec_id"), col("embedding"),
         badQ, col("vec_id"), col("embedding"), k = 1)
     }
+    assert(e.getMessage.contains("dim"), e.getMessage)
+  }
+
+  test("an entirely-gated-out increment names every scoreable gate, not just dimension") {
+    val rnd = new scala.util.Random(31)
+    val all = (300 until 340).map(i =>
+      (i.toLong, Array.fill(8)((rnd.nextFloat() - 0.5f) * 2))).toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("graft_ivfsq8_gate").toString + "/ix"
+    Sq.buildIvfSq8Index(all, col("vec_id"), col("embedding"), p, nlist = 2)
+    // right dimension, but every element NaN — the old message blamed
+    // only a dimension mismatch, sending the operator down the wrong
+    // diagnosis; the broadened one lists all gates
+    val nanRows = Seq((999L, Array.fill(8)(Float.NaN))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Sq.addToIvfSq8Index(
+      spark, p, nanRows, col("vec_id"), col("embedding")))
+    assert(e.getMessage.contains("NaN"), e.getMessage)
+    assert(e.getMessage.contains("zero norm"), e.getMessage)
     assert(e.getMessage.contains("dim"), e.getMessage)
   }
 

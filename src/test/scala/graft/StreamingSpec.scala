@@ -425,6 +425,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(new java.io.File(ledger + "__bucket_old").renameTo(new java.io.File(ledger)))
     assert(Streams.ledgerScan(spark, ledger,
       (0 until 256).map(b => f"$b%02x")).get.count() == 2)
+    // a crashed compactLedger leaf swap parks at
+    // <ledger>__compact_old/bucket=xx — a bucket's only copy; every
+    // entry point must refuse THAT tree too (not just __bucket_old),
+    // or the stream reads the missing bucket as "no prior
+    // fingerprints" and the next append recreates the dir, blocking
+    // rename-back recovery
+    val bucketDir = new java.io.File(ledger).listFiles()
+      .find(_.getName.startsWith("bucket=")).get
+    val parkedLeaf = new java.io.File(
+      s"${ledger}__compact_old/${bucketDir.getName}")
+    assert(parkedLeaf.getParentFile.mkdirs())
+    assert(bucketDir.renameTo(parkedLeaf))
+    val e1b = intercept[IllegalArgumentException](
+      Streams.ledgerScan(spark, ledger, Seq("00")))
+    assert(e1b.getMessage.contains("crashed mid-rename"), e1b.getMessage)
+    intercept[IllegalArgumentException](Streams.compactLedger(spark, ledger))
+    intercept[IllegalArgumentException](Streams.bucketLedger(spark, ledger))
+    // rename-back recovery restores service with full history
+    assert(parkedLeaf.renameTo(bucketDir))
+    assert(parkedLeaf.getParentFile.delete())
+    assert(Streams.ledgerScan(spark, ledger,
+      (0 until 256).map(b => f"$b%02x")).get.count() == 2)
     // a MIXED lake (legacy flat files + bucketed dirs) is refused by
     // compactLedger with the right remedy named (bucketLedger), not
     // compactPartitioned's misleading not-partitioned error
