@@ -37,21 +37,42 @@ object Bench {
     // of the same query. The per-query min across spread-out rounds is
     // the plan's cost.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    // BUILD/SERVE split (round 10): lifecycle queries (r03/r05/r06,
+    // v07–v17, c09/c10, z01 …) eagerly run their index/lake builds
+    // INSIDE the query function and return the serving plan, so the
+    // fn(...) call duration is the build cost and executing the
+    // returned frame is the serving cost. Timing the two separately —
+    // uniformly, for every query (a pure query's "build" is just
+    // plan construction, milliseconds) — stops serving regressions
+    // from hiding inside build noise: the regression gate
+    // (tools/bench_gate.py vs BENCH_BASELINE.json) compares serve_s.
+    val samples = scala.collection.mutable.Map.empty[String, List[(Double, Double)]]
       .withDefaultValue(Nil)
     for (round <- 1 to 3; (name, fn) <- names) {
       val t0 = System.nanoTime()
-      val ok = try { exec(fn(spark, sfDir)); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED (round $round): ${e.getMessage}"); false }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val sample = try {
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        exec(df)
+        val t2 = System.nanoTime()
+        Some(((t1 - t0) / 1e9, (t2 - t1) / 1e9))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED (round $round): ${e.getMessage}"); None }
       spark.catalog.clearCache() // no cross-query cache memory creep
       // a failing query must not report its time-to-exception as a score
-      if (ok) samples(name) = dt :: samples(name)
+      sample.foreach(s => samples(name) = s :: samples(name))
     }
-    val results = names.map { case (name, _) =>
+    // per-phase min across interleaved rounds (same contention
+    // rationale as before); the per-query total is the sum of the two
+    // phase minima, keeping sum(queries) == value for the gate's
+    // internal-consistency check
+    val splits = names.map { case (name, _) =>
       val good = samples(name)
-      name -> (if (good.nonEmpty) good.min else -1.0)
+      name -> (if (good.nonEmpty) Some((good.map(_._1).min, good.map(_._2).min))
+               else None)
+    }
+    val results = splits.map { case (name, s) =>
+      name -> s.fold(-1.0) { case (b, sv) => b + sv }
     }
     // JSON string escape (same contract as Verify's q()): a quote or
     // backslash in a query name or the env-supplied sf dir must not
@@ -64,6 +85,9 @@ object Bench {
     }
     val qmap = results.map { case (k, v) =>
       "\"" + esc(k) + "\":" + v
+    }.mkString("{", ",", "}")
+    val splitMap = splits.collect { case (k, Some((b, sv))) =>
+      "\"" + esc(k) + "\":{\"build_s\":" + b + ",\"serve_s\":" + sv + "}"
     }.mkString("{", ",", "}")
     // failed queries report -1.0 per-query but are EXCLUDED from the
     // total (a failure must never shrink — i.e. improve — the headline
@@ -83,7 +107,7 @@ object Bench {
     // tools/bench_gate.py fails the round if the committed sidecar is
     // missing, stale-shaped, or inconsistent with its own total.
     val fullLine =
-      s"""{"metric":"total","value":$totalFull,"unit":"sec","failed":$failed,"n":${results.size},"queries":$qmap,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$totalFull,"unit":"sec","failed":$failed,"n":${results.size},"queries":$qmap,"split":$splitMap,"sf":"${esc(sfDir)}"}"""
     val shortLine = {
       val total = math.rint(totalFull * 1000) / 1000
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n":${results.size},"sf":"${esc(sfDir)}","perQuery":"BENCH_OUT.json"}"""

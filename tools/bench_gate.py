@@ -1,25 +1,175 @@
 #!/usr/bin/env python3
 """Round gate for the bench artifact.
 
-Rounds 5 and 7 both shipped BENCH_r{N}.json with parsed:null because the
-runner's bounded stdout-tail capture clipped a growing metric line. The
-structural fix (round 8) moves the per-query map into a committed
-sidecar, BENCH_OUT.json, and shrinks stdout to a fixed-size total line.
-This gate fails the round if the sidecar is missing, unparseable, or
-internally inconsistent — run it after `runMain graft.Bench`:
+Two layers, both required for a round to pass:
 
-    python3 tools/bench_gate.py [BENCH_OUT.json]
+1. SHAPE (since round 8): rounds 5 and 7 shipped BENCH_r{N}.json with
+   parsed:null because the runner's bounded stdout-tail capture clipped
+   a growing metric line. The structural fix moves the per-query map
+   into a committed sidecar, BENCH_OUT.json, and shrinks stdout to a
+   fixed-size total line. The gate fails if the sidecar is missing,
+   unparseable, or internally inconsistent.
+
+2. PER-QUERY REGRESSION (since round 10): the v09/v10 episode (round 8)
+   and the count()-pruning discovery (round 9) both went unnoticed
+   until a cross-round diff by hand. The gate now compares every query
+   against the committed BENCH_BASELINE.json and fails when one
+   regresses more than REL_TOL x its baseline AND by more than ABS_TOL
+   seconds (the absolute slack keeps sub-100 ms queries from failing on
+   scheduler noise). Lifecycle queries (r03/r05/r06, v07-v17, c09/c10,
+   z01 ...) charge index builds to build_s and the serving plan to
+   serve_s; the regression check uses serve_s when both sides carry the
+   split, so a serving regression cannot hide inside build noise -- and
+   build_s is checked too, at a looser LOOSE_REL_TOL, so a build-path
+   blowup still fails the round. A query present in the baseline but
+   missing from the run FAILS (a deleted query hides its regression); a
+   new query without a baseline passes with a note until re-baselined.
+
+Intentional changes (new queries, methodology shifts, accepted
+trade-offs) re-freeze the baseline EXPLICITLY:
+
+    python3 tools/bench_gate.py --rebaseline --reason "why" [BENCH_OUT.json]
+
+which rewrites BENCH_BASELINE.json from the current artifact, recording
+the reason and source; commit the result. The gate itself never writes.
+
+Usage:  python3 tools/bench_gate.py [BENCH_OUT.json] [--baseline PATH]
 """
 import json
 import math
 import sys
 
+REL_TOL = 1.5        # serve_s (or total) regression factor that fails
+LOOSE_REL_TOL = 2.0  # build_s factor (builds are IO-noisier)
+ABS_TOL = 0.25       # seconds; both checks also need this absolute growth
+
+
+def load(path):
+    with open(path) as f:
+        return json.loads(f.read())
+
+
+def shape_check(path, doc):
+    for key in ("metric", "value", "unit", "failed", "n", "queries", "sf"):
+        if key not in doc:
+            return f"{path} missing key {key!r} (stale shape?)"
+    queries = doc["queries"]
+    if not isinstance(queries, dict) or len(queries) == 0:
+        return f"{path} has no per-query map"
+    if len(queries) != doc["n"]:
+        return f"{path} n={doc['n']} but {len(queries)} per-query entries"
+    good = [v for v in queries.values() if v >= 0.0]
+    if len(queries) - len(good) != doc["failed"]:
+        return (f"{path} failed={doc['failed']} but "
+                f"{len(queries) - len(good)} negative per-query entries")
+    if not math.isclose(sum(good), doc["value"], rel_tol=1e-9, abs_tol=1e-6):
+        return (f"{path} value={doc['value']} != sum of good "
+                f"per-query times {sum(good)}")
+    split = doc.get("split")
+    if split is not None:
+        for name, parts in split.items():
+            if name not in queries:
+                return f"{path} split entry {name!r} not in queries"
+            if not math.isclose(parts["build_s"] + parts["serve_s"],
+                                queries[name], rel_tol=1e-9, abs_tol=1e-6):
+                return (f"{path} split for {name!r} "
+                        f"({parts['build_s']}+{parts['serve_s']}) != "
+                        f"total {queries[name]}")
+    return None
+
+
+def phase_times(doc, name):
+    """(build_s, serve_s) when the artifact carries the split, else
+    (None, total)."""
+    split = doc.get("split") or {}
+    if name in split:
+        return split[name]["build_s"], split[name]["serve_s"]
+    return None, doc["queries"][name]
+
+
+def regression_check(doc, base):
+    fails, notes = [], []
+    base_q = base["queries"]
+    for name in sorted(base_q):
+        if name not in doc["queries"]:
+            fails.append(f"{name}: in baseline but MISSING from the run "
+                         "(a deleted query hides its regression; "
+                         "--rebaseline if intentional)")
+            continue
+        if doc["queries"][name] < 0.0:
+            # already counted in failed=N; the shape layer surfaced it
+            continue
+        nb, ns = phase_times(doc, name)
+        bb, bs = phase_times(base, name)
+        if ns > bs * REL_TOL and ns - bs > ABS_TOL:
+            fails.append(f"{name}: serve {ns:.3f}s vs baseline {bs:.3f}s "
+                         f"(> {REL_TOL}x + {ABS_TOL}s)")
+        if (nb is not None and bb is not None
+                and nb > bb * LOOSE_REL_TOL and nb - bb > ABS_TOL):
+            fails.append(f"{name}: build {nb:.3f}s vs baseline {bb:.3f}s "
+                         f"(> {LOOSE_REL_TOL}x + {ABS_TOL}s)")
+    for name in sorted(doc["queries"]):
+        if name not in base_q:
+            notes.append(f"note: {name} has no baseline entry yet "
+                         "(new query) -- re-baseline to cover it")
+    return fails, notes
+
+
+def rebaseline(out_path, base_path, reason):
+    doc = load(out_path)
+    err = shape_check(out_path, doc)
+    if err:
+        print(f"FAIL: refusing to rebaseline from a bad artifact: {err}")
+        return 1
+    if doc["failed"]:
+        print(f"FAIL: refusing to rebaseline with {doc['failed']} failed "
+              "queries in the artifact")
+        return 1
+    base = {
+        "source": out_path,
+        "sf": doc["sf"],
+        "reason": reason,
+        "queries": doc["queries"],
+    }
+    if doc.get("split") is not None:
+        base["split"] = doc["split"]
+    with open(base_path, "w") as f:
+        json.dump(base, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"rebaselined {base_path} from {out_path} "
+          f"({len(doc['queries'])} queries) -- commit it")
+    return 0
+
 
 def main() -> int:
-    path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_OUT.json"
+    args = sys.argv[1:]
+    reason, base_path, do_rebase = None, "BENCH_BASELINE.json", False
+    rest = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--rebaseline":
+            do_rebase = True
+        elif a == "--reason":
+            i += 1
+            reason = args[i]
+        elif a == "--baseline":
+            i += 1
+            base_path = args[i]
+        else:
+            rest.append(a)
+        i += 1
+    path = rest[0] if rest else "BENCH_OUT.json"
+
+    if do_rebase:
+        if not reason:
+            print("FAIL: --rebaseline requires --reason \"why\" (the freeze "
+                  "is an auditable decision, not a side effect)")
+            return 1
+        return rebaseline(path, base_path, reason)
+
     try:
-        with open(path) as f:
-            doc = json.loads(f.read())
+        doc = load(path)
     except FileNotFoundError:
         print(f"FAIL: {path} missing -- run `sbt \"runMain graft.Bench\"` "
               "from the repo root and commit the sidecar")
@@ -27,29 +177,34 @@ def main() -> int:
     except json.JSONDecodeError as e:
         print(f"FAIL: {path} is not valid JSON: {e}")
         return 1
+    err = shape_check(path, doc)
+    if err:
+        print(f"FAIL: {err}")
+        return 1
 
-    for key in ("metric", "value", "unit", "failed", "n", "queries", "sf"):
-        if key not in doc:
-            print(f"FAIL: {path} missing key {key!r} (stale shape?)")
-            return 1
-    queries = doc["queries"]
-    if not isinstance(queries, dict) or len(queries) == 0:
-        print(f"FAIL: {path} has no per-query map")
+    try:
+        base = load(base_path)
+    except FileNotFoundError:
+        print(f"FAIL: {base_path} missing -- freeze one with "
+              f"`python3 tools/bench_gate.py --rebaseline --reason ...` "
+              "and commit it")
         return 1
-    if len(queries) != doc["n"]:
-        print(f"FAIL: {path} n={doc['n']} but {len(queries)} per-query entries")
+    except json.JSONDecodeError as e:
+        print(f"FAIL: {base_path} is not valid JSON: {e}")
         return 1
-    good = [v for v in queries.values() if v >= 0.0]
-    if len(queries) - len(good) != doc["failed"]:
-        print(f"FAIL: {path} failed={doc['failed']} but "
-              f"{len(queries) - len(good)} negative per-query entries")
-        return 1
-    if not math.isclose(sum(good), doc["value"], rel_tol=1e-9, abs_tol=1e-6):
-        print(f"FAIL: {path} value={doc['value']} != sum of good "
-              f"per-query times {sum(good)}")
+
+    fails, notes = regression_check(doc, base)
+    for n in notes:
+        print(n)
+    if fails:
+        print(f"FAIL: {len(fails)} per-query regression(s) vs {base_path} "
+              f"(reason of last freeze: {base.get('reason', '?')}):")
+        for f_ in fails:
+            print(f"  {f_}")
         return 1
     print(f"ok: {path} -- {doc['n']} queries, {doc['failed']} failed, "
-          f"total {doc['value']:.3f}s at {doc['sf']}")
+          f"total {doc['value']:.3f}s at {doc['sf']}; no regression vs "
+          f"{base_path} ({len(base['queries'])} baselined)")
     return 0
 
 
