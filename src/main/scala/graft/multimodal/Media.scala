@@ -393,13 +393,25 @@ object Media {
     *    the exact [[ahash64]] geometry). No codec library needed:
     *    Y4M is raw planar video, the interchange format ffmpeg itself
     *    emits (`-f yuv4mpegpipe`).
+    *  - **MJPEG-in-AVI** payloads are REALLY decoded too: the RIFF
+    *    container is walked structurally ([[parseAviFrames]] — `movi`
+    *    LIST, `##dc`/`##db` video chunks, nested `rec ` lists, even
+    *    padding), `nFrames` frame chunks are sampled at even temporal
+    *    stride, and each is JPEG-decoded via `javax.imageio` (in the
+    *    JDK — still dependency-free). The decoded frame is sampled on
+    *    the same 8×8 even-stride grid as the Y4M path (gray = band 0
+    *    for grayscale JPEGs, integer BT.601 `(299r+587g+114b)/1000`
+    *    otherwise). MJPEG is the one compressed codec whose frames
+    *    are standalone JPEGs, so no codec library is needed.
     *  - any OTHER payload (compressed codecs this container cannot
     *    decode) falls back to the documented deterministic stand-in:
     *    "frame" w is the byte window [w·len/n, (w+1)·len/n), resampled
     *    to 64 "pixels" by even stride. A structurally invalid Y4M
-    *    (truncated frame, bad geometry) also takes this path — a
-    *    content hash beats a killed 100 TB job, and the reference
-    *    consumes the value as opaque equality only.
+    *    (truncated frame, bad geometry), a structurally invalid AVI,
+    *    and an AVI whose sampled frames are not decodable JPEGs
+    *    (DivX/Xvid/... fourccs) also take this path — a content hash
+    *    beats a killed 100 TB job, and the reference consumes the
+    *    value as opaque equality only.
     *
     * Stage 2 — per-frame average-hash: bit j is set iff pixel j
     * exceeds the integer mean of the 64 pixels.
@@ -419,7 +431,9 @@ object Media {
     if (bytes == null || bytes.isEmpty) return 0L
     parseY4m(bytes) match {
       case Some(y4m) => y4mHash60(bytes, y4m, nFrames)
-      case None => byteWindowHash60(bytes, nFrames)
+      case None =>
+        parseAviFrames(bytes).flatMap(aviHash60(bytes, _, nFrames))
+          .getOrElse(byteWindowHash60(bytes, nFrames))
     }
   }
 
@@ -511,6 +525,107 @@ object Media {
       w += 1
     }
     majority60(votes, nFrames)
+  }
+
+  /** Structural RIFF/AVI walk — the byte ranges of the video frame
+    * chunks (`##dc` compressed / `##db` uncompressed, any stream
+    * digits) inside the `movi` LIST, in container order, recursing
+    * into `rec ` sub-lists (interleaved-AVI grouping) and honoring
+    * RIFF's even-size padding. `None` for non-AVI payloads AND for
+    * structurally malformed ones (truncated chunk, size overrunning
+    * the buffer, no movi list, zero frames): the caller's fallback is
+    * the content-hash path, so parse failure degrades
+    * deterministically instead of throwing mid-scan ([[parseY4m]]'s
+    * contract; ref media_fingerprinting.py:166-179 shells out to
+    * ffmpeg for the same job).
+    *
+    * The codec itself is NOT validated here — that happens at decode
+    * time ([[aviHash60]]): an AVI carrying DivX/Xvid frames parses
+    * structurally but its chunks fail JPEG decode, sending the whole
+    * payload down the documented fallback.
+    */
+  private[graft] def parseAviFrames(bytes: Array[Byte]): Option[Array[(Int, Int)]] = {
+    if (bytes.length < 12 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ")
+      return None
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    // walk one chunk sequence [pos, end); returns false on structural
+    // violation anywhere below (propagated up — one bad size refuses
+    // the whole container)
+    def walk(start: Int, end: Int, inMovi: Boolean): Boolean = {
+      var pos = start
+      while (pos < end) {
+        if (pos + 8 > end) return false
+        val id = tag(bytes, pos)
+        val size = le32(bytes, pos + 4)
+        if (size < 0 || pos + 8 + size.toLong > end) return false
+        val dataOff = pos + 8
+        if (id == "LIST") {
+          if (size < 4) return false
+          val listType = tag(bytes, dataOff)
+          val listMovi = listType == "movi" || (inMovi && listType == "rec ")
+          if (!walk(dataOff + 4, dataOff + size, inMovi = listMovi)) return false
+        } else if (inMovi && id.length == 4 &&
+            id(0).isDigit && id(1).isDigit &&
+            id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')) {
+          frames += ((dataOff, size))
+        }
+        pos = dataOff + size + (size & 1) // RIFF pads chunks to even
+      }
+      true
+    }
+    val riffSize = le32(bytes, 4)
+    if (riffSize < 4 || 8 + riffSize.toLong > bytes.length) return None
+    if (!walk(12, 8 + riffSize, inMovi = false) || frames.isEmpty) None
+    else Some(frames.toArray)
+  }
+
+  /** Stages 2-3 over decoded MJPEG frames: sample nFrames chunks at
+    * even temporal stride, JPEG-decode each, 8×8 even-stride spatial
+    * sample of the decoded image (band 0 for grayscale, integer
+    * BT.601 luma otherwise), per-frame mean threshold, majority vote —
+    * the [[y4mHash60]] pipeline with `javax.imageio` standing in for
+    * the raw-plane read. `None` when ANY sampled chunk fails to
+    * decode (wrong codec, corrupt JPEG) or is degenerate (<8×8): the
+    * hash is either fully decode-based or fully content-based, never
+    * a silent mix.
+    */
+  private def aviHash60(
+      bytes: Array[Byte], frames: Array[(Int, Int)], nFrames: Int): Option[Long] = {
+    val nF = frames.length
+    val votes = new Array[Int](60)
+    var w = 0
+    while (w < nFrames) {
+      val (off, len) = frames((w.toLong * nF / nFrames).toInt)
+      val img = decode(java.util.Arrays.copyOfRange(bytes, off, off + len))
+        .getOrElse(return None)
+      val (iw, ih) = (img.getWidth, img.getHeight)
+      if (iw < 8 || ih < 8) return None
+      val gray = img.getRaster.getNumBands == 1
+      val px = new Array[Int](64)
+      var j = 0
+      var sum = 0L
+      while (j < 64) {
+        val row = (j / 8) * ih / 8
+        val colIdx = (j % 8) * iw / 8
+        px(j) =
+          if (gray) img.getRaster.getSample(colIdx, row, 0)
+          else {
+            val rgb = img.getRGB(colIdx, row)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            (299 * r + 587 * g + 114 * b) / 1000
+          }
+        sum += px(j)
+        j += 1
+      }
+      val mean = sum / 64 // integer floor, SQL-replayable
+      j = 0
+      while (j < 60) {
+        if (px(j) > mean) votes(j) += 1
+        j += 1
+      }
+      w += 1
+    }
+    Some(majority60(votes, nFrames))
   }
 
   /** The non-Y4M fallback: stages 2-3 over even byte windows (the

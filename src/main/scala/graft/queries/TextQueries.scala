@@ -550,6 +550,107 @@ object TextQueries {
       |SELECT vids.media_id, COALESCE(h.vhash60, 0) AS vhash60
       |FROM vids LEFT JOIN h USING (media_id) ORDER BY media_id""".stripMargin
 
+  /** Deterministic MJPEG-in-AVI fixture: a RIFF/AVI container (minimal
+    * `hdrl`, then `movi` with one `00dc` chunk per frame) holding 10
+    * grayscale 64×64 JPEG frames. Each frame is a checker of SOLID
+    * 8×8 blocks — block (r,c) of frame fi is white (255) iff
+    * `(r + 2c + vid + 3·(fi/4)) % 5 < 2`, else black (0) — aligned to the
+    * JPEG DCT grid, so every block encodes as DC-only and decodes to
+    * a CONSTANT value within a few units of its source level (no
+    * cross-block ringing: AC coefficients are exactly zero). The
+    * videoHash60 sampling grid (row (j/8)·64/8, col (j%8)·64/8) lands
+    * on block corners, one block per bit, and every frame mixes both
+    * levels — so the threshold votes are invariant to JPEG's small DC
+    * quantization error and the BLOCK FORMULA (not the decoded bytes)
+    * is the replayable ground truth the m06 oracle recomputes. The
+    * temporal term `3·(fi/4)` is chosen so the majority-vote hash is
+    * nonzero, varies across vids, AND flips under plausible
+    * frame-selection bugs (fi = w, end-of-window sampling) — a
+    * degenerate pattern whose bits never reach 5-of-8 would gate
+    * nothing.
+    */
+  private def aviMjpegFixture(vid: Int): Array[Byte] = {
+    val (w, h, f) = (64, 64, 10)
+    val jpegs = (0 until f).map { fi =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (r <- 0 until 8; c <- 0 until 8) {
+        val v = if ((r + 2 * c + vid + 3 * (fi / 4)) % 5 < 2) 255 else 0
+        for (y <- 0 until 8; x <- 0 until 8)
+          img.getRaster.setSample(c * 8 + x, r * 8 + y, 0, v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def le32(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  /** REAL compressed-container temporal hash (the last F3 gap closed):
+    * [[graft.multimodal.Media.videoHash60]] walks the RIFF/AVI
+    * structure, JPEG-decodes sampled `00dc` frames via `javax.imageio`
+    * (in the JDK — still dependency-free), and hashes genuine decoded
+    * pixels — 8 frames sampled at even temporal stride from 10 on
+    * disk, the m05 pipeline with a real codec in the loop. The oracle
+    * replays every bit from the fixture's BLOCK formula (the sampled
+    * grid lands on solid DCT-aligned blocks, so JPEG's DC quantization
+    * error cannot flip a threshold vote — see [[aviMjpegFixture]]):
+    * frame selection, chunk walk, decode plumbing, sampling geometry,
+    * means, and votes are all cross-engine gated.
+    */
+  def m06AviVideoHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    (0 until 12).map(v => (v.toLong, aviMjpegFixture(v))).toDF("media_id", "payload")
+      .select(col("media_id"),
+        graft.multimodal.Media.videoHash60Col(col("payload")).as("vhash60"))
+      .orderBy("media_id")
+  }
+
+  /** DuckDB replay of the MJPEG-AVI path from the block formula:
+    * sampled frame fi = (w·10)//8 for window w < 8; sample j reads
+    * block (j//8, j%8) of frame fi — idealized 255/0 per the formula;
+    * bit j < 60 set per frame iff pixel > Σpx//64 (with pure 0/255
+    * levels that is exactly "white and the frame is not all-white",
+    * and every fixture frame mixes levels); hash bit set iff > 4 of 8
+    * windows vote it.
+    */
+  val m06Oracle: String =
+    """WITH vids AS (
+      |  SELECT CAST(v AS BIGINT) AS media_id FROM generate_series(0, 11) AS g(v)
+      |), win AS (
+      |  SELECT media_id, gw.w AS w, (gw.w*10)//8 AS fi
+      |  FROM vids, generate_series(0, 7) AS gw(w)
+      |), pix AS (
+      |  SELECT media_id, w, gj.j AS j,
+      |    CASE WHEN ((gj.j//8) + 2*(gj.j%8) + media_id + 3*(fi//4)) % 5 < 2
+      |         THEN 255 ELSE 0 END AS v
+      |  FROM win, generate_series(0, 63) AS gj(j)
+      |), fm AS (
+      |  SELECT media_id, w, SUM(v)//64 AS mean FROM pix GROUP BY media_id, w
+      |), votes AS (
+      |  SELECT pix.media_id, pix.j, COUNT(*) AS c
+      |  FROM pix JOIN fm ON pix.media_id = fm.media_id AND pix.w = fm.w
+      |  WHERE pix.j < 60 AND pix.v > fm.mean
+      |  GROUP BY pix.media_id, pix.j
+      |), h AS (
+      |  SELECT media_id,
+      |    CAST(SUM(CASE WHEN c*2 > 8 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS vhash60
+      |  FROM votes GROUP BY media_id
+      |)
+      |SELECT vids.media_id, COALESCE(h.vhash60, 0) AS vhash60
+      |FROM vids LEFT JOIN h USING (media_id) ORDER BY media_id""".stripMargin
+
   /** Corpus-fit bigram LM scoring ([[graft.operators.LangModel]]) —
     * the CCNet-style perplexity quality signal. The oracle replays the
     * ENTIRE model: tokenization, bigram/prefix counts, the
@@ -624,6 +725,7 @@ object TextQueries {
     "m03_wav_features" -> (m03WavFeatures _),
     "m04_video_hash" -> (m04VideoHash _),
     "m05_y4m_video_hash" -> (m05Y4mVideoHash _),
+    "m06_avi_video_hash" -> (m06AviVideoHash _),
     "t01_token_counts" -> (t01TokenCounts _),
     "t02_lang_id" -> (t02LangId _),
     "t03_quality" -> (t03Quality _),
@@ -645,6 +747,7 @@ object TextQueries {
     "m03_wav_features" -> m03Oracle,
     "m04_video_hash" -> m04Oracle,
     "m05_y4m_video_hash" -> m05Oracle,
+    "m06_avi_video_hash" -> m06Oracle,
     "t01_token_counts" -> t01Oracle,
     "t02_lang_id" -> t02Oracle,
     "t03_quality" -> t03Oracle,

@@ -311,4 +311,144 @@ class MultimodalSpec extends SparkSpecBase {
     // wrong chroma size for the declared colorspace → malformed
     assert(Media.parseY4m(build("C444", 10)).isEmpty)
   }
+
+  // ------------------------------------------------------- AVI / MJPEG
+
+  private def le32b(v: Int) = Array[Byte](
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ le32b(data.length) ++ data ++
+      (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+  private def riffList(kind: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+  private def avi(frameChunks: Array[Byte]*): Array[Byte] = {
+    val hdrl = riffList("hdrl", chunk("avih", new Array[Byte](56)))
+    val movi = riffList("movi", frameChunks.flatten.toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
+  }
+  /** 64×64 frame of solid 8×8 blocks: block (r,c) white iff
+    * `white(r,c)`; gray=false paints r=g=b color pixels so the BT.601
+    * luma path yields the same values.
+    */
+  private def blockJpeg(white: (Int, Int) => Boolean, gray: Boolean): Array[Byte] = {
+    val t = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+            else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    val img = new java.awt.image.BufferedImage(64, 64, t)
+    for (r <- 0 until 8; c <- 0 until 8) {
+      val v = if (white(r, c)) 255 else 0
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (gray) img.getRaster.setSample(c * 8 + x, r * 8 + y, 0, v)
+        else img.setRGB(c * 8 + x, r * 8 + y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+  /** Idealized replay of videoHash60 over F block-pattern frames —
+    * the m06 oracle's arithmetic in Scala (255/0 levels; valid because
+    * solid DCT-aligned blocks decode without threshold-crossing error).
+    */
+  private def expectedBlockHash(nF: Int, white: (Int, Int, Int) => Boolean): Long = {
+    val votes = new Array[Int](60)
+    for (w <- 0 until 8) {
+      val fi = (w * nF / 8)
+      val px = (0 until 64).map(j => if (white(j / 8, j % 8, fi)) 255 else 0)
+      val mean = px.sum / 64
+      for (j <- 0 until 60; if px(j) > mean) votes(j) += 1
+    }
+    (0 until 60).filter(j => votes(j) * 2 > 8).map(1L << _).sum
+  }
+
+  test("AVI/MJPEG: real JPEG frames decoded; hash replays the block formula exactly") {
+    def white(r: Int, c: Int, fi: Int) = (r + 2 * c + 3 * (fi / 4)) % 5 < 2
+    val frames = (0 until 10).map(fi =>
+      chunk("00dc", blockJpeg(white(_, _, fi), gray = true)))
+    val payload = avi(frames: _*)
+    val h = Media.videoHash60(payload)
+    assert(h == expectedBlockHash(10, white),
+      f"decoded hash $h%x != block-formula replay ${expectedBlockHash(10, white)}%x")
+    assert(h != 0L)
+    assert(h == Media.videoHash60(payload.clone()), "not deterministic")
+    // parse surface: all 10 frame chunks found in order
+    assert(Media.parseAviFrames(payload).exists(_.length == 10))
+  }
+
+  test("AVI/MJPEG: color frames ride the integer BT.601 path to the same hash") {
+    def white(r: Int, c: Int, fi: Int) = (r + 2 * c + fi / 5) % 3 == 0
+    val gray = avi((0 until 10).map(fi =>
+      chunk("00dc", blockJpeg(white(_, _, fi), gray = true))): _*)
+    val color = avi((0 until 10).map(fi =>
+      chunk("00dc", blockJpeg(white(_, _, fi), gray = false))): _*)
+    // r=g=b color blocks: (299r+587g+114b)/1000 == the gray level, so
+    // chroma handling must not move a single threshold vote
+    assert(Media.videoHash60(color) == Media.videoHash60(gray),
+      "color decode path diverged from grayscale on identical luma")
+  }
+
+  test("AVI/MJPEG: rec -nested frames and odd-size padding both walk correctly") {
+    def white(r: Int, c: Int, fi: Int) = (r + c + fi) % 4 == 0
+    val frames = (0 until 10).map(fi => chunk("00dc", blockJpeg(white(_, _, fi), gray = true)))
+    val flat = avi(frames: _*)
+    // same frames grouped into interleave-style 'rec ' sub-lists
+    val nested = {
+      val hdrl = riffList("hdrl", chunk("avih", new Array[Byte](56)))
+      val movi = riffList("movi",
+        frames.grouped(2).flatMap(g => riffList("rec ", g.flatten.toArray)).toArray)
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
+    }
+    assert(Media.parseAviFrames(nested).exists(_.length == 10))
+    assert(Media.videoHash60(nested) == Media.videoHash60(flat),
+      "rec -nested frames must hash like the flat layout")
+    // JPEG payloads are frequently odd-length → the pad byte after the
+    // chunk must be skipped, or every following fourcc misaligns;
+    // force oddness with a one-byte junk chunk up front
+    val oddFirst = {
+      val movi = riffList("movi",
+        chunk("00wb", Array[Byte](7)) ++ frames.flatten.toArray)
+      val body = "AVI ".getBytes("US-ASCII") ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
+    }
+    assert(Media.parseAviFrames(oddFirst).exists(_.length == 10),
+      "odd-size chunk padding broke the walk")
+  }
+
+  test("AVI: malformed containers and non-JPEG codecs degrade to the content hash, never throw") {
+    def white(r: Int, c: Int, fi: Int) = (r + 2 * c + fi) % 5 < 2
+    val good = avi((0 until 6).map(fi =>
+      chunk("00dc", blockJpeg(white(_, _, fi), gray = true))): _*)
+    // truncation mid-frame: structurally refused, deterministic fallback
+    val truncated = good.take(good.length / 2)
+    assert(Media.parseAviFrames(truncated).isEmpty)
+    assert(Media.videoHash60(truncated) == Media.videoHash60(truncated.clone()))
+    // a declared chunk size overrunning the buffer: refused
+    val overrun = good.clone()
+    // corrupt the movi LIST's first frame-chunk size field to MaxInt
+    val moviAt = {
+      var i = 12; var found = -1
+      while (found < 0 && i < overrun.length - 8) {
+        if (new String(overrun, i, 4, "US-ASCII") == "LIST" &&
+            new String(overrun, i + 8, 4, "US-ASCII") == "movi") found = i
+        i += 1
+      }
+      found
+    }
+    assert(moviAt > 0)
+    System.arraycopy(le32b(Int.MaxValue), 0, overrun, moviAt + 16, 4)
+    assert(Media.parseAviFrames(overrun).isEmpty)
+    assert(Media.videoHash60(overrun) >= 0)
+    // a structurally-valid AVI whose frames are NOT JPEGs (DivX-style
+    // opaque codec data): parses, fails decode, falls back whole —
+    // never a half-decoded mix
+    val rnd = new scala.util.Random(67)
+    val alien = avi((0 until 6).map(_ =>
+      chunk("00dc", Array.fill(500)(rnd.nextInt(256).toByte))): _*)
+    assert(Media.parseAviFrames(alien).exists(_.length == 6), "structural parse should pass")
+    assert(Media.videoHash60(alien) == Media.videoHash60(alien.clone()))
+    // WAV is RIFF too — must not be claimed by the AVI parser
+    val wav = Media.buildWav(8000, 1, Array.fill(64)(1.toByte))
+    assert(Media.parseAviFrames(wav).isEmpty)
+  }
 }
