@@ -16,6 +16,70 @@ class McpClientSpec extends SparkSpecBase {
     (root, McpAgent(Mcp.McpConfig(allowedPaths = Seq(root.toString))))
   }
 
+  test("scheduler-through-MCP: due jobs run via execute_command with allowlist + event log") {
+    import graft.pipeline.{McpJobRunner, Scheduler}
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcp_sched")
+    // the job script echoes its argv contract: <job_id> <job_name> <params_json>
+    java.nio.file.Files.write(dir.resolve("job.sh"),
+      "echo \"RAN id=$1 name=$2 params=$3\"\n".getBytes("UTF-8"))
+    val tools = new Mcp.Tools(Mcp.McpConfig(
+      allowedPaths = Seq(dir.toString),
+      allowedCommands = Set("sh"), securityMode = "strict"))
+    val server = new Mcp.McpServer(tools)
+    val session = McpClient.loopback(server)
+    try {
+      session.initialize()
+      val now = java.time.LocalDateTime.of(2026, 8, 14, 12, 0)
+      val job = Scheduler.Job("j1", "nightly-etl",
+        Scheduler.IntervalSchedule(3600), nextRun = Some(now.minusMinutes(5)))
+      val (advanced, results) = McpJobRunner.tick(
+        Seq(job), now, dir.toString, _ => "job.sh",
+        params = _ => Map("sf" -> "0.01"), interpreter = "sh",
+        session = Some(session), server = Some(server))
+      // the script RAN through the tool surface, with the argv contract
+      assert(results.size == 1)
+      val r = results.head
+      assert(r.returncode == 0, s"rc=${r.returncode} err=${r.stderr}")
+      assert(r.stdout.contains("RAN id=j1 name=nightly-etl"), r.stdout)
+      assert(r.stdout.contains("""{"sf":"0.01"}"""), r.stdout)
+      // get_mcp_status rides the result (agent_mcp.py:116-127 parity)
+      assert(r.mcpStatus.enabled && r.mcpStatus.serverRunning)
+      assert(r.mcpStatus.securityMode == "strict")
+      assert(r.mcpStatus.eventsCount >= 1)
+      // the EVENT LOG carries the scheduled run — the audit property
+      // the composition exists for
+      val evs = tools.events.filter(_.eventType == "execute_command")
+      assert(evs.exists(e => e.path.contains("job.sh") && e.path.contains("j1")
+        && e.metadata.get("returncode").contains("0")), tools.events.toString)
+      // the job re-armed through the pure algebra
+      assert(advanced.head.lastRun.contains(now))
+      assert(advanced.head.nextRun.contains(now.plusSeconds(3600)))
+      // DIRECT-mode parity: same script, same argv, same output; the
+      // status honestly says MCP was not in the loop
+      val direct = McpJobRunner.runJob(job, dir.toString, "job.sh",
+        Map("sf" -> "0.01"), interpreter = "sh")
+      assert(direct.stdout == r.stdout)
+      assert(!direct.mcpStatus.enabled)
+      // ALLOWLIST refusal: an interpreter outside allowed_commands is
+      // refused server-side and surfaces loudly with the audit text
+      val refused = McpJobRunner.runJob(job, dir.toString, "job.sh",
+        interpreter = "bash", session = Some(session), server = Some(server))
+      assert(refused.returncode != 0)
+      assert(refused.stderr.contains("not allowed"), refused.stderr)
+      // missing script: total, explicit, shell-conventional
+      val missing = McpJobRunner.runJob(job, dir.toString, "nope.sh",
+        interpreter = "sh", session = Some(session), server = Some(server))
+      assert(missing.returncode == McpJobRunner.MissingScriptRc)
+      assert(missing.stderr.contains("nope.sh"))
+      // a failing script's nonzero rc comes through the MCP leg intact
+      java.nio.file.Files.write(dir.resolve("bad.sh"),
+        "echo boom >&2; exit 3\n".getBytes("UTF-8"))
+      val bad = McpJobRunner.runJob(job, dir.toString, "bad.sh",
+        interpreter = "sh", session = Some(session), server = Some(server))
+      assert(bad.returncode == 3 && bad.stderr.contains("boom"), bad.toString)
+    } finally session.close()
+  }
+
   test("handshake + tools/list through the client: the full seven-tool surface") {
     val (_, agent) = sandboxAgent()
     try {
