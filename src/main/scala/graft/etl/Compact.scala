@@ -89,7 +89,11 @@ object Compact {
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     fs.delete(tmp, true)
     fs.delete(old, true)
-    val src = spark.read.parquet(p.toString)
+    // mergeSchema: a leaf whose files straddle a schema evolution
+    // (the dedup ledger's untagged → batch_id-tagged generations)
+    // must rewrite the UNION of columns — plain inference samples one
+    // file and would silently drop the other generation's columns
+    val src = spark.read.option("mergeSchema", "true").parquet(p.toString)
     val nSrc = src.count()
     src.repartition(n).write.mode("overwrite").parquet(tmp.toString)
     // row-count gate BEFORE the swap: a silently lossy rewrite (e.g.
@@ -258,7 +262,14 @@ object Compact {
         .foreach(n => throw new IllegalArgumentException(
           s"$dir/$n is a crashed compact() swap inside the lake — recover or " +
             "remove it before compacting the root"))
-      val subdirs = listing.filter(_.isDirectory)
+      // hidden dirs are metadata, not partitions: `_batches` (the
+      // exactly-once gate's commit markers), `_temporary` residue from
+      // a crashed append — walking them as leaves would feed non-data
+      // files to the rewrite (or refuse a healthy leaf for carrying
+      // crash residue); the hadoop `_`/`.` convention [[isHiddenName]]
+      // every reader here already applies to FILES
+      val subdirs = listing.filter(s =>
+        s.isDirectory && !isHiddenName(s.getPath.getName))
       val data = listing.filter(isData)
       if (subdirs.isEmpty) {
         if (data.nonEmpty) Seq(dir) else Seq.empty // metadata-only dir: skip

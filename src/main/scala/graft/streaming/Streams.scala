@@ -294,6 +294,116 @@ object Streams {
       }
       .start()
 
+  /** EXACTLY-ONCE composition of [[dedupGate]] — the documented
+    * "id-keyed sink dedups the re-emit" recipe shipped as a verb, for
+    * sinks that are plain parquet lakes with no key to dedup on.
+    * Instead of an arbitrary `emit` callback (whose delivery can never
+    * be better than at-least-once — the gate cannot transact a crash
+    * window it doesn't own), this verb OWNS the sink and makes every
+    * step of the micro-batch idempotent on replay, keyed by Spark's
+    * stable `batchId` (same id ⇒ same redelivered data from a
+    * replayable source):
+    *
+    *  1. a COMMIT MARKER (`<ledger>/_batches/<id>`, written last)
+    *     short-circuits a replay of a fully-processed batch;
+    *  2. the sink write is a dynamic-partition OVERWRITE of
+    *     `batch=<id>` — a re-run rewrites its own partition, never
+    *     duplicates it (the `batch` column doubles as the audit trail
+    *     of the transactional unit);
+    *  3. the ledger append tags rows with `batch_id`, and the
+    *     suppression anti-join EXCLUDES rows tagged with the CURRENT
+    *     id — a crashed attempt's own half-landed fingerprints can
+    *     never suppress the replay's emit (the append-before-emit loss
+    *     window closed structurally);
+    *  4. the append itself skips fingerprints already tagged with this
+    *     id, so the ledger converges to ONE row per (fp) however many
+    *     times the batch replays.
+    *
+    * Crash in ANY window ⇒ the replay converges on the same sink
+    * row-set and the same ledger fingerprint-set, nothing emitted
+    * twice, nothing lost (spec-pinned window by window). A ledger
+    * previously written by [[dedupGate]] interoperates: its rows carry
+    * no `batch_id` (read as null ⇒ never self-excluded ⇒ genuine
+    * history, correctly suppressing). All of [[dedupGate]]'s dedup
+    * semantics (keep-lowest-id, null pass-through, bucketed ledger
+    * reads) are inherited verbatim.
+    */
+  def dedupGateExactlyOnce(
+      stream: DataFrame, checkpoint: String, ledgerPath: String,
+      sinkPath: String, idCol: String, textCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        exactlyOnceBatch(batch.toDF(), batchId, ledgerPath, sinkPath, idCol, textCol)
+      }
+      .start()
+
+  /** One micro-batch of [[dedupGateExactlyOnce]] — package-visible so
+    * the crash-replay spec can re-run a batch id against every crash
+    * window without forging checkpoint state.
+    */
+  private[graft] def exactlyOnceBatch(
+      batchDf: DataFrame, batchId: Long, ledgerPath: String,
+      sinkPath: String, idCol: String, textCol: String): Unit = {
+    val spark = batchDf.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$ledgerPath/_batches/$batchId")
+    if (fs.exists(marker)) return // fully processed — replay is a no-op
+    val withFp = batchDf
+      .withColumn("__fp", graft.functions.Text.fingerprint(col(textCol)))
+      .dropDuplicates(Seq("__fp", idCol))
+    val passThrough = withFp
+      .filter(col("__fp").isNull || col(idCol).isNull).drop("__fp")
+    val dedupable = withFp.filter(col("__fp").isNotNull && col(idCol).isNotNull)
+    val firsts = dedupable.groupBy("__fp").agg(min(col(idCol)).as(idCol))
+    val inBatch = dedupable.join(firsts, Seq("__fp", idCol), "left_semi")
+    val touched = dedupable.select(substring(col("__fp"), 1, 2).as("b"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val ledger = ledgerScan(spark, ledgerPath, touched, withBatchId = true)
+    // self-exclusion: rows this batch id itself half-landed before a
+    // crash are NOT prior history — without this, a crash between
+    // append and sink-write would silently swallow the whole batch on
+    // replay (the loss window the at-least-once gate avoids by
+    // emit-first ordering)
+    val fresh0 = ledger match {
+      case Some(l) =>
+        inBatch.join(
+          l.filter(col("__batch_id").isNull || col("__batch_id") =!= batchId)
+            .select("__fp"),
+          Seq("__fp"), "left_anti")
+      case None => inBatch
+    }
+    val fresh = fresh0.persist()
+    try {
+      // sink first (overwrite of THIS batch's partition — idempotent),
+      // then ledger, then marker: a crash after the sink write replays
+      // into an overwrite of the same rows, a crash after the append
+      // replays into a skipped append, and only the marker's creation
+      // commits the batch
+      val emitted = fresh.drop("__fp").unionByName(passThrough)
+        .withColumn("batch", lit(batchId))
+      emitted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(sinkPath)
+      if (!fresh.isEmpty) {
+        val mine = ledger
+          .map(_.filter(col("__batch_id") === batchId).select("__fp"))
+        val toAppend = mine match {
+          case Some(m) => fresh.select("__fp").join(m, Seq("__fp"), "left_anti")
+          case None => fresh.select("__fp")
+        }
+        toAppend.select(col("__fp").as("fp"))
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("bucket", substring(col("fp"), 1, 2))
+          .write.partitionBy("bucket").mode("append").parquet(ledgerPath)
+      }
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+    } finally fresh.unpersist()
+  }
+
   /** The dedup ledger's pruned read: only the `bucket=<prefix>` dirs
     * in `touched` that EXIST are opened (explicit-subdir read — the
     * pruning is structural, not an optimizer promise), so batch cost
@@ -313,7 +423,7 @@ object Streams {
     */
   private[graft] def ledgerScan(
       spark: org.apache.spark.sql.SparkSession, ledgerPath: String,
-      touched: Seq[String]): Option[DataFrame] = {
+      touched: Seq[String], withBatchId: Boolean = false): Option[DataFrame] = {
     val root = new org.apache.hadoop.fs.Path(ledgerPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a parked __bucket_old tree WITH FILES is a crashed bucketLedger
@@ -343,14 +453,31 @@ object Streams {
             if graft.etl.Compact.emptyLakeRead(e) =>
           None
       }
+    // withBatchId (the exactly-once gate): read through an EXPLICIT
+    // schema so files from the at-least-once era — no batch_id column
+    // — surface null batch ids (genuine prior history, never
+    // self-excluded) instead of failing schema inference on a mixed
+    // ledger
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    def proj(df: DataFrame): DataFrame =
+      if (withBatchId)
+        df.select(col("fp").as("__fp"), col("batch_id").as("__batch_id"))
+      else df.select(col("fp").as("__fp"))
+    def reader(partitioned: Boolean) = {
+      val base = spark.read
+      if (!withBatchId) base
+      else base.schema(StructType(
+        Seq(StructField("fp", StringType), StructField("batch_id", LongType)) ++
+          (if (partitioned) Seq(StructField("bucket", StringType)) else Nil)))
+    }
     val legacy =
       if (legacyFiles.isEmpty) None
-      else tryRead(spark.read.parquet(legacyFiles.map(_.getPath.toString).toSeq: _*)
-        .select(col("fp").as("__fp")))
+      else tryRead(proj(
+        reader(partitioned = false).parquet(legacyFiles.map(_.getPath.toString).toSeq: _*)))
     val bucketed =
       if (bucketDirs.isEmpty) None
-      else tryRead(spark.read.option("basePath", ledgerPath).parquet(bucketDirs: _*)
-        .select(col("fp").as("__fp")))
+      else tryRead(proj(
+        reader(partitioned = true).option("basePath", ledgerPath).parquet(bucketDirs: _*)))
     (legacy, bucketed) match {
       case (Some(a), Some(b)) => Some(a.unionByName(b))
       case (a, b) => a.orElse(b)
@@ -443,12 +570,27 @@ object Streams {
     val present = fs.listStatus(root).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("bucket="))
       .map(_.getPath.getName.stripPrefix("bucket=")).toSeq
-    val all = ledgerScan(spark, ledgerPath, present)
+    // batch_id carried through (null for legacy-era rows): dropping an
+    // UNCOMMITTED batch's tags in the rewrite would make its replay
+    // see its own half-landed fingerprints as genuine history and
+    // silently swallow the batch — the exact loss window the
+    // exactly-once gate's self-exclusion closes
+    val all = ledgerScan(spark, ledgerPath, present, withBatchId = true)
       .getOrElse(sys.error(s"$ledgerPath has flat files but none are readable"))
-    all.select(col("__fp").as("fp")).distinct()
+    all.select(col("__fp").as("fp"), col("__batch_id").as("batch_id")).distinct()
       .withColumn("bucket", substring(col("fp"), 1, 2))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").parquet(tmp.toString)
+    // the exactly-once gate's commit markers are COPIED (not renamed —
+    // a crash before the swap must leave them at the still-live root)
+    // into the rewritten tree so it swaps in complete
+    val mb = new org.apache.hadoop.fs.Path(s"$ledgerPath/_batches")
+    if (fs.exists(mb)) {
+      val dst = new org.apache.hadoop.fs.Path(tmp, "_batches")
+      fs.mkdirs(dst)
+      fs.listStatus(mb).filter(_.isFile).foreach(s =>
+        fs.create(new org.apache.hadoop.fs.Path(dst, s.getPath.getName), true).close())
+    }
     graft.etl.Compact.swapInto(fs, tmp, root, old)
   }
 
