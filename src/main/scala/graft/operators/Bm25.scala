@@ -941,12 +941,135 @@ object Bm25 {
 
   /** (n_docs, total_tokens, n_buckets) — bounded 1-row read; fails
     * loudly on a missing/corrupt sidecar (the index-complete marker).
+    * Also the single choke point for the rebucket-in-flight guard:
+    * every query/mutation verb reads the sidecar, and a crashed
+    * [[rebucketLexIndex]] can leave the LAKE laid out for the new
+    * bucket count while the sidecar still says the old one — pruning
+    * would then open the wrong dirs and silently answer with terms
+    * missing. The intent marker makes that window refuse loudly with
+    * the converging remedy instead.
     */
   private def readStatsSidecar(
-      spark: org.apache.spark.sql.SparkSession, path: String): (Long, Long, Int) = {
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      allowRebucketIntent: Boolean = false): (Long, Long, Int) = {
+    if (!allowRebucketIntent) {
+      val intent = new org.apache.hadoop.fs.Path(s"$path/rebucket_intent")
+      val fs = intent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(!fs.exists(intent),
+        s"$path has a rebucket in flight (crashed mid-rebucket?) -- run " +
+          "Bm25.rebucketLexIndex(path, newBuckets) to converge it first")
+    }
     val rows = spark.read.parquet(s"$path/stats")
       .select("n_docs", "total_tokens", "n_buckets").collect()
     require(rows.length == 1, s"$path/stats is not a 1-row sidecar -- not a lex index")
     (rows(0).getLong(0), rows(0).getLong(1), rows(0).getInt(2))
+  }
+
+  /** Re-bucket a persisted lex index to `newBuckets` posting buckets —
+    * the layout-decay cure bucket COUNTS need: `nBuckets` is fixed at
+    * [[buildLexIndex]] time, so an index that has grown 100× since
+    * build still spreads its postings over the toy-scale bucket count,
+    * per-bucket files balloon, and query-time pruning degrades toward
+    * full scans ([[compactLexIndex]] heals FILE decay within buckets,
+    * never the bucket count itself). One full-lake rewrite — the
+    * honest cost of changing a hash-partitioned layout — then the
+    * partition-pruned query path amortizes at the new width forever.
+    *
+    * Crash contract (the sidecar's `n_buckets` DRIVES pruning, so a
+    * lake/sidecar mismatch must never serve): an INTENT marker
+    * (`path/rebucket_intent`, atomic rename placement, same pattern as
+    * the remove journal) is placed before the swap and removed after
+    * the sidecar lands; every other verb refuses while it exists
+    * ([[readStatsSidecar]]); and re-running this verb converges from
+    * ANY window — the rewrite keys buckets off the TERM column, so it
+    * is idempotent whether the lake it reads is old- or new-layout,
+    * and the two-rename swap's parked tree is recovered (rename-back
+    * or finish-the-delete, decided by which side of the swap the
+    * crash fell on). Stats (n_docs, total_tokens) are preserved
+    * bit-identically; query results are bit-identical before/after
+    * (spec-pinned). The IVF family has NO cheap equivalent: its cell
+    * count is baked into the trained coarse codebook, so growing
+    * `nlist` means re-fitting the quantizer ([[Ann.buildIvfIndex]]) —
+    * re-fit or accept the occupancy skew.
+    */
+  def rebucketLexIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newBuckets: Int): Unit = {
+    require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
+    resumePendingRemove(spark, path)
+    val target = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__rebucket_tmp")
+    val old = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__rebucket_old")
+    val intent = new org.apache.hadoop.fs.Path(s"$path/rebucket_intent")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/rebucket_intent__tmp"), true)
+    if (fs.exists(intent)) {
+      val prev = spark.read.parquet(intent.toString).select("n_buckets")
+        .head().getInt(0)
+      require(prev == newBuckets,
+        s"$path has a crashed rebucket to $prev buckets in flight -- converge " +
+          s"it first (rerun with newBuckets=$prev) before rebucketing to $newBuckets")
+    }
+    // swap-window recovery BEFORE the servability guard (which would
+    // refuse our own parked tree): park-with-files + missing target ⇒
+    // crash between swapInto's two renames — the park IS the lake;
+    // park-with-files + present target ⇒ crash after the swap-in,
+    // before the delete — the target is the count-gated complete
+    // rewrite (only this verb creates __rebucket_old, and only after
+    // gating tmp), so finishing the delete is completing the swap,
+    // not discarding an only copy
+    if (fs.exists(old)) {
+      require(fs.exists(intent),
+        s"$old exists without a rebucket intent -- unrecognized state, refusing")
+      if (!fs.exists(target)) require(fs.rename(old, target), s"could not recover $old")
+      else fs.delete(old, true)
+    }
+    graft.etl.Compact.requireServable(fs, target, action = "rebucketing")
+    val (nDocs, totalTokens, oldBuckets) =
+      readStatsSidecar(spark, path, allowRebucketIntent = true)
+    if (oldBuckets == newBuckets && !fs.exists(intent)) return // no-op
+    if (!fs.exists(intent)) {
+      import spark.implicits._
+      val itmp = new org.apache.hadoop.fs.Path(s"$path/rebucket_intent__tmp")
+      Seq(newBuckets).toDF("n_buckets").coalesce(1)
+        .write.mode("overwrite").parquet(itmp.toString)
+      require(fs.rename(itmp, intent), s"could not place rebucket intent at $intent")
+    }
+    fs.delete(tmp, true)
+    // cache for the rewrite + count gate, UNPERSISTED before the swap:
+    // a cached plan over path/postings would keep answering
+    // post-rebucket reads of the same path with the OLD lake's rows
+    // (Spark's cache substitutes by plan equality), serving stale
+    // bucket values against new-width pruning
+    val src = readPostingsLake(spark, path).cache()
+    try {
+      val n = src.count()
+      // a fully-purged lake (zero data files) has no layout to rewrite —
+      // only the sidecar's bucket count moves (and an empty tmp would
+      // fail its own count-gate read)
+      if (n > 0) {
+        // bucket recomputed from the TERM — idempotent over any layout
+        src.drop("bucket")
+          .withColumn("bucket", bucketOf(col("term"), newBuckets))
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
+        val nTmp = spark.read.parquet(tmp.toString).count()
+        if (nTmp != n) {
+          fs.delete(tmp, true)
+          throw new IllegalStateException(
+            s"rebucket of $path would lose postings ($n read, $nTmp rewritten) -- " +
+              "aborted, original untouched")
+        }
+        src.unpersist(blocking = true)
+        if (fs.exists(target)) graft.etl.Compact.swapInto(fs, tmp, target, old)
+        else require(fs.rename(tmp, target), s"could not place rebucketed lake at $target")
+        // drop any cached file listing/data for the swapped path — a
+        // stale InMemoryFileIndex would read renamed-away files
+        spark.catalog.refreshByPath(target.toString)
+      }
+    } finally src.unpersist(blocking = true)
+    writeStatsSidecar(spark, path,
+      org.apache.spark.sql.Row(nDocs, totalTokens), newBuckets)
+    fs.delete(intent, true)
   }
 }

@@ -194,6 +194,89 @@ class SearchSpec extends SparkSpecBase {
       "compaction touched the stats sidecar")
   }
 
+  test("rebucketLexIndex: serves bit-identically at the new width, pruned, crash-window safe") {
+    val docs = Seq(
+      (1L, "red apple pie"), (2L, "red red banana"), (3L, "blue sky"),
+      (4L, ""), (5L, "banana banana banana split"), (6L, "apple sky red"),
+      (7L, "pie crust"), (8L, "banana pie sky"))
+    val ddf = docs.toDF("doc_id", "text")
+    val qdf = Seq((0L, "red banana"), (1L, "sky pie")).toDF("q_id", "qtext")
+    val path = java.nio.file.Files.createTempDirectory("graft_lex_rb").toString + "/ix"
+    graft.operators.Bm25.buildLexIndex(
+      ddf, col("doc_id"), col("text"), path, nBuckets = 2)
+    def serve() = graft.operators.Bm25.queryLexIndex(
+      spark, path, qdf, col("q_id"), col("qtext"), k = 5)
+    val before = serve()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val statsBefore = spark.read.parquet(s"$path/stats")
+      .select("n_docs", "total_tokens").collect().toSeq
+    // grow 2 → 16 buckets: layout changes, answers must not
+    graft.operators.Bm25.rebucketLexIndex(spark, path, newBuckets = 16)
+    val after = serve()
+    assert(after.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet == before,
+      "rebucketing changed query results")
+    assert(spark.read.parquet(s"$path/stats")
+      .select("n_docs", "total_tokens").collect().toSeq == statsBefore,
+      "rebucketing changed corpus stats")
+    assert(spark.read.parquet(s"$path/stats").head().getInt(2) == 16)
+    // the lake really re-laid out, and pruning still fires on it
+    val bucketDirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).map(_.getName)
+    assert(bucketDirs.length > 2, s"lake not re-bucketed: ${bucketDirs.toSeq}")
+    val f = after.queryExecution.executedPlan.toString
+    val pf = f.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("bucket")).getOrElse("")
+    assert(pf.contains("bucket#") || pf.contains("bucket IN") || pf.contains("isnotnull(bucket"),
+      s"rebucketed postings scan is not partition-pruned:\n$f")
+    // adds keep working at the new width (sidecar's n_buckets drives them)
+    graft.operators.Bm25.addToLexIndex(
+      spark, path, Seq((9L, "red crust")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    assert(serve().collect().nonEmpty)
+    // same-width call is a no-op (no intent left behind)
+    graft.operators.Bm25.rebucketLexIndex(spark, path, newBuckets = 16)
+    assert(!new java.io.File(s"$path/rebucket_intent").exists())
+
+    // CRASH WINDOW 1 — intent placed, lake swapped to the new width,
+    // sidecar still old (the silent-wrong-pruning window): fabricate
+    // by placing the intent and hand-shrinking the sidecar's claim
+    import spark.implicits._
+    val itmp = s"$path/rebucket_intent__tmp2"
+    Seq(4).toDF("n_buckets").coalesce(1).write.parquet(itmp)
+    assert(new java.io.File(itmp).renameTo(new java.io.File(s"$path/rebucket_intent")))
+    // every verb refuses loudly while the intent stands
+    val e = intercept[IllegalArgumentException](serve().collect())
+    assert(e.getMessage.contains("rebucketLexIndex"), e.getMessage)
+    intercept[IllegalArgumentException](graft.operators.Bm25.addToLexIndex(
+      spark, path, Seq((10L, "x")).toDF("doc_id", "text"), col("doc_id"), col("text")))
+    // a DIFFERENT width refuses (ambiguous in-flight state)...
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.Bm25.rebucketLexIndex(spark, path, newBuckets = 8))
+    assert(e2.getMessage.contains("newBuckets=4"), e2.getMessage)
+    // ...and re-running at the INTENT's width converges from the window
+    graft.operators.Bm25.rebucketLexIndex(spark, path, newBuckets = 4)
+    assert(spark.read.parquet(s"$path/stats").head().getInt(2) == 4)
+    assert(!new java.io.File(s"$path/rebucket_intent").exists())
+    val conv = serve()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(conv.map(t => (t._1, t._2)).nonEmpty)
+
+    // CRASH WINDOW 2 — between swapInto's two renames: the whole lake
+    // parked at __rebucket_old, the target gone, intent standing
+    Seq(8).toDF("n_buckets").coalesce(1).write.parquet(itmp)
+    assert(new java.io.File(itmp).renameTo(new java.io.File(s"$path/rebucket_intent")))
+    assert(new java.io.File(s"$path/postings")
+      .renameTo(new java.io.File(s"$path/postings__rebucket_old")))
+    intercept[Exception](serve().collect()) // never reads as empty
+    graft.operators.Bm25.rebucketLexIndex(spark, path, newBuckets = 8)
+    val recovered = serve()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(recovered.nonEmpty, "recovery lost the lake")
+    assert(!new java.io.File(s"$path/postings__rebucket_old").exists())
+    assert(spark.read.parquet(s"$path/stats").head().getInt(2) == 8)
+  }
+
   test("lex index retention: remove(build+add) ≡ build-without; stats decremented") {
     val docs = Seq(
       (1L, "red apple pie"), (2L, "red red banana"), (3L, "blue sky"),
