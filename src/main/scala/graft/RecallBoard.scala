@@ -44,14 +44,48 @@ object RecallBoard {
     }.sum / e.size
   }
 
+  /** Size-derived ANN search-effort parameters — the deployment rule
+    * the scoreboard measures at every scale. Fixed ABSOLUTE knobs do
+    * not survive corpus growth: the round-10 sweep measured the
+    * sf0.01-tuned config (nlist 8 / nprobe 7 / PQ shortlist 150)
+    * falling from ≥0.98 recall@5 at n≈500 to 0.76–0.92 at n≈2000 —
+    * cells hold 4× the vectors, so a pruned cell hides 4× the
+    * neighbors, and a 150-of-2000 shortlist is 4× more selective than
+    * 150-of-500. The rule scales effort with n (sweep-validated at
+    * both shipped scales):
+    *
+    *  - `nlist = max(8, ceil(n/125))` — ~125 vectors per cell, the
+    *    occupancy the sf0.01 tuning established;
+    *  - `nprobe = round(7·nlist/8)` — probe 7/8 of the cells (the
+    *    sweep shows 3/4 already reaches the floor once cells
+    *    multiply; 7/8 keeps headroom at every scale);
+    *  - PQ `shortlist = max(150, ceil(n/5))` — rerank ~20% of the
+    *    corpus (compressed-domain scoring stays the candidate gate);
+    *  - SQ8 shortlists are distortion-bound, not size-bound (byte
+    *    codes rank almost exactly), and stay fixed.
+    *
+    * At 100 TB the same rule holds per PARTITION of the index (nlist
+    * ∝ corpus, nprobe a fraction, shortlist ∝ k·probed-mass) — the
+    * point is that effort is a FUNCTION of size, never a constant.
+    */
+  def scaledAnnParams(n: Long): (Int, Int, Int) = {
+    val nlist = math.max(8, math.ceil(n / 125.0).toInt)
+    val nprobe = math.min(nlist, math.round(nlist * 7.0 / 8).toInt)
+    val shortlist = math.max(150, math.ceil(n / 5.0).toInt)
+    (nlist, nprobe, shortlist)
+  }
+
   /** recall@5 per approximate path over `dir`'s embeddings table, at
-    * the pinned oracle-query parameters.
+    * the [[scaledAnnParams]] config for that corpus size (which at
+    * sf0.01 reproduces the pinned oracle-query parameters exactly —
+    * nlist 8, nprobe 7, shortlist 150).
     */
   def recalls(spark: SparkSession, dir: String): Map[String, Double] = {
     val e = Tables.t(spark, dir, "embeddings")
     val base = e.filter(col("vec_id") >= 10)
     val qs = e.filter(col("vec_id") < 10)
     val k = 5
+    val (nlist, nprobe, shortlist) = scaledAnnParams(base.count())
     val exact = Ann.knnBruteForce(
       base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"), k)
     val paths: Seq[(String, DataFrame)] = Seq(
@@ -60,31 +94,46 @@ object RecallBoard {
         k, bits = 4, tables = 6, multiprobe = true, probeRadius = 2),
       "v05_knn_ivf" -> Ann.knnIvf(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, nlist = 8, nprobe = 7),
+        k, nlist = nlist, nprobe = nprobe),
       "v09_knn_pq" -> Pq.knnPq(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, m = 8, kSub = 32, shortlist = 150, maxFit = 20000L),
+        k, m = 8, kSub = 32, shortlist = shortlist, maxFit = 20000L),
       "v10_knn_ivfpq" -> Pq.knnIvfPq(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, nlist = 8, nprobe = 7, m = 8, kSub = 32, shortlist = 150, maxFit = 20000L),
+        k, nlist = nlist, nprobe = nprobe, m = 8, kSub = 32,
+        shortlist = shortlist, maxFit = 20000L),
       "v15_knn_sq8" -> graft.operators.Sq.knnSq8(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
         k, shortlist = 20),
       "v16_knn_ivfsq8" -> graft.operators.Sq.knnIvfSq8(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, nlist = 8, nprobe = 7, shortlist = 50))
+        k, nlist = nlist, nprobe = nprobe, shortlist = 50))
     paths.map { case (name, df) => name -> recallAtK(exact, df, k) }.toMap
   }
 
+  /** `args(0)`: one sf dir, or several comma-separated (the round-10
+    * artifact carries BOTH the oracle scale sf0.01 and the bench scale
+    * sf0.1 — cell/bucket occupancy differs with corpus size, so a
+    * recall hole can exist at one scale and not the other);
+    * `args(1)` (optional): output file for the JSON line.
+    */
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse(
+    val dirs = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+      .split(',').toSeq.filter(_.nonEmpty)
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = recalls(spark, sfDir).toSeq.sortBy(_._1)
-    val json = r.map { case (n, v) => s""""$n":${math.rint(v * 1000) / 1000}""" }
-      .mkString(s"""{"metric":"recall@5","sf":"$sfDir","recall":{""", ",", "}}")
+    def obj(dir: String): String =
+      recalls(spark, dir).toSeq.sortBy(_._1)
+        .map { case (n, v) => s""""$n":${math.rint(v * 1000) / 1000}""" }
+        .mkString("{", ",", "}")
+    val json =
+      if (dirs.size == 1)
+        s"""{"metric":"recall@5","sf":"${dirs.head}","recall":${obj(dirs.head)}}"""
+      else
+        dirs.map(d => s""""$d":${obj(d)}""")
+          .mkString("""{"metric":"recall@5","scales":{""", ",", "}}")
     args.lift(1).foreach { out =>
       java.nio.file.Files.write(
         java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8")): Unit

@@ -42,29 +42,29 @@ object RecallSweep {
         qs, col("vec_id"), col("embedding"), k, bits, tables,
         multiprobe = true, probeRadius = radius))
 
-    for (nprobe <- Seq(6, 7))
-      timeRecall(s"ivf nlist=8 nprobe=$nprobe",
+    for ((nlist, nprobe) <- Seq((8, 6), (8, 7), (16, 10), (16, 12), (32, 20)))
+      timeRecall(s"ivf nlist=$nlist nprobe=$nprobe",
         Ann.knnIvf(base, col("vec_id"), col("embedding"),
-          qs, col("vec_id"), col("embedding"), k, nlist = 8, nprobe = nprobe))
+          qs, col("vec_id"), col("embedding"), k, nlist = nlist, nprobe = nprobe))
 
-    for { kSub <- Seq(24, 32); shortlist <- Seq(100, 150, 200) }
+    for { kSub <- Seq(24, 32); shortlist <- Seq(100, 150, 200, 300, 400, 600) }
       timeRecall(s"pq m=8 kSub=$kSub shortlist=$shortlist",
         Pq.knnPq(base, col("vec_id"), col("embedding"),
           qs, col("vec_id"), col("embedding"), k,
           m = 8, kSub = kSub, shortlist = shortlist, maxFit = 20000L))
 
-    for { nprobe <- Seq(6, 7); shortlist <- Seq(150, 200) }
-      timeRecall(s"ivfpq nlist=8 nprobe=$nprobe m=8 kSub=32 shortlist=$shortlist",
+    for { (nlist, nprobe) <- Seq((8, 6), (8, 7), (16, 12)); shortlist <- Seq(150, 200, 300, 400) }
+      timeRecall(s"ivfpq nlist=$nlist nprobe=$nprobe m=8 kSub=32 shortlist=$shortlist",
         Pq.knnIvfPq(base, col("vec_id"), col("embedding"),
           qs, col("vec_id"), col("embedding"), k,
-          nlist = 8, nprobe = nprobe, m = 8, kSub = 32,
+          nlist = nlist, nprobe = nprobe, m = 8, kSub = 32,
           shortlist = shortlist, maxFit = 20000L))
 
-    for { nprobe <- Seq(6, 7); shortlist <- Seq(50, 100) }
-      timeRecall(s"ivfsq8 nlist=8 nprobe=$nprobe shortlist=$shortlist",
+    for { (nlist, nprobe) <- Seq((8, 6), (8, 7), (16, 12)); shortlist <- Seq(50, 100, 200) }
+      timeRecall(s"ivfsq8 nlist=$nlist nprobe=$nprobe shortlist=$shortlist",
         graft.operators.Sq.knnIvfSq8(base, col("vec_id"), col("embedding"),
           qs, col("vec_id"), col("embedding"), k,
-          nlist = 8, nprobe = nprobe, shortlist = shortlist))
+          nlist = nlist, nprobe = nprobe, shortlist = shortlist))
 
     spark.stop()
   }

@@ -551,6 +551,19 @@ class ColumnFunctionsSpec extends SparkSpecBase {
       assert(r(name) >= floor, s"$name recall@5 ${r(name)} fell below pinned floor $floor")
   }
 
+  test("recall scoreboard at BENCH scale: size-derived params hold >=0.95 on every tier") {
+    // round 10's finding: the sf0.01-tuned ABSOLUTE params (nlist 8 /
+    // nprobe 7 / shortlist 150) measured 0.76-0.92 at sf0.1 — cell
+    // occupancy and shortlist selectivity both degrade 4x with a 4x
+    // corpus. RecallBoard.scaledAnnParams derives effort from corpus
+    // size (sweep-validated at both scales); this floor pins the rule
+    // at the scale where the fixed params FAILED, so a future edit
+    // that quietly decouples effort from n fails the build here.
+    val r = graft.RecallBoard.recalls(spark, "/root/testdata/sf0.1")
+    for ((name, v) <- r)
+      assert(v >= 0.95, s"$name recall@5 $v fell below the 0.95 bench-scale floor")
+  }
+
   test("IVF ANN: every valid query returns candidates, even with dead cells") {
     // duplicate-heavy base: Lloyd empties most cells (all mass on one
     // point), leaving dead/coincident centroids. With nprobe=1 a query
