@@ -140,7 +140,18 @@ object LangModel {
     // c1 derives from the WRITTEN bigrams, not the live stream: the
     // persisted pair must be mutually consistent even if the caller's
     // frame is nondeterministic (sample/limit)
-    spark.read.parquet(s"$path/bigrams")
+    val written = spark.read.parquet(s"$path/bigrams")
+    // loud fit-time capacity warning (metadata-weight count): the fit
+    // itself is valid at any vocabulary size, but scoring will REFUSE
+    // past the broadcast gate — say so now, at the job that can still
+    // choose a prune threshold, not at tomorrow's scoring job
+    val nBigrams = written.count()
+    if (nBigrams > MaxBroadcastModelRows)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$path/bigrams holds $nBigrams distinct bigrams -- past the " +
+          s"broadcast capacity gate ($MaxBroadcastModelRows); scoreWith " +
+          "will refuse until LangModel.pruneModel(path, minCount) shrinks it")
+    written
       .groupBy("w1").agg(sum("c2").as("c1"))
       .write.mode("overwrite").parquet(s"$path/unigrams")
     val v = base.filter(col("toks").isNotNull)
@@ -162,12 +173,27 @@ object LangModel {
     */
   def scoreWith(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      docs: DataFrame, id: Column, text: Column): DataFrame = {
+      docs: DataFrame, id: Column, text: Column,
+      maxBroadcastRows: Long = MaxBroadcastModelRows): DataFrame = {
     val vRows = spark.read.parquet(s"$path/stats").select("vocab_v").collect()
     require(vRows.length == 1, s"$path/stats is not a 1-row LM sidecar -- not a fitted model")
     val v = vRows(0).getLong(0)
     val c2 = spark.read.parquet(s"$path/bigrams")
     val c1 = spark.read.parquet(s"$path/unigrams")
+    // LOUD capacity gate before the broadcast (parquet metadata-weight
+    // count): a bigram table past broadcast capacity would otherwise
+    // die mid-job in Spark's broadcast machinery (or OOM the driver)
+    // with no remedy named — and the shuffle-join fallback is NOT an
+    // automatic rescue here, because its skew is structurally
+    // AQE-invisible (see the scale-shape scaladoc). The remedy is the
+    // CCNet one: prune the persisted model.
+    val c2n = c2.count()
+    require(c2n <= maxBroadcastRows,
+      s"$path/bigrams holds $c2n distinct bigrams -- past the broadcast " +
+        s"capacity gate ($maxBroadcastRows); prune the model first " +
+        "(LangModel.pruneModel(path, minCount) -- pruned bigrams score " +
+        "as unseen, the CCNet convention) or raise maxBroadcastRows if " +
+        "the executors have the memory")
     val (base, pairs) = bigramStream(docs, id, text)
     val terms = pairs
       .join(broadcast(c2), Seq("w1", "w2"), "left")
@@ -187,5 +213,49 @@ object LangModel {
         when(col("n_bigrams").isNotNull,
           (col("ll_micro").cast("double") / lit(1000000.0)) / col("n_bigrams").cast("double"))
           .as("mean_ll"))
+  }
+
+  /** Broadcast-capacity gate for the persisted model's bigram table:
+    * ~50M rows ≈ a few GB broadcast (w1/w2 strings + count) — under
+    * Spark's 8 GB hard broadcast limit with headroom for executor
+    * memory. A corpus whose observed bigram vocabulary exceeds this is
+    * exactly the CCNet setting where the model gets PRUNED, not
+    * broadcast whole.
+    */
+  val MaxBroadcastModelRows: Long = 50L * 1000 * 1000
+
+  /** Prune a persisted [[fit]] model's bigram table to entries with
+    * `c2 >= minCount` — the CCNet-style remedy when the observed
+    * bigram vocabulary outgrows broadcast capacity (rare transitions
+    * carry most of the rows and the least signal). ONLY the bigram
+    * lake shrinks: unigrams and vocab_v keep the FULL fit counts, so a
+    * pruned bigram scores as unseen — `(0+1)/(c1+V)` — exactly the
+    * smoothing [[scoreWith]] already applies to genuinely-new text
+    * (scores for SURVIVING bigrams are bit-identical to the unpruned
+    * model; spec-pinned). Two-rename swap via a tmp dir outside the
+    * lake; a crash window parks the original, refused loudly by the
+    * next prune (the Compact rule). Returns (rowsBefore, rowsAfter).
+    */
+  def pruneModel(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      minCount: Long): (Long, Long) = {
+    require(minCount >= 2, s"minCount must be >= 2 (got $minCount; 1 is a no-op)")
+    val target = new org.apache.hadoop.fs.Path(s"$path/bigrams")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__prune_tmp")
+    val old = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__prune_old")
+    graft.etl.Compact.clearOrRefuseParked(fs, old, "model prune")
+    // sidecar presence = fitted-model marker (scoreWith's contract)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/stats")),
+      s"$path has no stats sidecar -- not a fitted LM model")
+    fs.delete(tmp, true)
+    val src = spark.read.parquet(target.toString)
+    val before = src.count()
+    src.filter(col("c2") >= minCount)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val after = spark.read.parquet(tmp.toString).count()
+    graft.etl.Compact.swapInto(fs, tmp, target, old)
+    spark.catalog.refreshByPath(target.toString)
+    (before, after)
   }
 }

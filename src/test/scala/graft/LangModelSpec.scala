@@ -84,4 +84,45 @@ class LangModelSpec extends SparkSpecBase {
     intercept[Exception](
       LangModel.scoreWith(spark, half, fresh, col("doc_id"), col("text")).collect())
   }
+
+  test("broadcast-capacity gate refuses loudly; pruneModel shrinks and scores as unseen") {
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_lm_cap").toString + "/m"
+    LangModel.fit(corpus, col("doc_id"), col("text"), path)
+    // model: (a,b)->3, (b,a)->1, (b,c)->1; a tiny maxBroadcastRows
+    // simulates a vocabulary past broadcast capacity — the refusal
+    // must name the remedy verb, before any broadcast is attempted
+    val e = intercept[IllegalArgumentException](
+      LangModel.scoreWith(spark, path, corpus, col("doc_id"), col("text"),
+        maxBroadcastRows = 2L))
+    assert(e.getMessage.contains("pruneModel"), e.getMessage)
+    // prune to c2 >= 2: only (a,b) survives; unigrams + V untouched
+    val (before, after) = LangModel.pruneModel(spark, path, minCount = 2)
+    assert((before, after) == (3L, 1L))
+    assert(spark.read.parquet(s"$path/bigrams").count() == 1)
+    assert(spark.read.parquet(s"$path/unigrams").count() == 2) // a, b keep FULL counts
+    assert(spark.read.parquet(s"$path/stats").head.getLong(0) == 4L)
+    // under the same tiny gate the pruned model now serves
+    val out = LangModel.scoreWith(spark, path, corpus, col("doc_id"), col("text"),
+      maxBroadcastRows = 2L)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def micro2(x: Double): Long = math.round(math.log(x) * 1000000.0)
+    // doc 1 (a b a b): surviving (a,b) keeps the UNPRUNED arithmetic —
+    // c2(a,b)=3, c1(a)=3 (full), V=4 → ln((3+1)/(3+4)) per occurrence,
+    // ×2; pruned (b,a) scores as unseen: ln((0+1)/(c1(b)=2+4))
+    val ab = micro2((3.0 + 1.0) / (3.0 + 4.0))
+    val ba = micro2(1.0 / (2.0 + 4.0))
+    assert(out(1L) == 2 * ab + ba, s"doc1 ${out(1L)} != ${2 * ab + ba}")
+    // doc 2 (a b c): (a,b) survives, (b,c) pruned → unseen
+    val bc = micro2(1.0 / (2.0 + 4.0))
+    assert(out(2L) == ab + bc, s"doc2 ${out(2L)} != ${ab + bc}")
+    // a crashed prune swap parks the original — the next prune refuses
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/bigrams"),
+      new org.apache.hadoop.fs.Path(s"$path/bigrams__prune_old")))
+    val e2 = intercept[IllegalArgumentException](
+      LangModel.pruneModel(spark, path, minCount = 2))
+    assert(e2.getMessage.contains("crashed mid-swap"), e2.getMessage)
+  }
 }
