@@ -102,6 +102,12 @@ object Ann {
     * sf0.1); [[Quantizer.fit]] does it in milliseconds with identical
     * determinism. CACHE CONTRACT: nothing is cached — callers have
     * nothing to clean up.
+    *
+    * SIZING: the absolute defaults suit ~500-2000-vector test bases.
+    * At deployment scale derive search effort from the corpus size
+    * via [[graft.RecallBoard.scaledAnnParams]] (nlist ~ n/125,
+    * nprobe = 7/8 of cells, shortlist ~ n/5) -- fixed absolute knobs
+    * measurably lose recall as the corpus grows (SCALE.md round 10).
     */
   def knnIvf(
       base: DataFrame, baseId: Column, baseVec: Column,

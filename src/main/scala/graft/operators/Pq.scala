@@ -130,6 +130,12 @@ object Pq {
     * the shortlist like zero-norm vectors everywhere else (cosine
     * undefined); with real data k-means centroids of non-degenerate
     * samples are never all-zero.
+    *
+    * SIZING: the absolute defaults suit ~500-2000-vector test bases.
+    * At deployment scale derive search effort from the corpus size
+    * via [[graft.RecallBoard.scaledAnnParams]] (nlist ~ n/125,
+    * nprobe = 7/8 of cells, shortlist ~ n/5) -- fixed absolute knobs
+    * measurably lose recall as the corpus grows (SCALE.md round 10).
     */
   def knnPq(
       base: DataFrame, baseId: Column, baseVec: Column,
@@ -596,6 +602,12 @@ object Pq {
     * every valid query still returns rows), compressed-domain shortlist
     * + exact rerank from [[knnPq]]. Reported sims are true cosines —
     * the self-verifying oracle contract applies unchanged.
+    *
+    * SIZING: the absolute defaults suit ~500-2000-vector test bases.
+    * At deployment scale derive search effort from the corpus size
+    * via [[graft.RecallBoard.scaledAnnParams]] (nlist ~ n/125,
+    * nprobe = 7/8 of cells, shortlist ~ n/5) -- fixed absolute knobs
+    * measurably lose recall as the corpus grows (SCALE.md round 10).
     */
   def knnIvfPq(
       base: DataFrame, baseId: Column, baseVec: Column,

@@ -192,6 +192,12 @@ object Sq {
     * a true cosine and the self-verifying oracle contract applies
     * (v16); with `nprobe >= nlist` the scan is exhaustive over live
     * cells and the output is bit-equal to [[knnSq8]] (spec-pinned).
+    *
+    * SIZING: the absolute defaults suit ~500-2000-vector test bases.
+    * At deployment scale derive search effort from the corpus size
+    * via [[graft.RecallBoard.scaledAnnParams]] (nlist ~ n/125,
+    * nprobe = 7/8 of cells, shortlist ~ n/5) -- fixed absolute knobs
+    * measurably lose recall as the corpus grows (SCALE.md round 10).
     */
   def knnIvfSq8(
       base: DataFrame, baseId: Column, baseVec: Column,
