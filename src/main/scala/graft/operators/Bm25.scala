@@ -1027,7 +1027,14 @@ object Bm25 {
     graft.etl.Compact.requireServable(fs, target, action = "rebucketing")
     val (nDocs, totalTokens, oldBuckets) =
       readStatsSidecar(spark, path, allowRebucketIntent = true)
-    if (oldBuckets == newBuckets && !fs.exists(intent)) return // no-op
+    if (oldBuckets == newBuckets) {
+      // already at the target width. With a standing intent this is
+      // the crash window between the sidecar write and the intent
+      // delete — the lake AND sidecar are converged, so completing the
+      // delete IS the resume (no second full rewrite)
+      fs.delete(intent, true)
+      return
+    }
     if (!fs.exists(intent)) {
       import spark.implicits._
       val itmp = new org.apache.hadoop.fs.Path(s"$path/rebucket_intent__tmp")
