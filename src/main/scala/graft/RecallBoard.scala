@@ -124,15 +124,24 @@ object RecallBoard {
     val spark = GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JSON string escape (Bench's esc() contract): a quote/backslash in
+    // an env- or arg-supplied dir path must not corrupt the artifact
+    // line the runner parses
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     def obj(dir: String): String =
       recalls(spark, dir).toSeq.sortBy(_._1)
         .map { case (n, v) => s""""$n":${math.rint(v * 1000) / 1000}""" }
         .mkString("{", ",", "}")
     val json =
       if (dirs.size == 1)
-        s"""{"metric":"recall@5","sf":"${dirs.head}","recall":${obj(dirs.head)}}"""
+        s"""{"metric":"recall@5","sf":"${esc(dirs.head)}","recall":${obj(dirs.head)}}"""
       else
-        dirs.map(d => s""""$d":${obj(d)}""")
+        dirs.map(d => s""""${esc(d)}":${obj(d)}""")
           .mkString("""{"metric":"recall@5","scales":{""", ",", "}}")
     args.lift(1).foreach { out =>
       java.nio.file.Files.write(

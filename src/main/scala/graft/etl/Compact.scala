@@ -90,7 +90,7 @@ object Compact {
     fs.delete(tmp, true)
     fs.delete(old, true)
     // mergeSchema: a leaf whose files straddle a schema evolution
-    // (the dedup ledger's untagged → batch_id-tagged generations)
+    // (the dedup ledger's untagged → batch_tag-tagged generations)
     // must rewrite the UNION of columns — plain inference samples one
     // file and would silently drop the other generation's columns
     val src = spark.read.option("mergeSchema", "true").parquet(p.toString)

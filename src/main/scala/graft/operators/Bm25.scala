@@ -1063,9 +1063,14 @@ object Bm25 {
         val nTmp = spark.read.parquet(tmp.toString).count()
         if (nTmp != n) {
           fs.delete(tmp, true)
+          // the lake and sidecar are untouched at this point, so the
+          // intent must not outlive the abort: leaving it standing
+          // would wedge every verb ("rebucket in flight") on a fully
+          // servable index whose error just said "original untouched"
+          fs.delete(intent, true)
           throw new IllegalStateException(
             s"rebucket of $path would lose postings ($n read, $nTmp rewritten) -- " +
-              "aborted, original untouched")
+              "aborted, original untouched and still serving")
         }
         src.unpersist(blocking = true)
         if (fs.exists(target)) graft.etl.Compact.swapInto(fs, tmp, target, old)

@@ -90,7 +90,8 @@ object McpJobRunner {
       params: Map[String, String] = Map.empty,
       interpreter: String = "python3",
       session: Option[McpClient.Session] = None,
-      server: Option[Mcp.McpServer] = None): JobResult = {
+      server: Option[Mcp.McpServer] = None,
+      timeoutSeconds: Long = 300L): JobResult = {
     val scriptPath = Paths.get(scriptsDir).resolve(script).toString
     val status = () => mcpStatus(session, server)
     val paramsJson = org.json4s.jackson.JsonMethods.compact(
@@ -134,10 +135,36 @@ object McpJobRunner {
         pb.directory(new java.io.File(scriptsDir))
         val proc = pb.start()
         proc.getOutputStream.close()
-        val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
-        val err = new String(proc.getErrorStream.readAllBytes, "UTF-8")
-        val rc = proc.waitFor()
-        JobResult(job.id, job.name, rc, out, err, status())
+        // CONCURRENT drains (never sequential readAllBytes): a script
+        // that fills the ~64 KiB stderr pipe before closing stdout
+        // would deadlock a sequential read forever — the scheduler
+        // tick must survive stderr-heavy failures (the MCP leg gets
+        // this from the server's BoundedDrain threads; the direct leg
+        // needs its own)
+        def drain(in: java.io.InputStream): (Thread, java.io.ByteArrayOutputStream) = {
+          val buf = new java.io.ByteArrayOutputStream()
+          val t = new Thread(() =>
+            try in.transferTo(buf)
+            catch { case scala.util.control.NonFatal(_) => () })
+          t.setDaemon(true); t.start(); (t, buf)
+        }
+        val (outT, outB) = drain(proc.getInputStream)
+        val (errT, errB) = drain(proc.getErrorStream)
+        // bounded wait: a hung script must not wedge the scheduler —
+        // report the timeout as a failed run (the reference's asyncio
+        // tasks are cancellable; a blocking waitFor isn't)
+        val finished = proc.waitFor(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
+        if (!finished) proc.destroyForcibly().waitFor(5, java.util.concurrent.TimeUnit.SECONDS)
+        outT.join(5000); errT.join(5000)
+        val out = new String(outB.toByteArray, "UTF-8")
+        val err0 = new String(errB.toByteArray, "UTF-8")
+        if (finished)
+          JobResult(job.id, job.name, proc.exitValue(), out, err0, status())
+        else
+          JobResult(job.id, job.name, -1, out,
+            s"job timed out after ${timeoutSeconds}s and was killed" +
+              (if (err0.nonEmpty) s"; stderr so far: $err0" else ""),
+            status())
     }
   }
 

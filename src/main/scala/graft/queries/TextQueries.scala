@@ -570,31 +570,9 @@ object TextQueries {
     * nothing.
     */
   private def aviMjpegFixture(vid: Int): Array[Byte] = {
-    val (w, h, f) = (64, 64, 10)
-    val jpegs = (0 until f).map { fi =>
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      for (r <- 0 until 8; c <- 0 until 8) {
-        val v = if ((r + 2 * c + vid + 3 * (fi / 4)) % 5 < 2) 255 else 0
-        for (y <- 0 until 8; x <- 0 until 8)
-          img.getRaster.setSample(c * 8 + x, r * 8 + y, 0, v)
-      }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      bos.toByteArray
-    }
-    def le32(v: Int) = Array[Byte](
-      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    def chunk(id: String, data: Array[Byte]): Array[Byte] =
-      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
-        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
-    def list(kind: String, body: Array[Byte]): Array[Byte] =
-      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
-    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
-    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
-    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
-    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    import graft.multimodal.AviFixture
+    AviFixture.avi((0 until 10).map(fi => AviFixture.chunk("00dc",
+      AviFixture.blockJpeg((r, c) => (r + 2 * c + vid + 3 * (fi / 4)) % 5 < 2))))
   }
 
   /** REAL compressed-container temporal hash (the last F3 gap closed):

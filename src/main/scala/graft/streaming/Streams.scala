@@ -300,30 +300,42 @@ object Streams {
     * Instead of an arbitrary `emit` callback (whose delivery can never
     * be better than at-least-once — the gate cannot transact a crash
     * window it doesn't own), this verb OWNS the sink and makes every
-    * step of the micro-batch idempotent on replay, keyed by Spark's
-    * stable `batchId` (same id ⇒ same redelivered data from a
-    * replayable source):
+    * step of the micro-batch idempotent on replay, keyed by the pair
+    * (CHECKPOINT RUN ID, batchId) — same pair ⇒ same redelivered data
+    * from a replayable source:
     *
-    *  1. a COMMIT MARKER (`<ledger>/_batches/<id>`, written last)
-    *     short-circuits a replay of a fully-processed batch;
+    *  1. a COMMIT MARKER (`<ledger>/_batches/<runId>-<id>`, written
+    *     last) short-circuits a replay of a fully-processed batch;
     *  2. the sink write is a dynamic-partition OVERWRITE of
-    *     `batch=<id>` — a re-run rewrites its own partition, never
-    *     duplicates it (the `batch` column doubles as the audit trail
-    *     of the transactional unit);
-    *  3. the ledger append tags rows with `batch_id`, and the
-    *     suppression anti-join EXCLUDES rows tagged with the CURRENT
-    *     id — a crashed attempt's own half-landed fingerprints can
-    *     never suppress the replay's emit (the append-before-emit loss
-    *     window closed structurally);
+    *     `batch=<runId>-<id>` — a re-run rewrites its own partition,
+    *     never duplicates it (the `batch` column doubles as the audit
+    *     trail of the transactional unit);
+    *  3. the ledger append tags rows with `batch_tag` = the same pair,
+    *     and the suppression anti-join EXCLUDES rows tagged with the
+    *     CURRENT pair — a crashed attempt's own half-landed
+    *     fingerprints can never suppress the replay's emit (the
+    *     append-before-emit loss window closed structurally);
     *  4. the append itself skips fingerprints already tagged with this
-    *     id, so the ledger converges to ONE row per (fp) however many
-    *     times the batch replays.
+    *     pair, so the ledger converges to ONE row per (fp) however
+    *     many times the batch replays.
+    *
+    * WHY the run id (from the checkpoint's own metadata UUID, minted
+    * when the checkpoint is CREATED): a bare batchId is only unique
+    * within one checkpoint lifetime. Delete-and-recreate the
+    * checkpoint (a routine recovery move) and Spark restarts ids at 0
+    * — bare-id markers from the previous life would silently SKIP the
+    * new run's first batches (data loss), and its sink overwrites
+    * would CLOBBER the old run's partitions. Scoping every marker,
+    * tag, and sink partition by the run id makes a new checkpoint a
+    * new namespace: its batches process normally (the LEDGER still
+    * suppresses all previously-seen fingerprints — cross-run dedup is
+    * the ledger's job, not the marker's) and no partition collides.
     *
     * Crash in ANY window ⇒ the replay converges on the same sink
     * row-set and the same ledger fingerprint-set, nothing emitted
     * twice, nothing lost (spec-pinned window by window). A ledger
     * previously written by [[dedupGate]] interoperates: its rows carry
-    * no `batch_id` (read as null ⇒ never self-excluded ⇒ genuine
+    * no `batch_tag` (read as null ⇒ never self-excluded ⇒ genuine
     * history, correctly suppressing). All of [[dedupGate]]'s dedup
     * semantics (keep-lowest-id, null pass-through, bucketed ledger
     * reads) are inherited verbatim.
@@ -331,25 +343,55 @@ object Streams {
   def dedupGateExactlyOnce(
       stream: DataFrame, checkpoint: String, ledgerPath: String,
       sinkPath: String, idCol: String, textCol: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // read lazily on the first batch: the metadata file exists once the
+    // query has started, and is stable for the checkpoint's lifetime
+    @volatile var runId: String = null
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        exactlyOnceBatch(batch.toDF(), batchId, ledgerPath, sinkPath, idCol, textCol)
+        if (runId == null) runId = streamingRunId(batch.sparkSession, checkpoint)
+        exactlyOnceBatch(batch.toDF(), runId, batchId, ledgerPath, sinkPath, idCol, textCol)
       }
       .start()
+  }
+
+  /** The checkpoint's run identity: the query UUID Spark writes to
+    * `<checkpoint>/metadata` when the checkpoint directory is CREATED
+    * (stable across restarts of the same checkpoint; fresh when the
+    * checkpoint is recreated) — exactly the namespace the exactly-once
+    * markers need. Fails loudly on a missing/odd metadata file rather
+    * than guessing a namespace.
+    */
+  private[graft] def streamingRunId(
+      spark: org.apache.spark.sql.SparkSession, checkpoint: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$checkpoint/metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$p missing -- not a started streaming checkpoint; cannot derive a run id")
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    org.json4s.jackson.JsonMethods.parse(txt) \ "id" match {
+      case org.json4s.JString(id) if id.nonEmpty => id
+      case other => throw new IllegalArgumentException(
+        s"$p carries no query id (got $other) -- cannot derive a run id")
+    }
+  }
 
   /** One micro-batch of [[dedupGateExactlyOnce]] — package-visible so
-    * the crash-replay spec can re-run a batch id against every crash
-    * window without forging checkpoint state.
+    * the crash-replay spec can re-run a (runId, batchId) pair against
+    * every crash window without forging checkpoint state.
     */
   private[graft] def exactlyOnceBatch(
-      batchDf: DataFrame, batchId: Long, ledgerPath: String,
+      batchDf: DataFrame, runId: String, batchId: Long, ledgerPath: String,
       sinkPath: String, idCol: String, textCol: String): Unit = {
+    require(runId != null && runId.nonEmpty && !runId.contains("/"),
+      s"runId must be a non-empty path-safe token, got '$runId'")
+    val tag = s"$runId-$batchId"
     val spark = batchDf.sparkSession
     val fs = new org.apache.hadoop.fs.Path(ledgerPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(s"$ledgerPath/_batches/$batchId")
+    val marker = new org.apache.hadoop.fs.Path(s"$ledgerPath/_batches/$tag")
     if (fs.exists(marker)) return // fully processed — replay is a no-op
     val withFp = batchDf
       .withColumn("__fp", graft.functions.Text.fingerprint(col(textCol)))
@@ -361,16 +403,17 @@ object Streams {
     val inBatch = dedupable.join(firsts, Seq("__fp", idCol), "left_semi")
     val touched = dedupable.select(substring(col("__fp"), 1, 2).as("b"))
       .distinct().collect().map(_.getString(0)).toSeq
-    val ledger = ledgerScan(spark, ledgerPath, touched, withBatchId = true)
-    // self-exclusion: rows this batch id itself half-landed before a
-    // crash are NOT prior history — without this, a crash between
-    // append and sink-write would silently swallow the whole batch on
-    // replay (the loss window the at-least-once gate avoids by
-    // emit-first ordering)
+    val ledger = ledgerScan(spark, ledgerPath, touched, withBatchTag = true)
+    // self-exclusion: rows this (runId, batchId) pair itself
+    // half-landed before a crash are NOT prior history — without this,
+    // a crash between append and sink-write would silently swallow the
+    // whole batch on replay (the loss window the at-least-once gate
+    // avoids by emit-first ordering). Rows tagged by OTHER runs and
+    // untagged dedupGate-era rows both suppress (genuine history).
     val fresh0 = ledger match {
       case Some(l) =>
         inBatch.join(
-          l.filter(col("__batch_id").isNull || col("__batch_id") =!= batchId)
+          l.filter(col("__batch_tag").isNull || col("__batch_tag") =!= tag)
             .select("__fp"),
           Seq("__fp"), "left_anti")
       case None => inBatch
@@ -383,19 +426,19 @@ object Streams {
       // replays into a skipped append, and only the marker's creation
       // commits the batch
       val emitted = fresh.drop("__fp").unionByName(passThrough)
-        .withColumn("batch", lit(batchId))
+        .withColumn("batch", lit(tag))
       emitted.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch").parquet(sinkPath)
       if (!fresh.isEmpty) {
         val mine = ledger
-          .map(_.filter(col("__batch_id") === batchId).select("__fp"))
+          .map(_.filter(col("__batch_tag") === tag).select("__fp"))
         val toAppend = mine match {
           case Some(m) => fresh.select("__fp").join(m, Seq("__fp"), "left_anti")
           case None => fresh.select("__fp")
         }
         toAppend.select(col("__fp").as("fp"))
-          .withColumn("batch_id", lit(batchId))
+          .withColumn("batch_tag", lit(tag))
           .withColumn("bucket", substring(col("fp"), 1, 2))
           .write.partitionBy("bucket").mode("append").parquet(ledgerPath)
       }
@@ -423,7 +466,7 @@ object Streams {
     */
   private[graft] def ledgerScan(
       spark: org.apache.spark.sql.SparkSession, ledgerPath: String,
-      touched: Seq[String], withBatchId: Boolean = false): Option[DataFrame] = {
+      touched: Seq[String], withBatchTag: Boolean = false): Option[DataFrame] = {
     val root = new org.apache.hadoop.fs.Path(ledgerPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a parked __bucket_old tree WITH FILES is a crashed bucketLedger
@@ -453,21 +496,20 @@ object Streams {
             if graft.etl.Compact.emptyLakeRead(e) =>
           None
       }
-    // withBatchId (the exactly-once gate): read through an EXPLICIT
-    // schema so files from the at-least-once era — no batch_id column
-    // — surface null batch ids (genuine prior history, never
-    // self-excluded) instead of failing schema inference on a mixed
-    // ledger
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // withBatchTag (the exactly-once gate): read through an EXPLICIT
+    // schema so files from the at-least-once era — no batch_tag column
+    // — surface null tags (genuine prior history, never self-excluded)
+    // instead of failing schema inference on a mixed ledger
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
     def proj(df: DataFrame): DataFrame =
-      if (withBatchId)
-        df.select(col("fp").as("__fp"), col("batch_id").as("__batch_id"))
+      if (withBatchTag)
+        df.select(col("fp").as("__fp"), col("batch_tag").as("__batch_tag"))
       else df.select(col("fp").as("__fp"))
     def reader(partitioned: Boolean) = {
       val base = spark.read
-      if (!withBatchId) base
+      if (!withBatchTag) base
       else base.schema(StructType(
-        Seq(StructField("fp", StringType), StructField("batch_id", LongType)) ++
+        Seq(StructField("fp", StringType), StructField("batch_tag", StringType)) ++
           (if (partitioned) Seq(StructField("bucket", StringType)) else Nil)))
     }
     val legacy =
@@ -570,14 +612,14 @@ object Streams {
     val present = fs.listStatus(root).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("bucket="))
       .map(_.getPath.getName.stripPrefix("bucket=")).toSeq
-    // batch_id carried through (null for legacy-era rows): dropping an
+    // batch_tag carried through (null for legacy-era rows): dropping an
     // UNCOMMITTED batch's tags in the rewrite would make its replay
     // see its own half-landed fingerprints as genuine history and
     // silently swallow the batch — the exact loss window the
     // exactly-once gate's self-exclusion closes
-    val all = ledgerScan(spark, ledgerPath, present, withBatchId = true)
+    val all = ledgerScan(spark, ledgerPath, present, withBatchTag = true)
       .getOrElse(sys.error(s"$ledgerPath has flat files but none are readable"))
-    all.select(col("__fp").as("fp"), col("__batch_id").as("batch_id")).distinct()
+    all.select(col("__fp").as("fp"), col("__batch_tag").as("batch_tag")).distinct()
       .withColumn("bucket", substring(col("fp"), 1, 2))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").parquet(tmp.toString)

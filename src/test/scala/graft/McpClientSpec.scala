@@ -77,6 +77,23 @@ class McpClientSpec extends SparkSpecBase {
       val bad = McpJobRunner.runJob(job, dir.toString, "bad.sh",
         interpreter = "sh", session = Some(session), server = Some(server))
       assert(bad.returncode == 3 && bad.stderr.contains("boom"), bad.toString)
+      // a stderr-heavy script (past the ~64 KiB pipe buffer) must not
+      // deadlock the direct leg — the drains run concurrently
+      java.nio.file.Files.write(dir.resolve("noisy.sh"),
+        ("i=0; while [ $i -lt 3000 ]; do " +
+          "echo 'line of diagnostic noise for the stderr pipe buffer' >&2; " +
+          "i=$((i+1)); done; echo done; exit 0\n").getBytes("UTF-8"))
+      val noisy = McpJobRunner.runJob(job, dir.toString, "noisy.sh",
+        interpreter = "sh")
+      assert(noisy.returncode == 0 && noisy.stdout.contains("done"), noisy.returncode.toString)
+      assert(noisy.stderr.length > 100000, s"stderr not drained: ${noisy.stderr.length}")
+      // a hung script is killed at the timeout and reported, never
+      // wedging the scheduler tick
+      java.nio.file.Files.write(dir.resolve("hang.sh"),
+        "sleep 600\n".getBytes("UTF-8"))
+      val hung = McpJobRunner.runJob(job, dir.toString, "hang.sh",
+        interpreter = "sh", timeoutSeconds = 2L)
+      assert(hung.returncode == -1 && hung.stderr.contains("timed out"), hung.toString)
     } finally session.close()
   }
 

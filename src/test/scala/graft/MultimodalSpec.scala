@@ -313,39 +313,12 @@ class MultimodalSpec extends SparkSpecBase {
   }
 
   // ------------------------------------------------------- AVI / MJPEG
+  // builders shared with the m06 oracle fixture (single owner — see
+  // graft.multimodal.AviFixture)
 
-  private def le32b(v: Int) = Array[Byte](
-    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-  private def chunk(id: String, data: Array[Byte]): Array[Byte] =
-    id.getBytes("US-ASCII") ++ le32b(data.length) ++ data ++
-      (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
-  private def riffList(kind: String, body: Array[Byte]): Array[Byte] =
-    chunk("LIST", kind.getBytes("US-ASCII") ++ body)
-  private def avi(frameChunks: Array[Byte]*): Array[Byte] = {
-    val hdrl = riffList("hdrl", chunk("avih", new Array[Byte](56)))
-    val movi = riffList("movi", frameChunks.flatten.toArray)
-    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
-    "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
-  }
-  /** 64×64 frame of solid 8×8 blocks: block (r,c) white iff
-    * `white(r,c)`; gray=false paints r=g=b color pixels so the BT.601
-    * luma path yields the same values.
-    */
-  private def blockJpeg(white: (Int, Int) => Boolean, gray: Boolean): Array[Byte] = {
-    val t = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
-            else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
-    val img = new java.awt.image.BufferedImage(64, 64, t)
-    for (r <- 0 until 8; c <- 0 until 8) {
-      val v = if (white(r, c)) 255 else 0
-      for (y <- 0 until 8; x <- 0 until 8)
-        if (gray) img.getRaster.setSample(c * 8 + x, r * 8 + y, 0, v)
-        else img.setRGB(c * 8 + x, r * 8 + y, (v << 16) | (v << 8) | v)
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
-    bos.toByteArray
-  }
+  import graft.multimodal.AviFixture.{blockJpeg, chunk, le32 => le32b, list => riffList}
+  private def avi(frameChunks: Array[Byte]*): Array[Byte] =
+    graft.multimodal.AviFixture.avi(frameChunks)
   /** Idealized replay of videoHash60 over F block-pattern frames —
     * the m06 oracle's arithmetic in Scala (255/0 levels; valid because
     * solid DCT-aligned blocks decode without threshold-crossing error).

@@ -401,12 +401,13 @@ class StreamingSpec extends SparkSpecBase {
     val work = java.nio.file.Files.createTempDirectory("graft_dedup_eo").toString
     val ledger = s"$work/ledger"; val sink = s"$work/sink"
     def sinkRows() = spark.read.parquet(sink)
-      .select("id", "text", "batch").as[(Long, String, Long)].collect().toSet
+      .select("id", "text", "batch").as[(Long, String, String)].collect().toSet
     def ledgerFps() = spark.read.parquet(ledger).select("fp").as[String].collect().toSeq
     def fpOf(t: String) = Seq(t).toDF("t")
       .select(graft.functions.Text.fingerprint(col("t"))).as[String].head()
 
-    // batch 0 through the REAL stream: in-batch keep-first + sink write
+    // batch 0 through the REAL stream: in-batch keep-first + sink
+    // write, markers/tags scoped by the checkpoint's run id
     val in = MemoryStream[(Long, String)]
     val q = Streams.dedupGateExactlyOnce(
       in.toDF().toDF("id", "text"), s"$work/ckpt", ledger, sink, "id", "text")
@@ -414,9 +415,11 @@ class StreamingSpec extends SparkSpecBase {
       in.addData((2L, "alpha"), (1L, "alpha"), (3L, "beta"))
       q.processAllAvailable()
     } finally q.stop()
+    val rid = Streams.streamingRunId(spark, s"$work/ckpt")
+    assert(rid.nonEmpty)
     val s0 = sinkRows()
-    assert(s0 == Set((1L, "alpha", 0L), (3L, "beta", 0L)), s"batch 0 wrong: $s0")
-    assert(new java.io.File(s"$ledger/_batches/0").isFile, "commit marker missing")
+    assert(s0 == Set((1L, "alpha", s"$rid-0"), (3L, "beta", s"$rid-0")), s"batch 0 wrong: $s0")
+    assert(new java.io.File(s"$ledger/_batches/$rid-0").isFile, "commit marker missing")
     val l0 = ledgerFps()
     assert(l0.toSet == Set(fpOf("alpha"), fpOf("beta")) && l0.size == 2)
 
@@ -430,7 +433,7 @@ class StreamingSpec extends SparkSpecBase {
     }
     val before = treeListing()
     val b0 = Seq((2L, "alpha"), (1L, "alpha"), (3L, "beta")).toDF("id", "text")
-    Streams.exactlyOnceBatch(b0, 0L, ledger, sink, "id", "text")
+    Streams.exactlyOnceBatch(b0, rid, 0L, ledger, sink, "id", "text")
     assert(treeListing() == before, "replay of a committed batch wrote files")
 
     // WINDOW B — crashed AFTER the sink write, BEFORE the ledger
@@ -438,61 +441,78 @@ class StreamingSpec extends SparkSpecBase {
     // then replay — sink partition must be overwritten (not doubled),
     // the ledger must gain gamma ONCE
     val b1 = Seq((4L, "beta"), (5L, "gamma")).toDF("id", "text")
-    Seq((5L, "gamma")).toDF("id", "text").withColumn("batch", lit(1L))
+    Seq((5L, "gamma")).toDF("id", "text").withColumn("batch", lit(s"$rid-1"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch").parquet(sink)
-    Streams.exactlyOnceBatch(b1, 1L, ledger, sink, "id", "text")
-    assert(sinkRows() == s0 + ((5L, "gamma", 1L)), s"window B sink: ${sinkRows()}")
+    Streams.exactlyOnceBatch(b1, rid, 1L, ledger, sink, "id", "text")
+    assert(sinkRows() == s0 + ((5L, "gamma", s"$rid-1")), s"window B sink: ${sinkRows()}")
     val l1 = ledgerFps()
     assert(l1.size == 3 && l1.count(_ == fpOf("gamma")) == 1, s"window B ledger: $l1")
-    assert(new java.io.File(s"$ledger/_batches/1").isFile)
+    assert(new java.io.File(s"$ledger/_batches/$rid-1").isFile)
 
     // WINDOW C — crashed AFTER the ledger append, BEFORE the sink
     // write (the LOSS window an append-first at-least-once gate has):
-    // batch 2's fresh fingerprint is already in the ledger TAGGED 2,
-    // the sink has nothing, no marker. The replay must still EMIT
-    // (self-exclusion) and must not duplicate the ledger row.
+    // batch 2's fresh fingerprint is already in the ledger tagged with
+    // THIS run's pair, the sink has nothing, no marker. The replay
+    // must still EMIT (self-exclusion) and not duplicate the row.
     val deltaFp = fpOf("delta")
-    Seq((deltaFp, 2L)).toDF("fp", "batch_id")
+    Seq((deltaFp, s"$rid-2")).toDF("fp", "batch_tag")
       .withColumn("bucket", substring(col("fp"), 1, 2))
       .write.partitionBy("bucket").mode("append").parquet(ledger)
     val b2 = Seq((6L, "delta"), (7L, "beta")).toDF("id", "text")
-    Streams.exactlyOnceBatch(b2, 2L, ledger, sink, "id", "text")
-    assert(sinkRows() == s0 + ((5L, "gamma", 1L)) + ((6L, "delta", 2L)),
+    Streams.exactlyOnceBatch(b2, rid, 2L, ledger, sink, "id", "text")
+    assert(sinkRows() == s0 + ((5L, "gamma", s"$rid-1")) + ((6L, "delta", s"$rid-2")),
       s"window C swallowed the batch: ${sinkRows()}")
     val l2 = ledgerFps()
     assert(l2.count(_ == deltaFp) == 1, s"window C duplicated the ledger row: $l2")
-    assert(new java.io.File(s"$ledger/_batches/2").isFile)
+    assert(new java.io.File(s"$ledger/_batches/$rid-2").isFile)
 
     // WINDOW D — marker lost but batch fully landed (worst-case
     // operator surgery): the replay rewrites the same sink row-set and
     // appends nothing — converged, not duplicated
-    assert(new java.io.File(s"$ledger/_batches/2").delete())
-    Streams.exactlyOnceBatch(b2, 2L, ledger, sink, "id", "text")
-    assert(sinkRows() == s0 + ((5L, "gamma", 1L)) + ((6L, "delta", 2L)))
+    assert(new java.io.File(s"$ledger/_batches/$rid-2").delete())
+    Streams.exactlyOnceBatch(b2, rid, 2L, ledger, sink, "id", "text")
+    assert(sinkRows() == s0 + ((5L, "gamma", s"$rid-1")) + ((6L, "delta", s"$rid-2")))
     assert(ledgerFps().sorted == l2.sorted, "window D changed the ledger")
-    assert(new java.io.File(s"$ledger/_batches/2").isFile, "marker not restored")
+    assert(new java.io.File(s"$ledger/_batches/$rid-2").isFile, "marker not restored")
 
-    // the at-least-once-era interop: a ledger row WITHOUT batch_id
-    // (dedupGate's schema) still suppresses — null batch id is genuine
+    // the at-least-once-era interop: a ledger row WITHOUT batch_tag
+    // (dedupGate's schema) still suppresses — a null tag is genuine
     // history, never self-excluded — and compaction of the mixed
     // ledger skips the _batches marker dir
     Seq(fpOf("omega")).toDF("fp")
       .withColumn("bucket", substring(col("fp"), 1, 2))
       .write.partitionBy("bucket").mode("append").parquet(ledger)
     val b3 = Seq((8L, "alpha"), (9L, "epsilon"), (12L, "omega")).toDF("id", "text")
-    Streams.exactlyOnceBatch(b3, 3L, ledger, sink, "id", "text")
+    Streams.exactlyOnceBatch(b3, rid, 3L, ledger, sink, "id", "text")
     assert(sinkRows().exists(r => r._1 == 9L) && !sinkRows().exists(r => r._1 == 8L))
     assert(!sinkRows().exists(r => r._1 == 12L),
       "a legacy (untagged) ledger row failed to suppress")
     Streams.compactLedger(spark, ledger)
-    assert(new java.io.File(s"$ledger/_batches/3").isFile,
+    assert(new java.io.File(s"$ledger/_batches/$rid-3").isFile,
       "compaction destroyed the commit markers")
     assert(ledgerFps().toSet.size == 6)
     // suppression still intact post-compaction
     val b4 = Seq((10L, "epsilon"), (11L, "zeta")).toDF("id", "text")
-    Streams.exactlyOnceBatch(b4, 4L, ledger, sink, "id", "text")
+    Streams.exactlyOnceBatch(b4, rid, 4L, ledger, sink, "id", "text")
     assert(!sinkRows().exists(_._1 == 10L) && sinkRows().exists(_._1 == 11L))
+
+    // CHECKPOINT RECREATION — the silent-loss scenario run-scoping
+    // exists for: a NEW run restarts batch ids at 0. The old run's
+    // $rid-0 marker must NOT short-circuit it (its new data must
+    // emit), the old run's batch=$rid-0 sink partition must NOT be
+    // clobbered, and fingerprints the LEDGER already holds must still
+    // suppress across runs (cross-run dedup is the ledger's job).
+    val preRecreate = sinkRows()
+    Streams.exactlyOnceBatch(
+      Seq((20L, "theta"), (21L, "alpha")).toDF("id", "text"),
+      "run2", 0L, ledger, sink, "id", "text")
+    val after2 = sinkRows()
+    assert(after2.contains((20L, "theta", "run2-0")),
+      "a recreated checkpoint's batch 0 was silently skipped by the old run's marker")
+    assert(!after2.exists(_._1 == 21L), "cross-run ledger suppression broke")
+    assert(preRecreate.subsetOf(after2), "the new run clobbered the old run's sink partitions")
+    assert(new java.io.File(s"$ledger/_batches/run2-0").isFile)
   }
 
   test("ledger crashed-swap park: every entry point refuses loudly, never reads empty") {

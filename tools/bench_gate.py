@@ -79,12 +79,15 @@ def shape_check(path, doc):
 
 
 def phase_times(doc, name):
-    """(build_s, serve_s) when the artifact carries the split, else
-    (None, total)."""
+    """(build_s, serve_s) when the artifact carries the split for this
+    query, else (None, None). Totals are read separately -- the phase
+    comparison only runs when BOTH sides carry the split (comparing one
+    side's serve_s against the other's build+serve total would hide
+    real serving regressions behind the build share, or invent them)."""
     split = doc.get("split") or {}
     if name in split:
         return split[name]["build_s"], split[name]["serve_s"]
-    return None, doc["queries"][name]
+    return None, None
 
 
 def regression_check(doc, base):
@@ -97,17 +100,30 @@ def regression_check(doc, base):
                          "--rebaseline if intentional)")
             continue
         if doc["queries"][name] < 0.0:
-            # already counted in failed=N; the shape layer surfaced it
+            # a crashed query hides its regression at least as well as
+            # a deleted one -- the gate's rationale applies verbatim
+            fails.append(f"{name}: FAILED in this run "
+                         f"(baseline {base_q[name]:.3f}s; a crash must "
+                         "not pass the gate a slowdown would fail)")
             continue
         nb, ns = phase_times(doc, name)
         bb, bs = phase_times(base, name)
-        if ns > bs * REL_TOL and ns - bs > ABS_TOL:
-            fails.append(f"{name}: serve {ns:.3f}s vs baseline {bs:.3f}s "
-                         f"(> {REL_TOL}x + {ABS_TOL}s)")
-        if (nb is not None and bb is not None
-                and nb > bb * LOOSE_REL_TOL and nb - bb > ABS_TOL):
-            fails.append(f"{name}: build {nb:.3f}s vs baseline {bb:.3f}s "
-                         f"(> {LOOSE_REL_TOL}x + {ABS_TOL}s)")
+        if ns is not None and bs is not None:
+            # like-for-like phase comparison (both sides carry the split)
+            if ns > bs * REL_TOL and ns - bs > ABS_TOL:
+                fails.append(f"{name}: serve {ns:.3f}s vs baseline {bs:.3f}s "
+                             f"(> {REL_TOL}x + {ABS_TOL}s)")
+            if nb > bb * LOOSE_REL_TOL and nb - bb > ABS_TOL:
+                fails.append(f"{name}: build {nb:.3f}s vs baseline {bb:.3f}s "
+                             f"(> {LOOSE_REL_TOL}x + {ABS_TOL}s)")
+        else:
+            # one or both sides lack the split: compare totals (always
+            # present on both), at the serve tolerance
+            nt, bt = doc["queries"][name], base_q[name]
+            if nt > bt * REL_TOL and nt - bt > ABS_TOL:
+                fails.append(f"{name}: total {nt:.3f}s vs baseline {bt:.3f}s "
+                             f"(> {REL_TOL}x + {ABS_TOL}s; no split on "
+                             "one side -- totals compared)")
     for name in sorted(doc["queries"]):
         if name not in base_q:
             notes.append(f"note: {name} has no baseline entry yet "
@@ -150,12 +166,15 @@ def main() -> int:
         a = args[i]
         if a == "--rebaseline":
             do_rebase = True
-        elif a == "--reason":
+        elif a in ("--reason", "--baseline"):
+            if i + 1 >= len(args):
+                print(f"FAIL: {a} requires a value")
+                return 1
             i += 1
-            reason = args[i]
-        elif a == "--baseline":
-            i += 1
-            base_path = args[i]
+            if a == "--reason":
+                reason = args[i]
+            else:
+                base_path = args[i]
         else:
             rest.append(a)
         i += 1

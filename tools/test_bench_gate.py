@@ -100,6 +100,30 @@ def main():
         rc, out = run_gate(tmp, bad, base_split)
         check("split/total mismatch fails shape", rc == 1, out)
 
+        # a crashed query must FAIL the gate (it hides its regression at
+        # least as well as a deleted one)
+        rc, out = run_gate(
+            tmp, artifact({"q1": -1.0, "q2": 0.05}, failed=1), base)
+        check("crashed query fails", rc == 1 and "FAILED in this run" in out,
+              out)
+
+        # split on one side only: totals compared like-for-like, never
+        # a serve_s against a build+serve total
+        rc, out = run_gate(
+            tmp, artifact({"r1": 2.0}), base_split)  # run lacks split
+        check("one-sided split passes on equal totals", rc == 0, out)
+        rc, out = run_gate(
+            tmp, artifact({"r1": 4.0}), base_split)
+        check("one-sided split still catches total regression",
+              rc == 1 and "totals compared" in out, out)
+
+        # trailing flag without a value: usage FAIL, not a traceback
+        p = subprocess.run(
+            [sys.executable, GATE, "--rebaseline", "--reason"],
+            capture_output=True, text=True)
+        check("trailing --reason refused cleanly",
+              p.returncode == 1 and "requires a value" in p.stdout, p.stdout)
+
         # rebaseline requires a reason
         out_p = os.path.join(tmp, "BENCH_OUT.json")
         with open(out_p, "w") as f:
