@@ -306,6 +306,9 @@ object Streams {
     *
     *  1. a COMMIT MARKER (`<ledger>/_batches/<runId>-<id>`, written
     *     last) short-circuits a replay of a fully-processed batch;
+    *     markers far behind the current id are retired (Spark only
+    *     replays the last uncommitted batch, and one file per batch
+    *     forever is the classic small-files decay);
     *  2. the sink write is a dynamic-partition OVERWRITE of
     *     `batch=<runId>-<id>` — a re-run rewrites its own partition,
     *     never duplicates it (the `batch` column doubles as the audit
@@ -384,9 +387,11 @@ object Streams {
     */
   private[graft] def exactlyOnceBatch(
       batchDf: DataFrame, runId: String, batchId: Long, ledgerPath: String,
-      sinkPath: String, idCol: String, textCol: String): Unit = {
+      sinkPath: String, idCol: String, textCol: String,
+      markerRetention: Int = 100): Unit = {
     require(runId != null && runId.nonEmpty && !runId.contains("/"),
       s"runId must be a non-empty path-safe token, got '$runId'")
+    require(markerRetention >= 1, s"markerRetention must be >= 1, got $markerRetention")
     val tag = s"$runId-$batchId"
     val spark = batchDf.sparkSession
     val fs = new org.apache.hadoop.fs.Path(ledgerPath)
@@ -444,6 +449,20 @@ object Streams {
       }
       fs.mkdirs(marker.getParent)
       fs.create(marker, true).close()
+      // MARKER RETENTION: one tiny file per micro-batch is the classic
+      // small-files decay (a 1-batch/min stream is ~500k files/year in
+      // one dir). Spark only ever replays the LAST uncommitted batch,
+      // so markers far behind the current id are dead weight — keep a
+      // conservative window of this RUN's markers and drop the rest
+      // (other runs' markers are untouched: their watermark is
+      // unknowable here, and their own retention already bounded them)
+      fs.listStatus(marker.getParent).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(runId + "-"))
+          n.substring(runId.length + 1).toLongOption.foreach { b =>
+            if (b < batchId - markerRetention) fs.delete(st.getPath, false)
+          }
+      }
     } finally fresh.unpersist()
   }
 

@@ -513,6 +513,18 @@ class StreamingSpec extends SparkSpecBase {
     assert(!after2.exists(_._1 == 21L), "cross-run ledger suppression broke")
     assert(preRecreate.subsetOf(after2), "the new run clobbered the old run's sink partitions")
     assert(new java.io.File(s"$ledger/_batches/run2-0").isFile)
+
+    // MARKER RETENTION — one file per batch forever is small-files
+    // decay; a tight window shows old markers of THIS run retired
+    // while other runs' markers stay untouched
+    Streams.exactlyOnceBatch(Seq((30L, "iota")).toDF("id", "text"),
+      rid, 6L, ledger, sink, "id", "text", markerRetention = 1)
+    assert(new java.io.File(s"$ledger/_batches/$rid-6").isFile)
+    assert(!new java.io.File(s"$ledger/_batches/$rid-0").exists(),
+      "retention kept a dead marker")
+    assert(!new java.io.File(s"$ledger/_batches/$rid-4").exists())
+    assert(new java.io.File(s"$ledger/_batches/run2-0").isFile,
+      "retention touched another run's markers")
   }
 
   test("ledger crashed-swap park: every entry point refuses loudly, never reads empty") {
