@@ -644,8 +644,116 @@ object CurationQueries {
        |WHERE l_orderkey BETWEEN 1000 AND 3000 AND l_partkey BETWEEN 100 AND 400
        |ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin
 
+  /** Fixed URL batch for c13 — the m05/r01 fixed-input convention:
+    * the INPUTS are shared literals (here and in the oracle's VALUES),
+    * the PIPELINE (parse, case folding, default-port strip, tracking
+    * strip, registrable-domain heuristic, blocklist) is what the
+    * cross-engine hash gates. Covers: case folding, default vs real
+    * ports, tracking params interleaved with real ones (incl.
+    * uppercase), fragments, empty paths/queries/params, userinfo,
+    * multi-part TLDs, subdomains of blocked domains, single-label
+    * hosts, shapeless strings, and null.
+    */
+  private val c13Urls: Seq[(Long, String)] = Seq(
+    (0L, "HTTP://Example.COM:80/Path/Page?utm_source=x&id=42#frag"),
+    (1L, "https://News.Site.co.uk:443/?fbclid=abc"),
+    (2L, "https://blog.spam.example/post?a=1&utm_campaign=z&b=2"),
+    (3L, "http://user:PW@Host.Org/sec"),
+    (4L, "http://example.com"),
+    (5L, "https://sub.deep.example.com:8443/x?x=1"),
+    (6L, "ftp://Files.Example.com/data"),
+    (7L, "not a url"),
+    (8L, "www.example.com/path"),
+    (9L, "http://localhost:8080/health"),
+    (10L, "https://shop.com.au/item?ref=partner&id=7&ref_src=tw"),
+    (11L, "https://a.ads.test/?gclid=1&utm_medium=m"),
+    (12L, "HTTPS://EXAMPLE.COM/A?UTM_SOURCE=X"),
+    (13L, "  http://pad.example.com/x  "),
+    (14L, "https://example.com/?"),
+    (15L, "http://example.com/a?b=2&&c=3"),
+    (16L, null))
+
+  private val c13Blocked = Seq("spam.example", "ads.test")
+
+  /** URL curation hygiene ([[graft.functions.Urls]]): canonical form,
+    * registrable domain, and blocklist flag for the fixed batch — the
+    * whole normalizer pipeline as pure column expressions, one regex
+    * parse per URL, oracle-replayed token-for-token.
+    */
+  def c13UrlFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Urls
+    c13Urls.toDF("url_id", "url")
+      .select(col("url_id"),
+        Urls.normalizeUrl(col("url")).as("norm_url"),
+        Urls.registrableDomain(Urls.hostOf(col("url"))).as("domain"),
+        Urls.isBlockedDomain(col("url"), c13Blocked).as("blocked"))
+      .orderBy("url_id")
+  }
+
+  /** DuckDB replay of the URL pipeline: same regexes (RE2-compatible
+    * subset), same trim/fold/strip/filter order, same multi-part-TLD
+    * set, same blocklist. `string_split` mirrors Spark's `split`
+    * (both keep empty tokens; the filter drops them), negative list
+    * indexing mirrors `element_at`, and the n-label guards mirror the
+    * CaseWhen branches exactly.
+    */
+  val c13Oracle: String = {
+    val values = c13Urls.map { case (i, u) =>
+      if (u == null) s"($i, NULL)" else s"($i, '${u.replace("'", "''")}')"
+    }.mkString(",\n      |    ")
+    val multi = graft.functions.Urls.MultiPartTlds.map(t => s"'$t'").mkString(", ")
+    val blocked = c13Blocked.map(b => s"'$b'").mkString(", ")
+    s"""WITH raw(url_id, url) AS (VALUES
+      |    $values
+      |), u AS (
+      |  SELECT url_id, url, regexp_replace(trim(url), '#.*$$', '') AS s FROM raw
+      |), p AS (
+      |  SELECT url_id, url, s,
+      |    lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://.*$$', 1)) AS scheme,
+      |    lower(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$$', 1)) AS auth0,
+      |    regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*).*$$', 1) AS path0,
+      |    regexp_extract(s, '^[^?]*\\?(.*)$$', 1) AS q0
+      |  FROM u
+      |), n AS (
+      |  SELECT url_id, url, scheme, auth0,
+      |    CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$$', '')
+      |         WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$$', '')
+      |         ELSE auth0 END AS auth,
+      |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS pth,
+      |    -- COALESCE: DuckDB's array_to_string of an EMPTY list is NULL,
+      |    -- not '' (Spark's array_join is '') -- an emptied query must
+      |    -- compare as '' or every tracking-only URL nulls out
+      |    COALESCE(array_to_string(list_filter(string_split(q0, '&'),
+      |      t -> t <> '' AND NOT regexp_matches(t, '(?i)^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)(=.*)?$$')), '&'), '') AS kept,
+      |    regexp_replace(regexp_replace(auth0, '^[^@]*@', ''), ':[0-9]+$$', '') AS host0
+      |  FROM p
+      |), d AS (
+      |  SELECT url_id, url, scheme, auth0, auth, pth, kept,
+      |    CASE WHEN url IS NULL OR scheme = '' OR auth0 = '' THEN NULL ELSE host0 END AS host,
+      |    string_split(CASE WHEN url IS NULL OR scheme = '' OR auth0 = '' THEN NULL ELSE host0 END, '.') AS labels
+      |  FROM n
+      |), dom AS (
+      |  SELECT url_id, url, scheme, auth0, auth, pth, kept, host,
+      |    CASE WHEN host IS NULL THEN NULL
+      |         WHEN len(labels) >= 3 AND (labels[-2] || '.' || labels[-1]) IN ($multi)
+      |           THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+      |         WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+      |         ELSE host END AS domain
+      |  FROM d
+      |)
+      |SELECT url_id,
+      |  CASE WHEN url IS NULL OR scheme = '' OR auth0 = '' THEN NULL
+      |       ELSE scheme || '://' || auth || pth ||
+      |            (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) END AS norm_url,
+      |  domain,
+      |  CASE WHEN domain IS NULL THEN NULL ELSE domain IN ($blocked) END AS blocked
+      |FROM dom ORDER BY url_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z01_zorder_skip" -> (z01ZorderSkip _),
+    "c13_url_filter" -> (c13UrlFilter _),
     "c01_corpus_curation" -> (c01CorpusCuration _),
     "c02_dup_profile" -> (c02DupProfile _),
     "c03_decontamination" -> (c03Decontamination _),
@@ -663,6 +771,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "z01_zorder_skip" -> z01Oracle,
+    "c13_url_filter" -> c13Oracle,
     "c01_corpus_curation" -> c01Oracle,
     "c02_dup_profile" -> c02Oracle,
     "c03_decontamination" -> c03Oracle,

@@ -832,6 +832,52 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(math.abs(mixed.count() - 5000.0) < 300, s"temperatureMix kept ${mixed.count()}")
   }
 
+  test("Urls: normalization, registrable domain, and blocklist — hand-computed") {
+    import graft.functions.Urls
+    val cases = Seq(
+      // case folding + default port + tracking strip + fragment drop
+      ("HTTP://Example.COM:80/Path/Page?utm_source=x&id=42#frag",
+        "http://example.com/Path/Page?id=42", "example.com"),
+      // https default port; query emptied by the strip loses its '?'
+      ("https://News.Site.co.uk:443/?fbclid=abc",
+        "https://news.site.co.uk/", "site.co.uk"),
+      // non-default port kept; deep subdomain folds to eTLD+1
+      ("https://sub.deep.example.com:8443/x?x=1",
+        "https://sub.deep.example.com:8443/x?x=1", "example.com"),
+      // empty path becomes '/'
+      ("http://example.com", "http://example.com/", "example.com"),
+      // userinfo lowercased with the authority; host excludes it
+      ("http://user:PW@Host.Org/sec", "http://user:pw@host.org/sec", "host.org"),
+      // uppercase tracking param still stripped (case-insensitive)
+      ("HTTPS://EXAMPLE.COM/A?UTM_SOURCE=X", "https://example.com/A", "example.com"),
+      // empty tokens dropped, real params keep their order
+      ("http://example.com/a?c=3&&b=2", "http://example.com/a?c=3&b=2", "example.com"),
+      // single-label host is its own domain; port not a default
+      ("http://localhost:8080/health", "http://localhost:8080/health", "localhost"),
+      // multi-part TLD at exactly three labels
+      ("https://shop.com.au/item?ref=p&id=7", "https://shop.com.au/item?id=7", "shop.com.au"))
+    val got = cases.map(_._1).toDF("url")
+      .select(Urls.normalizeUrl(col("url")), Urls.registrableDomain(Urls.hostOf(col("url"))))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    got.zip(cases).foreach { case ((n, d), (u, en, ed)) =>
+      assert(n == en, s"normalize($u) = $n, want $en")
+      assert(d == ed, s"domain($u) = $d, want $ed")
+    }
+    // shapeless / null inputs are honest nulls end to end
+    val bad = Seq(Some("not a url"), Some("www.example.com/x"), None).toDF("url")
+      .select(Urls.normalizeUrl(col("url")),
+        Urls.registrableDomain(Urls.hostOf(col("url"))),
+        Urls.isBlockedDomain(col("url"), Seq("x.test")))
+      .collect()
+    bad.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2), r.toString))
+    // blocklist keys on the REGISTRABLE domain: subdomains are caught
+    val b = Seq("https://a.b.spam.example/x", "https://spam.example/", "https://ok.example/")
+      .toDF("url")
+      .select(Urls.isBlockedDomain(col("url"), Seq("spam.example")))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(b == Seq(true, true, false), b.toString)
+  }
+
   test("Sampling: non-canonical rate keys against a non-string stratum are refused loudly") {
     import graft.operators.Sampling
     // a DOUBLE stratum renders as "2.0" under cast("string"); the key
