@@ -253,4 +253,258 @@ object Sketches {
             (lit((k - 1).toDouble) * lit(1152921504606846976.0)) /
               greatest(col("kth_hash"), lit(1L)).cast("double"))
           .as("est_distinct"))
+
+  // ------------------------------------------------------------------ //
+  // Heavy hitters (Misra–Gries + exact verify)                         //
+  // ------------------------------------------------------------------ //
+
+  /** Misra–Gries summary state: ≤ k (item → count) counters plus the
+    * total row count seen. Counters are a bounded map — the classic
+    * frequency-estimation guarantee is that after processing n rows,
+    * every item with true frequency > n/(k+1) still holds a counter,
+    * whatever the arrival or merge order (Misra & Gries 1982; merge
+    * bound per Agarwal et al., "Mergeable Summaries", PODS'12).
+    */
+  private[operators] final class MgBuf(val k: Int) extends Serializable {
+    val m = new scala.collection.mutable.HashMap[String, Long]()
+    var total = 0L
+  }
+
+  /** The aggregator's finish shape: the surviving candidate items
+    * (sorted for stable display; the GUARANTEE is about membership,
+    * not order) and the exact total row count from the same pass.
+    */
+  case class MgSummary(candidates: Seq[String], total: Long)
+
+  private class MisraGries(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, MgBuf, MgSummary] {
+    override def zero: MgBuf = new MgBuf(k)
+    override def reduce(b: MgBuf, key: String): MgBuf = {
+      b.total += 1L
+      val cur = b.m.getOrElse(key, 0L)
+      if (cur > 0L || b.m.size < k) b.m.update(key, cur + 1L)
+      else {
+        // full and absent: the decrement-all sweep (the incoming item's
+        // implicit count of 1 is decremented away with the rest). Each
+        // sweep retires k+1 units of count, so it amortizes to O(1)
+        // map operations per row.
+        val dead = new scala.collection.mutable.ArrayBuffer[String]()
+        b.m.foreach { case (key2, c) =>
+          if (c == 1L) dead += key2 else b.m.update(key2, c - 1L)
+        }
+        dead.foreach(b.m.remove)
+      }
+      b
+    }
+    override def merge(a: MgBuf, b: MgBuf): MgBuf = {
+      b.m.foreach { case (key2, c) => a.m.update(key2, a.m.getOrElse(key2, 0L) + c) }
+      a.total += b.total
+      if (a.m.size > k) {
+        // reduce back to ≤ k counters by subtracting the (k+1)-th
+        // largest count from every counter and keeping the strictly
+        // positive ones — the merge rule that preserves the n/(k+1)
+        // survival bound across arbitrary merge trees
+        val counts = a.m.values.toArray
+        java.util.Arrays.sort(counts)
+        val sub = counts(counts.length - (k + 1)) // (k+1)-th largest
+        val dead = new scala.collection.mutable.ArrayBuffer[String]()
+        a.m.foreach { case (key2, c) =>
+          if (c - sub <= 0L) dead += key2 else a.m.update(key2, c - sub)
+        }
+        dead.foreach(a.m.remove)
+      }
+      a
+    }
+    override def finish(buf: MgBuf): MgSummary =
+      MgSummary(buf.m.keys.toSeq.sorted, buf.total)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[MgBuf] =
+      org.apache.spark.sql.Encoders.kryo[MgBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[MgSummary] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[MgSummary]()
+  }
+
+  /** One-pass Misra–Gries candidate summary over `key` (cast to
+    * string; nulls excluded): ≤ k candidate items, guaranteed to
+    * include EVERY item with true frequency > total/(k+1). The partial
+    * buffers carry ≤ k counters per partition — the aggregation ships
+    * kilobytes to one reducer regardless of key cardinality, which is
+    * the whole point: a plain `groupBy(key).count()` to find hot keys
+    * shuffles every distinct key, and on a skewed 100 TB corpus the
+    * hot-key QUESTION is exactly when that shuffle is dangerous.
+    */
+  def frequentCandidates(df: DataFrame, key: Column, k: Int): MgSummary = {
+    require(k >= 1, s"Misra-Gries needs k >= 1, got $k")
+    val row = df
+      .filter(key.isNotNull)
+      .select(key.cast("string").as("key"))
+      .agg(udaf(new MisraGries(k), org.apache.spark.sql.Encoders.STRING)
+        .apply(col("key")).as("s"))
+      .select(col("s.candidates"), col("s.total"))
+      .head()
+    MgSummary(row.getSeq[String](0), row.getLong(1))
+  }
+
+  /** EXACT heavy hitters above the canonical Misra–Gries threshold
+    * n/(k+1), sketch-pruned: pass 1 runs [[frequentCandidates]] (one
+    * scan, ≤ k counters shuffled); pass 2 exactly counts ONLY the ≤ k
+    * candidate keys (the IN-list is a pushed parquet filter, so the
+    * second scan skips with row-group stats, and the groupBy shuffles
+    * ≤ k keys). Because MG guarantees the candidate set is a SUPERSET
+    * of the true heavy hitters, the verified output is exactly
+    * `{key : count(key) > n/(k+1)}` with exact counts — deterministic
+    * and oracle-replayable even though the intermediate candidate set
+    * is merge-order dependent (q24 gates this end to end).
+    *
+    * This is the skew detector that sizes
+    * [[ScaleJoins.saltedJoin]]'s bucket count: run it on the join key
+    * before committing a shuffle strategy, and salt exactly the keys
+    * it returns.
+    */
+  def heavyHitters(df: DataFrame, key: Column, k: Int): DataFrame = {
+    val mg = frequentCandidates(df, key, k)
+    val thresh = mg.total.toDouble / (k + 1).toDouble
+    // candidates come back as strings; round-trip them to the key's
+    // native type where that's exact (integral/string/boolean keys —
+    // the categorical shapes hot keys actually take) so the IN-list is
+    // a PUSHED parquet filter (In(key, …)) instead of a post-scan
+    // predicate over cast(key as string). Other types keep the cast
+    // comparison — still correct, just not skippable at the row group.
+    import org.apache.spark.sql.types._
+    val keyType = df.select(key).schema.head.dataType
+    val typed: Option[Seq[Any]] = keyType match {
+      case LongType    => Some(mg.candidates.map(_.toLong))
+      case IntegerType => Some(mg.candidates.map(_.toInt))
+      case ShortType   => Some(mg.candidates.map(_.toShort))
+      case ByteType    => Some(mg.candidates.map(_.toByte))
+      case StringType  => Some(mg.candidates)
+      case BooleanType => Some(mg.candidates.map(_.toBoolean))
+      case _           => None
+    }
+    val pruned = typed match {
+      case Some(vals) => df.filter(key.isNotNull && key.isin(vals: _*))
+      case None => df.filter(key.isNotNull &&
+        key.cast("string").isin(mg.candidates: _*))
+    }
+    pruned
+      .select(key.cast("string").as("key"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").cast("double") > thresh)
+      .withColumn("n_total", lit(mg.total))
+      .withColumn("share", col("cnt").cast("double") / col("n_total").cast("double"))
+      .orderBy(desc("cnt"), asc("key"))
+  }
+
+  // ------------------------------------------------------------------ //
+  // Sample quantiles (bottom-k hash row sample)                        //
+  // ------------------------------------------------------------------ //
+
+  /** Bottom-k (hash, value) pair buffer — the [[BottomBuf]] discipline
+    * without the distinct check (the hash input is a unique row id, so
+    * pairs never repeat): mutable arrays, cached lexicographic-worst
+    * slot, O(1) reject once full.
+    */
+  private[operators] final class PairBuf(val k: Int) extends Serializable {
+    val hs = new Array[Long](k)
+    val vs = new Array[Long](k)
+    var n = 0
+    var wi = -1 // index of the lexicographically largest (h, v); valid once n == k
+  }
+
+  private class BottomKPairs(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long), PairBuf, Seq[(Long, Long)]] {
+    private def lt(h1: Long, v1: Long, h2: Long, v2: Long): Boolean =
+      h1 < h2 || (h1 == h2 && v1 < v2)
+    private def rescanWorst(b: PairBuf): Unit = {
+      var w = 0
+      var i = 1
+      while (i < b.n) {
+        if (lt(b.hs(w), b.vs(w), b.hs(i), b.vs(i))) w = i
+        i += 1
+      }
+      b.wi = w
+    }
+    override def zero: PairBuf = new PairBuf(k)
+    override def reduce(b: PairBuf, p: (Long, Long)): PairBuf = {
+      if (b.n < k) {
+        b.hs(b.n) = p._1; b.vs(b.n) = p._2; b.n += 1
+        if (b.n == k) rescanWorst(b)
+      } else if (lt(p._1, p._2, b.hs(b.wi), b.vs(b.wi))) {
+        b.hs(b.wi) = p._1; b.vs(b.wi) = p._2
+        rescanWorst(b)
+      } // not smaller than the worst kept pair: O(1) reject
+      b
+    }
+    override def merge(a: PairBuf, b: PairBuf): PairBuf = {
+      var i = 0
+      while (i < b.n) { reduce(a, (b.hs(i), b.vs(i))); i += 1 }
+      a
+    }
+    override def finish(buf: PairBuf): Seq[(Long, Long)] = {
+      val pairs = (0 until buf.n).map(i => (buf.hs(i), buf.vs(i)))
+      pairs.sortBy(identity)
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[PairBuf] =
+      org.apache.spark.sql.Encoders.kryo[PairBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+
+  /** Per-key quantile estimates from a DETERMINISTIC uniform row
+    * sample: hash a unique row id with [[Hashing.h60]], keep the k
+    * rows with the smallest hashes per key (a uniform sample — the
+    * hash order is independent of the value), and read nearest-rank
+    * quantiles off the sorted sample. `n` is the exact group size from
+    * the same single pass; groups under k rows keep EVERYTHING, so
+    * their quantiles are exact.
+    *
+    * Why not `approx_percentile`? Same argument as [[kmvSketchByKey]]
+    * vs HLL++: Spark's Greenwald–Khanna summary is engine-internal and
+    * merge-order sensitive, so it can only be tolerance-checked. The
+    * bottom-k row sample is a pure function of the (id, value) set —
+    * the DuckDB oracle replays sample membership, the selection rule,
+    * and a sample fingerprint bit-for-bit (q25), and the statistical
+    * contract (rank error ≈ √(ln(2/δ)/2k) by DKW on the sample) is
+    * spec-pinned separately.
+    *
+    * Scale shape: the pair buffer dedups nothing but bounds everything
+    * — ≤ k (hash, value) pairs per (partition, key) cross the wire, so
+    * a 100 TB corpus ships megabytes per key group. Values are read as
+    * longs (integer-valued metrics: char/token counts, money cents —
+    * exact cross-engine arithmetic); `qs` are percentile fractions in
+    * [0, 1], emitted as `p<percent>` columns.
+    */
+  def sampleQuantilesByKey(
+      df: DataFrame, key: Column, id: Column, value: Column,
+      k: Int, qs: Seq[Double]): DataFrame = {
+    require(k >= 2, s"sample quantiles need k >= 2, got $k")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantile fractions must be in [0, 1], got $qs")
+    val hashed = df
+      .filter(id.isNotNull && value.isNotNull)
+      .select(key.as("key"), Hashing.h60(id.cast("string")).as("h"),
+        value.cast("long").as("v"))
+    val agg = hashed
+      .groupBy("key")
+      .agg(
+        count(lit(1)).as("n"),
+        udaf(new BottomKPairs(k),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+          .apply(col("h"), col("v")).as("pairs"))
+    // sample values sorted ascending; nearest-rank-lower selection.
+    // Ties in v make every admissible tiebreak return the same v, so
+    // the OUTPUT is deterministic even though the v-sort alone isn't.
+    val vals = array_sort(transform(col("pairs"), p => p.getField("_2")))
+    val m = size(col("pairs"))
+    val sel = qs.map { q =>
+      val name = s"p${math.round(q * 100)}"
+      element_at(vals,
+        (floor(lit(q) * (m - lit(1)).cast("double")) + lit(1)).cast("int"))
+        .as(name)
+    }
+    val fp = md5(concat_ws(",", transform(col("pairs"),
+      p => concat_ws(":", p.getField("_1").cast("string"),
+        p.getField("_2").cast("string"))))).as("sample_fp")
+    agg.select(col("key") +: col("n") +: m.as("m_sample") +: sel :+ fp: _*)
+  }
 }

@@ -483,7 +483,85 @@ object RelationalQueries {
       |FROM agg ORDER BY key""".stripMargin.replace("HEXPR", h)
   }
 
+  /** Heavy hitters over the event stream's user key
+    * ([[graft.operators.Sketches.heavyHitters]]): Misra–Gries
+    * candidates in one bounded-state pass (≤ k counters per partition
+    * cross the wire — no per-key shuffle), then an exact count of just
+    * the ≤ k candidates. MG guarantees the candidate set covers every
+    * key above n/(k+1), so the output is EXACTLY the true heavy
+    * hitters with exact counts — which is what lets DuckDB replay an
+    * approximate-sketch operator as plain GROUP BY … HAVING. This is
+    * the skew probe that decides when a join key needs
+    * [[graft.operators.ScaleJoins.saltedJoin]].
+    */
+  def q24HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.heavyHitters(
+      t(s, dir, "events"), col("user_id"), k = 127)
+
+  val q24Oracle: String =
+    """WITH n AS (SELECT COUNT(*) AS total FROM events WHERE user_id IS NOT NULL)
+      |SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS cnt,
+      |  (SELECT total FROM n) AS n_total,
+      |  CAST(COUNT(*) AS DOUBLE) / (SELECT total FROM n) AS share
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY user_id
+      |HAVING CAST(COUNT(*) AS DOUBLE) > (SELECT total FROM n) / 128.0
+      |ORDER BY cnt DESC, key""".stripMargin
+
+  /** Length-distribution profile per language from a DETERMINISTIC
+    * bottom-k hash row sample
+    * ([[graft.operators.Sketches.sampleQuantilesByKey]]): one pass,
+    * ≤ k (hash, value) pairs per (partition, lang) shuffled, exact `n`
+    * from the same aggregate. Groups under k keep every row (their
+    * quantiles are exact); larger groups read nearest-rank quantiles
+    * off the uniform sample. The oracle replays sample MEMBERSHIP
+    * (`sample_fp` pins all k pairs), the selection rule, and the
+    * estimates bit-for-bit — the engine-independent alternative to
+    * `approx_percentile`, whose Greenwald–Khanna state is not
+    * replayable.
+    */
+  def q25SampleQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.sampleQuantilesByKey(
+      t(s, dir, "documents"),
+      col("lang"), col("doc_id"), col("n_chars"),
+      k = 64, qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+      .orderBy("key")
+
+  val q25Oracle: String = {
+    val h = DuckOracle.h60("CAST(doc_id AS VARCHAR)")
+    """WITH h AS (
+      |  SELECT lang AS key, HEXPR AS h, n_chars AS v
+      |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+      |), n AS (SELECT key, COUNT(*) AS n FROM h GROUP BY key),
+      |kept AS (
+      |  SELECT key, h, v FROM h
+      |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY h, v) <= 64
+      |), fp AS (
+      |  SELECT key, CAST(COUNT(*) AS INT) AS m_sample,
+      |    md5(string_agg(CAST(h AS VARCHAR) || ':' || CAST(v AS VARCHAR), ',' ORDER BY h, v)) AS sample_fp
+      |  FROM kept GROUP BY key
+      |), s AS (
+      |  SELECT key, v,
+      |    row_number() OVER (PARTITION BY key ORDER BY v, h) AS vr,
+      |    COUNT(*) OVER (PARTITION BY key) AS m
+      |  FROM kept
+      |), q AS (
+      |  SELECT key,
+      |    MAX(CASE WHEN vr = CAST(floor(0.25*(m-1)) AS BIGINT)+1 THEN v END) AS p25,
+      |    MAX(CASE WHEN vr = CAST(floor(0.5*(m-1)) AS BIGINT)+1 THEN v END) AS p50,
+      |    MAX(CASE WHEN vr = CAST(floor(0.75*(m-1)) AS BIGINT)+1 THEN v END) AS p75,
+      |    MAX(CASE WHEN vr = CAST(floor(0.9*(m-1)) AS BIGINT)+1 THEN v END) AS p90,
+      |    MAX(CASE WHEN vr = CAST(floor(0.99*(m-1)) AS BIGINT)+1 THEN v END) AS p99
+      |  FROM s GROUP BY key
+      |)
+      |SELECT n.key, n.n, fp.m_sample, q.p25, q.p50, q.p75, q.p90, q.p99, fp.sample_fp
+      |FROM n JOIN fp ON n.key = fp.key JOIN q ON n.key = q.key
+      |ORDER BY n.key""".stripMargin.replace("HEXPR", h)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_heavy_hitters" -> (q24HeavyHitters _),
+    "q25_sample_quantiles" -> (q25SampleQuantiles _),
     "q23_kmv_merge" -> (q23KmvMerge _),
     "q22_kmv_distinct" -> (q22KmvDistinct _),
     "q21_salted_flag_join" -> (q21SaltedFlagJoin _),
@@ -508,6 +586,8 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q24_heavy_hitters" -> q24Oracle,
+    "q25_sample_quantiles" -> q25Oracle,
     "q23_kmv_merge" -> q23Oracle,
     "q22_kmv_distinct" -> q22Oracle,
     "q21_salted_flag_join" -> q21Oracle,

@@ -497,6 +497,25 @@ class PlanSpec extends SparkSpecBase {
     assert(profile.count() > 0)
   }
 
+  test("q24: the verify pass pushes the candidate IN-list into the parquet scan") {
+    // pass 2 of heavyHitters must read with In(user_id, …) AT THE SCAN
+    // (row-group skipping on a 100 TB corpus), not post-scan over a
+    // cast — and its groupBy shuffles only the ≤ k candidate keys
+    val f = formatted(R.q24HeavyHitters(spark, sfDir))
+    val pushed = f.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(l => l.contains("In(user_id") || l.contains("In(user_id,")),
+      s"candidate IN-list did not push to the scan:\n${pushed.mkString("\n")}")
+  }
+
+  test("q25: quantile-sample scan reads only the three referenced columns") {
+    val f = formatted(R.q25SampleQuantiles(spark, sfDir))
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), s"corpus text column read for a length profile: $readSchema")
+    assert(readSchema.contains("n_chars") && readSchema.contains("doc_id"))
+    assert(countOccurrences(f, "HashAggregate") >= 2,
+      "bottom-k pair buffer must partial-aggregate map-side")
+  }
+
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 }

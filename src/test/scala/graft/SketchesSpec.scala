@@ -136,4 +136,123 @@ class SketchesSpec extends SparkSpecBase {
       Sketches.kmvDistinctByKey(df, col("key"), col("v"), k = 2)
     }
   }
+
+  // -------------------- Misra–Gries heavy hitters -------------------- //
+
+  /** Zipf-ish skew: key i appears ~N/i times — a long tail plus a few
+    * dominant keys, the shape heavyHitters exists to find.
+    */
+  private def zipfKeys(nKeys: Int, scale: Int): Seq[String] =
+    (1 to nKeys).flatMap(i => Seq.fill(math.max(1, scale / i))(s"k$i"))
+
+  test("MG candidates are a superset of true heavy hitters under adversarial partitioning") {
+    val keys = zipfKeys(nKeys = 400, scale = 2000)
+    val n = keys.size
+    val k = 20
+    val truth = keys.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 > n.toDouble / (k + 1)).keySet
+    assert(truth.nonEmpty, "fixture has no heavy hitters — test is vacuous")
+    // sorted layout packs each hot key into few partitions; many
+    // partitions force deep merge trees — the bound must hold anyway
+    for (parts <- Seq(1, 7, 32)) {
+      val df = keys.sorted.toDF("key").repartition(parts)
+      val mg = Sketches.frequentCandidates(df, col("key"), k)
+      assert(mg.total === n)
+      assert(mg.candidates.size <= k)
+      val missed = truth -- mg.candidates.toSet
+      assert(missed.isEmpty,
+        s"MG at $parts partitions lost heavy hitters $missed (guarantee violated)")
+    }
+  }
+
+  test("heavyHitters equals brute force exactly, counts and shares included") {
+    val keys = zipfKeys(nKeys = 300, scale = 1500)
+    val n = keys.size
+    val k = 15
+    val df = keys.toDF("key").repartition(11)
+    val got = Sketches.heavyHitters(df, col("key"), k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val brute = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2.toDouble > n.toDouble / (k + 1))
+      .toSeq.sortBy { case (key, c) => (-c, key) }
+      .map { case (key, c) => (key, c, n.toLong, c.toDouble / n) }
+    assert(got === brute)
+  }
+
+  test("heavyHitters threshold is strict: a key at exactly n/(k+1) is excluded") {
+    // n = 40, k = 3 → threshold 10.0; "at" has exactly 10, "over" 12
+    val keys = Seq.fill(12)("over") ++ Seq.fill(10)("at") ++
+      (1 to 18).map(i => s"tail$i")
+    assert(keys.size === 40)
+    val out = Sketches.heavyHitters(keys.toDF("key"), col("key"), k = 3)
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("over"))
+  }
+
+  test("heavyHitters ignores nulls and is deterministic across partitioning") {
+    val keys: Seq[Option[String]] =
+      zipfKeys(200, 900).map(Option(_)) ++ Seq.fill(50)(Option.empty[String])
+    val a = Sketches.heavyHitters(
+      keys.toDF("key").repartition(1), col("key"), k = 10).collect().toSeq
+    val b = Sketches.heavyHitters(
+      keys.toDF("key").repartition(13), col("key"), k = 10).collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+    // totals exclude the nulls (COUNT(key) semantics)
+    assert(a.head.getLong(2) === keys.count(_.isDefined))
+  }
+
+  // -------------------- bottom-k sample quantiles -------------------- //
+
+  test("groups under k are exact: quantiles equal nearest-rank over the full group") {
+    // 41 values 0..400 step 10, shuffled; k = 64 keeps them all
+    val vals = scala.util.Random.shuffle((0 to 40).map(_ * 10L).toList)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("key", "id", "v")
+    val r = Sketches.sampleQuantilesByKey(
+      df, col("key"), col("id"), col("v"), k = 64,
+      qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)).head()
+    assert(r.getLong(1) === 41L) // n
+    assert(r.getInt(2) === 41)   // m_sample == n: nothing sampled away
+    // nearest-rank-lower on the full sorted set: index floor(q*40)
+    assert(r.getLong(3) === 100L) // p25: floor(.25*40)=10 → 100
+    assert(r.getLong(4) === 200L) // p50
+    assert(r.getLong(5) === 300L) // p75
+    assert(r.getLong(6) === 360L) // p90
+    assert(r.getLong(7) === 390L) // p99: floor(.99*40)=39 → 390
+  }
+
+  test("sampled quantiles land within DKW rank error at k=256 over 10k skewed values") {
+    // skewed (quadratic) distribution so equal-rank ≠ equal-value;
+    // true rank of each estimate must sit within ±3·√(1/(2k))·n
+    val n = 10000
+    val vals = (1 to n).map(i => (i.toLong * i.toLong) / 1000L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("key", "id", "v").repartition(17)
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val r = Sketches.sampleQuantilesByKey(
+      df, col("key"), col("id"), col("v"), k = 256, qs = qs).head()
+    val sorted = vals.sorted
+    val eps = 3.0 * math.sqrt(1.0 / (2 * 256)) // ≈ 0.13
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val est = r.getLong(3 + i)
+      // rank range of est among the true values (ties included)
+      val lo = sorted.indexWhere(_ >= est).toDouble / n
+      val hi = (sorted.lastIndexWhere(_ <= est) + 1).toDouble / n
+      assert(lo - eps <= q && q <= hi + eps,
+        s"p${(q * 100).round}: estimate $est has true rank [$lo,$hi], q=$q beyond ±$eps")
+    }
+  }
+
+  test("sample is a pure function of the data: identical across partitioning, fp included") {
+    val vals = (1 to 500).map(i => ("g", i.toLong, (i * 7 % 90).toLong))
+    val a = Sketches.sampleQuantilesByKey(
+      vals.toDF("key", "id", "v").repartition(1),
+      col("key"), col("id"), col("v"), k = 64, qs = Seq(0.5, 0.9)).collect().toSeq
+    val b = Sketches.sampleQuantilesByKey(
+      vals.toDF("key", "id", "v").repartition(23),
+      col("key"), col("id"), col("v"), k = 64, qs = Seq(0.5, 0.9)).collect().toSeq
+    assert(a === b)
+    assert(a.head.getInt(2) === 64) // sampled path actually exercised
+  }
 }
