@@ -272,9 +272,12 @@ object Sketches {
 
   /** The aggregator's finish shape: the surviving candidate items
     * (sorted for stable display; the GUARANTEE is about membership,
-    * not order) and the exact total row count from the same pass.
+    * not order), their residual counter values (aligned with
+    * `candidates`; each underestimates the true count by at most
+    * total/(k+1) — the persistable state for incremental merging),
+    * and the exact total row count from the same pass.
     */
-  case class MgSummary(candidates: Seq[String], total: Long)
+  case class MgSummary(candidates: Seq[String], counts: Seq[Long], total: Long)
 
   private class MisraGries(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[String, MgBuf, MgSummary] {
@@ -315,8 +318,10 @@ object Sketches {
       }
       a
     }
-    override def finish(buf: MgBuf): MgSummary =
-      MgSummary(buf.m.keys.toSeq.sorted, buf.total)
+    override def finish(buf: MgBuf): MgSummary = {
+      val items = buf.m.keys.toSeq.sorted
+      MgSummary(items, items.map(buf.m), buf.total)
+    }
     override def bufferEncoder: org.apache.spark.sql.Encoder[MgBuf] =
       org.apache.spark.sql.Encoders.kryo[MgBuf]
     override def outputEncoder: org.apache.spark.sql.Encoder[MgSummary] =
@@ -339,9 +344,9 @@ object Sketches {
       .select(key.cast("string").as("key"))
       .agg(udaf(new MisraGries(k), org.apache.spark.sql.Encoders.STRING)
         .apply(col("key")).as("s"))
-      .select(col("s.candidates"), col("s.total"))
+      .select(col("s.candidates"), col("s.counts"), col("s.total"))
       .head()
-    MgSummary(row.getSeq[String](0), row.getLong(1))
+    MgSummary(row.getSeq[String](0), row.getSeq[Long](1), row.getLong(2))
   }
 
   /** EXACT heavy hitters above the canonical Misra–Gries threshold
@@ -360,15 +365,95 @@ object Sketches {
     * before committing a shuffle strategy, and salt exactly the keys
     * it returns.
     */
-  def heavyHitters(df: DataFrame, key: Column, k: Int): DataFrame = {
-    val mg = frequentCandidates(df, key, k)
+  def heavyHitters(df: DataFrame, key: Column, k: Int): DataFrame =
+    verifyCandidates(df, key, frequentCandidates(df, key, k), k)
+
+  /** The PERSISTABLE per-increment form of the Misra–Gries summary:
+    * one narrow row per surviving counter — `(inc, item, cnt,
+    * inc_total)` — ≤ k rows plus one `__total__` marker row per
+    * increment (kilobytes whatever the corpus), ready for a sketch
+    * lake. The marker row (null-impossible sentinel item) carries the
+    * increment's exact row total even when the increment has zero
+    * surviving counters, so merged thresholds never undercount.
+    * Stamp `inc` uniquely per increment (a date, a source id).
+    */
+  def mgSketch(df: DataFrame, key: Column, k: Int, inc: String): DataFrame =
+    mgRowsDf(df.sparkSession, inc, frequentCandidates(df, key, k))
+
+  /** An [[MgSummary]] in the sketch-lake row shape — shared by
+    * [[mgSketch]] (per-increment ingest) and [[compactMgLake]] (the
+    * merged summary IS a valid increment: MG error adds linearly, so
+    * replacing N increments with their merge preserves the global
+    * bound).
+    */
+  private def mgRowsDf(
+      spark: org.apache.spark.sql.SparkSession, inc: String, mg: MgSummary): DataFrame = {
+    import spark.implicits._
+    val counterRows = mg.candidates.zip(mg.counts)
+      .map { case (item, c) => (inc, item, c, mg.total) }
+    ((inc, MgTotalMarker, 0L, mg.total) +: counterRows)
+      .toDF("inc", "item", "cnt", "inc_total")
+  }
+
+  /** Sentinel item for the per-increment total marker row. Contains a
+    * NUL byte, which [[frequentCandidates]]' string-cast keys can
+    * produce only from data that itself contains NUL — and the marker
+    * is filtered by equality, so even that collision only drops a
+    * counter row, never corrupts a total.
+    */
+  val MgTotalMarker: String = "\u0000__mg_total__"
+
+  /** Merge per-increment MG summaries WITHOUT re-scanning any corpus:
+    * sum counters per item, then reduce back to ≤ k by subtracting the
+    * (k+1)-th largest summed count and keeping the strictly positive
+    * remainder — the same rule the in-pass aggregator applies, so the
+    * merged summary keeps the global guarantee: any item with TOTAL
+    * frequency > Σtotals/(k+1) survives, even when no single increment
+    * flagged it (Agarwal et al., "Mergeable Summaries" — the theorem
+    * is exactly that this error adds linearly, not per-merge).
+    *
+    * Input is the unioned sketch-lake frame (rows from [[mgSketch]]).
+    * The aggregation is over ≤ increments × (k+1) rows — never
+    * corpus-sized — so the (k+1)-th-largest probe (`limit(k+1)`) and
+    * the ≤ k-row collect are bounded by construction.
+    */
+  def mgMergeSketches(sketches: DataFrame, k: Int): MgSummary = {
+    val markers = sketches.filter(col("item") === MgTotalMarker)
+    val total = markers.select("inc", "inc_total").distinct()
+      .agg(coalesce(sum("inc_total"), lit(0L))).head().getLong(0)
+    val summed = Dedup.scopedCache(
+      sketches.filter(col("item") =!= MgTotalMarker)
+        .groupBy("item").agg(sum("cnt").as("cnt")))
+    val top = summed.orderBy(desc("cnt"), asc("item")).limit(k + 1).collect()
+    val sub = if (top.length <= k) 0L else top.last.getLong(1)
+    val kept = summed.filter(col("cnt") - lit(sub) > 0L)
+      .orderBy("item")
+      .collect().map(r => (r.getString(0), r.getLong(1) - sub))
+    MgSummary(kept.map(_._1).toSeq, kept.map(_._2).toSeq, total)
+  }
+
+  /** Exact global heavy hitters from a sketch LAKE: candidates come
+    * from [[mgMergeSketches]] (no corpus rescan), and only the final
+    * verify pass touches the unioned corpus — one pushed-IN-list scan
+    * + a ≤ k-key groupBy, identical to [[heavyHitters]]' second pass.
+    * Output is exactly `{key : count(key) > Σtotals/(k+1)}` over the
+    * union — the incremental pipeline's daily shape: sketch each
+    * increment at ingest, answer the global skew question with one
+    * cheap verify job.
+    */
+  def heavyHittersFromSketches(
+      corpus: DataFrame, key: Column, sketches: DataFrame, k: Int): DataFrame = {
+    val mg = mgMergeSketches(sketches, k)
+    verifyCandidates(corpus, key, mg, k)
+  }
+
+  /** Shared verify tail: exact counts of the candidate keys, strict
+    * n/(k+1) threshold (see [[heavyHitters]] for the pushdown
+    * contract).
+    */
+  private def verifyCandidates(
+      df: DataFrame, key: Column, mg: MgSummary, k: Int): DataFrame = {
     val thresh = mg.total.toDouble / (k + 1).toDouble
-    // candidates come back as strings; round-trip them to the key's
-    // native type where that's exact (integral/string/boolean keys —
-    // the categorical shapes hot keys actually take) so the IN-list is
-    // a PUSHED parquet filter (In(key, …)) instead of a post-scan
-    // predicate over cast(key as string). Other types keep the cast
-    // comparison — still correct, just not skippable at the row group.
     import org.apache.spark.sql.types._
     val keyType = df.select(key).schema.head.dataType
     val typed: Option[Seq[Any]] = keyType match {
@@ -393,6 +478,94 @@ object Sketches {
       .withColumn("n_total", lit(mg.total))
       .withColumn("share", col("cnt").cast("double") / col("n_total").cast("double"))
       .orderBy(desc("cnt"), asc("key"))
+  }
+
+  /** Compact an MG sketch lake: replace every increment with ONE
+    * merged increment (labelled `__compacted__`), two-rename swapped
+    * with the repo's parked-crash contract. Sound because MG merge
+    * error adds LINEARLY — the compacted lake answers every future
+    * merge with the same Σtotals/(k+1) guarantee as the original.
+    * Pre-swap gate: the tmp tree re-merges to the EXACT summary the
+    * original lake merged to (≤ k rows — metadata-weight), so a
+    * write fault aborts with the original untouched. Run while no
+    * increment writer is active (the lake's appenders are batch jobs).
+    */
+  def compactMgLake(
+      spark: org.apache.spark.sql.SparkSession, path: String, k: Int): Unit = {
+    val (fs, root) = fsRoot(spark, path)
+    refuseParked(fs, root, "compactMgLake")
+    if (!fs.exists(root)) return
+    val mg = mgMergeSketches(spark.read.parquet(path), k)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    fs.delete(tmp, true)
+    mgRowsDf(spark, "__compacted__", mg).coalesce(1)
+      .write.parquet(tmp.toString)
+    val remerged = mgMergeSketches(spark.read.parquet(tmp.toString), k)
+    if (remerged != mg) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compaction of $path would change the merged summary — aborted, original untouched")
+    }
+    graft.etl.Compact.swapInto(fs, tmp, root, old)
+  }
+
+  /** Compact a pair-sample lake ([[pairSampleByKey]] increments):
+    * [[mergePairSamples]] returns the EXACT increment schema and
+    * bottom-k pairs form a true semilattice, so the compacted lake is
+    * BIT-equivalent to the original under every future merge. Pre-swap
+    * gate: key count and Σn preserved (a lost key or rows would shift
+    * every later estimate). Same swap/parked contract as
+    * [[compactMgLake]].
+    */
+  def compactSampleLake(
+      spark: org.apache.spark.sql.SparkSession, path: String, k: Int): Unit = {
+    val (fs, root) = fsRoot(spark, path)
+    refuseParked(fs, root, "compactSampleLake")
+    if (!fs.exists(root)) return
+    // scopedCache: the merged frame feeds BOTH the gate baseline and
+    // the tmp write — without it the lake scan + merge runs twice
+    val merged = Dedup.scopedCache(
+      mergePairSamples(spark.read.parquet(path), k))
+    val (srcKeys, srcN) = keyCountAndN(merged)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    fs.delete(tmp, true)
+    merged.write.parquet(tmp.toString)
+    val (tmpKeys, tmpN) = keyCountAndN(spark.read.parquet(tmp.toString))
+    if (tmpKeys != srcKeys || tmpN != srcN) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compaction of $path would lose data ($srcKeys keys/$srcN rows merged, " +
+          s"$tmpKeys/$tmpN rewritten) — aborted, original untouched")
+    }
+    graft.etl.Compact.swapInto(fs, tmp, root, old)
+  }
+
+  private def fsRoot(
+      spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  /** Refuse ANY parked `<lake>__*_old` sibling still holding files —
+    * it may be the lake's only copy after a crashed swap (the
+    * [[graft.etl.Compact.anyParkedSibling]] rule every swap verb in
+    * the repo shares).
+    */
+  private def refuseParked(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      verb: String): Unit =
+    graft.etl.Compact.anyParkedSibling(fs, root).foreach { parked =>
+      sys.error(s"$parked holds parked sketch-lake data -- a previous swap " +
+        s"crashed mid-flight; recover it (rename back) before $verb")
+    }
+
+  private def keyCountAndN(merged: DataFrame): (Long, Long) = {
+    val r = merged.agg(
+      count(lit(1)).as("keys"),
+      coalesce(sum("n"), lit(0L)).as("n")).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   // ------------------------------------------------------------------ //
@@ -476,21 +649,66 @@ object Sketches {
     */
   def sampleQuantilesByKey(
       df: DataFrame, key: Column, id: Column, value: Column,
-      k: Int, qs: Seq[Double]): DataFrame = {
+      k: Int, qs: Seq[Double]): DataFrame =
+    quantilesFromSample(pairSampleByKey(df, key, id, value, k), k, qs)
+
+  /** The PERSISTABLE sample itself: one row per key with exact `n` and
+    * the bottom-k `(h, v)` pairs (struct array, sorted ascending by
+    * (h, v)). Write one per increment to a sample lake; bottom-k of
+    * pairs is a SEMILATTICE over row-disjoint increments (unique row
+    * ids never collide), so [[mergePairSamples]] reconstructs the
+    * one-shot sample BIT-identically without re-scanning any corpus —
+    * the q23 lifecycle, for quantiles. Increments must PARTITION the
+    * rows (an overlapping increment would double-count `n` and bias
+    * the sample).
+    */
+  def pairSampleByKey(
+      df: DataFrame, key: Column, id: Column, value: Column, k: Int): DataFrame = {
     require(k >= 2, s"sample quantiles need k >= 2, got $k")
-    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
-      s"quantile fractions must be in [0, 1], got $qs")
-    val hashed = df
-      .filter(id.isNotNull && value.isNotNull)
+    // loud gate, not a silent truncation: the long cast below would
+    // floor fractional metrics and the cross-engine replay contract
+    // (and the estimates) would be quietly wrong. Integer-valued
+    // metrics only — route money through Money.cents, floats through
+    // an explicit micro-unit scaling, BEFORE calling this.
+    val vt = df.select(value).schema.head.dataType
+    import org.apache.spark.sql.types._
+    require(vt == LongType || vt == IntegerType || vt == ShortType || vt == ByteType,
+      s"sample quantiles take integer-valued metrics, got $vt — " +
+        "scale to integer units first (e.g. Money.cents, micro-units)")
+    df.filter(id.isNotNull && value.isNotNull)
       .select(key.as("key"), Hashing.h60(id.cast("string")).as("h"),
         value.cast("long").as("v"))
-    val agg = hashed
       .groupBy("key")
       .agg(
         count(lit(1)).as("n"),
         udaf(new BottomKPairs(k),
           org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
           .apply(col("h"), col("v")).as("pairs"))
+  }
+
+  /** Merge per-increment samples down to one per key, pure column
+    * algebra: sum the exact counts, re-take the bottom k of the pooled
+    * pairs (each input row is ≤ k pairs, so the collect_list is
+    * bounded by increments × k per key — never corpus-sized).
+    * `array_sort` on the struct array orders by (h, v) — the same
+    * lexicographic discipline as the in-pass buffer — so merged ≡
+    * one-shot bit-for-bit.
+    */
+  def mergePairSamples(samples: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"sample quantiles need k >= 2, got $k")
+    samples.groupBy("key")
+      .agg(
+        sum("n").as("n"),
+        slice(array_sort(flatten(collect_list("pairs"))), 1, k).as("pairs"))
+  }
+
+  /** Estimator tail shared by the one-shot and merged forms (the
+    * [[kmvEstimate]] discipline): nearest-rank-lower selection off the
+    * sorted sample values, plus `sample_fp` pinning every kept pair.
+    */
+  def quantilesFromSample(sample: DataFrame, k: Int, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantile fractions must be in [0, 1], got $qs")
     // sample values sorted ascending; nearest-rank-lower selection.
     // Ties in v make every admissible tiebreak return the same v, so
     // the OUTPUT is deterministic even though the v-sort alone isn't.
@@ -505,6 +723,6 @@ object Sketches {
     val fp = md5(concat_ws(",", transform(col("pairs"),
       p => concat_ws(":", p.getField("_1").cast("string"),
         p.getField("_2").cast("string"))))).as("sample_fp")
-    agg.select(col("key") +: col("n") +: m.as("m_sample") +: sel :+ fp: _*)
+    sample.select(col("key") +: col("n") +: m.as("m_sample") +: sel :+ fp: _*)
   }
 }

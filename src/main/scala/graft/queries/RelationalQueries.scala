@@ -508,6 +508,43 @@ object RelationalQueries {
       |HAVING CAST(COUNT(*) AS DOUBLE) > (SELECT total FROM n) / 128.0
       |ORDER BY cnt DESC, key""".stripMargin
 
+  /** Incremental heavy hitters via a PERSISTED, MERGED Misra–Gries
+    * sketch lake ([[graft.operators.Sketches.mgSketch]] → parquet →
+    * [[graft.operators.Sketches.heavyHittersFromSketches]]): one MG
+    * summary per event-type increment (≤ k+1 narrow rows each — the
+    * per-day ingest shape), merged WITHOUT re-scanning any increment
+    * (sum counters, subtract the (k+1)-th largest — the mergeable-
+    * summaries rule, so the global n/(k+1) guarantee survives arbitrary
+    * merge trees), then ONE exact verify pass over the union. Output is
+    * exactly the global heavy hitters — the same GROUP BY…HAVING replay
+    * as q24, at a tighter k, through the incremental path.
+    */
+  def q26HeavyHittersMerge(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.queries.Scratch.wiped(s, "mg_sketches", dir)
+    val ev = t(s, dir, "events")
+    // increments = event types (the bounded "source" axis; a production
+    // pipeline stamps ingest dates). Distinct-collect is dim-sized.
+    val types = ev.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    types.map(tp =>
+      graft.operators.Sketches.mgSketch(
+        ev.filter(col("event_type") === tp), col("user_id"), k = 149, inc = tp))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(out)
+    graft.operators.Sketches.heavyHittersFromSketches(
+      ev, col("user_id"), s.read.parquet(out), k = 149)
+  }
+
+  val q26Oracle: String =
+    """WITH n AS (SELECT COUNT(*) AS total FROM events WHERE user_id IS NOT NULL)
+      |SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS cnt,
+      |  (SELECT total FROM n) AS n_total,
+      |  CAST(COUNT(*) AS DOUBLE) / (SELECT total FROM n) AS share
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY user_id
+      |HAVING CAST(COUNT(*) AS DOUBLE) > (SELECT total FROM n) / 150.0
+      |ORDER BY cnt DESC, key""".stripMargin
+
   /** Length-distribution profile per language from a DETERMINISTIC
     * bottom-k hash row sample
     * ([[graft.operators.Sketches.sampleQuantilesByKey]]): one pass,
@@ -559,8 +596,42 @@ object RelationalQueries {
       |ORDER BY n.key""".stripMargin.replace("HEXPR", h)
   }
 
+  /** Incremental quantiles via a PERSISTED, MERGED sample lake
+    * ([[graft.operators.Sketches.pairSampleByKey]] per source
+    * increment → parquet → [[graft.operators.Sketches.mergePairSamples]]
+    * → shared [[graft.operators.Sketches.quantilesFromSample]]):
+    * bottom-k (h, v) pairs over row-disjoint increments form a
+    * semilattice, so the merged sample — and therefore every estimate
+    * and the `sample_fp` — is BIT-IDENTICAL to the one-shot q25 form,
+    * which is exactly what this oracle (the SAME text as q25's)
+    * asserts. The corpus is scanned once per increment at ingest,
+    * never at estimate time.
+    */
+  def q27QuantileMerge(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.queries.Scratch.wiped(s, "quantile_samples", dir)
+    // null-safe increment key (the shingleSets null-block discipline):
+    // a null source must still land in exactly one increment or its
+    // rows silently vanish from both n and the sample
+    val docs = t(s, dir, "documents")
+      .withColumn("__src", coalesce(col("source"), lit(" __null_src")))
+    val sources = docs.select("__src").distinct()
+      .collect().map(_.getString(0)).sorted
+    sources.map(src =>
+      graft.operators.Sketches.pairSampleByKey(
+        docs.filter(col("__src") === src),
+        col("lang"), col("doc_id"), col("n_chars"), k = 64))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(out)
+    graft.operators.Sketches.quantilesFromSample(
+      graft.operators.Sketches.mergePairSamples(s.read.parquet(out), k = 64),
+      k = 64, qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+      .orderBy("key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_heavy_hitters" -> (q24HeavyHitters _),
+    "q26_heavy_hitters_merge" -> (q26HeavyHittersMerge _),
+    "q27_quantile_merge" -> (q27QuantileMerge _),
     "q25_sample_quantiles" -> (q25SampleQuantiles _),
     "q23_kmv_merge" -> (q23KmvMerge _),
     "q22_kmv_distinct" -> (q22KmvDistinct _),
@@ -587,6 +658,8 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q24_heavy_hitters" -> q24Oracle,
+    "q26_heavy_hitters_merge" -> q26Oracle,
+    "q27_quantile_merge" -> q25Oracle, // merged ≡ one-shot: same oracle text
     "q25_sample_quantiles" -> q25Oracle,
     "q23_kmv_merge" -> q23Oracle,
     "q22_kmv_distinct" -> q22Oracle,

@@ -202,6 +202,165 @@ class SketchesSpec extends SparkSpecBase {
     assert(a.head.getLong(2) === keys.count(_.isDefined))
   }
 
+  test("persisted MG lake: merged heavy hitters equal brute force over the union") {
+    // increments with DIFFERENT hot keys — the merge must surface each
+    // increment's locals AND any key that is only heavy in aggregate
+    val incA = Seq.fill(200)("hotA") ++ zipfKeys(100, 300)
+    val incB = Seq.fill(180)("hotB") ++ zipfKeys(120, 250).map(k => s"b_$k") ++
+      Seq.fill(60)("hotA") // hotA continues across increments
+    val incC = Seq.fill(90)("hotC") ++ (1 to 400).map(i => s"c_tail$i")
+    val k = 12
+    val dir = java.nio.file.Files.createTempDirectory("graft_mg_lake").toString
+    Seq(("a", incA), ("b", incB), ("c", incC)).foreach { case (inc, keys) =>
+      Sketches.mgSketch(keys.toDF("key").repartition(5), col("key"), k, inc)
+        .write.mode("append").parquet(dir)
+    }
+    val union = (incA ++ incB ++ incC)
+    val got = Sketches.heavyHittersFromSketches(
+      union.toDF("key"), col("key"), spark.read.parquet(dir), k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val n = union.size
+    val brute = union.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2.toDouble > n.toDouble / (k + 1))
+      .toSeq.sortBy { case (key, c) => (-c, key) }
+      .map { case (key, c) => (key, c, n.toLong, c.toDouble / n) }
+    assert(brute.nonEmpty, "fixture has no global heavy hitters — vacuous")
+    assert(got === brute)
+  }
+
+  test("MG lake: empty and counter-free increments still contribute their totals") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mg_empty").toString
+    val k = 4
+    // an EMPTY increment: marker row only, total 0
+    Sketches.mgSketch(
+      Seq.empty[String].toDF("key"), col("key"), k, "empty")
+      .write.mode("append").parquet(dir)
+    // a diffuse increment (500 distinct keys through 4 counters): its
+    // few surviving counters matter less than its TOTAL, which raises
+    // the global threshold — losing it would over-flag
+    Sketches.mgSketch(
+      (1 to 500).map(i => s"u$i").toDF("key"), col("key"), k, "diffuse")
+      .write.mode("append").parquet(dir)
+    // a hot increment
+    val hot = Seq.fill(400)("dominant") ++ (1 to 50).map(i => s"h$i")
+    Sketches.mgSketch(hot.toDF("key"), col("key"), k, "hot")
+      .write.mode("append").parquet(dir)
+    val mg = Sketches.mgMergeSketches(spark.read.parquet(dir), k)
+    assert(mg.total === 0 + 500 + hot.size)
+    val union = (1 to 500).map(i => s"u$i") ++ hot
+    val got = Sketches.heavyHittersFromSketches(
+      union.toDF("key"), col("key"), spark.read.parquet(dir), k)
+      .collect().map(_.getString(0)).toSeq
+    // only "dominant" (400) exceeds 950/5 = 190
+    assert(got === Seq("dominant"))
+  }
+
+  test("merged MG counters underestimate true counts by at most total/(k+1)") {
+    val k = 10
+    val incs = Seq(
+      zipfKeys(80, 400),
+      zipfKeys(60, 350).map(identity), // overlapping key space
+      Seq.fill(120)("k2") ++ zipfKeys(40, 200))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mg_bound").toString
+    incs.zipWithIndex.foreach { case (keys, i) =>
+      Sketches.mgSketch(keys.toDF("key"), col("key"), k, s"i$i")
+        .write.mode("append").parquet(dir)
+    }
+    val mg = Sketches.mgMergeSketches(spark.read.parquet(dir), k)
+    val union = incs.flatten
+    assert(mg.total === union.size)
+    val truth = union.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = union.size.toDouble / (k + 1)
+    mg.candidates.zip(mg.counts).foreach { case (item, c) =>
+      val t = truth(item)
+      assert(c <= t, s"$item: merged counter $c exceeds true count $t")
+      assert(t - c <= bound, s"$item: underestimate ${t - c} beyond bound $bound")
+    }
+  }
+
+  test("compactMgLake: one increment replaces many, answers unchanged, appends still merge") {
+    val k = 10
+    val incs = Seq(
+      Seq.fill(300)("big") ++ zipfKeys(50, 150),
+      Seq.fill(120)("mid") ++ (1 to 200).map(i => s"t$i"),
+      zipfKeys(70, 220))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mg_compact").toString + "/lake"
+    incs.zipWithIndex.foreach { case (keys, i) =>
+      Sketches.mgSketch(keys.toDF("key"), col("key"), k, s"i$i")
+        .write.mode("append").parquet(dir)
+    }
+    val union = incs.flatten
+    val before = Sketches.heavyHittersFromSketches(
+      union.toDF("key"), col("key"), spark.read.parquet(dir), k).collect().toSeq
+    Sketches.compactMgLake(spark, dir, k)
+    val after = Sketches.heavyHittersFromSketches(
+      union.toDF("key"), col("key"), spark.read.parquet(dir), k).collect().toSeq
+    assert(after === before)
+    // compacted lake is ONE increment: ≤ k+1 rows, one data file
+    assert(spark.read.parquet(dir).count() <= k + 1)
+    // appending a fresh increment to the compacted lake keeps the
+    // GLOBAL guarantee (linear error addition across the compact)
+    val inc4 = Seq.fill(500)("late_hot") ++ (1 to 100).map(i => s"l$i")
+    Sketches.mgSketch(inc4.toDF("key"), col("key"), k, "i4")
+      .write.mode("append").parquet(dir)
+    val union2 = union ++ inc4
+    val got = Sketches.heavyHittersFromSketches(
+      union2.toDF("key"), col("key"), spark.read.parquet(dir), k)
+      .collect().map(_.getString(0)).toSeq
+    val n2 = union2.size
+    val brute = union2.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2.toDouble > n2.toDouble / (k + 1))
+      .toSeq.sortBy { case (key, c) => (-c, key) }.map(_._1)
+    assert(got === brute)
+    assert(brute.contains("late_hot"))
+  }
+
+  test("compactSampleLake: bit-identical estimates before/after, appends still bit-exact") {
+    val k = 16
+    val rows = (1 to 600).map(i => ("g", i.toLong, (i * 11 % 300).toLong))
+    val df = rows.toDF("key", "id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qs_compact").toString + "/lake"
+    Seq((1, 200), (201, 400)).foreach { case (lo, hi) =>
+      Sketches.pairSampleByKey(
+        df.filter(col("id") >= lo && col("id") <= hi),
+        col("key"), col("id"), col("v"), k)
+        .write.mode("append").parquet(dir)
+    }
+    val qs = Seq(0.5, 0.9)
+    def estimates() = Sketches.quantilesFromSample(
+      Sketches.mergePairSamples(spark.read.parquet(dir), k), k, qs)
+      .orderBy("key").collect().toSeq
+    val before = estimates()
+    Sketches.compactSampleLake(spark, dir, k)
+    assert(estimates() === before)
+    // a post-compaction increment still reconstructs the one-shot
+    Sketches.pairSampleByKey(
+      df.filter(col("id") >= 401), col("key"), col("id"), col("v"), k)
+      .write.mode("append").parquet(dir)
+    val oneShot = Sketches.sampleQuantilesByKey(
+      df, col("key"), col("id"), col("v"), k, qs)
+      .orderBy("key").collect().toSeq
+    assert(estimates() === oneShot)
+  }
+
+  test("sketch-lake compaction refuses a parked crashed-swap tree") {
+    val base = java.nio.file.Files.createTempDirectory("graft_parked").toString
+    val dir = base + "/lake"
+    Sketches.mgSketch(Seq("a", "a", "b").toDF("key"), col("key"), 4, "i0")
+      .write.mode("append").parquet(dir)
+    val parked = new java.io.File(base + "/lake__compact_old")
+    parked.mkdirs()
+    java.nio.file.Files.writeString(parked.toPath.resolve("part-0.parquet"), "x")
+    val e1 = intercept[RuntimeException] {
+      Sketches.compactMgLake(spark, dir, 4)
+    }
+    assert(e1.getMessage.contains("parked"))
+    val e2 = intercept[RuntimeException] {
+      Sketches.compactSampleLake(spark, dir, 4)
+    }
+    assert(e2.getMessage.contains("parked"))
+  }
+
   // -------------------- bottom-k sample quantiles -------------------- //
 
   test("groups under k are exact: quantiles equal nearest-rank over the full group") {
@@ -242,6 +401,42 @@ class SketchesSpec extends SparkSpecBase {
       assert(lo - eps <= q && q <= hi + eps,
         s"p${(q * 100).round}: estimate $est has true rank [$lo,$hi], q=$q beyond ±$eps")
     }
+  }
+
+  test("fractional value columns are refused loudly, not silently floored") {
+    val df = Seq(("g", 1L, 1.5)).toDF("key", "id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.sampleQuantilesByKey(
+        df, col("key"), col("id"), col("v"), k = 8, qs = Seq(0.5))
+    }
+    assert(e.getMessage.contains("integer-valued"))
+    assert(e.getMessage.contains("Money.cents"), "remedy must name the fix")
+  }
+
+  test("persisted sample lake: merged pair samples equal the one-shot bit-for-bit") {
+    // row-disjoint increments with uneven sizes and keys missing from
+    // some increments; merged ≡ one-shot is the semilattice claim the
+    // q27 oracle leans on
+    val rows = (1 to 900).map(i =>
+      (if (i % 3 == 0) "a" else "b", i.toLong, (i * 13 % 500).toLong))
+    val df = rows.toDF("key", "id", "v")
+    val k = 32
+    val dir = java.nio.file.Files.createTempDirectory("graft_qs_lake").toString
+    // increments: id ranges (1-100 has only a sliver of key "a")
+    Seq((1, 100), (101, 500), (501, 900)).foreach { case (lo, hi) =>
+      Sketches.pairSampleByKey(
+        df.filter(col("id") >= lo && col("id") <= hi),
+        col("key"), col("id"), col("v"), k)
+        .write.mode("append").parquet(dir)
+    }
+    val qs = Seq(0.25, 0.5, 0.9)
+    val merged = Sketches.quantilesFromSample(
+      Sketches.mergePairSamples(spark.read.parquet(dir), k), k, qs)
+      .orderBy("key").collect().toSeq
+    val oneShot = Sketches.sampleQuantilesByKey(
+      df, col("key"), col("id"), col("v"), k, qs)
+      .orderBy("key").collect().toSeq
+    assert(merged === oneShot) // includes sample_fp: every pair pinned
   }
 
   test("sample is a pure function of the data: identical across partitioning, fp included") {

@@ -734,4 +734,44 @@ class StreamingSpec extends SparkSpecBase {
       assert(ids3.map(_.getLong(0)).count(_ == 9002L) == 1)
     } finally q.stop()
   }
+
+  test("streaming hot-key tracking: per-batch MG increments into the sketch lake") {
+    // the q26 lake pattern under foreachBatch: each micro-batch writes
+    // one mgSketch increment (<= k+1 narrow rows, batch-id as the
+    // increment label), and the merged lake answers the GLOBAL
+    // heavy-hitter question over everything streamed so far — bounded
+    // state per batch, no corpus retained, no stateful operator.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+    val k = 8
+    val lake = java.nio.file.Files.createTempDirectory("graft_stream_mg").toString + "/lake"
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("key").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        Sketches.mgSketch(batch, col("key"), k, s"batch_$batchId")
+          .write.mode("append").parquet(lake)
+        ()
+      }
+      .start()
+    val b1 = Seq.fill(60)("hot1") ++ (1 to 40).map(i => s"a$i")
+    val b2 = Seq.fill(45)("hot2") ++ Seq.fill(20)("hot1") ++ (1 to 30).map(i => s"b$i")
+    val b3 = (1 to 50).map(i => s"c$i") // diffuse batch: raises the threshold only
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val union = b1 ++ b2 ++ b3
+    val got = Sketches.heavyHittersFromSketches(
+      union.toDF("key"), col("key"), spark.read.parquet(lake), k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val n = union.size
+    val brute = union.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2.toDouble > n.toDouble / (k + 1))
+      .toSeq.sortBy { case (key2, c) => (-c, key2) }
+    assert(got === brute)
+    assert(got.map(_._1).toSet === Set("hot1", "hot2"))
+    // the lake stayed sketch-sized: <= (k+1) rows per micro-batch
+    assert(spark.read.parquet(lake).count() <= 3L * (k + 1))
+  }
 }
