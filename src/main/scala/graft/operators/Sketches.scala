@@ -421,8 +421,21 @@ object Sketches {
     val markers = sketches.filter(col("item") === MgTotalMarker)
     val total = markers.select("inc", "inc_total").distinct()
       .agg(coalesce(sum("inc_total"), lit(0L))).head().getLong(0)
+    // max-per-(inc, item) BEFORE the cross-increment sum: the streaming
+    // pattern appends increments from foreachBatch, which is
+    // at-least-once on failure recovery — a replayed batch re-writes
+    // its increment under the SAME label, possibly with a different
+    // (but equally valid) counter set. Totals already dedup via the
+    // marker distinct; naively summing duplicated counter rows would
+    // inflate the (k+1)-th-largest subtraction and could push a true
+    // heavy hitter out of the candidate set. max over valid summaries
+    // of one increment is itself valid: every counter underestimates
+    // the true count (max of underestimates still does), and a
+    // per-increment heavy item survives in EVERY valid summary, so it
+    // survives the max.
     val summed = Dedup.scopedCache(
       sketches.filter(col("item") =!= MgTotalMarker)
+        .groupBy("inc", "item").agg(max("cnt").as("cnt"))
         .groupBy("item").agg(sum("cnt").as("cnt")))
     val top = summed.orderBy(desc("cnt"), asc("item")).limit(k + 1).collect()
     val sub = if (top.length <= k) 0L else top.last.getLong(1)
@@ -495,7 +508,20 @@ object Sketches {
     val (fs, root) = fsRoot(spark, path)
     refuseParked(fs, root, "compactMgLake")
     if (!fs.exists(root)) return
-    val mg = mgMergeSketches(spark.read.parquet(path), k)
+    val src = spark.read.parquet(path)
+    // a k narrower than the lake was built with would silently DEGRADE
+    // the lake's guarantee (future merges could only promise the
+    // smaller k's bound, with nothing recording the loss). The widest
+    // increment's counter-row count lower-bounds the ingest k; refuse
+    // below it.
+    val widest = src.filter(col("item") =!= MgTotalMarker)
+      .groupBy("inc").agg(count(lit(1)).as("w"))
+      .agg(coalesce(max("w"), lit(0L))).head().getLong(0)
+    require(k >= widest,
+      s"compactMgLake k=$k is narrower than the lake's widest increment " +
+        s"($widest counters) — compacting would degrade the n/(k+1) " +
+        "guarantee irreversibly; pass the ingest k")
+    val mg = mgMergeSketches(src, k)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
     val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
     fs.delete(tmp, true)
@@ -523,10 +549,21 @@ object Sketches {
     val (fs, root) = fsRoot(spark, path)
     refuseParked(fs, root, "compactSampleLake")
     if (!fs.exists(root)) return
+    val src = spark.read.parquet(path)
+    // a k narrower than ingest would TRUNCATE every saturated sample
+    // while the key-count/Σn gate still passes (n is exact either
+    // way) — breaking the bit-identity-with-one-shot claim silently.
+    // The widest stored sample lower-bounds the ingest k; refuse
+    // below it.
+    val widest = src
+      .agg(coalesce(max(size(col("pairs"))), lit(0))).head().getInt(0)
+    require(k >= widest,
+      s"compactSampleLake k=$k is narrower than the lake's widest sample " +
+        s"($widest pairs) — compacting would truncate samples irreversibly; " +
+        "pass the ingest k")
     // scopedCache: the merged frame feeds BOTH the gate baseline and
     // the tmp write — without it the lake scan + merge runs twice
-    val merged = Dedup.scopedCache(
-      mergePairSamples(spark.read.parquet(path), k))
+    val merged = Dedup.scopedCache(mergePairSamples(src, k))
     val (srcKeys, srcN) = keyCountAndN(merged)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
     val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
@@ -650,7 +687,7 @@ object Sketches {
   def sampleQuantilesByKey(
       df: DataFrame, key: Column, id: Column, value: Column,
       k: Int, qs: Seq[Double]): DataFrame =
-    quantilesFromSample(pairSampleByKey(df, key, id, value, k), k, qs)
+    quantilesFromSample(pairSampleByKey(df, key, id, value, k), qs)
 
   /** The PERSISTABLE sample itself: one row per key with exact `n` and
     * the bottom-k `(h, v)` pairs (struct array, sorted ascending by
@@ -675,7 +712,12 @@ object Sketches {
     require(vt == LongType || vt == IntegerType || vt == ShortType || vt == ByteType,
       s"sample quantiles take integer-valued metrics, got $vt — " +
         "scale to integer units first (e.g. Money.cents, micro-units)")
-    df.filter(id.isNotNull && value.isNotNull)
+    // null KEYS are excluded like heavyHitters (GROUP BY over a known
+    // stratum; also keeps the q25/q27 oracle's equi-joins — which a
+    // null key silently falls out of — in exact parity). Callers that
+    // want a null stratum coalesce to a sentinel first, the q27
+    // increment-axis discipline.
+    df.filter(key.isNotNull && id.isNotNull && value.isNotNull)
       .select(key.as("key"), Hashing.h60(id.cast("string")).as("h"),
         value.cast("long").as("v"))
       .groupBy("key")
@@ -706,7 +748,7 @@ object Sketches {
     * [[kmvEstimate]] discipline): nearest-rank-lower selection off the
     * sorted sample values, plus `sample_fp` pinning every kept pair.
     */
-  def quantilesFromSample(sample: DataFrame, k: Int, qs: Seq[Double]): DataFrame = {
+  def quantilesFromSample(sample: DataFrame, qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantile fractions must be in [0, 1], got $qs")
     // sample values sorted ascending; nearest-rank-lower selection.

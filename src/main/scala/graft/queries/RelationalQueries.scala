@@ -521,14 +521,19 @@ object RelationalQueries {
     */
   def q26HeavyHittersMerge(s: SparkSession, dir: String): DataFrame = {
     val out = graft.queries.Scratch.wiped(s, "mg_sketches", dir)
+    // null-safe increment key (the q27 / shingleSets discipline): a
+    // null event_type must land in exactly one increment — raw-column
+    // equality would silently drop its rows from every sketch total
+    // (and a null element would NPE the driver-side sort)
     val ev = t(s, dir, "events")
+      .withColumn("__etype", coalesce(col("event_type"), lit("\u0000__null_type")))
     // increments = event types (the bounded "source" axis; a production
     // pipeline stamps ingest dates). Distinct-collect is dim-sized.
-    val types = ev.select("event_type").distinct()
+    val types = ev.select("__etype").distinct()
       .collect().map(_.getString(0)).sorted
     types.map(tp =>
       graft.operators.Sketches.mgSketch(
-        ev.filter(col("event_type") === tp), col("user_id"), k = 149, inc = tp))
+        ev.filter(col("__etype") === tp), col("user_id"), k = 149, inc = tp))
       .reduce(_ union _)
       .write.mode("overwrite").parquet(out)
     graft.operators.Sketches.heavyHittersFromSketches(
@@ -613,7 +618,7 @@ object RelationalQueries {
     // a null source must still land in exactly one increment or its
     // rows silently vanish from both n and the sample
     val docs = t(s, dir, "documents")
-      .withColumn("__src", coalesce(col("source"), lit(" __null_src")))
+      .withColumn("__src", coalesce(col("source"), lit("\u0000__null_src")))
     val sources = docs.select("__src").distinct()
       .collect().map(_.getString(0)).sorted
     sources.map(src =>
@@ -624,7 +629,7 @@ object RelationalQueries {
       .write.mode("overwrite").parquet(out)
     graft.operators.Sketches.quantilesFromSample(
       graft.operators.Sketches.mergePairSamples(s.read.parquet(out), k = 64),
-      k = 64, qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+      qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99))
       .orderBy("key")
   }
 

@@ -278,6 +278,40 @@ class SketchesSpec extends SparkSpecBase {
     }
   }
 
+  test("MG lake survives an at-least-once replayed increment (same label, different summary)") {
+    // foreachBatch is at-least-once on recovery: a replayed batch
+    // re-appends its increment under the SAME label, possibly with a
+    // DIFFERENT (but valid) counter set from a different partition
+    // merge order. The per-(inc, item) max dedup must keep totals AND
+    // counters sound — naive summing inflates the (k+1)-th-largest
+    // subtraction and can evict a true heavy hitter.
+    val k = 8
+    val inc1 = Seq.fill(200)("hot") ++ zipfKeys(60, 150)
+    val inc2 = Seq.fill(90)("hot2") ++ (1 to 80).map(i => s"z$i")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mg_replay").toString
+    Sketches.mgSketch(inc1.toDF("key").repartition(3), col("key"), k, "b0")
+      .write.mode("append").parquet(dir)
+    Sketches.mgSketch(inc2.toDF("key"), col("key"), k, "b1")
+      .write.mode("append").parquet(dir)
+    // the replay: b0 lands AGAIN, from a different partitioning
+    Sketches.mgSketch(inc1.toDF("key").repartition(7), col("key"), k, "b0")
+      .write.mode("append").parquet(dir)
+    val union = inc1 ++ inc2 // the TRUE stream content — b0 happened once
+    val mg = Sketches.mgMergeSketches(spark.read.parquet(dir), k)
+    assert(mg.total === union.size, "replayed increment double-counted the total")
+    val truth = union.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = union.size.toDouble / (k + 1)
+    mg.candidates.zip(mg.counts).foreach { case (item, c) =>
+      assert(c <= truth(item), s"$item: merged counter $c exceeds true ${truth(item)}")
+    }
+    val got = Sketches.heavyHittersFromSketches(
+      union.toDF("key"), col("key"), spark.read.parquet(dir), k)
+      .collect().map(_.getString(0)).toSeq
+    val brute = truth.filter(_._2.toDouble > bound)
+      .toSeq.sortBy { case (key2, c) => (-c, key2) }.map(_._1)
+    assert(got === brute)
+  }
+
   test("compactMgLake: one increment replaces many, answers unchanged, appends still merge") {
     val k = 10
     val incs = Seq(
@@ -328,7 +362,7 @@ class SketchesSpec extends SparkSpecBase {
     }
     val qs = Seq(0.5, 0.9)
     def estimates() = Sketches.quantilesFromSample(
-      Sketches.mergePairSamples(spark.read.parquet(dir), k), k, qs)
+      Sketches.mergePairSamples(spark.read.parquet(dir), k), qs)
       .orderBy("key").collect().toSeq
     val before = estimates()
     Sketches.compactSampleLake(spark, dir, k)
@@ -341,6 +375,39 @@ class SketchesSpec extends SparkSpecBase {
       df, col("key"), col("id"), col("v"), k, qs)
       .orderBy("key").collect().toSeq
     assert(estimates() === oneShot)
+  }
+
+  test("compaction refuses a k narrower than the lake was built with") {
+    val base = java.nio.file.Files.createTempDirectory("graft_narrow").toString
+    val mgDir = base + "/mg"
+    Sketches.mgSketch(zipfKeys(50, 200).toDF("key"), col("key"), 16, "i0")
+      .write.mode("append").parquet(mgDir)
+    val e1 = intercept[IllegalArgumentException] {
+      Sketches.compactMgLake(spark, mgDir, 8)
+    }
+    assert(e1.getMessage.contains("narrower"))
+    val qDir = base + "/qs"
+    Sketches.pairSampleByKey(
+      (1 to 100).map(i => ("g", i.toLong, i.toLong)).toDF("key", "id", "v"),
+      col("key"), col("id"), col("v"), 32)
+      .write.mode("append").parquet(qDir)
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.compactSampleLake(spark, qDir, 16)
+    }
+    assert(e2.getMessage.contains("narrower"))
+    // at the ingest k both still work
+    Sketches.compactMgLake(spark, mgDir, 16)
+    Sketches.compactSampleLake(spark, qDir, 32)
+  }
+
+  test("pairSampleByKey excludes null keys (GROUP BY stratum semantics)") {
+    val df = Seq(
+      (Some("a"), 1L, 10L), (Some("a"), 2L, 20L), (Option.empty[String], 3L, 30L))
+      .toDF("key", "id", "v")
+    val out = Sketches.sampleQuantilesByKey(
+      df, col("key"), col("id"), col("v"), k = 8, qs = Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("a", 2L)))
   }
 
   test("sketch-lake compaction refuses a parked crashed-swap tree") {
@@ -431,7 +498,7 @@ class SketchesSpec extends SparkSpecBase {
     }
     val qs = Seq(0.25, 0.5, 0.9)
     val merged = Sketches.quantilesFromSample(
-      Sketches.mergePairSamples(spark.read.parquet(dir), k), k, qs)
+      Sketches.mergePairSamples(spark.read.parquet(dir), k), qs)
       .orderBy("key").collect().toSeq
     val oneShot = Sketches.sampleQuantilesByKey(
       df, col("key"), col("id"), col("v"), k, qs)
