@@ -707,6 +707,62 @@ object Ann {
       targetBytes: Long = 128L * 1024 * 1024): Seq[(String, graft.etl.Compact.CompactStats)] =
     graft.etl.Compact.compactPartitioned(spark, s"$path/base", targetBytes)
 
+  /** Re-fit a persisted plain-IVF index's coarse quantizer at a new
+    * cell count — the [[graft.operators.Bm25.rebucketLexIndex]] twin
+    * for the ANN family, closing the "re-fit-or-accept" gap: nlist is
+    * baked in at build time, so a 100×-grown index keeps its toy-scale
+    * cell layout, per-cell occupancy balloons, and probing degrades
+    * toward a full scan. The plain-IVF base stores RAW vectors, which
+    * makes the re-fit self-contained: one full base read (inherent —
+    * every row re-assigns), a fresh deterministic k-means fit at
+    * `newNlist`, one partitioned rewrite OUT OF PLACE (this is
+    * [[buildIvfIndex]] against a temp root, so sidecar precision and
+    * occupancy semantics are identical to a fresh build by
+    * construction), a pre-swap row-count gate, then ONE whole-index
+    * two-rename swap. Crash windows: before the swap the original is
+    * untouched (temp residue cleared on retry); between the renames the
+    * original is PARKED at `path__refit_old` — every entry point
+    * (serving via [[requireBaseServable]], a refit retry here) refuses
+    * loudly until an operator recovers it; after the swap only the
+    * park's delete remains, re-droppable.
+    *
+    * The quantizer is re-trained on the CURRENT base (the fitOn
+    * train/add split does not survive a refit — the original fit frame
+    * is gone; at refit time the base itself IS the representative
+    * sample). PQ/SQ8 indexes store codes, not vectors, and their
+    * codebooks/stats bind to the coarse geometry — a re-fit from
+    * decoded vectors would silently bake quantization error into the
+    * assignment, so they are REFUSED here with the rebuild verb named:
+    * re-fit those from the corpus.
+    */
+  def refitIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newNlist: Int, seed: Long = 42L, maxFit: Long = 100000L): Unit = {
+    requirePqMarker(spark, path, expectPq = false,
+      otherVerb = "Pq.buildIvfPqIndex on the source corpus (codes carry no raw vectors to re-fit from)",
+      sqOtherVerb = "Sq.buildIvfSq8Index on the source corpus (codes carry no raw vectors to re-fit from)")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a parked `path__refit_old` (or any other crashed swap) blocks
+    // until recovered; parked BASE leaves (crashed remove/compact)
+    // block equally — a refit reading a cell-less base cements the loss
+    requireBaseServable(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__refit_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__refit_old")
+    fs.delete(tmp, true)
+    val base = spark.read.parquet(s"$path/base").select("b_id", "b_emb")
+    val nSrc = base.count()
+    buildIvfIndex(base, col("b_id"), col("b_emb"), tmp.toString,
+      nlist = newNlist, seed = seed, maxFit = maxFit)
+    val nTmp = spark.read.parquet(s"$tmp/base").count()
+    if (nTmp != nSrc) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"refit of $path would lose rows ($nSrc read, $nTmp rewritten) — aborted, original untouched")
+    }
+    graft.etl.Compact.swapInto(fs, tmp, root, old)
+  }
+
   /** Bounded observability read of a persisted index's codebook
     * sidecar: total occupancy, cell count, live-cell count. SINGLE
     * owner of the aggregate shared by the HTML inventory cards and the
@@ -813,8 +869,14 @@ object Ann {
   private[operators] def requireBaseServable(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val bp = new org.apache.hadoop.fs.Path(s"$path/base")
-    graft.etl.Compact.requireServable(
-      bp.getFileSystem(spark.sparkContext.hadoopConfiguration), bp)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.etl.Compact.requireServable(fs, bp)
+    // and the INDEX ROOT's parked siblings: a crashed [[refitIvfIndex]]
+    // swap parks the whole original index at `path__refit_old` —
+    // normally path is then absent and every read fails loudly, but an
+    // operator recreating path while the park still holds the only
+    // good copy must not serve silently
+    graft.etl.Compact.requireServable(fs, new org.apache.hadoop.fs.Path(path))
   }
 
   /** LIVE (members > 0) centroids from a persisted index's codebook

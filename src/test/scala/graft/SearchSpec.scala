@@ -729,6 +729,44 @@ class SearchSpec extends SparkSpecBase {
     assert(q().nonEmpty, "file-less residue must not block serving")
   }
 
+  test("refitIvfIndex: serving ≡ a fresh build at the new nlist; guards and crash windows") {
+    import graft.operators.Ann
+    val df = clusteredRows.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") % 100 >= 5)
+    val qs = df.filter(col("vec_id") % 100 < 5)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_refit").toString
+    val path = tmpRoot + "/ix"
+    Ann.buildIvfIndex(base, col("vec_id"), col("embedding"), path, nlist = 4)
+    def serve(p: String) = graft.operators.Dedup.scoped {
+      Ann.queryIvfIndex(spark, p, qs, col("vec_id"), col("embedding"), k = 5, nprobe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    // refit 4 → 8 cells must serve exactly what a FRESH build at 8 does
+    Ann.refitIvfIndex(spark, path, newNlist = 8)
+    val fresh = tmpRoot + "/fresh8"
+    Ann.buildIvfIndex(base, col("vec_id"), col("embedding"), fresh, nlist = 8)
+    assert(serve(path) === serve(fresh), "refit diverged from a fresh build at the same nlist")
+    // the codebook really is 8 cells now
+    assert(spark.read.parquet(s"$path/codebook").count() === 8L)
+    // crash window: whole index parked mid-swap → retry refuses loudly
+    val parked = new java.io.File(tmpRoot + "/ix__refit_old")
+    parked.mkdirs()
+    java.nio.file.Files.writeString(parked.toPath.resolve("part-stranded.parquet"), "x")
+    val e = intercept[IllegalArgumentException](Ann.refitIvfIndex(spark, path, 4))
+    assert(e.getMessage.contains("recover"), e.getMessage)
+    // serving refuses equally — the park may hold the only good copy
+    val e2 = intercept[IllegalArgumentException](serve(path))
+    assert(e2.getMessage.contains("recover"), e2.getMessage)
+    java.nio.file.Files.delete(parked.toPath.resolve("part-stranded.parquet"))
+    assert(serve(path).nonEmpty, "file-less residue must not block")
+    // a quantized index refuses with the rebuild remedy named
+    val sqPath = tmpRoot + "/sq"
+    graft.operators.Sq.buildIvfSq8Index(
+      base, col("vec_id"), col("embedding"), sqPath, nlist = 4)
+    val e3 = intercept[IllegalArgumentException](Ann.refitIvfIndex(spark, sqPath, 8))
+    assert(e3.getMessage.contains("Sq.buildIvfSq8Index"), e3.getMessage)
+  }
+
   private def clusteredRows: Seq[(Long, Array[Float])] = {
     val dim = 16
     def vec(cluster: Int, j: Int): Array[Float] = {
