@@ -161,11 +161,22 @@ object Ann {
         b.filter(pmod(xxhash64(col("b_id")), lit(total)) < lit(maxFit))
       else b
     // bounded collect (see knnIvf scaladoc): <= ~maxFit vectors; null
-    // rows are skipped here, null-element rows fall out of assignment
+    // rows are skipped here, null-element rows fall out of assignment.
+    // CANONICAL ORDER: k-means++ seeding walks the sample by array
+    // index, so collect order would otherwise leak the source's FILE
+    // LAYOUT into the codebook — the same corpus repartitioned (or
+    // re-read from a cell-partitioned index by [[refitIvfIndex]])
+    // would train a different quantizer. Sorting by the id makes the
+    // fit a pure function of the (id, vector) SET, which is what lets
+    // refit ≡ fresh-build hold by construction. (Duplicate ids — a
+    // caller bug — keep their relative collect order; everything else
+    // is totally ordered.)
     val raw = fitDf
-      .select(col("b_emb").cast("array<float>"))
+      .select(col("b_id").cast("string").as("__id"),
+        col("b_emb").cast("array<float>"))
       .collect()
-      .flatMap(r => Option(r.getSeq[Float](0)))
+      .sortBy(r => Option(r.getString(0)).getOrElse(""))
+      .flatMap(r => Option(r.getSeq[Float](1)))
       .filter(s => s.nonEmpty && !s.contains(null))
       .map(_.toArray)
     if (raw.isEmpty) raw
@@ -718,13 +729,24 @@ object Ann {
     * `newNlist`, one partitioned rewrite OUT OF PLACE (this is
     * [[buildIvfIndex]] against a temp root, so sidecar precision and
     * occupancy semantics are identical to a fresh build by
-    * construction), a pre-swap row-count gate, then ONE whole-index
-    * two-rename swap. Crash windows: before the swap the original is
-    * untouched (temp residue cleared on retry); between the renames the
-    * original is PARKED at `path__refit_old` — every entry point
-    * (serving via [[requireBaseServable]], a refit retry here) refuses
-    * loudly until an operator recovers it; after the swap only the
-    * park's delete remains, re-droppable.
+    * construction — and since [[sampleVectors]] canonicalizes the fit
+    * sample's order, the refit codebook is BIT-IDENTICAL to a fresh
+    * build's over the same rows, whatever layout the base sits in), a
+    * pre-swap row-count gate, then ONE whole-index two-rename swap
+    * under a sibling intent marker (`path__refit_intent` — outside the
+    * index, since the whole of `path` swaps). Crash contract, the
+    * [[graft.operators.Bm25.rebucketLexIndex]] discipline: before the
+    * swap the original is untouched (tmp residue and an aborted gate
+    * clear the intent); between the renames the original is parked at
+    * `path__refit_old` and a rerun at the intent's nlist recovers it
+    * and completes the rewrite; after the swap-in but before the
+    * park's delete, the root is the count-gated complete index, so the
+    * rerun finishes the delete instead of rewriting; serving refuses a
+    * filed park throughout ([[requireBaseServable]]), and a park
+    * WITHOUT an intent is refused as unrecognized, never deleted.
+    * Post-swap, cached plans/listings over the path are invalidated
+    * (`refreshByPath`) so no reader pairs old cell rows with the new
+    * codebook.
     *
     * The quantizer is re-trained on the CURRENT base (the fitOn
     * train/add split does not survive a refit — the original fit frame
@@ -738,17 +760,60 @@ object Ann {
   def refitIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       newNlist: Int, seed: Long = 42L, maxFit: Long = 100000L): Unit = {
+    require(newNlist >= 1, s"newNlist must be >= 1, got $newNlist")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__refit_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__refit_old")
+    // the intent lives OUTSIDE the index (the whole of `path` swaps,
+    // so an in-tree marker would ride the rename into the park)
+    val intent = new org.apache.hadoop.fs.Path(path + "__refit_intent")
+    fs.delete(new org.apache.hadoop.fs.Path(path + "__refit_intent__tmp"), true)
+    if (fs.exists(intent)) {
+      val prev = spark.read.parquet(intent.toString).select("n_list").head().getInt(0)
+      require(prev == newNlist,
+        s"$path has a crashed refit to $prev cells in flight -- converge it " +
+          s"first (rerun with newNlist=$prev) before refitting to $newNlist")
+    }
+    // swap-window recovery BEFORE the servability guard (which would
+    // refuse our own parked tree). File-less residue is cleared;
+    // park-with-files + missing root ⇒ crash between swapInto's two
+    // renames — the park IS the index, recover it; park-with-files +
+    // present root ⇒ crash after the swap-in, before the delete — the
+    // root is the count-gated complete rewrite (only this verb creates
+    // __refit_old, and only after gating tmp), so finishing the delete
+    // completes the swap, not discards an only copy
+    if (fs.exists(old)) {
+      if (!fs.listFiles(old, true).hasNext) fs.delete(old, true)
+      else {
+        require(fs.exists(intent),
+          s"$old holds parked index data without a refit intent -- " +
+            "unrecognized state; recover it (rename back or remove) manually")
+        if (!fs.exists(root)) require(fs.rename(old, root), s"could not recover $old")
+        else fs.delete(old, true)
+      }
+    }
     requirePqMarker(spark, path, expectPq = false,
       otherVerb = "Pq.buildIvfPqIndex on the source corpus (codes carry no raw vectors to re-fit from)",
       sqOtherVerb = "Sq.buildIvfSq8Index on the source corpus (codes carry no raw vectors to re-fit from)")
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a parked `path__refit_old` (or any other crashed swap) blocks
-    // until recovered; parked BASE leaves (crashed remove/compact)
-    // block equally — a refit reading a cell-less base cements the loss
+    // parked BASE leaves (a crashed remove/compact) block equally — a
+    // refit reading a cell-less base would cement the loss
     requireBaseServable(spark, path)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__refit_tmp")
-    val old = new org.apache.hadoop.fs.Path(path + "__refit_old")
+    if (spark.read.parquet(s"$path/codebook").count() == newNlist.toLong) {
+      // already at the target width: with a standing intent this is the
+      // crash window between the swap's old-delete and the intent
+      // delete — the index is converged, completing the delete IS the
+      // resume (no second rewrite). Without an intent it is a no-op.
+      fs.delete(intent, true)
+      return
+    }
+    if (!fs.exists(intent)) {
+      import spark.implicits._
+      val itmp = new org.apache.hadoop.fs.Path(path + "__refit_intent__tmp")
+      Seq(newNlist).toDF("n_list").coalesce(1)
+        .write.mode("overwrite").parquet(itmp.toString)
+      require(fs.rename(itmp, intent), s"could not place refit intent at $intent")
+    }
     fs.delete(tmp, true)
     val base = spark.read.parquet(s"$path/base").select("b_id", "b_emb")
     val nSrc = base.count()
@@ -757,10 +822,19 @@ object Ann {
     val nTmp = spark.read.parquet(s"$tmp/base").count()
     if (nTmp != nSrc) {
       fs.delete(tmp, true)
+      // original untouched and still serving — the intent must not
+      // outlive the abort or it would wedge every later verb
+      fs.delete(intent, true)
       throw new IllegalStateException(
         s"refit of $path would lose rows ($nSrc read, $nTmp rewritten) — aborted, original untouched")
     }
     graft.etl.Compact.swapInto(fs, tmp, root, old)
+    // drop cached plans/file listings over the swapped tree — a stale
+    // InMemoryFileIndex (or a cached DataFrame over path/base) would
+    // pair OLD cell rows with the NEW codebook, which is silently
+    // wrong, or throw on renamed-away files
+    spark.catalog.refreshByPath(path)
+    fs.delete(intent, true)
   }
 
   /** Bounded observability read of a persisted index's codebook
@@ -875,7 +949,10 @@ object Ann {
     // swap parks the whole original index at `path__refit_old` —
     // normally path is then absent and every read fails loudly, but an
     // operator recreating path while the park still holds the only
-    // good copy must not serve silently
+    // good copy must not serve silently. Cost: one extra parent-dir
+    // listStatus per serving call — metadata-weight next to the Spark
+    // job the query already pays (the batch-serving shape amortizes
+    // it further), accepted for the correctness guarantee
     graft.etl.Compact.requireServable(fs, new org.apache.hadoop.fs.Path(path))
   }
 

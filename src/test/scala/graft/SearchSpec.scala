@@ -748,7 +748,7 @@ class SearchSpec extends SparkSpecBase {
     assert(serve(path) === serve(fresh), "refit diverged from a fresh build at the same nlist")
     // the codebook really is 8 cells now
     assert(spark.read.parquet(s"$path/codebook").count() === 8L)
-    // crash window: whole index parked mid-swap → retry refuses loudly
+    // park WITHOUT an intent: unrecognized — refit refuses, never deletes
     val parked = new java.io.File(tmpRoot + "/ix__refit_old")
     parked.mkdirs()
     java.nio.file.Files.writeString(parked.toPath.resolve("part-stranded.parquet"), "x")
@@ -765,6 +765,83 @@ class SearchSpec extends SparkSpecBase {
       base, col("vec_id"), col("embedding"), sqPath, nlist = 4)
     val e3 = intercept[IllegalArgumentException](Ann.refitIvfIndex(spark, sqPath, 8))
     assert(e3.getMessage.contains("Sq.buildIvfSq8Index"), e3.getMessage)
+  }
+
+  test("refitIvfIndex crash windows: every interruption point converges on rerun") {
+    import graft.operators.Ann
+    val df = clusteredRows.toDF("vec_id", "embedding")
+    val base = df.filter(col("vec_id") % 100 >= 5)
+    val qs = df.filter(col("vec_id") % 100 < 5)
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_refit_crash").toString
+    val path = tmpRoot + "/ix"
+    Ann.buildIvfIndex(base, col("vec_id"), col("embedding"), path, nlist = 8)
+    def serve() = graft.operators.Dedup.scoped {
+      Ann.queryIvfIndex(spark, path, qs, col("vec_id"), col("embedding"), k = 5, nprobe = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    val healthy = serve()
+    import spark.implicits._
+    def writeIntent(n: Int): Unit =
+      Seq(n).toDF("n_list").coalesce(1)
+        .write.mode("overwrite").parquet(path + "__refit_intent")
+    // window A: standing intent at a DIFFERENT width refuses loudly
+    writeIntent(4)
+    val eA = intercept[IllegalArgumentException](Ann.refitIvfIndex(spark, path, 6))
+    assert(eA.getMessage.contains("converge it first"), eA.getMessage)
+    // window B: crash between the swap's renames — index parked, root
+    // gone, intent standing; rerun at the intent width recovers the
+    // park AND completes the refit
+    assert(new java.io.File(path).renameTo(new java.io.File(path + "__refit_old")))
+    Ann.refitIvfIndex(spark, path, 4)
+    assert(spark.read.parquet(s"$path/codebook").count() === 4L)
+    assert(!new java.io.File(path + "__refit_old").exists())
+    assert(!new java.io.File(path + "__refit_intent").exists())
+    assert(serve().nonEmpty)
+    // window C: crash after the swap-in, before the park delete — root
+    // is the complete new index; rerun finishes the delete, no rewrite
+    val before = serve()
+    val oldDir = new java.io.File(path + "__refit_old")
+    org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(path), oldDir)
+    writeIntent(4)
+    // serving refuses while the park stands (it cannot know the root
+    // is the good copy) — the rerun below is what resolves it
+    intercept[IllegalArgumentException](serve())
+    Ann.refitIvfIndex(spark, path, 4)
+    assert(!oldDir.exists(), "converged rerun must finish the park delete")
+    assert(!new java.io.File(path + "__refit_intent").exists())
+    assert(serve() === before, "converged rerun must not rewrite the index")
+    // window D: intent standing alone (crash between park delete and
+    // intent delete) — rerun at the intent width just clears it
+    writeIntent(4)
+    Ann.refitIvfIndex(spark, path, 4)
+    assert(!new java.io.File(path + "__refit_intent").exists())
+    // and the index still answers exactly like a fresh 4-cell build
+    val fresh = tmpRoot + "/fresh4"
+    Ann.buildIvfIndex(base, col("vec_id"), col("embedding"), fresh, nlist = 4)
+    val freshServe = graft.operators.Dedup.scoped {
+      Ann.queryIvfIndex(spark, fresh, qs, col("vec_id"), col("embedding"), k = 5, nprobe = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    assert(serve() === freshServe)
+    assert(healthy.nonEmpty)
+  }
+
+  test("IVF codebook is a pure function of the rows: layout-independent fit") {
+    import graft.operators.Ann
+    val df = clusteredRows.toDF("vec_id", "embedding")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    val a = tmpRoot + "/a"
+    val b = tmpRoot + "/b"
+    Ann.buildIvfIndex(df, col("vec_id"), col("embedding"), a, nlist = 8)
+    // same rows, violently different layout: many partitions, reversed
+    Ann.buildIvfIndex(
+      df.orderBy(desc("vec_id")).repartition(13),
+      col("vec_id"), col("embedding"), b, nlist = 8)
+    def cb(p: String) = spark.read.parquet(s"$p/codebook")
+      .select("cell", "centroid_d").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    assert(cb(a) === cb(b),
+      "codebook depends on source layout — the canonical sample order regressed")
   }
 
   private def clusteredRows: Seq[(Long, Array[Float])] = {
