@@ -372,10 +372,12 @@ object Sketches {
     * one narrow row per surviving counter — `(inc, item, cnt,
     * inc_total)` — ≤ k rows plus one `__total__` marker row per
     * increment (kilobytes whatever the corpus), ready for a sketch
-    * lake. The marker row (null-impossible sentinel item) carries the
-    * increment's exact row total even when the increment has zero
-    * surviving counters, so merged thresholds never undercount.
-    * Stamp `inc` uniquely per increment (a date, a source id).
+    * lake. The marker row (NULL item — unreachable by data, since
+    * [[frequentCandidates]] excludes null keys before the cast)
+    * carries the increment's exact row total even when the increment
+    * has zero surviving counters, so merged thresholds never
+    * undercount. Stamp `inc` uniquely per increment (a date, a
+    * source id).
     */
   def mgSketch(df: DataFrame, key: Column, k: Int, inc: String): DataFrame =
     mgRowsDf(df.sparkSession, inc, frequentCandidates(df, key, k))
@@ -391,17 +393,31 @@ object Sketches {
     import spark.implicits._
     val counterRows = mg.candidates.zip(mg.counts)
       .map { case (item, c) => (inc, item, c, mg.total) }
-    ((inc, MgTotalMarker, 0L, mg.total) +: counterRows)
+    ((inc, null: String, 0L, mg.total) +: counterRows)
       .toDF("inc", "item", "cnt", "inc_total")
   }
 
-  /** Sentinel item for the per-increment total marker row. Contains a
-    * NUL byte, which [[frequentCandidates]]' string-cast keys can
-    * produce only from data that itself contains NUL — and the marker
-    * is filtered by equality, so even that collision only drops a
-    * counter row, never corrupts a total.
+  /** LEGACY sentinel item for the per-increment total marker row
+    * (contains a NUL byte). Lakes written before the null-item marker
+    * used this string, which a data key containing NUL could in
+    * principle equal (dropping that key's counter row). New markers
+    * are NULL `item` — a value [[frequentCandidates]] can never emit
+    * (null keys are excluded before the cast), so the collision class
+    * is gone. Reads accept both via [[mgIsMarker]]: legacy markers are
+    * recognized by sentinel AND `cnt = 0` (MG counters are strictly
+    * positive — the reduce keeps counts ≥ 1, the sweep and the merge
+    * drop non-positives — so no data counter row can match).
     */
   val MgTotalMarker: String = "\u0000__mg_total__"
+
+  /** Marker-row predicate over sketch-lake rows: the null-item marker,
+    * or a legacy sentinel marker (sentinel item with the impossible
+    * `cnt = 0`). A well-defined boolean for every row — the `isNull`
+    * disjunct decides the null case, so the negation (the counter-row
+    * filter) never drops a row to three-valued-logic null.
+    */
+  private def mgIsMarker: Column =
+    col("item").isNull || (col("item") === MgTotalMarker && col("cnt") === 0L)
 
   /** Merge per-increment MG summaries WITHOUT re-scanning any corpus:
     * sum counters per item, then reduce back to ≤ k by subtracting the
@@ -418,7 +434,7 @@ object Sketches {
     * the ≤ k-row collect are bounded by construction.
     */
   def mgMergeSketches(sketches: DataFrame, k: Int): MgSummary = {
-    val markers = sketches.filter(col("item") === MgTotalMarker)
+    val markers = sketches.filter(mgIsMarker)
     val total = markers.select("inc", "inc_total").distinct()
       .agg(coalesce(sum("inc_total"), lit(0L))).head().getLong(0)
     // max-per-(inc, item) BEFORE the cross-increment sum: the streaming
@@ -434,7 +450,7 @@ object Sketches {
     // per-increment heavy item survives in EVERY valid summary, so it
     // survives the max.
     val summed = Dedup.scopedCache(
-      sketches.filter(col("item") =!= MgTotalMarker)
+      sketches.filter(!mgIsMarker)
         .groupBy("inc", "item").agg(max("cnt").as("cnt"))
         .groupBy("item").agg(sum("cnt").as("cnt")))
     val top = summed.orderBy(desc("cnt"), asc("item")).limit(k + 1).collect()
@@ -514,7 +530,7 @@ object Sketches {
     // smaller k's bound, with nothing recording the loss). The widest
     // increment's counter-row count lower-bounds the ingest k; refuse
     // below it.
-    val widest = src.filter(col("item") =!= MgTotalMarker)
+    val widest = src.filter(!mgIsMarker)
       .groupBy("inc").agg(count(lit(1)).as("w"))
       .agg(coalesce(max("w"), lit(0L))).head().getLong(0)
     require(k >= widest,
