@@ -180,6 +180,85 @@ object Dedup {
       .select("d1", "d2", "inter", "uni", "jaccard")
   }
 
+  /** Cross-document repeated n-token spans — the exact-substring dedup
+    * signal (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499, at fixed window length; the
+    * reference's duplicate templates stop at whole-file identity —
+    * templates/duplicate_detection.yaml): every n-token window whose
+    * TEXT occurs in ≥ `minDocs` distinct documents, with exact
+    * distinct-document and total-occurrence counts. Windows keep
+    * multiplicity (unlike [[jaccardPairs]]' shingle SETS): `n_occ`
+    * counts every occurrence, including repeats within one document.
+    *
+    * Two-phase and fingerprint-pruned, the
+    * [[Sketches.heavyHitters]] discipline: phase 1 shuffles only
+    * (rolling-hash fp, doc_id) pairs — the wide span strings never
+    * leave their scan stage — and keeps fps spanning ≥ `minDocs` docs;
+    * equal spans always collide to the same fp, so the candidate set
+    * is a SUPERSET of the truth and the pruning is exact-preserving.
+    * Phase 2 re-derives windows, keeps candidate fps (the candidate
+    * side is post-aggregation, so AQE broadcasts it when it is small),
+    * and groups by the REAL span text, where any cross-span fp
+    * collision dies and both counts are recomputed exactly. A
+    * corpus-wide boilerplate span is just a hot GROUP BY key — partial
+    * aggregation absorbs it map-side, and with no pair join there is
+    * no f² fan-out to cap (contrast [[jaccardPairs]]' dfCap).
+    */
+  def repeatedSpans(
+      df: DataFrame, id: Column, text: Column,
+      n: Int, minDocs: Int): DataFrame = {
+    require(n >= 1, s"span length must be >= 1 token, got $n")
+    require(minDocs >= 2,
+      s"a span in < 2 distinct docs is not repeated; got minDocs=$minDocs")
+    // null text has no windows (the whole-text fallback would shingle
+    // it to [""], pairing every null doc with every EMPTY doc)
+    val base = scopedCache(
+      df.filter(text.isNotNull)
+        .select(id.as("doc_id"), Text.shingles(text, n).as("__sh")))
+    val cand = base
+      .select(col("doc_id"),
+        explode(transform(col("__sh"), s => Text.rollingHash(s))).as("fp"))
+      .groupBy("fp")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("fp")
+    base
+      .select(col("doc_id"), explode(col("__sh")).as("span"))
+      .withColumn("fp", Text.rollingHash(col("span")))
+      .join(cand, "fp")
+      .groupBy("span")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .select("span", "n_docs", "n_occ")
+  }
+
+  /** Per-document duplication share from [[repeatedSpans]]: for every
+    * document with at least one window, the fraction of its n-token
+    * windows (with multiplicity) whose span repeats across ≥ `minDocs`
+    * documents — the "mostly boilerplate" curation signal (drop or
+    * downweight docs above a share threshold). Null-text documents
+    * have no windows and are absent from the output, mirroring the
+    * tokenizer's null semantics.
+    *
+    * The repeated-span relation is distinct-by-span, so the left join
+    * marks each window without fan-out; the share is an exact ratio of
+    * two exact longs (bit-stable across engines).
+    */
+  def repeatedSpanShare(
+      df: DataFrame, id: Column, text: Column,
+      n: Int, minDocs: Int): DataFrame = {
+    val rep = repeatedSpans(df, id, text, n, minDocs)
+      .select(col("span"), lit(1L).as("__rep"))
+    df.filter(text.isNotNull) // same null contract as repeatedSpans
+      .select(id.as("doc_id"), explode(Text.shingles(text, n)).as("span"))
+      .join(rep, Seq("span"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        coalesce(sum("__rep"), lit(0L)).as("n_repeated"))
+      .withColumn("dup_share",
+        col("n_repeated").cast("double") / col("n_spans").cast("double"))
+  }
+
   /** Benchmark-decontamination join (LLM-pipeline op): corpus documents
     * sharing at least one distinct word n-gram with any eval/benchmark
     * document, with the shared-distinct-n-gram count per (corpus, eval)

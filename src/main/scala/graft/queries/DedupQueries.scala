@@ -212,12 +212,67 @@ object DedupQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** The shared window algebra of d07/d08's oracles: 5-token windows
+    * (with multiplicity) per document, the exact SQL twin of
+    * `Text.shingles(text, 5)` — same normalize/split, same short-doc
+    * whole-text fallback as d02's 3-gram form.
+    */
+  private val spanWindowsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), ex AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+      |    THEN list_transform(generate_series(1, len(toks)-4),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
+      |    ELSE [array_to_string(toks, ' ')] END) AS span
+      |  FROM t
+      |)""".stripMargin
+
+  /** Exact repeated 5-token spans across ≥ 3 documents
+    * ([[Dedup.repeatedSpans]]). The fingerprint pruning inside the
+    * operator is exact-preserving (equal spans always collide), so the
+    * oracle is the hash-free GROUP BY…HAVING over the same windows.
+    */
+  def d07RepeatedSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(docs(s, dir), col("doc_id"), col("text"),
+      n = 5, minDocs = 3)
+      .orderBy(desc("n_docs"), desc("n_occ"), asc("span"))
+
+  val d07Oracle: String =
+    s"""$spanWindowsSql
+       |SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+       |FROM ex GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 3
+       |ORDER BY n_docs DESC, n_occ DESC, span""".stripMargin
+
+  /** Per-document repeated-span share at minDocs = 2
+    * ([[Dedup.repeatedSpanShare]]) — the "mostly boilerplate" curation
+    * signal. The share is an exact ratio of two exact longs, so the
+    * double divides bit-identically in both engines.
+    */
+  def d08DupShare(s: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpanShare(docs(s, dir), col("doc_id"), col("text"),
+      n = 5, minDocs = 2)
+      .orderBy("doc_id")
+
+  val d08Oracle: String =
+    s"""$spanWindowsSql, rep AS (
+       |  SELECT span FROM ex GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+       |)
+       |SELECT e.doc_id, COUNT(*) AS n_spans,
+       |  CAST(SUM(CASE WHEN r.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+       |  CAST(SUM(CASE WHEN r.span IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_share
+       |FROM ex e LEFT JOIN rep r ON e.span = r.span
+       |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_jaccard_pairs" -> (d02JaccardPairs _),
     "d03_minhash_lsh" -> (d03MinhashLsh _),
     "d04_simhash_pairs" -> (d04SimhashPairs _),
-    "d05_simhashes" -> (d05Simhashes _)
+    "d05_simhashes" -> (d05Simhashes _),
+    "d07_repeated_spans" -> (d07RepeatedSpans _),
+    "d08_dup_share" -> (d08DupShare _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -225,6 +280,8 @@ object DedupQueries {
     "d02_jaccard_pairs" -> d02Oracle,
     "d03_minhash_lsh" -> d03Oracle,
     "d04_simhash_pairs" -> d04Oracle,
-    "d05_simhashes" -> d05Oracle
+    "d05_simhashes" -> d05Oracle,
+    "d07_repeated_spans" -> d07Oracle,
+    "d08_dup_share" -> d08Oracle
   )
 }

@@ -606,6 +606,58 @@ class ExpressionPipelineSpec extends SparkSpecBase {
       s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("repeatedSpans: randomized differential vs brute-force window counting") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val boiler = "all rights reserved by the author" // 6 tokens → two 5-gram windows
+    val corpus = (0 until 40).map { i =>
+      val n = 3 + rnd.nextInt(10)
+      val body = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i.toLong, if (i % 3 == 0) s"$boiler $body" else body)
+    } ++ Seq(
+      (100L, "short doc"), (101L, "short doc"), (102L, "short doc"), // whole-text fallback
+      (200L, s"$boiler $boiler"), (201L, s"$boiler $boiler")) // doc-internal repeats: n_occ > n_docs
+    def windows(text: String): Seq[String] = {
+      val toks = text.toLowerCase.trim.split("\\s+").toSeq
+      if (toks.length >= 5) toks.sliding(5).map(_.mkString(" ")).toSeq
+      else Seq(toks.mkString(" "))
+    }
+    val all = corpus.flatMap { case (id, t) => windows(t).map(id -> _) }
+    val expected = all.groupBy(_._2).map { case (sp, occ) =>
+      (sp, occ.map(_._1).distinct.size.toLong, occ.size.toLong)
+    }.filter(_._2 >= 2).toSet
+    assert(expected.exists { case (_, nd, no) => no > nd },
+      "fixture has no doc-internal repeat — multiplicity untested")
+    val got = graft.operators.Dedup.repeatedSpans(
+      corpus.toDF("doc_id", "text"), col("doc_id"), col("text"), n = 5, minDocs = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("repeatedSpanShare: exact per-document ratios; null text absent; guards") {
+    import graft.operators.Dedup
+    val shared = "one two three four five"
+    val docs = Seq(
+      (1L, s"$shared unique1 unique2"), // 3 windows, 1 repeated
+      (2L, s"pre1 $shared"), // 2 windows, 1 repeated
+      (3L, "totally different text entirely here"), // 1 window, 0 repeated
+      (4L, null.asInstanceOf[String])) // no windows: absent
+    val got = Dedup.repeatedSpanShare(
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text"), n = 5, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 1L, 1.0 / 3.0),
+      (2L, 2L, 1L, 0.5),
+      (3L, 1L, 0L, 0.0)))
+    intercept[IllegalArgumentException](
+      Dedup.repeatedSpans(docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        n = 0, minDocs = 2))
+    intercept[IllegalArgumentException](
+      Dedup.repeatedSpans(docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        n = 5, minDocs = 1))
+  }
+
   test("Dedup.scoped: zero persisted blocks after a full dedup pipeline") {
     import graft.operators.Dedup
     val df = Seq(

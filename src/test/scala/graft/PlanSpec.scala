@@ -84,13 +84,26 @@ class PlanSpec extends SparkSpecBase {
     import graft.queries.{DedupQueries => D, VectorQueries => V, CurationQueries => C}
     for ((name, q) <- Seq(
         "d02" -> D.d02JaccardPairs _, "d03" -> D.d03MinhashLsh _,
-        "d04" -> D.d04SimhashPairs _, "v04" -> V.v04EmbeddingNeardup _,
+        "d04" -> D.d04SimhashPairs _, "d07" -> D.d07RepeatedSpans _,
+        "d08" -> D.d08DupShare _, "v04" -> V.v04EmbeddingNeardup _,
         "v06" -> V.v06NeardupLsh _, "c01" -> C.c01CorpusCuration _)) {
       val p = plan(q(spark, sfDir))
       assert(!p.contains("Cartesian"), s"$name plans a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$name degrades to nested-loop join:\n$p")
     }
+  }
+
+  test("d07: candidate generation shuffles fingerprints, not span strings; partial aggregation") {
+    import graft.queries.{DedupQueries => D}
+    val p = plan(D.d07RepeatedSpans(spark, sfDir))
+    // phase 1 partitions by the 8-byte rolling-hash fp — the wide span
+    // strings must not be the candidate exchange's key
+    assert(p.contains("hashpartitioning(fp"),
+      s"candidate aggregation must shuffle on the fingerprint:\n$p")
+    // both phases aggregate partially before their exchange
+    assert(countOccurrences(p, "HashAggregate") >= 4,
+      s"partial+final aggregation expected in both phases:\n$p")
   }
 
   test("vec_dot participates in whole-stage codegen (no fallback)") {
