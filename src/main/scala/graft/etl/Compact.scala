@@ -61,9 +61,15 @@ object Compact {
     // siblings of the NORMALIZED path: string concat on a trailing-slash
     // input would nest them inside the dataset and fail the swap after
     // the full rewrite
+    val old = new Path(p.getParent, p.getName + "__compact_old")
+    // a crashed previous compaction converges here instead of wedging:
+    // the original is restored (mid-swap crash) or the landed rewrite
+    // is kept (post-swap crash), then this run recompacts normally
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    convergeCrashedSwap(fs, p, old, "compact")
     compactDir(spark, p, targetBytes,
       tmp = new Path(p.getParent, p.getName + "__compact_tmp"),
-      old = new Path(p.getParent, p.getName + "__compact_old"))
+      old = old, journaled = true)
   }
 
   /** Rewrite `p` into `tmp`, gate, then swap via `old`. The swap dirs
@@ -75,7 +81,7 @@ object Compact {
     */
   private def compactDir(
       spark: SparkSession, p: Path, targetBytes: Long,
-      tmp: Path, old: Path): CompactStats = {
+      tmp: Path, old: Path, journaled: Boolean = false): CompactStats = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val listing = fs.listStatus(p)
@@ -109,7 +115,11 @@ object Compact {
         s"compaction of $p would lose rows ($nSrc read, $nTmp rewritten) — aborted, original untouched")
     }
     val after = fs.listStatus(tmp).count(isData)
-    swapInto(fs, tmp, p, old)
+    // flat compaction journals its swap (converge-on-rerun); the
+    // partitioned path keeps the bare swap — its per-leaf parks live
+    // under ONE outside-the-lake root with their own recovery contract
+    if (journaled) swapIntoJournaled(fs, tmp, p, old)
+    else swapInto(fs, tmp, p, old)
     CompactStats(parts.length, bytes, after)
   }
 
@@ -126,6 +136,68 @@ object Compact {
     require(fs.rename(target, old), s"could not park $target")
     require(fs.rename(tmp, target), s"could not swap in $tmp for $target")
     fs.delete(old, true)
+  }
+
+  /** Sibling intent marker for an intent-journaled flat-dir swap:
+    * hidden (dot-prefixed, so every directory reader here skips it via
+    * [[isHiddenName]]) and OUTSIDE the target (the whole target
+    * renames away mid-swap). Its presence is what lets a rerun
+    * distinguish "the target is the completed, pre-swap-gated rewrite"
+    * from "an operator recreated the target while the park still holds
+    * the only copy" — without it those states are indistinguishable
+    * and the only safe posture is to refuse.
+    */
+  private[graft] def swapIntent(target: Path): Path =
+    new Path(target.getParent, "." + target.getName + "__swap_intent")
+
+  /** [[swapInto]] under an intent journal: the zero-byte intent file
+    * lands before the first rename and is removed after the park
+    * delete, so every crash window inside is recognizable to
+    * [[convergeCrashedSwap]] on the next run. Callers must gate `tmp`
+    * (row counts, re-merge identity) BEFORE calling — the intent is
+    * also the rerun's permission to treat a standing target as that
+    * gated rewrite.
+    */
+  private[graft] def swapIntoJournaled(
+      fs: org.apache.hadoop.fs.FileSystem, tmp: Path, target: Path, old: Path): Unit = {
+    val intent = swapIntent(target)
+    val out = fs.create(intent, true)
+    out.close()
+    swapInto(fs, tmp, target, old)
+    fs.delete(intent, true): Unit
+  }
+
+  /** Converge a crashed [[swapIntoJournaled]] over `target` so the
+    * rerun proceeds instead of wedging. Post-state invariant: no park,
+    * no intent, and `target` (when present) is a complete copy —
+    * either the recovered original or the gated rewrite. The windows:
+    * file-less park → residue, cleared; park WITH files + intent +
+    * target missing → crash between the two renames, the park IS the
+    * data — rename it back (the rerun then redoes its rewrite); park
+    * WITH files + intent + target present → crash after the swap-in,
+    * before the park delete — only this repo's journaled verbs create
+    * the park, and only after gating the replacement, so finishing the
+    * delete completes the swap; park WITH files and NO intent →
+    * unrecognized state (not our crash), refused loudly, never
+    * deleted. A standing intent with no park is a crash before the
+    * first rename or after the park delete — the swap never started or
+    * fully landed; cleared either way.
+    */
+  private[graft] def convergeCrashedSwap(
+      fs: org.apache.hadoop.fs.FileSystem, target: Path, old: Path,
+      verb: String): Unit = {
+    val intent = swapIntent(target)
+    if (fs.exists(old)) {
+      if (!containsFiles(fs, old)) fs.delete(old, true)
+      else {
+        require(fs.exists(intent),
+          s"$old holds parked data without a $verb swap intent -- " +
+            "unrecognized state; recover it (rename back or remove) manually")
+        if (!fs.exists(target)) require(fs.rename(old, target), s"could not recover $old")
+        else fs.delete(old, true)
+      }
+    }
+    fs.delete(intent, true): Unit
   }
 
   /** True if any FILE exists under `p` (directories alone don't count —

@@ -522,6 +522,10 @@ object Sketches {
   def compactMgLake(
       spark: org.apache.spark.sql.SparkSession, path: String, k: Int): Unit = {
     val (fs, root) = fsRoot(spark, path)
+    // OUR crashed swap converges (original restored or landed rewrite
+    // kept); any OTHER verb's parked sibling still refuses below
+    graft.etl.Compact.convergeCrashedSwap(fs, root,
+      new org.apache.hadoop.fs.Path(path + "__compact_old"), "compactMgLake")
     refuseParked(fs, root, "compactMgLake")
     if (!fs.exists(root)) return
     val src = spark.read.parquet(path)
@@ -549,7 +553,7 @@ object Sketches {
       throw new IllegalStateException(
         s"compaction of $path would change the merged summary — aborted, original untouched")
     }
-    graft.etl.Compact.swapInto(fs, tmp, root, old)
+    graft.etl.Compact.swapIntoJournaled(fs, tmp, root, old)
   }
 
   /** Compact a pair-sample lake ([[pairSampleByKey]] increments):
@@ -563,6 +567,9 @@ object Sketches {
   def compactSampleLake(
       spark: org.apache.spark.sql.SparkSession, path: String, k: Int): Unit = {
     val (fs, root) = fsRoot(spark, path)
+    // same converge-then-refuse-foreign order as compactMgLake
+    graft.etl.Compact.convergeCrashedSwap(fs, root,
+      new org.apache.hadoop.fs.Path(path + "__compact_old"), "compactSampleLake")
     refuseParked(fs, root, "compactSampleLake")
     if (!fs.exists(root)) return
     val src = spark.read.parquet(path)
@@ -592,7 +599,7 @@ object Sketches {
         s"compaction of $path would lose data ($srcKeys keys/$srcN rows merged, " +
           s"$tmpKeys/$tmpN rewritten) — aborted, original untouched")
     }
-    graft.etl.Compact.swapInto(fs, tmp, root, old)
+    graft.etl.Compact.swapIntoJournaled(fs, tmp, root, old)
   }
 
   private def fsRoot(

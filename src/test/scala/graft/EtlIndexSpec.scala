@@ -296,6 +296,46 @@ class EtlIndexSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Compact.compact(spark, dir, targetBytes = 0))
   }
 
+  test("compact: every crash window of the journaled swap converges on rerun") {
+    import graft.etl.Compact
+    val base = tmp("fcompactcrash")
+    val dir = base + "/ds"
+    val src = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+    src.repartition(6).write.parquet(dir)
+    val beforeRows = spark.read.parquet(dir).count()
+    def intentF = new java.io.File(base + "/.ds__swap_intent")
+    def oldF = new java.io.File(base + "/ds__compact_old")
+    // window: crash between the swap's two renames — dataset parked,
+    // root gone, intent filed; the rerun restores the park and
+    // recompacts instead of wedging
+    Compact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(new java.io.File(dir).renameTo(oldF))
+    assert(intentF.createNewFile())
+    val s1 = Compact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(s1.filesAfter == 1)
+    assert(spark.read.parquet(dir).count() == beforeRows)
+    assert(!oldF.exists() && !intentF.exists())
+    // window: crash after the swap-in, before the park delete — root is
+    // the gated rewrite, park still holds the old copy; the rerun drops
+    // the park (the intent is its license to)
+    org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(dir), oldF)
+    assert(intentF.createNewFile())
+    Compact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(spark.read.parquet(dir).count() == beforeRows)
+    assert(!oldF.exists() && !intentF.exists())
+    // window: intent alone (crash before the first rename) — cleared
+    assert(intentF.createNewFile())
+    Compact.compact(spark, dir, targetBytes = 1L << 30)
+    assert(!intentF.exists())
+    // a park with files and NO intent is not our crash: refused, kept
+    oldF.mkdirs()
+    java.nio.file.Files.writeString(oldF.toPath.resolve("part-stranded.parquet"), "x")
+    val e = intercept[IllegalArgumentException](
+      Compact.compact(spark, dir, targetBytes = 1L << 30))
+    assert(e.getMessage.contains("without a compact swap intent"), e.getMessage)
+    assert(oldF.exists(), "unrecognized park must never be deleted")
+  }
+
   test("compactPartitioned: leaf dirs merge, partition columns survive") {
     import graft.etl.Compact
     val root = tmp("fcompactpart") + "/lake"
