@@ -254,6 +254,71 @@ object Sketches {
               greatest(col("kth_hash"), lit(1L)).cast("double"))
           .as("est_distinct"))
 
+  /** Full h60 range: 16^15 = 2^60. A sketch UNDER capacity has seen its
+    * whole value set, which is the same as "complete below 2^60" — so
+    * one θ formula covers both the exact and the estimating regime.
+    */
+  private val KmvFullRange = 1152921504606846976L
+
+  /** Set-expression cardinalities over two KMV sketches — the theta-
+    * sketch set algebra (Dasgupta et al., "Theta-Sketch Framework",
+    * 2016; Apache DataSketches' intersection/AnotB): intersection,
+    * both differences, union, and Jaccard, WITHOUT touching either
+    * corpus. The training-pipeline question this answers: how much does
+    * today's crawl snapshot overlap yesterday's (q28 replays exactly
+    * that, year-over-year)?
+    *
+    * Math: below `θ = min(θ_A, θ_B)` (a sketch's θ is its k-th smallest
+    * hash at capacity, the full 2^60 range under capacity) each sketch
+    * holds EVERY distinct hash of its set — so the sub-θ survivors are
+    * a uniform coordinated sample of A ∪ B, and any set expression
+    * scales by `2^60 / θ`. When both sketches are under capacity, θ is
+    * the full range, the scale factor is exactly 1.0, and every
+    * estimate is EXACT — one branch-free formula covers both regimes.
+    *
+    * Inputs are `(key, mins)` frames from [[kmvSketchByKey]] or
+    * [[kmvMergeSketches]] (the persisted-lake form composes directly);
+    * `aKey`/`bKey` let a self-join align different keys (q28 joins year
+    * y against year y+1). Pure column algebra over ≤ k-long arrays —
+    * per-key work is O(k), never corpus-sized, and every number is
+    * integer counting plus one multiply-divide, so a DuckDB oracle
+    * replays estimates bit-for-bit.
+    */
+  def kmvSetEstimates(
+      a: DataFrame, b: DataFrame, aKey: Column, bKey: Column,
+      k: Int): DataFrame = {
+    require(k >= 3, s"KMV needs k >= 3 for a finite-variance estimate, got $k")
+    val aa = a.select(aKey.as("key"), col("mins").as("a_mins"))
+    val bb = b.select(bKey.as("key"), col("mins").as("b_mins"))
+    def thetaOf(m: Column): Column =
+      when(size(m) < k, lit(KmvFullRange)).otherwise(element_at(m, size(m)))
+    // greatest(…, 1): h60 can be exactly 0 (p = 2^-60 per value) and θ
+    // divides the scale factor — same liveness clamp as [[kmvEstimate]]
+    val j = aa.join(bb, "key")
+      .withColumn("theta",
+        greatest(least(thetaOf(col("a_mins")), thetaOf(col("b_mins"))), lit(1L)))
+      // exclusive θ: the k-th hash itself is dropped (the DataSketches
+      // convention — completeness below θ is what the estimator needs)
+      .withColumn("af", filter(col("a_mins"), h => h < col("theta")))
+      .withColumn("bf", filter(col("b_mins"), h => h < col("theta")))
+      .withColumn("n_inter", size(array_intersect(col("af"), col("bf"))))
+      .withColumn("n_union", size(array_union(col("af"), col("bf"))))
+      .withColumn("n_only_a", size(array_except(col("af"), col("bf"))))
+      .withColumn("n_only_b", size(array_except(col("bf"), col("af"))))
+    def est(n: Column): Column =
+      n.cast("double") * lit(KmvFullRange.toDouble) / col("theta").cast("double")
+    j.select(
+      col("key"), col("theta"),
+      col("n_inter"), col("n_union"), col("n_only_a"), col("n_only_b"),
+      est(col("n_inter")).as("est_inter"),
+      est(col("n_union")).as("est_union"),
+      est(col("n_only_a")).as("est_only_a"),
+      est(col("n_only_b")).as("est_only_b"),
+      when(col("n_union") > 0,
+        col("n_inter").cast("double") / col("n_union").cast("double"))
+        .as("jaccard"))
+  }
+
   // ------------------------------------------------------------------ //
   // Heavy hitters (Misra–Gries + exact verify)                         //
   // ------------------------------------------------------------------ //

@@ -20,16 +20,18 @@ import graft.serve.{Mcp, McpClient}
   * Spark job is involved, exactly like the reference (asyncio, not
   * pandas).
   *
-  * Deviation, documented: the reference passes job identity via
+  * Env parity, fixed properly: the reference passes job identity via
   * process-global environment mutation around the in-process tool call
   * (scheduler_mcp.py:162-171, `os.environ[key] = value` — a hack that
   * only works because its MCP server shares the scheduler's process;
   * it also RACES concurrent jobs overwriting each other's JOB_ID). A
-  * JVM cannot mutate its own environment, and the `execute_command`
-  * tool schema (reference mcp_server.py) carries no env parameter —
-  * so job identity rides ARGV instead, identically in both modes: the
-  * script receives `<job_id> <job_name> <json_params>` as its three
-  * trailing arguments.
+  * JVM cannot mutate its own environment, so the `execute_command`
+  * tool schema here carries an explicit per-call `env` overlay
+  * instead — the scheduled script sees the reference's
+  * `JOB_ID`/`JOB_NAME`/`JOB_PARAMS` variables, race-free under
+  * concurrent jobs, in BOTH legs. Identity additionally rides ARGV
+  * (`<job_id> <job_name> <json_params>` as the three trailing
+  * arguments) for scripts that prefer arguments over environment.
   */
 object McpJobRunner {
 
@@ -98,6 +100,9 @@ object McpJobRunner {
       org.json4s.jackson.JsonMethods.render(
         JObject(params.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) })))
     val argv = Seq(scriptPath, job.id, job.name, paramsJson)
+    // scheduler_mcp.py:162-166's env_vars, per-call instead of global
+    val envVars = Map(
+      "JOB_ID" -> job.id, "JOB_NAME" -> job.name, "JOB_PARAMS" -> paramsJson)
     val exists = session match {
       case Some(s) => s.fileExists(scriptPath)
       case None => Files.isRegularFile(Paths.get(scriptPath))
@@ -116,7 +121,9 @@ object McpJobRunner {
         val a = JObject(
           "command" -> JString(interpreter),
           "args" -> JArray(argv.map(JString(_): JValue).toList),
-          "cwd" -> JString(scriptsDir))
+          "cwd" -> JString(scriptsDir),
+          "env" -> JObject(envVars.toList.sortBy(_._1)
+            .map { case (k, v) => k -> (JString(v): JValue) }))
         val r = s.callTool("execute_command", a)
         scala.util.Try(org.json4s.jackson.JsonMethods.parse(r.text)) match {
           case scala.util.Success(body) =>
@@ -132,6 +139,7 @@ object McpJobRunner {
       case None =>
         import scala.jdk.CollectionConverters._
         val pb = new ProcessBuilder((interpreter +: argv).asJava)
+        envVars.foreach { case (k, v) => pb.environment().put(k, v) }
         pb.directory(new java.io.File(scriptsDir))
         val proc = pb.start()
         proc.getOutputStream.close()

@@ -483,6 +483,77 @@ object RelationalQueries {
       |FROM agg ORDER BY key""".stripMargin.replace("HEXPR", h)
   }
 
+  /** Snapshot-overlap estimation via KMV set algebra
+    * ([[graft.operators.Sketches.kmvSetEstimates]]): per-ship-year
+    * KMV sketches of the distinct order-key set, then consecutive
+    * years compared sketch-to-sketch — intersection / both
+    * differences / union / Jaccard, never re-scanning lineitem. The
+    * training-pipeline framing: "how much of today's crawl did
+    * yesterday already have?" answered from two kilobyte sketches.
+    * Below θ = min(θ_A, θ_B) each sketch is COMPLETE, so the sub-θ
+    * survivors are a coordinated uniform sample and every set
+    * expression scales by 2^60/θ — integer counting plus one
+    * multiply-divide, which is why the oracle replays the estimates
+    * (not just the sketches) bit-for-bit.
+    */
+  def q28KmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    // one sketch aggregate feeds BOTH join sides — cache or it runs twice
+    val sk = graft.operators.Dedup.scopedCache(
+      graft.operators.Sketches.kmvSketchByKey(
+        t(s, dir, "lineitem").filter(col("l_shipdate").isNotNull),
+        year(col("l_shipdate")), col("l_orderkey"), k = 64))
+    // align year y+1's sketch onto key y: output row y = overlap(y, y+1)
+    graft.operators.Sketches.kmvSetEstimates(
+      sk, sk, col("key"), col("key") - 1, k = 64)
+      .orderBy("key")
+  }
+
+  val q28Oracle: String = {
+    val h = DuckOracle.h60("CAST(l_orderkey AS VARCHAR)")
+    """WITH h AS (
+      |  SELECT DISTINCT CAST(year(l_shipdate) AS INT) AS yr, HEXPR AS h
+      |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL
+      |), bk AS (
+      |  SELECT yr, h FROM h QUALIFY row_number() OVER (PARTITION BY yr ORDER BY h) <= 64
+      |), th AS (
+      |  SELECT yr, CASE WHEN COUNT(*) < 64 THEN 1152921504606846976 ELSE MAX(h) END AS theta
+      |  FROM bk GROUP BY yr
+      |), pairs AS (
+      |  SELECT ta.yr AS key, GREATEST(LEAST(ta.theta, tb.theta), 1) AS theta
+      |  FROM th ta JOIN th tb ON tb.yr = ta.yr + 1
+      |), memb AS (
+      |  SELECT p.key, x.h,
+      |    MAX(CASE WHEN x.side = 'a' THEN 1 ELSE 0 END) AS in_a,
+      |    MAX(CASE WHEN x.side = 'b' THEN 1 ELSE 0 END) AS in_b
+      |  FROM pairs p JOIN (
+      |    SELECT yr AS key, h, 'a' AS side FROM bk
+      |    UNION ALL
+      |    SELECT yr - 1 AS key, h, 'b' AS side FROM bk
+      |  ) x ON x.key = p.key AND x.h < p.theta
+      |  GROUP BY p.key, x.h
+      |), agg AS (
+      |  SELECT key,
+      |    CAST(SUM(in_a * in_b) AS INT) AS n_inter,
+      |    CAST(COUNT(*) AS INT) AS n_union,
+      |    CAST(SUM(in_a * (1 - in_b)) AS INT) AS n_only_a,
+      |    CAST(SUM(in_b * (1 - in_a)) AS INT) AS n_only_b
+      |  FROM memb GROUP BY key
+      |)
+      |SELECT p.key, p.theta,
+      |  COALESCE(a.n_inter, 0) AS n_inter,
+      |  COALESCE(a.n_union, 0) AS n_union,
+      |  COALESCE(a.n_only_a, 0) AS n_only_a,
+      |  COALESCE(a.n_only_b, 0) AS n_only_b,
+      |  CAST(COALESCE(a.n_inter, 0) AS DOUBLE) * 1152921504606846976.0 / CAST(p.theta AS DOUBLE) AS est_inter,
+      |  CAST(COALESCE(a.n_union, 0) AS DOUBLE) * 1152921504606846976.0 / CAST(p.theta AS DOUBLE) AS est_union,
+      |  CAST(COALESCE(a.n_only_a, 0) AS DOUBLE) * 1152921504606846976.0 / CAST(p.theta AS DOUBLE) AS est_only_a,
+      |  CAST(COALESCE(a.n_only_b, 0) AS DOUBLE) * 1152921504606846976.0 / CAST(p.theta AS DOUBLE) AS est_only_b,
+      |  CASE WHEN COALESCE(a.n_union, 0) > 0
+      |       THEN CAST(a.n_inter AS DOUBLE) / CAST(a.n_union AS DOUBLE) END AS jaccard
+      |FROM pairs p LEFT JOIN agg a ON a.key = p.key
+      |ORDER BY p.key""".stripMargin.replace("HEXPR", h)
+  }
+
   /** Heavy hitters over the event stream's user key
     * ([[graft.operators.Sketches.heavyHitters]]): Misra–Gries
     * candidates in one bounded-state pass (≤ k counters per partition
@@ -639,6 +710,7 @@ object RelationalQueries {
     "q27_quantile_merge" -> (q27QuantileMerge _),
     "q25_sample_quantiles" -> (q25SampleQuantiles _),
     "q23_kmv_merge" -> (q23KmvMerge _),
+    "q28_kmv_overlap" -> (q28KmvOverlap _),
     "q22_kmv_distinct" -> (q22KmvDistinct _),
     "q21_salted_flag_join" -> (q21SaltedFlagJoin _),
     "q19_top_per_priority" -> (q19TopPerPriority _),
@@ -667,6 +739,7 @@ object RelationalQueries {
     "q27_quantile_merge" -> q25Oracle, // merged ≡ one-shot: same oracle text
     "q25_sample_quantiles" -> q25Oracle,
     "q23_kmv_merge" -> q23Oracle,
+    "q28_kmv_overlap" -> q28Oracle,
     "q22_kmv_distinct" -> q22Oracle,
     "q21_salted_flag_join" -> q21Oracle,
     "q19_top_per_priority" -> q19Oracle,

@@ -94,7 +94,8 @@ object Mcp {
     ToolSpec("list_directory", "List contents of a directory",
       Seq("path" -> "string"), Seq("path")),
     ToolSpec("execute_command", "Execute a system command",
-      Seq("command" -> "string", "args" -> "array", "cwd" -> "string"),
+      Seq("command" -> "string", "args" -> "array", "cwd" -> "string",
+        "env" -> "object"),
       Seq("command")),
     ToolSpec("create_directory", "Create a directory",
       Seq("path" -> "string", "parents" -> "boolean"), Seq("path")),
@@ -223,12 +224,22 @@ object Mcp {
       * deadline until the child exits, and waiting first instead would
       * deadlock a child that fills the pipe buffer.
       */
-    def executeCommand(command: String, args: Seq[String] = Nil, cwd: Option[String] = None): ToolResult = guarded {
+    def executeCommand(
+        command: String, args: Seq[String] = Nil, cwd: Option[String] = None,
+        env: Map[String, String] = Map.empty): ToolResult = guarded {
       if (!commandAllowed(command)) throw new SecurityException(s"Command not allowed: $command")
       cwd.foreach { d =>
         if (!pathAllowed(d)) throw new SecurityException(s"Access denied to working directory: $d")
       }
+      // env is an additive overlay for job-identity-style variables
+      // (scheduler_mcp.py:162-171 passes JOB_ID/JOB_NAME/JOB_PARAMS).
+      // Loader- and interpreter-hijack variables are refused: they
+      // would let a caller subvert the command ALLOWLIST by making an
+      // allowed binary load attacker-controlled code.
+      env.keys.find(envKeyBlocked).foreach(k =>
+        throw new SecurityException(s"Environment variable not allowed: $k"))
       val pb = new ProcessBuilder((command +: args).asJava)
+      env.foreach { case (k, v) => pb.environment().put(k, v) }
       cwd.foreach(d => pb.directory(new java.io.File(d)))
       val proc = pb.start()
       proc.getOutputStream.close()
@@ -270,8 +281,11 @@ object Mcp {
       val stdout = new String(outD.buf.toByteArray, StandardCharsets.UTF_8)
       val stderr = new String(errD.buf.toByteArray, StandardCharsets.UTF_8)
       val rc = proc.exitValue()
+      // keys only, never values — env payloads may carry credentials
+      // and the event log is the operator-visible audit surface
       logEvent("execute_command", (command +: args).mkString(" "),
-        Map("returncode" -> rc.toString) ++ cwd.map("cwd" -> _))
+        Map("returncode" -> rc.toString) ++ cwd.map("cwd" -> _) ++
+          (if (env.nonEmpty) Map("env_keys" -> env.keys.toSeq.sorted.mkString(",")) else Map.empty))
       // truncated/incomplete output is SAID, not silently returned as a
       // clean rc=0 result (a grandchild holding the pipe open past the
       // join deadline would otherwise read as full output)
@@ -283,6 +297,20 @@ object Mcp {
         (if (outD.truncated || errD.truncated) List("output_truncated" -> (JBool(true): JValue)) else Nil) ++
           (if (!drainsDone) List("output_incomplete" -> (JBool(true): JValue)) else Nil)
       ToolResult(JsonMethods.pretty(JsonMethods.render(JObject(base ++ flags))), isError = rc != 0)
+    }
+
+    /** Env keys that change WHAT CODE an allowlisted binary runs —
+      * dynamic-loader injection (`LD_*`/`DYLD_*`), binary resolution
+      * (`PATH`), shell word splitting (`IFS`), and the common
+      * interpreter code-path hijacks. Everything else (job identity,
+      * app config) passes.
+      */
+    private def envKeyBlocked(k: String): Boolean = {
+      val up = k.toUpperCase(java.util.Locale.ROOT)
+      up.startsWith("LD_") || up.startsWith("DYLD_") ||
+        Set("PATH", "IFS", "PYTHONPATH", "PYTHONSTARTUP", "PYTHONHOME",
+          "PERL5LIB", "RUBYLIB", "NODE_OPTIONS", "JAVA_TOOL_OPTIONS",
+          "CLASSPATH", "BASH_ENV", "ENV", "SHELLOPTS").contains(up)
     }
 
     def createDirectory(path: String, parents: Boolean = true): ToolResult = guarded {
@@ -362,11 +390,25 @@ object Mcp {
         case other => throw new IllegalArgumentException(
           s"$k must be an array of strings, got ${JsonMethods.compact(JsonMethods.render(other))}")
       }
+      // strict like strs: a non-string value must ERROR — silently
+      // stringifying {"TIMEOUT": 30} vs "30" is a materially different
+      // child environment
+      def strMap(k: String): Map[String, String] = args \ k match {
+        case JObject(fields) =>
+          fields.map {
+            case (key, JString(v)) => key -> v
+            case (key, other) => throw new IllegalArgumentException(
+              s"$k.$key must be a string, got ${JsonMethods.compact(JsonMethods.render(other))}")
+          }.toMap
+        case JNothing => Map.empty
+        case other => throw new IllegalArgumentException(
+          s"$k must be an object of strings, got ${JsonMethods.compact(JsonMethods.render(other))}")
+      }
       try name match {
         case "read_file"        => readFile(strReq("path"), str("encoding").getOrElse("utf-8"))
         case "write_file"       => writeFile(strReq("path"), strReq("content"), str("encoding").getOrElse("utf-8"))
         case "list_directory"   => listDirectory(strReq("path"))
-        case "execute_command"  => executeCommand(strReq("command"), strs("args"), str("cwd"))
+        case "execute_command"  => executeCommand(strReq("command"), strs("args"), str("cwd"), strMap("env"))
         case "create_directory" => createDirectory(strReq("path"), bool("parents", dflt = true))
         case "delete_file"      => deleteFile(strReq("path"))
         case "get_file_info"    => getFileInfo(strReq("path"))

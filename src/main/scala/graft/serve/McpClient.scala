@@ -170,14 +170,18 @@ object McpClient {
       }
 
     def executeCommand(
-        command: String, args: Seq[String] = Nil, cwd: Option[String] = None): JValue = {
+        command: String, args: Seq[String] = Nil, cwd: Option[String] = None,
+        env: Map[String, String] = Map.empty): JValue = {
       // mirrors the reference: execute_command parses the JSON body
       // WITHOUT the isError raise (mcp_client.py:50-57 returns the
       // payload either way — the exit code rides inside it)
       val a = JObject(List(
         "command" -> JString(command),
         "args" -> JArray(args.map(JString(_)).toList)) ++
-        cwd.map(c => "cwd" -> (JString(c): JValue)).toList)
+        cwd.map(c => "cwd" -> (JString(c): JValue)).toList ++
+        (if (env.isEmpty) Nil
+         else List("env" -> (JObject(
+           env.toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }): JValue))))
       JsonMethods.parse(callTool("execute_command", a).text)
     }
 

@@ -294,6 +294,206 @@ object Streams {
       }
       .start()
 
+  /** Streaming NEAR-duplicate suppression against a persisted MinHash
+    * band ledger — the LSH complement of [[dedupGate]]'s exact
+    * fingerprints, for the "dedupe today's crawl against every page
+    * ever seen" shape where byte-identity is too strict.
+    *
+    * Per micro-batch: MinHash signatures
+    * ([[graft.operators.Dedup.minhashSignatures]], the SAME arithmetic
+    * as the batch operator — stream and batch agree bit-for-bit on who
+    * collides), banded LSH keys, then
+    *
+    *  1. CROSS-BATCH: batch band keys equi-join the postings ledger →
+    *     candidate (new, old) pairs; each pair is verified by the
+    *     MinHash AGREEMENT estimate (matching signature slots / k, the
+    *     unbiased Jaccard estimator) ≥ `minJaccard` against the old
+    *     doc's ledgered signature. History text is gone — the
+    *     signature is what a 100 TB pipeline can afford to keep — so
+    *     cross-batch verification is the estimator, not exact Jaccard
+    *     (±1/√k per pair; raise k to tighten). Documents verified
+    *     near-dup of history are suppressed.
+    *  2. IN-BATCH: survivors near-dup-pair each other through the full
+    *     EXACT-verify batch operator ([[graft.operators.Dedup.minhashPairs]]
+    *     → [[graft.operators.Dedup.groupPairs]]) and keep the minimum
+    *     id per component — texts are at hand inside one batch, so no
+    *     estimator is needed.
+    *
+    * Ledger layout — TWO bucketed lakes under `ledgerPath`, each read
+    * bounded per batch:
+    * `postings/bucket=<2-hex md5(band) prefix>`: (band, oid) — a batch
+    * reads ONLY the bucket dirs its own band keys hash into;
+    * `sigs/bucket=<2-hex md5(id) prefix>`: (oid, sig) — the signature
+    * is stored ONCE per document (k longs, not k longs × bands), and
+    * only the CANDIDATES' id-buckets are read. Both touched lists are
+    * driver-bounded (≤ 256 each). Per-batch file decay is cured by
+    * [[compactLedger]] over each sub-lake
+    * (`compactLedger(spark, s"$path/postings")`), and both serving
+    * reads refuse a parked crashed-compaction tree.
+    *
+    * Delivery is at-least-once (emit-then-append, [[dedupGate]]'s
+    * choice and reasoning); replays re-emit but never double-ledger a
+    * signature under a different id. Rows that cannot carry a
+    * signature — null id, null text, or no tokens — pass through
+    * un-deduped and un-ledgered, the [[dedupGate]] null contract.
+    * Exact (id, text) row copies inside one batch collapse first.
+    */
+  def neardupGate(
+      stream: DataFrame, checkpoint: String, ledgerPath: String,
+      idCol: String, textCol: String,
+      emit: DataFrame => Unit,
+      n: Int = 3, k: Int = 64, rowsPerBand: Int = 2,
+      minJaccard: Double = 0.4): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        neardupBatch(batch.toDF(), ledgerPath, idCol, textCol, emit,
+          n, k, rowsPerBand, minJaccard)
+      }
+      .start()
+
+  /** One micro-batch of [[neardupGate]] — package-visible so the spec
+    * can drive batch-twin parity without forging checkpoint state.
+    */
+  private[graft] def neardupBatch(
+      batchDf: DataFrame, ledgerPath: String, idCol: String, textCol: String,
+      emit: DataFrame => Unit,
+      n: Int, k: Int, rowsPerBand: Int, minJaccard: Double): Unit =
+      // scoped: minhashPairs/groupPairs register their cached
+      // intermediates for unpersist-on-exit — without this a
+      // long-running stream leaks block-manager entries per batch
+      graft.operators.Dedup.scoped {
+    val spark = batchDf.sparkSession
+    val df = batchDf.dropDuplicates(Seq(idCol, textCol))
+    // one signature row per (id, text); null/tokenless rows yield none
+    val sigs = graft.operators.Dedup.minhashSignatures(
+      df, col(idCol), col(textCol), n, k)
+      .filter(col("doc_id").isNotNull)
+      .persist()
+    try {
+      val bands = sigs.select(
+        col("doc_id"),
+        explode(graft.functions.Hashing.minhashBands(col("sig"), k, rowsPerBand)).as("band"))
+        .withColumn("bucket", substring(md5(col("band")), 1, 2))
+        .persist()
+      try {
+        val touched = bands.select("bucket").distinct()
+          .collect().map(_.getString(0)).toSeq
+        val emptyIds = sigs.select("doc_id").limit(0)
+        val histDup = neardupPostingsScan(spark, ledgerPath, touched) match {
+          case Some(p) =>
+            val cand = bands.join(p, "band")
+              .select(col("doc_id"), col("__old_id")).distinct()
+            // candidate old ids → their sig buckets (driver list ≤ 256)
+            val oldBuckets = cand
+              .select(substring(md5(col("__old_id")), 1, 2).as("b")).distinct()
+              .collect().map(_.getString(0)).toSeq
+            neardupSigsScan(spark, ledgerPath, oldBuckets) match {
+              case Some(os) =>
+                cand.join(sigs, "doc_id").join(os, "__old_id")
+                  .withColumn("__agree",
+                    size(filter(
+                      zip_with(col("sig"), col("__old_sig"), (a, b) => a === b),
+                      x => x)).cast("double") / lit(k.toDouble))
+                  .filter(col("__agree") >= lit(minJaccard))
+                  .select("doc_id").distinct()
+              // postings exist but the sigs lake is missing/empty: a
+              // half-written ledger — treat candidates as unverifiable
+              // and pass them (never silently drop on missing evidence)
+              case None => emptyIds
+            }
+          case None => emptyIds
+        }
+        // pool = rows that carry a signature, minus history near-dups
+        val sigIds = sigs.select(col("doc_id").as(idCol)).distinct()
+        val pooled = df
+          .join(sigIds, Seq(idCol), "left_semi")
+          .join(histDup.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+        // in-batch: exact-verify pairs → components → keep min id
+        val pairs = graft.operators.Dedup.minhashPairs(
+          pooled, col(idCol), col(textCol), n, k, rowsPerBand, minJaccard)
+        val dropped = graft.operators.Dedup.groupPairs(pairs.select("d1", "d2"))
+          .filter(col("doc_id") =!= col("group_id"))
+          .select(col("doc_id").as(idCol))
+        val fresh = pooled.join(dropped, Seq(idCol), "left_anti").persist()
+        try {
+          // null-id / null-text / tokenless rows pass through untouched
+          val passThrough = df.join(sigIds, Seq(idCol), "left_anti")
+          val emitted = fresh.unionByName(passThrough)
+          if (!emitted.isEmpty) emit(emitted)
+          if (!fresh.isEmpty) {
+            val freshIds = fresh.select(col(idCol).as("doc_id")).distinct()
+            bands.join(freshIds, Seq("doc_id"), "left_semi")
+              .select(col("band"), col("doc_id").cast("string").as("oid"), col("bucket"))
+              .write.partitionBy("bucket").mode("append")
+              .parquet(s"$ledgerPath/postings")
+            sigs.join(freshIds, Seq("doc_id"), "left_semi")
+              .select(
+                col("doc_id").cast("string").as("oid"), col("sig"),
+                substring(md5(col("doc_id").cast("string")), 1, 2).as("bucket"))
+              .write.partitionBy("bucket").mode("append")
+              .parquet(s"$ledgerPath/sigs")
+          }
+        } finally fresh.unpersist()
+      } finally bands.unpersist()
+    } finally sigs.unpersist()
+  } // Dedup.scoped
+
+  /** Touched-bucket scan of the near-dup POSTINGS lake → (band,
+    * __old_id), or None when no prior postings exist. Same pruning,
+    * same parked-tree refusal, same explicit-schema robustness as
+    * [[ledgerScan]].
+    */
+  private[graft] def neardupPostingsScan(
+      spark: org.apache.spark.sql.SparkSession, ledgerPath: String,
+      touched: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    neardupLakeScan(spark, s"$ledgerPath/postings", touched,
+      StructType(Seq(
+        StructField("band", StringType), StructField("oid", StringType),
+        StructField("bucket", StringType))))
+      .map(_.select(col("band"), col("oid").as("__old_id")))
+  }
+
+  /** Touched-bucket scan of the near-dup SIGNATURE lake → (__old_id,
+    * __old_sig), or None when absent.
+    */
+  private[graft] def neardupSigsScan(
+      spark: org.apache.spark.sql.SparkSession, ledgerPath: String,
+      touched: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
+    neardupLakeScan(spark, s"$ledgerPath/sigs", touched,
+      StructType(Seq(
+        StructField("oid", StringType), StructField("sig", ArrayType(LongType)),
+        StructField("bucket", StringType))))
+      .map(_.select(col("oid").as("__old_id"), col("sig").as("__old_sig")))
+  }
+
+  private def neardupLakeScan(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      touched: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a parked `__compact_old` sibling may hold a bucket's only copy —
+    // reading around it would re-emit suppressed near-duplicates
+    graft.etl.Compact.requireServable(
+      fs, rootPath, action = "reading or mutating the near-dup ledger")
+    if (!fs.exists(rootPath)) return None
+    val bucketDirs = touched.map(b => s"$root/bucket=$b")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    if (bucketDirs.isEmpty) return None
+    try Some(
+      spark.read.schema(schema).option("basePath", root).parquet(bucketDirs: _*))
+    catch {
+      // ONLY crashed-append `_temporary`-residue emptiness; anything
+      // else (renamed columns, corrupt footers) must throw, not
+      // silently discard suppression history
+      case e: org.apache.spark.sql.AnalysisException
+          if graft.etl.Compact.emptyLakeRead(e) => None
+    }
+  }
+
   /** EXACTLY-ONCE composition of [[dedupGate]] — the documented
     * "id-keyed sink dedups the re-emit" recipe shipped as a verb, for
     * sinks that are plain parquet lakes with no key to dedup on.

@@ -21,7 +21,7 @@ class McpClientSpec extends SparkSpecBase {
     val dir = java.nio.file.Files.createTempDirectory("graft_mcp_sched")
     // the job script echoes its argv contract: <job_id> <job_name> <params_json>
     java.nio.file.Files.write(dir.resolve("job.sh"),
-      "echo \"RAN id=$1 name=$2 params=$3\"\n".getBytes("UTF-8"))
+      "echo \"RAN id=$1 name=$2 params=$3 envid=$JOB_ID envname=$JOB_NAME\"\n".getBytes("UTF-8"))
     val tools = new Mcp.Tools(Mcp.McpConfig(
       allowedPaths = Seq(dir.toString),
       allowedCommands = Set("sh"), securityMode = "strict"))
@@ -42,6 +42,9 @@ class McpClientSpec extends SparkSpecBase {
       assert(r.returncode == 0, s"rc=${r.returncode} err=${r.stderr}")
       assert(r.stdout.contains("RAN id=j1 name=nightly-etl"), r.stdout)
       assert(r.stdout.contains("""{"sf":"0.01"}"""), r.stdout)
+      // reference env parity (scheduler_mcp.py:162-166): the script sees
+      // JOB_ID/JOB_NAME through the per-call env overlay, race-free
+      assert(r.stdout.contains("envid=j1 envname=nightly-etl"), r.stdout)
       // get_mcp_status rides the result (agent_mcp.py:116-127 parity)
       assert(r.mcpStatus.enabled && r.mcpStatus.serverRunning)
       assert(r.mcpStatus.securityMode == "strict")
@@ -94,6 +97,34 @@ class McpClientSpec extends SparkSpecBase {
       val hung = McpJobRunner.runJob(job, dir.toString, "hang.sh",
         interpreter = "sh", timeoutSeconds = 2L)
       assert(hung.returncode == -1 && hung.stderr.contains("timed out"), hung.toString)
+    } finally session.close()
+  }
+
+  test("execute_command env overlay: vars reach the child; loader-hijack keys refused") {
+    val tools = new Mcp.Tools(Mcp.McpConfig(allowedCommands = Set("sh")))
+    val server = new Mcp.McpServer(tools)
+    val session = McpClient.loopback(server)
+    try {
+      session.initialize()
+      // an overlay var is visible to the child
+      val body = session.executeCommand(
+        "sh", Seq("-c", "echo v=$MY_JOB_VAR"), env = Map("MY_JOB_VAR" -> "hello"))
+      assert((body \ "stdout") == JString("v=hello\n"), body.toString)
+      // the audit log records env KEYS, never values
+      val ev = tools.events.filter(_.eventType == "execute_command").last
+      assert(ev.metadata.get("env_keys").contains("MY_JOB_VAR"), ev.toString)
+      assert(!ev.toString.contains("hello"), "env VALUE leaked into the event log")
+      // loader-injection keys are refused before any process starts
+      for (bad <- Seq("LD_PRELOAD", "ld_library_path", "PATH", "PYTHONPATH", "BASH_ENV")) {
+        val r = session.callTool("execute_command", JObject(
+          "command" -> JString("sh"), "args" -> JArray(List(JString("-c"), JString("true"))),
+          "env" -> JObject(bad -> JString("/tmp/evil"))))
+        assert(r.isError && r.text.contains("not allowed"), s"$bad: ${r.text}")
+      }
+      // strict typing: a non-string env value errors, never stringifies
+      val typed = session.callTool("execute_command", JObject(
+        "command" -> JString("sh"), "env" -> JObject("TIMEOUT" -> JInt(30))))
+      assert(typed.isError && typed.text.contains("must be a string"), typed.text)
     } finally session.close()
   }
 

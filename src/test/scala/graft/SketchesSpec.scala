@@ -83,6 +83,81 @@ class SketchesSpec extends SparkSpecBase {
     assert(out === 2)
   }
 
+  private def setRow(a: Seq[Int], b: Seq[Int], k: Int) = {
+    val sa = Sketches.kmvSketchByKey(
+      a.map(("g", _)).toDF("key", "v"), col("key"), col("v"), k)
+    val sb = Sketches.kmvSketchByKey(
+      b.map(("g", _)).toDF("key", "v"), col("key"), col("v"), k)
+    Sketches.kmvSetEstimates(sa, sb, col("key"), col("key"), k).head()
+  }
+
+  test("set estimates are EXACT when both sketches are under capacity") {
+    val r = setRow(1 to 30, 21 to 50, k = 64)
+    assert(r.getAs[Long]("theta") === 1152921504606846976L)
+    assert(r.getAs[Int]("n_inter") === 10)
+    assert(r.getAs[Int]("n_union") === 50)
+    assert(r.getAs[Int]("n_only_a") === 20)
+    assert(r.getAs[Int]("n_only_b") === 20)
+    // full-range θ ⇒ scale factor exactly 1.0 ⇒ estimates ARE the counts
+    assert(r.getAs[Double]("est_inter") === 10.0)
+    assert(r.getAs[Double]("est_union") === 50.0)
+    assert(r.getAs[Double]("jaccard") === 0.2)
+  }
+
+  test("disjoint sets give zero intersection; identical sets give jaccard 1") {
+    val d = setRow(1 to 10, 11 to 20, k = 64)
+    assert(d.getAs[Int]("n_inter") === 0)
+    assert(d.getAs[Double]("est_inter") === 0.0)
+    assert(d.getAs[Double]("jaccard") === 0.0)
+    val i = setRow(1 to 10, 1 to 10, k = 64)
+    assert(i.getAs[Double]("jaccard") === 1.0)
+    assert(i.getAs[Int]("n_only_a") === 0)
+    assert(i.getAs[Int]("n_only_b") === 0)
+  }
+
+  test("at capacity the estimates track the true overlap (A 1-10k, B 5k-15k, k=256)") {
+    val r = setRow(1 to 10000, 5001 to 15000, k = 256)
+    // true: inter 5000, union 15000, jaccard 1/3. The sub-θ intersection
+    // sample is ≈ k·|∩|/|∪| ≈ 85 coordinated survivors, se ≈ 1/√85 ≈ 11%
+    val estI = r.getAs[Double]("est_inter")
+    val estU = r.getAs[Double]("est_union")
+    val j = r.getAs[Double]("jaccard")
+    assert(math.abs(estI - 5000) / 5000.0 <= 0.45, s"est_inter $estI")
+    assert(math.abs(estU - 15000) / 15000.0 <= 3.0 / math.sqrt(254), s"est_union $estU")
+    assert(j > 0.22 && j < 0.45, s"jaccard $j vs 1/3")
+  }
+
+  test("set estimates compose with the persisted merged lake bit-for-bit") {
+    // sketch(A) via merged increments ≡ one-shot sketch(A) (semilattice),
+    // so the set estimates downstream must be bit-identical too
+    val k = 64
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_set_lake").toString
+    val a = (1 to 4000).map(i => ("g", s"v$i"))
+    Sketches.kmvSketchByKey(a.take(2500).toDF("key", "v"), col("key"), col("v"), k)
+      .write.mode("append").parquet(dir)
+    Sketches.kmvSketchByKey(a.drop(1500).toDF("key", "v"), col("key"), col("v"), k)
+      .write.mode("append").parquet(dir)
+    val merged = Sketches.kmvMergeSketches(
+      spark.read.parquet(dir), col("key"), col("mins"), k)
+    val oneShot = Sketches.kmvSketchByKey(
+      a.toDF("key", "v"), col("key"), col("v"), k)
+    val b = Sketches.kmvSketchByKey(
+      (2000 to 6000).map(i => ("g", s"v$i")).toDF("key", "v"), col("key"), col("v"), k)
+    val viaLake = Sketches.kmvSetEstimates(merged, b, col("key"), col("key"), k).head()
+    val direct = Sketches.kmvSetEstimates(oneShot, b, col("key"), col("key"), k).head()
+    assert(viaLake === direct)
+  }
+
+  test("mixed capacity: the complete small side rides the large side's theta") {
+    val k = 64
+    val r = setRow(1 to 20, 1 to 5000, k) // A ⊂ B, A under capacity
+    assert(r.getAs[Long]("theta") < 1152921504606846976L, "θ must come from B")
+    // union = B exactly; the sub-θ survivors estimate it like kmvEstimate
+    val estU = r.getAs[Double]("est_union")
+    assert(math.abs(estU - 5000) / 5000.0 <= 0.4, s"est_union $estU")
+    assert(r.getAs[Int]("n_inter") <= 20)
+  }
+
   test("bloom: zero false negatives; false-positive rate inside the theoretical envelope") {
     val vals = (1 to 1000).map(i => ("g", s"present_$i"))
     val df = vals.toDF("key", "v")

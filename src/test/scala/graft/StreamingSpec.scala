@@ -281,6 +281,95 @@ class StreamingSpec extends SparkSpecBase {
     assert(fps.length === fps.distinct.length && fps.length === 3)
   }
 
+  test("neardupGate: band ledger suppresses cross-batch NEAR-dups; in-batch exact verify keeps lowest id") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("graft_neardup").toString
+    val ledger = s"$work/ledger"
+    // ~40 tokens; variants share all but the tail → jaccard ≈ 0.9
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val variant = (1 to 39).map(i => s"tok$i").mkString(" ") + " other"
+    val later = (1 to 38).map(i => s"tok$i").mkString(" ") + " changed tail"
+    val distinctA = (100 to 140).map(i => s"word$i").mkString(" ")
+    val distinctB = (200 to 240).map(i => s"term$i").mkString(" ")
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.neardupGate(
+      in.toDF().toDF("id", "text"), s"$work/ckpt", ledger, "id", "text",
+      batch => emitted.synchronized { emitted ++= batch.collect().map(_.getLong(0)) },
+      n = 3, k = 64, rowsPerBand = 2, minJaccard = 0.5)
+    try {
+      // batch 1: 1 and 3 are near-dups (exact verify) → keep 1; 2 distinct
+      in.addData((1L, base), (3L, variant), (2L, distinctA))
+      q.processAllAvailable()
+      // batch 2: 4 is a near-dup of LEDGERED 1 (agreement estimate) →
+      // suppressed; 5 fresh; 6 null text passes through
+      in.addData((4L, later), (5L, distinctB), (6L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(emitted.sorted.toSeq === Seq(1L, 2L, 5L, 6L), s"emitted ${emitted.toSeq}")
+    // signature lake: survivors only, one row each, bucketed by id hash
+    val sigs = spark.read.parquet(s"$ledger/sigs")
+    assert(sigs.select("oid").as[String].collect().toSet === Set("1", "2", "5"))
+    // postings lake: bucketed by band hash, only survivors' bands
+    val post = spark.read.parquet(s"$ledger/postings")
+    assert(post.select("oid").distinct().as[String].collect().toSet === Set("1", "2", "5"))
+    assert(new java.io.File(s"$ledger/postings").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("bucket=")))
+  }
+
+  test("neardupGate scans are bucket-pruned and absent lakes read as no-history") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("graft_neardup_bkt").toString
+    val ledger = s"$work/ledger"
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.neardupGate(
+      in.toDF().toDF("id", "text"), s"$work/ckpt", ledger, "id", "text",
+      batch => emitted.synchronized { emitted ++= batch.collect().map(_.getLong(0)) },
+      n = 3, k = 64, rowsPerBand = 2, minJaccard = 0.5)
+    try {
+      in.addData((0 until 20).map(i =>
+        (i.toLong, (0 until 30).map(j => s"u${i}w$j").mkString(" "))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(emitted.size === 20)
+    // a scan for one present bucket reads only that bucket's files
+    val buckets = new java.io.File(s"$ledger/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getName.stripPrefix("bucket=")).sorted
+    assert(buckets.length > 3, s"expected spread over buckets, got ${buckets.toSeq}")
+    val one = Streams.neardupPostingsScan(spark, ledger, Seq(buckets.head)).get
+    assert(one.inputFiles.nonEmpty &&
+      one.inputFiles.forall(_.contains(s"bucket=${buckets.head}")))
+    val all = Streams.neardupPostingsScan(spark, ledger, buckets.toSeq).get
+    assert(one.inputFiles.length < all.inputFiles.length)
+    // non-existent buckets and a missing lake both read as None
+    assert(Streams.neardupPostingsScan(spark, ledger, Seq("zz")).isEmpty)
+    assert(Streams.neardupSigsScan(spark, s"$work/nowhere", Seq("00")).isEmpty)
+  }
+
+  test("neardupGate: moderate overlap below the threshold is NOT suppressed cross-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("graft_neardup_thr").toString
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String)]
+    // halves share 15 of 45 tokens → jaccard ≈ 0.2, agreement ≈ 0.2 < 0.5
+    val first = (1 to 45).map(i => s"tok$i").mkString(" ")
+    val second = ((31 to 45) ++ (100 to 130)).map(i => s"tok$i").mkString(" ")
+    val q = Streams.neardupGate(
+      in.toDF().toDF("id", "text"), s"$work/ckpt", s"$work/ledger", "id", "text",
+      batch => emitted.synchronized { emitted ++= batch.collect().map(_.getLong(0)) },
+      n = 3, k = 64, rowsPerBand = 2, minJaccard = 0.5)
+    try {
+      in.addData((1L, first))
+      q.processAllAvailable()
+      in.addData((2L, second))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(emitted.sorted.toSeq === Seq(1L, 2L),
+      "a below-threshold overlap was wrongly suppressed")
+  }
+
   test("dedupGate ledger is bucketed: a batch reads only its touched bucket dirs") {
     implicit val sqlCtx = spark.sqlContext
     val work = java.nio.file.Files.createTempDirectory("graft_dedupgate_bkt").toString
