@@ -708,7 +708,96 @@ object VectorQueries {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** PCA dimensionality reduction ([[graft.operators.Pca]]): fit 16
+    * components on the deterministic bounded sample, persist the model,
+    * serve projections for the first 50 vectors THROUGH the persisted
+    * model (the fit/transform lifecycle every quantizer here has). The
+    * dump carries the components themselves, so the oracle proves —
+    * from the raw embeddings table plus the dump alone — that (a) every
+    * projected coordinate is EXACTLY `strict-fold dot(x, pc_j) −
+    * offset_j`, (b) every offset is exactly `dot(mean, pc_j)`, (c) the
+    * basis is orthonormal to 1e-9, (d) explained variances are
+    * non-increasing, and (e) all 50 queries are served at 16
+    * coordinates. Which basis the fit chose is engine-specific (like
+    * v05's cell selection) and deliberately unconstrained; a failed
+    * gate or an empty dump yields a sentinel row → hash mismatch.
+    */
+  def v18PcaProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val fitted = graft.operators.Pca.fit(
+      e, col("vec_id"), col("embedding"), dims = 16)
+    val path = Scratch.wiped(s, "pca_model", dir)
+    graft.operators.Pca.saveModel(s, fitted, path)
+    val model = graft.operators.Pca.loadModel(s, path)
+    // vectors ride the dump as comma-joined strings (the hash gate
+    // compares scalar columns; Java shortest-double text round-trips
+    // bit-exactly through DuckDB's correctly-rounded CAST)
+    val pcRows = (
+      ("mean", -1, -1L, model.mean.mkString(","), Option.empty[Double], Option(model.trace)) +:
+        model.components.indices.map(j =>
+          ("pc", j, -1L, model.components(j).mkString(","),
+            Option(model.offsets(j)), Option(model.eigvals(j)))))
+      .toDF("kind", "idx", "vec_id", "vec", "offset", "eigval")
+    val projRows = graft.operators.Pca.project(
+      e.filter(col("vec_id") < 50), col("embedding"), model)
+      .select(
+        lit("proj").as("kind"), lit(-1).as("idx"), col("vec_id"),
+        concat_ws(",", transform(col("proj"), x => x.cast("string"))).as("vec"),
+        lit(null).cast("double").as("offset"),
+        lit(null).cast("double").as("eigval"))
+    pcRows.unionByName(projRows).orderBy("kind", "idx", "vec_id")
+  }
+
+  val v18Oracle: String = {
+    val parse = "list_transform(string_split(vec, ','), x -> CAST(x AS DOUBLE))"
+    val projDot = duckDot("e.embedding", "c.cvec")
+    val orthDot = duckDot("a.cvec", "b.cvec")
+    val offDot = duckDot("m.mvec", "c.cvec")
+    s"""WITH d AS (
+       |  SELECT kind, idx, vec_id, vec, "offset", eigval
+       |  FROM read_parquet('__GRAFT_OUT__/v18_pca_project/*.parquet')
+       |), pc AS (SELECT idx, $parse AS cvec, "offset", eigval FROM d WHERE kind = 'pc'),
+       |pr AS (SELECT vec_id, $parse AS pvec FROM d WHERE kind = 'proj'),
+       |mn AS (SELECT $parse AS mvec FROM d WHERE kind = 'mean'),
+       |badproj AS (
+       |  SELECT COUNT(*) AS n FROM pr p
+       |  JOIN embeddings e ON e.vec_id = p.vec_id
+       |  CROSS JOIN pc c
+       |  WHERE p.pvec[c.idx + 1] IS DISTINCT FROM ($projDot) - c."offset"
+       |), badorth AS (
+       |  SELECT COUNT(*) AS n FROM pc a JOIN pc b ON a.idx <= b.idx
+       |  WHERE abs(($orthDot) - (CASE WHEN a.idx = b.idx THEN 1.0 ELSE 0.0 END)) > 1e-9
+       |), badoff AS (
+       |  SELECT COUNT(*) AS n FROM pc c CROSS JOIN mn m
+       |  WHERE c."offset" IS DISTINCT FROM ($offDot)
+       |), badeig AS (
+       |  SELECT (SELECT COUNT(*) FROM pc a JOIN pc b ON b.idx = a.idx + 1
+       |          WHERE b.eigval > a.eigval) +
+       |         (SELECT COUNT(*) FROM pc WHERE eigval < 0) AS n
+       |), gate AS (
+       |  SELECT (SELECT n FROM badproj) = 0
+       |     AND (SELECT n FROM badorth) = 0
+       |     AND (SELECT n FROM badoff) = 0
+       |     AND (SELECT n FROM badeig) = 0
+       |     AND (SELECT COUNT(*) FROM pc) = 16
+       |     AND (SELECT COUNT(*) FROM mn) = 1
+       |     AND (SELECT COUNT(DISTINCT vec_id) FROM pr) = 50
+       |     AND (SELECT COUNT(*) FROM pr) = 50
+       |     AND (SELECT MIN(len(pvec)) FROM pr) = 16
+       |     AND (SELECT MAX(len(pvec)) FROM pr) = 16 AS ok
+       |)
+       |SELECT kind, idx, vec_id, vec, "offset", eigval FROM d
+       |WHERE (SELECT ok FROM gate)
+       |UNION ALL
+       |SELECT '__gate_failed', -1, -1, CAST(NULL AS VARCHAR),
+       |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+       |WHERE NOT (SELECT ok FROM gate)
+       |ORDER BY kind, idx, vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v18_pca_project" -> (v18PcaProject _),
     "v16_knn_ivfsq8" -> (v16KnnIvfSq8 _),
     "v17_ivfsq8_index" -> (v17IvfSq8Lifecycle _),
     "d06_semdedup_pairs" -> (d06SemdedupPairs _),
@@ -730,6 +819,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "v18_pca_project" -> v18Oracle,
     "v16_knn_ivfsq8" -> v16Oracle,
     "v17_ivfsq8_index" -> v17Oracle,
     "d06_semdedup_pairs" -> d06Oracle,
