@@ -59,9 +59,37 @@ object Pca {
     */
   def fit(
       b: DataFrame, bId: Column, bVec: Column, dims: Int,
-      maxFit: Long = 20000L): PcaModel = {
-    val sample = Ann.sampleVectors(
-      b.select(bId.as("b_id"), bVec.as("b_emb")), maxFit)
+      maxFit: Long = 20000L): PcaModel =
+    fitCore(
+      Ann.sampleVectors(b.select(bId.as("b_id"), bVec.as("b_emb")), maxFit)
+        .map(_.map(_.toDouble)),
+      dims)
+
+  /** As [[fit]] but on UNIT-NORMALIZED sample vectors (x/‖x‖ with the
+    * strict-fold norm [[graft.functions.Vectors.norm2]] uses) —
+    * the basis [[knnPca]] needs: on the unit sphere, reduced-space L2
+    * is monotone with cosine (‖u−v‖² = 2 − 2·cosθ), so a PCA-space
+    * shortlist ranks by the metric the exact rerank scores.
+    * Zero-norm sample rows are dropped (cosine is undefined for them
+    * and every knn entry point already excludes them).
+    */
+  def fitUnit(
+      b: DataFrame, bId: Column, bVec: Column, dims: Int,
+      maxFit: Long = 20000L): PcaModel =
+    fitCore(
+      Ann.sampleVectors(b.select(bId.as("b_id"), bVec.as("b_emb")), maxFit)
+        .flatMap { row =>
+          var acc = 0.0
+          var i = 0
+          while (i < row.length) {
+            acc += row(i).toDouble * row(i).toDouble; i += 1
+          }
+          val n = math.sqrt(acc)
+          if (n > 0) Some(row.map(_.toDouble / n)) else None
+        },
+      dims)
+
+  private def fitCore(sample: Array[Array[Double]], dims: Int): PcaModel = {
     require(sample.nonEmpty, "PCA fit sample is empty")
     val d = sample.head.length
     require(dims >= 1 && dims <= d,
@@ -134,6 +162,74 @@ object Pca {
       outCol: String = "proj"): DataFrame = {
     val coords = model.components.zip(model.offsets).map { case (pc, off) =>
       graft.functions.Vectors.dot(vec, array(pc.map(lit(_)): _*)) - lit(off)
+    }
+    df.withColumn(outCol, array(coords.toSeq: _*))
+  }
+
+  /** Reduced-space ANN with exact rerank — the FAISS `PCAMatrix`
+    * pre-transform as a composed operator: project base and queries
+    * onto a [[fitUnit]] basis (`dims` ≪ D), shortlist each query's
+    * `shortlist` nearest base rows by reduced-space L2, then score the
+    * SHORTLIST pairs with the exact strict-fold cosine on the ORIGINAL
+    * vectors ([[Pq.rerankExact]] — every served sim is a true cosine,
+    * which is what lets v19 reuse the verify-the-scores oracle).
+    *
+    * Scale shape: the corpus-side pass is `dims` native dot products
+    * per row (one narrow projection, whole-stage codegen); the pair
+    * scoring is ONE `vec_dot` on dims-length arrays per (query,
+    * candidate) — `‖u−v‖² = ‖u‖² + ‖v‖² − 2·u·v` with the row norms
+    * hoisted, so at dims=16 the shortlist scan reads and multiplies 4×
+    * less than full-dimension brute force; queries broadcast like every
+    * knn path. With `dims = D` the projection is a rotation (L2
+    * preserved up to rounding) and `shortlist` ≥ corpus recovers brute
+    * force exactly — the spec pins that degeneracy.
+    */
+  def knnPca(
+      base: DataFrame, baseId: Column, baseVec: Column,
+      queries: DataFrame, qId: Column, qVec: Column,
+      k: Int, dims: Int = 16, shortlist: Int = 100,
+      maxFit: Long = 20000L, model: Option[PcaModel] = None): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist >= k >= 1, got shortlist=$shortlist k=$k")
+    val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
+      .withColumn("b_nrm", graft.functions.Vectors.norm2(col("b_emb")))
+      .filter(col("b_nrm") > 0)
+    val m = model.getOrElse(fitUnit(b0, col("b_id"), col("b_emb"), dims, maxFit))
+    // unit-sphere projection + hoisted reduced-space squared norm; a
+    // dimension-mismatched vector yields null coords (vec_dot) and is
+    // dropped like every knn entry point's dim gate
+    val b = Dedup.scopedCache(
+      projectUnit(b0, col("b_emb"), col("b_nrm"), m, "bp")
+        .filter(col("bp").getItem(0).isNotNull)
+        .withColumn("bp2", graft.functions.Vectors.dot(col("bp"), col("bp"))))
+    val q = Dedup.scopedCache(
+      projectUnit(
+        queries.select(qId.as("q_id"), qVec.as("q_emb"))
+          .withColumn("qp_nrm", graft.functions.Vectors.norm2(col("q_emb")))
+          .filter(col("qp_nrm") > 0),
+        col("q_emb"), col("qp_nrm"), m, "qp")
+        .filter(col("qp").getItem(0).isNotNull)
+        .withColumn("qp2", graft.functions.Vectors.dot(col("qp"), col("qp"))))
+    val scored = b.select("b_id", "bp", "bp2")
+      .crossJoin(broadcast(q.select("q_id", "qp", "qp2")))
+      .select(col("q_id"), col("b_id"),
+        (-(col("bp2") + col("qp2")
+          - lit(2.0) * graft.functions.Vectors.dot(col("bp"), col("qp")))).as("sim"))
+    val short = Ann.topkPerQuery(scored, shortlist)
+    Pq.rerankExact(
+      short, b.select("b_id", "b_emb", "b_nrm"),
+      q.select("q_id", "q_emb", "qp_nrm"), k)
+  }
+
+  /** Unit-sphere projection: coordinate j = `vec_dot(x, pc_j)/‖x‖ −
+    * offset_j` — dot scales linearly so the normalization folds into
+    * one division, no per-element normalize pass.
+    */
+  private def projectUnit(
+      df: DataFrame, vec: Column, nrm: Column, model: PcaModel,
+      outCol: String): DataFrame = {
+    val coords = model.components.zip(model.offsets).map { case (pc, off) =>
+      graft.functions.Vectors.dot(vec, array(pc.map(lit(_)): _*)) / nrm - lit(off)
     }
     df.withColumn(outCol, array(coords.toSeq: _*))
   }

@@ -796,7 +796,29 @@ object VectorQueries {
        |ORDER BY kind, idx, vec_id""".stripMargin
   }
 
+  /** Reduced-space ANN ([[graft.operators.Pca.knnPca]]): unit-sphere
+    * PCA to 32 of 64 dims, shortlist by reduced-space L2 (monotone with
+    * cosine on the sphere), exact cosine rerank on the original
+    * vectors. (The synthetic embeddings are near-isotropic — a worst
+    * case for PCA — so 32 dims is the measured recall knee; an
+    * anisotropic real corpus supports far deeper cuts.) Every served
+    * sim is a true cosine, so the verify-the-scores oracle applies
+    * verbatim; which candidates the reduced space surfaced stays
+    * engine-specific (recall is spec-floored in PcaSpec instead).
+    */
+  def v19KnnPca(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.operators.Pca.knnPca(
+      e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 5, dims = 32, shortlist = 100)
+      .orderBy("q_id", "rank")
+  }
+
+  val v19Oracle: String = selfVerifyingKnnOracle("v19_knn_pca", k = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v19_knn_pca" -> (v19KnnPca _),
     "v18_pca_project" -> (v18PcaProject _),
     "v16_knn_ivfsq8" -> (v16KnnIvfSq8 _),
     "v17_ivfsq8_index" -> (v17IvfSq8Lifecycle _),
@@ -819,6 +841,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "v19_knn_pca" -> v19Oracle,
     "v18_pca_project" -> v18Oracle,
     "v16_knn_ivfsq8" -> v16Oracle,
     "v17_ivfsq8_index" -> v17Oracle,

@@ -147,6 +147,48 @@ class PcaSpec extends SparkSpecBase {
     assert(out(3L).forall(_ == null), s"null: ${out(3L)}")
   }
 
+  test("knnPca at dims = D with full shortlist degenerates to brute force bit-for-bit") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = e.filter(col("vec_id") >= 10)
+    val qs = e.filter(col("vec_id") < 10)
+    val got = graft.operators.Dedup.scoped {
+      Pca.knnPca(
+        base, col("vec_id"), col("embedding"),
+        qs, col("vec_id"), col("embedding"),
+        k = 5, dims = 64, shortlist = 1000000).collect().toSeq
+    }
+    val want = graft.operators.Ann.knnBruteForce(
+      base, col("vec_id"), col("embedding"),
+      qs, col("vec_id"), col("embedding"), k = 5).collect().toSeq
+    assert(got.sortBy(r => (r.getLong(0), r.getInt(2))) ==
+      want.sortBy(r => (r.getLong(0), r.getInt(2))))
+  }
+
+  test("knnPca recall@5 at 32 of 64 dims stays high; served sims are true cosines") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = e.filter(col("vec_id") >= 10)
+    val qs = e.filter(col("vec_id") < 10)
+    val got = graft.operators.Dedup.scoped {
+      Pca.knnPca(
+        base, col("vec_id"), col("embedding"),
+        qs, col("vec_id"), col("embedding"),
+        k = 5, dims = 32, shortlist = 100).collect().toSeq
+    }
+    val exact = graft.operators.Ann.knnBruteForce(
+      base, col("vec_id"), col("embedding"),
+      qs, col("vec_id"), col("embedding"), k = 5).collect().toSeq
+    val exactPairs = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactSims = exact.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val hits = got.count(r => exactPairs.contains((r.getLong(0), r.getLong(1))))
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@5 = $recall below floor 0.9")
+    // every overlapping pair's sim is the exact cosine, bit-for-bit
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactSims.get(key).foreach(w => assert(r.getDouble(3) == w, s"sim drift at $key"))
+    }
+  }
+
   test("dims out of range and empty fit are refused") {
     val df = clusteredDf(10)
     intercept[IllegalArgumentException](
