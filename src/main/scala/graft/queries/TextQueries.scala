@@ -694,7 +694,103 @@ object TextQueries {
        |       THEN (CAST(per.ll_micro AS DOUBLE) / 1000000.0) / CAST(per.n_bigrams AS DOUBLE) END AS mean_ll
        |FROM d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Trainable BPE tokenizer ([[graft.operators.Bpe]]): fit 200 merges
+    * on the corpus word-frequency table, persist the merge table, and
+    * segment the first 200 documents THROUGH the loaded model. The dump
+    * carries the merge table and every segmentation, so the oracle
+    * proves in SQL — from the dump plus the raw documents alone — that
+    * (a) each document's tokens concatenate back to EXACTLY the
+    * normalized tokenized source with one `</w>` per word (the
+    * segmentation is a true partition of the text), (b) every emitted
+    * multi-character token is a merge output, (c) the merge table is
+    * rank-contiguous and CLOSED under its own ranks (each side of merge
+    * i is a character, the end marker, or the output of an earlier
+    * merge), and (d) every nonempty queried doc is served. WHICH merges
+    * the fit chose and the greedy-apply order are engine-specific —
+    * pinned instead by BpeSpec's hand-computed Sennrich cases.
+    */
+  def t11BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val fitted = graft.operators.Bpe.fit(
+      d, col("text"), numMerges = 200, maxWords = 5000)
+    val path = Scratch.wiped(s, "bpe_model", dir)
+    graft.operators.Bpe.saveModel(s, fitted, path)
+    val model = graft.operators.Bpe.loadModel(s, path)
+    val mergeDf = model.merges.zipWithIndex
+      .map { case ((a, b), i) =>
+        ("merge", i, -1L, Option(a), Option(b), Option.empty[String], Option.empty[Int])
+      }
+      .toDF("kind", "idx", "doc_id", "a", "b", "toks", "n_tokens")
+    val docDf = graft.operators.Bpe.encode(
+      d.filter(col("doc_id") < 200), col("text"), model)
+      .filter(size(col("bpe_tokens")) > 0)
+      .select(
+        lit("doc").as("kind"), lit(-1).as("idx"), col("doc_id"),
+        lit(null).cast("string").as("a"), lit(null).cast("string").as("b"),
+        concat_ws(" ", col("bpe_tokens")).as("toks"),
+        size(col("bpe_tokens")).as("n_tokens"))
+    mergeDf.unionByName(docDf).orderBy("kind", "idx", "doc_id")
+  }
+
+  val t11Oracle: String =
+    """WITH d AS (
+      |  SELECT kind, idx, doc_id, a, b, toks, n_tokens
+      |  FROM read_parquet('__GRAFT_OUT__/t11_bpe_tokens/*.parquet')
+      |), mg AS (SELECT idx, a, b, a || b AS ab FROM d WHERE kind = 'merge'),
+      |dk AS (SELECT doc_id, toks, n_tokens, string_split(toks, ' ') AS tl
+      |       FROM d WHERE kind = 'doc'),
+      |src AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents WHERE doc_id < 200
+      |),
+      |badrecon AS (
+      |  SELECT COUNT(*) AS n FROM dk JOIN src USING (doc_id)
+      |  WHERE array_to_string(dk.tl, '') IS DISTINCT FROM
+      |        array_to_string(list_transform(string_split(src.norm, ' '),
+      |                                       w -> w || '</w>'), '')
+      |), badcount AS (
+      |  SELECT COUNT(*) AS n FROM dk WHERE n_tokens IS DISTINCT FROM len(tl)
+      |), badvocab AS (
+      |  SELECT COUNT(*) AS n FROM (
+      |    SELECT u.t FROM dk, UNNEST(dk.tl) AS u(t)
+      |    WHERE length(u.t) > 1 AND u.t <> '</w>'
+      |      AND u.t NOT IN (SELECT ab FROM mg)
+      |  )
+      |), badclosure AS (
+      |  SELECT COUNT(*) AS n FROM mg m
+      |  WHERE NOT (
+      |    (length(m.a) = 1 OR m.a = '</w>'
+      |      OR EXISTS (SELECT 1 FROM mg p WHERE p.idx < m.idx AND p.ab = m.a))
+      |    AND
+      |    (length(m.b) = 1 OR m.b = '</w>'
+      |      OR EXISTS (SELECT 1 FROM mg p WHERE p.idx < m.idx AND p.ab = m.b)))
+      |), badrank AS (
+      |  SELECT CASE WHEN (SELECT COUNT(*) FROM mg) = 0 THEN 1
+      |              WHEN (SELECT COUNT(*) FROM mg) <> (SELECT MAX(idx) + 1 FROM mg) THEN 1
+      |              WHEN (SELECT COUNT(DISTINCT idx) FROM mg) <> (SELECT COUNT(*) FROM mg) THEN 1
+      |              ELSE 0 END AS n
+      |), cov AS (
+      |  SELECT (SELECT COUNT(DISTINCT doc_id) FROM dk) =
+      |         (SELECT COUNT(*) FROM src WHERE norm <> '') AS ok
+      |), gate AS (
+      |  SELECT (SELECT n FROM badrecon) = 0
+      |     AND (SELECT n FROM badcount) = 0
+      |     AND (SELECT n FROM badvocab) = 0
+      |     AND (SELECT n FROM badclosure) = 0
+      |     AND (SELECT n FROM badrank) = 0
+      |     AND (SELECT ok FROM cov) AS ok
+      |)
+      |SELECT kind, idx, doc_id, a, b, toks, n_tokens FROM d
+      |WHERE (SELECT ok FROM gate)
+      |UNION ALL
+      |SELECT '__gate_failed', -1, -1, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |       CAST(NULL AS VARCHAR), CAST(NULL AS INT)
+      |WHERE NOT (SELECT ok FROM gate)
+      |ORDER BY kind, idx, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_bpe_tokens" -> (t11BpeTokens _),
     "t09_bigram_ll" -> (t09BigramLl _),
     "t10_bigram_ll_model" -> (t10BigramLlModel _),
     "t07_repetition" -> (t07Repetition _),
@@ -714,6 +810,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t11_bpe_tokens" -> t11Oracle,
     "t09_bigram_ll" -> t09Oracle,
     // the persisted-model twin scores the SAME corpus it was fit on:
     // left-join + zero-coalesce ≡ the one-shot inner join there, so
