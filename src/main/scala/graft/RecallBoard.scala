@@ -107,7 +107,14 @@ object RecallBoard {
         k, shortlist = 20),
       "v16_knn_ivfsq8" -> graft.operators.Sq.knnIvfSq8(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, nlist = nlist, nprobe = nprobe, shortlist = 50))
+        k, nlist = nlist, nprobe = nprobe, shortlist = 50),
+      // PCA dims is a property of the data's SPECTRUM, not corpus size
+      // (32/64 is the measured knee on the near-isotropic synthetic
+      // embeddings); the shortlist scales like PQ's — candidate
+      // selectivity is what degrades with n
+      "v19_knn_pca" -> graft.operators.Pca.knnPca(
+        base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
+        k, dims = 32, shortlist = shortlist, maxFit = 20000L))
     paths.map { case (name, df) => name -> recallAtK(exact, df, k) }.toMap
   }
 

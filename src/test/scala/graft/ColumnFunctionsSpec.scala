@@ -546,7 +546,12 @@ class ColumnFunctionsSpec extends SparkSpecBase {
       "v15_knn_sq8" -> 0.95,
       // IVF-SQ8 is bounded by the cell probing, not the codes
       // (measured 0.92 = v05's, byte compression costing nothing)
-      "v16_knn_ivfsq8" -> 0.88)
+      "v16_knn_ivfsq8" -> 0.88,
+      // 32-of-D PCA shortlist + exact rerank (measured 1.0 at both
+      // sf0.001 and sf0.01 — the reduced space preserves neighbor
+      // order on these near-isotropic embeddings; the floor matches
+      // the other rerank-tailed tiers)
+      "v19_knn_pca" -> 0.95)
     for ((name, floor) <- floors)
       assert(r(name) >= floor, s"$name recall@5 ${r(name)} fell below pinned floor $floor")
   }
