@@ -751,7 +751,71 @@ object CurationQueries {
       |FROM dom ORDER BY url_id""".stripMargin
   }
 
+  /** DSIR data selection ([[graft.operators.Dsir]]): importance-weight
+    * every document between a hashed bag-of-words LM fit on the ENGLISH
+    * subset (the "target domain") and one fit on the whole corpus, then
+    * Gumbel-top-100 resample. Everything is deterministic — md5-bucketed
+    * features, one-ln micro-nat terms, 50-bit exact-double Gumbel seeds
+    * — so the oracle replays the ENTIRE pipeline: both LM fits, the
+    * totals, every token's smoothed term, the per-doc sums, the noise,
+    * and the top-k cut, bit-for-bit.
+    */
+  def c14DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Dsir.select(
+      d, col("doc_id"), col("text"),
+      target = d.filter(col("lang") === "en"), targetText = col("text"),
+      buckets = 4096, k = 100, salt = "dsir1")
+      .orderBy(col("key_micro").desc, col("doc_id"))
+  }
+
+  val c14Oracle: String = {
+    val hTok = DuckOracle.h60("tok")
+    val hSeed = DuckOracle.h60("'dsir1:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN text IS NULL THEN NULL
+       |         WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = '' THEN []
+       |         ELSE $duckToksNorm END AS toks
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, lang, $hTok % 4096 AS bucket
+       |  FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM d WHERE toks IS NOT NULL)
+       |), tgt AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM tok WHERE lang = 'en' GROUP BY bucket
+       |), rawc AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM tok GROUP BY bucket
+       |), tot AS (
+       |  SELECT CAST((SELECT SUM(ct) FROM tgt) AS BIGINT) AS nt,
+       |         CAST((SELECT SUM(cr) FROM rawc) AS BIGINT) AS nr
+       |), terms AS (
+       |  SELECT tok.doc_id,
+       |    CAST(ROUND(ln(
+       |      ((CAST(COALESCE(tgt.ct, 0) AS DOUBLE) + 1.0) * CAST(tot.nr + 4096 AS DOUBLE)) /
+       |      ((CAST(COALESCE(rawc.cr, 0) AS DOUBLE) + 1.0) * CAST(tot.nt + 4096 AS DOUBLE))
+       |    ) * 1000000.0) AS BIGINT) AS t_micro
+       |  FROM tok LEFT JOIN tgt USING (bucket) LEFT JOIN rawc USING (bucket) CROSS JOIN tot
+       |), per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(t_micro) AS BIGINT) AS lw_micro
+       |  FROM terms GROUP BY doc_id
+       |), w AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(per.n_tokens, 0) AS n_tokens,
+       |    COALESCE(per.lw_micro, 0) AS lw_micro,
+       |    CAST(ROUND(-ln(-ln(
+       |      (CAST($hSeed % 1125899906842624 AS DOUBLE) + 0.5) / 1125899906842624.0
+       |    )) * 1000000.0) AS BIGINT) AS gumbel_micro
+       |  FROM d LEFT JOIN per USING (doc_id)
+       |)
+       |SELECT doc_id, n_tokens, lw_micro, gumbel_micro,
+       |       lw_micro + gumbel_micro AS key_micro
+       |FROM w
+       |ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c14_dsir_select" -> (c14DsirSelect _),
     "z01_zorder_skip" -> (z01ZorderSkip _),
     "c13_url_filter" -> (c13UrlFilter _),
     "c01_corpus_curation" -> (c01CorpusCuration _),
@@ -770,6 +834,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "c14_dsir_select" -> c14Oracle,
     "z01_zorder_skip" -> z01Oracle,
     "c13_url_filter" -> c13Oracle,
     "c01_corpus_curation" -> c01Oracle,
