@@ -789,7 +789,109 @@ object TextQueries {
       |WHERE NOT (SELECT ok FROM gate)
       |ORDER BY kind, idx, doc_id""".stripMargin
 
+  /** Hashed-feature logistic-regression quality classifier
+    * ([[graft.operators.Classifier]]) — the GPT-3-style curated-vs-rest
+    * filter: weak labels from the source column (top curated sources
+    * positive), driver-deterministic GD fit, micro-quantized model
+    * persisted and RELOADED before scoring (the fit/transform split).
+    * The dump carries the model (meta/bias/w rows) and every document's
+    * score, so the oracle proves from dump + raw documents that every
+    * served (n_tokens, s_micro, score_micro) replays bit-for-bit from
+    * the dumped weights — tokenization, bucketing, the exact long
+    * token-weight sum, and the sigmoid — and that the learned scores
+    * actually SEPARATE the classes (mean curated score > mean rest).
+    * WHICH weights the GD converged to is engine-specific — pinned by
+    * ClassifierSpec's hand-computed gradient steps instead.
+    */
+  def t12QualityClf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val labeled = d.withColumn("label",
+      col("source").isin(t12Curated: _*).cast("double"))
+    val fitted = graft.operators.Classifier.fit(
+      labeled, col("doc_id"), col("text"), col("label"),
+      buckets = 1024, maxFit = 20000L, iters = 200, lr = 1.0, l2 = 1e-4)
+    val path = Scratch.wiped(s, "clf_model", dir)
+    graft.operators.Classifier.saveModel(s, fitted, path)
+    val model = graft.operators.Classifier.loadModel(s, path)
+
+    val modelRows = (Seq(
+      ("meta", model.buckets.toLong, 0L),
+      ("bias", -1L, model.biasMicro)) ++
+      model.weightsMicro.zipWithIndex.collect {
+        case (wm, bk) if wm != 0L => ("w", bk.toLong, wm)
+      })
+      .toDF("kind", "bucket", "w_micro")
+      .select(col("kind"), col("bucket"), col("w_micro"),
+        lit(-1L).as("doc_id"), lit(null).cast("long").as("n_tokens"),
+        lit(null).cast("long").as("s_micro"), lit(null).cast("long").as("score_micro"))
+    val docRows = graft.operators.Classifier
+      .scoreWith(s, model, d, col("doc_id"), col("text"))
+      .select(lit("doc").as("kind"), lit(-1L).as("bucket"),
+        lit(null).cast("long").as("w_micro"),
+        col("doc_id"), col("n_tokens"), col("s_micro"), col("score_micro"))
+    modelRows.unionByName(docRows).orderBy("kind", "bucket", "doc_id")
+  }
+
+  private val t12Curated = Seq("src18", "src7", "src6", "src19", "src14")
+
+  val t12Oracle: String = {
+    val hTok = DuckOracle.h60("tok")
+    val curated = DuckOracle.quoteList(t12Curated)
+    s"""WITH dump AS (
+       |  SELECT kind, bucket, w_micro, doc_id, n_tokens, s_micro, score_micro
+       |  FROM read_parquet('__GRAFT_OUT__/t12_quality_clf/*.parquet')
+       |), meta AS (SELECT bucket AS nb FROM dump WHERE kind = 'meta'),
+       |bias AS (SELECT w_micro AS b FROM dump WHERE kind = 'bias'),
+       |wt AS (SELECT bucket, w_micro FROM dump WHERE kind = 'w'),
+       |d AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN text IS NULL THEN NULL
+       |         WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = '' THEN []
+       |         ELSE $duckToksNorm END AS toks
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, $hTok % (SELECT nb FROM meta) AS bucket
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d WHERE toks IS NOT NULL)
+       |), per AS (
+       |  SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(COALESCE(wt.w_micro, 0)) AS BIGINT) AS s_micro
+       |  FROM tok LEFT JOIN wt USING (bucket) GROUP BY tok.doc_id
+       |), docrow AS (
+       |  SELECT d.doc_id, d.source,
+       |    COALESCE(per.n_tokens, 0) AS n_tokens,
+       |    COALESCE(per.s_micro, 0) AS s_micro,
+       |    CAST(ROUND(1000000.0 / (1.0 + exp(-(
+       |      CAST(bias.b AS DOUBLE) / 1000000.0 +
+       |      CASE WHEN COALESCE(per.n_tokens, 0) > 0
+       |           THEN (CAST(per.s_micro AS DOUBLE) / 1000000.0) / CAST(per.n_tokens AS DOUBLE)
+       |           ELSE 0.0 END)))) AS BIGINT) AS score_micro
+       |  FROM d LEFT JOIN per USING (doc_id) CROSS JOIN bias
+       |), gate AS (
+       |  SELECT (SELECT COUNT(*) FROM meta) = 1
+       |     AND (SELECT COUNT(*) FROM bias) = 1
+       |     AND (SELECT COUNT(*) FROM wt
+       |          WHERE bucket < 0 OR bucket >= (SELECT nb FROM meta)) = 0
+       |     AND (SELECT AVG(CASE WHEN source IN ($curated) THEN CAST(score_micro AS DOUBLE) END)
+       |            > AVG(CASE WHEN source NOT IN ($curated) THEN CAST(score_micro AS DOUBLE) END)
+       |          FROM docrow) AS ok
+       |)
+       |SELECT kind, bucket, w_micro, CAST(-1 AS BIGINT) AS doc_id,
+       |       CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS s_micro,
+       |       CAST(NULL AS BIGINT) AS score_micro
+       |FROM dump WHERE kind IN ('meta', 'bias', 'w') AND (SELECT ok FROM gate)
+       |UNION ALL
+       |SELECT 'doc' AS kind, CAST(-1 AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS w_micro,
+       |       doc_id, n_tokens, s_micro, score_micro
+       |FROM docrow WHERE (SELECT ok FROM gate)
+       |UNION ALL
+       |SELECT '__gate_failed', -1, NULL, -1, NULL, NULL, NULL
+       |WHERE NOT (SELECT ok FROM gate)
+       |ORDER BY kind, bucket, doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_quality_clf" -> (t12QualityClf _),
     "t11_bpe_tokens" -> (t11BpeTokens _),
     "t09_bigram_ll" -> (t09BigramLl _),
     "t10_bigram_ll_model" -> (t10BigramLlModel _),
@@ -810,6 +912,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t12_quality_clf" -> t12Oracle,
     "t11_bpe_tokens" -> t11Oracle,
     "t09_bigram_ll" -> t09Oracle,
     // the persisted-model twin scores the SAME corpus it was fit on:
