@@ -90,15 +90,27 @@ object Dsir {
       rawCounts: DataFrame,
       buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val nt = targetCounts.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
-    val nr = rawCounts.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
-
     val base = raw.select(id.as("doc_id"), Text.tokens(Text.normalize(text)).as("toks"))
     val toks = base
       .filter(col("toks").isNotNull && size(col("toks")) > 0)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .select(col("doc_id"),
         pmod(Hashing.h60(col("tok")), lit(buckets.toLong)).as("bucket"))
+    weightsCore(base, toks, targetCounts, rawCounts, buckets)
+  }
+
+  /** Shared scoring core over a prepared (doc_id, toks) frame and its
+    * bucketed token stream — single owner of the smoothing arithmetic
+    * so [[logWeights]] and [[selectByPredicate]] cannot drift.
+    */
+  private def weightsCore(
+      base: DataFrame,
+      stream: DataFrame,
+      targetCounts: DataFrame,
+      rawCounts: DataFrame,
+      buckets: Int): DataFrame = {
+    val nt = targetCounts.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    val nr = rawCounts.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
 
     // counts broadcast — the corpus stream keeps its partitioning (no
     // token-keyed shuffle, no hot-bucket join skew; see scaladoc). A
@@ -106,7 +118,7 @@ object Dsir {
     // carries it, so the left joins cannot drop a token.
     val tc = targetCounts.select(col("bucket"), col("cnt").as("ct"))
     val rc = rawCounts.select(col("bucket"), col("cnt").as("cr"))
-    val terms = toks
+    val terms = stream.select("doc_id", "bucket")
       .join(broadcast(tc), Seq("bucket"), "left")
       .join(broadcast(rc), Seq("bucket"), "left")
       .select(col("doc_id"),
@@ -162,5 +174,37 @@ object Dsir {
     val tc = hashedCounts(target, targetText, buckets)
     val rc = hashedCounts(raw, text, buckets)
     resampleTopK(logWeights(raw, id, text, tc, rc, buckets), k, salt)
+  }
+
+  /** [[select]] for the common case where the target IS a predicate
+    * over the raw corpus (curated sources, a language tag): tokenizes
+    * and hashes the corpus ONCE — the bucketed token stream is
+    * scoped-cached and shared by the target fit, the raw fit, and the
+    * scoring join (3× fewer tokenize/md5 passes than composing
+    * [[hashedCounts]] twice plus [[logWeights]]; the [[LangModel]]
+    * shared-stream precedent). Result is bit-identical to
+    * `select(raw, …, raw.filter(isTarget), …)`.
+    */
+  def selectByPredicate(
+      raw: DataFrame,
+      id: Column,
+      text: Column,
+      isTarget: Column,
+      buckets: Int,
+      k: Int,
+      salt: String): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val base = Dedup.scopedCache(raw.select(
+      id.as("doc_id"), isTarget.as("is_target"),
+      Text.tokens(Text.normalize(text)).as("toks")))
+    val stream = Dedup.scopedCache(base
+      .filter(col("toks").isNotNull && size(col("toks")) > 0)
+      .select(col("doc_id"), col("is_target"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(Hashing.h60(col("tok")), lit(buckets.toLong)).as("bucket")))
+    val tc = stream.filter(col("is_target"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val rc = stream.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    resampleTopK(weightsCore(base, stream, tc, rc, buckets), k, salt)
   }
 }

@@ -762,9 +762,8 @@ object CurationQueries {
     */
   def c14DsirSelect(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    graft.operators.Dsir.select(
-      d, col("doc_id"), col("text"),
-      target = d.filter(col("lang") === "en"), targetText = col("text"),
+    graft.operators.Dsir.selectByPredicate(
+      d, col("doc_id"), col("text"), isTarget = col("lang") === "en",
       buckets = 4096, k = 100, salt = "dsir1")
       .orderBy(col("key_micro").desc, col("doc_id"))
   }

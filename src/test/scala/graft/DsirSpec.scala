@@ -112,6 +112,23 @@ class DsirSpec extends SparkSpecBase {
     assert(keys === keys.sortBy { case (k, id) => (-k, id) }.toSeq)
   }
 
+  test("selectByPredicate ≡ select over the filtered frame, bit-for-bit") {
+    val raw = (1 to 120).map(i =>
+      (i.toLong, if (i % 4 == 0) "en" else "xx", s"w${i % 11} w${i % 5} common$i"))
+      .toDF("doc_id", "lang", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("key_micro").desc, col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val viaPredicate = rows(Dsir.selectByPredicate(
+      raw, col("doc_id"), col("text"), col("lang") === "en",
+      buckets = 512, k = 30, salt = "s1"))
+    val viaFrames = rows(Dsir.select(
+      raw, col("doc_id"), col("text"),
+      raw.filter(col("lang") === "en"), col("text"),
+      buckets = 512, k = 30, salt = "s1"))
+    assert(viaPredicate === viaFrames)
+  }
+
   test("plan shape: broadcast count joins, TakeOrderedAndProject top-k") {
     val target = (1 to 10).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
     val raw = (1 to 100).map(i => (i.toLong, s"t${i % 7} w$i")).toDF("doc_id", "text")
