@@ -114,7 +114,12 @@ object RecallBoard {
       // selectivity is what degrades with n
       "v19_knn_pca" -> graft.operators.Pca.knnPca(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, dims = 32, shortlist = shortlist, maxFit = 20000L))
+        k, dims = 32, shortlist = shortlist, maxFit = 20000L),
+      // v09's code budget behind the FAISS OPQMatrix rotation —
+      // shortlist scales like PQ's
+      "v20_knn_opq" -> graft.operators.Opq.knnOpq(
+        base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
+        k, m = 8, kSub = 32, shortlist = shortlist, maxFit = 20000L))
     paths.map { case (name, df) => name -> recallAtK(exact, df, k) }.toMap
   }
 

@@ -225,7 +225,7 @@ object Pca {
     * offset_j` — dot scales linearly so the normalization folds into
     * one division, no per-element normalize pass.
     */
-  private def projectUnit(
+  private[operators] def projectUnit(
       df: DataFrame, vec: Column, nrm: Column, model: PcaModel,
       outCol: String): DataFrame = {
     val coords = model.components.zip(model.offsets).map { case (pc, off) =>

@@ -817,7 +817,28 @@ object VectorQueries {
 
   val v19Oracle: String = selfVerifyingKnnOracle("v19_knn_pca", k = 5)
 
+  /** Parametric OPQ ([[graft.operators.Opq.knnOpq]]): full-dimension
+    * unit-sphere PCA rotation, eigenvalue-allocated subspaces, PQ ADC-L2
+    * shortlist in the rotated space, exact cosine rerank on the
+    * ORIGINALS — v09's code budget (m=8) with the rotation FAISS's
+    * OPQMatrix applies before PQ. Every served sim is a true cosine, so
+    * the verify-the-scores oracle applies verbatim; which candidates
+    * the rotated domain surfaced is engine-specific (recall floored in
+    * OpqSpec and RECALL_r10).
+    */
+  def v20KnnOpq(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.operators.Opq.knnOpq(
+      e.filter(col("vec_id") >= 10), col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 5, m = 8, kSub = 32, shortlist = 150, maxFit = 20000L)
+      .orderBy("q_id", "rank")
+  }
+
+  val v20Oracle: String = selfVerifyingKnnOracle("v20_knn_opq", k = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v20_knn_opq" -> (v20KnnOpq _),
     "v19_knn_pca" -> (v19KnnPca _),
     "v18_pca_project" -> (v18PcaProject _),
     "v16_knn_ivfsq8" -> (v16KnnIvfSq8 _),
@@ -841,6 +862,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "v20_knn_opq" -> v20Oracle,
     "v19_knn_pca" -> v19Oracle,
     "v18_pca_project" -> v18Oracle,
     "v16_knn_ivfsq8" -> v16Oracle,

@@ -551,7 +551,10 @@ class ColumnFunctionsSpec extends SparkSpecBase {
       // sf0.001 and sf0.01 — the reduced space preserves neighbor
       // order on these near-isotropic embeddings; the floor matches
       // the other rerank-tailed tiers)
-      "v19_knn_pca" -> 0.95)
+      "v19_knn_pca" -> 0.95,
+      // v09's code budget with the OPQ rotation — at worst the rotated
+      // subspaces quantize like PQ's raw slices, so the floor matches
+      "v20_knn_opq" -> 0.95)
     for ((name, floor) <- floors)
       assert(r(name) >= floor, s"$name recall@5 ${r(name)} fell below pinned floor $floor")
   }
