@@ -890,7 +890,41 @@ object TextQueries {
        |ORDER BY kind, bucket, doc_id""".stripMargin
   }
 
+  /** Overlapping token-window chunking ([[graft.operators.Chunking]])
+    * — window 64, stride 48 (25% overlap) over every document. The
+    * whole pipeline is built-ins (split, sequence, slice, md5), so the
+    * oracle recomputes every chunk — starts, slices, texts,
+    * fingerprints — from the raw documents, bit-for-bit.
+    */
+  def t13Chunking(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.chunk(
+      docs(s, dir), col("doc_id"), col("text"), window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
+  val t13Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckToksNorm AS toks
+       |  FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+       |), n AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    CASE WHEN len(toks) <= 64 THEN 1
+       |         ELSE (len(toks) - 64 + 48 - 1) // 48 + 1 END AS n_chunks
+       |  FROM d
+       |), c AS (
+       |  SELECT doc_id, CAST(g.i AS INT) AS chunk_idx,
+       |    toks[g.i * 48 + 1 : LEAST(g.i * 48 + 64, n)] AS ctoks
+       |  FROM n, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+       |)
+       |SELECT doc_id, chunk_idx,
+       |  CAST(len(ctoks) AS INT) AS n_tokens,
+       |  array_to_string(ctoks, ' ') AS chunk_text,
+       |  md5(array_to_string(ctoks, ' ')) AS chunk_fp
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_chunking" -> (t13Chunking _),
     "t12_quality_clf" -> (t12QualityClf _),
     "t11_bpe_tokens" -> (t11BpeTokens _),
     "t09_bigram_ll" -> (t09BigramLl _),
@@ -912,6 +946,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t13_chunking" -> t13Oracle,
     "t12_quality_clf" -> t12Oracle,
     "t11_bpe_tokens" -> t11Oracle,
     "t09_bigram_ll" -> t09Oracle,

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Chunking
+
+/** [[graft.operators.Chunking]] — overlapping token-window splitting.
+  * The t13 oracle replays every chunk cross-engine; these specs pin
+  * the window arithmetic, coverage, the degeneracies, and the
+  * shuffle-free plan.
+  */
+class ChunkingSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("hand-computed windows: starts, overlap, short tail") {
+    // 10 tokens, window 4, stride 3 → starts 0,3,6: [t1..t4][t4..t7][t7..t10]
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Chunking.chunk(df, col("doc_id"), col("text"), window = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (0, 4, "t1 t2 t3 t4"),
+      (1, 4, "t4 t5 t6 t7"),
+      (2, 4, "t7 t8 t9 t10")))
+    // 11 tokens → a 4th, SHORT chunk [t10 t11]
+    val df2 = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val got2 = Chunking.chunk(df2, col("doc_id"), col("text"), window = 4, stride = 3)
+      .orderBy("chunk_idx").collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got2.length === 4)
+    assert(got2.last === ((3, 2, "t10 t11")))
+  }
+
+  test("n <= window yields one whole-document chunk; empty/null yield none") {
+    val df = Seq(
+      (1L, "a b c"), (2L, "   "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Chunking.chunk(df, col("doc_id"), col("text"), window = 8, stride = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+    assert(got.toSeq === Seq((1L, 0, "a b c")))
+  }
+
+  test("coverage: every token position appears in at least one chunk") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 40).map(i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(200))).map(j => s"w$j").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val got = Chunking.chunk(df, col("doc_id"), col("text"), window = 16, stride = 11)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val byDoc = got.groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val n = text.split(" ").length
+      val covered = byDoc(id).map { case (_, idx, len) => (idx * 11, idx * 11 + len) }
+        .sortBy(_._1)
+      // windows tile with stride <= window: contiguous coverage of [0, n)
+      assert(covered.head._1 === 0)
+      assert(covered.map(_._2).max === n, s"doc $id: last window must end at $n")
+      covered.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(s2 <= e1, s"doc $id: gap at $s2")
+        case _ =>
+      }
+    }
+  }
+
+  test("chunk_fp is the md5 of the chunk text; invalid strides refused") {
+    val df = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val r = Chunking.chunk(df, col("doc_id"), col("text"), window = 2, stride = 1)
+      .orderBy("chunk_idx").collect()
+    r.foreach { row =>
+      val want = java.security.MessageDigest.getInstance("MD5")
+        .digest(row.getString(3).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(row.getString(4) === want)
+    }
+    intercept[IllegalArgumentException](
+      Chunking.chunk(df, col("doc_id"), col("text"), window = 4, stride = 5))
+    intercept[IllegalArgumentException](
+      Chunking.chunk(df, col("doc_id"), col("text"), window = 0, stride = 1))
+  }
+
+  test("plan shape: narrow — no shuffle at any corpus size") {
+    val df = (1 to 100).map(i => (i.toLong, s"a b c d e f g h i$i")).toDF("doc_id", "text")
+    val plan = Chunking.chunk(df, col("doc_id"), col("text"), window = 4, stride = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "chunking must not shuffle")
+  }
+}
