@@ -81,30 +81,31 @@ object Classifier {
       if (total > maxFit)
         base.filter(pmod(xxhash64(col("doc_id")), lit(total)) < lit(maxFit))
       else base
-    // per-doc sparse hashed counts built DISTRIBUTED; ≤ maxFit rows collect
+    // per-doc sparse hashed counts built DISTRIBUTED and run-length
+    // encoded BEFORE the collect: the driver copy is bounded by
+    // min(doc tokens, buckets) pairs per sampled doc, never by raw
+    // token count — a 100k-token document costs ≤ `buckets` rows
     val feats = sampled
       .select(col("doc_id"), col("y"), explode_outer(col("toks")).as("tok"))
+      .select(col("doc_id"), col("y"),
+        when(col("tok").isNotNull,
+          pmod(Hashing.h60(col("tok")), lit(buckets.toLong))).as("bucket"))
+      .groupBy("doc_id", "y", "bucket")
+      .agg(count(col("bucket")).as("c")) // count(bucket): empty doc → c = 0
       .groupBy("doc_id", "y")
       .agg(collect_list( // collect_list drops nulls: empty doc → empty list
-        when(col("tok").isNotNull, pmod(Hashing.h60(col("tok")), lit(buckets.toLong)))
-      ).as("bks"))
+        when(col("bucket").isNotNull, struct(col("bucket"), col("c")))).as("bks"))
       .collect()
-      .map(r => (Option(r.getString(0)).getOrElse(""), r.getDouble(1), r.getSeq[Long](2)))
+      .map { r =>
+        val pairs = r.getSeq[org.apache.spark.sql.Row](2)
+          .map(p => (p.getLong(0).toInt, p.getLong(1)))
+          .sortBy(_._1) // fixed bucket order keeps gradient sums deterministic
+        (Option(r.getString(0)).getOrElse(""), r.getDouble(1), pairs)
+      }
       .sortBy(_._1) // canonical order: the fit is a function of the SET
-      .map { case (_, y, bks) =>
+      .map { case (_, y, pairs) =>
         require(y == 0.0 || y == 1.0, s"labels must be 0/1, got $y")
-        val sorted = bks.map(_.toInt).sorted.toArray
-        // run-length encode into parallel (bucket, count) arrays —
-        // fixed iteration order keeps every gradient sum deterministic
-        val ub = Array.newBuilder[Int]; val uc = Array.newBuilder[Long]
-        var i = 0
-        while (i < sorted.length) {
-          var j = i
-          while (j < sorted.length && sorted(j) == sorted(i)) j += 1
-          ub += sorted(i); uc += (j - i).toLong
-          i = j
-        }
-        (y, sorted.length.toLong, ub.result(), uc.result())
+        (y, pairs.map(_._2).sum, pairs.map(_._1).toArray, pairs.map(_._2).toArray)
       }
 
     val n = feats.length

@@ -176,6 +176,43 @@ object Dsir {
     resampleTopK(logWeights(raw, id, text, tc, rc, buckets), k, salt)
   }
 
+  /** Persist a [[hashedCounts]] LM — ≤ `buckets` count rows plus one
+    * meta row (bucket = −1 carrying the bucket count), kilobytes, one
+    * write. The fit/transform split the 100 TB deployment runs: fit
+    * the target LM once on the curated corpus, persist, and daily
+    * selection jobs load it instead of re-reading the target.
+    */
+  def saveCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      counts: DataFrame, buckets: Int, path: String): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    counts.select(col("bucket"), col("cnt"))
+      .unionByName(spark.range(1)
+        .select(lit(-1L).as("bucket"), lit(buckets.toLong).as("cnt")))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted counts LM, returning (counts, buckets). Refuses
+    * loudly a lake without exactly one meta row (half-written) or with
+    * a bucket outside the declared feature space (fit at a different
+    * bucket count — scoring against it would silently mis-smooth).
+    */
+  def loadCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, Int) = {
+    val df = spark.read.parquet(path).select("bucket", "cnt")
+    val metas = df.filter(col("bucket") === -1L).collect()
+    require(metas.length == 1,
+      s"$path is not a complete DSIR counts lake (${metas.length} meta rows, " +
+        "want 1) -- refusing a half-written model; re-run saveCounts")
+    val buckets = metas.head.getLong(1).toInt
+    val bad = df.filter(col("bucket") >= buckets).count()
+    require(bad == 0,
+      s"$path holds $bad buckets outside [0, $buckets) -- lake was fit at a " +
+        "different bucket count; refusing")
+    (df.filter(col("bucket") >= 0), buckets)
+  }
+
   /** [[select]] for the common case where the target IS a predicate
     * over the raw corpus (curated sources, a language tag): tokenizes
     * and hashes the corpus ONCE — the bucketed token stream is

@@ -129,6 +129,34 @@ class DsirSpec extends SparkSpecBase {
     assert(viaPredicate === viaFrames)
   }
 
+  test("persisted counts: round-trip bit-parity, half-written and cross-space lakes refused") {
+    val target = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val raw = Seq((1L, "a a b"), (2L, "c c"), (3L, "a c")).toDF("doc_id", "text")
+    val tc = Dsir.hashedCounts(target, col("text"), B)
+    val rc = Dsir.hashedCounts(raw, col("text"), B)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    Dsir.saveCounts(spark, tc, B, s"$dir/tc")
+    Dsir.saveCounts(spark, rc, B, s"$dir/rc")
+    val (tcL, bT) = Dsir.loadCounts(spark, s"$dir/tc")
+    val (rcL, bR) = Dsir.loadCounts(spark, s"$dir/rc")
+    assert(bT === B && bR === B)
+    def w(t: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      Dsir.logWeights(raw, col("doc_id"), col("text"), t, r, B)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq.sortBy(_._1)
+    assert(w(tcL, rcL) === w(tc, rc), "loaded counts must score bit-identically")
+    // half-written (no meta row) refused
+    spark.read.parquet(s"$dir/tc").filter(col("bucket") >= 0)
+      .write.parquet(s"$dir/half")
+    val e = intercept[IllegalArgumentException](Dsir.loadCounts(spark, s"$dir/half"))
+    assert(e.getMessage.contains("half-written"))
+    // a lake fit at MORE buckets than its meta claims is refused
+    spark.read.parquet(s"$dir/tc")
+      .unionByName(Seq((B.toLong + 5L, 1L)).toDF("bucket", "cnt"))
+      .write.parquet(s"$dir/cross")
+    val e2 = intercept[IllegalArgumentException](Dsir.loadCounts(spark, s"$dir/cross"))
+    assert(e2.getMessage.contains("different bucket count"))
+  }
+
   test("plan shape: broadcast count joins, TakeOrderedAndProject top-k") {
     val target = (1 to 10).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
     val raw = (1 to 100).map(i => (i.toLong, s"t${i % 7} w$i")).toDF("doc_id", "text")
