@@ -299,6 +299,43 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-document contamination SHARE — the Lee et al. (2022) overlap
+    * fraction upgrading [[contaminationPairs]]' boolean hit list: for
+    * every corpus document, the fraction of its DISTINCT n-gram
+    * shingles that appear anywhere in the eval set. Pipelines
+    * threshold this ("drop if > 10% of 5-grams leak") instead of
+    * dropping on any single shared shingle — one common phrase should
+    * not disqualify a long document.
+    *
+    * Same 100 TB posture as [[contaminationPairs]]: the eval side
+    * collapses to its DISTINCT shingle set (benchmark-bounded) and
+    * broadcasts; the corpus streams through one explode + broadcast
+    * LEFT join + partial-count pass, so every corpus doc reports even
+    * at zero overlap, and the only shuffle is the per-doc aggregation.
+    * Output: (doc_id, n_shingles, n_contaminated, share).
+    */
+  def contaminationShare(
+      corpus: DataFrame, corpusId: Column, corpusText: Column,
+      evalSet: DataFrame, evalId: Column, evalText: Column,
+      n: Int = 5, broadcastEval: Boolean = true): DataFrame = {
+    val blank = array(lit(""))
+    val c = shingleSets(corpus, corpusId, corpusText, n)
+      .filter(col("sh") =!= blank)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val eg0 = shingleSets(evalSet, evalId, evalText, n)
+      .filter(col("sh") =!= blank)
+      .select(explode(col("sh")).as("g"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val eg = if (broadcastEval) broadcast(eg0) else eg0
+    c.join(eg, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_contaminated"))
+      .withColumn("share",
+        col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** [[contaminationPairs]] behind a Bloom pre-filter — the shape for
     * an eval set too large to broadcast as raw shingle strings: the
     * eval shingles compress to an `mBits`-bit Bloom filter

@@ -159,6 +159,37 @@ object CurationQueries {
        |GROUP BY c.doc_id, e.doc_id
        |ORDER BY c.doc_id, eval_id""".stripMargin
 
+  /** Per-document contamination share
+    * ([[graft.operators.Dedup.contaminationShare]]): the Lee et al.
+    * overlap FRACTION — distinct 5-gram shingles of each corpus doc
+    * vs the eval set's distinct shingle union; every corpus doc
+    * reports, zero-overlap included. Exact counts + one double
+    * division, fully replayed by the oracle.
+    */
+  def c15ContaminationShare(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Dedup.contaminationShare(
+      d.filter(col("doc_id") >= 20), col("doc_id"), col("text"),
+      d.filter(col("doc_id") < 20), col("doc_id"), col("text"),
+      n = 5)
+      .orderBy("doc_id")
+  }
+
+  val c15Oracle: String =
+    s"""WITH $duckShingleCte, ex AS (
+       |  SELECT doc_id, unnest(shset) AS g FROM shg WHERE shset <> ['']
+       |), ev AS (
+       |  SELECT DISTINCT g FROM ex WHERE doc_id < 20
+       |), per AS (
+       |  SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |    CAST(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+       |  FROM ex LEFT JOIN ev ON ex.g = ev.g
+       |  WHERE ex.doc_id >= 20 GROUP BY ex.doc_id
+       |)
+       |SELECT doc_id, n_shingles, n_contaminated,
+       |  CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS share
+       |FROM per ORDER BY doc_id""".stripMargin
+
   /** Bloom-prefiltered decontamination
     * ([[graft.operators.Dedup.contaminationPairsBloom]]): identical
     * semantics to [[c03Decontamination]] — the eval shingles compress
@@ -815,6 +846,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c14_dsir_select" -> (c14DsirSelect _),
+    "c15_contamination_share" -> (c15ContaminationShare _),
     "z01_zorder_skip" -> (z01ZorderSkip _),
     "c13_url_filter" -> (c13UrlFilter _),
     "c01_corpus_curation" -> (c01CorpusCuration _),
@@ -834,6 +866,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "c14_dsir_select" -> c14Oracle,
+    "c15_contamination_share" -> c15Oracle,
     "z01_zorder_skip" -> z01Oracle,
     "c13_url_filter" -> c13Oracle,
     "c01_corpus_curation" -> c01Oracle,

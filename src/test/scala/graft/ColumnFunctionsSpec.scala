@@ -984,6 +984,29 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(blankPairs.count() == 0, "blank docs flagged as contaminated")
   }
 
+  test("contaminationShare: exact fractions, zero-overlap docs report, broadcast off agrees") {
+    import graft.operators.Dedup
+    val evalSet = Seq((1L, "the capital of france is paris")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // 6 toks → 2 distinct 5-grams, both leak → share 1.0
+      (100L, "the capital of france is paris"),
+      // 9 toks → 5 distinct 5-grams, 2 leak → share 0.4
+      (101L, "everyone already knows the capital of france is paris"),
+      // no 5-gram overlap → share 0.0, still reported
+      (102L, "completely unrelated content about nothing at all")).toDF("doc_id", "text")
+    def run(bc: Boolean) = Dedup.contaminationShare(
+        corpus, col("doc_id"), col("text"), evalSet, col("doc_id"), col("text"),
+        n = 5, broadcastEval = bc)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val got = run(bc = true)
+    assert(got === Map(
+      100L -> ((2L, 2L, 1.0)),
+      101L -> ((5L, 2L, 0.4)),
+      102L -> ((3L, 0L, 0.0))))
+    assert(run(bc = false) === got, "shuffle-join fallback must agree")
+  }
+
   test("t07 repetition signals: crafted bigram histograms") {
     val docs = Seq(
       (1L, "a b a b a b"),   // toks 6, distinct 2; grams: "a b"×3, "b a"×2 → top 3/5
