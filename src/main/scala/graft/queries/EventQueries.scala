@@ -266,7 +266,49 @@ object EventQueries {
       |FROM p JOIN c ON c.user_id = p.user_id AND c.ts_us BETWEEN p.start_us AND p.end_us
       |ORDER BY p_id, c_event_id""".stripMargin
 
+  /** view → click → purchase funnel ([[graft.operators.Funnel]]):
+    * per-user greedy step completion with first/done timestamps. The
+    * oracle recomputes the funnel through the chained-conditional-MIN
+    * formulation (Tₖ = min ts of step k at ts ≥ Tₖ₋₁) — a structurally
+    * DIFFERENT derivation than the operator's sorted-array fold that
+    * provably agrees (see the operator's cross-check contract), so the
+    * hash match proves the greedy semantics, not just the arithmetic.
+    */
+  def e08Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    graft.operators.Funnel.funnel(
+      ev.withColumn("ts_us", Tables.tsUs(ev)),
+      col("user_id"), col("ts_us"), col("event_type"),
+      steps = Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+  }
+
+  val e08Oracle: String =
+    """WITH f AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+      |         WHEN 'purchase' THEN 2 ELSE -1 END AS idx
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IN ('view', 'click', 'purchase')
+      |), t0 AS (
+      |  SELECT user_id, MIN(ts_us) AS t0 FROM f WHERE idx = 0 GROUP BY user_id
+      |), t1 AS (
+      |  SELECT f.user_id, MIN(ts_us) AS t1 FROM f JOIN t0 USING (user_id)
+      |  WHERE idx = 1 AND ts_us >= t0 GROUP BY f.user_id
+      |), t2 AS (
+      |  SELECT f.user_id, MIN(ts_us) AS t2 FROM f JOIN t1 USING (user_id)
+      |  WHERE idx = 2 AND ts_us >= t1 GROUP BY f.user_id
+      |), u AS (SELECT DISTINCT user_id FROM f)
+      |SELECT u.user_id,
+      |  CASE WHEN t2.t2 IS NOT NULL THEN 3 WHEN t1.t1 IS NOT NULL THEN 2
+      |       WHEN t0.t0 IS NOT NULL THEN 1 ELSE 0 END AS steps_completed,
+      |  t0.t0 AS first_ts, t2.t2 AS done_ts
+      |FROM u LEFT JOIN t0 USING (user_id) LEFT JOIN t1 USING (user_id)
+      |       LEFT JOIN t2 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e08_funnel" -> (e08Funnel _),
     "e06_asof_join" -> (e06AsofJoin _),
     "e07_range_join" -> (e07RangeJoin _),
     "e05_session_stats" -> (e05SessionStats _),
@@ -279,6 +321,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e08_funnel" -> e08Oracle,
     "e06_asof_join" -> e06Oracle,
     "e07_range_join" -> e07Oracle,
     "e05_session_stats" -> e05Oracle,
