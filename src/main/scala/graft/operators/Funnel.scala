@@ -38,6 +38,41 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** Cohort retention — the funnel's standard companion: users are
+    * cohorted by the time bucket of their FIRST anchor event (min ts
+    * where `isAnchor`), and each later activity bucket counts them
+    * once: (cohort, bucket_offset, n_users). Activity before the
+    * anchor is ignored; bucket arithmetic is exact integer division
+    * on micros (`bucketUs`, e.g. 7 days), engine-replayable.
+    *
+    * Scale shape: anchor is one user-keyed aggregation; the join back
+    * REUSES the user partitioning (no second shuffle shape); the
+    * distinct-user rollup is result-keyed. Exact distinct by
+    * contract — swap in approx_count_distinct at 100 TB if the
+    * retention matrix itself outgrows exactness needs.
+    */
+  def cohortRetention(
+      events: DataFrame, user: Column, ts: Column, isAnchor: Column,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs >= 1, s"bucketUs must be >= 1, got $bucketUs")
+    val ev = events
+      .select(user.as("user_id"), ts.cast("long").as("ts_us"), isAnchor.as("anch"))
+      .filter(col("user_id").isNotNull && col("ts_us").isNotNull)
+    val anchors = ev.filter(col("anch"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t0"))
+    val b = lit(bucketUs)
+    ev.join(anchors, "user_id")
+      .filter(col("ts_us") >= col("t0"))
+      .select(
+        floor(col("t0") / b).cast("long").as("cohort"),
+        (floor(col("ts_us") / b).cast("long") - floor(col("t0") / b).cast("long"))
+          .as("bucket_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort", "bucket_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   def funnel(
       events: DataFrame, user: Column, ts: Column, eventType: Column,
       steps: Seq[String]): DataFrame = {

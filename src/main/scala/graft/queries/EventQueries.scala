@@ -307,8 +307,41 @@ object EventQueries {
       |       LEFT JOIN t2 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** Weekly cohort retention ([[graft.operators.Funnel.cohortRetention]]):
+    * cohort = epoch-week of the user's first `signup`; each later
+    * active week counts the user once. Exact integer week arithmetic
+    * on micros — the oracle replays cohorting, offsets, and the
+    * distinct-user counts bit-for-bit.
+    */
+  def e09Retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    graft.operators.Funnel.cohortRetention(
+      ev.withColumn("ts_us", Tables.tsUs(ev)),
+      col("user_id"), col("ts_us"), col("event_type") === "signup",
+      bucketUs = 604800000000L)
+      .orderBy("cohort", "bucket_offset")
+  }
+
+  val e09Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_type
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |), a AS (
+      |  SELECT user_id, MIN(ts_us) AS t0 FROM ev
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), j AS (
+      |  SELECT DISTINCT a.t0 // 604800000000 AS cohort,
+      |    ev.ts_us // 604800000000 - a.t0 // 604800000000 AS bucket_offset,
+      |    ev.user_id
+      |  FROM ev JOIN a USING (user_id) WHERE ev.ts_us >= a.t0
+      |)
+      |SELECT cohort, bucket_offset, COUNT(*) AS n_users
+      |FROM j GROUP BY cohort, bucket_offset
+      |ORDER BY cohort, bucket_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e08_funnel" -> (e08Funnel _),
+    "e09_retention" -> (e09Retention _),
     "e06_asof_join" -> (e06AsofJoin _),
     "e07_range_join" -> (e07RangeJoin _),
     "e05_session_stats" -> (e05SessionStats _),
@@ -322,6 +355,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "e08_funnel" -> e08Oracle,
+    "e09_retention" -> e09Oracle,
     "e06_asof_join" -> e06Oracle,
     "e07_range_join" -> e07Oracle,
     "e05_session_stats" -> e05Oracle,

@@ -66,6 +66,27 @@ class FunnelSpec extends SparkSpecBase {
       "no per-step joins, no corpus window")
   }
 
+  test("cohortRetention: anchoring, offsets, distinct users, pre-anchor activity ignored") {
+    // bucket = 10 µs; u1 anchors at 12 (bucket 1), active at 12,25(b2),37(b3)
+    // u2 anchors at 13 (bucket 1), active pre-anchor at 4 (IGNORED) and at 29(b2)
+    // u3 never anchors → excluded entirely
+    val rows = Seq(
+      (1L, 12L, "signup"), (1L, 25L, "click"), (1L, 37L, "click"), (1L, 26L, "click"),
+      (2L, 4L, "click"), (2L, 13L, "signup"), (2L, 29L, "click"),
+      (3L, 50L, "click"))
+    val got = Funnel.cohortRetention(
+      rows.toDF("user_id", "ts_us", "event_type"),
+      col("user_id"), col("ts_us"), col("event_type") === "signup", bucketUs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (1L, 0L) -> 2L, // both u1 and u2 active in their anchor bucket
+      (1L, 1L) -> 2L, // both active one bucket later (25, 29; 26 dedups)
+      (1L, 2L) -> 1L)) // only u1 at 37
+    intercept[IllegalArgumentException](
+      Funnel.cohortRetention(rows.toDF("user_id", "ts_us", "event_type"),
+        col("user_id"), col("ts_us"), col("event_type") === "signup", bucketUs = 0L))
+  }
+
   test("duplicate step names and empty steps are refused") {
     val df = Seq((1L, 1L, "a")).toDF("user_id", "ts_us", "event_type")
     intercept[IllegalArgumentException](
