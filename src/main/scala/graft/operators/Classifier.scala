@@ -109,6 +109,14 @@ object Classifier {
       }
 
     val n = feats.length
+    // loud cost telegraph BEFORE the sequential loop: GD walks every
+    // (doc, bucket) pair each iteration, single-threaded on the driver
+    val nPairs = feats.iterator.map(_._3.length.toLong).sum
+    if (nPairs * iters > 2000000000L)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"classifier fit will walk $nPairs feature pairs x $iters iterations " +
+          "sequentially on the driver -- lower maxFit/iters (or distribute the " +
+          "gradient) if this job stalls")
     val w = new Array[Double](buckets)
     var b = 0.0
     var it = 0

@@ -339,9 +339,48 @@ object EventQueries {
       |FROM j GROUP BY cohort, bucket_offset
       |ORDER BY cohort, bucket_offset""".stripMargin
 
+  /** Trailing 7-day moving window per event type over the DAILY money
+    * rollup — the RANGE-interval frame surface (every other window here
+    * is ROWS/lag): the frame is value-based (day index −6..0), so gap
+    * days genuinely shrink the window (n_days reports it) rather than
+    * sliding over a fixed row count. All-integer cents → exact
+    * cross-engine. The window runs over the aggregated per-(type, day)
+    * series — bounded cardinality at any corpus size.
+    */
+  def e10MovingWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val daily = ev
+      .groupBy(
+        date_format(Tables.tsTimestamp(ev), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("day_idx", datediff(to_date(col("day")), to_date(lit("1970-01-01"))).cast("long"))
+    val w = Window.partitionBy("event_type").orderBy("day_idx").rangeBetween(-6, 0)
+    daily
+      .withColumn("ma7_cents", sum("cents").over(w))
+      .withColumn("n_days", count(lit(1)).over(w))
+      .select("day", "event_type", "cents", "ma7_cents", "n_days")
+      .orderBy("day", "event_type")
+  }
+
+  val e10Oracle: String =
+    """WITH d AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+      |    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS cents,
+      |    date_diff('day', DATE '1970-01-01', CAST(strftime(ts, '%Y-%m-%d') AS DATE)) AS day_idx
+      |  FROM events GROUP BY 1, 2, 4
+      |)
+      |SELECT day, event_type, cents,
+      |  CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY day_idx
+      |       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma7_cents,
+      |  COUNT(*) OVER (PARTITION BY event_type ORDER BY day_idx
+      |       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_days
+      |FROM d ORDER BY day, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e08_funnel" -> (e08Funnel _),
     "e09_retention" -> (e09Retention _),
+    "e10_moving_window" -> (e10MovingWindow _),
     "e06_asof_join" -> (e06AsofJoin _),
     "e07_range_join" -> (e07RangeJoin _),
     "e05_session_stats" -> (e05SessionStats _),
@@ -356,6 +395,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "e08_funnel" -> e08Oracle,
     "e09_retention" -> e09Oracle,
+    "e10_moving_window" -> e10Oracle,
     "e06_asof_join" -> e06Oracle,
     "e07_range_join" -> e07Oracle,
     "e05_session_stats" -> e05Oracle,
