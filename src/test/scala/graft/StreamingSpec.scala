@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.{Sessionize, Streams}
+import graft.streaming.{FunnelStream, Sessionize, Streams}
 
 /** Structured Streaming semantics: windowed stats, alerts, dedup, and
   * stateful sessionization via MemoryStream → memory sink.
@@ -119,6 +119,47 @@ class StreamingSpec extends SparkSpecBase {
       assert(n == 2)
       assert(start == Timestamp.valueOf("2024-01-01 00:00:20"))
       assert(end == Timestamp.valueOf("2024-01-01 00:00:30"), s"late event shrank last to $end")
+    } finally out.stop()
+  }
+
+  test("funnel stream: completion emits and clears; silence emits the drop-off row") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Sessionize.Ev]
+    val out = FunnelStream.progress(
+      in.toDS(), steps = Seq("view", "click", "purchase"),
+      idleMs = 60000L, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("funnelstream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // u1 completes across two batches; u2 stalls after view+click;
+      // same-batch disorder (click before view in arrival order, same
+      // batch) heals via the (ts, step) sort
+      in.addData(
+        Sessionize.Ev(1L, ts("2024-01-01 00:00:10"), "click", 0.0),
+        Sessionize.Ev(1L, ts("2024-01-01 00:00:05"), "view", 0.0),
+        Sessionize.Ev(2L, ts("2024-01-01 00:00:07"), "view", 0.0))
+      out.processAllAvailable()
+      in.addData(
+        Sessionize.Ev(1L, ts("2024-01-01 00:00:20"), "purchase", 0.0),
+        Sessionize.Ev(2L, ts("2024-01-01 00:00:21"), "click", 0.0))
+      out.processAllAvailable()
+      val done = spark.table("funnelstream")
+        .filter($"completed").as[FunnelStream.FunnelOut].collect()
+      assert(done.length == 1)
+      assert(done(0).userId == 1L && done(0).stepsCompleted == 3)
+      assert(done(0).firstTs == ts("2024-01-01 00:00:05"))
+      assert(done(0).lastTs == ts("2024-01-01 00:00:20"))
+      // far-future event pushes the watermark past u2's idle deadline
+      in.addData(Sessionize.Ev(9L, ts("2024-01-01 05:00:00"), "view", 0.0))
+      out.processAllAvailable()
+      val dropped = spark.table("funnelstream")
+        .filter(!$"completed" && $"userId" === 2L)
+        .as[FunnelStream.FunnelOut].collect()
+      assert(dropped.length == 1)
+      assert(dropped(0).stepsCompleted == 2, "u2 dropped off after view+click")
+      // completion CLEARED u1: no drop-off row for them at timeout
+      assert(spark.table("funnelstream")
+        .filter(!$"completed" && $"userId" === 1L).count() == 0)
     } finally out.stop()
   }
 
