@@ -923,7 +923,43 @@ object TextQueries {
        |  md5(array_to_string(ctoks, ' ')) AS chunk_fp
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** TF-IDF keyword extraction ([[graft.operators.Tfidf.topTerms]]):
+    * top-3 terms per document with micro-rounded scores. The oracle
+    * replays tf, df, N, every ln term, and the (score desc, term)
+    * ranking bit-for-bit.
+    */
+  def t14TfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Tfidf.topTerms(docs(s, dir), col("doc_id"), col("text"), k = 3)
+      .orderBy("doc_id", "rank")
+
+  val t14Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckToksNorm AS toks FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+       |), tok AS (
+       |  SELECT doc_id, unnest(toks) AS term FROM d
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+       |), dft AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |), nn AS (
+       |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf
+       |), s AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+       |    CAST(ROUND(CAST(tf.tf AS DOUBLE) *
+       |      ln(CAST(nn.n + 1 AS DOUBLE) / (CAST(dft.df AS DOUBLE) + 1.0)) *
+       |      1000000.0) AS BIGINT) AS score_micro
+       |  FROM tf JOIN dft USING (term) CROSS JOIN nn
+       |), r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score_micro DESC, term) AS rnk FROM s
+       |)
+       |SELECT doc_id, CAST(rnk AS INT) AS rank, term, tf, df, score_micro
+       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_tfidf_keywords" -> (t14TfidfKeywords _),
     "t13_chunking" -> (t13Chunking _),
     "t12_quality_clf" -> (t12QualityClf _),
     "t11_bpe_tokens" -> (t11BpeTokens _),
@@ -946,6 +982,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t14_tfidf_keywords" -> t14Oracle,
     "t13_chunking" -> t13Oracle,
     "t12_quality_clf" -> t12Oracle,
     "t11_bpe_tokens" -> t11Oracle,

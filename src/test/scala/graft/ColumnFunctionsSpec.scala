@@ -1007,6 +1007,32 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(run(bc = false) === got, "shuffle-join fallback must agree")
   }
 
+  test("tfidf topTerms: hand-computed scores, rare terms outrank common, plan broadcasts DF") {
+    import graft.operators.Tfidf
+    // 3 docs, N = 3: "common" in all (df 3), "rare" only in doc 1 (df 1)
+    val docs = Seq(
+      (1L, "common rare rare"),
+      (2L, "common other"),
+      (3L, "common thing")).toDF("doc_id", "text")
+    def micro(tf: Long, df: Long): Long =
+      math.round(tf.toDouble * math.log(4.0 / (df + 1.0)) * 1000000.0)
+    val out = Tfidf.topTerms(docs, col("doc_id"), col("text"), k = 2)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got((1L, 1)) === (("rare", 2L, 1L, micro(2, 1))))
+    // "common" has df 3 → ln(4/4) = 0 exactly; still ranked (ties by term)
+    assert(got((1L, 2)) === (("common", 1L, 3L, 0L)))
+    assert(got((2L, 1)) === (("other", 1L, 1L, micro(1, 1))))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "DF table must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "no term-keyed corpus shuffle join")
+    // bit-identical under repartitioning
+    val a = Tfidf.topTerms(docs.repartition(5), col("doc_id"), col("text"), k = 2)
+      .collect().map(_.toSeq).toSet
+    assert(a === out.collect().map(_.toSeq).toSet)
+  }
+
   test("t07 repetition signals: crafted bigram histograms") {
     val docs = Seq(
       (1L, "a b a b a b"),   // toks 6, distinct 2; grams: "a b"×3, "b a"×2 → top 3/5
