@@ -52,6 +52,34 @@ object Ann {
         col("e.sim").as("sim"))
   }
 
+  /** Majority-vote kNN classification over any knn-family output
+    * ((q_id, b_id, rank, sim) rows): each query takes the most common
+    * label among its neighbors, ties broken by the smaller label — a
+    * total order, so the prediction is unique and engine-replayable.
+    *
+    * Scale shape: the NEIGHBOR PAIRS are the bounded side (queries ×
+    * k rows) and broadcast; `labels` — the corpus — streams through
+    * one broadcast-hash-join scan, never shuffles, and the vote
+    * aggregation is result-sized. Output: (q_id, pred_label, votes).
+    * Neighbors whose id is missing from `labels` (or whose label is
+    * null) simply cast no vote; a query with zero labeled neighbors
+    * emits no row.
+    */
+  def majorityVote(
+      nn: DataFrame, labels: DataFrame,
+      labelId: Column, label: Column): DataFrame = {
+    val pairs = nn.select(col("q_id"), col("b_id"))
+    val lb = labels.select(labelId.as("b_id"), label.as("label"))
+      .filter(col("label").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("votes").desc, col("label"))
+    lb.join(broadcast(pairs), "b_id")
+      .groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` must be broadcast-sized (it is hint-broadcast).
     */

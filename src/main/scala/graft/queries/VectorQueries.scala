@@ -837,7 +837,92 @@ object VectorQueries {
 
   val v20Oracle: String = selfVerifyingKnnOracle("v20_knn_opq", k = 5)
 
+  /** kNN majority-vote classification ([[graft.operators.Ann.majorityVote]]
+    * over exact [[Ann.knnBruteForce]] neighbors): each unlabeled query
+    * takes the most common label among its 5 nearest labeled vectors
+    * (ties → smaller label). The dump carries BOTH the neighbor rows
+    * (with their labels) and the votes, so the oracle proves (a) every
+    * neighbor sim is the true strict-fold cosine and its label the true
+    * label, (b) ranks are the (sim desc)-consistent 1..5 with exactly 5
+    * per valid query (the exact-knn contract), and (c) each vote row is
+    * EXACTLY the majority of the dumped neighbors under the documented
+    * tie-break — the classification replayed end to end.
+    */
+  def v21KnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val base = e.filter(col("vec_id") >= 10)
+    val qs = e.filter(col("vec_id") < 10)
+    val nn = graft.operators.Dedup.scopedCache(Ann.knnBruteForce(
+      base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"), k = 5))
+    // pairs broadcast, corpus streams — the majorityVote posture
+    val nnRows = base.select(col("vec_id").as("b_id"), col("label"))
+      .join(broadcast(nn), "b_id")
+      .select(lit("nn").as("kind"), col("q_id"), col("b_id"), col("rank"),
+        col("sim"), col("label"), lit(null).cast("long").as("votes"))
+    val voteRows = graft.operators.Ann
+      .majorityVote(nn, base, col("vec_id"), col("label"))
+      .select(lit("vote").as("kind"), col("q_id"), lit(-1L).as("b_id"),
+        lit(-1).as("rank"), lit(null).cast("double").as("sim"),
+        col("pred_label").as("label"), col("votes"))
+    nnRows.unionByName(voteRows).orderBy("kind", "q_id", "rank", "b_id")
+  }
+
+  val v21Oracle: String = {
+    val want = s"${duckDot("b_emb", "q_emb")} / (${duckNorm("b_emb")} * ${duckNorm("q_emb")})"
+    s"""WITH d AS (
+       |  SELECT kind, q_id, b_id, "rank", sim, label, votes
+       |  FROM read_parquet('__GRAFT_OUT__/v21_knn_classify/*.parquet')
+       |), nn AS (SELECT q_id, b_id, "rank", sim, label FROM d WHERE kind = 'nn'),
+       |vt AS (SELECT q_id, label, votes FROM d WHERE kind = 'vote'),
+       |chk AS (
+       |  SELECT nn.q_id, nn.b_id, nn."rank", nn.sim, nn.label,
+       |    $want AS want, b.label AS true_label
+       |  FROM nn
+       |  JOIN (SELECT vec_id, embedding AS q_emb FROM embeddings) q ON q.vec_id = nn.q_id
+       |  JOIN (SELECT vec_id, embedding AS b_emb, label FROM embeddings) b ON b.vec_id = nn.b_id
+       |), badnn AS (
+       |  SELECT (SELECT COUNT(*) FROM nn) - (SELECT COUNT(*) FROM chk) +
+       |         (SELECT COUNT(*) FROM chk
+       |          WHERE sim IS DISTINCT FROM want OR label IS DISTINCT FROM true_label
+       |             OR "rank" < 1 OR "rank" > 5) AS n
+       |), badorder AS (
+       |  SELECT COUNT(*) AS n FROM (
+       |    SELECT "rank", row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, "rank") AS rn
+       |    FROM nn) WHERE "rank" <> rn
+       |), badcnt AS (
+       |  SELECT COUNT(*) AS n FROM (SELECT q_id, COUNT(*) AS c FROM nn GROUP BY q_id)
+       |  WHERE c <> 5
+       |), cov AS (
+       |  SELECT COUNT(*) AS n FROM embeddings e
+       |  WHERE e.vec_id < 10 AND ${duckNorm("e.embedding")} > 0
+       |    AND e.vec_id NOT IN (SELECT q_id FROM nn)
+       |), winner AS (
+       |  SELECT q_id, label, votes FROM (
+       |    SELECT q_id, label, CAST(COUNT(*) AS BIGINT) AS votes,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY COUNT(*) DESC, label) AS rn
+       |    FROM nn WHERE label IS NOT NULL GROUP BY q_id, label)
+       |  WHERE rn = 1
+       |), badvote AS (
+       |  SELECT (SELECT COUNT(*) FROM
+       |            ((SELECT * FROM winner) EXCEPT (SELECT q_id, label, votes FROM vt))) +
+       |         (SELECT COUNT(*) FROM
+       |            ((SELECT q_id, label, votes FROM vt) EXCEPT (SELECT * FROM winner))) AS n
+       |), gate AS (
+       |  SELECT (SELECT n FROM badnn) = 0 AND (SELECT n FROM badorder) = 0
+       |     AND (SELECT n FROM badcnt) = 0 AND (SELECT n FROM cov) = 0
+       |     AND (SELECT n FROM badvote) = 0 AS ok
+       |)
+       |SELECT kind, q_id, b_id, "rank", sim, label, votes FROM d
+       |WHERE (SELECT ok FROM gate)
+       |UNION ALL
+       |SELECT '__gate_failed', -1, -1, -1, CAST(NULL AS DOUBLE),
+       |       CAST(NULL AS INT), CAST(NULL AS BIGINT)
+       |WHERE NOT (SELECT ok FROM gate)
+       |ORDER BY kind, q_id, "rank", b_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v21_knn_classify" -> (v21KnnClassify _),
     "v20_knn_opq" -> (v20KnnOpq _),
     "v19_knn_pca" -> (v19KnnPca _),
     "v18_pca_project" -> (v18PcaProject _),
@@ -862,6 +947,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "v21_knn_classify" -> v21Oracle,
     "v20_knn_opq" -> v20Oracle,
     "v19_knn_pca" -> v19Oracle,
     "v18_pca_project" -> v18Oracle,

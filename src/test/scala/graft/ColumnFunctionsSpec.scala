@@ -1007,6 +1007,20 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     assert(run(bc = false) === got, "shuffle-join fallback must agree")
   }
 
+  test("majorityVote: counts, smaller-label tie-break, null labels cast no vote") {
+    import graft.operators.Ann
+    val nn = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),          // labels 1,2,2 → pred 2
+      (2L, 10L), (2L, 13L),                     // 1 + null → pred 1
+      (3L, 10L), (3L, 11L)).toDF("q_id", "b_id") // 1 vs 2 tie → smaller label 1
+    val labels = Seq(
+      (10L, Some(1)), (11L, Some(2)), (12L, Some(2)), (13L, Option.empty[Int]))
+      .toDF("vec_id", "label")
+    val got = Ann.majorityVote(nn, labels, col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((2, 2L)), 2L -> ((1, 1L)), 3L -> ((1, 1L))))
+  }
+
   test("tfidf topTerms: hand-computed scores, rare terms outrank common, plan broadcasts DF") {
     import graft.operators.Tfidf
     // 3 docs, N = 3: "common" in all (df 3), "rare" only in doc 1 (df 1)
