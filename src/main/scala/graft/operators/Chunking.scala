@@ -53,4 +53,34 @@ object Chunking {
         array_join(col("ctoks"), " ").as("chunk_text"))
       .withColumn("chunk_fp", md5(col("chunk_text")))
   }
+
+  /** Chunk-level duplication profile — the fine-grained dup report
+    * whole-document fingerprints miss: a long document that embeds a
+    * duplicated boilerplate block hashes unique as a whole, but its
+    * CHUNKS give it away. Per document: how many of its chunks'
+    * fingerprints appear in at least one OTHER document, and the
+    * share. (Modern pipelines dedup long documents at exactly this
+    * granularity; NON-overlapping windows — stride = window — so a
+    * shared block isn't multiply counted by overlap.)
+    *
+    * Scale shape: [[chunk]]'s narrow fan-out, then one fp-keyed
+    * aggregation for the cross-doc counts (map-side partials absorb
+    * hot boilerplate fingerprints) and one doc-keyed rollup. The
+    * cross-doc test is `count_distinct(doc_id) > 1` folded into the
+    * same fp aggregation — no self-join.
+    */
+  def chunkDupShare(
+      df: DataFrame, id: Column, text: Column, window: Int): DataFrame = {
+    val chunks = chunk(df, id, text, window, stride = window)
+      .select(col("doc_id"), col("chunk_fp"))
+    val fpDocs = chunks.distinct() // a doc's own repeats are not "cross-doc"
+      .groupBy("chunk_fp").agg(count(lit(1)).as("n_docs"))
+    chunks
+      .join(fpDocs, "chunk_fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_share",
+        col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
 }

@@ -265,7 +265,46 @@ object DedupQueries {
        |FROM ex e LEFT JOIN rep r ON e.span = r.span
        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
 
+  /** Chunk-level duplication share
+    * ([[graft.operators.Chunking.chunkDupShare]]): per document, the
+    * share of its NON-overlapping 32-token chunks whose fingerprint
+    * appears in at least one other document — the fine-grained dup
+    * profile whole-doc fingerprints (d01) miss. Fully replayable:
+    * chunking, md5 fingerprints, cross-doc counts, and the division.
+    */
+  def d09ChunkDupShare(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.chunkDupShare(
+      docs(s, dir), col("doc_id"), col("text"), window = 32)
+      .orderBy("doc_id")
+
+  val d09Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, ${DuckOracle.toksNorm} AS toks FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+       |), n AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    CASE WHEN len(toks) <= 32 THEN 1
+       |         ELSE (len(toks) - 32 + 32 - 1) // 32 + 1 END AS n_chunks
+       |  FROM d
+       |), c AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(toks[g.i * 32 + 1 : LEAST(g.i * 32 + 32, n)], ' ')) AS fp
+       |  FROM n, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+       |), fd AS (
+       |  SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM (SELECT DISTINCT doc_id, fp FROM c) GROUP BY fp
+       |), per AS (
+       |  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |    CAST(SUM(CASE WHEN fd.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+       |  FROM c JOIN fd USING (fp) GROUP BY c.doc_id
+       |)
+       |SELECT doc_id, n_chunks, n_dup_chunks,
+       |  CAST(n_dup_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE) AS dup_share
+       |FROM per ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d09_chunk_dup_share" -> (d09ChunkDupShare _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_jaccard_pairs" -> (d02JaccardPairs _),
     "d03_minhash_lsh" -> (d03MinhashLsh _),
@@ -276,6 +315,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "d09_chunk_dup_share" -> d09Oracle,
     "d01_exact_dedup" -> d01Oracle,
     "d02_jaccard_pairs" -> d02Oracle,
     "d03_minhash_lsh" -> d03Oracle,

@@ -77,6 +77,25 @@ class ChunkingSpec extends SparkSpecBase {
       Chunking.chunk(df, col("doc_id"), col("text"), window = 0, stride = 1))
   }
 
+  test("chunkDupShare: shared blocks flagged, own repeats are not cross-doc") {
+    val block = (1 to 4).map(i => s"b$i").mkString(" ") // one full 4-token chunk
+    val df = Seq(
+      // doc 1: shared block + unique tail chunk
+      (1L, s"$block u1 u2 u3 u4"),
+      // doc 2: the same block twice (own repeat) + unique chunk
+      (2L, s"$block $block v1 v2 v3 v4"),
+      // doc 3: fully unique
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    val got = Chunking.chunkDupShare(df, col("doc_id"), col("text"), window = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc1: 2 chunks, block is cross-doc → 1 dup
+    assert(got(1L) === ((2L, 1L, 0.5)))
+    // doc2: 3 chunks, BOTH block copies count as dup rows (the block IS
+    // cross-doc); the repeat alone would not have made it one
+    assert(got(2L) === ((3L, 2L, 2.0 / 3.0)))
+    assert(got(3L) === ((2L, 0L, 0.0)))
+  }
+
   test("plan shape: narrow — no shuffle at any corpus size") {
     val df = (1 to 100).map(i => (i.toLong, s"a b c d e f g h i$i")).toDF("doc_id", "text")
     val plan = Chunking.chunk(df, col("doc_id"), col("text"), window = 4, stride = 2)
