@@ -508,6 +508,50 @@ object RelationalQueries {
       .orderBy("key")
   }
 
+  /** Multi-level aggregation via ROLLUP — the grouping-sets surface:
+    * (flag, status) subtotals, per-flag subtotals, and the grand total
+    * in ONE aggregation pass (Catalyst expands the grouping sets; at
+    * scale this is one shuffle, not three queries). `grouping_id`
+    * disambiguates rollup-nulls from data-nulls and gives the
+    * engine-independent sort key. Money in integer cents.
+    */
+  def q30Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"))
+      .select("gid", "l_returnflag", "l_linestatus", "n", "sum_cents")
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
+  val q30Oracle: String =
+    """SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+      |  l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  /** Wide-format pivot — `groupBy.pivot` with EXPLICIT pivot values
+    * (the scale contract: implicit values cost a distinct-scan job and
+    * make the output schema data-dependent, which no downstream job
+    * can bind to). One aggregation pass; money in integer cents.
+    */
+  def q31Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")))
+      .select(col("l_returnflag"),
+        col("F").as("f_cents"), col("O").as("o_cents"))
+      .orderBy("l_returnflag")
+
+  val q31Oracle: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) END) AS BIGINT) AS f_cents,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) END) AS BIGINT) AS o_cents
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val q28Oracle: String = {
     val h = DuckOracle.h60("CAST(l_orderkey AS VARCHAR)")
     """WITH h AS (
@@ -711,6 +755,8 @@ object RelationalQueries {
     "q25_sample_quantiles" -> (q25SampleQuantiles _),
     "q23_kmv_merge" -> (q23KmvMerge _),
     "q28_kmv_overlap" -> (q28KmvOverlap _),
+    "q30_rollup" -> (q30Rollup _),
+    "q31_pivot" -> (q31Pivot _),
     "q22_kmv_distinct" -> (q22KmvDistinct _),
     "q21_salted_flag_join" -> (q21SaltedFlagJoin _),
     "q19_top_per_priority" -> (q19TopPerPriority _),
@@ -740,6 +786,8 @@ object RelationalQueries {
     "q25_sample_quantiles" -> q25Oracle,
     "q23_kmv_merge" -> q23Oracle,
     "q28_kmv_overlap" -> q28Oracle,
+    "q30_rollup" -> q30Oracle,
+    "q31_pivot" -> q31Oracle,
     "q22_kmv_distinct" -> q22Oracle,
     "q21_salted_flag_join" -> q21Oracle,
     "q19_top_per_priority" -> q19Oracle,
