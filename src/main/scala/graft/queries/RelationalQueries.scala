@@ -546,6 +546,30 @@ object RelationalQueries {
         col("F").as("f_cents"), col("O").as("o_cents"))
       .orderBy("l_returnflag")
 
+  /** Wide→long melt via Spark 4 `unpivot` — the inverse surface of
+    * q31: melt the pivoted frame back to (flag, status, cents) rows.
+    * unpivot(pivot(x)) must equal the plain grouped rollup, which is
+    * exactly what the oracle computes — the round trip is the gate.
+    * (`unpivot` drops null cells by contract; every (flag, status)
+    * cell is populated here, so the melt is lossless.)
+    */
+  def q32Unpivot(s: SparkSession, dir: String): DataFrame =
+    q31Pivot(s, dir)
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("f_cents"), col("o_cents")),
+        "status_col", "cents")
+      .withColumn("l_linestatus",
+        when(col("status_col") === "f_cents", "F").otherwise("O"))
+      .select("l_returnflag", "l_linestatus", "cents")
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q32Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val q31Oracle: String =
     """SELECT l_returnflag,
       |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) END) AS BIGINT) AS f_cents,
@@ -757,6 +781,7 @@ object RelationalQueries {
     "q28_kmv_overlap" -> (q28KmvOverlap _),
     "q30_rollup" -> (q30Rollup _),
     "q31_pivot" -> (q31Pivot _),
+    "q32_unpivot" -> (q32Unpivot _),
     "q22_kmv_distinct" -> (q22KmvDistinct _),
     "q21_salted_flag_join" -> (q21SaltedFlagJoin _),
     "q19_top_per_priority" -> (q19TopPerPriority _),
@@ -788,6 +813,7 @@ object RelationalQueries {
     "q28_kmv_overlap" -> q28Oracle,
     "q30_rollup" -> q30Oracle,
     "q31_pivot" -> q31Oracle,
+    "q32_unpivot" -> q32Oracle,
     "q22_kmv_distinct" -> q22Oracle,
     "q21_salted_flag_join" -> q21Oracle,
     "q19_top_per_priority" -> q19Oracle,
