@@ -87,6 +87,40 @@ class FunnelSpec extends SparkSpecBase {
         col("user_id"), col("ts_us"), col("event_type") === "signup", bucketUs = 0L))
   }
 
+  test("property: the fold equals the chained-conditional-MIN recurrence on random streams") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // the THEOREM the e08 oracle leans on, checked directly: greedy
+    // sorted-array advance ≡ T₀ = min ts(step0); Tₖ = min{ts : step k,
+    // ts ≥ Tₖ₋₁} — including heavy ts ties and missing steps
+    val evGen = Gen.listOfN(30, for {
+      u <- Gen.choose(1L, 4L)
+      t <- Gen.choose(1L, 12L) // small range forces ts collisions
+      s <- Gen.oneOf("a", "b", "c", "x")
+    } yield (u, t, s))
+    def refRecurrence(evs: Seq[(Long, String)]): (Int, Option[Long], Option[Long]) = {
+      val byStep = Map("a" -> 0, "b" -> 1, "c" -> 2)
+      val stepEvs = evs.flatMap { case (t, s) => byStep.get(s).map(i => (t, i)) }
+      val t0 = stepEvs.collect { case (t, 0) => t }.minOption
+      val t1 = t0.flatMap(p => stepEvs.collect { case (t, 1) if t >= p => t }.minOption)
+      val t2 = t1.flatMap(p => stepEvs.collect { case (t, 2) if t >= p => t }.minOption)
+      val done = Seq(t0, t1, t2).takeWhile(_.isDefined).length
+      (done, t0, t2)
+    }
+    val prop = Prop.forAll(evGen) { rows =>
+      val got = run(rows)
+      rows.groupBy(_._1).forall { case (u, evs) =>
+        if (evs.forall(e => !Seq("a", "b", "c").contains(e._3)))
+          !got.contains(u) // no step events → no row
+        else got.get(u).contains(refRecurrence(evs.map(e => (e._2, e._3))))
+      }
+    }
+    // each sample is a Spark job — 25 random streams with forced ts
+    // collisions cover the tie/missing-step space without minutes of
+    // job overhead
+    assert(check(Parameters.default.withMinSuccessfulTests(25), prop).passed)
+  }
+
   test("duplicate step names and empty steps are refused") {
     val df = Seq((1L, 1L, "a")).toDF("user_id", "ts_us", "event_type")
     intercept[IllegalArgumentException](
