@@ -45,6 +45,17 @@ object Bpe {
     @transient lazy val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
     def vocabSize: Int = merges.size
+    // driver-assigned memo identity: a 32-bit CONTENT hash of the merge
+    // table could collide across two different models inside one
+    // long-lived executor JVM and silently cross-contaminate cached
+    // segmentations; a process-unique counter cannot. (Two model
+    // instances with identical merges get distinct uids — only cache
+    // sharing is lost, never correctness.)
+    val uid: Long = BpeModel.nextUid.getAndIncrement()
+  }
+
+  object BpeModel {
+    private val nextUid = new java.util.concurrent.atomic.AtomicLong(0L)
   }
 
   /** Learn `numMerges` merges from the corpus. `maxWords` caps the
@@ -152,14 +163,15 @@ object Bpe {
   }
 
   // per-JVM Zipf memo: word → segmentation, shared across tasks of the
-  // same model (keyed by the model's merge table identity hash so two
-  // models never cross-contaminate); bounded by wipe-on-overflow
+  // same model (keyed by the model's driver-assigned unique uid so two
+  // models never cross-contaminate — a content hashCode could collide);
+  // bounded by wipe-on-overflow
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[String]]()
+    new java.util.concurrent.ConcurrentHashMap[(Long, String), Array[String]]()
   private val MemoCap = 1 << 20
 
   private def encodeCached(
-      word: String, modelKey: Int,
+      word: String, modelKey: Long,
       ranks: Map[(String, String), Int]): Array[String] = {
     val k = (modelKey, word)
     val hit = memo.get(k)
@@ -180,7 +192,7 @@ object Bpe {
       df: DataFrame, text: Column, model: BpeModel,
       outCol: String = "bpe_tokens"): DataFrame = {
     val ranks = model.ranks
-    val modelKey = model.merges.hashCode()
+    val modelKey = model.uid
     val enc = udf { words: Seq[String] =>
       if (words == null) Seq.empty[String]
       else words.flatMap(w =>

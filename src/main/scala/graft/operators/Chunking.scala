@@ -63,23 +63,46 @@ object Chunking {
     * granularity; NON-overlapping windows — stride = window — so a
     * shared block isn't multiply counted by overlap.)
     *
-    * Scale shape: [[chunk]]'s narrow fan-out, then one fp-keyed
-    * aggregation for the cross-doc counts (map-side partials absorb
-    * hot boilerplate fingerprints) and one doc-keyed rollup. The
-    * cross-doc test is `count_distinct(doc_id) > 1` folded into the
-    * same fp aggregation — no self-join.
+    * Scale shape: [[chunk]]'s narrow fan-out collapses straight to
+    * per-(doc, fp) instance counts (map-side partials absorb within-doc
+    * repeats), the cross-doc fp table derives from THAT (one more
+    * count — no distinct pass), and the fp-count attach is skew-split:
+    * a fp's fact-side row count IS its n_docs, so fingerprints at or
+    * above `hotMinDocs` — the boilerplate block shared by millions of
+    * documents that would flood one reducer of a plain shuffle join —
+    * form a BOUNDED set (≤ rows/hotMinDocs) that broadcast-joins
+    * shuffle-free, while the cold remainder (≤ hotMinDocs rows per key
+    * by construction) takes the ordinary equi-join. Broadcasting the
+    * hot slice beats salting it ([[ScaleJoins.saltedJoin]]): the
+    * attached side is one row per key, so there is no replication cost
+    * and the hot keys leave the shuffle entirely. The doc-keyed rollup
+    * shuffles on doc_id, which a hot FP does not skew.
     */
   def chunkDupShare(
-      df: DataFrame, id: Column, text: Column, window: Int): DataFrame = {
-    val chunks = chunk(df, id, text, window, stride = window)
-      .select(col("doc_id"), col("chunk_fp"))
-    val fpDocs = chunks.distinct() // a doc's own repeats are not "cross-doc"
+      df: DataFrame, id: Column, text: Column, window: Int,
+      hotMinDocs: Int = 100000): DataFrame = {
+    require(hotMinDocs >= 2,
+      s"hotMinDocs must be >= 2 (a hot fp is by definition cross-doc), got $hotMinDocs")
+    // instances of each fp per doc; a doc's own repeats collapse here
+    // and are not "cross-doc". Cached ([[Dedup.scopedCache]]): it feeds
+    // the fp-count derivation AND both attach branches — uncached, the
+    // tokenize+chunk fan-out would replay three times.
+    val perDocFp = Dedup.scopedCache(
+      chunk(df, id, text, window, stride = window)
+        .groupBy("doc_id", "chunk_fp").agg(count(lit(1)).as("c")))
+    val fpDocs = perDocFp
       .groupBy("chunk_fp").agg(count(lit(1)).as("n_docs"))
-    chunks
-      .join(fpDocs, "chunk_fp")
+    val hot = fpDocs.filter(col("n_docs") >= hotMinDocs)
+    val cold = fpDocs.filter(col("n_docs") < hotMinDocs)
+    val tagged = perDocFp.join(broadcast(hot), Seq("chunk_fp"), "left")
+    val attached = tagged.filter(col("n_docs").isNotNull)
+      .unionByName(
+        tagged.filter(col("n_docs").isNull).drop("n_docs")
+          .join(cold, Seq("chunk_fp")))
+    attached
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .agg(sum(col("c")).as("n_chunks"),
+        sum(when(col("n_docs") > 1, col("c")).otherwise(0L)).as("n_dup_chunks"))
       .withColumn("dup_share",
         col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
   }

@@ -54,17 +54,31 @@ object Packing {
         "(thousands at 100 TB), not to the shard count")
     else None
 
+  /** The cluster-derived [[packShards]] `nBuckets` default (the 0
+    * sentinel): max of core parallelism and the session's shuffle
+    * width, so the shipped default saturates whatever cluster runs it
+    * — a fixed literal here would be the exact anti-pattern
+    * [[bucketSizingWarning]] exists to flag. Callers pass an explicit
+    * nBuckets only when the bucket layout itself is part of the
+    * contract (reproducing a published recipe's shard map).
+    */
+  private def derivedBuckets(df: DataFrame): Int =
+    math.max(
+      df.sparkSession.sparkContext.defaultParallelism,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+
   def packShards(
       df: DataFrame,
       id: Column,
       tokens: Column,
       budget: Long,
-      nBuckets: Int,
+      nBuckets: Int = 0,
       salt: String): DataFrame = {
     require(budget > 0, s"shard token budget must be positive, got $budget")
-    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(nBuckets >= 0, s"nBuckets must be positive (or 0 = derive from the cluster), got $nBuckets")
+    val nb = if (nBuckets == 0) derivedBuckets(df) else nBuckets
     bucketSizingWarning(
-      nBuckets, df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      nb, df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
       .foreach(org.slf4j.LoggerFactory.getLogger(getClass).warn(_))
     val key = Hashing.h60(concat(lit(salt + ":"), id.cast("string")))
     // doc_id tiebreak: h60 collisions must not make the order ambiguous
@@ -72,7 +86,7 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(id.as("doc_id"), tokens.cast("long").as("n_tokens"))
       .withColumn("__key", key)
-      .withColumn("bucket", pmod(col("__key"), lit(nBuckets.toLong)))
+      .withColumn("bucket", pmod(col("__key"), lit(nb.toLong)))
       .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("shard", floor(col("start_tok") / budget))
       .drop("__key")
@@ -116,7 +130,7 @@ object Packing {
       id: Column,
       tokens: Column,
       budget: Long,
-      nBuckets: Int,
+      nBuckets: Int = 0,
       salt: String,
       path: String,
       payload: Seq[Column] = Nil,

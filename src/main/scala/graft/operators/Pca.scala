@@ -196,18 +196,19 @@ object Pca {
       .filter(col("b_nrm") > 0)
     val m = model.getOrElse(fitUnit(b0, col("b_id"), col("b_emb"), dims, maxFit))
     // unit-sphere projection + hoisted reduced-space squared norm; a
-    // dimension-mismatched vector yields null coords (vec_dot) and is
-    // dropped like every knn entry point's dim gate
+    // dimension-mismatched BASE vector yields null coords (vec_dot) and
+    // keeps the documented null-cell drop — but ragged QUERIES fail
+    // LOUDLY (Ann.requireQueryDim, the Opq.knnOpq contract): silently
+    // projecting them to null and serving "no neighbors" is the worst
+    // failure mode for a correctness-first knn entry point
     val b = Dedup.scopedCache(
       projectUnit(b0, col("b_emb"), col("b_nrm"), m, "bp")
         .filter(col("bp").getItem(0).isNotNull)
         .withColumn("bp2", graft.functions.Vectors.dot(col("bp"), col("bp"))))
+    val q0 = Ann.validQueries(queries, qId, qVec)
+    Ann.requireQueryDim(q0, m.inputDim)
     val q = Dedup.scopedCache(
-      projectUnit(
-        queries.select(qId.as("q_id"), qVec.as("q_emb"))
-          .withColumn("qp_nrm", graft.functions.Vectors.norm2(col("q_emb")))
-          .filter(col("qp_nrm") > 0),
-        col("q_emb"), col("qp_nrm"), m, "qp")
+      projectUnit(q0, col("q_emb"), col("qp_nrm"), m, "qp")
         .filter(col("qp").getItem(0).isNotNull)
         .withColumn("qp2", graft.functions.Vectors.dot(col("qp"), col("qp"))))
     val scored = b.select("b_id", "bp", "bp2")

@@ -551,7 +551,7 @@ object CurationQueries {
   def c08FullRecipe(s: SparkSession, dir: String): DataFrame =
     graft.operators.Packing.packShards(
       curatedDocs(s, dir), col("doc_id"), col("n_tokens"),
-      budget = 512L, nBuckets = 4, salt = "recipe-pack")
+      budget = 512L, nBuckets = 8, salt = "recipe-pack")
       .groupBy("bucket", "shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
       .orderBy("bucket", "shard")
@@ -588,8 +588,8 @@ object CurationQueries {
        |  WHERE $hSamp % 1000000 <
        |    CASE lang WHEN 'en' THEN 500000 ELSE 1000000 END
        |), p AS (
-       |  SELECT doc_id, n_tokens, key % 4 AS bucket,
-       |    CAST(SUM(n_tokens) OVER (PARTITION BY key % 4 ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_tok
+       |  SELECT doc_id, n_tokens, key % 8 AS bucket,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY key % 8 ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_tok
        |  FROM (SELECT *, $hPack AS key FROM samp)
        |)""".stripMargin
   }
@@ -620,7 +620,7 @@ object CurationQueries {
     val curated = graft.operators.Dedup.scopedCache(curatedDocs(s, dir))
     graft.operators.Packing.writeShards(
       curated, col("doc_id"), col("n_tokens"),
-      budget = 4096L, nBuckets = 4, salt = "recipe-pack", path = out,
+      budget = 4096L, nBuckets = 8, salt = "recipe-pack", path = out,
       payload = Seq(col("lang"), col("text")))
     s.read.parquet(out)
       .groupBy(col("bucket").cast("long").as("bucket"), col("shard").cast("long").as("shard"))

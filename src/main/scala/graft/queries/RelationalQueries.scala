@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -532,6 +532,59 @@ object RelationalQueries {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  /** GENERAL grouping sets — the surface ROLLUP (q30) cannot express:
+    * a NON-hierarchical mix of set shapes in one aggregation pass —
+    * (flag, status) cells, per-ship-year subtotals on an unrelated
+    * dimension, and the grand total. Catalyst expands the sets and
+    * shuffles ONCE (the same Expand+Aggregate plan as rollup); three
+    * separate queries would scan and shuffle the fact table three
+    * times. `grouping_id` disambiguates grouped-out nulls from
+    * data-nulls exactly as in q30 (MSB = first listed column).
+    */
+  def q33GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")).cast("int"))
+      .groupingSets(
+        Seq(
+          Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("ship_year")),
+          Seq.empty[Column]),
+        col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_cents"))
+      .select("gid", "l_returnflag", "l_linestatus", "ship_year", "n", "sum_cents")
+      .orderBy("gid", "l_returnflag", "l_linestatus", "ship_year")
+
+  val q33Oracle: String =
+    """SELECT CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2 + GROUPING(ship_year) AS INT) AS gid,
+      |  l_returnflag, l_linestatus, ship_year, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM (SELECT *, CAST(year(l_shipdate) AS INT) AS ship_year FROM lineitem)
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
+      |ORDER BY gid, l_returnflag, l_linestatus, ship_year""".stripMargin
+
+  /** CUBE — grouping sets' degenerate "every subset" case, on the
+    * orders dims: (status, priority), each alone, and the grand total
+    * in one Expand+Aggregate pass. Same gid/cents contracts as q30/q33.
+    */
+  def q34Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      .select("gid", "o_orderstatus", "o_orderpriority", "n", "sum_cents")
+      .orderBy("gid", "o_orderstatus", "o_orderpriority")
+
+  val q34Oracle: String =
+    """SELECT CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+      |  o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
+
   /** Wide-format pivot — `groupBy.pivot` with EXPLICIT pivot values
     * (the scale contract: implicit values cost a distinct-scan job and
     * make the output schema data-dependent, which no downstream job
@@ -782,6 +835,8 @@ object RelationalQueries {
     "q30_rollup" -> (q30Rollup _),
     "q31_pivot" -> (q31Pivot _),
     "q32_unpivot" -> (q32Unpivot _),
+    "q33_grouping_sets" -> (q33GroupingSets _),
+    "q34_cube" -> (q34Cube _),
     "q22_kmv_distinct" -> (q22KmvDistinct _),
     "q21_salted_flag_join" -> (q21SaltedFlagJoin _),
     "q19_top_per_priority" -> (q19TopPerPriority _),
@@ -814,6 +869,8 @@ object RelationalQueries {
     "q30_rollup" -> q30Oracle,
     "q31_pivot" -> q31Oracle,
     "q32_unpivot" -> q32Oracle,
+    "q33_grouping_sets" -> q33Oracle,
+    "q34_cube" -> q34Oracle,
     "q22_kmv_distinct" -> q22Oracle,
     "q21_salted_flag_join" -> q21Oracle,
     "q19_top_per_priority" -> q19Oracle,

@@ -57,12 +57,28 @@ object Mcp {
       maxFileSize: Long = 100L * 1024 * 1024,
       allowedCommands: Set[String] = DefaultCommands,
       securityMode: String = "strict", // strict | permissive
-      commandTimeoutSeconds: Long = 30L
+      commandTimeoutSeconds: Long = 30L,
+      // execute_command env overlay ALLOWLIST (strict mode): exact keys
+      // plus prefix families. A deny-list is structurally incomplete
+      // here — LD_PRELOAD, _JAVA_OPTIONS, PERLLIB, RUBYOPT, NODE_PATH,
+      // GCONV_PATH, ... each lets a caller make an allowlisted binary
+      // load attacker-controlled code, and the set of such loader /
+      // interpreter hijack variables is open-ended. Defaults cover the
+      // job-identity keys the scheduler runner passes
+      // (scheduler_mcp.py:162-166).
+      allowedEnvKeys: Set[String] = DefaultEnvKeys,
+      allowedEnvPrefixes: Seq[String] = Nil
   )
 
   /** mcp_server.py:33-35 */
   val DefaultCommands: Set[String] =
     Set("python", "pip", "git", "curl", "wget", "ls", "cat", "grep", "find")
+
+  /** The job-identity variables the MCP scheduler runner injects
+    * ([[graft.pipeline.McpJobRunner]] ≙ scheduler_mcp.py:162-166) —
+    * the only env overlay keys strict mode passes by default.
+    */
+  val DefaultEnvKeys: Set[String] = Set("JOB_ID", "JOB_NAME", "JOB_PARAMS")
 
   /** Reference FileSystemEvent (src/models.py via mcp_server.py:301-310). */
   final case class FsEvent(
@@ -233,10 +249,15 @@ object Mcp {
       }
       // env is an additive overlay for job-identity-style variables
       // (scheduler_mcp.py:162-171 passes JOB_ID/JOB_NAME/JOB_PARAMS).
-      // Loader- and interpreter-hijack variables are refused: they
-      // would let a caller subvert the command ALLOWLIST by making an
-      // allowed binary load attacker-controlled code.
-      env.keys.find(envKeyBlocked).foreach(k =>
+      // Strict mode admits ONLY the configured allowlist — anything
+      // else (loader/interpreter hijack vars above all) could subvert
+      // the command ALLOWLIST by making an allowed binary load
+      // attacker-controlled code, and enumerating the hijack vars is a
+      // losing game (LD_*, _JAVA_OPTIONS, PERLLIB, RUBYOPT, NODE_PATH,
+      // GCONV_PATH, ...). Permissive mode skips the check like
+      // commandAllowed does — with every command allowed, env
+      // filtering defends nothing.
+      env.keys.find(!envKeyAllowed(_)).foreach(k =>
         throw new SecurityException(s"Environment variable not allowed: $k"))
       val pb = new ProcessBuilder((command +: args).asJava)
       env.foreach { case (k, v) => pb.environment().put(k, v) }
@@ -299,19 +320,18 @@ object Mcp {
       ToolResult(JsonMethods.pretty(JsonMethods.render(JObject(base ++ flags))), isError = rc != 0)
     }
 
-    /** Env keys that change WHAT CODE an allowlisted binary runs —
-      * dynamic-loader injection (`LD_*`/`DYLD_*`), binary resolution
-      * (`PATH`), shell word splitting (`IFS`), and the common
-      * interpreter code-path hijacks. Everything else (job identity,
-      * app config) passes.
+    /** Strict-mode env overlay gate: exact allowlisted keys and
+      * allowlisted prefixes pass, everything else is refused — the
+      * inverse of a hijack-var deny-list, which is structurally
+      * incomplete (any of LD_PRELOAD / _JAVA_OPTIONS / PERLLIB /
+      * RUBYOPT / NODE_PATH / GCONV_PATH / ... lets a caller change
+      * what code an allowlisted binary runs). Permissive mode passes
+      * everything, mirroring commandAllowed.
       */
-    private def envKeyBlocked(k: String): Boolean = {
-      val up = k.toUpperCase(java.util.Locale.ROOT)
-      up.startsWith("LD_") || up.startsWith("DYLD_") ||
-        Set("PATH", "IFS", "PYTHONPATH", "PYTHONSTARTUP", "PYTHONHOME",
-          "PERL5LIB", "RUBYLIB", "NODE_OPTIONS", "JAVA_TOOL_OPTIONS",
-          "CLASSPATH", "BASH_ENV", "ENV", "SHELLOPTS").contains(up)
-    }
+    private def envKeyAllowed(k: String): Boolean =
+      config.securityMode == "permissive" ||
+        config.allowedEnvKeys.contains(k) ||
+        config.allowedEnvPrefixes.exists(p => p.nonEmpty && k.startsWith(p))
 
     def createDirectory(path: String, parents: Boolean = true): ToolResult = guarded {
       if (!pathAllowed(path)) throw new SecurityException(s"Access denied to path: $path")
@@ -510,13 +530,19 @@ object Mcp {
 
   /** Entry point: `graft.serve.Mcp` serves stdio with paths/commands
     * from GRAFT_MCP_ALLOWED_PATHS (pathsep-joined) /
-    * GRAFT_MCP_SECURITY_MODE.
+    * GRAFT_MCP_SECURITY_MODE; GRAFT_MCP_ENV_KEYS /
+    * GRAFT_MCP_ENV_PREFIXES (comma-joined) extend the strict-mode env
+    * overlay allowlist beyond the JOB_* defaults.
     */
   def main(args: Array[String]): Unit = {
     val roots = sys.env.get("GRAFT_MCP_ALLOWED_PATHS")
       .map(_.split(java.io.File.pathSeparator).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val mode = sys.env.getOrElse("GRAFT_MCP_SECURITY_MODE", "strict")
-    val cfg = McpConfig(allowedPaths = roots, securityMode = mode)
+    def csv(key: String): Seq[String] =
+      sys.env.get(key).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    val cfg = McpConfig(allowedPaths = roots, securityMode = mode,
+      allowedEnvKeys = DefaultEnvKeys ++ csv("GRAFT_MCP_ENV_KEYS"),
+      allowedEnvPrefixes = csv("GRAFT_MCP_ENV_PREFIXES"))
     new McpServer(new Tools(cfg)).serve(System.in, System.out)
   }
 }

@@ -96,6 +96,38 @@ class ChunkingSpec extends SparkSpecBase {
     assert(got(3L) === ((2L, 0L, 0.0)))
   }
 
+  test("chunkDupShare hot-fp split: a boilerplate fp owning half the corpus broadcasts, answers unchanged") {
+    // one boilerplate block in EVERY doc (~50% of all chunks) — the
+    // skew shape that floods one reducer of a plain fp-keyed join —
+    // plus a block shared by exactly two docs (stays cold at
+    // hotMinDocs = 3) and unique tails
+    val boiler = (1 to 4).map(i => s"h$i").mkString(" ")
+    val pair = (1 to 4).map(i => s"p$i").mkString(" ")
+    val df = (1L to 40L).map { i =>
+      val tail = (1 to 4).map(j => s"u${i}_$j").mkString(" ")
+      val mid = if (i <= 2) s" $pair" else ""
+      (i, s"$boiler$mid $tail")
+    }.toDF("doc_id", "text")
+    def run(hotMinDocs: Int) = graft.operators.Dedup.scoped {
+      Chunking.chunkDupShare(df, col("doc_id"), col("text"), window = 4,
+        hotMinDocs = hotMinDocs)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toSeq.sortBy(_._1)
+    }
+    val split = run(3) // boiler (40 docs) hot, pair (2 docs) cold
+    val allCold = run(1000000) // everything cold: the plain join path
+    assert(split === allCold, "hot/cold split must not change any answer")
+    // docs 1-2: boiler + pair + tail = 3 chunks, 2 cross-doc
+    assert(split.take(2).forall(_._2 == ((3L, 2L, 2.0 / 3.0))), split.take(2).toString)
+    // the rest: boiler + tail = 2 chunks, 1 cross-doc
+    assert(split.drop(2).forall(_._2 == ((2L, 1L, 0.5))), split.drop(2).take(2).toString)
+    // plan shape: the hot slice attaches via broadcast — its key never
+    // enters a shuffled join
+    val plan = Chunking.chunkDupShare(df, col("doc_id"), col("text"), window = 4,
+      hotMinDocs = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "hot fp slice must broadcast-join")
+    spark.catalog.clearCache()
+  }
+
   test("plan shape: narrow — no shuffle at any corpus size") {
     val df = (1 to 100).map(i => (i.toLong, s"a b c d e f g h i$i")).toDF("doc_id", "text")
     val plan = Chunking.chunk(df, col("doc_id"), col("text"), window = 4, stride = 2)

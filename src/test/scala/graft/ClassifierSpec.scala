@@ -22,30 +22,33 @@ class ClassifierSpec extends SparkSpecBase {
     (java.lang.Long.parseLong(md5.take(15), 16) % B).toInt
   }
 
-  /** Scalar reference of the operator's full-batch GD (same feature
-    * scaling, same doc order, same sequential double arithmetic).
+  /** Scalar reference of the operator's full-batch GD: same feature
+    * scaling, same 1e-12 fixed-point per-doc gradient quantization
+    * (the order-independence contract — Long sums are exact, so doc
+    * order is irrelevant here and in the operator alike).
     */
   private def refFit(
       sample: Seq[(String, Double, Seq[String])],
       iters: Int, lr: Double, l2: Double): (Long, Array[Long]) = {
-    val feats = sample.sortBy(_._1).map { case (_, y, toks) =>
+    val S = 1e12
+    val feats = sample.map { case (_, y, toks) =>
       val bks = toks.map(bucketOf).sorted
       val runs = bks.distinct.map(b => (b, bks.count(_ == b).toLong))
       (y, bks.length.toLong, runs)
     }
     val w = new Array[Double](B); var b = 0.0
     for (_ <- 0 until iters) {
-      val gw = new Array[Double](B); var gb = 0.0
+      val gw = new Array[Long](B); var gb = 0L
       feats.foreach { case (y, n, runs) =>
         var m = 0.0
         runs.foreach { case (bk, c) => m += w(bk) * c }
         val margin = b + (if (n > 0) m / n else 0.0)
         val err = 1.0 / (1.0 + math.exp(-margin)) - y
-        gb += err
-        runs.foreach { case (bk, c) => gw(bk) += err * c / n }
+        gb += math.round(err * S)
+        runs.foreach { case (bk, c) => gw(bk) += math.round(err * c / n * S) }
       }
-      b -= lr * gb / feats.length
-      for (k <- 0 until B) w(k) -= lr * (gw(k) / feats.length + l2 * w(k))
+      b -= lr * (gb.toDouble / S) / feats.length
+      for (k <- 0 until B) w(k) -= lr * ((gw(k).toDouble / S) / feats.length + l2 * w(k))
     }
     (math.round(b * 1000000.0), w.map(x => math.round(x * 1000000.0)))
   }
@@ -88,6 +91,23 @@ class ClassifierSpec extends SparkSpecBase {
     val b = model(df.repartition(7))
     assert(a.biasMicro === b.biasMicro)
     assert(a.weightsMicro.toSeq === b.weightsMicro.toSeq)
+  }
+
+  test("treeAggregate path is bit-identical to the driver path (the fixed-point contract)") {
+    // big enough that partitions genuinely partial-aggregate, with
+    // repeated tokens (uc > 1 pairs) and class overlap so gradients
+    // stay non-trivial through the iterations
+    val df = (1 to 400).map(i =>
+      (i.toLong, (i % 2).toDouble, s"w${i % 11} w${i % 7} w${i % 11} noise${i % 29}"))
+      .toDF("doc_id", "label", "text").repartition(13)
+    def model(distributeOver: Long) =
+      Classifier.fit(df, col("doc_id"), col("text"), col("label"),
+        buckets = 128, iters = 30, lr = 0.8, l2 = 1e-3,
+        distributeOver = distributeOver)
+    val driver = model(Long.MaxValue) // forces the collect path
+    val dist = model(0L) // forces the per-iteration treeAggregate path
+    assert(driver.biasMicro === dist.biasMicro)
+    assert(driver.weightsMicro.toSeq === dist.weightsMicro.toSeq)
   }
 
   test("token-less documents score at the intercept; nulls survive scoring") {

@@ -1196,6 +1196,16 @@ class ColumnFunctionsSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet)
     intercept[IllegalArgumentException](
       Packing.packShards(df, col("doc_id"), col("toks"), budget = 0L, nBuckets = 4, salt = "x"))
+    // omitted nBuckets derives from the cluster: at least the session's
+    // shuffle width, so the shipped default can never trip the sizing
+    // warning it documents
+    val par = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val derived = Packing.packShards(df, col("doc_id"), col("toks"),
+      budget = 10L, salt = "p1")
+    val nb = derived.select(max("bucket")).head().getLong(0) + 1
+    assert(nb > par / 4, s"derived bucket space $nb must clear the warning floor")
+    assert(Packing.bucketSizingWarning(
+      math.max(spark.sparkContext.defaultParallelism, par), par).isEmpty)
   }
 
   test("stripFrequentSegments: property — replay parity on collision-heavy corpora") {

@@ -100,22 +100,30 @@ class McpClientSpec extends SparkSpecBase {
     } finally session.close()
   }
 
-  test("execute_command env overlay: vars reach the child; loader-hijack keys refused") {
-    val tools = new Mcp.Tools(Mcp.McpConfig(allowedCommands = Set("sh")))
+  test("execute_command env overlay: allowlisted vars reach the child; everything else refused") {
+    val tools = new Mcp.Tools(Mcp.McpConfig(allowedCommands = Set("sh"),
+      allowedEnvPrefixes = Seq("MY_JOB_")))
     val server = new Mcp.McpServer(tools)
     val session = McpClient.loopback(server)
     try {
       session.initialize()
-      // an overlay var is visible to the child
+      // a prefix-allowlisted overlay var is visible to the child; the
+      // default JOB_* identity keys pass alongside it
       val body = session.executeCommand(
-        "sh", Seq("-c", "echo v=$MY_JOB_VAR"), env = Map("MY_JOB_VAR" -> "hello"))
-      assert((body \ "stdout") == JString("v=hello\n"), body.toString)
+        "sh", Seq("-c", "echo v=$MY_JOB_VAR j=$JOB_ID"),
+        env = Map("MY_JOB_VAR" -> "hello", "JOB_ID" -> "j1"))
+      assert((body \ "stdout") == JString("v=hello j=j1\n"), body.toString)
       // the audit log records env KEYS, never values
       val ev = tools.events.filter(_.eventType == "execute_command").last
-      assert(ev.metadata.get("env_keys").contains("MY_JOB_VAR"), ev.toString)
+      assert(ev.metadata.get("env_keys").contains("JOB_ID,MY_JOB_VAR"), ev.toString)
       assert(!ev.toString.contains("hello"), "env VALUE leaked into the event log")
-      // loader-injection keys are refused before any process starts
-      for (bad <- Seq("LD_PRELOAD", "ld_library_path", "PATH", "PYTHONPATH", "BASH_ENV")) {
+      // strict mode is an ALLOWLIST: loader/interpreter hijack keys a
+      // deny-list historically missed (_JAVA_OPTIONS, PERLLIB, RUBYOPT,
+      // NODE_PATH, GCONV_PATH) are refused like the classic ones, and
+      // so is any other unlisted key — before any process starts
+      for (bad <- Seq("LD_PRELOAD", "ld_library_path", "PATH", "PYTHONPATH",
+          "BASH_ENV", "_JAVA_OPTIONS", "JDK_JAVA_OPTIONS", "PERLLIB",
+          "RUBYOPT", "NODE_PATH", "GCONV_PATH", "SOME_RANDOM_KEY")) {
         val r = session.callTool("execute_command", JObject(
           "command" -> JString("sh"), "args" -> JArray(List(JString("-c"), JString("true"))),
           "env" -> JObject(bad -> JString("/tmp/evil"))))
@@ -126,6 +134,18 @@ class McpClientSpec extends SparkSpecBase {
         "command" -> JString("sh"), "env" -> JObject("TIMEOUT" -> JInt(30))))
       assert(typed.isError && typed.text.contains("must be a string"), typed.text)
     } finally session.close()
+    // permissive mode skips the env gate like it skips the command
+    // allowlist — with every command allowed, env filtering defends
+    // nothing
+    val loose = new Mcp.McpServer(
+      new Mcp.Tools(Mcp.McpConfig(securityMode = "permissive")))
+    val s2 = McpClient.loopback(loose)
+    try {
+      s2.initialize()
+      val out = s2.executeCommand(
+        "sh", Seq("-c", "echo p=$ANY_KEY"), env = Map("ANY_KEY" -> "yes"))
+      assert((out \ "stdout") == JString("p=yes\n"), out.toString)
+    } finally s2.close()
   }
 
   test("handshake + tools/list through the client: the full seven-tool surface") {

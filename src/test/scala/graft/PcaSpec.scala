@@ -189,6 +189,23 @@ class PcaSpec extends SparkSpecBase {
     }
   }
 
+  test("knnPca refuses a dimension-mismatched query loudly, never a silent drop") {
+    val base = clusteredDf(40)
+    val qs = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(1.0f, 2.0f)) // ragged: must fail, not read as "no neighbors"
+    ).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.scoped {
+        Pca.knnPca(
+          base, col("vec_id"), col("embedding"),
+          qs, col("vec_id"), col("embedding"),
+          k = 2, dims = 2, shortlist = 5)
+      }
+    }
+    assert(e.getMessage.contains("dim"), e.getMessage)
+  }
+
   test("dims out of range and empty fit are refused") {
     val df = clusteredDf(10)
     intercept[IllegalArgumentException](
