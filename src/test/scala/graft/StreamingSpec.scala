@@ -137,7 +137,8 @@ class StreamingSpec extends SparkSpecBase {
       in.addData(
         Sessionize.Ev(1L, ts("2024-01-01 00:00:10"), "click", 0.0),
         Sessionize.Ev(1L, ts("2024-01-01 00:00:05"), "view", 0.0),
-        Sessionize.Ev(2L, ts("2024-01-01 00:00:07"), "view", 0.0))
+        Sessionize.Ev(2L, ts("2024-01-01 00:00:07"), "view", 0.0),
+        Sessionize.Ev(3L, ts("2024-01-01 00:00:08"), "click", 0.0)) // never step 0
       out.processAllAvailable()
       in.addData(
         Sessionize.Ev(1L, ts("2024-01-01 00:00:20"), "purchase", 0.0),
@@ -157,9 +158,88 @@ class StreamingSpec extends SparkSpecBase {
         .as[FunnelStream.FunnelOut].collect()
       assert(dropped.length == 1)
       assert(dropped(0).stepsCompleted == 2, "u2 dropped off after view+click")
+      assert(dropped(0).firstTs == ts("2024-01-01 00:00:07"),
+        "firstTs is the step-0 advance time")
+      // u3 never completed step 0: the drop-off row carries a NULL
+      // firstTs (the batch twin's first_ts contract) but a real lastTs
+      val zero = spark.table("funnelstream")
+        .filter(!$"completed" && $"userId" === 3L)
+        .as[FunnelStream.FunnelOut].collect()
+      assert(zero.length == 1)
+      assert(zero(0).stepsCompleted == 0)
+      assert(zero(0).firstTs == null, s"0-step drop-off must not claim a funnel start, got ${zero(0).firstTs}")
+      assert(zero(0).lastTs == ts("2024-01-01 00:00:08"))
       // completion CLEARED u1: no drop-off row for them at timeout
       assert(spark.table("funnelstream")
         .filter(!$"completed" && $"userId" === 1L).count() == 0)
+    } finally out.stop()
+  }
+
+  test("funnel stream exact: cross-batch disorder heals to batch-operator parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val in = MemoryStream[Sessionize.Ev]
+    val out = FunnelStream.progressExact(
+      in.toDS(), steps, idleMs = 60000L, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("funnelexact")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1 delivers u1's MIDDLE step first; batch 2 brings the
+      // first and last — exactly the cross-batch disorder the greedy
+      // mode documents as its divergence. u2 clicks+purchases but
+      // never views (a 0-step drop-off in both engines).
+      in.addData(
+        Sessionize.Ev(1L, ts("2024-01-01 00:00:10"), "click", 0.0),
+        Sessionize.Ev(2L, ts("2024-01-01 00:00:10"), "click", 0.0))
+      out.processAllAvailable()
+      in.addData(
+        Sessionize.Ev(1L, ts("2024-01-01 00:00:05"), "view", 0.0),
+        Sessionize.Ev(1L, ts("2024-01-01 00:00:20"), "purchase", 0.0),
+        Sessionize.Ev(2L, ts("2024-01-01 00:00:21"), "purchase", 0.0))
+      out.processAllAvailable()
+      // exactness trades latency: every event is still inside the
+      // watermark horizon, so NOTHING may emit yet
+      assert(spark.table("funnelexact").count() == 0,
+        "exact mode emitted before the watermark finalized the events")
+      // two far-future ticks: the first advances the watermark past the
+      // deadlines, the second triggers the timed-out groups' drain
+      in.addData(Sessionize.Ev(9L, ts("2024-01-01 05:00:00"), "view", 0.0))
+      out.processAllAvailable()
+      in.addData(Sessionize.Ev(9L, ts("2024-01-01 12:00:00"), "view", 0.0))
+      out.processAllAvailable()
+
+      val got = spark.table("funnelexact")
+        .filter($"userId".isin(1L, 2L)).as[FunnelStream.FunnelOut]
+        .collect().map(r => r.userId -> r).toMap
+      assert(got.size == 2, s"expected one row per user, got $got")
+
+      // the batch operator over the SAME events (ts in epoch millis)
+      val evDf = Seq(
+        (1L, ts("2024-01-01 00:00:10").getTime, "click"),
+        (1L, ts("2024-01-01 00:00:05").getTime, "view"),
+        (1L, ts("2024-01-01 00:00:20").getTime, "purchase"),
+        (2L, ts("2024-01-01 00:00:10").getTime, "click"),
+        (2L, ts("2024-01-01 00:00:21").getTime, "purchase"))
+        .toDF("user_id", "ts_ms", "etype")
+      val batch = graft.operators.Funnel.funnel(
+        evDf, col("user_id"), col("ts_ms"), col("etype"), steps)
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+            Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+
+      for ((u, (nSteps, firstTs, doneTs)) <- batch) {
+        val g = got(u)
+        assert(g.stepsCompleted == nSteps, s"u$u steps: got ${g.stepsCompleted}, batch $nSteps")
+        assert(Option(g.firstTs).map(_.getTime) == firstTs, s"u$u firstTs diverged")
+        assert(g.completed == (nSteps == steps.length))
+        // for a completed funnel the stream's lastTs IS the completing
+        // event — the batch done_ts
+        doneTs.foreach(d => assert(g.lastTs.getTime == d, s"u$u doneTs diverged"))
+      }
+      // and the healed ordering is the thing greedy mode cannot do:
+      // u1 completes all 3 steps despite the middle step arriving first
+      assert(got(1L).stepsCompleted == 3 && got(1L).completed)
+      assert(got(2L).stepsCompleted == 0 && got(2L).firstTs == null)
     } finally out.stop()
   }
 
