@@ -25,7 +25,25 @@ object Bench {
     // measured dir if the small SF isn't present on this machine.
     val warmDir0 = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val warmDir = if (new java.io.File(warmDir0).isDirectory) warmDir0 else sfDir
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY (comma-joined names): restrict the run to
+    // a query subset — the controlled-experiment affordance (A/B a
+    // fixed subset across code versions / suite sizes without editing
+    // the suite). Subset runs write BENCH_OUT.subset.json so the
+    // committed full-suite gate artifact can never be clobbered by an
+    // experiment.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = {
+      val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      only.fold(all) { f =>
+        val sel = all.filter(n => f(n._1))
+        val missing = f -- sel.map(_._1).toSet
+        if (missing.nonEmpty)
+          System.err.println(s"[bench] BENCH_ONLY names not in suite: ${missing.toSeq.sorted.mkString(",")}")
+        sel
+      }
+    }
+    selected.foreach { case (name, fn) =>
       try exec(fn(spark, warmDir))
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
     }
@@ -36,7 +54,7 @@ object Bench {
     // back-to-back repeats let one contention window poison both samples
     // of the same query. The per-query min across spread-out rounds is
     // the plan's cost.
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = selected
     // BUILD/SERVE split (round 10): lifecycle queries (r03/r05/r06,
     // v07–v17, c09/c10, z01 …) eagerly run their index/lake builds
     // INSIDE the query function and return the serving plan, so the
@@ -108,13 +126,14 @@ object Bench {
     // missing, stale-shaped, or inconsistent with its own total.
     val fullLine =
       s"""{"metric":"total","value":$totalFull,"unit":"sec","failed":$failed,"n":${results.size},"queries":$qmap,"split":$splitMap,"sf":"${esc(sfDir)}"}"""
+    val sidecarName = if (only.isEmpty) "BENCH_OUT.json" else "BENCH_OUT.subset.json"
     val shortLine = {
       val total = math.rint(totalFull * 1000) / 1000
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n":${results.size},"sf":"${esc(sfDir)}","perQuery":"BENCH_OUT.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n":${results.size},"sf":"${esc(sfDir)}","perQuery":"$sidecarName"}"""
     }
     val outFiles = Seq(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
-      new java.io.File(System.getProperty("user.dir"), "BENCH_OUT.json").getPath)
+      new java.io.File(System.getProperty("user.dir"), sidecarName).getPath)
     outFiles.foreach { outFile =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (fullLine + "\n").getBytes("UTF-8"))
