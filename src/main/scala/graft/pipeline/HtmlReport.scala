@@ -42,6 +42,26 @@ object HtmlReport {
     */
   final case class ResourceTable(label: String, rows: Seq[(String, Long, String, String)])
 
+  /** Baseline Comparison section (html_report.py
+    * `_section_baseline_diff`): first-run notice, "no changes"
+    * pass-text, or the per-category added/removed table. `rows` are
+    * (category, added, removed).
+    */
+  final case class BaselineSection(firstRun: Boolean, rows: Seq[(String, Long, Long)]) {
+    def totalChanges: Long = rows.map(r => r._2 + r._3).sum
+  }
+
+  /** Adapter from the [[graft.analyze.BaselineDiff.summary]] rollup
+    * (category, change_type, count) — category-dimension-sized collect.
+    */
+  def baselineFrom(summary: DataFrame): BaselineSection = {
+    val m = summary.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cats = m.keys.map(_._1).toSeq.distinct.sorted
+    BaselineSection(firstRun = false,
+      cats.map(c => (c, m.getOrElse((c, "added"), 0L), m.getOrElse((c, "removed"), 0L))))
+  }
+
   /** Resource tables from a process frame via the analyzer's top-N
     * (one tiny collect per metric; ranking runs in Spark).
     */
@@ -79,7 +99,8 @@ object HtmlReport {
       topN: Int = 100,
       inventory: Seq[InventoryCard] = Nil,
       steps: Seq[Pipeline.StageResult] = Nil,
-      resources: Seq[ResourceTable] = Nil): String = {
+      resources: Seq[ResourceTable] = Nil,
+      baseline: Option[BaselineSection] = None): String = {
     val sevCounts = Findings.severityCounts(findings).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val domCounts = Findings.domainCounts(findings).collect()
@@ -145,6 +166,23 @@ object HtmlReport {
            |$rows</table>""".stripMargin
       }
 
+    val baselineSection = baseline.fold("") { b =>
+      val body =
+        if (b.firstRun)
+          "<p>First run — current scan saved as baseline. Changes will appear on subsequent runs.</p>"
+        else if (b.totalChanges == 0)
+          """<p class="pass">No changes detected since last baseline.</p>"""
+        else {
+          val rows = b.rows.map { case (cat, add, rem) =>
+            s"""<tr><td>${esc(cat)}</td><td class="pass">+$add</td><td class="fail">-$rem</td></tr>"""
+          }.mkString("\n")
+          s"""<p>${b.totalChanges} change(s) detected since last baseline.</p>
+             |<table><tr><th>category</th><th>added</th><th>removed</th></tr>
+             |$rows</table>""".stripMargin
+        }
+      s"<h2>Baseline Comparison</h2>\n$body"
+    }
+
     val rows = top.map { r =>
       val cells = (0 until 5).map(i => s"<td>${esc(r.getString(i))}</td>").mkString
       s"<tr class=\"sev-${esc(r.getString(0))}\">$cells</tr>"
@@ -173,6 +211,7 @@ object HtmlReport {
        |$inventorySection
        |$resourceSection
        |$stepsSection
+       |$baselineSection
        |<h2>Top findings</h2>
        |<table><tr><th>severity</th><th>domain</th><th>title</th><th>resource</th><th>source</th></tr>
        |$rows
@@ -239,7 +278,8 @@ object HtmlReport {
 
   def write(findings: DataFrame, title: String, path: String, topN: Int = 100,
       inventory: Seq[InventoryCard] = Nil, steps: Seq[Pipeline.StageResult] = Nil,
-      resources: Seq[ResourceTable] = Nil): Unit =
+      resources: Seq[ResourceTable] = Nil, baseline: Option[BaselineSection] = None): Unit =
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path), render(findings, title, topN, inventory, steps, resources))
+      java.nio.file.Paths.get(path),
+      render(findings, title, topN, inventory, steps, resources, baseline))
 }

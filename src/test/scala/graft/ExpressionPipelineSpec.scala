@@ -189,7 +189,7 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     // byte-fold must match conv(substring(md5(s),1,15),16,10) everywhere
     val shingle = Gen.frequency(
       4 -> Gen.alphaNumStr.map(_.take(24)),
-      3 -> Gen.oneOf("", " ", "émoji ✓ 汉字", "a b c", " nul"),
+      3 -> Gen.oneOf("", " ", "émoji ✓ 汉字", "a b c", "\u0000nul"),
       2 -> Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString),
       // null elements: native skips them, a no-non-null set is NULL --
       // the HOF twin must implement the same contract
@@ -777,8 +777,11 @@ class ExpressionPipelineSpec extends SparkSpecBase {
       HtmlReport.InventoryCard("42", "Connections", "3L/8E"))
     val resources = Seq(HtmlReport.ResourceTable(
       "Top RAM Users", Seq(("big.exe", 42L, "3072 MB", "C:\\big.exe"))))
+    val baseline = HtmlReport.BaselineSection(firstRun = false,
+      Seq(("listeners", 2L, 0L), ("processes", 1L, 3L)))
     val html = HtmlReport.render(
-      fs, "Golden Audit", inventory = inv, steps = steps, resources = resources)
+      fs, "Golden Audit", inventory = inv, steps = steps, resources = resources,
+      baseline = Some(baseline))
     val golden = java.nio.file.Paths.get("src/test/resources/golden/html_report.html")
     if (sys.env.contains("GRAFT_REGEN_GOLDEN")) {
       java.nio.file.Files.createDirectories(golden.getParent)
@@ -818,5 +821,31 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     assert(html.contains("Pipeline Steps"))
     assert(html.contains("boom"))
     assert(html.contains("FAILED")) // a failed step fails the pipeline status card
+  }
+
+  test("html report: baseline comparison section (first run / clean / diff table)") {
+    // the three states of html_report.py's _section_baseline_diff
+    val fs = Findings.toDS(spark, Seq(
+      Finding("x", "", "low", "process", "r", "s", "{}"))).toDF()
+    val first = HtmlReport.render(fs, "B",
+      baseline = Some(HtmlReport.BaselineSection(firstRun = true, Nil)))
+    assert(first.contains("Baseline Comparison") && first.contains("First run"))
+    val clean = HtmlReport.render(fs, "B",
+      baseline = Some(HtmlReport.BaselineSection(firstRun = false, Nil)))
+    assert(clean.contains("No changes detected since last baseline."))
+    // diff-table state built through the BaselineDiff.summary adapter:
+    // the rollup's (category, change_type, count) rows land as
+    // per-category +added/-removed cells, zero-filled per side
+    val cur = Seq(("a:80", "x"), ("b:81", "y")).toDF("key", "v")
+    val base = Seq(("a:80", "x"), ("c:82", "z")).toDF("key", "v")
+    val summary = graft.analyze.BaselineDiff.summary(Seq(
+      graft.analyze.BaselineDiff.diff(cur, base, Seq("key"), "listeners")))
+    val sect = HtmlReport.baselineFrom(summary)
+    assert(sect.rows == Seq(("listeners", 1L, 1L)) && sect.totalChanges == 2)
+    val html = HtmlReport.render(fs, "B", baseline = Some(sect))
+    assert(html.contains("2 change(s) detected since last baseline."))
+    assert(html.contains("<td>listeners</td><td class=\"pass\">+1</td><td class=\"fail\">-1</td>"))
+    // absent baseline (None) renders no section at all
+    assert(!HtmlReport.render(fs, "B").contains("Baseline Comparison"))
   }
 }
