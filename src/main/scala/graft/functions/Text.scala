@@ -17,6 +17,17 @@ object Text {
   def normalize(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) — native codegen
+    * expression ([[graft.functions.expr.UnicodeNorm]]) with an
+    * ASCII identity fast path. Pipelines run this BEFORE any hashing or
+    * shingling step: composed vs decomposed encodings of the same
+    * visible text must not fingerprint as distinct documents.
+    */
+  def unicodeNorm(c: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.expr.UnicodeNorm(
+        org.apache.spark.sql.GraftColumnShim.expression(c), form))
+
   /** Whitespace tokens of the *raw* string (empty string → 0 tokens).
     * Trims with a regex, not `trim()`: SQL trim strips only ' ' and a
     * trailing tab/newline would otherwise produce a trailing "" token.

@@ -106,4 +106,34 @@ object Chunking {
       .withColumn("dup_share",
         col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
   }
+
+  /** Similarity EDGES from shared chunk fingerprints: (d1, d2) with
+    * d1 < d2 whenever two documents share at least one non-overlapping
+    * `window`-token chunk — the edge set [[Dedup.groupPairs]] turns into
+    * duplicate clusters (d10).
+    *
+    * `dfCap` is the posting-list discipline of the d02 Jaccard join: a
+    * fingerprint shared by k documents emits k²/2 edges, so fingerprints
+    * hotter than the cap (universal boilerplate — quadratic noise, not
+    * duplication signal) are SKIPPED, exactly like df-capped shingles.
+    * Under the cap every join key carries ≤ dfCap rows per side — no
+    * skewed reducer at any corpus size; the candidate `distinct`
+    * collapses multi-chunk pairs before they reach the component step.
+    */
+  def chunkShareEdges(
+      df: DataFrame, id: Column, text: Column, window: Int,
+      dfCap: Int = 100): DataFrame = {
+    require(dfCap >= 2, s"dfCap must be >= 2 (an edge needs two docs), got $dfCap")
+    val fps = chunk(df, id, text, window, stride = window)
+      .select(col("doc_id"), col("chunk_fp").as("fp"))
+      .distinct()
+    val keptFps = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2 && col("n_docs") <= dfCap)
+      .select("fp")
+    fps.join(keptFps, Seq("fp")).as("a")
+      .join(fps.join(keptFps, Seq("fp")).as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
 }

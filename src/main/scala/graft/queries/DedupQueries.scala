@@ -303,7 +303,65 @@ object DedupQueries {
        |  CAST(n_dup_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE) AS dup_share
        |FROM per ORDER BY doc_id""".stripMargin
 
+  /** Edge-generation df cap for d10 — fingerprints shared by more than
+    * this many documents are skipped (a fp shared by k docs would emit
+    * k²/2 edges; past the cap that is quadratic boilerplate noise, the
+    * same posting-list discipline as [[d02DfCap]]). Threaded into BOTH
+    * the Spark call and the oracle SQL.
+    */
+  private val d10DfCap = 100
+
+  /** Duplicate GROUPS via connected components
+    * ([[Dedup.groupPairs]] — O(log diameter) min-label rounds with
+    * pointer jumping): docs are edges when they share a non-overlapping
+    * 32-token chunk fingerprint (the d09 chunking, df-capped), and each
+    * component labels every member with its minimum doc id — the
+    * keep-one-per-cluster primitive of corpus dedup. The oracle
+    * recomputes the SAME components by a structurally different
+    * algorithm (DuckDB recursive-CTE transitive closure), so the hash
+    * match gates the fixpoint itself, not a shared implementation.
+    */
+  def d10CcGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.groupPairs(
+      graft.operators.Chunking.chunkShareEdges(
+        docs(s, dir), col("doc_id"), col("text"), window = 32, dfCap = d10DfCap))
+      .orderBy("doc_id")
+
+  val d10Oracle: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, ${DuckOracle.toksNorm} AS toks FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+       |), n AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    CASE WHEN len(toks) <= 32 THEN 1
+       |         ELSE (len(toks) - 32 + 32 - 1) // 32 + 1 END AS n_chunks
+       |  FROM d
+       |), c AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(toks[g.i * 32 + 1 : LEAST(g.i * 32 + 32, n)], ' ')) AS fp
+       |  FROM n, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+       |), fset AS (
+       |  SELECT DISTINCT doc_id, fp FROM c
+       |), fd AS (
+       |  SELECT fp FROM fset GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $d10DfCap
+       |), fk AS (
+       |  SELECT doc_id, fp FROM fset JOIN fd USING (fp)
+       |), e0 AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |), edges AS (
+       |  SELECT d1, d2 FROM e0 UNION ALL SELECT d2, d1 FROM e0
+       |), reach(doc_id, lbl) AS (
+       |  SELECT d1, d1 FROM edges
+       |  UNION
+       |  SELECT e.d1, r.lbl FROM edges e JOIN reach r ON e.d2 = r.doc_id
+       |)
+       |SELECT doc_id, MIN(lbl) AS group_id FROM reach
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_cc_groups" -> (d10CcGroups _),
     "d09_chunk_dup_share" -> (d09ChunkDupShare _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_jaccard_pairs" -> (d02JaccardPairs _),
@@ -315,6 +373,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "d10_cc_groups" -> d10Oracle,
     "d09_chunk_dup_share" -> d09Oracle,
     "d01_exact_dedup" -> d01Oracle,
     "d02_jaccard_pairs" -> d02Oracle,

@@ -958,7 +958,42 @@ object TextQueries {
        |SELECT doc_id, CAST(rnk AS INT) AS rank, term, tf, df, score_micro
        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** Unicode NFC normalization ([[Text.unicodeNorm]] — native codegen
+    * expression with an ASCII identity fast path). The corpus is
+    * ASCII-synthetic, so the query SYNTHESIZES decomposed text first —
+    * every 'a'/'e' gains a combining grave/acute (U+0300/U+0301), the
+    * exact byte sequences NFC must re-compose to 'à'/'é' — and both
+    * engines then normalize: character counts shrink by exactly the
+    * combining-mark count and the composed strings must match
+    * byte-for-byte (JDK Normalizer vs DuckDB's utf8proc, both UAX #15).
+    * Nulls propagate in both engines.
+    */
+  def t15UnicodeNorm(s: SparkSession, dir: String): DataFrame = {
+    val dec = replace(
+      replace(col("text"), lit("a"), lit("a\u0300")),
+      lit("e"), lit("e\u0301"))
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        length(dec).as("n_decomposed"),
+        Text.unicodeNorm(dec, "NFC").as("norm_text"),
+        length(Text.unicodeNorm(dec, "NFC")).as("n_normalized"))
+      .orderBy("doc_id")
+  }
+
+  val t15Oracle: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    replace(replace(text, 'a', 'a' || chr(768)), 'e', 'e' || chr(769)) AS dec
+      |  FROM documents
+      |)
+      |SELECT doc_id, length(dec) AS n_decomposed,
+      |  nfc_normalize(dec) AS norm_text,
+      |  length(nfc_normalize(dec)) AS n_normalized
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_unicode_norm" -> (t15UnicodeNorm _),
     "t14_tfidf_keywords" -> (t14TfidfKeywords _),
     "t13_chunking" -> (t13Chunking _),
     "t12_quality_clf" -> (t12QualityClf _),
@@ -982,6 +1017,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t15_unicode_norm" -> t15Oracle,
     "t14_tfidf_keywords" -> t14Oracle,
     "t13_chunking" -> t13Oracle,
     "t12_quality_clf" -> t12Oracle,

@@ -134,4 +134,40 @@ class ChunkingSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "chunking must not shuffle")
   }
+
+  test("chunkShareEdges: shared chunks edge, df cap drops boilerplate, CC transitivity") {
+    // window=3, non-overlapping chunks. Docs 1/2 share chunk "x x x";
+    // docs 2/3 share chunk "y y y"; doc 4 is unique; docs 5..9 all share
+    // the boilerplate chunk "b b b" (5 docs > dfCap=4 → NO edges from it).
+    val mk = (chunks: Seq[String]) => chunks.mkString(" ")
+    val df = Seq(
+      (1L, mk(Seq("x x x", "p p p"))),
+      (2L, mk(Seq("x x x", "y y y"))),
+      (3L, mk(Seq("y y y", "q q q"))),
+      (4L, mk(Seq("u u u"))),
+      (5L, mk(Seq("b b b", "m5 m5 m5"))),
+      (6L, mk(Seq("b b b", "m6 m6 m6"))),
+      (7L, mk(Seq("b b b", "m7 m7 m7"))),
+      (8L, mk(Seq("b b b", "m8 m8 m8"))),
+      (9L, mk(Seq("b b b", "m9 m9 m9")))).toDF("doc_id", "text")
+    val edges = Chunking.chunkShareEdges(
+      df, col("doc_id"), col("text"), window = 3, dfCap = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(edges === Set((1L, 2L), (2L, 3L)),
+      "one edge per sharing pair, boilerplate fp over the cap emits none")
+    // the chain 1-2-3 is ONE component labeled by its min id
+    val groups = graft.operators.Dedup.groupPairs(
+      Chunking.chunkShareEdges(df, col("doc_id"), col("text"), window = 3, dfCap = 4))
+      .as[(Long, Long)].collect().toMap
+    assert(groups === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // a doc sharing the SAME chunk twice still yields one edge (distinct)
+    val dup = Seq((1L, "x x x x x x"), (2L, "x x x")).toDF("doc_id", "text")
+    val e2 = Chunking.chunkShareEdges(dup, col("doc_id"), col("text"), window = 3, dfCap = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(e2 === Seq((1L, 2L)))
+    // cap below 2 refused
+    assertThrows[IllegalArgumentException] {
+      Chunking.chunkShareEdges(df, col("doc_id"), col("text"), window = 3, dfCap = 1)
+    }
+  }
 }

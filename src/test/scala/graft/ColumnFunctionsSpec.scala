@@ -1356,4 +1356,30 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, s"packShards replay parity: ${res.status}")
   }
+
+  test("unicodeNorm: NFC composes, forms differ, ASCII fast path, null propagates") {
+    // decomposed e + COMBINING ACUTE composes to U+00E9 under NFC
+    val dec = "cafe\u0301" // e + COMBINING ACUTE, spelled as an escape so editors cannot NFC-normalize it away
+    assert(one[String](Text.unicodeNorm(lit(dec), "NFC")) === "café")
+    // NFD decomposes the composed form back
+    assert(one[String](Text.unicodeNorm(lit("café"), "NFD")) === dec)
+    // NFKC folds compatibility chars (fi ligature, fullwidth A); NFC must NOT
+    assert(one[String](Text.unicodeNorm(lit("ﬁle Ａ"), "NFKC")) === "file A")
+    assert(one[String](Text.unicodeNorm(lit("ﬁle Ａ"), "NFC")) === "ﬁle Ａ")
+    // ASCII identity (the fast path must not change the value)
+    assert(one[String](Text.unicodeNorm(lit("plain ascii 123!"), "NFC")) === "plain ascii 123!")
+    // null propagates
+    val got = Seq[(java.lang.Long, String)]((1L, dec), (2L, null)).toDF("id", "s")
+      .select(Text.unicodeNorm(col("s"), "NFC").as("n")).orderBy("n")
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq === Seq(None, Some("café")))
+    // static helper: ASCII input returns the SAME instance (zero-alloc path)
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("ascii only")
+    assert(graft.functions.expr.UnicodeNorm.norm(u, "NFC") eq u)
+    // already-normalized non-ASCII returns the same instance too
+    val v = org.apache.spark.unsafe.types.UTF8String.fromString("café")
+    assert(graft.functions.expr.UnicodeNorm.norm(v, "NFC") eq v)
+    // invalid form refused at construction
+    assertThrows[IllegalArgumentException](Text.unicodeNorm(lit("x"), "NFX"))
+  }
 }
