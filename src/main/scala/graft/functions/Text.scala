@@ -101,6 +101,30 @@ object Text {
     */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
+  /** HTML → text extraction, the first step of every web-corpus
+    * pipeline (CommonCrawl-style): drop script/style/comment blocks
+    * wholesale, strip remaining tags to spaces, decode the common
+    * entities, collapse whitespace. Pure codegen'd `regexp_replace` /
+    * `replace` chain — one narrow projection pass at any corpus size.
+    *
+    * Decode order is load-bearing: `&amp;` decodes LAST, so the
+    * double-encoded `&amp;lt;` yields the literal text `&lt;` (correct)
+    * instead of `<` (a double decode). The t16 oracle replays the
+    * identical chain in DuckDB (both engines' regex dialects accept the
+    * inline `(?is)` flags), pinning every step byte-for-byte.
+    */
+  def htmlStrip(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val ent = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Native rolling hash (graft.functions.expr.RollingHash, registered
     * by GraftExtensions — whole-stage-codegen, engine-reproducible).
     */

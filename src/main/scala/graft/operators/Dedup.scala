@@ -576,6 +576,24 @@ object Dedup {
     labels
   }
 
+  /** APPLY a [[groupPairs]] labeling to the corpus: keep every document
+    * that is its component's label (the minimum doc id) plus every
+    * document in no component at all — the end-to-end "deduplicated
+    * corpus" materialization (one representative per duplicate
+    * cluster, singletons untouched).
+    *
+    * One left broadcast-or-shuffle equi-join on the id: `groups` is
+    * pair-derived and therefore dramatically smaller than the corpus
+    * (only docs with at least one duplicate edge appear), so at scale
+    * Spark broadcasts it and the corpus never moves.
+    */
+  def keepComponentMin(df: DataFrame, id: Column, groups: DataFrame): DataFrame = {
+    val g = groups.select(col("doc_id").as("__gid"), col("group_id").as("__grp"))
+    df.join(g, id === col("__gid"), "left")
+      .filter(col("__grp").isNull || col("__grp") === id)
+      .drop("__gid", "__grp")
+  }
+
   /** Keep-first dedup by any key with a deterministic tiebreak — the
     * reference's INSERT OR REPLACE upsert semantics as a window
     * (SURVEY §2.5).

@@ -360,7 +360,61 @@ object DedupQueries {
        |SELECT doc_id, MIN(lbl) AS group_id FROM reach
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** End-to-end dedup APPLY ([[Dedup.keepComponentMin]]): the corpus
+    * with every chunk-share duplicate cluster reduced to its min-id
+    * representative — what a pipeline actually ships downstream. The
+    * oracle recomputes d10's components (recursive CTE) and applies the
+    * keep rule independently.
+    */
+  def d11DedupApply(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val groups = Dedup.groupPairs(
+      graft.operators.Chunking.chunkShareEdges(
+        d, col("doc_id"), col("text"), window = 32, dfCap = d10DfCap))
+    Dedup.keepComponentMin(d, col("doc_id"), groups)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val d11Oracle: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, ${DuckOracle.toksNorm} AS toks FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''
+       |), n AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    CASE WHEN len(toks) <= 32 THEN 1
+       |         ELSE (len(toks) - 32 + 32 - 1) // 32 + 1 END AS n_chunks
+       |  FROM d
+       |), c AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(toks[g.i * 32 + 1 : LEAST(g.i * 32 + 32, n)], ' ')) AS fp
+       |  FROM n, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+       |), fset AS (
+       |  SELECT DISTINCT doc_id, fp FROM c
+       |), fd AS (
+       |  SELECT fp FROM fset GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $d10DfCap
+       |), fk AS (
+       |  SELECT doc_id, fp FROM fset JOIN fd USING (fp)
+       |), e0 AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |), edges AS (
+       |  SELECT d1, d2 FROM e0 UNION ALL SELECT d2, d1 FROM e0
+       |), reach(doc_id, lbl) AS (
+       |  SELECT d1, d1 FROM edges
+       |  UNION
+       |  SELECT e.d1, r.lbl FROM edges e JOIN reach r ON e.d2 = r.doc_id
+       |), lab AS (
+       |  SELECT doc_id, MIN(lbl) AS group_id FROM reach GROUP BY doc_id
+       |)
+       |SELECT x.doc_id, x.lang, x.source, x.n_chars
+       |FROM documents x LEFT JOIN lab ON lab.doc_id = x.doc_id
+       |WHERE lab.doc_id IS NULL OR lab.group_id = x.doc_id
+       |ORDER BY x.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_dedup_apply" -> (d11DedupApply _),
     "d10_cc_groups" -> (d10CcGroups _),
     "d09_chunk_dup_share" -> (d09ChunkDupShare _),
     "d01_exact_dedup" -> (d01ExactDedup _),
@@ -373,6 +427,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "d11_dedup_apply" -> d11Oracle,
     "d10_cc_groups" -> d10Oracle,
     "d09_chunk_dup_share" -> d09Oracle,
     "d01_exact_dedup" -> d01Oracle,

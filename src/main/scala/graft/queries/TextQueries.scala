@@ -992,7 +992,58 @@ object TextQueries {
       |  length(nfc_normalize(dec)) AS n_normalized
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** HTML → text extraction ([[Text.htmlStrip]]). The corpus is plain
+    * text, so the query first WRAPS each document in a deterministic
+    * HTML shell exercising every strip rule — script with `&&` inside
+    * (tag-stripping alone would corrupt it), style, a comment,
+    * attributed tags, and the entity set including the double-encoded
+    * `&amp;lt;` (which must decode to the literal text `&lt;`, not
+    * `<`) — then both engines strip it back. Null text propagates
+    * through concat in both engines.
+    */
+  def t16HtmlStrip(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>t</title><style>p{a:1}</style></head>" +
+        "<body><!-- meta --><h1>Doc</h1><p class=\"t\">"),
+      col("text"),
+      lit("</p><script type=\"x\">if(1&&2){q('<p>')}</script>" +
+        "<p>&amp;lt; &lt;tail&gt;&nbsp;&quot;&#39;</p></body></html>"))
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        Text.htmlStrip(html).as("clean"),
+        length(Text.htmlStrip(html)).as("n_clean"))
+      .orderBy("doc_id")
+  }
+
+  val t16Oracle: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>t</title><style>p{a:1}</style></head><body><!-- meta --><h1>Doc</h1><p class="t">'
+      |    || text ||
+      |    '</p><script type="x">if(1&&2){q(''<p>'')}</script><p>&amp;lt; &lt;tail&gt;&nbsp;&quot;&#39;</p></body></html>' AS html
+      |  FROM documents
+      |), s1 AS (
+      |  SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h
+      |), s2 AS (
+      |  SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1
+      |), s3 AS (
+      |  SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2
+      |), s4 AS (
+      |  SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3
+      |), s5 AS (
+      |  SELECT doc_id,
+      |    replace(replace(replace(replace(replace(replace(t,
+      |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+      |  FROM s4
+      |)
+      |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean,
+      |  length(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS n_clean
+      |FROM s5 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_html_strip" -> (t16HtmlStrip _),
     "t15_unicode_norm" -> (t15UnicodeNorm _),
     "t14_tfidf_keywords" -> (t14TfidfKeywords _),
     "t13_chunking" -> (t13Chunking _),
@@ -1017,6 +1068,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t16_html_strip" -> t16Oracle,
     "t15_unicode_norm" -> t15Oracle,
     "t14_tfidf_keywords" -> t14Oracle,
     "t13_chunking" -> t13Oracle,

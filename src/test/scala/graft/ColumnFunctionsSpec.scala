@@ -1382,4 +1382,26 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     // invalid form refused at construction
     assertThrows[IllegalArgumentException](Text.unicodeNorm(lit("x"), "NFX"))
   }
+
+  test("htmlStrip: blocks dropped whole, tags to spaces, entity decode order, null") {
+    def strip(s: String): String =
+      one[String](Text.htmlStrip(lit(s)))
+    // script/style/comment bodies vanish even when they contain tags
+    assert(strip("<script>var a = '<p>' && 1;</script>keep") === "keep")
+    assert(strip("<style>p { color: red }</style>keep") === "keep")
+    assert(strip("a<!-- <b>hidden</b> -->b") === "a b")
+    // case-insensitive block tags, attributes on the opener
+    assert(strip("<SCRIPT type=\"x\">x</SCRIPT>ok<STYLE media='y'>y</STYLE>") === "ok")
+    // tags become spaces so adjacent words never merge
+    assert(strip("<h1>Title</h1><p>body text</p>") === "Title body text")
+    // entity decode, with &amp; LAST: double-encoded &amp;lt; stays literal &lt;
+    assert(strip("x &amp;lt; y &lt;z&gt; &quot;q&quot; &#39;s&#39;&nbsp;end")
+      === "x &lt; y <z> \"q\" 's' end")
+    // whitespace collapses, ends trimmed
+    assert(strip("  a\n\n<br/>   b\t") === "a b")
+    // null propagates
+    val got = Seq[(Long, String)]((1L, null)).toDF("id", "s")
+      .select(Text.htmlStrip(col("s")).as("c")).collect()(0)
+    assert(got.isNullAt(0))
+  }
 }

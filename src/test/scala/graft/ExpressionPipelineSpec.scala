@@ -692,6 +692,19 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("keepComponentMin: one representative per cluster, singletons untouched") {
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("d1", "d2")
+    val groups = graft.operators.Dedup.groupPairs(pairs)
+    val corpus = (1L to 7L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.keepComponentMin(corpus, col("doc_id"), groups)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // {1,2,3} -> 1, {5,6} -> 5; 4 and 7 have no edges and survive
+    assert(kept === Seq(1L, 4L, 5L, 7L))
+    // original columns intact
+    val cols = graft.operators.Dedup.keepComponentMin(corpus, col("doc_id"), groups).columns.toSeq
+    assert(cols === Seq("doc_id", "text"))
+  }
+
   test("pipeline: staged context flow, failure handling, stop_on_failure") {
     val init: Pipeline.Context = Map("src" -> Seq((1, "x")).toDF("id", "v"))
     val ok = Pipeline.run(Seq(
