@@ -921,7 +921,64 @@ object VectorQueries {
        |ORDER BY kind, q_id, "rank", b_id""".stripMargin
   }
 
+  /** First-class k-means ([[graft.operators.Clustering]]): fit k = 8 on
+    * the bounded sample, assign the whole corpus through the native
+    * NearestCentroid pass, dump the MODEL (centroid rows) and the
+    * ASSIGNMENT (one row per vector). The oracle recomputes every
+    * assignment from the raw embeddings plus the dumped centroids
+    * alone: squared-L2 strict fold per (vector, cell), argmin with the
+    * lower-cell tie-break — identical IEEE operation order in both
+    * engines, so the cells must match exactly and every vector must
+    * appear exactly once. WHICH centroids Lloyd chose is
+    * engine-specific and deliberately unconstrained (the v18-basis
+    * posture); the fit arithmetic itself is pinned by the Quantizer +
+    * NearestCentroid determinism/argmin specs.
+    */
+  def v22Kmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cb = graft.operators.Clustering.fit(
+      e, col("vec_id"), col("embedding"), k = 8)
+    // centroids ride the dump as comma-joined shortest-double text
+    // (the hash gate compares scalar columns — the v18 convention)
+    val cents = cb.zipWithIndex
+      .map { case (c, i) => ("c", i, Option.empty[Long], c.mkString(",")) }.toSeq
+      .toDF("kind", "cell", "vec_id", "vec")
+    val asg = graft.operators.Clustering.assign(
+        e, col("vec_id"), col("embedding"), cb)
+      .select(lit("a").as("kind"), col("cell"), col("id").as("vec_id"),
+        lit(null).cast("string").as("vec"))
+    cents.unionByName(asg).orderBy("kind", "cell", "vec_id")
+  }
+
+  val v22Oracle: String = {
+    val diff = "(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
+    val d2 = DuckOracle.duckFold("e.embedding", s"$diff * $diff")
+    s"""WITH cents AS (
+       |  SELECT cell, vec,
+       |    list_transform(string_split(vec, ','), x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM read_parquet('__GRAFT_OUT__/v22_kmeans/*.parquet') WHERE kind = 'c'
+       |), e AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+       |), scored AS (
+       |  SELECT e.vec_id, c.cell, $d2 AS d2
+       |  FROM e CROSS JOIN cents c
+       |), best AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+       |    FROM scored) WHERE rn = 1
+       |)
+       |SELECT 'c' AS kind, cell, CAST(NULL AS BIGINT) AS vec_id, vec FROM cents
+       |UNION ALL
+       |SELECT 'a' AS kind, cell, vec_id, CAST(NULL AS VARCHAR) AS vec FROM best
+       |ORDER BY kind, cell, vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v22_kmeans" -> (v22Kmeans _),
     "v21_knn_classify" -> (v21KnnClassify _),
     "v20_knn_opq" -> (v20KnnOpq _),
     "v19_knn_pca" -> (v19KnnPca _),
@@ -947,6 +1004,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "v22_kmeans" -> v22Oracle,
     "v21_knn_classify" -> v21Oracle,
     "v20_knn_opq" -> v20Oracle,
     "v19_knn_pca" -> v19Oracle,

@@ -692,6 +692,38 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("Clustering: fit recovers separated centers, assign is exact argmin, stats") {
+    import graft.operators.Clustering
+    // two tight blobs far apart; k = 2 must put one centroid in each
+    val pts = (Seq.tabulate(20)(i => (i.toLong, Array(0.0f + i * 0.01f, 0f))) ++
+      Seq.tabulate(20)(i => (100L + i, Array(10.0f + i * 0.01f, 0f))))
+    val df = pts.toDF("vec_id", "embedding")
+    val cb = Clustering.fit(df, col("vec_id"), col("embedding"), k = 2)
+    assert(cb.length === 2 && cb(0).length === 2)
+    val asg = Clustering.assign(df, col("vec_id"), col("embedding"), cb)
+      .as[(Long, Int)].collect().toMap
+    assert(asg.size === 40)
+    // each blob lands whole in one cell, and the two cells differ
+    val loCells = (0L to 19L).map(asg).toSet
+    val hiCells = (100L to 119L).map(asg).toSet
+    assert(loCells.size === 1 && hiCells.size === 1 && loCells != hiCells)
+    // assignment is the true argmin over the returned codebook
+    for ((id, vec) <- pts) {
+      val d2 = cb.map(c => c.zip(vec.map(_.toDouble)).map { case (ci, xi) =>
+        (xi - ci) * (xi - ci) }.sum)
+      assert(d2(asg(id)) === d2.min, s"vec $id not argmin-assigned")
+    }
+    // stats is the per-cell occupancy
+    val st = Clustering.stats(
+      Clustering.assign(df, col("vec_id"), col("embedding"), cb))
+      .as[(Int, Long)].collect().toMap
+    assert(st.values.toSeq.sorted === Seq(20L, 20L))
+    // null vector rows drop from assignment
+    val withNull = pts.toDF("vec_id", "embedding")
+      .unionByName(Seq((999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    assert(Clustering.assign(withNull, col("vec_id"), col("embedding"), cb).count() === 40)
+  }
+
   test("keepComponentMin: one representative per cluster, singletons untouched") {
     val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("d1", "d2")
     val groups = graft.operators.Dedup.groupPairs(pairs)
