@@ -80,6 +80,29 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("round-11 plans: text ops stay narrow, edge gen equi-joins, kmeans assign scans once") {
+    import graft.queries.{TextQueries => T, DedupQueries => D, VectorQueries => V}
+    // t15/t16 are pure projections — one scan, zero Exchange
+    for ((name, q) <- Seq(
+        "t15" -> T.t15UnicodeNorm _, "t16" -> T.t16HtmlStrip _)) {
+      val p = plan(q(spark, sfDir))
+      // the final orderBy is the only allowed exchange (range partition)
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(shuffles == 0, s"$name must not hash-shuffle (pure projection):\n$p")
+    }
+    // d10/d11 edge generation: fp equi-join, never cartesian
+    for ((name, q) <- Seq("d10" -> D.d10CcGroups _, "d11" -> D.d11DedupApply _)) {
+      val p = plan(q(spark, sfDir))
+      assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name edge generation degraded:\n$p")
+    }
+    // v22 assignment: NearestCentroid is a projection over one scan —
+    // no join against a centroid table, no shuffle before the sort
+    val pv = plan(V.v22Kmeans(spark, sfDir))
+    assert(pv.contains("nearest_centroid"), s"v22 lost the native assignment:\n$pv")
+    assert(!pv.contains("SortMergeJoin"), s"v22 must not shuffle-join:\n$pv")
+  }
+
   test("dedup family plans contain no cartesian product (candidate gen is equi-join)") {
     import graft.queries.{DedupQueries => D, VectorQueries => V, CurationQueries => C}
     for ((name, q) <- Seq(
