@@ -577,6 +577,74 @@ object RelationalQueries {
       .select("gid", "o_orderstatus", "o_orderpriority", "n", "sum_cents")
       .orderBy("gid", "o_orderstatus", "o_orderpriority")
 
+  /** Ranking-window breadth (the §2.5 family beyond row_number/lag):
+    * dense_rank, ntile quartiles, percent_rank, cume_dist per priority
+    * over the MONTHLY cents rollup — the window runs over the bounded
+    * aggregated series, never the raw corpus (the e10 posture), and the
+    * ORDER BY is total (cents desc, month) so every rank function is
+    * deterministic. percent_rank/cume_dist divide exact longs → the
+    * doubles match bit-for-bit cross-engine.
+    */
+  def q35RankWindows(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .groupBy(
+        col("o_orderpriority").as("prio"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy("prio").orderBy(col("cents").desc, col("month"))
+    monthly
+      .select(col("prio"), col("month"), col("cents"),
+        dense_rank().over(w).as("drank"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("prio", "month")
+  }
+
+  val q35Oracle: String =
+    """WITH monthly AS (
+      |  SELECT o_orderpriority AS prio, strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT prio, month, cents,
+      |  CAST(dense_rank() OVER w AS INT) AS drank,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS prank,
+      |  cume_dist() OVER w AS cdist
+      |FROM monthly
+      |WINDOW w AS (PARTITION BY prio ORDER BY cents DESC, month)
+      |ORDER BY prio, month""".stripMargin
+
+  /** FULL OUTER join — the one join flavor the q-family lacked:
+    * month-level order volume vs lineitem ship volume, keeping months
+    * present on either side only (nulls on the absent side). Exact
+    * integer cents both sides.
+    */
+  def q36FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val om = t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"))
+    val lm = t(s, dir, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_ship"))
+    om.join(lm, Seq("month"), "full_outer")
+      .select("month", "n_orders", "n_ship")
+      .orderBy("month")
+  }
+
+  val q36Oracle: String =
+    """WITH om AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1
+      |), lm AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS month, COUNT(*) AS n_ship
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT COALESCE(om.month, lm.month) AS month, n_orders, n_ship
+      |FROM om FULL OUTER JOIN lm ON om.month = lm.month
+      |ORDER BY month""".stripMargin
+
   val q34Oracle: String =
     """SELECT CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
       |  o_orderstatus, o_orderpriority, COUNT(*) AS n,
@@ -836,6 +904,8 @@ object RelationalQueries {
     "q31_pivot" -> (q31Pivot _),
     "q32_unpivot" -> (q32Unpivot _),
     "q33_grouping_sets" -> (q33GroupingSets _),
+    "q35_rank_windows" -> (q35RankWindows _),
+    "q36_full_outer" -> (q36FullOuter _),
     "q34_cube" -> (q34Cube _),
     "q22_kmv_distinct" -> (q22KmvDistinct _),
     "q21_salted_flag_join" -> (q21SaltedFlagJoin _),
@@ -870,6 +940,8 @@ object RelationalQueries {
     "q31_pivot" -> q31Oracle,
     "q32_unpivot" -> q32Oracle,
     "q33_grouping_sets" -> q33Oracle,
+    "q35_rank_windows" -> q35Oracle,
+    "q36_full_outer" -> q36Oracle,
     "q34_cube" -> q34Oracle,
     "q22_kmv_distinct" -> q22Oracle,
     "q21_salted_flag_join" -> q21Oracle,
