@@ -48,6 +48,20 @@ object Dedup {
     c
   }
 
+  /** Arbitrary release actions for the enclosing [[scoped]] block —
+    * the RDD-level twin of [[scopedCache]], for persisted state
+    * `Dataset.unpersist` cannot reach (localCheckpoint blocks inside
+    * [[groupPairs]]). No-op outside a scope (blocks then fall to the
+    * ContextCleaner, the documented outside-a-scope posture).
+    */
+  private val cleanupTL: InheritableThreadLocal[Option[scala.collection.mutable.ListBuffer[() => Unit]]] =
+    new InheritableThreadLocal[Option[scala.collection.mutable.ListBuffer[() => Unit]]] {
+      override def initialValue(): Option[scala.collection.mutable.ListBuffer[() => Unit]] = None
+    }
+
+  private[graft] def scopedCleanup(f: () => Unit): Unit =
+    cleanupTL.get().foreach(b => b.synchronized { b += f })
+
   /** Run `body` and unpersist every intermediate frame the Dedup
     * operators cached in its dynamic extent. Results must be
     * MATERIALIZED inside the block — a lazy DataFrame escaping the
@@ -64,15 +78,21 @@ object Dedup {
     */
   def scoped[T](body: => T): T = {
     val prev = scopeTL.get()
+    val prevCleanup = cleanupTL.get()
     val buf = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val cleanups = scala.collection.mutable.ListBuffer.empty[() => Unit]
     scopeTL.set(Some(buf))
+    cleanupTL.set(Some(cleanups))
     try body
     finally {
       scopeTL.set(prev)
+      cleanupTL.set(prevCleanup)
       // snapshot under the lock; a straggler thread appending after the
       // drain is the documented out-of-contract case
       val frames = buf.synchronized(buf.toList)
       frames.foreach(_.unpersist(false)) // double-unpersist is a no-op
+      val fs = cleanups.synchronized(cleanups.toList)
+      fs.foreach(f => f())
     }
   }
 
@@ -535,7 +555,28 @@ object Dedup {
   def groupPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = scopedCache(pairs.select(col("d1"), col("d2"))
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2"))))
-    var labels = scopedCache(edges.select(col("d1").as("doc_id"))
+    // LINEAGE TRUNCATION (load-bearing): each round's frame must be
+    // checkpointed, not merely cached. Caching materializes DATA but
+    // leaves the LOGICAL PLAN intact, and the pointer-jumping
+    // self-join references the round's plan twice — so the plan tree
+    // doubles every round and Catalyst does O(2^rounds) driver work:
+    // measured at sf0.1 this was ~40 s/round climbing to driver OOM,
+    // on 610 edges. An eager localCheckpoint cuts the plan to a leaf
+    // over the computed blocks, so every round re-plans a constant-size
+    // tree (the same cure GraphFrames' connected components uses).
+    // The extra createDataFrame hop rebuilds a CLEAN leaf over the
+    // checkpointed rows: unioning the raw localCheckpoint frame trips
+    // Spark's Union constraint rewrite (stale attribute ids from the
+    // pre-checkpoint plan → `key not found` at analysis).
+    // Executor-side the checkpoint blocks are label pairs — tiny; a
+    // round's blocks are released the moment the next round stops
+    // reading them, and the FINAL round's via [[scopedCleanup]].
+    def truncate(df: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
+      val chk = df.localCheckpoint(true)
+      (chk.sparkSession.createDataFrame(chk.rdd, chk.schema),
+        org.apache.spark.sql.GraftColumnShim.checkpointedRdd(chk))
+    }
+    var (labels, labelsRdd) = truncate(edges.select(col("d1").as("doc_id"))
       .distinct()
       .withColumn("group_id", col("doc_id")))
     var converged = false
@@ -550,10 +591,7 @@ object Dedup {
       // pointer jumping: follow each label to ITS label — combined with
       // the neighbor step this roughly halves remaining depth per round,
       // so convergence is O(log diameter), not O(diameter)
-      // scopedCache (not bare cache): intermediate rounds unpersist in
-      // the loop below, but the FINAL labels frame — the return value —
-      // stays cached; registering it lets Dedup.scoped release it.
-      val next = scopedCache(propagated.as("l")
+      val (next, nextRdd) = truncate(propagated.as("l")
         .join(
           propagated.select(col("doc_id").as("gid"), col("group_id").as("ggid")).as("p"),
           col("l.group_id") === col("p.gid"), "left")
@@ -563,8 +601,12 @@ object Dedup {
       val changed = next.join(labels.withColumnRenamed("group_id", "old"), "doc_id")
         .filter(col("group_id") < col("old"))
         .limit(1).count() > 0
-      labels.unpersist()
+      // this round fully materialized `next` and the changed check —
+      // nothing reads the previous round's blocks again (a truncated
+      // localCheckpoint RDD cannot recompute, so release only here)
+      labelsRdd.foreach(_.unpersist(false))
       labels = next
+      labelsRdd = nextRdd
       converged = !changed
       i += 1
     }
@@ -573,6 +615,11 @@ object Dedup {
       // never return silently-wrong components
       throw new IllegalStateException(
         s"groupPairs did not converge in $maxIters rounds (component diameter > 2^$maxIters?)")
+    // the RETURNED frame's blocks outlive this call by design; an
+    // enclosing Dedup.scoped releases them on exit (callers must
+    // materialize results inside the scope — the standard contract)
+    val finalRdd = labelsRdd
+    scopedCleanup(() => finalRdd.foreach(_.unpersist(false)))
     labels
   }
 

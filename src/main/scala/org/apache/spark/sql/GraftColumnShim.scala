@@ -11,4 +11,18 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The persisted internal RDD behind a `localCheckpoint`ed frame —
+    * `Dataset.localCheckpoint` persists the PHYSICAL InternalRow RDD
+    * inside a `LogicalRDD` leaf, which `Dataset.rdd` does NOT return (it
+    * builds a fresh deserializing RDD per call, whose unpersist would be
+    * a no-op on the checkpoint blocks). Iterative operators
+    * ([[graft.operators.Dedup.groupPairs]]) need the real handle to
+    * release superseded rounds deterministically instead of waiting for
+    * the ContextCleaner.
+    */
+  def checkpointedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 }
