@@ -377,7 +377,69 @@ object EventQueries {
       |       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_days
       |FROM d ORDER BY day, event_type""".stripMargin
 
+  /** Inter-event gap histogram (the arrival-process profile behind
+    * every sessionization / watermark / retention knob): per-user
+    * consecutive gaps in exact µs, bucketed on fixed integer
+    * thresholds (1 s / 10 s / 1 min / 10 min / 1 h / 1 d) — a CASE
+    * chain on longs, no float log-binning to drift cross-engine. One
+    * user-key shuffle for the lag, then a bucket-keyed (≤7-row)
+    * rollup.
+    */
+  def e11GapHistogram(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy(asc("ts_us"), asc("event_id"))
+    val gapped = ev
+      .withColumn("ts_us", Tables.tsUs(ev))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(w))
+      .filter(col("gap_us").isNotNull)
+    val bucketIdx = when(col("gap_us") < 1000000L, 0)
+      .when(col("gap_us") < 10000000L, 1)
+      .when(col("gap_us") < 60000000L, 2)
+      .when(col("gap_us") < 600000000L, 3)
+      .when(col("gap_us") < 3600000000L, 4)
+      .when(col("gap_us") < 86400000000L, 5)
+      .otherwise(6)
+    val label = element_at(
+      array(lit("lt_1s"), lit("lt_10s"), lit("lt_1m"), lit("lt_10m"),
+        lit("lt_1h"), lit("lt_1d"), lit("ge_1d")),
+      bucketIdx + 1)
+    gapped
+      .groupBy(bucketIdx.as("bucket_idx"), label.as("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min("gap_us").as("min_gap_us"), max("gap_us").as("max_gap_us"))
+      .orderBy("bucket_idx")
+  }
+
+  val e11Oracle: String =
+    """WITH g AS (
+      |  SELECT epoch_us(ts) - lag(epoch_us(ts))
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+      |  FROM events
+      |), b AS (
+      |  SELECT gap_us,
+      |    CASE WHEN gap_us < 1000000 THEN 0
+      |         WHEN gap_us < 10000000 THEN 1
+      |         WHEN gap_us < 60000000 THEN 2
+      |         WHEN gap_us < 600000000 THEN 3
+      |         WHEN gap_us < 3600000000 THEN 4
+      |         WHEN gap_us < 86400000000 THEN 5
+      |         ELSE 6 END AS bucket_idx,
+      |    CASE WHEN gap_us < 1000000 THEN 'lt_1s'
+      |         WHEN gap_us < 10000000 THEN 'lt_10s'
+      |         WHEN gap_us < 60000000 THEN 'lt_1m'
+      |         WHEN gap_us < 600000000 THEN 'lt_10m'
+      |         WHEN gap_us < 3600000000 THEN 'lt_1h'
+      |         WHEN gap_us < 86400000000 THEN 'lt_1d'
+      |         ELSE 'ge_1d' END AS bucket
+      |  FROM g WHERE gap_us IS NOT NULL
+      |)
+      |SELECT CAST(bucket_idx AS INT) AS bucket_idx, bucket, COUNT(*) AS n_gaps,
+      |  CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+      |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+      |FROM b GROUP BY 1, 2 ORDER BY bucket_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e11_gap_histogram" -> (e11GapHistogram _),
     "e08_funnel" -> (e08Funnel _),
     "e09_retention" -> (e09Retention _),
     "e10_moving_window" -> (e10MovingWindow _),
@@ -393,6 +455,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e11_gap_histogram" -> e11Oracle,
     "e08_funnel" -> e08Oracle,
     "e09_retention" -> e09Oracle,
     "e10_moving_window" -> e10Oracle,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -977,7 +978,80 @@ object VectorQueries {
        |ORDER BY kind, cell, vec_id""".stripMargin
   }
 
+  /** Cluster quality vs ground-truth labels (the evaluation loop of
+    * every embedding-clustering job): per k-means cell, the member
+    * count, the majority label (smaller label on ties — total order),
+    * its count, and purity = n_majority / n. Assignment reuses the v22
+    * deterministic fit; the oracle recomputes assignments from the
+    * dumped centroids (the v22 argmin contract) and re-derives every
+    * count, majority pick, and the exact-long purity division.
+    */
+  def v23ClusterPurity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cb = graft.operators.Clustering.fit(
+      e, col("vec_id"), col("embedding"), k = 8)
+    val cents = cb.zipWithIndex
+      .map { case (c, i) => ("c", i, c.mkString(","), Option.empty[Long],
+        Option.empty[Long], Option.empty[Long], Option.empty[Double]) }.toSeq
+      .toDF("kind", "cell", "vec", "n", "maj_label", "n_maj", "purity")
+    val asg = graft.operators.Clustering.assign(
+        e, col("vec_id"), col("embedding"), cb)
+      .join(e.select(col("vec_id").as("id"), col("label")), Seq("id"))
+    val byLabel = asg.groupBy("cell", "label").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("cell").orderBy(desc("c"), asc("label"))
+    val purity = byLabel
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cell")
+      .agg(sum("c").as("n"),
+        max(when(col("rn") === 1, col("label"))).cast("long").as("maj_label"),
+        max(when(col("rn") === 1, col("c"))).as("n_maj"))
+      .select(lit("p").as("kind"), col("cell"),
+        lit(null).cast("string").as("vec"), col("n"), col("maj_label"),
+        col("n_maj"), (col("n_maj").cast("double") / col("n").cast("double")).as("purity"))
+    cents.unionByName(purity).orderBy("kind", "cell")
+  }
+
+  val v23Oracle: String = {
+    val diff = "(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
+    val d2 = DuckOracle.duckFold("e.embedding", s"$diff * $diff")
+    s"""WITH cents AS (
+       |  SELECT cell, vec,
+       |    list_transform(string_split(vec, ','), x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM read_parquet('__GRAFT_OUT__/v23_cluster_purity/*.parquet') WHERE kind = 'c'
+       |), e AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  WHERE embedding IS NOT NULL
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+       |), best AS (
+       |  SELECT vec_id, label, cell FROM (
+       |    SELECT e.vec_id, e.label, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2, c.cell) AS rn
+       |    FROM e CROSS JOIN cents c) WHERE rn = 1
+       |), byl AS (
+       |  SELECT cell, label, COUNT(*) AS c FROM best GROUP BY cell, label
+       |), pur AS (
+       |  SELECT cell, CAST(SUM(c) AS BIGINT) AS n,
+       |    CAST(MAX(CASE WHEN rn = 1 THEN label END) AS BIGINT) AS maj_label,
+       |    CAST(MAX(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS n_maj
+       |  FROM (SELECT cell, label, c,
+       |          row_number() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rn
+       |        FROM byl)
+       |  GROUP BY cell
+       |)
+       |SELECT 'c' AS kind, cell, vec, CAST(NULL AS BIGINT) AS n,
+       |  CAST(NULL AS BIGINT) AS maj_label, CAST(NULL AS BIGINT) AS n_maj,
+       |  CAST(NULL AS DOUBLE) AS purity
+       |FROM cents
+       |UNION ALL
+       |SELECT 'p' AS kind, cell, CAST(NULL AS VARCHAR) AS vec, n, maj_label,
+       |  n_maj, CAST(n_maj AS DOUBLE) / CAST(n AS DOUBLE) AS purity
+       |FROM pur
+       |ORDER BY kind, cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v23_cluster_purity" -> (v23ClusterPurity _),
     "v22_kmeans" -> (v22Kmeans _),
     "v21_knn_classify" -> (v21KnnClassify _),
     "v20_knn_opq" -> (v20KnnOpq _),
@@ -1004,6 +1078,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "v23_cluster_purity" -> v23Oracle,
     "v22_kmeans" -> v22Oracle,
     "v21_knn_classify" -> v21Oracle,
     "v20_knn_opq" -> v20Oracle,
