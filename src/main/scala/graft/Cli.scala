@@ -222,6 +222,10 @@ object Cli {
           // pin: the stage statuses already ran the plan shape; counts +
           // optional save + report below reuse one materialization
           val pinned = findings.cache()
+          // previous scan (the baseline) must load BEFORE this run's
+          // save appends to the same store
+          val prevScan = opts.get("--out")
+            .flatMap(dir => ResultStore.loadLatest(s, dir, "scan"))
           try {
             val total = pinned.count()
             runRes.stages.zipWithIndex.foreach { case (st, i) =>
@@ -238,7 +242,13 @@ object Cli {
               out.println(s"saved -> $p")
             }
             opts.get("--report").foreach { p =>
-              HtmlReport.write(pinned, s"Audit Scan ($pipeline)", p)
+              // Baseline Comparison renders only when a result store is
+              // in play (--out): first run → notice, else per-domain ±
+              // vs the previous saved scan
+              val baseline = opts.get("--out")
+                .map(_ => HtmlReport.findingsBaseline(pinned, prevScan))
+              HtmlReport.write(pinned, s"Audit Scan ($pipeline)", p,
+                baseline = baseline)
               out.println(s"report -> $p")
             }
             if (runRes.failed) 1 else 0
@@ -261,11 +271,16 @@ object Cli {
         case "report" :: rest =>
           val (opts, _) = parse(rest).fold(m => throw new UsageException(m), identity)
           val s = sparkF()
-          val saved = ResultStore.loadLatest(s, req(opts, "--dir"), "scan")
+          val recent = ResultStore.loadRecent(s, req(opts, "--dir"), "scan", 2)
+          val saved = recent.headOption.map(_._2)
             .getOrElse(throw new IllegalStateException(
               s"no saved scans under ${req(opts, "--dir")} -- run 'graft audit scan --out' first"))
+          // second-most-recent scan is the baseline; a single saved
+          // scan renders the first-run notice
           HtmlReport.write(saved, opts.getOrElse("--title", "Audit Report"),
-            req(opts, "--out"), topN = opts.getOrElse("--top", "100").toInt)
+            req(opts, "--out"), topN = opts.getOrElse("--top", "100").toInt,
+            baseline = Some(HtmlReport.findingsBaseline(
+              saved, recent.lift(1).map(_._2))))
           out.println(s"report -> ${req(opts, "--out")}")
           0
 
@@ -287,14 +302,14 @@ object Cli {
 
         case "serve" :: "mcp" :: rest =>
           val (opts, _) = parse(rest).fold(m => throw new UsageException(m), identity)
-          val roots = opts.get("--allow")
-            .map(_.split(java.io.File.pathSeparator).toSeq.filter(_.nonEmpty))
-            .orElse(sys.env.get("GRAFT_MCP_ALLOWED_PATHS")
-              .map(_.split(java.io.File.pathSeparator).toSeq.filter(_.nonEmpty)))
-            .getOrElse(Nil)
-          val cfg = Mcp.McpConfig(allowedPaths = roots,
-            securityMode = opts.getOrElse("--mode",
-              sys.env.getOrElse("GRAFT_MCP_SECURITY_MODE", "strict")))
+          // Mcp.configFromEnv is the single owner of the env-var config
+          // surface (incl. GRAFT_MCP_ENV_KEYS / GRAFT_MCP_ENV_PREFIXES)
+          // so this verb and `graft.serve.Mcp.main` cannot diverge;
+          // explicit flags override their env twins
+          val cfg = Mcp.configFromEnv(
+            roots = opts.get("--allow")
+              .map(_.split(java.io.File.pathSeparator).toSeq.filter(_.nonEmpty)),
+            mode = opts.get("--mode"))
           new Mcp.McpServer(new Mcp.Tools(cfg)).serve(mcpIn, mcpOut)
           0
 
@@ -304,6 +319,10 @@ object Cli {
     } catch {
       case u: UsageException =>
         err.println(s"usage error: ${u.getMessage}\n\n$Usage"); 2
+      case e: NumberFormatException =>
+        // a non-numeric value for a numeric flag is a USAGE error
+        // (click's BadParameter exits 2), not a runtime failure
+        err.println(s"usage error: bad numeric flag value: ${e.getMessage}\n\n$Usage"); 2
       case e: Exception =>
         err.println(s"error: ${Option(e.getMessage).getOrElse(e.toString)}"); 1
     }

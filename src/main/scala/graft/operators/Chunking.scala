@@ -124,14 +124,21 @@ object Chunking {
       df: DataFrame, id: Column, text: Column, window: Int,
       dfCap: Int = 100): DataFrame = {
     require(dfCap >= 2, s"dfCap must be >= 2 (an edge needs two docs), got $dfCap")
-    val fps = chunk(df, id, text, window, stride = window)
-      .select(col("doc_id"), col("chunk_fp").as("fp"))
-      .distinct()
+    // scopedCache (chunkDupShare's posture): the tokenize+chunk fan-out
+    // feeds the df-count derivation AND both sides of the self-join —
+    // uncached, only physical exchange reuse (a disableable optimizer
+    // courtesy, not a contract) would stop it replaying three times
+    // over the corpus.
+    val fps = Dedup.scopedCache(
+      chunk(df, id, text, window, stride = window)
+        .select(col("doc_id"), col("chunk_fp").as("fp"))
+        .distinct())
     val keptFps = fps.groupBy("fp").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2 && col("n_docs") <= dfCap)
       .select("fp")
-    fps.join(keptFps, Seq("fp")).as("a")
-      .join(fps.join(keptFps, Seq("fp")).as("b"),
+    val kept = fps.join(keptFps, Seq("fp"))
+    kept.as("a")
+      .join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()

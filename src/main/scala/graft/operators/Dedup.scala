@@ -19,8 +19,17 @@ import graft.functions.{Hashing, Text}
   * Wrap pipeline runs in [[Dedup.scoped]] — materialize results inside
   * the block and every intermediate block is unpersisted on exit, so
   * long-lived sessions (daemon mode) cannot accumulate storage.
-  * Outside a scope the blocks live until the caller clears them
-  * (`spark.catalog.clearCache()` — Verify and Bench both do).
+  * Outside a scope the Dataset-level blocks live until the caller
+  * clears them (`spark.catalog.clearCache()` — Verify and Bench both
+  * do). [[groupPairs]] is the one exception in KIND: its state is
+  * RDD-level localCheckpoint blocks (lineage truncation — see its
+  * body), which `clearCache` cannot reach; inside a scope they release
+  * deterministically via [[scopedCleanup]], outside one they are
+  * label-pair-sized and fall to the ContextCleaner on GC. And because
+  * a truncated checkpoint cannot recompute, a groupPairs result that
+  * escapes its scope FAILS FAST on the next action instead of silently
+  * recomputing — the materialize-inside-the-scope contract is enforced,
+  * not advisory, for that operator.
   *
   * Reference behaviors re-expressed: exact content-hash duplicate groups
   * (/root/reference/src/file_indexing_system.py:246-319) and

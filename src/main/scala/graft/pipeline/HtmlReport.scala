@@ -62,6 +62,28 @@ object HtmlReport {
       cats.map(c => (c, m.getOrElse((c, "added"), 0L), m.getOrElse((c, "removed"), 0L))))
   }
 
+  /** The section from two FINDINGS frames — the shape the CLI report
+    * paths feed it: previous scan absent → first-run notice; otherwise
+    * per-domain added/removed keyed by (title, resource) through the
+    * [[graft.analyze.BaselineDiff]] machinery (domain list is
+    * dimension-sized; the diffs union into ONE plan, one collect).
+    */
+  def findingsBaseline(current: DataFrame, previous: Option[DataFrame]): BaselineSection =
+    previous match {
+      case None => BaselineSection(firstRun = true, Nil)
+      case Some(prev) =>
+        import org.apache.spark.sql.functions.col
+        val domains = current.select("domain").unionByName(prev.select("domain"))
+          .distinct().collect().map(_.getString(0)).filter(_ != null).toSeq.sorted
+        if (domains.isEmpty) BaselineSection(firstRun = false, Nil)
+        else baselineFrom(graft.analyze.BaselineDiff.summary(domains.map { dm =>
+          graft.analyze.BaselineDiff.diff(
+            current.filter(col("domain") === dm),
+            prev.filter(col("domain") === dm),
+            Seq("title", "resource"), dm)
+        }))
+    }
+
   /** Resource tables from a process frame via the analyzer's top-N
     * (one tiny collect per metric; ranking runs in Spark).
     */

@@ -534,15 +534,29 @@ object Mcp {
     * GRAFT_MCP_ENV_PREFIXES (comma-joined) extend the strict-mode env
     * overlay allowlist beyond the JOB_* defaults.
     */
-  def main(args: Array[String]): Unit = {
-    val roots = sys.env.get("GRAFT_MCP_ALLOWED_PATHS")
-      .map(_.split(java.io.File.pathSeparator).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-    val mode = sys.env.getOrElse("GRAFT_MCP_SECURITY_MODE", "strict")
+  /** The env-var config surface, shared by [[main]] and the `graft
+    * serve mcp` CLI verb so the two entry points cannot diverge on
+    * which variables they honor. `roots`/`mode` override the env when
+    * the caller already resolved them (CLI flags win over env).
+    */
+  def configFromEnv(
+      roots: Option[Seq[String]] = None,
+      mode: Option[String] = None): McpConfig = {
     def csv(key: String): Seq[String] =
       sys.env.get(key).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
-    val cfg = McpConfig(allowedPaths = roots, securityMode = mode,
+    McpConfig(
+      allowedPaths = roots.getOrElse(
+        sys.env.get("GRAFT_MCP_ALLOWED_PATHS")
+          .map(_.split(java.io.File.pathSeparator).toSeq.filter(_.nonEmpty))
+          .getOrElse(Nil)),
+      securityMode = mode.getOrElse(
+        sys.env.getOrElse("GRAFT_MCP_SECURITY_MODE", "strict")),
       allowedEnvKeys = DefaultEnvKeys ++ csv("GRAFT_MCP_ENV_KEYS"),
       allowedEnvPrefixes = csv("GRAFT_MCP_ENV_PREFIXES"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = configFromEnv()
     new McpServer(new Tools(cfg)).serve(System.in, System.out)
   }
 }

@@ -142,6 +142,37 @@ class CliSpec extends SparkSpecBase {
     assert(rcR == 0 && outR.contains("report ->"))
     val html = Files.readString(Paths.get(rpt2))
     assert(html.contains("CLI Smoke"))
+
+    // Baseline Comparison wiring: scan #1 against an --out store is the
+    // FIRST run (notice), and a one-scan `report` says the same; a
+    // second identical scan then reports "no changes"
+    val firstHtml = Files.readString(Paths.get(report))
+    assert(firstHtml.contains("Baseline Comparison") && firstHtml.contains("First run"),
+      "scan #1 with --out must render the first-run baseline notice")
+    assert(html.contains("Baseline Comparison") && html.contains("First run"),
+      "report over a single saved scan must render the first-run notice")
+    val report3 = tmp("cli-report3").resolve("r3.html").toString
+    assert(cli(Seq("audit", "scan", "--input", fixtures, "--pipeline", "daily",
+      "--out", saved, "--report", report3))._1 == 0)
+    val html3 = Files.readString(Paths.get(report3))
+    assert(html3.contains("No changes detected since last baseline."),
+      "identical rescan must render the clean baseline state")
+    // and `report` over the two saved scans agrees
+    val rpt4 = tmp("cli-report4").resolve("r4.html").toString
+    assert(cli(Seq("report", "--dir", saved, "--out", rpt4))._1 == 0)
+    assert(Files.readString(Paths.get(rpt4))
+      .contains("No changes detected since last baseline."))
+  }
+
+  test("cli: malformed numeric flag values exit 2 (usage), not 1") {
+    val root = tmp("cli-num-root")
+    Files.writeString(root.resolve("a.txt"), "x")
+    val idx = tmp("cli-num").resolve("files.parquet").toString
+    assert(cli(Seq("index", "build", "--root", root.toString, "--out", idx))._1 == 0)
+    val (rc, _, errS, _) = cli(Seq(
+      "index", "search", "--index", idx, "--size", "abc"))
+    assert(rc == 2, s"expected usage exit for non-numeric --size, got $rc ($errS)")
+    assert(errS.contains("usage error"))
   }
 
   test("cli: serve http binds, answers /health through the hook, and stops") {
