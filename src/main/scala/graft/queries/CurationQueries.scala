@@ -190,6 +190,51 @@ object CurationQueries {
        |  CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS share
        |FROM per ORDER BY doc_id""".stripMargin
 
+  /** Contamination rolled up to the curation decision level
+    * ([[c15ContaminationShare]] pooled per (source, lang)): how much of
+    * each slice leaks eval content, as exact-long pools (shingle and
+    * leaky-doc counts sum as longs; the ONE pooled division happens on
+    * the final exact sums — never an average of per-doc doubles, whose
+    * summation order differs cross-engine). The per-slice verdict a
+    * recipe actually acts on ("drop sourceX/lang=de, keep the rest").
+    */
+  def c16ContaminationBySource(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Dedup.contaminationShare(
+        d.filter(col("doc_id") >= 20), col("doc_id"), col("text"),
+        d.filter(col("doc_id") < 20), col("doc_id"), col("text"),
+        n = 5)
+      .join(d.select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_contaminated") > 0, 1L).otherwise(0L)).as("n_leaky_docs"),
+        sum("n_shingles").as("sum_shingles"),
+        sum("n_contaminated").as("sum_contaminated"))
+      .withColumn("pooled_share",
+        col("sum_contaminated").cast("double") / col("sum_shingles").cast("double"))
+      .orderBy("source", "lang")
+  }
+
+  val c16Oracle: String =
+    s"""WITH $duckShingleCte, ex AS (
+       |  SELECT doc_id, unnest(shset) AS g FROM shg WHERE shset <> ['']
+       |), ev AS (
+       |  SELECT DISTINCT g FROM ex WHERE doc_id < 20
+       |), per AS (
+       |  SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |    CAST(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+       |  FROM ex LEFT JOIN ev ON ex.g = ev.g
+       |  WHERE ex.doc_id >= 20 GROUP BY ex.doc_id
+       |)
+       |SELECT d.source, d.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN per.n_contaminated > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_docs,
+       |  CAST(SUM(per.n_shingles) AS BIGINT) AS sum_shingles,
+       |  CAST(SUM(per.n_contaminated) AS BIGINT) AS sum_contaminated,
+       |  CAST(SUM(per.n_contaminated) AS DOUBLE) / CAST(SUM(per.n_shingles) AS DOUBLE) AS pooled_share
+       |FROM per JOIN documents d ON d.doc_id = per.doc_id
+       |GROUP BY d.source, d.lang ORDER BY d.source, d.lang""".stripMargin
+
   /** Bloom-prefiltered decontamination
     * ([[graft.operators.Dedup.contaminationPairsBloom]]): identical
     * semantics to [[c03Decontamination]] — the eval shingles compress
@@ -847,6 +892,7 @@ object CurationQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c14_dsir_select" -> (c14DsirSelect _),
     "c15_contamination_share" -> (c15ContaminationShare _),
+    "c16_contamination_by_source" -> (c16ContaminationBySource _),
     "z01_zorder_skip" -> (z01ZorderSkip _),
     "c13_url_filter" -> (c13UrlFilter _),
     "c01_corpus_curation" -> (c01CorpusCuration _),
@@ -867,6 +913,7 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "c14_dsir_select" -> c14Oracle,
     "c15_contamination_share" -> c15Oracle,
+    "c16_contamination_by_source" -> c16Oracle,
     "z01_zorder_skip" -> z01Oracle,
     "c13_url_filter" -> c13Oracle,
     "c01_corpus_curation" -> c01Oracle,

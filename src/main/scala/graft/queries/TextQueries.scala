@@ -1042,7 +1042,43 @@ object TextQueries {
       |  length(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS n_clean
       |FROM s5 ORDER BY doc_id""".stripMargin
 
+  /** Sentence segmentation stats (the chunker/quality-filter input the
+    * t-family lacked): sentences split on terminator runs followed by
+    * whitespace — `[.!?]+\\s+`, splitting ON the boundary (both regex
+    * dialects agree; RE2 has no lookbehind, so keep-the-terminator
+    * variants are not cross-engine expressible). Per doc: sentence
+    * count, token count, mean tokens/sentence (ONE division of exact
+    * longs), and the longest sentence in characters. Pure single-scan
+    * projection + array ops.
+    */
+  def t17SentenceStats(s: SparkSession, dir: String): DataFrame = {
+    val sents = split(col("text"), "[.!?]+\\s+")
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        size(sents).as("n_sentences"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        (Text.tokenCount(col("text")).cast("double") /
+          size(sents).cast("double")).as("mean_tokens_per_sentence"),
+        array_max(transform(sents, x => length(x))).as("max_sentence_chars"))
+      .orderBy("doc_id")
+  }
+
+  val t17Oracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    string_split_regex(text, '[.!?]+\\s+') AS sents,
+       |    CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0 ELSE len($duckToksRaw) END AS n_tokens
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(len(sents) AS INT) AS n_sentences,
+       |  n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / CAST(len(sents) AS DOUBLE) AS mean_tokens_per_sentence,
+       |  CAST(list_max(list_transform(sents, x -> length(x))) AS INT) AS max_sentence_chars
+       |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_sentence_stats" -> (t17SentenceStats _),
     "t16_html_strip" -> (t16HtmlStrip _),
     "t15_unicode_norm" -> (t15UnicodeNorm _),
     "t14_tfidf_keywords" -> (t14TfidfKeywords _),
@@ -1068,6 +1104,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t17_sentence_stats" -> t17Oracle,
     "t16_html_strip" -> t16Oracle,
     "t15_unicode_norm" -> t15Oracle,
     "t14_tfidf_keywords" -> t14Oracle,
