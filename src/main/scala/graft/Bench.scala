@@ -124,12 +124,20 @@ object Bench {
     //    artifact survives even a runner that reads nothing but git.
     // tools/bench_gate.py fails the round if the committed sidecar is
     // missing, stale-shaped, or inconsistent with its own total.
+    // Subset runs carry an explicit marker in EVERY artifact they write
+    // — including the env-path one (SPARK_GRAFT_BENCH_OUT), which keeps
+    // its fixed path: a consumer reading /tmp/graft_bench.json after a
+    // BENCH_ONLY experiment must not mistake a subset-only total for
+    // the full-suite gate total.
+    val subsetField = only.fold("") { f =>
+      s""","subset":true,"subset_filter":"${esc(f.toSeq.sorted.mkString(","))}""""
+    }
     val fullLine =
-      s"""{"metric":"total","value":$totalFull,"unit":"sec","failed":$failed,"n":${results.size},"queries":$qmap,"split":$splitMap,"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$totalFull,"unit":"sec","failed":$failed,"n":${results.size}$subsetField,"queries":$qmap,"split":$splitMap,"sf":"${esc(sfDir)}"}"""
     val sidecarName = if (only.isEmpty) "BENCH_OUT.json" else "BENCH_OUT.subset.json"
     val shortLine = {
       val total = math.rint(totalFull * 1000) / 1000
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n":${results.size},"sf":"${esc(sfDir)}","perQuery":"$sidecarName"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n":${results.size}$subsetField,"sf":"${esc(sfDir)}","perQuery":"$sidecarName"}"""
     }
     val outFiles = Seq(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),

@@ -100,6 +100,15 @@ object AuditScan {
     val stages: Seq[(String, Pipeline.Stage)] = present.map { t =>
       t.name -> ((ctx: Pipeline.Context) => {
         val f = ToolParsers.toFindings(t.parse(spark, Paths.get(dir, t.file).toString))
+        // Validity probe: without it the stage only CONSTRUCTS a lazy
+        // plan (plus eager schema inference), so a row-level parse
+        // failure would surface later at the consumer's first action,
+        // attributed to no stage — making the per-step status table
+        // cosmetic. limit(1) forces one real read+parse of THIS tool's
+        // file (tool outputs are single snapshot files — the probe is
+        // one task); zero rows is a valid outcome (empty parseable
+        // file), only a thrown parse error fails the stage.
+        f.limit(1).count()
         ctx + ("findings" -> ctx.get("findings").map(_.unionByName(f)).getOrElse(f))
       })
     }

@@ -76,11 +76,15 @@ object Chunking {
     * hot slice beats salting it ([[ScaleJoins.saltedJoin]]): the
     * attached side is one row per key, so there is no replication cost
     * and the hot keys leave the shuffle entirely. The doc-keyed rollup
-    * shuffles on doc_id, which a hot FP does not skew.
+    * shuffles on doc_id, which a hot FP does not skew. The broadcast is
+    * size-guarded: if the measured hot set exceeds the broadcast budget
+    * (small hotMinDocs on a huge corpus), the operator falls back to
+    * one plain equi-join — identical output, no driver OOM risk.
     */
   def chunkDupShare(
       df: DataFrame, id: Column, text: Column, window: Int,
-      hotMinDocs: Int = 100000): DataFrame = {
+      hotMinDocs: Int = 100000,
+      maxHotBroadcast: Long = 1L << 22): DataFrame = {
     require(hotMinDocs >= 2,
       s"hotMinDocs must be >= 2 (a hot fp is by definition cross-doc), got $hotMinDocs")
     // instances of each fp per doc; a doc's own repeats collapse here
@@ -94,11 +98,25 @@ object Chunking {
       .groupBy("chunk_fp").agg(count(lit(1)).as("n_docs"))
     val hot = fpDocs.filter(col("n_docs") >= hotMinDocs)
     val cold = fpDocs.filter(col("n_docs") < hotMinDocs)
-    val tagged = perDocFp.join(broadcast(hot), Seq("chunk_fp"), "left")
-    val attached = tagged.filter(col("n_docs").isNotNull)
-      .unionByName(
-        tagged.filter(col("n_docs").isNull).drop("n_docs")
-          .join(cold, Seq("chunk_fp")))
+    // Guard the forced broadcast: hotMinDocs validates down to 2, where
+    // the "hot" slice can approach half the distinct-fp table and a
+    // mandatory broadcast() would OOM the driver at corpus scale. The
+    // bound rows/hotMinDocs is only small when hotMinDocs is large, so
+    // when the ACTUAL hot-set size exceeds the broadcast budget (~4M
+    // keys ≈ low hundreds of MB hashed), fall back to the plain
+    // equi-join for everything — same output, one shuffle, no driver
+    // risk. The count is one cheap agg over the already-cached perDocFp.
+    val hotCount = hot.count()
+    val attached =
+      if (hotCount > maxHotBroadcast) {
+        perDocFp.join(fpDocs, Seq("chunk_fp"))
+      } else {
+        val tagged = perDocFp.join(broadcast(hot), Seq("chunk_fp"), "left")
+        tagged.filter(col("n_docs").isNotNull)
+          .unionByName(
+            tagged.filter(col("n_docs").isNull).drop("n_docs")
+              .join(cold, Seq("chunk_fp")))
+      }
     attached
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_chunks"),

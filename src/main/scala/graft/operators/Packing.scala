@@ -58,9 +58,16 @@ object Packing {
     * sentinel): max of core parallelism and the session's shuffle
     * width, so the shipped default saturates whatever cluster runs it
     * — a fixed literal here would be the exact anti-pattern
-    * [[bucketSizingWarning]] exists to flag. Callers pass an explicit
-    * nBuckets only when the bucket layout itself is part of the
-    * contract (reproducing a published recipe's shard map).
+    * [[bucketSizingWarning]] exists to flag. CAVEAT — the 0 sentinel
+    * makes the OUTPUT LAYOUT environment-dependent: bucket and shard
+    * assignment per doc differ across clusters (and across re-runs on a
+    * resized cluster), because the derived count feeds the pmod that
+    * places each doc. Reproducible recipes MUST pin nBuckets
+    * explicitly; the derived value is logged at info on every
+    * default-config run so a layout can be replayed after the fact.
+    * Callers pass an explicit nBuckets whenever the bucket layout
+    * itself is part of the contract (reproducing a published recipe's
+    * shard map).
     */
   private def derivedBuckets(df: DataFrame): Int =
     math.max(
@@ -77,6 +84,11 @@ object Packing {
     require(budget > 0, s"shard token budget must be positive, got $budget")
     require(nBuckets >= 0, s"nBuckets must be positive (or 0 = derive from the cluster), got $nBuckets")
     val nb = if (nBuckets == 0) derivedBuckets(df) else nBuckets
+    if (nBuckets == 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"packShards derived nBuckets=$nb from the cluster (0 sentinel): the " +
+          "bucket/shard layout is environment-dependent -- pin nBuckets to " +
+          "reproduce this layout elsewhere")
     bucketSizingWarning(
       nb, df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
       .foreach(org.slf4j.LoggerFactory.getLogger(getClass).warn(_))

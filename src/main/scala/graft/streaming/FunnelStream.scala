@@ -208,9 +208,15 @@ object FunnelStream {
             val wm = state.getCurrentWatermarkMs()
             val buf = prior.buf ++
               evs.flatMap(e => idx.get(e.eventType).map(i => (e.ts.getTime, i)))
-            // FINAL events (≤ watermark) replay now; the rest stay
-            // buffered until a later batch's watermark frees them
-            val (ready, pending) = buf.partition(_._1 <= wm)
+            // FINAL events (strictly < watermark) replay now; the rest
+            // stay buffered until a later batch's watermark frees them.
+            // Strict: Spark's late-row filter drops only rows STRICTLY
+            // older than the watermark, so an event stamped exactly at
+            // the watermark can still arrive in a later batch — folding
+            // a same-timestamp peer first would diverge from the batch
+            // ordering. Events equal to the watermark wait one batch;
+            // the timeout drain covers them if the stream goes idle.
+            val (ready, pending) = buf.partition(_._1 < wm)
             val cur = fold(core, ready.sorted, k, noTs,
               done => out += row(userId, done))
             val hasCore = cur.isDefined

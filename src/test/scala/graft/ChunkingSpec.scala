@@ -125,6 +125,15 @@ class ChunkingSpec extends SparkSpecBase {
     val plan = Chunking.chunkDupShare(df, col("doc_id"), col("text"), window = 4,
       hotMinDocs = 3).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "hot fp slice must broadcast-join")
+    // broadcast budget guard: when the measured hot set exceeds
+    // maxHotBroadcast (here forced to 0), the operator must fall back
+    // to the plain equi-join — identical answers, no forced broadcast
+    val guarded = graft.operators.Dedup.scoped {
+      Chunking.chunkDupShare(df, col("doc_id"), col("text"), window = 4,
+        hotMinDocs = 3, maxHotBroadcast = 0L)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toSeq.sortBy(_._1)
+    }
+    assert(guarded === split, "oversized-hot-set fallback must not change any answer")
     spark.catalog.clearCache()
   }
 
