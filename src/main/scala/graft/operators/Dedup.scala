@@ -141,6 +141,34 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id", "fp")
 
+  /** Incremental exact dedup — the shape production corpora actually
+    * run: yesterday's corpus is already deduped and its fingerprints
+    * persisted as an INDEX; today's batch must drop (a) anything the
+    * index has seen and (b) its own internal duplicates, without
+    * re-touching the historical corpus text. Survivors of `incoming`:
+    * keep-first within the batch, then LEFT ANTI against the index on
+    * fp.
+    *
+    * Scale shape: the index side is fingerprints ONLY (16-byte md5 per
+    * historical doc — billions of rows is a few tens of GB, scanned
+    * column-pruned, never the text); the batch aggregates keep-first
+    * with map-side partial min (hot boilerplate fps collapse before
+    * the shuffle), then one fp-keyed anti-join. A small daily batch
+    * against a huge index is exactly the AQE broadcast case (the
+    * AGGREGATED batch side broadcasts, the index never shuffles);
+    * comparable sides take the ordinary shuffled anti-join.
+    *
+    * `existingFps` must expose an `fp` column (e.g. a persisted
+    * [[exactKeepFirst]] output, or `select(Text.fingerprint(text))` of
+    * the historical corpus).
+    */
+  def incrementalKeepFirst(
+      existingFps: DataFrame, incoming: DataFrame,
+      id: Column, text: Column): DataFrame =
+    exactKeepFirst(incoming, id, text)
+      .join(existingFps.select(col("fp")), Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+
   /** Exact duplicate *groups* (the A1 GROUP BY/HAVING shape): one row per
     * fingerprint with >1 member, with member ids collected and sorted.
     */

@@ -162,4 +162,64 @@ object Sampling {
     val dflt = counts.collectFirst { case (None, n) => rate(n) }.getOrElse(1.0)
     stratifiedSample(df, stratum, id, named, dflt, salt)
   }
+
+  /** Deterministic train/val/test split + k-fold assignment — the
+    * reproducibility backbone of every training pipeline: the same doc
+    * lands in the same split on every machine, every re-run, every
+    * engine, with NO coordination (no global sort, no persisted
+    * assignment table). Split membership is the hash-threshold rule
+    * ([[sampleKey]] over `splitSalt`): cumulative fraction thresholds
+    * over `h mod M` partition the key space into len(fractions)
+    * disjoint bands. The fold id is an INDEPENDENT hash draw
+    * (`foldSalt`, pmod k), so folds stratify uniformly WITHIN each
+    * split rather than correlating with it.
+    *
+    * Scale shape: one narrow projection — two md5s per row, no
+    * shuffle, no state; the assignment column then rides any
+    * downstream partitioning for free. This is why hash-splits beat
+    * `randomSplit` at corpus scale: Spark's randomSplit is
+    * per-partition seeded (layout-dependent — a repartition reshuffles
+    * the split) and resamples on task retry; h(id) depends on the row
+    * alone.
+    *
+    * `fractions` are (name, weight) in declaration order; weights are
+    * normalized (they need not sum to 1) and each band is exact to
+    * 1/M = 1e-6. The LAST band absorbs the rounding remainder so the
+    * bands tile the full key space.
+    */
+  def assignSplits(
+      df: DataFrame,
+      id: Column,
+      fractions: Seq[(String, Double)],
+      kFolds: Int,
+      splitSalt: String,
+      foldSalt: String): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._1).distinct.size == fractions.size,
+      "split fractions must be nonempty with distinct names")
+    require(fractions.forall(_._2 > 0.0), "split weights must be positive")
+    require(kFolds >= 1, s"kFolds must be >= 1, got $kFolds")
+    val cums = splitBounds(fractions)
+    val key = sampleKey(id, splitSalt)
+    val split = fractions.map(_._1).zip(cums).reverse
+      .foldLeft(lit(null).cast("string")) {
+        case (acc, (name, bound)) => when(key < bound, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", split)
+      .withColumn("fold",
+        pmod(Hashing.h60(concat(lit(foldSalt + ":"), id.cast("string"))),
+          lit(kFolds.toLong)).cast("int"))
+  }
+
+  /** Integer band upper bounds for [[assignSplits]]:
+    * cum_i = floor(M · (w_1+…+w_i)/Σw), with the last bound forced to
+    * M so the bands tile the whole key space. Exposed so an oracle twin
+    * derives the SAME thresholds from the same doubles (0.8·M is not
+    * 800000 exactly in binary — both sides must floor the same value).
+    */
+  private[graft] def splitBounds(fractions: Seq[(String, Double)]): Seq[Long] = {
+    val total = fractions.map(_._2).sum
+    fractions.inits.toSeq.reverse.tail
+      .map(p => (Modulus * (p.map(_._2).sum / total)).toLong)
+      .dropRight(1) :+ Modulus
+  }
 }

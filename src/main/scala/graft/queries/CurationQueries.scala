@@ -889,7 +889,52 @@ object CurationQueries {
        |ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin
   }
 
+  /** Split fractions + fold count shared by the c17 query and its
+    * oracle — single owner so the thresholds cannot drift.
+    */
+  private val c17Fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val c17Folds = 5
+
+  /** Deterministic train/val/test split + 5-fold assignment
+    * ([[graft.operators.Sampling.assignSplits]]) — every doc's split
+    * and fold are pure functions of its id, so any engine, any re-run,
+    * any cluster reproduces the same partition with no coordination.
+    * One narrow projection (two md5s per row), no shuffle.
+    */
+  def c17SplitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.assignSplits(
+      docs(s, dir).select("doc_id"), col("doc_id"),
+      c17Fractions, kFolds = c17Folds,
+      splitSalt = "split1", foldSalt = "fold1")
+      .select("doc_id", "split", "fold")
+      .orderBy("doc_id")
+
+  /** DuckDB replay: the SAME h60 digit-fold, the SAME integer band
+    * bounds (computed by [[graft.operators.Sampling.splitBounds]] from
+    * the same doubles — 0.8·M is not exactly 800000 in binary, so the
+    * thresholds are derived once, not re-typed).
+    */
+  val c17Oracle: String = {
+    val bounds = graft.operators.Sampling.splitBounds(c17Fractions)
+    val names = c17Fractions.map(_._1)
+    val cases = names.zip(bounds).dropRight(1)
+      .map { case (n, b) => s"WHEN skey < $b THEN '$n'" }
+      .mkString(" ")
+    val hSplit = DuckOracle.h60("'split1:' || CAST(doc_id AS VARCHAR)")
+    val hFold = DuckOracle.h60("'fold1:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH keyed AS (
+       |  SELECT doc_id, $hSplit % ${graft.operators.Sampling.Modulus} AS skey,
+       |    $hFold % $c17Folds AS fold0
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CASE $cases ELSE '${names.last}' END AS split,
+       |  CAST(fold0 AS INT) AS fold
+       |FROM keyed ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c17_split_assign" -> (c17SplitAssign _),
     "c14_dsir_select" -> (c14DsirSelect _),
     "c15_contamination_share" -> (c15ContaminationShare _),
     "c16_contamination_by_source" -> (c16ContaminationBySource _),
@@ -911,6 +956,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "c17_split_assign" -> c17Oracle,
     "c14_dsir_select" -> c14Oracle,
     "c15_contamination_share" -> c15Oracle,
     "c16_contamination_by_source" -> c16Oracle,

@@ -413,7 +413,37 @@ object DedupQueries {
        |WHERE lab.doc_id IS NULL OR lab.group_id = x.doc_id
        |ORDER BY x.doc_id""".stripMargin
 
+  /** Incremental exact dedup ([[Dedup.incrementalKeepFirst]]): docs
+    * with `doc_id % 10 < 8` play the already-indexed historical corpus
+    * (fingerprints only — the index side never carries text); the rest
+    * are today's batch. Survivors: batch-internal keep-first, then
+    * anti-join against the index.
+    */
+  def d12IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val existing = d.filter(pmod(col("doc_id"), lit(10L)) < 8)
+    val incoming = d.filter(pmod(col("doc_id"), lit(10L)) >= 8)
+    Dedup.incrementalKeepFirst(
+      Dedup.exactKeepFirst(existing, col("doc_id"), col("text")),
+      incoming, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
+  val d12Oracle: String =
+    """WITH f AS (
+      |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents
+      |), ex AS (
+      |  SELECT DISTINCT fp FROM f WHERE doc_id % 10 < 8 AND fp IS NOT NULL
+      |), inc AS (
+      |  SELECT min(doc_id) AS doc_id, fp FROM f
+      |  WHERE doc_id % 10 >= 8 AND fp IS NOT NULL GROUP BY fp
+      |)
+      |SELECT doc_id, fp FROM inc WHERE fp NOT IN (SELECT fp FROM ex)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_incremental_dedup" -> (d12IncrementalDedup _),
     "d11_dedup_apply" -> (d11DedupApply _),
     "d10_cc_groups" -> (d10CcGroups _),
     "d09_chunk_dup_share" -> (d09ChunkDupShare _),
@@ -427,6 +457,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "d12_incremental_dedup" -> d12Oracle,
     "d11_dedup_apply" -> d11Oracle,
     "d10_cc_groups" -> d10Oracle,
     "d09_chunk_dup_share" -> d09Oracle,

@@ -645,6 +645,71 @@ object RelationalQueries {
       |FROM om FULL OUTER JOIN lm ON om.month = lm.month
       |ORDER BY month""".stripMargin
 
+  /** Pearson sufficient statistics per return flag over integer-
+    * quantized (quantity, discount-cents) — see
+    * [[graft.operators.Stats.corrMoments]]: exact BIGINT moments (the
+    * mergeable artifact — two days' rows ADD componentwise) plus the
+    * correlation derived from them through one fixed double tree.
+    */
+  def q37CorrMoments(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.corrMoments(
+      t(s, dir, "lineitem"),
+      Seq(col("l_returnflag")),
+      round(col("l_quantity")),
+      round(col("l_discount") * 100))
+      .orderBy("l_returnflag")
+
+  val q37Oracle: String =
+    """WITH b AS (
+      |  SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS q,
+      |    CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+      |  FROM lineitem
+      |), m AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(q) AS BIGINT) AS sum_x, CAST(SUM(d) AS BIGINT) AS sum_y,
+      |    CAST(SUM(q * q) AS BIGINT) AS sum_xx, CAST(SUM(d * d) AS BIGINT) AS sum_yy,
+      |    CAST(SUM(q * d) AS BIGINT) AS sum_xy
+      |  FROM b GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+      |  CASE WHEN n > 1
+      |    AND CAST(n * sum_xx - sum_x * sum_x AS DOUBLE) > 0
+      |    AND CAST(n * sum_yy - sum_y * sum_y AS DOUBLE) > 0
+      |    THEN CAST(n * sum_xy - sum_x * sum_y AS DOUBLE)
+      |      / (sqrt(CAST(n * sum_xx - sum_x * sum_x AS DOUBLE)) * sqrt(CAST(n * sum_yy - sum_y * sum_y AS DOUBLE)))
+      |  END AS corr
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** Row-level z-score outliers (|z| > 1.5 population SDs from the
+    * group mean) with the ENTIRE threshold predicate in exact integer
+    * arithmetic — membership can never flap on floating-point rounding.
+    * See [[graft.operators.Stats.zscoreOutliers]]: one moment
+    * aggregate, one broadcast attach, one narrow filter.
+    */
+  def q38OutlierZscore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.zscoreOutliers(
+      t(s, dir, "lineitem"),
+      col("l_returnflag"),
+      round(col("l_quantity")),
+      kNum = 3, kDen = 2,
+      keep = Seq("l_orderkey", "l_linenumber"))
+      .orderBy("grp", "l_orderkey", "l_linenumber")
+
+  val q38Oracle: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS grp, l_orderkey, l_linenumber,
+      |    CAST(ROUND(l_quantity) AS BIGINT) AS x
+      |  FROM lineitem
+      |), s AS (
+      |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(x * x) AS BIGINT) AS sum_xx
+      |  FROM b GROUP BY grp
+      |)
+      |SELECT b.grp, l_orderkey, l_linenumber, x, n, sum_x, sum_xx
+      |FROM b JOIN s ON b.grp = s.grp
+      |WHERE 4 * (n * x - sum_x) * (n * x - sum_x) > 9 * (n * sum_xx - sum_x * sum_x)
+      |ORDER BY b.grp, l_orderkey, l_linenumber""".stripMargin
+
   val q34Oracle: String =
     """SELECT CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
       |  o_orderstatus, o_orderpriority, COUNT(*) AS n,
@@ -906,6 +971,8 @@ object RelationalQueries {
     "q33_grouping_sets" -> (q33GroupingSets _),
     "q35_rank_windows" -> (q35RankWindows _),
     "q36_full_outer" -> (q36FullOuter _),
+    "q37_corr_moments" -> (q37CorrMoments _),
+    "q38_outlier_zscore" -> (q38OutlierZscore _),
     "q34_cube" -> (q34Cube _),
     "q22_kmv_distinct" -> (q22KmvDistinct _),
     "q21_salted_flag_join" -> (q21SaltedFlagJoin _),
@@ -942,6 +1009,8 @@ object RelationalQueries {
     "q33_grouping_sets" -> q33Oracle,
     "q35_rank_windows" -> q35Oracle,
     "q36_full_outer" -> q36Oracle,
+    "q37_corr_moments" -> q37Oracle,
+    "q38_outlier_zscore" -> q38Oracle,
     "q34_cube" -> q34Oracle,
     "q22_kmv_distinct" -> q22Oracle,
     "q21_salted_flag_join" -> q21Oracle,

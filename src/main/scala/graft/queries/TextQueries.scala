@@ -1077,7 +1077,140 @@ object TextQueries {
        |  CAST(list_max(list_transform(sents, x -> length(x))) AS INT) AS max_sentence_chars
        |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style document quality rules (Rae et al. 2021, publicly
+    * documented heuristics): word-count bounds, mean-word-length band,
+    * symbol-to-word ratio (# and …), alphabetic-word fraction, and a
+    * distinct-stopword floor — the standard pre-filter every web-corpus
+    * pipeline runs before dedup. The corpus is single-line synthetic
+    * text, so the reference's line-level rules (bullet/ellipsis line
+    * fractions) have no input to bite on and are deliberately out of
+    * scope here; the word-level battery is complete.
+    *
+    * One narrow projection over a pruned two-column scan — token
+    * arrays, HOF folds, and regex counts are all per-row codegen;
+    * no shuffle at any corpus size. Thresholds follow the paper:
+    * 50 ≤ words ≤ 100k, 3 ≤ mean word length ≤ 10, symbol ratio ≤ 0.1,
+    * ≥ 80% words with an alphabetic char, ≥ 2 distinct stopwords.
+    */
+  def t18GopherQuality(s: SparkSession, dir: String): DataFrame = {
+    val toksC = Text.tokens(Text.normalize(col("text")))
+    val base = docs(s, dir).select(col("doc_id"), col("text"), toksC.as("toks"))
+    val nWords = size(col("toks"))
+    // strict long fold of token lengths — zero-start, left-to-right,
+    // so the DuckDB list_reduce twin is bit-identical
+    val sumLen = aggregate(
+      transform(col("toks"), t => length(t).cast("long")), lit(0L), (a, b) => a + b)
+    val nAlphaWords = size(filter(col("toks"), t => t.rlike("[a-z]")))
+    val nSym = regexp_count(col("text"), lit("#")) +
+      regexp_count(col("text"), lit("\\.\\.\\."))
+    val stopHits = size(filter(
+      array(GopherStopwords.map(lit): _*), w => array_contains(col("toks"), w)))
+    val m = base.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      when(nWords > 0, sumLen.cast("double") / nWords).as("mean_word_len"),
+      when(nWords > 0, nAlphaWords.cast("double") / nWords).as("alpha_frac"),
+      when(nWords > 0, nSym.cast("double") / nWords).as("symbol_ratio"),
+      stopHits.as("stop_hits"))
+    m.withColumn("keep",
+      col("n_words").between(50, 100000) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 &&
+        col("alpha_frac") >= 0.8 &&
+        col("stop_hits") >= 2)
+      .orderBy("doc_id")
+  }
+
+  /** The Gopher stopword battery (public rule set: "the be to of and
+    * that have with"), shared with the oracle twin.
+    */
+  private val GopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  val t18Oracle: String = {
+    val stopList = GopherStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = ''
+       |      THEN CAST([] AS VARCHAR[]) ELSE $duckToksNorm END AS toks
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, CAST(len(toks) AS INT) AS n_words,
+       |    list_reduce([CAST(0 AS BIGINT)] || list_transform(toks, t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b) AS sum_len,
+       |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha_words,
+       |    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+       |    CAST(len(list_filter([$stopList], w -> list_contains(toks, w))) AS INT) AS stop_hits
+       |  FROM t
+       |), r AS (
+       |  SELECT doc_id, n_words,
+       |    CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words END AS mean_word_len,
+       |    CASE WHEN n_words > 0 THEN CAST(n_alpha_words AS DOUBLE) / n_words END AS alpha_frac,
+       |    CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE) / n_words END AS symbol_ratio,
+       |    stop_hits
+       |  FROM m
+       |)
+       |SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio, stop_hits,
+       |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2 AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** Vocabulary coverage — the tokenizer-design question ("how much of
+    * the corpus do the top-K token types cover?") as one query: corpus
+    * token frequencies, rank by count, cumulative coverage share.
+    *
+    * Scale shape: the explode+count is the d02-envelope corpus pass
+    * (map-side partials absorb hot tokens before the token-keyed
+    * shuffle); the top-K cut is `TakeOrderedAndProject` — Spark's
+    * distributed top-K, per-partition heads merged on the driver, NOT a
+    * global sort; the running-sum window then orders only the K
+    * survivors (one tiny partition by construction). The prefix cumsum
+    * over the top-K equals the global cumsum restricted to the prefix —
+    * same order — so cutting BEFORE the window is free of semantic
+    * cost, and the full-vocab total comes from the count aggregate as a
+    * broadcast scalar.
+    */
+  def t19VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val k = 200
+    val counts = docs(s, dir)
+      .select(explode(Text.tokens(Text.normalize(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("__tot"))
+    val ord = Seq(col("cnt").desc, col("token"))
+    val top = counts.orderBy(ord: _*).limit(k)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+    top
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_cnt", sum("cnt").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("cnt"),
+        (col("cum_cnt").cast("double") / col("__tot")).as("cum_share"))
+      .orderBy("rank")
+  }
+
+  val t19Oracle: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = ''
+       |    THEN CAST([] AS VARCHAR[]) ELSE $duckToksNorm END) AS token
+       |  FROM documents
+       |), c AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+       |), tot AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM c
+       |), r AS (
+       |  SELECT token, cnt,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+       |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
+       |  FROM c
+       |)
+       |SELECT rank, token, cnt, CAST(cum_cnt AS DOUBLE) / tot AS cum_share
+       |FROM r, tot WHERE rank <= 200 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_gopher_quality" -> (t18GopherQuality _),
+    "t19_vocab_coverage" -> (t19VocabCoverage _),
     "t17_sentence_stats" -> (t17SentenceStats _),
     "t16_html_strip" -> (t16HtmlStrip _),
     "t15_unicode_norm" -> (t15UnicodeNorm _),
@@ -1104,6 +1237,8 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t18_gopher_quality" -> t18Oracle,
+    "t19_vocab_coverage" -> t19Oracle,
     "t17_sentence_stats" -> t17Oracle,
     "t16_html_strip" -> t16Oracle,
     "t15_unicode_norm" -> t15Oracle,
