@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -208,6 +209,42 @@ object Sampling {
       .withColumn("fold",
         pmod(Hashing.h60(concat(lit(foldSalt + ":"), id.cast("string"))),
           lit(kFolds.toLong)).cast("int"))
+  }
+
+  /** Per-stratum quota cap — "at most `cap` docs per domain/source",
+    * the curation rule that stops a single crawled host from dominating
+    * a mixture. Selection is DETERMINISTIC: the `cap` rows with the
+    * smallest sample keys ([[sampleKey]], doc-id tiebreak) win, so
+    * re-runs, engines, and incremental refreshes agree on the same
+    * survivors (and a different `salt` draws an independent quota).
+    *
+    * Exact AND skew-proof via two-level top-N: a plain
+    * `row_number() OVER (PARTITION BY stratum)` ships every row of a
+    * hot stratum to ONE task — the 10⁸-doc domain is precisely the row
+    * this operator exists for. Instead, phase 1 ranks within
+    * (stratum, bucket) where bucket = h(id) mod `nBuckets` (partitions
+    * are stratum-size/nBuckets) and keeps `cap` per bucket; phase 2
+    * ranks the ≤ nBuckets·cap survivors per stratum. This is exact by
+    * the standard argument: any row outside its bucket's top-`cap`
+    * has ≥ cap bucket-mates ranked above it, all of whom also rank
+    * above it stratum-wide, so it cannot be in the stratum's top-`cap`.
+    */
+  def capPerStratum(
+      df: DataFrame, stratum: Column, id: Column,
+      cap: Int, salt: String, nBuckets: Int = 32): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val key = sampleKey(id, salt)
+    val keyed = df.withColumn("__skey", key)
+      .withColumn("__bkt", pmod(Hashing.h60(concat(lit("bkt:"), id.cast("string"))),
+        lit(nBuckets.toLong)))
+    val ord = Seq(col("__skey").asc, id.asc)
+    val w1 = Window.partitionBy(stratum, col("__bkt")).orderBy(ord: _*)
+    val w2 = Window.partitionBy(stratum).orderBy(ord: _*)
+    keyed
+      .withColumn("__rn1", row_number().over(w1)).filter(col("__rn1") <= cap)
+      .withColumn("__rn2", row_number().over(w2)).filter(col("__rn2") <= cap)
+      .drop("__skey", "__bkt", "__rn1", "__rn2")
   }
 
   /** Integer band upper bounds for [[assignSplits]]:

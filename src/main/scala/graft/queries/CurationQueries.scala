@@ -933,7 +933,31 @@ object CurationQueries {
        |FROM keyed ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source quota cap ([[graft.operators.Sampling.capPerStratum]]):
+    * at most 10 docs per source, the smallest-sample-key survivors —
+    * the "don't let one crawled host dominate" rule. The operator runs
+    * the two-level (bucketed) top-N so a hot source never lands on one
+    * task; the oracle replays the SAME selection with a single flat
+    * QUALIFY, which is exactly the equivalence the two-level argument
+    * guarantees.
+    */
+  def c18QuotaCap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.capPerStratum(
+      docs(s, dir).select("doc_id", "source"), col("source"), col("doc_id"),
+      cap = 10, salt = "cap1")
+      .orderBy("source", "doc_id")
+
+  val c18Oracle: String = {
+    val h = DuckOracle.h60("'cap1:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source, $h % ${graft.operators.Sampling.Modulus} AS skey
+       |  FROM documents
+       |) QUALIFY row_number() OVER (PARTITION BY source ORDER BY skey, doc_id) <= 10
+       |ORDER BY source, doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c18_quota_cap" -> (c18QuotaCap _),
     "c17_split_assign" -> (c17SplitAssign _),
     "c14_dsir_select" -> (c14DsirSelect _),
     "c15_contamination_share" -> (c15ContaminationShare _),
@@ -956,6 +980,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "c18_quota_cap" -> c18Oracle,
     "c17_split_assign" -> c17Oracle,
     "c14_dsir_select" -> c14Oracle,
     "c15_contamination_share" -> c15Oracle,

@@ -131,6 +131,27 @@ class StatsSpec extends SparkSpecBase {
       Sampling.assignSplits(df, col("id"), Seq("a" -> -1.0, "b" -> 2.0), 2, "a", "b") }
   }
 
+  test("capPerStratum: two-level top-N equals the flat smallest-key selection") {
+    val df = (1L to 500L).map(i => (i, s"s${i % 7}")).toDF("id", "st")
+    val got = Sampling.capPerStratum(df, col("st"), col("id"),
+      cap = 10, salt = "q1", nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // flat reference selection: per stratum, the 10 smallest sample keys
+    val keyed = df.withColumn("k", Sampling.sampleKey(col("id"), "q1"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = keyed.groupBy(_._2).values.flatMap(
+      _.sortBy(t => (t._3, t._1)).take(10).map(t => (t._1, t._2))).toSet
+    assert(got === want)
+    assert(got.groupBy(_._2).values.forall(_.size == 10), "every stratum capped at 10")
+    // strata smaller than the cap survive whole
+    val small = Sampling.capPerStratum(
+      Seq((1L, "a"), (2L, "a")).toDF("id", "st"), col("st"), col("id"),
+      cap = 10, salt = "q1").count()
+    assert(small === 2L)
+    intercept[IllegalArgumentException] {
+      Sampling.capPerStratum(df, col("st"), col("id"), cap = 0, salt = "q1") }
+  }
+
   test("incrementalKeepFirst: drops index hits and batch-internal dups") {
     val existing = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
     val batch = Seq(
