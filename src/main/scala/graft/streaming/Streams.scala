@@ -855,6 +855,42 @@ object Streams {
     graft.etl.Compact.swapInto(fs, tmp, root, old)
   }
 
+  /** Stream-stream inner join within an event-time bound — correlate
+    * two live streams (tool findings ↔ collector snapshots, clicks ↔
+    * purchases) without landing either: right rows match a left row
+    * with the same key when their timestamps sit within ± `joinWindow`.
+    *
+    * The watermarks + the RANGE CONDITION are what bound the join
+    * state: Spark keeps a left row only until the right watermark
+    * passes `leftTs + joinWindow` (and symmetrically), so state is
+    * O(rate · (watermark + window)) — without the time bound the
+    * buffers grow forever, which is why this wrapper refuses to build
+    * an unbounded join. Both inputs must already carry DISTINCT column
+    * names (the caller renames; a silent auto-rename would hide which
+    * side a column came from).
+    *
+    * Scale: the join keys partition the state store exactly like a
+    * batch shuffle join; a hot key concentrates state on one store —
+    * the same salting discipline as batch applies if a key is known
+    * hot. Inner only here: outer stream-stream joins emit nulls on
+    * watermark expiry with subtle timing semantics, and nothing in the
+    * reference needs them.
+    */
+  def correlateStreams(
+      left: DataFrame, leftTs: String, leftKey: String,
+      right: DataFrame, rightTs: String, rightKey: String,
+      watermark: String = "10 minutes",
+      joinWindow: String = "5 minutes"): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left and right must have distinct column names; both have: ${overlap.toSeq.sorted.mkString(", ")}")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, col(leftKey) === col(rightKey) &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $joinWindow") &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $joinWindow"))
+  }
+
   /** Batch form of "keep the last N" retention (ST2/T5) — a global
     * total-order last-N is inherently a batch/sink-side concept, the
     * one documented semantic difference from the reference.

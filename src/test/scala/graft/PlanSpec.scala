@@ -552,6 +552,41 @@ class PlanSpec extends SparkSpecBase {
       "bottom-k pair buffer must partial-aggregate map-side")
   }
 
+  test("c17: split assignment reads one column and never shuffles before the output sort") {
+    val df = graft.queries.CurationQueries.c17SplitAssign(spark, sfDir)
+    val f = formatted(df)
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+      s"split assignment must not read document text: $readSchema")
+    // exactly ONE exchange — the rangepartition of the deterministic
+    // output orderBy; the assignment itself is a narrow projection
+    assert(countOccurrences(plan(df), "Exchange") <= 1,
+      "hash-split assignment must not shuffle")
+  }
+
+  test("t19: vocab top-K cuts via TakeOrderedAndProject, window orders only K rows") {
+    val p = plan(graft.queries.TextQueries.t19VocabCoverage(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-K over the vocab must be a distributed top-K, not a global sort")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the scalar total must attach as a broadcast")
+  }
+
+  test("q37: moment aggregate partial-aggregates map-side; two-column scan") {
+    val f = formatted(R.q37CorrMoments(spark, sfDir))
+    assert(countOccurrences(f, "HashAggregate") >= 2,
+      "partial+final aggregation expected for the moment sums")
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      s"moment scan must prune to flag+quantity+discount: $readSchema")
+  }
+
+  test("c18: quota cap runs the two-level window — no single hot-stratum partition") {
+    val p = plan(graft.queries.CurationQueries.c18QuotaCap(spark, sfDir))
+    assert(countOccurrences(p, "Window") >= 2,
+      "two-level top-N expected (bucketed phase 1 + stratum phase 2)")
+  }
+
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 }

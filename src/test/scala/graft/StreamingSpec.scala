@@ -265,6 +265,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("correlateStreams: stream-stream interval join matches within the bound only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val buys = MemoryStream[(Timestamp, Long, String)]
+    val q = Streams.correlateStreams(
+      clicks.toDF().toDF("c_ts", "c_user", "page"), "c_ts", "c_user",
+      buys.toDF().toDF("b_ts", "b_user", "item"), "b_ts", "b_user",
+      watermark = "10 seconds", joinWindow = "1 minute")
+      .writeStream.format("memory").queryName("corr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:10"), 1L, "p1"),
+        (Timestamp.valueOf("2024-01-01 00:00:10"), 2L, "p2"))
+      buys.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:40"), 1L, "i1"), // user 1, +30 s: in window
+        (Timestamp.valueOf("2024-01-01 00:05:00"), 2L, "i2")) // user 2, +290 s: out
+      q.processAllAvailable()
+      // a later right-side row for user 2 inside the window still joins
+      buys.addData((Timestamp.valueOf("2024-01-01 00:00:55"), 2L, "i3"))
+      q.processAllAvailable()
+      val got = spark.table("corr").select("c_user", "page", "item")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got === Set((1L, "p1", "i1"), (2L, "p2", "i3")), s"got $got")
+    } finally q.stop()
+    // refused: ambiguous column names
+    intercept[IllegalArgumentException] {
+      Streams.correlateStreams(
+        clicks.toDF().toDF("ts", "user", "x"), "ts", "user",
+        buys.toDF().toDF("ts", "user", "y"), "ts", "user")
+    }
+  }
+
   test("tool-report streaming ingest: dropped scan logs parse per micro-batch") {
     val dir = java.nio.file.Files.createTempDirectory("avdrop")
     def drop(name: String, lines: String*): Unit =
