@@ -101,14 +101,18 @@ object Chunking {
     // Guard the forced broadcast: hotMinDocs validates down to 2, where
     // the "hot" slice can approach half the distinct-fp table and a
     // mandatory broadcast() would OOM the driver at corpus scale. The
-    // bound rows/hotMinDocs is only small when hotMinDocs is large, so
-    // when the ACTUAL hot-set size exceeds the broadcast budget (~4M
-    // keys ≈ low hundreds of MB hashed), fall back to the plain
+    // pigeonhole bound |hot| ≤ corpusDocs/hotMinDocs decides the path
+    // from ONE column-pruned row count of the input (parquet metadata —
+    // never the chunk fan-out; an eager count of the hot set itself
+    // would execute the whole tokenize+chunk aggregation at
+    // plan-construction time, which round 12's bench caught as a 10×
+    // build regression). When the bound exceeds the broadcast budget
+    // (~4M keys ≈ low hundreds of MB hashed), fall back to the plain
     // equi-join for everything — same output, one shuffle, no driver
-    // risk. The count is one cheap agg over the already-cached perDocFp.
-    val hotCount = hot.count()
+    // risk; conservative by construction (bound ≥ actual).
+    val hotBound = df.count() / hotMinDocs
     val attached =
-      if (hotCount > maxHotBroadcast) {
+      if (hotBound > maxHotBroadcast) {
         perDocFp.join(fpDocs, Seq("chunk_fp"))
       } else {
         val tagged = perDocFp.join(broadcast(hot), Seq("chunk_fp"), "left")
