@@ -438,8 +438,37 @@ object EventQueries {
       |  CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
       |FROM b GROUP BY 1, 2 ORDER BY bucket_idx""".stripMargin
 
+  /** Event-type co-occurrence — "which behaviors appear in the same
+    * user's history" (the pairwise support counts behind basket
+    * analysis / behavioral segmentation). Per user: the DISTINCT type
+    * set (collect_set — bounded by the type vocabulary, NOT by the
+    * user's event count, so a hot user costs nothing); unordered pairs
+    * (t1 < t2) via two narrow explodes of that bounded array; pair-
+    * keyed rollup. One user-keyed shuffle (the set agg, map-side
+    * partial), one pair-keyed shuffle of ≤ |vocab|²/2 keys.
+    */
+  def e12Cooccurrence(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .select(explode(col("ts")).as("t1"), col("ts"))
+      .select(col("t1"), explode(col("ts")).as("t2"))
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("t1", "t2")
+
+  val e12Oracle: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |)
+      |SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_users
+      |FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY t1, t2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e11_gap_histogram" -> (e11GapHistogram _),
+    "e12_cooccurrence" -> (e12Cooccurrence _),
     "e08_funnel" -> (e08Funnel _),
     "e09_retention" -> (e09Retention _),
     "e10_moving_window" -> (e10MovingWindow _),
@@ -456,6 +485,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "e11_gap_histogram" -> e11Oracle,
+    "e12_cooccurrence" -> e12Oracle,
     "e08_funnel" -> e08Oracle,
     "e09_retention" -> e09Oracle,
     "e10_moving_window" -> e10Oracle,

@@ -680,6 +680,59 @@ object RelationalQueries {
       |  END AS corr
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** Winsorization — clamp a measure to its per-group [p10, p90] band
+    * (exact `percentile_disc` values, c07's ordered-set aggregate) and
+    * report raw vs winsorized sums and clamp counts. The robust-stats
+    * twin of q38: outliers there are FLAGGED, here their influence is
+    * BOUNDED. Percentiles of integer-quantized measures are corpus
+    * values (no interpolation), so every output column is an exact
+    * BIGINT; the dim-sized stats frame joins back broadcast-style and
+    * the clamp is a narrow projection.
+    */
+  def q39Winsorize(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_quantity")).cast("long").as("q"))
+      .createOrReplaceTempView("__q39_li")
+    s.sql("""
+      WITH st AS (
+        SELECT flag,
+          CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY q) AS BIGINT) AS p10,
+          CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY q) AS BIGINT) AS p90
+        FROM __q39_li GROUP BY flag)
+      SELECT l.flag, st.p10, st.p90,
+        COUNT(*) AS n,
+        CAST(SUM(CASE WHEN q < p10 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        CAST(SUM(CASE WHEN q > p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        CAST(SUM(q) AS BIGINT) AS sum_raw,
+        CAST(SUM(GREATEST(p10, LEAST(p90, q))) AS BIGINT) AS sum_winsor
+      FROM __q39_li l JOIN st ON l.flag = st.flag
+      GROUP BY l.flag, st.p10, st.p90 ORDER BY l.flag""")
+  }
+
+  /** DuckDB replay: percentile_disc = smallest value with cume_dist ≥ p
+    * (the SQL-standard definition c07 already pinned), then the same
+    * join-back, clamp, and exact-long sums.
+    */
+  val q39Oracle: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS flag, CAST(ROUND(l_quantity) AS BIGINT) AS q FROM lineitem
+      |), d AS (
+      |  SELECT flag, q, cume_dist() OVER (PARTITION BY flag ORDER BY q) AS cd FROM b
+      |), st AS (
+      |  SELECT flag,
+      |    CAST(MIN(q) FILTER (WHERE cd >= 0.1) AS BIGINT) AS p10,
+      |    CAST(MIN(q) FILTER (WHERE cd >= 0.9) AS BIGINT) AS p90
+      |  FROM d GROUP BY flag
+      |)
+      |SELECT b.flag, st.p10, st.p90, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN q < p10 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      |  CAST(SUM(CASE WHEN q > p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+      |  CAST(SUM(q) AS BIGINT) AS sum_raw,
+      |  CAST(SUM(GREATEST(p10, LEAST(p90, q))) AS BIGINT) AS sum_winsor
+      |FROM b JOIN st ON b.flag = st.flag
+      |GROUP BY b.flag, st.p10, st.p90 ORDER BY b.flag""".stripMargin
+
   /** Row-level z-score outliers (|z| > 1.5 population SDs from the
     * group mean) with the ENTIRE threshold predicate in exact integer
     * arithmetic — membership can never flap on floating-point rounding.
@@ -973,6 +1026,7 @@ object RelationalQueries {
     "q36_full_outer" -> (q36FullOuter _),
     "q37_corr_moments" -> (q37CorrMoments _),
     "q38_outlier_zscore" -> (q38OutlierZscore _),
+    "q39_winsorize" -> (q39Winsorize _),
     "q34_cube" -> (q34Cube _),
     "q22_kmv_distinct" -> (q22KmvDistinct _),
     "q21_salted_flag_join" -> (q21SaltedFlagJoin _),
@@ -1011,6 +1065,7 @@ object RelationalQueries {
     "q36_full_outer" -> q36Oracle,
     "q37_corr_moments" -> q37Oracle,
     "q38_outlier_zscore" -> q38Oracle,
+    "q39_winsorize" -> q39Oracle,
     "q34_cube" -> q34Oracle,
     "q22_kmv_distinct" -> q22Oracle,
     "q21_salted_flag_join" -> q21Oracle,

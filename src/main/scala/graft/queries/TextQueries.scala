@@ -1208,7 +1208,51 @@ object TextQueries {
        |SELECT rank, token, cnt, CAST(cum_cnt AS DOUBLE) / tot AS cum_share
        |FROM r, tot WHERE rank <= 200 ORDER BY rank""".stripMargin
 
+  /** Flesch reading-ease score (public formula: 206.835 − 1.015·(W/S)
+    * − 84.6·(Sy/W)) with the standard regex syllable heuristic — a
+    * syllable ≈ one vowel-group run ([aeiouy]+) in the lowercased text
+    * (spaces and punctuation break runs, so runs never span words;
+    * all-consonant tokens count 0 — the documented limit of the
+    * heuristic). Sentences reuse t17's terminator-run split; counts
+    * are exact ints, the score is one fixed double tree. One narrow
+    * projection, no shuffle.
+    */
+  def t20Readability(s: SparkSession, dir: String): DataFrame = {
+    val nWords = Text.tokenCount(col("text"))
+    val nSents = size(split(col("text"), "[.!?]+\\s+"))
+    val nSyll = regexp_count(Text.normalize(col("text")), lit("[aeiouy]+"))
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        nSents.as("n_sentences"),
+        nSyll.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words"))))
+      .orderBy("doc_id")
+  }
+
+  val t20Oracle: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0 ELSE len($duckToksRaw) END AS n_words,
+       |    CAST(len(string_split_regex(text, '[.!?]+\\s+')) AS INT) AS n_sentences,
+       |    CAST(len(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[aeiouy]+')) AS INT) AS n_syllables
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  CASE WHEN n_words > 0 AND n_sentences > 0
+       |    THEN 206.835
+       |      - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+       |      - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+       |  END AS flesch
+       |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_readability" -> (t20Readability _),
     "t18_gopher_quality" -> (t18GopherQuality _),
     "t19_vocab_coverage" -> (t19VocabCoverage _),
     "t17_sentence_stats" -> (t17SentenceStats _),
@@ -1237,6 +1281,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t20_readability" -> t20Oracle,
     "t18_gopher_quality" -> t18Oracle,
     "t19_vocab_coverage" -> t19Oracle,
     "t17_sentence_stats" -> t17Oracle,
