@@ -186,7 +186,9 @@ object Sampling {
     * `fractions` are (name, weight) in declaration order; weights are
     * normalized (they need not sum to 1) and each band is exact to
     * 1/M = 1e-6. The LAST band absorbs the rounding remainder so the
-    * bands tile the full key space.
+    * bands tile the full key space. A NULL id hashes to a null key and
+    * gets null split/fold — visibly unassigned rather than silently
+    * dumped into one band; filter or synthesize ids first.
     */
   def assignSplits(
       df: DataFrame,

@@ -44,7 +44,10 @@ object Stats {
   def corrMoments(df: DataFrame, groups: Seq[Column], x: Column, y: Column): DataFrame = {
     val xl = x.cast("long")
     val yl = y.cast("long")
-    val m = df.groupBy(groups: _*).agg(
+    // pairwise-complete: a null in either measure drops the ROW — mixing
+    // count(*) with null-skipping sums would silently produce moments of
+    // DIFFERENT populations (n of all rows, Σx of the non-null subset)
+    val m = df.filter(xl.isNotNull && yl.isNotNull).groupBy(groups: _*).agg(
       count(lit(1)).as("n"),
       sum(xl).as("sum_x"),
       sum(yl).as("sum_y"),
@@ -82,7 +85,10 @@ object Stats {
       keep: Seq[String]): DataFrame = {
     require(kNum > 0 && kDen > 0, s"threshold must be positive, got $kNum/$kDen")
     val xl = x.cast("long")
-    val g = df.select((group.as("__g") +: keep.map(col)) :+ xl.as("__x"): _*)
+    // null measures carry no z-score: dropped, not flagged (and never
+    // allowed to skew n vs Σx — the corrMoments population rule)
+    val g = df.filter(xl.isNotNull)
+      .select((group.as("__g") +: keep.map(col)) :+ xl.as("__x"): _*)
     val stats = g.groupBy(col("__g")).agg(
       count(lit(1)).as("n"),
       sum(col("__x")).as("sum_x"),

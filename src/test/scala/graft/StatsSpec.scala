@@ -45,6 +45,20 @@ class StatsSpec extends SparkSpecBase {
     assert(got(1).isNullAt(7), "zero x-variance: corr undefined")
   }
 
+  test("corrMoments/zscoreOutliers: null measures drop pairwise, never skew n vs sums") {
+    val df = Seq(
+      ("g", Some(1L), Some(2L)), ("g", Some(3L), Some(4L)),
+      ("g", None, Some(9L)), ("g", Some(9L), None))
+      .toDF("g", "x", "y")
+    val m = Stats.corrMoments(df, Seq(col("g")), col("x"), col("y")).collect()(0)
+    assert(m.getLong(1) === 2L, "n counts only pairwise-complete rows")
+    assert(m.getLong(2) === 4L && m.getLong(3) === 6L)
+    val z = Stats.zscoreOutliers(
+      Seq(("g", 1L, Some(10L)), ("g", 2L, None)).toDF("g", "id", "v"),
+      col("g"), col("v"), kNum = 3, kDen = 1, keep = Seq("id"))
+    assert(z.count() === 0L, "null measure rows are dropped, not flagged")
+  }
+
   test("corrMoments: moments merge componentwise (the sketch-merge contract)") {
     val df = (1L to 100L).map(i => ("g", i, i * 3 % 17)).toDF("g", "x", "y")
     val whole = Stats.corrMoments(df, Seq(col("g")), col("x"), col("y")).collect()(0)
