@@ -101,14 +101,18 @@ object AuditScan {
       t.name -> ((ctx: Pipeline.Context) => {
         val f = ToolParsers.toFindings(t.parse(spark, Paths.get(dir, t.file).toString))
         // Validity probe: without it the stage only CONSTRUCTS a lazy
-        // plan (plus eager schema inference), so a row-level parse
-        // failure would surface later at the consumer's first action,
-        // attributed to no stage — making the per-step status table
-        // cosmetic. limit(1) forces one real read+parse of THIS tool's
-        // file (tool outputs are single snapshot files — the probe is
-        // one task); zero rows is a valid outcome (empty parseable
-        // file), only a thrown parse error fails the stage.
-        f.limit(1).count()
+        // plan (plus eager schema inference), so a THROWN parse failure
+        // would surface later at the consumer's first action, attributed
+        // to no stage. count() forces a full read+parse of THIS tool's
+        // file (snapshot-sized — one small job; limit(1) would stop at
+        // the first row and still miss an error at row 500), at the cost
+        // of re-reading the file when the combined frame is consumed.
+        // Honest limit: the readers run Spark's default PERMISSIVE mode,
+        // which NULLS corrupt records rather than throwing — the probe
+        // catches structural failures (unreadable file, broken JSON
+        // array, schema explosion), not per-record corruption; zero rows
+        // is a valid outcome (empty parseable file).
+        f.count()
         ctx + ("findings" -> ctx.get("findings").map(_.unionByName(f)).getOrElse(f))
       })
     }

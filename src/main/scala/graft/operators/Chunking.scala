@@ -76,15 +76,26 @@ object Chunking {
     * hot slice beats salting it ([[ScaleJoins.saltedJoin]]): the
     * attached side is one row per key, so there is no replication cost
     * and the hot keys leave the shuffle entirely. The doc-keyed rollup
-    * shuffles on doc_id, which a hot FP does not skew. The broadcast is
-    * size-guarded: if the measured hot set exceeds the broadcast budget
-    * (small hotMinDocs on a huge corpus), the operator falls back to
-    * one plain equi-join — identical output, no driver OOM risk.
+    * shuffles on doc_id, which a hot FP does not skew.
+    *
+    * The hot-slice join is AQE-DECIDED, not hint-forced: whether the
+    * hot set fits a broadcast is a data-dependent fact (|hot| ≤
+    * |distinct (doc,fp) pairs|/hotMinDocs — a bound on the CHUNK table,
+    * which no metadata of `df` predicts), so the only correct decider
+    * is the one that sees the hot slice's ACTUAL runtime size: AQE
+    * converts the join to broadcast when the built slice is under the
+    * threshold and keeps the shuffled join otherwise — identical
+    * output either way, no driver OOM risk, no eager job at
+    * plan-construction time. (Round 12 tried both wrong versions
+    * first: an eager hot-set count — executes the whole chunk fan-out
+    * during plan construction, a 10× build regression the bench's
+    * build/serve split caught — and a docs/hotMinDocs pigeonhole
+    * "bound" that is not actually a bound, since n_docs counts
+    * (doc, fp) PAIRS and one doc contributes thousands of fps.)
     */
   def chunkDupShare(
       df: DataFrame, id: Column, text: Column, window: Int,
-      hotMinDocs: Int = 100000,
-      maxHotBroadcast: Long = 1L << 22): DataFrame = {
+      hotMinDocs: Int = 100000): DataFrame = {
     require(hotMinDocs >= 2,
       s"hotMinDocs must be >= 2 (a hot fp is by definition cross-doc), got $hotMinDocs")
     // instances of each fp per doc; a doc's own repeats collapse here
@@ -98,29 +109,11 @@ object Chunking {
       .groupBy("chunk_fp").agg(count(lit(1)).as("n_docs"))
     val hot = fpDocs.filter(col("n_docs") >= hotMinDocs)
     val cold = fpDocs.filter(col("n_docs") < hotMinDocs)
-    // Guard the forced broadcast: hotMinDocs validates down to 2, where
-    // the "hot" slice can approach half the distinct-fp table and a
-    // mandatory broadcast() would OOM the driver at corpus scale. The
-    // pigeonhole bound |hot| ≤ corpusDocs/hotMinDocs decides the path
-    // from ONE column-pruned row count of the input (parquet metadata —
-    // never the chunk fan-out; an eager count of the hot set itself
-    // would execute the whole tokenize+chunk aggregation at
-    // plan-construction time, which round 12's bench caught as a 10×
-    // build regression). When the bound exceeds the broadcast budget
-    // (~4M keys ≈ low hundreds of MB hashed), fall back to the plain
-    // equi-join for everything — same output, one shuffle, no driver
-    // risk; conservative by construction (bound ≥ actual).
-    val hotBound = df.count() / hotMinDocs
-    val attached =
-      if (hotBound > maxHotBroadcast) {
-        perDocFp.join(fpDocs, Seq("chunk_fp"))
-      } else {
-        val tagged = perDocFp.join(broadcast(hot), Seq("chunk_fp"), "left")
-        tagged.filter(col("n_docs").isNotNull)
-          .unionByName(
-            tagged.filter(col("n_docs").isNull).drop("n_docs")
-              .join(cold, Seq("chunk_fp")))
-      }
+    val tagged = perDocFp.join(hot, Seq("chunk_fp"), "left")
+    val attached = tagged.filter(col("n_docs").isNotNull)
+      .unionByName(
+        tagged.filter(col("n_docs").isNull).drop("n_docs")
+          .join(cold, Seq("chunk_fp")))
     attached
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_chunks"),

@@ -201,6 +201,12 @@ object Sampling {
       "split fractions must be nonempty with distinct names")
     require(fractions.forall(_._2 > 0.0), "split weights must be positive")
     require(kFolds >= 1, s"kFolds must be >= 1, got $kFolds")
+    // refuse, don't clobber: a frame that already carries split/fold
+    // (re-assigning with a new salt while the old assignment is
+    // attached) must rename first — withColumn would silently replace
+    val clash = df.columns.toSet.intersect(Set("split", "fold"))
+    require(clash.isEmpty,
+      s"input already has ${clash.toSeq.sorted.mkString("/")} column(s) -- rename them first")
     val cums = splitBounds(fractions)
     val key = sampleKey(id, splitSalt)
     val split = fractions.map(_._1).zip(cums).reverse
@@ -236,6 +242,10 @@ object Sampling {
       cap: Int, salt: String, nBuckets: Int = 32): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val scratch = Set("__skey", "__bkt", "__rn1", "__rn2")
+    val clash = df.columns.toSet.intersect(scratch)
+    require(clash.isEmpty,
+      s"input column(s) collide with capPerStratum scratch names: ${clash.toSeq.sorted.mkString(", ")}")
     val key = sampleKey(id, salt)
     val keyed = df.withColumn("__skey", key)
       .withColumn("__bkt", pmod(Hashing.h60(concat(lit("bkt:"), id.cast("string"))),

@@ -20,13 +20,18 @@ import org.apache.spark.sql.functions._
   * dim-sized, so the outlier pass attaches it back with a BROADCAST
   * join and the flagging filter is a narrow codegen'd projection.
   *
-  * Overflow envelope (documented, not silent): with |x| ≤ X and n rows
-  * per group, Σx² ≤ n·X² and the z² predicate's products reach
-  * ~9·n²·X²·… — BIGINT-exact through ~10⁹ rows × 4-digit measures
-  * (n·Σx² < 2⁶³). Past that envelope, promote the moment columns to
-  * DECIMAL(38,0) at the call site; the operator keeps LongType because
-  * decimal partial aggregation is ~3× slower and every gated corpus
-  * fits the envelope.
+  * Overflow posture: the MOMENT SUMS stay LongType (decimal partial
+  * aggregation is ~3× slower) — with |x| ≤ X that is exact while
+  * n·X² < 2⁶³, i.e. any corpus size for small quantized measures
+  * (X ≤ 10⁴ ⇒ n < 9·10¹⁴ rows per group); callers with large-magnitude
+  * measures (raw cents of big totals) must downscale or promote the
+  * measure first. The DERIVED second-order terms (n·Σxx − Σx² and the
+  * z² predicate's products, ~n²·X²) overflow LONG orders of magnitude
+  * earlier — at n·X ≳ 3·10⁹, hit by any 10⁸-row group — and Spark's
+  * non-ANSI long multiply WRAPS silently while DuckDB raises, so those
+  * terms are computed in DECIMAL(38,0) (exact to 10³⁸; n·X ≤ 10¹⁹),
+  * which costs nothing measurable on group-cardinality-sized frames
+  * and only a narrow filter on the fact side.
   */
 object Stats {
 
@@ -55,11 +60,13 @@ object Stats {
       sum(yl * yl).as("sum_yy"),
       sum(xl * yl).as("sum_xy"))
     // corr = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²));
-    // every product stays in exact long arithmetic, doubles enter only
-    // at the sqrt/division — one fixed tree, IEEE-identical anywhere
-    val num = (col("n") * col("sum_xy") - col("sum_x") * col("sum_y")).cast("double")
-    val dx = (col("n") * col("sum_xx") - col("sum_x") * col("sum_x")).cast("double")
-    val dy = (col("n") * col("sum_yy") - col("sum_y") * col("sum_y")).cast("double")
+    // products in exact DECIMAL(38,0) — in LONG, n·Σxx ~ n²·X² wraps
+    // silently past n·X ≈ 3·10⁹ (any 10⁸-row group) — doubles enter
+    // only at the sqrt/division: one fixed tree, IEEE-identical anywhere
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val num = (dec(col("n")) * dec(col("sum_xy")) - dec(col("sum_x")) * dec(col("sum_y"))).cast("double")
+    val dx = (dec(col("n")) * dec(col("sum_xx")) - dec(col("sum_x")) * dec(col("sum_x"))).cast("double")
+    val dy = (dec(col("n")) * dec(col("sum_yy")) - dec(col("sum_y")) * dec(col("sum_y"))).cast("double")
     m.withColumn("corr",
       when(col("n") > 1 && dx > 0.0 && dy > 0.0, num / (sqrt(dx) * sqrt(dy))))
   }
@@ -71,19 +78,28 @@ object Stats {
     *
     *   z² > k²  ⇔  kDen²·(n·x − Σx)² > kNum²·(n·Σx² − (Σx)²)
     *
-    * (both sides exact BIGINT products of the group moments). Two
-    * passes: the moment aggregate (dim-sized output) broadcast-joins
-    * back onto the fact side, and the filter is a narrow projection —
-    * no window, no sort, no second shuffle at any scale.
+    * (both sides exact DECIMAL(38,0) products of the long moments — in
+    * LONG the squares ~n²·X² wrap silently past n·X ≈ 3·10⁹; see the
+    * header's overflow posture). Two passes: the moment aggregate
+    * (dim-sized output) broadcast-joins back onto the fact side, and
+    * the filter is a narrow projection — no window, no sort, no second
+    * shuffle at any scale.
     *
     * Returns the input rows of `df` (caller-selected `keep` columns)
-    * plus the group's n/sum_x/sum_xx, filtered to outliers.
+    * plus the group's n/sum_x/sum_xx, filtered to outliers. `keep`
+    * names must not collide with the output's own columns
+    * (grp/x/n/sum_x/sum_xx) — refused loudly.
     */
   def zscoreOutliers(
       df: DataFrame, group: Column, x: Column,
       kNum: Int, kDen: Int,
       keep: Seq[String]): DataFrame = {
     require(kNum > 0 && kDen > 0, s"threshold must be positive, got $kNum/$kDen")
+    val reserved = Set("grp", "x", "n", "sum_x", "sum_xx", "__g", "__x")
+    val clash = keep.filter(reserved)
+    require(clash.isEmpty,
+      s"keep columns collide with the output's own columns: ${clash.mkString(", ")} " +
+        "-- rename them before calling (the moment columns join back onto every row)")
     val xl = x.cast("long")
     // null measures carry no z-score: dropped, not flagged (and never
     // allowed to skew n vs Σx — the corrMoments population rule)
@@ -93,10 +109,13 @@ object Stats {
       count(lit(1)).as("n"),
       sum(col("__x")).as("sum_x"),
       sum(col("__x") * col("__x")).as("sum_xx"))
-    val dev = col("n") * col("__x") - col("sum_x") // n·(x − mean), scaled exact
-    val varN2 = col("n") * col("sum_xx") - col("sum_x") * col("sum_x") // n²·varPop
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    // n·(x − mean) scaled exact; n²·varPop — both in decimal
+    val dev = dec(col("n")) * dec(col("__x")) - dec(col("sum_x"))
+    val varN2 = dec(col("n")) * dec(col("sum_xx")) - dec(col("sum_x")) * dec(col("sum_x"))
     g.join(broadcast(stats), Seq("__g"))
-      .filter(lit(kDen.toLong * kDen) * dev * dev > lit(kNum.toLong * kNum) * varN2)
+      .filter(lit(kDen.toLong * kDen).cast("decimal(38,0)") * dev * dev >
+        lit(kNum.toLong * kNum).cast("decimal(38,0)") * varN2)
       .select(col("__g").as("grp") +: keep.map(col) :+
         col("__x").as("x") :+ col("n") :+ col("sum_x") :+ col("sum_xx"): _*)
   }

@@ -690,24 +690,25 @@ object RelationalQueries {
     * the clamp is a narrow projection.
     */
   def q39Winsorize(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "lineitem")
+    // pure builder — no temp view (a fixed-name view is a hidden
+    // session-catalog mutation; two concurrent builders would race);
+    // percentile_disc is an ordered-set aggregate, reachable from the
+    // DataFrame API through expr()
+    val base = t(s, dir, "lineitem")
       .select(col("l_returnflag").as("flag"),
         round(col("l_quantity")).cast("long").as("q"))
-      .createOrReplaceTempView("__q39_li")
-    s.sql("""
-      WITH st AS (
-        SELECT flag,
-          CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY q) AS BIGINT) AS p10,
-          CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY q) AS BIGINT) AS p90
-        FROM __q39_li GROUP BY flag)
-      SELECT l.flag, st.p10, st.p90,
-        COUNT(*) AS n,
-        CAST(SUM(CASE WHEN q < p10 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
-        CAST(SUM(CASE WHEN q > p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
-        CAST(SUM(q) AS BIGINT) AS sum_raw,
-        CAST(SUM(GREATEST(p10, LEAST(p90, q))) AS BIGINT) AS sum_winsor
-      FROM __q39_li l JOIN st ON l.flag = st.flag
-      GROUP BY l.flag, st.p10, st.p90 ORDER BY l.flag""")
+    val st = base.groupBy("flag").agg(
+      expr("CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY q) AS BIGINT)").as("p10"),
+      expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY q) AS BIGINT)").as("p90"))
+    base.join(broadcast(st), Seq("flag"))
+      .groupBy("flag", "p10", "p90")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("q") < col("p10"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("q") > col("p90"), 1L).otherwise(0L)).as("n_hi"),
+        sum(col("q")).as("sum_raw"),
+        sum(greatest(col("p10"), least(col("p90"), col("q")))).as("sum_winsor"))
+      .orderBy("flag")
   }
 
   /** DuckDB replay: percentile_disc = smallest value with cume_dist ≥ p

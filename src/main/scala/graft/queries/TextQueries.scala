@@ -1052,7 +1052,10 @@ object TextQueries {
     * projection + array ops.
     */
   def t17SentenceStats(s: SparkSession, dir: String): DataFrame = {
-    val sents = split(col("text"), "[.!?]+\\s+")
+    // rtrim first: text ending "terminator + whitespace" would otherwise
+    // split off a trailing "" pseudo-sentence, inflating the count and
+    // deflating every per-sentence mean
+    val sents = split(regexp_replace(col("text"), "\\s+$", ""), "[.!?]+\\s+")
     docs(s, dir)
       .select(
         col("doc_id"),
@@ -1067,7 +1070,7 @@ object TextQueries {
   val t17Oracle: String =
     s"""WITH d AS (
        |  SELECT doc_id,
-       |    string_split_regex(text, '[.!?]+\\s+') AS sents,
+       |    string_split_regex(regexp_replace(text, '\\s+$$', '', 'g'), '[.!?]+\\s+') AS sents,
        |    CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0 ELSE len($duckToksRaw) END AS n_tokens
        |  FROM documents
        |)
@@ -1219,7 +1222,8 @@ object TextQueries {
     */
   def t20Readability(s: SparkSession, dir: String): DataFrame = {
     val nWords = Text.tokenCount(col("text"))
-    val nSents = size(split(col("text"), "[.!?]+\\s+"))
+    // rtrim: same trailing-""-pseudo-sentence guard as t17
+    val nSents = size(split(regexp_replace(col("text"), "\\s+$", ""), "[.!?]+\\s+"))
     val nSyll = regexp_count(Text.normalize(col("text")), lit("[aeiouy]+"))
     docs(s, dir)
       .select(
@@ -1239,7 +1243,7 @@ object TextQueries {
     s"""WITH m AS (
        |  SELECT doc_id,
        |    CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0 ELSE len($duckToksRaw) END AS n_words,
-       |    CAST(len(string_split_regex(text, '[.!?]+\\s+')) AS INT) AS n_sentences,
+       |    CAST(len(string_split_regex(regexp_replace(text, '\\s+$$', '', 'g'), '[.!?]+\\s+')) AS INT) AS n_sentences,
        |    CAST(len(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '[aeiouy]+')) AS INT) AS n_syllables
        |  FROM documents
        |)

@@ -120,20 +120,19 @@ class ChunkingSpec extends SparkSpecBase {
     assert(split.take(2).forall(_._2 == ((3L, 2L, 2.0 / 3.0))), split.take(2).toString)
     // the rest: boiler + tail = 2 chunks, 1 cross-doc
     assert(split.drop(2).forall(_._2 == ((2L, 1L, 0.5))), split.drop(2).take(2).toString)
-    // plan shape: the hot slice attaches via broadcast — its key never
-    // enters a shuffled join
-    val plan = Chunking.chunkDupShare(df, col("doc_id"), col("text"), window = 4,
-      hotMinDocs = 3).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), "hot fp slice must broadcast-join")
-    // broadcast budget guard: when the measured hot set exceeds
-    // maxHotBroadcast (here forced to 0), the operator must fall back
-    // to the plain equi-join — identical answers, no forced broadcast
-    val guarded = graft.operators.Dedup.scoped {
-      Chunking.chunkDupShare(df, col("doc_id"), col("text"), window = 4,
-        hotMinDocs = 3, maxHotBroadcast = 0L)
-        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toSeq.sortBy(_._1)
+    // plan shape: the hot-slice attach is AQE-decided — after execution
+    // the FINAL adaptive plan must have converted the small built hot
+    // slice to a broadcast join (its key never enters a shuffled join);
+    // an oversized hot slice would keep the shuffled join with the SAME
+    // output, which is the whole point of deciding at runtime
+    val q = graft.operators.Dedup.scoped {
+      val d = Chunking.chunkDupShare(df, col("doc_id"), col("text"), window = 4,
+        hotMinDocs = 3)
+      d.collect()
+      d
     }
-    assert(guarded === split, "oversized-hot-set fallback must not change any answer")
+    assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "AQE must convert the small hot-fp slice to a broadcast join at runtime")
     spark.catalog.clearCache()
   }
 
