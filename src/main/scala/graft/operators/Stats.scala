@@ -105,17 +105,25 @@ object Stats {
     // allowed to skew n vs Σx — the corrMoments population rule)
     val g = df.filter(xl.isNotNull)
       .select((group.as("__g") +: keep.map(col)) :+ xl.as("__x"): _*)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    // GROUP-LEVEL decimal work happens once per group on the dim-sized
+    // stats frame (kNum²·(n·Σxx − Σx²) — the n²·X²-scale products that
+    // wrap in long), so the fact side pays only ONE decimal square per
+    // row. First cut did all five decimal products per fact row — a
+    // measured 1.9× serve regression at sf0.1.
     val stats = g.groupBy(col("__g")).agg(
       count(lit(1)).as("n"),
       sum(col("__x")).as("sum_x"),
       sum(col("__x") * col("__x")).as("sum_xx"))
-    def dec(c: Column) = c.cast("decimal(38,0)")
-    // n·(x − mean) scaled exact; n²·varPop — both in decimal
-    val dev = dec(col("n")) * dec(col("__x")) - dec(col("sum_x"))
-    val varN2 = dec(col("n")) * dec(col("sum_xx")) - dec(col("sum_x")) * dec(col("sum_x"))
+      .withColumn("__rhs",
+        lit(kNum.toLong * kNum).cast("decimal(38,0)") *
+          (dec(col("n")) * dec(col("sum_xx")) - dec(col("sum_x")) * dec(col("sum_x"))))
+    // n·(x − mean) in LONG is exact while n·|x| < 2⁶³ (n < 10¹⁷ rows
+    // per group at 4-digit measures — beyond any corpus); its SQUARE is
+    // what wraps early, so that one multiply is decimal
+    val dev = dec(col("n") * col("__x") - col("sum_x"))
     g.join(broadcast(stats), Seq("__g"))
-      .filter(lit(kDen.toLong * kDen).cast("decimal(38,0)") * dev * dev >
-        lit(kNum.toLong * kNum).cast("decimal(38,0)") * varN2)
+      .filter(lit(kDen.toLong * kDen).cast("decimal(38,0)") * dev * dev > col("__rhs"))
       .select(col("__g").as("grp") +: keep.map(col) :+
         col("__x").as("x") :+ col("n") :+ col("sum_x") :+ col("sum_xx"): _*)
   }

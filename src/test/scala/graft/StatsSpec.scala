@@ -166,6 +166,42 @@ class StatsSpec extends SparkSpecBase {
       Sampling.capPerStratum(df, col("st"), col("id"), cap = 0, salt = "q1") }
   }
 
+  test("property: capPerStratum equals the flat top-N selection for random shapes") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      k <- Gen.choose(1, 8)
+      cap <- Gen.choose(1, 12)
+      b <- Gen.choose(1, 7)
+      salt <- Gen.alphaLowerStr.map(s => "p" + s.take(5))
+    } yield (n, k, cap, b, salt)
+    val prop = Prop.forAll(gen) { case (n, k, cap, b, salt) =>
+      val df = (1L to n.toLong).map(i => (i, s"s${i % k}")).toDF("id", "st")
+      val got = Sampling.capPerStratum(df, col("st"), col("id"), cap, salt, b)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val keyed = df.withColumn("kk", Sampling.sampleKey(col("id"), salt))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val want = keyed.groupBy(_._2).values.flatMap(
+        _.sortBy(t => (t._3, t._1)).take(cap).map(t => (t._1, t._2))).toSet
+      got == want
+    }
+    assert(check(Parameters.default.withMinSuccessfulTests(12), prop).passed)
+  }
+
+  test("property: splitBounds tiles the key space for arbitrary positive weights") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    val gen = Gen.nonEmptyListOf(Gen.choose(1, 1000)).map(_.take(6))
+    val prop = Prop.forAll(gen) { ws =>
+      val fr = ws.zipWithIndex.map { case (w, i) => s"s$i" -> w / 100.0 }
+      val b = Sampling.splitBounds(fr)
+      b.last == Sampling.Modulus && b == b.sorted && b.forall(_ >= 0) &&
+        b.length == fr.length
+    }
+    assert(check(Parameters.default.withMinSuccessfulTests(200), prop).passed)
+  }
+
   test("incrementalKeepFirst: drops index hits and batch-internal dups") {
     val existing = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
     val batch = Seq(
