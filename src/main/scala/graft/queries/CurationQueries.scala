@@ -956,7 +956,58 @@ object CurationQueries {
        |ORDER BY source, doc_id""".stripMargin
   }
 
+  /** Split-balance profile — the check every pipeline runs right after
+    * assigning splits: per (split, fold), doc and token counts plus
+    * each split's doc share, verifying the hash bands actually landed
+    * near their target fractions and the folds stratify evenly. One
+    * aggregate over the c17 assignment (3·5 = 15 output rows); the
+    * share is one double division of exact longs over a window on the
+    * already-aggregated frame.
+    */
+  def c19SplitProfile(s: SparkSession, dir: String): DataFrame = {
+    val assigned = graft.operators.Sampling.assignSplits(
+      docs(s, dir).select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_toks")),
+      col("doc_id"), c17Fractions, kFolds = c17Folds,
+      splitSalt = "split1", foldSalt = "fold1")
+    val byCell = assigned.groupBy("split", "fold")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    byCell
+      .withColumn("total_docs", sum(col("n_docs")).over(w))
+      .select(col("split"), col("fold"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("total_docs").cast("double")).as("doc_share"))
+      .orderBy("split", "fold")
+  }
+
+  val c19Oracle: String = {
+    val bounds = graft.operators.Sampling.splitBounds(c17Fractions)
+    val names = c17Fractions.map(_._1)
+    val cases = names.zip(bounds).dropRight(1)
+      .map { case (n, b) => s"WHEN skey < $b THEN '$n'" }
+      .mkString(" ")
+    val hSplit = DuckOracle.h60("'split1:' || CAST(doc_id AS VARCHAR)")
+    val hFold = DuckOracle.h60("'fold1:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0 ELSE len($duckToksRaw) END AS n_toks,
+       |    $hSplit % ${graft.operators.Sampling.Modulus} AS skey,
+       |    $hFold % $c17Folds AS fold0
+       |  FROM documents
+       |), a AS (
+       |  SELECT CASE $cases ELSE '${names.last}' END AS split,
+       |    CAST(fold0 AS INT) AS fold, n_toks
+       |  FROM keyed
+       |), c AS (
+       |  SELECT split, fold, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |  FROM a GROUP BY split, fold
+       |)
+       |SELECT split, fold, n_docs, n_tokens,
+       |  CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE) AS doc_share
+       |FROM c ORDER BY split, fold""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c19_split_profile" -> (c19SplitProfile _),
     "c18_quota_cap" -> (c18QuotaCap _),
     "c17_split_assign" -> (c17SplitAssign _),
     "c14_dsir_select" -> (c14DsirSelect _),
@@ -980,6 +1031,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "c19_split_profile" -> c19Oracle,
     "c18_quota_cap" -> c18Oracle,
     "c17_split_assign" -> c17Oracle,
     "c14_dsir_select" -> c14Oracle,

@@ -680,6 +680,46 @@ object RelationalQueries {
       |  END AS corr
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** Ratio-to-report — each nation's share of its REGION's revenue
+    * (the "percent of total" window every BI layer ships): exact
+    * integer cents throughout, the share as one double division of two
+    * exact longs. The partition sum runs over the ALREADY-AGGREGATED
+    * (region, nation) frame — ≤ dim-cardinality rows — never over the
+    * fact table, so the window is free at any corpus size; the heavy
+    * work is the same broadcast-dim star join as q02.
+    */
+  def q40RevenueShare(s: SparkSession, dir: String): DataFrame = {
+    val revC = Money.cents(col("l_extendedprice")) * (lit(100L) - Money.cents(col("l_discount")))
+    val byNation = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(revC).as("rev_c"))
+    val w = Window.partitionBy("r_name")
+    byNation
+      .withColumn("region_rev_c", sum(col("rev_c")).over(w))
+      .select(col("r_name"), col("n_name"), col("rev_c"),
+        (col("rev_c").cast("double") / col("region_rev_c").cast("double")).as("share"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q40Oracle: String =
+    """WITH bn AS (
+      |  SELECT r_name, n_name,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS rev_c
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY r_name, n_name
+      |)
+      |SELECT r_name, n_name, rev_c,
+      |  CAST(rev_c AS DOUBLE) / CAST(SUM(rev_c) OVER (PARTITION BY r_name) AS DOUBLE) AS share
+      |FROM bn ORDER BY r_name, n_name""".stripMargin
+
   /** Winsorization — clamp a measure to its per-group [p10, p90] band
     * (exact `percentile_disc` values, c07's ordered-set aggregate) and
     * report raw vs winsorized sums and clamp counts. The robust-stats
@@ -1028,6 +1068,7 @@ object RelationalQueries {
     "q37_corr_moments" -> (q37CorrMoments _),
     "q38_outlier_zscore" -> (q38OutlierZscore _),
     "q39_winsorize" -> (q39Winsorize _),
+    "q40_revenue_share" -> (q40RevenueShare _),
     "q34_cube" -> (q34Cube _),
     "q22_kmv_distinct" -> (q22KmvDistinct _),
     "q21_salted_flag_join" -> (q21SaltedFlagJoin _),
@@ -1067,6 +1108,7 @@ object RelationalQueries {
     "q37_corr_moments" -> q37Oracle,
     "q38_outlier_zscore" -> q38Oracle,
     "q39_winsorize" -> q39Oracle,
+    "q40_revenue_share" -> q40Oracle,
     "q34_cube" -> q34Oracle,
     "q22_kmv_distinct" -> q22Oracle,
     "q21_salted_flag_join" -> q21Oracle,
