@@ -1,5 +1,7 @@
 package graft.etl
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
@@ -86,8 +88,13 @@ object Compact {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val listing = fs.listStatus(p)
     // subdir check FIRST: a partitionBy root holds only _SUCCESS plus
-    // partition dirs, and the "no data files" message would mislead
-    require(listing.forall(_.isFile),
+    // partition dirs, and the "no data files" message would mislead.
+    // HIDDEN subdirs (`_temporary` residue from a crashed append,
+    // `_batches` commit markers) are metadata, not partitions — the
+    // same [[isHiddenName]] rule [[compactPartitioned]]'s leaves()
+    // applies; refusing on them would wedge exactly the healthy leaf
+    // that leaves() just classified as compactable
+    require(listing.forall(s => s.isFile || isHiddenName(s.getPath.getName)),
       s"$p has subdirectories — compact partition leaf dirs individually")
     val parts = listing.filter(isData)
     require(parts.nonEmpty, s"no data files to compact under $p")
@@ -141,27 +148,45 @@ object Compact {
   /** Sibling intent marker for an intent-journaled flat-dir swap:
     * hidden (dot-prefixed, so every directory reader here skips it via
     * [[isHiddenName]]) and OUTSIDE the target (the whole target
-    * renames away mid-swap). Its presence is what lets a rerun
-    * distinguish "the target is the completed, pre-swap-gated rewrite"
-    * from "an operator recreated the target while the park still holds
-    * the only copy" — without it those states are indistinguishable
-    * and the only safe posture is to refuse.
+    * renames away mid-swap). Its CONTENT is the gated rewrite's file
+    * manifest (sorted relative paths, one per line — parquet part
+    * names never contain newlines): presence says a swap was in
+    * flight, the manifest says which files the landed target must hold
+    * to BE that swap's rewrite — the distinction that makes "crash
+    * after swap-in" provably different from "external writer recreated
+    * the target while the park holds the only copy".
     */
   private[graft] def swapIntent(target: Path): Path =
     new Path(target.getParent, "." + target.getName + "__swap_intent")
 
-  /** [[swapInto]] under an intent journal: the zero-byte intent file
-    * lands before the first rename and is removed after the park
-    * delete, so every crash window inside is recognizable to
-    * [[convergeCrashedSwap]] on the next run. Callers must gate `tmp`
-    * (row counts, re-merge identity) BEFORE calling — the intent is
-    * also the rerun's permission to treat a standing target as that
-    * gated rewrite.
+  /** Sorted file paths under `root`, relative to it — the swap
+    * manifest fingerprint (part-file names carry writer UUIDs, so two
+    * independent rewrites collide with ~0 probability).
+    */
+  private def relFileNames(
+      fs: org.apache.hadoop.fs.FileSystem, root: Path): Seq[String] = {
+    if (!fs.exists(root)) return Seq.empty
+    val rootPath = root.toUri.getPath.stripSuffix("/")
+    val out = ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext)
+      out += it.next().getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+    out.sorted.toSeq
+  }
+
+  /** [[swapInto]] under an intent journal: the intent file (carrying
+    * `tmp`'s manifest) lands before the first rename and is removed
+    * after the park delete, so every crash window inside is
+    * recognizable to [[convergeCrashedSwap]] on the next run. Callers
+    * must gate `tmp` (row counts, re-merge identity) BEFORE calling —
+    * the manifest is the rerun's proof that a standing target is that
+    * gated rewrite and not an external recreation.
     */
   private[graft] def swapIntoJournaled(
       fs: org.apache.hadoop.fs.FileSystem, tmp: Path, target: Path, old: Path): Unit = {
     val intent = swapIntent(target)
     val out = fs.create(intent, true)
+    out.write(relFileNames(fs, tmp).mkString("\n").getBytes("UTF-8"))
     out.close()
     swapInto(fs, tmp, target, old)
     fs.delete(intent, true): Unit
@@ -174,10 +199,13 @@ object Compact {
     * file-less park → residue, cleared; park WITH files + intent +
     * target missing → crash between the two renames, the park IS the
     * data — rename it back (the rerun then redoes its rewrite); park
-    * WITH files + intent + target present → crash after the swap-in,
-    * before the park delete — only this repo's journaled verbs create
-    * the park, and only after gating the replacement, so finishing the
-    * delete completes the swap; park WITH files and NO intent →
+    * WITH files + intent + target present → EITHER a crash after the
+    * swap-in before the park delete, OR a crash between the renames
+    * followed by an external writer recreating the target while the
+    * park held the only copy — the two are told apart by the intent's
+    * MANIFEST: a target whose file set equals the recorded rewrite IS
+    * the gated swap (finish the park delete); anything else is refused
+    * loudly, park untouched. Park WITH files and NO intent →
     * unrecognized state (not our crash), refused loudly, never
     * deleted. A standing intent with no park is a crash before the
     * first rename or after the park delete — the swap never started or
@@ -194,7 +222,19 @@ object Compact {
           s"$old holds parked data without a $verb swap intent -- " +
             "unrecognized state; recover it (rename back or remove) manually")
         if (!fs.exists(target)) require(fs.rename(old, target), s"could not recover $old")
-        else fs.delete(old, true)
+        else {
+          val recorded = {
+            val in = fs.open(intent)
+            try new String(in.readAllBytes(), "UTF-8").split("\n").filter(_.nonEmpty).toSet
+            finally in.close()
+          }
+          val actual = relFileNames(fs, target).toSet
+          require(recorded.nonEmpty && recorded == actual,
+            s"$target does not match the $verb swap intent's recorded rewrite -- " +
+              s"an external writer recreated it while $old holds the pre-swap copy; " +
+              "recover manually (the park is untouched)")
+          fs.delete(old, true)
+        }
       }
     }
     fs.delete(intent, true): Unit

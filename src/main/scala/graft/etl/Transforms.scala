@@ -55,8 +55,14 @@ object Transforms {
       timeoutSec: Int = 300,
       identityOnEmpty: Boolean = false): DataFrame = {
     val spark = df.sparkSession
+    // TRANSFORM_PARAMS is a JSON object — the reference's exact
+    // contract (etl.py:201 `json.dumps(params)`); the previous
+    // comma-joined k=v form was ambiguous the moment a value contained
+    // ',' or '='. Keys sorted for a deterministic env across runs.
     val env = params.map { case (k, v) => s"TRANSFORM_PARAM_$k" -> v } +
-      ("TRANSFORM_PARAMS" -> params.map { case (k, v) => s"$k=$v" }.mkString(","))
+      ("TRANSFORM_PARAMS" -> params.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\"" }
+        .mkString("{", ",", "}"))
     val cmd = Seq("/bin/sh", "-c",
       s"timeout ${timeoutSec}s " + command.map(a => "'" + a.replace("'", "'\\''") + "'").mkString(" ") +
         " || { [ $? -eq 124 ] && echo 'TRANSFORM TIMEOUT' >&2 && exit 124; }")
@@ -75,5 +81,16 @@ object Transforms {
       case None => spark.read.json(ds)
     }
     if (identityOnEmpty && parsed.isEmpty) df else parsed
+  }
+
+  /** Minimal JSON string escape (quote, backslash, control chars) —
+    * enough for the flat string→string params object the contract
+    * carries; mirrors the Bench/Verify metric-line escaping.
+    */
+  private[etl] def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 }

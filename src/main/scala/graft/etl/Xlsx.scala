@@ -43,11 +43,15 @@ object Xlsx {
       val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
         .map(e => parseSharedStrings(zip.getInputStream(e)))
         .getOrElse(IndexedSeq.empty)
-      // sheet part names are never renumbered when sheets are deleted, so
-      // sheet1.xml may not exist in a valid workbook — take the
-      // lowest-numbered sheet part present
+      // "first sheet" means the workbook's FIRST TAB, not the
+      // lowest-numbered part name: part names are never renumbered
+      // when sheets are deleted or reordered, so sheet1.xml can be an
+      // old secondary sheet while the first visible tab lives in
+      // sheet3.xml. Resolve workbook.xml's first <sheet r:id> through
+      // the workbook rels; fall back to lowest-numbered part only for
+      // workbooks missing either part (minimal writers — incl. ours).
       val sheetRe = "xl/worksheets/sheet(\\d+)\\.xml".r
-      val sheetNames = {
+      def lowestNumberedPart: Option[String] = {
         val en = zip.entries()
         val found = ArrayBuffer.empty[(Int, String)]
         while (en.hasMoreElements) {
@@ -57,9 +61,17 @@ object Xlsx {
             case _ =>
           }
         }
-        found.sortBy(_._1).map(_._2)
+        found.sortBy(_._1).map(_._2).headOption
       }
-      val sheetEntry = sheetNames.headOption.map(zip.getEntry)
+      val firstTabPart: Option[String] = for {
+        wb <- Option(zip.getEntry("xl/workbook.xml"))
+        rid <- firstSheetRelId(zip.getInputStream(wb))
+        rels <- Option(zip.getEntry("xl/_rels/workbook.xml.rels"))
+        target <- relTarget(zip.getInputStream(rels), rid)
+      } yield if (target.startsWith("/")) target.stripPrefix("/")
+        else "xl/" + target.stripPrefix("./")
+      val sheetEntry = firstTabPart.orElse(lowestNumberedPart).map(zip.getEntry)
+        .filter(_ != null)
         .getOrElse(throw new IllegalArgumentException(s"$path: no xl/worksheets/sheetN.xml part"))
       val rows = parseSheet(zip.getInputStream(sheetEntry), shared)
       val width = if (rows.isEmpty) 0 else rows.map(_.length).max
@@ -80,19 +92,25 @@ object Xlsx {
     val r = xmlFactory().createXMLStreamReader(in)
     var cur: StringBuilder = null
     var inT = false
+    // phonetic runs (<rPh><t>furigana</t></rPh>) annotate PRONUNCIATION,
+    // not content — appending them corrupts every cell referencing a
+    // phonetic-annotated string ("漢字" would surface as "漢字かんじ")
+    var inRPh = false
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
             case "si" => cur = new StringBuilder
+            case "rPh" => inRPh = true
             case "t" => inT = true
             case _ =>
           }
-        case XMLStreamConstants.CHARACTERS if inT && cur != null =>
+        case XMLStreamConstants.CHARACTERS if inT && !inRPh && cur != null =>
           cur.append(r.getText)
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "t" => inT = false
+            case "rPh" => inRPh = false
             case "si" => out += cur.toString; cur = null
             case _ =>
           }
@@ -101,6 +119,49 @@ object Xlsx {
     }
     r.close()
     out.toIndexedSeq
+  }
+
+  /** r:id of the FIRST <sheet> element in xl/workbook.xml (document
+    * order = tab order).
+    */
+  private def firstSheetRelId(in: java.io.InputStream): Option[String] = {
+    val r = xmlFactory().createXMLStreamReader(in)
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+          var i = 0
+          while (i < r.getAttributeCount) {
+            if (r.getAttributeLocalName(i) == "id") return Some(r.getAttributeValue(i))
+            i += 1
+          }
+          return None // first sheet has no r:id: malformed, fall back
+        }
+      }
+      None
+    } finally r.close()
+  }
+
+  /** Target of the relationship with the given Id in a .rels part. */
+  private def relTarget(in: java.io.InputStream, rid: String): Option[String] = {
+    val r = xmlFactory().createXMLStreamReader(in)
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "Relationship") {
+          var id: String = null; var target: String = null
+          var i = 0
+          while (i < r.getAttributeCount) {
+            r.getAttributeLocalName(i) match {
+              case "Id" => id = r.getAttributeValue(i)
+              case "Target" => target = r.getAttributeValue(i)
+              case _ =>
+            }
+            i += 1
+          }
+          if (id == rid) return Option(target)
+        }
+      }
+      None
+    } finally r.close()
   }
 
   /** Column letters of an A1-style ref → 0-based index. */

@@ -79,6 +79,15 @@ object Zorder {
     * the given numeric columns. Content is row-identical to the input;
     * only file placement (and therefore per-file min/max stats)
     * changes.
+    *
+    * The write goes through a sibling tmp dir + [[Compact.swapInto]]
+    * rather than overwriting `path` directly: the PRIMARY use case is
+    * re-clustering a lake in place (`df` reads from `path` itself),
+    * where a direct overwrite either aborts on Spark's self-overwrite
+    * check or — reached through a checkpoint/view — deletes the source
+    * mid-plan. The swap also gives the same crash contract as
+    * compaction: `path` is at every instant either the old complete
+    * copy or the new one, never a partial mix.
     */
   def writeClustered(
       df: DataFrame, path: String, cols: Seq[String], nFiles: Int): Unit = {
@@ -102,10 +111,18 @@ object Zorder {
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val mins = cols.indices.map(i => if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i))
     val maxs = cols.indices.map(i => if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1))
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__zorder_tmp")
+    val old = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "__zorder_old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
     df.withColumn("__z", zvalue(cols.map(col), mins, maxs))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) Compact.swapInto(fs, tmp, target, old)
+    else require(fs.rename(tmp, target), s"could not move $tmp to $target")
   }
 }

@@ -18,6 +18,20 @@ import graft.functions.Glob
   */
 object FileIndex {
 
+  /** The shared metadata projection (single owner — [[indexMetadata]]
+    * and [[indexWithHash]] previously duplicated it, so extension
+    * semantics could drift between the two index variants).
+    */
+  private def metaProjection(df: DataFrame): DataFrame =
+    df.select(
+      col("path").as("file_path"),
+      substring_index(col("path"), "/", -1).as("file_name"),
+      col("length").as("file_size"),
+      col("modificationTime").as("modified_time"))
+      .withColumn("extension",
+        lower(when(col("file_name").contains("."),
+          regexp_extract(col("file_name"), "\\.([^.]+)$", 1)).otherwise("")))
+
   /** Metadata-only index of a directory tree (no content read — column
     * pruning keeps the binaryFile scan to the file listing).
     */
@@ -25,46 +39,57 @@ object FileIndex {
     val base = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
     val withGlob = glob.fold(base)(g => base.option("pathGlobFilter", g))
-    withGlob.load(dir)
-      .select(
-        col("path").as("file_path"),
-        substring_index(col("path"), "/", -1).as("file_name"),
-        col("length").as("file_size"),
-        col("modificationTime").as("modified_time"))
-      .withColumn("extension",
-        lower(when(col("file_name").contains("."),
-          regexp_extract(col("file_name"), "\\.([^.]+)$", 1)).otherwise("")))
+    metaProjection(withGlob.load(dir))
+  }
+
+  /** JCA digest names for the reference's HashAlgorithm enum. */
+  private val HashNames = Map(
+    "md5" -> "MD5", "sha1" -> "SHA-1", "sha256" -> "SHA-256", "sha512" -> "SHA-512")
+
+  /** Streaming content hash: the file flows through MessageDigest in
+    * 1 MiB chunks via the Hadoop FS API — the content is NEVER
+    * materialized. binaryFile's `content` column is one JVM byte array
+    * per file, so a ≥ 2 GiB file fails the scan outright and multi-GB
+    * files OOM executors — exactly the large media/backup files a
+    * dedup index most needs to hash (the reference also hashes in
+    * chunks, file_indexing_system.py `_calculate_hash`).
+    */
+  private[index] def streamHashHex(path: String, jcaName: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val md = java.security.MessageDigest.getInstance(jcaName)
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](1 << 20)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) md.update(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** Full content index: metadata + content hash (sha256 by default —
-    * the reference's HashAlgorithm enum maps to md5/sha1/sha2).
+    * the reference's HashAlgorithm enum maps to md5/sha1/sha2). The
+    * hash is computed by [[streamHashHex]] over the metadata listing:
+    * same distributed per-file parallelism as the binaryFile content
+    * scan, bounded memory at ANY file size.
     */
   def indexWithHash(
       spark: SparkSession,
       dir: String,
       algorithm: String = "sha256",
       glob: Option[String] = None): DataFrame = {
-    val base = spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
-    val withGlob = glob.fold(base)(g => base.option("pathGlobFilter", g))
-    val hashCol: Column = algorithm.toLowerCase match {
-      case "md5" => md5(col("content"))
-      case "sha1" => sha1(col("content"))
-      case "sha256" => sha2(col("content"), 256)
-      case "sha512" => sha2(col("content"), 512)
-      case a => throw new IllegalArgumentException(s"Unknown hash algorithm: $a")
-    }
-    withGlob.load(dir)
+    val jca = HashNames.getOrElse(algorithm.toLowerCase,
+      throw new IllegalArgumentException(s"Unknown hash algorithm: $algorithm"))
+    val hashUdf = udf((p: String) => streamHashHex(p, jca))
+    indexMetadata(spark, dir, glob)
       .select(
-        col("path").as("file_path"),
-        substring_index(col("path"), "/", -1).as("file_name"),
-        col("length").as("file_size"),
-        col("modificationTime").as("modified_time"),
-        hashCol.as("file_hash"),
-        lit(algorithm.toLowerCase).as("hash_algorithm"))
-      .withColumn("extension",
-        lower(when(col("file_name").contains("."),
-          regexp_extract(col("file_name"), "\\.([^.]+)$", 1)).otherwise("")))
+        col("file_path"), col("file_name"), col("file_size"), col("modified_time"),
+        hashUdf(col("file_path")).as("file_hash"),
+        lit(algorithm.toLowerCase).as("hash_algorithm"),
+        col("extension"))
   }
 
   /** Extension → MIME type guess (F11,

@@ -21,16 +21,30 @@ object Migration {
   /** Structure-preserving destination path: file under srcRoot maps to
     * the same relative path under destRoot (file_migration_template.py
     * `_calculate_dest_path`). Handles binaryFile's `file:` URI prefix.
+    *
+    * Roots are slash-normalized and the strip is BOUNDARY-anchored:
+    * a raw prefix strip would silently fuse paths on a trailing-slash
+    * mismatch (`/data/src/` vs dest `/data/dst` → `/data/dsta.txt`)
+    * and would claim sibling trees that merely share a name prefix
+    * (`/data/src2/b.txt` under srcRoot `/data/src`). Files outside
+    * srcRoot get a NULL dest_path — visibly unplanned, never copied
+    * to a fused destination.
     */
   def plan(index: DataFrame, srcRoot: String, destRoot: String): DataFrame = {
+    val src = srcRoot.stripSuffix("/")
+    val dst = destRoot.stripSuffix("/")
     val normalized = regexp_replace(col("file_path"), "^file:", "")
-    val rel = regexp_replace(normalized, "^" + java.util.regex.Pattern.quote(srcRoot), "")
-    index.withColumn("dest_path", concat(lit(destRoot), rel))
+    val q = java.util.regex.Pattern.quote(src)
+    // boundary anchor: after the root, the next char must be '/'
+    // (captured with the rest of the relative path)
+    val rel = regexp_extract(normalized, "^" + q + "(/.+)$", 1)
+    index.withColumn("dest_path",
+      when(rel =!= "", concat(lit(dst), rel)))
   }
 
   val resultSchema: StructType = StructType(Seq(
     StructField("file_path", StringType, nullable = false),
-    StructField("dest_path", StringType, nullable = false),
+    StructField("dest_path", StringType, nullable = true), // null = outside srcRoot
     StructField("success", BooleanType, nullable = false),
     StructField("attempts", IntegerType, nullable = false),
     StructField("bytes", LongType, nullable = false),
@@ -44,6 +58,12 @@ object Migration {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(resultSchema)
     planned.select("file_path", "dest_path").mapPartitions { rows =>
       rows.map { r =>
+        if (r.isNullAt(1)) {
+          // plan() marked this file outside srcRoot: fail it up front,
+          // no retries — copying to a guessed destination is the bug
+          // the boundary anchor exists to prevent
+          Row(r.getString(0), null, false, 0, 0L, "dest_path is null (file outside srcRoot)")
+        } else {
         val src = r.getString(0).stripPrefix("file:")
         val dst = r.getString(1).stripPrefix("file:")
         var attempt = 0
@@ -66,6 +86,7 @@ object Migration {
           }
         }
         Row(r.getString(0), r.getString(1), done, attempt, bytes, err)
+        }
       }
     }(enc)
   }

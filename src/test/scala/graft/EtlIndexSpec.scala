@@ -254,6 +254,66 @@ class EtlIndexSpec extends SparkSpecBase {
     assert(badRes.getAs[String]("error") != null)
   }
 
+  test("migration: boundary-anchored roots — trailing slash and sibling prefixes never fuse paths") {
+    val root = tmp("mig-bnd")
+    val sibling = root + "2" // shares the name prefix, is NOT under root
+    Files.createDirectories(Paths.get(root))
+    Files.createDirectories(Paths.get(sibling))
+    Files.writeString(Paths.get(root, "a.txt"), "in")
+    Files.writeString(Paths.get(sibling, "b.txt"), "out")
+    val both = FileIndex.indexMetadata(spark, root)
+      .unionByName(FileIndex.indexMetadata(spark, sibling))
+    // trailing-slash srcRoot + no-slash destRoot: the old raw
+    // prefix-strip produced "<dest>a.txt" fused onto the parent name
+    val planned = graft.index.Migration.plan(both, root + "/", tmp("mig-bnd-dst"))
+    val dests = planned.select("file_path", "dest_path").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    val inDest = dests.collectFirst { case (k, v) if k.endsWith("a.txt") => v }.get
+    assert(inDest.exists(_.endsWith("/a.txt")), s"fused path: $inDest")
+    // the sibling tree is OUTSIDE srcRoot: null dest, never a guessed one
+    val outDest = dests.collectFirst { case (k, v) if k.endsWith("b.txt") => v }.get
+    assert(outDest.isEmpty, s"sibling-prefix path claimed: $outDest")
+    // execute fails null-dest rows up front, no retries
+    val res = graft.index.Migration.execute(planned, maxRetries = 3, baseBackoffMs = 1)
+      .collect()
+      .map(r => r.getString(0).split('/').last -> ((r.getBoolean(2), r.getInt(3))))
+      .toMap
+    assert(res("a.txt") === ((true, 1)))
+    assert(res("b.txt") === ((false, 0)), "outside-root file must fail fast")
+  }
+
+  test("xlsx: first TAB wins (workbook.xml order), phonetic runs never leak into cells") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = tmp("xlsx-tab")
+    val path = s"$dir/reordered.xlsx"
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def e(n: String, c: String): Unit = { zos.putNextEntry(new ZipEntry(n)); zos.write(c.getBytes("UTF-8")); zos.closeEntry() }
+    // the user dragged Sheet3 to be the first tab: part names are never
+    // renumbered, so sheet1.xml still exists but is NOT the first sheet
+    e("xl/workbook.xml",
+      """<workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Main" sheetId="3" r:id="rId3"/><sheet name="Old" sheetId="1" r:id="rId1"/></sheets>
+        |</workbook>""".stripMargin)
+    e("xl/_rels/workbook.xml.rels",
+      """<Relationships>
+        |<Relationship Id="rId1" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId3" Target="worksheets/sheet3.xml"/>
+        |</Relationships>""".stripMargin)
+    // shared string 0 carries a phonetic <rPh> run that must NOT leak
+    e("xl/sharedStrings.xml",
+      """<sst><si><r><t>kanji</t></r><rPh sb="0" eb="2"><t>FURIGANA</t></rPh></si></sst>""")
+    e("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>stale</t></is></c></row></sheetData></worksheet>""")
+    e("xl/worksheets/sheet3.xml",
+      """<worksheet><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>col</t></is></c></row>
+        |<row r="2"><c r="A2" t="s"><v>0</v></c></row></sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val back = graft.etl.Xlsx.read(spark, path)
+    assert(back.columns.toSeq == Seq("col"), s"wrong sheet read: ${back.columns.toSeq}")
+    assert(back.collect().map(_.getString(0)).toSeq == Seq("kanji"),
+      "phonetic run leaked into the shared string")
+  }
+
   test("metadata-only index prunes content and still lists files") {
     val root = tmp("fmeta")
     Files.writeString(Paths.get(root, "x.bin"), "abc")
@@ -294,6 +354,16 @@ class EtlIndexSpec extends SparkSpecBase {
     val e = intercept[IllegalArgumentException](Compact.compact(spark, partDir))
     assert(e.getMessage.contains("subdirectories"), e.getMessage)
     intercept[IllegalArgumentException](Compact.compact(spark, dir, targetBytes = 0))
+    // HIDDEN subdirs are crash residue/metadata, not partitions: a leaf
+    // carrying `_temporary` from a crashed append must still compact
+    // (the same isHiddenName rule compactPartitioned's leaves() applies
+    // — refusing here would wedge the leaf leaves() just classified)
+    val dir3 = tmp("fcompact3") + "/ds3"
+    src.repartition(4).write.parquet(dir3)
+    assert(new java.io.File(dir3, "_temporary/0").mkdirs())
+    val s3 = Compact.compact(spark, dir3, targetBytes = 1L << 30)
+    assert(s3.filesBefore == 4 && s3.filesAfter == 1)
+    assert(spark.read.parquet(dir3).count() == beforeRows)
   }
 
   test("compact: every crash window of the journaled swap converges on rerun") {
@@ -317,12 +387,31 @@ class EtlIndexSpec extends SparkSpecBase {
     assert(!oldF.exists() && !intentF.exists())
     // window: crash after the swap-in, before the park delete — root is
     // the gated rewrite, park still holds the old copy; the rerun drops
-    // the park (the intent is its license to)
+    // the park only because the intent's MANIFEST matches the standing
+    // target (the proof it IS the gated swap, not a recreation)
+    // the dataset dir is flat, so the manifest is just its sorted file
+    // names (matches Compact.relFileNames for a flat dir, _SUCCESS incl.)
+    // (drop the .crc sidecars: java.io sees them, the Hadoop checksum
+    // FS hides them from listFiles — relFileNames never records them)
+    def manifestOf(d: java.io.File): String =
+      d.listFiles().filter(f => f.isFile && !f.getName.startsWith("."))
+        .map(_.getName).sorted.mkString("\n")
     org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(dir), oldF)
-    assert(intentF.createNewFile())
+    java.nio.file.Files.writeString(intentF.toPath, manifestOf(new java.io.File(dir)))
     Compact.compact(spark, dir, targetBytes = 1L << 30)
     assert(spark.read.parquet(dir).count() == beforeRows)
     assert(!oldF.exists() && !intentF.exists())
+    // window: crash BETWEEN the renames, then an external writer
+    // recreated the target — the manifest does not match, so the rerun
+    // must REFUSE and keep the park (it holds the only pre-swap copy)
+    org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(dir), oldF)
+    java.nio.file.Files.writeString(intentF.toPath, "part-someone-elses-rewrite.parquet")
+    val eRecreate = intercept[IllegalArgumentException](
+      Compact.compact(spark, dir, targetBytes = 1L << 30))
+    assert(eRecreate.getMessage.contains("recorded rewrite"), eRecreate.getMessage)
+    assert(oldF.exists(), "park with the pre-swap copy must never be deleted on a manifest mismatch")
+    org.apache.commons.io.FileUtils.deleteDirectory(oldF)
+    assert(intentF.delete())
     // window: intent alone (crash before the first rename) — cleared
     assert(intentF.createNewFile())
     Compact.compact(spark, dir, targetBytes = 1L << 30)

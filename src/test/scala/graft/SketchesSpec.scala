@@ -561,9 +561,14 @@ class SketchesSpec extends SparkSpecBase {
     assert(Sketches.mgMergeSketches(spark.read.parquet(dir), k) === before)
     assert(!oldF.exists() && !intentF.exists())
     // crash after the swap-in, before the park delete: root is the
-    // gated rewrite — the rerun drops the park and answers unchanged
+    // gated rewrite — the rerun drops the park only because the
+    // intent's recorded manifest matches the standing root (round-12
+    // converge hardening: a recreated root must NOT license the drop)
     org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(dir), oldF)
-    assert(intentF.createNewFile())
+    val manifest = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(_.getName).sorted.mkString("\n")
+    java.nio.file.Files.writeString(intentF.toPath, manifest)
     Sketches.compactMgLake(spark, dir, k)
     assert(Sketches.mgMergeSketches(spark.read.parquet(dir), k) === before)
     assert(!oldF.exists() && !intentF.exists())

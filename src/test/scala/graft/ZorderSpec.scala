@@ -16,6 +16,24 @@ class ZorderSpec extends SparkSpecBase {
     spark.read.parquet(dir).filter(pred)
       .select(input_file_name()).distinct().count()
 
+  test("writeClustered re-clusters a lake IN PLACE (df reads from the target path)") {
+    // the primary production shape: a direct overwrite either trips
+    // Spark's self-overwrite check or deletes the source mid-plan; the
+    // tmp+swap write must make this just work, crash-safe
+    val orders = Tables.t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_inplace").toString + "/lake"
+    orders.write.parquet(dir)
+    val self = spark.read.parquet(dir)
+    Zorder.writeClustered(self, dir, Seq("o_custkey", "o_totalprice"), 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === orders.count())
+    assert(back.except(orders).isEmpty && orders.except(back).isEmpty)
+    // no swap residue
+    val parent = new java.io.File(dir).getParentFile.list().toSeq
+    assert(parent == Seq("lake"), s"swap residue: $parent")
+  }
+
   test("content identical; both z dimensions skip files where 1-D sort can't") {
     val orders = Tables.t(spark, sfDir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
