@@ -577,6 +577,108 @@ object Dedup {
       .distinct()
   }
 
+  /** Edit-distance threshold self-join — all pairs of keys within
+    * Levenshtein distance `maxDist` — via Pass-Join segment blocking
+    * (Li, Deng & Feng, "PassJoin", PVLDB 2011), the string twin of
+    * [[simhashPairs]]' pigeonhole: split each key into `maxDist+1`
+    * contiguous segments; if edit(A,B) ≤ k, some segment of A survives
+    * the optimal edit script untouched and appears verbatim in B,
+    * shifted by at most the net indels before it (≤ k). So candidates
+    * are an EQUI-join of (segment, segIdx, providerLen) against the
+    * probe side's windowed substrings — zero false negatives, no
+    * all-pairs cross join, and the verify step runs codegen'd
+    * `levenshtein` on candidates only.
+    *
+    * Scale shape: both sides are narrow per-row explodes — the
+    * provider emits k+1 segments, the probe O(k²) windowed substrings
+    * (bounded by `(2k+1)·(k+1)` per length band) — and the only wide
+    * ops are the candidate equi-join on the segment key and the
+    * pair-distinct, both at candidate (not corpus²) cardinality. Keys
+    * are expected SHORT (normalized title/prefix keys, ≤ ~64 chars);
+    * blocking selectivity — not cost — degrades as keys shrink toward
+    * k+1 chars, so callers floor the key length (the d13 query uses
+    * ≥ 8). Every string takes BOTH roles and pairs canonicalize
+    * (least, greatest) before the distinct, keeping the theorem
+    * direction-free.
+    *
+    * Input rows with null id/key or key length < k+1 (segments would
+    * be empty — blocking degenerates) are excluded. Output:
+    * (d1, d2, dist), d1 < d2, one row per qualifying pair.
+    */
+  def editDistancePairs(
+      df: DataFrame, id: Column, key: Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8,
+      s"maxDist must be in [1,8], got $maxDist (0 is exactGroups; " +
+        "large k degrades Pass-Join blocking to quadratic)")
+    val k = maxDist
+    val segs = lit(k + 1)
+    val keys = scopedCache(
+      df.select(id.as("doc_id"), key.as("key"))
+        .filter(col("doc_id").isNotNull && col("key").isNotNull)
+        .withColumn("len", length(col("key")).cast("int"))
+        .filter(col("len") >= k + 1))
+
+    // Deterministic even split shared by both roles: segment i of a
+    // length-L key has l_i = base+1 for i < rem else base, start
+    // p_i = i·base + min(i, rem) (0-based); base = L div (k+1).
+    def segLen(bigL: Column, i: Column): Column = {
+      val base = (bigL / segs).cast("int")
+      val rem = pmod(bigL, segs).cast("int")
+      base + when(i < rem, 1).otherwise(0)
+    }
+    def segStart(bigL: Column, i: Column): Column = {
+      val base = (bigL / segs).cast("int")
+      val rem = pmod(bigL, segs).cast("int")
+      i * base + least(i, rem)
+    }
+
+    val provider = keys
+      .select(col("doc_id"), col("key"), col("len"),
+        explode(sequence(lit(0), lit(k))).as("i"))
+      .select(
+        col("doc_id").as("p_id"),
+        col("i"), col("len").as("big_l"),
+        col("key").substr(segStart(col("len"), col("i")) + 1,
+          segLen(col("len"), col("i"))).as("seg"))
+
+    // Probe role: for every provider length within ±k of mine, every
+    // segment index, every start within the ±k indel window, emit the
+    // substring of the segment's exact length. A start range that
+    // falls outside my key contributes nothing (empty sequence).
+    val probe = keys
+      .select(col("doc_id"), col("key"), col("len"),
+        explode(sequence(col("len") - k, col("len") + k)).as("big_l"))
+      .filter(col("big_l") >= k + 1)
+      .select(col("doc_id"), col("key"), col("len"), col("big_l"),
+        explode(sequence(lit(0), lit(k))).as("i"))
+      .withColumn("sl", segLen(col("big_l"), col("i")))
+      .withColumn("sp", segStart(col("big_l"), col("i")))
+      .withColumn("lo", greatest(col("sp") - k, lit(0)))
+      .withColumn("hi", least(col("sp") + k, col("len") - col("sl")))
+      .filter(col("lo") <= col("hi"))
+      .select(col("doc_id"), col("key"), col("big_l"), col("i"), col("sl"),
+        explode(sequence(col("lo"), col("hi"))).as("q"))
+      .select(
+        col("doc_id").as("q_id"),
+        col("i"), col("big_l"),
+        col("key").substr(col("q") + 1, col("sl")).as("seg"))
+
+    val cand = provider
+      .join(probe, Seq("seg", "i", "big_l"))
+      .filter(col("p_id") =!= col("q_id"))
+      .select(
+        least(col("p_id"), col("q_id")).as("d1"),
+        greatest(col("p_id"), col("q_id")).as("d2"))
+      .distinct()
+
+    cand
+      .join(keys.select(col("doc_id").as("d1"), col("key").as("k1")), "d1")
+      .join(keys.select(col("doc_id").as("d2"), col("key").as("k2")), "d2")
+      .withColumn("dist", levenshtein(col("k1"), col("k2")))
+      .filter(col("dist") <= k)
+      .select("d1", "d2", "dist")
+  }
+
   /** Group similarity pairs into duplicate clusters: connected
     * components by iterative min-label propagation over the pair edges.
     *

@@ -283,4 +283,56 @@ object Temporal {
           points.columns.filterNot(on.contains)
             .map(c => col(s"__p_$c").as(s"$pointPrefix$c")): _*)
   }
+
+  /** Per-key exponentially weighted moving average — the classic
+    * recursive smoother `s₁ = x₁; sₙ = (1-α)·sₙ₋₁ + α·xₙ` folded over
+    * each key's events in (ts, tiebreak) order, returning one row per
+    * key: (key, n_events, last value, final EWMA).
+    *
+    * Scale shape: ONE shuffle (the groupBy on the key); each key's
+    * series collects into a sorted array and a single codegen'd
+    * `aggregate` HOF walks it — no window over the corpus, no
+    * quadratic self-join, and key groups are bounded by per-entity
+    * series length (the same contract as [[graft.operators.Funnel]]).
+    * Corpora whose single-key series outgrow an array should bucket
+    * the series by epoch and chain bucket-level EWMAs — the recursion
+    * telescopes: s over a concatenation is a (1-α)^m-weighted blend,
+    * so per-bucket partials compose associatively.
+    *
+    * Determinism: the fold is seeded with the FIRST element and
+    * strictly left-associative, the exact shape of DuckDB's
+    * `list_reduce` — identical IEEE-754 op order, so a SQL replay
+    * hash-matches bit-for-bit (same discipline as the v-query dot
+    * products). `alpha` must be exactly representable in binary
+    * (0.25, 0.5, …) only if callers ALSO replay it in decimal
+    * literals; the operator itself accepts any α ∈ (0, 1].
+    *
+    * Null key/ts/value rows are excluded (null value would poison the
+    * whole fold, not one step).
+    */
+  def ewma(
+      events: DataFrame, key: Column, ts: Column, tiebreak: Column,
+      value: Column, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val ev = events
+      .select(
+        key.as("key"), ts.cast("long").as("ts_us"),
+        tiebreak.cast("long").as("tie"), value.cast("double").as("x"))
+      .filter(
+        col("key").isNotNull && col("ts_us").isNotNull && col("x").isNotNull)
+    ev.groupBy("key")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("ts_us"), col("tie"), col("x"))))
+          .as("series"))
+      .select(
+        col("key"),
+        col("n_events"),
+        element_at(col("series"), -1).getField("x").as("last_value"),
+        aggregate(
+          slice(col("series"), lit(2), greatest(size(col("series")) - 1, lit(0))),
+          element_at(col("series"), 1).getField("x"),
+          (acc, e) => acc * lit(1.0 - alpha) + e.getField("x") * lit(alpha)
+        ).as("ewma"))
+  }
 }

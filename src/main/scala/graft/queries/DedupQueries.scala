@@ -442,7 +442,47 @@ object DedupQueries {
       |SELECT doc_id, fp FROM inc WHERE fp NOT IN (SELECT fp FROM ex)
       |ORDER BY doc_id""".stripMargin
 
+  /** Edit-distance near-dup pairs ([[Dedup.editDistancePairs]],
+    * Pass-Join blocking, k=2) over a normalized 24-char prefix key —
+    * the fuzzy-title dedup a curation pipeline runs where token-set
+    * similarity is too coarse (transposed words hash apart; one-char
+    * typos stay within Levenshtein 2). The blocking is pigeonhole-
+    * lossless, so the oracle is the brute-force all-pairs
+    * `levenshtein` join — a full differential test of the segment
+    * window algebra. Key normalization strips to ASCII FIRST and
+    * lowercases after (locale-proof), keeping Spark and DuckDB
+    * `lower`/`levenshtein` on the same pure-ASCII footing.
+    */
+  def d13EditDistPairs(s: SparkSession, dir: String): DataFrame = {
+    val key = substring(
+      trim(regexp_replace(
+        lower(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")),
+        " +", " ")),
+      1, 24)
+    Dedup.editDistancePairs(
+      docs(s, dir).filter(length(key) >= 8), col("doc_id"), key, maxDist = 2)
+      .orderBy("d1", "d2")
+  }
+
+  val d13Oracle: String =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    substr(trim(regexp_replace(
+      |      lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')),
+      |      ' +', ' ', 'g')), 1, 24) AS key
+      |  FROM documents
+      |), kk AS (
+      |  SELECT doc_id, key FROM k WHERE length(key) >= 8
+      |)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |  CAST(levenshtein(a.key, b.key) AS INT) AS dist
+      |FROM kk a JOIN kk b
+      |  ON a.doc_id < b.doc_id AND abs(length(a.key) - length(b.key)) <= 2
+      |WHERE levenshtein(a.key, b.key) <= 2
+      |ORDER BY d1, d2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_editdist_pairs" -> (d13EditDistPairs _),
     "d12_incremental_dedup" -> (d12IncrementalDedup _),
     "d11_dedup_apply" -> (d11DedupApply _),
     "d10_cc_groups" -> (d10CcGroups _),
@@ -457,6 +497,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "d13_editdist_pairs" -> d13Oracle,
     "d12_incremental_dedup" -> d12Oracle,
     "d11_dedup_apply" -> d11Oracle,
     "d10_cc_groups" -> d10Oracle,

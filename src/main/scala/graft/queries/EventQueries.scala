@@ -466,7 +466,37 @@ object EventQueries {
       |FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
       |GROUP BY 1, 2 ORDER BY t1, t2""".stripMargin
 
+  /** Per-user EWMA of `value` ([[graft.operators.Temporal.ewma]],
+    * α = 0.25): the standard smoothed-metric signal (load averages,
+    * engagement scores) as ONE user-keyed shuffle + an array fold.
+    * α and 1-α are exactly binary-representable and the fold is
+    * first-element-seeded strictly-left — the oracle's `list_reduce`
+    * is the identical IEEE-754 op sequence, so the doubles hash-match
+    * without any rounding.
+    */
+  def e13Ewma(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    graft.operators.Temporal
+      .ewma(ev, col("user_id"), Tables.tsUs(ev), col("event_id"),
+        col("value"), 0.25)
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id")
+  }
+
+  val e13Oracle: String =
+    """WITH s AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    list(value ORDER BY epoch_us(ts), event_id) AS xs
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY user_id
+      |)
+      |SELECT user_id, n_events, xs[len(xs)] AS last_value,
+      |  list_reduce(xs, (a, b) -> a * 0.75 + b * 0.25) AS ewma
+      |FROM s ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e13_ewma" -> (e13Ewma _),
     "e11_gap_histogram" -> (e11GapHistogram _),
     "e12_cooccurrence" -> (e12Cooccurrence _),
     "e08_funnel" -> (e08Funnel _),
@@ -484,6 +514,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e13_ewma" -> e13Oracle,
     "e11_gap_histogram" -> e11Oracle,
     "e12_cooccurrence" -> e12Oracle,
     "e08_funnel" -> e08Oracle,

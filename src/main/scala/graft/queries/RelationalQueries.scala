@@ -720,6 +720,38 @@ object RelationalQueries {
       |  CAST(rev_c AS DOUBLE) / CAST(SUM(rev_c) OVER (PARTITION BY r_name) AS DOUBLE) AS share
       |FROM bn ORDER BY r_name, n_name""".stripMargin
 
+  /** Skyline / Pareto frontier ([[graft.operators.Skyline.skyline2d]]):
+    * parts no other part beats on BOTH price (minimize, exact cents)
+    * and size (maximize) — the shortlist query behind "best tradeoff"
+    * reports. The operator is the distributed sweep (group-max →
+    * distributed prefix-max scan → threshold join; no global
+    * single-task window, no quadratic self-join); the oracle is the
+    * quadratic NOT-EXISTS dominance spelling — a full differential
+    * test of the scan's carry algebra across partition cuts.
+    */
+  def q41Skyline(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(
+      col("p_partkey"), col("p_size"),
+      Money.cents(col("p_retailprice")).as("price_c"))
+    graft.operators.Skyline.skyline2d(p, col("price_c"), col("p_size"))
+      .select("p_partkey", "p_size", "price_c")
+      .orderBy("p_partkey")
+  }
+
+  val q41Oracle: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_size,
+      |    CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_c
+      |  FROM part
+      |)
+      |SELECT p_partkey, p_size, price_c FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE (b.price_c < a.price_c AND b.p_size >= a.p_size)
+      |     OR (b.price_c <= a.price_c AND b.p_size > a.p_size)
+      |)
+      |ORDER BY p_partkey""".stripMargin
+
   /** Winsorization — clamp a measure to its per-group [p10, p90] band
     * (exact `percentile_disc` values, c07's ordered-set aggregate) and
     * report raw vs winsorized sums and clamp counts. The robust-stats
@@ -1069,6 +1101,7 @@ object RelationalQueries {
     "q38_outlier_zscore" -> (q38OutlierZscore _),
     "q39_winsorize" -> (q39Winsorize _),
     "q40_revenue_share" -> (q40RevenueShare _),
+    "q41_skyline" -> (q41Skyline _),
     "q34_cube" -> (q34Cube _),
     "q22_kmv_distinct" -> (q22KmvDistinct _),
     "q21_salted_flag_join" -> (q21SaltedFlagJoin _),
@@ -1109,6 +1142,7 @@ object RelationalQueries {
     "q38_outlier_zscore" -> q38Oracle,
     "q39_winsorize" -> q39Oracle,
     "q40_revenue_share" -> q40Oracle,
+    "q41_skyline" -> q41Oracle,
     "q34_cube" -> q34Oracle,
     "q22_kmv_distinct" -> q22Oracle,
     "q21_salted_flag_join" -> q21Oracle,

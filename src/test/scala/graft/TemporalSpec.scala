@@ -293,4 +293,37 @@ class TemporalSpec extends SparkSpecBase {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
       s"expected an equi-join:\n$p")
   }
+
+  test("ewma: first-element seed, (ts, tiebreak) order, recursion exact") {
+    val ev = Seq(
+      (1L, 10L, 1L, 2.0), (1L, 20L, 3L, 8.0), (1L, 20L, 2L, 4.0),
+      (2L, 5L, 1L, 7.0)).toDF("k", "ts", "id", "v")
+    val out = Temporal.ewma(ev, col("k"), col("ts"), col("id"), col("v"), 0.25)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // key 1 sorts (10,1)→(20,2)→(20,3): 2.0 → 2.0·.75+4·.25 = 2.5 →
+    // 2.5·.75+8·.25 = 3.875; exact in binary
+    assert(out(1L) === ((3L, 8.0, 3.875)))
+    // single event: EWMA is the event itself (seed, no fold steps)
+    assert(out(2L) === ((1L, 7.0, 7.0)))
+  }
+
+  test("ewma: null key/ts/value rows excluded; alpha validated") {
+    val ev = Seq(
+      (Some(1L), Some(10L), 1L, Some(2.0)),
+      (Some(1L), Some(20L), 2L, None), // null value: dropped, not poisoning
+      (None, Some(30L), 3L, Some(9.0)),
+      (Some(1L), None, 4L, Some(9.0)))
+      .toDF("k", "ts", "id", "v")
+    val out = Temporal.ewma(ev, col("k"), col("ts"), col("id"), col("v"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq === Seq((1L, 1L, 2.0)))
+    intercept[IllegalArgumentException] {
+      Temporal.ewma(ev, col("k"), col("ts"), col("id"), col("v"), 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.ewma(ev, col("k"), col("ts"), col("id"), col("v"), 1.5)
+    }
+  }
 }
