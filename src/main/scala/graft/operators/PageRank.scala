@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over a weighted directed edge list — the
+  * link-graph authority score behind web-corpus quality weighting
+  * (Page et al., "The PageRank Citation Ranking", 1999; Common-Crawl
+  * curation pipelines rank hosts exactly this way before sampling).
+  *
+  * ENTIRELY INTEGER ARITHMETIC, deliberately: ranks live in fixed-point
+  * `scale` units and every per-edge contribution is `(rank·w) div
+  * out_w` — floor division — so sums are associative and the result is
+  * bit-identical regardless of partitioning, task order, or engine.
+  * Float PageRank at cluster scale is nondeterministic across runs
+  * (summation order); this one is replayable in SQL to the last unit.
+  * The floor losses (< 1 unit per edge per iteration) leak mass, which
+  * standard PageRank redistributes anyway via damping; scores are for
+  * RANKING, and the discretization error is bounded by
+  * edges/scale ≪ any rank gap that matters at scale = 1e12.
+  *
+  * Scale shape per iteration: one src-keyed equi-join of the rank
+  * frame against the (cached) out-weighted edges, one dst-keyed
+  * rollup, one anti-join rollup for dangling mass folded back through
+  * a broadcast scalar — all shuffles on graph keys, nothing driver-
+  * side but the plan. Each iteration's rank frame is cached and the
+  * previous one released: the plan stays ITERS-deep joins over a
+  * node-sized frame (linear growth — not the exponential self-join
+  * trap [[Dedup.groupPairs]] documents; a 50-iteration run should
+  * still localCheckpoint every ~10).
+  *
+  * Dangling nodes (no out-edges) donate their full rank uniformly,
+  * the standard stochastic-matrix completion. Damping is the rational
+  * `dampNum/dampDen` (default 85/100) applied in integer form:
+  * `new = ((dampDen−dampNum)·base) div dampDen + (dampNum·(in +
+  * dangShare)) div dampDen` where `base = scale div N`.
+  *
+  * Input edges: (src, dst, w) with w ≥ 1; null endpoints and
+  * non-positive weights are rejected loudly (a silent drop would
+  * change every score downstream). Output: (node, rank) in scale
+  * units, one row per distinct endpoint.
+  */
+object PageRank {
+
+  def pageRank(
+      edges: DataFrame, src: Column, dst: Column, w: Column,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    require(scale >= 1000000L, s"scale must be >= 1e6, got $scale")
+    require(dampDen > 0 && dampNum > 0 && dampNum < dampDen,
+      s"damping must satisfy 0 < num < den, got $dampNum/$dampDen")
+
+    val e = Dedup.scopedCache(
+      edges.select(src.as("src"), dst.as("dst"), w.cast("long").as("w")))
+    val badEdges = e.filter(
+      col("src").isNull || col("dst").isNull ||
+        col("w").isNull || col("w") <= 0).limit(1).count()
+    require(badEdges == 0,
+      "pageRank: edges contain null endpoints or non-positive weights")
+
+    val nodes = Dedup.scopedCache(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct())
+    val n = nodes.count()
+    val base = scale / n
+
+    // Per-src total out-weight, attached to the edges ONCE (reused by
+    // every iteration's contribution join).
+    val outW = e.groupBy("src").agg(sum("w").as("out_w"))
+    val eW = Dedup.scopedCache(e.join(outW, "src"))
+
+    // All divisions below are integer `div` (SQL long division): `/`
+    // on longs is DOUBLE division in Spark, and rank·w reaches 1e18 —
+    // past 2^53, where doubles silently lose units and the replay
+    // guarantee with it.
+    val baseTerm = ((dampDen - dampNum) * base) / dampDen
+    var ranks = Dedup.scopedCache(nodes.withColumn("rank", lit(base)))
+    for (_ <- 1 to iters) {
+      val contrib = eW
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("(rank * w) div out_w").as("c"))
+      val inc = contrib.groupBy("dst").agg(sum("c").as("in_r"))
+      // dangling mass: ranks of nodes with no out-edges, folded back
+      // as a broadcast 1-row scalar (stays one lazy plan; no driver
+      // round-trip per iteration)
+      val dang = ranks
+        .join(outW, col("node") === outW("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
+      val next = Dedup.scopedCache(
+        nodes
+          .join(inc, col("node") === col("dst"), "left")
+          .crossJoin(broadcast(dang))
+          .select(
+            col("node"),
+            (lit(baseTerm) + expr(
+              s"($dampNum * (coalesce(in_r, CAST(0 AS BIGINT)) + dang div $n)) div $dampDen"))
+              .as("rank")))
+      ranks = next
+    }
+    ranks
+  }
+
+  /** The SQL replay of [[pageRank]] as chained CTEs — one CTE per
+    * iteration, identical integer arithmetic (`//` floor division —
+    * all quantities non-negative, so floor ≡ the engine's long
+    * division). `edgesCte` must define `edges(src, dst, w)`; the
+    * caller appends a final SELECT over `r{iters}(node, rank)`.
+    */
+  def oracleCtes(
+      edgesCte: String, iters: Int,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): String = {
+    val head =
+      s"""$edgesCte,
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |consts AS (SELECT COUNT(*) AS n, CAST($scale AS BIGINT) // COUNT(*) AS base FROM nodes),
+         |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+         |r0 AS (SELECT node, (SELECT base FROM consts) AS rank FROM nodes)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""inc$i AS (
+         |  SELECT e.dst, CAST(SUM((r.rank * e.w) // o.out_w) AS BIGINT) AS in_r
+         |  FROM edges e JOIN $p r ON e.src = r.node JOIN outw o ON o.src = e.src
+         |  GROUP BY e.dst
+         |),
+         |dang$i AS (
+         |  SELECT COALESCE(CAST(SUM(rank) AS BIGINT), 0) AS dang FROM $p
+         |  WHERE node NOT IN (SELECT src FROM outw)
+         |),
+         |r$i AS (
+         |  SELECT n.node,
+         |    ((${dampDen - dampNum} * (SELECT base FROM consts)) // $dampDen)
+         |    + ($dampNum * (COALESCE(i.in_r, 0)
+         |        + (SELECT dang FROM dang$i) // (SELECT n FROM consts))) // $dampDen
+         |    AS rank
+         |  FROM nodes n LEFT JOIN inc$i i ON i.dst = n.node
+         |)""".stripMargin
+    }
+    (head +: iterCtes).mkString(",\n")
+  }
+}

@@ -752,6 +752,47 @@ object RelationalQueries {
       |)
       |ORDER BY p_partkey""".stripMargin
 
+  /** Trade-graph PageRank ([[graft.operators.PageRank.pageRank]],
+    * 3 iterations, d=0.85): customers and suppliers as nodes, order
+    * volume as edge weight (both directions — the bipartite trade
+    * relation made ergodic), integer fixed-point ranks so every unit
+    * is engine-replayable. The heavy distributed work is the edge
+    * aggregation over the fact join; iterations then run on the
+    * graph-sized frames. The oracle replays all three iterations as
+    * chained CTEs with identical floor-division arithmetic.
+    */
+  def g01Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(
+        concat(lit("c:"), col("o_custkey")).as("cn"),
+        concat(lit("s:"), col("l_suppkey")).as("sn"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"), col("w"))
+      .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst"), col("w")))
+    graft.operators.PageRank
+      .pageRank(edges, col("src"), col("dst"), col("w"), iters = 3)
+      .orderBy("node")
+  }
+
+  val g01Oracle: String = {
+    val edgesCte =
+      """WITH pairs AS (
+        |  SELECT 'c:' || o_custkey AS cn, 's:' || l_suppkey AS sn,
+        |    CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |),
+        |edges AS (
+        |  SELECT cn AS src, sn AS dst, w FROM pairs
+        |  UNION ALL
+        |  SELECT sn, cn, w FROM pairs
+        |)""".stripMargin
+    graft.operators.PageRank.oracleCtes(edgesCte, iters = 3) +
+      "\nSELECT node, rank FROM r3 ORDER BY node"
+  }
+
   /** Winsorization — clamp a measure to its per-group [p10, p90] band
     * (exact `percentile_disc` values, c07's ordered-set aggregate) and
     * report raw vs winsorized sums and clamp counts. The robust-stats
@@ -1102,6 +1143,7 @@ object RelationalQueries {
     "q39_winsorize" -> (q39Winsorize _),
     "q40_revenue_share" -> (q40RevenueShare _),
     "q41_skyline" -> (q41Skyline _),
+    "g01_pagerank" -> (g01Pagerank _),
     "q34_cube" -> (q34Cube _),
     "q22_kmv_distinct" -> (q22KmvDistinct _),
     "q21_salted_flag_join" -> (q21SaltedFlagJoin _),
@@ -1143,6 +1185,7 @@ object RelationalQueries {
     "q39_winsorize" -> q39Oracle,
     "q40_revenue_share" -> q40Oracle,
     "q41_skyline" -> q41Oracle,
+    "g01_pagerank" -> g01Oracle,
     "q34_cube" -> q34Oracle,
     "q22_kmv_distinct" -> q22Oracle,
     "q21_salted_flag_join" -> q21Oracle,

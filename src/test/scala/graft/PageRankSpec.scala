@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, PageRank}
+
+/** [[graft.operators.PageRank]] — integer fixed-point semantics pinned
+  * against a hand-walked reference fold (same floor-division
+  * arithmetic in plain Scala), dangling-mass redistribution, weighted
+  * edges, input validation, and cross-partitioning determinism (the
+  * property the integer design exists to buy; the g01 oracle repeats
+  * the replay cross-engine at sf0.01).
+  */
+class PageRankSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  /** Plain-Scala replay of the operator's exact arithmetic. */
+  private def reference(
+      edges: Seq[(String, String, Long)], iters: Int): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val base = Scale / n
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var rank = nodes.map(_ -> base).toMap
+    for (_ <- 1 to iters) {
+      val in = edges
+        .groupBy(_._2)
+        .map { case (d, es) =>
+          d -> es.map { case (s, _, w) => rank(s) * w / outW(s) }.sum
+        }
+      val dang = nodes.filterNot(outW.contains).map(rank).sum
+      rank = nodes.map { v =>
+        v -> ((100 - 85) * base / 100 +
+          85 * (in.getOrElse(v, 0L) + dang / n) / 100)
+      }.toMap
+    }
+    rank
+  }
+
+  private def run(
+      edges: Seq[(String, String, Long)], iters: Int,
+      nPart: Int = 4): Map[String, Long] = Dedup.scoped {
+    val df = edges.toDF("src", "dst", "w").repartition(nPart)
+    PageRank.pageRank(df, col("src"), col("dst"), col("w"), iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("matches the hand-walked integer fold on a weighted digraph") {
+    val edges = Seq(
+      ("a", "b", 1L), ("a", "c", 3L), ("b", "c", 1L), ("c", "a", 1L))
+    for (iters <- Seq(1, 3, 5)) {
+      assert(run(edges, iters) === reference(edges, iters), s"iters=$iters")
+    }
+  }
+
+  test("dangling node donates its mass uniformly (still sums near scale)") {
+    // d has no out-edges: its rank must flow back via the dangling term
+    val edges = Seq(("a", "b", 1L), ("b", "d", 1L), ("d2", "a", 1L),
+      ("a", "d", 1L), ("b", "a", 1L))
+    val got = run(edges, 3)
+    assert(got === reference(edges, 3))
+    // mass conservation up to floor losses: within edges+nodes units/iter
+    val total = got.values.sum
+    assert(total <= Scale && total >= Scale - 500L,
+      s"mass leaked beyond floor losses: $total")
+  }
+
+  test("deterministic across partitionings (the integer-arithmetic contract)") {
+    val rnd = new scala.util.Random(5)
+    val edges = (1 to 120).map { _ =>
+      (s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}", 1L + rnd.nextInt(9))
+    }.distinct.map(e => (e._1, e._2, e._3.toLong))
+    val a = run(edges, 3, nPart = 1)
+    val b = run(edges, 3, nPart = 13)
+    assert(a === b)
+    assert(a === reference(edges, 3))
+  }
+
+  test("null endpoints and non-positive weights are rejected loudly") {
+    val bad = Seq((Some("a"), Some("b"), 0L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      PageRank.pageRank(bad, col("src"), col("dst"), col("w"), 2)
+    }
+    val nullEnd = Seq((Option.empty[String], Some("b"), 1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      PageRank.pageRank(nullEnd, col("src"), col("dst"), col("w"), 2)
+    }
+    intercept[IllegalArgumentException] {
+      PageRank.pageRank(bad, col("src"), col("dst"), col("w"), 0)
+    }
+  }
+}
