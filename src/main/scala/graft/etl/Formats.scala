@@ -18,6 +18,7 @@ object Formats {
   case object Parquet extends Fmt { val name = "parquet" }
   case object Text extends Fmt { val name = "text" }
   case object Excel extends Fmt { val name = "xlsx" }
+  case object Orc extends Fmt { val name = "orc" }
 
   /** Extension → format, mirroring the reference's suffix dispatch. */
   def ofPath(path: String): Fmt =
@@ -28,6 +29,10 @@ object Formats {
       case "parquet" | "pq" => Parquet
       case "txt" | "log" => Text
       case "xlsx" => Excel
+      case "orc" => Orc
+      case "avro" => throw new UnsupportedOperationException(
+        "avro needs the spark-avro datasource jar, which this build " +
+          "does not ship; use parquet or orc")
       case "xls" => throw new UnsupportedOperationException(
         "legacy .xls (OLE2 binary) is not supported; convert to .xlsx or CSV")
       case other => throw new IllegalArgumentException(s"Unsupported format: .$other")
@@ -77,6 +82,7 @@ object Formats {
         r.option("multiLine", options.getOrElse("multiLine", defaultMulti)).json(path)
       case Xml => r.format("xml").option("rowTag", options.getOrElse("rowTag", "row")).load(path)
       case Parquet => r.parquet(path)
+      case Orc => r.orc(path)
       case Text => r.text(path)
       case Excel =>
         // dependency-free StAX-based reader (see graft.etl.Xlsx) —
@@ -100,6 +106,7 @@ object Formats {
       case Xml => w.format("xml").option("rootTag", options.getOrElse("rootTag", "rows"))
         .option("rowTag", options.getOrElse("rowTag", "row")).save(path)
       case Parquet => w.parquet(path)
+      case Orc => w.orc(path)
       case Text => w.text(path)
       case Excel =>
         // honor SaveMode like the Spark sinks do

@@ -21,7 +21,7 @@ class EtlIndexSpec extends SparkSpecBase {
     // over a JSON-lines sink) passed this test when every row had its
     // own part
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v").coalesce(1)
-    for (ext <- Seq("csv", "json", "parquet")) {
+    for (ext <- Seq("csv", "json", "parquet", "orc")) {
       val dir = tmp(s"fmt-$ext") + s"/out.$ext"
       Formats.write(df, dir)
       val back = Formats.read(spark, dir)
@@ -29,6 +29,10 @@ class EtlIndexSpec extends SparkSpecBase {
       assert(back.columns.sorted.toSeq == Seq("id", "name", "v"), ext)
       assert(back.agg(sum("id")).as[Long].head() == 3L, ext)
     }
+    // formats we can NAME but not serve must refuse loudly, not at
+    // some later Spark lookup with an inscrutable provider error
+    intercept[UnsupportedOperationException] { Formats.ofPath("x.avro") }
+    intercept[UnsupportedOperationException] { Formats.ofPath("x.xls") }
   }
 
   test("xml round-trip via Spark 4 native source") {
