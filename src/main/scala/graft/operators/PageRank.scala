@@ -69,8 +69,14 @@ object PageRank {
 
     // Per-src total out-weight, attached to the edges ONCE (reused by
     // every iteration's contribution join).
-    val outW = e.groupBy("src").agg(sum("w").as("out_w"))
+    val outW = Dedup.scopedCache(e.groupBy("src").agg(sum("w").as("out_w")))
     val eW = Dedup.scopedCache(e.join(outW, "src"))
+    // Dangling nodes exist iff some node never appears as src. When
+    // none do (e.g. symmetrized graphs), the dangling term is
+    // identically 0 and its per-iteration anti-join + broadcast-scalar
+    // fold (≈6 stages/iteration) is pure overhead — skip it. Result-
+    // identical: `0 div n` contributes nothing to the update.
+    val hasDangling = outW.count() < n
 
     // All divisions below are integer `div` (SQL long division): `/`
     // on longs is DOUBLE division in Spark, and rank·w reaches 1e18 —
@@ -86,18 +92,26 @@ object PageRank {
       // dangling mass: ranks of nodes with no out-edges, folded back
       // as a broadcast 1-row scalar (stays one lazy plan; no driver
       // round-trip per iteration)
-      val dang = ranks
-        .join(outW, col("node") === outW("src"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
+      val joined = nodes.join(inc, col("node") === col("dst"), "left")
       val next = Dedup.scopedCache(
-        nodes
-          .join(inc, col("node") === col("dst"), "left")
-          .crossJoin(broadcast(dang))
-          .select(
+        if (hasDangling) {
+          val dang = ranks
+            .join(outW, col("node") === outW("src"), "left_anti")
+            .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
+          joined
+            .crossJoin(broadcast(dang))
+            .select(
+              col("node"),
+              (lit(baseTerm) + expr(
+                s"($dampNum * (coalesce(in_r, CAST(0 AS BIGINT)) + dang div $n)) div $dampDen"))
+                .as("rank"))
+        } else {
+          joined.select(
             col("node"),
             (lit(baseTerm) + expr(
-              s"($dampNum * (coalesce(in_r, CAST(0 AS BIGINT)) + dang div $n)) div $dampDen"))
-              .as("rank")))
+              s"($dampNum * coalesce(in_r, CAST(0 AS BIGINT))) div $dampDen"))
+              .as("rank"))
+        })
       ranks = next
     }
     ranks
