@@ -1017,4 +1017,62 @@ class StreamingSpec extends SparkSpecBase {
     // the lake stayed sketch-sized: <= (k+1) rows per micro-batch
     assert(spark.read.parquet(lake).count() <= 3L * (k + 1))
   }
+
+  test("ewmaExact: batch parity on out-of-order input; idle drain evicts") {
+    import graft.streaming.EwmaStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EwmaStream.Ev]
+    val out = EwmaStream.ewmaExact(
+      in.toDS(), alpha = 0.25, idleMs = 60000L, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("ewmaexact")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1 delivers u1's SECOND event first; batch 2 brings the
+      // first and third out of order — the cross-batch disorder that
+      // breaks any fold-on-arrival EWMA (the recursion is
+      // order-sensitive by construction)
+      in.addData(
+        EwmaStream.Ev(1L, ts("2024-01-01 00:00:10"), 2L, 4.0),
+        EwmaStream.Ev(2L, ts("2024-01-01 00:00:10"), 1L, 7.0))
+      out.processAllAvailable()
+      in.addData(
+        EwmaStream.Ev(1L, ts("2024-01-01 00:00:05"), 1L, 2.0),
+        EwmaStream.Ev(1L, ts("2024-01-01 00:00:20"), 3L, 8.0))
+      out.processAllAvailable()
+      // exactness trades latency: everything is inside the horizon
+      assert(spark.table("ewmaexact").count() == 0,
+        "exact mode emitted before the watermark finalized the events")
+      // two far-future ticks: advance the watermark, then fire timeouts
+      in.addData(EwmaStream.Ev(9L, ts("2024-01-01 05:00:00"), 1L, 0.0))
+      out.processAllAvailable()
+      in.addData(EwmaStream.Ev(9L, ts("2024-01-01 12:00:00"), 2L, 0.0))
+      out.processAllAvailable()
+
+      val fin = spark.table("ewmaexact")
+        .filter($"finalRow" && $"userId".isin(1L, 2L))
+        .as[EwmaStream.EwmaOut]
+        .collect().map(r => r.userId -> r).toMap
+      assert(fin.size == 2, s"expected one final row per user, got $fin")
+
+      // the batch operator over the SAME events (ts in epoch millis)
+      val evDf = Seq(
+        (1L, ts("2024-01-01 00:00:05").getTime, 1L, 2.0),
+        (1L, ts("2024-01-01 00:00:10").getTime, 2L, 4.0),
+        (1L, ts("2024-01-01 00:00:20").getTime, 3L, 8.0),
+        (2L, ts("2024-01-01 00:00:10").getTime, 1L, 7.0))
+        .toDF("user_id", "ts_ms", "tie", "v")
+      val batch = graft.operators.Temporal.ewma(
+        evDf, col("user_id"), col("ts_ms"), col("tie"), col("v"), 0.25)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      for ((u, (n, last, e)) <- batch) {
+        val g = fin(u)
+        assert(g.nEvents == n, s"u$u nEvents")
+        assert(g.lastValue == last, s"u$u lastValue")
+        assert(g.ewma == e, s"u$u ewma: got ${g.ewma}, batch $e")
+      }
+      // the healed ordering: 2.0 -> 2.5 -> 3.875, despite 4.0 arriving first
+      assert(fin(1L).ewma == 3.875)
+    } finally out.stop()
+  }
 }
