@@ -1199,4 +1199,55 @@ object Ann {
     val scored = if (tables == 1) scored0 else scored0.dropDuplicates("q_id", "b_id")
     topkPerQuery(scored, k)
   }
+
+  /** Discount weights 1/log₂(i+1) for ranks 1..k. Computed ONCE here
+    * and embedded as shortest-round-trip double LITERALS on both
+    * engines ([[ndcgAtK]] via `lit`, the v24 oracle via `toString` —
+    * Scala's Double formatting round-trips, and DuckDB parses a
+    * decimal literal to the nearest double, i.e. the same bits), so
+    * no engine ever CALLS log2 — libm and the JVM disagree in the
+    * last ulp on non-power-of-two arguments.
+    */
+  def ndcgDiscounts(k: Int): Seq[Double] =
+    (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** NDCG@k of an approximate ranking against an exact one — the
+    * ranking-quality eval run after every ANN index build (recall says
+    * WHETHER the true neighbors surfaced, NDCG says WHERE). Both
+    * inputs are (q_id, b_id, rank) frames (any extra columns ignored);
+    * relevance is binary membership in the exact top-k, so
+    * IDCG = Σ 1/log₂(i+1), a constant.
+    *
+    * Output: one row per query in `exact` — (q_id, hits, ndcg); a
+    * query the approximate ranking missed entirely scores (0, 0.0).
+    *
+    * Determinism: DCG is a FOLD over the ascending hit ranks against
+    * the literal discount table ([[ndcgDiscounts]]) — never a float
+    * group-sum, whose order the shuffle would own. One equi-join on
+    * (q_id, b_id) + one query-keyed rollup; at 10⁹ queries everything
+    * shuffles on the query key.
+    */
+  def ndcgAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1,1000], got $k")
+    val ws = ndcgDiscounts(k)
+    val idcg = ws.sum
+    val wArr = array(ws.map(lit): _*)
+    val ex = exact.filter(col("rank") <= k).select(col("q_id"), col("b_id"))
+    val ap = approx.filter(col("rank") <= k)
+      .select(col("q_id"), col("b_id"), col("rank"))
+    val perQ = ap.join(ex, Seq("q_id", "b_id"))
+      .groupBy("q_id")
+      .agg(
+        count(lit(1)).as("hits"),
+        sort_array(collect_list(col("rank"))).as("rs"))
+    ex.select("q_id").distinct()
+      .join(perQ, Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(
+          aggregate(col("rs"), lit(0.0),
+            (acc, r) => acc + element_at(wArr, r.cast("int"))),
+          lit(0.0)) / lit(idcg)).as("ndcg"))
+  }
 }

@@ -102,10 +102,12 @@ object VectorQueries {
       s"(CASE WHEN ${duckLshProj(arr, t, j0)} > 0 THEN CAST(${1L << j0} AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")
 
-  val v03Oracle: String = {
-    val bits = 4
-    val tables = 6
-    val k = 5
+  /** The shared CTE chain of the v03 replay: `b`/`q` (valid-norm base
+    * and query sides), LSH buckets with Hamming-2 multiprobe, and
+    * `scored` (strict-fold cosine per candidate). Single owner — v24's
+    * NDCG oracle replays the SAME ranking before judging it.
+    */
+  private def lshScoredCtes(bits: Int, tables: Int): String = {
     def bucketed(arr: String) = (0 until tables).map(t =>
       s"STRUCT_PACK(t := $t, bucket := ${duckLshBucket(arr, t, bits)})").mkString(", ")
     // Hamming-2 multiprobe replay: each query bucket expands to itself
@@ -116,7 +118,7 @@ object VectorQueries {
         (for { i <- 0 until bits; j <- (i + 1) until bits }
           yield (1L << i) | (1L << j)))).mkString(", ")
     val sim = s"${duckDot("b_emb", "q_emb")} / (${duckNorm("b_emb")} * ${duckNorm("q_emb")})"
-    s"""WITH b AS (
+    s"""b AS (
        |  SELECT vec_id AS b_id, embedding AS b_emb FROM embeddings
        |  WHERE vec_id >= 10 AND ${duckNorm("embedding")} > 0
        |), q AS (
@@ -137,7 +139,12 @@ object VectorQueries {
        |  FROM cand c
        |  JOIN b ON b.b_id = c.b_id
        |  JOIN q ON q.q_id = c.q_id
-       |)
+       |)""".stripMargin
+  }
+
+  val v03Oracle: String = {
+    val k = 5
+    s"""WITH ${lshScoredCtes(bits = 4, tables = 6)}
        |SELECT q_id, b_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, b_id) AS INT) AS rank, sim
        |FROM scored
        |WHERE NOT isnan(sim)
@@ -1050,7 +1057,63 @@ object VectorQueries {
        |ORDER BY kind, cell""".stripMargin
   }
 
+  /** NDCG@5 of the v03 LSH ranking against brute-force ground truth
+    * ([[Ann.ndcgAtK]]) — the ranking-quality eval of the ANN family
+    * (recall says whether the true neighbors surfaced; NDCG says
+    * WHERE). Fully replayable: the LSH ranking, the exact ranking, the
+    * binary relevance join, and the discount FOLD (literal weight
+    * table — neither engine calls log2, whose last ulp differs across
+    * libm/JVM) all recompute in SQL.
+    */
+  def v24Ndcg(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val base = e.filter(col("vec_id") >= 10)
+    val qs = e.filter(col("vec_id") < 10)
+    val approx = Ann.knnLsh(
+      base, col("vec_id"), col("embedding"),
+      qs, col("vec_id"), col("embedding"),
+      k = 5, bits = 4, tables = 6, multiprobe = true, probeRadius = 2)
+    val exact = Ann.knnBruteForce(
+      base, col("vec_id"), col("embedding"),
+      qs, col("vec_id"), col("embedding"), k = 5)
+    Ann.ndcgAtK(approx, exact, k = 5).orderBy("q_id")
+  }
+
+  val v24Oracle: String = {
+    val k = 5
+    val ws = Ann.ndcgDiscounts(k)
+    val wsSql = ws.map(_.toString).mkString("[", ", ", "]")
+    val idcg = ws.sum.toString
+    val sim = s"${duckDot("q_emb", "b_emb")} / (${duckNorm("b_emb")} * ${duckNorm("q_emb")})"
+    s"""WITH ${lshScoredCtes(bits = 4, tables = 6)},
+       |approx AS (
+       |  SELECT q_id, b_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, b_id) AS INT) AS rank
+       |  FROM scored WHERE NOT isnan(sim)
+       |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, b_id) <= $k
+       |),
+       |bscored AS (SELECT q_id, b_id, $sim AS sim FROM b, q),
+       |exact AS (
+       |  SELECT q_id, b_id FROM bscored WHERE NOT isnan(sim)
+       |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, b_id) <= $k
+       |),
+       |hitranks AS (
+       |  SELECT a.q_id, a.rank
+       |  FROM approx a JOIN exact e ON a.q_id = e.q_id AND a.b_id = e.b_id
+       |),
+       |agg AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS hits,
+       |    list(rank ORDER BY rank) AS rs
+       |  FROM hitranks GROUP BY q_id
+       |)
+       |SELECT eq.q_id, CAST(COALESCE(agg.hits, 0) AS BIGINT) AS hits,
+       |  COALESCE(list_reduce([CAST(0 AS DOUBLE)] || list_transform(rs, r -> ($wsSql)[r]), (a, b) -> a + b), CAST(0 AS DOUBLE)) / $idcg AS ndcg
+       |FROM (SELECT DISTINCT q_id FROM exact) eq
+       |LEFT JOIN agg ON agg.q_id = eq.q_id
+       |ORDER BY eq.q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v24_ndcg" -> (v24Ndcg _),
     "v23_cluster_purity" -> (v23ClusterPurity _),
     "v22_kmeans" -> (v22Kmeans _),
     "v21_knn_classify" -> (v21KnnClassify _),
@@ -1091,6 +1154,7 @@ object VectorQueries {
     "v01_knn_bruteforce" -> v01Oracle,
     "v02_label_stats" -> v02Oracle,
     "v03_knn_lsh" -> v03Oracle,
+    "v24_ndcg" -> v24Oracle,
     "v04_embedding_neardup" -> v04Oracle,
     "v05_knn_ivf" -> v05Oracle,
     "v06_neardup_lsh" -> v06Oracle,

@@ -893,4 +893,27 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     // absent baseline (None) renders no section at all
     assert(!HtmlReport.render(fs, "B").contains("Baseline Comparison"))
   }
+
+  test("ndcgAtK: perfect ranking 1.0, miss 0.0, displaced hit discounted") {
+    import spark.implicits._
+    def rk(rows: Seq[(Long, Long, Int)]) = rows.toDF("q_id", "b_id", "rank")
+    val exact = rk(Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1), (2L, 21L, 2),
+      (3L, 30L, 1), (3L, 31L, 2)))
+    // q1: perfect; q2: the two hits swapped (still NDCG 1.0 — binary
+    // relevance is position-set based); q3: one hit displaced to rank 2,
+    // one true neighbor missed
+    val approx = rk(Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 21L, 1), (2L, 20L, 2),
+      (3L, 99L, 1), (3L, 30L, 2)))
+    val got = graft.operators.Ann.ndcgAtK(approx, exact, k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val w = graft.operators.Ann.ndcgDiscounts(2)
+    assert(got(1L) === ((2L, 1.0)))
+    assert(got(2L) === ((2L, 1.0)))
+    assert(got(3L) === ((1L, w(1) / (w(0) + w(1)))))
+    // a query the approximate ranking misses entirely scores (0, 0.0)
+    val got4 = graft.operators.Ann.ndcgAtK(
+      rk(Seq((1L, 99L, 1))), rk(Seq((1L, 10L, 1), (4L, 40L, 1))), k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got4 === Map(1L -> ((0L, 0.0)), 4L -> ((0L, 0.0))))
+  }
 }
