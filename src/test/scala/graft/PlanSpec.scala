@@ -587,6 +587,41 @@ class PlanSpec extends SparkSpecBase {
       "two-level top-N expected (bucketed phase 1 + stratum phase 2)")
   }
 
+  test("e13: EWMA plan is one key aggregate — no window, no self-join") {
+    val p = plan(graft.queries.EventQueries.e13Ewma(spark, sfDir))
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"EWMA must fold arrays, not window the corpus:\n$p")
+    assert(!p.contains("Join"), s"EWMA needs no join:\n$p")
+    assert(countOccurrences(p, "HashAggregate") + countOccurrences(p, "ObjectHashAggregate") +
+      countOccurrences(p, "SortAggregate") >= 2,
+      "partial+final aggregation expected")
+  }
+
+  test("d13: candidate generation is an equi-join; no cartesian/product plan") {
+    val p = plan(graft.queries.DedupQueries.d13EditDistPairs(spark, sfDir))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoopJoin"),
+      s"Pass-Join degenerated to a product plan:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on the segment key:\n$p")
+  }
+
+  test("q41: skyline windows run per range-partition, never a bare global sort") {
+    val df = graft.queries.RelationalQueries.q41Skyline(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline degenerated to a product plan:\n$p")
+    // the scan's running max must be keyed by the partition id — a
+    // global-ordered Window with no partition spec is the failure mode
+    assert(p.contains("__pid"), s"expected the partition-id keyed scan window:\n$p")
+  }
+
+  test("g01: pagerank scans read only the join/grouping columns") {
+    val f = formatted(graft.queries.RelationalQueries.g01Pagerank(spark, sfDir))
+    val schemas = f.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!schemas.contains("l_extendedprice") && !schemas.contains("o_totalprice"),
+      s"pagerank must not read fact measures:\n$schemas")
+  }
+
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 }
