@@ -237,6 +237,85 @@ object Dedup {
       .select("d1", "d2", "inter", "uni", "jaccard")
   }
 
+  /** Prefix-filtered set-similarity self-join — all pairs with token
+    * Jaccard ≥ tNum/tDen — the AllPairs/PPJoin family (Bayardo, Ma &
+    * Srikant, WWW 2007; Xiao et al., WWW 2008), the third lossless
+    * pair strategy next to [[simhashPairs]] (Hamming pigeonhole) and
+    * [[editDistancePairs]] (segment pigeonhole): if J(x,y) ≥ t then
+    * |x∩y| ≥ ⌈t·|x|⌉, so y must share a token with the FIRST
+    * |x| − ⌈t·|x|⌉ + 1 tokens of x under ANY fixed total token order —
+    * the prefix. Candidates are x-prefix postings equi-joined against
+    * full postings; everything outside the prefix never enters the
+    * join.
+    *
+    * The token order is (corpus document frequency asc, token asc) —
+    * rare-first, the selectivity heuristic that makes prefixes nearly
+    * unique in practice (correctness holds for any order; df order is
+    * pure performance). The threshold is a RATIONAL tNum/tDen and the
+    * final predicate is integer cross-multiplication
+    * (`tDen·inter ≥ tNum·union`) — membership can never flap on float
+    * rounding at the boundary.
+    *
+    * Scale shape: one token-df aggregate (map-side partials absorb hot
+    * tokens), one doc-keyed sort-collect, a prefix-postings equi-join
+    * whose left side carries only prefix tokens, and an exact verify
+    * over the candidate pairs' full sorted sets. Contrast
+    * [[jaccardPairs]]: that strategy CAPS hot postings (df ≤ cap,
+    * lossy for pairs meeting only on hot tokens); this one is lossless
+    * — its cost control is the prefix itself, which shrinks as sets
+    * grow (the t-fraction tail never joins).
+    *
+    * Null ids and tokenless docs are excluded. Output:
+    * (d1, d2, inter, uni, jaccard), d1 < d2.
+    */
+  def prefixJaccardPairs(
+      df: DataFrame, id: Column, text: Column,
+      tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must satisfy 0 < tNum/tDen <= 1, got $tNum/$tDen")
+    val toks = scopedCache(
+      df.select(id.as("doc_id"),
+        array_distinct(Text.tokens(Text.normalize(text))).as("ts"))
+        .filter(col("doc_id").isNotNull && size(col("ts")) > 0)
+        .select(col("doc_id"), explode(col("ts")).as("token")))
+    val dfreq = toks.groupBy("token").agg(count(lit(1)).as("tdf"))
+    // per-doc tokens in (df, token) order; the prefix keeps
+    // sz − ⌈t·sz⌉ + 1 of them, with the ceiling in integer arithmetic:
+    // ⌈a·n/b⌉ = (a·n + b − 1) div b
+    val ordered = scopedCache(
+      toks.join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("tdf"), col("token"))))
+          .as("arr"))
+        .select(
+          col("doc_id"),
+          expr("transform(arr, e -> e.token)").as("ts"),
+          size(col("arr")).as("sz"))
+        .withColumn("px",
+          col("sz") - expr(s"($tNum * sz + $tDen - 1) div $tDen") + 1))
+    val prefixPost = ordered.select(col("doc_id").as("p_id"),
+      explode(expr("slice(ts, 1, px)")).as("token"))
+    val fullPost = ordered.select(col("doc_id").as("f_id"),
+      explode(col("ts")).as("token"))
+    val cand = prefixPost
+      .join(fullPost, "token")
+      .filter(col("p_id") =!= col("f_id"))
+      .select(
+        least(col("p_id"), col("f_id")).as("d1"),
+        greatest(col("p_id"), col("f_id")).as("d2"))
+      .distinct()
+    cand
+      .join(ordered.select(col("doc_id").as("d1"), col("ts").as("t1"),
+        col("sz").as("s1")), "d1")
+      .join(ordered.select(col("doc_id").as("d2"), col("ts").as("t2"),
+        col("sz").as("s2")), "d2")
+      .withColumn("inter", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("uni", col("s1") + col("s2") - col("inter"))
+      .filter(lit(tDen) * col("inter") >= lit(tNum) * col("uni"))
+      .select(col("d1"), col("d2"), col("inter"), col("uni"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
+
   /** Cross-document repeated n-token spans — the exact-substring dedup
     * signal (Lee et al., "Deduplicating Training Data Makes Language
     * Models Better", arXiv:2107.06499, at fixed window length; the

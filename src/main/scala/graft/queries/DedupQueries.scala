@@ -481,7 +481,55 @@ object DedupQueries {
       |WHERE levenshtein(a.key, b.key) <= 2
       |ORDER BY d1, d2""".stripMargin
 
+  /** Prefix-filtered Jaccard pairs ([[Dedup.prefixJaccardPairs]],
+    * AllPairs/PPJoin blocking, J ≥ 3/5) over distinct token sets — the
+    * LOSSLESS complement to d02's df-capped posting join (which drops
+    * pairs meeting only on hot tokens, by contract). The oracle
+    * replays the whole pipeline — df order, integer-ceiling prefix,
+    * candidate join, integer cross-multiplied threshold — so the
+    * blocking theorem is differentially tested cross-engine.
+    */
+  def d14PrefixJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(
+      docs(s, dir), col("doc_id"), col("text"), tNum = 3, tDen = 5)
+      .orderBy("d1", "d2")
+
+  val d14Oracle: String =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = ''
+       |      THEN CAST([] AS VARCHAR[]) ELSE ${DuckOracle.toksNorm} END) AS token
+       |  FROM documents
+       |), dfreq AS (
+       |  SELECT token, COUNT(*) AS tdf FROM tok GROUP BY token
+       |), ord AS (
+       |  SELECT doc_id, token,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY tdf, token) AS pos,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS sz
+       |  FROM tok JOIN dfreq USING (token)
+       |), pref AS (
+       |  SELECT doc_id, token FROM ord WHERE pos <= sz - ((3*sz + 4)//5) + 1
+       |), cand AS (
+       |  SELECT DISTINCT least(p.doc_id, f.doc_id) AS d1,
+       |    greatest(p.doc_id, f.doc_id) AS d2
+       |  FROM pref p JOIN tok f ON p.token = f.token AND p.doc_id != f.doc_id
+       |), szs AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS INT) AS sz FROM tok GROUP BY doc_id
+       |), ix AS (
+       |  SELECT c.d1, c.d2, CAST(COUNT(*) AS INT) AS i
+       |  FROM cand c
+       |  JOIN tok a ON a.doc_id = c.d1
+       |  JOIN tok b ON b.doc_id = c.d2 AND b.token = a.token
+       |  GROUP BY c.d1, c.d2
+       |)
+       |SELECT ix.d1, ix.d2, ix.i AS inter, sa.sz + sb.sz - ix.i AS uni,
+       |  CAST(ix.i AS DOUBLE) / (sa.sz + sb.sz - ix.i) AS jaccard
+       |FROM ix JOIN szs sa ON sa.doc_id = ix.d1 JOIN szs sb ON sb.doc_id = ix.d2
+       |WHERE 5 * ix.i >= 3 * (sa.sz + sb.sz - ix.i)
+       |ORDER BY d1, d2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_prefix_jaccard" -> (d14PrefixJaccard _),
     "d13_editdist_pairs" -> (d13EditDistPairs _),
     "d12_incremental_dedup" -> (d12IncrementalDedup _),
     "d11_dedup_apply" -> (d11DedupApply _),
@@ -497,6 +545,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "d14_prefix_jaccard" -> d14Oracle,
     "d13_editdist_pairs" -> d13Oracle,
     "d12_incremental_dedup" -> d12Oracle,
     "d11_dedup_apply" -> d11Oracle,

@@ -894,6 +894,37 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     assert(!HtmlReport.render(fs, "B").contains("Baseline Comparison"))
   }
 
+  test("prefixJaccardPairs: lossless vs brute-force token Jaccard at 3/5") {
+    import spark.implicits._
+    // small-vocabulary docs: heavy token overlap, several pairs exactly
+    // AT the threshold (5·inter == 3·uni) where a float compare flaps
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (1L to 40L).map { i =>
+      val n = 3 + rnd.nextInt(6)
+      i -> rnd.shuffle(vocab).take(n).mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    def toks(t: String) = t.split("\\s+").toSet
+    val brute = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs
+      if ia < ib
+      i = toks(ta).intersect(toks(tb)).size
+      u = toks(ta).size + toks(tb).size - i
+      if 5 * i >= 3 * u
+    } yield (ia, ib, i, u)).toSet
+    val got = graft.operators.Dedup.scoped {
+      graft.operators.Dedup
+        .prefixJaccardPairs(df, col("doc_id"), col("text"), tNum = 3, tDen = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        .toSet
+    }
+    assert(got === brute)
+    assert(brute.exists { case (_, _, i, u) => 5 * i == 3 * u },
+      "fixture must include an exactly-at-threshold pair")
+  }
+
   test("ndcgAtK: perfect ranking 1.0, miss 0.0, displaced hit discounted") {
     import spark.implicits._
     def rk(rows: Seq[(Long, Long, Int)]) = rows.toDF("q_id", "b_id", "rank")
