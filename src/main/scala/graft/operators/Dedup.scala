@@ -273,11 +273,15 @@ object Dedup {
       tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must satisfy 0 < tNum/tDen <= 1, got $tNum/$tDen")
-    val toks = scopedCache(
+    // cache DOC-LEVEL sets, not exploded postings: the token-level
+    // frame is corpus-token-sized and both consumers re-derive it with
+    // one cheap explode from the cached arrays (same discipline as
+    // jaccardPairs' shingle-set cache)
+    val sets = scopedCache(
       df.select(id.as("doc_id"),
         array_distinct(Text.tokens(Text.normalize(text))).as("ts"))
-        .filter(col("doc_id").isNotNull && size(col("ts")) > 0)
-        .select(col("doc_id"), explode(col("ts")).as("token")))
+        .filter(col("doc_id").isNotNull && size(col("ts")) > 0))
+    val toks = sets.select(col("doc_id"), explode(col("ts")).as("token"))
     val dfreq = toks.groupBy("token").agg(count(lit(1)).as("tdf"))
     // per-doc tokens in (df, token) order; the prefix keeps
     // sz − ⌈t·sz⌉ + 1 of them, with the ceiling in integer arithmetic:

@@ -54,11 +54,18 @@ object PageRank {
 
     val e = Dedup.scopedCache(
       edges.select(src.as("src"), dst.as("dst"), w.cast("long").as("w")))
+    // the per-edge contribution multiplies rank (≤ scale) by w — a
+    // weight past Long.Max/scale would overflow the long SILENTLY on
+    // the Spark side (DuckDB errors); refuse it in the same probe as
+    // the null/sign check. Heavier real-world weights should be
+    // pre-normalized (ranks are scale-free in the weights).
+    val wLimit = Long.MaxValue / scale
     val badEdges = e.filter(
       col("src").isNull || col("dst").isNull ||
-        col("w").isNull || col("w") <= 0).limit(1).count()
+        col("w").isNull || col("w") <= 0 || col("w") > wLimit).limit(1).count()
     require(badEdges == 0,
-      "pageRank: edges contain null endpoints or non-positive weights")
+      s"pageRank: edges contain null endpoints, non-positive weights, " +
+        s"or weights > $wLimit (rank*w must fit a long)")
 
     val nodes = Dedup.scopedCache(
       e.select(col("src").as("node"))

@@ -57,10 +57,14 @@ object Skyline {
       .sortWithinPartitions("ord")
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy("__pid").orderBy("ord")
-    val local = base
+    // cached: the frame feeds BOTH the per-partition totals (an eager
+    // collect — the two-phase scan's phase boundary) and the final
+    // select; uncached it would pay the upstream scan + range shuffle
+    // twice
+    val local = Dedup.scopedCache(base
       .withColumn("__run",
         max(col("v")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__runlag", lag("__run", 1).over(w))
+      .withColumn("__runlag", lag("__run", 1).over(w)))
     // One row per partition; the exclusive prefix over partition ids
     // is driver-side arithmetic on a partition-count-sized list.
     val totals = local.groupBy("__pid").agg(max("v").as("__pmax"))

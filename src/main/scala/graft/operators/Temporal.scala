@@ -308,7 +308,9 @@ object Temporal {
     * literals; the operator itself accepts any α ∈ (0, 1].
     *
     * Null key/ts/value rows are excluded (null value would poison the
-    * whole fold, not one step).
+    * whole fold, not one step). `ts` and `tiebreak` must be INTEGER
+    * columns (micros via [[graft.Tables.tsUs]], ids) — the long cast
+    * on a TIMESTAMP truncates to seconds and sub-second order with it.
     */
   def ewma(
       events: DataFrame, key: Column, ts: Column, tiebreak: Column,
