@@ -1006,7 +1006,61 @@ object CurationQueries {
        |FROM c ORDER BY split, fold""".stripMargin
   }
 
+  /** Chi-square independence profile of the (lang × source) grid — the
+    * stratification sanity check run before sampling (a source that
+    * over-carries one language skews every per-language quota drawn
+    * from it). Observed counts, margins, and the grand total are exact
+    * longs; expected counts and per-cell contributions are ONE fixed
+    * double tree over those exact longs (deterministic, engine-
+    * replayable — same discipline as t20's score tree), and the grid is
+    * COMPLETED (absent combos surface as o=0 rows — their expected
+    * count still contributes). Dim-sized crossJoin of the two margin
+    * frames; never a corpus-side product.
+    */
+  def c20LangSourceChisq(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rows = d.groupBy("lang").agg(count(lit(1)).as("row_n"))
+    val cols = d.groupBy("source").agg(count(lit(1)).as("col_n"))
+    val total = d.agg(count(lit(1)).as("total"))
+    val e = (col("row_n").cast("double") * col("col_n").cast("double")) /
+      col("total").cast("double")
+    rows.crossJoin(cols)
+      .join(cells, Seq("lang", "source"), "left")
+      .crossJoin(broadcast(total))
+      .select(
+        col("lang"), col("source"),
+        coalesce(col("o"), lit(0L)).as("o"),
+        col("row_n"), col("col_n"),
+        e.as("e"),
+        ((coalesce(col("o"), lit(0L)).cast("double") - e) *
+          (coalesce(col("o"), lit(0L)).cast("double") - e) / e).as("contrib"))
+      .orderBy("lang", "source")
+  }
+
+  val c20Oracle: String =
+    """WITH cells AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY lang, source
+      |), r AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS row_n FROM documents GROUP BY lang
+      |), c AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS col_n FROM documents GROUP BY source
+      |), t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents
+      |)
+      |SELECT r.lang, c.source, CAST(COALESCE(cells.o, 0) AS BIGINT) AS o,
+      |  r.row_n, c.col_n,
+      |  CAST(r.row_n AS DOUBLE) * CAST(c.col_n AS DOUBLE) / CAST(t.total AS DOUBLE) AS e,
+      |  (CAST(COALESCE(cells.o, 0) AS DOUBLE) - CAST(r.row_n AS DOUBLE) * CAST(c.col_n AS DOUBLE) / CAST(t.total AS DOUBLE))
+      |    * (CAST(COALESCE(cells.o, 0) AS DOUBLE) - CAST(r.row_n AS DOUBLE) * CAST(c.col_n AS DOUBLE) / CAST(t.total AS DOUBLE))
+      |    / (CAST(r.row_n AS DOUBLE) * CAST(c.col_n AS DOUBLE) / CAST(t.total AS DOUBLE)) AS contrib
+      |FROM r CROSS JOIN c CROSS JOIN t
+      |LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source
+      |ORDER BY r.lang, c.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c20_lang_source_chisq" -> (c20LangSourceChisq _),
     "c19_split_profile" -> (c19SplitProfile _),
     "c18_quota_cap" -> (c18QuotaCap _),
     "c17_split_assign" -> (c17SplitAssign _),
@@ -1031,6 +1085,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "c20_lang_source_chisq" -> c20Oracle,
     "c19_split_profile" -> c19Oracle,
     "c18_quota_cap" -> c18Oracle,
     "c17_split_assign" -> c17Oracle,
