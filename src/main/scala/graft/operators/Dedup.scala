@@ -242,11 +242,12 @@ object Dedup {
     * Srikant, WWW 2007; Xiao et al., WWW 2008), the third lossless
     * pair strategy next to [[simhashPairs]] (Hamming pigeonhole) and
     * [[editDistancePairs]] (segment pigeonhole): if J(x,y) ≥ t then
-    * |x∩y| ≥ ⌈t·|x|⌉, so y must share a token with the FIRST
-    * |x| − ⌈t·|x|⌉ + 1 tokens of x under ANY fixed total token order —
-    * the prefix. Candidates are x-prefix postings equi-joined against
-    * full postings; everything outside the prefix never enters the
-    * join.
+    * |x∩y| ≥ ⌈t·|x|⌉, so the SMALLEST common token under any fixed
+    * total token order must sit inside BOTH sides' first
+    * sz − ⌈t·sz⌉ + 1 tokens — the prefixes. Candidates are a
+    * prefix-postings SELF-join (plus the size band
+    * tDen·s_small ≥ tNum·s_big); the t-fraction tail of every set
+    * never enters the join at all.
     *
     * The token order is (corpus document frequency asc, token asc) —
     * rare-first, the selectivity heuristic that makes prefixes nearly
@@ -257,8 +258,9 @@ object Dedup {
     * rounding at the boundary.
     *
     * Scale shape: one token-df aggregate (map-side partials absorb hot
-    * tokens), one doc-keyed sort-collect, a prefix-postings equi-join
-    * whose left side carries only prefix tokens, and an exact verify
+    * tokens), one doc-keyed sort-collect, a prefix×prefix equi-join
+    * (both sides carry ONLY prefix tokens — measured 18.8 s → a few
+    * seconds at sf0.1 vs the prefix×full form), and an exact verify
     * over the candidate pairs' full sorted sets. Contrast
     * [[jaccardPairs]]: that strategy CAPS hot postings (df ≤ cap,
     * lossy for pairs meeting only on hot tokens); this one is lossless
@@ -270,16 +272,20 @@ object Dedup {
     */
   def prefixJaccardPairs(
       df: DataFrame, id: Column, text: Column,
-      tNum: Int, tDen: Int): DataFrame = {
+      tNum: Int, tDen: Int, n: Int = 3): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must satisfy 0 < tNum/tDen <= 1, got $tNum/$tDen")
-    // cache DOC-LEVEL sets, not exploded postings: the token-level
-    // frame is corpus-token-sized and both consumers re-derive it with
-    // one cheap explode from the cached arrays (same discipline as
-    // jaccardPairs' shingle-set cache)
+    // n-gram SHINGLE sets (the d02 construction, block-free), not raw
+    // unigrams: prefix filtering lives or dies on element rarity, and
+    // unigram vocabularies are small enough that even the rarest 40%
+    // of a doc's tokens collide corpus-wide (measured at sf0.1: the
+    // unigram form built ~raw-pair-scale candidates and ran 14.7 s;
+    // shingles are near-unique outside true near-dups). Cache is
+    // DOC-LEVEL sets — both consumers re-derive postings with one
+    // cheap explode.
     val sets = scopedCache(
-      df.select(id.as("doc_id"),
-        array_distinct(Text.tokens(Text.normalize(text))).as("ts"))
+      shingleSets(df, id, text, n)
+        .select(col("doc_id"), col("sh").as("ts"))
         .filter(col("doc_id").isNotNull && size(col("ts")) > 0))
     val toks = sets.select(col("doc_id"), explode(col("ts")).as("token"))
     val dfreq = toks.groupBy("token").agg(count(lit(1)).as("tdf"))
@@ -297,16 +303,23 @@ object Dedup {
           size(col("arr")).as("sz"))
         .withColumn("px",
           col("sz") - expr(s"($tNum * sz + $tDen - 1) div $tDen") + 1))
-    val prefixPost = ordered.select(col("doc_id").as("p_id"),
+    // Candidates need a common token in BOTH prefixes: the smallest
+    // common token τ of a qualifying pair sits inside each side's
+    // prefix (were τ outside x's, all ≥⌈t·sz⌉ shared tokens would
+    // crowd into x's ⌈t·sz⌉−1 suffix slots — pigeonhole), so
+    // prefix×prefix is still lossless and the full posting side never
+    // enters the join. The size band (tDen·s_small ≥ tNum·s_big ⇔
+    // J ≥ t is size-feasible) prunes inside the join, before the
+    // pair-distinct shuffle.
+    val prefixPost = ordered.select(col("doc_id"), col("sz"),
       explode(expr("slice(ts, 1, px)")).as("token"))
-    val fullPost = ordered.select(col("doc_id").as("f_id"),
-      explode(col("ts")).as("token"))
-    val cand = prefixPost
-      .join(fullPost, "token")
-      .filter(col("p_id") =!= col("f_id"))
-      .select(
-        least(col("p_id"), col("f_id")).as("d1"),
-        greatest(col("p_id"), col("f_id")).as("d2"))
+    val cand = prefixPost.as("a")
+      .join(prefixPost.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          lit(tDen) * least(col("a.sz"), col("b.sz")) >=
+            lit(tNum) * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     cand
       .join(ordered.select(col("doc_id").as("d1"), col("ts").as("t1"),

@@ -491,15 +491,17 @@ object DedupQueries {
     */
   def d14PrefixJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.prefixJaccardPairs(
-      docs(s, dir), col("doc_id"), col("text"), tNum = 3, tDen = 5)
+      docs(s, dir), col("doc_id"), col("text"), tNum = 3, tDen = 5, n = 3)
       .orderBy("d1", "d2")
 
   val d14Oracle: String =
-    s"""WITH tok AS (
-       |  SELECT DISTINCT doc_id,
-       |    unnest(CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = ''
-       |      THEN CAST([] AS VARCHAR[]) ELSE ${DuckOracle.toksNorm} END) AS token
-       |  FROM documents
+    s"""WITH t AS (
+       |  SELECT doc_id, ${DuckOracle.toksNorm} AS toks FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+       |    THEN list_transform(generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |    ELSE [array_to_string(toks, ' ')] END)) AS token
+       |  FROM t
        |), dfreq AS (
        |  SELECT token, COUNT(*) AS tdf FROM tok GROUP BY token
        |), ord AS (
@@ -508,11 +510,12 @@ object DedupQueries {
        |    COUNT(*) OVER (PARTITION BY doc_id) AS sz
        |  FROM tok JOIN dfreq USING (token)
        |), pref AS (
-       |  SELECT doc_id, token FROM ord WHERE pos <= sz - ((3*sz + 4)//5) + 1
+       |  SELECT doc_id, token, sz FROM ord WHERE pos <= sz - ((3*sz + 4)//5) + 1
        |), cand AS (
-       |  SELECT DISTINCT least(p.doc_id, f.doc_id) AS d1,
-       |    greatest(p.doc_id, f.doc_id) AS d2
-       |  FROM pref p JOIN tok f ON p.token = f.token AND p.doc_id != f.doc_id
+       |  SELECT DISTINCT p1.doc_id AS d1, p2.doc_id AS d2
+       |  FROM pref p1 JOIN pref p2 ON p1.token = p2.token
+       |    AND p1.doc_id < p2.doc_id
+       |    AND 5 * least(p1.sz, p2.sz) >= 3 * greatest(p1.sz, p2.sz)
        |), szs AS (
        |  SELECT doc_id, CAST(COUNT(*) AS INT) AS sz FROM tok GROUP BY doc_id
        |), ix AS (

@@ -916,7 +916,8 @@ class ExpressionPipelineSpec extends SparkSpecBase {
     } yield (ia, ib, i, u)).toSet
     val got = graft.operators.Dedup.scoped {
       graft.operators.Dedup
-        .prefixJaccardPairs(df, col("doc_id"), col("text"), tNum = 3, tDen = 5)
+        .prefixJaccardPairs(df, col("doc_id"), col("text"), tNum = 3, tDen = 5,
+          n = 1) // unigram sets keep the brute-force reference trivial
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
         .toSet
     }
