@@ -495,7 +495,58 @@ object EventQueries {
       |  list_reduce(xs, (a, b) -> a * 0.75 + b * 0.25) AS ewma
       |FROM s ORDER BY user_id""".stripMargin
 
+  /** Per-user TIME-weighted average of `value` — the step-function
+    * mean (each reading holds until the next one), the right average
+    * for sampled gauges where plain AVG over-weights bursts. Exact
+    * arithmetic end-to-end: cents × µs holding-time products summed in
+    * DECIMAL(38,0) (order-independent — a term reaches ~2e16 and a
+    * user's sum ~2e19, past long range; the q37/q38 decimal
+    * discipline), one double division + cents rescale at the very end
+    * as a fixed tree. The last event has no successor and holds zero
+    * time; all-simultaneous users (span 0) are excluded rather than
+    * divided by zero. One user-keyed window shuffle, like e04/e05.
+    */
+  def e14TimeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy(asc("ts_us"), asc("event_id"))
+    ev
+      .withColumn("ts_us", Tables.tsUs(ev))
+      .withColumn("v_c", Money.cents(col("value")))
+      .withColumn("dt", lead("ts_us", 1).over(w) - col("ts_us"))
+      .filter(col("dt").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dt").cast("decimal(38,0)")).as("sum_dt_us"),
+        sum(col("v_c").cast("decimal(38,0)") * col("dt").cast("decimal(38,0)"))
+          .as("sum_vdt"))
+      .filter(col("sum_dt_us") > 0)
+      .select(
+        col("user_id"), col("n_intervals"),
+        col("sum_dt_us").cast("long").as("span_us"),
+        (col("sum_vdt").cast("double") / col("sum_dt_us").cast("double") / 100.0)
+          .as("twa"))
+      .orderBy("user_id")
+  }
+
+  val e14Oracle: String =
+    """WITH t AS (
+      |  SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS v_c,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |      - epoch_us(ts) AS dt
+      |  FROM events
+      |), agg AS (
+      |  SELECT user_id, COUNT(*) AS n_intervals,
+      |    SUM(CAST(dt AS HUGEINT)) AS sum_dt,
+      |    SUM(CAST(v_c AS HUGEINT) * CAST(dt AS HUGEINT)) AS sum_vdt
+      |  FROM t WHERE dt IS NOT NULL GROUP BY user_id
+      |)
+      |SELECT user_id, n_intervals, CAST(sum_dt AS BIGINT) AS span_us,
+      |  CAST(sum_vdt AS DOUBLE) / CAST(sum_dt AS DOUBLE) / 100.0 AS twa
+      |FROM agg WHERE sum_dt > 0 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e14_time_weighted_avg" -> (e14TimeWeightedAvg _),
     "e13_ewma" -> (e13Ewma _),
     "e11_gap_histogram" -> (e11GapHistogram _),
     "e12_cooccurrence" -> (e12Cooccurrence _),
@@ -514,6 +565,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e14_time_weighted_avg" -> e14Oracle,
     "e13_ewma" -> e13Oracle,
     "e11_gap_histogram" -> e11Oracle,
     "e12_cooccurrence" -> e12Oracle,
