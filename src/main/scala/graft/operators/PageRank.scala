@@ -48,31 +48,49 @@ object PageRank {
       scale: Long = 1000000000000L,
       dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
-    require(scale >= 1000000L, s"scale must be >= 1e6, got $scale")
     require(dampDen > 0 && dampNum > 0 && dampNum < dampDen,
       s"damping must satisfy 0 < num < den, got $dampNum/$dampDen")
+    // lower bound keeps ranks meaningfully quantized; upper bound keeps
+    // the damping product dampNum·(in_r + share) ≤ dampNum·2·scale
+    // inside a long — non-ANSI Spark would WRAP it silently
+    require(scale >= 1000000L && scale <= Long.MaxValue / (2 * dampDen),
+      s"scale must be in [1e6, Long.Max/(2*dampDen)], got $scale")
 
-    val e = Dedup.scopedCache(
-      edges.select(src.as("src"), dst.as("dst"), w.cast("long").as("w")))
+    // ONE cached edge frame serves the validity probe and every
+    // iteration; w0 keeps the caller's original weight just long
+    // enough for the fractional check (probing a separate uncached
+    // projection would pay the whole upstream edge build twice).
+    val eAll = Dedup.scopedCache(
+      edges.select(src.as("src"), dst.as("dst"), w.as("w0"),
+        w.cast("long").as("w")))
     // the per-edge contribution multiplies rank (≤ scale) by w — a
     // weight past Long.Max/scale would overflow the long SILENTLY on
     // the Spark side (DuckDB errors); refuse it in the same probe as
-    // the null/sign check. Heavier real-world weights should be
+    // the null/sign check, along with FRACTIONAL weights (the long
+    // cast would floor them silently — a score change, not a
+    // convenience). Heavier real-world weights should be
     // pre-normalized (ranks are scale-free in the weights).
     val wLimit = Long.MaxValue / scale
-    val badEdges = e.filter(
-      col("src").isNull || col("dst").isNull ||
-        col("w").isNull || col("w") <= 0 || col("w") > wLimit).limit(1).count()
+    val badEdges = eAll.filter(
+      col("src").isNull || col("dst").isNull || col("w0").isNull ||
+        col("w") <= 0 || col("w") > wLimit ||
+        col("w").cast("double") =!= col("w0").cast("double"))
+      .limit(1).count()
     require(badEdges == 0,
-      s"pageRank: edges contain null endpoints, non-positive weights, " +
-        s"or weights > $wLimit (rank*w must fit a long)")
+      s"pageRank: edges contain null endpoints, non-positive, " +
+        s"fractional, or > $wLimit weights (rank*w must fit a long)")
+    val e = eAll.drop("w0")
 
     val nodes = Dedup.scopedCache(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node")))
         .distinct())
     val n = nodes.count()
+    require(n >= 1, "pageRank: edge list is empty (no nodes)")
     val base = scale / n
+    require(base >= 1,
+      s"pageRank: scale=$scale < n=$n nodes — every rank would quantize " +
+        "to 0; raise scale above the node count")
 
     // Per-src total out-weight, attached to the edges ONCE (reused by
     // every iteration's contribution join).
@@ -119,6 +137,17 @@ object PageRank {
               s"($dampNum * coalesce(in_r, CAST(0 AS BIGINT))) div $dampDen"))
               .as("rank"))
         })
+      // Deep runs: materialize the new frame, then release the
+      // superseded one — it is dead after this join, and at 50
+      // iterations on a web-scale node set, `iters` simultaneously-
+      // pinned node frames would evict every other cache on the
+      // cluster. Shallow runs skip the eager per-iteration job (the
+      // count costs ~40% wall on a 3-iteration graph, measured at
+      // sf0.1) and let the handful of frames release at scope exit.
+      if (iters > 5) {
+        next.count()
+        ranks.unpersist()
+      }
       ranks = next
     }
     ranks

@@ -51,10 +51,13 @@ object Skyline {
     */
   def prefixMax(df: DataFrame, ord: Column, v: Column, nPartitions: Int): DataFrame = {
     require(nPartitions >= 1, s"nPartitions must be >= 1, got $nPartitions")
+    // no sortWithinPartitions here: the window below hash-exchanges on
+    // __pid and runs its own sort anyway — a pre-sort would be a
+    // wasted O(n log n) pass; the range partitioner alone fixes WHICH
+    // rows share a pid, and pid assignment is order-independent
     val base = df.select(ord.as("ord"), v.cast("long").as("v"))
       .filter(col("ord").isNotNull && col("v").isNotNull)
       .repartitionByRange(nPartitions, col("ord"))
-      .sortWithinPartitions("ord")
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy("__pid").orderBy("ord")
     // cached: the frame feeds BOTH the per-partition totals (an eager
@@ -107,10 +110,13 @@ object Skyline {
   def skyline2d(
       df: DataFrame, minCol: Column, maxCol: Column,
       nPartitions: Int = 32): DataFrame = {
-    val rows = df
+    // cached: rows feed both the group-max reduction and the final
+    // threshold join — uncached, the source scan + projection would
+    // run twice (the dominating cost at corpus scale)
+    val rows = Dedup.scopedCache(df
       .withColumn("__x", minCol.cast("long"))
       .withColumn("__y", maxCol.cast("long"))
-      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .filter(col("__x").isNotNull && col("__y").isNotNull))
     val groups = rows.groupBy("__x").agg(max("__y").as("__ymax"))
     val thresholds = prefixMax(groups, col("__x"), col("__ymax"), nPartitions)
       .select(col("ord").as("__x"), col("run_le").as("__le"), col("run_lt").as("__lt"))

@@ -26,6 +26,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (rate × watermark delay per key); the event-time idle timeout
   * (`idleMs` past the key's newest event) drains and EVICTS keys that
   * go quiet, so a churning key population cannot grow state forever.
+  *
+  * Honest divergence at eviction: a key that RESUMES after its idle
+  * drain starts a fresh fold — rows after the gap equal the batch
+  * operator over the post-gap SUFFIX, not the full history (the
+  * history was emitted as the `finalRow` and its state evicted;
+  * keeping it would unbound state on churning key populations).
+  * Consumers needing whole-history parity across idle gaps must fold
+  * the final rows downstream: EWMA telescopes, so
+  * `s = (1-α)^m·s_prev_final + (fresh fold seeded at 0 over the m new
+  * events)` — or simply use a larger idleMs.
   */
 object EwmaStream {
 
@@ -62,8 +72,16 @@ object EwmaStream {
           last = x, lastTs = t)
       }
 
+    // full parquet/batch precision: getTime is millis-only; nanos
+    // carries the rest of the sub-second fraction
+    def tsMicros(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    // state timestamps are micros; emitted/deadline timestamps are the
+    // engine's millisecond domain
     def row(userId: Long, s: EwmaExactState, fin: Boolean): EwmaOut =
-      EwmaOut(userId, s.n, s.last, s.ewma, new Timestamp(s.lastTs), fin)
+      EwmaOut(userId, s.n, s.last, s.ewma,
+        new Timestamp(Math.floorDiv(s.lastTs, 1000L)), fin)
 
     events
       .withWatermark("ts", watermarkDelay)
@@ -81,8 +99,15 @@ object EwmaStream {
             state.remove()
           } else {
             val wm = state.getCurrentWatermarkMs()
-            val buf = prior.buf ++ evs.map(e => (e.ts.getTime, e.tie, e.value))
-            val (ready, pending) = buf.partition(_._1 < wm)
+            // buffer in MICROSECONDS: the batch twin sorts by integer
+            // micros, and Timestamp.getTime alone is millis — two
+            // same-millisecond events would fall back to the tiebreak
+            // and fold in a different order than the batch sort
+            // (non-commutative recursion ⇒ different EWMA). Finality
+            // still compares at Spark's millisecond watermark
+            // granularity (strictly below).
+            val buf = prior.buf ++ evs.map(e => (tsMicros(e.ts), e.tie, e.value))
+            val (ready, pending) = buf.partition(_._1 < wm * 1000L)
             val cur = fold(prior, ready.sorted)
             if (ready.nonEmpty)
               out += row(userId, cur, fin = false)
@@ -90,10 +115,13 @@ object EwmaStream {
               if (state.exists) state.remove()
             } else {
               state.update(cur.copy(buf = pending))
-              val newest = math.max(
+              val newestUs = math.max(
                 ready.iterator.map(_._1).maxOption.getOrElse(Long.MinValue),
                 pending.iterator.map(_._1).maxOption.getOrElse(Long.MinValue))
-              state.setTimeoutTimestamp(math.max(newest + idleMs, wm + 1))
+              // ceil to ms so the deadline still covers every buffered
+              // event (floor could fire one ms before a buffered ts)
+              val newestMs = Math.floorDiv(newestUs + 999L, 1000L)
+              state.setTimeoutTimestamp(math.max(newestMs + idleMs, wm + 1))
             }
           }
           out.iterator
