@@ -847,6 +847,59 @@ object RelationalQueries {
       |FROM b JOIN st ON b.flag = st.flag
       |GROUP BY b.flag, st.p10, st.p90 ORDER BY b.flag""".stripMargin
 
+  /** Boxplot profile per group — quartiles + Tukey 1.5·IQR outlier
+    * fences — completing the robust-stats family (q38 flags by
+    * z-score, q39 bounds influence, q42 profiles the distribution).
+    * Quartiles are exact `percentile_disc` corpus values (c07's
+    * SQL-standard cume_dist definition); the fence predicates are
+    * DOUBLED into pure integers (2v < 2·p25 − 3·IQR) so membership at
+    * the fence can never flap on float rounding — the q38 discipline.
+    * One ordered-set aggregate on the dim-keyed frame, one broadcast
+    * attach, one counting pass.
+    */
+  def q42Boxplot(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem").select(
+      col("l_returnflag").as("flag"),
+      Money.cents(col("l_extendedprice")).as("v"))
+    val st = base.groupBy("flag").agg(
+      expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS BIGINT)").as("p25"),
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT)").as("p50"),
+      expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY v) AS BIGINT)").as("p75"))
+    val iqr = col("p75") - col("p25")
+    base.join(broadcast(st), Seq("flag"))
+      .groupBy("flag", "p25", "p50", "p75")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(lit(2) * col("v") < lit(2) * col("p25") - lit(3) * iqr, 1L)
+          .otherwise(0L)).as("n_lo_outliers"),
+        sum(when(lit(2) * col("v") > lit(2) * col("p75") + lit(3) * iqr, 1L)
+          .otherwise(0L)).as("n_hi_outliers"))
+      .select(col("flag"), col("n"), col("p25"), col("p50"), col("p75"),
+        iqr.as("iqr"), col("n_lo_outliers"), col("n_hi_outliers"))
+      .orderBy("flag")
+  }
+
+  val q42Oracle: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v
+      |  FROM lineitem
+      |), d AS (
+      |  SELECT flag, v, cume_dist() OVER (PARTITION BY flag ORDER BY v) AS cd FROM b
+      |), st AS (
+      |  SELECT flag,
+      |    CAST(MIN(v) FILTER (WHERE cd >= 0.25) AS BIGINT) AS p25,
+      |    CAST(MIN(v) FILTER (WHERE cd >= 0.5) AS BIGINT) AS p50,
+      |    CAST(MIN(v) FILTER (WHERE cd >= 0.75) AS BIGINT) AS p75
+      |  FROM d GROUP BY flag
+      |)
+      |SELECT b.flag, COUNT(*) AS n, st.p25, st.p50, st.p75,
+      |  st.p75 - st.p25 AS iqr,
+      |  CAST(SUM(CASE WHEN 2*v < 2*st.p25 - 3*(st.p75 - st.p25) THEN 1 ELSE 0 END) AS BIGINT) AS n_lo_outliers,
+      |  CAST(SUM(CASE WHEN 2*v > 2*st.p75 + 3*(st.p75 - st.p25) THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_outliers
+      |FROM b JOIN st ON b.flag = st.flag
+      |GROUP BY b.flag, st.p25, st.p50, st.p75 ORDER BY b.flag""".stripMargin
+
   /** Row-level z-score outliers (|z| > 1.5 population SDs from the
     * group mean) with the ENTIRE threshold predicate in exact integer
     * arithmetic — membership can never flap on floating-point rounding.
@@ -1144,6 +1197,7 @@ object RelationalQueries {
     "q40_revenue_share" -> (q40RevenueShare _),
     "q41_skyline" -> (q41Skyline _),
     "g01_pagerank" -> (g01Pagerank _),
+    "q42_boxplot" -> (q42Boxplot _),
     "q34_cube" -> (q34Cube _),
     "q22_kmv_distinct" -> (q22KmvDistinct _),
     "q21_salted_flag_join" -> (q21SaltedFlagJoin _),
@@ -1186,6 +1240,7 @@ object RelationalQueries {
     "q40_revenue_share" -> q40Oracle,
     "q41_skyline" -> q41Oracle,
     "g01_pagerank" -> g01Oracle,
+    "q42_boxplot" -> q42Oracle,
     "q34_cube" -> q34Oracle,
     "q22_kmv_distinct" -> q22Oracle,
     "q21_salted_flag_join" -> q21Oracle,
