@@ -622,6 +622,31 @@ class PlanSpec extends SparkSpecBase {
       s"pagerank must not read fact measures:\n$schemas")
   }
 
+  test("e14: TWA reads only the three referenced event columns") {
+    val f = formatted(graft.queries.EventQueries.e14TimeWeightedAvg(spark, sfDir))
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type"),
+      s"unused columns read: $readSchema")
+  }
+
+  test("d14: prefix join stays an equi-join; no cartesian") {
+    val p = plan(graft.queries.DedupQueries.d14PrefixJaccard(spark, sfDir))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix filter degenerated to a product plan:\n$p")
+  }
+
+  test("q42: quartile frame broadcasts back to the fact side") {
+    val p = plan(graft.queries.RelationalQueries.q42Boxplot(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"dim-keyed quartile attach must broadcast:\n$p")
+  }
+
+  test("v24: ndcg relevance join is an equi-join on (q_id, b_id)") {
+    val p = plan(graft.queries.VectorQueries.v24Ndcg(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      s"relevance join degenerated to a product plan:\n$p")
+  }
+
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 }
