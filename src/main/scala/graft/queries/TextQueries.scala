@@ -52,7 +52,11 @@ object TextQueries {
         Text.langIdFromToks(col("__toks"), col("text").isNotNull).as("pred_lang"))
       .orderBy("doc_id")
 
-  val t02Oracle: String = {
+  /** The t02 prediction as a bare SELECT (doc_id, lang, pred_lang) —
+    * shared verbatim by the t02 oracle and t22's confusion rollup, so
+    * the two can never replay different predictors.
+    */
+  private val langPredSql: String = {
     val hits = Text.langProfiles.map { case (code, words) =>
       code -> s"len(list_filter($duckToksNorm, x -> list_contains([${DuckOracle.quoteList(words)}], x)))"
     }
@@ -66,8 +70,50 @@ object TextQueries {
        |  CASE WHEN text IS NULL THEN NULL ${cases.mkString(" ")} ELSE '${codes.last}' END AS pred_lang
        |FROM (SELECT doc_id, lang, text,
        |  ${hits.map { case (c, e) => s"$e AS h_$c" }.mkString(",\n  ")}
-       |FROM documents) ORDER BY doc_id""".stripMargin
+       |FROM documents)""".stripMargin
   }
+
+  val t02Oracle: String = s"$langPredSql ORDER BY doc_id"
+
+  /** Confusion matrix of the t02 language-ID predictor against the
+    * labeled `lang` column — the classifier-eval query every langid
+    * gate needs before it filters a corpus (which languages leak into
+    * which buckets, and at what rate). Counts and row totals are exact
+    * longs; recall shares are one exact-long division per cell. The
+    * predictor is the SAME deterministic profile argmax as t02 (shared
+    * SQL, shared Column expression), so the whole matrix replays. One
+    * corpus pass + a dim-keyed rollup; the row-total attach broadcasts.
+    */
+  def t22LangidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val preds = docs(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("lang"), col("text"),
+        Text.tokens(Text.normalize(col("text"))).as("__toks"))
+      .select(col("lang"),
+        Text.langIdFromToks(col("__toks"), col("text").isNotNull).as("pred_lang"))
+    val cells = preds.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val rows = preds.groupBy("lang").agg(count(lit(1)).as("row_n"))
+    cells.join(broadcast(rows), "lang")
+      .select(col("lang"), col("pred_lang"), col("n"), col("row_n"),
+        (col("n").cast("double") / col("row_n").cast("double")).as("recall_share"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  val t22Oracle: String =
+    s"""WITH p0 AS ($langPredSql), p AS (
+       |  -- pred_lang is null iff text is null: the Spark side's
+       |  -- text-not-null filter, replayed on the prediction
+       |  SELECT lang, pred_lang FROM p0 WHERE pred_lang IS NOT NULL
+       |), cells AS (
+       |  SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY lang, pred_lang
+       |), r AS (
+       |  SELECT lang, COUNT(*) AS row_n FROM p GROUP BY lang
+       |)
+       |SELECT cells.lang, cells.pred_lang, CAST(cells.n AS BIGINT) AS n,
+       |  CAST(r.row_n AS BIGINT) AS row_n,
+       |  CAST(cells.n AS DOUBLE) / CAST(r.row_n AS DOUBLE) AS recall_share
+       |FROM cells JOIN r ON r.lang = cells.lang
+       |ORDER BY cells.lang, cells.pred_lang""".stripMargin
 
   /** Quality scoring: length/alpha/token-shape heuristics, raw doubles
     * from identical op sequences in both engines.
@@ -1277,6 +1323,7 @@ object TextQueries {
     "m06_avi_video_hash" -> (m06AviVideoHash _),
     "t01_token_counts" -> (t01TokenCounts _),
     "t02_lang_id" -> (t02LangId _),
+    "t22_langid_confusion" -> (t22LangidConfusion _),
     "t03_quality" -> (t03Quality _),
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_winnow" -> (t05Winnow _),
@@ -1309,6 +1356,7 @@ object TextQueries {
     "m06_avi_video_hash" -> m06Oracle,
     "t01_token_counts" -> t01Oracle,
     "t02_lang_id" -> t02Oracle,
+    "t22_langid_confusion" -> t22Oracle,
     "t03_quality" -> t03Oracle,
     "t04_fingerprint" -> t04Oracle,
     "t05_winnow" -> t05Oracle,
