@@ -93,4 +93,30 @@ class TestdataContractSpec extends SparkSpecBase {
       .limit(1).collect()
     assert(r.nonEmpty && r(0).getLong(0) > 0L, "-- Tables.tsUs broken on current events schema")
   }
+
+  test("SparkEntry registry: packs merge without key collisions; oracles ⊆ queries") {
+    // the 8 query packs merge with ++ — a duplicate name between packs
+    // would SILENTLY drop one query from the gate, shrinking coverage
+    // with every row still green
+    val packs = Seq(
+      graft.queries.RelationalQueries.queries,
+      graft.queries.EventQueries.queries,
+      graft.queries.TextQueries.queries,
+      graft.queries.DedupQueries.queries,
+      graft.queries.VectorQueries.queries,
+      graft.queries.ParseQueries.queries,
+      graft.queries.SearchQueries.queries,
+      graft.queries.CurationQueries.queries)
+    val merged = SparkEntry.queries
+    assert(merged.size == packs.map(_.size).sum,
+      s"pack key collision: merged ${merged.size} != sum ${packs.map(_.size).sum}")
+    // same invariant inside each pack's own pair of maps
+    val orphanOracles = SparkEntry.oracleSql.keySet -- merged.keySet
+    assert(orphanOracles.isEmpty,
+      s"oracles with no query (dead gate rows): $orphanOracles")
+    // and every query carries an oracle — this engine's contract is
+    // 100% SQL-gated coverage, so a rows-only residue is a regression
+    val unOracled = merged.keySet -- SparkEntry.oracleSql.keySet
+    assert(unOracled.isEmpty, s"queries with no oracle: $unOracled")
+  }
 }
