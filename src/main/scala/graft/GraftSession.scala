@@ -61,6 +61,14 @@ object GraftSession {
       // vectorized reader rejects; read it as long nanoseconds instead.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // Defensive cap on plan EXPLAIN strings (default is effectively
+      // unbounded): iterative operators can reach plans whose printed
+      // form is orders of magnitude larger than their node count (every
+      // nested InMemoryRelation / AdaptiveSparkPlan reprints its whole
+      // subtree), and AQE builds that string on EVERY stage update for
+      // the UI event — an unbounded cap turns a deep plan into a
+      // driver OOM. 8 MB keeps real plans fully readable.
+      .config("spark.sql.maxPlanStringLength", (8 * 1024 * 1024).toString)
       // per-process warehouse: concurrent runs must not clobber each
       // other's saveAsTable data
       .config("spark.sql.warehouse.dir",

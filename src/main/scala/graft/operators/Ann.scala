@@ -1211,27 +1211,45 @@ object Ann {
   def ndcgDiscounts(k: Int): Seq[Double] =
     (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
 
+  /** Prefix sums of [[ndcgDiscounts]] — `idcgTable(k)(i-1)` is the
+    * ideal DCG of a query whose exact top-k holds i entries. Strict
+    * left fold in Scala, computed ONCE and embedded as literals on
+    * both engines (same shortest-round-trip discipline as the
+    * discounts themselves), so per-query IDCG is a table LOOKUP, not
+    * a runtime float sum.
+    */
+  def idcgTable(k: Int): Seq[Double] =
+    ndcgDiscounts(k).scanLeft(0.0)(_ + _).tail
+
   /** NDCG@k of an approximate ranking against an exact one — the
     * ranking-quality eval run after every ANN index build (recall says
     * WHETHER the true neighbors surfaced, NDCG says WHERE). Both
     * inputs are (q_id, b_id, rank) frames (any extra columns ignored);
-    * relevance is binary membership in the exact top-k, so
-    * IDCG = Σ 1/log₂(i+1), a constant.
+    * relevance is binary membership in the exact top-k.
+    *
+    * IDCG is PER QUERY: the sum of the first `|exact top-k|` discounts
+    * ([[idcgTable]]) — standard NDCG normalizes by the ideal DCG over
+    * min(|relevant|, k) positions, so a query whose exact list holds
+    * fewer than k entries (small base corpus, NaN-filtered candidates)
+    * can still reach ndcg = 1.0 when the approximate ranking is
+    * perfect. A constant Σ over all k discounts would bias cross-query
+    * comparisons whenever exact sizes differ.
     *
     * Output: one row per query in `exact` — (q_id, hits, ndcg); a
     * query the approximate ranking missed entirely scores (0, 0.0).
     *
     * Determinism: DCG is a FOLD over the ascending hit ranks against
     * the literal discount table ([[ndcgDiscounts]]) — never a float
-    * group-sum, whose order the shuffle would own. One equi-join on
+    * group-sum, whose order the shuffle would own — and the per-query
+    * IDCG divisor is a literal-table lookup. One equi-join on
     * (q_id, b_id) + one query-keyed rollup; at 10⁹ queries everything
     * shuffles on the query key.
     */
   def ndcgAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 1000, s"k must be in [1,1000], got $k")
     val ws = ndcgDiscounts(k)
-    val idcg = ws.sum
     val wArr = array(ws.map(lit): _*)
+    val pArr = array(idcgTable(k).map(lit): _*)
     val ex = exact.filter(col("rank") <= k).select(col("q_id"), col("b_id"))
     val ap = approx.filter(col("rank") <= k)
       .select(col("q_id"), col("b_id"), col("rank"))
@@ -1240,7 +1258,9 @@ object Ann {
       .agg(
         count(lit(1)).as("hits"),
         sort_array(collect_list(col("rank"))).as("rs"))
-    ex.select("q_id").distinct()
+    // the same rollup that sizes each query's exact list also keys the
+    // left join — no extra shuffle vs the old distinct()
+    ex.groupBy("q_id").agg(count(lit(1)).as("n_ex"))
       .join(perQ, Seq("q_id"), "left")
       .select(
         col("q_id"),
@@ -1248,6 +1268,6 @@ object Ann {
         (coalesce(
           aggregate(col("rs"), lit(0.0),
             (acc, r) => acc + element_at(wArr, r.cast("int"))),
-          lit(0.0)) / lit(idcg)).as("ndcg"))
+          lit(0.0)) / element_at(pArr, col("n_ex").cast("int"))).as("ndcg"))
   }
 }

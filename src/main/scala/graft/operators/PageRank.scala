@@ -24,10 +24,10 @@ import org.apache.spark.sql.functions._
   * rollup, one anti-join rollup for dangling mass folded back through
   * a broadcast scalar — all shuffles on graph keys, nothing driver-
   * side but the plan. Each iteration's rank frame is cached and the
-  * previous one released: the plan stays ITERS-deep joins over a
-  * node-sized frame (linear growth — not the exponential self-join
-  * trap [[Dedup.groupPairs]] documents; a 50-iteration run should
-  * still localCheckpoint every ~10).
+  * previous one released, and every 10th iteration the frame is
+  * localCheckpoint'ed to a leaf — plan depth stays bounded by the
+  * cadence at any iteration count (linear growth between checkpoints —
+  * not the exponential self-join trap [[Dedup.groupPairs]] documents).
   *
   * Dangling nodes (no out-edges) donate their full rank uniformly,
   * the standard stochastic-matrix completion. Damping is the rational
@@ -71,8 +71,14 @@ object PageRank {
     // convenience). Heavier real-world weights should be
     // pre-normalized (ranks are scale-free in the weights).
     val wLimit = Long.MaxValue / scale
+    // col("w").isNull catches a non-null w0 whose LONG CAST nulls out
+    // (e.g. a non-numeric string weight): with w NULL every other
+    // predicate term evaluates NULL too, so without this term the row
+    // would never enter badEdges and SUM would silently skip it in the
+    // iterations — exactly the silent score change this probe forbids
     val badEdges = eAll.filter(
       col("src").isNull || col("dst").isNull || col("w0").isNull ||
+        col("w").isNull ||
         col("w") <= 0 || col("w") > wLimit ||
         col("w").cast("double") =!= col("w0").cast("double"))
       .limit(1).count()
@@ -109,47 +115,94 @@ object PageRank {
     // guarantee with it.
     val baseTerm = ((dampDen - dampNum) * base) / dampDen
     var ranks = Dedup.scopedCache(nodes.withColumn("rank", lit(base)))
-    for (_ <- 1 to iters) {
+    // Deep runs: the rank plan grows one join template per iteration
+    // (linear — not groupPairs' exponential self-join, but 50 stacked
+    // join trees still mean O(iters) analyzer/optimizer work per
+    // subsequent action). Every `ChkEvery` iterations the frame is
+    // localCheckpoint'ed to a leaf (clean rebuild over the persisted
+    // blocks — same cure and same Union-constraint caveat as
+    // [[Dedup.groupPairs]]), so plan depth is bounded by the cadence
+    // regardless of iters. The superseded checkpoint's blocks are
+    // released the moment the next eager checkpoint stops reading
+    // them; the LAST checkpoint's outlive the call (the returned frame
+    // reads them) and release at [[Dedup.scoped]] exit.
+    val ChkEvery = 10
+    var chkRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    for (iter <- 1 to iters) {
       val contrib = eW
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("(rank * w) div out_w").as("c"))
       val inc = contrib.groupBy("dst").agg(sum("c").as("in_r"))
-      // dangling mass: ranks of nodes with no out-edges, folded back
-      // as a broadcast 1-row scalar (stays one lazy plan; no driver
-      // round-trip per iteration)
       val joined = nodes.join(inc, col("node") === col("dst"), "left")
-      val next = Dedup.scopedCache(
-        if (hasDangling) {
-          val dang = ranks
-            .join(outW, col("node") === outW("src"), "left_anti")
+      // Shared update arithmetic — `shareSql` is either the broadcast
+      // column's `+ dang div n` or a precomputed literal share; the SQL
+      // tree is otherwise IDENTICAL across the two dangling paths, so
+      // they cannot drift (both are pinned against the plain-Scala
+      // replay in PageRankSpec, shallow and deep).
+      def update(df: DataFrame, shareSql: String): DataFrame =
+        df.select(
+          col("node"),
+          (lit(baseTerm) + expr(
+            s"($dampNum * (coalesce(in_r, CAST(0 AS BIGINT))$shareSql)) div $dampDen"))
+            .as("rank"))
+      val dangRanks = () => ranks
+        .join(outW, col("node") === outW("src"), "left_anti")
+      val nextPlan =
+        if (!hasDangling) update(joined, "")
+        else if (iters <= 5) {
+          // dangling mass: ranks of nodes with no out-edges, folded
+          // back as a broadcast 1-row scalar — stays one lazy plan (no
+          // driver round-trip per iteration). The scalar branch is a
+          // SECOND reference to `ranks`, so the logical plan DOUBLES
+          // per iteration; bounded here because shallow runs cap the
+          // exponent at 5 (≤32 templates). Deep runs must not take
+          // this path: at iteration ~10 the doubled tree's printed
+          // form (AQE re-renders it per stage update) reaches
+          // hundreds of MB and OOMs the driver — measured, not
+          // hypothetical.
+          val dang = dangRanks()
             .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
-          joined
-            .crossJoin(broadcast(dang))
-            .select(
-              col("node"),
-              (lit(baseTerm) + expr(
-                s"($dampNum * (coalesce(in_r, CAST(0 AS BIGINT)) + dang div $n)) div $dampDen"))
-                .as("rank"))
+          update(joined.crossJoin(broadcast(dang)), s" + dang div $n")
         } else {
-          joined.select(
-            col("node"),
-            (lit(baseTerm) + expr(
-              s"($dampNum * coalesce(in_r, CAST(0 AS BIGINT))) div $dampDen"))
-              .as("rank"))
-        })
-      // Deep runs: materialize the new frame, then release the
-      // superseded one — it is dead after this join, and at 50
-      // iterations on a web-scale node set, `iters` simultaneously-
-      // pinned node frames would evict every other cache on the
-      // cluster. Shallow runs skip the eager per-iteration job (the
-      // count costs ~40% wall on a 3-iteration graph, measured at
-      // sf0.1) and let the handful of frames release at scope exit.
-      if (iters > 5) {
-        next.count()
+          // Deep runs are already eager per iteration (the count/
+          // checkpoint below), so the laziness the broadcast form buys
+          // is gone — fetch the dangling scalar to the driver instead
+          // and embed its per-node share as a literal. One extra tiny
+          // job per iteration; plan growth stays LINEAR between
+          // checkpoints. Exact long arithmetic either way: `/` on
+          // non-negative longs in Scala ≡ SQL `div`.
+          val dangVal = dangRanks()
+            .agg(coalesce(sum("rank"), lit(0L)))
+            .head().getLong(0)
+          update(joined, s" + ${dangVal / n}")
+        }
+      if (iter % ChkEvery == 0) {
+        // lineage truncation (eager: materializes here, so no extra
+        // count). The createDataFrame hop rebuilds a CLEAN leaf over
+        // the checkpointed rows — see groupPairs on why the raw frame
+        // can trip stale-attribute rewrites downstream.
+        val chk = nextPlan.localCheckpoint(true)
         ranks.unpersist()
+        chkRdd.foreach(_.unpersist(false))
+        chkRdd = org.apache.spark.sql.GraftColumnShim.checkpointedRdd(chk)
+        ranks = chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
+      } else {
+        // Materialize the new frame, then release the superseded one —
+        // it is dead after this join, and at 50 iterations on a
+        // web-scale node set, `iters` simultaneously-pinned node frames
+        // would evict every other cache on the cluster. Shallow runs
+        // skip the eager per-iteration job (the count costs ~40% wall
+        // on a 3-iteration graph, measured at sf0.1) and let the
+        // handful of frames release at scope exit.
+        val next = Dedup.scopedCache(nextPlan)
+        if (iters > 5) {
+          next.count()
+          ranks.unpersist()
+        }
+        ranks = next
       }
-      ranks = next
     }
+    chkRdd.foreach(r => Dedup.scopedCleanup(() => r.unpersist(false)))
     ranks
   }
 

@@ -509,7 +509,13 @@ object EventQueries {
   def e14TimeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
     val w = Window.partitionBy("user_id").orderBy(asc("ts_us"), asc("event_id"))
+    // e13's null discipline: a null user_id group would sort NULLS
+    // FIRST in Spark but LAST in DuckDB on the final ORDER BY, and a
+    // null value would count in n_intervals/span_us while its product
+    // silently vanished from sum_vdt, biasing twa
     ev
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
       .withColumn("ts_us", Tables.tsUs(ev))
       .withColumn("v_c", Money.cents(col("value")))
       .withColumn("dt", lead("ts_us", 1).over(w) - col("ts_us"))
@@ -535,6 +541,7 @@ object EventQueries {
       |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
       |      - epoch_us(ts) AS dt
       |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
       |), agg AS (
       |  SELECT user_id, COUNT(*) AS n_intervals,
       |    SUM(CAST(dt AS HUGEINT)) AS sum_dt,

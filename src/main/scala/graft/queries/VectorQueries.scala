@@ -1083,7 +1083,10 @@ object VectorQueries {
     val k = 5
     val ws = Ann.ndcgDiscounts(k)
     val wsSql = ws.map(_.toString).mkString("[", ", ", "]")
-    val idcg = ws.sum.toString
+    // per-query IDCG: prefix-sum literal table indexed by the query's
+    // exact-list size, mirroring Ann.idcgTable — same doubles, same
+    // shortest-round-trip embedding
+    val psSql = Ann.idcgTable(k).map(_.toString).mkString("[", ", ", "]")
     val sim = s"${duckDot("q_emb", "b_emb")} / (${duckNorm("b_emb")} * ${duckNorm("q_emb")})"
     s"""WITH ${lshScoredCtes(bits = 4, tables = 6)},
        |approx AS (
@@ -1106,8 +1109,8 @@ object VectorQueries {
        |  FROM hitranks GROUP BY q_id
        |)
        |SELECT eq.q_id, CAST(COALESCE(agg.hits, 0) AS BIGINT) AS hits,
-       |  COALESCE(list_reduce([CAST(0 AS DOUBLE)] || list_transform(rs, r -> ($wsSql)[r]), (a, b) -> a + b), CAST(0 AS DOUBLE)) / $idcg AS ndcg
-       |FROM (SELECT DISTINCT q_id FROM exact) eq
+       |  COALESCE(list_reduce([CAST(0 AS DOUBLE)] || list_transform(rs, r -> ($wsSql)[r]), (a, b) -> a + b), CAST(0 AS DOUBLE)) / ($psSql)[eq.n_ex] AS ndcg
+       |FROM (SELECT q_id, CAST(COUNT(*) AS INT) AS n_ex FROM exact GROUP BY q_id) eq
        |LEFT JOIN agg ON agg.q_id = eq.q_id
        |ORDER BY eq.q_id""".stripMargin
   }

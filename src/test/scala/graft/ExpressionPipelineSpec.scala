@@ -947,5 +947,19 @@ class ExpressionPipelineSpec extends SparkSpecBase {
       rk(Seq((1L, 99L, 1))), rk(Seq((1L, 10L, 1), (4L, 40L, 1))), k = 2)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(got4 === Map(1L -> ((0L, 0.0)), 4L -> ((0L, 0.0))))
+    // IDCG is per query: an exact list SHORTER than k (1 entry, k=3)
+    // with a perfect approximate hit reaches exactly 1.0 — the old
+    // constant-IDCG normalization capped it at w(0)/Σw
+    val got5 = graft.operators.Ann.ndcgAtK(
+      rk(Seq((1L, 10L, 1), (1L, 98L, 2), (1L, 99L, 3))),
+      rk(Seq((1L, 10L, 1))), k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got5 === Map(1L -> ((1L, 1.0))))
+    // displaced hit against a short exact list: discount w(1), ideal w(0)
+    val got6 = graft.operators.Ann.ndcgAtK(
+      rk(Seq((2L, 99L, 1), (2L, 20L, 2))), rk(Seq((2L, 20L, 1))), k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val w3 = graft.operators.Ann.ndcgDiscounts(3)
+    assert(got6 === Map(2L -> ((1L, w3(1) / w3(0)))))
   }
 }

@@ -91,5 +91,37 @@ class PageRankSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       PageRank.pageRank(bad, col("src"), col("dst"), col("w"), 0)
     }
+    // a non-numeric STRING weight long-casts to NULL — every other
+    // probe term then evaluates NULL too, so only an explicit isNull
+    // term catches it before SUM silently skips the edge
+    val strW = Seq(("a", "b", "not-a-number"), ("b", "a", "2"))
+      .toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      PageRank.pageRank(strW, col("src"), col("dst"), col("w"), 2)
+    }
+  }
+
+  test("deep runs: 50 iterations match the replay; checkpoint cadence bounds the plan") {
+    val edges = Seq(
+      ("a", "b", 1L), ("a", "c", 3L), ("b", "c", 1L), ("c", "a", 1L),
+      ("c", "d", 2L), ("d2", "a", 1L)) // d dangling
+    // correctness through five checkpoint boundaries (10,20,30,40,50)
+    assert(run(edges, 50) === reference(edges, 50))
+    // plan depth is bounded by the cadence, not by iters: the frames 7
+    // iterations past their last checkpoint (17, 27) carry identical
+    // analyzed-plan node counts — the per-iteration join template over
+    // a checkpoint leaf — instead of growing with total iterations
+    def planNodes(iters: Int): Int = Dedup.scoped {
+      val df = edges.toDF("src", "dst", "w")
+      val r = PageRank.pageRank(df, col("src"), col("dst"), col("w"), iters)
+      r.collect() // materialize inside the scope (the scoped contract)
+      var n = 0
+      r.queryExecution.analyzed.foreach(_ => n += 1)
+      n
+    }
+    val at17 = planNodes(17)
+    val at27 = planNodes(27)
+    assert(at17 === at27,
+      s"plan grew across checkpoints: $at17 nodes at 17 iters vs $at27 at 27")
   }
 }
