@@ -242,14 +242,17 @@ object Xlsx {
       .replace("\"", "&quot;")
   }
 
-  /** Write a report-sized DataFrame as one .xlsx (inline strings; all
-    * values rendered with Spark's string representation). Driver-side by
-    * nature of the format — `maxRows` guards against misuse on big data.
+  /** Write a DataFrame as one .xlsx (inline strings; all values
+    * rendered with Spark's string representation). The format is
+    * single-file and driver-written by nature, but rows STREAM through
+    * `toLocalIterator` into the zip entry — one partition of the
+    * limited frame resident at a time, never a row-scale driver array.
+    * `maxRows` still bounds total output (a workbook is a report, not
+    * a data interchange format; Excel itself caps sheets at ~1M rows);
+    * past it the partial file is deleted and the write refuses loudly.
     */
   def write(df: DataFrame, path: String, header: Boolean = true, maxRows: Int = 1000000): Unit = {
     val names = df.columns
-    val collected = df.limit(maxRows + 1).collect()
-    require(collected.length <= maxRows, s"xlsx sink is for report-sized data (> $maxRows rows)")
     val target = new java.io.File(path.stripPrefix("file:"))
     Option(target.getParentFile).foreach(_.mkdirs()) // match Spark sink behavior
     val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(target)))
@@ -265,6 +268,7 @@ object Xlsx {
         // leading/trailing whitespace on load, corrupting padded values
         case v => s"""<c t="inlineStr"><is><t xml:space="preserve">${escXml(v)}</t></is></c>"""
       }.mkString + "</row>"
+    var ok = false
     try {
       entry("[Content_Types].xml",
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
@@ -289,17 +293,34 @@ object Xlsx {
           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
           |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
           |</Relationships>""".stripMargin)
-      val sb = new StringBuilder
-      sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-      sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+      val w = new java.io.OutputStreamWriter(zos, java.nio.charset.StandardCharsets.UTF_8)
+      w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
       var r = 1
-      if (header) { sb.append(rowXml(r, names.toSeq)); r += 1 }
-      collected.foreach { row =>
-        sb.append(rowXml(r, names.indices.map(i => if (row.isNullAt(i)) null else String.valueOf(row.get(i)))))
+      if (header) { w.write(rowXml(r, names.toSeq)); r += 1 }
+      // the limit caps what Spark computes; the iterator fetches one
+      // partition at a time, so the overflow check fires after at most
+      // one partition past the cap, not after a full collect
+      val it = df.limit(maxRows + 1).toLocalIterator()
+      var n = 0
+      while (it.hasNext) {
+        val row = it.next()
+        n += 1
+        if (n > maxRows)
+          throw new IllegalArgumentException(
+            s"requirement failed: xlsx sink is for report-sized data (> $maxRows rows)")
+        w.write(rowXml(r, names.indices.map(i => if (row.isNullAt(i)) null else String.valueOf(row.get(i)))))
         r += 1
       }
-      sb.append("</sheetData></worksheet>")
-      entry("xl/worksheets/sheet1.xml", sb.toString)
-    } finally zos.close()
+      w.write("</sheetData></worksheet>")
+      w.flush() // the writer wraps the zip stream: flush, never close
+      zos.closeEntry()
+      ok = true
+    } finally {
+      zos.close()
+      // never leave a half-written workbook behind a thrown overflow
+      if (!ok) { target.delete(): Unit }
+    }
   }
 }

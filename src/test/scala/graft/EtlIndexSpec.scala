@@ -53,6 +53,26 @@ class EtlIndexSpec extends SparkSpecBase {
     assert(rows.toSeq == Seq(("1", "alpha", "1.5"), ("2", "be<ta>&\"quoted\"", "2.0")))
   }
 
+  test("xlsx writer streams rows and refuses past maxRows (partial file deleted)") {
+    // a multi-partition frame larger than any single partition buffer:
+    // streams through toLocalIterator, never a row-scale driver array
+    val big = spark.range(0, 5000, 1, 7)
+      .selectExpr("id", "concat('row-', id) AS name")
+    val dir = tmp("xlsx-stream")
+    val okPath = s"$dir/ok.xlsx"
+    graft.etl.Xlsx.write(big, okPath, maxRows = 5000)
+    val back = graft.etl.Xlsx.read(spark, okPath)
+    assert(back.count() === 5000L)
+    assert(back.filter(col("id") === "4999").select("name").head.getString(0) === "row-4999")
+    // one row past the cap: loud refusal AND no half-written workbook
+    val badPath = s"$dir/bad.xlsx"
+    val err = intercept[IllegalArgumentException] {
+      graft.etl.Xlsx.write(big, badPath, maxRows = 4999)
+    }
+    assert(err.getMessage.contains("report-sized"))
+    assert(!new java.io.File(badPath).exists(), "partial workbook left behind")
+  }
+
   test("xlsx shared-strings and sparse numeric cells") {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val dir = tmp("xlsx-ss")
