@@ -36,9 +36,13 @@ import graft.serve.{HttpApi, Mcp}
   * graft audit scan --input DIR [--pipeline daily|forensic|process-scan|full]
   *       [--out DIR] [--report PATH]
   * graft audit findings --dir DIR [--limit N] [--severity S] [--domain D]
+  * graft audit baseline save --input DIR [--dir D]
+  * graft audit baseline show [--dir D]
+  * graft audit baseline clear [--dir D] [--yes]
   * graft report --dir DIR --out PATH [--title T] [--top N]
   * graft serve http --dir DIR [--port N]
   * graft serve mcp
+  * graft start --dir DIR [--port N] [--mcp] [--metrics-interval N]
   * }}}
   */
 object Cli {
@@ -56,9 +60,13 @@ object Cli {
       |  dups                   duplicate groups (and wasted-bytes report) from an index
       |  audit scan             parse tool outputs under a directory into findings
       |  audit findings         show saved findings (filter by severity/domain)
+      |  audit baseline save    capture collector state as the diff baseline
+      |  audit baseline show    newest-baseline metadata and per-category counts
+      |  audit baseline clear   delete saved baselines (requires --yes)
       |  report                 render the HTML findings report
       |  serve http             serve the monitoring/audit HTTP API
       |  serve mcp              serve the MCP filesystem tools over stdio
+      |  start                  run the composed agent (scheduler + metrics + http [+ mcp])
       |""".stripMargin
 
   def main(args: Array[String]): Unit =
@@ -214,6 +222,74 @@ object Cli {
             opts.getOrElse("--limit", "100").toInt)
           0
 
+        // `audit baseline` (reference cli.py:424-530): the baseline is
+        // a SAVED collector snapshot the next scan's diff compares
+        // against — managed as `baseline_*` sets in the same result
+        // store the scans use. Default dir matches the reference's
+        // `./data/audit/baselines`.
+        case "audit" :: "baseline" :: "save" :: rest =>
+          val (opts, _) = parse(rest).fold(m => throw new UsageException(m), identity)
+          val s = sparkF()
+          val dir = opts.getOrElse("--dir", "./data/audit/baselines")
+          out.println("Running collectors to capture system state...")
+          // collectors-only pipeline — the reference's baseline_capture
+          // (process_snapshot/service_auditor/network_mapper/
+          // persistence_auditor); our agreed scope parses their
+          // conventional snapshot files under --input
+          val (runRes, findings) = AuditScan.scan(s, req(opts, "--input"), "process-scan")
+          val captured = runRes.stages.filter(_.status == "completed").map(_.name)
+          if (captured.isEmpty) {
+            err.println("No data collected. Cannot save baseline.")
+            1
+          } else {
+            val p = ResultStore.save(findings, dir, "baseline", System.currentTimeMillis())
+            out.println(s"Baseline saved to $p")
+            out.println(s"Collectors captured: ${captured.mkString(", ")}")
+            0
+          }
+
+        case "audit" :: "baseline" :: "show" :: rest =>
+          val (opts, _) = parse(rest).fold(m => throw new UsageException(m), identity)
+          val dir = opts.getOrElse("--dir", "./data/audit/baselines")
+          ResultStore.list(dir, "baseline") match {
+            case Nil =>
+              out.println("No baseline found.")
+              out.println("Run 'graft audit baseline save' to create one.")
+              0
+            case all @ (newest :: _) =>
+              val s = sparkF()
+              val ts = newest.split('_').last.toLongOption.getOrElse(0L)
+              out.println("Current Baseline")
+              out.println("=" * 50)
+              out.println(s"  Path:       $newest")
+              out.println(s"  Modified:   ${java.time.Instant.ofEpochMilli(ts)}")
+              // per-category counts — the engine's findings carry the
+              // category as `domain`
+              val byDomain = s.read.json(newest).groupBy("domain").count()
+                .orderBy("domain")
+                .collect().map(r => s"${r.get(0)}=${r.getLong(1)}")
+              out.println(s"  Categories: ${byDomain.mkString(", ")}")
+              out.println(s"  Files:      ${all.size} baseline(s) on disk")
+              0
+          }
+
+        case "audit" :: "baseline" :: "clear" :: rest =>
+          val (opts, flags) = parse(rest, extraFlags = Set("--yes"))
+            .fold(m => throw new UsageException(m), identity)
+          val dir = opts.getOrElse("--dir", "./data/audit/baselines")
+          val n = ResultStore.list(dir, "baseline").size
+          if (n == 0) { out.println("No baselines to clear."); 0 }
+          else if (!flags.contains("--yes")) {
+            // click.confirm(abort=True) without a tty aborts: exit 1,
+            // nothing deleted
+            err.println(s"Delete $n baseline file(s) from $dir? pass --yes to confirm")
+            1
+          } else {
+            val removed = ResultStore.clear(dir, "baseline")
+            out.println(s"Removed $removed baseline file(s).")
+            0
+          }
+
         case "audit" :: "scan" :: rest =>
           val (opts, _) = parse(rest).fold(m => throw new UsageException(m), identity)
           val s = sparkF()
@@ -222,10 +298,14 @@ object Cli {
           // pin: the stage statuses already ran the plan shape; counts +
           // optional save + report below reuse one materialization
           val pinned = findings.cache()
-          // previous scan (the baseline) must load BEFORE this run's
-          // save appends to the same store
+          // the diff reference must load BEFORE this run's save appends
+          // to the same store; an explicitly SAVED baseline (`audit
+          // baseline save` into the same dir) wins over the rolling
+          // previous scan — the reference's BaselineDiffer likewise
+          // prefers its saved baseline file
           val prevScan = opts.get("--out")
-            .flatMap(dir => ResultStore.loadLatest(s, dir, "scan"))
+            .flatMap(dir => ResultStore.loadLatest(s, dir, "baseline")
+              .orElse(ResultStore.loadLatest(s, dir, "scan")))
           try {
             val total = pinned.count()
             runRes.stages.zipWithIndex.foreach { case (st, i) =>
@@ -311,6 +391,39 @@ object Cli {
               .map(_.split(java.io.File.pathSeparator).toSeq.filter(_.nonEmpty)),
             mode = opts.get("--mode"))
           new Mcp.McpServer(new Mcp.Tools(cfg)).serve(mcpIn, mcpOut)
+          0
+
+        // the reference's `python main.py start [--mcp]` (cli.py:38-64):
+        // one foreground command composing scheduler + metrics sampling
+        // + the HTTP API (+ the in-process MCP agent with --mcp), with
+        // clean shutdown on stdin EOF. All composition lives in
+        // serve.AgentRuntime; this verb is flags + lifetime.
+        case "start" :: rest =>
+          val (opts, flags) = parse(rest, extraFlags = Set("--mcp"))
+            .fold(m => throw new UsageException(m), identity)
+          val s = sparkF()
+          val mcpCfg =
+            if (flags.contains("--mcp"))
+              Some(Mcp.configFromEnv(
+                roots = opts.get("--allow")
+                  .map(_.split(java.io.File.pathSeparator).toSeq.filter(_.nonEmpty)),
+                mode = opts.get("--mode")))
+            else None
+          val handle = graft.serve.AgentRuntime.start(
+            s, req(opts, "--dir"),
+            port = opts.getOrElse("--port", "8080").toInt,
+            mcp = mcpCfg,
+            metricsIntervalSec = opts.getOrElse("--metrics-interval", "30").toInt)
+          out.println(s"agent running on port ${handle.port}" +
+            (if (mcpCfg.isDefined) " (mcp enabled)" else "") +
+            " (EOF on stdin stops)")
+          handle.mcpStatus.foreach(st =>
+            st.toSeq.sorted.foreach { case (k, v) => out.println(s"  mcp $k: $v") })
+          httpHook match {
+            case Some(hook) => try hook(handle.port) finally handle.stop()
+            case None =>
+              try { while (mcpIn.read() != -1) () } finally handle.stop()
+          }
           0
 
         case verb :: _ =>

@@ -48,4 +48,18 @@ object ResultStore {
       val ts = p.split('_').last.toLongOption.getOrElse(0L)
       ts -> spark.read.json(p)
     }
+
+  /** Delete every saved set for a prefix (the baseline-differ's
+    * `clear_baselines`); returns how many sets were removed. Each set
+    * is a JSON sink DIRECTORY, so removal walks depth-first.
+    */
+  def clear(dir: String, prefix: String): Int = {
+    val sets = list(dir, prefix)
+    sets.foreach { p =>
+      val walk = Files.walk(Paths.get(p))
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => { Files.delete(f): Unit })
+      finally walk.close()
+    }
+    sets.size
+  }
 }

@@ -151,6 +151,13 @@ final class HttpApi(
   private val MaxJobHistory = 1000
   private val MaxScanHistory = 200
 
+  /** Take one system-metrics sample into the bounded history — the
+    * scheduler-driven twin of the reference's periodic
+    * `_collect_metrics` task (monitoring.py:60-78), for callers
+    * (AgentRuntime) that sample on a cadence rather than per request.
+    */
+  def sampleMetrics(): Unit = { systemMetrics(): Unit }
+
   def registerJob(j: JobRecord): Unit = jobHistory.synchronized {
     jobHistory += j
     if (jobHistory.size > MaxJobHistory) jobHistory.remove(0, jobHistory.size - MaxJobHistory)

@@ -164,6 +164,76 @@ class CliSpec extends SparkSpecBase {
       .contains("No changes detected since last baseline."))
   }
 
+  test("cli: audit baseline save -> show -> scan diffs against it -> clear gates on --yes") {
+    val store = tmp("cli-base").toString
+    // save runs the collectors-only pipeline over the fixture snapshots
+    val (rcS, outS, _, _) = cli(Seq(
+      "audit", "baseline", "save", "--input", fixtures, "--dir", store))
+    assert(rcS == 0, s"save: $outS")
+    assert(outS.contains("Baseline saved to") && outS.contains("Collectors captured:"))
+    assert(outS.contains("tcp_connections"), s"collector list: $outS")
+
+    val (rcH, outH, _, _) = cli(Seq("audit", "baseline", "show", "--dir", store))
+    assert(rcH == 0 && outH.contains("Current Baseline"))
+    assert(outH.contains("Categories:") && outH.contains("1 baseline(s)"), outH)
+
+    // a scan with the SAME store diffs against the saved baseline even
+    // though no previous scan exists; identical fixture snapshots →
+    // clean baseline state in the report
+    val report = tmp("cli-base-rpt").resolve("r.html").toString
+    assert(cli(Seq("audit", "scan", "--input", fixtures,
+      "--pipeline", "process-scan", "--out", store, "--report", report))._1 == 0)
+    assert(Files.readString(Paths.get(report))
+      .contains("No changes detected since last baseline."),
+      "scan after baseline save must diff against the saved baseline")
+
+    // clear refuses without --yes (click confirm-abort: exit 1, keep data)
+    val (rcC, _, errC, _) = cli(Seq("audit", "baseline", "clear", "--dir", store))
+    assert(rcC == 1 && errC.contains("--yes"))
+    assert(cli(Seq("audit", "baseline", "show", "--dir", store))._2.contains("Current Baseline"))
+    val (rcY, outY, _, _) = cli(Seq("audit", "baseline", "clear", "--dir", store, "--yes"))
+    assert(rcY == 0 && outY.contains("Removed 1 baseline file(s)."))
+    assert(cli(Seq("audit", "baseline", "show", "--dir", store))._2.contains("No baseline found."))
+    // clearing an empty store is a friendly no-op, exit 0
+    val (rcE, outE, _, _) = cli(Seq("audit", "baseline", "clear", "--dir", store, "--yes"))
+    assert(rcE == 0 && outE.contains("No baselines to clear."))
+  }
+
+  test("cli: start composes scheduler + metrics + http + mcp; a scheduled tick lands in /jobs") {
+    val store = tmp("cli-start").toString
+    assert(cli(Seq("audit", "scan", "--input", fixtures, "--out", store))._1 == 0)
+    def get(port: Int, path: String): String = {
+      val c = URI.create(s"http://localhost:$port$path").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      try {
+        assert(c.getResponseCode == 200, s"$path -> ${c.getResponseCode}")
+        new String(c.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      } finally c.disconnect()
+    }
+    var sawTick = false
+    val (rc, out, _, _) = cli(
+      Seq("start", "--dir", store, "--port", "0", "--mcp", "--metrics-interval", "1"),
+      httpHook = Some { port =>
+        assert(get(port, "/health").contains("healthy"))
+        assert(get(port, "/jobs").contains("metrics_sampling")) // registered schedule
+        assert(get(port, "/audit/findings").contains("findings")) // store-backed data plane
+        // the 1s-interval job's first fire: only the scheduler loop
+        // registers JobRecords (ids "metrics-<ts>"), so seeing one
+        // proves a tick ran end-to-end
+        val deadline = System.currentTimeMillis() + 8000
+        while (!sawTick && System.currentTimeMillis() < deadline) {
+          sawTick = get(port, "/jobs").contains("\"job_id\":\"metrics-")
+          if (!sawTick) Thread.sleep(200)
+        }
+      })
+    assert(rc == 0, s"start: $out")
+    assert(out.contains("agent running on port") && out.contains("mcp enabled"))
+    assert(out.contains("mcp server_running: true"), s"mcp status: $out")
+    assert(sawTick, "no scheduled metrics tick observed within 8s")
+    val (rcU, _, errU, _) = cli(Seq("start")) // --dir required
+    assert(rcU == 2 && errU.contains("usage error"))
+  }
+
   test("cli: malformed numeric flag values exit 2 (usage), not 1") {
     val root = tmp("cli-num-root")
     Files.writeString(root.resolve("a.txt"), "x")
