@@ -251,12 +251,15 @@ object Cli {
         case "audit" :: "baseline" :: "show" :: rest =>
           val (opts, _) = parse(rest).fold(m => throw new UsageException(m), identity)
           val dir = opts.getOrElse("--dir", "./data/audit/baselines")
+          // headOption, not a :: pattern — list() returns Seq, whose
+          // concrete type is not contractually a List
           ResultStore.list(dir, "baseline") match {
-            case Nil =>
+            case all if all.isEmpty =>
               out.println("No baseline found.")
               out.println("Run 'graft audit baseline save' to create one.")
               0
-            case all @ (newest :: _) =>
+            case all =>
+              val newest = all.head
               val s = sparkF()
               val ts = newest.split('_').last.toLongOption.getOrElse(0L)
               out.println("Current Baseline")
