@@ -94,6 +94,29 @@ class TestdataContractSpec extends SparkSpecBase {
     assert(r.nonEmpty && r(0).getLong(0) > 0L, "-- Tables.tsUs broken on current events schema")
   }
 
+  test("testdata contract: tables are null-free (the null-ORDER divergence guard)") {
+    // Spark sorts NULLS FIRST on ASC, DuckDB NULLS LAST — a null in any
+    // column that reaches a final ORDER BY breaks the ordered-hash gate
+    // even when every VALUE matches. The oracle suite's null discipline
+    // (explicit IS NOT NULL filters where a query's semantics call for
+    // them, e.g. e13/e14) is verified against these fixtures, which are
+    // null-free BY GENERATION; if the driver ever regenerates testdata
+    // WITH nulls, this fails in seconds with a named column instead of
+    // as a wall of oracle hash mismatches.
+    import org.apache.spark.sql.functions.{col, count, when, lit}
+    for (table <- expected.keys.toSeq.sorted :+ "events") {
+      val df = Tables.t(spark, sfDir, table)
+      val counts = df.select(df.columns.map(c =>
+        count(when(col(c).isNull, lit(1))).as(c)).toSeq: _*).head()
+      val nullCols = df.columns.zipWithIndex.collect {
+        case (c, i) if counts.getLong(i) > 0 => s"$c=${counts.getLong(i)}"
+      }
+      assert(nullCols.isEmpty,
+        s"-- $table grew null cells (${nullCols.mkString(", ")}): audit " +
+          "every query ordering by these columns for cross-engine null order")
+    }
+  }
+
   test("SparkEntry registry: packs merge without key collisions; oracles ⊆ queries") {
     // the 8 query packs merge with ++ — a duplicate name between packs
     // would SILENTLY drop one query from the gate, shrinking coverage
