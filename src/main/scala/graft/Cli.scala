@@ -43,6 +43,8 @@ import graft.serve.{HttpApi, Mcp}
   * graft serve http --dir DIR [--port N]
   * graft serve mcp
   * graft start --dir DIR [--port N] [--mcp] [--metrics-interval N]
+  *       [--config PATH]   # flags > config.yaml (mcp.enabled,
+  *                         # monitoring.metrics_port/health_check_interval)
   * }}}
   */
 object Cli {
@@ -400,23 +402,33 @@ object Cli {
         // one foreground command composing scheduler + metrics sampling
         // + the HTTP API (+ the in-process MCP agent with --mcp), with
         // clean shutdown on stdin EOF. All composition lives in
-        // serve.AgentRuntime; this verb is flags + lifetime.
+        // serve.AgentRuntime; this verb is flags + config + lifetime.
         case "start" :: rest =>
           val (opts, flags) = parse(rest, extraFlags = Set("--mcp"))
             .fold(m => throw new UsageException(m), identity)
           val s = sparkF()
+          // reference precedence (cli.py:41-52 + agent.py:34-43):
+          // explicit flags > config.yaml > built-in defaults. With no
+          // --mcp flag, `mcp.enabled` in the config decides the agent
+          // flavor — exactly the reference's use_mcp=None branch.
+          val cfg = GraftConfig.loadOrDefaults(
+            Paths.get(opts.getOrElse("--config", "config.yaml")))
+          val mcpOn = flags.contains("--mcp") ||
+            cfg.getBoolean("mcp.enabled", default = false)
           val mcpCfg =
-            if (flags.contains("--mcp"))
+            if (mcpOn)
               Some(Mcp.configFromEnv(
                 roots = opts.get("--allow")
                   .map(_.split(java.io.File.pathSeparator).toSeq.filter(_.nonEmpty)),
-                mode = opts.get("--mode")))
+                mode = opts.get("--mode").orElse(cfg.get("mcp.security_mode"))))
             else None
           val handle = graft.serve.AgentRuntime.start(
             s, req(opts, "--dir"),
-            port = opts.getOrElse("--port", "8080").toInt,
+            port = opts.get("--port").map(_.toInt)
+              .getOrElse(cfg.getInt("monitoring.metrics_port", 8080)),
             mcp = mcpCfg,
-            metricsIntervalSec = opts.getOrElse("--metrics-interval", "30").toInt)
+            metricsIntervalSec = opts.get("--metrics-interval").map(_.toInt)
+              .getOrElse(cfg.getInt("monitoring.health_check_interval", 30)))
           out.println(s"agent running on port ${handle.port}" +
             (if (mcpCfg.isDefined) " (mcp enabled)" else "") +
             " (EOF on stdin stops)")

@@ -232,6 +232,20 @@ class CliSpec extends SparkSpecBase {
     assert(sawTick, "no scheduled metrics tick observed within 8s")
     val (rcU, _, errU, _) = cli(Seq("start")) // --dir required
     assert(rcU == 2 && errU.contains("usage error"))
+
+    // reference precedence (cli.py:41-52): no --mcp flag + config with
+    // mcp.enabled true → the MCP-flavored agent boots anyway
+    val cfg = tmp("cli-start-cfg").resolve("config.yaml")
+    Files.writeString(cfg,
+      """mcp:
+        |  enabled: true
+        |  security_mode: "permissive"
+        |""".stripMargin)
+    val (rcC, outC, _, _) = cli(
+      Seq("start", "--dir", store, "--port", "0", "--config", cfg.toString),
+      httpHook = Some { port => assert(get(port, "/health").contains("healthy")) })
+    assert(rcC == 0 && outC.contains("mcp enabled"), s"config-driven mcp: $outC")
+    assert(outC.contains("mcp security_mode: permissive"), outC)
   }
 
   test("cli: malformed numeric flag values exit 2 (usage), not 1") {
