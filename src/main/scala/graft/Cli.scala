@@ -428,7 +428,9 @@ object Cli {
               .getOrElse(cfg.getInt("monitoring.metrics_port", 8080)),
             mcp = mcpCfg,
             metricsIntervalSec = opts.get("--metrics-interval").map(_.toInt)
-              .getOrElse(cfg.getInt("monitoring.health_check_interval", 30)))
+              .getOrElse(cfg.getInt("monitoring.health_check_interval", 30)),
+            schedulerEnabled = cfg.getBoolean("scheduler.enabled", default = true),
+            maxConcurrent = cfg.getInt("scheduler.max_concurrent_jobs", 2))
           out.println(s"agent running on port ${handle.port}" +
             (if (mcpCfg.isDefined) " (mcp enabled)" else "") +
             " (EOF on stdin stops)")

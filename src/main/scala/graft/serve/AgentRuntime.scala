@@ -60,8 +60,11 @@ object AgentRuntime {
       port: Int = 8080,
       mcp: Option[Mcp.McpConfig] = None,
       metricsIntervalSec: Int = 30,
+      schedulerEnabled: Boolean = true,
+      maxConcurrent: Int = 2,
       tickMillis: Long = 200): Handle = {
     require(metricsIntervalSec >= 1, s"metrics interval must be >= 1s, got $metricsIntervalSec")
+    require(maxConcurrent >= 1, s"max concurrent jobs must be >= 1, got $maxConcurrent")
     val agent = mcp.map(cfg => McpAgent(cfg))
     val api = new HttpApi(
       spark,
@@ -70,18 +73,23 @@ object AgentRuntime {
       resultStore = Some((storeDir, "scan")),
       mcpTools = agent.map(_.tools))
     val bound = api.start(port)
+    // scheduler.enabled=false (agent.py:126) keeps the API up but runs
+    // no cadence jobs — /metrics still samples per request; /jobs shows
+    // the schedule as disabled so operators can see WHY nothing ticks
     api.registerScheduled(HttpApi.ScheduledJobRecord(
-      "metrics_sampling", s"interval:${metricsIntervalSec}s", enabled = true))
+      "metrics_sampling", s"interval:${metricsIntervalSec}s",
+      enabled = schedulerEnabled))
 
     val stopFlag = new AtomicBoolean(false)
     val loop = new Thread(() => {
       var jobs = Seq(Scheduler.arm(
         Scheduler.Job("metrics", "metrics_sampling",
-          Scheduler.IntervalSchedule(metricsIntervalSec.toLong)),
+          Scheduler.IntervalSchedule(metricsIntervalSec.toLong),
+          enabled = schedulerEnabled),
         LocalDateTime.now()))
       while (!stopFlag.get()) {
         val now = LocalDateTime.now()
-        val due = Scheduler.due(jobs, now)
+        val due = Scheduler.due(jobs, now, maxConcurrent = maxConcurrent)
         due.foreach { j =>
           val t0 = System.currentTimeMillis()
           // a failed sample must not kill the heartbeat thread — record

@@ -246,6 +246,22 @@ class CliSpec extends SparkSpecBase {
       httpHook = Some { port => assert(get(port, "/health").contains("healthy")) })
     assert(rcC == 0 && outC.contains("mcp enabled"), s"config-driven mcp: $outC")
     assert(outC.contains("mcp security_mode: permissive"), outC)
+
+    // scheduler.enabled=false (agent.py:126): API up, schedule visibly
+    // disabled, NO cadence jobs tick even past the 1s interval
+    val cfg2 = tmp("cli-start-cfg2").resolve("config.yaml")
+    Files.writeString(cfg2, "scheduler:\n  enabled: false\n")
+    val (rcD, _, _, _) = cli(
+      Seq("start", "--dir", store, "--port", "0", "--config", cfg2.toString,
+        "--metrics-interval", "1"),
+      httpHook = Some { port =>
+        val jobs0 = get(port, "/jobs")
+        assert(jobs0.contains("\"enabled\":false"), s"schedule not shown disabled: $jobs0")
+        Thread.sleep(2500) // two intervals — a tick would have landed
+        assert(!get(port, "/jobs").contains("\"job_id\":\"metrics-"),
+          "disabled scheduler must not run cadence jobs")
+      })
+    assert(rcD == 0)
   }
 
   test("cli: malformed numeric flag values exit 2 (usage), not 1") {
