@@ -6,7 +6,11 @@ import org.apache.spark.sql.functions._
 /** Fixed-iteration PageRank over a weighted directed edge list — the
   * link-graph authority score behind web-corpus quality weighting
   * (Page et al., "The PageRank Citation Ranking", 1999; Common-Crawl
-  * curation pipelines rank hosts exactly this way before sampling).
+  * curation pipelines rank hosts exactly this way before sampling) —
+  * plus its seeded variant, [[personalized]] (Haveliwala,
+  * "Topic-Sensitive PageRank", WWW 2002): teleport mass restricted to
+  * a trusted seed set, the propagation behind "quality radiates from
+  * vetted domains" curation scoring.
   *
   * ENTIRELY INTEGER ARITHMETIC, deliberately: ranks live in fixed-point
   * `scale` units and every per-edge contribution is `(rank·w) div
@@ -29,11 +33,15 @@ import org.apache.spark.sql.functions._
   * cadence at any iteration count (linear growth between checkpoints —
   * not the exponential self-join trap [[Dedup.groupPairs]] documents).
   *
-  * Dangling nodes (no out-edges) donate their full rank uniformly,
-  * the standard stochastic-matrix completion. Damping is the rational
-  * `dampNum/dampDen` (default 85/100) applied in integer form:
-  * `new = ((dampDen−dampNum)·base) div dampDen + (dampNum·(in +
-  * dangShare)) div dampDen` where `base = scale div N`.
+  * Dangling nodes (no out-edges) donate their full rank to the
+  * teleport distribution, the standard stochastic-matrix completion —
+  * uniform over all nodes for [[pageRank]], uniform over SEEDS for
+  * [[personalized]]. Damping is the rational `dampNum/dampDen`
+  * (default 85/100) applied in integer form: `new =
+  * ((dampDen−dampNum)·base) div dampDen + (dampNum·(in + dangShare))
+  * div dampDen` where `base = scale div N` (standard, every node) or
+  * `scale div |seeds|` (personalized, seeds only — non-seeds carry no
+  * teleport term at all).
   *
   * Input edges: (src, dst, w) with w ≥ 1; null endpoints and
   * non-positive weights are rejected loudly (a silent drop would
@@ -42,11 +50,14 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  def pageRank(
+  /** Validated, scope-cached graph frames shared by both variants. */
+  private final case class Graph(
+      nodes: DataFrame, outW: DataFrame, eW: DataFrame,
+      n: Long, hasDangling: Boolean)
+
+  private def prepare(
       edges: DataFrame, src: Column, dst: Column, w: Column,
-      iters: Int,
-      scale: Long = 1000000000000L,
-      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+      iters: Int, scale: Long, dampNum: Long, dampDen: Long): Graph = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
     require(dampDen > 0 && dampNum > 0 && dampNum < dampDen,
       s"damping must satisfy 0 < num < den, got $dampNum/$dampDen")
@@ -93,10 +104,6 @@ object PageRank {
         .distinct())
     val n = nodes.count()
     require(n >= 1, "pageRank: edge list is empty (no nodes)")
-    val base = scale / n
-    require(base >= 1,
-      s"pageRank: scale=$scale < n=$n nodes — every rank would quantize " +
-        "to 0; raise scale above the node count")
 
     // Per-src total out-weight, attached to the edges ONCE (reused by
     // every iteration's contribution join).
@@ -106,15 +113,33 @@ object PageRank {
     // none do (e.g. symmetrized graphs), the dangling term is
     // identically 0 and its per-iteration anti-join + broadcast-scalar
     // fold (≈6 stages/iteration) is pure overhead — skip it. Result-
-    // identical: `0 div n` contributes nothing to the update.
+    // identical: a zero dangling share contributes nothing.
     val hasDangling = outW.count() < n
+    Graph(nodes, outW, eW, n, hasDangling)
+  }
 
-    // All divisions below are integer `div` (SQL long division): `/`
-    // on longs is DOUBLE division in Spark, and rank·w reaches 1e18 —
-    // past 2^53, where doubles silently lose units and the replay
-    // guarantee with it.
-    val baseTerm = ((dampDen - dampNum) * base) / dampDen
-    var ranks = Dedup.scopedCache(nodes.withColumn("rank", lit(base)))
+  /** The shared iteration driver. `update(frame, shareSql)` builds one
+    * round's (node, rank) from `frame` = nodes⟕inc (plus the broadcast
+    * `dang` column when shareSql references it); `shareSql` is the
+    * dangling-share fragment spliced into the integer update tree — ""
+    * when the graph proves dangling-free, `shareBroadcast` (reads the
+    * lazy 1-row `dang` column) for shallow runs, `shareLiteral(total)`
+    * (a driver-fetched constant) for deep runs.
+    *
+    * All divisions in the update trees are integer `div` (SQL long
+    * division): `/` on longs is DOUBLE division in Spark, and rank·w
+    * reaches 1e18 — past 2^53, where doubles silently lose units and
+    * the replay guarantee with it.
+    *
+    * All caching / lineage policy lives here so every variant inherits
+    * the bounded-plan-depth guarantees (object doc; SCALE.md round-13).
+    */
+  private def loop(
+      g: Graph, nodes: DataFrame, init: DataFrame, iters: Int,
+      update: (DataFrame, String) => DataFrame,
+      shareBroadcast: String,
+      shareLiteral: Long => String): DataFrame = {
+    var ranks = Dedup.scopedCache(init)
     // Deep runs: the rank plan grows one join template per iteration
     // (linear — not groupPairs' exponential self-join, but 50 stacked
     // join trees still mean O(iters) analyzer/optimizer work per
@@ -129,26 +154,15 @@ object PageRank {
     val ChkEvery = 10
     var chkRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     for (iter <- 1 to iters) {
-      val contrib = eW
+      val contrib = g.eW
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("(rank * w) div out_w").as("c"))
       val inc = contrib.groupBy("dst").agg(sum("c").as("in_r"))
       val joined = nodes.join(inc, col("node") === col("dst"), "left")
-      // Shared update arithmetic — `shareSql` is either the broadcast
-      // column's `+ dang div n` or a precomputed literal share; the SQL
-      // tree is otherwise IDENTICAL across the two dangling paths, so
-      // they cannot drift (both are pinned against the plain-Scala
-      // replay in PageRankSpec, shallow and deep).
-      def update(df: DataFrame, shareSql: String): DataFrame =
-        df.select(
-          col("node"),
-          (lit(baseTerm) + expr(
-            s"($dampNum * (coalesce(in_r, CAST(0 AS BIGINT))$shareSql)) div $dampDen"))
-            .as("rank"))
       val dangRanks = () => ranks
-        .join(outW, col("node") === outW("src"), "left_anti")
+        .join(g.outW, col("node") === g.outW("src"), "left_anti")
       val nextPlan =
-        if (!hasDangling) update(joined, "")
+        if (!g.hasDangling) update(joined, "")
         else if (iters <= 5) {
           // dangling mass: ranks of nodes with no out-edges, folded
           // back as a broadcast 1-row scalar — stays one lazy plan (no
@@ -162,7 +176,7 @@ object PageRank {
           // hypothetical.
           val dang = dangRanks()
             .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
-          update(joined.crossJoin(broadcast(dang)), s" + dang div $n")
+          update(joined.crossJoin(broadcast(dang)), shareBroadcast)
         } else {
           // Deep runs are already eager per iteration (the count/
           // checkpoint below), so the laziness the broadcast form buys
@@ -174,7 +188,7 @@ object PageRank {
           val dangVal = dangRanks()
             .agg(coalesce(sum("rank"), lit(0L)))
             .head().getLong(0)
-          update(joined, s" + ${dangVal / n}")
+          update(joined, shareLiteral(dangVal))
         }
       if (iter % ChkEvery == 0) {
         // lineage truncation (eager: materializes here, so no extra
@@ -204,6 +218,94 @@ object PageRank {
     }
     chkRdd.foreach(r => Dedup.scopedCleanup(() => r.unpersist(false)))
     ranks
+  }
+
+  def pageRank(
+      edges: DataFrame, src: Column, dst: Column, w: Column,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    val g = prepare(edges, src, dst, w, iters, scale, dampNum, dampDen)
+    val base = scale / g.n
+    require(base >= 1,
+      s"pageRank: scale=$scale < n=${g.n} nodes — every rank would " +
+        "quantize to 0; raise scale above the node count")
+    val baseTerm = ((dampDen - dampNum) * base) / dampDen
+    // Shared update arithmetic — `shareSql` is either the broadcast
+    // column's `+ dang div n` or a precomputed literal share; the SQL
+    // tree is otherwise IDENTICAL across the dangling paths, so they
+    // cannot drift (both are pinned against the plain-Scala replay in
+    // PageRankSpec, shallow and deep).
+    def update(df: DataFrame, shareSql: String): DataFrame =
+      df.select(
+        col("node"),
+        (lit(baseTerm) + expr(
+          s"($dampNum * (coalesce(in_r, CAST(0 AS BIGINT))$shareSql)) div $dampDen"))
+          .as("rank"))
+    loop(g, g.nodes, g.nodes.withColumn("rank", lit(base)), iters, update,
+      shareBroadcast = s" + dang div ${g.n}",
+      shareLiteral = d => s" + ${d / g.n}")
+  }
+
+  /** Personalized (seeded) PageRank — teleport mass goes ONLY to
+    * `seeds` (uniformly), so scores measure proximity to the trusted
+    * set rather than global authority; dangling mass likewise returns
+    * to the seeds (the personalization vector IS the teleport
+    * distribution). Non-seed nodes carry no teleport term: a node
+    * unreachable from every seed scores exactly 0, which is the
+    * semantics curation wants ("no trust path, no trust").
+    *
+    * Seeds not present in the graph contribute nothing and are
+    * dropped from the seed count (a vetted domain with no observed
+    * links cannot radiate); an entirely-absent seed set is an error,
+    * as are null seed ids. Same integer fixed-point discipline and
+    * scale shape as [[pageRank]]; the seed flag rides the cached node
+    * frame, so the per-iteration plan grows by ONE boolean column, not
+    * an extra join.
+    */
+  def personalized(
+      edges: DataFrame, src: Column, dst: Column, w: Column,
+      seeds: DataFrame, seed: Column,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    val g = prepare(edges, src, dst, w, iters, scale, dampNum, dampDen)
+    val sAll = Dedup.scopedCache(seeds.select(seed.as("node")).distinct())
+    // null seeds rejected loudly — the same silent-drop argument as
+    // edge endpoints (an equi-join would just lose them)
+    require(sAll.filter(col("node").isNull).limit(1).count() == 0,
+      "personalized: seed set contains null ids")
+    val sIn = Dedup.scopedCache(sAll.join(g.nodes, Seq("node"), "left_semi"))
+    val nS = sIn.count()
+    require(nS >= 1,
+      "personalized: no seed appears in the graph (check id formatting)")
+    val seedBase = scale / nS
+    require(seedBase >= 1,
+      s"personalized: scale=$scale < $nS seeds — seed mass would " +
+        "quantize to 0; raise scale above the seed count")
+    val seedTerm = ((dampDen - dampNum) * seedBase) / dampDen
+    val nodesSeeded = Dedup.scopedCache(
+      g.nodes
+        .join(sIn.withColumn("is_seed", lit(true)), Seq("node"), "left")
+        .withColumn("is_seed", coalesce(col("is_seed"), lit(false))))
+    val init = nodesSeeded.select(
+      col("node"),
+      when(col("is_seed"), lit(seedBase)).otherwise(lit(0L)).as("rank"))
+    // seeds get teleport + damped (in + dangling share over SEEDS);
+    // non-seeds get only the damped in-flow — the exact tree the
+    // personalizedOracleCtes CASE replays
+    def update(df: DataFrame, shareSql: String): DataFrame =
+      df.select(
+        col("node"),
+        when(col("is_seed"),
+          lit(seedTerm) + expr(
+            s"($dampNum * (coalesce(in_r, CAST(0 AS BIGINT))$shareSql)) div $dampDen"))
+          .otherwise(expr(
+            s"($dampNum * coalesce(in_r, CAST(0 AS BIGINT))) div $dampDen"))
+          .as("rank"))
+    loop(g, nodesSeeded, init, iters, update,
+      shareBroadcast = s" + dang div $nS",
+      shareLiteral = d => s" + ${d / nS}")
   }
 
   /** The SQL replay of [[pageRank]] as chained CTEs — one CTE per
@@ -240,6 +342,56 @@ object PageRank {
          |        + (SELECT dang FROM dang$i) // (SELECT n FROM consts))) // $dampDen
          |    AS rank
          |  FROM nodes n LEFT JOIN inc$i i ON i.dst = n.node
+         |)""".stripMargin
+    }
+    (head +: iterCtes).mkString(",\n")
+  }
+
+  /** The SQL replay of [[personalized]] — same chained-CTE shape as
+    * [[oracleCtes]] with the teleport CASE split on seed membership.
+    * `seedsCte` is a complete SELECT producing one column `node`
+    * (duplicates and off-graph ids are dropped exactly as the
+    * operator drops them); the caller appends a final SELECT over
+    * `r{iters}(node, rank)`.
+    */
+  def personalizedOracleCtes(
+      edgesCte: String, seedsCte: String, iters: Int,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): String = {
+    val head =
+      s"""$edgesCte,
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |seedset AS (SELECT DISTINCT q.node FROM ($seedsCte) q JOIN nodes USING (node)),
+         |consts AS (SELECT COUNT(*) AS ns, CAST($scale AS BIGINT) // COUNT(*) AS sbase FROM seedset),
+         |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+         |r0 AS (
+         |  SELECT n.node,
+         |    CASE WHEN s.node IS NOT NULL THEN (SELECT sbase FROM consts)
+         |         ELSE CAST(0 AS BIGINT) END AS rank
+         |  FROM nodes n LEFT JOIN seedset s ON s.node = n.node
+         |)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""inc$i AS (
+         |  SELECT e.dst, CAST(SUM((r.rank * e.w) // o.out_w) AS BIGINT) AS in_r
+         |  FROM edges e JOIN $p r ON e.src = r.node JOIN outw o ON o.src = e.src
+         |  GROUP BY e.dst
+         |),
+         |dang$i AS (
+         |  SELECT COALESCE(CAST(SUM(rank) AS BIGINT), 0) AS dang FROM $p
+         |  WHERE node NOT IN (SELECT src FROM outw)
+         |),
+         |r$i AS (
+         |  SELECT n.node,
+         |    CASE WHEN s.node IS NOT NULL
+         |      THEN ((${dampDen - dampNum} * (SELECT sbase FROM consts)) // $dampDen)
+         |        + ($dampNum * (COALESCE(i.in_r, 0)
+         |            + (SELECT dang FROM dang$i) // (SELECT ns FROM consts))) // $dampDen
+         |      ELSE ($dampNum * COALESCE(i.in_r, 0)) // $dampDen
+         |    END AS rank
+         |  FROM nodes n
+         |  LEFT JOIN inc$i i ON i.dst = n.node
+         |  LEFT JOIN seedset s ON s.node = n.node
          |)""".stripMargin
     }
     (head +: iterCtes).mkString(",\n")

@@ -761,7 +761,12 @@ object RelationalQueries {
     * graph-sized frames. The oracle replays all three iterations as
     * chained CTEs with identical floor-division arithmetic.
     */
-  def g01Pagerank(s: SparkSession, dir: String): DataFrame = {
+  /** The customer↔supplier trade graph shared by g01/g02: order-line
+    * volume as edge weight, both directions (the bipartite relation
+    * made ergodic). The heavy distributed work is this edge rollup
+    * over the fact join; iterations then run on graph-sized frames.
+    */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
       .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
@@ -769,29 +774,57 @@ object RelationalQueries {
         concat(lit("c:"), col("o_custkey")).as("cn"),
         concat(lit("s:"), col("l_suppkey")).as("sn"))
       .agg(count(lit(1)).as("w"))
-    val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"), col("w"))
+    pairs.select(col("cn").as("src"), col("sn").as("dst"), col("w"))
       .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst"), col("w")))
+  }
+
+  private val tradeEdgesCte: String =
+    """WITH pairs AS (
+      |  SELECT 'c:' || o_custkey AS cn, 's:' || l_suppkey AS sn,
+      |    CAST(COUNT(*) AS BIGINT) AS w
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2
+      |),
+      |edges AS (
+      |  SELECT cn AS src, sn AS dst, w FROM pairs
+      |  UNION ALL
+      |  SELECT sn, cn, w FROM pairs
+      |)""".stripMargin
+
+  def g01Pagerank(s: SparkSession, dir: String): DataFrame =
     graft.operators.PageRank
-      .pageRank(edges, col("src"), col("dst"), col("w"), iters = 3)
+      .pageRank(tradeEdges(s, dir), col("src"), col("dst"), col("w"), iters = 3)
+      .orderBy("node")
+
+  val g01Oracle: String =
+    graft.operators.PageRank.oracleCtes(tradeEdgesCte, iters = 3) +
+      "\nSELECT node, rank FROM r3 ORDER BY node"
+
+  /** Personalized PageRank over the same trade graph
+    * ([[graft.operators.PageRank.personalized]], 3 iterations, d=0.85):
+    * teleport mass restricted to the BUILDING-segment customers — the
+    * seeded-trust propagation behind "quality radiates from vetted
+    * sources" corpus weighting (Haveliwala, WWW 2002). Nodes with no
+    * trust path from any seed score exactly 0; the oracle replays the
+    * seed CASE, the seed-restricted teleport/dangling shares, and all
+    * three iterations with identical floor-division arithmetic.
+    */
+  def g02PprSeeded(s: SparkSession, dir: String): DataFrame = {
+    val seeds = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(concat(lit("c:"), col("c_custkey")).as("node"))
+    graft.operators.PageRank
+      .personalized(tradeEdges(s, dir), col("src"), col("dst"), col("w"),
+        seeds, col("node"), iters = 3)
       .orderBy("node")
   }
 
-  val g01Oracle: String = {
-    val edgesCte =
-      """WITH pairs AS (
-        |  SELECT 'c:' || o_custkey AS cn, 's:' || l_suppkey AS sn,
-        |    CAST(COUNT(*) AS BIGINT) AS w
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  GROUP BY 1, 2
-        |),
-        |edges AS (
-        |  SELECT cn AS src, sn AS dst, w FROM pairs
-        |  UNION ALL
-        |  SELECT sn, cn, w FROM pairs
-        |)""".stripMargin
-    graft.operators.PageRank.oracleCtes(edgesCte, iters = 3) +
+  val g02Oracle: String =
+    graft.operators.PageRank.personalizedOracleCtes(
+      tradeEdgesCte,
+      "SELECT 'c:' || c_custkey AS node FROM customer WHERE c_mktsegment = 'BUILDING'",
+      iters = 3) +
       "\nSELECT node, rank FROM r3 ORDER BY node"
-  }
 
   /** Winsorization — clamp a measure to its per-group [p10, p90] band
     * (exact `percentile_disc` values, c07's ordered-set aggregate) and
@@ -1197,6 +1230,7 @@ object RelationalQueries {
     "q40_revenue_share" -> (q40RevenueShare _),
     "q41_skyline" -> (q41Skyline _),
     "g01_pagerank" -> (g01Pagerank _),
+    "g02_ppr_seeded" -> (g02PprSeeded _),
     "q42_boxplot" -> (q42Boxplot _),
     "q34_cube" -> (q34Cube _),
     "q22_kmv_distinct" -> (q22KmvDistinct _),
@@ -1240,6 +1274,7 @@ object RelationalQueries {
     "q40_revenue_share" -> q40Oracle,
     "q41_skyline" -> q41Oracle,
     "g01_pagerank" -> g01Oracle,
+    "g02_ppr_seeded" -> g02Oracle,
     "q42_boxplot" -> q42Oracle,
     "q34_cube" -> q34Oracle,
     "q22_kmv_distinct" -> q22Oracle,

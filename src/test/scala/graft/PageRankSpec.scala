@@ -40,11 +40,49 @@ class PageRankSpec extends SparkSpecBase {
     rank
   }
 
+  /** Plain-Scala replay of [[PageRank.personalized]]'s exact
+    * arithmetic: teleport + dangling mass over the seed set only.
+    */
+  private def referencePpr(
+      edges: Seq[(String, String, Long)], seeds: Set[String],
+      iters: Int): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val sIn = nodes.filter(seeds.contains).toSet
+    val nS = sIn.size.toLong
+    val sBase = Scale / nS
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var rank = nodes.map(v => v -> (if (sIn(v)) sBase else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = edges
+        .groupBy(_._2)
+        .map { case (d, es) =>
+          d -> es.map { case (s, _, w) => rank(s) * w / outW(s) }.sum
+        }
+      val dang = nodes.filterNot(outW.contains).map(rank).sum
+      rank = nodes.map { v =>
+        v -> (if (sIn(v))
+          (100 - 85) * sBase / 100 +
+            85 * (in.getOrElse(v, 0L) + dang / nS) / 100
+        else 85 * in.getOrElse(v, 0L) / 100)
+      }.toMap
+    }
+    rank
+  }
+
   private def run(
       edges: Seq[(String, String, Long)], iters: Int,
       nPart: Int = 4): Map[String, Long] = Dedup.scoped {
     val df = edges.toDF("src", "dst", "w").repartition(nPart)
     PageRank.pageRank(df, col("src"), col("dst"), col("w"), iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  private def runPpr(
+      edges: Seq[(String, String, Long)], seeds: Seq[String],
+      iters: Int, nPart: Int = 4): Map[String, Long] = Dedup.scoped {
+    val df = edges.toDF("src", "dst", "w").repartition(nPart)
+    PageRank.personalized(df, col("src"), col("dst"), col("w"),
+        seeds.toDF("node"), col("node"), iters)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
@@ -98,6 +136,37 @@ class PageRankSpec extends SparkSpecBase {
       .toDF("src", "dst", "w")
     intercept[IllegalArgumentException] {
       PageRank.pageRank(strW, col("src"), col("dst"), col("w"), 2)
+    }
+  }
+
+  test("personalized: seeded replay match; no-trust-path nodes score exactly 0") {
+    // d dangling (returns mass to SEEDS); x→y is a component with no
+    // path from any seed
+    val edges = Seq(
+      ("a", "b", 1L), ("a", "c", 3L), ("b", "c", 1L), ("c", "a", 1L),
+      ("b", "d", 2L), ("x", "y", 1L))
+    val seeds = Seq("a", "b", "zzz-not-in-graph") // off-graph seed dropped
+    for (iters <- Seq(1, 3, 5)) {
+      val got = runPpr(edges, seeds, iters)
+      assert(got === referencePpr(edges, Set("a", "b"), iters), s"iters=$iters")
+      assert(got("x") === 0L && got("y") === 0L,
+        "nodes unreachable from every seed must score exactly 0")
+    }
+    // determinism across partitionings, same as the standard variant
+    assert(runPpr(edges, seeds, 3, nPart = 1) === runPpr(edges, seeds, 3, nPart = 7))
+    // deep run through checkpoint boundaries exercises the literal-share path
+    assert(runPpr(edges, seeds, 12) === referencePpr(edges, Set("a", "b"), 12))
+  }
+
+  test("personalized: null seeds and seed sets disjoint from the graph are rejected") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      PageRank.personalized(edges, col("src"), col("dst"), col("w"),
+        Seq("nope").toDF("node"), col("node"), 2)
+    }
+    intercept[IllegalArgumentException] {
+      PageRank.personalized(edges, col("src"), col("dst"), col("w"),
+        Seq(Option.empty[String], Some("a")).toDF("node"), col("node"), 2)
     }
   }
 

@@ -144,10 +144,10 @@ class TestdataContractSpec extends SparkSpecBase {
     // the committed gate size, pinned: STATUS.md's Gates block and the
     // driver's CORRECTNESS artifact both claim this number — a query
     // added or retired without updating the docs fails HERE, not in a
-    // future audit. (q29 and t21 are retired numbering holes — see
-    // STATUS.md — so the count is not max-index arithmetic.)
-    assert(merged.size == 155,
-      s"query registry holds ${merged.size} entries, docs claim 155 -- " +
+    // future audit. (q29 and t21 were never assigned — see STATUS.md —
+    // so the count is not max-index arithmetic.)
+    assert(merged.size == 156,
+      s"query registry holds ${merged.size} entries, docs claim 156 -- " +
         "update STATUS.md Gates + this pin together")
   }
 }
