@@ -158,6 +158,19 @@ class PageRankSpec extends SparkSpecBase {
     assert(runPpr(edges, seeds, 12) === referencePpr(edges, Set("a", "b"), 12))
   }
 
+  test("personalized: randomized graphs match the replay across partitionings") {
+    val rnd = new scala.util.Random(17)
+    val edges = (1 to 140).map { _ =>
+      (s"n${rnd.nextInt(30)}", s"n${rnd.nextInt(30)}", 1L + rnd.nextInt(7))
+    }.distinct.map(e => (e._1, e._2, e._3.toLong))
+    val present = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val seeds = present.take(5) // deterministic: distinct preserves order
+    val a = runPpr(edges, seeds, 3, nPart = 1)
+    val b = runPpr(edges, seeds, 3, nPart = 11)
+    assert(a === b)
+    assert(a === referencePpr(edges, seeds.toSet, 3))
+  }
+
   test("personalized: null seeds and seed sets disjoint from the graph are rejected") {
     val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
     intercept[IllegalArgumentException] {
