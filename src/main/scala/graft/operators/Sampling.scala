@@ -259,6 +259,110 @@ object Sampling {
       .drop("__skey", "__bkt", "__rn1", "__rn2")
   }
 
+  /** Per-source integer sampling thresholds that hit an explicit
+    * TARGET MIXTURE under a token budget — the recipe step LLM
+    * pipelines run when the mix is prescribed ("50% web, 30% wiki,
+    * 20% books of a 1T-token budget") rather than derived from counts
+    * ([[temperatureMix]] owns that case). For each recipe source:
+    * target tokens `D_s = (wNum_s·budget) div wDen_s`, and the
+    * acceptance threshold `min(M, (D_s·M) div T_s)` over the observed
+    * available tokens `T_s` — i.e. the exact integer form of rate
+    * `min(1, D_s/T_s)`, floor semantics throughout, so an oracle
+    * replays every threshold from the same aggregates. A recipe
+    * source absent from the corpus yields threshold 0 (visible
+    * shortfall, never a crash); weights are exact RATIONALS and must
+    * sum to exactly 1 (BigInt cross-multiplication — doubles would
+    * make "sums to 1" flap at the boundary).
+    *
+    * Driver-side on ≤ recipe-size inputs; BigInt internally, so
+    * `budget·M` cannot overflow at real corpus scale (2.5e13 tokens ×
+    * 1e6 is past Long.Max — measured-class bug, not hypothetical).
+    *
+    * Returns (source, tTarget, threshold) in recipe order.
+    */
+  def mixtureThresholds(
+      availTokens: Map[String, Long],
+      weights: Seq[(String, (Long, Long))],
+      budgetTokens: Long): Seq[(String, Long, Long)] = {
+    require(weights.nonEmpty, "mixture recipe is empty")
+    require(budgetTokens >= 1, s"token budget must be >= 1, got $budgetTokens")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate sources in the mixture recipe: ${weights.map(_._1).mkString(", ")}")
+    weights.foreach { case (s, (num, den)) =>
+      require(num >= 0 && den > 0,
+        s"weight for $s must be a non-negative rational with positive " +
+          s"denominator, got $num/$den")
+    }
+    // Σ num_i/den_i == 1 exactly ⇔ Σ num_i·(L/den_i) == L for the
+    // common multiple L = Π den_i (BigInt — no overflow, no rounding)
+    val l = weights.map(w => BigInt(w._2._2)).product
+    val sum = weights.map { case (_, (num, den)) => BigInt(num) * (l / den) }.sum
+    require(sum == l,
+      s"mixture weights must sum to exactly 1, got $sum/$l")
+    weights.map { case (s, (num, den)) =>
+      val tTarget = (BigInt(num) * budgetTokens / den).toLong
+      val tAvail = availTokens.getOrElse(s, 0L)
+      require(tAvail >= 0, s"negative available tokens for $s: $tAvail")
+      val thr =
+        if (tAvail == 0L) 0L
+        else (BigInt(tTarget) * Modulus / tAvail).min(BigInt(Modulus)).toLong
+      (s, tTarget, thr)
+    }
+  }
+
+  /** Observed per-source token totals for [[mixtureThresholds]] — one
+    * aggregate over the recipe-filtered corpus, ≤ recipe-size driver
+    * rows. Null or negative token counts among recipe rows are
+    * rejected loudly IN THE SAME PASS (sum would silently skip nulls,
+    * under-counting T_s and over-sampling the source).
+    */
+  def mixtureAvail(
+      df: DataFrame, source: Column, tokens: Column,
+      recipeSources: Seq[String]): Map[String, Long] = {
+    val rows = df
+      .filter(source.isin(recipeSources: _*))
+      .groupBy(source.as("__src"))
+      .agg(
+        sum(tokens.cast("long")).as("__t"),
+        count(when(tokens.isNull || tokens < 0, lit(1))).as("__bad"))
+      .collect()
+    val bad = rows.filter(_.getLong(2) > 0).map(_.getString(0))
+    require(bad.isEmpty,
+      s"null/negative token counts in recipe source(s): ${bad.sorted.mkString(", ")}")
+    rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** The sampled rows for a mixture recipe: hash-threshold membership
+    * (`sampleKey(id) < threshold_source`), deterministic and
+    * retry-stable like every draw in this module. Rows from sources
+    * outside the recipe are excluded BY the recipe (that is what a
+    * prescribed mix means); the summary shape belongs to the caller
+    * (c21 reports target/available/kept per source).
+    */
+  def mixtureSample(
+      df: DataFrame, source: Column, id: Column, tokens: Column,
+      weights: Seq[(String, (Long, Long))],
+      budgetTokens: Long, salt: String): DataFrame =
+    mixtureSampleAt(df, source, id,
+      mixtureThresholds(
+        mixtureAvail(df, source, tokens, weights.map(_._1)),
+        weights, budgetTokens),
+      salt)
+
+  /** The membership primitive behind [[mixtureSample]], split out so a
+    * caller that already computed the thresholds (c21 reports them in
+    * its summary) does not pay the availability aggregate twice.
+    */
+  def mixtureSampleAt(
+      df: DataFrame, source: Column, id: Column,
+      thresholds: Seq[(String, Long, Long)], salt: String): DataFrame = {
+    val thrCol = thresholds.foldLeft(lit(0L)) { case (acc, (s, _, thr)) =>
+      when(source === lit(s), lit(thr)).otherwise(acc)
+    }
+    df.filter(source.isin(thresholds.map(_._1): _*))
+      .filter(sampleKey(id, salt) < thrCol)
+  }
+
   /** Integer band upper bounds for [[assignSplits]]:
     * cum_i = floor(M · (w_1+…+w_i)/Σw), with the last bound forced to
     * M so the bands tile the whole key space. Exposed so an oracle twin

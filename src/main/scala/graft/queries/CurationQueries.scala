@@ -964,6 +964,95 @@ object CurationQueries {
     * share is one double division of exact longs over a window on the
     * already-aggregated frame.
     */
+  /** c21 recipe: exact rational weights summing to 1; src3 is
+    * deliberately over-asked (its target exceeds the corpus's supply →
+    * threshold caps at M, a visible shortfall), src99 does not exist
+    * (threshold 0, zero row — the recipe reports it rather than
+    * crashing or silently renormalizing).
+    */
+  private val c21Weights: Seq[(String, (Long, Long))] = Seq(
+    "src0" -> ((1L, 10L)), "src2" -> ((3L, 10L)),
+    "src3" -> ((11L, 20L)), "src99" -> ((1L, 20L)))
+  private val c21Budget = 3000L
+
+  /** Budget-constrained mixture sampling
+    * ([[graft.operators.Sampling.mixtureThresholds]]): prescribe the
+    * mix as exact rational weights of a token budget, derive each
+    * source's integer acceptance threshold from its OBSERVED token
+    * supply, and report per source target / available / threshold /
+    * kept — the recipe step run when the mixture is a spec ("50% web,
+    * 30% wiki...") rather than a count-derived temperature (c12/c04).
+    * One availability aggregate + one membership filter; thresholds
+    * are floor-division integers the oracle re-derives from the same
+    * sums, and the hash membership is the shared sampleKey replay.
+    */
+  def c21MixtureBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select(col("doc_id"), col("source"),
+      Text.tokenCount(col("text")).cast("long").as("n_toks"))
+    val avail = graft.operators.Sampling.mixtureAvail(
+      d, col("source"), col("n_toks"), c21Weights.map(_._1))
+    val thrs = graft.operators.Sampling.mixtureThresholds(
+      avail, c21Weights, c21Budget)
+    val kept = graft.operators.Sampling.mixtureSampleAt(
+      d, col("source"), col("doc_id"), thrs, salt = "mixw1")
+    val keptAgg = kept.groupBy("source").agg(
+      count(lit(1)).as("n_kept"), sum("n_toks").as("t_kept"))
+    val recipe = thrs
+      .map { case (src, tT, thr) => (src, avail.getOrElse(src, 0L), tT, thr) }
+      .toDF("source", "t_avail", "t_target", "threshold")
+    // recipe-size × kept-rollup join: broadcast both ways trivially
+    broadcast(recipe).join(keptAgg, Seq("source"), "left")
+      .select(col("source"), col("t_avail"), col("t_target"), col("threshold"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("t_kept"), lit(0L)).as("t_kept"))
+      .orderBy("source")
+  }
+
+  val c21Oracle: String = {
+    val h = DuckOracle.h60("'mixw1:' || CAST(t.doc_id AS VARCHAR)")
+    val vals = c21Weights
+      .map { case (s, (num, den)) =>
+        s"('$s', CAST($num AS BIGINT), CAST($den AS BIGINT))" }
+      .mkString(", ")
+    val srcList = c21Weights.map(w => s"'${w._1}'").mkString(", ")
+    val nToks = s"CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = '' THEN 0 ELSE len($duckToksRaw) END"
+    s"""WITH recipe(source, wnum, wden) AS (VALUES $vals),
+       |toks AS (
+       |  SELECT doc_id, source, $nToks AS n_toks
+       |  FROM documents WHERE source IN ($srcList)
+       |),
+       |avail AS (
+       |  SELECT r.source, r.wnum, r.wden,
+       |    COALESCE(CAST(SUM(t.n_toks) AS BIGINT), 0) AS t_avail
+       |  FROM recipe r LEFT JOIN toks t ON t.source = r.source
+       |  GROUP BY r.source, r.wnum, r.wden
+       |),
+       |thr AS (
+       |  SELECT source, t_avail,
+       |    CAST((CAST(wnum AS HUGEINT) * $c21Budget) // wden AS BIGINT) AS t_target,
+       |    CAST(CASE WHEN t_avail = 0 THEN 0
+       |      ELSE LEAST(CAST(1000000 AS HUGEINT),
+       |        (((CAST(wnum AS HUGEINT) * $c21Budget) // wden) * 1000000) // t_avail)
+       |      END AS BIGINT) AS threshold
+       |  FROM avail
+       |),
+       |kept AS (
+       |  SELECT t.source, t.n_toks FROM toks t JOIN thr ON thr.source = t.source
+       |  WHERE $h % 1000000 < thr.threshold
+       |),
+       |k AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    CAST(SUM(n_toks) AS BIGINT) AS t_kept
+       |  FROM kept GROUP BY source
+       |)
+       |SELECT thr.source, thr.t_avail, thr.t_target, thr.threshold,
+       |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(COALESCE(k.t_kept, 0) AS BIGINT) AS t_kept
+       |FROM thr LEFT JOIN k ON k.source = thr.source
+       |ORDER BY thr.source""".stripMargin
+  }
+
   def c19SplitProfile(s: SparkSession, dir: String): DataFrame = {
     val assigned = graft.operators.Sampling.assignSplits(
       docs(s, dir).select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_toks")),
@@ -1065,6 +1154,7 @@ object CurationQueries {
       |ORDER BY r.lang, c.source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c21_mixture_budget" -> (c21MixtureBudget _),
     "c20_lang_source_chisq" -> (c20LangSourceChisq _),
     "c19_split_profile" -> (c19SplitProfile _),
     "c18_quota_cap" -> (c18QuotaCap _),
@@ -1090,6 +1180,7 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "c21_mixture_budget" -> c21Oracle,
     "c20_lang_source_chisq" -> c20Oracle,
     "c19_split_profile" -> c19Oracle,
     "c18_quota_cap" -> c18Oracle,

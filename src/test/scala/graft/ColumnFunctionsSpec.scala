@@ -819,6 +819,56 @@ class ColumnFunctionsSpec extends SparkSpecBase {
       .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap == by)
   }
 
+  test("Sampling.mixtureThresholds/mixtureSample: budget-prescribed mix, exact integer thresholds") {
+    import graft.operators.Sampling
+    val M = Sampling.Modulus
+    // thresholds: floor((wNum·B div wDen)·M div T), capped at M,
+    // 0 for a supply-less source — pure integer math, checked exactly
+    val avail = Map("web" -> 10000L, "wiki" -> 100L)
+    val thrs = Sampling.mixtureThresholds(
+      avail,
+      Seq("web" -> ((1L, 2L)), "wiki" -> ((3L, 10L)), "ghost" -> ((1L, 5L))),
+      budgetTokens = 1000L)
+    assert(thrs === Seq(
+      ("web", 500L, 500L * M / 10000L),   // rate 1/20
+      ("wiki", 300L, M),                  // target 300 > supply 100: capped
+      ("ghost", 200L, 0L)))               // no supply: visible zero
+    // weights must sum to EXACTLY 1 (rational arithmetic, no flap)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureThresholds(avail, Seq("web" -> ((99L, 100L))), 1000L)
+    }
+    intercept[IllegalArgumentException] { // duplicate recipe source
+      Sampling.mixtureThresholds(
+        avail, Seq("web" -> ((1L, 2L)), "web" -> ((1L, 2L))), 1000L)
+    }
+    // sampled totals track the targets; draw is deterministic and
+    // confined to recipe sources
+    val df = spark.range(30000).select(
+      col("id"),
+      when(col("id") < 20000, "web").when(col("id") < 29000, "wiki")
+        .otherwise("off-recipe").as("src"),
+      lit(10L).as("n_toks"))
+    val weights = Seq("web" -> ((7L, 10L)), "wiki" -> ((3L, 10L)))
+    val kept = Sampling.mixtureSample(
+      df, col("src"), col("id"), col("n_toks"), weights,
+      budgetTokens = 50000L, salt = "mx1")
+    val by = kept.groupBy("src").agg(sum("n_toks").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!by.contains("off-recipe"), "recipe must exclude unlisted sources")
+    assert(math.abs(by("web") - 35000.0) < 2500, s"web tokens ${by("web")}")
+    assert(math.abs(by("wiki") - 15000.0) < 2000, s"wiki tokens ${by("wiki")}")
+    assert(Sampling.mixtureSample(df, col("src"), col("id"), col("n_toks"),
+      weights, 50000L, "mx1").count() === kept.count())
+    // null token counts among recipe rows are rejected loudly — sum
+    // would silently skip them and over-sample the source
+    val withNull = df.withColumn("n_toks",
+      when(col("id") === 7L, lit(null).cast("long")).otherwise(col("n_toks")))
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(withNull, col("src"), col("id"), col("n_toks"),
+        weights, 50000L, "mx1")
+    }
+  }
+
   test("Sampling: non-string strata route through one canonical representation, not the default rate") {
     import graft.operators.Sampling
     // integer stratum column: the rate map is keyed by the Spark
