@@ -352,6 +352,13 @@ object Sampling {
   /** The membership primitive behind [[mixtureSample]], split out so a
     * caller that already computed the thresholds (c21 reports them in
     * its summary) does not pay the availability aggregate twice.
+    *
+    * The threshold lookup is a folded CASE over the recipe — right for
+    * a recipe's natural size (a human-prescribed mixture is tens of
+    * sources). A machine-generated "recipe" with thousands of strata
+    * should go through [[stratifiedSample]]'s map form or a broadcast
+    * threshold-table join instead; a 10⁴-branch CASE is a codegen
+    * hazard, not a data-plane problem.
     */
   def mixtureSampleAt(
       df: DataFrame, source: Column, id: Column,
