@@ -117,6 +117,13 @@ class TestdataContractSpec extends SparkSpecBase {
     }
   }
 
+  test("SparkEntry.entry: the driver's flagship smoke returns rows") {
+    // the round driver smoke-checks entry(spark).count() > 0 at
+    // sf0.001; pin the same contract here so a refactor that breaks
+    // the flagship path fails in the suite, not in the driver log
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("SparkEntry registry: packs merge without key collisions; oracles ⊆ queries") {
     // the 8 query packs merge with ++ — a duplicate name between packs
     // would SILENTLY drop one query from the gate, shrinking coverage
