@@ -270,7 +270,8 @@ object Cli {
               out.println(s"  Modified:   ${java.time.Instant.ofEpochMilli(ts)}")
               // per-category counts — the engine's findings carry the
               // category as `domain`
-              val byDomain = s.read.json(newest).groupBy("domain").count()
+              val byDomain = ResultStore.readJsonSet(s, newest, Some(Findings.schema))
+                .groupBy("domain").count()
                 .orderBy("domain")
                 .collect().map(r => s"${r.get(0)}=${r.getLong(1)}")
               out.println(s"  Categories: ${byDomain.mkString(", ")}")
@@ -309,8 +310,8 @@ object Cli {
           // previous scan — the reference's BaselineDiffer likewise
           // prefers its saved baseline file
           val prevScan = opts.get("--out")
-            .flatMap(dir => ResultStore.loadLatest(s, dir, "baseline")
-              .orElse(ResultStore.loadLatest(s, dir, "scan")))
+            .flatMap(dir => ResultStore.loadLatest(s, dir, "baseline", Some(Findings.schema))
+              .orElse(ResultStore.loadLatest(s, dir, "scan", Some(Findings.schema))))
           try {
             val total = pinned.count()
             runRes.stages.zipWithIndex.foreach { case (st, i) =>
@@ -342,7 +343,7 @@ object Cli {
         case "audit" :: "findings" :: rest =>
           val (opts, _) = parse(rest).fold(m => throw new UsageException(m), identity)
           val s = sparkF()
-          val saved = ResultStore.loadLatest(s, req(opts, "--dir"), "scan")
+          val saved = ResultStore.loadLatest(s, req(opts, "--dir"), "scan", Some(Findings.schema))
             .getOrElse(throw new IllegalStateException(
               s"no saved scans under ${req(opts, "--dir")} -- run 'graft audit scan --out' first"))
           val filtered = Findings.where(saved,
@@ -356,7 +357,7 @@ object Cli {
         case "report" :: rest =>
           val (opts, _) = parse(rest).fold(m => throw new UsageException(m), identity)
           val s = sparkF()
-          val recent = ResultStore.loadRecent(s, req(opts, "--dir"), "scan", 2)
+          val recent = ResultStore.loadRecent(s, req(opts, "--dir"), "scan", 2, Some(Findings.schema))
           val saved = recent.headOption.map(_._2)
             .getOrElse(throw new IllegalStateException(
               s"no saved scans under ${req(opts, "--dir")} -- run 'graft audit scan --out' first"))
@@ -374,7 +375,7 @@ object Cli {
           val s = sparkF()
           val dir = req(opts, "--dir")
           val api = new HttpApi(s,
-            () => ResultStore.loadLatest(s, dir, "scan")
+            () => ResultStore.loadLatest(s, dir, "scan", Some(Findings.schema))
               .getOrElse(Findings.toDS(s, Nil).toDF()))
           val port = api.start(opts.getOrElse("--port", "8080").toInt)
           out.println(s"serving http on port $port (EOF on stdin stops)")

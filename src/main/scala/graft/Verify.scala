@@ -4,18 +4,20 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // optional third arg (dev iteration only): substring filter on query
-    // names — the driver always passes exactly (sfDir, outDir)
+    // optional third arg (dev iteration only): comma-separated substring
+    // filters on query names (any match) — the driver always passes
+    // exactly (sfDir, outDir)
     val (sfDir, outDir, nameFilter) = args match {
       case Array(a, b)    => (a, b, "")
       case Array(a, b, f) => (a, b, f)
     }
+    val filters = nameFilter.split(',').filter(_.nonEmpty).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => nameFilter.isEmpty || name.contains(nameFilter) }
+      .filter { case (name, _) => filters.isEmpty || filters.exists(name.contains) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

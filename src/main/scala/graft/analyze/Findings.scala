@@ -20,6 +20,13 @@ case class Finding(
 
 object Findings {
 
+  /** The Finding relation's schema, for readers that must produce an
+    * empty findings frame when a saved set has no rows
+    * ([[graft.pipeline.ResultStore.readJsonSet]]).
+    */
+  val schema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[Finding].schema
+
   def toDS(spark: SparkSession, fs: Seq[Finding]): Dataset[Finding] = {
     import spark.implicits._
     spark.createDataset(fs)

@@ -318,9 +318,15 @@ object Xlsx {
       zos.closeEntry()
       ok = true
     } finally {
-      zos.close()
+      // close in its own guard: on the failure path a close() that
+      // itself throws (zip finish on a full disk) must neither mask
+      // the original error nor skip the partial-workbook delete; on
+      // the success path a close failure is a REAL error (the central
+      // directory never landed) and propagates
+      try zos.close()
+      catch { case _: Throwable if !ok => () }
       // never leave a half-written workbook behind a thrown overflow
-      if (!ok) { target.delete(): Unit }
+      finally if (!ok) { target.delete(): Unit }
     }
   }
 }

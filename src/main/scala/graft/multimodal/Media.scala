@@ -681,6 +681,24 @@ object Media {
       graft.functions.expr.VideoHash60(
         org.apache.spark.sql.GraftColumnShim.expression(content), nFrames))
 
+  /** [[videoHash60Col]] with a precomputed-hash escape hatch — the
+    * scale path for codecs the JVM cannot decode (H.264 and friends,
+    * SURVEY §2.8 F3): a corpus hashed ffmpeg-side carries its hashes
+    * in a column, and rows where `precomputed` is non-null use it
+    * VERBATIM and never touch the payload — `coalesce` short-circuits
+    * in codegen, so the decode expression is not evaluated for those
+    * rows, not merely overridden. Rows without one fall through to
+    * the real decode-and-hash path (Y4M / MJPEG-AVI / content-hash
+    * fallback), so mixed corpora — some codecs decodable in the JVM,
+    * some hashed upstream — run in ONE pass with one output column.
+    */
+  def videoHash60OrPrecomputed(
+      content: org.apache.spark.sql.Column,
+      precomputed: org.apache.spark.sql.Column,
+      nFrames: Int = 8): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.coalesce(
+      precomputed.cast("long"), videoHash60Col(content, nFrames))
+
   /** Canonical multimodal schema: opaque payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

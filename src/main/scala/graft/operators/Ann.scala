@@ -1268,6 +1268,11 @@ object Ann {
         (coalesce(
           aggregate(col("rs"), lit(0.0),
             (acc, r) => acc + element_at(wArr, r.cast("int"))),
-          lit(0.0)) / element_at(pArr, col("n_ex").cast("int"))).as("ndcg"))
+          // least() clamps the IDCG lookup to the k-entry table: the
+          // input contract says (q_id, b_id) is unique in `exact`, but
+          // duplicate pairs would push n_ex past k and element_at
+          // would return null (ANSI off) or throw (ANSI on) — an
+          // out-of-contract input must degrade, not corrupt the column
+          lit(0.0)) / element_at(pArr, least(col("n_ex"), lit(k.toLong)).cast("int"))).as("ndcg"))
   }
 }

@@ -49,9 +49,14 @@ object Dedup {
     }
 
   /** Cache `df`, registering it with the enclosing [[scoped]] block
-    * (if any) for unpersist-on-exit.
+    * (if any) for unpersist-on-exit. A frame whose plan is ALREADY
+    * cached (CacheManager lookup, so it catches plan-equal frames, not
+    * just this object) passes through untouched: re-caching would
+    * no-op with a warning, and registering it here would let THIS
+    * scope's exit unpersist data a caller's wider scope still owns.
     */
   private[graft] def scopedCache(df: DataFrame): DataFrame = {
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) return df
     val c = df.cache()
     scopeTL.get().foreach(b => b.synchronized { b += c })
     c

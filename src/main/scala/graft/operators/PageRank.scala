@@ -138,8 +138,10 @@ object PageRank {
       g: Graph, nodes: DataFrame, init: DataFrame, iters: Int,
       update: (DataFrame, String) => DataFrame,
       shareBroadcast: String,
-      shareLiteral: Long => String): DataFrame = {
+      shareLiteral: Long => String,
+      tolUnits: Long): DataFrame = {
     var ranks = Dedup.scopedCache(init)
+    var converged = false
     // Deep runs: the rank plan grows one join template per iteration
     // (linear — not groupPairs' exponential self-join, but 50 stacked
     // join trees still mean O(iters) analyzer/optimizer work per
@@ -153,7 +155,8 @@ object PageRank {
     // reads them) and release at [[Dedup.scoped]] exit.
     val ChkEvery = 10
     var chkRdd: Option[org.apache.spark.rdd.RDD[_]] = None
-    for (iter <- 1 to iters) {
+    var iter = 1
+    while (iter <= iters && !converged) {
       val contrib = g.eW
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("(rank * w) div out_w").as("c"))
@@ -190,16 +193,21 @@ object PageRank {
             .head().getLong(0)
           update(joined, shareLiteral(dangVal))
         }
+      val prev = ranks
       if (iter % ChkEvery == 0) {
         // lineage truncation (eager: materializes here, so no extra
         // count). The createDataFrame hop rebuilds a CLEAN leaf over
         // the checkpointed rows — see groupPairs on why the raw frame
         // can trip stale-attribute rewrites downstream.
         val chk = nextPlan.localCheckpoint(true)
-        ranks.unpersist()
+        val next = chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
+        // delta BEFORE any unpersist: prev may read a checkpointed RDD
+        // whose lineage is truncated — unpersist-then-recompute fails
+        if (tolUnits > 0 && iter < iters) converged = maxDelta(next, prev) <= tolUnits
+        prev.unpersist()
         chkRdd.foreach(_.unpersist(false))
         chkRdd = org.apache.spark.sql.GraftColumnShim.checkpointedRdd(chk)
-        ranks = chk.sparkSession.createDataFrame(chk.rdd, chk.schema)
+        ranks = next
       } else {
         // Materialize the new frame, then release the superseded one —
         // it is dead after this join, and at 50 iterations on a
@@ -207,24 +215,53 @@ object PageRank {
         // would evict every other cache on the cluster. Shallow runs
         // skip the eager per-iteration job (the count costs ~40% wall
         // on a 3-iteration graph, measured at sf0.1) and let the
-        // handful of frames release at scope exit.
+        // handful of frames release at scope exit. When the
+        // convergence probe runs, it IS the eager step (the delta agg
+        // materializes `next` through the cache — no separate count).
         val next = Dedup.scopedCache(nextPlan)
-        if (iters > 5) {
+        if (tolUnits > 0 && iter < iters) {
+          converged = maxDelta(next, prev) <= tolUnits
+          if (iters > 5) prev.unpersist()
+        } else if (iters > 5) {
           next.count()
-          ranks.unpersist()
+          prev.unpersist()
         }
         ranks = next
       }
+      iter += 1
     }
     chkRdd.foreach(r => Dedup.scopedCleanup(() => r.unpersist(false)))
     ranks
   }
 
+  /** max(|next.rank − prev.rank|) over all nodes — the integer
+    * convergence probe behind `tolUnits`. One node-keyed equi-join +
+    * one max rollup (both frames are one row per node, so the join is
+    * complete and the max is over n ≥ 1 rows); |diff| ≤ scale fits a
+    * long. Exact integer arithmetic: the exit decision is replayable,
+    * like every other step of the loop.
+    */
+  private def maxDelta(next: DataFrame, prev: DataFrame): Long =
+    next.as("a").join(prev.as("b"), col("a.node") === col("b.node"))
+      .agg(max(abs(col("a.rank") - col("b.rank"))))
+      .head().getLong(0)
+
+  /** `tolUnits` (optional, 0 = off): stop early once
+    * max(|rank − prev_rank|) ≤ tolUnits — on a converged graph at
+    * iters=50 half the fixed-iteration work is dead. The probe is one
+    * extra node-keyed join + max per iteration ([[maxDelta]]),
+    * integer-exact, so an early-exited run is BIT-IDENTICAL to the
+    * fixed-iteration result at the exit iteration (PageRankSpec pins
+    * this). Costs eagerness on shallow runs, so leave it 0 when iters
+    * is already small.
+    */
   def pageRank(
       edges: DataFrame, src: Column, dst: Column, w: Column,
       iters: Int,
       scale: Long = 1000000000000L,
-      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+      dampNum: Long = 85, dampDen: Long = 100,
+      tolUnits: Long = 0L): DataFrame = {
+    require(tolUnits >= 0, s"tolUnits must be >= 0, got $tolUnits")
     val g = prepare(edges, src, dst, w, iters, scale, dampNum, dampDen)
     val base = scale / g.n
     require(base >= 1,
@@ -244,7 +281,8 @@ object PageRank {
           .as("rank"))
     loop(g, g.nodes, g.nodes.withColumn("rank", lit(base)), iters, update,
       shareBroadcast = s" + dang div ${g.n}",
-      shareLiteral = d => s" + ${d / g.n}")
+      shareLiteral = d => s" + ${d / g.n}",
+      tolUnits = tolUnits)
   }
 
   /** Personalized (seeded) PageRank — teleport mass goes ONLY to
@@ -268,7 +306,9 @@ object PageRank {
       seeds: DataFrame, seed: Column,
       iters: Int,
       scale: Long = 1000000000000L,
-      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+      dampNum: Long = 85, dampDen: Long = 100,
+      tolUnits: Long = 0L): DataFrame = {
+    require(tolUnits >= 0, s"tolUnits must be >= 0, got $tolUnits")
     val g = prepare(edges, src, dst, w, iters, scale, dampNum, dampDen)
     val sAll = Dedup.scopedCache(seeds.select(seed.as("node")).distinct())
     // null seeds rejected loudly — the same silent-drop argument as
@@ -305,7 +345,8 @@ object PageRank {
           .as("rank"))
     loop(g, nodesSeeded, init, iters, update,
       shareBroadcast = s" + dang div $nS",
-      shareLiteral = d => s" + ${d / nS}")
+      shareLiteral = d => s" + ${d / nS}",
+      tolUnits = tolUnits)
   }
 
   /** The SQL replay of [[pageRank]] as chained CTEs — one CTE per

@@ -319,16 +319,25 @@ object Sampling {
   def mixtureAvail(
       df: DataFrame, source: Column, tokens: Column,
       recipeSources: Seq[String]): Map[String, Long] = {
+    // probe the CAST column, the one SUM actually folds — same
+    // discipline as PageRank.prepare's weight probe: a non-numeric
+    // token string casts to NULL (sum skips it silently) and a
+    // fractional one floors (sum truncates it silently); both
+    // under-count T_s and inflate every threshold downstream
+    val tokL = tokens.cast("long")
     val rows = df
       .filter(source.isin(recipeSources: _*))
       .groupBy(source.as("__src"))
       .agg(
-        sum(tokens.cast("long")).as("__t"),
-        count(when(tokens.isNull || tokens < 0, lit(1))).as("__bad"))
+        sum(tokL).as("__t"),
+        count(when(
+          tokens.isNull || tokL.isNull || tokL < 0 ||
+            tokL.cast("double") =!= tokens.cast("double"),
+          lit(1))).as("__bad"))
       .collect()
     val bad = rows.filter(_.getLong(2) > 0).map(_.getString(0))
     require(bad.isEmpty,
-      s"null/negative token counts in recipe source(s): ${bad.sorted.mkString(", ")}")
+      s"null/negative/non-numeric/fractional token counts in recipe source(s): ${bad.sorted.mkString(", ")}")
     rows.map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
@@ -353,22 +362,45 @@ object Sampling {
     * caller that already computed the thresholds (c21 reports them in
     * its summary) does not pay the availability aggregate twice.
     *
-    * The threshold lookup is a folded CASE over the recipe — right for
-    * a recipe's natural size (a human-prescribed mixture is tens of
-    * sources). A machine-generated "recipe" with thousands of strata
-    * should go through [[stratifiedSample]]'s map form or a broadcast
-    * threshold-table join instead; a 10⁴-branch CASE is a codegen
-    * hazard, not a data-plane problem.
+    * The threshold lookup has two result-identical forms, switched on
+    * recipe size: a folded CASE for a recipe's natural size (a
+    * human-prescribed mixture is tens of sources — stays inside
+    * whole-stage codegen, no join at all), and a broadcast equi-join
+    * against the threshold table for machine-generated "recipes" past
+    * [[CaseLookupMax]] entries — a 10⁴-branch CASE is a codegen
+    * hazard (method-size blowup, compile-time superlinear in
+    * branches), while a broadcast hash join is O(1) per row at any
+    * recipe size. Both forms filter to recipe sources and apply the
+    * SAME `sampleKey(id) < threshold` predicate.
     */
   def mixtureSampleAt(
       df: DataFrame, source: Column, id: Column,
       thresholds: Seq[(String, Long, Long)], salt: String): DataFrame = {
-    val thrCol = thresholds.foldLeft(lit(0L)) { case (acc, (s, _, thr)) =>
-      when(source === lit(s), lit(thr)).otherwise(acc)
+    if (thresholds.size <= CaseLookupMax) {
+      val thrCol = thresholds.foldLeft(lit(0L)) { case (acc, (s, _, thr)) =>
+        when(source === lit(s), lit(thr)).otherwise(acc)
+      }
+      df.filter(source.isin(thresholds.map(_._1): _*))
+        .filter(sampleKey(id, salt) < thrCol)
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      // the inner join IS the recipe-membership filter; broadcast is
+      // honorable (inner join, build side explicit) and the table is
+      // recipe-size by construction
+      val thrDf = thresholds.map { case (s, _, thr) => (s, thr) }
+        .toDF("__mix_src", "__mix_thr")
+      df.join(broadcast(thrDf), source === col("__mix_src"))
+        .filter(sampleKey(id, salt) < col("__mix_thr"))
+        .drop("__mix_src", "__mix_thr")
     }
-    df.filter(source.isin(thresholds.map(_._1): _*))
-      .filter(sampleKey(id, salt) < thrCol)
   }
+
+  /** CASE-vs-join switch point for [[mixtureSampleAt]]: recipes at or
+    * under this stay a folded CASE (codegen-friendly, zero join);
+    * larger ones become a broadcast threshold-table join.
+    */
+  private[graft] val CaseLookupMax = 100
 
   /** Integer band upper bounds for [[assignSplits]]:
     * cum_i = floor(M · (w_1+…+w_i)/Σw), with the last bound forced to

@@ -5,6 +5,7 @@ import java.util.Comparator
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Timestamped result persistence + newest-first retrieval (SURVEY §2.1
   * S11-S12, §2.6 T4): pipeline results and baselines land as
@@ -36,17 +37,50 @@ object ResultStore {
       .map(_.toString).toSeq
   }
 
-  /** Load the newest saved set (None if absent) — the baseline-differ's
-    * `load_latest_baseline`.
+  /** Read a saved JSON set, falling back to an empty frame with
+    * `fallback`'s schema when the set holds no data rows. A frame
+    * saved with ZERO rows writes only `_SUCCESS` (no part files with
+    * bytes), and `spark.read.json` on that throws "Unable to infer
+    * schema" — but an empty set is a legitimate state (a clean-system
+    * baseline has no findings), not corruption, so readers that know
+    * their schema must not crash on it.
     */
-  def loadLatest(spark: SparkSession, dir: String, prefix: String): Option[DataFrame] =
-    list(dir, prefix).headOption.map(spark.read.json(_))
+  def readJsonSet(spark: SparkSession, path: String, fallback: Option[StructType] = None): DataFrame = {
+    val hasData = {
+      val p = Paths.get(path)
+      Files.isDirectory(p) && {
+        val stream = Files.list(p)
+        try {
+          var found = false
+          val it = stream.iterator()
+          while (!found && it.hasNext) {
+            val f = it.next()
+            if (f.getFileName.toString.startsWith("part-") && Files.size(f) > 0) found = true
+          }
+          found
+        } finally stream.close()
+      }
+    }
+    if (hasData || fallback.isEmpty) spark.read.json(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fallback.get)
+  }
+
+  /** Load the newest saved set (None if absent) — the baseline-differ's
+    * `load_latest_baseline`. `fallback` is the schema an EMPTY saved
+    * set loads as (see [[readJsonSet]]); without it, an empty set
+    * still throws on read, preserving schema-agnostic behavior.
+    */
+  def loadLatest(spark: SparkSession, dir: String, prefix: String,
+      fallback: Option[StructType] = None): Option[DataFrame] =
+    list(dir, prefix).headOption.map(readJsonSet(spark, _, fallback))
 
   /** Load up to `limit` newest sets, tagged with their timestamp. */
-  def loadRecent(spark: SparkSession, dir: String, prefix: String, limit: Int): Seq[(Long, DataFrame)] =
+  def loadRecent(spark: SparkSession, dir: String, prefix: String, limit: Int,
+      fallback: Option[StructType] = None): Seq[(Long, DataFrame)] =
     list(dir, prefix).take(limit).map { p =>
       val ts = p.split('_').last.toLongOption.getOrElse(0L)
-      ts -> spark.read.json(p)
+      ts -> readJsonSet(spark, p, fallback)
     }
 
   /** Delete every saved set for a prefix (the baseline-differ's

@@ -1001,8 +1001,12 @@ object CurationQueries {
     val recipe = thrs
       .map { case (src, tT, thr) => (src, avail.getOrElse(src, 0L), tT, thr) }
       .toDF("source", "t_avail", "t_target", "threshold")
-    // recipe-size × kept-rollup join: broadcast both ways trivially
-    broadcast(recipe).join(keptAgg, Seq("source"), "left")
+    // recipe-size × kept-rollup join. The hint goes on keptAgg: Spark
+    // cannot build-LEFT a left outer join, so broadcast(recipe) would
+    // be silently DROPPED (HintErrorLogger) and the join would fall
+    // back to a shuffle — keptAgg is ≤ recipe-size by construction, so
+    // broadcasting the right side is both honorable and correct.
+    recipe.join(broadcast(keptAgg), Seq("source"), "left")
       .select(col("source"), col("t_avail"), col("t_target"), col("threshold"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("t_kept"), lit(0L)).as("t_kept"))

@@ -596,6 +596,48 @@ object TextQueries {
       |SELECT vids.media_id, COALESCE(h.vhash60, 0) AS vhash60
       |FROM vids LEFT JOIN h USING (media_id) ORDER BY media_id""".stripMargin
 
+  /** Precomputed-hash escape hatch for alien codecs (SURVEY §2.8 F3's
+    * own prescription, closed): an H.264 corpus hashed ffmpeg-side
+    * joins its hashes in as a column, and
+    * [[graft.multimodal.Media.videoHash60OrPrecomputed]] uses them
+    * verbatim — the decode path runs ONLY for rows without one
+    * (coalesce short-circuits in codegen). Fixture: the m05 Y4M videos
+    * with even media_ids carrying a deterministic "upstream" hash
+    * (media_id·1000003 + 7 — values no decode could produce, so a
+    * precedence bug flips the oracle) and odd ids decoding for real.
+    * The oracle replays BOTH legs: the precomputed passthrough and the
+    * m05 pixel-formula decode.
+    */
+  def m07PrecomputedVideoHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    (0 until 12).map { v =>
+      val pre = if (v % 2 == 0) Some(v.toLong * 1000003L + 7L) else None
+      (v.toLong, y4mFixture(v), pre)
+    }.toDF("media_id", "payload", "pre_hash")
+      .select(
+        col("media_id"),
+        graft.multimodal.Media.videoHash60OrPrecomputed(
+          col("payload"), col("pre_hash")).as("vhash60"),
+        when(col("pre_hash").isNotNull, lit(1)).otherwise(lit(0))
+          .as("used_precomputed"))
+      .orderBy("media_id")
+  }
+
+  /** m07's oracle IS m05's decode replay with the precomputed branch
+    * spliced over the final SELECT — derived textually so the two
+    * replays cannot drift.
+    */
+  val m07Oracle: String = {
+    val anchor = "SELECT vids.media_id, COALESCE(h.vhash60, 0) AS vhash60"
+    require(m05Oracle.contains(anchor),
+      "m07 oracle derives from m05's decode replay — keep the final SELECT anchored")
+    m05Oracle.replace(anchor,
+      """SELECT vids.media_id,
+        |  CASE WHEN vids.media_id % 2 = 0 THEN CAST(vids.media_id * 1000003 + 7 AS BIGINT)
+        |       ELSE COALESCE(h.vhash60, 0) END AS vhash60,
+        |  CAST(CASE WHEN vids.media_id % 2 = 0 THEN 1 ELSE 0 END AS INT) AS used_precomputed""".stripMargin)
+  }
+
   /** Deterministic MJPEG-in-AVI fixture: a RIFF/AVI container (minimal
     * `hdrl`, then `movi` with one `00dc` chunk per frame) holding 10
     * grayscale 64×64 JPEG frames. Each frame is a checker of SOLID
@@ -1328,6 +1370,7 @@ object TextQueries {
     "m04_video_hash" -> (m04VideoHash _),
     "m05_y4m_video_hash" -> (m05Y4mVideoHash _),
     "m06_avi_video_hash" -> (m06AviVideoHash _),
+    "m07_precomputed_video_hash" -> (m07PrecomputedVideoHash _),
     "t01_token_counts" -> (t01TokenCounts _),
     "t02_lang_id" -> (t02LangId _),
     "t22_langid_confusion" -> (t22LangidConfusion _),
@@ -1361,6 +1404,7 @@ object TextQueries {
     "m04_video_hash" -> m04Oracle,
     "m05_y4m_video_hash" -> m05Oracle,
     "m06_avi_video_hash" -> m06Oracle,
+    "m07_precomputed_video_hash" -> m07Oracle,
     "t01_token_counts" -> t01Oracle,
     "t02_lang_id" -> t02Oracle,
     "t22_langid_confusion" -> t22Oracle,

@@ -68,7 +68,7 @@ object AgentRuntime {
     val agent = mcp.map(cfg => McpAgent(cfg))
     val api = new HttpApi(
       spark,
-      () => ResultStore.loadLatest(spark, storeDir, "scan")
+      () => ResultStore.loadLatest(spark, storeDir, "scan", Some(Findings.schema))
         .getOrElse(Findings.toDS(spark, Nil).toDF()),
       resultStore = Some((storeDir, "scan")),
       mcpTools = agent.map(_.tools))

@@ -867,6 +867,56 @@ class ColumnFunctionsSpec extends SparkSpecBase {
       Sampling.mixtureSample(withNull, col("src"), col("id"), col("n_toks"),
         weights, 50000L, "mx1")
     }
+    // fractional and non-numeric token counts are rejected too: the
+    // probe inspects the CAST column SUM actually folds — a raw-column
+    // probe would let the cast floor 10.5 to 10 or null "oops" out,
+    // silently under-counting T_s and inflating every threshold
+    val frac = df.withColumn("n_toks",
+      when(col("id") === 7L, lit(10.5)).otherwise(col("n_toks").cast("double")))
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(frac, col("src"), col("id"), col("n_toks"),
+        weights, 50000L, "mx1")
+    }
+    val strTok = df.withColumn("n_toks",
+      when(col("id") === 7L, lit("oops")).otherwise(col("n_toks").cast("string")))
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(strTok, col("src"), col("id"), col("n_toks"),
+        weights, 50000L, "mx1")
+    }
+  }
+
+  test("Sampling.mixtureSampleAt: machine-scale recipes take the broadcast-join form, result-identical to the CASE form") {
+    import graft.operators.Sampling
+    val M = Sampling.Modulus
+    // 10⁴ strata: far past CaseLookupMax — a folded CASE at this size
+    // is a codegen hazard (method-size blowup); the join form must
+    // kick in automatically and execute without it
+    val nSrc = 10000
+    val df = spark.range(100000).select(
+      col("id"),
+      concat(lit("s"), pmod(col("id"), lit(nSrc)).cast("string")).as("src"))
+    val thrs = (0 until nSrc).map(i => (s"s$i", 0L, (i % 7).toLong * M / 10))
+    val joined = Sampling.mixtureSampleAt(df, col("src"), col("id"), thrs, "mj1")
+    // the big-recipe path is a broadcast hash join, not a CASE filter
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join, got:\n$plan")
+    // no helper columns leak into the caller's schema
+    assert(joined.columns.toSeq === df.columns.toSeq)
+    val got = joined.select("src", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // result-identical to the CASE form, source by source (single-entry
+    // recipes stay under CaseLookupMax, so each replay IS the CASE path)
+    for (i <- Seq(0, 1, 3, 6, 42, 9999)) {
+      val caseForm = Sampling.mixtureSampleAt(
+        df.filter(col("src") === s"s$i"), col("src"), col("id"),
+        Seq(thrs(i)), "mj1")
+        .select("src", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got.filter(_._1 == s"s$i") === caseForm, s"source s$i diverged")
+    }
+    // threshold-0 sources keep nothing; the draw is confined to the recipe
+    assert(!got.exists(_._1 == "s0"), "threshold 0 must keep no rows")
+    assert(got.nonEmpty)
   }
 
   test("Sampling: non-string strata route through one canonical representation, not the default rate") {

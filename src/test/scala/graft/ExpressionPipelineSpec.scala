@@ -961,5 +961,40 @@ class ExpressionPipelineSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     val w3 = graft.operators.Ann.ndcgDiscounts(3)
     assert(got6 === Map(2L -> ((1L, w3(1) / w3(0)))))
+    // out-of-contract input — duplicate (q_id, b_id) rows in `exact`
+    // push n_ex past k; the IDCG lookup clamps to the k-entry table
+    // instead of returning null (ANSI off) / throwing (ANSI on)
+    val dupEx = rk(Seq((1L, 10L, 1), (1L, 10L, 1), (1L, 11L, 2)))
+    val got7 = graft.operators.Ann.ndcgAtK(
+      rk(Seq((1L, 10L, 1), (1L, 11L, 2))), dupEx, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!got7(1L).isNaN && got7(1L) > 0.0,
+      "duplicate exact pairs must degrade, not corrupt the ndcg column")
+  }
+
+  test("result store: an EMPTY saved set loads as an empty frame with the caller's schema") {
+    val dir = java.nio.file.Files.createTempDirectory("rs-empty").toString
+    // a clean-system baseline: zero findings is a legitimate state —
+    // the JSON sink writes only _SUCCESS, and read.json on that throws
+    // 'Unable to infer schema' without the fallback
+    val empty = Findings.toDS(spark, Nil).toDF()
+    ResultStore.save(empty, dir, "baseline", 1000L)
+    val loaded = ResultStore.loadLatest(
+      spark, dir, "baseline", Some(Findings.schema)).get
+    assert(loaded.count() === 0L)
+    assert(loaded.schema === Findings.schema)
+    // downstream shapes that crashed before the guard: per-domain
+    // rollup (baseline show) and the diff path both run on the frame
+    assert(loaded.groupBy("domain").count().collect().isEmpty)
+    val recent = ResultStore.loadRecent(
+      spark, dir, "baseline", 5, Some(Findings.schema))
+    assert(recent.map(_._1) === Seq(1000L) && recent.head._2.count() === 0L)
+    // without a fallback the schema-agnostic contract is preserved: the
+    // read either throws outright or yields a SCHEMA-LESS frame — both
+    // crash the first column access, which is what the fallback fixes
+    intercept[Exception] {
+      ResultStore.loadLatest(spark, dir, "baseline").get
+        .groupBy("domain").count().collect()
+    }
   }
 }

@@ -185,6 +185,27 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Media.videoHash60(null) == 0L)
   }
 
+  test("videoHash60OrPrecomputed: precomputed hash wins; decode runs only when absent") {
+    val rnd = new scala.util.Random(11)
+    val payload = Array.fill(4096)(rnd.nextInt(256).toByte)
+    val decoded = Media.videoHash60(payload)
+    val rows = Seq(
+      (1L, payload, Some(42L)), // upstream hash present: passthrough
+      (2L, payload, None), // absent: real decode path
+      (3L, null.asInstanceOf[Array[Byte]], Some(7L)), // no payload at all — an
+      // H.264 corpus may carry ONLY hashes; coalesce never touches content
+      (4L, null.asInstanceOf[Array[Byte]], None) // nothing: null-safe 0
+    ).toDF("media_id", "payload", "pre_hash")
+    val got = rows
+      .select(col("media_id"),
+        Media.videoHash60OrPrecomputed(col("payload"), col("pre_hash")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 42L, 2L -> decoded, 3L -> 7L, 4L -> 0L))
+    // 42 is nothing videoHash60 would produce on this payload — the
+    // passthrough is precedence, not coincidence
+    assert(decoded !== 42L)
+  }
+
   test("videoHash60: majority vote across frames survives one corrupted frame") {
     // 8 identical "frames" (byte windows): every frame votes the same
     // bits, so the temporal hash IS the per-frame hash. Corrupting ONE

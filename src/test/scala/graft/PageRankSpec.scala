@@ -183,6 +183,51 @@ class PageRankSpec extends SparkSpecBase {
     }
   }
 
+  test("tolUnits early exit is bit-identical to the fixed-iteration result at the exit point") {
+    val edges = Seq(
+      ("a", "b", 1L), ("a", "c", 3L), ("b", "c", 1L), ("c", "a", 1L),
+      ("c", "d", 2L), ("d2", "a", 1L)) // d dangling
+    val tol = 500000L // deltas straddle this between iters 13/14 on this graph
+    // the replay decides the honest exit point: first iteration whose
+    // max |rank - prev| falls to tol — lands inside (10, 50), past a
+    // checkpoint boundary, before the fixed-iteration cap
+    val k = (2 to 50).find { i =>
+      val prev = reference(edges, i - 1)
+      val cur = reference(edges, i)
+      cur.keys.map(v => math.abs(cur(v) - prev(v))).max <= tol
+    }.getOrElse(fail("tol never reached within 50 iterations — tune tol"))
+    assert(k > 10 && k < 50, s"exit at $k should cross a checkpoint boundary and beat the cap")
+    val got = Dedup.scoped {
+      val df = edges.toDF("src", "dst", "w").repartition(4)
+      PageRank.pageRank(df, col("src"), col("dst"), col("w"), iters = 50,
+          tolUnits = tol)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(got === reference(edges, k),
+      s"early exit must equal the fixed-iteration result at iteration $k")
+    // and it genuinely exited early: ranks still drift past k
+    assert(got !== reference(edges, 50),
+      "ranks at the exit point should differ from the 50-iteration result")
+    // personalized variant shares the loop, so only the tolUnits
+    // pass-through needs pinning — a coarse tol exits in a few
+    // iterations and keeps the check cheap
+    val seeds = Seq("a", "b")
+    val tolP = 60000000000L // first crossing at iter 7 (ppr deltas are non-monotone; both sides use first-crossing)
+    val kp = (2 to 50).find { i =>
+      val prev = referencePpr(edges, seeds.toSet, i - 1)
+      val cur = referencePpr(edges, seeds.toSet, i)
+      cur.keys.map(v => math.abs(cur(v) - prev(v))).max <= tolP
+    }.getOrElse(fail("ppr tol never reached within 50 iterations — tune tol"))
+    assert(kp < 10, s"coarse tol should exit fast, got $kp")
+    val gotP = Dedup.scoped {
+      val df = edges.toDF("src", "dst", "w").repartition(4)
+      PageRank.personalized(df, col("src"), col("dst"), col("w"),
+          seeds.toDF("node"), col("node"), iters = 50, tolUnits = tolP)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(gotP === referencePpr(edges, seeds.toSet, kp))
+  }
+
   test("deep runs: 50 iterations match the replay; checkpoint cadence bounds the plan") {
     val edges = Seq(
       ("a", "b", 1L), ("a", "c", 3L), ("b", "c", 1L), ("c", "a", 1L),

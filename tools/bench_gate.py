@@ -37,11 +37,32 @@ Usage:  python3 tools/bench_gate.py [BENCH_OUT.json] [--baseline PATH]
 """
 import json
 import math
+import os
+import subprocess
 import sys
 
 REL_TOL = 1.5        # serve_s (or total) regression factor that fails
 LOOSE_REL_TOL = 2.0  # build_s factor (builds are IO-noisier)
 ABS_TOL = 0.25       # seconds; both checks also need this absolute growth
+
+# Window-noise guard (round 14): the environment term between bench
+# windows is ~12%; when the shared-query totals of the run and the
+# committed baseline diverge past this, per-query ratios carry a large
+# environment component and NEW queries must be baselined from the run
+# that freezes the round, not an earlier window (SCALE.md round-14).
+WINDOW_DRIFT_WARN = 0.15
+
+# ANN-family sources whose behavior RECALL_r*.json certifies. Any
+# commit (or working-tree edit) to these that is newer than the newest
+# RECALL artifact fails the gate: recall must be re-measured at every
+# ANN-family diff, not remembered (round-13 verdict item 8).
+RECALL_FILES = [
+    "src/main/scala/graft/operators/Ann.scala",
+    "src/main/scala/graft/operators/Pq.scala",
+    "src/main/scala/graft/operators/Sq.scala",
+    "src/main/scala/graft/operators/Opq.scala",
+    "src/main/scala/graft/operators/Pca.scala",
+]
 
 
 def load(path):
@@ -131,6 +152,72 @@ def regression_check(doc, base):
     return fails, notes
 
 
+def _git(args, cwd):
+    try:
+        r = subprocess.run(["git"] + args, capture_output=True, text=True,
+                           cwd=cwd)
+        return r.stdout.strip() if r.returncode == 0 else None
+    except OSError:
+        return None
+
+
+def recall_check(repo_dir):
+    """Fail when ANN-family sources are newer than the newest RECALL
+    artifact (committed or uncommitted) -- a changed index path with a
+    stale recall number is exactly the silent-regression shape this
+    gate exists to catch. Anchored to the artifact's directory (so a
+    synthetic artifact in a tempdir -- the self-tests -- skips with a
+    note instead of reading an unrelated repo's state).
+    """
+    fails, notes = [], []
+    if _git(["rev-parse", "--is-inside-work-tree"], repo_dir) != "true":
+        notes.append("note: artifact dir is not a git work tree -- "
+                     "recall staleness check skipped")
+        return fails, notes
+    dirty = _git(["status", "--porcelain", "--"] + RECALL_FILES, repo_dir)
+    if dirty:
+        fails.append("ANN-family sources carry uncommitted changes -- "
+                     "re-run RecallSweep and commit RECALL with them:\n    "
+                     + dirty.replace("\n", "\n    "))
+    t_ann = _git(["log", "-1", "--format=%ct", "--"] + RECALL_FILES, repo_dir)
+    t_rec = _git(["log", "-1", "--format=%ct", "--", "RECALL_r*.json"],
+                 repo_dir)
+    if t_rec is None or not t_rec:
+        fails.append("no committed RECALL_r*.json artifact -- run "
+                     "RecallSweep and commit the result")
+    elif t_ann and int(t_ann) > int(t_rec):
+        fails.append("ANN-family sources were committed AFTER the newest "
+                     "RECALL artifact -- re-run RecallSweep (recall is "
+                     "re-measured at every ANN diff, not remembered)")
+    return fails, notes
+
+
+def window_drift_note(doc, base):
+    """Warn when the run and the baseline disagree on their SHARED
+    queries by more than the documented window noise -- per-query
+    ratios then carry a large environment term, and any new queries
+    frozen this round must be baselined from the round-freeze run
+    itself (SCALE.md round-14 freeze policy)."""
+    shared = [n for n in base["queries"]
+              if n in doc["queries"] and doc["queries"][n] >= 0.0
+              and base["queries"][n] >= 0.0]
+    if not shared:
+        return None
+    bt = sum(base["queries"][n] for n in shared)
+    rt = sum(doc["queries"][n] for n in shared)
+    if bt <= 0:
+        return None
+    drift = abs(rt - bt) / bt
+    if drift > WINDOW_DRIFT_WARN:
+        return (f"warning: shared-query totals differ by {drift:.0%} "
+                f"(run {rt:.1f}s vs baseline {bt:.1f}s, > "
+                f"{WINDOW_DRIFT_WARN:.0%} window-noise bound) -- if "
+                "freezing new queries this round, rebaseline from THE "
+                "SAME run that freezes the round so per-query ratios "
+                "stay interpretable")
+    return None
+
+
 def rebaseline(out_path, base_path, reason):
     doc = load(out_path)
     err = shape_check(out_path, doc)
@@ -213,6 +300,12 @@ def main() -> int:
         return 1
 
     fails, notes = regression_check(doc, base)
+    r_fails, r_notes = recall_check(os.path.dirname(os.path.abspath(path)))
+    fails += r_fails
+    notes += r_notes
+    drift = window_drift_note(doc, base)
+    if drift:
+        notes.append(drift)
     for n in notes:
         print(n)
     if fails:
