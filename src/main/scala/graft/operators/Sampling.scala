@@ -259,6 +259,91 @@ object Sampling {
       .drop("__skey", "__bkt", "__rn1", "__rn2")
   }
 
+  /** Priority sampling per stratum (Duffield–Lund–Thorup, "Priority
+    * sampling for estimation of arbitrary subset sums", JACM 54(6),
+    * 2007): keep the k rows with the LARGEST priorities q_i = w_i/u_i
+    * in each stratum, u_i a hash-uniform in (0, 1]; the (k+1)-th
+    * priority τ makes ŵ_i = max(w_i, τ) an unbiased estimator of any
+    * subset sum over the stratum. This is the weighted-selection shape
+    * a curation pipeline wants when "keep k docs per source, biased
+    * toward weight (tokens, quality), but keep corpus statistics
+    * estimable from the sample alone".
+    *
+    * Determinism discipline: u_i = (h60(salt:id)+1)/2^60 and the sort
+    * key is key_i = (h+1)/w — one long→double cast per operand and ONE
+    * IEEE division, bit-identical in any engine (q desc ⟺ key asc), so
+    * a DuckDB oracle replays membership, ranks, τ = 2^60/key_(k+1),
+    * and every HT weight exactly; the id tiebreak pins the order even
+    * at double-key collisions. No rand(), no transcendentals — the
+    * [[sampleKey]] argument extended to weighted draws.
+    *
+    * Scale shape: the per-stratum rank runs the [[capPerStratum]]
+    * two-level discipline — a bucketed row_number caps each (stratum,
+    * bucket) at k+1, the stratum-level window then sees ≤
+    * nBuckets·(k+1) rows — so a hot stratum never funnels its whole
+    * corpus through one task. Weight validation rides the key column
+    * itself (an `assert_true` folded into an exact `+0.0`, the e07
+    * range-join guard pattern): null / non-positive / non-numeric /
+    * fractional weights fail the job loudly in the same pass — a null
+    * weight would silently vanish from its stratum, a fractional one
+    * would flap the priority order between engines — and the guard
+    * costs no extra scan.
+    *
+    * Output per kept row: stratum, id, w (the long weight), rnk
+    * (1-based, priority desc), tau (0.0 when the stratum has ≤ k rows
+    * — everything kept, estimator exact), ht_w = max(w, τ).
+    */
+  def prioritySample(
+      df: DataFrame, stratum: Column, id: Column, weight: Column,
+      k: Int, salt: String, nBuckets: Int = 32): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val wL = weight.cast("long")
+    val good = weight.isNotNull && wL.isNotNull && wL > 0 &&
+      wL.cast("double") === weight.cast("double")
+    // assert_true is NULL on pass; coalesce→0.0 keeps the key exact
+    // (key > 0 always, so 0.0+ is the identity) while making the guard
+    // un-prunable — it lives inside the consumed sort key. The guard
+    // must be the LEFT operand: Add's codegen short-circuits on a null
+    // left, so `key + guard` would skip the guard exactly on the null
+    // weights it exists to reject; the coalesce is never null, so
+    // guard-first forces both sides to evaluate on every row.
+    val guard = coalesce(
+      assert_true(good, concat(lit("prioritySample: null/non-positive/"),
+        lit("non-numeric/fractional weight at id="),
+        coalesce(id.cast("string"), lit("NULL")),
+        lit(" weight="),
+        coalesce(weight.cast("string"), lit("NULL")))).cast("double"),
+      lit(0.0))
+    val h = Hashing.h60(concat(lit(salt + ":"), id.cast("string")))
+    val key = guard + (h + lit(1L)).cast("double") / wL.cast("double")
+    val base = df.select(
+      stratum.as("stratum"), id.as("id"), wL.as("w"), key.as("__key"),
+      pmod(Hashing.h60(concat(lit("bkt:"), id.cast("string"))),
+        lit(nBuckets.toLong)).as("__bkt"))
+    val ord = Seq(col("__key").asc, col("id").asc)
+    val w1 = Window.partitionBy(col("stratum"), col("__bkt")).orderBy(ord: _*)
+    val w2 = Window.partitionBy(col("stratum")).orderBy(ord: _*)
+    // k+1 everywhere: the (k+1)-th row IS τ; consumed twice (τ + kept)
+    val capped = Dedup.scopedCache(base
+      .withColumn("__rn1", row_number().over(w1))
+      .filter(col("__rn1") <= k + 1)
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= k + 1)
+      .drop("__rn1", "__bkt"))
+    val tau = capped.filter(col("rnk") === k + 1)
+      .select(col("stratum"),
+        (lit(1.152921504606846976e18) / col("__key")).as("__tau"))
+    capped.filter(col("rnk") <= k)
+      // ≤ 1 row per stratum on the build side; build-RIGHT of a left
+      // outer join is a broadcastable side (the c21 hint lesson)
+      .join(broadcast(tau), Seq("stratum"), "left")
+      .select(col("stratum"), col("id"), col("w"), col("rnk"),
+        coalesce(col("__tau"), lit(0.0)).as("tau"),
+        greatest(col("w").cast("double"), coalesce(col("__tau"), lit(0.0)))
+          .as("ht_w"))
+  }
+
   /** Per-source integer sampling thresholds that hit an explicit
     * TARGET MIXTURE under a token budget — the recipe step LLM
     * pipelines run when the mix is prescribed ("50% web, 30% wiki,

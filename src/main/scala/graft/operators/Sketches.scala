@@ -63,6 +63,15 @@ object Sketches {
         org.apache.spark.sql.GraftColumnShim.expression(a),
         org.apache.spark.sql.GraftColumnShim.expression(bits)))
 
+  /** Catalyst ShiftLeft with a COLUMN shift amount (same gap as
+    * [[shrCol]]).
+    */
+  private def shlCol(a: Column, bits: Column): Column =
+    org.apache.spark.sql.GraftColumnShim.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        org.apache.spark.sql.GraftColumnShim.expression(a),
+        org.apache.spark.sql.GraftColumnShim.expression(bits)))
+
   /** Build a Bloom filter over a value column in one distributed pass:
     * hash → probe positions → per-word `bit_or` aggregate → ≤ mBits/64
     * driver rows. Null values are skipped (membership of null is
@@ -317,6 +326,157 @@ object Sketches {
       when(col("n_union") > 0,
         col("n_inter").cast("double") / col("n_union").cast("double"))
         .as("jaccard"))
+  }
+
+  // ------------------------------------------------------------------ //
+  // HyperLogLog (deterministic registers over h60)                     //
+  // ------------------------------------------------------------------ //
+
+  /** Register width of the rho suffix: h60 spends `p` bits on the
+    * register index, the remaining `60 − p` on the leading-zero probe.
+    */
+  private def hllRestWidth(p: Int): Int = 60 - p
+
+  /** α_m from the HLL paper (Flajolet–Fusy–Gandouet–Meunier, AofA'07,
+    * fig. 3): exact constants for the small register counts, the
+    * closed form above them.
+    */
+  private[graft] def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  private def requireHllP(p: Int): Unit =
+    require(p >= 4 && p <= 16, s"HLL needs 4 <= p <= 16, got p=$p")
+
+  /** HyperLogLog sketch per key: one row per key with `regs` = the
+    * 2^p register values (array<int>, index order). DETERMINISTIC by
+    * the same argument as [[kmvSketchByKey]]: register index = the top
+    * `p` bits of h60, rho = leading zeros of the remaining `60 − p`
+    * bits + 1, register = max rho — a pure function of the value SET,
+    * so a DuckDB oracle replays every register bit-for-bit (the
+    * anti-`approx_count_distinct` argument again: Spark's HLL++
+    * registers are engine-internal and unreplayable).
+    *
+    * Why carry HLL next to KMV at all: the register array is
+    * 2^p · ~6 bits (48 B at p=6) vs KMV's k · 60 bits (480 B at
+    * k=64) for comparable error (~1.04/√m vs ~1/√(k−2)) — at a
+    * sketch-lake scale of millions of (key, increment) rows the
+    * register form is the one production lakes standardize on, and
+    * its merge is a plain element-wise max ([[hllMergeSketches]]),
+    * associative and idempotent, so merged ≡ one-shot EXACTLY (not
+    * just in distribution — the q44 oracle replays that identity).
+    *
+    * Scale shape: one groupBy(key, idx) with map-side partial max —
+    * the shuffle carries ≤ 2^p rows per (partition, key) no matter
+    * the corpus or its duplication — then a ≤ 2^p-row array assembly
+    * per key. rho uses `bin()` string length (minimal binary, no
+    * leading zeros) — integer-exact, no clz needed, and the oracle
+    * mirrors it with ltrim-of-bin.
+    */
+  def hllSketchByKey(
+      df: DataFrame, key: Column, value: Column, p: Int): DataFrame = {
+    requireHllP(p)
+    val m = 1 << p
+    val w = hllRestWidth(p)
+    val h = Hashing.h60(value.cast("string"))
+    val reg = df
+      .filter(value.isNotNull)
+      .select(key.as("key"), h.as("h"))
+      .select(
+        col("key"),
+        shiftright(col("h"), w).cast("int").as("idx"),
+        col("h").bitwiseAND(lit((1L << w) - 1L)).as("rest"))
+      // bitlen(rest) = length(bin(rest)) for rest > 0; rho = w − bitlen + 1
+      .select(col("key"), col("idx"),
+        when(col("rest") === 0L, lit(w + 1))
+          .otherwise(lit(w + 1) - length(bin(col("rest"))).cast("int"))
+          .as("rho"))
+      .groupBy("key", "idx")
+      .agg(max(col("rho")).cast("int").as("r"))
+    reg
+      .groupBy("key")
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("r"))))
+        .as("mm"))
+      .select(col("key"),
+        transform(sequence(lit(0), lit(m - 1)),
+          i => coalesce(element_at(col("mm"), i), lit(0))).as("regs"))
+  }
+
+  /** Merge per-increment HLL sketches down to one per `key`:
+    * element-wise register max. Pure column algebra over ≤ increments
+    * × 2^p ints per key — never corpus-sized — and EXACT:
+    * merge(sketch(A), sketch(B)) is bit-identical to sketch(A ∪ B)
+    * because max is associative/commutative/idempotent per register.
+    */
+  def hllMergeSketches(
+      sketches: DataFrame, key: Column, regs: Column, p: Int): DataFrame = {
+    requireHllP(p)
+    val m = 1 << p
+    val zeroRegs = array_repeat(lit(0), m)
+    sketches.groupBy(key.as("key"))
+      .agg(aggregate(collect_list(regs), zeroRegs,
+        (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b))).as("regs"))
+  }
+
+  /** The HLL estimator over a sketch frame (key, regs): raw estimate
+    * `α_m · m² / Σ 2^(−M_j)`, linear counting `m · ln(m / V)` below
+    * 2.5·m when zero registers remain (the paper's small-range
+    * correction; the 32-bit large-range correction never applies to a
+    * 60-bit hash below ~10^16 distincts).
+    *
+    * Cross-engine determinism discipline: the harmonic sum runs as
+    * Σ 2^(60−M_j) in EXACT decimal (each term ≤ 2^60 fits a long; the
+    * sum needs 38 digits — m·2^60 passes Long.Max from m = 8 up, the
+    * c21 overflow class), so `est_raw = C / double(S)` is one
+    * IEEE-defined conversion and one division — bit-identical in any
+    * engine. Only the linear-counting branch touches libm (`ln`), and
+    * it reports in micro-units (`round(est · 1e6)`, the t09
+    * discipline) whose grid is 10 orders coarser than ln's ulp at the
+    * branch's ≤ m·ln(m) range. Output: key, v_zero, est_micro, regs.
+    */
+  def hllEstimate(sketch: DataFrame, p: Int): DataFrame = {
+    requireHllP(p)
+    val m = 1 << p
+    import org.apache.spark.sql.types.DecimalType
+    // α_m·m²·2^60 as ONE double literal — the oracle interpolates the
+    // exact same constant (shortest round-trip repr), so both engines
+    // start the division from the same bits
+    val c = hllAlpha(m) * m.toDouble * m.toDouble * 1.152921504606846976e18
+    val sScaled = aggregate(col("regs"),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0)),
+      (acc, r) => acc +
+        shlCol(lit(1L), lit(60) - r).cast(DecimalType(38, 0)))
+    val vZero = size(filter(col("regs"), r => r === 0)).cast("long")
+    sketch
+      .withColumn("v_zero", vZero)
+      .withColumn("__raw", lit(c) / sScaled.cast("double"))
+      .withColumn("est_micro",
+        round(
+          when(col("__raw") <= lit(2.5 * m) && col("v_zero") > 0L,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
+            .otherwise(col("__raw")) * lit(1e6))
+          .cast("long"))
+      .select(col("key"), col("v_zero"), col("est_micro"), col("regs"))
+  }
+
+  /** One-shot per-key HLL distinct estimate — [[hllEstimate]] ∘
+    * [[hllSketchByKey]], the [[kmvDistinctByKey]] twin.
+    */
+  def hllDistinctByKey(
+      df: DataFrame, key: Column, value: Column, p: Int): DataFrame =
+    hllEstimate(hllSketchByKey(df, key, value, p), p)
+
+  /** The α_m·m²·2^60 literal [[hllEstimate]] divides by — exposed so
+    * oracle SQL interpolates the IDENTICAL double (shortest
+    * round-trip repr survives both engines' literal parse).
+    */
+  def hllEstimateConstant(p: Int): Double = {
+    requireHllP(p)
+    val m = 1 << p
+    hllAlpha(m) * m.toDouble * m.toDouble * 1.152921504606846976e18
   }
 
   // ------------------------------------------------------------------ //

@@ -1057,6 +1057,51 @@ object CurationQueries {
        |ORDER BY thr.source""".stripMargin
   }
 
+  /** Weight-biased per-source document selection via priority sampling
+    * ([[graft.operators.Sampling.prioritySample]], Duffield–Lund–Thorup
+    * JACM'07): keep the 16 highest-priority docs per source, priority
+    * q = n_chars/u with u the h60-uniform — long docs are
+    * proportionally likelier to survive, and the (k+1)-th priority τ
+    * makes ht_chars = max(n_chars, τ) an unbiased estimator of any
+    * subset's character total FROM THE SAMPLE ALONE (the property a
+    * quality-audit pipeline needs when it can only afford to read k
+    * docs per source). The oracle replays the IEEE double keys, ranks,
+    * τ, and every HT weight — long→double casts and one division are
+    * engine-identical, the whole determinism argument.
+    */
+  def c22PrioritySample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.prioritySample(
+      docs(s, dir), col("source"), col("doc_id"), col("n_chars"),
+      k = 16, salt = "c22")
+      .select(col("stratum").as("source"), col("id").as("doc_id"),
+        col("w").as("n_chars"), col("rnk"), col("tau"),
+        col("ht_w").as("ht_chars"))
+      .orderBy("source", "rnk")
+
+  val c22Oracle: String = {
+    val h = DuckOracle.h60("'c22:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH kk AS (
+       |  SELECT source, doc_id, n_chars,
+       |    CAST($h + 1 AS DOUBLE) / CAST(n_chars AS DOUBLE) AS key
+       |  FROM documents
+       |), r AS (
+       |  SELECT source, doc_id, n_chars, key,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY key, doc_id)
+       |      AS INT) AS rnk
+       |  FROM kk
+       |), ta AS (
+       |  SELECT source,
+       |    1152921504606846976.0 / MAX(CASE WHEN rnk = 17 THEN key END) AS tau
+       |  FROM r GROUP BY source
+       |)
+       |SELECT r.source, r.doc_id, r.n_chars, r.rnk,
+       |  COALESCE(ta.tau, 0.0) AS tau,
+       |  GREATEST(CAST(r.n_chars AS DOUBLE), COALESCE(ta.tau, 0.0)) AS ht_chars
+       |FROM r LEFT JOIN ta ON r.source = ta.source
+       |WHERE r.rnk <= 16
+       |ORDER BY r.source, r.rnk""".stripMargin
+  }
+
   def c19SplitProfile(s: SparkSession, dir: String): DataFrame = {
     val assigned = graft.operators.Sampling.assignSplits(
       docs(s, dir).select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("n_toks")),
@@ -1159,6 +1204,7 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c21_mixture_budget" -> (c21MixtureBudget _),
+    "c22_priority_sample" -> (c22PrioritySample _),
     "c20_lang_source_chisq" -> (c20LangSourceChisq _),
     "c19_split_profile" -> (c19SplitProfile _),
     "c18_quota_cap" -> (c18QuotaCap _),
@@ -1185,6 +1231,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "c21_mixture_budget" -> c21Oracle,
+    "c22_priority_sample" -> c22Oracle,
     "c20_lang_source_chisq" -> c20Oracle,
     "c19_split_profile" -> c19Oracle,
     "c18_quota_cap" -> c18Oracle,

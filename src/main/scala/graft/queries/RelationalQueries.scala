@@ -933,6 +933,124 @@ object RelationalQueries {
       |FROM b JOIN st ON b.flag = st.flag
       |GROUP BY b.flag, st.p25, st.p50, st.p75 ORDER BY b.flag""".stripMargin
 
+  /** Deterministic HyperLogLog distinct estimates
+    * ([[graft.operators.Sketches.hllDistinctByKey]], p=6 / 64
+    * registers) per return flag, over TWO value columns at once so one
+    * gated query exercises BOTH estimator branches on real data:
+    * l_orderkey (thousands of distincts → raw harmonic-mean branch,
+    * zero empty registers) and l_suppkey (≈ supplier-count distincts →
+    * the paper's linear-counting small-range branch). `regs_fp` pins
+    * every register value, not just the estimate — the oracle replays
+    * index, rho, and max from the same h60 bits.
+    */
+  def q43HllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def leg(value: Column, sfx: String): DataFrame =
+      graft.operators.Sketches.hllDistinctByKey(
+        li, col("l_returnflag"), value, p = 6)
+        .select(col("key"),
+          col("v_zero").as(s"v_zero_$sfx"),
+          col("est_micro").as(s"est_${sfx}_micro"),
+          md5(concat_ws(",", transform(col("regs"), r => r.cast("string"))))
+            .as(s"regs_fp_$sfx"))
+    leg(col("l_orderkey"), "ord")
+      .join(leg(col("l_suppkey"), "sup"), "key")
+      .orderBy("key")
+  }
+
+  /** The full HLL register pipeline for one value column as oracle
+    * CTEs: h60 → (idx = top 6 bits, rest = low 54) → rho via
+    * ltrim-of-bin bit length (integer-exact, mirrors Spark's
+    * `length(bin(rest))` — both emit minimal binary) → register max →
+    * the 64-cell grid → exact HUGEINT harmonic sum → the branchy
+    * estimate in micro-units. `c` is [[graft.operators.Sketches
+    * .hllEstimateConstant]]'s exact double, interpolated so both
+    * engines divide from identical bits.
+    */
+  private def hllLegSql(
+      sfx: String, valueSql: String, extraWhere: String = ""): String = {
+    val h = DuckOracle.h60(valueSql)
+    val c = graft.operators.Sketches.hllEstimateConstant(6)
+    s"""${sfx}_h AS (
+       |  SELECT DISTINCT l_returnflag AS key, $h AS h
+       |  FROM lineitem WHERE $valueSql IS NOT NULL$extraWhere
+       |), ${sfx}_rr AS (
+       |  SELECT key, CAST(h // 18014398509481984 AS INT) AS idx,
+       |    h % 18014398509481984 AS rest FROM ${sfx}_h
+       |), ${sfx}_reg AS (
+       |  SELECT key, idx,
+       |    MAX(CASE WHEN rest = 0 THEN 55
+       |             ELSE 55 - length(ltrim(bin(rest), '0')) END) AS r
+       |  FROM ${sfx}_rr GROUP BY key, idx
+       |), ${sfx}_regs AS (
+       |  SELECT g.key, g.idx, COALESCE(r.r, 0) AS r
+       |  FROM (SELECT k.key, gs.i AS idx
+       |        FROM (SELECT DISTINCT key FROM ${sfx}_h) k,
+       |             generate_series(0, 63) gs(i)) g
+       |  LEFT JOIN ${sfx}_reg r ON g.key = r.key AND g.idx = r.idx
+       |), ${sfx}_agg AS (
+       |  SELECT key,
+       |    CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+       |    SUM(CAST(1 AS BIGINT) << (60 - r)) AS s_scaled,
+       |    md5(string_agg(CAST(r AS VARCHAR), ',' ORDER BY idx)) AS regs_fp
+       |  FROM ${sfx}_regs GROUP BY key
+       |), ${sfx}_est AS (
+       |  SELECT key, v_zero, regs_fp,
+       |    CAST(ROUND(CASE WHEN ($c / CAST(s_scaled AS DOUBLE)) <= 160.0
+       |                         AND v_zero > 0
+       |        THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+       |        ELSE $c / CAST(s_scaled AS DOUBLE) END * 1000000.0) AS BIGINT)
+       |      AS est_micro
+       |  FROM ${sfx}_agg
+       |)""".stripMargin
+  }
+
+  val q43Oracle: String =
+    s"""WITH ${hllLegSql("o", "CAST(l_orderkey AS VARCHAR)")},
+       |${hllLegSql("s", "CAST(l_suppkey AS VARCHAR)")}
+       |SELECT o.key,
+       |  o.v_zero AS v_zero_ord, o.est_micro AS est_ord_micro,
+       |  o.regs_fp AS regs_fp_ord,
+       |  s.v_zero AS v_zero_sup, s.est_micro AS est_sup_micro,
+       |  s.regs_fp AS regs_fp_sup
+       |FROM o_est o JOIN s_est s USING (key) ORDER BY o.key""".stripMargin
+
+  /** Incremental HLL via PERSISTED, MERGED register sketches — the q23
+    * pattern on the register form: per-(flag, ship-year) sketches are
+    * written to a sketch lake, read back, and merged per flag by
+    * element-wise register MAX
+    * ([[graft.operators.Sketches.hllMergeSketches]]). Max is
+    * associative/commutative/idempotent per register, so the merged
+    * sketch is BIT-IDENTICAL to the one-shot sketch over the union —
+    * the oracle computes exactly that one-shot replay, and `regs_fp`
+    * pins all 64 merged registers. 48 bytes of register state per
+    * increment row vs KMV's 480: the fixed-size-merge property that
+    * makes HLL the sketch production lakes standardize on.
+    */
+  def q44HllMerge(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.queries.Scratch.wiped(s, "hll_sketches", dir)
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate").isNotNull)
+    graft.operators.Sketches.hllSketchByKey(
+      li,
+      struct(col("l_returnflag").as("flag"), year(col("l_shipdate")).as("yr")),
+      col("l_orderkey"), p = 6)
+      .write.mode("overwrite").parquet(out)
+    val merged = graft.operators.Dedup.scopedCache(
+      graft.operators.Sketches.hllMergeSketches(
+        s.read.parquet(out), col("key.flag"), col("regs"), p = 6))
+    graft.operators.Sketches.hllEstimate(merged, p = 6)
+      .select(col("key"), col("v_zero"), col("est_micro"),
+        md5(concat_ws(",", transform(col("regs"), r => r.cast("string"))))
+          .as("regs_fp"))
+      .orderBy("key")
+  }
+
+  val q44Oracle: String =
+    s"""WITH ${hllLegSql("m", "CAST(l_orderkey AS VARCHAR)",
+        " AND l_shipdate IS NOT NULL")}
+       |SELECT key, v_zero, est_micro, regs_fp
+       |FROM m_est ORDER BY key""".stripMargin
+
   /** Row-level z-score outliers (|z| > 1.5 population SDs from the
     * group mean) with the ENTIRE threshold predicate in exact integer
     * arithmetic — membership can never flap on floating-point rounding.
@@ -1232,6 +1350,8 @@ object RelationalQueries {
     "g01_pagerank" -> (g01Pagerank _),
     "g02_ppr_seeded" -> (g02PprSeeded _),
     "q42_boxplot" -> (q42Boxplot _),
+    "q43_hll_distinct" -> (q43HllDistinct _),
+    "q44_hll_merge" -> (q44HllMerge _),
     "q34_cube" -> (q34Cube _),
     "q22_kmv_distinct" -> (q22KmvDistinct _),
     "q21_salted_flag_join" -> (q21SaltedFlagJoin _),
@@ -1276,6 +1396,8 @@ object RelationalQueries {
     "g01_pagerank" -> g01Oracle,
     "g02_ppr_seeded" -> g02Oracle,
     "q42_boxplot" -> q42Oracle,
+    "q43_hll_distinct" -> q43Oracle,
+    "q44_hll_merge" -> q44Oracle,
     "q34_cube" -> q34Oracle,
     "q22_kmv_distinct" -> q22Oracle,
     "q21_salted_flag_join" -> q21Oracle,

@@ -1504,4 +1504,85 @@ class ColumnFunctionsSpec extends SparkSpecBase {
       .select(Text.htmlStrip(col("s")).as("c")).collect()(0)
     assert(got.isNullAt(0))
   }
+
+  test("Sampling.prioritySample: k+τ contract, weight bias, bucket invariance, determinism") {
+    import graft.operators.Sampling
+    // stratum "big": 200 rows, weights 1 vs 1000 interleaved;
+    // stratum "tiny": 5 rows — fewer than k, everything kept exactly
+    val df = spark.range(200).select(
+      lit("big").as("src"), col("id"),
+      when(pmod(col("id"), lit(2)) === 0, 1000L).otherwise(1L).as("w"))
+      .union(spark.range(1000, 1005).select(
+        lit("tiny").as("src"), col("id"), lit(7L).as("w")))
+    val out = Sampling.prioritySample(
+      df, col("src"), col("id"), col("w"), k = 20, salt = "ps1")
+    val rows = out.collect()
+    val big = rows.filter(_.getString(0) == "big")
+    val tiny = rows.filter(_.getString(0) == "tiny")
+    // exactly k kept from the large stratum, ranks 1..k
+    assert(big.length === 20 && big.map(_.getInt(3)).sorted.toSeq == (1 to 20))
+    // τ is one positive number per stratum; ht = max(w, τ) row-wise
+    val taus = big.map(_.getDouble(4)).distinct
+    assert(taus.length === 1 && taus.head > 0.0)
+    big.foreach(r => assert(
+      r.getDouble(5) === math.max(r.getLong(2).toDouble, r.getDouble(4))))
+    // priorities scale with weight: the 1000-weight rows dominate the
+    // sample (q = w/u — a light row needs a 1000x luckier hash)
+    assert(big.count(_.getLong(2) == 1000L) >= 18,
+      s"heavy rows in sample: ${big.count(_.getLong(2) == 1000L)}/20")
+    // sub-k stratum: all rows kept, τ = 0, HT weight = exact weight
+    assert(tiny.length === 5)
+    tiny.foreach { r =>
+      assert(r.getDouble(4) === 0.0 && r.getDouble(5) === 7.0)
+    }
+    // bucketing is parallelism, not semantics: nBuckets must not
+    // change a single output row (the capPerStratum invariance)
+    val b1 = Sampling.prioritySample(
+      df, col("src"), col("id"), col("w"), k = 20, salt = "ps1",
+      nBuckets = 1).orderBy("stratum", "rnk").collect().toSeq
+    val b7 = Sampling.prioritySample(
+      df, col("src"), col("id"), col("w"), k = 20, salt = "ps1",
+      nBuckets = 7).orderBy("stratum", "rnk").collect().toSeq
+    assert(b1 === b7)
+    // deterministic re-run; independent draw under a new salt
+    assert(out.orderBy("stratum", "rnk").collect().toSeq ===
+      b1)
+    val other = Sampling.prioritySample(
+      df, col("src"), col("id"), col("w"), k = 20, salt = "ps2")
+      .filter(col("stratum") === "big").select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(other != big.map(_.getLong(1)).toSet)
+    // HT estimator: Σ ht over the sample estimates the stratum total —
+    // one fixed-salt draw, generous band (the c22 oracle pins the exact
+    // arithmetic; this pins that the estimator is in the right universe)
+    val total = 100 * 1000L + 100 * 1L
+    val ht = big.map(_.getDouble(5)).sum
+    assert(math.abs(ht - total) / total < 0.35, s"HT sum $ht vs $total")
+    // weight validation fails the job loudly, inside the pass itself
+    def bad(rows: Seq[(String, Long, java.lang.Long)]): Unit = {
+      val e = intercept[Exception] {
+        Sampling.prioritySample(
+          rows.toDF("src", "id", "w"), col("src"), col("id"), col("w"),
+          k = 2, salt = "z").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("prioritySample")), s"got: $e")
+    }
+    bad(Seq(("a", 1L, 5L), ("a", 2L, null)))
+    bad(Seq(("a", 1L, 5L), ("a", 2L, 0L)))
+    bad(Seq(("a", 1L, 5L), ("a", 2L, -3L)))
+    // fractional weight: flaps the cross-engine priority order — rejected
+    val ef = intercept[Exception] {
+      Sampling.prioritySample(
+        Seq(("a", 1L, 5.5)).toDF("src", "id", "w"),
+        col("src"), col("id"), col("w"), k = 2, salt = "z").collect()
+    }
+    assert((Option(ef.getMessage).toSeq ++
+      Option(ef.getCause).flatMap(c => Option(c.getMessage)).toSeq)
+      .exists(_.contains("prioritySample")), s"got: $ef")
+    intercept[IllegalArgumentException](
+      Sampling.prioritySample(df, col("src"), col("id"), col("w"), 0, "z"))
+  }
 }

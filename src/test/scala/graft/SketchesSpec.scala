@@ -663,4 +663,66 @@ class SketchesSpec extends SparkSpecBase {
     assert(a === b)
     assert(a.head.getInt(2) === 64) // sampled path actually exercised
   }
+
+  // ------------------------------------------------------------------ //
+  // HyperLogLog                                                        //
+  // ------------------------------------------------------------------ //
+
+  test("HLL sketch: register shape, duplicate insensitivity, partitioning invariance") {
+    val base = (1 to 300).map(i => ("g", s"v_$i"))
+    val withDups = base ++ base.take(150) ++ base.take(50)
+    def regs(rows: Seq[(String, String)], parts: Int): Seq[Int] =
+      Sketches.hllSketchByKey(
+        rows.toDF("key", "v").repartition(parts), col("key"), col("v"), p = 6)
+        .select("regs").head.getSeq[Int](0)
+    val r1 = regs(base, 1)
+    // 64 registers, each 0..55 (54-bit rest + 1)
+    assert(r1.size === 64 && r1.forall(r => r >= 0 && r <= 55))
+    // registers are a pure function of the value SET
+    assert(regs(withDups, 7) === r1)
+    assert(regs(base, 23) === r1)
+    intercept[IllegalArgumentException](
+      Sketches.hllSketchByKey(base.toDF("key", "v"), col("key"), col("v"), p = 3))
+  }
+
+  test("HLL merge: element-wise max of per-half sketches EQUALS the whole-corpus sketch") {
+    val all = (1 to 4000).map(i => ("g", s"val_$i"))
+    // overlapping halves — idempotence under max is part of the claim
+    val halves =
+      Sketches.hllSketchByKey(
+        all.take(2500).toDF("key", "v"), col("key"), col("v"), p = 6)
+        .union(Sketches.hllSketchByKey(
+          all.drop(1500).toDF("key", "v"), col("key"), col("v"), p = 6))
+    val merged = Sketches.hllMergeSketches(halves, col("key"), col("regs"), p = 6)
+      .select("regs").head.getSeq[Int](0)
+    val whole = Sketches.hllSketchByKey(
+      all.toDF("key", "v"), col("key"), col("v"), p = 6)
+      .select("regs").head.getSeq[Int](0)
+    assert(merged === whole) // bit-identical, not just same estimate
+  }
+
+  test("HLL estimate: raw branch within 3 standard errors at p=6 over 10k distincts") {
+    val n = 10000
+    val df = (1 to n).map(i => ("g", s"val_$i")).toDF("key", "v")
+    val row = Sketches.hllDistinctByKey(df, col("key"), col("v"), p = 6)
+      .select("v_zero", "est_micro").head
+    val est = row.getLong(1) / 1e6
+    val se = 1.04 / math.sqrt(64) // the paper's σ for the raw estimator
+    assert(row.getLong(0) === 0L, "10k distincts must fill all 64 registers")
+    assert(math.abs(est - n) / n <= 3 * se,
+      s"HLL estimate $est vs $n exceeds 3x standard error (${3 * se})")
+  }
+
+  test("HLL estimate: linear-counting branch engages at low load and tracks the count") {
+    val n = 20
+    val df = (1 to n).map(i => ("g", s"item_$i")).toDF("key", "v")
+    val row = Sketches.hllDistinctByKey(df, col("key"), col("v"), p = 6)
+      .select("v_zero", "est_micro").head
+    val vZero = row.getLong(0)
+    val est = row.getLong(1) / 1e6
+    // LC is exact-ish at m≫n: occupied ≤ n registers, est = m·ln(m/V)
+    assert(vZero >= (64 - n).toLong && vZero < 64L)
+    assert(math.abs(est - 64.0 * math.log(64.0 / vZero)) <= 1e-6)
+    assert(math.abs(est - n) / n <= 0.3, s"LC estimate $est vs $n")
+  }
 }
