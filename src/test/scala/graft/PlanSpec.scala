@@ -647,6 +647,31 @@ class PlanSpec extends SparkSpecBase {
       s"relevance join degenerated to a product plan:\n$p")
   }
 
+  test("q43 HLL: register extraction aggregates partially (map-side max, bounded shuffle)") {
+    val p = plan(graft.queries.RelationalQueries.q43HllDistinct(spark, sfDir))
+    // the groupBy(key, idx) max must combine map-side: the shuffle then
+    // carries <= 2^p rows per (partition, key) regardless of corpus size
+    assert(countOccurrences(p, "HashAggregate") >= 4,
+      s"partial+final aggregation expected in both register pipelines:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q43 must stay equi-join shaped:\n$p")
+  }
+
+  test("c22 priority sample: tau attach broadcasts; no cartesian; windows keyed on stratum") {
+    val p = plan(graft.queries.CurationQueries.c22PrioritySample(spark, sfDir))
+    // <= 1 tau row per stratum: the left join's build side must broadcast
+    // (the hint sits on the RIGHT side, where a left outer join can build)
+    assert(p.contains("BroadcastHashJoin"),
+      s"tau attach must be a broadcast hash join:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoopJoin"),
+      s"c22 degenerated to a product plan:\n$p")
+    // two-level discipline: the bucketed window partitions on
+    // (stratum, __bkt) so a hot stratum spreads across tasks
+    assert(p.contains("hashpartitioning(stratum") &&
+      p.contains("__bkt"),
+      s"bucketed first-level window missing:\n$p")
+  }
+
   private def countOccurrences(s: String, sub: String): Int =
     s.sliding(sub.length).count(_ == sub)
 }
