@@ -450,6 +450,8 @@ object Sketches {
       (acc, r) => acc +
         shlCol(lit(1L), lit(60) - r).cast(DecimalType(38, 0)))
     val vZero = size(filter(col("regs"), r => r === 0)).cast("long")
+    // passenger columns (an n_events riding the same aggregate) pass
+    // through untouched — only the internal __raw is dropped
     sketch
       .withColumn("v_zero", vZero)
       .withColumn("__raw", lit(c) / sScaled.cast("double"))
@@ -459,7 +461,7 @@ object Sketches {
             lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
             .otherwise(col("__raw")) * lit(1e6))
           .cast("long"))
-      .select(col("key"), col("v_zero"), col("est_micro"), col("regs"))
+      .drop("__raw")
   }
 
   /** One-shot per-key HLL distinct estimate — [[hllEstimate]] ∘
@@ -477,6 +479,65 @@ object Sketches {
     requireHllP(p)
     val m = 1 << p
     hllAlpha(m) * m.toDouble * m.toDouble * 1.152921504606846976e18
+  }
+
+  /** One-pass HLL register aggregator over pre-computed h60 hashes —
+    * the STREAMING-STATE form of [[hllSketchByKey]] (differential spec
+    * pins bit-equality between the two). Register max is commutative,
+    * associative, and idempotent, so this aggregator needs no event
+    * buffering, no ordering discipline, and no watermark coupling to
+    * reach batch parity — the property that makes the register array
+    * the RIGHT streaming state for windowed distinct counts (contrast
+    * [[graft.streaming.EwmaStream]], whose fold is order-sensitive and
+    * must buffer to the watermark). The buffer is 2^p ints and the
+    * map-side partial means the shuffle (or the state store delta)
+    * carries one register array per (partition, group), not hashes.
+    *
+    * Input contract: the COLUMN wrapper filters null hashes at the
+    * call site (`when(h.isNotNull, ...)` cannot express "skip" inside
+    * a primitive-input Aggregator, so reduce treats the sentinel -1 as
+    * absent — h60 itself is non-negative).
+    */
+  private class HllRegs(p: Int) extends org.apache.spark.sql.expressions
+      .Aggregator[Long, Array[Int], Seq[Int]] {
+    private val m = 1 << p
+    private val w = 60 - p
+    override def zero: Array[Int] = new Array[Int](m)
+    override def reduce(b: Array[Int], h: Long): Array[Int] = {
+      if (h >= 0L) { // -1 = null sentinel from the column wrapper
+        val idx = (h >>> w).toInt
+        val rest = h & ((1L << w) - 1L)
+        // bitlen(rest) = 64 − nlz(rest); rho = w − bitlen + 1 — the
+        // exact arithmetic of the column path's length(bin(rest))
+        val rho =
+          if (rest == 0L) w + 1
+          else w + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+        if (rho > b(idx)) b(idx) = rho
+      }
+      b
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Int]): Seq[Int] = b.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+      org.apache.spark.sql.Encoders.kryo[Array[Int]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
+  }
+
+  /** Column form of [[HllRegs]]: `hllAgg(6)(Hashing.h60(value))`
+    * inside any agg — batch groupBy or a streaming windowed
+    * aggregation. Null hashes map to the -1 sentinel (COUNT DISTINCT
+    * null semantics, same as [[hllSketchByKey]]'s filter).
+    */
+  def hllAgg(p: Int)(h: Column): Column = {
+    requireHllP(p)
+    udaf(new HllRegs(p),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+      .apply(coalesce(h, lit(-1L)))
   }
 
   // ------------------------------------------------------------------ //

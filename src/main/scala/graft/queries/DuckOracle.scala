@@ -61,4 +61,54 @@ object DuckOracle {
     */
   def h60(e: String): String =
     s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(substr(md5($e), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a*16 + b)"
+
+  /** The full deterministic-HLL register pipeline (p=6, the
+    * [[graft.operators.Sketches.hllSketchByKey]] twin) as oracle CTEs
+    * ending in `${sfx}_est(key, v_zero, est_micro, regs_fp)`: h60 →
+    * (idx = top 6 bits, rest = low 54) → rho via ltrim-of-bin bit
+    * length (integer-exact — both engines emit minimal binary) →
+    * register max → the 64-cell grid → exact HUGEINT harmonic sum →
+    * the branchy estimate in micro-units. The divide constant is
+    * [[graft.operators.Sketches.hllEstimateConstant]]'s exact double,
+    * interpolated so both engines divide from identical bits. Single
+    * owner for every HLL replay (q43/q44 on lineitem, e15 on events).
+    */
+  def hllSql(
+      sfx: String, fromSql: String, keySql: String, valueSql: String,
+      extraWhere: String = ""): String = {
+    val h = h60(valueSql)
+    val c = graft.operators.Sketches.hllEstimateConstant(6)
+    s"""${sfx}_h AS (
+       |  SELECT DISTINCT $keySql AS key, $h AS h
+       |  FROM $fromSql WHERE $valueSql IS NOT NULL$extraWhere
+       |), ${sfx}_rr AS (
+       |  SELECT key, CAST(h // 18014398509481984 AS INT) AS idx,
+       |    h % 18014398509481984 AS rest FROM ${sfx}_h
+       |), ${sfx}_reg AS (
+       |  SELECT key, idx,
+       |    MAX(CASE WHEN rest = 0 THEN 55
+       |             ELSE 55 - length(ltrim(bin(rest), '0')) END) AS r
+       |  FROM ${sfx}_rr GROUP BY key, idx
+       |), ${sfx}_regs AS (
+       |  SELECT g.key, g.idx, COALESCE(r.r, 0) AS r
+       |  FROM (SELECT k.key, gs.i AS idx
+       |        FROM (SELECT DISTINCT key FROM ${sfx}_h) k,
+       |             generate_series(0, 63) gs(i)) g
+       |  LEFT JOIN ${sfx}_reg r ON g.key = r.key AND g.idx = r.idx
+       |), ${sfx}_agg AS (
+       |  SELECT key,
+       |    CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+       |    SUM(CAST(1 AS BIGINT) << (60 - r)) AS s_scaled,
+       |    md5(string_agg(CAST(r AS VARCHAR), ',' ORDER BY idx)) AS regs_fp
+       |  FROM ${sfx}_regs GROUP BY key
+       |), ${sfx}_est AS (
+       |  SELECT key, v_zero, regs_fp,
+       |    CAST(ROUND(CASE WHEN ($c / CAST(s_scaled AS DOUBLE)) <= 160.0
+       |                         AND v_zero > 0
+       |        THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+       |        ELSE $c / CAST(s_scaled AS DOUBLE) END * 1000000.0) AS BIGINT)
+       |      AS est_micro
+       |  FROM ${sfx}_agg
+       |)""".stripMargin
+  }
 }

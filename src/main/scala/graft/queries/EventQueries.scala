@@ -552,7 +552,48 @@ object EventQueries {
       |  CAST(sum_vdt AS DOUBLE) / CAST(sum_dt AS DOUBLE) / 100.0 AS twa
       |FROM agg WHERE sum_dt > 0 ORDER BY user_id""".stripMargin
 
+  /** Hourly distinct-user HLL sketch over the event stream — the batch
+    * twin of [[graft.streaming.Streams.windowDistinctSketch]] (ST3's
+    * windowed rollup crossed with the q43 sketch family): one pass,
+    * one shuffle, 64 registers of state per hour regardless of event
+    * volume — the shape "unique users per hour" takes at 100 TB/day,
+    * where exact per-window COUNT(DISTINCT) state grows with
+    * cardinality. Uses the one-pass [[graft.operators.Sketches.hllAgg]]
+    * aggregator (the streaming-state form; SketchesSpec pins
+    * bit-equality with the two-stage `hllSketchByKey`), then the
+    * shared estimator. n_events rides the same aggregate for free.
+    */
+  def e15WindowDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val sk = ev
+      .filter(col("user_id").isNotNull)
+      .groupBy(date_format(Tables.tsTimestamp(ev), "yyyy-MM-dd HH").as("key"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.operators.Sketches.hllAgg(p = 6)(
+          graft.functions.Hashing.h60(col("user_id").cast("string")))
+          .as("regs"))
+    graft.operators.Sketches.hllEstimate(sk, p = 6)
+      .select(col("key").as("hour"), col("n_events"), col("v_zero"),
+        col("est_micro"),
+        md5(concat_ws(",", transform(col("regs"), r => r.cast("string"))))
+          .as("regs_fp"))
+      .orderBy("hour")
+  }
+
+  val e15Oracle: String =
+    s"""WITH ${DuckOracle.hllSql("e", "events",
+        "strftime(ts, '%Y-%m-%d %H')", "CAST(user_id AS VARCHAR)")},
+       |n AS (
+       |  SELECT strftime(ts, '%Y-%m-%d %H') AS key,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+       |)
+       |SELECT e.key AS hour, n.n_events, e.v_zero, e.est_micro, e.regs_fp
+       |FROM e_est e JOIN n ON n.key = e.key ORDER BY hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e15_window_distinct" -> (e15WindowDistinct _),
     "e14_time_weighted_avg" -> (e14TimeWeightedAvg _),
     "e13_ewma" -> (e13Ewma _),
     "e11_gap_histogram" -> (e11GapHistogram _),
@@ -572,6 +613,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e15_window_distinct" -> e15Oracle,
     "e14_time_weighted_avg" -> e14Oracle,
     "e13_ewma" -> e13Oracle,
     "e11_gap_histogram" -> e11Oracle,

@@ -88,6 +88,46 @@ object Streams {
         col("win.end").as("window_end"),
         col(typeCol), col("n"), col("sum_value"), col("min_value"), col("max_value"))
 
+  /** Windowed distinct-count HLL sketch — the streaming twin of
+    * [[graft.queries.EventQueries.e15WindowDistinct]]. The register
+    * array ([[graft.operators.Sketches.hllAgg]]) IS the streaming
+    * state: 2^p ints per open window no matter the event volume or key
+    * cardinality (exact windowed COUNT(DISTINCT) state grows with
+    * cardinality — the thing that does NOT survive "unique users per
+    * hour at 100 TB/day"). Register max is commutative, associative,
+    * and idempotent, so batch parity needs NO event buffering, no
+    * ordering discipline, and no watermark coupling — any arrival
+    * order folds to the same registers bit-for-bit (contrast
+    * [[EwmaStream]], whose order-sensitive fold must buffer to the
+    * watermark to reach the same contract). StreamingSpec pins
+    * register-level equality against the batch twin under out-of-order
+    * delivery across multiple micro-batches.
+    *
+    * Output per closed window: window_start/end, n_events, regs —
+    * feed [[graft.operators.Sketches.hllEstimate]] (rename regs' key)
+    * or persist the registers as a sketch-lake increment and merge
+    * downstream ([[graft.operators.Sketches.hllMergeSketches]]).
+    */
+  def windowDistinctSketch(
+      events: DataFrame,
+      tsCol: String,
+      idCol: String,
+      window: String = "1 hour",
+      watermark: String = "10 minutes",
+      p: Int = 6): DataFrame =
+    events
+      .filter(col(idCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window).as("win"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.operators.Sketches.hllAgg(p)(
+          graft.functions.Hashing.h60(col(idCol).cast("string"))).as("regs"))
+      .select(
+        col("win.start").as("window_start"),
+        col("win.end").as("window_end"),
+        col("n_events"), col("regs"))
+
   /** Threshold alerting with severity tiers (warning ≥ warn, critical ≥
     * crit) — works per-row, so identical in batch and streaming.
     */

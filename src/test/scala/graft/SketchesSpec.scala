@@ -713,6 +713,28 @@ class SketchesSpec extends SparkSpecBase {
       s"HLL estimate $est vs $n exceeds 3x standard error (${3 * se})")
   }
 
+  test("HLL one-pass aggregator (hllAgg) equals the two-stage sketch bit-for-bit; nulls excluded") {
+    import graft.functions.Hashing
+    // duplicated values, several keys, adversarial partitioning, nulls
+    val rows = (1 to 900).map(i =>
+      (s"k${i % 3}", if (i % 50 == 0) null else s"v_${i % 240}"))
+    val df = rows.toDF("key", "v").repartition(13)
+    val viaAgg = df
+      .groupBy("key")
+      .agg(Sketches.hllAgg(6)(Hashing.h60(col("v"))).as("regs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val viaStages = Sketches.hllSketchByKey(df, col("key"), col("v"), p = 6)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(viaAgg === viaStages)
+    // all-null group: aggregator yields the zero sketch (the column
+    // path drops the group entirely — its filter runs before groupBy)
+    val nulls = Seq(("k", null: String)).toDF("key", "v")
+    val z = nulls.groupBy("key")
+      .agg(Sketches.hllAgg(6)(Hashing.h60(col("v"))).as("regs"))
+      .head.getSeq[Int](1)
+    assert(z === Seq.fill(64)(0))
+  }
+
   test("HLL estimate: linear-counting branch engages at low load and tracks the count") {
     val n = 20
     val df = (1 to n).map(i => ("g", s"item_$i")).toDF("key", "v")

@@ -39,6 +39,49 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("windowDistinctSketch: streaming registers EQUAL the batch sketch under out-of-order multi-batch delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+    import graft.functions.Hashing
+    // 3 hours of events, duplicated users, delivered fully shuffled
+    // across three micro-batches — register max is order-independent,
+    // so the closed windows must equal the batch sketch BIT-FOR-BIT.
+    // The 4 h watermark covers the whole shuffle horizon: rows older
+    // than the watermark are DROPPED by contract (they'd be late in
+    // any engine), and this test is about ORDER, not lateness
+    val all = (0 until 300).map { i =>
+      (ts(f"2024-01-01 0${i % 3}%d:${(i / 3) % 60}%02d:11"), (i % 70).toLong)
+    }
+    val (b1, rest) = new scala.util.Random(7).shuffle(all).splitAt(100)
+    val (b2, b3) = rest.splitAt(100)
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = Streams.windowDistinctSketch(
+      in.toDF().toDF("ts", "user_id"), "ts", "user_id",
+      window = "1 hour", watermark = "4 hours")
+      .writeStream.format("memory").queryName("hllwin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(b1, b2, b3).foreach { b => in.addData(b); q.processAllAvailable() }
+      in.addData((ts("2024-01-02 00:00:00"), 9999L)) // close all 3 windows
+      q.processAllAvailable()
+      val got = spark.table("hllwin")
+        .filter(col("window_start") < ts("2024-01-01 12:00:00"))
+        .select("window_start", "n_events", "regs")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getSeq[Int](2)))
+        .sortBy(_._1)
+      val batch = all.toDF("ts", "user_id")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00:00.0").as("key"))
+        .agg(count(lit(1)).as("n"),
+          Sketches.hllAgg(6)(Hashing.h60(col("user_id").cast("string"))).as("regs"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2)))
+        .sortBy(_._1)
+      assert(got.length === 3)
+      assert(got.toSeq === batch.toSeq) // registers bit-identical, no tolerance
+    } finally q.stop()
+  }
+
   test("dedupEvents drops same-id events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
