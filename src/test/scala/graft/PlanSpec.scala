@@ -657,6 +657,21 @@ class PlanSpec extends SparkSpecBase {
       s"q43 must stay equi-join shaped:\n$p")
   }
 
+  test("e15 HLL window: partial_hllregs runs map-side; scan reads 2 columns with pushed filter") {
+    val f = formatted(graft.queries.EventQueries.queries(
+      "e15_window_distinct")(spark, sfDir))
+    // the register aggregator must combine BEFORE the exchange — the
+    // shuffle then carries one 64-int array per (partition, hour), the
+    // whole 100 TB argument for sketching over exact distinct
+    assert(f.contains("partial_hllregs"),
+      s"map-side partial register aggregation missing:\n$f")
+    assert(f.contains("PushedFilters: [IsNotNull(user_id)]"),
+      s"user_id null filter must reach the scan:\n$f")
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"unused event columns read: $readSchema")
+  }
+
   test("c22 priority sample: tau attach broadcasts; no cartesian; windows keyed on stratum") {
     val p = plan(graft.queries.CurationQueries.c22PrioritySample(spark, sfDir))
     // <= 1 tau row per stratum: the left join's build side must broadcast
