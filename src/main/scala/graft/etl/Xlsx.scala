@@ -322,10 +322,12 @@ object Xlsx {
       // itself throws (zip finish on a full disk) must neither mask
       // the original error nor skip the partial-workbook delete; on
       // the success path a close failure is a REAL error (the central
-      // directory never landed) and propagates
+      // directory never landed) — it propagates AND marks the file
+      // corrupt, so the delete below removes the truncated workbook
+      // instead of leaving it for a reader to trip over
       try zos.close()
-      catch { case _: Throwable if !ok => () }
-      // never leave a half-written workbook behind a thrown overflow
+      catch { case e: Throwable => if (ok) { ok = false; throw e } }
+      // never leave a half-written workbook behind a thrown error
       finally if (!ok) { target.delete(): Unit }
     }
   }

@@ -299,7 +299,11 @@ object Sampling {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val wL = weight.cast("long")
-    val good = weight.isNotNull && wL.isNotNull && wL > 0 &&
+    // id.isNotNull: a null id would hash to a NULL sort key, which
+    // Spark orders NULLS FIRST — the row would silently take rank 1 in
+    // its stratum (and flap vs engines that order nulls last); reject
+    // it in the same guard as the weight classes
+    val good = id.isNotNull && weight.isNotNull && wL.isNotNull && wL > 0 &&
       wL.cast("double") === weight.cast("double")
     // assert_true is NULL on pass; coalesce→0.0 keeps the key exact
     // (key > 0 always, so 0.0+ is the identity) while making the guard
@@ -309,8 +313,8 @@ object Sampling {
     // weights it exists to reject; the coalesce is never null, so
     // guard-first forces both sides to evaluate on every row.
     val guard = coalesce(
-      assert_true(good, concat(lit("prioritySample: null/non-positive/"),
-        lit("non-numeric/fractional weight at id="),
+      assert_true(good, concat(lit("prioritySample: null id or null/"),
+        lit("non-positive/non-numeric/fractional weight at id="),
         coalesce(id.cast("string"), lit("NULL")),
         lit(" weight="),
         coalesce(weight.cast("string"), lit("NULL")))).cast("double"),
@@ -461,6 +465,12 @@ object Sampling {
   def mixtureSampleAt(
       df: DataFrame, source: Column, id: Column,
       thresholds: Seq[(String, Long, Long)], salt: String): DataFrame = {
+    // [[mixtureThresholds]] already enforces this, but this is an
+    // independent public entry: a duplicate source would make the two
+    // forms DIVERGE (CASE keeps each row once under the last threshold;
+    // the join would emit one output row per duplicate entry)
+    require(thresholds.map(_._1).distinct.size == thresholds.size,
+      s"duplicate sources in thresholds: ${thresholds.map(_._1).mkString(", ")}")
     if (thresholds.size <= CaseLookupMax) {
       val thrCol = thresholds.foldLeft(lit(0L)) { case (acc, (s, _, thr)) =>
         when(source === lit(s), lit(thr)).otherwise(acc)

@@ -37,34 +37,22 @@ object ResultStore {
       .map(_.toString).toSeq
   }
 
-  /** Read a saved JSON set, falling back to an empty frame with
-    * `fallback`'s schema when the set holds no data rows. A frame
-    * saved with ZERO rows writes only `_SUCCESS` (no part files with
-    * bytes), and `spark.read.json` on that throws "Unable to infer
-    * schema" — but an empty set is a legitimate state (a clean-system
-    * baseline has no findings), not corruption, so readers that know
-    * their schema must not crash on it.
+  /** Read a saved JSON set. A caller that knows its schema passes
+    * `fallback` and gets it APPLIED, not just used for the empty case:
+    * Spark's JSON writer omits null fields per record, so a set whose
+    * rows all carry e.g. severity=null infers a schema MISSING that
+    * column and every downstream filter on it throws — the same bug
+    * class as the zero-row set (only `_SUCCESS`, no part files), where
+    * inference itself fails with "Unable to infer schema". With an
+    * explicit schema both states read cleanly (the zero-row set as an
+    * empty frame); schema-agnostic callers (no fallback) keep
+    * inference and its sharp edges.
     */
-  def readJsonSet(spark: SparkSession, path: String, fallback: Option[StructType] = None): DataFrame = {
-    val hasData = {
-      val p = Paths.get(path)
-      Files.isDirectory(p) && {
-        val stream = Files.list(p)
-        try {
-          var found = false
-          val it = stream.iterator()
-          while (!found && it.hasNext) {
-            val f = it.next()
-            if (f.getFileName.toString.startsWith("part-") && Files.size(f) > 0) found = true
-          }
-          found
-        } finally stream.close()
-      }
+  def readJsonSet(spark: SparkSession, path: String, fallback: Option[StructType] = None): DataFrame =
+    fallback match {
+      case Some(schema) => spark.read.schema(schema).json(path)
+      case None => spark.read.json(path)
     }
-    if (hasData || fallback.isEmpty) spark.read.json(path)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fallback.get)
-  }
 
   /** Load the newest saved set (None if absent) — the baseline-differ's
     * `load_latest_baseline`. `fallback` is the schema an EMPTY saved

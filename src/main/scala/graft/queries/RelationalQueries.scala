@@ -944,17 +944,36 @@ object RelationalQueries {
     * index, rho, and max from the same h60 bits.
     */
   def q43HllDistinct(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    def leg(value: Column, sfx: String): DataFrame =
-      graft.operators.Sketches.hllDistinctByKey(
-        li, col("l_returnflag"), value, p = 6)
-        .select(col("key"),
-          col("v_zero").as(s"v_zero_$sfx"),
-          col("est_micro").as(s"est_${sfx}_micro"),
-          md5(concat_ws(",", transform(col("regs"), r => r.cast("string"))))
-            .as(s"regs_fp_$sfx"))
-    leg(col("l_orderkey"), "ord")
-      .join(leg(col("l_suppkey"), "sup"), "key")
+    import graft.operators.Sketches
+    import graft.functions.Hashing
+    // ONE scan, ONE shuffle: both register columns ride the same
+    // groupBy via the one-pass hllAgg aggregator (SketchesSpec pins it
+    // bit-equal to the two-stage hllSketchByKey, which q44 exercises
+    // oracle-gated through its persisted lake) — the previous
+    // two-independent-pipelines + join form paid a second full
+    // lineitem pass for nothing
+    val sk = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("key"))
+      .agg(
+        Sketches.hllAgg(p = 6)(Hashing.h60(col("l_orderkey").cast("string")))
+          .as("regs_ord"),
+        Sketches.hllAgg(p = 6)(Hashing.h60(col("l_suppkey").cast("string")))
+          .as("regs_sup"))
+    def fp(c: Column): Column =
+      md5(concat_ws(",", transform(c, r => r.cast("string"))))
+    val a = graft.operators.Sketches.hllEstimate(
+      sk.withColumnRenamed("regs_ord", "regs"), p = 6)
+      .select(col("key"), col("regs_sup"),
+        col("v_zero").as("v_zero_ord"),
+        col("est_micro").as("est_ord_micro"),
+        fp(col("regs")).as("regs_fp_ord"))
+    graft.operators.Sketches.hllEstimate(
+      a.withColumnRenamed("regs_sup", "regs"), p = 6)
+      .select(col("key"),
+        col("v_zero_ord"), col("est_ord_micro"), col("regs_fp_ord"),
+        col("v_zero").as("v_zero_sup"),
+        col("est_micro").as("est_sup_micro"),
+        fp(col("regs")).as("regs_fp_sup"))
       .orderBy("key")
   }
 

@@ -841,6 +841,15 @@ class ColumnFunctionsSpec extends SparkSpecBase {
       Sampling.mixtureThresholds(
         avail, Seq("web" -> ((1L, 2L)), "web" -> ((1L, 2L))), 1000L)
     }
+    // mixtureSampleAt is an independent public entry: a duplicate
+    // source would make its CASE and join forms diverge (once-per-row
+    // vs once-per-duplicate) — rejected at the door
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSampleAt(
+        spark.range(3).toDF("id").withColumn("src", lit("web")),
+        col("src"), col("id"),
+        Seq(("web", 1L, 5L), ("web", 1L, 6L)), "z")
+    }
     // sampled totals track the targets; draw is deterministic and
     // confined to recipe sources
     val df = spark.range(30000).select(
@@ -1573,6 +1582,18 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     bad(Seq(("a", 1L, 5L), ("a", 2L, null)))
     bad(Seq(("a", 1L, 5L), ("a", 2L, 0L)))
     bad(Seq(("a", 1L, 5L), ("a", 2L, -3L)))
+    // null id: hashes to a NULL sort key, which Spark orders FIRST —
+    // the row would silently take rank 1 (and engines ordering nulls
+    // last would disagree); rejected in the same guard
+    val eNullId = intercept[Exception] {
+      Sampling.prioritySample(
+        Seq(("a", java.lang.Long.valueOf(1L), 5L),
+          ("a", null: java.lang.Long, 5L)).toDF("src", "id", "w"),
+        col("src"), col("id"), col("w"), k = 2, salt = "z").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(eNullId).exists(_.contains("prioritySample")), s"got: $eNullId")
     // fractional weight: flaps the cross-engine priority order — rejected
     val ef = intercept[Exception] {
       Sampling.prioritySample(

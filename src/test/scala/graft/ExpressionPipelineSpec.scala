@@ -997,4 +997,24 @@ class ExpressionPipelineSpec extends SparkSpecBase {
         .groupBy("domain").count().collect()
     }
   }
+
+  test("result store: an all-null column survives the JSON round-trip when the schema is applied") {
+    import org.apache.spark.sql.functions.col
+    // Spark's JSON writer OMITS null fields per record, so a non-empty
+    // set whose rows all carry severity=null infers a schema MISSING
+    // the column — the same crash class the zero-row fallback fixed,
+    // on a set that HAS data. The applied schema reads it back as a
+    // present, all-null column.
+    val dir = java.nio.file.Files.createTempDirectory("rs-nullcol").toString
+    val rows = Seq(
+      ("t", "d", null: String, "network", "r", "netstat", "{}"))
+      .toDF(Findings.schema.fieldNames.toIndexedSeq: _*)
+    ResultStore.save(rows, dir, "scan", 1000L)
+    val loaded = ResultStore.loadLatest(
+      spark, dir, "scan", Some(Findings.schema)).get
+    assert(loaded.schema === Findings.schema)
+    assert(loaded.count() === 1L)
+    // the filter that crashed with the inferred (column-less) schema
+    assert(loaded.filter(col("severity").isNull).count() === 1L)
+  }
 }

@@ -647,14 +647,16 @@ class PlanSpec extends SparkSpecBase {
       s"relevance join degenerated to a product plan:\n$p")
   }
 
-  test("q43 HLL: register extraction aggregates partially (map-side max, bounded shuffle)") {
+  test("q43 HLL: ONE lineitem scan, both register columns partial-aggregate map-side") {
     val p = plan(graft.queries.RelationalQueries.q43HllDistinct(spark, sfDir))
-    // the groupBy(key, idx) max must combine map-side: the shuffle then
-    // carries <= 2^p rows per (partition, key) regardless of corpus size
-    assert(countOccurrences(p, "HashAggregate") >= 4,
-      s"partial+final aggregation expected in both register pipelines:\n$p")
-    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoopJoin"),
-      s"q43 must stay equi-join shaped:\n$p")
+    // both sketches ride one groupBy: one scan, one exchange, no join —
+    // the two-pipelines+join form paid a second full pass (code-review
+    // finding, round 14)
+    assert(countOccurrences(p, "FileScan parquet") == 1,
+      s"q43 must scan lineitem exactly once:\n$p")
+    assert(p.contains("partial_hllregs"),
+      s"map-side partial register aggregation missing:\n$p")
+    assert(!p.contains("Join"), s"single-pass q43 needs no join:\n$p")
   }
 
   test("e15 HLL window: partial_hllregs runs map-side; scan reads 2 columns with pushed filter") {
