@@ -1032,9 +1032,24 @@ object Sketches {
       .groupBy("key")
       .agg(
         count(lit(1)).as("n"),
-        udaf(new BottomKPairs(k),
-          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
-          .apply(col("h"), col("v")).as("pairs"))
+        pairSampleAgg(k)(col("h"), col("v")).as("pairs"))
+  }
+
+  /** Column form of the bottom-k pair buffer: `pairSampleAgg(k)(h, v)`
+    * inside any agg — the [[hllAgg]] twin for the quantile-sample
+    * family. Bottom-k over unique row hashes is a SEMILATTICE
+    * (commutative, associative, idempotent over row-disjoint inputs),
+    * so it is streaming-safe state exactly like the HLL registers:
+    * [[graft.streaming.Streams.windowQuantileSample]] reaches batch
+    * parity with no buffering or ordering discipline. Caller contract
+    * (same as [[pairSampleByKey]]): h = h60 of a UNIQUE row id, v
+    * already integer-valued.
+    */
+  def pairSampleAgg(k: Int)(h: Column, v: Column): Column = {
+    require(k >= 2, s"sample quantiles need k >= 2, got $k")
+    udaf(new BottomKPairs(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+      .apply(h, v)
   }
 
   /** Merge per-increment samples down to one per key, pure column

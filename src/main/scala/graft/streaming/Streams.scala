@@ -128,6 +128,56 @@ object Streams {
         col("win.end").as("window_end"),
         col("n_events"), col("regs"))
 
+  /** Windowed quantile SAMPLE — the second semilattice-state streaming
+    * sketch (see [[windowDistinctSketch]] for the algebra argument):
+    * the bottom-k (h60(id), value) pair buffer
+    * ([[graft.operators.Sketches.pairSampleAgg]]) is commutative,
+    * associative, and idempotent over row-disjoint inputs, so any
+    * arrival order and any micro-batch boundary fold to the same
+    * sample bit-for-bit — batch parity without buffering. Contrast a
+    * streaming MG heavy-hitter summary, which merges within its error
+    * bound but whose pruned counters DIFFER by merge-tree shape: not
+    * bit-replayable, so it stays a per-increment batch sketch (q24/
+    * q26) rather than a streaming one. Feed closed windows to
+    * [[graft.operators.Sketches.quantilesFromSample]] for the
+    * estimates, or persist as sample-lake increments
+    * ([[graft.operators.Sketches.mergePairSamples]]).
+    *
+    * Caller contract (the [[graft.operators.Sketches.pairSampleByKey]]
+    * one): `idCol` unique per event, `valueCol` integer-valued (scale
+    * money/floats first); null id/value rows are excluded like the
+    * batch form.
+    */
+  def windowQuantileSample(
+      events: DataFrame,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      window: String = "1 hour",
+      watermark: String = "10 minutes",
+      k: Int = 64): DataFrame = {
+    // the batch form's loud type gate, mirrored: a fractional metric
+    // would silently floor under the long cast
+    val vt = events.select(col(valueCol)).schema.head.dataType
+    import org.apache.spark.sql.types._
+    require(vt == LongType || vt == IntegerType || vt == ShortType || vt == ByteType,
+      s"sample quantiles take integer-valued metrics, got $vt — " +
+        "scale to integer units first (e.g. Money.cents, micro-units)")
+    events
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window).as("win"))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.operators.Sketches.pairSampleAgg(k)(
+          graft.functions.Hashing.h60(col(idCol).cast("string")),
+          col(valueCol).cast("long")).as("pairs"))
+      .select(
+        col("win.start").as("window_start"),
+        col("win.end").as("window_end"),
+        col("n"), col("pairs"))
+  }
+
   /** Threshold alerting with severity tiers (warning ≥ warn, critical ≥
     * crit) — works per-row, so identical in batch and streaming.
     */

@@ -82,6 +82,59 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("windowQuantileSample: streaming pairs EQUAL the batch sample bit-for-bit; fractional metrics rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+    // 2 hours, 150 events each, unique ids, shuffled across 3 batches
+    val all = (0 until 300).map { i =>
+      (ts(f"2024-01-01 0${i % 2}%d:${(i / 2) % 60}%02d:07"), i.toLong,
+        ((i * 37) % 500).toLong)
+    }
+    val (b1, rest) = new scala.util.Random(11).shuffle(all).splitAt(100)
+    val (b2, b3) = rest.splitAt(100)
+    val in = MemoryStream[(Timestamp, Long, Long)]
+    val q = Streams.windowQuantileSample(
+      in.toDF().toDF("ts", "event_id", "v"), "ts", "event_id", "v",
+      window = "1 hour", watermark = "3 hours", k = 32)
+      .writeStream.format("memory").queryName("qsample")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(b1, b2, b3).foreach { b => in.addData(b); q.processAllAvailable() }
+      in.addData((ts("2024-01-02 00:00:00"), 9999L, 0L)) // close both windows
+      q.processAllAvailable()
+      val got = spark.table("qsample")
+        .filter(col("window_start") < ts("2024-01-01 12:00:00"))
+        .select("window_start", "n", "pairs").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1),
+          r.getSeq[org.apache.spark.sql.Row](2).map(p => (p.getLong(0), p.getLong(1)))))
+        .sortBy(_._1)
+      val batch = Sketches.pairSampleByKey(
+        all.toDF("ts", "event_id", "v"),
+        date_format(col("ts"), "yyyy-MM-dd HH:00:00.0"),
+        col("event_id"), col("v"), k = 32)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getSeq[org.apache.spark.sql.Row](2).map(p => (p.getLong(0), p.getLong(1)))))
+        .sortBy(_._1)
+      assert(got.length === 2)
+      assert(got.toSeq === batch.toSeq) // the sample IS the state — bit-identical
+      // downstream estimator runs on the streamed sample unchanged
+      val est = Sketches.quantilesFromSample(
+        spark.table("qsample")
+          .filter(col("window_start") < ts("2024-01-01 12:00:00"))
+          .select(col("window_start").cast("string").as("key"),
+            col("n"), col("pairs")),
+        qs = Seq(0.5)).collect()
+      assert(est.length === 2 && est.forall(r => r.getLong(3) >= 0))
+    } finally q.stop()
+    // fractional metric: loudly rejected, mirroring the batch gate
+    intercept[IllegalArgumentException] {
+      Streams.windowQuantileSample(
+        Seq((ts("2024-01-01 00:00:01"), 1L, 1.5)).toDF("ts", "event_id", "v"),
+        "ts", "event_id", "v")
+    }
+  }
+
   test("dedupEvents drops same-id events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, String)]
