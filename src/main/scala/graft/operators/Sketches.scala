@@ -416,8 +416,25 @@ object Sketches {
     requireHllP(p)
     val m = 1 << p
     val zeroRegs = array_repeat(lit(0), m)
+    // loud width gate (the prioritySample guard discipline): zip_with
+    // pads the shorter array with nulls and greatest() skips them, so
+    // merging a sketch persisted at a DIFFERENT p would silently yield
+    // wrong registers instead of failing. The guard rides the consumed
+    // regs column itself (when's condition must evaluate to pick the
+    // branch), so it cannot be pruned; null regs rows still skip via
+    // collect_list like before (size(null) guard short-circuits on the
+    // isNull disjunct without asserting).
+    val checked = when(
+      regs.isNull || coalesce(
+        assert_true(size(regs) === m,
+          concat(lit("hllMergeSketches: register array of length "),
+            size(regs).cast("string"),
+            lit(s" != 2^p = $m -- this lake holds sketches built at a " +
+              "different p; merge at the ingest p"))).isNull,
+        lit(true)),
+      regs)
     sketches.groupBy(key.as("key"))
-      .agg(aggregate(collect_list(regs), zeroRegs,
+      .agg(aggregate(collect_list(checked), zeroRegs,
         (acc, x) => zip_with(acc, x, (a, b) => greatest(a, b))).as("regs"))
   }
 
@@ -504,7 +521,17 @@ object Sketches {
     private val w = 60 - p
     override def zero: Array[Int] = new Array[Int](m)
     override def reduce(b: Array[Int], h: Long): Array[Int] = {
-      if (h >= 0L) { // -1 = null sentinel from the column wrapper
+      if (h != -1L) { // exactly -1 = the column wrapper's null sentinel
+        // loud contract gate (the prioritySample message discipline):
+        // a hash >= 2^60 would index past the register array deep in
+        // an executor task, and any OTHER negative (a raw xxhash64)
+        // would previously be swallowed as the sentinel and silently
+        // undercount — both are caller bugs, both fail by name here
+        if (h < 0L || h >= (1L << 60))
+          throw new IllegalArgumentException(
+            s"hllAgg: hash $h is outside the h60 contract [0, 2^60) " +
+              "(and is not the -1 null sentinel) -- pass Hashing.h60 " +
+              "output, not a raw 64-bit hash")
         val idx = (h >>> w).toInt
         val rest = h & ((1L << w) - 1L)
         // bitlen(rest) = 64 − nlz(rest); rho = w − bitlen + 1 — the
@@ -886,6 +913,79 @@ object Sketches {
           s"$tmpKeys/$tmpN rewritten) — aborted, original untouched")
     }
     graft.etl.Compact.swapIntoJournaled(fs, tmp, root, old)
+  }
+
+  /** Compact an HLL sketch lake ([[hllSketchByKey]] increments — rows
+    * of (key, regs)): [[hllMergeSketches]] returns the EXACT increment
+    * schema and element-wise register max is a true semilattice
+    * (associative, commutative, idempotent), so the compacted lake is
+    * BIT-equivalent to the original under every future merge — the
+    * cleanest lake algebra in the file, now with the same lifecycle as
+    * KMV/MG/pair-samples. Pre-swap gates: the stored register width
+    * must equal 2^p (compacting at the wrong p would mis-index every
+    * register — the [[compactMgLake]] k-gate, for width; null register
+    * rows are refused too, since collect_list would silently drop
+    * them), and the rewritten tree must carry the same key count and
+    * the same order-independent content fingerprint as the merged
+    * source (a lost key or a corrupted register would shift every
+    * later estimate). Same converge/refuse-parked/two-rename swap
+    * contract as [[compactMgLake]]; run while no increment writer is
+    * active.
+    */
+  def compactHllLake(
+      spark: org.apache.spark.sql.SparkSession, path: String, p: Int): Unit = {
+    requireHllP(p)
+    val m = 1 << p
+    val (fs, root) = fsRoot(spark, path)
+    // same converge-then-refuse-foreign order as compactMgLake
+    graft.etl.Compact.convergeCrashedSwap(fs, root,
+      new org.apache.hadoop.fs.Path(path + "__compact_old"), "compactHllLake")
+    refuseParked(fs, root, "compactHllLake")
+    if (!fs.exists(root)) return
+    val src = spark.read.parquet(path)
+    val g = src.agg(
+      count(lit(1)).as("rows"),
+      count(when(col("regs").isNull, lit(1))).as("nulls"),
+      coalesce(min(size(col("regs"))), lit(0)).as("mn"),
+      coalesce(max(size(col("regs"))), lit(0)).as("mx")).head()
+    if (g.getLong(0) == 0L) return // empty lake: nothing to compact
+    require(g.getLong(1) == 0L,
+      s"compactHllLake: $path holds ${g.getLong(1)} null register row(s) " +
+        "-- a corrupt lake; repair before compacting")
+    require(g.getInt(2) == m && g.getInt(3) == m,
+      s"compactHllLake p=$p expects $m registers per row but the lake " +
+        s"holds arrays of ${g.getInt(2)}..${g.getInt(3)} -- pass the ingest p")
+    // scopedCache: the merged frame feeds BOTH the gate baseline and
+    // the tmp write — without it the lake scan + merge runs twice
+    val merged = Dedup.scopedCache(
+      hllMergeSketches(src, col("key"), col("regs"), p))
+    val (srcKeys, srcFp) = keyCountAndFp(merged)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    fs.delete(tmp, true)
+    merged.write.parquet(tmp.toString)
+    val (tmpKeys, tmpFp) = keyCountAndFp(spark.read.parquet(tmp.toString))
+    if (tmpKeys != srcKeys || tmpFp != srcFp) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compaction of $path would change the merged registers " +
+          s"($srcKeys keys/fp $srcFp merged, $tmpKeys/$tmpFp rewritten) " +
+          "-- aborted, original untouched")
+    }
+    graft.etl.Compact.swapIntoJournaled(fs, tmp, root, old)
+  }
+
+  /** Key count + order-independent content fingerprint (sum of per-row
+    * xxhash64 over the full (key, regs) row — wrapping overflow is fine
+    * for a same-engine equality gate) for [[compactHllLake]]'s pre-swap
+    * comparison: exact on every key and register at metadata cost,
+    * unlike a count-only gate.
+    */
+  private def keyCountAndFp(merged: DataFrame): (Long, Long) = {
+    val r = merged.agg(
+      count(lit(1)).as("keys"),
+      coalesce(sum(xxhash64(col("key"), col("regs"))), lit(0L)).as("fp")).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   private def fsRoot(

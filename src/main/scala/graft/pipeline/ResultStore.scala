@@ -50,7 +50,17 @@ object ResultStore {
     */
   def readJsonSet(spark: SparkSession, path: String, fallback: Option[StructType] = None): DataFrame =
     fallback match {
-      case Some(schema) => spark.read.schema(schema).json(path)
+      // FAILFAST with the explicit schema: PERMISSIVE would turn a
+      // malformed JSON record into an all-null row — indistinguishable
+      // from a legitimately null-heavy saved set, so a corrupt baseline
+      // would silently diff as "everything removed". These sets are
+      // written by [[save]] (well-formed by construction); a parse
+      // failure means disk corruption or an alien file, and a loud
+      // error beats a quietly wrong diff. Fields on disk absent from
+      // the schema are still ignored (schema projection, not
+      // malformation — the S12 contract).
+      case Some(schema) =>
+        spark.read.schema(schema).option("mode", "FAILFAST").json(path)
       case None => spark.read.json(path)
     }
 

@@ -565,8 +565,12 @@ object EventQueries {
     */
   def e15WindowDistinct(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
+    // e13/e14's ts null discipline, symmetric with the oracle: a null
+    // ts would form a null hour group here but fall out of the SQL
+    // side's INNER equality join on key — the engines would diverge
+    // the day events carry a null timestamp
     val sk = ev
-      .filter(col("user_id").isNotNull)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .groupBy(date_format(Tables.tsTimestamp(ev), "yyyy-MM-dd HH").as("key"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -583,11 +587,12 @@ object EventQueries {
 
   val e15Oracle: String =
     s"""WITH ${DuckOracle.hllSql("e", "events",
-        "strftime(ts, '%Y-%m-%d %H')", "CAST(user_id AS VARCHAR)")},
+        "strftime(ts, '%Y-%m-%d %H')", "CAST(user_id AS VARCHAR)",
+        extraWhere = " AND ts IS NOT NULL")},
        |n AS (
        |  SELECT strftime(ts, '%Y-%m-%d %H') AS key,
        |    CAST(COUNT(*) AS BIGINT) AS n_events
-       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1
        |)
        |SELECT e.key AS hour, n.n_events, e.v_zero, e.est_micro, e.regs_fp
        |FROM e_est e JOIN n ON n.key = e.key ORDER BY hour""".stripMargin

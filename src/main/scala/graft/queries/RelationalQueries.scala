@@ -1030,6 +1030,45 @@ object RelationalQueries {
        |SELECT key, v_zero, est_micro, regs_fp
        |FROM m_est ORDER BY key""".stripMargin
 
+  /** HLL sketch-LAKE lifecycle — the q26/q27 compaction treatment for
+    * the register family: per-(flag, ship-year) increments land in a
+    * lake as (key = flag, regs) rows (several rows per flag — the
+    * daily-append shape), [[graft.operators.Sketches.compactHllLake]]
+    * rewrites the lake to ONE merged row per flag behind its
+    * converge/refuse-parked/fingerprint-gate/two-rename swap contract,
+    * and the post-compaction read + [[graft.operators.Sketches
+    * .hllMergeSketches]] (idempotent over the already-merged rows —
+    * register max is a semilattice) estimates per flag. Because
+    * compaction is BIT-equivalent under merge, the result must equal
+    * the one-shot q44 replay exactly — which is what this oracle (the
+    * SAME text as q44's) asserts, `regs_fp` pinning all 64 registers
+    * through write → compact → merge. The crash-residue /
+    * wrong-p-refusal legs of the verb are SketchesSpec's.
+    */
+  def q45HllCompact(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.queries.Scratch.wiped(s, "hll_lake", dir)
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate").isNotNull)
+    // ONE corpus scan builds every increment: sketch at the composite
+    // (flag, yr) grain, then store under the MERGE key (flag) so the
+    // lake holds one row per (flag, increment) — the multi-increment
+    // shape compaction exists for, without a per-year rescan
+    graft.operators.Sketches.hllSketchByKey(
+      li,
+      struct(col("l_returnflag").as("flag"), year(col("l_shipdate")).as("yr")),
+      col("l_orderkey"), p = 6)
+      .select(col("key.flag").as("key"), col("regs"))
+      .write.mode("overwrite").parquet(out)
+    graft.operators.Sketches.compactHllLake(s, out, p = 6)
+    val merged = graft.operators.Dedup.scopedCache(
+      graft.operators.Sketches.hllMergeSketches(
+        s.read.parquet(out), col("key"), col("regs"), p = 6))
+    graft.operators.Sketches.hllEstimate(merged, p = 6)
+      .select(col("key"), col("v_zero"), col("est_micro"),
+        md5(concat_ws(",", transform(col("regs"), r => r.cast("string"))))
+          .as("regs_fp"))
+      .orderBy("key")
+  }
+
   /** Row-level z-score outliers (|z| > 1.5 population SDs from the
     * group mean) with the ENTIRE threshold predicate in exact integer
     * arithmetic — membership can never flap on floating-point rounding.
@@ -1331,6 +1370,7 @@ object RelationalQueries {
     "q42_boxplot" -> (q42Boxplot _),
     "q43_hll_distinct" -> (q43HllDistinct _),
     "q44_hll_merge" -> (q44HllMerge _),
+    "q45_hll_compact" -> (q45HllCompact _),
     "q34_cube" -> (q34Cube _),
     "q22_kmv_distinct" -> (q22KmvDistinct _),
     "q21_salted_flag_join" -> (q21SaltedFlagJoin _),
@@ -1377,6 +1417,7 @@ object RelationalQueries {
     "q42_boxplot" -> q42Oracle,
     "q43_hll_distinct" -> q43Oracle,
     "q44_hll_merge" -> q44Oracle,
+    "q45_hll_compact" -> q44Oracle, // compact ∘ merge ≡ one-shot: same oracle text
     "q34_cube" -> q34Oracle,
     "q22_kmv_distinct" -> q22Oracle,
     "q21_salted_flag_join" -> q21Oracle,

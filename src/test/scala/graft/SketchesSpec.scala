@@ -747,4 +747,100 @@ class SketchesSpec extends SparkSpecBase {
     assert(math.abs(est - 64.0 * math.log(64.0 / vZero)) <= 1e-6)
     assert(math.abs(est - n) / n <= 0.3, s"LC estimate $est vs $n")
   }
+
+  // -------------------- HLL sketch lake -------------------- //
+
+  private def msgChain(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ msgChain(t.getCause)
+
+  test("compactHllLake: merged rows replace increments bit-identically; appends still merge one-shot-exact") {
+    val all = (1 to 3000).map(i => (s"k${i % 2}", s"val_$i"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_lake").toString + "/lake"
+    // three OVERLAPPING increments — idempotence under register max is
+    // part of the compaction claim, not just disjoint-union merging
+    Seq(all.take(1500), all.slice(1000, 2200), all.drop(2000)).foreach { inc =>
+      Sketches.hllSketchByKey(inc.toDF("key", "v"), col("key"), col("v"), p = 6)
+        .write.mode("append").parquet(dir)
+    }
+    def merged() = Sketches.hllMergeSketches(
+      spark.read.parquet(dir), col("key"), col("regs"), p = 6)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val before = merged()
+    Sketches.compactHllLake(spark, dir, p = 6)
+    assert(merged() === before) // registers, not just estimates
+    assert(spark.read.parquet(dir).count() === 2L, "one row per key post-compact")
+    // a post-compaction increment still reconstructs the one-shot sketch
+    val late = (3001 to 3600).map(i => (s"k${i % 2}", s"val_$i"))
+    Sketches.hllSketchByKey(late.toDF("key", "v"), col("key"), col("v"), p = 6)
+      .write.mode("append").parquet(dir)
+    val oneShot = Sketches.hllSketchByKey(
+      (all ++ late).toDF("key", "v"), col("key"), col("v"), p = 6)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(merged() === oneShot)
+  }
+
+  test("compactHllLake: wrong p and parked crash residue refuse; a crashed swap converges on rerun") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hll_guard").toString
+    val dir = base + "/lake"
+    Sketches.hllSketchByKey(
+      (1 to 200).map(i => ("g", s"v$i")).toDF("key", "v"),
+      col("key"), col("v"), p = 6)
+      .write.mode("append").parquet(dir)
+    // width gate: compacting a p=6 lake at p=5 would mis-index every register
+    val ep = intercept[IllegalArgumentException](
+      Sketches.compactHllLake(spark, dir, p = 5))
+    assert(ep.getMessage.contains("registers"))
+    // crash residue: a parked sibling holding files may be the lake's
+    // only copy — refused loudly until recovered
+    val parked = new java.io.File(dir + "__compact_old")
+    parked.mkdirs()
+    java.nio.file.Files.writeString(parked.toPath.resolve("part-0.parquet"), "x")
+    val e = intercept[RuntimeException](Sketches.compactHllLake(spark, dir, p = 6))
+    assert(e.getMessage.contains("parked"))
+    java.nio.file.Files.deleteIfExists(parked.toPath.resolve("part-0.parquet"))
+    assert(parked.delete())
+    // crash BETWEEN the swap's two renames: root gone, lake parked,
+    // intent journaled — the rerun restores the park and completes
+    val before = merged6(dir)
+    val intentF = new java.io.File(base + "/.lake__swap_intent")
+    val oldF = new java.io.File(dir + "__compact_old")
+    assert(new java.io.File(dir).renameTo(oldF))
+    assert(intentF.createNewFile())
+    Sketches.compactHllLake(spark, dir, p = 6)
+    assert(merged6(dir) === before)
+    assert(!oldF.exists() && !intentF.exists())
+  }
+
+  private def merged6(dir: String): Map[String, Seq[Int]] =
+    Sketches.hllMergeSketches(
+      spark.read.parquet(dir), col("key"), col("regs"), p = 6)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+
+  test("hllMergeSketches refuses a mixed-p lake loudly (no silent null-padded merge)") {
+    val ok = Sketches.hllSketchByKey(
+      Seq(("g", "a")).toDF("key", "v"), col("key"), col("v"), p = 6)
+    val alien = Sketches.hllSketchByKey(
+      Seq(("g", "b")).toDF("key", "v"), col("key"), col("v"), p = 5)
+    val e = intercept[Exception] {
+      Sketches.hllMergeSketches(
+        ok.union(alien), col("key"), col("regs"), p = 6).collect()
+    }
+    assert(msgChain(e).exists(_.contains("hllMergeSketches")), s"got: $e")
+  }
+
+  test("hllAgg refuses hashes outside the h60 contract loudly; -1 stays the null sentinel") {
+    // a raw negative 64-bit hash (previously silently swallowed as the
+    // sentinel — undercounting) and an over-wide hash (previously an
+    // ArrayIndexOutOfBounds deep in a task) both fail by name
+    Seq(-2L, 1L << 60).foreach { h =>
+      val e = intercept[Exception] {
+        Seq(("g", h)).toDF("key", "h").groupBy("key")
+          .agg(Sketches.hllAgg(6)(col("h"))).collect()
+      }
+      assert(msgChain(e).exists(_.contains("h60 contract")), s"got: $e")
+    }
+    val z = Seq(("g", -1L)).toDF("key", "h").groupBy("key")
+      .agg(Sketches.hllAgg(6)(col("h"))).head.getSeq[Int](1)
+    assert(z === Seq.fill(64)(0))
+  }
 }
