@@ -73,6 +73,55 @@ object DuckOracle {
     * interpolated so both engines divide from identical bits. Single
     * owner for every HLL replay (q43/q44 on lineitem, e15 on events).
     */
+  /** The bottom-k (h60(id), value) pair-sample pipeline (the
+    * [[graft.operators.Sketches.pairSampleByKey]] →
+    * [[graft.operators.Sketches.quantilesFromSample]] twin) as oracle
+    * CTEs ending in `${sfx}_est(key, n, m_sample, p<q>…, sample_fp)`:
+    * membership = the k lexicographically smallest (h, v) pairs per
+    * key, quantiles = nearest-rank-lower over the v-sorted sample,
+    * `sample_fp` pinning every kept pair. Null key/id/value rows are
+    * excluded exactly like the operator. Single owner for every
+    * pair-sample replay (q25/q27 on documents, e16 on events).
+    */
+  def pairSampleSql(
+      sfx: String, fromSql: String, keySql: String, idSql: String,
+      valueSql: String, k: Int, qs: Seq[Double],
+      extraWhere: String = ""): String = {
+    val h = h60(idSql)
+    val pcols = qs.map { q =>
+      s"    MAX(CASE WHEN vr = CAST(floor($q*(m-1)) AS BIGINT)+1 THEN v END)" +
+        s" AS p${math.round(q * 100)}"
+    }.mkString(",\n")
+    val pnames = qs.map(q => s"p${math.round(q * 100)}").mkString(", ")
+    s"""${sfx}_h AS (
+       |  SELECT $keySql AS key, $h AS h, $valueSql AS v
+       |  FROM $fromSql
+       |  WHERE ($keySql) IS NOT NULL AND ($idSql) IS NOT NULL
+       |    AND ($valueSql) IS NOT NULL$extraWhere
+       |), ${sfx}_n AS (SELECT key, COUNT(*) AS n FROM ${sfx}_h GROUP BY key),
+       |${sfx}_kept AS (
+       |  SELECT key, h, v FROM ${sfx}_h
+       |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY h, v) <= $k
+       |), ${sfx}_fp AS (
+       |  SELECT key, CAST(COUNT(*) AS INT) AS m_sample,
+       |    md5(string_agg(CAST(h AS VARCHAR) || ':' || CAST(v AS VARCHAR), ',' ORDER BY h, v)) AS sample_fp
+       |  FROM ${sfx}_kept GROUP BY key
+       |), ${sfx}_s AS (
+       |  SELECT key, v,
+       |    row_number() OVER (PARTITION BY key ORDER BY v, h) AS vr,
+       |    COUNT(*) OVER (PARTITION BY key) AS m
+       |  FROM ${sfx}_kept
+       |), ${sfx}_q AS (
+       |  SELECT key,
+       |$pcols
+       |  FROM ${sfx}_s GROUP BY key
+       |), ${sfx}_est AS (
+       |  SELECT n.key, n.n, fp.m_sample, $pnames, fp.sample_fp
+       |  FROM ${sfx}_n n JOIN ${sfx}_fp fp ON n.key = fp.key
+       |  JOIN ${sfx}_q q ON n.key = q.key
+       |)""".stripMargin
+  }
+
   def hllSql(
       sfx: String, fromSql: String, keySql: String, valueSql: String,
       extraWhere: String = ""): String = {

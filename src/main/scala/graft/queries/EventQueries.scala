@@ -597,7 +597,49 @@ object EventQueries {
        |SELECT e.key AS hour, n.n_events, e.v_zero, e.est_micro, e.regs_fp
        |FROM e_est e JOIN n ON n.key = e.key ORDER BY hour""".stripMargin
 
+  /** Hourly value-quantile SAMPLE over the event stream — the batch
+    * twin of [[graft.streaming.Streams.windowQuantileSample]] (the e15
+    * treatment for the second semilattice-state sketch): one pass, one
+    * shuffle, ≤ k (h60(event_id), cents) pairs of state per hour
+    * regardless of event volume — the bounded-state shape "p50/p90
+    * latency per hour" takes at stream scale, where exact per-window
+    * percentiles buffer every row. Uses the one-pass
+    * [[graft.operators.Sketches.pairSampleAgg]] aggregator (the
+    * streaming-state form; StreamingSpec pins stream ≡ batch pair
+    * equality under out-of-order delivery), then the shared
+    * [[graft.operators.Sketches.quantilesFromSample]] estimator; the
+    * oracle replays sample MEMBERSHIP (`sample_fp` pins all k pairs),
+    * the nearest-rank rule, and exact `n` through
+    * [[DuckOracle.pairSampleSql]]. Money rides integer cents (the e01
+    * discipline) — the operator's integer-metric contract.
+    */
+  def e16WindowQuantile(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val sk = ev
+      // the operator's null contract (id/value) + e15's ts symmetry
+      .filter(col("event_id").isNotNull && col("value").isNotNull &&
+        col("ts").isNotNull)
+      .groupBy(date_format(Tables.tsTimestamp(ev), "yyyy-MM-dd HH").as("key"))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.operators.Sketches.pairSampleAgg(64)(
+          graft.functions.Hashing.h60(col("event_id").cast("string")),
+          Money.cents(col("value"))).as("pairs"))
+    graft.operators.Sketches.quantilesFromSample(sk, qs = Seq(0.25, 0.5, 0.9))
+      .withColumnRenamed("key", "hour")
+      .orderBy("hour")
+  }
+
+  val e16Oracle: String =
+    s"""WITH ${DuckOracle.pairSampleSql("w", "events",
+        "strftime(ts, '%Y-%m-%d %H')", "CAST(event_id AS VARCHAR)",
+        "CAST(ROUND(value*100) AS BIGINT)", k = 64, qs = Seq(0.25, 0.5, 0.9),
+        extraWhere = " AND ts IS NOT NULL")}
+       |SELECT key AS hour, n, m_sample, p25, p50, p90, sample_fp
+       |FROM w_est ORDER BY hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e16_window_quantile" -> (e16WindowQuantile _),
     "e15_window_distinct" -> (e15WindowDistinct _),
     "e14_time_weighted_avg" -> (e14TimeWeightedAvg _),
     "e13_ewma" -> (e13Ewma _),
@@ -618,6 +660,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e16_window_quantile" -> e16Oracle,
     "e15_window_distinct" -> e15Oracle,
     "e14_time_weighted_avg" -> e14Oracle,
     "e13_ewma" -> e13Oracle,

@@ -1283,37 +1283,12 @@ object RelationalQueries {
       k = 64, qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99))
       .orderBy("key")
 
-  val q25Oracle: String = {
-    val h = DuckOracle.h60("CAST(doc_id AS VARCHAR)")
-    """WITH h AS (
-      |  SELECT lang AS key, HEXPR AS h, n_chars AS v
-      |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
-      |), n AS (SELECT key, COUNT(*) AS n FROM h GROUP BY key),
-      |kept AS (
-      |  SELECT key, h, v FROM h
-      |  QUALIFY row_number() OVER (PARTITION BY key ORDER BY h, v) <= 64
-      |), fp AS (
-      |  SELECT key, CAST(COUNT(*) AS INT) AS m_sample,
-      |    md5(string_agg(CAST(h AS VARCHAR) || ':' || CAST(v AS VARCHAR), ',' ORDER BY h, v)) AS sample_fp
-      |  FROM kept GROUP BY key
-      |), s AS (
-      |  SELECT key, v,
-      |    row_number() OVER (PARTITION BY key ORDER BY v, h) AS vr,
-      |    COUNT(*) OVER (PARTITION BY key) AS m
-      |  FROM kept
-      |), q AS (
-      |  SELECT key,
-      |    MAX(CASE WHEN vr = CAST(floor(0.25*(m-1)) AS BIGINT)+1 THEN v END) AS p25,
-      |    MAX(CASE WHEN vr = CAST(floor(0.5*(m-1)) AS BIGINT)+1 THEN v END) AS p50,
-      |    MAX(CASE WHEN vr = CAST(floor(0.75*(m-1)) AS BIGINT)+1 THEN v END) AS p75,
-      |    MAX(CASE WHEN vr = CAST(floor(0.9*(m-1)) AS BIGINT)+1 THEN v END) AS p90,
-      |    MAX(CASE WHEN vr = CAST(floor(0.99*(m-1)) AS BIGINT)+1 THEN v END) AS p99
-      |  FROM s GROUP BY key
-      |)
-      |SELECT n.key, n.n, fp.m_sample, q.p25, q.p50, q.p75, q.p90, q.p99, fp.sample_fp
-      |FROM n JOIN fp ON n.key = fp.key JOIN q ON n.key = q.key
-      |ORDER BY n.key""".stripMargin.replace("HEXPR", h)
-  }
+  val q25Oracle: String =
+    s"""WITH ${DuckOracle.pairSampleSql("qs", "documents", "lang",
+        "CAST(doc_id AS VARCHAR)", "n_chars",
+        k = 64, qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99))}
+       |SELECT key, n, m_sample, p25, p50, p75, p90, p99, sample_fp
+       |FROM qs_est ORDER BY key""".stripMargin
 
   /** Incremental quantiles via a PERSISTED, MERGED sample lake
     * ([[graft.operators.Sketches.pairSampleByKey]] per source

@@ -667,10 +667,26 @@ class PlanSpec extends SparkSpecBase {
     // whole 100 TB argument for sketching over exact distinct
     assert(f.contains("partial_hllregs"),
       s"map-side partial register aggregation missing:\n$f")
-    assert(f.contains("PushedFilters: [IsNotNull(user_id)]"),
-      s"user_id null filter must reach the scan:\n$f")
+    assert(f.contains("IsNotNull(user_id)") && f.contains("IsNotNull(ts)"),
+      s"user_id + ts null filters must reach the scan:\n$f")
     val readSchema = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("props") && !readSchema.contains("value"),
+      s"unused event columns read: $readSchema")
+  }
+
+  test("e16 quantile window: partial pair-sample buffer runs map-side; pruned pushed scan") {
+    val f = formatted(graft.queries.EventQueries.queries(
+      "e16_window_quantile")(spark, sfDir))
+    // the bottom-k pair buffer must combine BEFORE the exchange — the
+    // shuffle carries ≤ k (hash, cents) pairs per (partition, hour),
+    // never the hour's raw rows (the windowed-percentile 100 TB shape)
+    assert(f.contains("partial_bottomkpairs"),
+      s"map-side partial pair-sample aggregation missing:\n$f")
+    assert(f.contains("IsNotNull(event_id)") && f.contains("IsNotNull(value)") &&
+      f.contains("IsNotNull(ts)"),
+      s"null filters must reach the scan:\n$f")
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("user_id"),
       s"unused event columns read: $readSchema")
   }
 
