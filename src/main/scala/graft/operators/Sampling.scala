@@ -295,7 +295,60 @@ object Sampling {
     */
   def prioritySample(
       df: DataFrame, stratum: Column, id: Column, weight: Column,
-      k: Int, salt: String, nBuckets: Int = 32): DataFrame = {
+      k: Int, salt: String, nBuckets: Int = 32): DataFrame =
+    priorityEstimate(
+      priorityCapped(df, stratum, id, weight, k, salt, nBuckets), k)
+
+  /** The PERSISTABLE per-increment form of [[prioritySample]]: one row
+    * per kept candidate — `(stratum, id, w, skey)`, the k+1
+    * smallest-key (= largest-priority) rows per stratum — ready for a
+    * sample lake (stamp increments however the pipeline shards; rows
+    * must PARTITION across increments, the [[Sketches.pairSampleByKey]]
+    * contract). DLT priority samples over row-disjoint increments merge
+    * by re-ranking the POOLED keys and recomputing τ from the merged
+    * (k+1)-th ([[mergePrioritySamples]]): any row in the union's top
+    * k+1 priorities is in its own increment's top k+1 (priorities are
+    * per-row, independent of the split), so the pooled candidates are a
+    * superset of the one-shot candidate set and the merged sample —
+    * ranks, τ, and every HT weight — is BIT-identical to the one-shot,
+    * the same semilattice argument as the pair buffer. ≤ k+1 rows × 3
+    * longs + 1 double per (stratum, increment): kilobytes whatever the
+    * corpus.
+    */
+  def prioritySketch(
+      df: DataFrame, stratum: Column, id: Column, weight: Column,
+      k: Int, salt: String, nBuckets: Int = 32): DataFrame =
+    priorityCapped(df, stratum, id, weight, k, salt, nBuckets)
+      .select(col("stratum"), col("id"), col("w"), col("__key").as("skey"))
+
+  /** Merge per-increment priority sketches ([[prioritySketch]] rows)
+    * down to one sample per stratum WITHOUT re-scanning any corpus:
+    * re-rank the pooled `(skey, id)` pairs per stratum, keep k+1,
+    * recompute τ from the merged (k+1)-th key — bit-identical to the
+    * one-shot [[prioritySample]] over the union (see
+    * [[prioritySketch]] for the superset argument). The pooled frame is
+    * ≤ increments × (k+1) rows per stratum — never corpus-sized — so
+    * the single stratum-keyed window needs no bucketing here.
+    */
+  def mergePrioritySamples(samples: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w2 = Window.partitionBy(col("stratum"))
+      .orderBy(col("__key").asc, col("id").asc)
+    priorityEstimate(
+      samples.select(col("stratum"), col("id"), col("w"),
+        col("skey").as("__key"))
+        .withColumn("rnk", row_number().over(w2))
+        .filter(col("rnk") <= k + 1),
+      k)
+  }
+
+  /** The guarded, two-level-bucketed candidate selection shared by the
+    * one-shot and persistable forms: rows (stratum, id, w, __key, rnk)
+    * with rnk ≤ k+1 per stratum, key ascending (priority descending).
+    */
+  private def priorityCapped(
+      df: DataFrame, stratum: Column, id: Column, weight: Column,
+      k: Int, salt: String, nBuckets: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val wL = weight.cast("long")
@@ -329,12 +382,20 @@ object Sampling {
     val w1 = Window.partitionBy(col("stratum"), col("__bkt")).orderBy(ord: _*)
     val w2 = Window.partitionBy(col("stratum")).orderBy(ord: _*)
     // k+1 everywhere: the (k+1)-th row IS τ; consumed twice (τ + kept)
-    val capped = Dedup.scopedCache(base
+    base
       .withColumn("__rn1", row_number().over(w1))
       .filter(col("__rn1") <= k + 1)
       .withColumn("rnk", row_number().over(w2))
       .filter(col("rnk") <= k + 1)
-      .drop("__rn1", "__bkt"))
+      .drop("__rn1", "__bkt")
+  }
+
+  /** Estimator tail shared by the one-shot and merged forms (the
+    * [[Sketches.quantilesFromSample]] discipline): τ from the (k+1)-th
+    * key, HT weights over the kept k.
+    */
+  private def priorityEstimate(capped0: DataFrame, k: Int): DataFrame = {
+    val capped = Dedup.scopedCache(capped0)
     val tau = capped.filter(col("rnk") === k + 1)
       .select(col("stratum"),
         (lit(1.152921504606846976e18) / col("__key")).as("__tau"))

@@ -1078,8 +1078,52 @@ object CurationQueries {
         col("ht_w").as("ht_chars"))
       .orderBy("source", "rnk")
 
-  val c22Oracle: String = {
-    val h = DuckOracle.h60("'c22:' || CAST(doc_id AS VARCHAR)")
+  val c22Oracle: String = priorityOracleAt("c22")
+
+  /** Incremental priority sampling via a PERSISTED, MERGED sample lake
+    * ([[graft.operators.Sampling.prioritySketch]] per language
+    * increment → parquet →
+    * [[graft.operators.Sampling.mergePrioritySamples]]): DLT candidate
+    * sets over row-disjoint increments pool into a superset of the
+    * one-shot candidates, so re-ranking the pooled keys and recomputing
+    * τ from the merged (k+1)-th reproduces the one-shot sample — ranks,
+    * τ, and every Horvitz–Thompson weight — BIT-identically, which is
+    * exactly what this oracle (the c22 replay at the c23 salt) asserts.
+    * The corpus is scanned once per increment at ingest, never at
+    * estimate time — the q27 lifecycle, for weighted samples.
+    */
+  def c23PriorityMerge(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.queries.Scratch.wiped(s, "priority_samples", dir)
+    // null-safe increment axis (the q27 / shingleSets discipline): a
+    // null lang must land in exactly one increment or its rows silently
+    // vanish from every stratum's candidate pool
+    val d = docs(s, dir)
+      .withColumn("__lang", coalesce(col("lang"), lit("\u0000__null_lang")))
+    val langs = d.select("__lang").distinct()
+      .collect().map(_.getString(0)).sorted
+    langs.map(lg =>
+      graft.operators.Sampling.prioritySketch(
+        d.filter(col("__lang") === lg), col("source"), col("doc_id"),
+        col("n_chars"), k = 16, salt = "c23"))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(out)
+    graft.operators.Sampling.mergePrioritySamples(s.read.parquet(out), k = 16)
+      .select(col("stratum").as("source"), col("id").as("doc_id"),
+        col("w").as("n_chars"), col("rnk"), col("tau"),
+        col("ht_w").as("ht_chars"))
+      .orderBy("source", "rnk")
+  }
+
+  val c23Oracle: String = priorityOracleAt("c23")
+
+  /** The one-shot Duffield–Lund–Thorup replay (keys, ranks, τ, HT
+    * weights — see [[c22PrioritySample]]), parameterized on the salt so
+    * the one-shot (c22) and merged-lake (c23) gates share one owner:
+    * merged ≡ one-shot is the c23 claim, so the oracle text differs
+    * ONLY in the draw.
+    */
+  private def priorityOracleAt(salt: String): String = {
+    val h = DuckOracle.h60(s"'$salt:' || CAST(doc_id AS VARCHAR)")
     s"""WITH kk AS (
        |  SELECT source, doc_id, n_chars,
        |    CAST($h + 1 AS DOUBLE) / CAST(n_chars AS DOUBLE) AS key
@@ -1205,6 +1249,7 @@ object CurationQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c21_mixture_budget" -> (c21MixtureBudget _),
     "c22_priority_sample" -> (c22PrioritySample _),
+    "c23_priority_merge" -> (c23PriorityMerge _),
     "c20_lang_source_chisq" -> (c20LangSourceChisq _),
     "c19_split_profile" -> (c19SplitProfile _),
     "c18_quota_cap" -> (c18QuotaCap _),
@@ -1232,6 +1277,7 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "c21_mixture_budget" -> c21Oracle,
     "c22_priority_sample" -> c22Oracle,
+    "c23_priority_merge" -> c23Oracle,
     "c20_lang_source_chisq" -> c20Oracle,
     "c19_split_profile" -> c19Oracle,
     "c18_quota_cap" -> c18Oracle,

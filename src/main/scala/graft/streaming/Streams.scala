@@ -294,6 +294,75 @@ object Streams {
       }
       .start()
 
+  /** Sketch-LAKE ingest from a stream — [[indexIngest]]'s
+    * foreachBatch-increment pattern for the sketch lakes: each
+    * micro-batch of CLOSED sketch windows (the append-mode output of
+    * [[windowDistinctSketch]] / [[windowQuantileSample]], projected to
+    * the lake's row shape by the caller) is appended to the lake at
+    * `lakePath`. The matching compaction verb
+    * ([[graft.operators.Sketches.compactHllLake]] /
+    * [[graft.operators.Sketches.compactSampleLake]]) heals the
+    * one-file-per-micro-batch decay offline, and the lake then merges
+    * and estimates exactly like its batch-written twin — semilattice
+    * state means streamed increments ≡ batch one-shot bit-for-bit
+    * (StreamingSpec pins the full stream → lake → compact → estimate
+    * path against the one-shot).
+    *
+    * Delivery: foreachBatch is AT-LEAST-ONCE on failure recovery, and
+    * a replayed append would duplicate an increment — idempotent for
+    * HLL registers (element-wise max) but NOT for pair samples (a
+    * duplicated (h, v) pair occupies two bottom-k slots) or any row
+    * carrying an exact `n`. The ENGINE owns the exactly-once upgrade
+    * the same way [[indexIngest]]'s `dedupe` leg does: every batch
+    * anti-joins on `keyCols` against the lake's current key surface (a
+    * narrow column-pruned scan, re-read per batch so earlier appends
+    * are visible). Append-mode windows emit each window key exactly
+    * once in a query's lifetime, so a replayed batch — or a full
+    * checkpoint-recreate re-run over the same source — dedupes to
+    * empty and the lake converges byte-identical. Appends refuse a
+    * parked crashed-compaction sibling (the serving-path rule): a
+    * blind append would recreate the root and cement the parked
+    * tree's loss.
+    */
+  def sketchIngest(
+      windows: DataFrame, checkpoint: String, lakePath: String,
+      keyCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keyCols.nonEmpty, "sketchIngest needs at least one key column")
+    windows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val spark = b.sparkSession
+        val root = new org.apache.hadoop.fs.Path(lakePath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.etl.Compact.requireServable(
+          fs, root, action = "appending sketch-lake increments")
+        val existing =
+          if (!fs.exists(root)) None
+          else
+            try Some(spark.read.parquet(lakePath).select(keyCols.map(col): _*))
+            catch {
+              // only crashed-append `_temporary` residue reads as "no
+              // prior increments"; anything else throws (the ledgerScan
+              // posture — silently ignoring history would double-append)
+              case e: org.apache.spark.sql.AnalysisException
+                  if graft.etl.Compact.emptyLakeRead(e) => None
+            }
+        val fresh0 = existing match {
+          case Some(keys) => b.join(keys, keyCols, "left_anti")
+          case None => b
+        }
+        // one evaluation of the anti-join for the emptiness probe and
+        // the append (the indexIngest dedupe discipline)
+        val fresh = fresh0.persist()
+        try {
+          if (!fresh.isEmpty) fresh.write.mode("append").parquet(lakePath)
+        } finally fresh.unpersist()
+      }
+      .start()
+  }
+
   /** Streaming exact dedup against a PERSISTED fingerprint ledger —
     * the unbounded-history complement of [[dedupByContent]] (whose
     * watermark bounds state: duplicates farther apart than the horizon

@@ -1606,4 +1606,30 @@ class ColumnFunctionsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](
       Sampling.prioritySample(df, col("src"), col("id"), col("w"), 0, "z"))
   }
+
+  test("Sampling.prioritySketch + mergePrioritySamples: merged increments ≡ one-shot bit-for-bit") {
+    import graft.operators.Sampling
+    // skewed strata; increments PARTITION the rows (the lake contract)
+    val rows = (1 to 500).map(i =>
+      (if (i % 5 == 0) "big" else s"s${i % 7}", i.toLong, (i % 97 + 1).toLong))
+    val df = rows.toDF("src", "id", "w")
+    def shape(got: Array[org.apache.spark.sql.Row]) =
+      got.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4), r.getDouble(5)))
+        .sortBy(x => (x._1, x._4)).toSeq
+    val oneShot = shape(Sampling.prioritySample(
+      df, col("src"), col("id"), col("w"), k = 8, salt = "pm").collect())
+    val merged = shape(Sampling.mergePrioritySamples(
+      Seq((1, 170), (171, 340), (341, 500)).map { case (lo, hi) =>
+        Sampling.prioritySketch(
+          df.filter(col("id") >= lo && col("id") <= hi),
+          col("src"), col("id"), col("w"), k = 8, salt = "pm")
+      }.reduce(_ union _), k = 8).collect())
+    // membership, ranks, τ, and HT weights — not just the estimates:
+    // the pooled top-(k+1) keys are a superset of the one-shot's, so
+    // re-ranking + recomputing τ reproduces the sample exactly
+    assert(merged === oneShot)
+    // a stratum living entirely in one increment merges unchanged too
+    assert(merged.map(_._1).toSet === oneShot.map(_._1).toSet)
+  }
 }

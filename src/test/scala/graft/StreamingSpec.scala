@@ -1171,4 +1171,65 @@ class StreamingSpec extends SparkSpecBase {
       assert(fin(1L).ewma == 3.875)
     } finally out.stop()
   }
+
+  test("sketchIngest: streamed HLL increments → compact → estimate ≡ batch one-shot; re-runs dedupe; parked refusal") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+    val base = java.nio.file.Files.createTempDirectory("graft_sk_ingest").toString
+    val lake = base + "/lake"
+    // 3 hours of events, duplicated users, shuffled across 3 micro-batches
+    val all = (0 until 300).map { i =>
+      (ts(f"2024-01-01 0${i % 3}%d:${(i / 3) % 60}%02d:23"), (i % 55).toLong)
+    }
+    val (b1, rest) = new scala.util.Random(5).shuffle(all).splitAt(100)
+    val (b2, b3) = rest.splitAt(100)
+    def run(ck: String): Unit = {
+      val in = MemoryStream[(Timestamp, Long)]
+      val q = Streams.sketchIngest(
+        Streams.windowDistinctSketch(
+          in.toDF().toDF("ts", "user_id"), "ts", "user_id",
+          window = "1 hour", watermark = "4 hours")
+          .select(col("window_start").cast("string").as("key"), col("regs")),
+        ck, lake, keyCols = Seq("key"))
+      try {
+        Seq(b1, b2, b3).foreach { b => in.addData(b); q.processAllAvailable() }
+        in.addData((ts("2024-01-02 00:00:00"), 9999L)) // close all 3 windows
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(base + "/ck1")
+    assert(spark.read.parquet(lake).count() === 3L, "one increment per closed window")
+    // compaction heals the per-micro-batch file decay behind the swap contract
+    Sketches.compactHllLake(spark, lake, p = 6)
+    def lakeRegs() = spark.read.parquet(lake)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val batch = Sketches.hllSketchByKey(
+      all.toDF("ts", "user_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:00:00"),
+      col("user_id"), p = 6)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(lakeRegs() === batch, "stream → lake → compact must equal the batch one-shot registers")
+    // a full re-run over the same source (fresh checkpoint) re-emits the
+    // same window keys; the key anti-join dedupes every append to empty
+    run(base + "/ck2")
+    assert(spark.read.parquet(lake).count() === 3L)
+    assert(lakeRegs() === batch)
+    // appends refuse a parked crashed-compaction sibling loudly
+    val parked = new java.io.File(lake + "__compact_old")
+    parked.mkdirs()
+    java.nio.file.Files.writeString(parked.toPath.resolve("part-0.parquet"), "x")
+    val in2 = MemoryStream[(Timestamp, Long)]
+    val q2 = Streams.sketchIngest(
+      Streams.windowDistinctSketch(
+        in2.toDF().toDF("ts", "user_id"), "ts", "user_id")
+        .select(col("window_start").cast("string").as("key"), col("regs")),
+      base + "/ck3", lake, keyCols = Seq("key"))
+    try {
+      in2.addData((ts("2024-01-01 00:00:01"), 1L))
+      val e = intercept[Exception](q2.processAllAvailable())
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e).exists(_.contains("parked")), s"got: $e")
+    } finally q2.stop()
+  }
 }
