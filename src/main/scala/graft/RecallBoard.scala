@@ -119,7 +119,20 @@ object RecallBoard {
       // shortlist scales like PQ's
       "v20_knn_opq" -> graft.operators.Opq.knnOpq(
         base, col("vec_id"), col("embedding"), qs, col("vec_id"), col("embedding"),
-        k, m = 8, kSub = 32, shortlist = shortlist, maxFit = 20000L))
+        k, m = 8, kSub = 32, shortlist = shortlist, maxFit = 20000L),
+      // the persisted OPQ lifecycle (v25): recall must hold through
+      // build → serve, not just on-the-fly — the sidecar round trip is
+      // part of the measured path
+      "v25_opq_index" -> {
+        val path = java.nio.file.Files.createTempDirectory("graft_recall_opq")
+          .toString + "/idx"
+        graft.operators.Opq.buildOpqIndex(
+          base, col("vec_id"), col("embedding"), path,
+          m = 8, kSub = 32, maxFit = 20000L)
+        graft.operators.Opq.queryOpqIndex(
+          spark, path, base, col("vec_id"), col("embedding"),
+          qs, col("vec_id"), col("embedding"), k, shortlist = shortlist)
+      })
     paths.map { case (name, df) => name -> recallAtK(exact, df, k) }.toMap
   }
 

@@ -77,6 +77,29 @@ object Opq {
     * rerank. Parameters mirror [[Pq.knnPq]]; the rotation fits on the
     * same bounded deterministic sample discipline ([[Pca.fitUnit]]).
     */
+  /** Fit the permuted unit-sphere rotation for an `m`-subspace OPQ:
+    * probe D from a small sample (majority-dimension rule), PCA-fit the
+    * unit basis, then bake the eigenvalue-allocation permutation into
+    * the basis so projection emits coordinates already in
+    * subspace-major order — one pass, no second shuffle. Single owner
+    * for the on-the-fly ([[knnOpq]]) and persisted ([[buildOpqIndex]])
+    * forms: both must rotate IDENTICALLY for the persisted ≡ on-the-fly
+    * contract.
+    */
+  private def fitRotation(
+      b0: DataFrame, m: Int, maxFit: Long): Pca.PcaModel = {
+    val probe = Ann.sampleVectors(b0.select(col("b_id"), col("b_emb")), 256L)
+    require(probe.nonEmpty, "OPQ needs at least one non-null base vector")
+    val d = probe.head.length
+    require(d % m == 0, s"embedding dim $d is not divisible by m=$m subspaces")
+    val pca = Pca.fitUnit(b0, col("b_id"), col("b_emb"), dims = d, maxFit = maxFit)
+    val perm = allocate(pca.eigvals, m)
+    pca.copy(
+      components = perm.map(pca.components),
+      offsets = perm.map(pca.offsets),
+      eigvals = perm.map(pca.eigvals))
+  }
+
   def knnOpq(
       base: DataFrame, baseId: Column, baseVec: Column,
       queries: DataFrame, qId: Column, qVec: Column,
@@ -86,20 +109,8 @@ object Opq {
     val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
       .filter(col("b_nrm") > 0)
-    // the rotation is full-dimension: probe D from a small sample
-    // (majority-dimension rule), then fit the unit-sphere basis
-    val probe = Ann.sampleVectors(b0.select(col("b_id"), col("b_emb")), 256L)
-    require(probe.nonEmpty, "OPQ needs at least one non-null base vector")
-    val d = probe.head.length
-    require(d % m == 0, s"embedding dim $d is not divisible by m=$m subspaces")
-    val pca = Pca.fitUnit(b0, col("b_id"), col("b_emb"), dims = d, maxFit = maxFit)
-    val perm = allocate(pca.eigvals, m)
-    // bake the permutation into the basis: projection emits coordinates
-    // already in subspace-major order, one pass, no second shuffle
-    val rot = pca.copy(
-      components = perm.map(pca.components),
-      offsets = perm.map(pca.offsets),
-      eigvals = perm.map(pca.eigvals))
+    val rot = fitRotation(b0, m, maxFit)
+    val d = rot.inputDim
 
     val b = Dedup.scopedCache(
       Pca.projectUnit(b0, col("b_emb"), col("b_nrm"), rot, "bp")
@@ -126,5 +137,314 @@ object Opq {
     Pq.rerankExact(short,
       b.select("b_id", "b_emb", "b_nrm"),
       q.select("q_id", "q_emb", "qp_nrm"), k)
+  }
+
+  // ------------------------------------------------------------------ //
+  // Persisted OPQ index (build / query / add / remove)                 //
+  // ------------------------------------------------------------------ //
+
+  /** Bucket count the flat codes lake is partitioned by: buckets give
+    * [[removeFromOpqIndex]] surgical per-leaf rewrites and bound file
+    * sizes under daily [[addToOpqIndex]] appends (the lex-index bucket
+    * argument); queries scan every bucket — a flat OPQ index IS a full
+    * compressed scan, that is its contract (cell pruning is IVF-PQ's
+    * job).
+    */
+  val IndexBuckets = 32
+
+  private def bucketExpr(id: Column, nBuckets: Int): Column =
+    pmod(graft.functions.Hashing.h60(id.cast("string")),
+      lit(nBuckets.toLong)).cast("int")
+
+  /** Build a persisted OPQ index at `path` — the build-once/query-many
+    * form of [[knnOpq]], closing the lifecycle gap with the rest of the
+    * ANN family (IVF/IVF-PQ/SQ8/IVF-SQ8/lex all persist). Layout:
+    *
+    *  - `base/bucket=NN`: (b_id, codes, d_nrm) — m bytes of codes per
+    *    row, hash-bucketed by id;
+    *  - `pq/`: the rotated-space PQ codebooks, with a `rotated = true`
+    *    LAYOUT VERSION column — codes of a non-rotated PQ index would
+    *    decode through the wrong geometry, so [[loadOpqSidecars]]
+    *    refuses its absence;
+    *  - `meta/`: (d, m, k_sub, n_buckets) — the add path must bucket
+    *    with the BUILD's modulus (a drifted bucket count would strand
+    *    rows where removal's per-bucket rewrite still finds them but
+    *    the layout contract is broken);
+    *  - `rotation/`: the permuted unit-sphere basis
+    *    ([[Pca.saveModel]]) — written LAST as the index-complete
+    *    marker (the [[Pq.buildIvfPqIndex]] write-order discipline): a
+    *    crash before it leaves an index every entry point rejects
+    *    loudly at [[loadOpqSidecars]], never a half-index.
+    *
+    * `fitOn`: the train/add split — a growing index fits rotation and
+    * codebooks once on a representative sample and is extended with
+    * [[addToOpqIndex]], never re-fit per increment.
+    */
+  def buildOpqIndex(
+      base: DataFrame, baseId: Column, baseVec: Column, path: String,
+      m: Int = 8, kSub: Int = 256, seed: Long = 42L, maxFit: Long = 20000L,
+      nBuckets: Int = IndexBuckets, fitOn: Option[DataFrame] = None): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = base.sparkSession
+    requireNotIvfFamily(spark, path)
+    val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
+      .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+      .filter(col("b_nrm") > 0)
+    val fitB = fitOn.map(f =>
+      f.select(baseId.as("b_id"), baseVec.as("b_emb"))
+        .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+        .filter(col("b_nrm") > 0)).getOrElse(b0)
+    val rot = fitRotation(fitB, m, maxFit)
+    val d = rot.inputDim
+    // in-place rebuild: kill the completeness marker BEFORE touching
+    // the lakes (the Ann.invalidateIndexMarker discipline) so every
+    // crash window refuses loudly instead of pairing a new base with a
+    // stale rotation
+    val rotPath = new org.apache.hadoop.fs.Path(s"$path/rotation")
+    rotPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(rotPath, true)
+    val bFit = Dedup.scopedCache(
+      Pca.projectUnit(fitB, col("b_emb"), col("b_nrm"), rot, "bp")
+        .filter(col("bp").getItem(0).isNotNull))
+    val cb = Pq.fit(bFit, col("b_id"), col("bp"), m, kSub, seed, maxFit)
+    opqScoreable(b0, rot, cb, nBuckets)
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/base")
+    // a base whose EVERY row fell to the scoreable gates (classic
+    // cause: fitOn dimension differs from the base's) must not persist
+    // as a silently empty index
+    require(!spark.read.parquet(s"$path/base").isEmpty,
+      s"no base row was OPQ-scoreable for $path -- does the base embedding " +
+        s"dimension match the fitted rotation (dim $d)?")
+    import spark.implicits._
+    (for (j <- 0 until cb.m; c <- cb.tables(j).indices)
+      yield (j, c, cb.tables(j)(c).toSeq, true))
+      .toDF("subspace", "code", "centroid_d", "rotated")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/pq")
+    Seq((d, m, kSub, nBuckets)).toDF("d", "m", "k_sub", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    Pca.saveModel(spark, rot, s"$path/rotation") // marker LAST
+  }
+
+  /** The shared encode pass of the build and add paths: project onto
+    * the persisted rotation, PQ-encode, carry the reconstruction norm,
+    * assign the id bucket. Row universe identical to [[knnOpq]]'s
+    * (zero-norm / ragged / null-coding rows drop); null ids drop too —
+    * an id-keyed index cannot serve or retention-delete them.
+    */
+  private def opqScoreable(
+      b0: DataFrame, rot: Pca.PcaModel, cb: Pq.Codebooks,
+      nBuckets: Int): DataFrame = {
+    val d = rot.inputDim
+    val zeroCent = typedLit(Seq.fill(d)(0.0f))
+    val proj = Pca.projectUnit(
+      b0.filter(col("b_id").isNotNull),
+      col("b_emb"), col("b_nrm"), rot, "bp")
+      .filter(col("bp").getItem(0).isNotNull)
+    Pq.encode(proj, col("b_id"), col("bp"), cb)
+      .withColumn("d_nrm", Pq.reconNormExpr(col("codes"), zeroCent, cb))
+      .withColumn("bucket", bucketExpr(col("b_id"), nBuckets))
+      .select("b_id", "codes", "d_nrm", "bucket")
+  }
+
+  /** Directed misuse guard, symmetric with
+    * [[Ann.requirePqMarker]]: an IVF-family index at `path` shares
+    * nothing with the flat OPQ layout, and the wrong verb must name
+    * the right one instead of failing somewhere deep.
+    */
+  private def requireNotIvfFamily(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codebook")),
+      s"$path carries a coarse-codebook sidecar -- an IVF-family index; " +
+        "use the Ann.*/Pq.*/Sq.* verbs, not the OPQ ones")
+  }
+
+  /** The persisted rotation + codebooks + layout meta of an OPQ index —
+    * bounded collects, validated before use; refuses a missing
+    * rotation (half-built or not an OPQ index), a non-`rotated` pq
+    * table (drifted layout), a sparse code table, and meta that
+    * disagrees with the loaded artifacts (corrupt index).
+    */
+  private[operators] def loadOpqSidecars(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Pca.PcaModel, Pq.Codebooks, Int) = {
+    requireNotIvfFamily(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/rotation")),
+      s"$path has no rotation sidecar -- not a completed OPQ index " +
+        "(a crashed buildOpqIndex leaves this state; rebuild)")
+    val rot = Pca.loadModel(spark, s"$path/rotation")
+    val pqDf = spark.read.parquet(s"$path/pq")
+    require(pqDf.schema.fieldNames.contains("rotated"),
+      s"$path/pq lacks the rotated layout marker -- its codes were built " +
+        "in a different geometry; rebuild with buildOpqIndex")
+    val pqRows = pqDf.select("subspace", "code", "centroid_d").collect()
+    require(pqRows.nonEmpty, s"$path/pq is empty -- not an OPQ index")
+    val m = pqRows.map(_.getInt(0)).max + 1
+    val kSub = pqRows.map(_.getInt(1)).max + 1
+    require(pqRows.length == m * kSub &&
+      pqRows.map(r => (r.getInt(0), r.getInt(1))).distinct.length == m * kSub,
+      s"$path/pq is not a dense ${m}x$kSub code table -- corrupt index")
+    val tables = Array.tabulate(m) { j =>
+      pqRows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray)
+    }
+    val cb = Pq.Codebooks(m, tables(0)(0).length, tables)
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("d", "m", "k_sub", "n_buckets").head()
+    require(meta.getInt(0) == rot.inputDim && meta.getInt(1) == cb.m &&
+      cb.m * cb.sub == rot.inputDim,
+      s"$path meta (d=${meta.getInt(0)}, m=${meta.getInt(1)}) disagrees with " +
+        s"the loaded rotation (d=${rot.inputDim}) / codebooks (m=${cb.m}, " +
+        s"d=${cb.m * cb.sub}) -- corrupt index")
+    require(meta.getInt(3) >= 1,
+      s"$path meta carries n_buckets=${meta.getInt(3)} -- corrupt index")
+    (rot, cb, meta.getInt(3))
+  }
+
+  /** KNN against a persisted [[buildOpqIndex]] index: rotate the
+    * queries with the PERSISTED basis, scan the flat codes lake (m
+    * bytes per row — the whole point of the persisted form), ADC-L2
+    * shortlist against the broadcast per-query LUTs, then exact rerank
+    * against `source` — the table holding the ORIGINAL vectors, which
+    * must cover every indexed id (enforced inside the rerank join).
+    * Reported sims are true cosines — the self-verifying knn oracle
+    * contract, unchanged. Same two-cache caller contract as
+    * [[Pq.queryIvfPqIndex]] (wrap in [[Dedup.scoped]] or clear).
+    */
+  def queryOpqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      source: DataFrame, srcId: Column, srcVec: Column,
+      queries: DataFrame, qId: Column, qVec: Column,
+      k: Int, shortlist: Int = 0): DataFrame = {
+    requireOpqServable(spark, path)
+    val (rot, cb, _) = loadOpqSidecars(spark, path)
+    val sl = Pq.shortlistSize(shortlist, k)
+    val q0 = Ann.validQueries(queries, qId, qVec)
+    Ann.requireQueryDim(q0, rot.inputDim)
+    val q = Dedup.scopedCache(
+      Pca.projectUnit(q0, col("q_emb"), col("qp_nrm"), rot, "qp")
+        .filter(col("qp").getItem(0).isNotNull)
+        .withColumn("qp2", Vectors.dot(col("qp"), col("qp"))))
+    val qLut = q.select(col("q_id"), col("qp2"),
+      Pq.lutExpr(col("qp"), cb).as("lut"))
+    val enc = spark.read.parquet(s"$path/base")
+    // ADC L2 negated so "larger is nearer" — the knnOpq arithmetic
+    // owner verbatim (persisted ≡ on-the-fly is spec-pinned)
+    val approx = enc.crossJoin(broadcast(qLut))
+      .select(col("q_id"), col("b_id"),
+        (-(col("d_nrm") * col("d_nrm") + col("qp2")
+          - lit(2.0) * Pq.adcExpr(col("codes"), col("lut"), cb))).as("sim"))
+    val short = Ann.topkPerQuery(approx, sl)
+    val src = source.select(srcId.as("b_id"), srcVec.as("b_emb"))
+      .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+      .filter(col("b_nrm") > 0)
+    Pq.rerankExact(short, src,
+      q.select("q_id", "q_emb", "qp_nrm"), k, requireFullCoverage = true)
+  }
+
+  /** Serving/append-side crash guard — the [[Ann.requireBaseServable]]
+    * posture for the flat layout: a parked `base__*_old` sibling may
+    * hold a bucket's only copy after a crashed removal/compaction swap.
+    */
+  private def requireOpqServable(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val bp = new org.apache.hadoop.fs.Path(s"$path/base")
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.etl.Compact.requireServable(fs, bp)
+    graft.etl.Compact.requireServable(fs, new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** Incrementally extend a persisted [[buildOpqIndex]] index: new rows
+    * are rotated AND encoded with the PERSISTED basis + codebooks (no
+    * re-fit — build+add equals build-all-with-the-same-fit), appended
+    * to their id buckets. Fail-loud on a silently vanished increment
+    * (wrong embedding dimension is the classic cause), the
+    * [[Pq.addToIvfPqIndex]] discipline.
+    */
+  def addToOpqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      rows: DataFrame, id: Column, vec: Column): Unit = {
+    requireOpqServable(spark, path)
+    val (rot, cb, nBuckets) = loadOpqSidecars(spark, path)
+    val basePath = s"$path/base"
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = Ann.listDataFiles(fs, basePath)
+    val b0 = rows.select(id.as("b_id"), vec.as("b_emb"))
+      .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+      .filter(col("b_nrm") > 0)
+    opqScoreable(b0, rot, cb, nBuckets)
+      .write.partitionBy("bucket").mode("append").parquet(basePath)
+    if ((Ann.listDataFiles(fs, basePath) -- before).isEmpty)
+      require(rows.limit(1).collect().isEmpty,
+        s"no row of a non-empty increment was OPQ-scoreable for $path -- " +
+          s"wrong embedding dimension (index dim ${rot.inputDim})? nothing was added")
+  }
+
+  /** Delete ids from a persisted [[buildOpqIndex]] index — the
+    * retention verb for the flat layout: victims are materialized once
+    * (the [[Ann.removeFromIndexBase]] nondeterminism defense), only
+    * the buckets HOLDING victims are anti-join rewritten (surgical —
+    * an untouched bucket's files never move), each rewrite is gated on
+    * kept == read − victims before any swap, and the affected leaves
+    * land via park-then-swap so every crash window either refuses
+    * loudly or retries to completion.
+    */
+  def removeFromOpqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      victims: DataFrame, vicId: Column): Unit = {
+    loadOpqSidecars(spark, path) // completed-OPQ-index gate (and not IVF)
+    val basePath = s"$path/base"
+    val bp = new org.apache.hadoop.fs.Path(basePath)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpRoot = new org.apache.hadoop.fs.Path(bp.getParent, bp.getName + "__remove_tmp")
+    val oldRoot = new org.apache.hadoop.fs.Path(bp.getParent, bp.getName + "__remove_old")
+    graft.etl.Compact.clearOrRefuseParked(fs, oldRoot, "removal")
+    graft.etl.Compact.requireServable(fs, bp, action = "removal")
+    fs.delete(tmpRoot, true)
+    val vicDir = new org.apache.hadoop.fs.Path(bp.getParent, bp.getName + "__remove_vic")
+    fs.delete(vicDir, true)
+    try {
+      victims.select(vicId.as("b_id")).distinct()
+        .write.mode("overwrite").parquet(vicDir.toString)
+      val vic = spark.read.parquet(vicDir.toString)
+      val base = spark.read.parquet(basePath)
+      val affected = base.select("b_id", "bucket").join(vic, "b_id")
+        .select("bucket").distinct().collect().map(_.getInt(0)).sorted
+      if (affected.isEmpty) return // no victim is indexed — nothing to do
+      val pruned = base.filter(col("bucket").isin(affected.map(Int.box): _*))
+      // clustered by bucket so each rewritten leaf lands as ONE file
+      // (the removeWithVictims anti-fragmentation rule)
+      pruned.join(vic, Seq("b_id"), "left_anti")
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(tmpRoot.toString)
+      val srcCnt = pruned.select(col("b_id"), col("bucket"))
+        .join(vic.withColumn("__v", lit(1)), Seq("b_id"), "left")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), count(col("__v")).as("nv"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val tmpFiles = Ann.listDataFiles(fs, tmpRoot.toString)
+      val tmpCnt: Map[Int, Long] =
+        if (tmpFiles.isEmpty) Map.empty
+        else spark.read.parquet(tmpRoot.toString)
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      affected.foreach { b =>
+        val (n, nv) = srcCnt(b)
+        val kept = tmpCnt.getOrElse(b, 0L)
+        if (kept != n - nv) {
+          fs.delete(tmpRoot, true)
+          throw new IllegalStateException(
+            s"removal rewrite of $basePath bucket=$b would lose rows " +
+              s"($n read, $nv victims, $kept rewritten) -- aborted, index untouched")
+        }
+      }
+      graft.etl.Compact.swapRewrittenLeaves(
+        fs, bp, tmpRoot, oldRoot, affected.map(b => s"bucket=$b").toSeq)
+    } finally fs.delete(vicDir, true)
   }
 }

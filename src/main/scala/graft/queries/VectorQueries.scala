@@ -845,6 +845,46 @@ object VectorQueries {
 
   val v20Oracle: String = selfVerifyingKnnOracle("v20_knn_opq", k = 5)
 
+  /** Full lifecycle of the PERSISTED OPQ index
+    * ([[graft.operators.Opq.buildOpqIndex]] →
+    * [[graft.operators.Opq.addToOpqIndex]] →
+    * [[graft.operators.Opq.removeFromOpqIndex]] →
+    * [[graft.operators.Opq.queryOpqIndex]]) — the v13 treatment for
+    * the last ANN family member without one: built from the even ids
+    * (rotation + codebooks fit once), the odd ids appended with the
+    * PERSISTED fit, every third id retention-deleted from BOTH the
+    * source view and the index, then served — flat bucketed codes
+    * scan, ADC-L2 shortlist, exact rerank on the originals. Oracle:
+    * the shared self-verifying contract (every sim a proven cosine,
+    * rank-consistent, coverage sentinel) PLUS the ghost-id exclusion —
+    * a removed id served back would carry a perfectly valid cosine.
+    */
+  def v25OpqIndex(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val path = Scratch.wiped(s, "opq_index", dir)
+    graft.operators.Opq.buildOpqIndex(
+      e.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), path, m = 8, kSub = 16)
+    graft.operators.Opq.addToOpqIndex(
+      s, path,
+      e.filter(col("vec_id") >= 10 && col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"))
+    graft.operators.Opq.removeFromOpqIndex(
+      s, path,
+      e.filter(col("vec_id") >= 10 && col("vec_id") % 3 === 0), col("vec_id"))
+    graft.operators.Opq.queryOpqIndex(
+      s, path,
+      e.filter(col("vec_id") >= 10 && col("vec_id") % 3 =!= 0),
+      col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      k = 5, shortlist = 20)
+      .orderBy("q_id", "rank")
+  }
+
+  val v25Oracle: String = selfVerifyingKnnOracle(
+    "v25_opq_index", k = 5,
+    ghostBWhere = Some("b_id >= 10 AND b_id % 3 = 0"))
+
   /** kNN majority-vote classification ([[graft.operators.Ann.majorityVote]]
     * over exact [[Ann.knnBruteForce]] neighbors): each unlabeled query
     * takes the most common label among its 5 nearest labeled vectors
@@ -1121,6 +1161,7 @@ object VectorQueries {
     "v22_kmeans" -> (v22Kmeans _),
     "v21_knn_classify" -> (v21KnnClassify _),
     "v20_knn_opq" -> (v20KnnOpq _),
+    "v25_opq_index" -> (v25OpqIndex _),
     "v19_knn_pca" -> (v19KnnPca _),
     "v18_pca_project" -> (v18PcaProject _),
     "v16_knn_ivfsq8" -> (v16KnnIvfSq8 _),
@@ -1148,6 +1189,7 @@ object VectorQueries {
     "v22_kmeans" -> v22Oracle,
     "v21_knn_classify" -> v21Oracle,
     "v20_knn_opq" -> v20Oracle,
+    "v25_opq_index" -> v25Oracle,
     "v19_knn_pca" -> v19Oracle,
     "v18_pca_project" -> v18Oracle,
     "v16_knn_ivfsq8" -> v16Oracle,

@@ -76,4 +76,113 @@ class OpqSpec extends SparkSpecBase {
     }
     assert(run(base) === run(base.repartition(9)))
   }
+
+  // -------------------- persisted OPQ index -------------------- //
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._3))
+
+  test("persisted OPQ index ≡ on-the-fly knnOpq bit-for-bit (same fit, same scores)") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = e.filter(col("vec_id") >= 10 && col("vec_id") < 310)
+    val qs = e.filter(col("vec_id") < 5)
+    val path = java.nio.file.Files.createTempDirectory("graft_opq_idx").toString + "/idx"
+    Opq.buildOpqIndex(base, col("vec_id"), col("embedding"), path,
+      m = 8, kSub = 16)
+    val got = graft.operators.Dedup.scoped {
+      rows(Opq.queryOpqIndex(spark, path, base, col("vec_id"), col("embedding"),
+        qs, col("vec_id"), col("embedding"), k = 5, shortlist = 60))
+    }
+    val want = graft.operators.Dedup.scoped {
+      rows(Opq.knnOpq(base, col("vec_id"), col("embedding"),
+        qs, col("vec_id"), col("embedding"),
+        k = 5, m = 8, kSub = 16, shortlist = 60))
+    }
+    assert(got === want)
+  }
+
+  test("persisted OPQ: build+add ≡ build-all-with-the-same-fit; remove gates and serves without ghosts") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val all = e.filter(col("vec_id") >= 10 && col("vec_id") < 310)
+    val evens = all.filter(col("vec_id") % 2 === 0)
+    val odds = all.filter(col("vec_id") % 2 === 1)
+    val qs = e.filter(col("vec_id") < 5)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_opq_life").toString
+    // grown index: fit on evens, extend with odds
+    val grown = tmp + "/grown"
+    Opq.buildOpqIndex(evens, col("vec_id"), col("embedding"), grown, m = 8, kSub = 16)
+    Opq.addToOpqIndex(spark, grown, odds, col("vec_id"), col("embedding"))
+    // reference: build-all with the SAME fit corpus (fitOn = evens)
+    val oneShot = tmp + "/oneshot"
+    Opq.buildOpqIndex(all, col("vec_id"), col("embedding"), oneShot,
+      m = 8, kSub = 16, fitOn = Some(evens))
+    def serve(path: String, src: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.scoped {
+        rows(Opq.queryOpqIndex(spark, path, src, col("vec_id"), col("embedding"),
+          qs, col("vec_id"), col("embedding"), k = 5, shortlist = 60))
+      }
+    assert(serve(grown, all) === serve(oneShot, all))
+    // retention-delete every third id; served results carry no ghost
+    val victims = all.filter(col("vec_id") % 3 === 0)
+    Opq.removeFromOpqIndex(spark, grown, victims, col("vec_id"))
+    val kept = all.filter(col("vec_id") % 3 =!= 0)
+    val after = serve(grown, kept)
+    assert(after.nonEmpty && after.forall(_._2 % 3 != 0), "removed id served back")
+    // removing ids that are not indexed is a no-op, not an error
+    Opq.removeFromOpqIndex(spark, grown,
+      e.filter(col("vec_id") >= 100000), col("vec_id"))
+    assert(serve(grown, kept) === after)
+  }
+
+  test("persisted OPQ refusals: half-built index, IVF-family cross-verb, wrong query dim, parked residue") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = e.filter(col("vec_id") >= 10 && col("vec_id") < 110)
+    val qs = e.filter(col("vec_id") < 5)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_opq_guard").toString
+    val path = tmp + "/idx"
+    Opq.buildOpqIndex(base, col("vec_id"), col("embedding"), path, m = 8, kSub = 16)
+    // half-built: rotation marker gone → every entry point refuses loudly
+    val rot = new java.io.File(path + "/rotation")
+    val parkedRot = new java.io.File(tmp + "/rot_bak")
+    assert(rot.renameTo(parkedRot))
+    val e1 = intercept[IllegalArgumentException] {
+      Opq.queryOpqIndex(spark, path, base, col("vec_id"), col("embedding"),
+        qs, col("vec_id"), col("embedding"), k = 5)
+    }
+    assert(e1.getMessage.contains("rotation"))
+    assert(parkedRot.renameTo(rot))
+    // IVF-family cross-verb: a codebook sidecar names the right verbs
+    val fakeCb = new java.io.File(path + "/codebook")
+    fakeCb.mkdirs()
+    val e2 = intercept[IllegalArgumentException] {
+      Opq.addToOpqIndex(spark, path, base, col("vec_id"), col("embedding"))
+    }
+    assert(e2.getMessage.contains("IVF"))
+    assert(fakeCb.delete())
+    // wrong query dimension refuses by name
+    import spark.implicits._
+    val shortQ = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e3 = intercept[IllegalArgumentException] {
+      Opq.queryOpqIndex(spark, path, base, col("vec_id"), col("embedding"),
+        shortQ, col("vec_id"), col("embedding"), k = 5)
+    }
+    assert(e3.getMessage.toLowerCase.contains("dim"))
+    // parked crash residue under base refuses serving and appends
+    val parked = new java.io.File(path + "/base__remove_old")
+    parked.mkdirs()
+    java.nio.file.Files.writeString(parked.toPath.resolve("part-0.parquet"), "x")
+    val e4 = intercept[RuntimeException] {
+      Opq.queryOpqIndex(spark, path, base, col("vec_id"), col("embedding"),
+        qs, col("vec_id"), col("embedding"), k = 5)
+    }
+    assert(e4.getMessage.contains("parked"))
+    java.nio.file.Files.deleteIfExists(parked.toPath.resolve("part-0.parquet"))
+    assert(parked.delete())
+    // healthy again after recovery
+    graft.operators.Dedup.scoped {
+      assert(Opq.queryOpqIndex(spark, path, base, col("vec_id"), col("embedding"),
+        qs, col("vec_id"), col("embedding"), k = 5).count() > 0)
+    }
+  }
 }
