@@ -228,6 +228,66 @@ class PageRankSpec extends SparkSpecBase {
     assert(gotP === referencePpr(edges, seeds.toSet, kp))
   }
 
+  test("tolUnits sweep: early exit ≡ fixed-iteration replay at EVERY swept exit point (randomized graph)") {
+    // the r14 test pins ONE tolerance per variant; this sweeps a ladder
+    // of tolerances — derived from the replay's own delta sequence so
+    // each lands a different exit iteration — across the checkpoint
+    // cadence (10/20), pinning that early-exit ≡ fixed-iteration holds
+    // at every exit point, not just the spec'd one
+    val rnd = new scala.util.Random(29)
+    val edges = (1 to 120).map { _ =>
+      (s"n${rnd.nextInt(24)}", s"n${rnd.nextInt(24)}", (1L + rnd.nextInt(5)): Long)
+    }.distinct
+    val deltas = (2 to 50).map { i =>
+      val prev = reference(edges, i - 1)
+      val cur = reference(edges, i)
+      i -> cur.keys.map(v => math.abs(cur(v) - prev(v))).max
+    }
+    // tolerances = the exact replay deltas at a ladder of iterations;
+    // the honest exit is the FIRST crossing (deltas can be
+    // non-monotone — both sides use first-crossing)
+    val targets = Seq(3, 8, 12, 21)
+    val realized = targets.map { t =>
+      val tol = deltas.find(_._1 == t).get._2
+      val k = deltas.find(_._2 <= tol).get._1
+      val got = Dedup.scoped {
+        val df = edges.toDF("src", "dst", "w").repartition(5)
+        PageRank.pageRank(df, col("src"), col("dst"), col("w"), iters = 50,
+            tolUnits = tol)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      assert(got === reference(edges, k),
+        s"tol=$tol (target iter $t) must equal the replay at exit iteration $k")
+      k
+    }
+    // the sweep must genuinely span exit points on both sides of a
+    // checkpoint boundary, or it pins nothing new
+    assert(realized.distinct.size >= 3, s"sweep degenerated: exits $realized")
+    assert(realized.max > 10 && realized.min < 10,
+      s"sweep must straddle the checkpoint cadence, got exits $realized")
+    // personalized shares the loop: two swept points (one per side of
+    // the boundary) pin the tolUnits pass-through on the same graph
+    val present = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val seeds = present.take(4)
+    val deltasP = (2 to 50).map { i =>
+      val prev = referencePpr(edges, seeds.toSet, i - 1)
+      val cur = referencePpr(edges, seeds.toSet, i)
+      i -> cur.keys.map(v => math.abs(cur(v) - prev(v))).max
+    }
+    Seq(4, 14).foreach { t =>
+      val tol = deltasP.find(_._1 == t).get._2
+      val k = deltasP.find(_._2 <= tol).get._1
+      val got = Dedup.scoped {
+        val df = edges.toDF("src", "dst", "w").repartition(5)
+        PageRank.personalized(df, col("src"), col("dst"), col("w"),
+            seeds.toDF("node"), col("node"), iters = 50, tolUnits = tol)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      assert(got === referencePpr(edges, seeds.toSet, k),
+        s"ppr tol=$tol (target iter $t) must equal the replay at exit iteration $k")
+    }
+  }
+
   test("deep runs: 50 iterations match the replay; checkpoint cadence bounds the plan") {
     val edges = Seq(
       ("a", "b", 1L), ("a", "c", 3L), ("b", "c", 1L), ("c", "a", 1L),

@@ -117,6 +117,65 @@ def main():
         check("one-sided split still catches total regression",
               rc == 1 and "totals compared" in out, out)
 
+        # --- TimeOne isolation rerun (round 15) ---
+
+        def echo_cmd(*lines):
+            return "; ".join(f"echo '{ln}'" for ln in lines)
+
+        # a flagged total regression CLEARED by the isolated number
+        rc, out = run_gate(
+            tmp, artifact({"q1": 2.0, "q2": 0.05}), base,
+            extra=["--isolate-cmd",
+                   echo_cmd("[timeone] q1 rep 1 build 0.000 serve 1.100",
+                            "[timeone] q1 rep 2 build 0.000 serve 0.900")])
+        check("isolation clears a noisy flag (best-of-reps)",
+              rc == 0 and "CLEARED" in out, out)
+
+        # a flag the isolated rerun CONFIRMS must fail louder
+        rc, out = run_gate(
+            tmp, artifact({"q1": 2.0, "q2": 0.05}), base,
+            extra=["--isolate-cmd",
+                   echo_cmd("[timeone] q1 rep 1 build 0.000 serve 5.000")])
+        check("isolation confirms a real regression",
+              rc == 1 and "CONFIRMED" in out, out)
+
+        # isolation producing no timing for the flagged query: fail on
+        # the suite number (never silently pass)
+        rc, out = run_gate(
+            tmp, artifact({"q1": 2.0, "q2": 0.05}), base,
+            extra=["--isolate-cmd", echo_cmd("no timings here")])
+        check("missing isolated timing keeps the fail",
+              rc == 1 and "no timing" in out, out)
+
+        # --no-isolate gates on raw suite numbers
+        rc, out = run_gate(
+            tmp, artifact({"q1": 2.0, "q2": 0.05}), base,
+            extra=["--no-isolate", "--isolate-cmd",
+                   echo_cmd("[timeone] q1 rep 1 build 0.000 serve 0.900")])
+        check("--no-isolate skips the rerun",
+              rc == 1 and "CLEARED" not in out, out)
+
+        # split-phase flags judge the matching ISOLATED phase: serve
+        # flagged, isolated serve still slow -> confirmed even though
+        # the isolated total is small
+        rc, out = run_gate(
+            tmp,
+            artifact({"r1": 2.0},
+                     split={"r1": {"build_s": 0.0, "serve_s": 2.0}}),
+            base_split,
+            extra=["--isolate-cmd",
+                   echo_cmd("[timeone] r1 rep 1 build 0.000 serve 1.900")])
+        check("isolated serve phase judged like-for-like",
+              rc == 1 and "CONFIRMED" in out and "serve" in out, out)
+
+        # crashed/missing queries are hard fails -- never isolated away
+        rc, out = run_gate(
+            tmp, artifact({"q1": -1.0, "q2": 0.05}, failed=1), base,
+            extra=["--isolate-cmd",
+                   echo_cmd("[timeone] q1 rep 1 build 0.000 serve 0.100")])
+        check("crash is a hard fail despite isolation",
+              rc == 1 and "FAILED in this run" in out, out)
+
         # trailing flag without a value: usage FAIL, not a traceback
         p = subprocess.run(
             [sys.executable, GATE, "--rebaseline", "--reason"],
