@@ -1232,4 +1232,55 @@ class StreamingSpec extends SparkSpecBase {
       assert(chain(e).exists(_.contains("parked")), s"got: $e")
     } finally q2.stop()
   }
+
+  test("sketchIngest: quantile-sample lake — ingest + compact + estimate ≡ batch; re-run cannot double pairs or n") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sketches
+    // the pair-sample lake is the NON-idempotent one: a duplicated
+    // increment doubles n and lets copies of a pair occupy two
+    // bottom-k slots — so the key anti-join is load-bearing here,
+    // not just hygienic as with HLL registers
+    val base = java.nio.file.Files.createTempDirectory("graft_qs_ingest").toString
+    val lake = base + "/lake"
+    val all = (0 until 240).map { i =>
+      (ts(f"2024-01-01 0${i % 2}%d:${(i / 2) % 60}%02d:41"), i.toLong,
+        ((i * 53) % 400).toLong)
+    }
+    val (b1, rest) = new scala.util.Random(13).shuffle(all).splitAt(80)
+    val (b2, b3) = rest.splitAt(80)
+    def run(ck: String): Unit = {
+      val in = MemoryStream[(Timestamp, Long, Long)]
+      val q = Streams.sketchIngest(
+        Streams.windowQuantileSample(
+          in.toDF().toDF("ts", "event_id", "v"), "ts", "event_id", "v",
+          window = "1 hour", watermark = "3 hours", k = 32)
+          .select(col("window_start").cast("string").as("key"),
+            col("n"), col("pairs")),
+        ck, lake, keyCols = Seq("key"))
+      try {
+        Seq(b1, b2, b3).foreach { b => in.addData(b); q.processAllAvailable() }
+        in.addData((ts("2024-01-02 00:00:00"), 9999L, 0L)) // close both windows
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(base + "/ck1")
+    Sketches.compactSampleLake(spark, lake, k = 32)
+    def estimates() = Sketches.quantilesFromSample(
+      Sketches.mergePairSamples(spark.read.parquet(lake), k = 32),
+      qs = Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val streamed = estimates()
+    val batch = Sketches.sampleQuantilesByKey(
+      all.toDF("ts", "event_id", "v"),
+      date_format(col("ts"), "yyyy-MM-dd HH:00:00"),
+      col("event_id"), col("v"), k = 32, qs = Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(streamed === batch, "stream → lake → compact must equal the batch one-shot")
+    // a full re-run over the same source MUST dedupe to empty: a
+    // doubled increment would inflate n and corrupt the sample
+    run(base + "/ck2")
+    assert(estimates() === batch)
+  }
 }
