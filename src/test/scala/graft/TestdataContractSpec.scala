@@ -153,8 +153,8 @@ class TestdataContractSpec extends SparkSpecBase {
     // added or retired without updating the docs fails HERE, not in a
     // future audit. (q29 and t21 were never assigned — see STATUS.md —
     // so the count is not max-index arithmetic.)
-    assert(merged.size == 162,
-      s"query registry holds ${merged.size} entries, docs claim 162 -- " +
+    assert(merged.size == 166,
+      s"query registry holds ${merged.size} entries, docs claim 166 -- " +
         "update STATUS.md Gates + this pin together")
   }
 }
