@@ -135,6 +135,39 @@ class OpqSpec extends SparkSpecBase {
     assert(serve(grown, kept) === after)
   }
 
+  test("Ann.compactIndex heals OPQ append decay: fewer files, results bit-identical") {
+    // compactIndex only sees the partitioned base, so the bucket=
+    // layout composes with the shared compaction verb for free — this
+    // pins it (daily adds fragment each bucket one file per add)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = e.filter(col("vec_id") >= 10 && col("vec_id") < 310)
+    val qs = e.filter(col("vec_id") < 5)
+    val path = java.nio.file.Files.createTempDirectory("graft_opq_comp").toString + "/idx"
+    Opq.buildOpqIndex(base.filter(col("vec_id") % 3 === 0),
+      col("vec_id"), col("embedding"), path, m = 8, kSub = 16)
+    Opq.addToOpqIndex(spark, path,
+      base.filter(col("vec_id") % 3 === 1), col("vec_id"), col("embedding"))
+    Opq.addToOpqIndex(spark, path,
+      base.filter(col("vec_id") % 3 === 2), col("vec_id"), col("embedding"))
+    def dataFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(path + "/base")).size
+    }
+    def serve() = graft.operators.Dedup.scoped {
+      rows(Opq.queryOpqIndex(spark, path, base, col("vec_id"), col("embedding"),
+        qs, col("vec_id"), col("embedding"), k = 5, shortlist = 60))
+    }
+    val before = serve()
+    val filesBefore = dataFiles()
+    val stats = graft.operators.Ann.compactIndex(spark, path)
+    assert(stats.nonEmpty, "two appends must leave at least one compactable bucket")
+    assert(dataFiles() < filesBefore,
+      s"compaction must shrink the file count ($filesBefore before)")
+    assert(serve() === before, "compaction moves bytes, never rows")
+  }
+
   test("persisted OPQ refusals: half-built index, IVF-family cross-verb, wrong query dim, parked residue") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val base = e.filter(col("vec_id") >= 10 && col("vec_id") < 110)
