@@ -122,10 +122,12 @@ object RecallBoard {
         k, m = 8, kSub = 32, shortlist = shortlist, maxFit = 20000L),
       // the persisted OPQ lifecycle (v25): recall must hold through
       // build → serve, not just on-the-fly — the sidecar round trip is
-      // part of the measured path
+      // part of the measured path. Scratch-owned path: wiped per
+      // (name, dir, appId) on reuse and deleted at JVM exit — a bare
+      // createTempDirectory would leak one full index copy per
+      // measured scale per sweep run
       "v25_opq_index" -> {
-        val path = java.nio.file.Files.createTempDirectory("graft_recall_opq")
-          .toString + "/idx"
+        val path = graft.queries.Scratch.wiped(spark, "recall_opq", dir)
         graft.operators.Opq.buildOpqIndex(
           base, col("vec_id"), col("embedding"), path,
           m = 8, kSub = 32, maxFit = 20000L)

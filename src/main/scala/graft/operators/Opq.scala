@@ -207,8 +207,18 @@ object Opq {
       Pca.projectUnit(fitB, col("b_emb"), col("b_nrm"), rot, "bp")
         .filter(col("bp").getItem(0).isNotNull))
     val cb = Pq.fit(bFit, col("b_id"), col("bp"), m, kSub, seed, maxFit)
-    opqScoreable(b0, rot, cb, nBuckets)
-      .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/base")
+    // default build (fitOn empty): fitB IS b0, so the cached projected
+    // frame feeds BOTH the codebook fit and the encode — one corpus
+    // projection pass, knnOpq's exact shape (re-projecting via
+    // opqScoreable would double the dominant build cost). The
+    // train/add split genuinely encodes a different frame and pays its
+    // own projection.
+    val enc = fitOn match {
+      case None => encodeProjected(
+        bFit.filter(col("b_id").isNotNull), cb, d, nBuckets)
+      case Some(_) => opqScoreable(b0, rot, cb, nBuckets)
+    }
+    enc.write.partitionBy("bucket").mode("overwrite").parquet(s"$path/base")
     // a base whose EVERY row fell to the scoreable gates (classic
     // cause: fitOn dimension differs from the base's) must not persist
     // as a silently empty index
@@ -221,7 +231,11 @@ object Opq {
       .toDF("subspace", "code", "centroid_d", "rotated")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/pq")
-    Seq((d, m, kSub, nBuckets)).toDF("d", "m", "k_sub", "n_buckets")
+    // meta persists the EFFECTIVE kSub (a small fit sample clamps the
+    // requested one — Pq.fitFromSample) so loadOpqSidecars can demand
+    // exact equality with the loaded code table
+    Seq((d, m, cb.tables(0).length, nBuckets))
+      .toDF("d", "m", "k_sub", "n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     Pca.saveModel(spark, rot, s"$path/rotation") // marker LAST
   }
@@ -234,13 +248,21 @@ object Opq {
     */
   private def opqScoreable(
       b0: DataFrame, rot: Pca.PcaModel, cb: Pq.Codebooks,
-      nBuckets: Int): DataFrame = {
-    val d = rot.inputDim
+      nBuckets: Int): DataFrame =
+    encodeProjected(
+      Pca.projectUnit(
+        b0.filter(col("b_id").isNotNull),
+        col("b_emb"), col("b_nrm"), rot, "bp")
+        .filter(col("bp").getItem(0).isNotNull),
+      cb, rot.inputDim, nBuckets)
+
+  /** The encode tail over an ALREADY-projected frame (`bp` column) —
+    * split out so [[buildOpqIndex]]'s default path can reuse the
+    * cached fit projection instead of re-projecting the corpus.
+    */
+  private def encodeProjected(
+      proj: DataFrame, cb: Pq.Codebooks, d: Int, nBuckets: Int): DataFrame = {
     val zeroCent = typedLit(Seq.fill(d)(0.0f))
-    val proj = Pca.projectUnit(
-      b0.filter(col("b_id").isNotNull),
-      col("b_emb"), col("b_nrm"), rot, "bp")
-      .filter(col("bp").getItem(0).isNotNull)
     Pq.encode(proj, col("b_id"), col("bp"), cb)
       .withColumn("d_nrm", Pq.reconNormExpr(col("codes"), zeroCent, cb))
       .withColumn("bucket", bucketExpr(col("b_id"), nBuckets))
@@ -295,11 +317,17 @@ object Opq {
     val cb = Pq.Codebooks(m, tables(0)(0).length, tables)
     val meta = spark.read.parquet(s"$path/meta")
       .select("d", "m", "k_sub", "n_buckets").head()
+    // k_sub equality too (meta stores the EFFECTIVE table size): a pq
+    // sidecar from a different build with a smaller code budget is
+    // dense and `rotated` — without this gate it would load cleanly
+    // and base codes past its range would index IN-BOUNDS into the
+    // next subspace's LUT region, serving garbage sims with no error
     require(meta.getInt(0) == rot.inputDim && meta.getInt(1) == cb.m &&
-      cb.m * cb.sub == rot.inputDim,
-      s"$path meta (d=${meta.getInt(0)}, m=${meta.getInt(1)}) disagrees with " +
-        s"the loaded rotation (d=${rot.inputDim}) / codebooks (m=${cb.m}, " +
-        s"d=${cb.m * cb.sub}) -- corrupt index")
+      meta.getInt(2) == kSub && cb.m * cb.sub == rot.inputDim,
+      s"$path meta (d=${meta.getInt(0)}, m=${meta.getInt(1)}, " +
+        s"k_sub=${meta.getInt(2)}) disagrees with the loaded rotation " +
+        s"(d=${rot.inputDim}) / codebooks (m=${cb.m}, k_sub=$kSub, " +
+        s"d=${cb.m * cb.sub}) -- mixed-build sidecars; rebuild the index")
     require(meta.getInt(3) >= 1,
       s"$path meta carries n_buckets=${meta.getInt(3)} -- corrupt index")
     (rot, cb, meta.getInt(3))
@@ -331,6 +359,14 @@ object Opq {
         .withColumn("qp2", Vectors.dot(col("qp"), col("qp"))))
     val qLut = q.select(col("q_id"), col("qp2"),
       Pq.lutExpr(col("qp"), cb).as("lut"))
+    // a fully-emptied base (every id retention-deleted) has no data
+    // files and would die in schema inference with an error naming
+    // neither the index nor the state — refuse by name instead
+    val bpth = new org.apache.hadoop.fs.Path(s"$path/base")
+    val bfs = bpth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(bfs.exists(bpth) && Ann.listDataFiles(bfs, s"$path/base").nonEmpty,
+      s"the OPQ index at $path holds zero code rows (every id removed?) " +
+        "-- rebuild or add rows before serving")
     val enc = spark.read.parquet(s"$path/base")
     // ADC L2 negated so "larger is nearer" — the knnOpq arithmetic
     // owner verbatim (persisted ≡ on-the-fly is spec-pinned)
@@ -409,6 +445,10 @@ object Opq {
     val vicDir = new org.apache.hadoop.fs.Path(bp.getParent, bp.getName + "__remove_vic")
     fs.delete(vicDir, true)
     try {
+      // an already-emptied base (or a never-built one) holds no
+      // victims by definition — a schema-less read would throw an
+      // unnamed inference error instead
+      if (!fs.exists(bp) || Ann.listDataFiles(fs, basePath).isEmpty) return
       victims.select(vicId.as("b_id")).distinct()
         .write.mode("overwrite").parquet(vicDir.toString)
       val vic = spark.read.parquet(vicDir.toString)

@@ -1101,10 +1101,17 @@ object CurationQueries {
       .withColumn("__lang", coalesce(col("lang"), lit("\u0000__null_lang")))
     val langs = d.select("__lang").distinct()
       .collect().map(_.getString(0)).sorted
-    langs.map(lg =>
-      graft.operators.Sampling.prioritySketch(
-        d.filter(col("__lang") === lg), col("source"), col("doc_id"),
-        col("n_chars"), k = 16, salt = "c23"))
+    // an empty corpus has zero increments; seed the union with an
+    // empty sketch frame so `reduce` cannot throw empty.reduceLeft —
+    // the lifecycle then degrades to an empty result like every other
+    // operator, instead of an unnamed crash
+    (graft.operators.Sampling.prioritySketch(
+      d.limit(0), col("source"), col("doc_id"), col("n_chars"),
+      k = 16, salt = "c23") +:
+      langs.toSeq.map(lg =>
+        graft.operators.Sampling.prioritySketch(
+          d.filter(col("__lang") === lg), col("source"), col("doc_id"),
+          col("n_chars"), k = 16, salt = "c23")))
       .reduce(_ union _)
       .write.mode("overwrite").parquet(out)
     graft.operators.Sampling.mergePrioritySamples(s.read.parquet(out), k = 16)

@@ -1245,9 +1245,14 @@ object RelationalQueries {
     // pipeline stamps ingest dates). Distinct-collect is dim-sized.
     val types = ev.select("__etype").distinct()
       .collect().map(_.getString(0)).sorted
-    types.map(tp =>
-      graft.operators.Sketches.mgSketch(
-        ev.filter(col("__etype") === tp), col("user_id"), k = 149, inc = tp))
+    // empty-corpus seed: zero increments would make `reduce` throw
+    // empty.reduceLeft (the c23 fix applied to the inherited shape) —
+    // an empty MG sketch is just the marker row, a valid increment
+    (graft.operators.Sketches.mgSketch(
+      ev.limit(0), col("user_id"), k = 149, inc = "__seed__") +:
+      types.toSeq.map(tp =>
+        graft.operators.Sketches.mgSketch(
+          ev.filter(col("__etype") === tp), col("user_id"), k = 149, inc = tp)))
       .reduce(_ union _)
       .write.mode("overwrite").parquet(out)
     graft.operators.Sketches.heavyHittersFromSketches(
@@ -1310,10 +1315,14 @@ object RelationalQueries {
       .withColumn("__src", coalesce(col("source"), lit("\u0000__null_src")))
     val sources = docs.select("__src").distinct()
       .collect().map(_.getString(0)).sorted
-    sources.map(src =>
-      graft.operators.Sketches.pairSampleByKey(
-        docs.filter(col("__src") === src),
-        col("lang"), col("doc_id"), col("n_chars"), k = 64))
+    // empty-corpus seed for the union — see q26; empty sample frame,
+    // valid schema, merge-neutral
+    (graft.operators.Sketches.pairSampleByKey(
+      docs.limit(0), col("lang"), col("doc_id"), col("n_chars"), k = 64) +:
+      sources.toSeq.map(src =>
+        graft.operators.Sketches.pairSampleByKey(
+          docs.filter(col("__src") === src),
+          col("lang"), col("doc_id"), col("n_chars"), k = 64)))
       .reduce(_ union _)
       .write.mode("overwrite").parquet(out)
     graft.operators.Sketches.quantilesFromSample(

@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * query IS the build+read round trip (rebuilt by design), but
   * repeated calls in one session must not accumulate copies.
   */
-private[queries] object Scratch {
+private[graft] object Scratch {
 
   /** Paths this JVM created, removed by one shutdown hook: the appId
     * key means no OTHER live session's scratch is ever touched, so the

@@ -168,6 +168,40 @@ class OpqSpec extends SparkSpecBase {
     assert(serve() === before, "compaction moves bytes, never rows")
   }
 
+  test("persisted OPQ: fully-emptied index refuses by name; mixed-build pq sidecar refused on k_sub") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = e.filter(col("vec_id") >= 10 && col("vec_id") < 110)
+    val qs = e.filter(col("vec_id") < 5)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_opq_drift").toString
+    // retention-delete EVERY id: the next query must refuse by name,
+    // not die in schema inference; a second remove is a no-op
+    val a = tmp + "/a"
+    Opq.buildOpqIndex(base, col("vec_id"), col("embedding"), a, m = 8, kSub = 16)
+    Opq.removeFromOpqIndex(spark, a, base, col("vec_id"))
+    val e1 = intercept[IllegalArgumentException] {
+      Opq.queryOpqIndex(spark, a, base, col("vec_id"), col("embedding"),
+        qs, col("vec_id"), col("embedding"), k = 5)
+    }
+    assert(e1.getMessage.contains("zero code rows"))
+    Opq.removeFromOpqIndex(spark, a, base, col("vec_id")) // no-op, no crash
+    // a dense, `rotated` pq sidecar from a DIFFERENT build (smaller
+    // code budget) must refuse on the k_sub gate — codes past its
+    // range would index in-bounds into the next subspace's LUT region
+    // and serve garbage sims with no error
+    val b16 = tmp + "/b16"
+    val b32 = tmp + "/b32"
+    Opq.buildOpqIndex(base, col("vec_id"), col("embedding"), b16, m = 8, kSub = 16)
+    Opq.buildOpqIndex(base, col("vec_id"), col("embedding"), b32, m = 8, kSub = 32)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(b32 + "/pq"))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(b16 + "/pq"), new java.io.File(b32 + "/pq"))
+    val e2 = intercept[IllegalArgumentException] {
+      Opq.queryOpqIndex(spark, b32, base, col("vec_id"), col("embedding"),
+        qs, col("vec_id"), col("embedding"), k = 5)
+    }
+    assert(e2.getMessage.contains("k_sub"))
+  }
+
   test("persisted OPQ refusals: half-built index, IVF-family cross-verb, wrong query dim, parked residue") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val base = e.filter(col("vec_id") >= 10 && col("vec_id") < 110)
