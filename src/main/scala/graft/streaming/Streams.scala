@@ -353,11 +353,19 @@ object Streams {
           case Some(keys) => b.join(keys, keyCols, "left_anti")
           case None => b
         }
-        // one evaluation of the anti-join for the emptiness probe and
-        // the append (the indexIngest dedupe discipline)
+        // FULL one-pass materialization via count(), not isEmpty:
+        // unlike every other gate in this file, this foreachBatch sits
+        // downstream of a STATEFUL aggregation (the windowed sketch),
+        // and the batch frame re-executes that plan on each action.
+        // isEmpty is take(1) — a PARTIAL materialization that leaves
+        // uncached partitions for the write to recompute, and a
+        // recomputed stateful task re-commits its state store, which
+        // Spark refuses (CANNOT_WRITE_STATE_STORE, measured under
+        // suite load). count() touches every partition once under the
+        // persist, so the append reads only cached blocks.
         val fresh = fresh0.persist()
         try {
-          if (!fresh.isEmpty) fresh.write.mode("append").parquet(lakePath)
+          if (fresh.count() > 0L) fresh.write.mode("append").parquet(lakePath)
         } finally fresh.unpersist()
       }
       .start()
