@@ -164,12 +164,20 @@ object RecallBoard {
       recalls(spark, dir).toSeq.sortBy(_._1)
         .map { case (n, v) => s""""$n":${math.rint(v * 1000) / 1000}""" }
         .mkString("{", ",", "}")
+    // measured_at: the gate's staleness rule compares COMMIT times of
+    // ANN sources vs the RECALL artifact — a re-measurement whose
+    // numbers are identical would otherwise produce a byte-identical
+    // file, leave nothing to commit, and be unrecordable (hit in round
+    // 15: the Opq hardening re-measured to the same 0.98/0.96 and the
+    // gate still failed). The timestamp makes every honest sweep a
+    // distinct, committable artifact.
+    val stamp = s""""measured_at":${System.currentTimeMillis / 1000},"""
     val json =
       if (dirs.size == 1)
-        s"""{"metric":"recall@5","sf":"${esc(dirs.head)}","recall":${obj(dirs.head)}}"""
+        s"""{"metric":"recall@5",$stamp"sf":"${esc(dirs.head)}","recall":${obj(dirs.head)}}"""
       else
         dirs.map(d => s""""${esc(d)}":${obj(d)}""")
-          .mkString("""{"metric":"recall@5","scales":{""", ",", "}}")
+          .mkString(s"""{"metric":"recall@5",$stamp"scales":{""", ",", "}}")
     args.lift(1).foreach { out =>
       java.nio.file.Files.write(
         java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8")): Unit
