@@ -520,15 +520,24 @@ object Ann {
     requireQuantizerMarker(spark, path, if (expectPq) "pq" else "", otherVerb,
       sqOtherVerb)
 
-  /** Shared removal core for the IVF and IVF-PQ index layouts (they
-    * differ only in what the base rows hold and which rows count toward
-    * occupancy — `scoreable`). See [[removeFromIvfIndex]] for the
+  /** Shared removal core for every partitioned index layout — IVF and
+    * IVF-PQ (partition column `cell`, occupancy sidecar refreshed) and
+    * the flat OPQ lake (partition column `bucket`, no occupancy — a
+    * flat layout has no probe structure to keep honest). The layouts
+    * differ only in what the base rows hold, which rows count toward
+    * occupancy (`scoreable`), and the partition key; the safety-
+    * critical machinery — victim materialization, per-leaf row-count
+    * gate, park-then-swap — has exactly ONE owner here, so a fix
+    * reaches every family at once. See [[removeFromIvfIndex]] for the
     * contract; [[Pq.removeFromIvfPqIndex]] passes `lit(true)` (every
-    * persisted codes row is scoreable by construction).
+    * persisted codes row is scoreable by construction);
+    * [[Opq.removeFromOpqIndex]] passes `partCol = "bucket",
+    * withOccupancy = false`.
     */
   private[operators] def removeFromIndexBase(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      victims: DataFrame, vicId: Column, scoreable: Column): Unit = {
+      victims: DataFrame, vicId: Column, scoreable: Column,
+      partCol: String = "cell", withOccupancy: Boolean = true): Unit = {
     val basePath = s"$path/base"
     val bp = new org.apache.hadoop.fs.Path(basePath)
     val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -541,6 +550,10 @@ object Ann {
     // anti-join rewrite against a cell-less lake cements the loss.
     graft.etl.Compact.clearOrRefuseParked(fs, oldRoot, "removal")
     graft.etl.Compact.requireServable(fs, bp, action = "removal")
+    // an already-emptied base (every leaf previously removed) holds no
+    // victims by definition — and a schema-less read of it would die
+    // in parquet inference with an error naming nothing
+    if (!fs.exists(bp) || listDataFiles(fs, basePath).isEmpty) return
     fs.delete(tmpRoot, true)
     // victims are MATERIALIZED once and read back for every use below:
     // the affected-cell scan, the anti-join rewrite and the row-count
@@ -555,7 +568,7 @@ object Ann {
       victims.select(vicId.as("b_id")).distinct()
         .write.mode("overwrite").parquet(vicDir.toString)
       removeWithVictims(spark, path, basePath, bp, fs, tmpRoot, oldRoot,
-        spark.read.parquet(vicDir.toString), scoreable)
+        spark.read.parquet(vicDir.toString), scoreable, partCol, withOccupancy)
     } finally fs.delete(vicDir, true)
   }
 
@@ -566,40 +579,42 @@ object Ann {
       spark: org.apache.spark.sql.SparkSession, path: String, basePath: String,
       bp: org.apache.hadoop.fs.Path, fs: org.apache.hadoop.fs.FileSystem,
       tmpRoot: org.apache.hadoop.fs.Path, oldRoot: org.apache.hadoop.fs.Path,
-      vic: DataFrame, scoreable: Column): Unit = {
-    val (codebook, prevMembers) = readCodebookSidecar(spark, path)
+      vic: DataFrame, scoreable: Column, partCol: String,
+      withOccupancy: Boolean): Unit = {
+    val sidecar =
+      if (withOccupancy) Some(readCodebookSidecar(spark, path)) else None
     val base = spark.read.parquet(basePath)
-    // ≤ nlist driver rows: which cells hold at least one victim
-    val affected = base.select("b_id", "cell").join(vic, "b_id")
-      .select("cell").distinct().collect().map(_.getInt(0)).sorted
+    // ≤ nlist (or nBuckets) driver rows: leaves holding ≥ 1 victim
+    val affected = base.select("b_id", partCol).join(vic, "b_id")
+      .select(partCol).distinct().collect().map(_.getInt(0)).sorted
     if (affected.isEmpty) return // no victim is indexed — nothing to do
-    val pruned = base.filter(col("cell").isin(affected.map(Int.box): _*))
-    // one distributed rewrite job for ALL affected cells; the write
+    val pruned = base.filter(col(partCol).isin(affected.map(Int.box): _*))
+    // one distributed rewrite job for ALL affected leaves; the write
     // lands OUTSIDE the index (a work dir inside path/base would read
-    // as a partition directory — the Compact lesson). Clustered by cell
-    // first (the writeShards pattern) so each rewritten cell lands as
-    // ONE file — a bare partitionBy would let every task fragment every
-    // cell it holds rows for, undoing compactIndex on each retention
-    // delete.
+    // as a partition directory — the Compact lesson). Clustered by the
+    // partition key first (the writeShards pattern) so each rewritten
+    // leaf lands as ONE file — a bare partitionBy would let every task
+    // fragment every leaf it holds rows for, undoing compactIndex on
+    // each retention delete.
     pruned.join(vic, Seq("b_id"), "left_anti")
-      .repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(tmpRoot.toString)
-    // row-count gate per cell BEFORE any swap: kept-on-disk must equal
-    // source − victims for every affected cell. One pass of the pruned
+      .repartition(col(partCol))
+      .write.partitionBy(partCol).mode("overwrite").parquet(tmpRoot.toString)
+    // row-count gate per leaf BEFORE any swap: kept-on-disk must equal
+    // source − victims for every affected leaf. One pass of the pruned
     // source (id + victim marker), one of the rewrite; both narrow.
-    val srcCnt = pruned.select(col("b_id"), col("cell"))
+    val srcCnt = pruned.select(col("b_id"), col(partCol))
       .join(vic.withColumn("__v", lit(1)), Seq("b_id"), "left")
-      .groupBy("cell")
+      .groupBy(partCol)
       .agg(count(lit(1)).as("n"), count(col("__v")).as("nv"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     val tmpFiles = listDataFiles(fs, tmpRoot.toString)
-    // (rows, scoreable rows) per rewritten cell — the same read feeds
+    // (rows, scoreable rows) per rewritten leaf — the same read feeds
     // the gate and the occupancy refresh. An all-victims rewrite
     // produces no files at all: guard the schema-less read.
     val tmpCnt: Map[Int, (Long, Long)] =
       if (tmpFiles.isEmpty) Map.empty
       else spark.read.parquet(tmpRoot.toString)
-        .groupBy("cell")
+        .groupBy(partCol)
         .agg(count(lit(1)).as("n"), count(when(scoreable, lit(1))).as("ns"))
         .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     affected.foreach { c =>
@@ -608,7 +623,7 @@ object Ann {
       if (kept != n - nv) {
         fs.delete(tmpRoot, true)
         throw new IllegalStateException(
-          s"removal rewrite of $basePath cell=$c would lose rows " +
+          s"removal rewrite of $basePath $partCol=$c would lose rows " +
             s"($n read, $nv victims, $kept rewritten) -- aborted, index untouched")
       }
     }
@@ -622,16 +637,19 @@ object Ann {
     // and a partially-emptied cell stays live with its victims still
     // present, so re-running the same removal finds them and completes
     // the rewrite. Transiently-visible victims until the retry beat
-    // permanently-invisible survivors.
-    val members = codebook.indices.map { c =>
-      c -> (if (affected.contains(c)) tmpCnt.get(c).map(_._2).getOrElse(0L)
-            else prevMembers.getOrElse(c, 0L))
-    }.toMap
-    writeCodebookSidecar(spark, path, codebook, members, atomicSwap = true)
-    // per-cell two-rename swaps (metadata ops); a fully-emptied cell is
-    // parked then dropped — its occupancy row is already 0 (dead cell)
+    // permanently-invisible survivors. (Occupancy-less layouts — the
+    // flat OPQ lake — skip this step: nothing probes their leaves.)
+    sidecar.foreach { case (codebook, prevMembers) =>
+      val members = codebook.indices.map { c =>
+        c -> (if (affected.contains(c)) tmpCnt.get(c).map(_._2).getOrElse(0L)
+              else prevMembers.getOrElse(c, 0L))
+      }.toMap
+      writeCodebookSidecar(spark, path, codebook, members, atomicSwap = true)
+    }
+    // per-leaf two-rename swaps (metadata ops); a fully-emptied leaf is
+    // parked then dropped — its occupancy row (if any) is already 0
     graft.etl.Compact.swapRewrittenLeaves(
-      fs, bp, tmpRoot, oldRoot, affected.map(c => s"cell=$c").toSeq)
+      fs, bp, tmpRoot, oldRoot, affected.map(c => s"$partCol=$c").toSeq)
   }
 
   /** All data-file paths under `dir`, recursive. Hidden-name rule

@@ -73,26 +73,27 @@ object Opq {
     groups.flatMap(_.result().sorted)
   }
 
-  /** Approximate top-k cosine via rotated-space PQ shortlist + exact
-    * rerank. Parameters mirror [[Pq.knnPq]]; the rotation fits on the
-    * same bounded deterministic sample discipline ([[Pca.fitUnit]]).
-    */
   /** Fit the permuted unit-sphere rotation for an `m`-subspace OPQ:
-    * probe D from a small sample (majority-dimension rule), PCA-fit the
-    * unit basis, then bake the eigenvalue-allocation permutation into
-    * the basis so projection emits coordinates already in
-    * subspace-major order — one pass, no second shuffle. Single owner
-    * for the on-the-fly ([[knnOpq]]) and persisted ([[buildOpqIndex]])
-    * forms: both must rotate IDENTICALLY for the persisted ≡ on-the-fly
-    * contract.
+    * ONE bounded deterministic sample owns both the dimension (its
+    * majority rule) and the PCA basis fit, then the
+    * eigenvalue-allocation permutation is baked into the basis so
+    * projection emits coordinates already in subspace-major order —
+    * one pass, no second shuffle. The single sample matters twice: a
+    * separate small dimension probe could disagree with the fit
+    * sample's majority on a mixed-dimension corpus (leaving
+    * `rot.inputDim ≠ m·sub`, every `d_nrm` NULL, and every query
+    * silently empty), and the probe's extra count+scan pass is simply
+    * wasted. Single owner for the on-the-fly ([[knnOpq]]) and
+    * persisted ([[buildOpqIndex]]) forms: both must rotate IDENTICALLY
+    * for the persisted ≡ on-the-fly contract.
     */
   private def fitRotation(
       b0: DataFrame, m: Int, maxFit: Long): Pca.PcaModel = {
-    val probe = Ann.sampleVectors(b0.select(col("b_id"), col("b_emb")), 256L)
-    require(probe.nonEmpty, "OPQ needs at least one non-null base vector")
-    val d = probe.head.length
+    val sample = Ann.sampleVectors(b0.select(col("b_id"), col("b_emb")), maxFit)
+    require(sample.nonEmpty, "OPQ needs at least one non-null base vector")
+    val d = sample.head.length
     require(d % m == 0, s"embedding dim $d is not divisible by m=$m subspaces")
-    val pca = Pca.fitUnit(b0, col("b_id"), col("b_emb"), dims = d, maxFit = maxFit)
+    val pca = Pca.fitUnitFromSample(sample, dims = d)
     val perm = allocate(pca.eigvals, m)
     pca.copy(
       components = perm.map(pca.components),
@@ -100,6 +101,36 @@ object Opq {
       eigvals = perm.map(pca.eigvals))
   }
 
+  /** Query-side rotation: projected coords + the hoisted squared norm.
+    * Single owner for [[knnOpq]] and [[queryOpqIndex]] — the persisted
+    * ≡ on-the-fly contract holds by construction, not by parallel
+    * edits.
+    */
+  private def projectQueries(q0: DataFrame, rot: Pca.PcaModel): DataFrame =
+    Pca.projectUnit(q0, col("q_emb"), col("qp_nrm"), rot, "qp")
+      .filter(col("qp").getItem(0).isNotNull)
+      .withColumn("qp2", Vectors.dot(col("qp"), col("qp")))
+
+  /** Per-query ADC lookup tables over the rotated queries. */
+  private def qLutOf(q: DataFrame, cb: Pq.Codebooks): DataFrame =
+    q.select(col("q_id"), col("qp2"), Pq.lutExpr(col("qp"), cb).as("lut"))
+
+  /** Negated ADC-L2 compressed-domain scores ("larger is nearer", the
+    * convention every topk owner expects): ‖b̂−q‖² = d_nrm² + ‖q‖² −
+    * 2·b̂·q with both norms hoisted. The single arithmetic owner shared
+    * by the on-the-fly and persisted serving paths.
+    */
+  private def adcL2Sims(
+      enc: DataFrame, qLut: DataFrame, cb: Pq.Codebooks): DataFrame =
+    enc.crossJoin(broadcast(qLut))
+      .select(col("q_id"), col("b_id"),
+        (-(col("d_nrm") * col("d_nrm") + col("qp2")
+          - lit(2.0) * Pq.adcExpr(col("codes"), col("lut"), cb))).as("sim"))
+
+  /** Approximate top-k cosine via rotated-space PQ shortlist + exact
+    * rerank. Parameters mirror [[Pq.knnPq]]; the rotation fits on the
+    * same bounded deterministic sample discipline ([[Pca.fitUnit]]).
+    */
   def knnOpq(
       base: DataFrame, baseId: Column, baseVec: Column,
       queries: DataFrame, qId: Column, qVec: Column,
@@ -117,23 +148,14 @@ object Opq {
         .filter(col("bp").getItem(0).isNotNull))
     val q0 = Ann.validQueries(queries, qId, qVec)
     Ann.requireQueryDim(q0, d)
-    val q = Dedup.scopedCache(
-      Pca.projectUnit(q0, col("q_emb"), col("qp_nrm"), rot, "qp")
-        .filter(col("qp").getItem(0).isNotNull)
-        .withColumn("qp2", Vectors.dot(col("qp"), col("qp"))))
+    val q = Dedup.scopedCache(projectQueries(q0, rot))
 
     val cb = Pq.fit(b, col("b_id"), col("bp"), m, kSub, seed, maxFit)
     val zeroCent = typedLit(Seq.fill(d)(0.0f))
     val enc = Pq.encode(b, col("b_id"), col("bp"), cb)
       .withColumn("d_nrm", Pq.reconNormExpr(col("codes"), zeroCent, cb))
       .select("b_id", "codes", "d_nrm")
-    val qLut = q.select(col("q_id"), col("qp2"), Pq.lutExpr(col("qp"), cb).as("lut"))
-    // ADC L2, negated so "larger is nearer" matches every topk owner
-    val approx = enc.crossJoin(broadcast(qLut))
-      .select(col("q_id"), col("b_id"),
-        (-(col("d_nrm") * col("d_nrm") + col("qp2")
-          - lit(2.0) * Pq.adcExpr(col("codes"), col("lut"), cb))).as("sim"))
-    val short = Ann.topkPerQuery(approx, sl)
+    val short = Ann.topkPerQuery(adcL2Sims(enc, qLutOf(q, cb), cb), sl)
     Pq.rerankExact(short,
       b.select("b_id", "b_emb", "b_nrm"),
       q.select("q_id", "q_emb", "qp_nrm"), k)
@@ -187,6 +209,12 @@ object Opq {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val spark = base.sparkSession
     requireNotIvfFamily(spark, path)
+    // a parked base__*_old tree (crashed removal/compaction swap) must
+    // block the REBUILD too: overwriting around it would leave a fresh
+    // index whose serving guard wedges on the stale park — and the
+    // guard's "recover it" remedy would then mix codes from two
+    // geometries. Refuse until the operator recovers or deletes it.
+    requireOpqServable(spark, path)
     val b0 = base.select(baseId.as("b_id"), baseVec.as("b_emb"))
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
       .filter(col("b_nrm") > 0)
@@ -221,8 +249,13 @@ object Opq {
     enc.write.partitionBy("bucket").mode("overwrite").parquet(s"$path/base")
     // a base whose EVERY row fell to the scoreable gates (classic
     // cause: fitOn dimension differs from the base's) must not persist
-    // as a silently empty index
-    require(!spark.read.parquet(s"$path/base").isEmpty,
+    // as a silently empty index. Checked via the data-file listing: a
+    // zero-row partitionBy write lands NO files, so a read-based probe
+    // would die in schema inference naming nothing (the hazard the
+    // serving paths guard identically).
+    val bfs = new org.apache.hadoop.fs.Path(s"$path/base")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(Ann.listDataFiles(bfs, s"$path/base").nonEmpty,
       s"no base row was OPQ-scoreable for $path -- does the base embedding " +
         s"dimension match the fitted rotation (dim $d)?")
     import spark.implicits._
@@ -299,22 +332,14 @@ object Opq {
       s"$path has no rotation sidecar -- not a completed OPQ index " +
         "(a crashed buildOpqIndex leaves this state; rebuild)")
     val rot = Pca.loadModel(spark, s"$path/rotation")
-    val pqDf = spark.read.parquet(s"$path/pq")
-    require(pqDf.schema.fieldNames.contains("rotated"),
-      s"$path/pq lacks the rotated layout marker -- its codes were built " +
-        "in a different geometry; rebuild with buildOpqIndex")
-    val pqRows = pqDf.select("subspace", "code", "centroid_d").collect()
-    require(pqRows.nonEmpty, s"$path/pq is empty -- not an OPQ index")
-    val m = pqRows.map(_.getInt(0)).max + 1
-    val kSub = pqRows.map(_.getInt(1)).max + 1
-    require(pqRows.length == m * kSub &&
-      pqRows.map(r => (r.getInt(0), r.getInt(1))).distinct.length == m * kSub,
-      s"$path/pq is not a dense ${m}x$kSub code table -- corrupt index")
-    val tables = Array.tabulate(m) { j =>
-      pqRows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
-        .map(_.getSeq[Double](2).toArray)
-    }
-    val cb = Pq.Codebooks(m, tables(0)(0).length, tables)
+    // shared parse + dense-table validation with the IVF-PQ loader
+    // (Pq.parsePqTables — single owner), differing only in the
+    // layout-version column
+    val cb = Pq.parsePqTables(spark, path, markerCol = "rotated",
+      missingMarkerMsg =
+        s"$path/pq lacks the rotated layout marker -- its codes were built " +
+          "in a different geometry; rebuild with buildOpqIndex")
+    val kSub = cb.tables(0).length
     val meta = spark.read.parquet(s"$path/meta")
       .select("d", "m", "k_sub", "n_buckets").head()
     // k_sub equality too (meta stores the EFFECTIVE table size): a pq
@@ -353,12 +378,7 @@ object Opq {
     val sl = Pq.shortlistSize(shortlist, k)
     val q0 = Ann.validQueries(queries, qId, qVec)
     Ann.requireQueryDim(q0, rot.inputDim)
-    val q = Dedup.scopedCache(
-      Pca.projectUnit(q0, col("q_emb"), col("qp_nrm"), rot, "qp")
-        .filter(col("qp").getItem(0).isNotNull)
-        .withColumn("qp2", Vectors.dot(col("qp"), col("qp"))))
-    val qLut = q.select(col("q_id"), col("qp2"),
-      Pq.lutExpr(col("qp"), cb).as("lut"))
+    val q = Dedup.scopedCache(projectQueries(q0, rot))
     // a fully-emptied base (every id retention-deleted) has no data
     // files and would die in schema inference with an error naming
     // neither the index nor the state — refuse by name instead
@@ -368,13 +388,9 @@ object Opq {
       s"the OPQ index at $path holds zero code rows (every id removed?) " +
         "-- rebuild or add rows before serving")
     val enc = spark.read.parquet(s"$path/base")
-    // ADC L2 negated so "larger is nearer" — the knnOpq arithmetic
-    // owner verbatim (persisted ≡ on-the-fly is spec-pinned)
-    val approx = enc.crossJoin(broadcast(qLut))
-      .select(col("q_id"), col("b_id"),
-        (-(col("d_nrm") * col("d_nrm") + col("qp2")
-          - lit(2.0) * Pq.adcExpr(col("codes"), col("lut"), cb))).as("sim"))
-    val short = Ann.topkPerQuery(approx, sl)
+    // shared projection + ADC arithmetic owners with knnOpq —
+    // persisted ≡ on-the-fly holds by construction
+    val short = Ann.topkPerQuery(adcL2Sims(enc, qLutOf(q, cb), cb), sl)
     val src = source.select(srcId.as("b_id"), srcVec.as("b_emb"))
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
       .filter(col("b_nrm") > 0)
@@ -422,69 +438,20 @@ object Opq {
   }
 
   /** Delete ids from a persisted [[buildOpqIndex]] index — the
-    * retention verb for the flat layout: victims are materialized once
-    * (the [[Ann.removeFromIndexBase]] nondeterminism defense), only
-    * the buckets HOLDING victims are anti-join rewritten (surgical —
-    * an untouched bucket's files never move), each rewrite is gated on
-    * kept == read − victims before any swap, and the affected leaves
-    * land via park-then-swap so every crash window either refuses
-    * loudly or retries to completion.
+    * retention verb for the flat layout, sharing
+    * [[Ann.removeFromIndexBase]]'s safety-critical core (victim
+    * materialization against nondeterministic inputs, surgical
+    * per-leaf anti-join rewrites, the kept == read − victims gate
+    * before any swap, park-then-swap crash discipline) with the
+    * partition key `bucket` and no occupancy sidecar — a flat layout
+    * has no probe structure to keep honest. An emptied or absent base
+    * is a no-op (nothing holds victims).
     */
   def removeFromOpqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       victims: DataFrame, vicId: Column): Unit = {
     loadOpqSidecars(spark, path) // completed-OPQ-index gate (and not IVF)
-    val basePath = s"$path/base"
-    val bp = new org.apache.hadoop.fs.Path(basePath)
-    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmpRoot = new org.apache.hadoop.fs.Path(bp.getParent, bp.getName + "__remove_tmp")
-    val oldRoot = new org.apache.hadoop.fs.Path(bp.getParent, bp.getName + "__remove_old")
-    graft.etl.Compact.clearOrRefuseParked(fs, oldRoot, "removal")
-    graft.etl.Compact.requireServable(fs, bp, action = "removal")
-    fs.delete(tmpRoot, true)
-    val vicDir = new org.apache.hadoop.fs.Path(bp.getParent, bp.getName + "__remove_vic")
-    fs.delete(vicDir, true)
-    try {
-      // an already-emptied base (or a never-built one) holds no
-      // victims by definition — a schema-less read would throw an
-      // unnamed inference error instead
-      if (!fs.exists(bp) || Ann.listDataFiles(fs, basePath).isEmpty) return
-      victims.select(vicId.as("b_id")).distinct()
-        .write.mode("overwrite").parquet(vicDir.toString)
-      val vic = spark.read.parquet(vicDir.toString)
-      val base = spark.read.parquet(basePath)
-      val affected = base.select("b_id", "bucket").join(vic, "b_id")
-        .select("bucket").distinct().collect().map(_.getInt(0)).sorted
-      if (affected.isEmpty) return // no victim is indexed — nothing to do
-      val pruned = base.filter(col("bucket").isin(affected.map(Int.box): _*))
-      // clustered by bucket so each rewritten leaf lands as ONE file
-      // (the removeWithVictims anti-fragmentation rule)
-      pruned.join(vic, Seq("b_id"), "left_anti")
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").mode("overwrite").parquet(tmpRoot.toString)
-      val srcCnt = pruned.select(col("b_id"), col("bucket"))
-        .join(vic.withColumn("__v", lit(1)), Seq("b_id"), "left")
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n"), count(col("__v")).as("nv"))
-        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-      val tmpFiles = Ann.listDataFiles(fs, tmpRoot.toString)
-      val tmpCnt: Map[Int, Long] =
-        if (tmpFiles.isEmpty) Map.empty
-        else spark.read.parquet(tmpRoot.toString)
-          .groupBy("bucket").agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      affected.foreach { b =>
-        val (n, nv) = srcCnt(b)
-        val kept = tmpCnt.getOrElse(b, 0L)
-        if (kept != n - nv) {
-          fs.delete(tmpRoot, true)
-          throw new IllegalStateException(
-            s"removal rewrite of $basePath bucket=$b would lose rows " +
-              s"($n read, $nv victims, $kept rewritten) -- aborted, index untouched")
-        }
-      }
-      graft.etl.Compact.swapRewrittenLeaves(
-        fs, bp, tmpRoot, oldRoot, affected.map(b => s"bucket=$b").toSeq)
-    } finally fs.delete(vicDir, true)
+    Ann.removeFromIndexBase(spark, path, victims, vicId,
+      scoreable = lit(true), partCol = "bucket", withOccupancy = false)
   }
 }

@@ -76,17 +76,29 @@ object Pca {
   def fitUnit(
       b: DataFrame, bId: Column, bVec: Column, dims: Int,
       maxFit: Long = 20000L): PcaModel =
+    fitUnitFromSample(
+      Ann.sampleVectors(b.select(bId.as("b_id"), bVec.as("b_emb")), maxFit),
+      dims)
+
+  /** [[fitUnit]] over an already-collected sample — composed operators
+    * ([[Opq]]'s rotation fit) share ONE bounded sample between the
+    * dimension probe and the basis fit, which both saves a sample pass
+    * and removes the probe-vs-fit majority-dimension disagreement
+    * class (two independent samples of a mixed-dimension corpus can
+    * pick different majorities).
+    */
+  private[operators] def fitUnitFromSample(
+      sample: Array[Array[Float]], dims: Int): PcaModel =
     fitCore(
-      Ann.sampleVectors(b.select(bId.as("b_id"), bVec.as("b_emb")), maxFit)
-        .flatMap { row =>
-          var acc = 0.0
-          var i = 0
-          while (i < row.length) {
-            acc += row(i).toDouble * row(i).toDouble; i += 1
-          }
-          val n = math.sqrt(acc)
-          if (n > 0) Some(row.map(_.toDouble / n)) else None
-        },
+      sample.flatMap { row =>
+        var acc = 0.0
+        var i = 0
+        while (i < row.length) {
+          acc += row(i).toDouble * row(i).toDouble; i += 1
+        }
+        val n = math.sqrt(acc)
+        if (n > 0) Some(row.map(_.toDouble / n)) else None
+      },
       dims)
 
   private def fitCore(sample: Array[Array[Double]], dims: Int): PcaModel = {

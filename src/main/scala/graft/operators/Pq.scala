@@ -509,14 +509,25 @@ object Pq {
     * addToIvfIndex's dense-cells check).
     */
   private def loadPqTables(
-      spark: org.apache.spark.sql.SparkSession, path: String): Codebooks = {
+      spark: org.apache.spark.sql.SparkSession, path: String): Codebooks =
+    parsePqTables(spark, path, markerCol = "residual",
+      missingMarkerMsg =
+        s"$path/pq was built with the pre-residual layout -- its codes index raw " +
+          "vectors, not residuals; rebuild the index with buildIvfPqIndex")
+
+  /** Single owner of the persisted code-table parse + dense m×kSub
+    * validation, parameterized on the layout-version column ([[Opq]]'s
+    * lake uses `rotated` where IVF-PQ uses `residual`): a partial or
+    * mixed-layout pq dir must fail HERE by name in every index family,
+    * and a validation fix must reach all of them at once.
+    */
+  private[operators] def parsePqTables(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      markerCol: String, missingMarkerMsg: String): Codebooks = {
     val pqDf = spark.read.parquet(s"$path/pq")
-    // layout-version gate: see the `residual` marker in buildIvfPqIndex
-    require(pqDf.schema.fieldNames.contains("residual"),
-      s"$path/pq was built with the pre-residual layout -- its codes index raw " +
-        "vectors, not residuals; rebuild the index with buildIvfPqIndex")
+    require(pqDf.schema.fieldNames.contains(markerCol), missingMarkerMsg)
     val pqRows = pqDf.select("subspace", "code", "centroid_d").collect()
-    require(pqRows.nonEmpty, s"$path/pq is empty -- not an IVF-PQ index")
+    require(pqRows.nonEmpty, s"$path/pq is empty -- not a PQ-coded index")
     val m = pqRows.map(_.getInt(0)).max + 1
     val kSub = pqRows.map(_.getInt(1)).max + 1
     require(pqRows.length == m * kSub &&
