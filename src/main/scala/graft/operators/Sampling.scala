@@ -58,12 +58,34 @@ object Sampling {
       salt: String): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
       "sampling rates must be in [0, 1]")
+    val clash = df.columns.toSet.intersect(Set("__strat_key", "__strat_thr"))
+    require(clash.isEmpty,
+      s"input column(s) collide with stratifiedSample scratch names: ${clash.toSeq.sorted.mkString(", ")}")
     requireCanonicalRateKeys(df, stratum, rates.keys.toSeq)
     val sNorm = stratum.cast("string")
-    val threshold = rates.foldLeft(lit((defaultRate * Modulus).toLong)) {
-      case (acc, (k, r)) => when(sNorm === lit(k), lit((r * Modulus).toLong)).otherwise(acc)
+    if (rates.size <= CaseLookupMax) {
+      val threshold = rates.foldLeft(lit((defaultRate * Modulus).toLong)) {
+        case (acc, (k, r)) => when(sNorm === lit(k), lit((r * Modulus).toLong)).otherwise(acc)
+      }
+      df.filter(sampleKey(id, salt) < threshold)
+    } else {
+      // machine-sized rate maps (temperatureMix over a 10^5-domain
+      // stratum) take the broadcast-threshold-join form — the
+      // mixtureSampleAt switch, for the same reason: a 10^5-branch
+      // CASE is a codegen hazard (method-size blowup, superlinear
+      // compile), while a broadcast hash lookup is O(1) per row at any
+      // map size. LEFT join: unmatched strata ride defaultRate, the
+      // CASE form's otherwise-arm.
+      val spark = df.sparkSession
+      import spark.implicits._
+      val thrDf = rates.toSeq
+        .map { case (k, r) => (k, (r * Modulus).toLong) }
+        .toDF("__strat_key", "__strat_thr")
+      df.join(broadcast(thrDf), sNorm === col("__strat_key"), "left")
+        .filter(sampleKey(id, salt) <
+          coalesce(col("__strat_thr"), lit((defaultRate * Modulus).toLong)))
+        .drop("__strat_key", "__strat_thr")
     }
-    df.filter(sampleKey(id, salt) < threshold)
   }
 
   /** Loud canonical-form gate for [[stratifiedSample]]'s rate-map
@@ -83,12 +105,16 @@ object Sampling {
     val dt = df.select(stratum).schema.head.dataType
     if (dt == org.apache.spark.sql.types.StringType) return
     val spark = df.sparkSession
-    val roundTripped = spark.range(1)
-      // try_cast, not cast: under ANSI mode a malformed key would
-      // THROW with a bare CAST_INVALID_INPUT instead of reaching the
-      // contract-naming message below
-      .select(keys.map(k => lit(k).try_cast(dt).cast("string")): _*)
-      .head().toSeq.map(Option(_).map(_.toString))
+    // chunked: a machine-sized map (10^5 temperatureMix strata) as ONE
+    // select would pay superlinear analysis on a 10^5-column row
+    val roundTripped = keys.grouped(256).flatMap { chunk =>
+      spark.range(1)
+        // try_cast, not cast: under ANSI mode a malformed key would
+        // THROW with a bare CAST_INVALID_INPUT instead of reaching the
+        // contract-naming message below
+        .select(chunk.map(k => lit(k).try_cast(dt).cast("string")): _*)
+        .head().toSeq.map(Option(_).map(_.toString))
+    }.toSeq
     val bad = keys.zip(roundTripped).collect {
       case (k, rt) if !rt.contains(k) =>
         s""""$k" (canonical: ${rt.fold("uncastable")(c => s""""$c"""")})"""
@@ -246,7 +272,20 @@ object Sampling {
     val clash = df.columns.toSet.intersect(scratch)
     require(clash.isEmpty,
       s"input column(s) collide with capPerStratum scratch names: ${clash.toSeq.sorted.mkString(", ")}")
-    val key = sampleKey(id, salt)
+    // null-id guard, the prioritySample discipline: a null id hashes to
+    // a NULL sort key, which Spark asc orders FIRST — null-id rows
+    // would hijack ranks 1..cap nondeterministically (all-null keys
+    // give row_number an arbitrary order), displacing every real row
+    // and breaking the operator's determinism contract. Guard-first on
+    // the Add so the assertion cannot be short-circuited by the null
+    // it rejects; the coalesce is never null and adds exact 0.
+    val guard = coalesce(
+      assert_true(id.isNotNull,
+        lit("capPerStratum: null id -- a hash-keyed quota cannot " +
+          "arbitrate rows without identity; filter or synthesize ids first"))
+        .cast("long"),
+      lit(0L))
+    val key = guard + sampleKey(id, salt)
     val keyed = df.withColumn("__skey", key)
       .withColumn("__bkt", pmod(Hashing.h60(concat(lit("bkt:"), id.cast("string"))),
         lit(nBuckets.toLong)))

@@ -232,8 +232,19 @@ object Sketches {
   def kmvMergeSketches(
       sketches: DataFrame, key: Column, mins: Column, k: Int): DataFrame = {
     require(k >= 3, s"KMV needs k >= 3 for a finite-variance estimate, got $k")
+    // null-row gate (the hllMergeSketches posture): no sketch verb
+    // writes a null mins array, so one is lake corruption — and its
+    // silent collect_list skip would quietly bias the merged estimate
+    // (or, for an all-null key, produce an EMPTY mins array that dies
+    // in kmvEstimate's element_at with an unnamed index error)
+    val checked = when(
+      coalesce(
+        assert_true(mins.isNotNull,
+          lit("kmvMergeSketches: NULL mins row -- corrupt sketch lake")).isNull,
+        lit(true)),
+      mins)
     sketches.groupBy(key.as("key"))
-      .agg(slice(array_sort(array_distinct(flatten(collect_list(mins)))), 1, k)
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(checked)))), 1, k)
         .as("mins"))
   }
 
@@ -416,21 +427,24 @@ object Sketches {
     requireHllP(p)
     val m = 1 << p
     val zeroRegs = array_repeat(lit(0), m)
-    // loud width gate (the prioritySample guard discipline): zip_with
-    // pads the shorter array with nulls and greatest() skips them, so
-    // merging a sketch persisted at a DIFFERENT p would silently yield
-    // wrong registers instead of failing. The guard rides the consumed
-    // regs column itself (when's condition must evaluate to pick the
-    // branch), so it cannot be pruned; null regs rows still skip via
-    // collect_list like before (size(null) guard short-circuits on the
-    // isNull disjunct without asserting).
+    // loud width + null gate (the prioritySample guard discipline):
+    // zip_with pads the shorter array with nulls and greatest() skips
+    // them, so merging a sketch persisted at a DIFFERENT p would
+    // silently yield wrong registers; and a NULL regs row — which no
+    // sketch verb ever writes — is lake corruption whose silent
+    // collect_list skip would quietly bias the merged estimate. Both
+    // fail by name. The guard rides the consumed regs column itself
+    // (when's condition must evaluate to pick the branch), so it
+    // cannot be pruned.
     val checked = when(
-      regs.isNull || coalesce(
-        assert_true(size(regs) === m,
-          concat(lit("hllMergeSketches: register array of length "),
-            size(regs).cast("string"),
-            lit(s" != 2^p = $m -- this lake holds sketches built at a " +
-              "different p; merge at the ingest p"))).isNull,
+      coalesce(
+        assert_true(regs.isNotNull && size(regs) === m,
+          concat(lit("hllMergeSketches: "),
+            when(regs.isNull, lit("NULL register row -- corrupt lake"))
+              .otherwise(concat(lit("register array of length "),
+                size(regs).cast("string"),
+                lit(s" != 2^p = $m -- this lake holds sketches built " +
+                  "at a different p; merge at the ingest p"))))).isNull,
         lit(true)),
       regs)
     sketches.groupBy(key.as("key"))
@@ -476,7 +490,22 @@ object Sketches {
         round(
           when(col("__raw") <= lit(2.5 * m) && col("v_zero") > 0L,
             lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
-            .otherwise(col("__raw")) * lit(1e6))
+            .otherwise(
+              // micro-unit range gate: est·1e6 passes Long.Max at est
+              // ≈ 9.22e12 distincts — far above any per-key group this
+              // engine serves, but inside the sketch's own ~1e16
+              // validity bound, and the long cast would SILENTLY clamp
+              // (non-ANSI) or kill the job with a bare overflow
+              // (ANSI). Fail by name instead; the guard rides the
+              // consumed branch so it cannot be pruned.
+              coalesce(
+                assert_true(col("__raw") < lit(9.0e12),
+                  concat(lit("hllEstimate: estimate "),
+                    col("__raw").cast("string"),
+                    lit(" exceeds the micro-unit long range (~9e12) -- " +
+                      "report in raw units for groups this large")))
+                  .cast("double"),
+                lit(0.0)) + col("__raw")) * lit(1e6))
           .cast("long"))
       .drop("__raw")
   }
@@ -762,15 +791,25 @@ object Sketches {
     // the true count (max of underestimates still does), and a
     // per-increment heavy item survives in EVERY valid summary, so it
     // survives the max.
-    val summed = Dedup.scopedCache(
-      sketches.filter(!mgIsMarker)
-        .groupBy("inc", "item").agg(max("cnt").as("cnt"))
-        .groupBy("item").agg(sum("cnt").as("cnt")))
+    val summed0 = sketches.filter(!mgIsMarker)
+      .groupBy("inc", "item").agg(max("cnt").as("cnt"))
+      .groupBy("item").agg(sum("cnt").as("cnt"))
+    // ownCache: scopedCache no-ops on a plan the CALLER already cached
+    // — the eager unpersist below must release only OUR cache, never
+    // steal theirs
+    val ownCache =
+      summed0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val summed = Dedup.scopedCache(summed0)
     val top = summed.orderBy(desc("cnt"), asc("item")).limit(k + 1).collect()
     val sub = if (top.length <= k) 0L else top.last.getLong(1)
     val kept = summed.filter(col("cnt") - lit(sub) > 0L)
       .orderBy("item")
       .collect().map(r => (r.getString(0), r.getLong(1) - sub))
+    // consumption completes HERE (the result is driver-side), so the
+    // scoped cache is released immediately — a long-running caller
+    // outside a Dedup.scoped extent must not accumulate one
+    // CacheManager entry per merge
+    if (ownCache) summed.unpersist()
     MgSummary(kept.map(_._1).toSeq, kept.map(_._2).toSeq, total)
   }
 
@@ -1116,11 +1155,7 @@ object Sketches {
     // (and the estimates) would be quietly wrong. Integer-valued
     // metrics only — route money through Money.cents, floats through
     // an explicit micro-unit scaling, BEFORE calling this.
-    val vt = df.select(value).schema.head.dataType
-    import org.apache.spark.sql.types._
-    require(vt == LongType || vt == IntegerType || vt == ShortType || vt == ByteType,
-      s"sample quantiles take integer-valued metrics, got $vt — " +
-        "scale to integer units first (e.g. Money.cents, micro-units)")
+    requireIntegerMetric(df.select(value).schema.head.dataType)
     // null KEYS are excluded like heavyHitters (GROUP BY over a known
     // stratum; also keeps the q25/q27 oracle's equi-joins — which a
     // null key silently falls out of — in exact parity). Callers that
@@ -1145,6 +1180,20 @@ object Sketches {
     * (same as [[pairSampleByKey]]): h = h60 of a UNIQUE row id, v
     * already integer-valued.
     */
+  /** The pair-sample family's loud type gate — single owner for the
+    * batch ([[pairSampleByKey]]) and streaming
+    * ([[graft.streaming.Streams.windowQuantileSample]]) forms, so the
+    * accepted-type contract cannot drift between them: a fractional
+    * metric would silently floor under the long cast.
+    */
+  private[graft] def requireIntegerMetric(
+      vt: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    require(vt == LongType || vt == IntegerType || vt == ShortType || vt == ByteType,
+      s"sample quantiles take integer-valued metrics, got $vt — " +
+        "scale to integer units first (e.g. Money.cents, micro-units)")
+  }
+
   def pairSampleAgg(k: Int)(h: Column, v: Column): Column = {
     require(k >= 2, s"sample quantiles need k >= 2, got $k")
     udaf(new BottomKPairs(k),
@@ -1175,6 +1224,15 @@ object Sketches {
   def quantilesFromSample(sample: DataFrame, qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantile fractions must be in [0, 1], got $qs")
+    // p-column names round to whole percents; two fractions landing on
+    // one name (0.999 and 1.0 → p100) would emit DUPLICATE columns —
+    // every downstream select dies in AMBIGUOUS_REFERENCE, and the
+    // survivor silently mislabels its fraction. Refuse by name.
+    val names = qs.map(q => s"p${math.round(q * 100)}")
+    require(names.distinct.size == names.size,
+      s"quantile fractions $qs collide on column name(s) " +
+        s"${names.diff(names.distinct).distinct.mkString(", ")} -- " +
+        "percent naming is whole-number; space the fractions apart")
     // sample values sorted ascending; nearest-rank-lower selection.
     // Ties in v make every admissible tiebreak return the same v, so
     // the OUTPUT is deterministic even though the v-sort alone isn't.

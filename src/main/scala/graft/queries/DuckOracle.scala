@@ -88,6 +88,13 @@ object DuckOracle {
       valueSql: String, k: Int, qs: Seq[Double],
       extraWhere: String = ""): String = {
     val h = h60(idSql)
+    // same whole-percent naming (and the same collision refusal) as
+    // Sketches.quantilesFromSample — drifting fractions would emit
+    // duplicate SQL columns
+    val pnamesAll = qs.map(q => s"p${math.round(q * 100)}")
+    require(pnamesAll.distinct.size == pnamesAll.size,
+      s"quantile fractions $qs collide on column name(s) " +
+        s"${pnamesAll.diff(pnamesAll.distinct).distinct.mkString(", ")}")
     val pcols = qs.map { q =>
       s"    MAX(CASE WHEN vr = CAST(floor($q*(m-1)) AS BIGINT)+1 THEN v END)" +
         s" AS p${math.round(q * 100)}"

@@ -41,6 +41,7 @@ object Streams {
   def dedupByContent(
       df: DataFrame, tsCol: String, textCol: String,
       watermark: String = "10 minutes"): DataFrame = {
+    requireNoScratchCols(df, Set("__fp"), "dedupByContent")
     val withFp = df
       .withColumn("__fp", graft.functions.Text.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
@@ -156,13 +157,10 @@ object Streams {
       window: String = "1 hour",
       watermark: String = "10 minutes",
       k: Int = 64): DataFrame = {
-    // the batch form's loud type gate, mirrored: a fractional metric
-    // would silently floor under the long cast
-    val vt = events.select(col(valueCol)).schema.head.dataType
-    import org.apache.spark.sql.types._
-    require(vt == LongType || vt == IntegerType || vt == ShortType || vt == ByteType,
-      s"sample quantiles take integer-valued metrics, got $vt — " +
-        "scale to integer units first (e.g. Money.cents, micro-units)")
+    // the batch form's loud type gate — shared owner, so the accepted
+    // types cannot drift between the batch and streaming forms
+    graft.operators.Sketches.requireIntegerMetric(
+      events.select(col(valueCol)).schema.head.dataType)
     events
       .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
       .withWatermark(tsCol, watermark)
@@ -404,7 +402,8 @@ object Streams {
   def dedupGate(
       stream: DataFrame, checkpoint: String, ledgerPath: String,
       idCol: String, textCol: String,
-      emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      emit: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireNoScratchCols(stream, Set("__fp"), "dedupGate")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -460,6 +459,22 @@ object Streams {
         } finally fresh.unpersist()
       }
       .start()
+  }
+
+  /** Refuse input columns that collide with a gate's scratch names —
+    * the assignSplits/capPerStratum refuse-don't-clobber convention:
+    * withColumn would silently REPLACE a user column (a stream whose
+    * events already carry `batch` or `__fp` is routine), and the
+    * replaced values would be consumed as gate internals while the
+    * user's data vanished from the sink with no error.
+    */
+  private def requireNoScratchCols(
+      df: DataFrame, scratch: Set[String], verb: String): Unit = {
+    val clash = df.columns.toSet.intersect(scratch)
+    require(clash.isEmpty,
+      s"input column(s) collide with $verb scratch names: " +
+        s"${clash.toSeq.sorted.mkString(", ")} -- rename them first")
+  }
 
   /** Streaming NEAR-duplicate suppression against a persisted MinHash
     * band ledger — the LSH complement of [[dedupGate]]'s exact
@@ -557,11 +572,25 @@ object Streams {
               .collect().map(_.getString(0)).toSeq
             neardupSigsScan(spark, ledgerPath, oldBuckets) match {
               case Some(os) =>
+                // signature-width gate (the hllMergeSketches posture):
+                // a ledger built at a DIFFERENT k would zip_with
+                // null-padded slots that filter() drops, silently
+                // halving every agreement estimate — history
+                // duplicates would re-emit with no error. Fail by
+                // name; the guard rides the consumed width term.
+                val widthOk = coalesce(
+                  assert_true(size(col("__old_sig")) === k,
+                    concat(lit("neardupGate: ledgered signature of "),
+                      size(col("__old_sig")).cast("string"),
+                      lit(s" slots but the stream runs k=$k -- the " +
+                        "ledger was built at a different k; keep k " +
+                        "stable for a ledger's lifetime"))).cast("int"),
+                  lit(0))
                 cand.join(sigs, "doc_id").join(os, "__old_id")
                   .withColumn("__agree",
-                    size(filter(
+                    (size(filter(
                       zip_with(col("sig"), col("__old_sig"), (a, b) => a === b),
-                      x => x)).cast("double") / lit(k.toDouble))
+                      x => x)) + widthOk).cast("double") / lit(k.toDouble))
                   .filter(col("__agree") >= lit(minJaccard))
                   .select("doc_id").distinct()
               // postings exist but the sigs lake is missing/empty: a
@@ -714,6 +743,7 @@ object Streams {
       stream: DataFrame, checkpoint: String, ledgerPath: String,
       sinkPath: String, idCol: String, textCol: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireNoScratchCols(stream, Set("__fp", "batch"), "dedupGateExactlyOnce")
     // read lazily on the first batch: the metadata file exists once the
     // query has started, and is stable for the checkpoint's lifetime
     @volatile var runId: String = null
@@ -759,6 +789,7 @@ object Streams {
     require(runId != null && runId.nonEmpty && !runId.contains("/"),
       s"runId must be a non-empty path-safe token, got '$runId'")
     require(markerRetention >= 1, s"markerRetention must be >= 1, got $markerRetention")
+    requireNoScratchCols(batchDf, Set("__fp", "batch"), "dedupGateExactlyOnce")
     val tag = s"$runId-$batchId"
     val spark = batchDf.sparkSession
     val fs = new org.apache.hadoop.fs.Path(ledgerPath)

@@ -790,6 +790,44 @@ class ColumnFunctionsSpec extends SparkSpecBase {
       Sampling.stratifiedSample(df, col("stratum"), col("id"), Map("a" -> 1.5), 1.0, "z"))
   }
 
+  test("Sampling.stratifiedSample: past CaseLookupMax the broadcast-join form is membership-identical to CASE") {
+    import graft.operators.Sampling
+    val nStrata = 150 // > CaseLookupMax = 100 → the join form
+    val df = spark.range(15000).select(
+      col("id"), concat(lit("s"), pmod(col("id"), lit(nStrata))).as("stratum"))
+    val rates = (0 until nStrata).map(i => s"s$i" -> (i % 5) * 0.25).toMap
+    val kept = Sampling.stratifiedSample(
+      df, col("stratum"), col("id"), rates, 0.1, "big")
+    // the CASE form's predicate replayed manually — the join form must
+    // agree on the exact row set, not just sizes
+    val threshold = rates.foldLeft(lit((0.1 * Sampling.Modulus).toLong)) {
+      case (acc, (k, r)) =>
+        when(col("stratum") === lit(k), lit((r * Sampling.Modulus).toLong))
+          .otherwise(acc)
+    }
+    val want = df.filter(Sampling.sampleKey(col("id"), "big") < threshold)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept.select("id").as[Long].collect().sorted.toSeq === want)
+    // scratch columns are dropped, and clashing input names refuse
+    assert(kept.columns.toSeq === df.columns.toSeq)
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(df.withColumn("__strat_thr", lit(1)),
+        col("stratum"), col("id"), rates, 0.1, "big"))
+  }
+
+  test("Sampling.capPerStratum rejects null ids loudly (NULL sort keys would hijack the quota)") {
+    import graft.operators.Sampling
+    val df = Seq((Option(1L), "a"), (Option.empty[Long], "a"), (Option(2L), "a"))
+      .toDF("id", "stratum")
+    val e = intercept[Exception] {
+      Sampling.capPerStratum(df, col("stratum"), col("id"),
+        cap = 1, salt = "z").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("capPerStratum")), s"got: $e")
+  }
+
   test("Sampling.temperatureMix: dominant stratum downweighted, expected totals hit") {
     import graft.operators.Sampling
     // 16k "web" rows vs 1k each of "books"/"code": α=0.5 keeps web at

@@ -828,6 +828,39 @@ class SketchesSpec extends SparkSpecBase {
     assert(msgChain(e).exists(_.contains("hllMergeSketches")), s"got: $e")
   }
 
+  test("merge verbs refuse NULL sketch rows; hllEstimate refuses micro-unit overflow; quantile names must be distinct") {
+    // a NULL regs/mins row is lake corruption no sketch verb writes —
+    // its silent collect_list skip would quietly bias estimates (and
+    // an all-null KMV key would die in element_at with an index error)
+    val goodH = Sketches.hllSketchByKey(
+      Seq(("g", "a")).toDF("key", "v"), col("key"), col("v"), p = 6)
+    val nullRegs = Seq(("g", null: Seq[Int])).toDF("key", "regs")
+    val e1 = intercept[Exception](
+      Sketches.hllMergeSketches(
+        goodH.unionByName(nullRegs), col("key"), col("regs"), p = 6).collect())
+    assert(msgChain(e1).exists(_.contains("NULL register")), s"got: $e1")
+    val goodK = Sketches.kmvSketchByKey(
+      Seq(("g", "a")).toDF("key", "v"), col("key"), col("v"), k = 4)
+    val nullMins = Seq(("g", null: Seq[Long])).toDF("key", "mins")
+    val e2 = intercept[Exception](
+      Sketches.kmvMergeSketches(
+        goodK.unionByName(nullMins), col("key"), col("mins"), k = 4).collect())
+    assert(msgChain(e2).exists(_.contains("NULL mins")), s"got: $e2")
+    // micro-unit overflow: all-55 registers imply est ≈ 1.6e18 — the
+    // long cast would silently clamp; must fail by name instead
+    val hot = Seq(("g", Seq.fill(64)(55))).toDF("key", "regs")
+    val e3 = intercept[Exception](Sketches.hllEstimate(hot, p = 6).collect())
+    assert(msgChain(e3).exists(_.contains("micro-unit")), s"got: $e3")
+    // a large-but-in-range estimate still reports
+    val warm = Seq(("g", Seq.fill(64)(30))).toDF("key", "regs")
+    assert(Sketches.hllEstimate(warm, p = 6)
+      .select("est_micro").head.getLong(0) > 0L)
+    // two fractions rounding to one percent name would emit duplicate
+    // columns (0.999 and 1.0 → p100) — refused up front
+    intercept[IllegalArgumentException](
+      Sketches.quantilesFromSample(warm, Seq(0.999, 1.0)))
+  }
+
   test("hllAgg refuses hashes outside the h60 contract loudly; -1 stays the null sentinel") {
     // a raw negative 64-bit hash (previously silently swallowed as the
     // sentinel — undercounting) and an over-wide hash (previously an

@@ -1233,6 +1233,48 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
   }
 
+  test("dedup gates refuse scratch-name collisions; near-dup ledger k-drift fails by name") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    import graft.functions.Hashing
+    // refuse-don't-clobber: a user column named __fp / batch is DATA —
+    // withColumn would silently replace it and feed it to the sink
+    val withFp = Seq((ts("2024-01-01 00:00:01"), 1L, "t", "x"))
+      .toDF("ts", "id", "text", "__fp")
+    intercept[IllegalArgumentException](
+      Streams.dedupByContent(withFp, "ts", "text"))
+    val base = java.nio.file.Files.createTempDirectory("graft_guards").toString
+    intercept[IllegalArgumentException](
+      Streams.dedupGate(withFp, base + "/ck", base + "/lg", "id", "text", _ => ()))
+    val withBatch = Seq((1L, "t", "b0")).toDF("id", "text", "batch")
+    intercept[IllegalArgumentException](
+      Streams.exactlyOnceBatch(withBatch, "r", 0L,
+        base + "/lg2", base + "/sink", "id", "text"))
+    // k-drift: a ledger whose signatures were written at a different k
+    // must refuse by name, not silently halve every agreement estimate
+    val dir = base + "/nd"
+    val doc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val batch = Seq((10L, doc)).toDF("id", "text")
+    val sig = Dedup.minhashSignatures(batch, col("id"), col("text"), 3, 8)
+      .select("sig").head.getSeq[Long](0)
+    val band = Dedup.minhashSignatures(batch, col("id"), col("text"), 3, 8)
+      .select(explode(Hashing.minhashBands(col("sig"), 8, 2)).as("band"))
+      .select("band").head.getString(0)
+    def b2(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s).substring(0, 2)
+    Seq((band, "99", b2(band))).toDF("band", "oid", "bucket")
+      .write.partitionBy("bucket").parquet(dir + "/postings")
+    Seq(("99", sig.take(4), b2("99"))).toDF("oid", "sig", "bucket")
+      .write.partitionBy("bucket").parquet(dir + "/sigs")
+    val e = intercept[Exception] {
+      Streams.neardupBatch(batch, dir, "id", "text", _ => (),
+        n = 3, k = 8, rowsPerBand = 2, minJaccard = 0.1)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("different k")), s"got: $e")
+  }
+
   test("sketchIngest: quantile-sample lake — ingest + compact + estimate ≡ batch; re-run cannot double pairs or n") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Sketches
