@@ -364,6 +364,15 @@ object Ann {
     b.withColumn("cell", cellExpr(col("b_emb"), codebook))
       .filter(col("cell").isNotNull) // see knnIvf
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+      // cluster by the partition key before the write (the removal
+      // rewrite's writeShards discipline, round-15 extended to the
+      // build/add paths): a bare partitionBy lets EVERY task fragment
+      // every cell it holds rows for — tasks × cells files whose
+      // open/commit overhead dominates small builds and whose
+      // accumulated decay is what compactIndex exists to heal. One
+      // exchange, one file per cell per write (maxRecordsPerFile is
+      // the escape hatch if a single cell outgrows one task's file).
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/base")
     // occupancy of SCOREABLE members from the WRITTEN files — at build
     // time this re-read costs what the write just cost, and the stats
@@ -422,6 +431,7 @@ object Ann {
       .withColumn("cell", cellExpr(col("b_emb"), codebook))
       .filter(col("cell").isNotNull) // see knnIvf
       .withColumn("b_nrm", Vectors.norm2(col("b_emb")))
+      .repartition(col("cell")) // one file per touched cell (see build)
       .write.partitionBy("cell").mode("append").parquet(basePath)
     val newFiles = (listDataFiles(fs, basePath) -- before).toSeq
     val delta =
@@ -584,9 +594,18 @@ object Ann {
     val sidecar =
       if (withOccupancy) Some(readCodebookSidecar(spark, path)) else None
     val base = spark.read.parquet(basePath)
-    // ≤ nlist (or nBuckets) driver rows: leaves holding ≥ 1 victim
-    val affected = base.select("b_id", partCol).join(vic, "b_id")
-      .select(partCol).distinct().collect().map(_.getInt(0)).sorted
+    // ONE narrow pass over the base answers BOTH removal questions —
+    // which leaves hold a victim, and the per-leaf (rows, victims)
+    // counts the post-rewrite gate needs (the old shape paid a second
+    // scan+join over the affected leaves just for the counts). ≤ nlist
+    // (or nBuckets) driver rows either way.
+    val leafStats = base.select(col("b_id"), col(partCol))
+      .join(vic.withColumn("__v", lit(1)), Seq("b_id"), "left")
+      .groupBy(partCol)
+      .agg(count(lit(1)).as("n"), count(col("__v")).as("nv"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val affected = leafStats.collect { case (c, (_, nv)) if nv > 0 => c }
+      .toArray.sorted
     if (affected.isEmpty) return // no victim is indexed — nothing to do
     val pruned = base.filter(col(partCol).isin(affected.map(Int.box): _*))
     // one distributed rewrite job for ALL affected leaves; the write
@@ -600,13 +619,9 @@ object Ann {
       .repartition(col(partCol))
       .write.partitionBy(partCol).mode("overwrite").parquet(tmpRoot.toString)
     // row-count gate per leaf BEFORE any swap: kept-on-disk must equal
-    // source − victims for every affected leaf. One pass of the pruned
-    // source (id + victim marker), one of the rewrite; both narrow.
-    val srcCnt = pruned.select(col("b_id"), col(partCol))
-      .join(vic.withColumn("__v", lit(1)), Seq("b_id"), "left")
-      .groupBy(partCol)
-      .agg(count(lit(1)).as("n"), count(col("__v")).as("nv"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // source − victims for every affected leaf. Source-side counts come
+    // from the single leafStats pass above.
+    val srcCnt = leafStats.filter { case (c, _) => affected.contains(c) }
     val tmpFiles = listDataFiles(fs, tmpRoot.toString)
     // (rows, scoreable rows) per rewritten leaf — the same read feeds
     // the gate and the occupancy refresh. An all-victims rewrite

@@ -376,14 +376,28 @@ object Bm25 {
     buildFs.delete(new org.apache.hadoop.fs.Path(s"$path/remove_intent"), true)
     buildFs.delete(new org.apache.hadoop.fs.Path(s"$path/remove_intent__tmp"), true)
     positionalPostings(toks, nBuckets)
+      // cluster by the partition key before the write (the removal
+      // rewrite's writeShards discipline, round-15 extended to the
+      // build/add paths): a bare partitionBy writes tasks × buckets
+      // fragment files per pass — the decay compactPostings heals,
+      // paid on every build instead of never
+      .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/postings")
-    writeEmptyMembers(spark, path,
-      toks.filter(col("dl") === 0).select("doc_id"), overwrite = true)
-    writeStatsSidecar(spark, path,
-      toks.agg(
-        count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
-        .head(), nBuckets)
+    // the empty-members write and the stats rollup both consume only
+    // (doc_id, dl) — cache that 16-byte-per-doc projection so the
+    // corpus is TOKENIZED twice per build (postings + this), not three
+    // times (the narrow cache is safe at any corpus scale; caching the
+    // full tokenized frame would not be)
+    val dlF = toks.select(col("doc_id"), col("dl")).cache()
+    try {
+      writeEmptyMembers(spark, path,
+        dlF.filter(col("dl") === 0).select("doc_id"), overwrite = true)
+      writeStatsSidecar(spark, path,
+        dlF.agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
+          .head(), nBuckets)
+    } finally dlF.unpersist()
   }
 
   /** (term, doc_id, dl, tf, positions, bucket) postings of a tokenized
@@ -434,15 +448,20 @@ object Bm25 {
       .select(docId.as("doc_id"), analyze(text).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
     positionalPostings(toks, nBuckets)
+      .repartition(col("bucket")) // one file per touched bucket (see build)
       .write.partitionBy("bucket").mode("append").parquet(s"$path/postings")
-    writeEmptyMembers(spark, path,
-      toks.filter(col("dl") === 0).select("doc_id"), overwrite = false)
-    val inc = toks.agg(
-      count(lit(1)).as("n_docs"),
-      coalesce(sum(col("dl")), lit(0L)).as("total_tokens")).head()
-    writeStatsSidecar(spark, path,
-      org.apache.spark.sql.Row(nDocs + inc.getLong(0), totalTokens + inc.getLong(1)),
-      nBuckets)
+    // one tokenize pass for empty-members + stats, not two (see build)
+    val dlF = toks.select(col("doc_id"), col("dl")).cache()
+    try {
+      writeEmptyMembers(spark, path,
+        dlF.filter(col("dl") === 0).select("doc_id"), overwrite = false)
+      val inc = dlF.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_tokens")).head()
+      writeStatsSidecar(spark, path,
+        org.apache.spark.sql.Row(nDocs + inc.getLong(0), totalTokens + inc.getLong(1)),
+        nBuckets)
+    } finally dlF.unpersist()
   }
 
   /** Retention-delete documents from a persisted [[buildLexIndex]]

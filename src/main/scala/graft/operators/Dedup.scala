@@ -793,8 +793,16 @@ object Dedup {
     * the minimum doc id in the component — deterministic.
     */
   def groupPairs(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = scopedCache(pairs.select(col("d1"), col("d2"))
-      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2"))))
+    // both directions in ONE pass over the caller's pair plan: the old
+    // self-unionByName REPLICATED the whole upstream edge-generation
+    // subtree per branch — executed twice when this cache materializes
+    // (d10's chunk-share join pipeline is the expensive part of the
+    // query) and reprinted under every downstream reference. Same rows.
+    val edges = scopedCache(pairs.select(
+        explode(array(
+          struct(col("d1"), col("d2")),
+          struct(col("d2").as("d1"), col("d1").as("d2")))).as("e"))
+      .select(col("e.d1").as("d1"), col("e.d2").as("d2")))
     // LINEAGE TRUNCATION (load-bearing): each round's frame must be
     // checkpointed, not merely cached. Caching materializes DATA but
     // leaves the LOGICAL PLAN intact, and the pointer-jumping
@@ -821,13 +829,22 @@ object Dedup {
       .withColumn("group_id", col("doc_id")))
     var converged = false
     var i = 0
+    val gidType = labels.schema("group_id").dataType
     while (!converged && i < maxIters) {
+      // each doc's PREVIOUS label rides the round as `old` (restored
+      // by max() — exactly one non-null per doc, from its labels row),
+      // so the convergence probe below is a narrow filter over the
+      // just-checkpointed frame instead of the old shape's extra
+      // |V|-join per round against the previous labels.
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("doc_id", "d2"), "d2")
-        .select(col("d1").as("doc_id"), col("group_id"))
-      val propagated = labels.unionByName(viaNeighbor)
+        .select(col("d1").as("doc_id"), col("group_id"),
+          lit(null).cast(gidType).as("old"))
+      val propagated = labels
+        .select(col("doc_id"), col("group_id"), col("group_id").as("old"))
+        .unionByName(viaNeighbor)
         .groupBy("doc_id")
-        .agg(min("group_id").as("group_id"))
+        .agg(min("group_id").as("group_id"), max("old").as("old"))
       // pointer jumping: follow each label to ITS label — combined with
       // the neighbor step this roughly halves remaining depth per round,
       // so convergence is O(log diameter), not O(diameter)
@@ -837,15 +854,17 @@ object Dedup {
           col("l.group_id") === col("p.gid"), "left")
         .select(
           col("l.doc_id").as("doc_id"),
-          least(col("l.group_id"), coalesce(col("ggid"), col("l.group_id"))).as("group_id")))
-      val changed = next.join(labels.withColumnRenamed("group_id", "old"), "doc_id")
-        .filter(col("group_id") < col("old"))
+          least(col("l.group_id"), coalesce(col("ggid"), col("l.group_id"))).as("group_id"),
+          col("l.old").as("old")))
+      // labels are monotone non-increasing, so "any row strictly below
+      // its previous label" is exactly "this round changed something"
+      val changed = next.filter(col("group_id") < col("old"))
         .limit(1).count() > 0
       // this round fully materialized `next` and the changed check —
       // nothing reads the previous round's blocks again (a truncated
       // localCheckpoint RDD cannot recompute, so release only here)
       labelsRdd.foreach(_.unpersist(false))
-      labels = next
+      labels = next.drop("old")
       labelsRdd = nextRdd
       converged = !changed
       i += 1

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fixed-iteration PageRank over a weighted directed edge list — the
@@ -50,10 +51,24 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** Validated, scope-cached graph frames shared by both variants. */
+  /** Validated, scope-cached graph frames shared by both variants.
+    * `nodesF` carries the node set WITH its `__has_out` flag (does the
+    * node emit any edge?) — one cached frame answers "all nodes", "the
+    * dangling subset", and (joined) "the seeded subset", so prepare
+    * never aggregates the edge list a second time just to ask who is
+    * dangling (round-15 optimization: the old shape paid a separate
+    * out-weight rollup + count for that answer).
+    */
   private final case class Graph(
-      nodes: DataFrame, outW: DataFrame, eW: DataFrame,
-      n: Long, hasDangling: Boolean)
+      nodesF: DataFrame, eW: DataFrame,
+      n: Long, hasDangling: Boolean) {
+    def nodes: DataFrame = nodesF.select("node")
+    /** Nodes with no out-edges — the dangling set (empty frame when
+      * `hasDangling` is false; callers gate on the flag).
+      */
+    def danglingNodes: DataFrame =
+      nodesF.filter(!col("__has_out")).select("node")
+  }
 
   private def prepare(
       edges: DataFrame, src: Column, dst: Column, w: Column,
@@ -98,24 +113,41 @@ object PageRank {
         s"fractional, or > $wLimit weights (rank*w must fit a long)")
     val e = eAll.drop("w0")
 
-    val nodes = Dedup.scopedCache(
-      e.select(col("src").as("node"))
-        .unionByName(e.select(col("dst").as("node")))
-        .distinct())
-    val n = nodes.count()
+    // ONE union-rollup owns the node set AND the dangling answer: a
+    // node is dangling iff it never appears as src, so max(flag) over
+    // the src/dst union replaces the old distinct + out-weight-count
+    // comparison (two aggregation passes → one; round-15 measurement:
+    // the extra passes were ~0.6 s/query at sf0.1 and a full edge
+    // shuffle each at cluster scale).
+    val nodesF = Dedup.scopedCache(
+      e.select(col("src").as("node"), lit(true).as("__has_out"))
+        .unionByName(e.select(col("dst").as("node"), lit(false).as("__has_out")))
+        .groupBy("node").agg(max("__has_out").as("__has_out")))
+    val n = nodesF.count()
     require(n >= 1, "pageRank: edge list is empty (no nodes)")
 
-    // Per-src total out-weight, attached to the edges ONCE (reused by
-    // every iteration's contribution join).
-    val outW = Dedup.scopedCache(e.groupBy("src").agg(sum("w").as("out_w")))
-    val eW = Dedup.scopedCache(e.join(outW, "src"))
+    // Per-src total out-weight attached to the edges ONCE, as a WINDOW
+    // over the cached edge frame — same integer sums as the old
+    // groupBy+join, ONE reference to `e` instead of two (the printed/
+    // analyzed plan halves under every downstream reference), and the
+    // cached result comes out hash-partitioned by src, which is
+    // exactly the partitioning every iteration's rank join wants. At
+    // cluster scale the rollup+join alternative is strictly worse: the
+    // per-src rollup is |V|-sized (not broadcastable), so the join
+    // would pay two exchanges per materialization. Measured at sf0.1:
+    // window 7.04+8.78 s vs rollup+join 7.67+8.90 s (g01+g02 subset
+    // bench, same methodology).
+    val eW = Dedup.scopedCache(e.withColumn("out_w",
+      sum("w").over(Window.partitionBy("src"))))
     // Dangling nodes exist iff some node never appears as src. When
     // none do (e.g. symmetrized graphs), the dangling term is
-    // identically 0 and its per-iteration anti-join + broadcast-scalar
+    // identically 0 and its per-iteration semi-join + broadcast-scalar
     // fold (≈6 stages/iteration) is pure overhead — skip it. Result-
-    // identical: a zero dangling share contributes nothing.
-    val hasDangling = outW.count() < n
-    Graph(nodes, outW, eW, n, hasDangling)
+    // identical: a zero dangling share contributes nothing. The probe
+    // is a limit-1 count on the already-cached node frame.
+    val hasDangling =
+      nodesF.filter(!col("__has_out")).limit(1).count() > 0
+    Graph(nodesF, eW, n, hasDangling)
   }
 
   /** The shared iteration driver. `update(frame, shareSql)` builds one
@@ -160,10 +192,30 @@ object PageRank {
       val contrib = g.eW
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("(rank * w) div out_w").as("c"))
-      val inc = contrib.groupBy("dst").agg(sum("c").as("in_r"))
-      val joined = nodes.join(inc, col("node") === col("dst"), "left")
+      // in-flow rollup and node completion in ONE node-keyed exchange:
+      // union a zero-contribution row per node (carrying the node
+      // frame's annotation columns, e.g. is_seed) with the edge
+      // contributions, then aggregate — sum(c) over {0} ∪ contribs
+      // equals the old left-joined in_r (coalesce'd to 0), and each
+      // node's single zero row is the only non-null annotation value,
+      // so max() restores it exactly. The old shape (groupBy(dst) +
+      // nodes⟕inc) paid the same exchange PLUS a |V|-sized join per
+      // iteration — broadcast locally, two more exchanges at the
+      // scale where |V| stops fitting a broadcast.
+      val annot = nodes.columns.filterNot(_ == "node").toSeq
+      val zeroRows = nodes.withColumn("c", lit(0L))
+      val contribRows = contrib.select(
+        col("dst").as("node") +:
+          annot.map(a => lit(null).cast(
+            zeroRows.schema(a).dataType).as(a)) :+ col("c"): _*)
+      val aggs = sum("c").as("in_r") +: annot.map(a => max(col(a)).as(a))
+      val joined = zeroRows.unionByName(contribRows)
+        .groupBy("node").agg(aggs.head, aggs.tail: _*)
+      // dangling mass = ranks of the no-out-edge nodes: a semi-join
+      // against the cached dangling subset (node-keyed, tiny) — the
+      // old form anti-joined the full out-weight rollup per iteration
       val dangRanks = () => ranks
-        .join(g.outW, col("node") === g.outW("src"), "left_anti")
+        .join(g.danglingNodes, Seq("node"), "left_semi")
       val nextPlan =
         if (!g.hasDangling) update(joined, "")
         else if (iters <= 5) {

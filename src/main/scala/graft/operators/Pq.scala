@@ -398,6 +398,10 @@ object Pq {
     Ann.invalidateIndexMarker(spark, path) // in-place rebuild: see its scaladoc
     pqScoreable(b0, coarse, cb)
       .select("b_id", "codes", "d_nrm", "cell")
+      // cluster by the partition key before the write (the removal
+      // rewrite's writeShards discipline, round-15 extended to
+      // build/add): one file per cell instead of tasks × cells
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/base")
     // occupancy of PQ-SCOREABLE members from the WRITTEN files (every
     // written row is scoreable by construction of the filters above)
@@ -565,6 +569,7 @@ object Pq {
     val before = Ann.listDataFiles(fs, basePath)
     pqScoreable(rows.select(id.as("b_id"), vec.as("b_emb")), coarse, cb)
       .select("b_id", "codes", "d_nrm", "cell")
+      .repartition(col("cell")) // one file per touched cell (see build)
       .write.partitionBy("cell").mode("append").parquet(basePath)
     val newFiles = (Ann.listDataFiles(fs, basePath) -- before).toSeq
     val delta =

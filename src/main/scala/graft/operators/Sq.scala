@@ -278,6 +278,10 @@ object Sq {
       .withColumn("cell", Ann.cellExpr(col("b_emb"), codebook))
       .filter(col("cell").isNotNull)
       .select("b_id", "codes", "r_nrm", "cell")
+      // cluster by the partition key before the write (the removal
+      // rewrite's writeShards discipline, round-15 extended to
+      // build/add): one file per cell instead of tasks × cells
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/base")
     val members = spark.read.parquet(s"$path/base")
       .groupBy("cell").agg(count(lit(1)).as("__m"))
@@ -388,6 +392,7 @@ object Sq {
       .withColumn("cell", Ann.cellExpr(col("b_emb"), coarse))
       .filter(col("cell").isNotNull)
       .select("b_id", "codes", "r_nrm", "cell")
+      .repartition(col("cell")) // one file per touched cell (see build)
       .write.partitionBy("cell").mode("append").parquet(basePath)
     val newFiles = (Ann.listDataFiles(fs, basePath) -- before).toSeq
     val delta =

@@ -774,8 +774,17 @@ object RelationalQueries {
         concat(lit("c:"), col("o_custkey")).as("cn"),
         concat(lit("s:"), col("l_suppkey")).as("sn"))
       .agg(count(lit(1)).as("w"))
-    pairs.select(col("cn").as("src"), col("sn").as("dst"), col("w"))
-      .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst"), col("w")))
+    // both directions in ONE pass over the aggregated pairs: the old
+    // self-unionByName REPLICATED the whole fact join+rollup subtree
+    // per branch (executed twice under the operator's edge cache, and
+    // reprinted under every downstream cached reference — g01's serve
+    // plan carried 222 Exchange nodes before, 154 of them phantom
+    // copies of this subtree). Same rows, same weights.
+    pairs.select(explode(array(
+        struct(col("cn").as("src"), col("sn").as("dst")),
+        struct(col("sn").as("src"), col("cn").as("dst")))).as("e"),
+      col("w"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("w"))
   }
 
   private val tradeEdgesCte: String =
